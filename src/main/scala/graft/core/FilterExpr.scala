@@ -1,0 +1,252 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Partition-filter mini-language, modeled on the reference's typed AST
+  * walker (zcollection/partitioning/expression.py:1-189): comparisons
+  * (`== != < <= > >=`), `and`/`or`/`not`, `in`/`not in`, integer and
+  * string literals, and partition-key names. Unlike the reference, the
+  * compiled form is BOTH a driver-side predicate (for partition listing)
+  * and a Catalyst [[Column]] over the partition columns, so the same
+  * expression prunes partitions inside Spark's planner — no directory
+  * walk is ever needed on the read path.
+  */
+object FilterExpr {
+
+  sealed trait Ast
+  case object True extends Ast
+  final case class And(l: Ast, r: Ast) extends Ast
+  final case class Or(l: Ast, r: Ast) extends Ast
+  final case class Not(e: Ast) extends Ast
+  /** `left op right` where operands are names or literals. */
+  final case class Cmp(op: String, left: Operand, right: Operand) extends Ast
+  final case class In(name: String, values: Seq[Any], negated: Boolean) extends Ast
+
+  sealed trait Operand
+  final case class Name(n: String) extends Operand
+  final case class Lit(v: Any) extends Operand // Long or String
+
+  final class ParseException(msg: String) extends IllegalArgumentException(msg)
+
+  // --- tokenizer --------------------------------------------------
+
+  private sealed trait Tok
+  private case class TName(s: String) extends Tok
+  private case class TInt(v: Long) extends Tok
+  private case class TStr(s: String) extends Tok
+  private case class TSym(s: String) extends Tok
+
+  private def tokenize(s: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val j = s.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), i)
+        val end = if (j < 0) s.length else j
+        out += TName(s.substring(i, end)); i = end
+      } else if (c.isDigit || (c == '-' && i + 1 < s.length && s.charAt(i + 1).isDigit)) {
+        val j = s.indexWhere(ch => !(ch.isDigit), i + 1)
+        val end = if (j < 0) s.length else j
+        out += TInt(s.substring(i, end).toLong); i = end
+      } else if (c == '\'' || c == '"') {
+        val end = s.indexOf(c, i + 1)
+        if (end < 0) throw new ParseException(s"unterminated string at $i in: $s")
+        out += TStr(s.substring(i + 1, end)); i = end + 1
+      } else {
+        val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
+        if (Set("==", "!=", "<=", ">=").contains(two)) { out += TSym(two); i += 2 }
+        else if ("<>()[],".indexOf(c) >= 0) { out += TSym(c.toString); i += 1 }
+        else throw new ParseException(s"unexpected character '$c' at $i in: $s")
+      }
+    }
+    out.toList
+  }
+
+  // --- recursive-descent parser -----------------------------------
+
+  def parse(expr: String): Ast = {
+    if (expr == null || expr.trim.isEmpty) return True
+    var toks = tokenize(expr)
+
+    def peek: Option[Tok] = toks.headOption
+    def next(): Tok = { val t = toks.head; toks = toks.tail; t }
+    def expect(sym: String): Unit = next() match {
+      case TSym(`sym`) => ()
+      case t           => throw new ParseException(s"expected '$sym', got $t")
+    }
+
+    def parseOr(): Ast = {
+      var l = parseAnd()
+      while (peek.contains(TName("or"))) { next(); l = Or(l, parseAnd()) }
+      l
+    }
+    def parseAnd(): Ast = {
+      var l = parseNot()
+      while (peek.contains(TName("and"))) { next(); l = And(l, parseNot()) }
+      l
+    }
+    def parseNot(): Ast = peek match {
+      case Some(TName("not")) => next(); Not(parseNot())
+      case _                  => parseCmp()
+    }
+    def parseOperandOrParen(): Either[Ast, Operand] = next() match {
+      case TSym("(") =>
+        // Could be a parenthesized boolean expr OR a literal tuple; a tuple
+        // only appears after `in`, which parseCmp handles before coming here.
+        val inner = parseOr(); expect(")"); Left(inner)
+      case TName(n) => Right(Name(n))
+      case TInt(v)  => Right(Lit(v))
+      case TStr(v)  => Right(Lit(v))
+      case t        => throw new ParseException(s"unexpected token $t")
+    }
+    def parseTuple(): Seq[Any] = {
+      val open = next() match {
+        case TSym(s @ ("(" | "[")) => s
+        case t => throw new ParseException(s"expected list after 'in', got $t")
+      }
+      val close = if (open == "(") ")" else "]"
+      val vals = scala.collection.mutable.ListBuffer.empty[Any]
+      var done = false
+      while (!done) {
+        next() match {
+          case TInt(v)        => vals += v
+          case TStr(v)        => vals += v
+          case TSym(`close`)  => done = true
+          case TSym(",")      => ()
+          case t => throw new ParseException(s"unexpected token in list: $t")
+        }
+        if (!done && peek.contains(TSym(close))) { next(); done = true }
+      }
+      vals.toSeq
+    }
+    def parseCmp(): Ast = {
+      parseOperandOrParen() match {
+        case Left(ast) => ast
+        case Right(first) =>
+          peek match {
+            case Some(TName("in")) =>
+              next()
+              first match {
+                case Name(n) => In(n, parseTuple(), negated = false)
+                case _ => throw new ParseException("'in' requires a name on the left")
+              }
+            case Some(TName("not")) =>
+              next()
+              next() match {
+                case TName("in") =>
+                  first match {
+                    case Name(n) => In(n, parseTuple(), negated = true)
+                    case _ => throw new ParseException("'not in' requires a name")
+                  }
+                case t => throw new ParseException(s"expected 'in' after 'not', got $t")
+              }
+            case Some(TSym(op @ ("==" | "!=" | "<" | "<=" | ">" | ">="))) =>
+              // support python-style chains: a <= b < c
+              var ast: Ast = null
+              var left = first
+              while (peek.exists { case TSym(o) => Set("==", "!=", "<", "<=", ">", ">=")(o); case _ => false }) {
+                val TSym(o) = next(): @unchecked
+                val right = parseOperandOrParen() match {
+                  case Right(r)  => r
+                  case Left(_)   => throw new ParseException("boolean expr not allowed as comparison operand")
+                }
+                val c = Cmp(o, left, right)
+                ast = if (ast == null) c else And(ast, c)
+                left = right
+              }
+              ast
+            case _ =>
+              throw new ParseException(s"dangling operand $first")
+          }
+      }
+    }
+
+    val result = parseOr()
+    if (toks.nonEmpty) throw new ParseException(s"trailing tokens: $toks")
+    result
+  }
+
+  // --- compile to Catalyst Column (partition pruning path) --------
+
+  def toColumn(ast: Ast): Column = ast match {
+    case True      => lit(true)
+    case And(l, r) => toColumn(l) && toColumn(r)
+    case Or(l, r)  => toColumn(l) || toColumn(r)
+    case Not(e)    => !toColumn(e)
+    case In(n, vs, neg) =>
+      val c = col(n).isin(vs: _*)
+      if (neg) !c else c
+    case Cmp(op, l, r) =>
+      val (lc, rc) = (operandCol(l), operandCol(r))
+      op match {
+        case "==" => lc === rc
+        case "!=" => lc =!= rc
+        case "<"  => lc < rc
+        case "<=" => lc <= rc
+        case ">"  => lc > rc
+        case ">=" => lc >= rc
+      }
+  }
+
+  private def operandCol(o: Operand): Column = o match {
+    case Name(n) => col(n)
+    case Lit(v)  => lit(v)
+  }
+
+  /** Driver-side evaluation against a decoded partition key (used by
+    * `Collection.partitions()`, mirroring the reference's predicate over
+    * partition-key dicts). */
+  def eval(ast: Ast, key: Map[String, Any]): Boolean = ast match {
+    case True      => true
+    case And(l, r) => eval(l, key) && eval(r, key)
+    case Or(l, r)  => eval(l, key) || eval(r, key)
+    case Not(e)    => !eval(e, key)
+    case In(n, vs, neg) =>
+      val v = keyValue(key, n)
+      val hit = vs.exists(x => valueEq(v, x))
+      if (neg) !hit else hit
+    case Cmp(op, l, r) =>
+      val (lv, rv) = (operandValue(l, key), operandValue(r, key))
+      val c = valueCompare(lv, rv)
+      op match {
+        case "=="  => c == 0
+        case "!="  => c != 0
+        case "<"   => c < 0
+        case "<="  => c <= 0
+        case ">"   => c > 0
+        case ">="  => c >= 0
+      }
+  }
+
+  private def keyValue(key: Map[String, Any], n: String): Any =
+    key.getOrElse(n, throw new ParseException(s"unknown partition key '$n'; have ${key.keys.mkString(",")}"))
+
+  private def operandValue(o: Operand, key: Map[String, Any]): Any = o match {
+    case Name(n) => keyValue(key, n)
+    case Lit(v)  => v
+  }
+
+  private def toLongOpt(v: Any): Option[Long] = v match {
+    case l: Long  => Some(l)
+    case i: Int   => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte  => Some(b.toLong)
+    case _        => None
+  }
+
+  private def valueEq(a: Any, b: Any): Boolean = (toLongOpt(a), toLongOpt(b)) match {
+    case (Some(x), Some(y)) => x == y
+    case _                  => a == b
+  }
+
+  private def valueCompare(a: Any, b: Any): Int = (toLongOpt(a), toLongOpt(b)) match {
+    case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+    case _ => (a, b) match {
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => throw new ParseException(s"cannot compare $a with $b")
+    }
+  }
+}

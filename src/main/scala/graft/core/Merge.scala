@@ -1,0 +1,92 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Merge strategies for inserting into already-existing partitions,
+  * modeled on the reference's `zcollection/collection/merge.py` but
+  * expressed as DataFrame set operations so they distribute: `existing`
+  * and `inserted` here are ONLY the colliding partitions (the insert path
+  * never reads untouched partitions), and every strategy is a
+  * partition-local plan — the join/anti-join keys always include the
+  * partition columns, so Catalyst co-partitions the work and nothing
+  * shuffles beyond the touched slice.
+  */
+sealed trait MergeStrategy extends Serializable {
+  /** Compute the dataset to write for the colliding partitions.
+    *
+    * @param existing colliding partitions' current content (partition cols included)
+    * @param inserted the incoming slice for those same partitions
+    * @param axis     name of the row-comparison variable (the time axis)
+    * @param partCols the partition column names
+    */
+  def apply(existing: DataFrame, inserted: DataFrame, axis: String, partCols: Seq[String]): DataFrame
+}
+
+object MergeStrategy {
+
+  /** reference merge.py:89-109 — inserted wins outright. */
+  case object Replace extends MergeStrategy {
+    override def apply(existing: DataFrame, inserted: DataFrame, axis: String, partCols: Seq[String]): DataFrame =
+      inserted
+  }
+
+  /** reference merge.py:112-131 — append, no dedup, no sort. */
+  case object Concat extends MergeStrategy {
+    override def apply(existing: DataFrame, inserted: DataFrame, axis: String, partCols: Seq[String]): DataFrame =
+      existing.unionByName(inserted)
+  }
+
+  /** reference merge.py:134-186 — drop existing rows inside the inserted
+    * [min,max] axis window (per partition), concat, sort by axis. */
+  case object TimeSeries extends MergeStrategy {
+    override def apply(existing: DataFrame, inserted: DataFrame, axis: String, partCols: Seq[String]): DataFrame = {
+      val bounds = inserted.groupBy(partCols.map(col): _*)
+        .agg(min(col(axis)).as("_zc_lo"), max(col(axis)).as("_zc_hi"))
+      val kept = existing
+        .join(broadcast(bounds), partCols, "left")
+        .where(col("_zc_lo").isNull || col(axis) < col("_zc_lo") || col(axis) > col("_zc_hi"))
+        .drop("_zc_lo", "_zc_hi")
+      kept.unionByName(inserted).sortWithinPartitions((partCols :+ axis).map(col): _*)
+    }
+  }
+
+  /** reference merge.py:189-279 — row-wise replace-or-add by axis equality,
+    * or nearest-within-`tolerance` when set (reference upsert_within). The
+    * anti-join carries the partition columns as equi-keys, so the range
+    * condition only ever runs within one partition's slice.
+    *
+    * @param toleranceMicros for timestamp axes: match window in microseconds;
+    *                        for numeric axes the same value is compared raw.
+    */
+  final case class Upsert(toleranceMicros: Option[Long] = None) extends MergeStrategy {
+    override def apply(existing: DataFrame, inserted: DataFrame, axis: String, partCols: Seq[String]): DataFrame = {
+      val isTs = existing.schema(axis).dataType == TimestampType
+      def axisNum(c: Column): Column = if (isTs) unix_micros(c) else c.cast("double")
+      val kept = toleranceMicros match {
+        case None =>
+          existing.join(
+            inserted.select((partCols :+ axis).map(col): _*).distinct(),
+            partCols :+ axis, "left_anti")
+        case Some(tol) =>
+          val e = existing.alias("e")
+          val i = inserted.select((partCols :+ axis).map(col): _*).distinct().alias("i")
+          val keyEq = partCols.map(c => col(s"e.$c") === col(s"i.$c")).reduce(_ && _)
+          val near = abs(axisNum(col(s"e.$axis")) - axisNum(col(s"i.$axis"))) <= lit(tol)
+          e.join(i, keyEq && near, "left_anti")
+      }
+      kept.unionByName(inserted).sortWithinPartitions((partCols :+ axis).map(col): _*)
+    }
+  }
+
+  /** Resolve a string alias, mirroring reference merge.py resolve(). */
+  def resolve(alias: String): MergeStrategy = alias match {
+    case "replace"     => Replace
+    case "concat"      => Concat
+    case "time_series" => TimeSeries
+    case "upsert"      => Upsert(None)
+    case other => throw new IllegalArgumentException(
+      s"unknown merge strategy '$other'; choose from replace, concat, time_series, upsert")
+  }
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables.
+  *
+  * The `events` table carries nanosecond parquet timestamps, which Spark's
+  * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); we read them via the
+  * `nanosAsLong` escape hatch and truncate to microseconds — the same
+  * floor-truncation DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP,
+  * so both engines observe identical values.
+  */
+object Tables {
+
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** `events` with `ts` as a microsecond TimestampType column. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val df = spark.read.parquet(s"$sfDir/events.parquet")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } finally prev match {
+      case Some(v) => spark.conf.set(NanosKey, v)
+      case None    => spark.conf.unset(NanosKey)
+    }
+  }
+}

@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/c"
+}
+
+class FilterExprSpec extends AnyFunSuite {
+  import FilterExpr._
+
+  test("comparison grammar and eval") {
+    val ast = parse("year == 2024 and month >= 3")
+    assert(eval(ast, Map("year" -> 2024L, "month" -> 3L)))
+    assert(!eval(ast, Map("year" -> 2024L, "month" -> 2L)))
+    assert(!eval(ast, Map("year" -> 2023L, "month" -> 5L)))
+  }
+
+  test("in / not in / not / or") {
+    val ast = parse("cycle in (1, 2) or not (pass == 3)")
+    assert(eval(ast, Map("cycle" -> 2L, "pass" -> 3L)))
+    assert(eval(ast, Map("cycle" -> 9L, "pass" -> 4L)))
+    assert(!eval(ast, Map("cycle" -> 9L, "pass" -> 3L)))
+    assert(eval(parse("name not in ('a','b')"), Map("name" -> "c")))
+  }
+
+  test("chained comparison") {
+    val ast = parse("2023 < year <= 2025")
+    assert(eval(ast, Map("year" -> 2024L)))
+    assert(!eval(ast, Map("year" -> 2023L)))
+    assert(eval(ast, Map("year" -> 2025L)))
+    assert(!eval(ast, Map("year" -> 2026L)))
+  }
+
+  test("empty filter is a tautology; bad syntax raises") {
+    assert(eval(parse(null), Map.empty))
+    assert(eval(parse("  "), Map.empty))
+    intercept[ParseException](parse("year ==="))
+    intercept[ParseException](eval(parse("bogus == 1"), Map("year" -> 1L)))
+  }
+}
+
+class CollectionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mkEvents(): DataFrame =
+    Seq(
+      (1L, "2024-01-01 10:00:00", "a", 1.0),
+      (2L, "2024-01-01 11:00:00", "b", 2.0),
+      (3L, "2024-01-02 10:00:00", "a", 3.0),
+      (4L, "2024-02-01 10:00:00", "c", 4.0),
+    ).toDF("id", "ts", "kind", "v").withColumn("ts", col("ts").cast("timestamp"))
+
+  test("create/open round-trip and insert/query") {
+    val root = SparkTestSession.tmp("graft-coll")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts",
+      DatePartitioning("ts", "D"), catalogEnabled = true)
+    c.insert(df)
+
+    val reopened = Collection.open(spark, root)
+    assert(reopened.axis == "ts")
+    assert(reopened.partitioning.axis == Seq("year", "month", "day"))
+    val all = reopened.query()
+    assert(all.count() == 4)
+    assert(all.columns.toSeq == Seq("id", "ts", "kind", "v"))
+
+    assert(reopened.partitions() ==
+      Seq("year=2024/month=1/day=1", "year=2024/month=1/day=2", "year=2024/month=2/day=1"))
+    assert(reopened.partitions("month == 2") == Seq("year=2024/month=2/day=1"))
+    assert(reopened.query("day == 1 and month == 1").count() == 2)
+  }
+
+  test("replace insert overwrites only colliding partitions") {
+    val root = SparkTestSession.tmp("graft-coll")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    // re-insert day 1 with different values -> day 2 and feb partitions untouched
+    val repl = Seq((9L, "2024-01-01 12:00:00", "z", 9.0))
+      .toDF("id", "ts", "kind", "v").withColumn("ts", col("ts").cast("timestamp"))
+    c.insert(repl)
+    val got = c.query().orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 4L, 9L))
+  }
+
+  test("merge concat / time_series / upsert") {
+    val root = SparkTestSession.tmp("graft-coll")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+
+    val extra = Seq((10L, "2024-01-01 10:30:00", "x", 10.0))
+      .toDF("id", "ts", "kind", "v").withColumn("ts", col("ts").cast("timestamp"))
+    c.insert(extra, MergeStrategy.Concat)
+    assert(c.query("day == 1 and month == 1").count() == 3)
+
+    // time_series: drops existing rows inside [10:30, 10:30] window only
+    val root2 = SparkTestSession.tmp("graft-coll")
+    val c2 = Collection.create(spark, root2, df.schema, "ts", DatePartitioning("ts", "D"))
+    c2.insert(df)
+    val win = Seq((11L, "2024-01-01 09:00:00", "w", 11.0), (12L, "2024-01-01 10:30:00", "w", 12.0))
+      .toDF("id", "ts", "kind", "v").withColumn("ts", col("ts").cast("timestamp"))
+    c2.insert(win, MergeStrategy.TimeSeries)
+    // existing id=1 (10:00) falls inside [09:00,10:30] -> dropped; id=2 (11:00) kept
+    assert(c2.query("day == 1 and month == 1").orderBy("id").collect().map(_.getLong(0)).toSeq
+      == Seq(2L, 11L, 12L))
+
+    // upsert exact: same axis value replaces the row
+    val root3 = SparkTestSession.tmp("graft-coll")
+    val c3 = Collection.create(spark, root3, df.schema, "ts", DatePartitioning("ts", "D"))
+    c3.insert(df)
+    val up = Seq((21L, "2024-01-01 10:00:00", "u", 21.0))
+      .toDF("id", "ts", "kind", "v").withColumn("ts", col("ts").cast("timestamp"))
+    c3.insert(up, MergeStrategy.Upsert(None))
+    val ids3 = c3.query("day == 1 and month == 1").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids3 == Seq(2L, 21L))
+
+    // upsert with tolerance: 10:00:30 matches 10:00:00 within 60s
+    val up2 = Seq((31L, "2024-01-01 10:00:30", "u", 31.0))
+      .toDF("id", "ts", "kind", "v").withColumn("ts", col("ts").cast("timestamp"))
+    c3.insert(up2, MergeStrategy.Upsert(Some(60L * 1000000)))
+    val ids4 = c3.query("day == 1 and month == 1").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids4 == Seq(2L, 31L))
+  }
+
+  test("drop partitions and catalog maintenance") {
+    val root = SparkTestSession.tmp("graft-coll")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts",
+      DatePartitioning("ts", "D"), catalogEnabled = true)
+    c.insert(df)
+    val dropped = c.dropPartitions("month == 1")
+    assert(dropped.size == 2)
+    assert(c.query().count() == 1)
+    assert(c.partitions() == Seq("year=2024/month=2/day=1"))
+    assert(c.repairCatalog() == Seq("year=2024/month=2/day=1"))
+  }
+
+  test("update rewrites only matching partitions") {
+    val root = SparkTestSession.tmp("graft-coll")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    c.update(d => d.withColumn("v", col("v") * 10), filters = "month == 1")
+    val got = c.query().orderBy("id").collect().map(_.getDouble(3)).toSeq
+    assert(got == Seq(10.0, 20.0, 30.0, 4.0))
+  }
+
+  test("immutable dataset attaches to every read") {
+    val root = SparkTestSession.tmp("graft-coll")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    c.writeImmutable(Seq(("sim", 7)).toDF("source", "version"))
+    val q = c.query()
+    assert(q.columns.toSeq == Seq("id", "ts", "kind", "v", "source", "version"))
+    assert(q.select("version").distinct().collect().map(_.getInt(0)).toSeq == Seq(7))
+  }
+
+  test("sequence partitioning round-trips types") {
+    val root = SparkTestSession.tmp("graft-seq")
+    val df = Seq((1L, 10L, "x"), (2L, 10L, "y"), (3L, 20L, "z")).toDF("k", "cycle", "s")
+    val c = Collection.create(spark, root, df.schema, "k",
+      SequencePartitioning(Seq("cycle"), "k"))
+    c.insert(df)
+    val got = c.query("cycle == 10")
+    assert(got.count() == 2)
+    assert(got.schema("cycle").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.columns.toSeq == Seq("k", "cycle", "s"))
+  }
+
+  test("grouped sequence buckets the last variable") {
+    val root = SparkTestSession.tmp("graft-gseq")
+    val df = Seq((1L, 3L), (2L, 7L), (3L, 12L)).toDF("k", "pass")
+    val c = Collection.create(spark, root, df.schema, "k",
+      GroupedSequencePartitioning(Seq("pass"), "k", size = 10))
+    c.insert(df)
+    assert(c.partitions() == Seq("pass_group=0", "pass_group=10"))
+    val got = c.query("pass_group == 0").orderBy("k")
+    assert(got.collect().map(_.getLong(1)).toSeq == Seq(3L, 7L)) // original values kept
+  }
+
+  test("read-only refuses mutation") {
+    val root = SparkTestSession.tmp("graft-ro")
+    val df = mkEvents()
+    Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D")).insert(df)
+    val ro = Collection.open(spark, root, readOnly = true)
+    intercept[IllegalStateException](ro.insert(df))
+    intercept[IllegalStateException](ro.dropPartitions())
+  }
+}
