@@ -54,6 +54,21 @@ object SparkEntry {
       .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
       .orderBy("event_id")
 
+  /** Fresh (non-cached) events collection for mutating queries. */
+  private def freshEventsColl(spark: SparkSession, sfDir: String, rows: DataFrame = null): Collection = {
+    val ev = if (rows != null) rows else Tables.events(spark, sfDir)
+    val root = s"$scratch/fresh-${java.util.UUID.randomUUID().toString.take(8)}"
+    val c = Collection.create(spark, root, ev.schema, "ts",
+      DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+    c.insert(ev)
+    c
+  }
+
+  /** The day-10..12, hour-6..18 slice used by the merge queries. */
+  private def mergeSlice(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).where(
+      dayofmonth(col("ts")).between(10, 12) && hour(col("ts")).between(6, 18))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("zc_insert_query")(spark, "/root/testdata/sf0.001")
@@ -78,6 +93,146 @@ object SparkEntry {
     "zc_query_project" -> ((s, dir) => {
       eventsCollection(s, dir)
         .query(filters = "day <= 5", variables = Seq("event_id", "value"))
+        .orderBy("event_id")
+    }),
+
+    // A5: partition listing with a filter, decoded keys as a DataFrame.
+    "zc_partitions" -> ((s, dir) => {
+      val c = eventsCollection(s, dir)
+      val keys = c.partitions("day in (5, 10, 15)").map { p =>
+        val kv = p.split("/").map(_.split("=")).map(a => a(0) -> a(1).toInt).toMap
+        (kv("year"), kv("month"), kv("day"))
+      }
+      import s.implicits._
+      keys.toDF("year", "month", "day").orderBy("year", "month", "day")
+    }),
+
+    // A6: drop matching partitions, read the remainder.
+    "zc_drop" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      c.dropPartitions("day <= 7")
+      eventsOut(c.query())
+    }),
+
+    // A7: per-partition rewrite (update touches only matching partitions).
+    "zc_update" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      c.update(df => df.withColumn("value", col("value") * 2), filters = "day <= 10")
+      eventsOut(c.query())
+    }),
+
+    // A8: distributed per-partition aggregate over the partition columns.
+    "zc_map" -> ((s, dir) => {
+      eventsCollection(s, dir).transformPartitions { df =>
+        df.groupBy("year", "month", "day")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("decimal(38,2)").cast("double").as("sum_value"))
+      }.orderBy("year", "month", "day")
+    }),
+
+    // A9: merge=concat appends within colliding partitions.
+    "zc_merge_concat" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val c = freshEventsColl(s, dir, ev.where(dayofmonth(col("ts")) <= 15))
+      c.insert(ev.where(dayofmonth(col("ts")).between(13, 20)), MergeStrategy.Concat)
+      eventsOut(c.query())
+    }),
+
+    // A10: merge=time_series drops the existing window covered by the insert.
+    "zc_merge_time_series" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      c.insert(mergeSlice(s, dir).withColumn("value", col("value") + 1000),
+        MergeStrategy.TimeSeries)
+      eventsOut(c.query())
+    }),
+
+    // A11: merge=upsert replaces rows whose axis value matches exactly.
+    "zc_merge_upsert" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      c.insert(mergeSlice(s, dir).withColumn("value", col("value") + 1000),
+        MergeStrategy.Upsert(None))
+      eventsOut(c.query())
+    }),
+
+    // A12: merge=upsert with 100ms tolerance vs a 50ms-jittered re-acquisition.
+    "zc_merge_upsert_tol" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      val jittered = mergeSlice(s, dir)
+        .withColumn("ts", col("ts") + expr("INTERVAL 50 milliseconds"))
+        .withColumn("value", col("value") + 1000)
+      c.insert(jittered, MergeStrategy.Upsert(Some(100000L)))
+      eventsOut(c.query())
+    }),
+
+    // A13: Sequence partitioning over an integer key column.
+    "zc_seq_partition" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      val root = s"$scratch/seq-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, li.schema, "l_orderkey",
+        SequencePartitioning(Seq("l_linenumber"), "l_orderkey"), overwrite = true)
+      c.insert(li)
+      c.query("l_linenumber in (1, 3, 5)")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
+    // A14: GroupedSequence buckets the key into runs of 100.
+    "zc_grouped_seq" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = s"$scratch/gseq-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, o.schema, "o_orderkey",
+        GroupedSequencePartitioning(Seq("o_custkey"), "o_orderkey", size = 100), overwrite = true)
+      c.insert(o)
+      c.query("o_custkey_group == 100").orderBy("o_orderkey")
+    }),
+
+    // A15: immutable (non-axis) dataset merged into every read.
+    "zc_immutable" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(dayofmonth(col("ts")) <= 3)
+      val c = freshEventsColl(s, dir, ev)
+      c.writeImmutable(ev.agg(count(lit(1)).as("total_events")))
+      c.query(variables = Seq("event_id", "value", "total_events")).orderBy("event_id")
+    }),
+
+    // A17: view overlay variable (per-partition value rank), joined on read.
+    "zc_view" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      val root = s"$scratch/view-${java.util.UUID.randomUUID().toString.take(8)}"
+      val v = View.create(s, root, c)
+      v.update { df =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("year"), col("month"), col("day"))
+          .orderBy(col("value"), col("event_id"))
+        df.withColumn("value_rank", row_number().over(w))
+      }
+      v.query(variables = Seq("event_id", "value", "value_rank")).orderBy("event_id")
+    }),
+
+    // A18: secondary index: equality query via index-selected partitions.
+    "zc_index" -> ((s, dir) => {
+      val c = eventsCollection(s, dir)
+      val root = s"$scratch/idx-${java.util.UUID.randomUUID().toString.take(8)}"
+      val idx = Indexer.build(s, c, Seq("event_type"), root)
+      eventsOut(idx.query(Map("event_type" -> "purchase")))
+    }),
+
+    // A19: nested struct columns round-trip through partition write/read.
+    "zc_nested" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"),
+          struct(col("user_id"), col("value")).as("payload"), col("props"))
+      val root = s"$scratch/nested-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, ev.schema, "ts",
+        DatePartitioning("ts", "D"), overwrite = true)
+      c.insert(ev)
+      c.query()
+        .select(
+          col("event_id"),
+          col("payload.user_id").as("p_user"),
+          col("payload.value").as("p_value"),
+          regexp_extract(col("props"), "[0-9]+", 0).cast("int").as("k"))
         .orderBy("event_id")
     }),
 
@@ -128,6 +283,112 @@ object SparkEntry {
     "zc_query_project" ->
       """SELECT event_id, value FROM events
          WHERE day(CAST(ts AS TIMESTAMP)) <= 5 ORDER BY event_id""",
+
+    "zc_partitions" ->
+      """SELECT DISTINCT CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS year,
+                CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS month,
+                CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS day
+         FROM events WHERE day(CAST(ts AS TIMESTAMP)) IN (5, 10, 15)
+         ORDER BY year, month, day""",
+
+    "zc_drop" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events WHERE day(CAST(ts AS TIMESTAMP)) > 7 ORDER BY event_id""",
+
+    "zc_update" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 10 THEN value * 2 ELSE value END AS value,
+                props
+         FROM events ORDER BY event_id""",
+
+    "zc_map" ->
+      """SELECT CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS year,
+                CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS month,
+                CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS day,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2, 3 ORDER BY year, month, day""",
+
+    "zc_merge_concat" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events WHERE day(CAST(ts AS TIMESTAMP)) <= 15
+         UNION ALL
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 13 AND 20
+         ORDER BY event_id""",
+
+    "zc_merge_time_series" ->
+      """WITH ins AS (
+           SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value + 1000 AS value, props
+           FROM events
+           WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 12
+             AND hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 18),
+         b AS (SELECT date_trunc('day', ts) AS d, min(ts) AS lo, max(ts) AS hi FROM ins GROUP BY 1)
+         SELECT e.event_id, epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us, e.user_id, e.event_type, e.value, e.props
+         FROM events e LEFT JOIN b ON date_trunc('day', CAST(e.ts AS TIMESTAMP)) = b.d
+         WHERE b.d IS NULL OR CAST(e.ts AS TIMESTAMP) < b.lo OR CAST(e.ts AS TIMESTAMP) > b.hi
+         UNION ALL
+         SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM ins
+         ORDER BY event_id""",
+
+    "zc_merge_upsert" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events
+         WHERE NOT (day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 12
+                AND hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 18)
+         UNION ALL
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value + 1000 AS value, props
+         FROM events
+         WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 12
+           AND hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 18
+         ORDER BY event_id""",
+
+    "zc_merge_upsert_tol" ->
+      """WITH ins AS (
+           SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 50 MILLISECOND AS ts, user_id,
+                  event_type, value + 1000 AS value, props
+           FROM events
+           WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 12
+             AND hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 18)
+         SELECT e.event_id, epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us, e.user_id, e.event_type, e.value, e.props
+         FROM events e
+         WHERE NOT EXISTS (
+           SELECT 1 FROM ins i
+           WHERE date_trunc('day', i.ts) = date_trunc('day', CAST(e.ts AS TIMESTAMP))
+             AND abs(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(i.ts)) <= 100000)
+         UNION ALL
+         SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM ins
+         ORDER BY event_id""",
+
+    "zc_seq_partition" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_linenumber IN (1, 3, 5)
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""",
+
+    "zc_grouped_seq" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_custkey >= 100 AND o_custkey < 200
+         ORDER BY o_orderkey""",
+
+    "zc_immutable" ->
+      """SELECT event_id, value,
+                (SELECT CAST(count(*) AS BIGINT) FROM events WHERE day(CAST(ts AS TIMESTAMP)) <= 3) AS total_events
+         FROM events WHERE day(CAST(ts AS TIMESTAMP)) <= 3 ORDER BY event_id""",
+
+    "zc_view" ->
+      """SELECT event_id, value,
+                CAST(ROW_NUMBER() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP))
+                                        ORDER BY value, event_id) AS INT) AS value_rank
+         FROM events ORDER BY event_id""",
+
+    "zc_index" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    "zc_nested" ->
+      """SELECT event_id, user_id AS p_user, value AS p_value,
+                CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k
+         FROM events ORDER BY event_id""",
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

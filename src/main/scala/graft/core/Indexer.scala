@@ -1,0 +1,75 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Secondary index over a [[Collection]] — the Spark re-expression of the
+  * reference's parquet-backed indexer (`zcollection/indexing/parquet.py`).
+  *
+  * The index is one parquet table of `(key cols…, partition cols, _start,
+  * _stop, _count)` rows: for each (partition, key-tuple), the min/max
+  * `_zc_row` range plus the row count. An equality query consults the
+  * index (a broadcast-sized read) to learn WHICH partitions contain the
+  * key, prunes the base scan to exactly those partitions, and applies the
+  * key predicate — which parquet then pushes down to row groups. At 100 TB
+  * the index stays tiny (|partitions| x |distinct keys|) while the scan
+  * cost is proportional to matching partitions only.
+  */
+final class Indexer private (
+    val spark: SparkSession,
+    val root: String,
+    val collection: Collection,
+    val keys: Seq[String],
+) {
+  import Collection._
+
+  private val partCols = collection.partitioning.axis
+
+  /** The raw index table. */
+  def table: DataFrame = spark.read.parquet(s"$root/index")
+
+  /** Rows of the base collection matching the equality predicate, read
+    * from index-selected partitions only (reference parquet.py:120-210:
+    * query -> {partition: ranges} -> per-partition slicing). */
+  def query(eq: Map[String, Any]): DataFrame = {
+    require(eq.keySet.subsetOf(keys.toSet), s"index covers $keys, got ${eq.keySet}")
+    val pred = eq.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
+    // Small by construction: distinct partition keys holding the value.
+    val parts = table.where(pred).select(partCols.map(col): _*).distinct().collect()
+    if (parts.isEmpty)
+      return collection.query().where(lit(false))
+    val partPred = parts.toSeq
+      .map(r => partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _))
+      .reduce(_ || _)
+    collection.readRaw().where(partPred && pred)
+      .select(collection.schema.fieldNames.map(col): _*)
+  }
+}
+
+object Indexer {
+
+  /** Walk the (optionally filtered) collection and build the index table
+    * (reference parquet.py:66-118). One distributed aggregation — no
+    * driver-side per-partition loop. */
+  def build(
+      spark: SparkSession,
+      collection: Collection,
+      keys: Seq[String],
+      root: String,
+      filters: String = null,
+  ): Indexer = {
+    val partCols = collection.partitioning.axis
+    val ast = FilterExpr.parse(filters)
+    val df = collection.readRaw().where(FilterExpr.toColumn(ast))
+    val idx = df.groupBy((partCols ++ keys).map(col): _*)
+      .agg(
+        min(col(Collection.RowIdCol)).as("_start"),
+        (max(col(Collection.RowIdCol)) + 1).as("_stop"),
+        count(lit(1)).as("_count"))
+    idx.write.mode("overwrite").parquet(s"$root/index")
+    new Indexer(spark, root, collection, keys)
+  }
+
+  def open(spark: SparkSession, collection: Collection, keys: Seq[String], root: String): Indexer =
+    new Indexer(spark, root, collection, keys)
+}
