@@ -255,6 +255,94 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // B2: TPC-H Q3-style 3-way join, group, top-N by revenue.
+    "q3_shipping" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("decimal(38,4)").cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"))
+        .orderBy(col("revenue").desc, col("o_orderdate_us"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // B3: TPC-H Q5-style 6-way join with broadcast dimensions.
+    "q5_local" -> ((s, dir) => {
+      val reg = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      val nat = Tables.nation(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir).where(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("decimal(38,4)").cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // B5: window top-N per group.
+    "q_window_topn" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
+    // B6: as-of join — last click at-or-before each purchase, per user.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click").select("user_id", "ts")
+      graft.operators.AsOf.joinLastTime(
+          purchases, clicks,
+          col("user_id"), col("user_id"), col("ts"), col("ts"), "last_click")
+        .where(col("last_click").isNotNull)
+        .select(col("event_id"), unix_micros(col("last_click")).as("last_click_us"))
+        .orderBy("event_id")
+    }),
+
+    // B7: banded range join — same-user events within 30min after each error.
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.where(col("event_type") === "error").select("event_id", "user_id", "ts")
+      val all = ev.select("user_id", "ts")
+      graft.operators.RangeJoin.bandJoin(
+          errors, all,
+          col("user_id"), col("r_user_id"), col("ts"), col("r_ts"),
+          loMicros = 0L, hiMicros = 30L * 60 * 1000000, bandMicros = 30L * 60 * 1000000)
+        .groupBy("event_id").agg(count(lit(1)).as("n"))
+        .orderBy("event_id")
+    }),
+
+    // B8: gap-based sessionization (6h gap).
+    "q_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Sessionize.assign(ev, col("user_id"), col("ts"), 6L * 3600 * 1000000)
+        .groupBy("user_id", "session_id")
+        .agg(unix_micros(min(col("ts"))).as("session_start_us"), count(lit(1)).as("n"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // B4: TPC-H Q6-style selective filter + aggregate.
     "q6_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -402,6 +490,72 @@ object SparkEntry {
          WHERE l_shipdate <= TIMESTAMP '2000-09-02'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+                epoch_us(o_orderdate) AS o_orderdate_us
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING'
+           AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1998-07-01'
+           AND l_shipdate > TIMESTAMP '1998-07-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderdate_us, l_orderkey
+         LIMIT 10""",
+
+    "q5_local" ->
+      """SELECT n_name,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+
+    "q_window_topn" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+           FROM orders) t
+         WHERE rn <= 3
+         ORDER BY o_orderpriority, rn""",
+
+    "q_asof_join" ->
+      """SELECT a.event_id, max(epoch_us(CAST(b.ts AS TIMESTAMP))) AS last_click_us
+         FROM events a JOIN events b
+           ON b.user_id = a.user_id AND b.event_type = 'click'
+          AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP)
+         WHERE a.event_type = 'purchase'
+         GROUP BY a.event_id ORDER BY a.event_id""",
+
+    "q_range_join" ->
+      """SELECT e.event_id, CAST(count(*) AS BIGINT) AS n
+         FROM events e JOIN events f
+           ON f.user_id = e.user_id
+          AND CAST(f.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)
+          AND CAST(f.ts AS TIMESTAMP) < CAST(e.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+         WHERE e.event_type = 'error'
+         GROUP BY e.event_id ORDER BY e.event_id""",
+
+    "q_sessionize" ->
+      """WITH t AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))) > 21600000000
+                       THEN 1 ELSE 0 END AS opens
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+                  CAST(sum(opens) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+           FROM t)
+         SELECT user_id, session_id, epoch_us(min(ts)) AS session_start_us, CAST(count(*) AS BIGINT) AS n
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
 
     "q6_revenue" ->
       """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue

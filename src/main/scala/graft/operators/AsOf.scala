@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: attach to each left row the greatest right timestamp that is
+  * `<=` the left timestamp within the same key.
+  *
+  * Spark-first formulation: instead of a per-key join explosion
+  * (`O(|L_k| * |R_k|)` pairs before aggregation), union the two sides with
+  * a tag, and run ONE running-window pass per key ordered by time — the
+  * classic scalable as-of pattern. Cost: a single shuffle on the key and a
+  * sort within each key group; no intermediate blow-up, no skew from hot
+  * keys beyond the sort itself. Right rows sort before left rows at equal
+  * timestamps, so the match is inclusive (`right.ts <= left.ts`).
+  */
+object AsOf {
+
+  /** @return `left` plus a `matchCol` column holding the as-of right
+    *         timestamp (null when no right row precedes the left row). */
+  def joinLastTime(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      leftTime: Column,
+      rightTime: Column,
+      matchCol: String = "asof_ts",
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_zc_k", leftKey)
+      .withColumn("_zc_t", leftTime)
+      .withColumn("_zc_tag", lit(1))
+    val r = right
+      .select(rightKey.as("_zc_k"), rightTime.as("_zc_t"), lit(0).as("_zc_tag"))
+    // align schemas: right side carries nulls for the left payload
+    val rAligned = leftCols.foldLeft(r)((d, c) =>
+      d.withColumn(c, lit(null).cast(l.schema(c).dataType)))
+      .select(l.columns.map(col): _*)
+
+    val w = Window.partitionBy(col("_zc_k"))
+      .orderBy(col("_zc_t"), col("_zc_tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(rAligned)
+      .withColumn(matchCol,
+        last(when(col("_zc_tag") === 0, col("_zc_t")), ignoreNulls = true).over(w))
+      .where(col("_zc_tag") === 1)
+      .drop("_zc_k", "_zc_t", "_zc_tag")
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of join picks the latest right time at-or-before each left row") {
+    val left = Seq((1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 12:00:00"),
+                   (3L, 20L, "2024-01-01 10:00:00"))
+      .toDF("id", "k", "t").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq((10L, "2024-01-01 09:00:00"), (10L, "2024-01-01 11:00:00"),
+                    (10L, "2024-01-01 12:00:00"), (30L, "2024-01-01 08:00:00"))
+      .toDF("k", "t").withColumn("t", col("t").cast("timestamp"))
+    val got = AsOf.joinLastTime(left, right, col("k"), col("k"), col("t"), col("t"))
+      .orderBy("id").select("id", "asof_ts").collect()
+    assert(got(0).getTimestamp(1) == ts("2024-01-01 09:00:00"))
+    assert(got(1).getTimestamp(1) == ts("2024-01-01 12:00:00")) // inclusive match
+    assert(got(2).isNullAt(1)) // key 20 has no right rows
+  }
+
+  test("banded range join equals the naive range predicate") {
+    val left = Seq((1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 11:00:00"))
+      .toDF("id", "k", "t").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq((1L, "2024-01-01 10:10:00"), (1L, "2024-01-01 10:40:00"),
+                    (1L, "2024-01-01 11:29:59"), (2L, "2024-01-01 10:10:00"))
+      .toDF("k", "t").withColumn("t", col("t").cast("timestamp"))
+    val got = RangeJoin.bandJoin(left, right, col("k"), col("r_k"), col("t"), col("r_t"),
+        loMicros = 0L, hiMicros = 30L * 60 * 1000000, bandMicros = 7L * 60 * 1000000)
+      .groupBy("id").agg(count(lit(1)).as("n")).orderBy("id").collect()
+    // id=1 window [10:00,10:30): one hit; id=2 window [11:00,11:30): one hit
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("sessionize splits on gaps greater than the threshold") {
+    val df = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:20:00"),
+                 (1L, "2024-01-01 12:00:00"), (2L, "2024-01-01 09:00:00"))
+      .toDF("k", "t").withColumn("t", col("t").cast("timestamp"))
+    val got = Sessionize.assign(df, col("k"), col("t"), gapMicros = 30L * 60 * 1000000)
+      .orderBy("k", "t").select("k", "session_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 1), (1L, 1), (1L, 2), (2L, 1)))
+  }
+
+  test("view overlay joins overlay variables onto the base") {
+    val root = SparkTestSession.tmp("graft-view")
+    val df = Seq((1L, "2024-01-01 10:00:00", 5.0), (2L, "2024-01-01 11:00:00", 3.0),
+                 (3L, "2024-01-02 10:00:00", 7.0))
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    val v = View.create(spark, root + "-view", c)
+    v.update(_.withColumn("v2", col("v") * 2))
+    val got = v.query().orderBy("id").select("id", "v2").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 6.0), (3L, 14.0)))
+    // reopen by config
+    val reopened = View.open(spark, root + "-view")
+    assert(reopened.query().count() == 3)
+  }
+
+  test("indexer prunes to partitions containing the key") {
+    val root = SparkTestSession.tmp("graft-idx")
+    val df = Seq((1L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-02 10:00:00", "b"),
+                 (3L, "2024-01-03 10:00:00", "a"))
+      .toDF("id", "ts", "kind").withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    val idx = Indexer.build(spark, c, Seq("kind"), root + "-idx")
+    assert(idx.table.count() == 3)
+    val got = idx.query(Map("kind" -> "a")).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L))
+    assert(idx.query(Map("kind" -> "zzz")).count() == 0)
+  }
+}
