@@ -343,6 +343,99 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // C1: exact dedup — keep the lowest doc_id per distinct text.
+    "dedup_exact" -> ((s, dir) => {
+      graft.dedup.Dedup.exact(plantedDocs(s, dir), Seq("text"), "doc_id")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
+    // C2: MinHash+LSH near-dup pairs, verified at true Jaccard >= 0.8.
+    "dedup_minhash" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      graft.dedup.Dedup.minhashPairs(
+          Tables.documents(s, dir), "doc_id",
+          TextFunctions.wordShingles(col("text"), 3), threshold = 0.8)
+        .select("a", "b", "jaccard").orderBy("a", "b")
+    }),
+
+    // C3: SimHash near-dup pairs (hamming <= 3) over the planted corpus.
+    "dedup_simhash" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      graft.dedup.Dedup.simhashPairs(
+          plantedDocs(s, dir), "doc_id",
+          TextFunctions.tokens(col("text")), maxHamming = 3)
+        .select("a", "b", "hamming").orderBy("a", "b")
+    }),
+
+    // C4: character-4-gram Jaccard near-dup pairs (LSH-pruned, verified).
+    "dedup_jaccard" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      graft.dedup.Dedup.minhashPairs(
+          Tables.documents(s, dir), "doc_id",
+          TextFunctions.charShingles(col("text"), 4), threshold = 0.7)
+        .select("a", "b", "jaccard").orderBy("a", "b")
+    }),
+
+    // C5: embedding-cosine near-dup pairs at 0.95 (LSH buckets + verify).
+    "dedup_cosine" -> ((s, dir) => {
+      graft.ann.Ann.cosinePairs(plantedEmbeddings(s, dir), "vec_id", "embedding", 0.95)
+        .select("a", "b").orderBy("a", "b")
+    }),
+
+    // C6: brute-force cosine top-10 for the first ten vectors.
+    "ann_bruteforce" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ann.Ann.bruteForceTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 10)
+        .select("qid", "nid", "rank").orderBy("qid", "rank")
+    }),
+
+    // C7: LSH-bucketed approximate top-10 (rows-only; recall spec-tested).
+    "ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ann.Ann.lshTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 10)
+        .select("qid", "nid", "rank").orderBy("qid", "rank")
+    }),
+
+    // C8: language-ID heuristic (rows-only; lang labels are synthetic).
+    "text_langid" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // C9: quality scoring — length/token/stopword/punctuation profile.
+    "text_quality" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val en = TextFunctions.LangProfiles.toMap.apply("en")
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(col("text")).cast("int").as("len"),
+          TextFunctions.tokenCount(col("text")).cast("int").as("n_tokens"),
+          TextFunctions.avgTokenLength(col("text")).as("avg_token_len"),
+          TextFunctions.stopwordRatio(col("text"), en).as("stop_ratio"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // C10: token counting — whitespace and BPE-ish regex pre-tokens.
+    "text_tokens" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("int").as("ws_tokens"),
+          TextFunctions.bpeTokenCount(col("text")).cast("int").as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // C11: 64-bit FNV-1a document fingerprint (custom codegen Expression).
+    "text_fingerprint" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // B4: TPC-H Q6-style selective filter + aggregate.
     "q6_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -355,6 +448,21 @@ object SparkEntry {
           .cast("decimal(38,4)").cast("double").as("revenue"))
     }),
   )
+
+  /** Documents corpus with deterministically planted duplicates (every
+    * 10th doc re-appears under id+1000000) — the standard benchmark
+    * construction for dedup operators on a dup-free base corpus. */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.unionByName(d.where(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    e.unionByName(e.where(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "zc_insert_query" ->
@@ -490,6 +598,80 @@ object SparkEntry {
          WHERE l_shipdate <= TIMESTAMP '2000-09-02'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "dedup_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id, text, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text, n_chars FROM documents WHERE doc_id % 10 = 0)
+         SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM corpus) t
+         WHERE rn = 1 ORDER BY doc_id""",
+
+    "dedup_minhash" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [text] END) AS s
+           FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents) x)
+         SELECT a, b, jaccard FROM (
+           SELECT a.doc_id AS a, b.doc_id AS b,
+                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+         WHERE jaccard >= 0.8
+         ORDER BY a, b""",
+
+    "dedup_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN length(text) >= 4
+             THEN list_transform(range(1, length(text) - 2), i -> substr(text, i, 4))
+             ELSE [text] END) AS s
+           FROM documents)
+         SELECT a, b, jaccard FROM (
+           SELECT a.doc_id AS a, b.doc_id AS b,
+                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+         WHERE jaccard >= 0.7
+         ORDER BY a, b""",
+
+    "dedup_cosine" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+         SELECT a.vec_id AS a, b.vec_id AS b
+         FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+         ORDER BY a, b""",
+
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         p AS (SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qe, e.embedding) AS sim
+               FROM q, embeddings e WHERE e.vec_id <> q.qid)
+         SELECT qid, nid, rank FROM (
+           SELECT qid, nid,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+           FROM p) t
+         WHERE rank <= 10 ORDER BY qid, rank""",
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         SELECT doc_id,
+                CAST(length(text) AS INT) AS len,
+                CAST(len(toks) AS INT) AS n_tokens,
+                CASE WHEN len(toks) > 0 THEN CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) ELSE 0.0 END AS avg_token_len,
+                CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','that','it','for'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_ratio,
+                CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio
+         FROM t ORDER BY doc_id""",
+
+    "text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
 
     "q3_shipping" ->
       """SELECT l_orderkey,

@@ -1,0 +1,128 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators for training-data pipelines.
+  *
+  * Scale design: nothing here ever materializes the O(n^2) pair space.
+  *  - exact dedup is one hash-partition groupBy (map-side combined);
+  *  - MinHash-LSH explodes each doc into `bands` rows and shuffles on
+  *    `(band, bucket)` — candidate pairs only emerge inside buckets
+  *    (Broder 1997 / LSH banding as in Mining of Massive Datasets ch.3);
+  *  - SimHash (Charikar 2002) buckets by 16-bit chunks, so pairs within
+  *    hamming distance <= 3*16 chunks collide in at least one chunk
+  *    (pigeonhole); verification computes the true distance;
+  *  - verification joins signatures back by id — proportional to the
+  *    candidate count, not the corpus square.
+  *
+  * All signatures are built from seeded `xxhash64` applications — pure
+  * codegen'd Catalyst expressions, deterministic across runs, and free of
+  * the long-overflow arithmetic ANSI mode rejects.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `keepCol` per distinct
+    * `on` tuple. One shuffle; survivors stream out of the window. */
+  def exact(df: DataFrame, on: Seq[String], keepCol: String): DataFrame = {
+    val w = Window.partitionBy(on.map(col): _*).orderBy(col(keepCol))
+    df.withColumn("_zc_rn", row_number().over(w))
+      .where(col("_zc_rn") === 1)
+      .drop("_zc_rn")
+  }
+
+  /** MinHash signature of a hashed-shingle array: position `i` holds
+    * `min over shingles of xxhash64(shingle, i)` — the seeded-hash
+    * formulation of a random permutation family. */
+  def minhashSignature(shingles: Column, numPerms: Int): Column =
+    array((0 until numPerms).map { i =>
+      array_min(transform(shingles, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** LSH banding: `(id, band, bucket)` rows — one per band, bucket =
+    * hash of that band's signature slice. */
+  def bandBuckets(id: Column, sig: Column, bands: Int, rowsPerBand: Int): DataFrame => DataFrame =
+    df => df.select(
+      id.as("_zc_id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))
+      }: _*)).as(Seq("_zc_band", "_zc_bucket")))
+
+  /** Candidate pairs `(a, b)` with `a < b` sharing at least one LSH
+    * bucket. Shuffles on `(band, bucket)`; never O(n^2). */
+  def candidatePairs(df: DataFrame, idCol: String, sigCol: String,
+                     bands: Int, rowsPerBand: Int): DataFrame = {
+    val buckets = bandBuckets(col(idCol), col(sigCol), bands, rowsPerBand)(df)
+    val l = buckets.select(col("_zc_band"), col("_zc_bucket"), col("_zc_id").as("a"))
+    val r = buckets.select(col("_zc_band"), col("_zc_bucket"), col("_zc_id").as("b"))
+    l.join(r, Seq("_zc_band", "_zc_bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Verify candidate pairs against the TRUE Jaccard similarity of the
+    * hashed shingle sets; keeps pairs with `jaccard >= threshold`. */
+  def verifyJaccard(candidates: DataFrame, df: DataFrame, idCol: String,
+                    shingleCol: String, threshold: Double): DataFrame = {
+    val sa = df.select(col(idCol).as("a"), col(shingleCol).as("_zc_sa"))
+    val sb = df.select(col(idCol).as("b"), col(shingleCol).as("_zc_sb"))
+    candidates.join(sa, "a").join(sb, "b")
+      .withColumn("_zc_inter", size(array_intersect(col("_zc_sa"), col("_zc_sb"))))
+      .withColumn("jaccard",
+        col("_zc_inter").cast("double") /
+          (size(col("_zc_sa")) + size(col("_zc_sb")) - col("_zc_inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** End-to-end near-dup pairs: shingle -> minhash -> band join -> exact
+    * Jaccard verify. */
+  def minhashPairs(df: DataFrame, idCol: String, shingles: Column,
+                   threshold: Double, numPerms: Int = 64,
+                   bands: Int = 16): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val withSig = df
+      .withColumn("_zc_sh", shingles)
+      .withColumn("_zc_sig", minhashSignature(col("_zc_sh"), numPerms))
+      .select(col(idCol), col("_zc_sh"), col("_zc_sig"))
+    val cands = candidatePairs(withSig, idCol, "_zc_sig", bands, rowsPerBand)
+    verifyJaccard(cands, withSig, idCol, "_zc_sh", threshold)
+  }
+
+  /** 64-bit SimHash as an array of 64 sign bits over a column of token
+    * HASHES (pre-hash the tokens once; bit positions are static so each
+    * `shiftright` stays a codegen'd literal shift). */
+  def simhashBits(tokenHashes: Column): Column =
+    array((0 until 64).map { j =>
+      when(aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)) > 0, lit(1))
+        .otherwise(lit(0))
+    }: _*)
+
+  /** Near-dup pairs by SimHash: bucket on 16-bit chunks (pigeonhole for
+    * hamming <= 3), verify true hamming distance <= `maxHamming`. */
+  def simhashPairs(df: DataFrame, idCol: String, tokens: Column, maxHamming: Int): DataFrame = {
+    val withBits = df
+      .withColumn("_zc_th", transform(tokens, t => xxhash64(t)))
+      .withColumn("_zc_bits", simhashBits(col("_zc_th")))
+      .select(col(idCol), col("_zc_bits"))
+    val chunks = withBits.select(
+      col(idCol).as("_zc_id"),
+      posexplode(array((0 until 4).map { b =>
+        xxhash64(slice(col("_zc_bits"), b * 16 + 1, 16), lit(b))
+      }: _*)).as(Seq("_zc_band", "_zc_bucket")))
+    val l = chunks.select(col("_zc_band"), col("_zc_bucket"), col("_zc_id").as("a"))
+    val r = chunks.select(col("_zc_band"), col("_zc_bucket"), col("_zc_id").as("b"))
+    val cands = l.join(r, Seq("_zc_band", "_zc_bucket"))
+      .where(col("a") < col("b")).select("a", "b").distinct()
+    val ba = withBits.select(col(idCol).as("a"), col("_zc_bits").as("_zc_ba"))
+    val bb = withBits.select(col(idCol).as("b"), col("_zc_bits").as("_zc_bb"))
+    cands.join(ba, "a").join(bb, "b")
+      .withColumn("hamming",
+        aggregate(zip_with(col("_zc_ba"), col("_zc_bb"),
+          (x, y) => when(x =!= y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

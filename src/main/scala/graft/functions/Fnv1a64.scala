@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FNV-1a 64-bit hash of a string column, as a native Catalyst expression.
+  *
+  * A custom `Expression` (not a Scala UDF) so it participates in
+  * whole-stage codegen: `doGenCode` emits a direct static call on the
+  * UTF8String bytes with no boxing or serialization penalty — the
+  * preferred way to extend Spark with scalar functions the builtin
+  * library lacks.
+  */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fnv1a64 requires a string argument, got ${child.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Fnv1a64.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fnv1a64.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "fnv1a64"
+}
+
+object Fnv1a64 {
+  private val Offset = 0xcbf29ce484222325L
+  private val Prime = 0x100000001b3L
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def hash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= Prime
+      i += 1
+    }
+    h
+  }
+
+  /** Wrap as a user-facing Column (Spark 4 Column-node bridge). */
+  def fingerprint(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(Fnv1a64(Bridge.expression(c)))
+  }
+}

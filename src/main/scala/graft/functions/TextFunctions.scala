@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale corpus pipelines.
+  *
+  * Everything here composes `org.apache.spark.sql.functions` (codegen'd,
+  * whole-stage-compatible) — no Scala UDFs on the hot path. Higher-order
+  * functions (`transform`/`filter`/`aggregate`) keep per-document work
+  * inside Tungsten rows, so these scale linearly with corpus bytes.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a (trimmed) text column. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Token count by whitespace splitting. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish pre-tokenization count: runs of letters, runs of digits, or a
+    * single other non-space character (the classic GPT-style pre-token
+    * regex family, simplified to a RE2/Java-compatible core). */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeTokenCount(c: Column): Column = size(regexp_extract_all(c, lit(BpePattern), lit(0)))
+
+  /** Fraction of tokens found in `words`. */
+  def stopwordRatio(c: Column, words: Seq[String]): Column = {
+    val toks = tokens(c)
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isInCollection(words))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of characters that are POSIX punctuation. */
+  def punctRatio(c: Column): Column =
+    when(length(c) > 0,
+      (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double") / length(c))
+      .otherwise(lit(0.0))
+
+  /** Mean token length (characters, whitespace removed / token count). */
+  def avgTokenLength(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n > 0, (length(c) - (n - 1)).cast("double") / n).otherwise(lit(0.0))
+  }
+
+  /** Distinct hashed word k-gram shingles (the MinHash input). Documents
+    * shorter than `k` words contribute a single whole-text shingle. */
+  def wordShingles(c: Column, k: Int): Column = {
+    val toks = tokens(c)
+    val n = size(toks)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(1), n - (k - 1)),
+          i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array(xxhash64(c))))
+  }
+
+  /** Distinct hashed character k-gram shingles. */
+  def charShingles(c: Column, k: Int): Column = {
+    val n = length(c)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(1), n - (k - 1)), i => xxhash64(c.substr(i, lit(k)))))
+      .otherwise(array(xxhash64(c))))
+  }
+
+  // --- language identification (n-gram/stopword heuristic) ----------
+
+  /** Tiny per-language signature profiles (function words + charset).
+    * Heuristic in the spirit of n-gram profiles (Cavnar & Trenkle 1994),
+    * kept deliberately small; scores are stopword-hit counts, CJK matches
+    * short-circuit to zh. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "dans", "pour"),
+    "es" -> Seq("el", "la", "de", "los", "las", "y", "es", "en", "que", "por"),
+  )
+
+  /** Predicted language code for a text column. */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
+  }
+
+  /** 64-bit FNV-1a fingerprint of the normalized (lowercased,
+    * whitespace-collapsed) document — a content fingerprint for
+    * byte-level dedup and provenance tracking. Backed by a custom
+    * Catalyst expression with codegen ([[Fnv1a64]]). */
+  def fingerprint(c: Column): Column =
+    Fnv1a64.fingerprint(lower(regexp_replace(trim(c), "\\s+", " ")))
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column <-> Expression converters.
+  *
+  * Spark 4 removed the public `new Column(expr)` constructor in the Column
+  * API unification; libraries extending Catalyst with custom expressions
+  * use a same-package bridge to wrap them as user-facing Columns (the
+  * extension pattern used by Spark-ecosystem libraries).
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

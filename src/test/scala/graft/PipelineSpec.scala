@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exact dedup keeps lowest id per text") {
+    val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb")).toDF("id", "text")
+    val got = Dedup.exact(df, Seq("text"), "id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("minhash pipeline finds a planted near-duplicate and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val other = "completely different words describing some unrelated topic entirely here now"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "doc_id",
+      TextFunctions.wordShingles(col("text"), 3), threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical docs collide at hamming 0") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+                 (3L, "unrelated totally different text")).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, "doc_id", TextFunctions.tokens(col("text")), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 2L, 0)))
+  }
+
+  test("cosine brute-force top-k ranks by true cosine") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Ann.bruteForceTopK(df, df.where($"vec_id" === 0), "vec_id", "embedding", 2)
+      .orderBy("rank").select("nid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("lsh top-k achieves high recall vs brute force on real embeddings") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where($"vec_id" < 5)
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // These embeddings are near-uniform random (top-10 sims ~0.45, i.e.
+    // ~60-degree angles), the worst case for hyperplane LSH: per-table
+    // collision at 4 planes is ~(1 - 60/180)^4 ~ 0.2, so 8 tables give
+    // ~1-(0.8)^8 ~ 0.83 expected recall. Real embedding corpora cluster
+    // far more tightly; planes/tables trade candidate volume for recall.
+    val approx = Ann.lshTopK(e, q, "vec_id", "embedding", 10, tables = 8, planes = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("identical vectors always pair under cosine LSH") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val planted = e.unionByName(
+      e.where($"vec_id" % 100 === 0).withColumn("vec_id", $"vec_id" + 1000000L))
+    val pairs = Ann.cosinePairs(planted, "vec_id", "embedding", 0.95)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = e.where($"vec_id" % 100 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).map(v => (v, v + 1000000L)).toSet
+    assert(pairs == expected)
+  }
+
+  test("text functions: tokens, bpe, stopwords, langid, fingerprint") {
+    val df = Seq((1L, "the cat sat on the mat v2!")).toDF("id", "text")
+    val row = df.select(
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.bpeTokenCount($"text").as("bpe"),
+      TextFunctions.stopwordRatio($"text", Seq("the", "on")).as("sr"),
+      TextFunctions.langId($"text").as("lang"),
+      TextFunctions.fingerprint($"text").as("fp"),
+    ).collect()(0)
+    assert(row.getInt(0) == 7)
+    assert(row.getInt(1) == 9) // the,cat,sat,on,the,mat,v,2,!
+    assert(math.abs(row.getDouble(2) - 3.0 / 7) < 1e-12)
+    assert(row.getString(3) == "en")
+    // fingerprint is stable and normalization-insensitive
+    val fp2 = Seq((1L, "  THE cat   sat on the mat v2!")).toDF("id", "text")
+      .select(TextFunctions.fingerprint($"text")).collect()(0).getLong(0)
+    assert(row.getLong(4) == fp2)
+  }
+
+  test("fnv1a64 matches the reference FNV-1a constants") {
+    // FNV-1a("") = offset basis; FNV-1a("a") is the published test vector
+    val got = Seq(("a")).toDF("t")
+      .select(graft.functions.Fnv1a64.fingerprint($"t")).collect()(0).getLong(0)
+    assert(got == 0xaf63dc4c8601ec8cL)
+  }
+}
