@@ -436,6 +436,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D1: Structured Streaming tumbling-window agg over the collection
+    // (streamed to completion; equals the batch SQL aggregation).
+    "stream_window" -> ((s, dir) => {
+      val c = eventsCollection(s, dir)
+      graft.streaming.StreamOps.windowedAggOnce(s, c, "ts", "1 hour") { grouped =>
+        grouped.agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,2)").cast("double").as("sum_value"))
+      }
+        .select(unix_micros(col("w.start")).as("hour_start_us"), col("n"), col("sum_value"))
+        .orderBy("hour_start_us")
+    }),
+
     // B4: TPC-H Q6-style selective filter + aggregate.
     "q6_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -738,6 +751,12 @@ object SparkEntry {
          SELECT user_id, session_id, epoch_us(min(ts)) AS session_start_us, CAST(count(*) AS BIGINT) AS n
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    "stream_window" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_us,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY hour_start_us""",
 
     "q6_revenue" ->
       """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Collection
+
+/** Structured Streaming over graft collections.
+  *
+  * A collection's partition tree IS a valid streaming file source: new
+  * partitions written by `insert` are discovered as new files, so a
+  * collection doubles as an incremental-acquisition stream — the streaming
+  * analogue of the reference's incremental-insert workflow.
+  */
+object StreamOps {
+
+  /** Open a collection as a streaming DataFrame (data + partition cols). */
+  def readStream(spark: SparkSession, c: Collection): DataFrame =
+    spark.readStream
+      .schema(c.readRaw().schema)
+      .parquet(c.root)
+      .drop(Collection.RowIdCol)
+
+  /** Run a streaming tumbling-window aggregation over the collection to
+    * completion (all currently-available data) and return the final
+    * result from the in-memory sink. */
+  def windowedAggOnce(
+      spark: SparkSession,
+      c: Collection,
+      timeCol: String,
+      windowDuration: String,
+  )(agg: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg(
+        readStream(spark, c)
+          .groupBy(window(col(timeCol), windowDuration).as("w")))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+
+  // --- stateful sessionization (D2) --------------------------------
+
+  case class SessionEvent(user_id: Long, ts_us: Long)
+  case class SessionState(start_us: Long, last_us: Long, n: Int)
+  case class SessionOut(user_id: Long, session_start_us: Long, n: Int)
+
+  /** Stateful gap-based sessionization with `flatMapGroupsWithState`:
+    * closed sessions are emitted as soon as a later event proves the gap,
+    * and state carries only the open session per key — O(keys) state, the
+    * streaming analogue of [[graft.operators.Sessionize]]. Events must
+    * arrive in time order per key (enforce with a watermark+sort upstream
+    * in production). */
+  def sessionize(ds: Dataset[SessionEvent], gapMicros: Long): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = events.toSeq.sortBy(_.ts_us)
+          var out = List.empty[SessionOut]
+          var cur = state.getOption
+          for (e <- sorted) {
+            cur match {
+              case Some(s) if e.ts_us - s.last_us <= gapMicros =>
+                cur = Some(s.copy(last_us = e.ts_us, n = s.n + 1))
+              case Some(s) =>
+                out ::= SessionOut(user, s.start_us, s.n)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.reverseIterator
+      }
+  }
+}
