@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * corpus partitions followed by a per-query window. The LSH variant
   * (random hyperplanes, Charikar 2002) buckets the corpus so each query
   * only scans candidate buckets — the standard sub-linear scale path when
-  * a full scan per query batch stops being acceptable.
+  * a full scan per query batch stops being acceptable. Candidate pairs are
+  * always reduced to bare ids BEFORE `distinct` — vectors rejoin by id
+  * afterwards, so wide arrays never ride through a shuffle.
   *
-  * All vector math is `aggregate`/`zip_with` over the array — codegen'd
-  * Catalyst expressions, accumulating in DOUBLE in element order (which
-  * keeps results bit-deterministic).
+  * Hyperplanes are materialized as plan-time literals from a fixed seed:
+  * deterministic across runs/executors, zero per-row hashing. Vector math
+  * is `aggregate`/`zip_with` over the array — codegen'd expressions
+  * accumulating in DOUBLE in element order (bit-deterministic results).
   */
 object Ann {
 
@@ -47,61 +50,84 @@ object Ann {
       .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"), col("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): a value in [-1, 1] derived from xxhash64 — no RNG state, stable
-    * across runs and executors. */
-  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(table * 1024 + plane), dim), lit(2000001L)) - lit(1000000L))
-      .cast("double") / lit(1000000.0)
+  /** Plan-time literal hyperplanes for one table: `dims` rows, each with
+    * `planes` components in [-1, 1], from a fixed seed. */
+  private def planeLits(table: Int, planes: Int, dims: Int): Column = {
+    val rnd = new scala.util.Random(1000003L * table + 17)
+    typedLit(Seq.fill(dims)(Seq.fill(planes)(rnd.nextDouble() * 2 - 1)))
+  }
 
-  /** Signature bits of a vector under `planes` hyperplanes for `table`. */
-  def lshBucket(vec: Column, table: Int, planes: Int): Column =
-    xxhash64(array((0 until planes).map { p =>
-      when(aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(table, p, i)),
-        lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0)
-    }: _*), lit(table))
+  /** LSH bucket id of a vector under `planes` hyperplanes for `table`:
+    * one pass over the vector accumulating all plane dots, then the sign
+    * bits hash into a bucket key. */
+  def lshBucket(vec: Column, table: Int, planes: Int, dims: Int): Column = {
+    val dots = aggregate(
+      zip_with(vec, planeLits(table, planes, dims),
+        (x, prow) => transform(prow, pv => pv * x.cast("double"))),
+      array(Seq.fill(planes)(lit(0.0)): _*),
+      (acc, contrib) => zip_with(acc, contrib, (a, b) => a + b))
+    xxhash64(transform(dots, d => when(d >= 0, 1).otherwise(0)), lit(table))
+  }
+
+  /** `(id, table, bucket)` rows for every table. The id-repartition both
+    * spreads bucket computation across cores and plants an Exchange that
+    * ReuseExchange shares between the two sides of the candidate
+    * self-join — buckets compute once. */
+  private def buckets(df: DataFrame, idCol: String, vecCol: String, outId: String,
+                      tables: Int, planes: Int, dims: Int): DataFrame =
+    df.repartition(col(idCol))
+      .select(col(idCol).as(outId),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col(vecCol), t, planes, dims)): _*)).as(Seq("_zc_t", "_zc_bkt")))
 
   /** Approximate top-k: candidates are corpus rows sharing an LSH bucket
     * with the query in ANY of `tables` hyperplane tables; candidates are
     * re-ranked exactly. Recall grows with `tables`, cost with bucket
     * sizes (`planes` controls bucket granularity). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, tables: Int = 8, planes: Int = 8): DataFrame = {
-    def buckets(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(s"_zc_$id"),
-        posexplode(array((0 until tables).map(t =>
-          lshBucket(col(vecCol), t, planes)): _*)).as(Seq("_zc_t", "_zc_bkt")))
-
-    val qb = buckets(queries, "qid")
-    val cb = buckets(corpus, "nid")
+              k: Int, tables: Int = 8, planes: Int = 8, dims: Int = 64): DataFrame = {
+    val qb = buckets(queries, idCol, vecCol, "qid", tables, planes, dims)
+    val cb = buckets(corpus, idCol, vecCol, "nid", tables, planes, dims)
     val cands = cb.join(broadcast(qb), Seq("_zc_t", "_zc_bkt"))
       .where(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), col("_zc_qid"), col("_zc_nid"))
-      .distinct()
-      .withColumn("sim", cosine(col("_zc_qid"), col("_zc_nid")))
+      .select("qid", "nid").distinct()
+    val withVecs = cands
+      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("_zc_qv"))), "qid")
+      .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("_zc_cv")), "nid")
+      .withColumn("sim", cosine(col("_zc_qv"), col("_zc_cv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    cands.withColumn("rank", row_number().over(w))
+    withVecs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"), col("sim"))
   }
 
   /** Near-duplicate pairs by embedding cosine: LSH-bucketed candidate
     * generation (all-pairs within buckets) + exact verification at
-    * `threshold`. Identical vectors always share every bucket, so exact
+    * `threshold`. Identical vectors share every bucket, so exact
     * duplicates have perfect recall. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-                  tables: Int = 8, planes: Int = 8): DataFrame = {
-    val b = df.select(col(idCol).as("_zc_id"), col(vecCol).as("_zc_v"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col(vecCol), t, planes)): _*)).as(Seq("_zc_t", "_zc_bkt")))
-    val l = b.select(col("_zc_t"), col("_zc_bkt"), col("_zc_id").as("a"), col("_zc_v").as("_zc_va"))
-    val r = b.select(col("_zc_t"), col("_zc_bkt"), col("_zc_id").as("b"), col("_zc_v").as("_zc_vb"))
-    l.join(r, Seq("_zc_t", "_zc_bkt"))
+                  tables: Int = 8, planes: Int = 12, dims: Int = 64): DataFrame = {
+    // 12 planes/table: random-vector bucket collisions become rare (so the
+    // candidate set stays near the true-duplicate count), while identical
+    // vectors still collide in EVERY table; near-dup recall at cos~0.95 is
+    // ~1-(1-0.9^12)^tables ~ 0.93 with 8 tables.
+    val b = buckets(df, idCol, vecCol, "_zc_id", tables, planes, dims)
+      // shared Exchange: both self-join sides reuse one bucket computation
+      .repartition(col("_zc_t"), col("_zc_bkt"))
+    val l = b.select(col("_zc_t"), col("_zc_bkt"), col("_zc_id").as("a"))
+    val r = b.select(col("_zc_t"), col("_zc_bkt"), col("_zc_id").as("b"))
+    val cands = l.join(r, Seq("_zc_t", "_zc_bkt"))
       .where(col("a") < col("b"))
-      .select("a", "b", "_zc_va", "_zc_vb").distinct()
-      .withColumn("sim", cosine(col("_zc_va"), col("_zc_vb")))
+      .select("a", "b").distinct()
+    // Precompute each vector's norm once (shared Exchange again) instead
+    // of re-deriving both norms inside every candidate pair.
+    val withNorm = df
+      .select(col(idCol).as("_zc_nid"), col(vecCol).as("_zc_v"), norm(col(vecCol)).as("_zc_n"))
+      .repartition(col("_zc_nid"))
+    val va = withNorm.select(col("_zc_nid").as("a"), col("_zc_v").as("_zc_va"), col("_zc_n").as("_zc_na"))
+    val vb = withNorm.select(col("_zc_nid").as("b"), col("_zc_v").as("_zc_vb"), col("_zc_n").as("_zc_nb"))
+    cands.join(va, "a").join(vb, "b")
+      .withColumn("sim", dot(col("_zc_va"), col("_zc_vb")) / (col("_zc_na") * col("_zc_nb")))
       .where(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))
   }

@@ -34,11 +34,20 @@ object Dedup {
 
   /** MinHash signature of a hashed-shingle array: position `i` holds
     * `min over shingles of xxhash64(shingle, i)` — the seeded-hash
-    * formulation of a random permutation family. */
+    * formulation of a random permutation family.
+    *
+    * Single `aggregate` pass: the shingle array is referenced exactly ONCE
+    * in the expression tree. (A naive `array(64 x array_min(transform(...)))`
+    * lets Catalyst's projection collapse inline the upstream shingle
+    * computation 64 times — a 50x slowdown measured at sf0.1.) */
   def minhashSignature(shingles: Column, numPerms: Int): Column =
-    array((0 until numPerms).map { i =>
-      array_min(transform(shingles, s => xxhash64(s, lit(i))))
-    }: _*)
+    aggregate(
+      shingles,
+      array(Seq.fill(numPerms)(lit(Long.MaxValue)): _*),
+      (acc, s) => zip_with(
+        acc,
+        array((0 until numPerms).map(i => xxhash64(s, lit(i))): _*),
+        (a, b) => least(a, b)))
 
   /** LSH banding: `(id, band, bucket)` rows — one per band, bucket =
     * hash of that band's signature slice. */
@@ -50,10 +59,15 @@ object Dedup {
       }: _*)).as(Seq("_zc_band", "_zc_bucket")))
 
   /** Candidate pairs `(a, b)` with `a < b` sharing at least one LSH
-    * bucket. Shuffles on `(band, bucket)`; never O(n^2). */
+    * bucket. Shuffles on `(band, bucket)`; never O(n^2).
+    *
+    * The explicit repartition on the join key makes both self-join sides
+    * rename-projections over ONE shared Exchange (ReuseExchange), so the
+    * bucket computation runs once and the join needs no further shuffle. */
   def candidatePairs(df: DataFrame, idCol: String, sigCol: String,
                      bands: Int, rowsPerBand: Int): DataFrame = {
     val buckets = bandBuckets(col(idCol), col(sigCol), bands, rowsPerBand)(df)
+      .repartition(col("_zc_band"), col("_zc_bucket"))
     val l = buckets.select(col("_zc_band"), col("_zc_bucket"), col("_zc_id").as("a"))
     val r = buckets.select(col("_zc_band"), col("_zc_bucket"), col("_zc_id").as("b"))
     l.join(r, Seq("_zc_band", "_zc_bucket"))
@@ -82,36 +96,52 @@ object Dedup {
                    threshold: Double, numPerms: Int = 64,
                    bands: Int = 16): DataFrame = {
     val rowsPerBand = numPerms / bands
+    // Repartition FIRST: the signature projection then runs above the
+    // exchange, spread across cores even for a one-file input, and the
+    // shared Exchange(scan) is reused by the band-join and both verify
+    // joins instead of rescanning.
     val withSig = df
+      .repartition(col(idCol))
       .withColumn("_zc_sh", shingles)
       .withColumn("_zc_sig", minhashSignature(col("_zc_sh"), numPerms))
       .select(col(idCol), col("_zc_sh"), col("_zc_sig"))
+      // Exchange ABOVE the signature projection: the band-join and both
+      // verify joins reuse it, so signatures materialize exactly once.
+      .repartition(col(idCol))
     val cands = candidatePairs(withSig, idCol, "_zc_sig", bands, rowsPerBand)
     verifyJaccard(cands, withSig, idCol, "_zc_sh", threshold)
   }
 
-  /** 64-bit SimHash as an array of 64 sign bits over a column of token
-    * HASHES (pre-hash the tokens once; bit positions are static so each
-    * `shiftright` stays a codegen'd literal shift). */
+    /** 64-bit SimHash as an array of 64 sign bits over a column of token
+    * HASHES. Single `aggregate` pass (see [[minhashSignature]] for why):
+    * the accumulator carries all 64 bit-counters, each token contributes
+    * +-1 to every counter, and the final transform takes signs. */
   def simhashBits(tokenHashes: Column): Column =
-    array((0 until 64).map { j =>
-      when(aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)) > 0, lit(1))
-        .otherwise(lit(0))
-    }: _*)
+    transform(
+      aggregate(
+        tokenHashes,
+        array(Seq.fill(64)(lit(0L)): _*),
+        (acc, h) => zip_with(
+          acc,
+          array((0 until 64).map(j => shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1): _*),
+          (a, b) => a + b)),
+      c => when(c > 0, lit(1)).otherwise(lit(0)))
 
   /** Near-dup pairs by SimHash: bucket on 16-bit chunks (pigeonhole for
     * hamming <= 3), verify true hamming distance <= `maxHamming`. */
   def simhashPairs(df: DataFrame, idCol: String, tokens: Column, maxHamming: Int): DataFrame = {
     val withBits = df
+      .repartition(col(idCol)) // parallelize the bit computation
       .withColumn("_zc_th", transform(tokens, t => xxhash64(t)))
       .withColumn("_zc_bits", simhashBits(col("_zc_th")))
       .select(col(idCol), col("_zc_bits"))
+      .repartition(col(idCol)) // shared boundary (see minhashPairs)
     val chunks = withBits.select(
       col(idCol).as("_zc_id"),
       posexplode(array((0 until 4).map { b =>
         xxhash64(slice(col("_zc_bits"), b * 16 + 1, 16), lit(b))
       }: _*)).as(Seq("_zc_band", "_zc_bucket")))
+      .repartition(col("_zc_band"), col("_zc_bucket"))
     val l = chunks.select(col("_zc_band"), col("_zc_bucket"), col("_zc_id").as("a"))
     val r = chunks.select(col("_zc_band"), col("_zc_bucket"), col("_zc_id").as("b"))
     val cands = l.join(r, Seq("_zc_band", "_zc_bucket"))

@@ -44,17 +44,26 @@ object TextFunctions {
     when(n > 0, (length(c) - (n - 1)).cast("double") / n).otherwise(lit(0.0))
   }
 
+  /** Bind an expensive array expression to a lambda variable so the body
+    * reads it as a variable instead of re-evaluating it per element —
+    * interpreted higher-order lambdas re-evaluate every subexpression of
+    * the body for each element, so an embedded `split()` turns O(n) work
+    * into O(n^2). `transform` over a 1-element wrapper array evaluates
+    * `value` exactly once per row. */
+  private def bindOnce(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Distinct hashed word k-gram shingles (the MinHash input). Documents
     * shorter than `k` words contribute a single whole-text shingle. */
-  def wordShingles(c: Column, k: Int): Column = {
-    val toks = tokens(c)
-    val n = size(toks)
-    array_distinct(
-      when(n >= k,
-        transform(sequence(lit(1), n - (k - 1)),
-          i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
-      .otherwise(array(xxhash64(c))))
-  }
+  def wordShingles(c: Column, k: Int): Column =
+    bindOnce(tokens(c)) { toks =>
+      val n = size(toks)
+      array_distinct(
+        when(n >= k,
+          transform(sequence(lit(1), n - (k - 1)),
+            i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
+        .otherwise(array(xxhash64(concat_ws(" ", toks)))))
+    }
 
   /** Distinct hashed character k-gram shingles. */
   def charShingles(c: Column, k: Int): Column = {

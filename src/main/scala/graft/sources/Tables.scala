@@ -15,6 +15,9 @@ object Tables {
 
   private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
 
+  // NOTE: the test tables are single-row-group parquet files, so Spark
+  // cannot parallelize the scan itself (row groups are the split unit);
+  // operators that need post-scan parallelism repartition explicitly.
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
