@@ -1,0 +1,62 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Collection
+
+/** Command-line entry points, mirroring the reference's CLI subcommands
+  * (zcollection/cli/main.py: ls / inspect / query / drop).
+  *
+  * Usage:
+  * {{{
+  *   graft.cli.Cli ls <path> [filter]
+  *   graft.cli.Cli inspect <path>
+  *   graft.cli.Cli query <path> [filter] [comma,separated,variables]
+  *   graft.cli.Cli drop <path> <filter>
+  * }}}
+  */
+object Cli {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: Cli <ls|inspect|query|drop> <path> [args...]")
+      sys.exit(2)
+    }
+    val (cmd, path) = (args(0), args(1))
+    val spark = session()
+    try cmd match {
+      case "ls" =>
+        val c = Collection.open(spark, path, readOnly = true)
+        c.partitions(args.lift(2).orNull).foreach(println)
+      case "inspect" =>
+        val c = Collection.open(spark, path, readOnly = true)
+        println(s"""uri: ${c.root}
+                   |axis: ${c.axis}
+                   |partitioning: ${c.partitioning.name} (${c.partitioning.axis.mkString("/")})
+                   |profile: ${c.profile.name}
+                   |n_partitions: ${c.partitions().size}
+                   |schema: ${c.schema.toDDL}""".stripMargin)
+      case "query" =>
+        val c = Collection.open(spark, path, readOnly = true)
+        val vars = args.lift(3).map(_.split(",").toSeq).orNull
+        c.query(args.lift(2).orNull, vars).show(100, truncate = false)
+      case "drop" =>
+        val c = Collection.open(spark, path)
+        c.dropPartitions(args(2)).foreach(println)
+      case other =>
+        System.err.println(s"unknown command '$other'"); sys.exit(2)
+    } finally spark.stop()
+  }
+}

@@ -43,6 +43,7 @@ final class Collection private (
     val partitioning: Partitioning,
     val catalogEnabled: Boolean,
     val readOnly: Boolean,
+    val profile: CodecProfile,
 ) {
   import Collection._
 
@@ -103,9 +104,13 @@ final class Collection private (
     val withRow = df.withColumn(RowIdCol, row_number().over(w))
     val prev = spark.conf.getOption(OverwriteModeKey)
     spark.conf.set(OverwriteModeKey, "dynamic")
+    if (profile.compression == "zstd")
+      spark.sparkContext.hadoopConfiguration
+        .setInt("parquet.compression.codec.zstd.level", profile.zstdLevel)
     try
       withRow
         .write.partitionBy(partCols: _*)
+        .option("compression", profile.compression)
         .mode("overwrite")
         .parquet(root)
     finally prev.foreach(spark.conf.set(OverwriteModeKey, _))
@@ -336,6 +341,7 @@ object Collection {
       partitioning: Partitioning,
       catalogEnabled: Boolean = false,
       overwrite: Boolean = false,
+      profile: String = "local-fast",
   ): Collection = {
     val fs = fileSystem(spark, root)
     val cfg = new Path(s"$root/$ConfigFile")
@@ -350,8 +356,10 @@ object Collection {
     m.put("schema", schema.toDDL)
     m.put("partitioning", partitioning.toJsonMap)
     m.put("catalog", java.lang.Boolean.valueOf(catalogEnabled))
+    m.put("profile", profile)
     writeJson(fs, cfg, m)
-    new Collection(spark, root, schema, axis, partitioning, catalogEnabled, readOnly = false)
+    new Collection(spark, root, schema, axis, partitioning, catalogEnabled,
+      readOnly = false, CodecProfile(profile))
   }
 
   /** Open an existing collection (reference base.py:236-271). */
@@ -367,10 +375,11 @@ object Collection {
     val schema = StructType.fromDDL(doc.get("schema").toString)
     val partitioning = Partitioning.fromJsonMap(
       doc.get("partitioning").asInstanceOf[java.util.Map[String, Object]])
+    val profile = Option(doc.get("profile")).map(_.toString).getOrElse("local-fast")
     new Collection(
       spark, root, schema, doc.get("axis").toString, partitioning,
       catalogEnabled = doc.get("catalog").asInstanceOf[java.lang.Boolean],
-      readOnly = readOnly)
+      readOnly = readOnly, profile = CodecProfile(profile))
   }
 
   private[core] def fileSystem(spark: SparkSession, root: String): FileSystem =
