@@ -21,6 +21,7 @@ object Bench {
   val Headline: Seq[String] = Seq(
     "q1_pricing", "q3_shipping", "q5_local", "q6_revenue",
     "q_window_topn", "q_asof_join", "q_range_join", "q_sessionize",
+    "q_semi_anti", "q_rollup",
     "dedup_exact", "dedup_minhash", "dedup_cosine", "ann_bruteforce",
     "text_quality", "text_tokens",
     "zc_insert_query", "zc_query_filter", "stream_window",
@@ -43,6 +44,11 @@ object Bench {
       body
       (System.nanoTime() - t0) / 1e9
     }
+
+    // Warm the session (executor threads, codegen, parquet codec init) so
+    // the first timed entry doesn't absorb JVM start-up costs.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    graft.sources.Tables.lineitem(spark, sfDir).limit(1000).collect()
 
     val buildSec = time { SparkEntry.eventsCollection(spark, sfDir) }
 

@@ -449,6 +449,33 @@ object SparkEntry {
         .orderBy("hour_start_us")
     }),
 
+    // B9: semi/anti joins — customers with high-value orders but no
+    // low-priority ones.
+    "q_semi_anti" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val big = Tables.orders(s, dir).where(col("o_totalprice") > 400000)
+      val lowPri = Tables.orders(s, dir).where(col("o_orderpriority") === "5-LOW")
+      cust
+        .join(big, col("c_custkey") === big("o_custkey"), "left_semi")
+        .join(lowPri, col("c_custkey") === lowPri("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // B10: ROLLUP aggregate over nation/segment.
+    "q_rollup" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .rollup(col("c_nationkey"), col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).cast("decimal(38,2)").cast("double").as("sum_bal"))
+        .select(
+          col("c_nationkey").cast("int").as("nk"),
+          col("c_mktsegment").as("seg"),
+          col("n"), col("sum_bal"))
+        .orderBy(col("nk").asc_nulls_first, col("seg").asc_nulls_first)
+    }),
+
     // B4: TPC-H Q6-style selective filter + aggregate.
     "q6_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -757,6 +784,21 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY hour_start_us""",
+
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '5-LOW')
+         ORDER BY c_custkey""",
+
+    "q_rollup" ->
+      """SELECT CAST(c_nationkey AS INT) AS nk, c_mktsegment AS seg,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_bal
+         FROM customer
+         GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+         ORDER BY nk ASC NULLS FIRST, seg ASC NULLS FIRST""",
 
     "q6_revenue" ->
       """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue

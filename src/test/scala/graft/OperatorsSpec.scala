@@ -67,6 +67,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(reopened.query().count() == 3)
   }
 
+  test("salted join equals the plain join") {
+    val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "lv")
+    val right = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "rv")
+    val plain = left.join(right, "k").select("k", "lv", "rv")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedJoin(left, right, "k", salts = 4)
+      .select("k", "lv", "rv")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
   test("indexer prunes to partitions containing the key") {
     val root = SparkTestSession.tmp("graft-idx")
     val df = Seq((1L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-02 10:00:00", "b"),
