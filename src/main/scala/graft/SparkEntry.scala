@@ -308,12 +308,14 @@ object SparkEntry {
     }),
 
     // B6: as-of join — last click at-or-before each purchase, per user.
+    // Runs through the NATIVE operator (custom LogicalPlan + Strategy +
+    // two-pointer merge SparkPlan; see graft.plans.AsOfJoin).
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.where(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts")
       val clicks = ev.where(col("event_type") === "click").select("user_id", "ts")
-      graft.operators.AsOf.joinLastTime(
+      graft.operators.AsOf.joinLastTimeNative(
           purchases, clicks,
           col("user_id"), col("user_id"), col("ts"), col("ts"), "last_click")
         .where(col("last_click").isNotNull)

@@ -49,4 +49,44 @@ object AsOf {
       .where(col("_zc_tag") === 1)
       .drop("_zc_k", "_zc_t", "_zc_tag")
   }
+
+  /** Same semantics through the NATIVE operator
+    * ([[graft.plans.AsOfJoin]]): a custom LogicalPlan planned by
+    * [[graft.plans.AsOfJoinStrategy]] into a co-partitioned two-pointer
+    * merge ([[graft.plans.AsOfJoinExec]]) — O(|L|+|R|) per key group with
+    * O(1) state, versus the window form's per-key sort buffer. */
+  def joinLastTimeNative(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      leftTime: Column,
+      rightTime: Column,
+      matchCol: String = "asof_ts",
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graftbridge.Bridge
+
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+    val lPlan = Bridge.analyzed(left)
+    // Fresh exprIds on the right side so self-joins can't produce
+    // ambiguous attributes (custom nodes don't get DeduplicateRelations).
+    val rkAlias = Alias(Bridge.expression(right(rightKey.toString())), "_zc_rk")()
+    val rtAlias = Alias(Bridge.expression(right(rightTime.toString())), "_zc_rt")()
+    val rPlan = Project(Seq(rkAlias, rtAlias), Bridge.analyzed(right))
+    val outAttr = AttributeReference(matchCol, rtAlias.dataType, nullable = true)()
+    val node = graft.plans.AsOfJoin(
+      lPlan, rPlan,
+      Bridge.expression(left(leftKey.toString())),
+      rkAlias.toAttribute,
+      Bridge.expression(left(leftTime.toString())),
+      rtAlias.toAttribute,
+      outAttr)
+    Bridge.ofRows(spark, node)
+  }
 }

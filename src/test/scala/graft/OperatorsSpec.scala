@@ -27,6 +27,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2).isNullAt(1)) // key 20 has no right rows
   }
 
+  test("native as-of operator (LogicalPlan+Strategy+Exec) equals the window form") {
+    val left = Seq((1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 12:00:00"),
+                   (3L, 20L, "2024-01-01 10:00:00"), (4L, 99L, "2024-01-01 10:00:00"))
+      .toDF("id", "k", "t").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq((10L, "2024-01-01 09:00:00"), (10L, "2024-01-01 11:00:00"),
+                    (10L, "2024-01-01 12:00:00"), (30L, "2024-01-01 08:00:00"))
+      .toDF("k", "t").withColumn("t", col("t").cast("timestamp"))
+    val window = AsOf.joinLastTime(left, right, col("k"), col("k"), col("t"), col("t"))
+      .select("id", "asof_ts").collect().map(r => (r.getLong(0), r.get(1))).toSet
+    val native = AsOf.joinLastTimeNative(left, right, col("k"), col("k"), col("t"), col("t"))
+      .select("id", "asof_ts").collect().map(r => (r.getLong(0), r.get(1))).toSet
+    assert(native == window)
+    assert(native.size == 4)
+  }
+
+  test("native as-of operator agrees with window form on real events (incl. self-join)") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.where(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val clicks = ev.where(col("event_type") === "click").select("user_id", "ts")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "last_click").collect()
+        .map(r => (r.getLong(0), r.get(1))).toSet
+    val a = norm(AsOf.joinLastTime(purchases, clicks,
+      col("user_id"), col("user_id"), col("ts"), col("ts"), "last_click"))
+    val b = norm(AsOf.joinLastTimeNative(purchases, clicks,
+      col("user_id"), col("user_id"), col("ts"), col("ts"), "last_click"))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("banded range join equals the naive range predicate") {
     val left = Seq((1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 11:00:00"))
       .toDF("id", "k", "t").withColumn("t", col("t").cast("timestamp"))
