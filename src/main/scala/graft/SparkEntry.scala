@@ -478,6 +478,19 @@ object SparkEntry {
         .orderBy(col("nk").asc_nulls_first, col("seg").asc_nulls_first)
     }),
 
+    // D2: stateful sessionization (flatMapGroupsWithState) — emits CLOSED
+    // sessions, i.e. every session except each user's final open one.
+    "stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamOps
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[StreamOps.SessionEvent]
+      StreamOps.sessionize(evs, gapMicros = 6L * 3600 * 1000000)
+        .toDF()
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // B4: TPC-H Q6-style selective filter + aggregate.
     "q6_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -801,6 +814,25 @@ object SparkEntry {
          FROM customer
          GROUP BY ROLLUP (c_nationkey, c_mktsegment)
          ORDER BY nk ASC NULLS FIRST, seg ASC NULLS FIRST""",
+
+    "stream_sessions" ->
+      """WITH t AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))) > 21600000000
+                       THEN 1 ELSE 0 END AS opens
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+                  sum(opens) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM t),
+         agg AS (
+           SELECT user_id, session_id, epoch_us(min(ts)) AS session_start_us,
+                  CAST(count(*) AS INT) AS n
+           FROM s GROUP BY user_id, session_id)
+         SELECT user_id, session_start_us, n FROM agg
+         WHERE session_id < (SELECT max(a2.session_id) FROM agg a2 WHERE a2.user_id = agg.user_id)
+         ORDER BY user_id, session_start_us""",
 
     "q6_revenue" ->
       """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue

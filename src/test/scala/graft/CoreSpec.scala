@@ -187,6 +187,29 @@ class CollectionSpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("k", "cycle", "s"))
   }
 
+  test("multi-variable sequence partitioning") {
+    val root = SparkTestSession.tmp("graft-seq2")
+    val df = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 10L)).toDF("k", "cycle", "pass")
+    val c = graft.api.createCollection(spark, root, df.schema, "k",
+      graft.api.sequence(Seq("cycle", "pass"), "k"))
+    c.insert(df)
+    assert(c.partitions() == Seq("cycle=1/pass=10", "cycle=1/pass=20", "cycle=2/pass=10"))
+    assert(c.query("cycle == 1 and pass == 20").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("upsert with tolerance on a numeric axis") {
+    val root = SparkTestSession.tmp("graft-numax")
+    val df = Seq((1L, 100L, "a"), (2L, 200L, "b")).toDF("id", "pos", "v")
+    val c = Collection.create(spark, root, df.schema, "pos",
+      GroupedSequencePartitioning(Seq("pos"), "pos", size = 1000))
+    c.insert(df)
+    // 103 is within tolerance 5 of 100 -> replaces id=1; 300 is new
+    val up = Seq((9L, 103L, "z"), (10L, 300L, "w")).toDF("id", "pos", "v")
+    c.insert(up, MergeStrategy.Upsert(Some(5L)))
+    val got = c.query().orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 9L, 10L))
+  }
+
   test("grouped sequence buckets the last variable") {
     val root = SparkTestSession.tmp("graft-gseq")
     val df = Seq((1L, 3L), (2L, 7L), (3L, 12L)).toDF("k", "pass")

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.FilterExpr
+
+/** Property test: the filter mini-language's two compilation targets —
+  * the driver-side predicate (partition listing) and the Catalyst Column
+  * (planner pruning) — must agree on every expression, or listings and
+  * scans would diverge. Expressions are generated from a deterministic
+  * seed.
+  */
+class FilterPropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20240812L)
+
+  private def genCmp(): String = {
+    val name = Seq("year", "month", "day")(rnd.nextInt(3))
+    val op = Seq("==", "!=", "<", "<=", ">", ">=")(rnd.nextInt(6))
+    val v = rnd.nextInt(32)
+    s"$name $op $v"
+  }
+
+  private def genIn(): String = {
+    val name = Seq("year", "month", "day")(rnd.nextInt(3))
+    val vals = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(32)).mkString(", ")
+    val not = if (rnd.nextBoolean()) "not " else ""
+    s"$name ${not}in ($vals)"
+  }
+
+  private def genExpr(depth: Int): String =
+    if (depth == 0) { if (rnd.nextBoolean()) genCmp() else genIn() }
+    else rnd.nextInt(4) match {
+      case 0 => s"(${genExpr(depth - 1)}) and (${genExpr(depth - 1)})"
+      case 1 => s"(${genExpr(depth - 1)}) or (${genExpr(depth - 1)})"
+      case 2 => s"not (${genExpr(depth - 1)})"
+      case _ => genCmp()
+    }
+
+  test("driver-side eval agrees with the Catalyst column on random expressions") {
+    val keys = for (y <- 2023 to 2025; m <- 1 to 12; d <- Seq(1, 15, 28)) yield (y, m, d)
+    val df = keys.toDF("year", "month", "day").cache()
+    for (_ <- 1 to 60) {
+      val expr = genExpr(2)
+      val ast = FilterExpr.parse(expr)
+      val viaEval = keys.filter { case (y, m, d) =>
+        FilterExpr.eval(ast, Map("year" -> y.toLong, "month" -> m.toLong, "day" -> d.toLong))
+      }.toSet
+      val viaColumn = df.where(FilterExpr.toColumn(ast))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      assert(viaEval == viaColumn, s"divergence on: $expr")
+    }
+  }
+}
