@@ -221,6 +221,27 @@ class CollectionSpec extends AnyFunSuite {
     assert(got.collect().map(_.getLong(1)).toSeq == Seq(3L, 7L)) // original values kept
   }
 
+  test("error surface mirrors the reference") {
+    val root = SparkTestSession.tmp("graft-err")
+    val df = mkEvents()
+    // CollectionExistsError analogue
+    Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    intercept[IllegalStateException](
+      Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D")))
+    // SchemaError analogue: axis not a column
+    intercept[IllegalArgumentException](
+      Collection.create(spark, root + "2", df.schema, "nope", DatePartitioning("nope", "D")))
+    // CollectionNotFoundError analogue
+    intercept[IllegalStateException](Collection.open(spark, root + "-missing"))
+    // PartitionError analogue: insert without the partitioning variable
+    val c = Collection.open(spark, root)
+    intercept[org.apache.spark.sql.AnalysisException](
+      c.insert(df.drop("ts")))
+    // invalid resolution / partitioning params
+    intercept[IllegalArgumentException](DatePartitioning("ts", "X"))
+    intercept[IllegalArgumentException](GroupedSequencePartitioning(Seq("k"), "k", size = 1))
+  }
+
   test("read-only refuses mutation") {
     val root = SparkTestSession.tmp("graft-ro")
     val df = mkEvents()
