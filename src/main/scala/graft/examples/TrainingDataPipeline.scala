@@ -1,0 +1,54 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** A miniature training-data curation pipeline over the documents and
+  * embeddings tables: exact dedup -> MinHash near-dedup -> quality
+  * filtering -> language ID -> ANN retrieval.
+  *
+  * Run: `sbt "runMain graft.examples.TrainingDataPipeline"`.
+  */
+object TrainingDataPipeline {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+    // 1. exact dedup (keep lowest doc_id per text)
+    val unique = Dedup.exact(docs, Seq("text"), "doc_id")
+    println(s"exact-deduped: ${unique.count()} of ${docs.count()}")
+
+    // 2. near-dedup: minhash candidates verified at true Jaccard >= 0.8
+    val nearDups = Dedup.minhashPairs(unique, "doc_id",
+      TextFunctions.wordShingles(col("text"), 3), threshold = 0.8)
+    val doomed = nearDups.select(col("b").as("doc_id")).distinct()
+    val deduped = unique.join(doomed, Seq("doc_id"), "left_anti")
+    println(s"near-deduped: ${deduped.count()}")
+
+    // 3. quality + language filtering
+    val scored = deduped
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .withColumn("stop_ratio", TextFunctions.stopwordRatio(col("text"),
+        TextFunctions.LangProfiles.toMap.apply("en")))
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+    val kept = scored.where(col("n_tokens") >= 5)
+    println(s"after quality gate: ${kept.count()}")
+
+    // 4. similarity retrieval over embeddings (exact + LSH path)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 3)
+    Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5).show()
+    Ann.lshTopK(emb, queries, "vec_id", "embedding", 5, tables = 8, planes = 4).show(5)
+    spark.stop()
+  }
+}
