@@ -61,10 +61,78 @@ object Bench {
       name -> sec
     }
 
-    val qs = (("zc_build" -> buildSec) +: results)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = buildSec + results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // --- reference-workload suite (zcollection/benches/harness.py) ----
+    // Same shape and scenario names as the reference's own bench: 12
+    // monthly partitions x 50k rows, time (datetime64[s]) + ssh
+    // float32[time, 240], cloud-balanced profile; ratios against
+    // BASELINE.md compare like-for-like.
+    val refResults = refSuite(spark)
+
+    val qs = (("zc_build" -> buildSec) +: results) ++ refResults
+    val qsJson = qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = buildSec + results.map(_._2).sum + refResults.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private def refSuite(spark: SparkSession): Seq[(String, Double)] = {
+    import org.apache.spark.sql.{Row, types => T}
+    import graft.core._
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    val nPartitions = 12
+    val rowsPerPartition = 50000
+    val width = 240
+    val total = nPartitions.toLong * rowsPerPartition
+    val schema = T.StructType(Seq(
+      T.StructField("time", T.TimestampType),
+      T.StructField("ssh", T.ArrayType(T.FloatType))))
+    // 2024-01-01T00:00:00Z, one row per minute -> ~12 distinct months
+    val epochStart = 1704067200L
+    val rows = spark.range(total).rdd.mapPartitions { it =>
+      val rnd = new java.util.Random(42)
+      it.map { i =>
+        // ~41 days/month of minutes would overflow 12 months; spread rows
+        // evenly over the 12 months instead, like the reference's span
+        val month = (i / rowsPerPartition).toInt
+        val secondsInMonth = (i % rowsPerPartition) * 50 // stays inside a month
+        val ts = java.sql.Timestamp.from(java.time.LocalDateTime
+          .of(2024, month + 1, 1, 0, 0, 0)
+          .plusSeconds(secondsInMonth)
+          .toInstant(java.time.ZoneOffset.UTC))
+        val ssh = Array.fill(width)(rnd.nextFloat())
+        Row(ts, ssh)
+      }
+    }
+    // NOTE: generation is lazy and re-runs inside the insert's jobs
+    // (caching 576 MB costs more than regenerating it; the reference
+    // builds its numpy dataset up front, so our insert number is slightly
+    // pessimistic — it includes one extra generation pass).
+    val ds = spark.createDataFrame(rows, schema)
+    val root = java.nio.file.Files.createTempDirectory("graft-refbench").toString + "/c"
+
+    val insertSec = time {
+      val c = Collection.create(spark, root, schema, "time",
+        DatePartitioning("time", "M"), catalogEnabled = true,
+        profile = "cloud-balanced")
+      c.insert(ds)
+    }
+    val openSec = time { Collection.open(spark, root, readOnly = true) }
+    val colRo = Collection.open(spark, root, readOnly = true)
+    val queryOneSec = time {
+      colRo.query("year == 2024 and month == 1")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val queryFullSec = time {
+      colRo.query().write.format("noop").mode("overwrite").save()
+    }
+    Seq(
+      "insert_full_dataset" -> insertSec,
+      "open_collection_cold" -> openSec,
+      "query_one_partition_full" -> queryOneSec,
+      "query_full" -> queryFullSec)
   }
 }

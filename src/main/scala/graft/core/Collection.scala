@@ -98,10 +98,30 @@ final class Collection private (
   }
 
   private def write(df: DataFrame): Unit = {
-    val dataCols = schema.fieldNames.toSeq
-    val tiebreak = xxhash64(dataCols.map(col): _*)
-    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(axis), tiebreak)
-    val withRow = df.withColumn(RowIdCol, row_number().over(w))
+    // Row-id ordering: axis first, then a deterministic hash tiebreak over
+    // the SCALAR columns only — hashing wide array/struct payloads (e.g. a
+    // 240-float swath) would dominate the insert cost for no extra
+    // stability in practice.
+    val scalarCols = schema.fields
+      .filterNot(f => f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType
+           | _: org.apache.spark.sql.types.StructType
+           | _: org.apache.spark.sql.types.MapType
+           | org.apache.spark.sql.types.BinaryType => true
+        case _ => false
+      })
+      .map(f => col(f.name)).toSeq
+    val tiebreak =
+      if (scalarCols.nonEmpty) xxhash64(scalarCols: _*) else lit(0L)
+    // Cluster one partition per task (file consolidation), sort locally by
+    // axis (parquet zone maps), then assign unique ids in that order.
+    // monotonically_increasing_id over the clustered+sorted layout gives
+    // the same stable positional key as a row_number window at a fraction
+    // of the cost (no WindowExec pass over the full insert).
+    val withRow = df
+      .repartition(partCols.map(col): _*)
+      .sortWithinPartitions((partCols.map(col) :+ col(axis) :+ tiebreak): _*)
+      .withColumn(RowIdCol, monotonically_increasing_id())
     val prev = spark.conf.getOption(OverwriteModeKey)
     spark.conf.set(OverwriteModeKey, "dynamic")
     if (profile.compression == "zstd")
@@ -125,7 +145,7 @@ final class Collection private (
     if (partitionPaths().isEmpty) {
       val full = StructType(schema.fields ++ partCols.map(c =>
         org.apache.spark.sql.types.StructField(c, partitioning.colType(c, schema))) :+
-        org.apache.spark.sql.types.StructField(RowIdCol, org.apache.spark.sql.types.IntegerType))
+        org.apache.spark.sql.types.StructField(RowIdCol, org.apache.spark.sql.types.LongType))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     }
     val df = spark.read.parquet(root)
