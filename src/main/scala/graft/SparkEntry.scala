@@ -491,6 +491,20 @@ object SparkEntry {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // B13: sliding-frame window — 4-row moving average per user.
+    "q_moving_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, 0)
+      Tables.events(s, dir)
+        .withColumn("mv_sum", sum(col("value").cast("decimal(18,4)")).over(w)
+          .cast("decimal(38,2)").cast("double"))
+        .withColumn("mv_n", count(lit(1)).over(w))
+        .select(col("event_id"), col("mv_sum"),
+          (col("mv_sum") / col("mv_n")).as("mv_avg"))
+        .orderBy("event_id")
+    }),
+
     // B4: TPC-H Q6-style selective filter + aggregate.
     "q6_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -833,6 +847,16 @@ object SparkEntry {
          SELECT user_id, session_start_us, n FROM agg
          WHERE session_id < (SELECT max(a2.session_id) FROM agg a2 WHERE a2.user_id = agg.user_id)
          ORDER BY user_id, session_start_us""",
+
+    "q_moving_avg" ->
+      """SELECT event_id,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS mv_sum,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,2)) AS DOUBLE)
+                  / (count(*) OVER w) AS mv_avg
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
 
     "q6_revenue" ->
       """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue

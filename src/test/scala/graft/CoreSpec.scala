@@ -164,6 +164,27 @@ class CollectionSpec extends AnyFunSuite {
     assert(got == Seq(10.0, 20.0, 30.0, 4.0))
   }
 
+  test("update rewrites only the matching partition directories on disk") {
+    val root = SparkTestSession.tmp("graft-touch")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    def files(sub: String): Map[String, Long] = {
+      val d = new java.io.File(s"$root/$sub")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(d).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val febBefore = files("year=2024/month=2")
+    Thread.sleep(1100) // mtime granularity
+    c.update(d => d.withColumn("v", col("v") + 1), filters = "month == 1")
+    val febAfter = files("year=2024/month=2")
+    assert(febBefore == febAfter, "untouched partition was rewritten")
+    assert(c.query("month == 2").collect().map(_.getDouble(3)).toSeq == Seq(4.0))
+    assert(c.query("month == 1").count() == 3)
+  }
+
   test("immutable dataset attaches to every read") {
     val root = SparkTestSession.tmp("graft-coll")
     val df = mkEvents()
