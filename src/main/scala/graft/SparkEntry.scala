@@ -398,6 +398,13 @@ object SparkEntry {
         .select("qid", "nid", "rank").orderBy("qid", "rank")
     }),
 
+    // C7b: IVF-bucketed approximate top-10 (rows-only; recall spec-tested).
+    "ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ann.Ann.ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 10)
+        .select("qid", "nid", "rank").orderBy("qid", "rank")
+    }),
+
     // C8: language-ID heuristic (rows-only; lang labels are synthetic).
     "text_langid" -> ((s, dir) => {
       import graft.functions.TextFunctions

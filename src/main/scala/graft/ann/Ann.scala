@@ -101,6 +101,51 @@ object Ann {
       .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"), col("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a deterministic subsample of
+    * the corpus serves as the coarse quantizer (centroids); every corpus
+    * vector is assigned to its nearest centroid once (the inverted lists),
+    * and each query scans only the lists of its `nProbe` nearest
+    * centroids. The standard ANN scale path when corpus >> memory: the
+    * assignment is one broadcast pass, the probe reads `nProbe/nLists` of
+    * the corpus.
+    *
+    * (A k-means refinement of the centroids would drop in here; the
+    * subsample quantizer keeps the operator fully deterministic.) */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nLists: Int = 32, nProbe: Int = 4): DataFrame = {
+    // Centroids: every (n/nLists)-th vector by id order — deterministic.
+    val n = corpus.count()
+    val stride = math.max(1L, n / nLists)
+    val w0 = Window.orderBy(col(idCol))
+    val centroids = corpus
+      .withColumn("_zc_rn", row_number().over(w0))
+      .where((col("_zc_rn") - 1) % stride === 0)
+      .limit(nLists)
+      .select(col(idCol).as("_zc_cent"), col(vecCol).as("_zc_cv"))
+
+    def nearestCentroids(df: DataFrame, id: String, keep: Int): DataFrame = {
+      val scored = df.select(col(idCol).as(id), col(vecCol).as(s"_zc_v_$id"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("_zc_sim", cosine(col(s"_zc_v_$id"), col("_zc_cv")))
+      val w = Window.partitionBy(col(id)).orderBy(col("_zc_sim").desc, col("_zc_cent"))
+      scored.withColumn("_zc_r", row_number().over(w))
+        .where(col("_zc_r") <= keep)
+        .select(col(id), col(s"_zc_v_$id"), col("_zc_cent"))
+    }
+
+    val lists = nearestCentroids(corpus, "nid", 1)       // inverted lists
+    val probes = nearestCentroids(queries, "qid", nProbe)
+    val cands = lists.join(broadcast(probes), "_zc_cent")
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), col("_zc_v_qid"), col("_zc_v_nid"))
+      .distinct()
+      .withColumn("sim", cosine(col("_zc_v_qid"), col("_zc_v_nid")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"), col("sim"))
+  }
+
   /** Near-duplicate pairs by embedding cosine: LSH-bucketed candidate
     * generation (all-pairs within buckets) + exact verification at
     * `threshold`. Identical vectors share every bucket, so exact

@@ -65,6 +65,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("ivf top-k achieves reasonable recall vs brute force") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where($"vec_id" < 5)
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.ivfTopK(e, q, "vec_id", "embedding", 10, nLists = 16, nProbe = 8)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // near-uniform random embeddings are the IVF worst case too (no
+    // cluster structure); nProbe=8 of 16 lists scans ~half the corpus
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
   test("identical vectors always pair under cosine LSH") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val planted = e.unionByName(
