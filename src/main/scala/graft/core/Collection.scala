@@ -44,6 +44,9 @@ final class Collection private (
     val catalogEnabled: Boolean,
     val readOnly: Boolean,
     val profile: CodecProfile,
+    /** Free-form collection metadata (reference: Dataset.attrs persisted
+      * in the root config). */
+    val attrs: Map[String, String],
 ) {
   import Collection._
 
@@ -362,6 +365,7 @@ object Collection {
       catalogEnabled: Boolean = false,
       overwrite: Boolean = false,
       profile: String = "local-fast",
+      attrs: Map[String, String] = Map.empty,
   ): Collection = {
     val fs = fileSystem(spark, root)
     val cfg = new Path(s"$root/$ConfigFile")
@@ -377,9 +381,12 @@ object Collection {
     m.put("partitioning", partitioning.toJsonMap)
     m.put("catalog", java.lang.Boolean.valueOf(catalogEnabled))
     m.put("profile", profile)
+    val attrsMap = new java.util.LinkedHashMap[String, Object]()
+    attrs.foreach { case (k, v) => attrsMap.put(k, v) }
+    m.put("attrs", attrsMap)
     writeJson(fs, cfg, m)
     new Collection(spark, root, schema, axis, partitioning, catalogEnabled,
-      readOnly = false, CodecProfile(profile))
+      readOnly = false, CodecProfile(profile), attrs)
   }
 
   /** Open an existing collection (reference base.py:236-271). */
@@ -396,10 +403,15 @@ object Collection {
     val partitioning = Partitioning.fromJsonMap(
       doc.get("partitioning").asInstanceOf[java.util.Map[String, Object]])
     val profile = Option(doc.get("profile")).map(_.toString).getOrElse("local-fast")
+    val attrs = Option(doc.get("attrs"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map {
+        case (k, v) => k -> String.valueOf(v)
+      }.toMap)
+      .getOrElse(Map.empty[String, String])
     new Collection(
       spark, root, schema, doc.get("axis").toString, partitioning,
       catalogEnabled = doc.get("catalog").asInstanceOf[java.lang.Boolean],
-      readOnly = readOnly, profile = CodecProfile(profile))
+      readOnly = readOnly, profile = CodecProfile(profile), attrs = attrs)
   }
 
   private[core] def fileSystem(spark: SparkSession, root: String): FileSystem =

@@ -72,11 +72,13 @@ class CollectionSpec extends AnyFunSuite {
     val root = SparkTestSession.tmp("graft-coll")
     val df = mkEvents()
     val c = Collection.create(spark, root, df.schema, "ts",
-      DatePartitioning("ts", "D"), catalogEnabled = true)
+      DatePartitioning("ts", "D"), catalogEnabled = true,
+      attrs = Map("mission" -> "demo", "version" -> "1"))
     c.insert(df)
 
     val reopened = Collection.open(spark, root)
     assert(reopened.axis == "ts")
+    assert(reopened.attrs == Map("mission" -> "demo", "version" -> "1"))
     assert(reopened.partitioning.axis == Seq("year", "month", "day"))
     val all = reopened.query()
     assert(all.count() == 4)
