@@ -236,6 +236,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // A21: 2-D (array) variables round-trip through partitions — the
+    // reference's core data shape (time x across-track swath arrays).
+    "zc_array_var" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val root = s"$scratch/arr-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, e.schema, "vec_id",
+        GroupedSequencePartitioning(Seq("vec_id"), "vec_id", size = 100), overwrite = true)
+      c.insert(e)
+      c.query("vec_id_group >= 200 and vec_id_group < 500")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("e0"),
+          element_at(col("embedding"), 64).cast("double").as("e63"),
+          col("label"))
+        .orderBy("vec_id")
+    }),
+
     // B1: TPC-H Q1-style pricing summary.
     "q1_pricing" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -661,6 +679,15 @@ object SparkEntry {
       """SELECT event_id, user_id AS p_user, value AS p_value,
                 CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k
          FROM events ORDER BY event_id""",
+
+    "zc_array_var" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+                CAST(embedding[1] AS DOUBLE) AS e0,
+                CAST(embedding[64] AS DOUBLE) AS e63,
+                label
+         FROM embeddings
+         WHERE vec_id >= 200 AND vec_id < 500
+         ORDER BY vec_id""",
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -44,10 +44,15 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .where(col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("_zc_qv"), col("_zc_cv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"), col("sim"))
+    // Bounded top-k aggregation instead of a window: map-side partial
+    // aggregation ships at most k candidates per (task, query) — the
+    // full candidate set is never sorted or shuffled.
+    val topk = graft.functions.TopKAgg.topK(k)
+    scored.groupBy(col("qid"))
+      .agg(topk(col("sim"), col("nid")).as("_zc_tk"))
+      .select(col("qid"), posexplode(col("_zc_tk")).as(Seq("_zc_pos", "_zc_s")))
+      .select(col("qid"), col("_zc_s.id").as("nid"),
+        (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
   }
 
   /** Plan-time literal hyperplanes for one table: `dims` rows, each with
