@@ -26,6 +26,27 @@ class ExtrasSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](CodecProfile("bogus"))
   }
 
+  test("bucketed tables join without a shuffle") {
+    import spark.implicits._
+    val facts = (1L to 1000L).map(i => (i % 50, s"f$i")).toDF("k", "payload")
+    val dims = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "name")
+    facts.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("graft_facts_b")
+    dims.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("graft_dims_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val joined = spark.table("graft_facts_b").join(spark.table("graft_dims_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located bucketed join: no Exchange on either side
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_facts_b")
+      spark.sql("DROP TABLE IF EXISTS graft_dims_b")
+    }
+  }
+
   test("fnv1a64 registers as a SQL function") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT fnv1a64('a') AS h").collect()(0).getLong(0)
