@@ -47,6 +47,29 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("collection query plans prune partitions and push projection to the scan") {
+    val root = SparkTestSession.tmp("graft-plan")
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", "a", 1.0), (2L, "2024-02-01 10:00:00", "b", 2.0),
+      (3L, "2024-03-01 10:00:00", "c", 3.0))
+      .toDF("id", "ts", "kind", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+
+    val q = c.query("month == 2", Seq("id", "v"))
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    // partition pruning reached the scan (planner-level, no dir walk)
+    assert(scan.partitionFilters.nonEmpty, "no partition filters on the scan")
+    // column pruning: only the projected data columns are read
+    assert(scan.requiredSchema.fieldNames.toSet == Set("id", "v"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("fnv1a64 registers as a SQL function") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT fnv1a64('a') AS h").collect()(0).getLong(0)

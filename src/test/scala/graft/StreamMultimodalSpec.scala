@@ -32,6 +32,36 @@ class StreamMultimodalSpec extends AnyFunSuite {
       ("2024-01-02 10:00:00", 1L, 8.0)))
   }
 
+  test("append-mode windowed agg with watermark emits finalized windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val name = "graft_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      in.addData((ts("2024-01-01 10:05:00"), 1.0), (ts("2024-01-01 10:45:00"), 2.0))
+      q.processAllAvailable()
+      // watermark still inside hour 10 -> nothing finalized yet
+      assert(spark.table(name).count() == 0)
+      // event far past hour 10 advances the watermark; hour-10 window closes
+      in.addData((ts("2024-01-01 12:30:00"), 4.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 14:00:00"), 8.0))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select(col("window.start").cast("string"), col("n"), col("sv"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00", 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches batch sessionize") {
     import StreamOps._
     val evs = Seq(
