@@ -275,14 +275,35 @@ final class Collection private (
 
   /** Read matching partitions, apply `fn`, write the result back —
     * rewriting ONLY the touched partitions (reference base.py:698-794;
-    * like the reference, `fn` must return the full set of declared
-    * columns, and must not move rows across partitions). */
-  def update(fn: DataFrame => DataFrame, filters: String = null): Seq[String] = {
+    * like the reference, `fn` must not move rows across partitions).
+    *
+    * When `variables` is given, `fn` sees only those columns (plus they
+    * are the only ones it may change); unlike the reference — which drops
+    * unloaded variables from disk on such an update — the remaining
+    * columns are carried through unchanged by re-joining on the stable
+    * `_zc_row` key, so a projected update can never lose data. */
+  def update(
+      fn: DataFrame => DataFrame,
+      filters: String = null,
+      variables: Seq[String] = null,
+  ): Seq[String] = {
     requireWritable()
     val ast = FilterExpr.parse(filters)
-    val pruned = readRaw().where(FilterExpr.toColumn(ast))
-      .select(schema.fieldNames.map(col): _*)
-    val out = fn(attachImmutable(pruned)).select(schema.fieldNames.map(col): _*)
+    val prunedRaw = readRaw().where(FilterExpr.toColumn(ast))
+    val out: DataFrame =
+      if (variables == null) {
+        val pruned = prunedRaw.select(schema.fieldNames.map(col): _*)
+        fn(attachImmutable(pruned)).select(schema.fieldNames.map(col): _*)
+      } else {
+        require(variables.nonEmpty, "variables must be non-empty when given")
+        val loaded = prunedRaw.select((RowIdCol +: variables).map(col): _*)
+        val updated = fn(attachImmutable(loaded))
+          .select((RowIdCol +: variables).map(col): _*)
+        val rest = prunedRaw.select(
+          (RowIdCol +: schema.fieldNames.filterNot(variables.contains).toSeq).map(col): _*)
+        rest.join(updated, RowIdCol)
+          .select(schema.fieldNames.map(col): _*)
+      }
     write(partitioning.assign(out))
     partitions(filters)
   }

@@ -189,6 +189,20 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.query("month == 1").count() == 3)
   }
 
+  test("update with a variables projection preserves unloaded columns") {
+    val root = SparkTestSession.tmp("graft-updvars")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    c.update(d => {
+      assert(d.columns.toSet == Set(Collection.RowIdCol, "v"))
+      d.withColumn("v", col("v") * 100)
+    }, filters = "month == 1", variables = Seq("v"))
+    val got = c.query().orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1L, "a", 100.0), (2L, "b", 200.0), (3L, "a", 300.0), (4L, "c", 4.0)))
+  }
+
   test("immutable dataset attaches to every read") {
     val root = SparkTestSession.tmp("graft-coll")
     val df = mkEvents()
