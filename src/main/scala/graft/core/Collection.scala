@@ -78,7 +78,7 @@ final class Collection private (
       else {
         val collidePred = keyPredicate(colliding)
         val existingColliding = readRaw().where(collidePred).drop(RowIdCol)
-          .select(assigned.columns.map(col): _*)
+          .select(assigned.columns.toSeq.map(col): _*)
         val incColliding = assigned.where(collidePred)
         val incNew = assigned.where(!collidePred)
         merge(existingColliding, incColliding, axis, partCols)
@@ -163,7 +163,7 @@ final class Collection private (
     val ast = FilterExpr.parse(filters)
     var df = readRaw().where(FilterExpr.toColumn(ast))
     // restore declared column order; drop derived partition cols + row id
-    df = df.select(schema.fieldNames.map(col): _*)
+    df = df.select(schema.fieldNames.toSeq.map(col): _*)
     df = attachImmutable(df)
     if (variables != null) df = df.select(variables.map(col): _*)
     df
@@ -175,7 +175,7 @@ final class Collection private (
     val imm = spark.read.parquet(immPath.toString)
     val keep = imm.columns.filterNot(df.columns.contains) // data wins on conflict
     if (keep.isEmpty) return df
-    val immSel = imm.select(keep.map(col): _*)
+    val immSel = imm.select(keep.toSeq.map(col): _*)
     if (immSel.count() == 1) df.crossJoin(broadcast(immSel))
     else df // multi-row immutable data is exposed via `immutable()` instead
   }
@@ -292,8 +292,8 @@ final class Collection private (
     val prunedRaw = readRaw().where(FilterExpr.toColumn(ast))
     val out: DataFrame =
       if (variables == null) {
-        val pruned = prunedRaw.select(schema.fieldNames.map(col): _*)
-        fn(attachImmutable(pruned)).select(schema.fieldNames.map(col): _*)
+        val pruned = prunedRaw.select(schema.fieldNames.toSeq.map(col): _*)
+        fn(attachImmutable(pruned)).select(schema.fieldNames.toSeq.map(col): _*)
       } else {
         require(variables.nonEmpty, "variables must be non-empty when given")
         val loaded = prunedRaw.select((RowIdCol +: variables).map(col): _*)
@@ -302,7 +302,7 @@ final class Collection private (
         val rest = prunedRaw.select(
           (RowIdCol +: schema.fieldNames.filterNot(variables.contains).toSeq).map(col): _*)
         rest.join(updated, RowIdCol)
-          .select(schema.fieldNames.map(col): _*)
+          .select(schema.fieldNames.toSeq.map(col): _*)
       }
     write(partitioning.assign(out))
     partitions(filters)

@@ -42,7 +42,7 @@ final class Indexer private (
       .map(r => partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _))
       .reduce(_ || _)
     collection.readRaw().where(partPred && pred)
-      .select(collection.schema.fieldNames.map(col): _*)
+      .select(collection.schema.fieldNames.toSeq.map(col): _*)
   }
 }
 
