@@ -41,6 +41,11 @@ object Dedup {
     * lets Catalyst's projection collapse inline the upstream shingle
     * computation 64 times — a 50x slowdown measured at sf0.1.) */
   def minhashSignature(shingles: Column, numPerms: Int): Column =
+    MinHashSig.signature(shingles, numPerms)
+
+  /** The pure-builtin formulation [[MinHashSig]] replaces; kept for
+    * reference and as the spec's cross-check (bit-identical results). */
+  def minhashSignatureHof(shingles: Column, numPerms: Int): Column =
     aggregate(
       shingles,
       array(Seq.fill(numPerms)(lit(Long.MaxValue)): _*),

@@ -29,6 +29,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("native minhash expression is bit-identical to the builtin composition") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("sh", TextFunctions.wordShingles(col("text"), 3))
+    val native = docs.select($"doc_id", Dedup.minhashSignature($"sh", 64).as("sig"))
+    val hof = docs.select($"doc_id", Dedup.minhashSignatureHof($"sh", 64).as("sig"))
+    val a = native.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val b = hof.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(a.length == 500)
+    a.zip(b).foreach { case ((ida, sa), (idb, sb)) =>
+      assert(ida == idb && sa == sb, s"signature mismatch for doc $ida")
+    }
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
                  (3L, "unrelated totally different text")).toDF("doc_id", "text")
