@@ -55,35 +55,22 @@ object Ann {
         (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
   }
 
-  /** Plan-time literal hyperplanes for one table: `dims` rows, each with
-    * `planes` components in [-1, 1], from a fixed seed. */
-  private def planeLits(table: Int, planes: Int, dims: Int): Column = {
-    val rnd = new scala.util.Random(1000003L * table + 17)
-    typedLit(Seq.fill(dims)(Seq.fill(planes)(rnd.nextDouble() * 2 - 1)))
-  }
+  /** LSH bucket id of a vector under `planes` hyperplanes for `table`
+    * (one element of the [[LshBuckets]] native expression's output). */
+  def lshBucket(vec: Column, table: Int, planes: Int, dims: Int): Column =
+    element_at(LshBuckets.buckets(vec, table + 1, planes, dims), table + 1)
 
-  /** LSH bucket id of a vector under `planes` hyperplanes for `table`:
-    * one pass over the vector accumulating all plane dots, then the sign
-    * bits hash into a bucket key. */
-  def lshBucket(vec: Column, table: Int, planes: Int, dims: Int): Column = {
-    val dots = aggregate(
-      zip_with(vec, planeLits(table, planes, dims),
-        (x, prow) => transform(prow, pv => pv * x.cast("double"))),
-      array(Seq.fill(planes)(lit(0.0)): _*),
-      (acc, contrib) => zip_with(acc, contrib, (a, b) => a + b))
-    xxhash64(transform(dots, d => when(d >= 0, 1).otherwise(0)), lit(table))
-  }
-
-  /** `(id, table, bucket)` rows for every table. The id-repartition both
-    * spreads bucket computation across cores and plants an Exchange that
+  /** `(id, table, bucket)` rows for every table — one native-expression
+    * pass per vector ([[LshBuckets]]). The id-repartition both spreads
+    * bucket computation across cores and plants an Exchange that
     * ReuseExchange shares between the two sides of the candidate
     * self-join — buckets compute once. */
   private def buckets(df: DataFrame, idCol: String, vecCol: String, outId: String,
                       tables: Int, planes: Int, dims: Int): DataFrame =
     df.repartition(col(idCol))
       .select(col(idCol).as(outId),
-        posexplode(array((0 until tables).map(t =>
-          lshBucket(col(vecCol), t, planes, dims)): _*)).as(Seq("_zc_t", "_zc_bkt")))
+        posexplode(LshBuckets.buckets(col(vecCol), tables, planes, dims))
+          .as(Seq("_zc_t", "_zc_bkt")))
 
   /** Approximate top-k: candidates are corpus rows sharing an LSH bucket
     * with the query in ANY of `tables` hyperplane tables; candidates are
