@@ -70,6 +70,20 @@ class ExtrasSpec extends AnyFunSuite {
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("driver smoke contract: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has either an oracle or a documented rows-only check") {
+    val qs = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(oracles.subsetOf(qs), s"orphan oracles: ${oracles.diff(qs)}")
+    val rowsOnly = qs.diff(oracles)
+    // the intentionally non-SQL-expressible set (hash/approx operators)
+    assert(rowsOnly == Set("dedup_simhash", "ann_lsh", "ann_ivf", "text_langid", "text_fingerprint"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
   test("fnv1a64 registers as a SQL function") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT fnv1a64('a') AS h").collect()(0).getLong(0)
