@@ -530,6 +530,47 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // B14: set operations — INTERSECT / EXCEPT on key sets.
+    "q_set_ops" -> ((s, dir) => {
+      val buyers = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+      val highValue = Tables.orders(s, dir)
+        .where(col("o_totalprice") > 300000).select(col("o_custkey").as("k"))
+      val lowPri = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "5-LOW").select(col("o_custkey").as("k"))
+      buyers.intersect(highValue).except(lowPri).orderBy("k")
+    }),
+
+    // B15: HAVING with a scalar subquery — segments whose average balance
+    // beats the overall average.
+    "q_having" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val overall = c.agg(
+        (sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") / count(lit(1)))
+          .as("avg_all"))
+      c.groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") / count(lit(1)))
+            .as("avg_bal"))
+        .crossJoin(broadcast(overall))
+        .where(col("avg_bal") > col("avg_all"))
+        .select("c_mktsegment", "n", "avg_bal")
+        .orderBy("c_mktsegment")
+    }),
+
+    // B16: string + date function surface over part/orders.
+    "q_string_date" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .where(col("p_size") <= 5)
+        .select(
+          col("p_partkey"),
+          upper(col("p_type")).as("type_u"),
+          substring(col("p_name"), 1, 4).as("name4"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          length(col("p_name")).cast("int").as("name_len"))
+        .orderBy("p_partkey")
+    }),
+
     // B4: TPC-H Q6-style selective filter + aggregate.
     "q6_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -891,6 +932,29 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+
+    "q_set_ops" ->
+      """SELECT o_custkey AS k FROM orders
+         INTERSECT
+         SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+         EXCEPT
+         SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW'
+         ORDER BY k""",
+
+    "q_having" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal
+         FROM customer
+         GROUP BY c_mktsegment
+         HAVING CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) >
+                (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) FROM customer)
+         ORDER BY c_mktsegment""",
+
+    "q_string_date" ->
+      """SELECT p_partkey, upper(p_type) AS type_u, substr(p_name, 1, 4) AS name4,
+                concat_ws('-', p_brand, p_type) AS brand_type,
+                CAST(length(p_name) AS INT) AS name_len
+         FROM part WHERE p_size <= 5 ORDER BY p_partkey""",
 
     "q6_revenue" ->
       """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
