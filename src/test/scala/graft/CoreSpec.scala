@@ -281,6 +281,18 @@ class CollectionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GroupedSequencePartitioning(Seq("k"), "k", size = 1))
   }
 
+  test("grouped sequence with leading exact keys") {
+    val root = SparkTestSession.tmp("graft-gseq2")
+    val df = Seq((1L, 1L, 3L), (2L, 1L, 17L), (3L, 2L, 3L)).toDF("k", "cycle", "pass")
+    val c = Collection.create(spark, root, df.schema, "k",
+      GroupedSequencePartitioning(Seq("cycle", "pass"), "k", size = 10))
+    c.insert(df)
+    assert(c.partitions() == Seq("cycle=1/pass_group=0", "cycle=1/pass_group=10", "cycle=2/pass_group=0"))
+    assert(c.query("cycle == 1 and pass_group == 10").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // original pass values survive in the data
+    assert(c.query().orderBy("k").collect().map(_.getLong(2)).toSeq == Seq(3L, 17L, 3L))
+  }
+
   test("read-only refuses mutation") {
     val root = SparkTestSession.tmp("graft-ro")
     val df = mkEvents()
