@@ -571,6 +571,17 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    // B17: pivot — per-day event counts by type.
+    "q_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("day", dayofmonth(col("ts")))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")
+    }),
+
     // B4: TPC-H Q6-style selective filter + aggregate.
     "q6_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -955,6 +966,15 @@ object SparkEntry {
                 concat_ws('-', p_brand, p_type) AS brand_type,
                 CAST(length(p_name) AS INT) AS name_len
          FROM part WHERE p_size <= 5 ORDER BY p_partkey""",
+
+    "q_pivot" ->
+      """SELECT CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS day,
+                CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+                CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+                CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+                CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+                CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+         FROM events GROUP BY 1 ORDER BY day""",
 
     "q6_revenue" ->
       """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
