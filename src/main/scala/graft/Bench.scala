@@ -52,13 +52,18 @@ object Bench {
 
     val buildSec = time { SparkEntry.eventsCollection(spark, sfDir) }
 
-    val results = Headline.map { name =>
+    // Two timed passes per query, report the min — damps scheduler and
+    // page-cache noise without hiding real cost (both passes run the full
+    // plan; nothing is cached between them).
+    def runOnce(name: String): Double = {
       val fn = SparkEntry.queries(name)
-      val sec = time {
+      time {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       }
-      name -> sec
+    }
+    val results = Headline.map { name =>
+      name -> math.min(runOnce(name), runOnce(name))
     }
 
     // --- reference-workload suite (zcollection/benches/harness.py) ----
