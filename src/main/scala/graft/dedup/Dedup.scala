@@ -117,10 +117,12 @@ object Dedup {
     verifyJaccard(cands, withSig, idCol, "_zc_sh", threshold)
   }
 
-    /** 64-bit SimHash as an array of 64 sign bits over a column of token
-    * HASHES. Single `aggregate` pass (see [[minhashSignature]] for why):
-    * the accumulator carries all 64 bit-counters, each token contributes
-    * +-1 to every counter, and the final transform takes signs. */
+  /** 64-bit SimHash sign bits of a token array ([[SimHash64]] native
+    * expression). */
+  def simhash(tokens: Column): Column = SimHash64.bits(tokens)
+
+  /** The pure-builtin formulation [[SimHash64]] replaces (input: token
+    * HASHES); kept as the spec's bit-identity cross-check. */
   def simhashBits(tokenHashes: Column): Column =
     transform(
       aggregate(
@@ -137,8 +139,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, tokens: Column, maxHamming: Int): DataFrame = {
     val withBits = df
       .repartition(col(idCol)) // parallelize the bit computation
-      .withColumn("_zc_th", transform(tokens, t => xxhash64(t)))
-      .withColumn("_zc_bits", simhashBits(col("_zc_th")))
+      .withColumn("_zc_bits", simhash(tokens))
       .select(col(idCol), col("_zc_bits"))
       .repartition(col(idCol)) // shared boundary (see minhashPairs)
     val chunks = withBits.select(

@@ -42,6 +42,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("native simhash expression is bit-identical to the builtin composition") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+    val native = docs.select($"doc_id", Dedup.simhash($"toks").as("bits"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val hof = docs
+      .withColumn("th", transform($"toks", t => xxhash64(t)))
+      .select($"doc_id", Dedup.simhashBits($"th").as("bits"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    native.zip(hof).foreach { case ((ida, ba), (idb, bb)) =>
+      assert(ida == idb && ba == bb, s"simhash mismatch for doc $ida")
+    }
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
                  (3L, "unrelated totally different text")).toDF("doc_id", "text")
