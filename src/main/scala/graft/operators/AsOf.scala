@@ -38,7 +38,7 @@ object AsOf {
     // align schemas: right side carries nulls for the left payload
     val rAligned = leftCols.foldLeft(r)((d, c) =>
       d.withColumn(c, lit(null).cast(l.schema(c).dataType)))
-      .select(l.columns.map(col): _*)
+      .select(l.columns.toSeq.map(col): _*)
 
     val w = Window.partitionBy(col("_zc_k"))
       .orderBy(col("_zc_t"), col("_zc_tag"))

@@ -26,7 +26,7 @@ object Skew {
     // Deterministic spread: hash the whole left row to a salt bucket (a
     // random salt would break retry/replay determinism).
     val l = left.withColumn("_zc_salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(left.columns.toSeq.map(col): _*), lit(salts)).cast("int"))
     val r = right
       .withColumn("_zc_salt", explode(array((0 until salts).map(lit): _*)))
     l.join(r, Seq(key, "_zc_salt")).drop("_zc_salt")
