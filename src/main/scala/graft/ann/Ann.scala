@@ -105,15 +105,16 @@ object Ann {
     * subsample quantizer keeps the operator fully deterministic.) */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nLists: Int = 32, nProbe: Int = 4): DataFrame = {
-    // Centroids: every (n/nLists)-th vector by id order — deterministic.
-    val n = corpus.count()
-    val stride = math.max(1L, n / nLists)
-    val w0 = Window.orderBy(col(idCol))
+    // Centroids: the nLists corpus rows with the SMALLEST xxhash64(id) — a
+    // deterministic uniform sample needing no count and no global window.
+    // orderBy+limit plans as TakeOrderedAndProject: each task ships only
+    // its local top-nLists, the driver merges nLists rows. At 100 TB this
+    // is one map-side pass; the old row_number() formulation was a
+    // single-task sort of the whole corpus.
     val centroids = corpus
-      .withColumn("_zc_rn", row_number().over(w0))
-      .where((col("_zc_rn") - 1) % stride === 0)
-      .limit(nLists)
       .select(col(idCol).as("_zc_cent"), col(vecCol).as("_zc_cv"))
+      .orderBy(xxhash64(col("_zc_cent")), col("_zc_cent"))
+      .limit(nLists)
 
     def nearestCentroids(df: DataFrame, id: String, keep: Int): DataFrame = {
       val scored = df.select(col(idCol).as(id), col(vecCol).as(s"_zc_v_$id"))

@@ -3,42 +3,69 @@ package graft.core
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 import scala.jdk.CollectionConverters._
 
 /** A partitioned parquet collection — the Spark-native re-expression of the
-  * reference's `zcollection.Collection` (collection/base.py:81-803).
+  * reference's `zcollection.Collection` (collection/base.py:81-803) with the
+  * transactional commit protocol of its Icechunk store
+  * (store/icechunk_store.py:60-282).
   *
   * Design (NOT a port): partitions are Hive-style parquet directories
-  * (`year=2024/month=3/...`) under `root`, so Spark's own source handles
-  * partition discovery, pruning, predicate pushdown, column pruning and
-  * vectorized reads. The reference's bespoke machinery maps as follows:
+  * (`year=2024/month=3/...`) under `root`, and every mutation commits a new
+  * immutable MANIFEST under `_manifest/` — a JSON snapshot listing exactly
+  * the data files that make up that generation. Readers resolve the highest
+  * committed manifest and scan precisely those files:
   *
-  *  - insert + merge strategies  -> dynamic-partition-overwrite writes that
-  *    only ever read/rewrite the colliding partitions ([[MergeStrategy]]);
+  *  - **atomicity / crash safety**: data files are only ever APPENDED under
+  *    unique names; a manifest commit is one `create tmp + rename` of a new
+  *    `manifest-<gen>.json`. A writer that dies mid-insert leaves orphan
+  *    files no reader can see (clean them with [[vacuum]]); replaced files
+  *    stay on disk until the new manifest lands, so readers always observe
+  *    either the old or the new snapshot, never a mix — the reference's
+  *    Icechunk session→write→commit story, re-expressed on any Hadoop FS;
+  *  - **no directory walks on the read path**: the manifest doubles as the
+  *    reference's `_catalog` partition cache; at 10^6 partitions a query
+  *    costs one manifest read instead of an object-store LIST storm;
+  *  - insert + merge strategies  -> read ONLY colliding partitions, append
+  *    the merged output, commit a manifest that swaps the replaced files
+  *    ([[MergeStrategy]]); `concat` never reads existing data at all;
   *  - query(filters, variables)  -> pruned scan + projection; the filter
   *    mini-language compiles to a Catalyst predicate over partition columns
-  *    ([[FilterExpr]]), so pruning happens in the planner — no directory
-  *    walk on the read path, which is what survives 10^6 partitions;
+  *    ([[FilterExpr]]), pruned against the manifest's file list;
   *  - `_immutable/` group        -> a small parquet broadcast-joined into
-  *    every read (reference base.py:819-836);
-  *  - `_catalog/state.json`      -> same idea: a partition-path list
-  *    maintained on insert/drop so `partitions()` skips the O(N) walk
-  *    (reference base.py:340-375);
-  *  - map/update                 -> transforms over the pruned scan written
-  *    back via dynamic partition overwrite (touched partitions only).
+  *    every read (reference base.py:819-836), row count cached at write
+  *    time so the read path never runs an extra job;
+  *  - schema evolution           -> [[addVariable]]/[[dropVariable]] commit
+  *    a new declared schema (reference schema/versioning.py, builder.py);
+  *    reads pass the declared schema explicitly, so files written before an
+  *    `addVariable` surface the new column as null (or its fill value) and
+  *    files written before a `dropVariable` simply project it away.
   *
-  * A hidden `_zc_row` column (row number by axis order within each
-  * partition, materialized at write time) gives [[View]] overlays a stable
-  * positional join key, mirroring the reference's positional alignment.
+  * Write parallelism: inserts range-repartition on (partition cols, axis),
+  * so a hot partition splits across many tasks proportional to its data —
+  * parallelism is `spark.sql.shuffle.partitions`, not the number of
+  * distinct partition keys — while each output file stays a contiguous,
+  * axis-sorted time slice (parquet zone maps on the axis remain tight).
+  *
+  * A hidden `_zc_row` column gives [[View]] overlays and the [[Indexer]] a
+  * stable positional key, mirroring the reference's positional alignment.
+  * Ids are `(taskBase + task) << 33 | row`: the manifest persists a
+  * `taskBase` high-water mark bumped by every write, so ids are unique
+  * within a partition across any number of append/merge commits, and
+  * monotone in (commit, axis) order — appended rows always sort after
+  * existing ones, like the reference's along-axis concat.
+  *
+  * Concurrency: single writer, any number of readers (the reference's
+  * Icechunk sessions make the same assumption). Readers never lock.
   */
 final class Collection private (
     val spark: SparkSession,
     val root: String,
-    val schema: StructType,
+    createSchema: StructType,
     val axis: String,
     val partitioning: Partitioning,
     val catalogEnabled: Boolean,
@@ -57,55 +84,141 @@ final class Collection private (
   private def requireWritable(): Unit =
     if (readOnly) throw new IllegalStateException(s"collection at $root is read-only")
 
+  // --- manifest ----------------------------------------------------
+
+  private def manifestDir = new Path(s"$root/$ManifestDir")
+
+  /** Parsed manifests are immutable per generation — memoize. */
+  private val manifestCache = scala.collection.concurrent.TrieMap.empty[Long, Manifest]
+
+  /** The highest committed generation's manifest (one LIST + at most one
+    * small JSON read; parsed manifests are cached). */
+  private[core] def currentManifest(): Manifest = {
+    val gens = fs.listStatus(manifestDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case ManifestName(g) => g.toLong }
+    if (gens.isEmpty)
+      throw new IllegalStateException(s"no committed manifest under $root/$ManifestDir")
+    val gen = gens.max
+    manifestCache.getOrElseUpdate(gen, readManifest(fs, manifestDir, gen))
+  }
+
+  /** Commit generation — bumped by every successful write. [[View]]s record
+    * it to detect a stale overlay (reference view sync). */
+  def generation: Long = currentManifest().generation
+
+  /** The current declared data schema (evolves via [[addVariable]] /
+    * [[dropVariable]]; persisted per manifest generation). */
+  def schema: StructType = {
+    val man = currentManifest()
+    schemaCache.getOrElseUpdate(man.generation, StructType.fromDDL(man.schemaDdl))
+  }
+  private val schemaCache = scala.collection.concurrent.TrieMap.empty[Long, StructType]
+
+  private def commitManifest(m: Manifest): Unit = {
+    writeManifest(fs, manifestDir, m)
+    manifestCache.put(m.generation, m)
+  }
+
   // --- insert ------------------------------------------------------
 
   /** Insert `df`, splitting it by the partitioning. Default (`Replace`)
     * overwrites colliding partitions wholesale; other strategies combine
-    * with the existing content. Returns the partition paths written. */
+    * with the existing content; `Concat` is a pure append (existing data is
+    * never read or rewritten). Returns the partition paths written. */
   def insert(df: DataFrame, merge: MergeStrategy = MergeStrategy.Replace): Seq[String] = {
     requireWritable()
     val assigned = partitioning.assign(df)
-    val incomingKeys = assigned
-      .select(partCols.map(col): _*).distinct().collect()
-      .map(r => partCols.zipWithIndex.map { case (c, i) => c -> r.get(i) })
-      .toSeq
+    val incomingKeys = distinctKeys(assigned)
+    val incomingPaths = incomingKeys.map(keyPath)
 
     val existing = partitionKeySet()
-    val colliding = incomingKeys.filter(k => existing.contains(keyPath(k)))
+    val colliding = incomingPaths.filter(existing.contains)
 
-    val toWrite: DataFrame =
-      if (merge == MergeStrategy.Replace || colliding.isEmpty) assigned
-      else {
-        val collidePred = keyPredicate(colliding)
+    // upsert-within-tolerance can match existing rows in ADJACENT
+    // partitions (a 23:59:59.99 row vs a 00:00:00.04 insert): widen the
+    // colliding set to every existing partition any inserted axis value
+    // could reach at +-tolerance. Only axis-derived partitionings can be
+    // affected — identity-partitioned keys don't move under an axis shift.
+    val tolExtra: Seq[String] = merge match {
+      case MergeStrategy.Upsert(Some(tol)) if partitioning.derivedCols.nonEmpty =>
+        val isTs = schema(axis).dataType == org.apache.spark.sql.types.TimestampType
+        val shifted = Seq(-tol, tol).map { d =>
+          val sh =
+            if (isTs) df.withColumn(axis, col(axis) + expr(s"INTERVAL $d MICROSECOND"))
+            else df.withColumn(axis, col(axis) + lit(d))
+          partitioning.assign(sh)
+        }
+        shifted.flatMap(s => distinctKeys(s).map(keyPath))
+          .filter(p => existing.contains(p) && !colliding.contains(p))
+          .distinct
+      case _ => Nil
+    }
+    val replacedPaths = merge match {
+      case MergeStrategy.Replace => colliding                  // overwrite, no read
+      case MergeStrategy.Concat  => Nil                        // pure append
+      case _                     => colliding ++ tolExtra      // read + rewrite
+    }
+
+    val toWrite: DataFrame = merge match {
+      case MergeStrategy.Replace | MergeStrategy.Concat => assigned
+      case _ if replacedPaths.isEmpty                   => assigned
+      case strategy =>
+        val collidePred = pathPredicate(replacedPaths)
         val existingColliding = readRaw().where(collidePred).drop(RowIdCol)
           .select(assigned.columns.toSeq.map(col): _*)
-        val incColliding = assigned.where(collidePred)
-        val incNew = assigned.where(!collidePred)
-        merge(existingColliding, incColliding, axis, partCols)
-          .unionByName(incNew)
-      }
+        // the full incoming dataset is the merge's right side: a tolerance
+        // match may remove an existing row in a partition the incoming row
+        // itself does not land in.
+        strategy(existingColliding, assigned, axis, partCols)
+    }
 
-    write(toWrite)
-    val written = incomingKeys.map(keyPath).sorted
-    if (catalogEnabled) catalogAdd(written)
-    written
+    writeAndCommit(toWrite, replaced = replacedPaths.toSet,
+      touched = (incomingPaths ++ replacedPaths).distinct)
+    if (catalogEnabled) () // the manifest IS the catalog; kept for API parity
+    incomingPaths.sorted
+  }
+
+  /** TESTING ONLY (crash injection): run the physical file write of an
+    * insert but die before the manifest commit — models a writer crash.
+    * Readers must keep seeing the previous snapshot; [[vacuum]] reclaims
+    * the orphans. */
+  private[graft] def insertUncommitted(df: DataFrame): Unit = {
+    requireWritable()
+    physicalWrite(prepareForWrite(partitioning.assign(df), currentManifest().taskBase))
   }
 
   /** Write the small non-axis dataset to `_immutable/`; it is merged back
-    * into every read (single-row datasets attach as constant columns via a
-    * broadcast cross join — tiny by construction, like the reference's
-    * immutable group). */
+    * into every read. The row count is recorded at write time so reads
+    * never pay a counting job (single-row datasets attach as constant
+    * columns via a broadcast cross join; multi-row datasets broadcast-join
+    * on their shared columns, reference io/immutable.py). */
   def writeImmutable(df: DataFrame): Unit = {
     requireWritable()
+    val n = df.count()
     df.coalesce(1).write.mode("overwrite").parquet(s"$root/$ImmutableDir")
+    val m = new java.util.LinkedHashMap[String, Object]()
+    m.put("rows", java.lang.Long.valueOf(n))
+    writeJson(fs, new Path(s"$root/$ImmutableDir/$ImmutableMeta"), m)
+    immutableCache = null
   }
 
-  private def write(df: DataFrame): Unit = {
+  // --- write internals ---------------------------------------------
+
+  private def writeTasks: Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+  /** Range-repartition on (partition cols, axis) — parallelism follows the
+    * DATA, not the partition-key count; each task writes contiguous
+    * axis-sorted slices — then assign collision-free row ids above the
+    * manifest's task base. */
+  private def prepareForWrite(df: DataFrame, taskBase: Long): DataFrame = {
     // Row-id ordering: axis first, then a deterministic hash tiebreak over
     // the SCALAR columns only — hashing wide array/struct payloads (e.g. a
     // 240-float swath) would dominate the insert cost for no extra
     // stability in practice.
-    val scalarCols = schema.fields
+    val scalarCols = df.schema.fields
+      .filter(f => schema.fieldNames.contains(f.name))
       .filterNot(f => f.dataType match {
         case _: org.apache.spark.sql.types.ArrayType
            | _: org.apache.spark.sql.types.StructType
@@ -116,43 +229,129 @@ final class Collection private (
       .map(f => col(f.name)).toSeq
     val tiebreak =
       if (scalarCols.nonEmpty) xxhash64(scalarCols: _*) else lit(0L)
-    // Cluster one partition per task (file consolidation), sort locally by
-    // axis (parquet zone maps), then assign unique ids in that order.
-    // monotonically_increasing_id over the clustered+sorted layout gives
-    // the same stable positional key as a row_number window at a fraction
-    // of the cost (no WindowExec pass over the full insert).
-    val withRow = df
-      .repartition(partCols.map(col): _*)
+    df
+      .repartitionByRange(writeTasks, (partCols.map(col) :+ col(axis)): _*)
       .sortWithinPartitions((partCols.map(col) :+ col(axis) :+ tiebreak): _*)
-      .withColumn(RowIdCol, monotonically_increasing_id())
-    val prev = spark.conf.getOption(OverwriteModeKey)
-    spark.conf.set(OverwriteModeKey, "dynamic")
+      .withColumn(RowIdCol, monotonically_increasing_id() + lit(taskBase << 33))
+  }
+
+  /** Append-mode physical write: never deletes or overwrites — new part
+    * files land under the Hive tree with unique names and stay invisible
+    * until a manifest commits them. */
+  private def physicalWrite(df: DataFrame): Unit = {
     if (profile.compression == "zstd")
       spark.sparkContext.hadoopConfiguration
         .setInt("parquet.compression.codec.zstd.level", profile.zstdLevel)
-    try
-      withRow
-        .write.partitionBy(partCols: _*)
-        .option("compression", profile.compression)
-        .mode("overwrite")
-        .parquet(root)
-    finally prev.foreach(spark.conf.set(OverwriteModeKey, _))
+    df.write.partitionBy(partCols: _*)
+      .option("compression", profile.compression)
+      .mode("append")
+      .parquet(root)
+  }
+
+  /** The commit protocol: append data files, diff the touched partition
+    * directories against the previous snapshot to learn the new files,
+    * commit `prev - replaced + new` as the next generation, then GC the
+    * replaced files (readers on the old snapshot may still be streaming
+    * them — deletion is best-effort and deferred-safe, like Icechunk's
+    * expiration). */
+  private def writeAndCommit(
+      df: DataFrame,
+      replaced: Set[String],
+      touched: Seq[String],
+  ): Unit = {
+    val man = currentManifest()
+    physicalWrite(prepareForWrite(df, man.taskBase))
+    val prevFiles = man.files.toSet
+    val newFiles = touched.distinct.flatMap(listDataFiles).filterNot(prevFiles.contains)
+    val kept = man.files.filterNot(f => replaced.contains(parentRel(f)))
+    commitManifest(man.copy(
+      generation = man.generation + 1,
+      taskBase = man.taskBase + writeTasks,
+      files = (kept ++ newFiles).sorted))
+    // GC the files this commit replaced.
+    man.files.filter(f => replaced.contains(parentRel(f)))
+      .foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
+  }
+
+  private def listDataFiles(relDir: String): Seq[String] = {
+    val dir = new Path(s"$root/$relDir")
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && isDataFile(st.getPath.getName))
+      .map(st => s"$relDir/${st.getPath.getName}")
+  }
+
+  /** Delete data files no manifest generation can reach (crash leftovers
+    * from writers that died before their commit). Returns deleted paths. */
+  def vacuum(): Seq[String] = {
+    requireWritable()
+    val live = currentManifest().files.toSet
+    val all = walkDataFiles()
+    val orphans = all.filterNot(live.contains)
+    orphans.foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
+    orphans
+  }
+
+  // --- schema evolution --------------------------------------------
+
+  /** Add a data variable (reference schema/builder.py add_variable +
+    * versioning.py bump): partitions written before this commit read the
+    * column as null — or `fill`, a SQL literal (e.g. `"0.0"`, `"'n/a'"`),
+    * the parquet analogue of Zarr's fill_value. */
+  def addVariable(name: String, dataType: DataType, fill: Option[String] = None): Unit = {
+    requireWritable()
+    val man = currentManifest()
+    val s = StructType.fromDDL(man.schemaDdl)
+    require(!s.fieldNames.contains(name), s"variable '$name' already exists")
+    require(!partCols.contains(name), s"'$name' collides with a partition column")
+    commitManifest(man.copy(
+      generation = man.generation + 1,
+      schemaDdl = StructType(s.fields :+ StructField(name, dataType)).toDDL,
+      fills = man.fills ++ fill.map(name -> _)))
+  }
+
+  /** Drop a data variable: no data files are rewritten — the declared
+    * schema stops projecting it (reference schema versioning deletes the
+    * Zarr array; parquet lets us simply stop reading the column). */
+  def dropVariable(name: String): Unit = {
+    requireWritable()
+    val man = currentManifest()
+    val s = StructType.fromDDL(man.schemaDdl)
+    require(s.fieldNames.contains(name), s"no variable '$name'")
+    require(name != axis, "cannot drop the partition axis")
+    require(!partitioning.inputCols.contains(name), "cannot drop a partitioning input")
+    commitManifest(man.copy(
+      generation = man.generation + 1,
+      schemaDdl = StructType(s.fields.filterNot(_.name == name)).toDDL,
+      fills = man.fills - name))
   }
 
   // --- read --------------------------------------------------------
 
-  /** Raw partitioned scan: data columns + partition columns + `_zc_row`,
-    * with partition columns re-cast to their declared types. Empty-schema
-    * safe when no partition exists yet. */
+  private def readSchemaFields(dataSchema: StructType): Seq[StructField] =
+    dataSchema.fields.toSeq ++
+      partCols.map(c => StructField(c, partitioning.colType(c, dataSchema))) :+
+      StructField(RowIdCol, LongType)
+
+  /** Raw snapshot scan: data columns + partition columns + `_zc_row`,
+    * resolved from the current manifest's file list (no directory walk).
+    * The declared schema is passed explicitly, so partition columns come
+    * back with their declared types and schema evolution applies
+    * (missing-in-file columns read as null, then fill values). */
   def readRaw(): DataFrame = {
-    if (partitionPaths().isEmpty) {
-      val full = StructType(schema.fields ++ partCols.map(c =>
-        org.apache.spark.sql.types.StructField(c, partitioning.colType(c, schema))) :+
-        org.apache.spark.sql.types.StructField(RowIdCol, org.apache.spark.sql.types.LongType))
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
-    }
-    val df = spark.read.parquet(root)
-    partCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(partitioning.colType(c, schema))))
+    val man = currentManifest()
+    val dataSchema = schema
+    val fields = readSchemaFields(dataSchema)
+    if (man.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+    var df = spark.read
+      .option("basePath", root)
+      .schema(StructType(fields))
+      .parquet(man.files.map(f => s"$root/$f"): _*)
+    for ((c, fillSql) <- man.fills if dataSchema.fieldNames.contains(c))
+      df = df.withColumn(c, coalesce(col(c), expr(fillSql).cast(dataSchema(c).dataType)))
+    df.select(fields.map(f => col(f.name)): _*)
   }
 
   /** Read matching partitions, reference base.py:526-595. `filters` is the
@@ -169,27 +368,52 @@ final class Collection private (
     df
   }
 
-  private def attachImmutable(df: DataFrame): DataFrame = {
-    val immPath = new Path(s"$root/$ImmutableDir")
-    if (!fs.exists(immPath)) return df
-    val imm = spark.read.parquet(immPath.toString)
-    val keep = imm.columns.filterNot(df.columns.contains) // data wins on conflict
-    if (keep.isEmpty) return df
-    val immSel = imm.select(keep.toSeq.map(col): _*)
-    if (immSel.count() == 1) df.crossJoin(broadcast(immSel))
-    else df // multi-row immutable data is exposed via `immutable()` instead
+  /** Cached immutable dataset + its row count (recorded at write time —
+    * attaching costs no extra job on the read path). */
+  @volatile private var immutableCache: Option[(DataFrame, Long)] = null
+
+  private def loadImmutable(): Option[(DataFrame, Long)] = {
+    var c = immutableCache
+    if (c == null) {
+      val p = new Path(s"$root/$ImmutableDir")
+      c =
+        if (!fs.exists(p)) None
+        else {
+          val df = spark.read.parquet(p.toString)
+          val metaPath = new Path(s"$root/$ImmutableDir/$ImmutableMeta")
+          val n =
+            if (fs.exists(metaPath)) {
+              val in: java.io.InputStream = fs.open(metaPath)
+              try new ObjectMapper().readValue(in, classOf[java.util.Map[String, Object]])
+                .get("rows").toString.toLong
+              finally in.close()
+            } else df.count() // legacy layout without the meta file
+          Some((df, n))
+        }
+      immutableCache = c
+    }
+    c
+  }
+
+  private def attachImmutable(df: DataFrame): DataFrame = loadImmutable() match {
+    case None => df
+    case Some((imm, n)) =>
+      val keep = imm.columns.filterNot(df.columns.contains) // data wins on conflict
+      val shared = imm.columns.filter(df.columns.contains).toSeq
+      if (keep.isEmpty) df
+      else if (n == 1) df.crossJoin(broadcast(imm.select(keep.toSeq.map(col): _*)))
+      else if (shared.nonEmpty) df.join(broadcast(imm), shared, "left")
+      else df // multi-row with no shared dimension: exposed via `immutable()`
   }
 
   /** The `_immutable/` dataset, if any. */
-  def immutable(): Option[DataFrame] = {
-    val p = new Path(s"$root/$ImmutableDir")
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
-  }
+  def immutable(): Option[DataFrame] = loadImmutable().map(_._1)
 
   // --- listing -----------------------------------------------------
 
   /** Relative partition paths matching `filters`, sorted by decoded key
-    * (reference base.py:302-338). Uses the catalog when enabled. */
+    * (reference base.py:302-338). Served from the manifest — never a
+    * directory walk. */
   def partitions(filters: String = null): Seq[String] = {
     val ast = FilterExpr.parse(filters)
     partitionPaths()
@@ -199,17 +423,10 @@ final class Collection private (
       .map(_._1)
   }
 
-  private def partitionPaths(): Seq[String] = {
-    if (catalogEnabled) {
-      catalogRead() match {
-        case Some(paths) => return paths
-        case None        => ()
-      }
-    }
-    walkPartitions()
-  }
+  private def partitionPaths(): Seq[String] =
+    currentManifest().files.map(parentRel).distinct
 
-  private def walkPartitions(): Seq[String] = {
+  private def walkDataFiles(): Seq[String] = {
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return Nil
     def walk(dir: Path, depth: Int): Seq[String] = {
@@ -217,28 +434,41 @@ final class Collection private (
         .filter(_.isDirectory)
         .map(_.getPath)
         .filter(p => p.getName.contains("=") && !p.getName.startsWith("_"))
-      if (depth == 1) children.map(p => relativize(rootPath, p))
+      if (depth == 1)
+        children.flatMap { d =>
+          fs.listStatus(d).toSeq.filter(st => st.isFile && isDataFile(st.getPath.getName))
+            .map(st => s"${relativize(rootPath, d)}/${st.getPath.getName}")
+        }
       else children.flatMap(c => walk(c, depth - 1))
     }
     walk(rootPath, partCols.length).sorted
   }
 
-  /** Rebuild the catalog by walking the store (reference base.py:352-375). */
+  /** Rebuild the manifest by walking the store — the recovery path when the
+    * manifest directory was lost (reference base.py:352-375 catalog
+    * repair). Trusts every data file found on disk, so run [[vacuum]]
+    * BEFORE losing the manifest, not after. */
   def repairCatalog(): Seq[String] = {
     requireWritable()
-    require(catalogEnabled, "repairCatalog() requires a catalog-enabled collection")
-    val walked = walkPartitions()
-    catalogWrite(walked)
-    walked
+    val walked = walkDataFiles()
+    val man = currentManifest()
+    commitManifest(man.copy(generation = man.generation + 1, files = walked))
+    walked.map(parentRel).distinct.sorted
   }
 
   // --- drop --------------------------------------------------------
 
-  /** Delete matching partitions; returns the removed paths
-    * (reference base.py:599-634). */
+  /** Drop matching partitions: the manifest commit makes them invisible
+    * atomically; the physical delete follows (reference base.py:599-634). */
   def dropPartitions(filters: String = null): Seq[String] = {
     requireWritable()
     val doomed = partitions(filters)
+    if (doomed.isEmpty) return doomed
+    val doomedSet = doomed.toSet
+    val man = currentManifest()
+    commitManifest(man.copy(
+      generation = man.generation + 1,
+      files = man.files.filterNot(f => doomedSet.contains(parentRel(f)))))
     doomed.foreach { rel =>
       fs.delete(new Path(s"$root/$rel"), true)
       // prune now-empty parent directories up to the root
@@ -250,21 +480,29 @@ final class Collection private (
         parent = parent.getParent
       }
     }
-    if (catalogEnabled) catalogRemove(doomed)
     doomed
   }
 
   // --- map / update ------------------------------------------------
 
-  /** Apply `fn` to each matching partition's dataset on the driver and
-    * collect the results, mirroring reference base.py:638-696. For
-    * distributed per-partition work prefer [[transformPartitions]] or a
-    * plain `groupBy` over the partition columns. */
-  def map[A](fn: DataFrame => A, filters: String = null): Seq[(String, A)] =
+  /** Apply `fn` to each matching partition's dataset ON THE DRIVER, one
+    * partition at a time — mirrors reference base.py:638-696 but runs
+    * |partitions| sequential Spark jobs. For distributed per-partition
+    * work ALWAYS prefer [[transformPartitions]] (or a `groupBy` over the
+    * partition columns); this method exists for API parity and small
+    * partition counts only. */
+  def map[A](fn: DataFrame => A, filters: String = null): Seq[(String, A)] = {
+    val byPart = currentManifest().files.groupBy(parentRel)
+    val fields = readSchemaFields(schema)
     partitions(filters).map { p =>
-      val df = spark.read.parquet(s"$root/$p").drop(RowIdCol)
+      val df = spark.read
+        .option("basePath", root)
+        .schema(StructType(fields))
+        .parquet(byPart(p).map(f => s"$root/$f"): _*)
+        .select(schema.fieldNames.toSeq.map(col): _*)
       p -> fn(attachImmutable(df))
     }
+  }
 
   /** Distributed per-partition transform: `fn` sees data + partition
     * columns; the result streams through Catalyst untouched. */
@@ -277,11 +515,12 @@ final class Collection private (
     * rewriting ONLY the touched partitions (reference base.py:698-794;
     * like the reference, `fn` must not move rows across partitions).
     *
-    * When `variables` is given, `fn` sees only those columns (plus they
-    * are the only ones it may change); unlike the reference — which drops
-    * unloaded variables from disk on such an update — the remaining
-    * columns are carried through unchanged by re-joining on the stable
-    * `_zc_row` key, so a projected update can never lose data. */
+    * When `variables` is given, `fn` sees `(partition cols, _zc_row,
+    * variables)` and may only change the variables; the remaining columns
+    * are carried through unchanged by re-joining on the per-partition
+    * stable key `(partition cols, _zc_row)` — co-partitioned, and safe
+    * even when the touched partitions were written by different insert
+    * commits (row ids are only unique WITHIN a partition). */
   def update(
       fn: DataFrame => DataFrame,
       filters: String = null,
@@ -289,6 +528,7 @@ final class Collection private (
   ): Seq[String] = {
     requireWritable()
     val ast = FilterExpr.parse(filters)
+    val touched = partitions(filters)
     val prunedRaw = readRaw().where(FilterExpr.toColumn(ast))
     val out: DataFrame =
       if (variables == null) {
@@ -296,50 +536,47 @@ final class Collection private (
         fn(attachImmutable(pruned)).select(schema.fieldNames.toSeq.map(col): _*)
       } else {
         require(variables.nonEmpty, "variables must be non-empty when given")
-        val loaded = prunedRaw.select((RowIdCol +: variables).map(col): _*)
+        require(!variables.exists(v => partCols.contains(v) || v == axis),
+          "cannot update the axis or a partition column in place")
+        val keyCols = partCols :+ RowIdCol
+        val loaded = prunedRaw.select((keyCols ++ variables).map(col): _*)
         val updated = fn(attachImmutable(loaded))
-          .select((RowIdCol +: variables).map(col): _*)
+          .select((keyCols ++ variables).map(col): _*)
         val rest = prunedRaw.select(
-          (RowIdCol +: schema.fieldNames.filterNot(variables.contains).toSeq).map(col): _*)
-        rest.join(updated, RowIdCol)
+          (keyCols ++ schema.fieldNames.filterNot(variables.contains)).map(col): _*)
+        rest.join(updated, keyCols)
           .select(schema.fieldNames.toSeq.map(col): _*)
       }
-    write(partitioning.assign(out))
-    partitions(filters)
+    writeAndCommit(partitioning.assign(out), replaced = touched.toSet, touched = touched)
+    touched
   }
-
-  // --- catalog internals -------------------------------------------
-
-  private def catalogStatePath = new Path(s"$root/$CatalogDir/state.json")
-
-  private def catalogRead(): Option[Seq[String]] = {
-    if (!fs.exists(catalogStatePath)) return None
-    val in: java.io.InputStream = fs.open(catalogStatePath)
-    try {
-      val doc = new ObjectMapper().readValue(in, classOf[java.util.Map[String, Object]])
-      Some(doc.get("paths").asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
-    } finally in.close()
-  }
-
-  private def catalogWrite(paths: Seq[String]): Unit = {
-    val m = new java.util.LinkedHashMap[String, Object]()
-    m.put("paths", new java.util.ArrayList[Object](paths.sorted.asJava))
-    writeJson(fs, catalogStatePath, m)
-  }
-
-  private def catalogAdd(paths: Seq[String]): Unit =
-    catalogWrite((catalogRead().getOrElse(Nil) ++ paths).distinct)
-
-  private def catalogRemove(paths: Seq[String]): Unit =
-    catalogWrite(catalogRead().getOrElse(Nil).filterNot(paths.toSet))
 
   // --- key helpers -------------------------------------------------
 
-  private def keyPath(key: Seq[(String, Any)]): String =
-    key.map { case (c, v) => s"$c=$v" }.mkString("/")
+  private def distinctKeys(assigned: DataFrame): Seq[Seq[(String, Any)]] =
+    assigned.select(partCols.map(col): _*).distinct().collect()
+      .map(r => partCols.zipWithIndex.map { case (c, i) => c -> r.get(i) })
+      .toSeq
 
-  private def keyPredicate(keys: Seq[Seq[(String, Any)]]): Column =
-    keys.map(k => k.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)).reduce(_ || _)
+  /** Hive-escaped relative directory for a partition key — matches the
+    * names Spark's file committer writes, so string/whatever partition
+    * values with `=`/`:`/space/`%` compare correctly against on-disk
+    * paths. */
+  private def keyPath(key: Seq[(String, Any)]): String =
+    key.map { case (c, v) =>
+      val vs = if (v == null) null else v.toString
+      val escaped =
+        if (vs == null || vs.isEmpty) "__HIVE_DEFAULT_PARTITION__"
+        else ExternalCatalogUtils.escapePathName(vs)
+      s"${ExternalCatalogUtils.escapePathName(c)}=$escaped"
+    }.mkString("/")
+
+  /** Predicate selecting rows belonging to the given partition paths,
+    * built from DECODED key tuples (typed comparison, not string match). */
+  private def pathPredicate(paths: Seq[String]): Column =
+    paths.flatMap(decodePath)
+      .map(k => k.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+      .reduce(_ || _)
 
   private def partitionKeySet(): Set[String] = partitionPaths().toSet
 
@@ -349,7 +586,8 @@ final class Collection private (
     val kvs = segs.map { s =>
       val i = s.indexOf('=')
       if (i < 0) return None
-      val (n, v) = (s.substring(0, i), s.substring(i + 1))
+      val n = ExternalCatalogUtils.unescapePathName(s.substring(0, i))
+      val v = ExternalCatalogUtils.unescapePathName(s.substring(i + 1))
       n -> (scala.util.Try(v.toLong).getOrElse(v): Any)
     }
     if (kvs.map(_._1) == partCols) Some(kvs) else None
@@ -370,11 +608,73 @@ final class Collection private (
 
 object Collection {
   val ConfigFile = "_graft.json"
-  val CatalogDir = "_catalog"
+  val ManifestDir = "_manifest"
   val ImmutableDir = "_immutable"
-  /** Hidden per-partition row number, the positional key for View overlays. */
+  val ImmutableMeta = "_meta.json"
+  /** Hidden per-partition row id, the positional key for View overlays. */
   val RowIdCol = "_zc_row"
-  private val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+  /** On-disk format version this build reads and writes; `open` refuses a
+    * NEWER format instead of silently mis-reading it (reference
+    * schema/versioning.py FORMAT_VERSION). */
+  val FormatVersion = 2
+
+  private val ManifestName = "manifest-([0-9]+)\\.json".r
+
+  private[core] final case class Manifest(
+      generation: Long,
+      taskBase: Long,
+      schemaDdl: String,
+      fills: Map[String, String],
+      files: Seq[String],
+  )
+
+  private[core] def isDataFile(name: String): Boolean =
+    name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
+
+  private[core] def parentRel(file: String): String =
+    file.substring(0, file.lastIndexOf('/'))
+
+  private def manifestPath(dir: Path, gen: Long): Path =
+    new Path(dir, f"manifest-$gen%012d.json")
+
+  private[core] def readManifest(fs: FileSystem, dir: Path, gen: Long): Manifest = {
+    val in: java.io.InputStream = fs.open(manifestPath(dir, gen))
+    val doc =
+      try new ObjectMapper().readValue(in, classOf[java.util.Map[String, Object]])
+      finally in.close()
+    Manifest(
+      generation = doc.get("generation").toString.toLong,
+      taskBase = doc.get("taskBase").toString.toLong,
+      schemaDdl = doc.get("schema").toString,
+      fills = Option(doc.get("fills"))
+        .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map {
+          case (k, v) => k -> String.valueOf(v)
+        }.toMap)
+        .getOrElse(Map.empty),
+      files = Option(doc.get("files"))
+        .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
+        .getOrElse(Nil))
+  }
+
+  /** Atomic commit: write `manifest-<gen>.json.tmp`, rename into place.
+    * The rename target never pre-exists (generations only grow), so this
+    * is atomic on HDFS/local posix; on object stores the single PUT of the
+    * final name is the atomic step. */
+  private[core] def writeManifest(fs: FileSystem, dir: Path, m: Manifest): Unit = {
+    val doc = new java.util.LinkedHashMap[String, Object]()
+    doc.put("generation", java.lang.Long.valueOf(m.generation))
+    doc.put("taskBase", java.lang.Long.valueOf(m.taskBase))
+    doc.put("schema", m.schemaDdl)
+    val fillsMap = new java.util.LinkedHashMap[String, Object]()
+    m.fills.foreach { case (k, v) => fillsMap.put(k, v) }
+    doc.put("fills", fillsMap)
+    doc.put("files", new java.util.ArrayList[Object](m.files.asJava))
+    val tmp = new Path(dir, f"manifest-${m.generation}%012d.json.tmp")
+    writeJson(fs, tmp, doc)
+    if (!fs.rename(tmp, manifestPath(dir, m.generation)))
+      throw new IllegalStateException(
+        s"manifest commit failed for generation ${m.generation} under $dir")
+  }
 
   /** Create a new collection rooted at `root` (reference base.py:161-234). */
   def create(
@@ -396,7 +696,7 @@ object Collection {
     require(schema.fieldNames.contains(axis), s"axis '$axis' is not a column of the schema")
 
     val m = new java.util.LinkedHashMap[String, Object]()
-    m.put("version", Integer.valueOf(1))
+    m.put("formatVersion", Integer.valueOf(FormatVersion))
     m.put("axis", axis)
     m.put("schema", schema.toDDL)
     m.put("partitioning", partitioning.toJsonMap)
@@ -406,11 +706,14 @@ object Collection {
     attrs.foreach { case (k, v) => attrsMap.put(k, v) }
     m.put("attrs", attrsMap)
     writeJson(fs, cfg, m)
+    writeManifest(fs, new Path(s"$root/$ManifestDir"),
+      Manifest(0L, 0L, schema.toDDL, Map.empty, Nil))
     new Collection(spark, root, schema, axis, partitioning, catalogEnabled,
       readOnly = false, CodecProfile(profile), attrs)
   }
 
-  /** Open an existing collection (reference base.py:236-271). */
+  /** Open an existing collection (reference base.py:236-271). Refuses a
+    * format newer than this build writes. */
   def open(spark: SparkSession, root: String, readOnly: Boolean = false): Collection = {
     val fs = fileSystem(spark, root)
     val cfg = new Path(s"$root/$ConfigFile")
@@ -420,6 +723,11 @@ object Collection {
     val doc =
       try new ObjectMapper().readValue(in, classOf[java.util.Map[String, Object]])
       finally in.close()
+    val fmt = Option(doc.get("formatVersion")).orElse(Option(doc.get("version")))
+      .map(_.toString.toInt).getOrElse(1)
+    if (fmt > FormatVersion)
+      throw new IllegalStateException(
+        s"collection at $root uses format $fmt; this build reads up to $FormatVersion")
     val schema = StructType.fromDDL(doc.get("schema").toString)
     val partitioning = Partitioning.fromJsonMap(
       doc.get("partitioning").asInstanceOf[java.util.Map[String, Object]])

@@ -29,19 +29,37 @@ final class Indexer private (
   def table: DataFrame = spark.read.parquet(s"$root/index")
 
   /** Rows of the base collection matching the equality predicate, read
-    * from index-selected partitions only (reference parquet.py:120-210:
-    * query -> {partition: ranges} -> per-partition slicing). */
-  def query(eq: Map[String, Any]): DataFrame = {
+    * from index-selected partitions only AND sliced to the indexed
+    * `_zc_row` ranges (reference parquet.py:120-210: query ->
+    * {partition: ranges} -> per-partition row slicing).
+    *
+    * The range predicate is a disjunction of `_zc_row BETWEEN` bands over
+    * a single data column — parquet pushes it to row-group zone maps, and
+    * because inserts write `_zc_row` in sorted order per file, row groups
+    * outside every indexed range are skipped without decoding. When the
+    * index returns more than `maxRanges` entries the row bands are dropped
+    * (the predicate would outweigh its pruning value) and partition
+    * pruning + the key predicate carry the query alone. */
+  def query(eq: Map[String, Any], maxRanges: Int = 256): DataFrame = {
     require(eq.keySet.subsetOf(keys.toSet), s"index covers $keys, got ${eq.keySet}")
     val pred = eq.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
-    // Small by construction: distinct partition keys holding the value.
-    val parts = table.where(pred).select(partCols.map(col): _*).distinct().collect()
-    if (parts.isEmpty)
+    // Small by construction: one row per (partition, matching key tuple).
+    val hits = table.where(pred)
+      .select((partCols.map(col) :+ col("_start") :+ col("_stop")): _*)
+      .limit(maxRanges + 1)
+      .collect()
+    if (hits.isEmpty)
       return collection.query().where(lit(false))
-    val partPred = parts.toSeq
+    val partPred = hits.toSeq
       .map(r => partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _))
       .reduce(_ || _)
-    collection.readRaw().where(partPred && pred)
+    val rowId = col(Collection.RowIdCol)
+    val rowPred =
+      if (hits.length > maxRanges) lit(true)
+      else hits.toSeq
+        .map(r => rowId >= r.getAs[Long]("_start") && rowId < r.getAs[Long]("_stop"))
+        .reduce(_ || _)
+    collection.readRaw().where(partPred && rowPred && pred)
       .select(collection.schema.fieldNames.toSeq.map(col): _*)
   }
 }

@@ -53,9 +53,17 @@ object MergeStrategy {
   }
 
   /** reference merge.py:189-279 — row-wise replace-or-add by axis equality,
-    * or nearest-within-`tolerance` when set (reference upsert_within). The
-    * anti-join carries the partition columns as equi-keys, so the range
-    * condition only ever runs within one partition's slice.
+    * or nearest-within-`tolerance` when set (reference upsert_within).
+    *
+    * Exact mode anti-joins on (partition cols, axis) — co-partitioned, no
+    * cross-partition work. Tolerance mode matches on axis PROXIMITY alone
+    * (the reference's pure nearest-within-window semantics, which must
+    * cross partition boundaries: an existing 23:59:59.99 row matches an
+    * inserted 00:00:00.04 row at 100 ms tolerance). It distributes as a
+    * BANDED anti-join: both sides bucket the axis at `floor(axis / tol)`
+    * and the inserted side explodes into its three adjacent buckets, so
+    * the equi-key carries the shuffle and every candidate comparison is
+    * bucket-local — never a cross product, even on 10^12 rows.
     *
     * @param toleranceMicros for timestamp axes: match window in microseconds;
     *                        for numeric axes the same value is compared raw.
@@ -70,11 +78,17 @@ object MergeStrategy {
             inserted.select((partCols :+ axis).map(col): _*).distinct(),
             partCols :+ axis, "left_anti")
         case Some(tol) =>
-          val e = existing.alias("e")
-          val i = inserted.select((partCols :+ axis).map(col): _*).distinct().alias("i")
-          val keyEq = partCols.map(c => col(s"e.$c") === col(s"i.$c")).reduce(_ && _)
-          val near = abs(axisNum(col(s"e.$axis")) - axisNum(col(s"i.$axis"))) <= lit(tol)
-          e.join(i, keyEq && near, "left_anti")
+          def bucket(c: Column): Column = floor(axisNum(c) / lit(tol.toDouble)).cast("long")
+          val i = inserted.select(col(axis).as("_zc_iax")).distinct()
+            .select(col("_zc_iax"),
+              explode(array(lit(-1L), lit(0L), lit(1L))).as("_zc_off"))
+            .select(col("_zc_iax"), (bucket(col("_zc_iax")) + col("_zc_off")).as("_zc_ibkt"))
+          val e = existing.withColumn("_zc_ebkt", bucket(col(axis)))
+          e.join(i,
+              e("_zc_ebkt") === i("_zc_ibkt") &&
+                abs(axisNum(e(axis)) - axisNum(i("_zc_iax"))) <= lit(tol),
+              "left_anti")
+            .drop("_zc_ebkt")
       }
       kept.unionByName(inserted).sortWithinPartitions((partCols :+ axis).map(col): _*)
     }

@@ -33,6 +33,10 @@ sealed trait Partitioning extends Serializable {
   /** Partition columns computed from the axis (dropped on query). */
   def derivedCols: Seq[String] = axis.diff(identityCols)
 
+  /** Data columns the strategy reads (guards schema evolution: these can
+    * never be dropped). */
+  def inputCols: Seq[String]
+
   /** Spark type of each partition column (used to re-cast after partition
     * discovery, which infers integers). */
   def colType(name: String, schema: org.apache.spark.sql.types.StructType): DataType
@@ -54,6 +58,7 @@ final case class DatePartitioning(variable: String, resolution: String) extends 
   override def dimension: String = variable
   override val axis: Seq[String] = Components(resolution)
   override def identityCols: Seq[String] = Nil
+  override def inputCols: Seq[String] = Seq(variable)
   override def colType(n: String, s: org.apache.spark.sql.types.StructType): DataType = IntegerType
 
   override def assign(df: DataFrame): DataFrame =
@@ -95,6 +100,7 @@ final case class SequencePartitioning(variables: Seq[String], dim: String) exten
   override def dimension: String = dim
   override def axis: Seq[String] = variables
   override def identityCols: Seq[String] = variables
+  override def inputCols: Seq[String] = variables
   override def colType(n: String, s: org.apache.spark.sql.types.StructType): DataType =
     s.find(_.name == n).map(_.dataType).getOrElse(LongType)
   override def assign(df: DataFrame): DataFrame = df
@@ -123,6 +129,7 @@ final case class GroupedSequencePartitioning(
   override def dimension: String = dim
   override def axis: Seq[String] = variables.init :+ groupCol
   override def identityCols: Seq[String] = variables.init
+  override def inputCols: Seq[String] = variables
   override def colType(n: String, s: org.apache.spark.sql.types.StructType): DataType =
     if (n == groupCol) s.find(_.name == variables.last).map(_.dataType).getOrElse(LongType)
     else s.find(_.name == n).map(_.dataType).getOrElse(LongType)

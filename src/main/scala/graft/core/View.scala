@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   * The overlay is its own parquet tree, partitioned by the SAME partition
   * columns as the base, holding only `(partition cols, _zc_row, overlay
   * cols)`. Row alignment uses the base's hidden `_zc_row` (per-partition
-  * row number materialized at insert), the positional analogue of the
+  * stable row id materialized at insert), the positional analogue of the
   * reference's per-partition array alignment. `query` equi-joins base and
   * overlay on `(partition cols, _zc_row)` — a key that is co-partitioned
   * by construction, so at scale the join shuffles evenly and can be
   * bucket-collocated; the base's data files are never rewritten.
+  *
+  * Staleness: every base write bumps the collection's manifest generation;
+  * the view records the generation it was computed against and `query`
+  * refuses to silently misalign after the base was rewritten (the
+  * reference's view sync detects changed partitions the same way) —
+  * re-run [[update]] to refresh, or pass `allowStale = true` to force.
   */
 final class View private (
     val spark: SparkSession,
@@ -30,38 +36,115 @@ final class View private (
     * `_graft_view.json` without confusing partition discovery. */
   private def dataDir: String = s"$root/overlay"
 
+  private def fsys = Collection.fileSystem(spark, root)
+
   /** Compute overlay variables: `fn` receives the base scan (data +
     * partition cols + `_zc_row`) and must return it with extra columns;
-    * only the extra columns are persisted (reference view/base.py:318-409). */
-  def update(fn: DataFrame => DataFrame): Unit = {
-    val baseDf = base.readRaw()
+    * only the extra columns are persisted (reference view/base.py:318-409).
+    *
+    * `filters` restricts the recompute to matching partitions — only their
+    * overlay directories are rewritten, the per-partition efficiency the
+    * reference's `update(..., filters=)` exists for. `variables` names the
+    * overlay columns being (re)computed; any OTHER pre-existing overlay
+    * columns in the touched partitions are carried through unchanged by
+    * re-joining the old overlay on `(partition cols, _zc_row)`. */
+  def update(
+      fn: DataFrame => DataFrame,
+      filters: String = null,
+      variables: Seq[String] = null,
+  ): Unit = {
+    val ast = FilterExpr.parse(filters)
+    val baseDf = base.readRaw().where(FilterExpr.toColumn(ast))
     val out = fn(baseDf)
-    val newCols = out.columns.filterNot(baseDf.columns.contains)
+    val newCols = out.columns.filterNot(baseDf.columns.contains).toSeq
     require(newCols.nonEmpty, "view update must add at least one new column")
-    val overlay = out.select((partCols ++ Seq(RowIdCol) ++ newCols).map(col): _*)
+    if (variables != null)
+      require(newCols.toSet == variables.toSet,
+        s"fn produced ${newCols.mkString(",")} but variables=${variables.mkString(",")}")
+
+    val existingCols: Seq[String] =
+      if (!fsys.exists(new Path(dataDir))) Nil
+      else spark.read.parquet(dataDir).columns
+        .filterNot(c => partCols.contains(c) || c == RowIdCol).toSeq
+    if (filters != null && existingCols.nonEmpty)
+      require(newCols.forall(existingCols.contains),
+        s"partial update may only recompute existing overlay columns " +
+        s"(${existingCols.mkString(",")}); add new columns with a full update first")
+
+    val keyCols = partCols :+ RowIdCol
+    var overlay = out.select((keyCols ++ newCols).map(col): _*)
+    val preserved = existingCols.filterNot(newCols.contains)
+    if (preserved.nonEmpty) {
+      // carry untouched overlay columns through the rewrite
+      val old = readOverlay().where(FilterExpr.toColumn(ast))
+        .select((keyCols ++ preserved).map(col): _*)
+      overlay = overlay.join(old, keyCols, "left")
+        .select((keyCols ++ existingCols).map(col): _*)
+    } else if (existingCols.nonEmpty) {
+      overlay = overlay.select((keyCols ++ existingCols).map(col): _*)
+    }
+
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try overlay.write.partitionBy(partCols: _*).mode("overwrite").parquet(dataDir)
     finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    writeConfig(Some(base.generation))
+  }
+
+  /** Overlay scan with partition columns re-cast to their declared types. */
+  private def readOverlay(): DataFrame = {
+    val o = spark.read.parquet(dataDir)
+    partCols.foldLeft(o)((d, c) =>
+      d.withColumn(c, col(c).cast(base.partitioning.colType(c, base.schema))))
   }
 
   /** Base + overlay, aligned by `(partition cols, _zc_row)`
-    * (reference view/base.py:232-316). */
-  def query(filters: String = null, variables: Seq[String] = null): DataFrame = {
+    * (reference view/base.py:232-316). Fails on a stale overlay (base
+    * rewritten since the last [[update]]) unless `allowStale`. */
+  def query(
+      filters: String = null,
+      variables: Seq[String] = null,
+      allowStale: Boolean = false,
+  ): DataFrame = {
     val ast = FilterExpr.parse(filters)
     val b = base.readRaw().where(FilterExpr.toColumn(ast))
-    val fsys = Collection.fileSystem(spark, root)
     val (joined, overlayCols) =
       if (!fsys.exists(new Path(dataDir))) (b, Seq.empty[String])
       else {
-        val o = spark.read.parquet(dataDir)
-        val oCast = partCols.foldLeft(o)((d, c) =>
-          d.withColumn(c, col(c).cast(base.partitioning.colType(c, base.schema))))
-        val cols = o.columns.filterNot(c => partCols.contains(c) || c == RowIdCol).toSeq
+        if (!allowStale) baseGeneration().foreach { g =>
+          val cur = base.generation
+          if (cur != g) throw new IllegalStateException(
+            s"view at $root is stale: base is at generation $cur but the overlay was " +
+            s"computed at $g; re-run update() (or query(allowStale = true))")
+        }
+        val oCast = readOverlay()
+        val cols = oCast.columns.filterNot(c => partCols.contains(c) || c == RowIdCol).toSeq
         (b.join(oCast, partCols :+ RowIdCol, "left"), cols)
       }
     val out = joined.select((base.schema.fieldNames.toSeq ++ overlayCols).map(col): _*)
     if (variables != null) out.select(variables.map(col): _*) else out
+  }
+
+  /** Partition listing of the view = listing of its base
+    * (reference view/base.py:226). */
+  def partitions(filters: String = null): Seq[String] = base.partitions(filters)
+
+  private def writeConfig(baseGen: Option[Long]): Unit = {
+    val m = new java.util.LinkedHashMap[String, Object]()
+    m.put("version", Integer.valueOf(1))
+    m.put("base", base.root)
+    baseGen.foreach(g => m.put("baseGeneration", java.lang.Long.valueOf(g)))
+    Collection.writeJson(fsys, new Path(s"$root/${View.ConfigFile}"), m)
+  }
+
+  private def baseGeneration(): Option[Long] = {
+    val cfg = new Path(s"$root/${View.ConfigFile}")
+    if (!fsys.exists(cfg)) return None
+    val in: java.io.InputStream = fsys.open(cfg)
+    val doc =
+      try new ObjectMapper().readValue(in, classOf[java.util.Map[String, Object]])
+      finally in.close()
+    Option(doc.get("baseGeneration")).map(_.toString.toLong)
   }
 }
 
@@ -78,6 +161,7 @@ object View {
     val m = new java.util.LinkedHashMap[String, Object]()
     m.put("version", Integer.valueOf(1))
     m.put("base", base.root)
+    m.put("baseGeneration", java.lang.Long.valueOf(base.generation))
     Collection.writeJson(fs, cfg, m)
     new View(spark, root, base)
   }

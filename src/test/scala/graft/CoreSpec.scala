@@ -195,7 +195,8 @@ class CollectionSpec extends AnyFunSuite {
     val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
     c.insert(df)
     c.update(d => {
-      assert(d.columns.toSet == Set(Collection.RowIdCol, "v"))
+      // fn sees the partition cols + stable row key + requested variables
+      assert(d.columns.toSet == Set("year", "month", "day", Collection.RowIdCol, "v"))
       d.withColumn("v", col("v") * 100)
     }, filters = "month == 1", variables = Seq("v"))
     val got = c.query().orderBy("id")
@@ -300,5 +301,174 @@ class CollectionSpec extends AnyFunSuite {
     val ro = Collection.open(spark, root, readOnly = true)
     intercept[IllegalStateException](ro.insert(df))
     intercept[IllegalStateException](ro.dropPartitions())
+  }
+
+  test("crash between data write and manifest commit leaves readers on the old snapshot") {
+    val root = SparkTestSession.tmp("graft-crash")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df.where(col("id") <= 2))
+    val genBefore = c.generation
+    val before = c.query().orderBy("id").collect().map(_.getLong(0)).toSeq
+
+    // the writer dies after appending its data files, before the commit
+    c.insertUncommitted(df.where(col("id") >= 3))
+
+    assert(c.generation == genBefore, "no manifest was committed")
+    assert(c.query().orderBy("id").collect().map(_.getLong(0)).toSeq == before,
+      "reader observed uncommitted files")
+    assert(c.partitions() == Seq("year=2024/month=1/day=1"))
+
+    // vacuum reclaims the orphans; a later committed insert is unaffected
+    val orphans = c.vacuum()
+    assert(orphans.nonEmpty)
+    assert(c.vacuum().isEmpty)
+    c.insert(df.where(col("id") >= 3))
+    assert(c.query().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("concat appends never read or rewrite existing files; row ids stay unique per partition") {
+    val root = SparkTestSession.tmp("graft-append")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df.where(col("id") === 1L))
+    def day1Files(): Set[String] = {
+      val d = new java.io.File(s"$root/year=2024/month=1/day=1")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val before = day1Files()
+    c.insert(mkEvents().where(col("id") === 2L), MergeStrategy.Concat)
+    assert(before.subsetOf(day1Files()), "concat rewrote an existing file")
+    // row ids from the two separate commits must not collide within the partition
+    val ids = c.readRaw().where(col("day") === 1)
+      .select(Collection.RowIdCol).collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size, s"row-id collision across commits: $ids")
+  }
+
+  test("projected update is safe across partitions written by different commits") {
+    // ADVICE r1: row ids restart per write job; a variables-projected
+    // update spanning multiple commits must not cross-match rows.
+    val root = SparkTestSession.tmp("graft-updx")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df.where(col("id") <= 2))        // commit 1: day 1
+    c.insert(df.where(col("id") >= 3))        // commit 2: day 2 + feb
+    c.update(d => d.withColumn("v", col("v") * 10), variables = Seq("v"))
+    val got = c.query().orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+  }
+
+  test("upsert tolerance matches across a partition boundary") {
+    val root = SparkTestSession.tmp("graft-xday")
+    val df = Seq(
+      (1L, "2024-01-01 23:59:59.95", "a", 1.0),
+      (2L, "2024-01-01 12:00:00", "b", 2.0),
+    ).toDF("id", "ts", "kind", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    // 00:00:00.04 next day is 90ms after the existing 23:59:59.95 row
+    val up = Seq((9L, "2024-01-02 00:00:00.04", "z", 9.0))
+      .toDF("id", "ts", "kind", "v").withColumn("ts", col("ts").cast("timestamp"))
+    c.insert(up, MergeStrategy.Upsert(Some(100000L))) // 100ms
+    val got = c.query().orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 9L), "existing row at the partition edge was not replaced")
+  }
+
+  test("hive-escaped partition values round-trip (string keys with spaces and colons)") {
+    val root = SparkTestSession.tmp("graft-esc")
+    val df = Seq((1L, "a b:c", 1.0), (2L, "a b:c", 2.0), (3L, "plain", 3.0))
+      .toDF("k", "tag", "v")
+    val c = Collection.create(spark, root, df.schema, "k",
+      SequencePartitioning(Seq("tag"), "k"))
+    c.insert(df)
+    assert(c.partitions().size == 2)
+    // a non-replace merge into the escaped partition must MERGE, not
+    // silently dynamic-overwrite it (r1 bug: raw string compare vs
+    // escaped dir names never matched)
+    val extra = Seq((4L, "a b:c", 4.0)).toDF("k", "tag", "v")
+    c.insert(extra, MergeStrategy.Concat)
+    assert(c.query("tag == 'a b:c'").count() == 3)
+    assert(c.query().count() == 4)
+  }
+
+  test("schema evolution: addVariable fills old partitions, dropVariable projects away") {
+    val root = SparkTestSession.tmp("graft-evo")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df.where(col("id") <= 2))
+    c.addVariable("score", org.apache.spark.sql.types.DoubleType, fill = Some("0.5"))
+    assert(c.schema.fieldNames.toSeq == Seq("id", "ts", "kind", "v", "score"))
+    // new partitions carry the column; old partitions read it as the fill
+    val withScore = mkEvents().where(col("id") >= 3).withColumn("score", col("v") * 2)
+    c.insert(withScore)
+    val got = c.query().orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(4))).toSeq
+    assert(got == Seq((1L, 0.5), (2L, 0.5), (3L, 6.0), (4L, 8.0)))
+    // reopen sees the evolved schema (manifest wins over the create-time config)
+    assert(Collection.open(spark, root).schema.fieldNames.contains("score"))
+
+    c.dropVariable("kind")
+    assert(c.query().columns.toSeq == Seq("id", "ts", "v", "score"))
+    intercept[IllegalArgumentException](c.dropVariable("ts"))    // axis
+    intercept[IllegalArgumentException](c.addVariable("year", org.apache.spark.sql.types.IntegerType))
+
+    // refuse-to-open-newer: bump the stored format version
+    val cfgPath = java.nio.file.Paths.get(root, Collection.ConfigFile)
+    val cfg = new String(java.nio.file.Files.readAllBytes(cfgPath))
+    java.nio.file.Files.write(cfgPath,
+      cfg.replace(s""""formatVersion" : ${Collection.FormatVersion}""",
+        s""""formatVersion" : ${Collection.FormatVersion + 1}""").getBytes)
+    // drop the stale hadoop-local checksum shadowing the hand-edited file
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, s".${Collection.ConfigFile}.crc"))
+    intercept[IllegalStateException](Collection.open(spark, root))
+  }
+
+  test("generation bumps on every write; views detect a stale overlay") {
+    val root = SparkTestSession.tmp("graft-gen")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    val g0 = c.generation
+    c.insert(df)
+    assert(c.generation == g0 + 1)
+
+    val v = View.create(spark, SparkTestSession.tmp("graft-genview"), c)
+    v.update(d => d.withColumn("vv", col("v") * 2))
+    assert(v.query().count() == 4)
+
+    // base rewrite -> overlay alignment can no longer be trusted
+    c.update(d => d.withColumn("v", col("v") + 1), filters = "month == 1")
+    intercept[IllegalStateException](v.query().collect())
+    v.query(allowStale = true).collect() // forced
+    v.update(d => d.withColumn("vv", col("v") * 2)) // refresh
+    assert(v.query().count() == 4)
+  }
+
+  test("view partial update: filters= rewrites only matching overlay partitions, variables= preserved") {
+    val root = SparkTestSession.tmp("graft-vpart")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    val v = View.create(spark, SparkTestSession.tmp("graft-vpartv"), c)
+    v.update(d => d.withColumn("doubled", col("v") * 2).withColumn("neg", -col("v")))
+    // recompute ONLY `doubled`, ONLY for january; `neg` must survive
+    v.update(d => d.withColumn("doubled", col("v") * 100),
+      filters = "month == 1", variables = Seq("doubled"))
+    val got = v.query().orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (1L, 100.0, -1.0), (2L, 200.0, -2.0), (3L, 300.0, -3.0), (4L, 8.0, -4.0)))
+    // adding a brand-new column requires a full update
+    intercept[IllegalArgumentException](
+      v.update(d => d.withColumn("fresh", lit(1)), filters = "month == 1"))
+  }
+
+  test("multi-row immutable dataset broadcast-joins on shared columns") {
+    val root = SparkTestSession.tmp("graft-imm2")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    c.writeImmutable(Seq(("a", "alpha"), ("b", "beta"), ("c", "gamma")).toDF("kind", "kind_name"))
+    val got = c.query().orderBy("id").collect().map(_.getString(4)).toSeq
+    assert(got == Seq("alpha", "beta", "alpha", "gamma"))
   }
 }
