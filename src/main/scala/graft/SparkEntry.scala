@@ -210,6 +210,37 @@ object SparkEntry {
       v.query(variables = Seq("event_id", "value", "value_rank")).orderBy("event_id")
     }),
 
+    // A17b: view PARTIAL update — filters= rewrites only matching overlay
+    // partitions, variables= names the recomputed columns; day <= 10 gets
+    // a descending rank, later days keep the original ascending one.
+    "zc_view_partial" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      val root = s"$scratch/viewp-${java.util.UUID.randomUUID().toString.take(8)}"
+      val v = View.create(s, root, c)
+      def ranked(desc: Boolean)(df: DataFrame): DataFrame = {
+        val ord = if (desc) Seq(col("value").desc, col("event_id")) else Seq(col("value").asc, col("event_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("year"), col("month"), col("day")).orderBy(ord: _*)
+        df.withColumn("value_rank", row_number().over(w))
+      }
+      v.update(ranked(desc = false))
+      v.update(ranked(desc = true), filters = "day <= 10", variables = Seq("value_rank"))
+      v.query(variables = Seq("event_id", "value", "value_rank")).orderBy("event_id")
+    }),
+
+    // A23: schema evolution — addVariable with a fill value; partitions
+    // written before the change read the fill, later inserts carry data.
+    "zc_schema_evo" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val c = freshEventsColl(s, dir, ev.where(dayofmonth(col("ts")) <= 10))
+      c.addVariable("flagged", org.apache.spark.sql.types.BooleanType, fill = Some("false"))
+      c.insert(ev.where(dayofmonth(col("ts")) > 10)
+        .withColumn("flagged", col("value") > 50))
+      c.query()
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"), col("flagged"))
+        .orderBy("event_id")
+    }),
+
     // A18: secondary index: equality query via index-selected partitions.
     "zc_index" -> ((s, dir) => {
       val c = eventsCollection(s, dir)
@@ -463,11 +494,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // D1: Structured Streaming tumbling-window agg over the collection
-    // (streamed to completion; equals the batch SQL aggregation).
+    // D1: Structured Streaming tumbling-window agg over the collection —
+    // the production append+watermark path: bounded state, each window
+    // emitted exactly once when the watermark finalizes it. Every window
+    // ending at or before max(ts) is emitted (watermark delay 0), which is
+    // what the oracle encodes.
     "stream_window" -> ((s, dir) => {
       val c = eventsCollection(s, dir)
-      graft.streaming.StreamOps.windowedAggOnce(s, c, "ts", "1 hour") { grouped =>
+      graft.streaming.StreamOps.windowedAggAppendOnce(s, c, "ts", "1 hour") { grouped =>
         grouped.agg(
           count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("decimal(38,2)").cast("double").as("sum_value"))
@@ -696,8 +730,7 @@ object SparkEntry {
          FROM events e
          WHERE NOT EXISTS (
            SELECT 1 FROM ins i
-           WHERE date_trunc('day', i.ts) = date_trunc('day', CAST(e.ts AS TIMESTAMP))
-             AND abs(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(i.ts)) <= 100000)
+           WHERE abs(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(i.ts)) <= 100000)
          UNION ALL
          SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM ins
          ORDER BY event_id""",
@@ -721,6 +754,20 @@ object SparkEntry {
       """SELECT event_id, value,
                 CAST(ROW_NUMBER() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP))
                                         ORDER BY value, event_id) AS INT) AS value_rank
+         FROM events ORDER BY event_id""",
+
+    "zc_view_partial" ->
+      """SELECT event_id, value,
+                CAST(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 10
+                  THEN ROW_NUMBER() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP))
+                                          ORDER BY value DESC, event_id)
+                  ELSE ROW_NUMBER() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP))
+                                          ORDER BY value, event_id) END AS INT) AS value_rank
+         FROM events ORDER BY event_id""",
+
+    "zc_schema_evo" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+                CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 10 THEN false ELSE value > 50 END AS flagged
          FROM events ORDER BY event_id""",
 
     "zc_index" ->
@@ -895,10 +942,13 @@ object SparkEntry {
          ORDER BY user_id, session_id""",
 
     "stream_window" ->
-      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_us,
-                CAST(count(*) AS BIGINT) AS n,
-                CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1 ORDER BY hour_start_us""",
+      """SELECT epoch_us(h) AS hour_start_us, n, sum_value FROM (
+           SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1) t
+         WHERE h + INTERVAL 1 HOUR <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
+         ORDER BY hour_start_us""",
 
     "q_semi_anti" ->
       """SELECT c_custkey, c_name, c_acctbal

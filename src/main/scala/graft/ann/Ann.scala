@@ -144,19 +144,18 @@ object Ann {
     * `threshold`. Identical vectors share every bucket, so exact
     * duplicates have perfect recall. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-                  tables: Int = 8, planes: Int = 12, dims: Int = 64): DataFrame = {
+                  tables: Int = 8, planes: Int = 12, dims: Int = 64,
+                  maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket): DataFrame = {
     // 12 planes/table: random-vector bucket collisions become rare (so the
     // candidate set stays near the true-duplicate count), while identical
     // vectors still collide in EVERY table; near-dup recall at cos~0.95 is
-    // ~1-(1-0.9^12)^tables ~ 0.93 with 8 tables.
+    // ~1-(1-0.9^12)^tables ~ 0.93 with 8 tables. Degenerate buckets (e.g.
+    // a mass-duplicated vector) fall back to star expansion.
     val b = buckets(df, idCol, vecCol, "_zc_id", tables, planes, dims)
       // shared Exchange: both self-join sides reuse one bucket computation
       .repartition(col("_zc_t"), col("_zc_bkt"))
-    val l = b.select(col("_zc_t"), col("_zc_bkt"), col("_zc_id").as("a"))
-    val r = b.select(col("_zc_t"), col("_zc_bkt"), col("_zc_id").as("b"))
-    val cands = l.join(r, Seq("_zc_t", "_zc_bkt"))
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val cands = graft.dedup.Dedup.boundedBucketPairs(
+      b, Seq("_zc_t", "_zc_bkt"), "_zc_id", maxBucket)
     // Precompute each vector's norm once (shared Exchange again) instead
     // of re-deriving both norms inside every candidate pair.
     val withNorm = df

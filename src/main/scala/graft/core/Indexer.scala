@@ -46,14 +46,16 @@ final class Indexer private (
     // Small by construction: one row per (partition, matching key tuple).
     val hits = table.where(pred)
       .select((partCols.map(col) :+ col("_start") :+ col("_stop")): _*)
-      .limit(maxRanges + 1)
       .collect()
     if (hits.isEmpty)
       return collection.query().where(lit(false))
     val partPred = hits.toSeq
       .map(r => partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _))
+      .distinct
       .reduce(_ || _)
     val rowId = col(Collection.RowIdCol)
+    // Partition pruning always applies in full; only the row-band predicate
+    // is capped (past maxRanges the giant OR costs more than it prunes).
     val rowPred =
       if (hits.length > maxRanges) lit(true)
       else hits.toSeq

@@ -63,21 +63,49 @@ object Dedup {
         xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))
       }: _*)).as(Seq("_zc_band", "_zc_bucket")))
 
+  /** Degenerate-bucket guard threshold: a bucket holding more ids than
+    * this (e.g. the empty-document class, boilerplate pages) would explode
+    * into cap² candidate pairs inside one task. */
+  val DefaultMaxBucket = 1000
+
+  /** Candidate pairs `(a, b)` with `a < b` sharing a bucket, BOUNDED: a
+    * bucket with at most `cap` ids emits its all-pairs clique; a larger
+    * bucket emits a STAR around its smallest id instead — O(|bucket|)
+    * pairs that keep the duplicate group connected (grouping by connected
+    * components is unaffected; only redundant intra-clique edges are
+    * dropped), so a pathological 10k-identical-doc class costs 10^4 pairs
+    * instead of 10^8. One window over the already-bucketed exchange — no
+    * extra shuffle; both self-join sides reuse that exchange. */
+  def boundedBucketPairs(buckets: DataFrame, bucketCols: Seq[String], idCol: String,
+                         cap: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    val ann = buckets
+      .withColumn("_zc_bn", count(lit(1)).over(w))
+      .withColumn("_zc_bmin", min(col(idCol)).over(w))
+    val small = ann.where(col("_zc_bn") <= cap)
+    val l = small.select((bucketCols.map(col) :+ col(idCol).as("a")): _*)
+    val r = small.select((bucketCols.map(col) :+ col(idCol).as("b")): _*)
+    val allPairs = l.join(r, bucketCols)
+      .where(col("a") < col("b"))
+      .select("a", "b")
+    val star = ann.where(col("_zc_bn") > cap && col(idCol) =!= col("_zc_bmin"))
+      .select(col("_zc_bmin").as("a"), col(idCol).as("b"))
+    allPairs.unionByName(star).distinct()
+  }
+
   /** Candidate pairs `(a, b)` with `a < b` sharing at least one LSH
-    * bucket. Shuffles on `(band, bucket)`; never O(n^2).
+    * bucket. Shuffles on `(band, bucket)`; never O(n^2) — degenerate
+    * buckets fall back to star expansion ([[boundedBucketPairs]]).
     *
     * The explicit repartition on the join key makes both self-join sides
     * rename-projections over ONE shared Exchange (ReuseExchange), so the
     * bucket computation runs once and the join needs no further shuffle. */
   def candidatePairs(df: DataFrame, idCol: String, sigCol: String,
-                     bands: Int, rowsPerBand: Int): DataFrame = {
+                     bands: Int, rowsPerBand: Int,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val buckets = bandBuckets(col(idCol), col(sigCol), bands, rowsPerBand)(df)
       .repartition(col("_zc_band"), col("_zc_bucket"))
-    val l = buckets.select(col("_zc_band"), col("_zc_bucket"), col("_zc_id").as("a"))
-    val r = buckets.select(col("_zc_band"), col("_zc_bucket"), col("_zc_id").as("b"))
-    l.join(r, Seq("_zc_band", "_zc_bucket"))
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
+    boundedBucketPairs(buckets, Seq("_zc_band", "_zc_bucket"), "_zc_id", maxBucket)
   }
 
   /** Verify candidate pairs against the TRUE Jaccard similarity of the
@@ -99,7 +127,7 @@ object Dedup {
     * Jaccard verify. */
   def minhashPairs(df: DataFrame, idCol: String, shingles: Column,
                    threshold: Double, numPerms: Int = 64,
-                   bands: Int = 16): DataFrame = {
+                   bands: Int = 16, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rowsPerBand = numPerms / bands
     // Repartition FIRST: the signature projection then runs above the
     // exchange, spread across cores even for a one-file input, and the
@@ -113,7 +141,7 @@ object Dedup {
       // Exchange ABOVE the signature projection: the band-join and both
       // verify joins reuse it, so signatures materialize exactly once.
       .repartition(col(idCol))
-    val cands = candidatePairs(withSig, idCol, "_zc_sig", bands, rowsPerBand)
+    val cands = candidatePairs(withSig, idCol, "_zc_sig", bands, rowsPerBand, maxBucket)
     verifyJaccard(cands, withSig, idCol, "_zc_sh", threshold)
   }
 
@@ -135,8 +163,11 @@ object Dedup {
       c => when(c > 0, lit(1)).otherwise(lit(0)))
 
   /** Near-dup pairs by SimHash: bucket on 16-bit chunks (pigeonhole for
-    * hamming <= 3), verify true hamming distance <= `maxHamming`. */
-  def simhashPairs(df: DataFrame, idCol: String, tokens: Column, maxHamming: Int): DataFrame = {
+    * hamming <= 3), verify true hamming distance <= `maxHamming`;
+    * degenerate chunks fall back to star expansion
+    * ([[boundedBucketPairs]]). */
+  def simhashPairs(df: DataFrame, idCol: String, tokens: Column, maxHamming: Int,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val withBits = df
       .repartition(col(idCol)) // parallelize the bit computation
       .withColumn("_zc_bits", simhash(tokens))
@@ -148,10 +179,7 @@ object Dedup {
         xxhash64(slice(col("_zc_bits"), b * 16 + 1, 16), lit(b))
       }: _*)).as(Seq("_zc_band", "_zc_bucket")))
       .repartition(col("_zc_band"), col("_zc_bucket"))
-    val l = chunks.select(col("_zc_band"), col("_zc_bucket"), col("_zc_id").as("a"))
-    val r = chunks.select(col("_zc_band"), col("_zc_bucket"), col("_zc_id").as("b"))
-    val cands = l.join(r, Seq("_zc_band", "_zc_bucket"))
-      .where(col("a") < col("b")).select("a", "b").distinct()
+    val cands = boundedBucketPairs(chunks, Seq("_zc_band", "_zc_bucket"), "_zc_id", maxBucket)
     val ba = withBits.select(col(idCol).as("a"), col("_zc_bits").as("_zc_ba"))
     val bb = withBits.select(col(idCol).as("b"), col("_zc_bits").as("_zc_bb"))
     cands.join(ba, "a").join(bb, "b")

@@ -98,24 +98,37 @@ case class AsOfJoinExec(
       lIt.map { lrow =>
         val k = lk.eval(lrow)
         var matched: Any = null
-        if (k != null) {
-          val t = lt.eval(lrow)
+        // null left keys or times never match (SQL comparison semantics);
+        // interpreted orderings NPE on null operands, so both sides skip
+        // null times explicitly rather than feeding them to the comparator.
+        val t = if (k == null) null else lt.eval(lrow)
+        if (k != null && t != null) {
           var advance = true
           while (advance && rBuf.hasNext) {
             val rrow = rBuf.head
             val rkv = rk.eval(rrow)
-            // null right keys sort first under interpreted ordering of the
-            // sort above; they can never match, so consume and move on
+            // null right keys sort first under the required ordering; they
+            // can never match, so consume and move on
             val cmp = if (rkv == null) -1 else keyOrd.compare(rkv.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef])
             if (cmp < 0) {
               rBuf.next()
               curKey = rkv
               lastTime = null
-            } else if (cmp == 0 &&
-                timeOrd.compare(rt.eval(rrow).asInstanceOf[AnyRef], t.asInstanceOf[AnyRef]) <= 0) {
-              lastTime = rt.eval(rrow)
-              curKey = rkv
-              rBuf.next()
+            } else if (cmp == 0) {
+              val rtv = rt.eval(rrow)
+              if (rtv == null) {
+                // null times sort first within the key (Ascending = nulls
+                // first): consume without recording a match time
+                rBuf.next()
+                curKey = rkv
+                lastTime = null
+              } else if (timeOrd.compare(rtv.asInstanceOf[AnyRef], t.asInstanceOf[AnyRef]) <= 0) {
+                lastTime = rtv
+                curKey = rkv
+                rBuf.next()
+              } else {
+                advance = false
+              }
             } else {
               advance = false
             }

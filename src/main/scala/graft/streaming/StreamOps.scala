@@ -22,9 +22,41 @@ object StreamOps {
       .parquet(c.root)
       .drop(Collection.RowIdCol)
 
+  /** PRIMARY streaming shape: append-mode tumbling-window aggregation
+    * with a watermark. State is bounded (windows older than the watermark
+    * are dropped) and only FINALIZED windows are emitted — exactly one
+    * output row per window, the pattern that runs unbounded in production.
+    * Runs to completion over the collection's current content and returns
+    * every window whose end is at or before `max(event time) - delay`
+    * (the final watermark).
+    *
+    * The Complete-mode variant [[windowedAggOnce]] re-emits the whole
+    * result each trigger and collects it into the sink — useful as a
+    * batch-equivalence proof, wrong for unbounded streams. */
+  def windowedAggAppendOnce(
+      spark: SparkSession,
+      c: Collection,
+      timeCol: String,
+      windowDuration: String,
+      watermarkDelay: String = "0 seconds",
+  )(agg: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg(
+        readStream(spark, c)
+          .withWatermark(timeCol, watermarkDelay)
+          .groupBy(window(col(timeCol), windowDuration).as("w")))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+
   /** Run a streaming tumbling-window aggregation over the collection to
     * completion (all currently-available data) and return the final
-    * result from the in-memory sink. */
+    * result from the in-memory sink. Complete mode: a batch-equivalence
+    * proof, NOT the unbounded-stream pattern — prefer
+    * [[windowedAggAppendOnce]]. */
   def windowedAggOnce(
       spark: SparkSession,
       c: Collection,

@@ -57,6 +57,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("native as-of operator survives null keys and null times on both sides") {
+    // ADVICE r1: interpreted orderings NPE on null operands — a single null
+    // timestamp crashed the task. Null times/keys must never reach the
+    // comparator: null-time left rows emit a null match, null-time right
+    // rows are consumed without recording a match.
+    val left = Seq(
+      (1L, java.lang.Long.valueOf(10L), "2024-01-01 10:00:00"),
+      (2L, java.lang.Long.valueOf(10L), null),
+      (3L, null.asInstanceOf[java.lang.Long], "2024-01-01 10:00:00"))
+      .toDF("id", "k", "t").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq(
+      (java.lang.Long.valueOf(10L), "2024-01-01 09:00:00"),
+      (java.lang.Long.valueOf(10L), null),
+      (null.asInstanceOf[java.lang.Long], "2024-01-01 08:00:00"))
+      .toDF("k", "t").withColumn("t", col("t").cast("timestamp"))
+    val got = AsOf.joinLastTimeNative(left, right, col("k"), col("k"), col("t"), col("t"))
+      .orderBy("id").select("id", "asof_ts").collect()
+    assert(got(0).getTimestamp(1) == ts("2024-01-01 09:00:00"))
+    assert(got(1).isNullAt(1), "null left time must match nothing")
+    assert(got(2).isNullAt(1), "null left key must match nothing")
+  }
+
   test("banded range join equals the naive range predicate") {
     val left = Seq((1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 11:00:00"))
       .toDF("id", "k", "t").withColumn("t", col("t").cast("timestamp"))
@@ -120,5 +142,39 @@ class OperatorsSpec extends AnyFunSuite {
     val got = idx.query(Map("kind" -> "a")).orderBy("id").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1L, 3L))
     assert(idx.query(Map("kind" -> "zzz")).count() == 0)
+  }
+
+  test("indexer pushes its _zc_row ranges down to the parquet scan") {
+    val root = SparkTestSession.tmp("graft-idxr")
+    val df = (1L to 100L).map(i => (i, s"2024-01-0${1 + (i % 3)} 10:00:00", if (i <= 5) "hot" else "cold"))
+      .toDF("id", "ts", "kind").withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    val idx = Indexer.build(spark, c, Seq("kind"), root + "-idx")
+    val q = idx.query(Map("kind" -> "hot"))
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    // the stored (_start, _stop) ranges became data filters on _zc_row —
+    // parquet row-group zone maps can skip everything outside them
+    assert(scan.dataFilters.exists(_.references.exists(_.name == Collection.RowIdCol)),
+      s"no _zc_row range filter reached the scan: ${scan.dataFilters}")
+    assert(scan.partitionFilters.nonEmpty, "index partition pruning missing")
+    assert(q.count() == 5)
+    // beyond maxRanges the row bands are dropped but results stay correct
+    assert(idx.query(Map("kind" -> "hot"), maxRanges = 1).count() == 5)
+  }
+
+  test("ivf centroid selection plans as a bounded top-k, not a global sort") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = graft.ann.Ann.ivfTopK(e, e.where(col("vec_id") < 3), "vec_id", "embedding", 5)
+    val plan = q.queryExecution.executedPlan.toString
+    // the r1 formulation planned Window/Sort over a single partition — one
+    // task sorting the whole corpus; the hash-sample must be a
+    // TakeOrderedAndProject (per-task top-k, driver merges nLists rows)
+    assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k in plan:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-task stage survived in ivf plan:\n$plan")
+    assert(q.count() > 0)
   }
 }

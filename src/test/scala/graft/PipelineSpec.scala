@@ -116,6 +116,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == expected)
   }
 
+  test("degenerate buckets stay bounded: a mass-duplicated doc class emits a star, not a clique") {
+    // 2000 identical docs + 3 distinct ones. Every identical doc collides
+    // in EVERY band bucket; an unguarded all-pairs join would emit ~2M
+    // candidates per band (x16 bands). The guard caps each bucket at
+    // maxBucket and stars the overflow around the min id: exactly n-1
+    // connected pairs out, and the pipeline stays linear in the class size.
+    val n = 2000
+    val dupes = (1L to n.toLong).map(i => (i, "spam spam spam wonderful spam spam and eggs"))
+    val rest = Seq((90001L, "an entirely unrelated document about graph algorithms and parallel joins"),
+                   (90002L, "another distinct text concerning sailing ships and ocean navigation routes"),
+                   (90003L, "the third singleton document with botanical field notes and seed catalogs"))
+    val df = (dupes ++ rest).toDF("doc_id", "text").repartition(8)
+    val pairs = Dedup.minhashPairs(df, "doc_id",
+        TextFunctions.wordShingles(col("text"), 3), threshold = 0.8, maxBucket = 100)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == n - 1, s"expected star of ${n - 1} pairs, got ${pairs.length}")
+    // the star keeps the duplicate group connected through the min id
+    assert(pairs.forall(_._1 == 1L))
+    assert(pairs.map(_._2).toSet == (2L to n.toLong).toSet)
+  }
+
   test("text functions: tokens, bpe, stopwords, langid, fingerprint") {
     val df = Seq((1L, "the cat sat on the mat v2!")).toDF("id", "text")
     val row = df.select(
