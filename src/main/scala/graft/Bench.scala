@@ -112,11 +112,14 @@ object Bench {
         Row(ts, ssh)
       }
     }
-    // NOTE: generation is lazy and re-runs inside the insert's jobs
-    // (caching 576 MB costs more than regenerating it; the reference
-    // builds its numpy dataset up front, so our insert number is slightly
-    // pessimistic — it includes one extra generation pass).
+    // The reference builds its numpy dataset up front, outside the timed
+    // insert; match that by materializing the generated input once
+    // (insert runs three passes over it: distinct keys, range sampling,
+    // write — regeneration would bill three generation passes to the
+    // insert number).
     val ds = spark.createDataFrame(rows, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ds.count()
     val root = java.nio.file.Files.createTempDirectory("graft-refbench").toString + "/c"
 
     val insertSec = time {
@@ -125,6 +128,7 @@ object Bench {
         profile = "cloud-balanced")
       c.insert(ds)
     }
+    ds.unpersist()
     val openSec = time { Collection.open(spark, root, readOnly = true) }
     val colRo = Collection.open(spark, root, readOnly = true)
     val queryOneSec = time {

@@ -616,6 +616,123 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // B18 (Q2-style): cheapest part per brand via a broadcast min join —
+    // the correlated-subquery shape rewritten as aggregate + equi-join.
+    "q2_min_cost" -> ((s, dir) => {
+      val p = Tables.part(s, dir).alias("p")
+      val minPrice = Tables.part(s, dir)
+        .groupBy("p_brand").agg(min(col("p_retailprice")).as("min_price"))
+        .alias("m")
+      p.join(broadcast(minPrice),
+          col("p.p_brand") === col("m.p_brand") && col("p.p_retailprice") === col("m.min_price"))
+        .select(col("p.p_partkey").as("p_partkey"), col("p.p_brand").as("p_brand"),
+          col("p.p_retailprice").as("p_retailprice"))
+        .orderBy("p_brand", "p_partkey")
+    }),
+
+    // B19 (Q7-style): bilateral volume between two nations by year.
+    "q7_volume" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+               (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("decimal(38,4)").cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // B20 (Q10-style): top returned-revenue customers.
+    "q10_returns" -> ((s, dir) => {
+      Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir).where(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("decimal(38,4)").cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // B21 (Q14-style): promo revenue share — a conditional-aggregate ratio.
+    "q14_promo" -> ((s, dir) => {
+      val disc = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(18,4)")))
+              .cast("decimal(38,4)").cast("double") /
+            sum(disc).cast("decimal(38,4)").cast("double")).as("promo_share"))
+    }),
+
+    // B22 (Q16-style): distinct supplier count per brand/size band.
+    "q16_suppliers" -> ((s, dir) => {
+      Tables.part(s, dir).where(col("p_size") <= 20)
+        .join(Tables.lineitem(s, dir), col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
+
+    // B23 (Q18-style): large-volume orders (HAVING over a grouped sum,
+    // semi-joined back to the order/customer detail).
+    "q18_large" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).cast("decimal(38,2)").cast("double").as("total_qty"))
+        .where(col("total_qty") > 250)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // B24 (Q19-style): disjunction of brand/size/quantity bands — the
+    // OR-of-ANDs predicate Catalyst must keep pushable.
+    "q19_bands" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+           col("l_quantity").between(5, 25)) ||
+          (col("p_brand") === "Brand#20" && col("p_size").between(10, 25) &&
+           col("l_quantity").between(15, 40)))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("decimal(38,4)").cast("double").as("revenue"))
+    }),
+
+    // B25 (Q22-style): above-average-balance customers with no big order.
+    "q22_idle" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val avgBal = c.where(col("c_acctbal") > 0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, dir).where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("c_acctbal"))).cast("decimal(38,2)").cast("double").as("total_bal"))
+        .select(col("c_nationkey").cast("int").as("nk"), col("n"), col("total_bal"))
+        .orderBy("nk")
+    }),
+
     // B4: TPC-H Q6-style selective filter + aggregate.
     "q6_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -1031,5 +1148,81 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""",
+
+    "q2_min_cost" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+         FROM part p
+         WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+         ORDER BY p_brand, p_partkey""",
+
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS INT) AS l_year,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+         FROM lineitem, orders, customer, supplier, nation n1, nation n2
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey
+           AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3
+         ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+         FROM lineitem, orders, customer
+         WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+         GROUP BY c_custkey, c_name, c_acctbal
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
+
+    "q14_promo" ->
+      """SELECT 100.0 *
+                CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) /
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE)
+                AS promo_share
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'""",
+
+    "q16_suppliers" ->
+      """SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM part, lineitem
+         WHERE p_partkey = l_partkey AND p_size <= 20
+         GROUP BY p_brand, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_size""",
+
+    "q18_large" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) > 250)
+         SELECT c_custkey, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_totalprice, total_qty
+         FROM big, orders, customer
+         WHERE o_orderkey = big.l_orderkey AND o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 20""",
+
+    "q19_bands" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND ((p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 5 AND 25)
+             OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 15 AND 40))""",
+
+    "q22_idle" ->
+      """SELECT CAST(c_nationkey AS INT) AS nk, CAST(count(*) AS BIGINT) AS n,
+                CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS total_bal
+         FROM customer c
+         WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                            FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+         GROUP BY c_nationkey
+         ORDER BY nk""",
   )
 }
