@@ -75,10 +75,24 @@ object Ann {
   /** Approximate top-k: candidates are corpus rows sharing an LSH bucket
     * with the query in ANY of `tables` hyperplane tables; candidates are
     * re-ranked exactly. Recall grows with `tables`, cost with bucket
-    * sizes (`planes` controls bucket granularity). */
+    * sizes (`planes` controls bucket granularity).
+    *
+    * `multiProbe` additionally probes, per table, every bucket one sign
+    * bit away from the query's (Lv et al., VLDB 2007): recall comparable
+    * to ~`planes`x more tables while the CORPUS side — the expensive side
+    * at 100 TB — is bucketed exactly once; only the tiny query bucket set
+    * multiplies. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, tables: Int = 8, planes: Int = 8, dims: Int = 64): DataFrame = {
-    val qb = buckets(queries, idCol, vecCol, "qid", tables, planes, dims)
+              k: Int, tables: Int = 8, planes: Int = 8, dims: Int = 64,
+              multiProbe: Boolean = false): DataFrame = {
+    val qb =
+      if (!multiProbe) buckets(queries, idCol, vecCol, "qid", tables, planes, dims)
+      else queries.repartition(col(idCol))
+        .select(col(idCol).as("qid"),
+          posexplode(LshBuckets.bucketsMultiProbe(col(vecCol), tables, planes, dims, planes))
+            .as(Seq("_zc_pos", "_zc_bkt")))
+        .select(col("qid"),
+          (col("_zc_pos") / lit(1 + planes)).cast("int").as("_zc_t"), col("_zc_bkt"))
     val cb = buckets(corpus, idCol, vecCol, "nid", tables, planes, dims)
     val cands = cb.join(broadcast(qb), Seq("_zc_t", "_zc_bkt"))
       .where(col("nid") =!= col("qid"))
@@ -103,18 +117,72 @@ object Ann {
     *
     * (A k-means refinement of the centroids would drop in here; the
     * subsample quantizer keeps the operator fully deterministic.) */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nLists: Int = 32, nProbe: Int = 4): DataFrame = {
-    // Centroids: the nLists corpus rows with the SMALLEST xxhash64(id) — a
-    // deterministic uniform sample needing no count and no global window.
-    // orderBy+limit plans as TakeOrderedAndProject: each task ships only
-    // its local top-nLists, the driver merges nLists rows. At 100 TB this
-    // is one map-side pass; the old row_number() formulation was a
-    // single-task sort of the whole corpus.
-    val centroids = corpus
+  /** Deterministic uniform centroid sample: the nLists corpus rows with
+    * the SMALLEST xxhash64(id) — no count and no global window.
+    * orderBy+limit plans as TakeOrderedAndProject: each task ships only
+    * its local top-nLists, the driver merges nLists rows. At 100 TB this
+    * is one map-side pass; a row_number() formulation would be a
+    * single-task sort of the whole corpus. */
+  private def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                              nLists: Int): DataFrame =
+    corpus
       .select(col(idCol).as("_zc_cent"), col(vecCol).as("_zc_cv"))
       .orderBy(xxhash64(col("_zc_cent")), col("_zc_cent"))
       .limit(nLists)
+
+  /** Lloyd-refined coarse quantizer: `iters` k-means iterations from the
+    * deterministic hash sample. Each iteration is ONE map pass (per-row
+    * argmax against the broadcast-literal centroid table — no join, no
+    * shuffle of the corpus) plus one bounded shuffle of per-task partial
+    * (sum, count) buffers ([[graft.functions.VecMeanAgg]]) — the textbook
+    * distributed Lloyd step. Centroid count can only shrink (a list that
+    * captures no rows disappears). Returns `(centroid id, mean vector)`. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nLists: Int, iters: Int): Array[(Long, Array[Float])] = {
+    var cents: Array[(Long, Array[Float])] =
+      sampleCentroids(corpus, idCol, vecCol, nLists).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+    var it = 0
+    while (it < iters && cents.nonEmpty) {
+      val centsLit = typedlit(cents.toSeq.map { case (i, v) => (i, v.toSeq) })
+      // per-row argmax over the literal centroid table, pure codegen
+      val best = aggregate(centsLit,
+        struct(lit(-1L).as("id"), lit(-2.0).as("sim")),
+        (acc, c) => {
+          val s = cosine(col(vecCol), c.getField("_2"))
+          when(s > acc.getField("sim"), struct(c.getField("_1").as("id"), s.as("sim")))
+            .otherwise(acc)
+        })
+      cents = corpus
+        .select(best.getField("id").as("_zc_cent"), col(vecCol).as("_zc_v"))
+        .groupBy("_zc_cent")
+        .agg(graft.functions.VecMeanAgg.mean(col("_zc_v")).as("_zc_cv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      it += 1
+    }
+    cents
+  }
+
+  /** @param kmeansIters 0 = plain deterministic hash-sample quantizer;
+    *                    >0 refines it with that many Lloyd iterations
+    *                    ([[kmeansCentroids]]) — better lists on clustered
+    *                    corpora at the cost of `iters` extra passes. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nLists: Int = 32, nProbe: Int = 4,
+              kmeansIters: Int = 0): DataFrame = {
+    val centroids =
+      if (kmeansIters <= 0) sampleCentroids(corpus, idCol, vecCol, nLists)
+      else {
+        val sp = corpus.sparkSession
+        import sp.implicits._
+        kmeansCentroids(corpus, idCol, vecCol, nLists, kmeansIters)
+          .toSeq.map { case (i, v) => (i, v.toSeq) }
+          .toDF("_zc_cent", "_zc_cv")
+          .withColumn("_zc_cv", col("_zc_cv").cast("array<float>"))
+      }
 
     def nearestCentroids(df: DataFrame, id: String, keep: Int): DataFrame = {
       val scored = df.select(col(idCol).as(id), col(vecCol).as(s"_zc_v_$id"))

@@ -129,10 +129,26 @@ final class Collection private (
   def insert(df: DataFrame, merge: MergeStrategy = MergeStrategy.Replace): Seq[String] = {
     requireWritable()
     val assigned = partitioning.assign(df)
+    val existing = partitionKeySet()
+
+    if (existing.isEmpty) {
+      // Initial-load fast path: nothing can collide, so skip the
+      // distinct-keys pass entirely — write, then discover the new files
+      // with one directory walk of the tree this very job just created.
+      // The pre-write walk keeps crash orphans from being adopted.
+      val man = currentManifest()
+      val preFiles = walkDataFiles().toSet
+      physicalWrite(prepareForWrite(assigned, man.taskBase))
+      val newFiles = walkDataFiles().filterNot(preFiles.contains)
+      commitManifest(man.copy(
+        generation = man.generation + 1,
+        taskBase = man.taskBase + writeTasks,
+        files = (man.files ++ newFiles).sorted))
+      return newFiles.map(parentRel).distinct.sorted
+    }
+
     val incomingKeys = distinctKeys(assigned)
     val incomingPaths = incomingKeys.map(keyPath)
-
-    val existing = partitionKeySet()
     val colliding = incomingPaths.filter(existing.contains)
 
     // upsert-within-tolerance can match existing rows in ADJACENT
@@ -490,11 +506,17 @@ final class Collection private (
     * |partitions| sequential Spark jobs. For distributed per-partition
     * work ALWAYS prefer [[transformPartitions]] (or a `groupBy` over the
     * partition columns); this method exists for API parity and small
-    * partition counts only. */
-  def map[A](fn: DataFrame => A, filters: String = null): Seq[(String, A)] = {
+    * partition counts only — it refuses more than `maxPartitions`
+    * sequential jobs rather than silently degrading into a 10^6-job loop. */
+  def map[A](fn: DataFrame => A, filters: String = null,
+             maxPartitions: Int = 1024): Seq[(String, A)] = {
     val byPart = currentManifest().files.groupBy(parentRel)
     val fields = readSchemaFields(schema)
-    partitions(filters).map { p =>
+    val parts = partitions(filters)
+    require(parts.size <= maxPartitions,
+      s"map() would run ${parts.size} sequential driver-side jobs (> $maxPartitions); " +
+      "use transformPartitions for distributed per-partition work, or raise maxPartitions")
+    parts.map { p =>
       val df = spark.read
         .option("basePath", root)
         .schema(StructType(fields))

@@ -105,6 +105,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("multi-probe LSH: probe slot 0 is the exact bucket; recall never drops") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // bit-identity: the multi-probe layout's slot 0 per table IS the exact bucket
+    val planes = 4
+    val both = e.limit(50).select(
+      graft.ann.LshBuckets.buckets($"embedding", 4, planes, 64).as("exact"),
+      graft.ann.LshBuckets.bucketsMultiProbe($"embedding", 4, planes, 64, planes).as("mp"))
+      .collect()
+    both.foreach { r =>
+      val exact = r.getSeq[Long](0)
+      val mp = r.getSeq[Long](1)
+      assert(mp.length == 4 * (1 + planes))
+      (0 until 4).foreach(t => assert(mp(t * (1 + planes)) == exact(t)))
+      // flipped-bit buckets differ from the main bucket
+      (0 until 4).foreach(t => (0 until planes).foreach(f =>
+        assert(mp(t * (1 + planes) + 1 + f) != exact(t))))
+    }
+
+    val q = e.where($"vec_id" < 5)
+    val exactTop = graft.ann.Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(multiProbe: Boolean): Double = {
+      val approx = graft.ann.Ann.lshTopK(e, q, "vec_id", "embedding", 10,
+        tables = 4, planes = 4, multiProbe = multiProbe)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exactTop & approx).size.toDouble / exactTop.size
+    }
+    val (r0, r1) = (recall(false), recall(true))
+    assert(r1 >= r0, s"multi-probe recall $r1 dropped below exact-probe recall $r0")
+    assert(r1 >= 0.5, s"multi-probe recall too low: $r1")
+  }
+
+  test("ivf with k-means refinement keeps recall and stays deterministic in shape") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where($"vec_id" < 5)
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.ivfTopK(e, q, "vec_id", "embedding", 10,
+      nLists = 16, nProbe = 8, kmeansIters = 2)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"k-means IVF recall too low: $recall")
+    // the refined quantizer itself: bounded count, right dimensionality
+    val cents = Ann.kmeansCentroids(e, "vec_id", "embedding", 16, 2)
+    assert(cents.length <= 16 && cents.nonEmpty)
+    assert(cents.forall(_._2.length == 64))
+  }
+
   test("identical vectors always pair under cosine LSH") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val planted = e.unionByName(
