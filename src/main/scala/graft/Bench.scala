@@ -20,9 +20,10 @@ object Bench {
     * round-trips, streaming. */
   val Headline: Seq[String] = Seq(
     "q1_pricing", "q3_shipping", "q5_local", "q6_revenue",
+    "q7_volume", "q10_returns", "q18_large",
     "q_window_topn", "q_asof_join", "q_range_join", "q_sessionize",
     "q_semi_anti", "q_rollup",
-    "dedup_exact", "dedup_minhash", "dedup_cosine", "ann_bruteforce",
+    "dedup_exact", "dedup_minhash", "dedup_cosine", "ann_bruteforce", "ann_lsh",
     "text_quality", "text_tokens",
     "zc_insert_query", "zc_query_filter", "stream_window",
   )

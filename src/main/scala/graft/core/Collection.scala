@@ -573,6 +573,13 @@ final class Collection private (
     touched
   }
 
+  /** Rewrite matching partitions as a fresh, axis-sorted file set — the
+    * cure for accumulations of small `Concat`-append files. One atomic
+    * manifest swap; readers never observe a half-compacted partition.
+    * Row ids are reassigned (a new write generation), so overlaying views
+    * detect the rewrite and must re-run `update`. */
+  def compact(filters: String = null): Seq[String] = update(identity, filters)
+
   // --- key helpers -------------------------------------------------
 
   private def distinctKeys(assigned: DataFrame): Seq[Seq[(String, Any)]] =

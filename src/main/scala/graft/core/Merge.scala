@@ -48,7 +48,9 @@ object MergeStrategy {
         .join(broadcast(bounds), partCols, "left")
         .where(col("_zc_lo").isNull || col(axis) < col("_zc_lo") || col(axis) > col("_zc_hi"))
         .drop("_zc_lo", "_zc_hi")
-      kept.unionByName(inserted).sortWithinPartitions((partCols :+ axis).map(col): _*)
+      // no sort here: the write path range-repartitions and axis-sorts
+      // every file it produces anyway
+      kept.unionByName(inserted)
     }
   }
 
@@ -90,7 +92,7 @@ object MergeStrategy {
               "left_anti")
             .drop("_zc_ebkt")
       }
-      kept.unionByName(inserted).sortWithinPartitions((partCols :+ axis).map(col): _*)
+      kept.unionByName(inserted) // write path axis-sorts every file
     }
   }
 

@@ -1,0 +1,53 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.core._
+import graft.sources.Tables
+
+/** The round-2 durability surface, mirroring the reference's Icechunk
+  * workflow (store/icechunk_store.py) and schema versioning
+  * (schema/versioning.py): atomic commits, crash recovery via vacuum,
+  * snapshot generations, schema evolution, compaction.
+  *
+  * Run: `sbt "runMain graft.examples.TransactionsAndEvolution"`.
+  */
+object TransactionsAndEvolution {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft-txn").toString + "/events"
+
+    // every mutation is one atomic manifest commit; `generation` is the
+    // snapshot counter views use to detect staleness
+    val coll = Collection.create(spark, root, ev.schema, "ts",
+      DatePartitioning("ts", "D"))
+    coll.insert(ev.where(dayofmonth(col("ts")) <= 10))
+    println(s"generation after load: ${coll.generation}")
+
+    // incremental appends never rewrite existing files...
+    coll.insert(ev.where(dayofmonth(col("ts")).between(11, 20)), MergeStrategy.Concat)
+    // ...and compact() folds an accumulation of small append files back
+    // into axis-sorted ones, atomically
+    coll.compact("day <= 20")
+
+    // schema evolution: old partitions read the fill, new inserts carry data
+    coll.addVariable("score", DoubleType, fill = Some("0.0"))
+    coll.insert(ev.where(dayofmonth(col("ts")) > 20)
+      .withColumn("score", col("value") / 100.0))
+    val byScore = coll.query().groupBy(col("score") > 0).count()
+    byScore.show()
+
+    // a writer that dies mid-insert leaves only invisible orphans
+    println(s"orphans reclaimed by vacuum: ${coll.vacuum().size}")
+    println(s"rows visible: ${coll.query().count()} at generation ${coll.generation}")
+    spark.stop()
+  }
+}

@@ -462,6 +462,27 @@ class CollectionSpec extends AnyFunSuite {
       v.update(d => d.withColumn("fresh", lit(1)), filters = "month == 1"))
   }
 
+  test("compact collapses concat-append file accumulation atomically") {
+    val root = SparkTestSession.tmp("graft-compact")
+    val df = mkEvents().where(col("id") === 1L)
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    (2 to 5).foreach { i =>
+      c.insert(mkEvents().where(col("id") === 1L).withColumn("id", lit(i.toLong)),
+        MergeStrategy.Concat)
+    }
+    def day1Files(): Int = new java.io.File(s"$root/year=2024/month=1/day=1")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(day1Files() >= 5, "appends should have accumulated files")
+    val before = c.query().orderBy("id").collect().map(_.getLong(0)).toSeq
+    c.compact()
+    assert(day1Files() < 5, "compact did not shrink the file count")
+    assert(c.query().orderBy("id").collect().map(_.getLong(0)).toSeq == before)
+    // row ids stay unique within the partition after the rewrite
+    val ids = c.readRaw().select(Collection.RowIdCol).collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size)
+  }
+
   test("multi-row immutable dataset broadcast-joins on shared columns") {
     val root = SparkTestSession.tmp("graft-imm2")
     val df = mkEvents()
