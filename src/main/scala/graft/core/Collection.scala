@@ -91,16 +91,25 @@ final class Collection private (
   /** Parsed manifests are immutable per generation — memoize. */
   private val manifestCache = scala.collection.concurrent.TrieMap.empty[Long, Manifest]
 
+  /** All committed snapshot generations, oldest first. */
+  def generations(): Seq[Long] = {
+    if (!fs.exists(manifestDir))
+      throw new IllegalStateException(
+        s"no manifest directory under $root — this tree predates the manifest " +
+        "format (or was damaged); recreate the collection or restore _manifest/")
+    fs.listStatus(manifestDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case ManifestName(g) => g.toLong }
+      .sorted
+  }
+
   /** The highest committed generation's manifest (one LIST + at most one
     * small JSON read; parsed manifests are cached). */
   private[core] def currentManifest(): Manifest = {
-    val gens = fs.listStatus(manifestDir).toSeq
-      .map(_.getPath.getName)
-      .collect { case ManifestName(g) => g.toLong }
+    val gens = generations()
     if (gens.isEmpty)
       throw new IllegalStateException(s"no committed manifest under $root/$ManifestDir")
-    val gen = gens.max
-    manifestCache.getOrElseUpdate(gen, readManifest(fs, manifestDir, gen))
+    manifestCache.getOrElseUpdate(gens.max, readManifest(fs, manifestDir, gens.max))
   }
 
   /** Commit generation — bumped by every successful write. [[View]]s record
@@ -354,9 +363,10 @@ final class Collection private (
     * The declared schema is passed explicitly, so partition columns come
     * back with their declared types and schema evolution applies
     * (missing-in-file columns read as null, then fill values). */
-  def readRaw(): DataFrame = {
-    val man = currentManifest()
-    val dataSchema = schema
+  def readRaw(): DataFrame = readRawManifest(currentManifest())
+
+  private def readRawManifest(man: Manifest): DataFrame = {
+    val dataSchema = schemaCache.getOrElseUpdate(man.generation, StructType.fromDDL(man.schemaDdl))
     val fields = readSchemaFields(dataSchema)
     if (man.files.isEmpty)
       return spark.createDataFrame(
@@ -368,6 +378,23 @@ final class Collection private (
     for ((c, fillSql) <- man.fills if dataSchema.fieldNames.contains(c))
       df = df.withColumn(c, coalesce(col(c), expr(fillSql).cast(dataSchema(c).dataType)))
     df.select(fields.map(f => col(f.name)): _*)
+  }
+
+  /** TIME TRAVEL: read the collection exactly as committed at `gen`
+    * (that snapshot's files AND schema). Snapshots are immutable, but
+    * files REPLACED by later merge/update/drop commits are physically
+    * GC'd right after the replacing commit — so arbitrary history is
+    * fully readable only for append-style workloads (`Concat` inserts
+    * never replace); a GC'd snapshot fails at scan time with the missing
+    * file's path. */
+  def snapshotAt(gen: Long, filters: String = null): DataFrame = {
+    require(generations().contains(gen), s"no committed generation $gen at $root")
+    val man = manifestCache.getOrElseUpdate(gen, readManifest(fs, manifestDir, gen))
+    val dataSchema = StructType.fromDDL(man.schemaDdl)
+    val ast = FilterExpr.parse(filters)
+    readRawManifest(man)
+      .where(FilterExpr.toColumn(ast))
+      .select(dataSchema.fieldNames.toSeq.map(col): _*)
   }
 
   /** Read matching partitions, reference base.py:526-595. `filters` is the

@@ -462,6 +462,23 @@ class CollectionSpec extends AnyFunSuite {
       v.update(d => d.withColumn("fresh", lit(1)), filters = "month == 1"))
   }
 
+  test("time travel: snapshotAt reads append history exactly as committed") {
+    val root = SparkTestSession.tmp("graft-tt")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df.where(col("id") <= 2))                       // gen 1
+    c.insert(df.where(col("id") >= 3), MergeStrategy.Concat) // gen 2 (pure append)
+    assert(c.generations() == Seq(0L, 1L, 2L))
+    assert(c.snapshotAt(0).count() == 0)
+    assert(c.snapshotAt(1).orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(c.snapshotAt(2).count() == 4)
+    // a snapshot taken before a schema change keeps its own schema
+    c.addVariable("extra", org.apache.spark.sql.types.IntegerType) // gen 3
+    assert(!c.snapshotAt(2).columns.contains("extra"))
+    assert(c.query().columns.contains("extra"))
+    intercept[IllegalArgumentException](c.snapshotAt(99))
+  }
+
   test("compact collapses concat-append file accumulation atomically") {
     val root = SparkTestSession.tmp("graft-compact")
     val df = mkEvents().where(col("id") === 1L)
