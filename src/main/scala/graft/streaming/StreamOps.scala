@@ -74,6 +74,16 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Streaming exact dedup with BOUNDED state: duplicates arriving within
+    * the watermark window are dropped; key state older than the watermark
+    * is evicted, so state size tracks the window, not the stream's
+    * lifetime — the streaming analogue of [[graft.dedup.Dedup.exact]]
+    * for incremental training-data ingestion. */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], timeCol: String,
+                  watermarkDelay: String): DataFrame =
+    df.withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // --- stateful sessionization (D2) --------------------------------
 
   case class SessionEvent(user_id: Long, ts_us: Long)

@@ -62,6 +62,28 @@ class StreamMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-window duplicates with bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val name = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamOps.dedupStream(
+        in.toDF().toDF("text", "ts"), Seq("text"), "ts", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      in.addData(("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 10:01:00")),
+                 ("b", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 10:03:00"))) // still a duplicate in-window
+      q.processAllAvailable()
+      val texts = spark.table(name).select("text").collect().map(_.getString(0)).sorted.toSeq
+      assert(texts == Seq("a", "b"), s"expected one row per key, got $texts")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches batch sessionize") {
     import StreamOps._
     val evs = Seq(
