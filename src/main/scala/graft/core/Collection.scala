@@ -285,9 +285,13 @@ final class Collection private (
       touched: Seq[String],
   ): Unit = {
     val man = currentManifest()
+    // List the touched directories BEFORE writing: everything already on
+    // disk — committed files AND orphans of crashed writers — is excluded
+    // from the commit, so a crash's leftovers can never be silently
+    // adopted by a later insert into the same partition.
+    val preFiles = touched.distinct.flatMap(listDataFiles).toSet
     physicalWrite(prepareForWrite(df, man.taskBase))
-    val prevFiles = man.files.toSet
-    val newFiles = touched.distinct.flatMap(listDataFiles).filterNot(prevFiles.contains)
+    val newFiles = touched.distinct.flatMap(listDataFiles).filterNot(preFiles.contains)
     val kept = man.files.filterNot(f => replaced.contains(parentRel(f)))
     commitManifest(man.copy(
       generation = man.generation + 1,

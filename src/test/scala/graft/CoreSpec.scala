@@ -319,11 +319,16 @@ class CollectionSpec extends AnyFunSuite {
       "reader observed uncommitted files")
     assert(c.partitions() == Seq("year=2024/month=1/day=1"))
 
-    // vacuum reclaims the orphans; a later committed insert is unaffected
+    // a committed insert into the SAME partitions must not adopt the
+    // crash's orphan files (they would duplicate every row)
+    c.insert(df.where(col("id") >= 3))
+    assert(c.query().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L),
+      "crash orphans were adopted by a later commit")
+
+    // vacuum still reclaims the orphans afterwards
     val orphans = c.vacuum()
     assert(orphans.nonEmpty)
     assert(c.vacuum().isEmpty)
-    c.insert(df.where(col("id") >= 3))
     assert(c.query().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
