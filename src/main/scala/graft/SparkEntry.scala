@@ -418,6 +418,17 @@ object SparkEntry {
         .select("a", "b", "hamming").orderBy("a", "b")
     }),
 
+    // C14: near-dup pairs -> connected-component groups (rows-only; the
+    // min-label propagation is cross-checked against a driver union-find
+    // in PipelineSpec).
+    "dedup_groups" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val pairs = graft.dedup.Dedup.minhashPairs(
+        plantedDocs(s, dir), "doc_id",
+        TextFunctions.wordShingles(col("text"), 3), threshold = 0.8)
+      graft.dedup.Dedup.groups(pairs).orderBy("id")
+    }),
+
     // C4: character-4-gram Jaccard near-dup pairs (LSH-pruned, verified).
     "dedup_jaccard" -> ((s, dir) => {
       import graft.functions.TextFunctions

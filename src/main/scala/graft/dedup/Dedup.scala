@@ -145,6 +145,58 @@ object Dedup {
     verifyJaccard(cands, withSig, idCol, "_zc_sh", threshold)
   }
 
+  /** Connected components over near-duplicate pairs: every document gets
+    * the smallest id reachable through the pair graph as its group
+    * representative — the step that turns pairwise output
+    * ([[minhashPairs]]/[[simhashPairs]]/cosine pairs) into dedup GROUPS
+    * for keep-one-per-group filtering.
+    *
+    * Distributed min-label propagation: one hash-shuffled join + min-agg
+    * per round, converging in (component diameter) rounds — dup
+    * components are stars/near-cliques (the bucket guard stars oversized
+    * classes around their min id), so 2-3 rounds close almost any corpus;
+    * `maxIterations` bounds adversarial chains. Each round's labels are
+    * checkpointed via persist and the loop stops at the first round with
+    * zero label changes (the count action doubles as the convergence
+    * test). Returns `(id, rep)` for every id that appears in `pairs`. */
+  def groups(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("rep")).as("_zc_nrep"))
+      val joined = labels.join(prop, labels("id") === prop("src"), "left")
+        .select(col("id"), col("rep"),
+          least(col("rep"), coalesce(col("_zc_nrep"), col("rep"))).as("_zc_new"))
+        .persist()
+      val changed = joined.where(col("_zc_new") < col("rep")).count()
+      val old = labels
+      labels = joined.select(col("id"), col("_zc_new").as("rep")).persist()
+      labels.count() // materialize before unpersisting parents
+      old.unpersist()
+      joined.unpersist()
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end near-dup REMOVAL: keep, per connected group of
+    * `pairs`, only the member with the smallest id; singletons (never
+    * paired) always survive. */
+  def keepRepresentatives(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val doomed = groups(pairs).where(col("id") =!= col("rep")).select(col("id"))
+    df.join(doomed, df(idCol) === doomed("id"), "left_anti")
+  }
+
   /** 64-bit SimHash sign bits of a token array ([[SimHash64]] native
     * expression). */
   def simhash(tokens: Column): Column = SimHash64.bits(tokens)

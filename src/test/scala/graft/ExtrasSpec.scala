@@ -80,7 +80,8 @@ class ExtrasSpec extends AnyFunSuite {
     assert(oracles.subsetOf(qs), s"orphan oracles: ${oracles.diff(qs)}")
     val rowsOnly = qs.diff(oracles)
     // the intentionally non-SQL-expressible set (hash/approx operators)
-    assert(rowsOnly == Set("dedup_simhash", "ann_lsh", "ann_ivf", "text_langid", "text_fingerprint"),
+    assert(rowsOnly == Set("dedup_simhash", "dedup_groups", "ann_lsh", "ann_ivf",
+      "text_langid", "text_fingerprint"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

@@ -185,6 +185,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.map(_._2).toSet == (2L to n.toLong).toSet)
   }
 
+  test("groups: connected components match a brute-force union-find; keepRepresentatives dedups") {
+    // chain a-b-c-d plus a separate pair and a star
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (20L, 22L), (20L, 23L))
+      .toDF("a", "b")
+    val got = Dedup.groups(pairs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+
+    // real pipeline: planted duplicates (orig + 1000000 every 10th doc)
+    // must group with their originals; cross-check against a driver-side
+    // union-find over the same pairs
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val planted = docs.unionByName(
+      docs.where($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 1000000L))
+    val mp = Dedup.minhashPairs(planted, "doc_id",
+      TextFunctions.wordShingles(col("text"), 3), threshold = 0.8)
+    val edges = mp.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
+    val gotBig = Dedup.groups(mp).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotBig == expected)
+
+    // keepRepresentatives removes exactly the non-representative members
+    val kept = Dedup.keepRepresentatives(planted, mp, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val doomed = expected.collect { case (id, rep) if id != rep => id }.toSet
+    assert(kept == planted.select("doc_id").collect().map(_.getLong(0)).toSet -- doomed)
+  }
+
   test("text functions: tokens, bpe, stopwords, langid, fingerprint") {
     val df = Seq((1L, "the cat sat on the mat v2!")).toDF("id", "text")
     val row = df.select(
