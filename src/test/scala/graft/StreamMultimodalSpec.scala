@@ -99,6 +99,69 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(rows == Set(SessionOut(1L, 0L, 2)))
   }
 
+  test("PPM decode/features/resize are real: hand-built fixture round-trips") {
+    import Multimodal.PpmCodec
+    // 2x2 image: red, green / blue, white
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    val ppm = PpmCodec.encode(2, 2, rgb)
+    val (w, h, back) = PpmCodec.decode(ppm)
+    assert(w == 2 && h == 2 && back.toSeq == rgb.toSeq)
+    // whole-image mean over 1 tile: mean R = (255+0+0+255)/4/255, etc.
+    val f = PpmCodec.meanRgbTiles(ppm, 1, 1)
+    assert(f.length == 3)
+    assert(math.abs(f(0) - 0.5) < 1e-6 && math.abs(f(1) - 0.5) < 1e-6 && math.abs(f(2) - 0.5) < 1e-6)
+    // 2x2 tiles = identity per pixel
+    val f4 = PpmCodec.meanRgbTiles(ppm, 2, 2)
+    assert(f4.toSeq == Seq(1f, 0f, 0f,  0f, 1f, 0f,  0f, 0f, 1f,  1f, 1f, 1f))
+    // nearest-neighbor upscale 2x2 -> 4x4 keeps each quadrant's color
+    val (w2, h2, big) = PpmCodec.decode(PpmCodec.resize(ppm, 4, 4))
+    assert(w2 == 4 && h2 == 4)
+    assert((big(0) & 0xff) == 255 && (big(1) & 0xff) == 0)          // top-left red
+    assert((big((3 * 4 + 3) * 3) & 0xff) == 255 &&
+           (big((3 * 4 + 3) * 3 + 2) & 0xff) == 255)                // bottom-right white
+    // comment headers parse too
+    val withComment = ("P6\n# a comment\n2 2\n255\n").getBytes("US-ASCII") ++ rgb
+    assert(PpmCodec.decode(withComment)._3.toSeq == rgb.toSeq)
+  }
+
+  test("WAV PCM16 decode and RMS features are real: synthetic RIFF fixture") {
+    import Multimodal.WavCodec
+    // build a minimal RIFF/WAVE: fmt chunk (PCM, mono, 8kHz, 16-bit) +
+    // data = 100 samples of silence then 100 samples of full-scale square
+    val samples = Array.fill[Short](100)(0) ++ Array.fill[Short](100)(32767)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + samples.length * 2); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    val wav = bb.array()
+    val (rate, got) = WavCodec.decodePcm16(wav)
+    assert(rate == 8000 && got.length == 200 && got(0) == 0 && got(150) == 32767)
+    val rms = WavCodec.rmsWindows(wav, 2)
+    assert(rms(0) < 0.001f, s"silent half should have ~0 RMS, got ${rms(0)}")
+    assert(rms(1) > 0.99f, s"full-scale half should have ~1 RMS, got ${rms(1)}")
+  }
+
+  test("extractFeatures routes ppm/wav through the real codecs inside the batch pipeline") {
+    import Multimodal._
+    val rgb = Array[Byte](255.toByte, 0, 0,  255.toByte, 0, 0,
+                          255.toByte, 0, 0,  255.toByte, 0, 0) // all red 2x2
+    val media = Seq(
+      Media(1L, PpmCodec.encode(2, 2, rgb), 2, 2, "ppm"),
+      Media(2L, "not-an-image".getBytes, 0, 0, "jpg"))
+    val feats = extractFeatures(media.toDS().repartition(2), dims = 3)
+      .collect().sortBy(_.id)
+    assert(feats(0).features.toSeq == Seq(1f, 0f, 0f)) // real decode: pure red
+    assert(feats(1).features.length == 3)              // stub path still works
+    val resized = resizeImages(media.toDS(), 4, 4).collect().sortBy(_.id)
+    assert(resized(0).width == 4 && PpmCodec.decode(resized(0).media)._1 == 4)
+    assert(resized(1).media.toSeq == media(1).media.toSeq) // non-ppm untouched
+  }
+
   test("multimodal stub pipeline: features and frames are deterministic batch ops") {
     val media = (1L to 200L).map(i =>
       Multimodal.Media(i, s"media-payload-$i-${"x" * (i % 37).toInt}".getBytes, 64 + i.toInt, 48, if (i % 2 == 0) "png" else "jpg"))
