@@ -13,6 +13,9 @@ import graft.core.Collection
   *   graft.cli.Cli inspect <path>
   *   graft.cli.Cli query <path> [filter] [comma,separated,variables]
   *   graft.cli.Cli drop <path> <filter>
+  *   graft.cli.Cli history <path>           # committed snapshot generations
+  *   graft.cli.Cli vacuum <path>            # reclaim crashed writers' orphans
+  *   graft.cli.Cli compact <path> [filter]  # fold small append files
   * }}}
   */
 object Cli {
@@ -55,6 +58,16 @@ object Cli {
       case "drop" =>
         val c = Collection.open(spark, path)
         c.dropPartitions(args(2)).foreach(println)
+      case "history" =>
+        val c = Collection.open(spark, path, readOnly = true)
+        c.generations().foreach(g => println(s"generation $g"))
+      case "vacuum" =>
+        val c = Collection.open(spark, path)
+        val gone = c.vacuum()
+        println(s"reclaimed ${gone.size} orphan file(s)")
+      case "compact" =>
+        val c = Collection.open(spark, path)
+        c.compact(args.lift(2).orNull).foreach(println)
       case other =>
         System.err.println(s"unknown command '$other'"); sys.exit(2)
     } finally spark.stop()

@@ -595,8 +595,11 @@ final class Collection private (
         val loaded = prunedRaw.select((keyCols ++ variables).map(col): _*)
         val updated = fn(attachImmutable(loaded))
           .select((keyCols ++ variables).map(col): _*)
+        // identity partitionings list partition cols among the data cols —
+        // they are already in keyCols, so exclude them from the remainder
         val rest = prunedRaw.select(
-          (keyCols ++ schema.fieldNames.filterNot(variables.contains)).map(col): _*)
+          (keyCols ++ schema.fieldNames
+            .filterNot(n => variables.contains(n) || keyCols.contains(n))).map(col): _*)
         rest.join(updated, keyCols)
           .select(schema.fieldNames.toSeq.map(col): _*)
       }

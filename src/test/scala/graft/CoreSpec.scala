@@ -204,6 +204,20 @@ class CollectionSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", 100.0), (2L, "b", 200.0), (3L, "a", 300.0), (4L, "c", 4.0)))
   }
 
+  test("projected update works under identity (sequence) partitioning") {
+    // partition cols double as data cols here — the projection join must
+    // not duplicate them
+    val root = SparkTestSession.tmp("graft-sequpd")
+    val df = Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 20L, 3.0)).toDF("k", "cycle", "v")
+    val c = Collection.create(spark, root, df.schema, "k",
+      SequencePartitioning(Seq("cycle"), "k"))
+    c.insert(df)
+    c.update(d => d.withColumn("v", col("v") * 10), filters = "cycle == 10",
+      variables = Seq("v"))
+    val got = c.query().orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 3.0)))
+  }
+
   test("immutable dataset attaches to every read") {
     val root = SparkTestSession.tmp("graft-coll")
     val df = mkEvents()
