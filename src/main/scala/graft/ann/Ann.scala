@@ -22,16 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float-array columns, accumulated in double —
+    * native codegen expression ([[VecDot]]); [[dotHof]] is the builtin
+    * composition it replaces (bit-identical, spec-checked). */
+  def dot(a: Column, b: Column): Column = VecMath.dotCol(a, b)
+
+  /** The higher-order-function formulation [[VecDot]] replaces; kept as
+    * the spec's bit-identity cross-check. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   /** L2 norm of a float-array column. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — one fused native loop ([[CosineSim]]);
+    * [[cosineHof]] is the builtin composition (bit-identical). */
+  def cosine(a: Column, b: Column): Column = VecMath.cosineCol(a, b)
+
+  /** The higher-order-function formulation [[CosineSim]] replaces. */
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** Exact top-k by cosine: for every row of `queries`, the `k` nearest
     * corpus rows (self-matches excluded by id). `queries` is expected to

@@ -105,6 +105,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("native dot/cosine expressions are bit-identical to the HOF compositions") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    val pairs = e.select($"vec_id".as("ida"), $"embedding".as("va"))
+      .crossJoin(e.select($"vec_id".as("idb"), $"embedding".as("vb")).limit(5))
+    val rows = pairs.select(
+      Ann.dot($"va", $"vb").as("d_native"), Ann.dotHof($"va", $"vb").as("d_hof"),
+      Ann.cosine($"va", $"vb").as("c_native"), Ann.cosineHof($"va", $"vb").as("c_hof"))
+      .collect()
+    assert(rows.length == 1000)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)), "dot mismatch")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(3)), "cosine mismatch")
+    }
+  }
+
   test("multi-probe LSH: probe slot 0 is the exact bucket; recall never drops") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // bit-identity: the multi-probe layout's slot 0 per table IS the exact bucket
