@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
+import graft.ann.{CosineSim, LshBuckets, VecDot}
+import graft.dedup.{MinHashSig, SimHash64}
 import graft.functions.Fnv1a64
 
 /** Session extensions registering graft's custom Catalyst expressions for
@@ -13,21 +15,48 @@ import graft.functions.Fnv1a64
   *   SparkSession.builder().withExtensions(new GraftExtensions)...
   *   // or: --conf spark.sql.extensions=graft.GraftExtensions
   *   spark.sql("SELECT fnv1a64(text) FROM docs")
+  *   spark.sql("SELECT cosine_sim(a.embedding, b.embedding) FROM ...")
+  *   spark.sql("SELECT minhash_sig(shingles, 64) FROM ...")
+  *   spark.sql("SELECT lsh_buckets(embedding, 8, 12, 64) FROM ...")
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("fnv1a64"),
-      new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),
-      (exprs: Seq[Expression]) => Fnv1a64(exprs.head)))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.All.foreach { case (name, builder) =>
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
 }
 
 /** Runtime registration for sessions that already exist (extensions only
   * apply at builder time). */
 object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
+  /** name -> expression builder for every native graft expression. */
+  val All: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "fnv1a64" -> ((exprs: Seq[Expression]) => Fnv1a64(exprs.head)),
+    "simhash64" -> ((exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    "minhash_sig" -> ((exprs: Seq[Expression]) =>
+      MinHashSig(exprs.head, intArg(exprs(1), "minhash_sig"))),
+    "vec_dot" -> ((exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))),
+    "cosine_sim" -> ((exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))),
+    "lsh_buckets" -> ((exprs: Seq[Expression]) => LshBuckets(
+      exprs.head,
+      intArg(exprs(1), "lsh_buckets"), intArg(exprs(2), "lsh_buckets"),
+      intArg(exprs(3), "lsh_buckets"),
+      if (exprs.length > 4) intArg(exprs(4), "lsh_buckets") else 0)),
+  )
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
-      spark, "fnv1a64", exprs => Fnv1a64(exprs.head))
+    All.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, builder)
+    }
 }

@@ -85,9 +85,25 @@ class ExtrasSpec extends AnyFunSuite {
       s"unexpected rows-only queries: $rowsOnly")
   }
 
-  test("fnv1a64 registers as a SQL function") {
+  test("all native expressions register as SQL functions") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT fnv1a64('a') AS h").collect()(0).getLong(0)
     assert(got == 0xaf63dc4c8601ec8cL)
+    // SQL form equals the Column-API form for each vector/hash expression
+    val row = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       vec_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d,
+        |       size(minhash_sig(array(xxhash64('x'), xxhash64('y')), 16)) AS m,
+        |       size(lsh_buckets(array(CAST(1.0 AS FLOAT)), 4, 8, 1)) AS l,
+        |       size(lsh_buckets(array(CAST(1.0 AS FLOAT)), 4, 8, 1, 8)) AS lmp,
+        |       size(simhash64(array('x','y'))) AS s
+        |""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getDouble(1) == 6.0)
+    assert(row.getInt(2) == 16)
+    assert(row.getInt(3) == 4)
+    assert(row.getInt(4) == 4 * 9)
+    assert(row.getInt(5) == 64)
   }
 }
