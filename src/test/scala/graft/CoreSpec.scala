@@ -481,6 +481,37 @@ class CollectionSpec extends AnyFunSuite {
       v.update(d => d.withColumn("fresh", lit(1)), filters = "month == 1"))
   }
 
+  test("schema builder: dotted paths build nested groups that round-trip a collection") {
+    import org.apache.spark.sql.types._
+    val (schema, attrs) = new SchemaBuilder()
+      .withVariable("id", LongType)
+      .withVariable("ts", TimestampType)
+      .withVariable("payload.ku.power", DoubleType)
+      .withVariable("payload.ku.gain", DoubleType)
+      .withVariable("payload.c.power", DoubleType)
+      .withAttribute("mission", "demo")
+      .build()
+    assert(schema.fieldNames.toSeq == Seq("id", "ts", "payload"))
+    val payload = schema("payload").dataType.asInstanceOf[StructType]
+    assert(payload("ku").dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("power", "gain"))
+    assert(attrs == Map("mission" -> "demo"))
+    intercept[IllegalArgumentException](
+      new SchemaBuilder().withVariable("x", LongType).withVariable("x.y", LongType))
+
+    val root = SparkTestSession.tmp("graft-builder")
+    val df = Seq((1L, "2024-01-01 10:00:00", 5.0, 1.0, 2.0))
+      .toDF("id", "ts", "p", "g", "c")
+      .select(col("id"), col("ts").cast("timestamp"),
+        struct(struct(col("p").as("power"), col("g").as("gain")).as("ku"),
+               struct(col("c").as("power")).as("c")).as("payload"))
+    val coll = Collection.create(spark, root, schema, "ts",
+      DatePartitioning("ts", "D"), attrs = attrs)
+    coll.insert(df)
+    val got = Collection.open(spark, root).query()
+    assert(got.select("payload.ku.power").collect()(0).getDouble(0) == 5.0)
+    assert(Collection.open(spark, root).attrs == attrs)
+  }
+
   test("time travel: snapshotAt reads append history exactly as committed") {
     val root = SparkTestSession.tmp("graft-tt")
     val df = mkEvents()
