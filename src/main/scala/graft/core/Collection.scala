@@ -719,10 +719,14 @@ object Collection {
         .getOrElse(Nil))
   }
 
-  /** Atomic commit: write `manifest-<gen>.json.tmp`, rename into place.
-    * The rename target never pre-exists (generations only grow), so this
-    * is atomic on HDFS/local posix; on object stores the single PUT of the
-    * final name is the atomic step. */
+  /** Atomic commit with optimistic concurrency: write
+    * `manifest-<gen>.json.tmp`, rename into place. Generations only grow,
+    * so the target name is claimed exactly once — a SECOND writer racing
+    * to the same generation finds the file already committed and fails
+    * with a conflict instead of silently overwriting (the Icechunk
+    * conflict-on-commit model; HDFS rename refuses an existing target, on
+    * posix local FS the pre-check narrows the race to the rename itself,
+    * and object stores get it from a conditional PUT of the final name). */
   private[core] def writeManifest(fs: FileSystem, dir: Path, m: Manifest): Unit = {
     val doc = new java.util.LinkedHashMap[String, Object]()
     doc.put("generation", java.lang.Long.valueOf(m.generation))
@@ -732,9 +736,14 @@ object Collection {
     m.fills.foreach { case (k, v) => fillsMap.put(k, v) }
     doc.put("fills", fillsMap)
     doc.put("files", new java.util.ArrayList[Object](m.files.asJava))
+    val target = manifestPath(dir, m.generation)
+    if (fs.exists(target))
+      throw new java.util.ConcurrentModificationException(
+        s"generation ${m.generation} was committed by another writer at $dir; " +
+        "re-read the collection and retry the mutation")
     val tmp = new Path(dir, f"manifest-${m.generation}%012d.json.tmp")
     writeJson(fs, tmp, doc)
-    if (!fs.rename(tmp, manifestPath(dir, m.generation)))
+    if (!fs.rename(tmp, target))
       throw new IllegalStateException(
         s"manifest commit failed for generation ${m.generation} under $dir")
   }

@@ -481,6 +481,7 @@ class CollectionSpec extends AnyFunSuite {
       v.update(d => d.withColumn("fresh", lit(1)), filters = "month == 1"))
   }
 
+
   test("schema builder: dotted paths build nested groups that round-trip a collection") {
     import org.apache.spark.sql.types._
     val (schema, attrs) = new SchemaBuilder()
