@@ -54,8 +54,16 @@ object TextFunctions {
     element_at(transform(array(value), body), 1)
 
   /** Distinct hashed word k-gram shingles (the MinHash input). Documents
-    * shorter than `k` words contribute a single whole-text shingle. */
+    * shorter than `k` words contribute a single whole-text shingle.
+    * Native one-loop expression ([[ShingleHashes]]); [[wordShinglesHof]]
+    * is the builtin composition it replaces (bit-identical,
+    * spec-checked). */
   def wordShingles(c: Column, k: Int): Column =
+    ShingleHashes.shingles(tokens(c), k)
+
+  /** The higher-order-function formulation [[ShingleHashes]] replaces;
+    * kept as the spec's bit-identity cross-check. */
+  def wordShinglesHof(c: Column, k: Int): Column =
     bindOnce(tokens(c)) { toks =>
       val n = size(toks)
       array_distinct(
@@ -65,8 +73,15 @@ object TextFunctions {
         .otherwise(array(xxhash64(concat_ws(" ", toks)))))
     }
 
-  /** Distinct hashed character k-gram shingles. */
-  def charShingles(c: Column, k: Int): Column = {
+  /** Distinct hashed character k-gram shingles — native
+    * ([[CharShingleHashes]]); [[charShinglesHof]] is the builtin
+    * cross-check. */
+  def charShingles(c: Column, k: Int): Column =
+    CharShingleHashes.shingles(c, k)
+
+  /** The higher-order-function formulation [[CharShingleHashes]]
+    * replaces. */
+  def charShinglesHof(c: Column, k: Int): Column = {
     val n = length(c)
     array_distinct(
       when(n >= k,

@@ -105,6 +105,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("native shingle expressions are bit-identical to the HOF compositions") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .unionByName(Seq((900001L, "one two", "en", "t", 7),
+                       (900002L, "  padded   spacing  text here  ", "en", "t", 30),
+                       (900003L, "ab", "en", "t", 2))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = docs.select(
+      TextFunctions.wordShingles($"text", 3).as("wn"),
+      TextFunctions.wordShinglesHof($"text", 3).as("wh"),
+      TextFunctions.charShingles($"text", 4).as("cn"),
+      TextFunctions.charShinglesHof($"text", 4).as("ch"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "word shingle mismatch")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "char shingle mismatch")
+    }
+  }
+
   test("native dot/cosine expressions are bit-identical to the HOF compositions") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(200)
     val pairs = e.select($"vec_id".as("ida"), $"embedding".as("va"))
