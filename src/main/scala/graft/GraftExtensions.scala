@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 import graft.ann.{CosineSim, LshBuckets, VecDot}
 import graft.dedup.{MinHashSig, SimHash64}
-import graft.functions.Fnv1a64
+import graft.functions.{CharShingleHashes, Fnv1a64, ShingleHashes}
 
 /** Session extensions registering graft's custom Catalyst expressions for
   * SQL use:
@@ -47,6 +47,10 @@ object GraftExtensions {
     "minhash_sig" -> ((exprs: Seq[Expression]) =>
       MinHashSig(exprs.head, intArg(exprs(1), "minhash_sig"))),
     "vec_dot" -> ((exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))),
+    "shingle_hashes" -> ((exprs: Seq[Expression]) =>
+      ShingleHashes(exprs.head, intArg(exprs(1), "shingle_hashes"))),
+    "char_shingle_hashes" -> ((exprs: Seq[Expression]) =>
+      CharShingleHashes(exprs.head, intArg(exprs(1), "char_shingle_hashes"))),
     "cosine_sim" -> ((exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))),
     "lsh_buckets" -> ((exprs: Seq[Expression]) => LshBuckets(
       exprs.head,

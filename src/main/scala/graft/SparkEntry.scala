@@ -241,6 +241,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // A28: time travel — query an earlier committed snapshot while the
+    // collection has moved on.
+    "zc_snapshot" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val c = freshEventsColl(s, dir, ev.where(dayofmonth(col("ts")) <= 10))
+      val gen = c.generation
+      c.insert(ev.where(dayofmonth(col("ts")) > 10), MergeStrategy.Concat)
+      eventsOut(c.snapshotAt(gen))
+    }),
+
+    // A29: compaction — concat appends accumulate small files, compact
+    // rewrites them; the visible data must be unchanged.
+    "zc_compact" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val c = freshEventsColl(s, dir, ev.where(dayofmonth(col("ts")) <= 15))
+      c.insert(ev.where(dayofmonth(col("ts")).between(10, 20)), MergeStrategy.Concat)
+      c.compact()
+      eventsOut(c.query())
+    }),
+
     // A18: secondary index: equality query via index-selected partitions.
     "zc_index" -> ((s, dir) => {
       val c = eventsCollection(s, dir)
@@ -883,6 +903,18 @@ object SparkEntry {
                 CAST(ROW_NUMBER() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP))
                                         ORDER BY value, event_id) AS INT) AS value_rank
          FROM events ORDER BY event_id""",
+
+    "zc_snapshot" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events WHERE day(CAST(ts AS TIMESTAMP)) <= 10 ORDER BY event_id""",
+
+    "zc_compact" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events WHERE day(CAST(ts AS TIMESTAMP)) <= 15
+         UNION ALL
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 20
+         ORDER BY event_id""",
 
     "zc_view_partial" ->
       """SELECT event_id, value,
