@@ -528,6 +528,14 @@ class CollectionSpec extends AnyFunSuite {
     assert(!c.snapshotAt(2).columns.contains("extra"))
     assert(c.query().columns.contains("extra"))
     intercept[IllegalArgumentException](c.snapshotAt(99))
+
+    // a REPLACE commit GCs the files it replaced: the pre-replace
+    // snapshot fails loudly at scan time (documented limitation), and
+    // the head keeps working
+    val genBeforeReplace = c.generation
+    c.insert(mkEvents().where(col("id") === 1L).withColumn("v", lit(99.0)))
+    intercept[Exception](c.snapshotAt(genBeforeReplace).where(col("id") === 1L).count())
+    assert(c.query().where(col("id") === 1L).select("v").collect()(0).getDouble(0) == 99.0)
   }
 
   test("compact collapses concat-append file accumulation atomically") {
