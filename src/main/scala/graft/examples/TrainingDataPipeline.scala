@@ -27,11 +27,11 @@ object TrainingDataPipeline {
     val unique = Dedup.exact(docs, Seq("text"), "doc_id")
     println(s"exact-deduped: ${unique.count()} of ${docs.count()}")
 
-    // 2. near-dedup: minhash candidates verified at true Jaccard >= 0.8
+    // 2. near-dedup: minhash candidates verified at true Jaccard >= 0.8,
+    //    grouped by connected components, one representative kept per group
     val nearDups = Dedup.minhashPairs(unique, "doc_id",
       TextFunctions.wordShingles(col("text"), 3), threshold = 0.8)
-    val doomed = nearDups.select(col("b").as("doc_id")).distinct()
-    val deduped = unique.join(doomed, Seq("doc_id"), "left_anti")
+    val deduped = Dedup.keepRepresentatives(unique, nearDups, "doc_id")
     println(s"near-deduped: ${deduped.count()}")
 
     // 3. quality + language filtering

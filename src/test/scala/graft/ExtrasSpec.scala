@@ -85,6 +85,19 @@ class ExtrasSpec extends AnyFunSuite {
       s"unexpected rows-only queries: $rowsOnly")
   }
 
+  test("native expressions stay inside whole-stage codegen") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.select(
+      graft.ann.Ann.cosine(col("embedding"), col("embedding")).as("c"),
+      graft.functions.TextFunctions.fingerprint(col("label")).as("f"))
+    val plan = q.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark codegen stages; the similarity/hash projection
+    // must be inside one (HOF formulations break the span)
+    val projLine = plan.split("\n").find(_.contains("cosine_sim")).getOrElse("")
+    assert(projLine.contains("*("), s"native expressions fell out of codegen:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("all native expressions register as SQL functions") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT fnv1a64('a') AS h").collect()(0).getLong(0)
