@@ -150,6 +150,11 @@ object Ann {
     * captures no rows disappears). Returns `(centroid id, mean vector)`. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nLists: Int, iters: Int): Array[(Long, Array[Float])] = {
+    // the centroid table rides the plan as a literal — thousands of lists
+    // would bloat the codegen constant pool; a larger quantizer belongs in
+    // a broadcast-join formulation
+    require(nLists <= 4096,
+      s"nLists=$nLists exceeds the literal-table argmax limit (4096)")
     var cents: Array[(Long, Array[Float])] =
       sampleCentroids(corpus, idCol, vecCol, nLists).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
