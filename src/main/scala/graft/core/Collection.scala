@@ -74,6 +74,11 @@ final class Collection private (
     /** Free-form collection metadata (reference: Dataset.attrs persisted
       * in the root config). */
     val attrs: Map[String, String],
+    /** How many PAST generations stay physically readable: 0 (default)
+      * GCs replaced files right after each commit (append history still
+      * time-travels); N > 0 defers deletion to [[vacuum]], which keeps
+      * the newest N+1 snapshots intact — the lakehouse retention model. */
+    val retainGenerations: Int = 0,
 ) {
   import Collection._
 
@@ -297,9 +302,11 @@ final class Collection private (
       generation = man.generation + 1,
       taskBase = man.taskBase + writeTasks,
       files = (kept ++ newFiles).sorted))
-    // GC the files this commit replaced.
-    man.files.filter(f => replaced.contains(parentRel(f)))
-      .foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
+    // GC the files this commit replaced — unless a retention window keeps
+    // past snapshots readable (then vacuum() expires them later).
+    if (retainGenerations == 0)
+      man.files.filter(f => replaced.contains(parentRel(f)))
+        .foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
   }
 
   private def listDataFiles(relDir: String): Seq[String] = {
@@ -310,15 +317,21 @@ final class Collection private (
       .map(st => s"$relDir/${st.getPath.getName}")
   }
 
-  /** Delete data files no manifest generation can reach (crash leftovers
-    * from writers that died before their commit). Returns deleted paths. */
+  /** Reclaim unreachable data files: crash leftovers of writers that
+    * died before their commit, plus — when a retention window is set —
+    * files only referenced by snapshots OLDER than the newest
+    * `retainGenerations + 1`. Returns deleted paths. */
   def vacuum(): Seq[String] = {
     requireWritable()
-    val live = currentManifest().files.toSet
+    val gens = generations()
+    val retained = gens.takeRight(retainGenerations + 1)
+    val live: Set[String] = retained.flatMap { g =>
+      manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g)).files
+    }.toSet
     val all = walkDataFiles()
-    val orphans = all.filterNot(live.contains)
-    orphans.foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
-    orphans
+    val doomed = all.filterNot(live.contains)
+    doomed.foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
+    doomed
   }
 
   // --- schema evolution --------------------------------------------
@@ -516,7 +529,9 @@ final class Collection private (
     commitManifest(man.copy(
       generation = man.generation + 1,
       files = man.files.filterNot(f => doomedSet.contains(parentRel(f)))))
-    doomed.foreach { rel =>
+    // under a retention window, dropped partitions stay on disk (and
+    // time-travelable) until vacuum() expires them
+    if (retainGenerations == 0) doomed.foreach { rel =>
       fs.delete(new Path(s"$root/$rel"), true)
       // prune now-empty parent directories up to the root
       var parent = new Path(s"$root/$rel").getParent
@@ -759,6 +774,7 @@ object Collection {
       overwrite: Boolean = false,
       profile: String = "local-fast",
       attrs: Map[String, String] = Map.empty,
+      retainGenerations: Int = 0,
   ): Collection = {
     val fs = fileSystem(spark, root)
     val cfg = new Path(s"$root/$ConfigFile")
@@ -766,6 +782,7 @@ object Collection {
       throw new IllegalStateException(s"a collection already exists at $root")
     if (overwrite && fs.exists(new Path(root))) fs.delete(new Path(root), true)
     require(schema.fieldNames.contains(axis), s"axis '$axis' is not a column of the schema")
+    require(retainGenerations >= 0, "retainGenerations must be >= 0")
 
     val m = new java.util.LinkedHashMap[String, Object]()
     m.put("formatVersion", Integer.valueOf(FormatVersion))
@@ -774,6 +791,7 @@ object Collection {
     m.put("partitioning", partitioning.toJsonMap)
     m.put("catalog", java.lang.Boolean.valueOf(catalogEnabled))
     m.put("profile", profile)
+    m.put("retain", Integer.valueOf(retainGenerations))
     val attrsMap = new java.util.LinkedHashMap[String, Object]()
     attrs.foreach { case (k, v) => attrsMap.put(k, v) }
     m.put("attrs", attrsMap)
@@ -781,7 +799,7 @@ object Collection {
     writeManifest(fs, new Path(s"$root/$ManifestDir"),
       Manifest(0L, 0L, schema.toDDL, Map.empty, Nil))
     new Collection(spark, root, schema, axis, partitioning, catalogEnabled,
-      readOnly = false, CodecProfile(profile), attrs)
+      readOnly = false, CodecProfile(profile), attrs, retainGenerations)
   }
 
   /** Open an existing collection (reference base.py:236-271). Refuses a
@@ -809,10 +827,12 @@ object Collection {
         case (k, v) => k -> String.valueOf(v)
       }.toMap)
       .getOrElse(Map.empty[String, String])
+    val retain = Option(doc.get("retain")).map(_.toString.toInt).getOrElse(0)
     new Collection(
       spark, root, schema, doc.get("axis").toString, partitioning,
       catalogEnabled = doc.get("catalog").asInstanceOf[java.lang.Boolean],
-      readOnly = readOnly, profile = CodecProfile(profile), attrs = attrs)
+      readOnly = readOnly, profile = CodecProfile(profile), attrs = attrs,
+      retainGenerations = retain)
   }
 
   private[core] def fileSystem(spark: SparkSession, root: String): FileSystem =

@@ -538,6 +538,34 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.query().where(col("id") === 1L).select("v").collect()(0).getDouble(0) == 99.0)
   }
 
+  test("retention window keeps replaced snapshots time-travelable until vacuum expires them") {
+    val root = SparkTestSession.tmp("graft-retain")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts",
+      DatePartitioning("ts", "D"), retainGenerations = 2)
+    c.insert(df.where(col("id") === 1L))                                  // gen 1
+    c.insert(df.where(col("id") === 1L).withColumn("v", lit(50.0)))       // gen 2 replace
+    c.insert(df.where(col("id") === 1L).withColumn("v", lit(99.0)))       // gen 3 replace
+    // with retain=2 every replaced snapshot is still physically readable
+    assert(c.snapshotAt(1).select("v").collect()(0).getDouble(0) == 1.0)
+    assert(c.snapshotAt(2).select("v").collect()(0).getDouble(0) == 50.0)
+    assert(c.query().select("v").collect()(0).getDouble(0) == 99.0)
+    // vacuum keeps the newest retain+1 snapshots intact
+    assert(c.vacuum().isEmpty)
+    assert(c.snapshotAt(1).count() == 1)
+    // one more replace pushes gen 1 out of the window; vacuum expires it
+    c.insert(df.where(col("id") === 1L).withColumn("v", lit(7.0)))        // gen 4
+    assert(c.vacuum().nonEmpty)
+    intercept[Exception](c.snapshotAt(1).count())
+    assert(c.snapshotAt(2).count() == 1, "retained snapshot was expired")
+    // dropped partitions also defer their physical delete
+    c.dropPartitions("day == 1 and month == 1")                           // gen 5
+    assert(c.query().count() == 0)
+    assert(c.snapshotAt(4).count() == 1, "drop deleted retained history")
+    // reopen preserves the policy
+    assert(Collection.open(spark, root).retainGenerations == 2)
+  }
+
   test("compact collapses concat-append file accumulation atomically") {
     val root = SparkTestSession.tmp("graft-compact")
     val df = mkEvents().where(col("id") === 1L)
