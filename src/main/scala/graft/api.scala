@@ -21,8 +21,11 @@ object api {
       catalogEnabled: Boolean = false,
       overwrite: Boolean = false,
       profile: String = "local-fast",
+      attrs: Map[String, String] = Map.empty,
+      retainGenerations: Int = 0,
   ): Collection =
-    Collection.create(spark, root, schema, axis, partitioning, catalogEnabled, overwrite, profile)
+    Collection.create(spark, root, schema, axis, partitioning, catalogEnabled,
+      overwrite, profile, attrs, retainGenerations)
 
   /** Open an existing collection (reference api.py open_collection). */
   def openCollection(spark: SparkSession, root: String, readOnly: Boolean = false): Collection =

@@ -380,6 +380,10 @@ final class Collection private (
     * The declared schema is passed explicitly, so partition columns come
     * back with their declared types and schema evolution applies
     * (missing-in-file columns read as null, then fill values). */
+  /** The full scan schema (data + partition cols + `_zc_row`) without
+    * building a scan — what streaming readers must declare. */
+  def readSchema: StructType = StructType(readSchemaFields(schema))
+
   def readRaw(): DataFrame = readRawManifest(currentManifest())
 
   private def readRawManifest(man: Manifest): DataFrame = {

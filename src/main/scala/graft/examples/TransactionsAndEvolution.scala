@@ -48,6 +48,12 @@ object TransactionsAndEvolution {
     // a writer that dies mid-insert leaves only invisible orphans
     println(s"orphans reclaimed by vacuum: ${coll.vacuum().size}")
     println(s"rows visible: ${coll.query().count()} at generation ${coll.generation}")
+
+    // time travel: every commit is a readable snapshot; with
+    // retainGenerations = N even replaced history stays on disk until
+    // vacuum() expires it
+    println(s"history: generations ${coll.generations().mkString(", ")}")
+    println(s"rows at generation 1: ${coll.snapshotAt(1).count()}")
     spark.stop()
   }
 }

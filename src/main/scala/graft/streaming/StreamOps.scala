@@ -18,7 +18,7 @@ object StreamOps {
   /** Open a collection as a streaming DataFrame (data + partition cols). */
   def readStream(spark: SparkSession, c: Collection): DataFrame =
     spark.readStream
-      .schema(c.readRaw().schema)
+      .schema(c.readSchema)
       .parquet(c.root)
       .drop(Collection.RowIdCol)
 
