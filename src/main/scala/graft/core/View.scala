@@ -129,6 +129,12 @@ final class View private (
     * (reference view/base.py:226). */
   def partitions(filters: String = null): Seq[String] = base.partitions(filters)
 
+  /** The overlay variable names (reference view/base.py:215). */
+  def variables: Seq[String] =
+    if (!fsys.exists(new Path(dataDir))) Nil
+    else spark.read.parquet(dataDir).columns
+      .filterNot(c => partCols.contains(c) || c == RowIdCol).toSeq
+
   private def writeConfig(baseGen: Option[Long]): Unit = {
     val m = new java.util.LinkedHashMap[String, Object]()
     m.put("version", Integer.valueOf(1))

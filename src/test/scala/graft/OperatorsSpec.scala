@@ -117,6 +117,8 @@ class OperatorsSpec extends AnyFunSuite {
     // reopen by config
     val reopened = View.open(spark, root + "-view")
     assert(reopened.query().count() == 3)
+    assert(reopened.variables == Seq("v2"))
+    assert(reopened.partitions() == c.partitions())
   }
 
   test("salted join equals the plain join") {
