@@ -532,7 +532,8 @@ object SparkEntry {
     // what the oracle encodes.
     "stream_window" -> ((s, dir) => {
       val c = eventsCollection(s, dir)
-      graft.streaming.StreamOps.windowedAggAppendOnce(s, c, "ts", "1 hour") { grouped =>
+      graft.streaming.StreamOps.windowedAggAppendOnce(s, c, "ts", "1 hour",
+        statePartitions = Some(8)) { grouped =>
         grouped.agg(
           count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("decimal(38,2)").cast("double").as("sum_value"))

@@ -33,22 +33,34 @@ object StreamOps {
     * The Complete-mode variant [[windowedAggOnce]] re-emits the whole
     * result each trigger and collects it into the sink — useful as a
     * batch-equivalence proof, wrong for unbounded streams. */
+  /** @param statePartitions state-store partition count for this query
+    *        (a stream's state partitioning is fixed at its first batch —
+    *        independent of batch queries' shuffle setting). A window agg
+    *        keys state by coarse windows, so a few partitions suffice and
+    *        spare the per-batch cost of instantiating hundreds of stores;
+    *        size it like any stateful job at scale. None = session
+    *        default. */
   def windowedAggAppendOnce(
       spark: SparkSession,
       c: Collection,
       timeCol: String,
       windowDuration: String,
       watermarkDelay: String = "0 seconds",
+      statePartitions: Option[Int] = None,
   )(agg: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg(
-        readStream(spark, c)
-          .withWatermark(timeCol, watermarkDelay)
-          .groupBy(window(col(timeCol), windowDuration).as("w")))
-      .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
+    val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = agg(
+          readStream(spark, c)
+            .withWatermark(timeCol, watermarkDelay)
+            .groupBy(window(col(timeCol), windowDuration).as("w")))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally prev.foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
     spark.table(name)
   }
 
