@@ -112,10 +112,14 @@ object Ann {
       .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("_zc_qv"))), "qid")
       .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("_zc_cv")), "nid")
       .withColumn("sim", cosine(col("_zc_qv"), col("_zc_cv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    withVecs.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"), col("sim"))
+    // bounded top-k ([[graft.functions.TopKAgg]]) — map-side partials ship
+    // at most k ids+scores per (task, query); no candidate sort/shuffle
+    val topk = graft.functions.TopKAgg.topK(k)
+    withVecs.groupBy(col("qid"))
+      .agg(topk(col("sim"), col("nid")).as("_zc_tk"))
+      .select(col("qid"), posexplode(col("_zc_tk")).as(Seq("_zc_pos", "_zc_s")))
+      .select(col("qid"), col("_zc_s.id").as("nid"),
+        (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
   }
 
   /** IVF (inverted-file) approximate top-k: a deterministic subsample of
@@ -134,44 +138,112 @@ object Ann {
     * its local top-nLists, the driver merges nLists rows. At 100 TB this
     * is one map-side pass; a row_number() formulation would be a
     * single-task sort of the whole corpus. */
-  private def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                              nLists: Int): DataFrame =
+  private[graft] def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                                     nLists: Int): DataFrame =
     corpus
       .select(col(idCol).as("_zc_cent"), col(vecCol).as("_zc_cv"))
       .orderBy(xxhash64(col("_zc_cent")), col("_zc_cent"))
       .limit(nLists)
 
+  /** Past this size the centroid table stops riding the plan as a codegen
+    * literal (constant-pool bloat) and switches to an executor broadcast
+    * with a closure argmax — same zero-shuffle map-pass shape. */
+  val LiteralCentroidCap = 4096
+
+  /** Per-row nearest-centroid id over the LITERAL centroid table — pure
+    * codegen, zero shuffle. Usable up to [[LiteralCentroidCap]] lists. */
+  private def argmaxLiteral(vec: Column, cents: Array[(Long, Array[Float])]): Column = {
+    val centsLit = typedlit(cents.toSeq.map { case (i, v) => (i, v.toSeq) })
+    aggregate(centsLit,
+      struct(lit(-1L).as("id"), lit(-2.0).as("sim")),
+      (acc, c) => {
+        val s = cosine(vec, c.getField("_2"))
+        when(s > acc.getField("sim"), struct(c.getField("_1").as("id"), s.as("sim")))
+          .otherwise(acc)
+      }).getField("id")
+  }
+
+  /** Per-row top-`keep` nearest-centroid ids against an EXECUTOR-BROADCAST
+    * centroid table (best first; ties break on the centroid id). The
+    * beyond-the-literal-cap quantizer path: one deliberate closure over a
+    * broadcast — still a pure map pass, the corpus never shuffles, and the
+    * per-row cost is the same O(lists x dims) float math the literal
+    * formulation pays. */
+  private def topCentroidsCol(spark: org.apache.spark.sql.SparkSession,
+                              cents: Array[(Long, Array[Float])],
+                              keep: Int): Column => Column = {
+    val bc = spark.sparkContext.broadcast(cents)
+    val f = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      var na = 0.0
+      var i = 0
+      while (i < arr.length) { na += arr(i).toDouble * arr(i); i += 1 }
+      val nv = math.sqrt(na)
+      val table = bc.value
+      // bounded selection buffer: (sim desc, id asc), size <= keep
+      val bufSim = new Array[Double](keep)
+      val bufId = new Array[Long](keep)
+      var n = 0
+      var c = 0
+      while (c < table.length) {
+        val (cid, cv) = table(c)
+        var dot = 0.0
+        var nb = 0.0
+        var j = 0
+        val d = math.min(arr.length, cv.length)
+        while (j < d) { dot += arr(j).toDouble * cv(j); nb += cv(j).toDouble * cv(j); j += 1 }
+        val sim = dot / (nv * math.sqrt(nb))
+        if (n < keep || sim > bufSim(n - 1) ||
+            (sim == bufSim(n - 1) && cid < bufId(n - 1))) {
+          var p = math.min(n, keep - 1)
+          while (p > 0 && (bufSim(p - 1) < sim ||
+                 (bufSim(p - 1) == sim && bufId(p - 1) > cid))) {
+            bufSim(p) = bufSim(p - 1); bufId(p) = bufId(p - 1); p -= 1
+          }
+          bufSim(p) = sim; bufId(p) = cid
+          if (n < keep) n += 1
+        }
+        c += 1
+      }
+      bufId.take(n).toSeq
+    }
+    (vec: Column) => f(vec)
+  }
+
+  /** Nearest-centroid id as a zero-shuffle map pass: literal-table codegen
+    * up to [[LiteralCentroidCap]] lists, broadcast-closure argmax beyond. */
+  private def assignCentroid(spark: org.apache.spark.sql.SparkSession,
+                             cents: Array[(Long, Array[Float])]): Column => Column =
+    if (cents.length <= LiteralCentroidCap) (vec: Column) => argmaxLiteral(vec, cents)
+    else { val top1 = topCentroidsCol(spark, cents, 1); (vec: Column) => element_at(top1(vec), 1) }
+
+  private def collectCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                               nLists: Int): Array[(Long, Array[Float])] =
+    sampleCentroids(corpus, idCol, vecCol, nLists).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
   /** Lloyd-refined coarse quantizer: `iters` k-means iterations from the
     * deterministic hash sample. Each iteration is ONE map pass (per-row
-    * argmax against the broadcast-literal centroid table — no join, no
-    * shuffle of the corpus) plus one bounded shuffle of per-task partial
-    * (sum, count) buffers ([[graft.functions.VecMeanAgg]]) — the textbook
-    * distributed Lloyd step. Centroid count can only shrink (a list that
-    * captures no rows disappears). Returns `(centroid id, mean vector)`. */
+    * argmax against the broadcast centroid table — no join, no shuffle of
+    * the corpus) plus one bounded shuffle of per-task partial (sum, count)
+    * buffers ([[graft.functions.VecMeanAgg]]) — the textbook distributed
+    * Lloyd step. Centroid count can only shrink (a list that captures no
+    * rows disappears). Returns `(centroid id, mean vector)`.
+    *
+    * Quantizers up to [[LiteralCentroidCap]] lists assign via a codegen
+    * literal table; larger ones via a broadcast-closure argmax — both are
+    * map passes, so nLists is bounded only by what the driver/executors
+    * can hold (lists x dims floats). */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nLists: Int, iters: Int): Array[(Long, Array[Float])] = {
-    // the centroid table rides the plan as a literal — thousands of lists
-    // would bloat the codegen constant pool; a larger quantizer belongs in
-    // a broadcast-join formulation
-    require(nLists <= 4096,
-      s"nLists=$nLists exceeds the literal-table argmax limit (4096)")
-    var cents: Array[(Long, Array[Float])] =
-      sampleCentroids(corpus, idCol, vecCol, nLists).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
+    val spark = corpus.sparkSession
+    var cents = collectCentroids(corpus, idCol, vecCol, nLists)
     var it = 0
     while (it < iters && cents.nonEmpty) {
-      val centsLit = typedlit(cents.toSeq.map { case (i, v) => (i, v.toSeq) })
-      // per-row argmax over the literal centroid table, pure codegen
-      val best = aggregate(centsLit,
-        struct(lit(-1L).as("id"), lit(-2.0).as("sim")),
-        (acc, c) => {
-          val s = cosine(col(vecCol), c.getField("_2"))
-          when(s > acc.getField("sim"), struct(c.getField("_1").as("id"), s.as("sim")))
-            .otherwise(acc)
-        })
+      val assign = assignCentroid(spark, cents)
       cents = corpus
-        .select(best.getField("id").as("_zc_cent"), col(vecCol).as("_zc_v"))
+        .select(assign(col(vecCol)).as("_zc_cent"), col(vecCol).as("_zc_v"))
         .groupBy("_zc_cent")
         .agg(graft.functions.VecMeanAgg.mean(col("_zc_v")).as("_zc_cv"))
         .collect()
@@ -185,42 +257,41 @@ object Ann {
   /** @param kmeansIters 0 = plain deterministic hash-sample quantizer;
     *                    >0 refines it with that many Lloyd iterations
     *                    ([[kmeansCentroids]]) — better lists on clustered
-    *                    corpora at the cost of `iters` extra passes. */
+    *                    corpora at the cost of `iters` extra passes.
+    *
+    * Scale shape: the inverted-list assignment is a per-row argmax against
+    * the broadcast centroid table — a pure map pass; corpus vectors never
+    * enter an Exchange (the round-2 formulation shuffled |corpus| x nLists
+    * wide rows through a window). With one list per corpus row and unique
+    * (query, centroid) probes, candidate `(qid, nid)` pairs are unique by
+    * construction — no distinct — and the final top-k is the bounded
+    * [[graft.functions.TopKAgg]]: only `(qid, nid, sim)` ids+scores ride
+    * the one remaining shuffle. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nLists: Int = 32, nProbe: Int = 4,
               kmeansIters: Int = 0): DataFrame = {
-    val centroids =
-      if (kmeansIters <= 0) sampleCentroids(corpus, idCol, vecCol, nLists)
-      else {
-        val sp = corpus.sparkSession
-        import sp.implicits._
-        kmeansCentroids(corpus, idCol, vecCol, nLists, kmeansIters)
-          .toSeq.map { case (i, v) => (i, v.toSeq) }
-          .toDF("_zc_cent", "_zc_cv")
-          .withColumn("_zc_cv", col("_zc_cv").cast("array<float>"))
-      }
-
-    def nearestCentroids(df: DataFrame, id: String, keep: Int): DataFrame = {
-      val scored = df.select(col(idCol).as(id), col(vecCol).as(s"_zc_v_$id"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("_zc_sim", cosine(col(s"_zc_v_$id"), col("_zc_cv")))
-      val w = Window.partitionBy(col(id)).orderBy(col("_zc_sim").desc, col("_zc_cent"))
-      scored.withColumn("_zc_r", row_number().over(w))
-        .where(col("_zc_r") <= keep)
-        .select(col(id), col(s"_zc_v_$id"), col("_zc_cent"))
-    }
-
-    val lists = nearestCentroids(corpus, "nid", 1)       // inverted lists
-    val probes = nearestCentroids(queries, "qid", nProbe)
+    val spark = corpus.sparkSession
+    val cents =
+      if (kmeansIters <= 0) collectCentroids(corpus, idCol, vecCol, nLists)
+      else kmeansCentroids(corpus, idCol, vecCol, nLists, kmeansIters)
+    require(cents.nonEmpty, "ivfTopK: empty corpus")
+    // inverted lists: one zero-shuffle map pass over the corpus
+    val assign = assignCentroid(spark, cents)
+    val lists = corpus.select(col(idCol).as("nid"), col(vecCol).as("_zc_v_nid"))
+      .withColumn("_zc_cent", assign(col("_zc_v_nid")))
+    // probes: the tiny query side takes its nProbe nearest lists
+    val probeFn = topCentroidsCol(spark, cents, nProbe)
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("_zc_v_qid"))
+      .withColumn("_zc_cent", explode(probeFn(col("_zc_v_qid"))))
     val cands = lists.join(broadcast(probes), "_zc_cent")
       .where(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), col("_zc_v_qid"), col("_zc_v_nid"))
-      .distinct()
       .withColumn("sim", cosine(col("_zc_v_qid"), col("_zc_v_nid")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    cands.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"), col("sim"))
+    val topk = graft.functions.TopKAgg.topK(k)
+    cands.groupBy(col("qid"))
+      .agg(topk(col("sim"), col("nid")).as("_zc_tk"))
+      .select(col("qid"), posexplode(col("_zc_tk")).as(Seq("_zc_pos", "_zc_s")))
+      .select(col("qid"), col("_zc_s.id").as("nid"),
+        (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
   }
 
   /** Near-duplicate pairs by embedding cosine: LSH-bucketed candidate

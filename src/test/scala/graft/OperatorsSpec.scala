@@ -169,14 +169,63 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("ivf centroid selection plans as a bounded top-k, not a global sort") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val q = graft.ann.Ann.ivfTopK(e, e.where(col("vec_id") < 3), "vec_id", "embedding", 5)
-    val plan = q.queryExecution.executedPlan.toString
+    val sample = graft.ann.Ann.sampleCentroids(e, "vec_id", "embedding", 32)
+    val plan = sample.queryExecution.executedPlan.toString
     // the r1 formulation planned Window/Sort over a single partition — one
     // task sorting the whole corpus; the hash-sample must be a
     // TakeOrderedAndProject (per-task top-k, driver merges nLists rows)
     assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k in plan:\n$plan")
     assert(!plan.contains("Exchange SinglePartition"),
-      s"single-task stage survived in ivf plan:\n$plan")
-    assert(q.count() > 0)
+      s"single-task stage survived in centroid-sample plan:\n$plan")
+    assert(sample.count() == 32)
+  }
+
+  test("ivf inverted-list assignment is a map pass: no vector shuffle, no window") {
+    // r2 verdict: the crossJoin+Window formulation shuffled |corpus| x
+    // nLists rows each carrying the full vector. The assignment must be a
+    // per-row argmax (zero corpus shuffle); the only Exchange left is the
+    // bounded top-k over (qid, nid, sim).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val q = graft.ann.Ann.ivfTopK(e, e.where(col("vec_id") < 3), "vec_id", "embedding", 5)
+      val plan = q.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.forall(!_.output.exists(_.name.startsWith("_zc_v_"))),
+        s"a vector column rode an Exchange:\n$plan")
+      assert(!plan.toString.contains("hashpartitioning(nid"),
+        s"corpus shuffled on nid:\n$plan")
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"window survived in ivf plan:\n$plan")
+      assert(q.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("kmeans quantizer works past the literal-table cap (broadcast argmax path)") {
+    // 8192 lists > LiteralCentroidCap forces the broadcast-closure
+    // assignment; over a small corpus most sampled lists survive and every
+    // corpus row must land in a valid list.
+    val dims = 8
+    val n = 3000
+    val df = spark.range(n).selectExpr("id as vec_id",
+      s"transform(sequence(1, $dims), j -> cast(pmod(hash(id, j), 97) / 97.0 as float)) as embedding")
+    val cents = graft.ann.Ann.kmeansCentroids(df, "vec_id", "embedding", 8192, 1)
+    assert(cents.nonEmpty && cents.length <= n)
+    val ids = cents.map(_._1).toSet
+    assert(ids.size == cents.length)
+    // the refined quantizer still drives ivfTopK end-to-end: self-query
+    // recall vs brute force must stay high with a generous probe count
+    val q = df.where(col("vec_id") < 20)
+    val exact = graft.ann.Ann.bruteForceTopK(df, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.ann.Ann.ivfTopK(df, q, "vec_id", "embedding", 5,
+        nLists = 8192, nProbe = 64, kmeansIters = 1)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ivf@8192-list recall collapsed: $recall")
   }
 }
