@@ -386,20 +386,31 @@ final class Collection private (
 
   def readRaw(): DataFrame = readRawManifest(currentManifest())
 
-  private def readRawManifest(man: Manifest): DataFrame = {
+  private def readRawManifest(man: Manifest): DataFrame =
+    readManifestFiles(man, man.files)
+
+  /** Scan an explicit subset of a manifest's files under that manifest's
+    * declared schema + fills — the micro-batch primitive for the
+    * manifest-consistent streaming source
+    * ([[graft.streaming.GraftCollectionSource]]). */
+  private[graft] def readManifestFiles(man: Manifest, files: Seq[String]): DataFrame = {
     val dataSchema = schemaCache.getOrElseUpdate(man.generation, StructType.fromDDL(man.schemaDdl))
     val fields = readSchemaFields(dataSchema)
-    if (man.files.isEmpty)
+    if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
     var df = spark.read
       .option("basePath", root)
       .schema(StructType(fields))
-      .parquet(man.files.map(f => s"$root/$f"): _*)
+      .parquet(files.map(f => s"$root/$f"): _*)
     for ((c, fillSql) <- man.fills if dataSchema.fieldNames.contains(c))
       df = df.withColumn(c, coalesce(col(c), expr(fillSql).cast(dataSchema(c).dataType)))
     df.select(fields.map(f => col(f.name)): _*)
   }
+
+  /** The committed manifest at `gen` (cached; manifests are immutable). */
+  private[graft] def manifestAt(gen: Long): Manifest =
+    manifestCache.getOrElseUpdate(gen, readManifest(fs, manifestDir, gen))
 
   /** TIME TRAVEL: read the collection exactly as committed at `gen`
     * (that snapshot's files AND schema). Snapshots are immutable, but

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.core.Collection
+
+/** Manifest-consistent streaming source over a graft [[Collection]].
+  *
+  * Offsets ARE manifest generations: micro-batch `(start, end]` scans
+  * exactly the files that manifests `start+1..end` committed — the file
+  * set of `end`'s manifest minus the file set of `start`'s. Readers
+  * therefore inherit the batch path's snapshot isolation (reference
+  * icechunk_store.py:159-170 session isolation):
+  *
+  *  - crash orphans (files written by a writer that died before its
+  *    manifest commit) are in NO manifest — never streamed;
+  *  - with `retainGenerations > 0`, files REPLACED by a later commit but
+  *    kept on disk for time travel are absent from newer manifests —
+  *    a fresh stream starting at the current generation never sees them
+  *    (a directory-listing source would ingest old + new copies);
+  *  - a replace commit streams only its NEW files: streams are
+  *    append-logs, replaced rows are not retracted (same contract as any
+  *    file stream; use batch [[Collection.query]] for replace-heavy
+  *    collections).
+  *
+  * Discovery cost per trigger is one `_manifest/` LIST + at most one
+  * small JSON read — no data-directory walk, unlike Spark's file stream
+  * source whose per-trigger directory listing is the well-known
+  * object-store bottleneck at 10^6-file scale.
+  */
+class GraftCollectionSource(spark: SparkSession, root: String) extends Source {
+
+  private val collection = Collection.open(spark, root, readOnly = true)
+
+  override val schema: StructType = collection.readSchema
+
+  private def gen(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong // SerializedOffset on restart
+  }
+
+  /** Latest committed generation — one directory LIST, no data walk. */
+  override def getOffset: Option[Offset] = Some(LongOffset(collection.generation))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endGen = gen(end)
+    val endMan = collection.manifestAt(endGen)
+    val newFiles = start match {
+      case None => endMan.files
+      case Some(s) =>
+        val startFiles = collection.manifestAt(gen(s)).files.toSet
+        endMan.files.filterNot(startFiles.contains)
+    }
+    // MicroBatchExecution requires getBatch's plan to be flagged streaming
+    // (the same flip FileStreamSource applies to the relation it builds)
+    org.apache.spark.sql.graftshim.StreamingShim.asStreamingBatch(
+      collection.readManifestFiles(endMan, newFiles))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftCollectionSource[$root]"
+}
+
+/** `spark.readStream.format("graft").option("root", path).load()`. */
+class GraftCollectionSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("root", parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft streaming source requires .option(\"root\", <collection root>)")))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      Collection.open(sqlContext.sparkSession, rootOf(parameters), readOnly = true).readSchema)
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftCollectionSource(sqlContext.sparkSession, rootOf(parameters))
+}

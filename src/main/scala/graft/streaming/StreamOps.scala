@@ -8,18 +8,23 @@ import graft.core.Collection
 
 /** Structured Streaming over graft collections.
   *
-  * A collection's partition tree IS a valid streaming file source: new
-  * partitions written by `insert` are discovered as new files, so a
-  * collection doubles as an incremental-acquisition stream — the streaming
-  * analogue of the reference's incremental-insert workflow.
+  * A collection doubles as an incremental-acquisition stream — the
+  * streaming analogue of the reference's incremental-insert workflow.
+  * Streams resolve files from the COMMITTED MANIFEST, not a directory
+  * listing ([[GraftCollectionSource]]): each micro-batch is the file diff
+  * between two committed generations, so crash orphans and
+  * retention-kept replaced files are invisible to streaming readers —
+  * the same snapshot isolation the batch read path provides.
   */
 object StreamOps {
 
-  /** Open a collection as a streaming DataFrame (data + partition cols). */
+  /** Open a collection as a streaming DataFrame (data + partition cols),
+    * manifest-consistent per micro-batch. */
   def readStream(spark: SparkSession, c: Collection): DataFrame =
     spark.readStream
-      .schema(c.readSchema)
-      .parquet(c.root)
+      .format(classOf[GraftCollectionSourceProvider].getName)
+      .option("root", c.root)
+      .load()
       .drop(Collection.RowIdCol)
 
   /** PRIMARY streaming shape: append-mode tumbling-window aggregation

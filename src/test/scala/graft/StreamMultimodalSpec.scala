@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 import graft.core._
 import graft.multimodal.Multimodal
 import graft.streaming.StreamOps
@@ -30,6 +32,64 @@ class StreamMultimodalSpec extends AnyFunSuite {
       ("2024-01-01 10:00:00", 2L, 3.0),
       ("2024-01-01 11:00:00", 1L, 4.0),
       ("2024-01-02 10:00:00", 1L, 8.0)))
+  }
+
+  test("streaming reads are manifest-consistent: orphans and retained replaced files invisible") {
+    // r2 verdict #1: a directory-listing stream ingests (a) files of a
+    // writer that crashed before its manifest commit and (b) with
+    // retainGenerations > 0, the pre-replace copies kept for time travel.
+    // The manifest-driven source must see exactly the committed snapshot.
+    val root = SparkTestSession.tmp("graft-stream-man")
+    val mk = (vals: Seq[(Long, String, Double)]) => vals
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val df = mk(Seq((1L, "2024-01-01 10:05:00", 1.0), (2L, "2024-01-01 10:45:00", 2.0),
+                    (3L, "2024-01-02 10:05:00", 4.0)))
+    val c = Collection.create(spark, root, df.schema, "ts",
+      DatePartitioning("ts", "D"), retainGenerations = 1)
+    c.insert(df)
+    // replace day 1 wholesale: old day-1 files stay on disk (retention)
+    c.insert(mk(Seq((5L, "2024-01-01 10:10:00", 16.0))), MergeStrategy.Replace)
+    // crash a writer mid-insert: orphan files, no manifest commit
+    c.insertUncommitted(mk(Seq((9L, "2024-01-03 10:00:00", 64.0))))
+
+    // the trap exists: the directory tree holds MORE parquet than the
+    // committed snapshot (retained day-1 copy + the orphan)
+    val onDisk = java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      .count(p => p.toString.endsWith(".parquet") && !p.toString.contains("_manifest"))
+    val committed = c.query().inputFiles.length
+    assert(onDisk > committed, s"trap missing: disk=$onDisk committed=$committed")
+    assert(c.partitions().size == 2)
+    val batch = c.query().agg(count(lit(1)), sum(col("v"))).collect().head
+    assert(batch.getLong(0) == 2 && batch.getDouble(1) == 20.0)
+
+    val streamed = StreamOps.windowedAggOnce(spark, c, "ts", "1 hour") { g =>
+      g.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    }.agg(sum(col("n")), sum(col("sv"))).collect().head
+    assert(streamed.getLong(0) == 2, s"streamed ${streamed.getLong(0)} rows, want 2 (committed only)")
+    assert(streamed.getDouble(1) == 20.0, "stream saw orphan or retained rows")
+  }
+
+  test("streaming source ingests each commit exactly once as generation offsets advance") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val root = SparkTestSession.tmp("graft-stream-inc")
+    val mk = (vals: Seq[(Long, String, Double)]) => vals
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val df = mk(Seq((1L, "2024-01-01 10:00:00", 1.0)))
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    val name = "graft_inc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamOps.readStream(spark, c)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 1)
+      c.insert(mk(Seq((2L, "2024-01-05 10:00:00", 2.0), (3L, "2024-01-06 10:00:00", 4.0))),
+        MergeStrategy.Concat)
+      q.processAllAvailable()
+      val ids = spark.table(name).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"each commit must stream exactly once, got $ids")
+    } finally q.stop()
   }
 
   test("append-mode windowed agg with watermark emits finalized windows") {
