@@ -522,12 +522,47 @@ final class Collection private (
   /** Rebuild the manifest by walking the store — the recovery path when the
     * manifest directory was lost (reference base.py:352-375 catalog
     * repair). Trusts every data file found on disk, so run [[vacuum]]
-    * BEFORE losing the manifest, not after. */
+    * BEFORE losing the manifest, not after.
+    *
+    * When `_manifest/` is missing or empty, a fresh manifest is
+    * bootstrapped from the root config's schema. Either way the repaired
+    * `taskBase` is bumped past the highest task id observed in the
+    * adopted files: repair adopts orphans of crashed writes whose ids may
+    * sit ABOVE the recorded high-water mark, and a later insert reusing
+    * that range would silently duplicate `_zc_row` ids (corrupting
+    * projected updates and view joins). One max() job over just the row-id
+    * column — parquet prunes the rest. */
   def repairCatalog(): Seq[String] = {
     requireWritable()
     val walked = walkDataFiles()
-    val man = currentManifest()
-    commitManifest(man.copy(generation = man.generation + 1, files = walked))
+    val haveManifest = fs.exists(manifestDir) && generations().nonEmpty
+    val baseSchema =
+      if (haveManifest) schema
+      else createSchema
+    val observedBase: Long =
+      if (walked.isEmpty) 0L
+      else {
+        val m = spark.read
+          .option("basePath", root)
+          .schema(StructType(readSchemaFields(baseSchema)))
+          .parquet(walked.map(f => s"$root/$f"): _*)
+          .agg(max(col(RowIdCol))).collect().head
+        if (m.isNullAt(0)) 0L else (m.getLong(0) >> 33) + 1
+      }
+    val man =
+      if (haveManifest) {
+        val prev = currentManifest()
+        prev.copy(
+          generation = prev.generation + 1,
+          taskBase = math.max(prev.taskBase, observedBase),
+          files = walked)
+      } else Manifest(
+        generation = 1L,
+        taskBase = observedBase,
+        schemaDdl = baseSchema.toDDL,
+        fills = Map.empty,
+        files = walked)
+    commitManifest(man)
     walked.map(parentRel).distinct.sorted
   }
 
@@ -673,7 +708,12 @@ final class Collection private (
 
   private def partitionKeySet(): Set[String] = partitionPaths().toSet
 
+  /** Decode a partition path against the DECLARED partition-column types:
+    * only integral columns parse to Long — a string column whose values
+    * happen to look numeric stays a string, so `pathPredicate`, sort
+    * order, and `FilterExpr.eval` all see the declared type. */
   private def decodePath(path: String): Option[Seq[(String, Any)]] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
     val segs = path.split("/").toSeq
     if (segs.length != partCols.length) return None
     val kvs = segs.map { s =>
@@ -681,7 +721,12 @@ final class Collection private (
       if (i < 0) return None
       val n = ExternalCatalogUtils.unescapePathName(s.substring(0, i))
       val v = ExternalCatalogUtils.unescapePathName(s.substring(i + 1))
-      n -> (scala.util.Try(v.toLong).getOrElse(v): Any)
+      val decoded: Any = partitioning.colType(n, schema) match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          scala.util.Try(v.toLong).getOrElse(v)
+        case _ => v
+      }
+      n -> decoded
     }
     if (kvs.map(_._1) == partCols) Some(kvs) else None
   }
@@ -833,6 +878,14 @@ object Collection {
     if (fmt > FormatVersion)
       throw new IllegalStateException(
         s"collection at $root uses format $fmt; this build reads up to $FormatVersion")
+    // fail FAST on older formats too: a pre-manifest tree would otherwise
+    // open fine and then throw a confusing 'no manifest directory' from the
+    // first read (ADVICE r2) — point at the recovery path instead
+    if (fmt < FormatVersion)
+      throw new IllegalStateException(
+        s"collection at $root uses legacy format $fmt (< $FormatVersion, the " +
+        "manifest format); recreate it by re-inserting into a new collection " +
+        "(a pre-manifest tree has no committed snapshot to trust)")
     val schema = StructType.fromDDL(doc.get("schema").toString)
     val partitioning = Partitioning.fromJsonMap(
       doc.get("partitioning").asInstanceOf[java.util.Map[String, Object]])

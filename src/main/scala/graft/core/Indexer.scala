@@ -28,6 +28,20 @@ final class Indexer private (
   /** The raw index table. */
   def table: DataFrame = spark.read.parquet(s"$root/index")
 
+  /** Collection generation the index was built against (None for a
+    * pre-generation-tracking index layout). */
+  def builtAtGeneration: Option[Long] = {
+    val fs = Collection.fileSystem(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/${Indexer.MetaFile}")
+    if (!fs.exists(p)) return None
+    val in: java.io.InputStream = fs.open(p)
+    val doc =
+      try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(in, classOf[java.util.Map[String, Object]])
+      finally in.close()
+    Option(doc.get("generation")).map(_.toString.toLong)
+  }
+
   /** Rows of the base collection matching the equality predicate, read
     * from index-selected partitions only AND sliced to the indexed
     * `_zc_row` ranges (reference parquet.py:120-210: query ->
@@ -39,9 +53,28 @@ final class Indexer private (
     * outside every indexed range are skipped without decoding. When the
     * index returns more than `maxRanges` entries the row bands are dropped
     * (the predicate would outweigh its pruning value) and partition
-    * pruning + the key predicate carry the query alone. */
-  def query(eq: Map[String, Any], maxRanges: Int = 256): DataFrame = {
+    * pruning + the key predicate carry the query alone.
+    *
+    * STALENESS (ADVICE r2): update()/compact() reassign row ids and
+    * inserts add partitions the index has never seen, so a stale index's
+    * row bands can silently EXCLUDE matching rows and its partition list
+    * can miss new ones. Like [[View.query]], this fails when the base
+    * moved past the build generation; `allowStale = true` opts into
+    * index-age semantics — the row bands are dropped (never wrong, only
+    * ever a pruning aid) and partition pruning + the key predicate run
+    * against the partitions known at build time. */
+  def query(eq: Map[String, Any], maxRanges: Int = 256,
+            allowStale: Boolean = false): DataFrame = {
     require(eq.keySet.subsetOf(keys.toSet), s"index covers $keys, got ${eq.keySet}")
+    val stale = builtAtGeneration match {
+      case Some(g) if g != collection.generation =>
+        if (!allowStale) throw new IllegalStateException(
+          s"index at $root is stale: base is at generation ${collection.generation} " +
+          s"but the index was built at $g; rebuild with Indexer.build " +
+          "(or query(..., allowStale = true) for build-time semantics)")
+        true
+      case _ => false
+    }
     val pred = eq.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
     // Small by construction: one row per (partition, matching key tuple).
     val hits = table.where(pred)
@@ -55,9 +88,10 @@ final class Indexer private (
       .reduce(_ || _)
     val rowId = col(Collection.RowIdCol)
     // Partition pruning always applies in full; only the row-band predicate
-    // is capped (past maxRanges the giant OR costs more than it prunes).
+    // is capped (past maxRanges the giant OR costs more than it prunes) —
+    // and dropped entirely for a stale index, whose bands may be wrong.
     val rowPred =
-      if (hits.length > maxRanges) lit(true)
+      if (stale || hits.length > maxRanges) lit(true)
       else hits.toSeq
         .map(r => rowId >= r.getAs[Long]("_start") && rowId < r.getAs[Long]("_stop"))
         .reduce(_ || _)
@@ -67,10 +101,12 @@ final class Indexer private (
 }
 
 object Indexer {
+  val MetaFile = "_graft_index.json"
 
   /** Walk the (optionally filtered) collection and build the index table
     * (reference parquet.py:66-118). One distributed aggregation — no
-    * driver-side per-partition loop. */
+    * driver-side per-partition loop. Records the collection generation so
+    * [[Indexer.query]] can detect a base rewritten after the build. */
   def build(
       spark: SparkSession,
       collection: Collection,
@@ -87,6 +123,11 @@ object Indexer {
         (max(col(Collection.RowIdCol)) + 1).as("_stop"),
         count(lit(1)).as("_count"))
     idx.write.mode("overwrite").parquet(s"$root/index")
+    val m = new java.util.LinkedHashMap[String, Object]()
+    m.put("generation", java.lang.Long.valueOf(collection.generation))
+    m.put("keys", new java.util.ArrayList[Object](java.util.Arrays.asList(keys: _*)))
+    Collection.writeJson(Collection.fileSystem(spark, root),
+      new org.apache.hadoop.fs.Path(s"$root/$MetaFile"), m)
     new Indexer(spark, root, collection, keys)
   }
 

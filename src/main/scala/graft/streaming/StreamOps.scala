@@ -44,7 +44,10 @@ object StreamOps {
     *        keys state by coarse windows, so a few partitions suffice and
     *        spare the per-batch cost of instantiating hundreds of stores;
     *        size it like any stateful job at scale. None = session
-    *        default. */
+    *        default. The override runs in a FORKED session
+    *        (`spark.newSession()`, shared SparkContext + isolated conf),
+    *        so concurrent batch queries on the caller's session keep
+    *        their own parallelism (ADVICE r2). */
   def windowedAggAppendOnce(
       spark: SparkSession,
       c: Collection,
@@ -54,19 +57,22 @@ object StreamOps {
       statePartitions: Option[Int] = None,
   )(agg: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try {
-      val q = agg(
-          readStream(spark, c)
-            .withWatermark(timeCol, watermarkDelay)
-            .groupBy(window(col(timeCol), windowDuration).as("w")))
-        .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(name)
-        .start()
-      try { q.processAllAvailable() } finally q.stop()
-    } finally prev.foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
-    spark.table(name)
+    val session = statePartitions match {
+      case Some(n) =>
+        val forked = spark.newSession()
+        forked.conf.set("spark.sql.shuffle.partitions", n.toString)
+        forked
+      case None => spark
+    }
+    val q = agg(
+        readStream(session, c)
+          .withWatermark(timeCol, watermarkDelay)
+          .groupBy(window(col(timeCol), windowDuration).as("w")))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    session.table(name)
   }
 
   /** Run a streaming tumbling-window aggregation over the collection to

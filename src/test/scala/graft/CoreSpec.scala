@@ -158,6 +158,69 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.repairCatalog() == Seq("year=2024/month=2/day=1"))
   }
 
+  test("repairCatalog bootstraps a lost manifest and advances taskBase past adopted ids") {
+    // ADVICE r2: the documented recovery path threw 'no manifest' from
+    // currentManifest(), and adopted orphan ids could collide with later
+    // inserts. Repair must (a) run with _manifest/ gone, (b) bump taskBase
+    // past the highest adopted task id.
+    val root = SparkTestSession.tmp("graft-repair")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    val before = c.query().count()
+    // lose the manifest directory wholesale
+    val manDir = java.nio.file.Paths.get(root, Collection.ManifestDir)
+    java.nio.file.Files.walk(manDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    val c2 = Collection.open(spark, root)
+    intercept[IllegalStateException](c2.query().count()) // no committed snapshot
+    val repaired = c2.repairCatalog()
+    assert(repaired.size == 3)
+    assert(c2.query().count() == before)
+    // a post-repair insert must never reuse a _zc_row id range
+    val more = Seq((9L, "2024-01-01 17:00:00", "z", 9.0))
+      .toDF("id", "ts", "kind", "v").withColumn("ts", col("ts").cast("timestamp"))
+    c2.insert(more, MergeStrategy.Concat)
+    val ids = c2.readRaw().select(Collection.RowIdCol).collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size, s"duplicate row ids after repair+insert: $ids")
+  }
+
+  test("string-typed partition keys with numeric-looking values stay strings") {
+    // ADVICE r2 / verdict #5: decodePath coerced any numeric-looking value
+    // to Long, so string keys sorted numerically and string-literal
+    // filters missed their partitions.
+    val root = SparkTestSession.tmp("graft-strkey")
+    val df = Seq(("10", 1L, 1.0), ("9", 2L, 2.0), ("100", 3L, 3.0))
+      .toDF("k", "seq", "v")
+    val c = Collection.create(spark, root, df.schema, "seq",
+      SequencePartitioning(Seq("k"), "seq"))
+    c.insert(df)
+    // declared-type (string) sort order, not numeric
+    assert(c.partitions() == Seq("k=10", "k=100", "k=9"))
+    assert(c.partitions("k == '10'") == Seq("k=10"))
+    assert(c.query("k == '9'").count() == 1)
+    // merge collision detection sees the typed key: replace touches only k=9
+    val up = Seq(("9", 5L, 9.0)).toDF("k", "seq", "v")
+    c.insert(up, MergeStrategy.Replace)
+    assert(c.query("k == '9'").collect().map(_.getDouble(2)).toSeq == Seq(9.0))
+    assert(c.query().count() == 3)
+  }
+
+  test("open fails fast on a legacy pre-manifest format") {
+    val root = SparkTestSession.tmp("graft-legacy")
+    val df = mkEvents()
+    Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    val cfgPath = java.nio.file.Paths.get(root, Collection.ConfigFile)
+    val cfg = new String(java.nio.file.Files.readAllBytes(cfgPath))
+    java.nio.file.Files.write(cfgPath,
+      cfg.replace(s""""formatVersion" : ${Collection.FormatVersion}""",
+        """"formatVersion" : 1""").getBytes)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, s".${Collection.ConfigFile}.crc"))
+    val e = intercept[IllegalStateException](Collection.open(spark, root))
+    assert(e.getMessage.contains("legacy format 1"))
+  }
+
   test("update rewrites only matching partitions") {
     val root = SparkTestSession.tmp("graft-coll")
     val df = mkEvents()

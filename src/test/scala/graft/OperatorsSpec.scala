@@ -146,6 +146,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(idx.query(Map("kind" -> "zzz")).count() == 0)
   }
 
+  test("indexer detects a stale base; allowStale keeps pruning but drops row bands") {
+    // ADVICE r2: update()/compact() reassign row ids, so a pre-rewrite
+    // index's _start/_stop bands can EXCLUDE rows that still match. Like
+    // View.query, a stale index must refuse by default.
+    val root = SparkTestSession.tmp("graft-idx-stale")
+    val df = Seq((1L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-02 10:00:00", "b"),
+                 (3L, "2024-01-03 10:00:00", "a"))
+      .toDF("id", "ts", "kind").withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    val idx = Indexer.build(spark, c, Seq("kind"), root + "-idx")
+    assert(idx.query(Map("kind" -> "a")).count() == 2)
+    // compact rewrites the partitions — row ids are reassigned
+    c.compact()
+    intercept[IllegalStateException](idx.query(Map("kind" -> "a")).count())
+    // allowStale: row bands dropped (never wrong), partition pruning +
+    // key predicate still correct for partitions known at build time
+    val got = idx.query(Map("kind" -> "a"), allowStale = true)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L))
+    // rebuilding clears the staleness
+    val idx2 = Indexer.build(spark, c, Seq("kind"), root + "-idx")
+    assert(idx2.query(Map("kind" -> "a")).count() == 2)
+  }
+
   test("indexer pushes its _zc_row ranges down to the parquet scan") {
     val root = SparkTestSession.tmp("graft-idxr")
     val df = (1L to 100L).map(i => (i, s"2024-01-0${1 + (i % 3)} 10:00:00", if (i <= 5) "hot" else "cold"))
