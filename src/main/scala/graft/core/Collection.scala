@@ -154,10 +154,7 @@ final class Collection private (
       val preFiles = walkDataFiles().toSet
       physicalWrite(prepareForWrite(assigned, man.taskBase))
       val newFiles = walkDataFiles().filterNot(preFiles.contains)
-      commitManifest(man.copy(
-        generation = man.generation + 1,
-        taskBase = man.taskBase + writeTasks,
-        files = (man.files ++ newFiles).sorted))
+      commitDelta(man, newFiles, Set.empty, writeTasks)
       return newFiles.map(parentRel).distinct.sorted
     }
 
@@ -195,7 +192,9 @@ final class Collection private (
       case _ if replacedPaths.isEmpty                   => assigned
       case strategy =>
         val collidePred = pathPredicate(replacedPaths)
-        val existingColliding = readRaw().where(collidePred).drop(RowIdCol)
+        // pruned: loads only the colliding partitions' shards
+        val existingColliding = readPartitionsRaw(replacedPaths.toSet)
+          .where(collidePred).drop(RowIdCol)
           .select(assigned.columns.toSeq.map(col): _*)
         // the full incoming dataset is the merge's right side: a tolerance
         // match may remove an existing row in a partition the incoming row
@@ -297,16 +296,45 @@ final class Collection private (
     val preFiles = touched.distinct.flatMap(listDataFiles).toSet
     physicalWrite(prepareForWrite(df, man.taskBase))
     val newFiles = touched.distinct.flatMap(listDataFiles).filterNot(preFiles.contains)
-    val kept = man.files.filterNot(f => replaced.contains(parentRel(f)))
-    commitManifest(man.copy(
-      generation = man.generation + 1,
-      taskBase = man.taskBase + writeTasks,
-      files = (kept ++ newFiles).sorted))
+    // resolve the doomed files from the PREVIOUS snapshot before the
+    // commit swaps the shard table (loads only the replaced partitions'
+    // shards)
+    val replacedFiles =
+      if (retainGenerations == 0) man.filesForPartitions(replaced) else Nil
+    commitDelta(man, newFiles, replaced, writeTasks)
     // GC the files this commit replaced — unless a retention window keeps
     // past snapshots readable (then vacuum() expires them later).
-    if (retainGenerations == 0)
-      man.files.filter(f => replaced.contains(parentRel(f)))
-        .foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
+    replacedFiles
+      .foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
+  }
+
+  /** Build + commit the next generation at SHARD granularity: subtrees
+    * that gained no files and dropped no partitions carry their entry
+    * over BY NAME — zero IO; only affected subtrees load and rewrite.
+    * A commit touching one partition of a 10^7-file collection writes
+    * one shard + the root, regardless of collection size. */
+  private def commitDelta(prev: Manifest, newFiles: Seq[String],
+                          dropped: Set[String], taskBump: Long): Unit = {
+    val newByPrefix = newFiles.groupBy(f => prefixOf(parentRel(f)))
+    val affected = newByPrefix.keySet ++ dropped.map(prefixOf)
+    val kept = prev.shards.filterNot(e => affected(e.prefix))
+    val prevByPrefix = prev.shards.map(e => e.prefix -> e).toMap
+    val rebuilt = affected.toSeq.sorted.flatMap { pfx =>
+      val old = prevByPrefix.get(pfx).map(prev.shardFiles).getOrElse(Nil)
+      val files = (old.filterNot(f => dropped.contains(parentRel(f))) ++
+        newByPrefix.getOrElse(pfx, Nil)).sorted
+      if (files.isEmpty) None
+      else {
+        val name = shardName(files)
+        writeShardIfAbsent(fs, manifestDir, name, files)
+        Some(ShardEntry(pfx,
+          files.map(f => parentRel(f).substring(pfx.length).stripPrefix("/")).distinct.sorted,
+          name))
+      }
+    }
+    commitManifest(prev.withShards(
+      prev.generation + 1, prev.taskBase + taskBump,
+      (kept ++ rebuilt).sortBy(_.prefix)))
   }
 
   private def listDataFiles(relDir: String): Seq[String] = {
@@ -331,6 +359,19 @@ final class Collection private (
     val all = walkDataFiles()
     val doomed = all.filterNot(live.contains)
     doomed.foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
+    // shard-file GC: reclaim shard JSONs referenced by NO committed root
+    // manifest (leftovers of commits that crashed between shard write and
+    // root rename)
+    val shardDirPath = new Path(manifestDir, ShardDir)
+    if (fs.exists(shardDirPath)) {
+      val referenced = gens.flatMap(g =>
+        manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g)).shards.map(_.file)).toSet
+      fs.listStatus(shardDirPath).toSeq.filter(_.isFile).foreach { st =>
+        val rel = s"$ShardDir/${st.getPath.getName}"
+        if (!referenced.contains(rel) && st.getPath.getName.startsWith("shard-"))
+          try fs.delete(st.getPath, false) catch { case _: Exception => () }
+      }
+    }
     doomed
   }
 
@@ -346,7 +387,8 @@ final class Collection private (
     val s = StructType.fromDDL(man.schemaDdl)
     require(!s.fieldNames.contains(name), s"variable '$name' already exists")
     require(!partCols.contains(name), s"'$name' collides with a partition column")
-    commitManifest(man.copy(
+    // metadata-only commit: the shard table carries over by name, zero IO
+    commitManifest(man.withMeta(
       generation = man.generation + 1,
       schemaDdl = StructType(s.fields :+ StructField(name, dataType)).toDDL,
       fills = man.fills ++ fill.map(name -> _)))
@@ -362,7 +404,7 @@ final class Collection private (
     require(s.fieldNames.contains(name), s"no variable '$name'")
     require(name != axis, "cannot drop the partition axis")
     require(!partitioning.inputCols.contains(name), "cannot drop a partitioning input")
-    commitManifest(man.copy(
+    commitManifest(man.withMeta(
       generation = man.generation + 1,
       schemaDdl = StructType(s.fields.filterNot(_.name == name)).toDDL,
       fills = man.fills - name))
@@ -435,12 +477,40 @@ final class Collection private (
     * columns and `_zc_row` dropped), with the immutable dataset attached. */
   def query(filters: String = null, variables: Seq[String] = null): DataFrame = {
     val ast = FilterExpr.parse(filters)
-    var df = readRaw().where(FilterExpr.toColumn(ast))
+    var df = prunedRaw(ast)
     // restore declared column order; drop derived partition cols + row id
     df = df.select(schema.fieldNames.toSeq.map(col): _*)
     df = attachImmutable(df)
     if (variables != null) df = df.select(variables.map(col): _*)
     df
+  }
+
+  /** Filtered raw scan resolved against the ROOT manifest's partition
+    * table first: only shards holding a matching partition load their
+    * file lists — at 10^7 files a one-partition query parses one shard,
+    * not the whole manifest. The driver-side `FilterExpr.eval` pruning is
+    * the same predicate `partitions()` uses; the Catalyst filter stays on
+    * top for in-partition semantics. */
+  private[core] def prunedRaw(ast: FilterExpr.Ast): DataFrame = {
+    val man = currentManifest()
+    val df = ast match {
+      case FilterExpr.True => readRawManifest(man)
+      case _ =>
+        val all = man.partitionPaths
+        val wanted = all
+          .flatMap(p => decodePath(p).map(k => (p, k)))
+          .filter { case (_, k) => FilterExpr.eval(ast, k.toMap) }
+          .map(_._1).toSet
+        if (wanted.size == all.size) readRawManifest(man)
+        else readManifestFiles(man, man.filesForPartitions(wanted))
+    }
+    df.where(FilterExpr.toColumn(ast))
+  }
+
+  /** Raw scan of exactly the given partitions — loads only their shards. */
+  private[core] def readPartitionsRaw(paths: Set[String]): DataFrame = {
+    val man = currentManifest()
+    readManifestFiles(man, man.filesForPartitions(paths))
   }
 
   /** Cached immutable dataset + its row count (recorded at write time —
@@ -498,8 +568,9 @@ final class Collection private (
       .map(_._1)
   }
 
+  /** Served from the ROOT manifest — zero shard IO at any scale. */
   private def partitionPaths(): Seq[String] =
-    currentManifest().files.map(parentRel).distinct
+    currentManifest().partitionPaths
 
   private def walkDataFiles(): Seq[String] = {
     val rootPath = new Path(root)
@@ -549,19 +620,21 @@ final class Collection private (
           .agg(max(col(RowIdCol))).collect().head
         if (m.isNullAt(0)) 0L else (m.getLong(0) >> 33) + 1
       }
+    val entries = shardify(fs, manifestDir, walked)
     val man =
       if (haveManifest) {
         val prev = currentManifest()
-        prev.copy(
-          generation = prev.generation + 1,
-          taskBase = math.max(prev.taskBase, observedBase),
-          files = walked)
-      } else Manifest(
+        prev.withShards(
+          prev.generation + 1,
+          math.max(prev.taskBase, observedBase),
+          entries)
+      } else new Manifest(
         generation = 1L,
         taskBase = observedBase,
         schemaDdl = baseSchema.toDDL,
         fills = Map.empty,
-        files = walked)
+        shards = entries,
+        loader = rel => readShard(fs, manifestDir, rel))
     commitManifest(man)
     walked.map(parentRel).distinct.sorted
   }
@@ -576,9 +649,7 @@ final class Collection private (
     if (doomed.isEmpty) return doomed
     val doomedSet = doomed.toSet
     val man = currentManifest()
-    commitManifest(man.copy(
-      generation = man.generation + 1,
-      files = man.files.filterNot(f => doomedSet.contains(parentRel(f)))))
+    commitDelta(man, Nil, doomedSet, taskBump = 0L)
     // under a retention window, dropped partitions stay on disk (and
     // time-travelable) until vacuum() expires them
     if (retainGenerations == 0) doomed.foreach { rel =>
@@ -606,9 +677,10 @@ final class Collection private (
     * sequential jobs rather than silently degrading into a 10^6-job loop. */
   def map[A](fn: DataFrame => A, filters: String = null,
              maxPartitions: Int = 1024): Seq[(String, A)] = {
-    val byPart = currentManifest().files.groupBy(parentRel)
     val fields = readSchemaFields(schema)
     val parts = partitions(filters)
+    // loads only the matching partitions' shards
+    val byPart = currentManifest().filesForPartitions(parts.toSet).groupBy(parentRel)
     require(parts.size <= maxPartitions,
       s"map() would run ${parts.size} sequential driver-side jobs (> $maxPartitions); " +
       "use transformPartitions for distributed per-partition work, or raise maxPartitions")
@@ -626,7 +698,7 @@ final class Collection private (
     * columns; the result streams through Catalyst untouched. */
   def transformPartitions(fn: DataFrame => DataFrame, filters: String = null): DataFrame = {
     val ast = FilterExpr.parse(filters)
-    fn(readRaw().where(FilterExpr.toColumn(ast)).drop(RowIdCol))
+    fn(prunedRaw(ast).drop(RowIdCol))
   }
 
   /** Read matching partitions, apply `fn`, write the result back —
@@ -647,22 +719,22 @@ final class Collection private (
     requireWritable()
     val ast = FilterExpr.parse(filters)
     val touched = partitions(filters)
-    val prunedRaw = readRaw().where(FilterExpr.toColumn(ast))
+    val prunedDf = prunedRaw(ast)
     val out: DataFrame =
       if (variables == null) {
-        val pruned = prunedRaw.select(schema.fieldNames.toSeq.map(col): _*)
+        val pruned = prunedDf.select(schema.fieldNames.toSeq.map(col): _*)
         fn(attachImmutable(pruned)).select(schema.fieldNames.toSeq.map(col): _*)
       } else {
         require(variables.nonEmpty, "variables must be non-empty when given")
         require(!variables.exists(v => partCols.contains(v) || v == axis),
           "cannot update the axis or a partition column in place")
         val keyCols = partCols :+ RowIdCol
-        val loaded = prunedRaw.select((keyCols ++ variables).map(col): _*)
+        val loaded = prunedDf.select((keyCols ++ variables).map(col): _*)
         val updated = fn(attachImmutable(loaded))
           .select((keyCols ++ variables).map(col): _*)
         // identity partitionings list partition cols among the data cols —
         // they are already in keyCols, so exclude them from the remainder
-        val rest = prunedRaw.select(
+        val rest = prunedDf.select(
           (keyCols ++ schema.fieldNames
             .filterNot(n => variables.contains(n) || keyCols.contains(n))).map(col): _*)
         rest.join(updated, keyCols)
@@ -690,7 +762,7 @@ final class Collection private (
     * names Spark's file committer writes, so string/whatever partition
     * values with `=`/`:`/space/`%` compare correctly against on-disk
     * paths. */
-  private def keyPath(key: Seq[(String, Any)]): String =
+  private[core] def keyPath(key: Seq[(String, Any)]): String =
     key.map { case (c, v) =>
       val vs = if (v == null) null else v.toString
       val escaped =
@@ -757,14 +829,70 @@ object Collection {
   val FormatVersion = 2
 
   private val ManifestName = "manifest-([0-9]+)\\.json".r
+  private[core] val ShardDir = "shards"
 
-  private[core] final case class Manifest(
-      generation: Long,
-      taskBase: Long,
-      schemaDdl: String,
-      fills: Map[String, String],
-      files: Seq[String],
-  )
+  /** Diagnostic counter: shard-file JSON reads (the spec proving that a
+    * partition-filtered query opens only the touched shards). */
+  private[graft] val shardReadCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** One entry per partition SUBTREE (all-but-last path segment) in the
+    * root manifest: the subtree's partition names (root-resident, so
+    * listings and collision checks never open a shard) and the
+    * content-addressed shard file holding its data-file list. An empty
+    * `file` means the list is inline (legacy single-JSON manifests). */
+  private[graft] final case class ShardEntry(
+      prefix: String, partitions: Seq[String], file: String)
+
+  private[core] def joinPath(prefix: String, last: String): String =
+    if (prefix.isEmpty) last else s"$prefix/$last"
+
+  /** A committed snapshot. The root holds metadata + the shard table
+    * (O(partitions)); per-subtree FILE lists load lazily and are cached —
+    * a 10^7-file collection never parses more than the touched subtrees
+    * on a pruned read path. */
+  private[graft] final class Manifest(
+      val generation: Long,
+      val taskBase: Long,
+      val schemaDdl: String,
+      val fills: Map[String, String],
+      val shards: Seq[ShardEntry],
+      loader: String => Seq[String]) {
+
+    /** All partition paths — served from the root manifest, zero shard IO. */
+    def partitionPaths: Seq[String] =
+      shards.flatMap(s => s.partitions.map(p => joinPath(s.prefix, p)))
+
+    private val shardCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+    def shardFiles(e: ShardEntry): Seq[String] =
+      shardCache.getOrElseUpdate(e.file, loader(e.file))
+
+    /** How many shard file lists this snapshot has loaded — the
+      * observable proving a pruned read touched only its shards. */
+    def loadedShardCount: Int = shardCache.size
+
+    /** Full file list — loads EVERY shard; full-scan, GC, and diff-less
+      * paths only. Pruned reads go through [[filesForPartitions]]. */
+    lazy val files: Seq[String] = shards.flatMap(shardFiles)
+
+    /** Files of exactly the given partitions, loading only the shards
+      * whose subtree contains one. */
+    def filesForPartitions(wanted: Set[String]): Seq[String] =
+      shards
+        .filter(e => e.partitions.exists(p => wanted(joinPath(e.prefix, p))))
+        .flatMap(e => shardFiles(e).filter(f => wanted(parentRel(f))))
+
+    /** Same shards + loader, new metadata — the zero-IO commit shape for
+      * schema evolution. */
+    def withMeta(generation: Long = generation, taskBase: Long = taskBase,
+                 schemaDdl: String = schemaDdl,
+                 fills: Map[String, String] = fills): Manifest =
+      new Manifest(generation, taskBase, schemaDdl, fills, shards, loader)
+
+    /** New shard table, same loader. */
+    def withShards(generation: Long, taskBase: Long, newShards: Seq[ShardEntry]): Manifest =
+      new Manifest(generation, taskBase, schemaDdl, fills, newShards, loader)
+  }
 
   private[core] def isDataFile(name: String): Boolean =
     name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
@@ -772,26 +900,104 @@ object Collection {
   private[core] def parentRel(file: String): String =
     file.substring(0, file.lastIndexOf('/'))
 
+  /** Shard key of a partition path: everything but the last segment
+    * ("" for single-level partitionings). */
+  private[core] def prefixOf(partition: String): String = {
+    val i = partition.lastIndexOf('/')
+    if (i < 0) "" else partition.substring(0, i)
+  }
+
   private def manifestPath(dir: Path, gen: Long): Path =
     new Path(dir, f"manifest-$gen%012d.json")
 
-  private[core] def readManifest(fs: FileSystem, dir: Path, gen: Long): Manifest = {
+  /** Content-addressed shard name: identical file lists (same subtree,
+    * same state) resolve to the same name, so unchanged subtrees carry
+    * over across commits without a write, and generation diffs compare
+    * shard names instead of file lists. */
+  private[core] def shardName(files: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(files.mkString("\n").getBytes("UTF-8"))
+    s"$ShardDir/shard-${d.map("%02x".format(_)).mkString}.json"
+  }
+
+  private[core] def readShard(fs: FileSystem, manifestDir: Path, rel: String): Seq[String] = {
+    shardReadCounter.incrementAndGet()
+    val in: java.io.InputStream = fs.open(new Path(manifestDir, rel))
+    val doc =
+      try new ObjectMapper().readValue(in, classOf[java.util.Map[String, Object]])
+      finally in.close()
+    Option(doc.get("files"))
+      .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
+      .getOrElse(Nil)
+  }
+
+  /** Write a shard file if absent (content-addressed: an existing file
+    * with this name already holds exactly these bytes' content). */
+  private[core] def writeShardIfAbsent(fs: FileSystem, manifestDir: Path,
+                                       rel: String, files: Seq[String]): Unit = {
+    val p = new Path(manifestDir, rel)
+    if (fs.exists(p)) return
+    val doc = new java.util.LinkedHashMap[String, Object]()
+    doc.put("files", new java.util.ArrayList[Object](files.asJava))
+    writeJson(fs, p, doc)
+  }
+
+  /** Group a full file list into shard entries, writing any missing shard
+    * files. Used by bootstrap paths (create/repair); incremental commits
+    * go through `Collection.commitDelta` and only rewrite touched shards. */
+  private[core] def shardify(fs: FileSystem, manifestDir: Path,
+                             files: Seq[String]): Seq[ShardEntry] =
+    files.groupBy(f => prefixOf(parentRel(f))).toSeq.sortBy(_._1).map {
+      case (pfx, fl) =>
+        val sorted = fl.sorted
+        val name = shardName(sorted)
+        writeShardIfAbsent(fs, manifestDir, name, sorted)
+        ShardEntry(pfx,
+          sorted.map(f => parentRel(f).substring(pfx.length).stripPrefix("/")).distinct.sorted,
+          name)
+    }
+
+  private[graft] def readManifest(fs: FileSystem, dir: Path, gen: Long): Manifest = {
     val in: java.io.InputStream = fs.open(manifestPath(dir, gen))
     val doc =
       try new ObjectMapper().readValue(in, classOf[java.util.Map[String, Object]])
       finally in.close()
-    Manifest(
-      generation = doc.get("generation").toString.toLong,
-      taskBase = doc.get("taskBase").toString.toLong,
-      schemaDdl = doc.get("schema").toString,
-      fills = Option(doc.get("fills"))
-        .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map {
-          case (k, v) => k -> String.valueOf(v)
-        }.toMap)
-        .getOrElse(Map.empty),
-      files = Option(doc.get("files"))
-        .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
-        .getOrElse(Nil))
+    val fills = Option(doc.get("fills"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map {
+        case (k, v) => k -> String.valueOf(v)
+      }.toMap)
+      .getOrElse(Map.empty[String, String])
+    val generation = doc.get("generation").toString.toLong
+    val taskBase = doc.get("taskBase").toString.toLong
+    val schemaDdl = doc.get("schema").toString
+    Option(doc.get("shards")) match {
+      case Some(raw) =>
+        val entries = raw.asInstanceOf[java.util.List[Object]].asScala.map { o =>
+          val m = o.asInstanceOf[java.util.Map[String, Object]]
+          ShardEntry(
+            prefix = String.valueOf(m.get("prefix")),
+            partitions = m.get("partitions").asInstanceOf[java.util.List[Object]]
+              .asScala.map(_.toString).toSeq,
+            file = m.get("file").toString)
+        }.toSeq
+        new Manifest(generation, taskBase, schemaDdl, fills, entries,
+          rel => readShard(fs, dir, rel))
+      case None =>
+        // legacy single-JSON manifest: inline file list, synthetic
+        // content-addressed names so generation diffs still work
+        val files = Option(doc.get("files"))
+          .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
+          .getOrElse(Nil)
+        val byPrefix = files.groupBy(f => prefixOf(parentRel(f)))
+        val inline = byPrefix.map { case (pfx, fl) => shardName(fl.sorted) -> fl.sorted }
+        val entries = byPrefix.toSeq.sortBy(_._1).map { case (pfx, fl) =>
+          val sorted = fl.sorted
+          ShardEntry(pfx,
+            sorted.map(f => parentRel(f).substring(pfx.length).stripPrefix("/")).distinct.sorted,
+            shardName(sorted))
+        }
+        new Manifest(generation, taskBase, schemaDdl, fills, entries, inline.apply)
+    }
   }
 
   /** Atomic commit with optimistic concurrency: write
@@ -801,7 +1007,9 @@ object Collection {
     * with a conflict instead of silently overwriting (the Icechunk
     * conflict-on-commit model; HDFS rename refuses an existing target, on
     * posix local FS the pre-check narrows the race to the rename itself,
-    * and object stores get it from a conditional PUT of the final name). */
+    * and object stores get it from a conditional PUT of the final name).
+    * Shard files are written BEFORE this root rename — a crash in between
+    * leaves only unreferenced shard JSONs, reclaimed by [[Collection.vacuum]]. */
   private[core] def writeManifest(fs: FileSystem, dir: Path, m: Manifest): Unit = {
     val doc = new java.util.LinkedHashMap[String, Object]()
     doc.put("generation", java.lang.Long.valueOf(m.generation))
@@ -810,7 +1018,15 @@ object Collection {
     val fillsMap = new java.util.LinkedHashMap[String, Object]()
     m.fills.foreach { case (k, v) => fillsMap.put(k, v) }
     doc.put("fills", fillsMap)
-    doc.put("files", new java.util.ArrayList[Object](m.files.asJava))
+    val shardsArr = new java.util.ArrayList[Object]()
+    m.shards.foreach { e =>
+      val em = new java.util.LinkedHashMap[String, Object]()
+      em.put("prefix", e.prefix)
+      em.put("partitions", new java.util.ArrayList[Object](e.partitions.asJava))
+      em.put("file", e.file)
+      shardsArr.add(em)
+    }
+    doc.put("shards", shardsArr)
     val target = manifestPath(dir, m.generation)
     if (fs.exists(target))
       throw new java.util.ConcurrentModificationException(
@@ -857,7 +1073,7 @@ object Collection {
     m.put("attrs", attrsMap)
     writeJson(fs, cfg, m)
     writeManifest(fs, new Path(s"$root/$ManifestDir"),
-      Manifest(0L, 0L, schema.toDDL, Map.empty, Nil))
+      new Manifest(0L, 0L, schema.toDDL, Map.empty, Nil, _ => Nil))
     new Collection(spark, root, schema, axis, partitioning, catalogEnabled,
       readOnly = false, CodecProfile(profile), attrs, retainGenerations)
   }

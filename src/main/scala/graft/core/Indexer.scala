@@ -95,7 +95,13 @@ final class Indexer private (
       else hits.toSeq
         .map(r => rowId >= r.getAs[Long]("_start") && rowId < r.getAs[Long]("_stop"))
         .reduce(_ || _)
-    collection.readRaw().where(partPred && rowPred && pred)
+    // pruned at the MANIFEST level too: only the hit partitions' shards
+    // load their file lists (the Column predicates still apply on top)
+    val hitPaths = hits.toSeq
+      .map(r => collection.keyPath(
+        partCols.zipWithIndex.map { case (c, i) => c -> r.get(i) }))
+      .toSet
+    collection.readPartitionsRaw(hitPaths).where(partPred && rowPred && pred)
       .select(collection.schema.fieldNames.toSeq.map(col): _*)
   }
 }
@@ -116,7 +122,7 @@ object Indexer {
   ): Indexer = {
     val partCols = collection.partitioning.axis
     val ast = FilterExpr.parse(filters)
-    val df = collection.readRaw().where(FilterExpr.toColumn(ast))
+    val df = collection.prunedRaw(ast)
     val idx = df.groupBy((partCols ++ keys).map(col): _*)
       .agg(
         min(col(Collection.RowIdCol)).as("_start"),

@@ -54,7 +54,7 @@ final class View private (
       variables: Seq[String] = null,
   ): Unit = {
     val ast = FilterExpr.parse(filters)
-    val baseDf = base.readRaw().where(FilterExpr.toColumn(ast))
+    val baseDf = base.prunedRaw(ast)
     val out = fn(baseDf)
     val newCols = out.columns.filterNot(baseDf.columns.contains).toSeq
     require(newCols.nonEmpty, "view update must add at least one new column")
@@ -107,7 +107,7 @@ final class View private (
       allowStale: Boolean = false,
   ): DataFrame = {
     val ast = FilterExpr.parse(filters)
-    val b = base.readRaw().where(FilterExpr.toColumn(ast))
+    val b = base.prunedRaw(ast)
     val (joined, overlayCols) =
       if (!fsys.exists(new Path(dataDir))) (b, Seq.empty[String])
       else {

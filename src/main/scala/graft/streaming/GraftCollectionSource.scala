@@ -49,11 +49,21 @@ class GraftCollectionSource(spark: SparkSession, root: String) extends Source {
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endGen = gen(end)
     val endMan = collection.manifestAt(endGen)
+    // shard-level diff: shard files are content-addressed, so a subtree
+    // untouched between the two generations keeps its shard NAME — only
+    // changed subtrees load their file lists. A commit touching one
+    // partition of a 10^7-file collection costs one shard read per side.
     val newFiles = start match {
       case None => endMan.files
       case Some(s) =>
-        val startFiles = collection.manifestAt(gen(s)).files.toSet
-        endMan.files.filterNot(startFiles.contains)
+        val startMan = collection.manifestAt(gen(s))
+        val startNames = startMan.shards.map(_.file).toSet
+        val startByPrefix = startMan.shards.map(e => e.prefix -> e).toMap
+        endMan.shards.filterNot(e => startNames.contains(e.file)).flatMap { e =>
+          val old = startByPrefix.get(e.prefix)
+            .map(o => startMan.shardFiles(o).toSet).getOrElse(Set.empty[String])
+          endMan.shardFiles(e).filterNot(old)
+        }
     }
     // MicroBatchExecution requires getBatch's plan to be flagged streaming
     // (the same flip FileStreamSource applies to the relation it builds)

@@ -25,7 +25,7 @@ class ManifestConflictSpec extends AnyFunSuite {
     val fs = Collection.fileSystem(spark, root)
     val dir = new Path(s"$root/${Collection.ManifestDir}")
     val head = c.currentManifest()
-    val losing = head.copy(generation = head.generation, files = Nil)
+    val losing = head.withShards(head.generation, head.taskBase, Nil)
     val ex = intercept[java.util.ConcurrentModificationException] {
       Collection.writeManifest(fs, dir, losing) // generation already committed
     }
