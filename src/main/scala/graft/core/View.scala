@@ -78,7 +78,7 @@ final class View private (
       // carry untouched overlay columns through the rewrite
       val old = readOverlay().where(FilterExpr.toColumn(ast))
         .select((keyCols ++ preserved).map(col): _*)
-      overlay = overlay.join(old, keyCols, "left")
+      overlay = overlay.join(old.hint("shuffle_hash"), keyCols, "left")
         .select((keyCols ++ existingCols).map(col): _*)
     } else if (existingCols.nonEmpty) {
       overlay = overlay.select((keyCols ++ existingCols).map(col): _*)
@@ -86,7 +86,16 @@ final class View private (
 
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try overlay.write.partitionBy(partCols: _*).mode("overwrite").parquet(dataDir)
+    // Base-matching layout (r2 verdict #4): range-repartition on
+    // (partition cols, _zc_row) and sort within tasks — overlay files are
+    // contiguous row-id slices co-located with the base's, parquet keeps
+    // tight _zc_row zone maps, and any sort the alignment join still
+    // needs runs over presorted input.
+    val writeTasks = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val laidOut = overlay
+      .repartitionByRange(writeTasks, (partCols.map(col) :+ col(RowIdCol)): _*)
+      .sortWithinPartitions((partCols.map(col) :+ col(RowIdCol)): _*)
+    try laidOut.write.partitionBy(partCols: _*).mode("overwrite").parquet(dataDir)
     finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
     writeConfig(Some(base.generation))
   }
@@ -119,7 +128,13 @@ final class View private (
         }
         val oCast = readOverlay()
         val cols = oCast.columns.filterNot(c => partCols.contains(c) || c == RowIdCol).toSeq
-        (b.join(oCast, partCols :+ RowIdCol, "left"), cols)
+        // Shuffle-hash build on the NARROW overlay side: neither side is
+        // sorted (sort-merge would sort the wide base scan every read —
+        // the round-2 cost). The per-task build is |overlay rows in the
+        // hash partition| x (key + overlay cols) — the small side by
+        // construction; size spark.sql.shuffle.partitions for the base
+        // and the build fits with it.
+        (b.join(oCast.hint("shuffle_hash"), partCols :+ RowIdCol, "left"), cols)
       }
     val out = joined.select((base.schema.fieldNames.toSeq ++ overlayCols).map(col): _*)
     if (variables != null) out.select(variables.map(col): _*) else out

@@ -93,19 +93,60 @@ object Dedup {
     allPairs.unionByName(star).distinct()
   }
 
+  /** EXHAUSTIVE all-pairs within buckets, with bounded per-task work: an
+    * oversized bucket of n ids splits into m = ceil(n/cap) sub-buckets by
+    * a secondary hash, and the join key becomes `(bucket, lo, hi)` — the
+    * triangle of sub-bucket pairs. Each element replicates to its row
+    * (as the `lo` member of groups (s, s..m-1)) and its column (as the
+    * `hi` member of groups (0..s, s)), so every unordered pair meets in
+    * EXACTLY one group of at most 2·cap elements: per-task work is at
+    * most cap² pairs no matter how degenerate the bucket, and the full
+    * C(n,2) clique is emitted (the all-pairs scheme of Ullman's
+    * "anchor-points" reducer pairing; [[boundedBucketPairs]] is the
+    * grouping-oriented O(n) alternative that stars instead). */
+  def exhaustiveBucketPairs(buckets: DataFrame, bucketCols: Seq[String], idCol: String,
+                            cap: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    val ann = buckets
+      .withColumn("_zc_bn", count(lit(1)).over(w))
+      .withColumn("_zc_m",
+        greatest(lit(1L), ceil(col("_zc_bn").cast("double") / lit(cap))).cast("int"))
+      .withColumn("_zc_s",
+        pmod(xxhash64(col(idCol), lit(0x5eed)), col("_zc_m")).cast("int"))
+    val keyCols = bucketCols ++ Seq("_zc_lo", "_zc_hi")
+    val left = ann.select(
+      (bucketCols.map(col) :+ col(idCol).as("a") :+ col("_zc_s").as("_zc_lo") :+
+        explode(sequence(col("_zc_s"), col("_zc_m") - 1)).as("_zc_hi")): _*)
+    val right = ann.select(
+      (bucketCols.map(col) :+ col(idCol).as("b") :+
+        explode(sequence(lit(0), col("_zc_s"))).as("_zc_lo") :+
+        col("_zc_s").as("_zc_hi")): _*)
+    left.join(right, keyCols)
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+  }
+
   /** Candidate pairs `(a, b)` with `a < b` sharing at least one LSH
-    * bucket. Shuffles on `(band, bucket)`; never O(n^2) — degenerate
-    * buckets fall back to star expansion ([[boundedBucketPairs]]).
+    * bucket. Shuffles on `(band, bucket)`; never O(n^2) per task —
+    * degenerate buckets fall back to star expansion
+    * ([[boundedBucketPairs]]), or split into sub-bucket triangles when
+    * `exhaustive` (full pair OUTPUT at O(cap²) per task,
+    * [[exhaustiveBucketPairs]]).
     *
     * The explicit repartition on the join key makes both self-join sides
     * rename-projections over ONE shared Exchange (ReuseExchange), so the
     * bucket computation runs once and the join needs no further shuffle. */
   def candidatePairs(df: DataFrame, idCol: String, sigCol: String,
                      bands: Int, rowsPerBand: Int,
-                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                     maxBucket: Int = DefaultMaxBucket,
+                     exhaustive: Boolean = false): DataFrame = {
     val buckets = bandBuckets(col(idCol), col(sigCol), bands, rowsPerBand)(df)
       .repartition(col("_zc_band"), col("_zc_bucket"))
-    boundedBucketPairs(buckets, Seq("_zc_band", "_zc_bucket"), "_zc_id", maxBucket)
+    if (exhaustive)
+      exhaustiveBucketPairs(buckets, Seq("_zc_band", "_zc_bucket"), "_zc_id", maxBucket)
+    else
+      boundedBucketPairs(buckets, Seq("_zc_band", "_zc_bucket"), "_zc_id", maxBucket)
   }
 
   /** Verify candidate pairs against the TRUE Jaccard similarity of the
@@ -124,10 +165,14 @@ object Dedup {
   }
 
   /** End-to-end near-dup pairs: shingle -> minhash -> band join -> exact
-    * Jaccard verify. */
+    * Jaccard verify.
+    * @param exhaustive emit the FULL pair clique of oversized buckets
+    *        (sub-bucket triangles, [[exhaustiveBucketPairs]]) instead of
+    *        the star that suffices for grouping. */
   def minhashPairs(df: DataFrame, idCol: String, shingles: Column,
                    threshold: Double, numPerms: Int = 64,
-                   bands: Int = 16, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                   bands: Int = 16, maxBucket: Int = DefaultMaxBucket,
+                   exhaustive: Boolean = false): DataFrame = {
     val rowsPerBand = numPerms / bands
     // Repartition FIRST: the signature projection then runs above the
     // exchange, spread across cores even for a one-file input, and the
@@ -141,7 +186,7 @@ object Dedup {
       // Exchange ABOVE the signature projection: the band-join and both
       // verify joins reuse it, so signatures materialize exactly once.
       .repartition(col(idCol))
-    val cands = candidatePairs(withSig, idCol, "_zc_sig", bands, rowsPerBand, maxBucket)
+    val cands = candidatePairs(withSig, idCol, "_zc_sig", bands, rowsPerBand, maxBucket, exhaustive)
     verifyJaccard(cands, withSig, idCol, "_zc_sh", threshold)
   }
 

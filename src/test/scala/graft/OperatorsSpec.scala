@@ -121,6 +121,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(reopened.partitions() == c.partitions())
   }
 
+  test("view alignment join plans sort-free (shuffle-hash on the overlay side)") {
+    // r2 verdict #4: partitionBy-only overlay writes forced the
+    // (partCols, _zc_row) join to SORT both sides every read. The overlay
+    // now writes in the base's range layout and the join hash-builds the
+    // narrow overlay side — no Sort node anywhere in the plan.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = SparkTestSession.tmp("graft-view-plan")
+      val df = (1L to 200L).map(i => (i, s"2024-01-${1 + (i % 9).toInt} 10:00:00", i * 1.0))
+        .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+      val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+      c.insert(df)
+      val v = View.create(spark, root + "-view", c)
+      v.update(_.withColumn("v2", col("v") * 2))
+      val q = v.query()
+      val plan = q.queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.nonEmpty, s"no shuffle-hash join in view plan:\n$plan")
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty, s"Sort survived in view plan:\n$plan")
+      assert(q.count() == 200)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("salted join equals the plain join") {
     val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "lv")
     val right = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "rv")
