@@ -24,6 +24,7 @@ object Bench {
     "q_window_topn", "q_asof_join", "q_range_join", "q_sessionize",
     "q_semi_anti", "q_rollup",
     "dedup_exact", "dedup_minhash", "dedup_cosine", "ann_bruteforce", "ann_lsh",
+    "ann_ivf",
     "text_quality", "text_tokens",
     "zc_insert_query", "zc_query_filter", "stream_window",
   )
@@ -67,6 +68,24 @@ object Bench {
       name -> math.min(runOnce(name), runOnce(name))
     }
 
+    // View alignment read over the events collection built by zc_build:
+    // overlay written once (untimed), the timed part is the sort-free
+    // (partCols, _zc_row) hash join of base + overlay.
+    val viewSec = {
+      import org.apache.spark.sql.functions.col
+      val c = SparkEntry.eventsCollection(spark, sfDir)
+      val vroot = c.root + "-benchview"
+      val v =
+        try graft.core.View.open(spark, vroot)
+        catch { case _: Exception =>
+          val nv = graft.core.View.create(spark, vroot, c, overwrite = true)
+          nv.update(_.withColumn("value_x2", col("value") * 2))
+          nv
+        }
+      def once = time { v.query().write.format("noop").mode("overwrite").save() }
+      math.min(once, once)
+    }
+
     // --- reference-workload suite (zcollection/benches/harness.py) ----
     // Same shape and scenario names as the reference's own bench: 12
     // monthly partitions x 50k rows, time (datetime64[s]) + ssh
@@ -74,7 +93,8 @@ object Bench {
     // BASELINE.md compare like-for-like.
     val refResults = refSuite(spark)
 
-    val qs = (("zc_build" -> buildSec) +: results) ++ refResults
+    val qs = (("zc_build" -> buildSec) +: results) ++
+      Seq("view_query" -> viewSec) ++ refResults
     val qsJson = qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = buildSec + results.map(_._2).sum + refResults.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"sf":"$sfDir"}""")

@@ -1078,6 +1078,38 @@ object Collection {
       readOnly = false, CodecProfile(profile), attrs, retainGenerations)
   }
 
+  /** Migrate a legacy pre-manifest tree (format 1) in place: stamp the
+    * root config to the current format, then bootstrap a manifest from
+    * the data files on disk via [[Collection.repairCatalog]] — adopting
+    * every file found, so vacuum any known garbage FIRST. The reference
+    * keeps the analogous `upgrade()` hooks in schema/versioning.py.
+    * Returns the migrated collection, already open for writing. */
+  def migrate(spark: SparkSession, root: String): Collection = {
+    val fs = fileSystem(spark, root)
+    val cfg = new Path(s"$root/$ConfigFile")
+    if (!fs.exists(cfg))
+      throw new IllegalStateException(s"no collection found at $root")
+    val in: java.io.InputStream = fs.open(cfg)
+    val doc =
+      try new ObjectMapper().readValue(in, classOf[java.util.Map[String, Object]])
+      finally in.close()
+    val fmt = Option(doc.get("formatVersion")).orElse(Option(doc.get("version")))
+      .map(_.toString.toInt).getOrElse(1)
+    if (fmt > FormatVersion)
+      throw new IllegalStateException(
+        s"collection at $root uses format $fmt; this build reads up to $FormatVersion")
+    if (fmt < FormatVersion) {
+      val m = new java.util.LinkedHashMap[String, Object](doc)
+      m.remove("version")
+      m.put("formatVersion", Integer.valueOf(FormatVersion))
+      writeJson(fs, cfg, m)
+    }
+    val c = open(spark, root)
+    if (!fs.exists(new Path(s"$root/$ManifestDir")) || c.generations().isEmpty)
+      c.repairCatalog()
+    c
+  }
+
   /** Open an existing collection (reference base.py:236-271). Refuses a
     * format newer than this build writes. */
   def open(spark: SparkSession, root: String, readOnly: Boolean = false): Collection = {

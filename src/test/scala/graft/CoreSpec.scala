@@ -206,10 +206,15 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.query().count() == 3)
   }
 
-  test("open fails fast on a legacy pre-manifest format") {
+  test("open fails fast on a legacy pre-manifest format; migrate() upgrades it in place") {
     val root = SparkTestSession.tmp("graft-legacy")
     val df = mkEvents()
-    Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    val c0 = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c0.insert(df)
+    // forge a format-1 tree: data files present, no manifest, old version stamp
+    val manDir = java.nio.file.Paths.get(root, Collection.ManifestDir)
+    java.nio.file.Files.walk(manDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
     val cfgPath = java.nio.file.Paths.get(root, Collection.ConfigFile)
     val cfg = new String(java.nio.file.Files.readAllBytes(cfgPath))
     java.nio.file.Files.write(cfgPath,
@@ -219,6 +224,12 @@ class CollectionSpec extends AnyFunSuite {
       java.nio.file.Paths.get(root, s".${Collection.ConfigFile}.crc"))
     val e = intercept[IllegalStateException](Collection.open(spark, root))
     assert(e.getMessage.contains("legacy format 1"))
+    // one-call migration: config restamped, manifest bootstrapped from disk
+    val m = Collection.migrate(spark, root)
+    assert(m.query().count() == 4)
+    assert(Collection.open(spark, root).generation >= 1)
+    // idempotent on an already-current tree
+    assert(Collection.migrate(spark, root).query().count() == 4)
   }
 
   test("update rewrites only matching partitions") {
