@@ -449,6 +449,34 @@ object SparkEntry {
       graft.dedup.Dedup.groups(pairs).orderBy("id")
     }),
 
+    // C16: EXHAUSTIVE exact-duplicate pair listing over a corpus with a
+    // planted 201-strong duplicate class — the full C(201,2) clique must
+    // come out (sub-bucket triangle distribution; star expansion would
+    // drop intra-clique pairs). cap=50 forces the oversized-bucket path.
+    "dedup_pairs_exhaustive" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val seed = d.where(col("doc_id") === 1).select(col("text"))
+      val planted = d.unionByName(
+        s.range(1, 201).select((col("id") + 2000000L).as("doc_id"))
+          .crossJoin(broadcast(seed)))
+      graft.dedup.Dedup.exactPairs(planted, "doc_id", col("text"), cap = 50)
+        .orderBy("a", "b")
+    }),
+
+    // C17: pairs -> groups on the same planted corpus, oracle-checkable:
+    // exact-dup classes are cliques, so the connected-components rep is
+    // provably min(doc_id) per text class — SQL-expressible, unlike the
+    // minhash-derived graph of `dedup_groups`.
+    "dedup_groups_exact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val seed = d.where(col("doc_id") === 1).select(col("text"))
+      val planted = d.unionByName(
+        s.range(1, 201).select((col("id") + 2000000L).as("doc_id"))
+          .crossJoin(broadcast(seed)))
+      val pairs = graft.dedup.Dedup.exactPairs(planted, "doc_id", col("text"), cap = 50)
+      graft.dedup.Dedup.groups(pairs).orderBy("id")
+    }),
+
     // C4: character-4-gram Jaccard near-dup pairs (LSH-pruned, verified).
     "dedup_jaccard" -> ((s, dir) => {
       import graft.functions.TextFunctions
@@ -985,6 +1013,29 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
          WHERE jaccard >= 0.8
          ORDER BY a, b""",
+
+    "dedup_pairs_exhaustive" ->
+      """WITH planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT 2000000 + r AS doc_id, (SELECT text FROM documents WHERE doc_id = 1) AS text
+           FROM range(1, 201) t(r))
+         SELECT a.doc_id AS a, b.doc_id AS b
+         FROM planted a JOIN planted b ON a.text = b.text AND a.doc_id < b.doc_id
+         ORDER BY a, b""",
+
+    "dedup_groups_exact" ->
+      """WITH planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT 2000000 + r AS doc_id, (SELECT text FROM documents WHERE doc_id = 1) AS text
+           FROM range(1, 201) t(r)),
+         cls AS (
+           SELECT text, MIN(doc_id) AS rep, COUNT(*) AS n FROM planted GROUP BY text)
+         SELECT p.doc_id AS id, c.rep AS rep
+         FROM planted p JOIN cls c ON p.text = c.text
+         WHERE c.n > 1
+         ORDER BY id""",
 
     "dedup_jaccard" ->
       """WITH sh AS (

@@ -127,6 +127,27 @@ object Dedup {
       .distinct()
   }
 
+  /** EXHAUSTIVE exact-duplicate PAIR listing: bucket by `xxhash64(key)`,
+    * enumerate all in-bucket pairs with bounded per-task work
+    * ([[exhaustiveBucketPairs]] — a mass-duplicated class splits into
+    * sub-bucket triangles), then verify true key equality (hash
+    * collisions across distinct keys are filtered, never emitted).
+    * Returns every `(a, b)`, `a < b`, with equal keys — the full clique
+    * per duplicate class, unlike [[exact]] (keep-one) and the star the
+    * grouping path settles for. */
+  def exactPairs(df: DataFrame, idCol: String, key: Column,
+                 cap: Int = DefaultMaxBucket): DataFrame = {
+    val b = df
+      .select(col(idCol).as("_zc_id"), xxhash64(key).as("_zc_bucket"))
+      .repartition(col("_zc_bucket"))
+    val cands = exhaustiveBucketPairs(b, Seq("_zc_bucket"), "_zc_id", cap)
+    val ka = df.select(col(idCol).as("a"), key.as("_zc_ka"))
+    val kb = df.select(col(idCol).as("b"), key.as("_zc_kb"))
+    cands.join(ka, "a").join(kb, "b")
+      .where(col("_zc_ka") === col("_zc_kb"))
+      .select("a", "b")
+  }
+
   /** Candidate pairs `(a, b)` with `a < b` sharing at least one LSH
     * bucket. Shuffles on `(band, bucket)`; never O(n^2) per task —
     * degenerate buckets fall back to star expansion

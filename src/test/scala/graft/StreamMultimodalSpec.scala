@@ -92,6 +92,33 @@ class StreamMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming source restarts from a checkpoint: offsets deserialize, no re-ingestion") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val root = SparkTestSession.tmp("graft-stream-ckpt")
+    val ckpt = SparkTestSession.tmp("graft-ckpt")
+    val mk = (vals: Seq[(Long, String, Double)]) => vals
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val df = mk(Seq((1L, "2024-01-01 10:00:00", 1.0)))
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    val sinkDir = SparkTestSession.tmp("graft-sink")
+    def start() = StreamOps.readStream(spark, c)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", sinkDir)
+      .start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(sinkDir).count() == 1)
+    // new commit while the stream is DOWN; restart resumes from the
+    // serialized generation offset and ingests only the delta
+    c.insert(mk(Seq((2L, "2024-01-05 10:00:00", 2.0))), MergeStrategy.Concat)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(sinkDir).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"restart must not re-ingest or skip, got $ids")
+  }
+
   test("append-mode windowed agg with watermark emits finalized windows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
