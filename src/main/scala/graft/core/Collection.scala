@@ -676,6 +676,7 @@ final class Collection private (
     * partition counts only — it refuses more than `maxPartitions`
     * sequential jobs rather than silently degrading into a 10^6-job loop. */
   def map[A](fn: DataFrame => A, filters: String = null,
+             variables: Seq[String] = null,
              maxPartitions: Int = 1024): Seq[(String, A)] = {
     val fields = readSchemaFields(schema)
     val parts = partitions(filters)
@@ -690,7 +691,11 @@ final class Collection private (
         .schema(StructType(fields))
         .parquet(byPart(p).map(f => s"$root/$f"): _*)
         .select(schema.fieldNames.toSeq.map(col): _*)
-      p -> fn(attachImmutable(df))
+      // variables whitelist (reference map(..., variables=)): projection
+      // after the immutable merge, so immutable columns are selectable;
+      // parquet column pruning keeps the physical read to the subset
+      val loaded = attachImmutable(df)
+      p -> fn(if (variables != null) loaded.select(variables.map(col): _*) else loaded)
     }
   }
 

@@ -42,6 +42,25 @@ final class Indexer private (
     Option(doc.get("generation")).map(_.toString.toLong)
   }
 
+  /** Raw index lookup: the `{partition path: [(start, stop), ...]}`
+    * row-range map for an equality predicate (reference parquet.py:150
+    * `lookup`) — the primitive [[query]] fuses with the pruned scan. */
+  def lookup(eq: Map[String, Any]): Map[String, Seq[(Long, Long)]] = {
+    require(eq.keySet.subsetOf(keys.toSet), s"index covers $keys, got ${eq.keySet}")
+    val pred = eq.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
+    table.where(pred)
+      .select((partCols.map(col) :+ col("_start") :+ col("_stop")): _*)
+      .collect()
+      .toSeq
+      .map { r =>
+        val path = collection.keyPath(
+          partCols.zipWithIndex.map { case (c, i) => c -> r.get(i) })
+        path -> (r.getAs[Long]("_start"), r.getAs[Long]("_stop"))
+      }
+      .groupBy(_._1)
+      .map { case (p, rs) => p -> rs.map(_._2).sorted }
+  }
+
   /** Rows of the base collection matching the equality predicate, read
     * from index-selected partitions only AND sliced to the indexed
     * `_zc_row` ranges (reference parquet.py:120-210: query ->

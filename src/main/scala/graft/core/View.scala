@@ -150,6 +150,17 @@ final class View private (
     else spark.read.parquet(dataDir).columns
       .filterNot(c => partCols.contains(c) || c == RowIdCol).toSeq
 
+  /** Combined schema a [[query]] returns: base declared schema + overlay
+    * variables (reference view/base.py:205 view_schema). */
+  def schema: org.apache.spark.sql.types.StructType =
+    if (!fsys.exists(new Path(dataDir))) base.schema
+    else {
+      val o = spark.read.parquet(dataDir).schema
+      org.apache.spark.sql.types.StructType(
+        base.schema.fields ++
+          o.fields.filterNot(f => partCols.contains(f.name) || f.name == RowIdCol))
+    }
+
   private def writeConfig(baseGen: Option[Long]): Unit = {
     val m = new java.util.LinkedHashMap[String, Object]()
     m.put("version", Integer.valueOf(1))

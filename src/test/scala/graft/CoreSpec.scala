@@ -158,6 +158,18 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.repairCatalog() == Seq("year=2024/month=2/day=1"))
   }
 
+  test("map honors the variables whitelist (reference map(..., variables=))") {
+    val root = SparkTestSession.tmp("graft-mapvars")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    val got = c.map(d => (d.columns.toSeq, d.count()), filters = "month == 1",
+      variables = Seq("id", "v"))
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, (cols, _)) => cols == Seq("id", "v") })
+    assert(got.map(_._2._2).sum == 3)
+  }
+
   test("repairCatalog bootstraps a lost manifest and advances taskBase past adopted ids") {
     // ADVICE r2: the documented recovery path threw 'no manifest' from
     // currentManifest(), and adopted orphan ids could collide with later

@@ -114,6 +114,8 @@ class OperatorsSpec extends AnyFunSuite {
     val got = v.query().orderBy("id").select("id", "v2").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == Seq((1L, 10.0), (2L, 6.0), (3L, 14.0)))
+    // combined view schema = base declared schema + overlay variables
+    assert(v.schema.fieldNames.toSeq == c.schema.fieldNames.toSeq :+ "v2")
     // reopen by config
     val reopened = View.open(spark, root + "-view")
     assert(reopened.query().count() == 3)
@@ -171,6 +173,11 @@ class OperatorsSpec extends AnyFunSuite {
     val got = idx.query(Map("kind" -> "a")).orderBy("id").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1L, 3L))
     assert(idx.query(Map("kind" -> "zzz")).count() == 0)
+    // raw lookup: {partition -> row ranges} (reference parquet.py lookup)
+    val lk = idx.lookup(Map("kind" -> "a"))
+    assert(lk.keySet == Set("year=2024/month=1/day=1", "year=2024/month=1/day=3"))
+    assert(lk.values.forall(rs => rs.nonEmpty && rs.forall { case (s, e) => e > s }))
+    assert(idx.lookup(Map("kind" -> "zzz")).isEmpty)
   }
 
   test("indexer detects a stale base; allowStale keeps pruning but drops row bands") {
