@@ -140,7 +140,11 @@ final class Collection private (
     * overwrites colliding partitions wholesale; other strategies combine
     * with the existing content; `Concat` is a pure append (existing data is
     * never read or rewritten). Returns the partition paths written. */
-  def insert(df: DataFrame, merge: MergeStrategy = MergeStrategy.Replace): Seq[String] = {
+  def insert(df: DataFrame, merge: MergeStrategy = MergeStrategy.Replace): Seq[String] =
+    insertInternal(df, merge, streamMark = None)
+
+  private[graft] def insertInternal(df: DataFrame, merge: MergeStrategy,
+                                    streamMark: Option[(String, Long)]): Seq[String] = {
     requireWritable()
     val assigned = partitioning.assign(df)
     val existing = partitionKeySet()
@@ -154,7 +158,7 @@ final class Collection private (
       val preFiles = walkDataFiles().toSet
       physicalWrite(prepareForWrite(assigned, man.taskBase))
       val newFiles = walkDataFiles().filterNot(preFiles.contains)
-      commitDelta(man, newFiles, Set.empty, writeTasks)
+      commitDelta(man, newFiles, Set.empty, writeTasks, streamMark)
       return newFiles.map(parentRel).distinct.sorted
     }
 
@@ -203,9 +207,29 @@ final class Collection private (
     }
 
     writeAndCommit(toWrite, replaced = replacedPaths.toSet,
-      touched = (incomingPaths ++ replacedPaths).distinct)
+      touched = (incomingPaths ++ replacedPaths).distinct, streamMark = streamMark)
     if (catalogEnabled) () // the manifest IS the catalog; kept for API parity
     incomingPaths.sorted
+  }
+
+  /** The last micro-batch id committed by streaming query `queryName`
+    * (None if it never committed) — see [[insertStreamBatch]]. */
+  def streamHighWaterMark(queryName: String): Option[Long] =
+    currentManifest().streams.get(queryName)
+
+  /** Idempotent micro-batch insert for streaming ingestion
+    * ([[graft.streaming.StreamOps.insertStream]]): the batch id is
+    * committed ATOMICALLY with the batch's files, so when foreachBatch
+    * replays a batch after a failure (Spark's at-least-once contract)
+    * the replay is detected against the committed high-water mark and
+    * skipped — exactly-once ingestion on top of the manifest swap, the
+    * idempotent-sink pattern of the lakehouse formats. Returns the
+    * partitions written (empty for a skipped replay). */
+  def insertStreamBatch(queryName: String, batchId: Long, df: DataFrame,
+                        merge: MergeStrategy = MergeStrategy.Concat): Seq[String] = {
+    requireWritable()
+    if (currentManifest().streams.get(queryName).exists(_ >= batchId)) return Nil
+    insertInternal(df, merge, Some(queryName -> batchId))
   }
 
   /** TESTING ONLY (crash injection): run the physical file write of an
@@ -287,6 +311,7 @@ final class Collection private (
       df: DataFrame,
       replaced: Set[String],
       touched: Seq[String],
+      streamMark: Option[(String, Long)] = None,
   ): Unit = {
     val man = currentManifest()
     // List the touched directories BEFORE writing: everything already on
@@ -301,7 +326,7 @@ final class Collection private (
     // shards)
     val replacedFiles =
       if (retainGenerations == 0) man.filesForPartitions(replaced) else Nil
-    commitDelta(man, newFiles, replaced, writeTasks)
+    commitDelta(man, newFiles, replaced, writeTasks, streamMark)
     // GC the files this commit replaced — unless a retention window keeps
     // past snapshots readable (then vacuum() expires them later).
     replacedFiles
@@ -314,7 +339,8 @@ final class Collection private (
     * A commit touching one partition of a 10^7-file collection writes
     * one shard + the root, regardless of collection size. */
   private def commitDelta(prev: Manifest, newFiles: Seq[String],
-                          dropped: Set[String], taskBump: Long): Unit = {
+                          dropped: Set[String], taskBump: Long,
+                          streamMark: Option[(String, Long)] = None): Unit = {
     val newByPrefix = newFiles.groupBy(f => prefixOf(parentRel(f)))
     val affected = newByPrefix.keySet ++ dropped.map(prefixOf)
     val kept = prev.shards.filterNot(e => affected(e.prefix))
@@ -334,7 +360,8 @@ final class Collection private (
     }
     commitManifest(prev.withShards(
       prev.generation + 1, prev.taskBase + taskBump,
-      (kept ++ rebuilt).sortBy(_.prefix)))
+      (kept ++ rebuilt).sortBy(_.prefix),
+      streamMark.fold(prev.streams)(prev.streams + _)))
   }
 
   private def listDataFiles(relDir: String): Seq[String] = {
@@ -861,7 +888,13 @@ object Collection {
       val schemaDdl: String,
       val fills: Map[String, String],
       val shards: Seq[ShardEntry],
-      loader: String => Seq[String]) {
+      loader: String => Seq[String],
+      /** Per-streaming-query high-water mark: the last micro-batch id
+        * committed by each `insertStream` query. Committed ATOMICALLY
+        * with the files of that batch, so a foreachBatch replay after a
+        * crash is detected and skipped — exactly-once ingestion on top
+        * of the manifest swap (the lakehouse idempotent-sink pattern). */
+      val streams: Map[String, Long] = Map.empty) {
 
     /** All partition paths — served from the root manifest, zero shard IO. */
     def partitionPaths: Seq[String] =
@@ -892,11 +925,12 @@ object Collection {
     def withMeta(generation: Long = generation, taskBase: Long = taskBase,
                  schemaDdl: String = schemaDdl,
                  fills: Map[String, String] = fills): Manifest =
-      new Manifest(generation, taskBase, schemaDdl, fills, shards, loader)
+      new Manifest(generation, taskBase, schemaDdl, fills, shards, loader, streams)
 
     /** New shard table, same loader. */
-    def withShards(generation: Long, taskBase: Long, newShards: Seq[ShardEntry]): Manifest =
-      new Manifest(generation, taskBase, schemaDdl, fills, newShards, loader)
+    def withShards(generation: Long, taskBase: Long, newShards: Seq[ShardEntry],
+                   newStreams: Map[String, Long] = streams): Manifest =
+      new Manifest(generation, taskBase, schemaDdl, fills, newShards, loader, newStreams)
   }
 
   private[core] def isDataFile(name: String): Boolean =
@@ -975,6 +1009,11 @@ object Collection {
     val generation = doc.get("generation").toString.toLong
     val taskBase = doc.get("taskBase").toString.toLong
     val schemaDdl = doc.get("schema").toString
+    val streams = Option(doc.get("streams"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map {
+        case (k, v) => k -> v.toString.toLong
+      }.toMap)
+      .getOrElse(Map.empty[String, Long])
     Option(doc.get("shards")) match {
       case Some(raw) =>
         val entries = raw.asInstanceOf[java.util.List[Object]].asScala.map { o =>
@@ -986,7 +1025,7 @@ object Collection {
             file = m.get("file").toString)
         }.toSeq
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
-          rel => readShard(fs, dir, rel))
+          rel => readShard(fs, dir, rel), streams)
       case None =>
         // legacy single-JSON manifest: inline file list, synthetic
         // content-addressed names so generation diffs still work
@@ -1001,7 +1040,7 @@ object Collection {
             sorted.map(f => parentRel(f).substring(pfx.length).stripPrefix("/")).distinct.sorted,
             shardName(sorted))
         }
-        new Manifest(generation, taskBase, schemaDdl, fills, entries, inline.apply)
+        new Manifest(generation, taskBase, schemaDdl, fills, entries, inline.apply, streams)
     }
   }
 
@@ -1032,6 +1071,11 @@ object Collection {
       shardsArr.add(em)
     }
     doc.put("shards", shardsArr)
+    if (m.streams.nonEmpty) {
+      val sm = new java.util.LinkedHashMap[String, Object]()
+      m.streams.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, java.lang.Long.valueOf(v)) }
+      doc.put("streams", sm)
+    }
     val target = manifestPath(dir, m.generation)
     if (fs.exists(target))
       throw new java.util.ConcurrentModificationException(

@@ -107,6 +107,40 @@ object StreamOps {
     df.withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  // --- streaming ingestion sink ------------------------------------
+
+  /** Continuous ingestion INTO a collection: each micro-batch runs one
+    * atomic `insert` commit, with the batch id recorded in the SAME
+    * manifest swap — a foreachBatch replay after a crash (Spark is
+    * at-least-once there) is detected against the committed high-water
+    * mark and skipped, so rows land exactly once
+    * ([[graft.core.Collection.insertStreamBatch]]). The streaming
+    * analogue of the reference's incremental-insert workflow, with
+    * batch readers and [[readStream]] consumers seeing each batch
+    * atomically or not at all.
+    *
+    * @param queryName stable identifier for this ingestion query — the
+    *        key of the manifest's high-water mark (reuse it across
+    *        restarts together with the checkpoint).
+    * @return the started query; callers own its lifecycle (use
+    *         `.processAllAvailable()` + `.stop()` for run-once, a
+    *         trigger + `awaitTermination` in production). */
+  def insertStream(
+      source: DataFrame,
+      c: Collection,
+      queryName: String,
+      checkpoint: String,
+      merge: graft.core.MergeStrategy = graft.core.MergeStrategy.Concat,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        c.insertStreamBatch(queryName, id, batch.toDF(), merge)
+        ()
+      }
+      .start()
+
   // --- stateful sessionization (D2) --------------------------------
 
   case class SessionEvent(user_id: Long, ts_us: Long)

@@ -119,6 +119,45 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L), s"restart must not re-ingest or skip, got $ids")
   }
 
+  test("streaming ingestion sink: exactly-once micro-batch commits, replays skipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = SparkTestSession.tmp("graft-ingest")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, ts TIMESTAMP, v DOUBLE")
+    val c = Collection.create(spark, root, schema, "ts", DatePartitioning("ts", "D"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val ckpt = SparkTestSession.tmp("graft-ingest-ckpt")
+    val q = StreamOps.insertStream(
+      in.toDF().toDF("id", "ts", "v"), c, "ingest-events", ckpt)
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), 1.0), (2L, ts("2024-01-02 10:00:00"), 2.0))
+      q.processAllAvailable()
+      assert(c.query().count() == 2)
+      in.addData((3L, ts("2024-01-03 10:00:00"), 4.0))
+      q.processAllAvailable()
+      assert(c.query().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+    // high-water mark committed atomically with the data
+    val hwm = c.streamHighWaterMark("ingest-events")
+    assert(hwm.exists(_ >= 1L), s"missing stream high-water mark, got $hwm")
+    // a foreachBatch REPLAY of an already-committed batch is a no-op
+    val replay = Seq((99L, "2024-01-09 10:00:00", 9.0))
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    assert(c.insertStreamBatch("ingest-events", hwm.get, replay).isEmpty)
+    assert(c.query().count() == 3, "replayed batch must not double-insert")
+    // a NEW batch id still commits
+    assert(c.insertStreamBatch("ingest-events", hwm.get + 1, replay).nonEmpty)
+    assert(c.query().count() == 4)
+    // and the collection keeps working as a streaming SOURCE: the
+    // ingested data streams back out manifest-consistently
+    val n = StreamOps.windowedAggOnce(spark, c, "ts", "1 day") { g =>
+      g.agg(count(lit(1)).as("n"))
+    }.agg(sum(col("n"))).collect().head.getLong(0)
+    assert(n == 4)
+  }
+
   test("append-mode windowed agg with watermark emits finalized windows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
