@@ -24,12 +24,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: keep the row with the smallest `keepCol` per distinct
-    * `on` tuple. One shuffle; survivors stream out of the window. */
+    * `on` tuple, as ONE aggregation — `min_by` over the full row gets
+    * map-side partial aggregation, so each upstream task ships at most
+    * one row per local key and the reducer never sorts (the window
+    * formulation this replaces shuffled AND per-class-sorted every
+    * duplicate). Ties on `keepCol` break arbitrarily — pass a unique id
+    * for deterministic survivors (as every corpus here does). */
   def exact(df: DataFrame, on: Seq[String], keepCol: String): DataFrame = {
-    val w = Window.partitionBy(on.map(col): _*).orderBy(col(keepCol))
-    df.withColumn("_zc_rn", row_number().over(w))
-      .where(col("_zc_rn") === 1)
-      .drop("_zc_rn")
+    val rest = df.columns.filterNot(on.contains).toSeq
+    df.groupBy(on.map(col): _*)
+      .agg(min_by(struct(rest.map(col): _*), col(keepCol)).as("_zc_keep"))
+      .select(df.columns.toSeq.map(c =>
+        if (on.contains(c)) col(c) else col(s"_zc_keep.$c")): _*)
   }
 
   /** MinHash signature of a hashed-shingle array: position `i` holds

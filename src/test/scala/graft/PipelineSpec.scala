@@ -18,6 +18,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L))
   }
 
+  test("exact dedup plans as a partial-aggregated groupBy, not a window") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)).toDF("id", "text", "v")
+      val q = Dedup.exact(df, Seq("text"), "id")
+      val plan = q.queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"window survived in exact-dedup plan:\n$plan")
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggs.size >= 2, s"no partial+final aggregation pair:\n$plan")
+      assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("minhash pipeline finds a planted near-duplicate and skips unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = base.replace("today", "tomorrow")
