@@ -570,6 +570,22 @@ object SparkEntry {
         .orderBy("hour_start_us")
     }),
 
+    // D8: full streaming ROUND TRIP — the events collection streamed out
+    // through the manifest-consistent source and ingested into a second
+    // collection through the exactly-once sink; the destination must
+    // reproduce the source exactly (same oracle as zc_insert_query).
+    "stream_ingest" -> ((s, dir) => {
+      val src = eventsCollection(s, dir)
+      val dstRoot = s"$scratch/ingest-${java.util.UUID.randomUUID().toString.take(8)}"
+      val dst = Collection.create(s, dstRoot, src.schema, "ts",
+        DatePartitioning("ts", "D"))
+      val q = graft.streaming.StreamOps.insertStream(
+        graft.streaming.StreamOps.readStream(s, src), dst,
+        "stream_ingest", dstRoot + "-ckpt")
+      try q.processAllAvailable() finally q.stop()
+      eventsOut(dst.query())
+    }),
+
     // B9: semi/anti joins — customers with high-value orders but no
     // low-priority ones.
     "q_semi_anti" -> ((s, dir) => {
@@ -823,6 +839,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "zc_insert_query" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
+
+    "stream_ingest" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
 

@@ -90,6 +90,31 @@ class ManifestShardSpec extends AnyFunSuite {
     assert(!dropped.contains("a=2") && dropped("a=0") == before("a=0"))
   }
 
+  test("legacy inline-files manifests (pre-shard format) still read") {
+    val root = SparkTestSession.tmp("graft-legacy-man")
+    val df = Seq((0L, 1L, 1.0), (1L, 2L, 2.0)).toDF("a", "seq", "v")
+    val c = Collection.create(spark, root, df.schema, "seq",
+      SequencePartitioning(Seq("a"), "seq"))
+    c.insert(df)
+    val man = c.currentManifest()
+    // hand-write the NEXT generation in the old single-JSON shape
+    val doc = new java.util.LinkedHashMap[String, Object]()
+    doc.put("generation", java.lang.Long.valueOf(man.generation + 1))
+    doc.put("taskBase", java.lang.Long.valueOf(man.taskBase))
+    doc.put("schema", c.schema.toDDL)
+    doc.put("fills", new java.util.LinkedHashMap[String, Object]())
+    doc.put("files", new java.util.ArrayList[Object](
+      scala.jdk.CollectionConverters.SeqHasAsJava(man.files.map(_.asInstanceOf[Object])).asJava))
+    val fs = Collection.fileSystem(spark, root)
+    Collection.writeJson(fs, new org.apache.hadoop.fs.Path(
+      f"$root/${Collection.ManifestDir}/manifest-${man.generation + 1}%012d.json"), doc)
+    val c2 = Collection.open(spark, root, readOnly = true)
+    assert(c2.generation == man.generation + 1)
+    assert(c2.query().count() == 2)
+    assert(c2.partitions() == Seq("a=0", "a=1"))
+    assert(c2.query("a == 1").count() == 1) // pruned path over inline shards
+  }
+
   test("vacuum reclaims shard files no committed root references") {
     val root = SparkTestSession.tmp("graft-shard-vac")
     val df = Seq((0L, 1L, 1.0)).toDF("a", "seq", "v")
