@@ -108,13 +108,33 @@ final class Collection private (
       .sorted
   }
 
-  /** The highest committed generation's manifest (one LIST + at most one
-    * small JSON read; parsed manifests are cached). */
+  /** Last generation this handle has observed — snapshot discovery
+    * probes FORWARD from here (`exists(gen+1)`, `exists(gen+2)`, …)
+    * instead of re-listing `_manifest/`: generations grow by one and
+    * root manifests are never deleted, so the probe is equivalent to
+    * LIST+max at O(new commits) point lookups — at 10^5 commits a read
+    * costs 1 existence check, not a 10^5-entry directory listing. */
+  @volatile private var knownMaxGen: Long = -1L
+
+  private def latestGeneration(): Long = {
+    var g = knownMaxGen
+    if (g < 0L) {
+      val gens = generations()
+      if (gens.isEmpty) return -1L
+      g = gens.max
+    }
+    while (fs.exists(manifestPath(manifestDir, g + 1))) g += 1
+    knownMaxGen = g
+    g
+  }
+
+  /** The highest committed generation's manifest (point lookups + at
+    * most one small JSON read; parsed manifests are cached). */
   private[core] def currentManifest(): Manifest = {
-    val gens = generations()
-    if (gens.isEmpty)
+    val g = latestGeneration()
+    if (g < 0L)
       throw new IllegalStateException(s"no committed manifest under $root/$ManifestDir")
-    manifestCache.getOrElseUpdate(gens.max, readManifest(fs, manifestDir, gens.max))
+    manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g))
   }
 
   /** Commit generation — bumped by every successful write. [[View]]s record
@@ -132,6 +152,7 @@ final class Collection private (
   private def commitManifest(m: Manifest): Unit = {
     writeManifest(fs, manifestDir, m)
     manifestCache.put(m.generation, m)
+    if (m.generation > knownMaxGen) knownMaxGen = m.generation
   }
 
   // --- insert ------------------------------------------------------
@@ -946,7 +967,7 @@ object Collection {
     if (i < 0) "" else partition.substring(0, i)
   }
 
-  private def manifestPath(dir: Path, gen: Long): Path =
+  private[core] def manifestPath(dir: Path, gen: Long): Path =
     new Path(dir, f"manifest-$gen%012d.json")
 
   /** Content-addressed shard name: identical file lists (same subtree,
