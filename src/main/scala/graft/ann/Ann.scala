@@ -300,7 +300,8 @@ object Ann {
     * duplicates have perfect recall. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                   tables: Int = 8, planes: Int = 12, dims: Int = 64,
-                  maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket): DataFrame = {
+                  maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket,
+                  exhaustive: Boolean = false): DataFrame = {
     // 12 planes/table: random-vector bucket collisions become rare (so the
     // candidate set stays near the true-duplicate count), while identical
     // vectors still collide in EVERY table; near-dup recall at cos~0.95 is
@@ -309,8 +310,11 @@ object Ann {
     val b = buckets(df, idCol, vecCol, "_zc_id", tables, planes, dims)
       // shared Exchange: both self-join sides reuse one bucket computation
       .repartition(col("_zc_t"), col("_zc_bkt"))
-    val cands = graft.dedup.Dedup.boundedBucketPairs(
-      b, Seq("_zc_t", "_zc_bkt"), "_zc_id", maxBucket)
+    val cands =
+      if (exhaustive) graft.dedup.Dedup.exhaustiveBucketPairs(
+        b, Seq("_zc_t", "_zc_bkt"), "_zc_id", maxBucket)
+      else graft.dedup.Dedup.boundedBucketPairs(
+        b, Seq("_zc_t", "_zc_bkt"), "_zc_id", maxBucket)
     // Precompute each vector's norm once (shared Exchange again) instead
     // of re-deriving both norms inside every candidate pair.
     val withNorm = df

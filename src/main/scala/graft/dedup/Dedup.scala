@@ -291,7 +291,8 @@ object Dedup {
     * degenerate chunks fall back to star expansion
     * ([[boundedBucketPairs]]). */
   def simhashPairs(df: DataFrame, idCol: String, tokens: Column, maxHamming: Int,
-                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                   maxBucket: Int = DefaultMaxBucket,
+                   exhaustive: Boolean = false): DataFrame = {
     val withBits = df
       .repartition(col(idCol)) // parallelize the bit computation
       .withColumn("_zc_bits", simhash(tokens))
@@ -303,7 +304,9 @@ object Dedup {
         xxhash64(slice(col("_zc_bits"), b * 16 + 1, 16), lit(b))
       }: _*)).as(Seq("_zc_band", "_zc_bucket")))
       .repartition(col("_zc_band"), col("_zc_bucket"))
-    val cands = boundedBucketPairs(chunks, Seq("_zc_band", "_zc_bucket"), "_zc_id", maxBucket)
+    val cands =
+      if (exhaustive) exhaustiveBucketPairs(chunks, Seq("_zc_band", "_zc_bucket"), "_zc_id", maxBucket)
+      else boundedBucketPairs(chunks, Seq("_zc_band", "_zc_bucket"), "_zc_id", maxBucket)
     val ba = withBits.select(col(idCol).as("a"), col("_zc_bits").as("_zc_ba"))
     val bb = withBits.select(col(idCol).as("b"), col("_zc_bits").as("_zc_bb"))
     cands.join(ba, "a").join(bb, "b")
