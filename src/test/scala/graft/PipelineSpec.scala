@@ -267,6 +267,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(full.count() == m.toLong * (m - 1) / 2)
   }
 
+  test("exhaustive mode is wired through the cosine and simhash generators too") {
+    val n = 40
+    val vec = (1 to 16).map(_.toFloat / 16)
+    val dupes = (1L to n.toLong).map(i => (i, vec))
+    val df = dupes.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // identical vectors collide in every LSH table; with a tiny cap the
+    // exhaustive path must still return the full clique
+    val cos = Ann.cosinePairs(df, "vec_id", "embedding", 0.99,
+      maxBucket = 10, exhaustive = true)
+    assert(cos.select("a", "b").distinct().count() == n.toLong * (n - 1) / 2)
+    val docs = (1L to n.toLong).map(i => (i, "spam spam spam wonderful spam and eggs"))
+      .toDF("doc_id", "text")
+    val sim = Dedup.simhashPairs(docs, "doc_id",
+      TextFunctions.tokens(col("text")), maxHamming = 3,
+      maxBucket = 10, exhaustive = true)
+    assert(sim.select("a", "b").distinct().count() == n.toLong * (n - 1) / 2)
+  }
+
   test("groups: connected components match a brute-force union-find; keepRepresentatives dedups") {
     // chain a-b-c-d plus a separate pair and a star
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (20L, 22L), (20L, 23L))
