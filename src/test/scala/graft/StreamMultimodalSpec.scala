@@ -89,6 +89,14 @@ class StreamMultimodalSpec extends AnyFunSuite {
       q.processAllAvailable()
       val ids = spark.table(name).select("id").collect().map(_.getLong(0)).sorted.toSeq
       assert(ids == Seq(1L, 2L, 3L), s"each commit must stream exactly once, got $ids")
+      // a metadata-only commit (schema evolution) adds NO files: the
+      // stream must advance through the empty generation without error
+      c.addVariable("w", org.apache.spark.sql.types.DoubleType)
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 3)
+      c.insert(mk(Seq((4L, "2024-01-07 10:00:00", 8.0))), MergeStrategy.Concat)
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 4, "commit after empty generation must stream")
     } finally q.stop()
   }
 
