@@ -112,6 +112,7 @@ object Dedup {
     * grouping-oriented O(n) alternative that stars instead). */
   def exhaustiveBucketPairs(buckets: DataFrame, bucketCols: Seq[String], idCol: String,
                             cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
     val w = Window.partitionBy(bucketCols.map(col): _*)
     val ann = buckets
       .withColumn("_zc_bn", count(lit(1)).over(w))
