@@ -26,9 +26,12 @@ object TransactionsAndEvolution {
     val root = java.nio.file.Files.createTempDirectory("graft-txn").toString + "/events"
 
     // every mutation is one atomic manifest commit; `generation` is the
-    // snapshot counter views use to detect staleness
+    // snapshot counter views use to detect staleness. retainGenerations
+    // keeps replaced history physically readable (compact() below is a
+    // REPLACING commit — without retention its inputs would be GC'd and
+    // the early snapshots below would no longer scan)
     val coll = Collection.create(spark, root, ev.schema, "ts",
-      DatePartitioning("ts", "D"))
+      DatePartitioning("ts", "D"), retainGenerations = 8)
     coll.insert(ev.where(dayofmonth(col("ts")) <= 10))
     println(s"generation after load: ${coll.generation}")
 
