@@ -482,9 +482,13 @@ final class Collection private (
   /** Scan an explicit subset of a manifest's files under that manifest's
     * declared schema + fills — the micro-batch primitive for the
     * manifest-consistent streaming source
-    * ([[graft.streaming.GraftCollectionSource]]). */
-  private[graft] def readManifestFiles(man: Manifest, files: Seq[String]): DataFrame = {
-    val dataSchema = schemaCache.getOrElseUpdate(man.generation, StructType.fromDDL(man.schemaDdl))
+    * ([[graft.streaming.GraftCollectionSource]]). `schemaOverride` pins a
+    * different declared schema (a stream's schema is fixed at start even
+    * as the collection's evolves); fills apply only to its columns. */
+  private[graft] def readManifestFiles(man: Manifest, files: Seq[String],
+                                       schemaOverride: Option[StructType] = None): DataFrame = {
+    val dataSchema = schemaOverride.getOrElse(
+      schemaCache.getOrElseUpdate(man.generation, StructType.fromDDL(man.schemaDdl)))
     val fields = readSchemaFields(dataSchema)
     if (files.isEmpty)
       return spark.createDataFrame(

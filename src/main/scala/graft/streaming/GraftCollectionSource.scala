@@ -36,6 +36,13 @@ class GraftCollectionSource(spark: SparkSession, root: String) extends Source {
 
   private val collection = Collection.open(spark, root, readOnly = true)
 
+  /** Data schema PINNED at stream start: the engine requires every batch
+    * to match it even as the collection evolves mid-stream. Batches are
+    * read under this schema directly, so a column dropped mid-stream
+    * keeps serving its on-disk data and a column added mid-stream stays
+    * invisible until restart. */
+  private val pinnedDataSchema = collection.schema
+
   override val schema: StructType = collection.readSchema
 
   private def gen(o: Offset): Long = o match {
@@ -68,21 +75,8 @@ class GraftCollectionSource(spark: SparkSession, root: String) extends Source {
     // MicroBatchExecution requires getBatch's plan to be flagged streaming
     // (the same flip FileStreamSource applies to the relation it builds)
     org.apache.spark.sql.graftshim.StreamingShim.asStreamingBatch(
-      conform(collection.readManifestFiles(endMan, newFiles)))
-  }
-
-  /** A streaming query's schema is FIXED at start; the collection's can
-    * evolve mid-stream (addVariable/dropVariable commits). Conform every
-    * batch to the pinned schema: evolved-away columns are projected out,
-    * columns this stream predates but the batch lacks read as null —
-    * restart the stream to observe a widened schema. */
-  private def conform(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    if (df.schema == schema) df
-    else df.select(schema.fields.toSeq.map { f =>
-      if (df.columns.contains(f.name)) df.col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
+      collection.readManifestFiles(endMan, newFiles,
+        schemaOverride = Some(pinnedDataSchema)))
   }
 
   override def stop(): Unit = ()
