@@ -1107,6 +1107,32 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
 
+    // FNV-1a 64 in pure SQL: hex-decode the UTF-8 bytes, fold
+    // (h XOR b) * prime through a HUGEINT intermediate (64x41-bit
+    // product fits 128 bits), reduce mod 2^64, re-sign to BIGINT —
+    // bit-identical to the codegen expression.
+    "text_fingerprint" ->
+      """WITH norm AS (
+           SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents
+         ), bytes AS (
+           SELECT doc_id,
+             list_transform(range(0, octet_length(encode(s))),
+               i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+1, 1)) - 1) * 16
+                       + (strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+2, 1)) - 1) AS UBIGINT)) AS bs
+           FROM norm
+         ), fnv AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS UBIGINT), bs),
+               (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+             ) AS hu
+           FROM bytes
+         )
+         SELECT doc_id,
+           CAST(CAST(hu AS HUGEINT) - CASE WHEN hu >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp
+         FROM fnv ORDER BY doc_id""",
+
     "q3_shipping" ->
       """SELECT l_orderkey,
                 CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,

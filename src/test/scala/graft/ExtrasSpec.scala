@@ -79,9 +79,12 @@ class ExtrasSpec extends AnyFunSuite {
     val oracles = SparkEntry.oracleSql.keySet
     assert(oracles.subsetOf(qs), s"orphan oracles: ${oracles.diff(qs)}")
     val rowsOnly = qs.diff(oracles)
-    // the intentionally non-SQL-expressible set (hash/approx operators)
+    // the intentionally non-SQL-expressible set: xxhash64-based
+    // signatures (DuckDB lacks the hash), approximate ANN, and the
+    // langid heuristic. FNV-1a proved SQL-expressible (round 3) and
+    // graduated to the oracle set.
     assert(rowsOnly == Set("dedup_simhash", "dedup_groups", "ann_lsh", "ann_ivf",
-      "text_langid", "text_fingerprint"),
+      "text_langid"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
