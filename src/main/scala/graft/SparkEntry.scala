@@ -1107,6 +1107,30 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
 
+    // The langid heuristic mirrored in SQL: per-language stopword-hit
+    // counts, first-profile-wins argmax, CJK short-circuit — the tie
+    // order matches the Spark expression's foldRight.
+    "text_langid" ->
+      """WITH t AS (
+           SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents
+         ), s AS (
+           SELECT doc_id, text,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','that','it','for'))) AS s_en,
+             len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','auf','zu'))) AS s_de,
+             len(list_filter(toks, x -> x IN ('le','la','et','les','des','un','une','est','dans','pour'))) AS s_fr,
+             len(list_filter(toks, x -> x IN ('el','la','de','los','las','y','es','en','que','por'))) AS s_es
+           FROM t
+         )
+         SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang
+         FROM s ORDER BY doc_id""",
+
     // FNV-1a 64 in pure SQL: hex-decode the UTF-8 bytes, fold
     // (h XOR b) * prime through a HUGEINT intermediate (64x41-bit
     // product fits 128 bits), reduce mod 2^64, re-sign to BIGINT —

@@ -80,11 +80,10 @@ class ExtrasSpec extends AnyFunSuite {
     assert(oracles.subsetOf(qs), s"orphan oracles: ${oracles.diff(qs)}")
     val rowsOnly = qs.diff(oracles)
     // the intentionally non-SQL-expressible set: xxhash64-based
-    // signatures (DuckDB lacks the hash), approximate ANN, and the
-    // langid heuristic. FNV-1a proved SQL-expressible (round 3) and
+    // signatures (DuckDB lacks the hash) and approximate ANN. FNV-1a and
+    // the langid heuristic proved SQL-expressible (round 3) and
     // graduated to the oracle set.
-    assert(rowsOnly == Set("dedup_simhash", "dedup_groups", "ann_lsh", "ann_ivf",
-      "text_langid"),
+    assert(rowsOnly == Set("dedup_simhash", "dedup_groups", "ann_lsh", "ann_ivf"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
