@@ -151,13 +151,18 @@ object Ann {
 
   /** Per-row nearest-centroid id over the LITERAL centroid table — pure
     * codegen, zero shuffle. Usable up to [[LiteralCentroidCap]] lists. */
-  private def argmaxLiteral(vec: Column, cents: Array[(Long, Array[Float])]): Column = {
+  private[graft] def argmaxLiteral(vec: Column, cents: Array[(Long, Array[Float])]): Column = {
     val centsLit = typedlit(cents.toSeq.map { case (i, v) => (i, v.toSeq) })
     aggregate(centsLit,
       struct(lit(-1L).as("id"), lit(-2.0).as("sim")),
       (acc, c) => {
         val s = cosine(vec, c.getField("_2"))
-        when(s > acc.getField("sim"), struct(c.getField("_1").as("id"), s.as("sim")))
+        // Spark SQL orders NaN ABOVE every value, so a zero-norm vector
+        // (NaN cosine everywhere) would win `>` against the sentinel and
+        // land in the first list — exclude it so both quantizer paths
+        // agree that degenerate vectors match no centroid (id = -1)
+        when(s > acc.getField("sim") && !isnan(s),
+             struct(c.getField("_1").as("id"), s.as("sim")))
           .otherwise(acc)
       }).getField("id")
   }
@@ -168,7 +173,7 @@ object Ann {
     * broadcast — still a pure map pass, the corpus never shuffles, and the
     * per-row cost is the same O(lists x dims) float math the literal
     * formulation pays. */
-  private def topCentroidsCol(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def topCentroidsCol(spark: org.apache.spark.sql.SparkSession,
                               cents: Array[(Long, Array[Float])],
                               keep: Int): Column => Column = {
     val bc = spark.sparkContext.broadcast(cents)
@@ -192,8 +197,11 @@ object Ann {
         val d = math.min(arr.length, cv.length)
         while (j < d) { dot += arr(j).toDouble * cv(j); nb += cv(j).toDouble * cv(j); j += 1 }
         val sim = dot / (nv * math.sqrt(nb))
-        if (n < keep || sim > bufSim(n - 1) ||
-            (sim == bufSim(n - 1) && cid < bufId(n - 1))) {
+        // zero-norm vector or centroid => NaN similarity: match nothing,
+        // agreeing with the literal path (NaN never wins its argmax `>`)
+        if (!java.lang.Double.isNaN(sim) &&
+            (n < keep || sim > bufSim(n - 1) ||
+             (sim == bufSim(n - 1) && cid < bufId(n - 1)))) {
           var p = math.min(n, keep - 1)
           while (p > 0 && (bufSim(p - 1) < sim ||
                  (bufSim(p - 1) == sim && bufId(p - 1) > cid))) {
@@ -243,6 +251,7 @@ object Ann {
       val assign = assignCentroid(spark, cents)
       cents = corpus
         .select(assign(col(vecCol)).as("_zc_cent"), col(vecCol).as("_zc_v"))
+        .where(col("_zc_cent") >= 0) // zero-norm rows match no centroid
         .groupBy("_zc_cent")
         .agg(graft.functions.VecMeanAgg.mean(col("_zc_v")).as("_zc_cv"))
         .collect()

@@ -29,11 +29,20 @@ object Dedup {
     * one row per local key and the reducer never sorts (the window
     * formulation this replaces shuffled AND per-class-sorted every
     * duplicate). Ties on `keepCol` break arbitrarily — pass a unique id
-    * for deterministic survivors (as every corpus here does). */
+    * for deterministic survivors (as every corpus here does).
+    *
+    * NULL `keepCol` values lose to any non-NULL one (the ordering key is
+    * `(isnull(keepCol), keepCol)`, never itself NULL — so `min_by` stays
+    * total and a class whose `keepCol` is entirely NULL still keeps a
+    * real row instead of degenerating to a NULL struct). When `on`
+    * covers every column there is nothing left to pick — plain
+    * `dropDuplicates`. */
   def exact(df: DataFrame, on: Seq[String], keepCol: String): DataFrame = {
     val rest = df.columns.filterNot(on.contains).toSeq
-    df.groupBy(on.map(col): _*)
-      .agg(min_by(struct(rest.map(col): _*), col(keepCol)).as("_zc_keep"))
+    if (rest.isEmpty) df.dropDuplicates(on)
+    else df.groupBy(on.map(col): _*)
+      .agg(min_by(struct(rest.map(col): _*),
+                  struct(isnull(col(keepCol)), col(keepCol))).as("_zc_keep"))
       .select(df.columns.toSeq.map(c =>
         if (on.contains(c)) col(c) else col(s"_zc_keep.$c")): _*)
   }

@@ -12,15 +12,66 @@ import org.apache.spark.sql.functions._
   * analogue of `mapInPandas`: an iterator-of-batches shape that amortizes
   * per-batch setup like model loading).
   *
-  * Decoders: [[PpmCodec]] (binary PPM/P6 images) and [[WavCodec]] (PCM16
-  * WAV audio) are REAL pure-JVM implementations — decode, feature
-  * extraction (mean-RGB tiles / RMS energy windows), nearest-neighbor
-  * resize, all spec-verified against hand-built fixtures. Compressed
-  * formats (JPEG/PNG/H.264) need codec libraries absent from this
-  * environment, so they fall back to [[StubCodec]], a clearly-marked
+  * Decoders: [[PpmCodec]] (binary PPM/P6 images), [[WavCodec]] (PCM16
+  * WAV audio) and [[ImageIoCodec]] (JPEG/PNG/GIF/BMP/TIFF via the JDK's
+  * built-in `javax.imageio` — no external library) are REAL
+  * implementations — decode, feature extraction (mean-RGB tiles / RMS
+  * energy windows), nearest-neighbor resize, and multi-frame GIF
+  * sampling, all spec-verified against in-memory fixtures. True video
+  * codecs (H.264/VP9) need native libraries absent from this
+  * environment, so video falls back to [[StubCodec]], a clearly-marked
   * deterministic fake behind the same batch plumbing.
   */
 object Multimodal {
+
+  /** Shared raster math over a decoded `(w, h, packed RGB bytes)` image —
+    * one implementation behind every image codec. */
+  private[multimodal] object Raster {
+    /** Mean R,G,B per tile of a tilesX x tilesY grid — 3*tilesX*tilesY
+      * floats in [0,1], the standard cheap image signature. */
+    def meanRgbTiles(w: Int, h: Int, rgb: Array[Byte],
+                     tilesX: Int, tilesY: Int): Array[Float] = {
+      val sums = new Array[Double](tilesX * tilesY * 3)
+      val counts = new Array[Long](tilesX * tilesY)
+      var y = 0
+      while (y < h) {
+        val ty = math.min(y * tilesY / h, tilesY - 1)
+        var x = 0
+        while (x < w) {
+          val tx = math.min(x * tilesX / w, tilesX - 1)
+          val t = ty * tilesX + tx
+          val p = (y * w + x) * 3
+          sums(t * 3) += rgb(p) & 0xff
+          sums(t * 3 + 1) += rgb(p + 1) & 0xff
+          sums(t * 3 + 2) += rgb(p + 2) & 0xff
+          counts(t) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(tilesX * tilesY * 3) { i =>
+        val n = counts(i / 3)
+        if (n == 0) 0f else (sums(i) / n / 255.0).toFloat
+      }
+    }
+
+    /** Nearest-neighbor resize of packed RGB. */
+    def resizeRgb(w: Int, h: Int, rgb: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+      val out = new Array[Byte](outW * outH * 3)
+      var y = 0
+      while (y < outH) {
+        val sy = y * h / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * w / outW
+          System.arraycopy(rgb, (sy * w + sx) * 3, out, (y * outW + x) * 3, 3)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
 
   /** Binary PPM (P6) — the classic uncompressed RGB format: ASCII header
     * `P6 <w> <h> <maxval>` then w*h*3 raw bytes. */
@@ -57,51 +108,123 @@ object Multimodal {
       out
     }
 
-    /** Features: mean R,G,B per tile of a tilesX x tilesY grid —
-      * 3*tilesX*tilesY floats in [0,1], the standard cheap image
-      * signature. */
+    /** Features: mean-RGB tiles over the decoded raster ([[Raster]]). */
     def meanRgbTiles(bytes: Array[Byte], tilesX: Int, tilesY: Int): Array[Float] = {
       val (w, h, rgb) = decode(bytes)
-      val sums = new Array[Double](tilesX * tilesY * 3)
-      val counts = new Array[Long](tilesX * tilesY)
-      var y = 0
-      while (y < h) {
-        val ty = math.min(y * tilesY / h, tilesY - 1)
-        var x = 0
-        while (x < w) {
-          val tx = math.min(x * tilesX / w, tilesX - 1)
-          val t = ty * tilesX + tx
-          val p = (y * w + x) * 3
-          sums(t * 3) += rgb(p) & 0xff
-          sums(t * 3 + 1) += rgb(p + 1) & 0xff
-          sums(t * 3 + 2) += rgb(p + 2) & 0xff
-          counts(t) += 1
-          x += 1
-        }
-        y += 1
-      }
-      Array.tabulate(tilesX * tilesY * 3) { i =>
-        val n = counts(i / 3)
-        if (n == 0) 0f else (sums(i) / n / 255.0).toFloat
-      }
+      Raster.meanRgbTiles(w, h, rgb, tilesX, tilesY)
     }
 
     /** Nearest-neighbor resize, re-encoded as P6. */
     def resize(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
       val (w, h, rgb) = decode(bytes)
-      val out = new Array[Byte](outW * outH * 3)
+      encode(outW, outH, Raster.resizeRgb(w, h, rgb, outW, outH))
+    }
+  }
+
+  /** Compressed still-image formats via the JDK's built-in `javax.imageio`
+    * (JPEG, PNG, GIF, BMP, TIFF — all ship with the JRE; no external
+    * codec library). Headless-safe, file-cache disabled (decode stays
+    * in-memory on executors), readers created per call (`ImageIO`
+    * instances are not thread-safe across tasks). */
+  object ImageIoCodec {
+    // per-JVM, executor-safe: runs on first use in each executor JVM
+    locally {
+      if (System.getProperty("java.awt.headless") == null)
+        System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+    }
+
+    /** Formats this codec handles (lower-case). */
+    val Formats: Set[String] = Set("jpg", "jpeg", "png", "gif", "bmp", "tif", "tiff")
+
+    /** @return (width, height, packed RGB bytes) */
+    def decodeRgb(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "imageio could not decode payload")
+      toRgb(img)
+    }
+
+    private def toRgb(img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val rgb = new Array[Byte](w * h * 3)
+      val row = new Array[Int](w)
       var y = 0
-      while (y < outH) {
-        val sy = y * h / outH
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
-        while (x < outW) {
-          val sx = x * w / outW
-          System.arraycopy(rgb, (sy * w + sx) * 3, out, (y * outW + x) * 3, 3)
+        while (x < w) {
+          val p = row(x)
+          val o = (y * w + x) * 3
+          rgb(o) = ((p >> 16) & 0xff).toByte
+          rgb(o + 1) = ((p >> 8) & 0xff).toByte
+          rgb(o + 2) = (p & 0xff).toByte
           x += 1
         }
         y += 1
       }
-      encode(outW, outH, out)
+      (w, h, rgb)
+    }
+
+    private def fromRgb(w: Int, h: Int, rgb: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 3
+          row(x) = ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff)
+          x += 1
+        }
+        img.setRGB(0, y, w, 1, row, 0, w)
+        y += 1
+      }
+      img
+    }
+
+    /** Re-encode packed RGB in `format` (an ImageIO writer name). */
+    def encode(w: Int, h: Int, rgb: Array[Byte], format: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(fromRgb(w, h, rgb), format, out),
+        s"no imageio writer for '$format'")
+      out.toByteArray
+    }
+
+    /** Mean-RGB tile features over the decoded raster ([[Raster]]). */
+    def meanRgbTiles(bytes: Array[Byte], tilesX: Int, tilesY: Int): Array[Float] = {
+      val (w, h, rgb) = decodeRgb(bytes)
+      Raster.meanRgbTiles(w, h, rgb, tilesX, tilesY)
+    }
+
+    /** Nearest-neighbor resize, re-encoded in the SAME format. */
+    def resize(bytes: Array[Byte], outW: Int, outH: Int, format: String): Array[Byte] = {
+      val (w, h, rgb) = decodeRgb(bytes)
+      encode(outW, outH, Raster.resizeRgb(w, h, rgb, outW, outH), format)
+    }
+
+    /** Every `stride`-th frame of a multi-frame image (animated GIF /
+      * multi-page TIFF), each re-encoded as PNG — the real frame-sample
+      * path for the formats the JDK can actually decode. */
+    def sampleFrames(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] = {
+      val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        require(readers.hasNext, "imageio could not decode payload")
+        val reader = readers.next()
+        reader.setInput(in)
+        val n = reader.getNumImages(true)
+        val out = Seq.newBuilder[Array[Byte]]
+        var i = 0
+        while (i < n) {
+          if (i % stride == 0) {
+            val (w, h, rgb) = toRgb(reader.read(i))
+            out += encode(w, h, rgb, "png")
+          }
+          i += 1
+        }
+        reader.dispose()
+        out.result()
+      } finally in.close()
     }
   }
 
@@ -163,8 +286,9 @@ object Multimodal {
     * e.g. loading a decoder or model — is amortized across the batch). */
   val BatchSize = 64
 
-  /** STUB: deterministic fake decoder — real image/audio libs are absent
-    * in this container. Derives `dims` pseudo-features from the raw bytes
+  /** STUB: deterministic fake decoder for the formats no JDK codec
+    * covers (true video — H.264/VP9 need native libraries absent from
+    * this container). Derives `dims` pseudo-features from the raw bytes
     * so the pipeline shape (bytes in, fixed-width float vector out) is
     * exercised end-to-end. Swap with a real decode+embed in production. */
   object StubCodec {
@@ -190,9 +314,10 @@ object Multimodal {
 
   /** Batch feature extraction over the media column: iterator-of-batches
     * inside each partition, preserving Spark's partitioning (no shuffle).
-    * Routes by format: `ppm` -> real mean-RGB tile features, `wav` -> real
-    * RMS energy windows, anything else -> [[StubCodec]]. `dims` must be a
-    * multiple of 3 for ppm (tiles of 3 channels). */
+    * Routes by format: `ppm`/JPEG/PNG/GIF/BMP/TIFF -> real mean-RGB tile
+    * features, `wav` -> real RMS energy windows, anything else (true
+    * video) -> [[StubCodec]]. `dims` must be a multiple of 3 for image
+    * formats (tiles of 3 channels). */
   def extractFeatures(ds: Dataset[Media], dims: Int): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
@@ -201,6 +326,8 @@ object Multimodal {
         batch.iterator.map { m =>
           val features = m.format match {
             case "ppm" if dims % 3 == 0 => PpmCodec.meanRgbTiles(m.media, dims / 3, 1)
+            case f if ImageIoCodec.Formats(f) && dims % 3 == 0 =>
+              ImageIoCodec.meanRgbTiles(m.media, dims / 3, 1)
             case "wav"                  => WavCodec.rmsWindows(m.media, dims)
             case _                      => StubCodec.decodeFeatures(m.media, dims)
           }
@@ -210,7 +337,8 @@ object Multimodal {
     }
   }
 
-  /** Batch nearest-neighbor image resize (PPM payloads), same
+  /** Batch nearest-neighbor image resize (PPM + every ImageIO format;
+    * compressed payloads re-encode in their own format), same
     * iterator-of-batches shape. */
   def resizeImages(ds: Dataset[Media], outW: Int, outH: Int): Dataset[Media] = {
     import ds.sparkSession.implicits._
@@ -219,18 +347,29 @@ object Multimodal {
         batch.iterator.map { m =>
           if (m.format == "ppm")
             m.copy(media = PpmCodec.resize(m.media, outW, outH), width = outW, height = outH)
+          else if (ImageIoCodec.Formats(m.format))
+            m.copy(media = ImageIoCodec.resize(m.media, outW, outH, m.format),
+                   width = outW, height = outH)
           else m
         }
       }
     }
   }
 
-  /** Batch frame sampling (video -> frame list). */
+  /** Batch frame sampling (video -> frame list): real frames for the
+    * multi-frame formats the JDK decodes (animated GIF, multi-page TIFF);
+    * [[StubCodec]] windows for true video formats. */
   def sampleFrames(ds: Dataset[Media], stride: Int): Dataset[MediaFrames] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap { batch =>
-        batch.iterator.map(m => MediaFrames(m.id, StubCodec.sampleFrames(m.media, stride)))
+        batch.iterator.map { m =>
+          val frames =
+            if (m.format == "gif" || m.format == "tif" || m.format == "tiff")
+              ImageIoCodec.sampleFrames(m.media, stride)
+            else StubCodec.sampleFrames(m.media, stride)
+          MediaFrames(m.id, frames)
+        }
       }
     }
   }

@@ -31,8 +31,18 @@ import graft.core.Collection
   * small JSON read — no data-directory walk, unlike Spark's file stream
   * source whose per-trigger directory listing is the well-known
   * object-store bottleneck at 10^6-file scale.
-  */
-class GraftCollectionSource(spark: SparkSession, root: String) extends Source {
+  *
+  * `maxGenerationsPerBatch` rate-limits backfill: a fresh stream over a
+  * long-lived collection replays history at most that many commits per
+  * micro-batch instead of ingesting the whole snapshot in one giant
+  * batch (the `maxFilesPerTrigger` idea, expressed in generations — the
+  * first batch reads the snapshot AT generation `maxGens`, each later
+  * batch one bounded manifest diff). The cap needs no side metadata to
+  * survive restarts: offsets are generations, and the engine replays the
+  * checkpointed range through [[getBatch]] before asking for new
+  * offsets, which re-seeds the pacing position. */
+class GraftCollectionSource(spark: SparkSession, root: String,
+                            maxGenerationsPerBatch: Option[Long] = None) extends Source {
 
   private val collection = Collection.open(spark, root, readOnly = true)
 
@@ -50,11 +60,22 @@ class GraftCollectionSource(spark: SparkSession, root: String) extends Source {
     case other         => other.json.trim.toLong // SerializedOffset on restart
   }
 
-  /** Latest committed generation — one directory LIST, no data walk. */
-  override def getOffset: Option[Offset] = Some(LongOffset(collection.generation))
+  /** Highest generation handed to [[getBatch]] so far — the pacing
+    * position for `maxGenerationsPerBatch` (re-seeded on restart by the
+    * engine's checkpointed-batch replay). */
+  @volatile private var pacedThrough: Long = 0L
+
+  /** Latest committed generation — one directory LIST, no data walk —
+    * capped `maxGenerationsPerBatch` commits past the last batch. */
+  override def getOffset: Option[Offset] = {
+    val head = collection.generation
+    val capped = maxGenerationsPerBatch.fold(head)(m => math.min(head, pacedThrough + m))
+    if (capped <= 0L) None else Some(LongOffset(capped))
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endGen = gen(end)
+    if (endGen > pacedThrough) pacedThrough = endGen
     val endMan = collection.manifestAt(endGen)
     // shard-level diff: shard files are content-addressed, so a subtree
     // untouched between the two generations keeps its shard NAME — only
@@ -108,5 +129,10 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftCollectionSource(sqlContext.sparkSession, rootOf(parameters))
+    new GraftCollectionSource(sqlContext.sparkSession, rootOf(parameters),
+      parameters.get("maxGenerationsPerBatch").map { v =>
+        val m = v.toLong
+        require(m > 0, s"maxGenerationsPerBatch must be positive, got $m")
+        m
+      })
 }

@@ -19,11 +19,15 @@ import graft.core.Collection
 object StreamOps {
 
   /** Open a collection as a streaming DataFrame (data + partition cols),
-    * manifest-consistent per micro-batch. */
-  def readStream(spark: SparkSession, c: Collection): DataFrame =
+    * manifest-consistent per micro-batch. `options` pass through to the
+    * source — notably `maxGenerationsPerBatch` to rate-limit backfill of
+    * a long commit history ([[GraftCollectionSource]]). */
+  def readStream(spark: SparkSession, c: Collection,
+                 options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream
       .format(classOf[GraftCollectionSourceProvider].getName)
       .option("root", c.root)
+      .options(options)
       .load()
       .drop(Collection.RowIdCol)
 

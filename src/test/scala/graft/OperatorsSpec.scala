@@ -264,6 +264,26 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("zero-norm vectors match no centroid on BOTH quantizer paths") {
+    import graft.ann.Ann
+    val cents = Array((0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 1f)))
+    val df = Seq(
+      (10L, Seq(0f, 0f)),   // zero norm -> NaN cosine against every centroid
+      (11L, Seq(3f, 0f)))   // sanity row: nearest is centroid 0
+      .toDF("vec_id", "embedding")
+    // literal-codegen path: argmax keeps the -1 sentinel for NaN sims
+    val lit_ = df.select(col("vec_id"), Ann.argmaxLiteral(col("embedding"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lit_(10L) == -1L, s"literal path assigned a zero-norm vector: $lit_")
+    assert(lit_(11L) == 0L)
+    // broadcast-closure path: the selection buffer must skip NaN sims
+    val top = Ann.topCentroidsCol(spark, cents, 2)
+    val bc = df.select(col("vec_id"), top(col("embedding")).as("cids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bc(10L).isEmpty, s"broadcast path admitted NaN-scored centroids: $bc")
+    assert(bc(11L).head == 0L)
+  }
+
   test("kmeans quantizer works past the literal-table cap (broadcast argmax path)") {
     // 8192 lists > LiteralCentroidCap forces the broadcast-closure
     // assignment; over a small corpus most sampled lists survive and every

@@ -18,6 +18,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L))
   }
 
+  test("exact dedup: NULL keep keys lose to real rows; all-NULL classes keep a real row") {
+    val df = Seq(
+      (Some(3L), "aaa", "keep-me"),  // only non-null id in its class -> must win
+      (None, "aaa", "null-a"),
+      (None, "bbb", "null-b1"),      // entirely-NULL class -> still one REAL row
+      (None, "bbb", "null-b2"))
+      .toDF("id", "text", "tag")
+    val got = Dedup.exact(df, Seq("text"), "id")
+      .orderBy("text").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got.size == 2)
+    assert(got.head == ("aaa", "keep-me"), s"NULL keepCol beat a real key: $got")
+    assert(got(1)._2 != null, "all-NULL class degenerated to a NULL struct row")
+    assert(Set("null-b1", "null-b2").contains(got(1)._2))
+  }
+
+  test("exact dedup: `on` covering every column degrades to dropDuplicates") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "text")
+    val got = Dedup.exact(df, Seq("id", "text"), "id")
+    assert(got.columns.toSeq == Seq("id", "text"))
+    assert(got.count() == 2)
+  }
+
   test("exact dedup plans as a partial-aggregated groupBy, not a window") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

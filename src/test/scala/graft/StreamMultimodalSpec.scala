@@ -100,6 +100,34 @@ class StreamMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxGenerationsPerBatch paces backfill: bounded commits per micro-batch, nothing lost") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val root = SparkTestSession.tmp("graft-stream-pace")
+    val mk = (id: Long) => Seq((id, s"2024-01-0$id 10:00:00", id.toDouble))
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root, mk(1).schema, "ts", DatePartitioning("ts", "D"))
+    (1L to 5L).foreach(i => c.insert(mk(i), MergeStrategy.Concat)) // gens 1..5
+    val name = "graft_pace_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamOps.readStream(spark, c, Map("maxGenerationsPerBatch" -> "2"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // everything arrived...
+      val ids = spark.table(name).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (1L to 5L), s"paced backfill lost or duplicated rows: $ids")
+      // ...and no micro-batch spanned more than 2 generations
+      val ends = q.recentProgress.toSeq
+        .flatMap(p => p.sources.headOption.flatMap(s => Option(s.endOffset)))
+        .map(_.trim.toLong).distinct.sorted
+      assert(ends.nonEmpty)
+      val steps = (0L +: ends).zip(ends).map { case (a, b) => b - a }
+      assert(steps.forall(_ <= 2L), s"a batch exceeded the generation cap: offsets $ends")
+      assert(ends.last == 5L)
+      assert(ends.head == 2L, s"first batch must stop at generation 2, got ${ends.head}")
+    } finally q.stop()
+  }
+
   test("streaming source restarts from a checkpoint: offsets deserialize, no re-ingestion") {
     import org.apache.spark.sql.streaming.OutputMode
     val root = SparkTestSession.tmp("graft-stream-ckpt")
@@ -286,19 +314,73 @@ class StreamMultimodalSpec extends AnyFunSuite {
                           255.toByte, 0, 0,  255.toByte, 0, 0) // all red 2x2
     val media = Seq(
       Media(1L, PpmCodec.encode(2, 2, rgb), 2, 2, "ppm"),
-      Media(2L, "not-an-image".getBytes, 0, 0, "jpg"))
+      Media(2L, "not-an-image".getBytes, 0, 0, "mp4")) // true video -> stub
     val feats = extractFeatures(media.toDS().repartition(2), dims = 3)
       .collect().sortBy(_.id)
     assert(feats(0).features.toSeq == Seq(1f, 0f, 0f)) // real decode: pure red
     assert(feats(1).features.length == 3)              // stub path still works
     val resized = resizeImages(media.toDS(), 4, 4).collect().sortBy(_.id)
     assert(resized(0).width == 4 && PpmCodec.decode(resized(0).media)._1 == 4)
-    assert(resized(1).media.toSeq == media(1).media.toSeq) // non-ppm untouched
+    assert(resized(1).media.toSeq == media(1).media.toSeq) // video untouched
+  }
+
+  test("JPEG/PNG/GIF decode via the JDK imageio codec is real") {
+    import Multimodal._
+    // quadrant image: red, green / blue, white
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+
+    // PNG is lossless: decode returns the exact raster, features match PPM's
+    val png = ImageIoCodec.encode(2, 2, rgb, "png")
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val (w, h, back) = ImageIoCodec.decodeRgb(png)
+    assert(w == 2 && h == 2 && back.toSeq == rgb.toSeq)
+    assert(ImageIoCodec.meanRgbTiles(png, 2, 2).toSeq ==
+           PpmCodec.meanRgbTiles(PpmCodec.encode(2, 2, rgb), 2, 2).toSeq)
+
+    // JPEG is lossy: a solid-red 8x8 must still decode to ~pure red
+    val red64 = Array.fill(64)(Array[Byte](255.toByte, 0, 0)).flatten
+    val jpg = ImageIoCodec.encode(8, 8, red64, "jpg")
+    assert(jpg.take(2).toSeq == Seq(0xff.toByte, 0xd8.toByte)) // SOI marker
+    val f = ImageIoCodec.meanRgbTiles(jpg, 1, 1)
+    assert(f(0) > 0.9f && f(1) < 0.2f && f(2) < 0.2f, s"jpeg decode off: ${f.toSeq}")
+
+    // in-pipeline: a real PNG payload flows through extract/resize batches
+    val media = Seq(Media(1L, png, 2, 2, "png"), Media(2L, jpg, 8, 8, "jpeg"))
+    val feats = extractFeatures(media.toDS(), dims = 3).collect().sortBy(_.id)
+    assert(math.abs(feats(0).features(0) - 0.5f) < 1e-6)     // png mean R exact
+    assert(feats(1).features(0) > 0.9f)                      // jpeg mean R ~1
+    val rs = resizeImages(media.toDS(), 4, 4).collect().sortBy(_.id)
+    assert(rs.forall(_.width == 4))
+    val (rw, _, rr) = ImageIoCodec.decodeRgb(rs(0).media)    // re-encoded as png
+    assert(rw == 4 && (rr(0) & 0xff) == 255)                 // top-left still red
+
+    // animated GIF: REAL multi-frame sampling (stride 2 of 4 frames)
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val gifOut = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(gifOut)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(3, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 3; x <- 0 until 3) img.setRGB(x, y, c)
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    wr.endWriteSequence(); wr.dispose(); ios.close()
+    val frames = sampleFrames(
+      Seq(Media(3L, gifOut.toByteArray, 3, 3, "gif")).toDS(), stride = 2).collect()
+    assert(frames(0).frames.size == 2, s"want frames 0 and 2, got ${frames(0).frames.size}")
+    val (_, _, f0) = ImageIoCodec.decodeRgb(frames(0).frames(0))
+    val (_, _, f2) = ImageIoCodec.decodeRgb(frames(0).frames(1))
+    assert((f0(0) & 0xff) == 255 && (f0(1) & 0xff) == 0)  // frame 0 red
+    assert((f2(2) & 0xff) == 255 && (f2(0) & 0xff) == 0)  // frame 2 blue
   }
 
   test("multimodal stub pipeline: features and frames are deterministic batch ops") {
     val media = (1L to 200L).map(i =>
-      Multimodal.Media(i, s"media-payload-$i-${"x" * (i % 37).toInt}".getBytes, 64 + i.toInt, 48, if (i % 2 == 0) "png" else "jpg"))
+      Multimodal.Media(i, s"media-payload-$i-${"x" * (i % 37).toInt}".getBytes, 64 + i.toInt, 48, if (i % 2 == 0) "mp4" else "h264"))
     val ds = media.toDS().repartition(4)
 
     val feats = Multimodal.extractFeatures(ds, dims = 8).collect()
@@ -312,7 +394,8 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.frames.nonEmpty))
 
     val table = ds.toDF()
-    val pruned = Multimodal.filterByMeta(table, minWidth = 100, format = "png")
-    assert(pruned.count() == media.count(m => m.width >= 100 && m.format == "png"))
+    val pruned = Multimodal.filterByMeta(table, minWidth = 100, format = "mp4")
+    assert(pruned.count() == media.count(m => m.width >= 100 && m.format == "mp4"))
+    assert(pruned.count() > 0)
   }
 }
