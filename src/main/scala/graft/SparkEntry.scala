@@ -89,6 +89,14 @@ object SparkEntry {
         filters = "month == 1 and day >= 10 and day <= 20"))
     }),
 
+    // E (r4): AXIS-range filter — prunes at three layers (partitions by
+    // tolerant eval, FILES by manifest zone maps from parquet footer
+    // stats, rows by Catalyst); filters may reference data columns.
+    "zc_axis_range" -> ((s, dir) => {
+      eventsOut(eventsCollection(s, dir).query(
+        filters = "ts >= '2024-01-08 00:00:00' and ts < '2024-01-15 12:00:00'"))
+    }),
+
     // A4: variable projection reaches the parquet scan.
     "zc_query_project" -> ((s, dir) => {
       eventsCollection(s, dir)
@@ -856,6 +864,13 @@ object SparkEntry {
     "zc_query_project" ->
       """SELECT event_id, value FROM events
          WHERE day(CAST(ts AS TIMESTAMP)) <= 5 ORDER BY event_id""",
+
+    "zc_axis_range" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events
+         WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+           AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-15 12:00:00'
+         ORDER BY event_id""",
 
     "zc_partitions" ->
       """SELECT DISTINCT CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS year,

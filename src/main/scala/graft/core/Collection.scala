@@ -150,6 +150,15 @@ final class Collection private (
   private val schemaCache = scala.collection.concurrent.TrieMap.empty[Long, StructType]
 
   private def commitManifest(m: Manifest): Unit = {
+    // A manifest descended from a legacy inline-`files` root may carry
+    // shard entries whose lists exist only in this handle's memory —
+    // materialize them BEFORE the root rename so any fresh handle can
+    // resolve every referenced shard (one-time cost on the first commit
+    // over a migrated tree; content-addressed, so repeats are no-ops).
+    if (m.inline.nonEmpty)
+      m.shards.foreach { e =>
+        m.inline.get(e.file).foreach(writeShardIfAbsent(fs, manifestDir, e.file, _))
+      }
     writeManifest(fs, manifestDir, m)
     manifestCache.put(m.generation, m)
     if (m.generation > knownMaxGen) knownMaxGen = m.generation
@@ -311,15 +320,25 @@ final class Collection private (
 
   /** Append-mode physical write: never deletes or overwrites — new part
     * files land under the Hive tree with unique names and stay invisible
-    * until a manifest commits them. */
+    * until a manifest commits them. Timestamps write as INT64 MICROS
+    * (not INT96): micros carry footer min/max statistics, which the
+    * commit turns into manifest zone maps ([[axisFileStats]]) — and are
+    * the modern parquet interchange type besides. */
   private def physicalWrite(df: DataFrame): Unit = {
     if (profile.compression == "zstd")
       spark.sparkContext.hadoopConfiguration
         .setInt("parquet.compression.codec.zstd.level", profile.zstdLevel)
-    df.write.partitionBy(partCols: _*)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.partitionBy(partCols: _*)
       .option("compression", profile.compression)
       .mode("append")
       .parquet(root)
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None    => spark.conf.unset(tsKey)
+    }
   }
 
   /** The commit protocol: append data files, diff the touched partition
@@ -354,26 +373,96 @@ final class Collection private (
       .foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
   }
 
+  /** Commit the delta with optimistic RETRY: when another writer claims
+    * our target generation first, re-read the new head, verify the two
+    * commits touched DISJOINT partitions (and neither evolved the schema
+    * nor raced the same stream batch), and re-derive the delta on top of
+    * the winner — the Icechunk session-rebase model. Data files are
+    * already on disk and named collision-free (row-id ranges of both
+    * writers start from the same task base but land in disjoint
+    * partitions; the rebased task base advances past BOTH), so a rebase
+    * rebuilds only the touched shards and the root JSON — no data IO.
+    * A genuine overlap propagates the conflict to the caller. */
+  private[core] def commitDelta(prev: Manifest, newFiles: Seq[String],
+                                dropped: Set[String], taskBump: Long,
+                                streamMark: Option[(String, Long)] = None): Unit = {
+    var base = prev
+    var attempts = 0
+    val newStats = axisFileStats(newFiles) // once — retries reuse it
+    while (true) {
+      try { commitDeltaOnce(base, newFiles, newStats, dropped, taskBump, streamMark); return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > MaxCommitRebases) throw e
+          val head = currentManifest() // probes forward past the winner(s)
+          rebaseGuard(base, head, newFiles, dropped, streamMark, e)
+          base = head
+      }
+    }
+  }
+
+  /** Refuse a rebase that would change semantics: overlapping partition
+    * deltas, a concurrent schema/fill evolution, or a replay of a stream
+    * batch the winner already committed. Cost is proportional to the
+    * subtrees the two commits touched (shard-level diff first, file
+    * lists only for differing subtrees). */
+  private def rebaseGuard(prev: Manifest, head: Manifest, newFiles: Seq[String],
+                          dropped: Set[String], streamMark: Option[(String, Long)],
+                          cause: Throwable): Unit = {
+    def conflict(msg: String): Nothing = {
+      val e = new java.util.ConcurrentModificationException(
+        s"commit conflict at generation ${head.generation}: $msg — " +
+        "re-read the collection and retry the mutation")
+      e.initCause(cause)
+      throw e
+    }
+    if (head.schemaDdl != prev.schemaDdl || head.fills != prev.fills)
+      conflict("the schema evolved concurrently")
+    streamMark.foreach { case (q, b) =>
+      if (head.streams.get(q).exists(_ >= b))
+        conflict(s"stream batch $b of '$q' was already committed by another writer")
+    }
+    val ours = newFiles.map(parentRel).toSet ++ dropped
+    val prevByPfx = prev.shards.map(e => e.prefix -> e).toMap
+    val headByPfx = head.shards.map(e => e.prefix -> e).toMap
+    val differing = (prevByPfx.keySet ++ headByPfx.keySet)
+      .filter(p => prevByPfx.get(p).map(_.file) != headByPfx.get(p).map(_.file))
+    val theirs: Set[String] = differing.flatMap { p =>
+      val a = prevByPfx.get(p).map(prev.shardFiles).getOrElse(Nil).groupBy(parentRel)
+      val b = headByPfx.get(p).map(head.shardFiles).getOrElse(Nil).groupBy(parentRel)
+      (a.keySet ++ b.keySet).filter(part => a.get(part) != b.get(part))
+    }
+    val overlap = ours & theirs
+    if (overlap.nonEmpty)
+      conflict(s"both writers touched partition(s) ${overlap.toSeq.sorted.take(3).mkString(", ")}")
+  }
+
   /** Build + commit the next generation at SHARD granularity: subtrees
     * that gained no files and dropped no partitions carry their entry
     * over BY NAME — zero IO; only affected subtrees load and rewrite.
     * A commit touching one partition of a 10^7-file collection writes
     * one shard + the root, regardless of collection size. */
-  private def commitDelta(prev: Manifest, newFiles: Seq[String],
-                          dropped: Set[String], taskBump: Long,
-                          streamMark: Option[(String, Long)] = None): Unit = {
+  private def commitDeltaOnce(prev: Manifest, newFiles: Seq[String],
+                              newStats: Map[String, (String, String)],
+                              dropped: Set[String], taskBump: Long,
+                              streamMark: Option[(String, Long)] = None): Unit = {
     val newByPrefix = newFiles.groupBy(f => prefixOf(parentRel(f)))
     val affected = newByPrefix.keySet ++ dropped.map(prefixOf)
     val kept = prev.shards.filterNot(e => affected(e.prefix))
     val prevByPrefix = prev.shards.map(e => e.prefix -> e).toMap
     val rebuilt = affected.toSeq.sorted.flatMap { pfx =>
-      val old = prevByPrefix.get(pfx).map(prev.shardFiles).getOrElse(Nil)
-      val files = (old.filterNot(f => dropped.contains(parentRel(f))) ++
+      val oldData = prevByPrefix.get(pfx).map(prev.shardData)
+        .getOrElse(ShardData(Nil))
+      val files = (oldData.files.filterNot(f => dropped.contains(parentRel(f))) ++
         newByPrefix.getOrElse(pfx, Nil)).sorted
       if (files.isEmpty) None
       else {
-        val name = shardName(files)
-        writeShardIfAbsent(fs, manifestDir, name, files)
+        // zone maps: surviving files keep theirs, new files bring theirs
+        val fileSet = files.toSet
+        val stats = (oldData.stats ++ newStats).filter { case (f, _) => fileSet(f) }
+        val name = shardName(files, stats)
+        writeShardIfAbsent(fs, manifestDir, name, files, stats)
         Some(ShardEntry(pfx,
           files.map(f => parentRel(f).substring(pfx.length).stripPrefix("/")).distinct.sorted,
           name))
@@ -396,27 +485,48 @@ final class Collection private (
   /** Reclaim unreachable data files: crash leftovers of writers that
     * died before their commit, plus — when a retention window is set —
     * files only referenced by snapshots OLDER than the newest
-    * `retainGenerations + 1`. Returns deleted paths. */
-  def vacuum(): Seq[String] = {
+    * `retainGenerations + 1`. Returns deleted paths.
+    *
+    * Concurrent-writer safety: data and shard files are written BEFORE
+    * their root rename, so an unreferenced-but-RECENT file may belong to
+    * another writer's in-flight commit — deleting it would corrupt that
+    * commit if its rename then succeeds. With `graceMs > 0` (default
+    * 15 min) only files already older than the newest committed root by
+    * more than the grace window are reclaimed; any commit in flight when
+    * that root landed has either renamed or conflicted within the
+    * window. `graceMs = 0` skips the gate — the quiesced-single-writer
+    * mode (this collection's declared concurrency contract) where every
+    * unreferenced file is by definition a crash leftover. */
+  def vacuum(graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
     requireWritable()
     val gens = generations()
+    val newestRootMtime =
+      gens.lastOption.map(g => fs.getFileStatus(manifestPath(manifestDir, g)).getModificationTime)
+        .getOrElse(Long.MaxValue)
+    val now = System.currentTimeMillis()
+    def aged(mtime: Long): Boolean =
+      graceMs <= 0L || (mtime < newestRootMtime && now - mtime > graceMs)
     val retained = gens.takeRight(retainGenerations + 1)
     val live: Set[String] = retained.flatMap { g =>
       manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g)).files
     }.toSet
     val all = walkDataFiles()
-    val doomed = all.filterNot(live.contains)
+    val doomed = all.filterNot(live.contains).filter { f =>
+      try aged(fs.getFileStatus(new Path(s"$root/$f")).getModificationTime)
+      catch { case _: Exception => false }
+    }
     doomed.foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
     // shard-file GC: reclaim shard JSONs referenced by NO committed root
     // manifest (leftovers of commits that crashed between shard write and
-    // root rename)
+    // root rename), under the same age gate
     val shardDirPath = new Path(manifestDir, ShardDir)
     if (fs.exists(shardDirPath)) {
       val referenced = gens.flatMap(g =>
         manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g)).shards.map(_.file)).toSet
       fs.listStatus(shardDirPath).toSeq.filter(_.isFile).foreach { st =>
         val rel = s"$ShardDir/${st.getPath.getName}"
-        if (!referenced.contains(rel) && st.getPath.getName.startsWith("shard-"))
+        if (!referenced.contains(rel) && st.getPath.getName.startsWith("shard-") &&
+            aged(st.getModificationTime))
           try fs.delete(st.getPath, false) catch { case _: Exception => () }
       }
     }
@@ -537,26 +647,96 @@ final class Collection private (
     df
   }
 
-  /** Filtered raw scan resolved against the ROOT manifest's partition
-    * table first: only shards holding a matching partition load their
-    * file lists — at 10^7 files a one-partition query parses one shard,
-    * not the whole manifest. The driver-side `FilterExpr.eval` pruning is
-    * the same predicate `partitions()` uses; the Catalyst filter stays on
-    * top for in-partition semantics. */
+  /** Filtered raw scan, pruned in three layers before Catalyst ever sees
+    * a row:
+    *  1. PARTITIONS against the ROOT manifest's partition table — only
+    *     shards holding a matching partition load their file lists (at
+    *     10^7 files a one-partition query parses one shard, not the
+    *     whole manifest). Predicates over non-partition columns (e.g. an
+    *     axis range) are unknown at this layer and prune nothing
+    *     ([[FilterExpr.mayMatch]] — `partitions()` keeps the strict
+    *     partition-only eval).
+    *  2. FILES against the manifest zone maps: candidate files whose
+    *     recorded axis [min,max] cannot satisfy the filter are dropped
+    *     from the scan entirely — the driver never even schedules them
+    *     (parquet row-group stats would also skip their CONTENT, but
+    *     only after listing, opening and footer-reading every file).
+    *  3. ROWS: the full filter compiles to a Catalyst predicate on top.
+    */
   private[core] def prunedRaw(ast: FilterExpr.Ast): DataFrame = {
     val man = currentManifest()
     val df = ast match {
       case FilterExpr.True => readRawManifest(man)
       case _ =>
+        val unknown = FilterExpr.names(ast) -- partCols -- schema.fieldNames
+        if (unknown.nonEmpty)
+          throw new FilterExpr.ParseException(
+            s"unknown column(s) ${unknown.mkString(", ")}; " +
+            s"have partition keys ${partCols.mkString(",")} and data columns " +
+            schema.fieldNames.mkString(","))
         val all = man.partitionPaths
         val wanted = all
           .flatMap(p => decodePath(p).map(k => (p, k)))
-          .filter { case (_, k) => FilterExpr.eval(ast, k.toMap) }
+          .filter { case (_, k) => FilterExpr.mayMatch(ast, k.toMap) }
           .map(_._1).toSet
-        if (wanted.size == all.size) readRawManifest(man)
-        else readManifestFiles(man, man.filesForPartitions(wanted))
+        val candidates =
+          if (wanted.size == all.size) man.files else man.filesForPartitions(wanted)
+        readManifestFiles(man, pruneByAxisStats(man, candidates, ast))
     }
     df.where(FilterExpr.toColumn(ast))
+  }
+
+  /** Zone-map layer of [[prunedRaw]]: keep only files whose axis
+    * [min,max] MAY satisfy the filter. Conservative everywhere — no
+    * recorded stats, an undecodable bound, or a filter not mentioning
+    * the axis all keep the file. */
+  private def pruneByAxisStats(man: Manifest, files: Seq[String],
+                               ast: FilterExpr.Ast): Seq[String] = {
+    if (!FilterExpr.names(ast).contains(axis)) return files
+    axisDomain match {
+      case None => files
+      case Some(dom) =>
+        val stats = man.statsForFiles(files)
+        if (stats.isEmpty) files
+        else files.filter { f =>
+          stats.get(f) match {
+            case Some((loS, hiS)) =>
+              (dom.decodeStat(loS), dom.decodeStat(hiS)) match {
+                case (Some(lo), Some(hi)) =>
+                  FilterExpr.mayMatchInterval(ast, axis, lo, hi, dom.decodeLit, dom.cmp)
+                case _ => true
+              }
+            case None => true
+          }
+        }
+    }
+  }
+
+  /** The axis column's zone-map domain (None: unsupported axis type —
+    * stats are neither recorded nor used). */
+  private def axisDomain: Option[AxisDomain] =
+    schema.fields.find(_.name == axis).flatMap(f =>
+      AxisDomain.of(f.dataType, java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone",
+          java.util.TimeZone.getDefault.getID))))
+
+  /** Per-file axis [min,max] of freshly written files, from parquet
+    * FOOTERS only (no data pages). Small commits read footers on the
+    * driver; large ones fan the footer reads out as one Spark job —
+    * at a 10^7-file initial load the driver never serializes on
+    * footer IO. */
+  private def axisFileStats(newFiles: Seq[String]): Map[String, (String, String)] = {
+    if (newFiles.isEmpty || axisDomain.isEmpty) return Map.empty
+    val rootStr = root
+    val ax = axis
+    val triples =
+      if (newFiles.size <= 64)
+        newFiles.flatMap(f => footerAxisStats(rootStr, f, ax))
+      else
+        spark.sparkContext.parallelize(newFiles, math.min(newFiles.size, 256))
+          .flatMap(f => footerAxisStats(rootStr, f, ax))
+          .collect().toSeq
+    triples.map { case (f, lo, hi) => f -> (lo, hi) }.toMap
   }
 
   /** Raw scan of exactly the given partitions — loads only their shards. */
@@ -888,6 +1068,15 @@ object Collection {
   private val ManifestName = "manifest-([0-9]+)\\.json".r
   private[core] val ShardDir = "shards"
 
+  /** Default [[Collection.vacuum]] grace window: unreferenced files newer
+    * than (newest committed root − 15 min) are presumed in-flight. */
+  val DefaultVacuumGraceMs: Long = 15L * 60L * 1000L
+
+  /** Max automatic commit rebases before a conflict surfaces to the
+    * caller (each retry re-reads the head and re-verifies disjointness —
+    * under heavy same-partition contention giving up is correct). */
+  val MaxCommitRebases: Int = 5
+
   /** Diagnostic counter: shard-file JSON reads (the spec proving that a
     * partition-filtered query opens only the touched shards). */
   private[graft] val shardReadCounter = new java.util.concurrent.atomic.AtomicLong(0)
@@ -907,28 +1096,221 @@ object Collection {
     * (O(partitions)); per-subtree FILE lists load lazily and are cached —
     * a 10^7-file collection never parses more than the touched subtrees
     * on a pruned read path. */
+  /** Comparison domain of an axis column for zone-map pruning: decodes
+    * filter literals (`Long | String` from [[FilterExpr]]) and the
+    * canonical stat strings into one ordered value space. Canonical
+    * encodings: timestamps = epoch MICROS, dates = epoch DAYS, integrals
+    * = long, fractionals = double, strings = raw — exactly what
+    * [[footerAxisStats]] extracts from parquet footers. */
+  private[core] sealed abstract class AxisDomain {
+    def decodeLit(v: Any): Option[Any]
+    def decodeStat(s: String): Option[Any]
+    def cmp(a: Any, b: Any): Int
+  }
+
+  private[core] object AxisDomain {
+    import org.apache.spark.sql.types._
+
+    def of(dt: DataType, zone: java.time.ZoneId): Option[AxisDomain] = dt match {
+      case LongType | IntegerType | ShortType | ByteType => Some(Integral)
+      case DoubleType | FloatType                        => Some(Fractional)
+      case TimestampType | TimestampNTZType              => Some(new Ts(zone))
+      case DateType                                      => Some(Dates)
+      case StringType                                    => Some(Str)
+      case _                                             => None
+    }
+
+    private def longCmp(a: Any, b: Any): Int =
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+    object Integral extends AxisDomain {
+      def decodeLit(v: Any): Option[Any] = v match {
+        case l: Long => Some(l)
+        case i: Int  => Some(i.toLong)
+        case s: String => s.toLongOption
+        case _ => None
+      }
+      def decodeStat(s: String): Option[Any] = s.toLongOption
+      def cmp(a: Any, b: Any): Int = longCmp(a, b)
+    }
+
+    object Fractional extends AxisDomain {
+      def decodeLit(v: Any): Option[Any] = v match {
+        case l: Long => Some(l.toDouble)
+        case i: Int  => Some(i.toDouble)
+        case s: String => s.toDoubleOption
+        case _ => None
+      }
+      def decodeStat(s: String): Option[Any] = s.toDoubleOption
+      def cmp(a: Any, b: Any): Int =
+        java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    }
+
+    /** Timestamp literals parse like Spark's string->timestamp cast:
+      * `yyyy-MM-dd[ HH:mm:ss[.S...]]` in the session time zone. */
+    final class Ts(zone: java.time.ZoneId) extends AxisDomain {
+      def decodeLit(v: Any): Option[Any] = v match {
+        case s: String => try {
+          val ldt =
+            if (s.length <= 10) java.time.LocalDate.parse(s.trim).atStartOfDay
+            else java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+          val inst = ldt.atZone(zone).toInstant
+          Some(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+        } catch { case _: Exception => None }
+        case _ => None // a bare number vs a timestamp axis: don't guess units
+      }
+      def decodeStat(s: String): Option[Any] = s.toLongOption
+      def cmp(a: Any, b: Any): Int = longCmp(a, b)
+    }
+
+    object Dates extends AxisDomain {
+      def decodeLit(v: Any): Option[Any] = v match {
+        case s: String =>
+          try Some(java.time.LocalDate.parse(s.trim).toEpochDay)
+          catch { case _: Exception => None }
+        case _ => None
+      }
+      def decodeStat(s: String): Option[Any] = s.toLongOption
+      def cmp(a: Any, b: Any): Int = longCmp(a, b)
+    }
+
+    object Str extends AxisDomain {
+      def decodeLit(v: Any): Option[Any] = v match {
+        case s: String => Some(s)
+        case _ => None
+      }
+      def decodeStat(s: String): Option[Any] = Some(s)
+      def cmp(a: Any, b: Any): Int = a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    }
+  }
+
+  /** Axis `(min, max)` of one parquet file from its FOOTER statistics —
+    * metadata-only, no data pages read. Returns the canonical string
+    * encoding ([[AxisDomain]]); `None` whenever the footer can't prove a
+    * bound (missing/empty stats, INT96 timestamps, unexpected physical
+    * type) — callers then record nothing and readers never prune the
+    * file. Runs on executors for large commits ([[Collection]]'s
+    * `axisFileStats`): only `new Configuration()` state, no driver
+    * capture. */
+  private[core] def footerAxisStats(rootStr: String, rel: String,
+                                    axisName: String): Option[(String, String, String)] =
+    try {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(s"$rootStr/$rel"), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        if (blocks.isEmpty) return None
+        var lo: Any = null
+        var hi: Any = null
+        var isStr = false
+        for (b <- blocks) {
+          val c = b.getColumns.asScala.find(_.getPath.toDotString == axisName)
+            .getOrElse(return None)
+          val st = c.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+          val pt = c.getPrimitiveType
+          // canonicalize this block's bounds; isMax steers rounding so the
+          // interval only ever WIDENS (nanos -> micros truncation)
+          def canon(v: AnyRef, isMax: Boolean): Option[Any] = pt.getPrimitiveTypeName match {
+            case INT64 =>
+              val x = v.asInstanceOf[java.lang.Long].longValue
+              pt.getLogicalTypeAnnotation match {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.getUnit match {
+                    case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(x * 1000L)
+                    case LogicalTypeAnnotation.TimeUnit.MICROS => Some(x)
+                    case LogicalTypeAnnotation.TimeUnit.NANOS  =>
+                      val q = Math.floorDiv(x, 1000L)
+                      Some(if (isMax && Math.floorMod(x, 1000L) != 0L) q + 1L else q)
+                  }
+                case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => None
+                case _ => Some(x)
+              }
+            case INT32 => Some(v.asInstanceOf[java.lang.Integer].longValue)
+            case FLOAT  => Some(v.asInstanceOf[java.lang.Float].doubleValue)
+            case DOUBLE => Some(v.asInstanceOf[java.lang.Double].doubleValue)
+            case BINARY =>
+              pt.getLogicalTypeAnnotation match {
+                case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+                  isStr = true
+                  Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                case _ => None
+              }
+            case _ => None // INT96 etc: no trustworthy stats
+          }
+          def merge(cur: Any, cand: Any, wantMax: Boolean): Any = {
+            if (cur == null) return cand
+            val c0 = (cur, cand) match {
+              case (a: Long, b: Long)     => java.lang.Long.compare(a, b)
+              case (a: Double, b: Double) => java.lang.Double.compare(a, b)
+              case (a: String, b: String) => a.compareTo(b)
+              case _                      => return cur
+            }
+            if ((wantMax && c0 < 0) || (!wantMax && c0 > 0)) cand else cur
+          }
+          (canon(st.genericGetMin.asInstanceOf[AnyRef], isMax = false),
+           canon(st.genericGetMax.asInstanceOf[AnyRef], isMax = true)) match {
+            case (Some(mn), Some(mx)) =>
+              lo = merge(lo, mn, wantMax = false)
+              hi = merge(hi, mx, wantMax = true)
+            case _ => return None
+          }
+        }
+        if (lo == null || hi == null) None
+        else Some((rel, lo.toString, hi.toString))
+      } finally reader.close()
+    } catch { case _: Exception => None }
+
+  /** A shard file's payload: the subtree's data files plus per-file axis
+    * zone maps — `stats(file) = (min, max)` of the axis column in the
+    * domain-canonical string encoding of [[AxisDomain]] (files written
+    * before stats existed, or whose footer had no usable statistics,
+    * simply have no entry — readers treat them as unprunable). */
+  private[graft] final case class ShardData(
+      files: Seq[String], stats: Map[String, (String, String)] = Map.empty)
+
   private[graft] final class Manifest(
       val generation: Long,
       val taskBase: Long,
       val schemaDdl: String,
       val fills: Map[String, String],
       val shards: Seq[ShardEntry],
-      loader: String => Seq[String],
+      loader: String => ShardData,
       /** Per-streaming-query high-water mark: the last micro-batch id
         * committed by each `insertStream` query. Committed ATOMICALLY
         * with the files of that batch, so a foreachBatch replay after a
         * crash is detected and skipped — exactly-once ingestion on top
         * of the manifest swap (the lakehouse idempotent-sink pattern). */
-      val streams: Map[String, Long] = Map.empty) {
+      val streams: Map[String, Long] = Map.empty,
+      /** Shard lists synthesized from a legacy inline-`files` root that
+        * exist only in this handle's memory. The first commit descending
+        * from such a snapshot must materialize them to disk
+        * (`Collection.commitManifest`) or the new root would reference
+        * shard names no other handle can resolve. */
+      private[core] val inline: Map[String, Seq[String]] = Map.empty) {
 
     /** All partition paths — served from the root manifest, zero shard IO. */
     def partitionPaths: Seq[String] =
       shards.flatMap(s => s.partitions.map(p => joinPath(s.prefix, p)))
 
-    private val shardCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+    private val shardCache = scala.collection.concurrent.TrieMap.empty[String, ShardData]
 
-    def shardFiles(e: ShardEntry): Seq[String] =
+    def shardData(e: ShardEntry): ShardData =
       shardCache.getOrElseUpdate(e.file, loader(e.file))
+
+    def shardFiles(e: ShardEntry): Seq[String] = shardData(e).files
+
+    /** Axis zone maps of exactly the shards containing `files` (keyed by
+      * file; absent = no stats recorded, never prune). */
+    def statsForFiles(files: Seq[String]): Map[String, (String, String)] = {
+      val prefixes = files.map(f => prefixOf(parentRel(f))).toSet
+      shards.filter(e => prefixes(e.prefix))
+        .flatMap(e => shardData(e).stats).toMap
+    }
 
     /** How many shard file lists this snapshot has loaded — the
       * observable proving a pruned read touched only its shards. */
@@ -950,12 +1332,12 @@ object Collection {
     def withMeta(generation: Long = generation, taskBase: Long = taskBase,
                  schemaDdl: String = schemaDdl,
                  fills: Map[String, String] = fills): Manifest =
-      new Manifest(generation, taskBase, schemaDdl, fills, shards, loader, streams)
+      new Manifest(generation, taskBase, schemaDdl, fills, shards, loader, streams, inline)
 
     /** New shard table, same loader. */
     def withShards(generation: Long, taskBase: Long, newShards: Seq[ShardEntry],
                    newStreams: Map[String, Long] = streams): Manifest =
-      new Manifest(generation, taskBase, schemaDdl, fills, newShards, loader, newStreams)
+      new Manifest(generation, taskBase, schemaDdl, fills, newShards, loader, newStreams, inline)
   }
 
   private[core] def isDataFile(name: String): Boolean =
@@ -978,31 +1360,53 @@ object Collection {
     * same state) resolve to the same name, so unchanged subtrees carry
     * over across commits without a write, and generation diffs compare
     * shard names instead of file lists. */
-  private[core] def shardName(files: Seq[String]): String = {
+  private[core] def shardName(files: Seq[String],
+                              stats: Map[String, (String, String)] = Map.empty): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(files.mkString("\n").getBytes("UTF-8"))
-    s"$ShardDir/shard-${d.map("%02x".format(_)).mkString}.json"
+    md.update(files.mkString("\n").getBytes("UTF-8"))
+    // stats participate in the content address (same file list with new
+    // zone maps is new content); stats-free hashing is unchanged, so
+    // every pre-stats shard name stays stable across this format change
+    if (stats.nonEmpty)
+      md.update(stats.toSeq.sortBy(_._1).map(e => e._1 + " " + e._2._1 + " " + e._2._2)
+        .mkString("\n").getBytes("UTF-8"))
+    s"$ShardDir/shard-${md.digest().map("%02x".format(_)).mkString}.json"
   }
 
-  private[core] def readShard(fs: FileSystem, manifestDir: Path, rel: String): Seq[String] = {
+  private[core] def readShard(fs: FileSystem, manifestDir: Path, rel: String): ShardData = {
     shardReadCounter.incrementAndGet()
     val in: java.io.InputStream = fs.open(new Path(manifestDir, rel))
     val doc =
       try new ObjectMapper().readValue(in, classOf[java.util.Map[String, Object]])
       finally in.close()
-    Option(doc.get("files"))
+    val files = Option(doc.get("files"))
       .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
       .getOrElse(Nil)
+    val stats = Option(doc.get("stats"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map { case (f, mm) =>
+        val l = mm.asInstanceOf[java.util.List[Object]]
+        f -> (l.get(0).toString, l.get(1).toString)
+      }.toMap)
+      .getOrElse(Map.empty[String, (String, String)])
+    ShardData(files, stats)
   }
 
   /** Write a shard file if absent (content-addressed: an existing file
     * with this name already holds exactly these bytes' content). */
   private[core] def writeShardIfAbsent(fs: FileSystem, manifestDir: Path,
-                                       rel: String, files: Seq[String]): Unit = {
+                                       rel: String, files: Seq[String],
+                                       stats: Map[String, (String, String)] = Map.empty): Unit = {
     val p = new Path(manifestDir, rel)
     if (fs.exists(p)) return
     val doc = new java.util.LinkedHashMap[String, Object]()
     doc.put("files", new java.util.ArrayList[Object](files.asJava))
+    if (stats.nonEmpty) {
+      val sm = new java.util.LinkedHashMap[String, Object]()
+      stats.toSeq.sortBy(_._1).foreach { case (f, (lo, hi)) =>
+        val l = new java.util.ArrayList[Object](); l.add(lo); l.add(hi); sm.put(f, l)
+      }
+      doc.put("stats", sm)
+    }
     writeJson(fs, p, doc)
   }
 
@@ -1065,7 +1469,12 @@ object Collection {
             sorted.map(f => parentRel(f).substring(pfx.length).stripPrefix("/")).distinct.sorted,
             shardName(sorted))
         }
-        new Manifest(generation, taskBase, schemaDdl, fills, entries, inline.apply, streams)
+        // loader: serve synthesized lists from memory, but FALL BACK to
+        // disk — after a commit on this handle, new shards exist only as
+        // files and must resolve through the inherited loader too
+        new Manifest(generation, taskBase, schemaDdl, fills, entries,
+          rel => inline.get(rel).map(ShardData(_)).getOrElse(readShard(fs, dir, rel)),
+          streams, inline)
     }
   }
 
@@ -1147,7 +1556,7 @@ object Collection {
     m.put("attrs", attrsMap)
     writeJson(fs, cfg, m)
     writeManifest(fs, new Path(s"$root/$ManifestDir"),
-      new Manifest(0L, 0L, schema.toDDL, Map.empty, Nil, _ => Nil))
+      new Manifest(0L, 0L, schema.toDDL, Map.empty, Nil, _ => ShardData(Nil)))
     new Collection(spark, root, schema, axis, partitioning, catalogEnabled,
       readOnly = false, CodecProfile(profile), attrs, retainGenerations)
   }

@@ -221,6 +221,116 @@ object FilterExpr {
       }
   }
 
+  /** Every column name the expression references. */
+  def names(ast: Ast): Set[String] = ast match {
+    case True           => Set.empty
+    case And(l, r)      => names(l) ++ names(r)
+    case Or(l, r)       => names(l) ++ names(r)
+    case Not(e)         => names(e)
+    case In(n, _, _)    => Set(n)
+    case Cmp(_, l, r)   => Seq(l, r).collect { case Name(n) => n }.toSet
+  }
+
+  /** Three-valued eval: `None` when a referenced column is absent from
+    * `key` (or two values aren't comparable) — the partial-knowledge
+    * path behind [[mayMatch]]. Kleene logic: AND is false if either side
+    * is false, OR is true if either side is true, regardless of the
+    * other side being unknown. */
+  def evalOpt(ast: Ast, key: Map[String, Any]): Option[Boolean] = ast match {
+    case True      => Some(true)
+    case And(l, r) => (evalOpt(l, key), evalOpt(r, key)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true))            => Some(true)
+      case _                                   => None
+    }
+    case Or(l, r) => (evalOpt(l, key), evalOpt(r, key)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false))        => Some(false)
+      case _                                 => None
+    }
+    case Not(e) => evalOpt(e, key).map(!_)
+    case In(n, vs, neg) => key.get(n).map { v =>
+      val hit = vs.exists(x => valueEq(v, x))
+      if (neg) !hit else v != null && hit
+    }
+    case Cmp(op, l, r) =>
+      def value(o: Operand): Option[Any] = o match {
+        case Name(n) => key.get(n)
+        case Lit(v)  => Some(v)
+      }
+      (value(l), value(r)) match {
+        case (Some(a), Some(b)) =>
+          try {
+            val c = valueCompare(a, b)
+            Some(op match {
+              case "=="  => c == 0
+              case "!="  => c != 0
+              case "<"   => c < 0
+              case "<="  => c <= 0
+              case ">"   => c > 0
+              case ">="  => c >= 0
+            })
+          } catch { case _: ParseException => None }
+        case _ => None
+      }
+  }
+
+  /** Could a row of a container described by `key` match? Containers
+    * expose only some columns (partition keys), so predicates over the
+    * others are unknown -> kept. Used for partition pruning when the
+    * filter also touches data columns (e.g. an axis range). */
+  def mayMatch(ast: Ast, key: Map[String, Any]): Boolean =
+    !evalOpt(ast, key).contains(false)
+
+  /** Could a row whose `name` value lies in `[lo, hi]` match? The
+    * zone-map file-pruning predicate: `decodeLit` maps the expression's
+    * literals into the stats domain (None = not decodable -> unknown),
+    * `cmp` orders that domain. Conservative: anything undecidable keeps
+    * the file. */
+  def mayMatchInterval(ast: Ast, name: String, lo: Any, hi: Any,
+                       decodeLit: Any => Option[Any],
+                       cmp: (Any, Any) => Int): Boolean = {
+    // Some(false) = provably NO value in [lo,hi] satisfies; None = maybe
+    def definite(a: Ast): Option[Boolean] = a match {
+      case True      => Some(true)
+      case And(l, r) => (definite(l), definite(r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+      case Or(l, r) => (definite(l), definite(r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
+      case Not(e) => definite(e).map(!_)
+      case In(n, vs, false) if n == name =>
+        val decoded = vs.map(decodeLit)
+        if (decoded.forall(_.isDefined) &&
+            decoded.flatten.forall(x => cmp(x, lo) < 0 || cmp(x, hi) > 0)) Some(false)
+        else None
+      case In(_, _, _) => None
+      case Cmp(op, Name(n), Lit(v)) if n == name => cmpInterval(op, v)
+      case Cmp(op, Lit(v), Name(n)) if n == name => cmpInterval(flip(op), v)
+      case Cmp(_, _, _) => None
+    }
+    def cmpInterval(op: String, litv: Any): Option[Boolean] = decodeLit(litv).flatMap { x =>
+      op match {
+        case "==" => if (cmp(x, lo) < 0 || cmp(x, hi) > 0) Some(false) else None
+        case "<"  => if (cmp(lo, x) >= 0) Some(false) else None
+        case "<=" => if (cmp(lo, x) > 0) Some(false) else None
+        case ">"  => if (cmp(hi, x) <= 0) Some(false) else None
+        case ">=" => if (cmp(hi, x) < 0) Some(false) else None
+        case "!=" => if (cmp(lo, hi) == 0 && cmp(lo, x) == 0) Some(false) else None
+        case _    => None
+      }
+    }
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="; case o => o
+    }
+    !definite(ast).contains(false)
+  }
+
   private def keyValue(key: Map[String, Any], n: String): Any =
     key.getOrElse(n, throw new ParseException(s"unknown partition key '$n'; have ${key.keys.mkString(",")}"))
 

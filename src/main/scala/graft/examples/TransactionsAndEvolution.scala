@@ -49,7 +49,9 @@ object TransactionsAndEvolution {
     byScore.show()
 
     // a writer that dies mid-insert leaves only invisible orphans
-    println(s"orphans reclaimed by vacuum: ${coll.vacuum().size}")
+    // graceMs=0: we KNOW no other writer is running; the default 15-min
+    // grace window protects concurrent writers' in-flight commits
+    println(s"orphans reclaimed by vacuum: ${coll.vacuum(graceMs = 0).size}")
     println(s"rows visible: ${coll.query().count()} at generation ${coll.generation}")
 
     // time travel: every commit is a readable snapshot; with

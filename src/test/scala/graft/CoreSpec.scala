@@ -425,10 +425,11 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.query().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L),
       "crash orphans were adopted by a later commit")
 
-    // vacuum still reclaims the orphans afterwards
-    val orphans = c.vacuum()
+    // vacuum still reclaims the orphans afterwards (graceMs=0: the
+    // quiesced-single-writer mode — no other writer can be in flight)
+    val orphans = c.vacuum(graceMs = 0)
     assert(orphans.nonEmpty)
-    assert(c.vacuum().isEmpty)
+    assert(c.vacuum(graceMs = 0).isEmpty)
     assert(c.query().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
@@ -637,11 +638,11 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.snapshotAt(2).select("v").collect()(0).getDouble(0) == 50.0)
     assert(c.query().select("v").collect()(0).getDouble(0) == 99.0)
     // vacuum keeps the newest retain+1 snapshots intact
-    assert(c.vacuum().isEmpty)
+    assert(c.vacuum(graceMs = 0).isEmpty)
     assert(c.snapshotAt(1).count() == 1)
     // one more replace pushes gen 1 out of the window; vacuum expires it
     c.insert(df.where(col("id") === 1L).withColumn("v", lit(7.0)))        // gen 4
-    assert(c.vacuum().nonEmpty)
+    assert(c.vacuum(graceMs = 0).nonEmpty)
     intercept[Exception](c.snapshotAt(1).count())
     assert(c.snapshotAt(2).count() == 1, "retained snapshot was expired")
     // dropped partitions also defer their physical delete

@@ -34,4 +34,49 @@ class ManifestConflictSpec extends AnyFunSuite {
     assert(c.query().count() == 1)
     assert(c.currentManifest().files.nonEmpty)
   }
+
+  test("disjoint-partition conflicts rebase automatically; overlapping ones surface") {
+    val root = SparkTestSession.tmp("graft-rebase")
+    val df = Seq((0L, 1L, 1.0), (1L, 2L, 2.0)).toDF("a", "seq", "v")
+    val c = Collection.create(spark, root, df.schema, "seq",
+      SequencePartitioning(Seq("a"), "seq"))
+    c.insert(df) // gen 1: partitions a=0, a=1
+    val stale = c.currentManifest()
+
+    // writer B gets as far as its physical write (partition a=2)...
+    c.insertUncommitted(Seq((2L, 3L, 3.0)).toDF("a", "seq", "v"))
+    val fs = Collection.fileSystem(spark, root)
+    val bFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/a=2")).toSeq
+      .filter(st => Collection.isDataFile(st.getPath.getName))
+      .map(st => s"a=2/${st.getPath.getName}")
+    assert(bFiles.nonEmpty)
+
+    // ...while writer A commits first (partition a=3 -> gen 2)
+    c.insert(Seq((3L, 4L, 4.0)).toDF("a", "seq", "v"), MergeStrategy.Concat)
+    assert(c.generation == stale.generation + 1)
+
+    // B's commit from the STALE base targets the claimed generation,
+    // conflicts, and rebases onto A's head — disjoint partitions, so it
+    // lands as generation 3 with BOTH writers' data visible
+    c.commitDelta(stale, bFiles, Set.empty, taskBump = 1L)
+    assert(c.generation == stale.generation + 2)
+    assert(c.query().count() == 4)
+    assert(c.query("a == 2").count() == 1)
+    assert(c.query("a == 3").count() == 1)
+    assert(c.partitions() == Seq("a=0", "a=1", "a=2", "a=3"))
+
+    // an OVERLAPPING delta from the same stale base must refuse to
+    // rebase: a=3 was touched by A's winning commit
+    val aFiles = c.currentManifest().files.filter(_.startsWith("a=3/"))
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      c.commitDelta(stale, aFiles, Set.empty, taskBump = 1L)
+    }
+    assert(ex.getMessage.contains("both writers touched"), ex.getMessage)
+    // and a concurrent schema evolution blocks any rebase
+    c.addVariable("w", org.apache.spark.sql.types.DoubleType, fill = Some("0.0"))
+    val ex2 = intercept[java.util.ConcurrentModificationException] {
+      c.commitDelta(stale, bFiles, Set.empty, taskBump = 1L)
+    }
+    assert(ex2.getMessage.contains("schema evolved"), ex2.getMessage)
+  }
 }

@@ -115,6 +115,84 @@ class ManifestShardSpec extends AnyFunSuite {
     assert(c2.query("a == 1").count() == 1) // pruned path over inline shards
   }
 
+  test("commits over a legacy inline-files manifest materialize carried-over shards") {
+    val root = SparkTestSession.tmp("graft-legacy-commit")
+    val df = Seq((0L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 3.0)).toDF("a", "seq", "v")
+    val c = Collection.create(spark, root, df.schema, "seq",
+      SequencePartitioning(Seq("a"), "seq"))
+    c.insert(df)
+    val man = c.currentManifest()
+    // rewrite the NEXT generation in the old single-JSON shape (no shard
+    // files exist on disk for it — the lists are inline)
+    val doc = new java.util.LinkedHashMap[String, Object]()
+    doc.put("generation", java.lang.Long.valueOf(man.generation + 1))
+    doc.put("taskBase", java.lang.Long.valueOf(man.taskBase))
+    doc.put("schema", c.schema.toDDL)
+    doc.put("fills", new java.util.LinkedHashMap[String, Object]())
+    doc.put("files", new java.util.ArrayList[Object](
+      scala.jdk.CollectionConverters.SeqHasAsJava(man.files.map(_.asInstanceOf[Object])).asJava))
+    val fs = Collection.fileSystem(spark, root)
+    Collection.writeJson(fs, new org.apache.hadoop.fs.Path(
+      f"$root/${Collection.ManifestDir}/manifest-${man.generation + 1}%012d.json"), doc)
+
+    // a WRITABLE handle commits on top of the legacy snapshot, touching
+    // only subtree a=1 — a=0 and a=2 carry over by (synthetic) name
+    val w = Collection.open(spark, root)
+    w.insert(Seq((1L, 9L, 9.0)).toDF("a", "seq", "v"), MergeStrategy.Concat)
+    // same handle: rebuilt subtree resolves through the disk fallback,
+    // carried-over subtrees through the in-memory inline lists
+    assert(w.query().count() == 4)
+    assert(w.query("a == 1").count() == 2)
+
+    // a FRESH handle knows nothing of the inline lists: every shard the
+    // new root references — including the carried-over a=0 / a=2 —
+    // must exist as a real file
+    val c2 = Collection.open(spark, root, readOnly = true)
+    assert(c2.generation == man.generation + 2)
+    assert(c2.query().count() == 4, "carried-over legacy shard unresolvable from a fresh handle")
+    assert(c2.query("a == 0").count() == 1)
+    assert(c2.query("a == 2").count() == 1)
+  }
+
+  test("vacuum grace window protects a concurrent writer's in-flight files") {
+    val root = SparkTestSession.tmp("graft-vac-grace")
+    val df = Seq((0L, 1L, 1.0)).toDF("a", "seq", "v")
+    val c = Collection.create(spark, root, df.schema, "seq",
+      SequencePartitioning(Seq("a"), "seq"))
+    c.insert(df)
+    // another writer mid-commit: data + shard files written, root rename
+    // not yet executed (insertUncommitted stops exactly there)
+    c.insertUncommitted(Seq((5L, 7L, 7.0)).toDF("a", "seq", "v"))
+    val fs = Collection.fileSystem(spark, root)
+    def orphans(): Seq[org.apache.hadoop.fs.Path] = {
+      val live = c.currentManifest().files.toSet
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString.stripPrefix(fs.makeQualified(
+          new org.apache.hadoop.fs.Path(root)).toString).stripPrefix("/")
+        if (Collection.isDataFile(st.getPath.getName) && !live.contains(rel))
+          buf += st.getPath
+      }
+      buf.result()
+    }
+    val inFlight = orphans()
+    assert(inFlight.nonEmpty)
+
+    // default grace: fresh unreferenced files are presumed in-flight
+    assert(c.vacuum().isEmpty, "vacuum deleted a file inside the grace window")
+    assert(inFlight.forall(fs.exists))
+
+    // age the files past the window (newest root must also be newer than
+    // them, which it is — it was committed after nothing)
+    val old = System.currentTimeMillis() - Collection.DefaultVacuumGraceMs - 60000L
+    inFlight.foreach(p => fs.setTimes(p, old, -1))
+    assert(c.vacuum().nonEmpty, "aged orphans must be reclaimed")
+    assert(inFlight.forall(p => !fs.exists(p)))
+    assert(c.query().count() == 1)
+  }
+
   test("vacuum reclaims shard files no committed root references") {
     val root = SparkTestSession.tmp("graft-shard-vac")
     val df = Seq((0L, 1L, 1.0)).toDF("a", "seq", "v")
@@ -127,7 +205,7 @@ class ManifestShardSpec extends AnyFunSuite {
       s"$root/${Collection.ManifestDir}/${Collection.ShardDir}/shard-deadbeef.json")
     Collection.writeJson(fs, orphan, new java.util.LinkedHashMap[String, Object]())
     assert(fs.exists(orphan))
-    c.vacuum()
+    c.vacuum(graceMs = 0)
     assert(!fs.exists(orphan), "unreferenced shard file must be vacuumed")
     // referenced shards survive and the collection still reads
     assert(c.query().count() == 1)
