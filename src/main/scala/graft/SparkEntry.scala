@@ -553,6 +553,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C16 (r4): Gopher-style quality-rule FILTER — the pre-training
+    // corpus gate (token-count window, mean-token-length window, punct
+    // ceiling, stopword presence) as one codegen'd predicate.
+    "text_quality_filter" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      Tables.documents(s, dir)
+        .where(TextFunctions.qualityRules(col("text"),
+          minTokens = 5, maxTokens = 2000, minAvgTokenLen = 2.0,
+          maxAvgTokenLen = 12.0, maxPunctRatio = 0.25, minStopwordHits = 1))
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("int").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // C17 (r4): benchmark DECONTAMINATION — drop every training doc whose
+    // normalized fingerprint appears in the benchmark set. The corpus
+    // side joins 8-byte hashes against a BROADCAST benchmark table (no
+    // corpus shuffle; at 100 TB you never join full texts).
+    "text_decontaminate" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val train = plantedDocs(s, dir)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      val bench = Tables.documents(s, dir).where(col("doc_id") % 10 === 0)
+        .select(TextFunctions.fingerprint(col("text")).as("fp"))
+      train.join(broadcast(bench), Seq("fp"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // C18 (r4): PII REDACTION — emails/IPv4/phones replaced with typed
+    // placeholders; patterns live in the Java-regex ∩ RE2 subset so the
+    // oracle runs the identical strings. PII is planted deterministically
+    // so the query is non-vacuous on synthetic docs.
+    "text_redact" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" Contact bob.smith+spam@example-mail.co.uk or call +1 (555) 123-4567.")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" Served from 192.168.000.1 at port 8080.")).otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id"),
+          TextFunctions.redactPii(col("text")).as("red"),
+          size(regexp_extract_all(col("text"), lit(TextFunctions.EmailPattern), lit(0)))
+            .cast("int").as("n_email"),
+          size(regexp_extract_all(col("text"), lit(TextFunctions.Ipv4Pattern), lit(0)))
+            .cast("int").as("n_ip"))
+        .orderBy("doc_id")
+    }),
+
     // C11: 64-bit FNV-1a document fingerprint (custom codegen Expression).
     "text_fingerprint" -> ((s, dir) => {
       import graft.functions.TextFunctions
@@ -1121,6 +1169,49 @@ object SparkEntry {
                 CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
                 CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+
+    "text_quality_filter" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         m AS (SELECT doc_id, len(toks) AS n,
+                 CASE WHEN len(toks) > 0 THEN CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) ELSE 0.0 END AS avg_len,
+                 CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct,
+                 len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','that','it','for'))) AS stop_hits
+               FROM t)
+         SELECT doc_id, CAST(n AS INT) AS n_tokens FROM m
+         WHERE n BETWEEN 5 AND 2000 AND avg_len BETWEEN 2.0 AND 12.0
+           AND punct <= 0.25 AND stop_hits >= 1
+         ORDER BY doc_id""",
+
+    // Decontamination mirrored on NORMALIZED TEXT equality — equivalent
+    // to the Spark side's FNV-fingerprint join because the fingerprint is
+    // injective on this corpus (no 64-bit collisions) and uses exactly
+    // this normalization (see text_fingerprint).
+    "text_decontaminate" ->
+      """WITH train AS (
+           SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+           FROM documents WHERE doc_id % 10 = 0
+         ), bench AS (
+           SELECT DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents WHERE doc_id % 10 = 0
+         )
+         SELECT doc_id FROM train WHERE s NOT IN (SELECT s FROM bench) ORDER BY doc_id""",
+
+    "text_redact" ->
+      """WITH planted AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 7 = 0 THEN ' Contact bob.smith+spam@example-mail.co.uk or call +1 (555) 123-4567.' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0 THEN ' Served from 192.168.000.1 at port 8080.' ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS red,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ip
+         FROM planted ORDER BY doc_id""",
 
     // The langid heuristic mirrored in SQL: per-language stopword-hit
     // counts, first-profile-wins argmax, CJK short-circuit — the tie

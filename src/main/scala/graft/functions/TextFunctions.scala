@@ -44,6 +44,41 @@ object TextFunctions {
     when(n > 0, (length(c) - (n - 1)).cast("double") / n).otherwise(lit(0.0))
   }
 
+  /** Gopher-style quality-rule predicate (Rae et al. 2021 §A1.1, the
+    * rule family every LLM-corpus pipeline applies before training):
+    * token-count window, mean-token-length window, symbol/punctuation
+    * ceiling, and a minimum stop-word presence (a proxy for "is actual
+    * prose"). One codegen'd boolean column — filters push to the scan. */
+  def qualityRules(text: Column,
+                   minTokens: Int = 50, maxTokens: Int = 100000,
+                   minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
+                   maxPunctRatio: Double = 0.2,
+                   minStopwordHits: Int = 2): Column = {
+    val en = LangProfiles.toMap.apply("en")
+    val toks = tokens(text)
+    val n = size(toks)
+    val avgLen = when(n > 0, (length(text) - (n - 1)).cast("double") / n).otherwise(lit(0.0))
+    n.between(minTokens, maxTokens) &&
+      avgLen.between(minAvgTokenLen, maxAvgTokenLen) &&
+      punctRatio(text) <= maxPunctRatio &&
+      size(filter(toks, t => t.isInCollection(en))) >= minStopwordHits
+  }
+
+  /** PII redaction: emails, phone-number-looking digit runs and IPv4
+    * addresses replaced with typed placeholder tokens. Patterns stay in
+    * the Java-regex ∩ RE2 subset (no lookaround), so the same strings
+    * drive Spark and any RE2-based engine identically. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhonePattern = "\\+[0-9][0-9 ()-]{7,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
   /** Bind an expensive array expression to a lambda variable so the body
     * reads it as a variable instead of re-evaluating it per element —
     * interpreted higher-order lambdas re-evaluate every subexpression of

@@ -360,6 +360,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getLong(4) == fp2)
   }
 
+  test("quality rules, decontamination fingerprint join, and PII redaction") {
+    // quality rules: prose passes, degenerate inputs fail each rule
+    val docs = Seq(
+      (1L, "the quick brown fox is seen running to the old mill in the morning " * 3), // prose
+      (2L, "a b"),                                     // too few tokens
+      (3L, ("!!! ??? ;;; " * 40) + "the of and is to") // punct ratio over ceiling
+    ).toDF("doc_id", "text")
+    val kept = docs.where(TextFunctions.qualityRules(col("text"), minTokens = 5,
+        maxTokens = 1000, minAvgTokenLen = 2.0, maxAvgTokenLen = 12.0,
+        maxPunctRatio = 0.25, minStopwordHits = 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L), s"quality rules kept $kept")
+
+    // decontamination: fingerprint anti-join removes exact-normalized dups
+    val bench = Seq("held out benchmark prompt").toDF("text")
+      .select(TextFunctions.fingerprint(col("text")).as("fp"))
+    val train = Seq((1L, "held   out benchmark PROMPT"), (2L, "clean document"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    val survivors = train.join(broadcast(bench), Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(survivors == Seq(2L), "normalization-equal doc must be decontaminated")
+
+    // redaction: typed placeholders, counts from the pre-redaction text
+    val red = Seq((1L, "mail a.b@c.io or 10.0.0.1 or +1 (555) 123-4567 end"))
+      .toDF("doc_id", "text")
+      .select(TextFunctions.redactPii(col("text")).as("r")).collect().head.getString(0)
+    assert(red == "mail <EMAIL> or <IP> or <PHONE> end", red)
+  }
+
   test("fnv1a64 matches the reference FNV-1a constants") {
     // FNV-1a("") = offset basis; FNV-1a("a") is the published test vector
     val got = Seq(("a")).toDF("t")
