@@ -26,7 +26,8 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_cosine", "ann_bruteforce", "ann_lsh",
     "ann_ivf",
     "text_quality", "text_tokens",
-    "zc_insert_query", "zc_query_filter", "stream_window",
+    "text_quality_filter", "text_decontaminate", "text_redact",
+    "zc_insert_query", "zc_query_filter", "zc_axis_range", "stream_window",
   )
 
   def main(args: Array[String]): Unit = {
@@ -159,10 +160,17 @@ object Bench {
     val queryFullSec = time {
       colRo.query().write.format("noop").mode("overwrite").save()
     }
+    // axis-range over a NON-partition column: partitions prune via the
+    // monotonic key derivation, files via manifest zone maps
+    val queryAxisSec = time {
+      colRo.query("time >= '2024-11-15 00:00:00'")
+        .write.format("noop").mode("overwrite").save()
+    }
     Seq(
       "insert_full_dataset" -> insertSec,
       "open_collection_cold" -> openSec,
       "query_one_partition_full" -> queryOneSec,
-      "query_full" -> queryFullSec)
+      "query_full" -> queryFullSec,
+      "query_axis_range" -> queryAxisSec)
   }
 }

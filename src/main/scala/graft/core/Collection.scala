@@ -675,9 +675,12 @@ final class Collection private (
             s"have partition keys ${partCols.mkString(",")} and data columns " +
             schema.fieldNames.mkString(","))
         val all = man.partitionPaths
+        val keyBounds = axisKeyBoundsFromFilter(ast)
         val wanted = all
           .flatMap(p => decodePath(p).map(k => (p, k)))
-          .filter { case (_, k) => FilterExpr.mayMatch(ast, k.toMap) }
+          .filter { case (_, k) =>
+            FilterExpr.mayMatch(ast, k.toMap) && keyInRange(k, keyBounds)
+          }
           .map(_._1).toSet
         val candidates =
           if (wanted.size == all.size) man.files else man.filesForPartitions(wanted)
@@ -712,13 +715,49 @@ final class Collection private (
     }
   }
 
+  private def sessionZone: java.time.ZoneId =
+    java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID))
+
   /** The axis column's zone-map domain (None: unsupported axis type —
     * stats are neither recorded nor used). */
   private def axisDomain: Option[AxisDomain] =
     schema.fields.find(_.name == axis).flatMap(f =>
-      AxisDomain.of(f.dataType, java.time.ZoneId.of(
-        spark.conf.get("spark.sql.session.timeZone",
-          java.util.TimeZone.getDefault.getID))))
+      AxisDomain.of(f.dataType, sessionZone))
+
+  /** Partition-KEY interval implied by the filter's axis bounds, when
+    * the partitioning derives its key monotonically from the axis
+    * ([[Partitioning.axisKeyPrefix]]) — this is what lets
+    * `query("ts >= X")` prune PARTITIONS (and so load only the touched
+    * shards) even though `ts` is not a partition column. None = the
+    * filter doesn't bound the axis, or no monotonic derivation. */
+  private def axisKeyBoundsFromFilter(
+      ast: FilterExpr.Ast): Option[(Option[Seq[Long]], Option[Seq[Long]])] = {
+    if (!FilterExpr.names(ast).contains(axis)) return None
+    val axisType = schema.fields.find(_.name == axis).map(_.dataType).getOrElse(return None)
+    val dom = axisDomain.getOrElse(return None)
+    val (lo, hi) = FilterExpr.impliedInterval(ast, axis, dom.decodeLit, dom.cmp)
+    def keyOf(v: Any): Option[Seq[Long]] = v match {
+      case l: Long => partitioning.axisKeyPrefix(l, axisType, sessionZone)
+      case _       => None
+    }
+    val (klo, khi) = (lo.flatMap(keyOf), hi.flatMap(keyOf))
+    if (klo.isEmpty && khi.isEmpty) None else Some((klo, khi))
+  }
+
+  private def keyInRange(k: Seq[(String, Any)],
+                         bounds: Option[(Option[Seq[Long]], Option[Seq[Long]])]): Boolean =
+    bounds.forall { case (klo, khi) =>
+      val longs = k.map(_._2).collect { case l: Long => l }
+      if (longs.length != k.length) true // non-integral key values: keep
+      else {
+        def lex(a: Seq[Long], b: Seq[Long]): Int =
+          a.zip(b).collectFirst {
+            case (x, y) if x != y => java.lang.Long.compare(x, y)
+          }.getOrElse(0)
+        klo.forall(lex(longs, _) >= 0) && khi.forall(lex(longs, _) <= 0)
+      }
+    }
 
   /** Per-file axis [min,max] of freshly written files, from parquet
     * FOOTERS only (no data pages). Small commits read footers on the

@@ -331,6 +331,50 @@ object FilterExpr {
     !definite(ast).contains(false)
   }
 
+  /** The interval `name` must lie in for the WHOLE expression to match —
+    * the zone-map/partition-prune companion to [[mayMatchInterval]].
+    * Conservative: AND intersects bounds, OR unions them (and only
+    * contributes if BOTH branches are bounded), NOT and foreign
+    * predicates contribute nothing. `(None, None)` = unbounded. */
+  def impliedInterval(ast: Ast, name: String, decodeLit: Any => Option[Any],
+                      cmp: (Any, Any) => Int): (Option[Any], Option[Any]) = {
+    def min(a: Any, b: Any) = if (cmp(a, b) <= 0) a else b
+    def max(a: Any, b: Any) = if (cmp(a, b) >= 0) a else b
+    def merge(a: (Option[Any], Option[Any]), b: (Option[Any], Option[Any]),
+              intersect: Boolean): (Option[Any], Option[Any]) =
+      if (intersect)
+        ((a._1 ++ b._1).reduceOption(max), (a._2 ++ b._2).reduceOption(min))
+      else // union: unbounded on a side if EITHER branch is
+        (for (x <- a._1; y <- b._1) yield min(x, y),
+         for (x <- a._2; y <- b._2) yield max(x, y))
+    def go(a: Ast): (Option[Any], Option[Any]) = a match {
+      case And(l, r) => merge(go(l), go(r), intersect = true)
+      case Or(l, r)  => merge(go(l), go(r), intersect = false)
+      case In(n, vs, false) if n == name =>
+        val ds = vs.map(decodeLit)
+        if (ds.nonEmpty && ds.forall(_.isDefined))
+          (ds.flatten.reduceOption(min), ds.flatten.reduceOption(max))
+        else (None, None)
+      case Cmp(op, Name(`name`), Lit(v)) => bound(op, v)
+      case Cmp(op, Lit(v), Name(`name`)) => bound(flipOp(op), v)
+      case _ => (None, None)
+    }
+    def bound(op: String, litv: Any): (Option[Any], Option[Any]) =
+      decodeLit(litv).map { x =>
+        op match {
+          case "==" => (Some(x), Some(x))
+          case ">" | ">=" => (Some(x), None) // open vs closed folds into key-level inclusiveness
+          case "<" | "<=" => (None, Some(x))
+          case _ => (None, None)
+        }
+      }.getOrElse((None, None))
+    go(ast)
+  }
+
+  private def flipOp(op: String): String = op match {
+    case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="; case o => o
+  }
+
   private def keyValue(key: Map[String, Any], n: String): Any =
     key.getOrElse(n, throw new ParseException(s"unknown partition key '$n'; have ${key.keys.mkString(",")}"))
 

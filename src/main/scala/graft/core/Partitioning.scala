@@ -44,6 +44,17 @@ sealed trait Partitioning extends Serializable {
   /** Add the partition columns to `df`. */
   def assign(df: DataFrame): DataFrame
 
+  /** Partition-key tuple containing the axis value `canonical` (the
+    * [[Collection.AxisDomain]] long encoding: epoch micros for
+    * timestamps, epoch days for dates, the value itself for integrals),
+    * for strategies whose key derivation is MONOTONIC in the axis — then
+    * an axis interval [lo, hi] maps to the lexicographic key interval
+    * [axisKeyPrefix(lo), axisKeyPrefix(hi)] and partition pruning works
+    * for axis-range filters. None: no monotonic derivation (pruning
+    * falls back to zone maps alone). */
+  def axisKeyPrefix(canonical: Long, axisType: DataType,
+                    zone: java.time.ZoneId): Option[Seq[Long]] = None
+
   def toJsonMap: java.util.LinkedHashMap[String, Object]
 }
 
@@ -73,6 +84,29 @@ final case class DatePartitioning(variable: String, resolution: String) extends 
       }
       d.withColumn(comp, e.cast(IntegerType))
     }
+
+  /** Calendar components are lexicographically monotonic in time. */
+  override def axisKeyPrefix(canonical: Long, axisType: DataType,
+                             zone: java.time.ZoneId): Option[Seq[Long]] = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val ldt = axisType match {
+      case TimestampType | TimestampNTZType =>
+        val secs = Math.floorDiv(canonical, 1000000L)
+        val nanos = Math.floorMod(canonical, 1000000L) * 1000L
+        java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochSecond(secs, nanos), zone)
+      case DateType => java.time.LocalDate.ofEpochDay(canonical).atStartOfDay
+      case _        => return None
+    }
+    Some(axis.map {
+      case "year"   => ldt.getYear.toLong
+      case "month"  => ldt.getMonthValue.toLong
+      case "day"    => ldt.getDayOfMonth.toLong
+      case "hour"   => ldt.getHour.toLong
+      case "minute" => ldt.getMinute.toLong
+      case "second" => ldt.getSecond.toLong
+    })
+  }
 
   override def toJsonMap: java.util.LinkedHashMap[String, Object] = {
     val m = new java.util.LinkedHashMap[String, Object]()
@@ -104,6 +138,20 @@ final case class SequencePartitioning(variables: Seq[String], dim: String) exten
   override def colType(n: String, s: org.apache.spark.sql.types.StructType): DataType =
     s.find(_.name == n).map(_.dataType).getOrElse(LongType)
   override def assign(df: DataFrame): DataFrame = df
+
+  /** A single-variable sequence keyed on the axis itself is the
+    * identity derivation (normally redundant — the axis is then a real
+    * partition column and strict eval already prunes — but it keeps the
+    * key-interval path uniform). */
+  override def axisKeyPrefix(canonical: Long, axisType: DataType,
+                             zone: java.time.ZoneId): Option[Seq[Long]] =
+    if (variables == Seq(dim) && isIntegral(axisType)) Some(Seq(canonical)) else None
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case LongType | IntegerType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType => true
+    case _ => false
+  }
 
   override def toJsonMap: java.util.LinkedHashMap[String, Object] = {
     val m = new java.util.LinkedHashMap[String, Object]()
@@ -138,6 +186,17 @@ final case class GroupedSequencePartitioning(
     val v = col(variables.last)
     df.withColumn(groupCol, (floor((v - lit(start)) / lit(size)) * lit(size) + lit(start)).cast(colType(groupCol, df.schema)))
   }
+
+  /** Bucketing is monotonic when the sole partition variable is the
+    * axis: value -> floor((v - start) / size) * size + start. */
+  override def axisKeyPrefix(canonical: Long, axisType: DataType,
+                             zone: java.time.ZoneId): Option[Seq[Long]] =
+    axisType match {
+      case LongType | IntegerType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType if variables == Seq(dim) =>
+        Some(Seq(Math.floorDiv(canonical - start, size.toLong) * size + start))
+      case _ => None
+    }
 
   override def toJsonMap: java.util.LinkedHashMap[String, Object] = {
     val m = new java.util.LinkedHashMap[String, Object]()

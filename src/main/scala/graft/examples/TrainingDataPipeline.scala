@@ -34,15 +34,27 @@ object TrainingDataPipeline {
     val deduped = Dedup.keepRepresentatives(unique, nearDups, "doc_id")
     println(s"near-deduped: ${deduped.count()}")
 
-    // 3. quality + language filtering
+    // 3. quality + language filtering (Gopher-style rule gate)
     val scored = deduped
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
-      .withColumn("stop_ratio", TextFunctions.stopwordRatio(col("text"),
-        TextFunctions.LangProfiles.toMap.apply("en")))
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
-      .withColumn("fp", TextFunctions.fingerprint(col("text")))
-    val kept = scored.where(col("n_tokens") >= 5)
+    val kept = scored.where(TextFunctions.qualityRules(col("text"),
+      minTokens = 5, maxTokens = 100000, minAvgTokenLen = 2.0,
+      maxAvgTokenLen = 12.0, maxPunctRatio = 0.3, minStopwordHits = 1))
     println(s"after quality gate: ${kept.count()}")
+
+    // 3b. benchmark decontamination: drop training docs whose normalized
+    //     fingerprint appears in a held-out set (broadcast anti-join on
+    //     8-byte hashes — the corpus never shuffles)
+    val benchmark = docs.where(col("doc_id") % 50 === 0)
+      .select(TextFunctions.fingerprint(col("text")).as("fp"))
+    val clean = kept.withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .join(broadcast(benchmark), Seq("fp"), "left_anti")
+    println(s"after decontamination: ${clean.count()}")
+
+    // 3c. PII redaction before anything ships to training
+    val redacted = clean.withColumn("text", TextFunctions.redactPii(col("text")))
+    println(s"redacted corpus ready: ${redacted.count()}")
 
     // 4. similarity retrieval over embeddings (exact + LSH path)
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

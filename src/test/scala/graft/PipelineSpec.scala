@@ -390,6 +390,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(red == "mail <EMAIL> or <IP> or <PHONE> end", red)
   }
 
+  test("decontamination plans as a broadcast anti-join (corpus never shuffles)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val corpus = spark.range(1000).selectExpr("id AS doc_id", "concat('doc ', id) AS text")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      val bench = spark.range(10).selectExpr("concat('doc ', id * 7) AS text")
+        .select(TextFunctions.fingerprint(col("text")).as("fp"))
+      val q = corpus.join(broadcast(bench), Seq("fp"), "left_anti")
+      val plan = q.queryExecution.executedPlan
+      val bhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.nonEmpty, s"decontamination must broadcast the benchmark side:\n$plan")
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }.isEmpty, s"corpus side must not shuffle:\n$plan")
+      assert(q.count() == 1000 - bench.distinct().count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("fnv1a64 matches the reference FNV-1a constants") {
     // FNV-1a("") = offset basis; FNV-1a("a") is the published test vector
     val got = Seq(("a")).toDF("t")

@@ -57,6 +57,49 @@ class ZoneMapSpec extends AnyFunSuite {
     intercept[FilterExpr.ParseException](c.partitions("ts > '2024-01-01'"))
   }
 
+  test("axis-range filters prune PARTITIONS via the monotonic key derivation") {
+    // two months of day-partitioned data => two shard subtrees
+    // (year=2024/month=M); an axis range inside ONE month must load only
+    // that month's shard — layer 1 working for a non-partition column
+    val root = SparkTestSession.tmp("graft-zone-part")
+    val rows = (1 to 9).map(d => (d.toLong, f"2024-01-$d%02d 10:00:00", 1.0)) ++
+               (1 to 9).map(d => (d.toLong + 100, f"2024-02-$d%02d 10:00:00", 2.0))
+    val df = mkTs(rows)
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+
+    val c2 = Collection.open(spark, root, readOnly = true)
+    val man2 = c2.currentManifest()
+    assert(man2.shards.size == 2)
+    assert(man2.loadedShardCount == 0)
+
+    val q = c2.query("ts >= '2024-02-03 00:00:00' and ts < '2024-02-07 00:00:00'")
+    assert(man2.loadedShardCount == 1,
+      s"axis range inside February must load 1 shard, loaded ${man2.loadedShardCount}")
+    assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(103L, 104L, 105L, 106L))
+
+    // equality bounds both sides of the key interval
+    assert(c2.query("ts == '2024-01-05 10:00:00'").count() == 1)
+    assert(man2.loadedShardCount == 2) // January's shard loads now
+
+    // the monotonic derivations themselves
+    val utc = java.time.ZoneId.of("UTC")
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val feb3 = java.time.LocalDateTime.of(2024, 2, 3, 4, 5)
+      .atZone(utc).toInstant
+    val micros = feb3.getEpochSecond * 1000000L + feb3.getNano / 1000L
+    assert(DatePartitioning("ts", "D").axisKeyPrefix(micros, TimestampType, utc)
+      .contains(Seq(2024L, 2L, 3L)))
+    assert(GroupedSequencePartitioning(Seq("seq"), "seq", 100)
+      .axisKeyPrefix(750L, LongType, utc).contains(Seq(700L)))
+    assert(GroupedSequencePartitioning(Seq("seq"), "seq", 100)
+      .axisKeyPrefix(-1L, LongType, utc).contains(Seq(-100L)))
+    assert(SequencePartitioning(Seq("a"), "a").axisKeyPrefix(5L, LongType, utc)
+      .contains(Seq(5L)))
+    assert(SequencePartitioning(Seq("a", "b"), "b").axisKeyPrefix(5L, LongType, utc).isEmpty,
+      "multi-variable sequence has no monotonic axis derivation")
+  }
+
   test("long axis: range filters prune by stats; equality uses both bounds") {
     val root = SparkTestSession.tmp("graft-zone-seq")
     val df = Seq((0L, 1L, 1.0)).toDF("a", "seq", "v")
