@@ -865,6 +865,133 @@ object SparkEntry {
         .orderBy("nk")
     }),
 
+    // B26 (Q4-style): order-priority check — orders in a quarter with at
+    // least one lineitem shipped after the order date (semi join; no
+    // commitdate in this schema, shipdate>orderdate is the lateness proxy).
+    "q4_priority" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(Tables.lineitem(s, dir),
+          col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // B27 (Q8-style): national market share — NATION_1 suppliers' slice
+    // of STANDARD-part revenue sold to AMERICA customers, per year.
+    "q8_share" -> ((s, dir) => {
+      val vol = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+      val nS = Tables.nation(s, dir).select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val nC = Tables.nation(s, dir).select(col("n_nationkey").as("cnk"), col("n_regionkey").as("crk"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).where(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nS), col("s_nationkey") === col("snk"))
+        .join(broadcast(nC), col("c_nationkey") === col("cnk"))
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "AMERICA")),
+          col("crk") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_1", vol).otherwise(lit(0).cast("decimal(18,4)")))
+             .cast("decimal(38,4)").cast("double") /
+           sum(vol).cast("decimal(38,4)").cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // B28 (Q9-style): profit by supplier nation and year; supply cost
+    // proxied as p_retailprice * qty / 10 (no partsupp table in this
+    // schema).
+    "q9_profit" -> ((s, dir) => {
+      val amount = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))) -
+        dec(col("p_retailprice")) * dec(col("l_quantity")) * lit(0.1).cast("decimal(18,4)")
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).where(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("int").as("o_year"))
+        .agg(sum(amount).cast("decimal(38,4)").cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // B29 (Q13-style): customer order-count distribution (left join keeps
+    // zero-order customers; non-urgent orders only).
+    "q13_custdist" -> ((s, dir) => {
+      val perCust = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).where(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // B30 (Q15-style): top supplier(s) by quarter revenue — the scalar
+    // max compares exact-decimal-derived doubles, so equality is sound.
+    "q15_topsupp" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("decimal(38,4)").cast("double").as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
+      rev.join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .crossJoin(broadcast(maxRev))
+        .where(col("total_revenue") === col("mr"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // B31 (Q17-style): small-quantity-order revenue for one brand. The
+    // correlated 0.2*avg(qty) compare is rearranged to exact decimal
+    // integer form (5 * qty * cnt < sum_qty) — no double avg on either
+    // side, so Spark and the oracle cannot disagree at boundaries.
+    "q17_smallqty" -> ((s, dir) => {
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("pp"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).where(col("p_brand") === "Brand#13")),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("pp"))
+        .where(dec(col("l_quantity")) * lit(5).cast("decimal(18,4)") * col("cnt_qty") < col("sum_qty"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("decimal(38,4)").cast("double") / lit(7.0))
+          .as("avg_yearly"))
+    }),
+
+    // B32 (Q21-style): suppliers who kept F-status multi-supplier orders
+    // waiting — this supplier shipped after the order date and NO other
+    // supplier on the order did (shipdate replaces the missing
+    // commit/receipt dates; exists -> semi join, not-exists -> anti join).
+    "q21_waiting" -> ((s, dir) => {
+      val l1 = Tables.lineitem(s, dir).alias("l1")
+      val l2 = Tables.lineitem(s, dir).select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"), col("l_shipdate").as("d3"))
+      l1
+        .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(l2, col("k2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("k3") === col("l_orderkey") && col("s3") =!= col("l_suppkey") &&
+                  col("d3") > col("o_orderdate"), "left_anti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // B4: TPC-H Q6-style selective filter + aggregate.
     "q6_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -1438,6 +1565,85 @@ object SparkEntry {
              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
          GROUP BY 1, 2, 3
          ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q8_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                CAST(CAST(sum(CASE WHEN n1.n_name = 'NATION_1'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) /
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE)
+                AS mkt_share
+         FROM lineitem, part, orders, customer, supplier, nation n1, nation n2, region
+         WHERE l_partkey = p_partkey AND p_type = 'STANDARD'
+           AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+           AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+           AND r_name = 'AMERICA'
+         GROUP BY 1 ORDER BY o_year""",
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+                CAST(CAST(sum(
+                  CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                  - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) * CAST(0.1 AS DECIMAL(18,4))
+                ) AS DECIMAL(38,4)) AS DOUBLE) AS sum_profit
+         FROM lineitem, part, supplier, nation
+         WHERE l_partkey = p_partkey AND p_type = 'ECONOMY'
+           AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey) t
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    "q15_topsupp" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev, supplier
+         WHERE l_suppkey = s_suppkey
+           AND total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+
+    "q17_smallqty" ->
+      """WITH pq AS (
+           SELECT l_partkey AS pp, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                  count(*) AS cnt_qty
+           FROM lineitem GROUP BY l_partkey)
+         SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem, part, pq
+         WHERE l_partkey = p_partkey AND p_brand = 'Brand#13'
+           AND l_partkey = pp
+           AND CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt_qty < sum_qty""",
+
+    "q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders, nation
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+           AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate)
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
 
     "q10_returns" ->
       """SELECT c_custkey, c_name, c_acctbal,
