@@ -530,6 +530,13 @@ final class Collection private (
           try fs.delete(st.getPath, false) catch { case _: Exception => () }
       }
     }
+    // orphan manifest tmps: a writer that crashed between its
+    // writer-unique tmp write and the exclusive publish leaves the tmp
+    // behind; same age gate as everything else
+    fs.listStatus(manifestDir).toSeq.filter(_.isFile).foreach { st =>
+      if (st.getPath.getName.endsWith(".tmp") && aged(st.getModificationTime))
+        try fs.delete(st.getPath, false) catch { case _: Exception => () }
+    }
     doomed
   }
 
@@ -768,14 +775,38 @@ final class Collection private (
     if (newFiles.isEmpty || axisDomain.isEmpty) return Map.empty
     val rootStr = root
     val ax = axis
+    val expectTs = expectTsAdjusted
     val triples =
-      if (newFiles.size <= 64)
-        newFiles.flatMap(f => footerAxisStats(rootStr, f, ax))
-      else
+      if (newFiles.size <= 64) {
+        val conf = spark.sessionState.newHadoopConf()
+        newFiles.flatMap(f => footerAxisStats(rootStr, f, ax, expectTs, conf))
+      } else {
+        // session conf (credentials/endpoints) must reach the executors;
+        // broadcast once instead of serializing it into every task closure
+        val bc = spark.sparkContext.broadcast(
+          new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
         spark.sparkContext.parallelize(newFiles, math.min(newFiles.size, 256))
-          .flatMap(f => footerAxisStats(rootStr, f, ax))
+          .flatMap(f => footerAxisStats(rootStr, f, ax, expectTs, bc.value.value))
           .collect().toSeq
+      }
+    if (triples.size < newFiles.size)
+      Collection.statsLog.info(
+        s"axis zone maps recorded for ${triples.size}/${newFiles.size} new files under " +
+        s"$rootStr (files without usable footer statistics are never pruned; " +
+        "failed footer reads are logged at WARN)")
     triples.map { case (f, lo, hi) => f -> (lo, hi) }.toMap
+  }
+
+  /** Expected parquet `isAdjustedToUTC` of the axis column's footer
+    * stats: Some(true) = instant micros ([[org.apache.spark.sql.types.TimestampType]]),
+    * Some(false) = wallclock micros (NTZ), None = not a timestamp axis. */
+  private def expectTsAdjusted: Option[Boolean] = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    schema.fields.find(_.name == axis).map(_.dataType).flatMap {
+      case TimestampType    => Some(true)
+      case TimestampNTZType => Some(false)
+      case _                => None
+    }
   }
 
   /** Raw scan of exactly the given partitions — loads only their shards. */
@@ -1153,7 +1184,13 @@ object Collection {
     def of(dt: DataType, zone: java.time.ZoneId): Option[AxisDomain] = dt match {
       case LongType | IntegerType | ShortType | ByteType => Some(Integral)
       case DoubleType | FloatType                        => Some(Fractional)
-      case TimestampType | TimestampNTZType              => Some(new Ts(zone))
+      case TimestampType                                 => Some(new Ts(zone))
+      // NTZ values (and their parquet footer stats, isAdjustedToUTC=false)
+      // are zone-FREE local-wallclock micros; decoding filter literals via
+      // the session zone would skew the comparison by the zone offset and
+      // prune files that contain matching rows. UTC is the identity zone:
+      // ldt.atZone(UTC).toInstant = the wallclock micros the stats carry.
+      case TimestampNTZType                              => Some(new Ts(java.time.ZoneOffset.UTC))
       case DateType                                      => Some(Dates)
       case StringType                                    => Some(Str)
       case _                                             => None
@@ -1186,7 +1223,11 @@ object Collection {
     }
 
     /** Timestamp literals parse like Spark's string->timestamp cast:
-      * `yyyy-MM-dd[ HH:mm:ss[.S...]]` in the session time zone. */
+      * `yyyy-MM-dd[ HH:mm:ss[.S...]]` in `zone` — the SESSION zone for
+      * `TimestampType` (canonical domain: UTC-instant micros), and
+      * fixed UTC for `TimestampNTZType` (canonical domain: zone-free
+      * wallclock micros, matching the isAdjustedToUTC=false footer
+      * stats). */
     final class Ts(zone: java.time.ZoneId) extends AxisDomain {
       def decodeLit(v: Any): Option[Any] = v match {
         case s: String => try {
@@ -1227,16 +1268,24 @@ object Collection {
     * metadata-only, no data pages read. Returns the canonical string
     * encoding ([[AxisDomain]]); `None` whenever the footer can't prove a
     * bound (missing/empty stats, INT96 timestamps, unexpected physical
-    * type) — callers then record nothing and readers never prune the
-    * file. Runs on executors for large commits ([[Collection]]'s
-    * `axisFileStats`): only `new Configuration()` state, no driver
-    * capture. */
-  private[core] def footerAxisStats(rootStr: String, rel: String,
-                                    axisName: String): Option[(String, String, String)] =
+    * type, or timestamp stats whose `isAdjustedToUTC` doesn't match the
+    * declared axis type — instant and wallclock micros differ by the
+    * zone offset and must never be compared) — callers then record
+    * nothing and readers never prune the file. Runs on executors for
+    * large commits ([[Collection]]'s `axisFileStats`); `conf` must be
+    * the session Hadoop configuration (credentials, endpoints, custom
+    * schemes), shipped there via [[SerializableHadoopConf]].
+    *
+    * `expectTsAdjusted`: `Some(true)` for a `TimestampType` axis
+    * (footer stats are UTC-instant micros), `Some(false)` for
+    * `TimestampNTZType` (local-wallclock micros), `None` for
+    * non-timestamp axes. */
+  private[core] def footerAxisStats(rootStr: String, rel: String, axisName: String,
+                                    expectTsAdjusted: Option[Boolean],
+                                    conf: org.apache.hadoop.conf.Configuration): Option[(String, String, String)] =
     try {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       import org.apache.parquet.schema.LogicalTypeAnnotation
-      val conf = new org.apache.hadoop.conf.Configuration()
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new Path(s"$rootStr/$rel"), conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -1259,7 +1308,12 @@ object Collection {
               val x = v.asInstanceOf[java.lang.Long].longValue
               pt.getLogicalTypeAnnotation match {
                 case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                  t.getUnit match {
+                  // trust only stats in the declared axis type's domain:
+                  // an isAdjustedToUTC mismatch means these micros are
+                  // offset by the writer zone relative to the filter
+                  // literals — pruning on them would drop matching files
+                  if (!expectTsAdjusted.contains(t.isAdjustedToUTC)) None
+                  else t.getUnit match {
                     case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(x * 1000L)
                     case LogicalTypeAnnotation.TimeUnit.MICROS => Some(x)
                     case LogicalTypeAnnotation.TimeUnit.NANOS  =>
@@ -1267,9 +1321,11 @@ object Collection {
                       Some(if (isMax && Math.floorMod(x, 1000L) != 0L) q + 1L else q)
                   }
                 case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => None
-                case _ => Some(x)
+                // declared-timestamp axis but unannotated INT64 (or a
+                // non-timestamp logical type): unknown domain, don't guess
+                case _ => if (expectTsAdjusted.isDefined) None else Some(x)
               }
-            case INT32 => Some(v.asInstanceOf[java.lang.Integer].longValue)
+            case INT32 if expectTsAdjusted.isEmpty => Some(v.asInstanceOf[java.lang.Integer].longValue)
             case FLOAT  => Some(v.asInstanceOf[java.lang.Float].doubleValue)
             case DOUBLE => Some(v.asInstanceOf[java.lang.Double].doubleValue)
             case BINARY =>
@@ -1302,7 +1358,34 @@ object Collection {
         if (lo == null || hi == null) None
         else Some((rel, lo.toString, hi.toString))
       } finally reader.close()
-    } catch { case _: Exception => None }
+    } catch {
+      case e: Exception =>
+        // a failed footer open on a real deployment (credentials, HA
+        // nameservice) must be DIAGNOSABLE, not a silent no-stats file —
+        // the file stays unprunable either way, which is always correct
+        statsLog.warn(s"axis zone-map stats unavailable for $rootStr/$rel: $e")
+        None
+    }
+
+  private[core] lazy val statsLog =
+    org.slf4j.LoggerFactory.getLogger("graft.core.Collection")
+
+  /** Java-serializable carrier for a Hadoop `Configuration` (which is
+    * `Writable` but not `Serializable`): ships the SESSION configuration
+    * — S3A credentials, HA nameservices, custom schemes — to executor
+    * tasks of the distributed footer-stat job. */
+  private[core] final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
 
   /** A shard file's payload: the subtree's data files plus per-file axis
     * zone maps — `stats(file) = (min, max)` of the axis column in the
@@ -1517,16 +1600,24 @@ object Collection {
     }
   }
 
-  /** Atomic commit with optimistic concurrency: write
-    * `manifest-<gen>.json.tmp`, rename into place. Generations only grow,
-    * so the target name is claimed exactly once — a SECOND writer racing
-    * to the same generation finds the file already committed and fails
-    * with a conflict instead of silently overwriting (the Icechunk
-    * conflict-on-commit model; HDFS rename refuses an existing target, on
-    * posix local FS the pre-check narrows the race to the rename itself,
-    * and object stores get it from a conditional PUT of the final name).
-    * Shard files are written BEFORE this root rename — a crash in between
-    * leaves only unreferenced shard JSONs, reclaimed by [[Collection.vacuum]]. */
+  /** Atomic commit with optimistic concurrency: write the manifest to a
+    * writer-unique `manifest-<gen>.<nonce>.tmp`, then publish it under
+    * the final name with an EXCLUSIVE atomic primitive
+    * ([[publishExclusive]]) — POSIX `link(2)` on local filesystems
+    * (creation fails with EEXIST instead of silently replacing, unlike
+    * `rename(2)`), `FileContext.rename(..., Options.Rename.NONE)`
+    * elsewhere (atomic + exclusive at the HDFS namenode). Generations
+    * only grow, so the target name is claimed exactly once — of two
+    * writers racing the SAME generation exactly one publish succeeds and
+    * the loser gets a conflict to rebase on, never a silently-lost
+    * commit (the Icechunk conflict-on-commit model). The `exists`
+    * pre-check below is a fast path only; the publish primitive is the
+    * arbiter. Object stores without an exclusive rename/PUT must layer a
+    * conditional PUT (e.g. If-None-Match) in their FileContext binding —
+    * the rebase contract assumes the publish is exclusive.
+    * Shard files are written BEFORE this root publish — a crash in
+    * between leaves only unreferenced shard JSONs (and an orphan tmp),
+    * reclaimed by [[Collection.vacuum]]. */
   private[core] def writeManifest(fs: FileSystem, dir: Path, m: Manifest): Unit = {
     val doc = new java.util.LinkedHashMap[String, Object]()
     doc.put("generation", java.lang.Long.valueOf(m.generation))
@@ -1550,15 +1641,62 @@ object Collection {
       doc.put("streams", sm)
     }
     val target = manifestPath(dir, m.generation)
-    if (fs.exists(target))
+    def conflict(): Nothing =
       throw new java.util.ConcurrentModificationException(
         s"generation ${m.generation} was committed by another writer at $dir; " +
         "re-read the collection and retry the mutation")
-    val tmp = new Path(dir, f"manifest-${m.generation}%012d.json.tmp")
+    if (fs.exists(target)) conflict()
+    // writer-unique tmp: two same-generation writers must never write
+    // through the same tmp name (the old shared name let the loser
+    // corrupt the winner's in-flight bytes before either renamed)
+    val nonce = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val tmp = new Path(dir, f"manifest-${m.generation}%012d.$nonce.tmp")
     writeJson(fs, tmp, doc)
-    if (!fs.rename(tmp, target))
-      throw new IllegalStateException(
-        s"manifest commit failed for generation ${m.generation} under $dir")
+    if (!publishExclusive(fs, tmp, target)) conflict()
+  }
+
+  /** Publish `tmp` as `target` atomically, returning false (tmp cleaned
+    * up) iff `target` already exists — the loser of a same-name race
+    * must LOSE, not overwrite. Local filesystems: POSIX `link(2)`, whose
+    * creation is exclusive-or-EEXIST at the syscall level (plain
+    * `rename(2)` — and so `fs.rename` — silently replaces an existing
+    * target on POSIX). Everything else: `FileContext` rename with
+    * `Options.Rename.NONE`, the exclusive namenode-atomic variant on
+    * HDFS. */
+  private[core] def publishExclusive(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+    import org.apache.hadoop.fs.{LocalFileSystem, RawLocalFileSystem}
+    import java.nio.file.{Files, Paths, FileAlreadyExistsException => NioExists}
+    fs match {
+      case _: LocalFileSystem | _: RawLocalFileSystem =>
+        val t = Paths.get(tmp.toUri.getPath)
+        val d = Paths.get(target.toUri.getPath)
+        def crcOf(p: java.nio.file.Path) =
+          p.resolveSibling("." + p.getFileName.toString + ".crc")
+        try {
+          Files.createLink(d, t) // the atomic claim
+          // carry the ChecksumFileSystem sidecar across (not the arbiter:
+          // readers tolerate an absent crc, never a mismatched one)
+          val (tc, dc) = (crcOf(t), crcOf(d))
+          if (Files.exists(tc)) { Files.deleteIfExists(dc); Files.move(tc, dc) }
+          Files.deleteIfExists(t)
+          true
+        } catch {
+          case _: NioExists =>
+            Files.deleteIfExists(crcOf(t)); Files.deleteIfExists(t)
+            false
+        }
+      case _ =>
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(target.toUri, fs.getConf)
+            .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            try fs.delete(tmp, false) catch { case _: Exception => () }
+            false
+        }
+    }
   }
 
   /** Create a new collection rooted at `root` (reference base.py:161-234). */

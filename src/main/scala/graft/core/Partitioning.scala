@@ -93,8 +93,13 @@ final case class DatePartitioning(variable: String, resolution: String) extends 
       case TimestampType | TimestampNTZType =>
         val secs = Math.floorDiv(canonical, 1000000L)
         val nanos = Math.floorMod(canonical, 1000000L) * 1000L
+        // NTZ canonical values are zone-free wallclock micros (see
+        // Collection.AxisDomain): UTC is the identity decode; only true
+        // instants (TimestampType) localize via the session zone, matching
+        // what year()/month()/... computed in assign() at write time.
+        val z = if (axisType == TimestampNTZType) java.time.ZoneOffset.UTC else zone
         java.time.LocalDateTime.ofInstant(
-          java.time.Instant.ofEpochSecond(secs, nanos), zone)
+          java.time.Instant.ofEpochSecond(secs, nanos), z)
       case DateType => java.time.LocalDate.ofEpochDay(canonical).atStartOfDay
       case _        => return None
     }

@@ -204,8 +204,16 @@ object Multimodal {
 
     /** Every `stride`-th frame of a multi-frame image (animated GIF /
       * multi-page TIFF), each re-encoded as PNG — the real frame-sample
-      * path for the formats the JDK can actually decode. */
+      * path for the formats the JDK can actually decode.
+      *
+      * GIF frames are COMPOSITED before sampling: `reader.read(i)` on an
+      * optimized animated GIF returns the stored delta raster (a
+      * sub-rect at an offset, transparent where the previous frame shows
+      * through) — every frame is drawn in order onto a logical-screen
+      * canvas honoring the per-frame offset and disposal method, and the
+      * sample is the composed canvas, which is what a viewer displays. */
     def sampleFrames(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] = {
+      require(stride > 0, s"frame-sample stride must be positive, got $stride")
       val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -213,12 +221,50 @@ object Multimodal {
         val reader = readers.next()
         reader.setInput(in)
         val n = reader.getNumImages(true)
+        val isGif = reader.getFormatName.equalsIgnoreCase("gif")
         val out = Seq.newBuilder[Array[Byte]]
+        var canvas: java.awt.image.BufferedImage = null
         var i = 0
         while (i < n) {
-          if (i % stride == 0) {
-            val (w, h, rgb) = toRgb(reader.read(i))
-            out += encode(w, h, rgb, "png")
+          if (!isGif) {
+            // multi-page TIFF etc: pages are independent full rasters
+            if (i % stride == 0) {
+              val (w, h, rgb) = toRgb(reader.read(i))
+              out += encode(w, h, rgb, "png")
+            }
+          } else {
+            val frame = reader.read(i)
+            val (x, y, disposal) = gifFrameMeta(reader, i)
+            if (canvas == null) {
+              val (sw, sh) = gifScreenSize(reader)
+                .getOrElse((x + frame.getWidth, y + frame.getHeight))
+              canvas = new java.awt.image.BufferedImage(
+                math.max(sw, x + frame.getWidth), math.max(sh, y + frame.getHeight),
+                java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            }
+            val saved =
+              if (disposal == "restoreToPrevious") {
+                val c = new java.awt.image.BufferedImage(
+                  canvas.getWidth, canvas.getHeight, canvas.getType)
+                val g = c.createGraphics(); g.drawImage(canvas, 0, 0, null); g.dispose()
+                c
+              } else null
+            val g = canvas.createGraphics()
+            g.drawImage(frame, x, y, null)
+            g.dispose()
+            if (i % stride == 0) {
+              val (w, h, rgb) = toRgb(canvas)
+              out += encode(w, h, rgb, "png")
+            }
+            disposal match {
+              case "restoreToBackgroundColor" =>
+                val g2 = canvas.createGraphics()
+                g2.setComposite(java.awt.AlphaComposite.Clear)
+                g2.fillRect(x, y, frame.getWidth, frame.getHeight)
+                g2.dispose()
+              case "restoreToPrevious" => canvas = saved
+              case _                   => () // none / doNotDispose: keep
+            }
           }
           i += 1
         }
@@ -226,6 +272,41 @@ object Multimodal {
         out.result()
       } finally in.close()
     }
+
+    /** (left, top, disposalMethod) of GIF frame `i` from its imageio
+      * native metadata — zeros/"none" when absent. */
+    private def gifFrameMeta(reader: javax.imageio.ImageReader, i: Int): (Int, Int, String) =
+      try {
+        val tree = reader.getImageMetadata(i)
+          .getAsTree("javax_imageio_gif_image_1.0").asInstanceOf[org.w3c.dom.Element]
+        def child(name: String): Option[org.w3c.dom.Element] = {
+          val kids = tree.getChildNodes
+          (0 until kids.getLength).map(kids.item)
+            .collectFirst { case e: org.w3c.dom.Element if e.getNodeName == name => e }
+        }
+        def attr(e: org.w3c.dom.Element, a: String, dflt: Int): Int =
+          try e.getAttribute(a).toInt catch { case _: Exception => dflt }
+        val (x, y) = child("ImageDescriptor")
+          .map(d => (attr(d, "imageLeftPosition", 0), attr(d, "imageTopPosition", 0)))
+          .getOrElse((0, 0))
+        val disposal = child("GraphicControlExtension")
+          .map(_.getAttribute("disposalMethod")).filter(_.nonEmpty).getOrElse("none")
+        (x, y, disposal)
+      } catch { case _: Exception => (0, 0, "none") }
+
+    /** GIF logical screen size from the stream metadata, when present. */
+    private def gifScreenSize(reader: javax.imageio.ImageReader): Option[(Int, Int)] =
+      try {
+        val tree = Option(reader.getStreamMetadata).map(
+          _.getAsTree("javax_imageio_gif_stream_1.0").asInstanceOf[org.w3c.dom.Element])
+          .getOrElse(return None)
+        val kids = tree.getChildNodes
+        (0 until kids.getLength).map(kids.item).collectFirst {
+          case e: org.w3c.dom.Element if e.getNodeName == "LogicalScreenDescriptor" =>
+            (e.getAttribute("logicalScreenWidth").toInt,
+             e.getAttribute("logicalScreenHeight").toInt)
+        }
+      } catch { case _: Exception => None }
   }
 
   /** WAV (RIFF) with PCM16 mono/stereo payload — header walk + raw

@@ -69,8 +69,58 @@ class GraftCollectionSource(spark: SparkSession, root: String,
     * capped `maxGenerationsPerBatch` commits past the last batch. */
   override def getOffset: Option[Offset] = {
     val head = collection.generation
-    val capped = maxGenerationsPerBatch.fold(head)(m => math.min(head, pacedThrough + m))
+    val capped = maxGenerationsPerBatch.fold(head) { m =>
+      val paced = math.min(head, pacedThrough + m)
+      if (pacedThrough > 0L) paced
+      else
+        // FIRST paced batch: its end offset is read as a full snapshot,
+        // and a snapshot whose files a LATER commit replaced may already
+        // be GC'd (retainGenerations=0 deletes replaced files right
+        // after the replacing commit; retention-kept ones expire via
+        // vacuum once outside the window). Clamp the backfill start to
+        // the oldest snapshot guaranteed on disk — append-only
+        // histories never clamp (nothing is ever deleted), and a paced
+        // backfill across replace commits needs retainGenerations sized
+        // to cover the window.
+        math.max(paced, backfillFloor)
+    }
     if (capped <= 0L) None else Some(LongOffset(capped))
+  }
+
+  /** Oldest generation whose snapshot is guaranteed fully on disk,
+    * computed once at the first paced offset. Walk adjacent root-table
+    * diffs DOWNWARD from `head - retainGenerations` (removals newer than
+    * that are retention-protected: some retained snapshot still
+    * references the file, so vacuum keeps it) and stop at the newest
+    * commit that REMOVED files — snapshots older than it may reference
+    * GC'd bytes. Conservative (the removed file might postdate a given
+    * older snapshot) and cheap: per generation one root-table compare
+    * plus file lists of only the CHANGED subtrees — the same diffs the
+    * paced [[getBatch]] replay performs anyway. */
+  private lazy val backfillFloor: Long = {
+    val head = collection.generation
+    var g = head - collection.retainGenerations
+    while (g >= 1L && !commitRemovedFiles(
+             collection.manifestAt(g - 1), collection.manifestAt(g)))
+      g -= 1L
+    math.max(g, 0L)
+  }
+
+  /** Did the commit `lo -> hi` remove any file `lo` referenced?
+    * (Content-addressed shard names: unchanged subtrees compare by name
+    * alone; only changed ones load their file lists.) */
+  private def commitRemovedFiles(lo: Collection.Manifest, hi: Collection.Manifest): Boolean = {
+    val hiByPrefix = hi.shards.map(e => e.prefix -> e).toMap
+    lo.shards.exists { e =>
+      hiByPrefix.get(e.prefix) match {
+        case None    => true // whole subtree dropped
+        case Some(h) =>
+          h.file != e.file && {
+            val hiFiles = hi.shardFiles(h).toSet
+            lo.shardFiles(e).exists(f => !hiFiles.contains(f))
+          }
+      }
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

@@ -128,6 +128,39 @@ class StreamMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("paced backfill over a replace-bearing history clamps to a readable snapshot") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // retainGenerations=0 GCs replaced files immediately: the paced
+    // first batch must NOT schedule the snapshot AT generation 1 (its
+    // file was replaced by the gen-3 upsert and no longer exists) — it
+    // clamps forward to the newest removal commit and streams from there
+    val root = SparkTestSession.tmp("graft-stream-pace-gc")
+    val mk = (id: Long, day: Int, v: Double) => Seq((id, f"2024-01-$day%02d 10:00:00", v))
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root, mk(1, 1, 1.0).schema, "ts",
+      DatePartitioning("ts", "D"))
+    c.insert(mk(1L, 1, 1.0), MergeStrategy.Concat)            // gen 1: day 1
+    c.insert(mk(2L, 5, 2.0), MergeStrategy.Concat)            // gen 2: day 5
+    c.insert(mk(1L, 1, 9.0), MergeStrategy.Upsert()) // gen 3: REPLACES day 1's file
+    val name = "graft_pace_gc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamOps.readStream(spark, c, Map("maxGenerationsPerBatch" -> "1"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // without the clamp the first batch throws FileNotFound on the
+      // GC'd gen-1 file; with it, the stream is the head snapshot
+      val got = spark.table(name).select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      assert(got == Seq((1L, 9.0), (2L, 2.0)), s"clamped backfill mismatch: $got")
+      val ends = q.recentProgress.toSeq
+        .flatMap(p => p.sources.headOption.flatMap(s => Option(s.endOffset)))
+        .map(_.trim.toLong).distinct.sorted
+      assert(ends.head == 3L,
+        s"first paced offset must clamp to the newest removal commit, got ${ends.head}")
+    } finally q.stop()
+  }
+
   test("streaming source restarts from a checkpoint: offsets deserialize, no re-ingestion") {
     import org.apache.spark.sql.streaming.OutputMode
     val root = SparkTestSession.tmp("graft-stream-ckpt")
@@ -376,6 +409,57 @@ class StreamMultimodalSpec extends AnyFunSuite {
     val (_, _, f2) = ImageIoCodec.decodeRgb(frames(0).frames(1))
     assert((f0(0) & 0xff) == 255 && (f0(1) & 0xff) == 0)  // frame 0 red
     assert((f2(2) & 0xff) == 255 && (f2(0) & 0xff) == 0)  // frame 2 blue
+  }
+
+  test("optimized GIF delta frames composite onto the canvas before sampling") {
+    import Multimodal.ImageIoCodec
+    import java.awt.image.BufferedImage
+    // frame 0: full 4x4 red; frame 1: a 2x2 green DELTA at offset (2,2)
+    // — what GIF optimizers emit. A non-compositing sampler returns the
+    // bare 2x2 sub-rect for frame 1; a viewer (and this codec) shows the
+    // full 4x4 canvas with green only in the bottom-right quadrant.
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val gifOut = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(gifOut)
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    def write(img: BufferedImage, x: Int, y: Int): Unit = {
+      val meta = wr.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), wr.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+      val kids = tree.getChildNodes
+      val desc = (0 until kids.getLength).map(kids.item).collectFirst {
+        case e: org.w3c.dom.Element if e.getNodeName == "ImageDescriptor" => e
+      }.get
+      desc.setAttribute("imageLeftPosition", x.toString)
+      desc.setAttribute("imageTopPosition", y.toString)
+      meta.setFromTree(fmt, tree)
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+    }
+    val full = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (py <- 0 until 4; px <- 0 until 4) full.setRGB(px, py, 0xff0000)
+    val delta = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    for (py <- 0 until 2; px <- 0 until 2) delta.setRGB(px, py, 0x00ff00)
+    write(full, 0, 0)
+    write(delta, 2, 2)
+    wr.endWriteSequence(); wr.dispose(); ios.close()
+
+    val samples = ImageIoCodec.sampleFrames(gifOut.toByteArray, stride = 1)
+    assert(samples.size == 2)
+    val (w1, h1, rgb1) = ImageIoCodec.decodeRgb(samples(1))
+    assert(w1 == 4 && h1 == 4,
+      s"frame 1 must be the composed 4x4 canvas, got ${w1}x$h1")
+    def px(x: Int, y: Int) = ((rgb1((y * 4 + x) * 3) & 0xff),
+      (rgb1((y * 4 + x) * 3 + 1) & 0xff))
+    assert(px(0, 0) == (255, 0), "top-left stays red from frame 0")
+    assert(px(1, 1) == (255, 0))
+    assert(px(2, 2) == (0, 255), "delta rect is green")
+    assert(px(3, 3) == (0, 255))
+
+    // stride is validated at entry, not mid-decode
+    intercept[IllegalArgumentException](
+      ImageIoCodec.sampleFrames(gifOut.toByteArray, stride = 0))
   }
 
   test("multimodal stub pipeline: features and frames are deterministic batch ops") {

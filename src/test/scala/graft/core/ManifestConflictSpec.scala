@@ -79,4 +79,56 @@ class ManifestConflictSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("schema evolved"), ex2.getMessage)
   }
+
+  test("TRULY concurrent same-generation writers: exactly one publish wins") {
+    // the exists()+rename commit had a TOCTOU hole: two writers racing
+    // the same generation could both pass the pre-check and both
+    // "succeed" on an overwriting rename, silently losing one commit.
+    // The publish is now an exclusive atomic primitive (link(2) on local
+    // filesystems); race two barrier-synchronized writers repeatedly and
+    // require exactly one winner each round, with the committed content
+    // being the winner's.
+    val root = SparkTestSession.tmp("graft-race")
+    val df = Seq((0L, 1L, 1.0)).toDF("a", "seq", "v")
+    val c = Collection.create(spark, root, df.schema, "seq",
+      SequencePartitioning(Seq("a"), "seq"))
+    c.insert(df)
+    val fs = Collection.fileSystem(spark, root)
+    val dir = new Path(s"$root/${Collection.ManifestDir}")
+    val head = c.currentManifest()
+
+    for (round <- 1 to 25) {
+      val gen = head.generation + round
+      val tags = Seq("A", "B")
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val outcome = new Array[Option[Throwable]](2)
+      val threads = tags.zipWithIndex.map { case (tag, i) =>
+        new Thread(() => {
+          val m = head.withMeta(generation = gen, fills = Map("winner" -> tag))
+          barrier.await()
+          outcome(i) =
+            try { Collection.writeManifest(fs, dir, m); None }
+            catch { case e: Throwable => Some(e) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+
+      val winners = outcome.zipWithIndex.collect { case (None, i) => i }
+      assert(winners.length == 1,
+        s"round $round: want exactly 1 winner, got ${winners.length} " +
+        s"(${outcome.map(_.map(_.getClass.getSimpleName)).mkString(", ")})")
+      val loser = outcome(1 - winners.head).get
+      assert(loser.isInstanceOf[java.util.ConcurrentModificationException],
+        s"round $round: loser must conflict, threw $loser")
+      // committed bytes are the winner's, fully intact
+      val committed = Collection.readManifest(fs, dir, gen)
+      assert(committed.fills.get("winner").contains(tags(winners.head)),
+        s"round $round: committed content is not the winner's")
+      // no stray tmp survives a decided race
+      val tmps = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(f"manifest-$gen%012d.") && n.endsWith(".tmp"))
+      assert(tmps.isEmpty, s"round $round: orphan tmps $tmps")
+    }
+  }
 }

@@ -142,4 +142,52 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(man.statsForFiles(man.files).size == man.files.size)
     assert(c.query("seq == 155").select("v").collect().map(_.getDouble(0)).toSeq == Seq(0.0))
   }
+
+  test("NTZ axis: zone maps prune in the wallclock domain regardless of session zone") {
+    // NTZ parquet footer stats are zone-free wallclock micros
+    // (isAdjustedToUTC=false); decoding filter literals via the SESSION
+    // zone would skew every comparison by the zone offset and silently
+    // drop files that contain matching rows. Run the whole lifecycle in
+    // UTC+8 to prove the domain is zone-free end to end.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+    try {
+      val root = SparkTestSession.tmp("graft-zone-ntz")
+      def mk(rows: Seq[(Long, String, Double)]) = rows.toDF("id", "ts", "v")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val a = mk(Seq((1L, "2023-12-31 08:00:00", 1.0)))
+      val c = Collection.create(spark, root, a.schema, "ts", DatePartitioning("ts", "D"))
+      c.insert(a, MergeStrategy.Concat)                                          // file 1: 08:00
+      c.insert(mk(Seq((2L, "2023-12-31 20:00:00", 2.0))), MergeStrategy.Concat)  // file 2: 20:00
+      c.insert(mk(Seq((3L, "2024-01-01 10:00:00", 3.0))), MergeStrategy.Concat)  // next day
+
+      val man = c.currentManifest()
+      assert(man.statsForFiles(man.files).size == man.files.size,
+        "NTZ files must carry zone maps (isAdjustedToUTC=false accepted)")
+
+      // the session-zone decode bug in the concrete: in UTC+8 it mapped
+      // '2024-01-01 00:00' to wallclock 2023-12-31 16:00 and pruned the
+      // 20:00 file even though its row matches
+      val q = c.query("ts <= '2024-01-01 00:00:00'")
+      assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+        "wallclock-matching rows must survive pruning in a non-UTC session zone")
+
+      // and pruning still bites, in the wallclock domain: day 2023-12-31
+      // holds two files, an evening range keeps exactly the 20:00 one
+      val q2 = c.query("ts >= '2023-12-31 18:00:00' and ts < '2024-01-01 00:00:00'")
+      assert(q2.inputFiles.length == 1,
+        s"want 1 overlapping file, scanned ${q2.inputFiles.length}")
+      assert(q2.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+
+      // partition pruning (layer 1) also derives wallclock calendar keys
+      import org.apache.spark.sql.types.TimestampNTZType
+      val wallclock = java.time.LocalDateTime.of(2023, 12, 31, 20, 0)
+        .toInstant(java.time.ZoneOffset.UTC)
+      val micros = wallclock.getEpochSecond * 1000000L
+      assert(DatePartitioning("ts", "D")
+        .axisKeyPrefix(micros, TimestampNTZType, java.time.ZoneId.of("Asia/Shanghai"))
+        .contains(Seq(2023L, 12L, 31L)),
+        "NTZ calendar keys must ignore the session zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
