@@ -49,6 +49,21 @@ object SparkEntry {
       c
     })
 
+  /** Events collection with the round-5 skip layers on: `user_id` is a
+    * declared zone-map stats column AND a bloom-filter column. */
+  private[graft] def skipEventsCollection(spark: SparkSession, sfDir: String): Collection =
+    collCache.getOrElseUpdate(("events-skip", sfDir), {
+      val ev = Tables.events(spark, sfDir)
+      val c = Collection.create(
+        spark, s"$scratch/events-skip-${sfDir.replaceAll("[^0-9.]", "")}",
+        ev.schema, axis = "ts",
+        partitioning = DatePartitioning("ts", "D"),
+        catalogEnabled = true, overwrite = true,
+        statsColumns = Seq("user_id"), bloomColumns = Seq("user_id"))
+      c.insert(ev)
+      c
+    })
+
   private def eventsOut(df: DataFrame): DataFrame =
     df.withColumn("ts_us", unix_micros(col("ts")))
       .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
@@ -95,6 +110,22 @@ object SparkEntry {
     "zc_axis_range" -> ((s, dir) => {
       eventsOut(eventsCollection(s, dir).query(
         filters = "ts >= '2024-01-08 00:00:00' and ts < '2024-01-15 12:00:00'"))
+    }),
+
+    // E (r5): MULTI-COLUMN zone maps — `user_id` is a declared HOT stats
+    // column; a range filter on it skips non-overlapping files before
+    // the driver schedules them, intersecting with the axis stats.
+    "zc_col_zone" -> ((s, dir) => {
+      eventsOut(skipEventsCollection(s, dir).query(
+        filters = "user_id >= 5 and user_id < 9 and ts >= '2024-01-03 00:00:00'"))
+    }),
+
+    // E (r5): BLOOM-filter skipping — `user_id` also writes parquet
+    // footer blooms; an IN predicate drops files whose blooms prove the
+    // pinned values absent (the case [min,max] can't discriminate).
+    "zc_bloom" -> ((s, dir) => {
+      eventsOut(skipEventsCollection(s, dir).query(
+        filters = "user_id in (7, 11)"))
     }),
 
     // A4: variable projection reaches the parquet scan.
@@ -601,6 +632,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C19 (r5): deterministic hash SPLIT — stable train/val/test
+    // assignment from the document fingerprint; membership survives
+    // re-runs and re-ingests (hash-based, never random). Scalar map, no
+    // shuffle.
+    "text_sample_split" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      import graft.operators.Corpus
+      val (bucket, split) = Corpus.hashSplit(
+        TextFunctions.fingerprint(col("text")),
+        Seq(("train", 90), ("val", 95), ("test", 100)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), bucket.as("bucket"), split.as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // C20 (r5): Gopher REPETITION rules — duplicate-token and
+    // duplicate-bigram fractions as one scalar projection (array ops in
+    // the scan's codegen span; no explode, no per-doc aggregation).
+    "text_repetition" -> ((s, dir) => {
+      import graft.operators.Corpus
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: Corpus.repetitionMetrics(col("text")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // C21 (r5): token-budget sequence PACKING — contiguous bins per
+    // language stratum via an exclusive prefix sum (one shuffle on the
+    // stratum key; parallelism = strata, each window executor-sized).
+    "text_pack" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      import graft.operators.Corpus
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Corpus.packSequences(docs, col("n_tokens"), Seq(col("lang")), col("doc_id"), 512L)
+        .select(col("doc_id"), col("lang"), col("n_tokens").cast("int").as("n_tokens"),
+          col("bin"))
+        .orderBy("doc_id")
+    }),
+
     // C11: 64-bit FNV-1a document fingerprint (custom codegen Expression).
     "text_fingerprint" -> ((s, dir) => {
       import graft.functions.TextFunctions
@@ -1047,6 +1117,17 @@ object SparkEntry {
            AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-15 12:00:00'
          ORDER BY event_id""",
 
+    "zc_col_zone" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events
+         WHERE user_id >= 5 AND user_id < 9
+           AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-03 00:00:00'
+         ORDER BY event_id""",
+
+    "zc_bloom" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events WHERE user_id IN (7, 11) ORDER BY event_id""",
+
     "zc_partitions" ->
       """SELECT DISTINCT CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS year,
                 CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS month,
@@ -1389,6 +1470,66 @@ object SparkEntry {
          SELECT doc_id,
            CAST(CAST(hu AS HUGEINT) - CASE WHEN hu >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp
          FROM fnv ORDER BY doc_id""",
+
+    // Split assignment mirrored on the same FNV-1a fingerprint (the
+    // text_fingerprint CTE) with pmod bucket arithmetic.
+    "text_sample_split" ->
+      """WITH norm AS (
+           SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents
+         ), bytes AS (
+           SELECT doc_id,
+             list_transform(range(0, octet_length(encode(s))),
+               i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+1, 1)) - 1) * 16
+                       + (strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+2, 1)) - 1) AS UBIGINT)) AS bs
+           FROM norm
+         ), fnv AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS UBIGINT), bs),
+               (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+             ) AS hu
+           FROM bytes
+         ), fp AS (
+           SELECT doc_id,
+             CAST(CAST(hu AS HUGEINT) - CASE WHEN hu >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp
+           FROM fnv
+         )
+         SELECT doc_id,
+                CAST(((fp % 100) + 100) % 100 AS INT) AS bucket,
+                CASE WHEN ((fp % 100) + 100) % 100 < 90 THEN 'train'
+                     WHEN ((fp % 100) + 100) % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM fp ORDER BY doc_id""",
+
+    "text_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+         ), b AS (
+           SELECT doc_id, toks,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+           FROM t
+         )
+         SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS dup_token_frac,
+           CASE WHEN len(bg) > 0
+                THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                ELSE 0.0 END AS dup_bigram_frac
+         FROM b ORDER BY doc_id""",
+
+    "text_pack" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS INT) AS bin
+         FROM d ORDER BY doc_id""",
 
     "q3_shipping" ->
       """SELECT l_orderkey,

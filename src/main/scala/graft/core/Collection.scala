@@ -79,6 +79,23 @@ final class Collection private (
       * time-travels); N > 0 defers deletion to [[vacuum]], which keeps
       * the newest N+1 snapshots intact — the lakehouse retention model. */
     val retainGenerations: Int = 0,
+    /** HOT data columns beyond the axis whose per-file [min,max] is
+      * recorded in the manifest zone maps at commit time — equality and
+      * range filters on them skip non-overlapping files before the
+      * driver ever schedules them (Iceberg column-metrics shape). */
+    val statsColumns: Seq[String] = Nil,
+    /** Data columns written with parquet BLOOM FILTERS: high-cardinality
+      * equality predicates (`col == v`, `col in (...)`) test the footer
+      * blooms of candidate files at query time and drop definite
+      * misses — the skip layer zone maps can't provide when values are
+      * uniformly spread across every file's [min,max]. */
+    val bloomColumns: Seq[String] = Nil,
+    /** When > 0: after a commit, any touched partition holding more than
+      * this many data files is immediately rewritten as one fresh
+      * axis-sorted file set in a follow-up atomic commit — bounding the
+      * small-file accumulation of `Concat` append streams without a
+      * manual [[compact]] schedule. 0 (default) disables the policy. */
+    val autoCompactFiles: Int = 0,
 ) {
   import Collection._
 
@@ -239,7 +256,28 @@ final class Collection private (
     writeAndCommit(toWrite, replaced = replacedPaths.toSet,
       touched = (incomingPaths ++ replacedPaths).distinct, streamMark = streamMark)
     if (catalogEnabled) () // the manifest IS the catalog; kept for API parity
+    maybeAutoCompact(incomingPaths)
     incomingPaths.sorted
+  }
+
+  /** Size-triggered compaction policy ([[autoCompactFiles]]): after a
+    * commit, rewrite any just-touched partition whose file count exceeds
+    * the threshold as one fresh axis-sorted set — a follow-up atomic
+    * commit, so readers observe either the fragmented or the compacted
+    * snapshot, never a mix. Bounded per insert: only the partitions this
+    * insert touched are examined (file counts come from the root-reachable
+    * shards of exactly those partitions, no full listing), and the
+    * rewrite itself cannot re-trigger. Like [[compact]], row ids are
+    * reassigned — overlaying views detect the rewrite as staleness. */
+  private def maybeAutoCompact(touched: Seq[String]): Unit = {
+    if (autoCompactFiles <= 0 || touched.isEmpty) return
+    val man = currentManifest()
+    val over = touched.distinct
+      .filter(p => man.filesForPartitions(Set(p)).size > autoCompactFiles)
+    if (over.isEmpty) return
+    val paths = over.toSet
+    val out = readPartitionsRaw(paths).select(schema.fieldNames.toSeq.map(col): _*)
+    writeAndCommit(partitioning.assign(out), replaced = paths, touched = over)
   }
 
   /** The last micro-batch id committed by streaming query `queryName`
@@ -331,10 +369,16 @@ final class Collection private (
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.write.partitionBy(partCols: _*)
-      .option("compression", profile.compression)
-      .mode("append")
-      .parquet(root)
+    try {
+      val writer = bloomColumns.foldLeft(
+        df.write.partitionBy(partCols: _*)
+          .option("compression", profile.compression)) { (w, c) =>
+        // parquet-mr writes a footer bloom filter per row group for the
+        // column; [[pruneByBloom]] reads it back at query time
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
+      writer.mode("append").parquet(root)
+    }
     finally prevTs match {
       case Some(v) => spark.conf.set(tsKey, v)
       case None    => spark.conf.unset(tsKey)
@@ -388,7 +432,7 @@ final class Collection private (
                                 streamMark: Option[(String, Long)] = None): Unit = {
     var base = prev
     var attempts = 0
-    val newStats = axisFileStats(newFiles) // once — retries reuse it
+    val newStats = fileStats(newFiles) // once — retries reuse it
     while (true) {
       try { commitDeltaOnce(base, newFiles, newStats, dropped, taskBump, streamMark); return }
       catch {
@@ -444,7 +488,7 @@ final class Collection private (
     * A commit touching one partition of a 10^7-file collection writes
     * one shard + the root, regardless of collection size. */
   private def commitDeltaOnce(prev: Manifest, newFiles: Seq[String],
-                              newStats: Map[String, (String, String)],
+                              newStats: Map[String, Map[String, (String, String)]],
                               dropped: Set[String], taskBump: Long,
                               streamMark: Option[(String, Long)] = None): Unit = {
     val newByPrefix = newFiles.groupBy(f => prefixOf(parentRel(f)))
@@ -675,12 +719,7 @@ final class Collection private (
     val df = ast match {
       case FilterExpr.True => readRawManifest(man)
       case _ =>
-        val unknown = FilterExpr.names(ast) -- partCols -- schema.fieldNames
-        if (unknown.nonEmpty)
-          throw new FilterExpr.ParseException(
-            s"unknown column(s) ${unknown.mkString(", ")}; " +
-            s"have partition keys ${partCols.mkString(",")} and data columns " +
-            schema.fieldNames.mkString(","))
+        requireKnownNames(ast)
         val all = man.partitionPaths
         val keyBounds = axisKeyBoundsFromFilter(ast)
         val wanted = all
@@ -691,34 +730,109 @@ final class Collection private (
           .map(_._1).toSet
         val candidates =
           if (wanted.size == all.size) man.files else man.filesForPartitions(wanted)
-        readManifestFiles(man, pruneByAxisStats(man, candidates, ast))
+        readManifestFiles(man, pruneByBloom(pruneByStats(man, candidates, ast), ast))
     }
     df.where(FilterExpr.toColumn(ast))
   }
 
-  /** Zone-map layer of [[prunedRaw]]: keep only files whose axis
-    * [min,max] MAY satisfy the filter. Conservative everywhere — no
-    * recorded stats, an undecodable bound, or a filter not mentioning
-    * the axis all keep the file. */
-  private def pruneByAxisStats(man: Manifest, files: Seq[String],
-                               ast: FilterExpr.Ast): Seq[String] = {
-    if (!FilterExpr.names(ast).contains(axis)) return files
-    axisDomain match {
-      case None => files
-      case Some(dom) =>
-        val stats = man.statsForFiles(files)
-        if (stats.isEmpty) files
-        else files.filter { f =>
-          stats.get(f) match {
-            case Some((loS, hiS)) =>
-              (dom.decodeStat(loS), dom.decodeStat(hiS)) match {
-                case (Some(lo), Some(hi)) =>
-                  FilterExpr.mayMatchInterval(ast, axis, lo, hi, dom.decodeLit, dom.cmp)
-                case _ => true
-              }
-            case None => true
+  /** File-level prune for an EXPLICIT file set — the streaming source's
+    * pushdown path ([[graft.streaming.GraftCollectionSource]]): a
+    * micro-batch's manifest-diff files drop (1) whole partitions the
+    * filter can't match (tolerant key eval + monotonic axis-key bounds,
+    * like [[prunedRaw]]'s layer 1), (2) files whose zone maps can't
+    * overlap, (3) files whose bloom filters prove the pinned values
+    * absent. Rows still need the compiled predicate on top — this layer
+    * only shrinks the scan. */
+  private[graft] def pruneFilesForRead(man: Manifest, files: Seq[String],
+                                       ast: FilterExpr.Ast): Seq[String] = ast match {
+    case FilterExpr.True => files
+    case _ =>
+      val keyBounds = axisKeyBoundsFromFilter(ast)
+      val keep = files.groupBy(parentRel).filter { case (p, _) =>
+        decodePath(p).forall(k =>
+          FilterExpr.mayMatch(ast, k.toMap) && keyInRange(k, keyBounds))
+      }.values.flatten.toSeq.sorted
+      pruneByBloom(pruneByStats(man, keep, ast), ast)
+  }
+
+  /** Validate that a filter references only known columns — shared by
+    * the batch read path and the streaming source's pushdown option. */
+  private[graft] def requireKnownNames(ast: FilterExpr.Ast): Unit = {
+    val unknown = FilterExpr.names(ast) -- partCols -- schema.fieldNames
+    if (unknown.nonEmpty)
+      throw new FilterExpr.ParseException(
+        s"unknown column(s) ${unknown.mkString(", ")}; " +
+        s"have partition keys ${partCols.mkString(",")} and data columns " +
+        schema.fieldNames.mkString(","))
+  }
+
+  /** Zone-map layer of [[prunedRaw]]: keep only files whose recorded
+    * per-column [min,max] MAY satisfy the filter — every stats column
+    * the filter mentions must admit a match (intervals intersect per
+    * column). Conservative everywhere — no recorded stats, an
+    * undecodable bound, or a filter not mentioning any stats column all
+    * keep the file. */
+  private[core] def pruneByStats(man: Manifest, files: Seq[String],
+                                 ast: FilterExpr.Ast): Seq[String] = {
+    val mentioned = FilterExpr.names(ast)
+    val checks = statsCols.filter(mentioned.contains)
+      .flatMap(c => columnDomain(c).map(c -> _))
+    if (checks.isEmpty) return files
+    val stats = man.statsForFiles(files)
+    if (stats.isEmpty) files
+    else files.filter { f =>
+      stats.get(f) match {
+        case Some(byCol) =>
+          checks.forall { case (c, dom) =>
+            // legacy axis-only shards key their interval by sentinel
+            byCol.get(c).orElse(
+              if (c == axis) byCol.get(LegacyAxisKey) else None) match {
+              case Some((loS, hiS)) =>
+                (dom.decodeStat(loS), dom.decodeStat(hiS)) match {
+                  case (Some(lo), Some(hi)) =>
+                    FilterExpr.mayMatchInterval(ast, c, lo, hi, dom.decodeLit, dom.cmp)
+                  case _ => true
+                }
+              case None => true
+            }
           }
-        }
+        case None => true
+      }
+    }
+  }
+
+  /** Bloom layer of [[prunedRaw]]: when the filter pins a declared bloom
+    * column to a finite value set ([[FilterExpr.impliedValueSet]] —
+    * `col == v`, `col in (...)`, including under AND/OR), test each
+    * candidate file's parquet footer bloom filters and drop files where
+    * EVERY row group provably contains none of the values. The skip
+    * layer zone maps can't provide when a high-cardinality column's
+    * values are uniformly spread across every file's [min,max].
+    * Footer + bloom-page reads only (no data pages); fanned out as one
+    * Spark job past 64 candidates. Conservative: a missing bloom, an
+    * unhashable literal, or a filter that pins nothing keeps the file. */
+  private def pruneByBloom(files: Seq[String], ast: FilterExpr.Ast): Seq[String] = {
+    if (bloomColumns.isEmpty || files.isEmpty) return files
+    val mentioned = FilterExpr.names(ast)
+    val checks = bloomColumns.filter(mentioned.contains).flatMap { c =>
+      for {
+        dom <- columnDomain(c)
+        vs  <- FilterExpr.impliedValueSet(ast, c)
+        decoded = vs.map(dom.decodeLit)
+        if decoded.nonEmpty && decoded.forall(_.isDefined)
+      } yield BloomCheck(c, expectTsAdjusted(c), decoded.flatten)
+    }
+    if (checks.isEmpty) return files
+    val rootStr = root
+    if (files.size <= 64) {
+      val conf = spark.sessionState.newHadoopConf()
+      files.filter(f => bloomMayContain(rootStr, f, checks, conf))
+    } else {
+      val bc = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      spark.sparkContext.parallelize(files, math.min(files.size, 256))
+        .filter(f => bloomMayContain(rootStr, f, checks, bc.value.value))
+        .collect().toSeq
     }
   }
 
@@ -726,11 +840,14 @@ final class Collection private (
     java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID))
 
-  /** The axis column's zone-map domain (None: unsupported axis type —
-    * stats are neither recorded nor used). */
-  private def axisDomain: Option[AxisDomain] =
-    schema.fields.find(_.name == axis).flatMap(f =>
+  /** A column's zone-map domain (None: unsupported type — stats are
+    * neither recorded nor used for it). */
+  private def columnDomain(name: String): Option[AxisDomain] =
+    schema.fields.find(_.name == name).flatMap(f =>
       AxisDomain.of(f.dataType, sessionZone))
+
+  /** The axis column's zone-map domain. */
+  private def axisDomain: Option[AxisDomain] = columnDomain(axis)
 
   /** Partition-KEY interval implied by the filter's axis bounds, when
     * the partitioning derives its key monotonically from the axis
@@ -766,43 +883,48 @@ final class Collection private (
       }
     }
 
-  /** Per-file axis [min,max] of freshly written files, from parquet
-    * FOOTERS only (no data pages). Small commits read footers on the
-    * driver; large ones fan the footer reads out as one Spark job —
-    * at a 10^7-file initial load the driver never serializes on
-    * footer IO. */
-  private def axisFileStats(newFiles: Seq[String]): Map[String, (String, String)] = {
-    if (newFiles.isEmpty || axisDomain.isEmpty) return Map.empty
+  /** Per-file, per-column [min,max] of freshly written files, from
+    * parquet FOOTERS only (no data pages) — one footer open covers the
+    * axis AND every declared `statsColumns` entry. Small commits read
+    * footers on the driver; large ones fan the footer reads out as one
+    * Spark job — at a 10^7-file initial load the driver never
+    * serializes on footer IO. */
+  private def fileStats(newFiles: Seq[String]): Map[String, Map[String, (String, String)]] = {
+    val cols = statsCols.filter(c => columnDomain(c).isDefined)
+      .map(c => (c, expectTsAdjusted(c)))
+    if (newFiles.isEmpty || cols.isEmpty) return Map.empty
     val rootStr = root
-    val ax = axis
-    val expectTs = expectTsAdjusted
-    val triples =
+    val pairs =
       if (newFiles.size <= 64) {
         val conf = spark.sessionState.newHadoopConf()
-        newFiles.flatMap(f => footerAxisStats(rootStr, f, ax, expectTs, conf))
+        newFiles.map(f => footerColumnStats(rootStr, f, cols, conf))
       } else {
         // session conf (credentials/endpoints) must reach the executors;
         // broadcast once instead of serializing it into every task closure
         val bc = spark.sparkContext.broadcast(
           new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
         spark.sparkContext.parallelize(newFiles, math.min(newFiles.size, 256))
-          .flatMap(f => footerAxisStats(rootStr, f, ax, expectTs, bc.value.value))
+          .map(f => footerColumnStats(rootStr, f, cols, bc.value.value))
           .collect().toSeq
       }
-    if (triples.size < newFiles.size)
+    val usable = pairs.filter(_._2.nonEmpty)
+    if (usable.size < newFiles.size)
       Collection.statsLog.info(
-        s"axis zone maps recorded for ${triples.size}/${newFiles.size} new files under " +
+        s"zone maps recorded for ${usable.size}/${newFiles.size} new files under " +
         s"$rootStr (files without usable footer statistics are never pruned; " +
         "failed footer reads are logged at WARN)")
-    triples.map { case (f, lo, hi) => f -> (lo, hi) }.toMap
+    usable.toMap
   }
 
-  /** Expected parquet `isAdjustedToUTC` of the axis column's footer
-    * stats: Some(true) = instant micros ([[org.apache.spark.sql.types.TimestampType]]),
-    * Some(false) = wallclock micros (NTZ), None = not a timestamp axis. */
-  private def expectTsAdjusted: Option[Boolean] = {
+  /** Zone-map columns: the axis plus the declared hot data columns. */
+  private def statsCols: Seq[String] = (axis +: statsColumns).distinct
+
+  /** Expected parquet `isAdjustedToUTC` of a column's footer stats:
+    * Some(true) = instant micros ([[org.apache.spark.sql.types.TimestampType]]),
+    * Some(false) = wallclock micros (NTZ), None = not a timestamp. */
+  private def expectTsAdjusted(name: String): Option[Boolean] = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    schema.fields.find(_.name == axis).map(_.dataType).flatMap {
+    schema.fields.find(_.name == name).map(_.dataType).flatMap {
       case TimestampType    => Some(true)
       case TimestampNTZType => Some(false)
       case _                => None
@@ -1138,6 +1260,11 @@ object Collection {
   private val ManifestName = "manifest-([0-9]+)\\.json".r
   private[core] val ShardDir = "shards"
 
+  /** Sentinel column key under which LEGACY axis-only shard stats
+    * (`"stats": {file: [lo, hi]}`) surface in [[ShardData.stats]]; the
+    * prune layer resolves it when filtering on the axis column. */
+  private[core] val LegacyAxisKey = ""
+
   /** Default [[Collection.vacuum]] grace window: unreferenced files newer
     * than (newest committed root − 15 min) are presumed in-flight. */
   val DefaultVacuumGraceMs: Long = 15L * 60L * 1000L
@@ -1264,25 +1391,27 @@ object Collection {
     }
   }
 
-  /** Axis `(min, max)` of one parquet file from its FOOTER statistics —
-    * metadata-only, no data pages read. Returns the canonical string
-    * encoding ([[AxisDomain]]); `None` whenever the footer can't prove a
-    * bound (missing/empty stats, INT96 timestamps, unexpected physical
-    * type, or timestamp stats whose `isAdjustedToUTC` doesn't match the
-    * declared axis type — instant and wallclock micros differ by the
-    * zone offset and must never be compared) — callers then record
-    * nothing and readers never prune the file. Runs on executors for
-    * large commits ([[Collection]]'s `axisFileStats`); `conf` must be
-    * the session Hadoop configuration (credentials, endpoints, custom
-    * schemes), shipped there via [[SerializableHadoopConf]].
+  /** Per-column `(min, max)` of one parquet file from its FOOTER
+    * statistics — metadata-only, no data pages read, ONE footer open for
+    * every requested column. Returns the canonical string encoding
+    * ([[AxisDomain]]); a column is absent from the result whenever the
+    * footer can't prove its bounds in every block (missing/empty stats,
+    * INT96 timestamps, unexpected physical type, or timestamp stats
+    * whose `isAdjustedToUTC` doesn't match the declared column type —
+    * instant and wallclock micros differ by the zone offset and must
+    * never be compared) — callers then record nothing and readers never
+    * prune the file on that column. Runs on executors for large commits
+    * ([[Collection]]'s `fileStats`); `conf` must be the session Hadoop
+    * configuration (credentials, endpoints, custom schemes), shipped
+    * there via [[SerializableHadoopConf]].
     *
-    * `expectTsAdjusted`: `Some(true)` for a `TimestampType` axis
-    * (footer stats are UTC-instant micros), `Some(false)` for
-    * `TimestampNTZType` (local-wallclock micros), `None` for
-    * non-timestamp axes. */
-  private[core] def footerAxisStats(rootStr: String, rel: String, axisName: String,
-                                    expectTsAdjusted: Option[Boolean],
-                                    conf: org.apache.hadoop.conf.Configuration): Option[(String, String, String)] =
+    * Each entry of `cols` pairs a column name with its expected
+    * timestamp adjustment: `Some(true)` for `TimestampType` (footer
+    * stats are UTC-instant micros), `Some(false)` for `TimestampNTZType`
+    * (local-wallclock micros), `None` for non-timestamp columns. */
+  private[core] def footerColumnStats(rootStr: String, rel: String,
+                                      cols: Seq[(String, Option[Boolean])],
+                                      conf: org.apache.hadoop.conf.Configuration): (String, Map[String, (String, String)]) =
     try {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -1291,80 +1420,175 @@ object Collection {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = reader.getFooter.getBlocks.asScala
-        if (blocks.isEmpty) return None
-        var lo: Any = null
-        var hi: Any = null
-        var isStr = false
-        for (b <- blocks) {
-          val c = b.getColumns.asScala.find(_.getPath.toDotString == axisName)
-            .getOrElse(return None)
-          val st = c.getStatistics
-          if (st == null || st.isEmpty || !st.hasNonNullValue) return None
-          val pt = c.getPrimitiveType
-          // canonicalize this block's bounds; isMax steers rounding so the
-          // interval only ever WIDENS (nanos -> micros truncation)
-          def canon(v: AnyRef, isMax: Boolean): Option[Any] = pt.getPrimitiveTypeName match {
-            case INT64 =>
-              val x = v.asInstanceOf[java.lang.Long].longValue
-              pt.getLogicalTypeAnnotation match {
-                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                  // trust only stats in the declared axis type's domain:
-                  // an isAdjustedToUTC mismatch means these micros are
-                  // offset by the writer zone relative to the filter
-                  // literals — pruning on them would drop matching files
-                  if (!expectTsAdjusted.contains(t.isAdjustedToUTC)) None
-                  else t.getUnit match {
-                    case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(x * 1000L)
-                    case LogicalTypeAnnotation.TimeUnit.MICROS => Some(x)
-                    case LogicalTypeAnnotation.TimeUnit.NANOS  =>
-                      val q = Math.floorDiv(x, 1000L)
-                      Some(if (isMax && Math.floorMod(x, 1000L) != 0L) q + 1L else q)
+        if (blocks.isEmpty) return (rel, Map.empty)
+        val out = cols.flatMap { case (colName, expectTsAdjusted) =>
+          var lo: Any = null
+          var hi: Any = null
+          var ok = true
+          for (b <- blocks if ok) {
+            b.getColumns.asScala.find(_.getPath.toDotString == colName) match {
+              case None => ok = false
+              case Some(c) =>
+                val st = c.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+                else {
+                  val pt = c.getPrimitiveType
+                  // canonicalize this block's bounds; isMax steers rounding
+                  // so the interval only ever WIDENS (nanos -> micros)
+                  def canon(v: AnyRef, isMax: Boolean): Option[Any] = pt.getPrimitiveTypeName match {
+                    case INT64 =>
+                      val x = v.asInstanceOf[java.lang.Long].longValue
+                      pt.getLogicalTypeAnnotation match {
+                        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                          // trust only stats in the declared column type's
+                          // domain: an isAdjustedToUTC mismatch means these
+                          // micros are offset by the writer zone relative to
+                          // the filter literals — pruning would drop matches
+                          if (!expectTsAdjusted.contains(t.isAdjustedToUTC)) None
+                          else t.getUnit match {
+                            case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(x * 1000L)
+                            case LogicalTypeAnnotation.TimeUnit.MICROS => Some(x)
+                            case LogicalTypeAnnotation.TimeUnit.NANOS  =>
+                              val q = Math.floorDiv(x, 1000L)
+                              Some(if (isMax && Math.floorMod(x, 1000L) != 0L) q + 1L else q)
+                          }
+                        case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => None
+                        // declared-timestamp column but unannotated INT64 (or
+                        // a non-timestamp logical type): unknown, don't guess
+                        case _ => if (expectTsAdjusted.isDefined) None else Some(x)
+                      }
+                    case INT32 if expectTsAdjusted.isEmpty =>
+                      Some(v.asInstanceOf[java.lang.Integer].longValue)
+                    case FLOAT  => Some(v.asInstanceOf[java.lang.Float].doubleValue)
+                    case DOUBLE => Some(v.asInstanceOf[java.lang.Double].doubleValue)
+                    case BINARY =>
+                      pt.getLogicalTypeAnnotation match {
+                        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+                          Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                        case _ => None
+                      }
+                    case _ => None // INT96 etc: no trustworthy stats
                   }
-                case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => None
-                // declared-timestamp axis but unannotated INT64 (or a
-                // non-timestamp logical type): unknown domain, don't guess
-                case _ => if (expectTsAdjusted.isDefined) None else Some(x)
-              }
-            case INT32 if expectTsAdjusted.isEmpty => Some(v.asInstanceOf[java.lang.Integer].longValue)
-            case FLOAT  => Some(v.asInstanceOf[java.lang.Float].doubleValue)
-            case DOUBLE => Some(v.asInstanceOf[java.lang.Double].doubleValue)
-            case BINARY =>
-              pt.getLogicalTypeAnnotation match {
-                case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
-                  isStr = true
-                  Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-                case _ => None
-              }
-            case _ => None // INT96 etc: no trustworthy stats
-          }
-          def merge(cur: Any, cand: Any, wantMax: Boolean): Any = {
-            if (cur == null) return cand
-            val c0 = (cur, cand) match {
-              case (a: Long, b: Long)     => java.lang.Long.compare(a, b)
-              case (a: Double, b: Double) => java.lang.Double.compare(a, b)
-              case (a: String, b: String) => a.compareTo(b)
-              case _                      => return cur
+                  def merge(cur: Any, cand: Any, wantMax: Boolean): Any = {
+                    if (cur == null) return cand
+                    val c0 = (cur, cand) match {
+                      case (a: Long, b: Long)     => java.lang.Long.compare(a, b)
+                      case (a: Double, b: Double) => java.lang.Double.compare(a, b)
+                      case (a: String, b: String) => a.compareTo(b)
+                      case _                      => return cur
+                    }
+                    if ((wantMax && c0 < 0) || (!wantMax && c0 > 0)) cand else cur
+                  }
+                  (canon(st.genericGetMin.asInstanceOf[AnyRef], isMax = false),
+                   canon(st.genericGetMax.asInstanceOf[AnyRef], isMax = true)) match {
+                    case (Some(mn), Some(mx)) =>
+                      lo = merge(lo, mn, wantMax = false)
+                      hi = merge(hi, mx, wantMax = true)
+                    case _ => ok = false
+                  }
+                }
             }
-            if ((wantMax && c0 < 0) || (!wantMax && c0 > 0)) cand else cur
           }
-          (canon(st.genericGetMin.asInstanceOf[AnyRef], isMax = false),
-           canon(st.genericGetMax.asInstanceOf[AnyRef], isMax = true)) match {
-            case (Some(mn), Some(mx)) =>
-              lo = merge(lo, mn, wantMax = false)
-              hi = merge(hi, mx, wantMax = true)
-            case _ => return None
-          }
-        }
-        if (lo == null || hi == null) None
-        else Some((rel, lo.toString, hi.toString))
+          if (ok && lo != null && hi != null) Some(colName -> (lo.toString, hi.toString))
+          else None
+        }.toMap
+        (rel, out)
       } finally reader.close()
     } catch {
       case e: Exception =>
         // a failed footer open on a real deployment (credentials, HA
         // nameservice) must be DIAGNOSABLE, not a silent no-stats file —
         // the file stays unprunable either way, which is always correct
-        statsLog.warn(s"axis zone-map stats unavailable for $rootStr/$rel: $e")
-        None
+        statsLog.warn(s"zone-map stats unavailable for $rootStr/$rel: $e")
+        (rel, Map.empty)
+    }
+
+  /** One bloom-prune obligation: the filter implies `col` ∈ `values`
+    * (domain-canonical `Long | Double | String`); a file whose blooms
+    * prove every value absent from every row group cannot match. */
+  private[core] final case class BloomCheck(
+      col: String, expectTsAdjusted: Option[Boolean], values: Seq[Any])
+
+  /** Could this file contain a row satisfying every [[BloomCheck]]?
+    * False ONLY on proof: for some check, every row group has a bloom
+    * filter for the column, every value hashes unambiguously into the
+    * column's physical type, and no hash hits. Anything less — missing
+    * bloom, unhashable literal, foreign physical type, IO failure —
+    * keeps the file. Runs on executors for large candidate sets. */
+  private[core] def bloomMayContain(rootStr: String, rel: String,
+                                    checks: Seq[BloomCheck],
+                                    conf: org.apache.hadoop.conf.Configuration): Boolean =
+    try {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(s"$rootStr/$rel"), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        if (blocks.isEmpty) return true
+        // canonical value -> bloom hash, or None when the physical type
+        // can't represent the literal unambiguously (then: never prune)
+        def hashOf(bloom: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+                   cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+                   expectTs: Option[Boolean], v: Any): Option[Long] = {
+          val pt = cc.getPrimitiveType
+          pt.getPrimitiveTypeName match {
+            case INT64 => pt.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                // same domain discipline as the zone maps: only trust
+                // micros in the declared adjustment, the unit we write
+                if (expectTs.contains(t.isAdjustedToUTC) &&
+                    t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS)
+                  v match { case l: Long => Some(bloom.hash(l)); case _ => None }
+                else None
+              case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => None
+              case _ =>
+                if (expectTs.isDefined) None
+                else v match { case l: Long => Some(bloom.hash(l)); case _ => None }
+            }
+            case INT32 if expectTs.isEmpty =>
+              v match {
+                case l: Long if l.isValidInt => Some(bloom.hash(l.toInt))
+                case _                       => None
+              }
+            case BINARY => pt.getLogicalTypeAnnotation match {
+              case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+                v match {
+                  case s: String =>
+                    Some(bloom.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+                  case _ => None
+                }
+              case _ => None
+            }
+            case DOUBLE =>
+              v match { case d: Double => Some(bloom.hash(d)); case _ => None }
+            case FLOAT =>
+              v match { case d: Double => Some(bloom.hash(d.toFloat)); case _ => None }
+            case _ => None
+          }
+        }
+        val provablyAbsent = checks.exists { chk =>
+          blocks.forall { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == chk.col) match {
+              case None => false
+              case Some(cc) =>
+                val bloom = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
+                bloom != null && chk.values.forall { v =>
+                  hashOf(bloom, cc, chk.expectTsAdjusted, v) match {
+                    case Some(h) => !bloom.findHash(h)
+                    case None    => false // unhashable: no proof of absence
+                  }
+                }
+            }
+          }
+        }
+        !provablyAbsent
+      } finally reader.close()
+    } catch {
+      case e: Exception =>
+        statsLog.warn(s"bloom skip check unavailable for $rootStr/$rel: $e")
+        true
     }
 
   private[core] lazy val statsLog =
@@ -1387,13 +1611,17 @@ object Collection {
     }
   }
 
-  /** A shard file's payload: the subtree's data files plus per-file axis
-    * zone maps — `stats(file) = (min, max)` of the axis column in the
-    * domain-canonical string encoding of [[AxisDomain]] (files written
-    * before stats existed, or whose footer had no usable statistics,
-    * simply have no entry — readers treat them as unprunable). */
+  /** A shard file's payload: the subtree's data files plus per-file zone
+    * maps — `stats(file)(column) = (min, max)` in the domain-canonical
+    * string encoding of [[AxisDomain]], covering the axis plus any
+    * declared `statsColumns` (files written before stats existed, or
+    * whose footer had no usable statistics for a column, simply have no
+    * entry — readers treat them as unprunable). Legacy axis-only shards
+    * parse their single interval under the [[Collection.LegacyAxisKey]]
+    * sentinel — the prune layer resolves it for the axis column. */
   private[graft] final case class ShardData(
-      files: Seq[String], stats: Map[String, (String, String)] = Map.empty)
+      files: Seq[String],
+      stats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   private[graft] final class Manifest(
       val generation: Long,
@@ -1426,9 +1654,9 @@ object Collection {
 
     def shardFiles(e: ShardEntry): Seq[String] = shardData(e).files
 
-    /** Axis zone maps of exactly the shards containing `files` (keyed by
-      * file; absent = no stats recorded, never prune). */
-    def statsForFiles(files: Seq[String]): Map[String, (String, String)] = {
+    /** Zone maps of exactly the shards containing `files` (keyed by
+      * file, then column; absent = no stats recorded, never prune). */
+    def statsForFiles(files: Seq[String]): Map[String, Map[String, (String, String)]] = {
       val prefixes = files.map(f => prefixOf(parentRel(f))).toSet
       shards.filter(e => prefixes(e.prefix))
         .flatMap(e => shardData(e).stats).toMap
@@ -1482,16 +1710,19 @@ object Collection {
     * same state) resolve to the same name, so unchanged subtrees carry
     * over across commits without a write, and generation diffs compare
     * shard names instead of file lists. */
-  private[core] def shardName(files: Seq[String],
-                              stats: Map[String, (String, String)] = Map.empty): String = {
+  private[core] def shardName(
+      files: Seq[String],
+      stats: Map[String, Map[String, (String, String)]] = Map.empty): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(files.mkString("\n").getBytes("UTF-8"))
     // stats participate in the content address (same file list with new
     // zone maps is new content); stats-free hashing is unchanged, so
     // every pre-stats shard name stays stable across this format change
     if (stats.nonEmpty)
-      md.update(stats.toSeq.sortBy(_._1).map(e => e._1 + " " + e._2._1 + " " + e._2._2)
-        .mkString("\n").getBytes("UTF-8"))
+      md.update(stats.toSeq.sortBy(_._1).map { case (f, byCol) =>
+        f + " " + byCol.toSeq.sortBy(_._1)
+          .map(e => e._1 + "=" + e._2._1 + ".." + e._2._2).mkString(";")
+      }.mkString("\n").getBytes("UTF-8"))
     s"$ShardDir/shard-${md.digest().map("%02x".format(_)).mkString}.json"
   }
 
@@ -1504,30 +1735,45 @@ object Collection {
     val files = Option(doc.get("files"))
       .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
       .getOrElse(Nil)
-    val stats = Option(doc.get("stats"))
+    // legacy axis-only shape: "stats": {file: [lo, hi]} — surface under
+    // the sentinel key so old shards keep pruning axis filters unchanged
+    val legacy = Option(doc.get("stats"))
       .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map { case (f, mm) =>
         val l = mm.asInstanceOf[java.util.List[Object]]
-        f -> (l.get(0).toString, l.get(1).toString)
+        f -> Map(LegacyAxisKey -> (l.get(0).toString, l.get(1).toString))
       }.toMap)
-      .getOrElse(Map.empty[String, (String, String)])
-    ShardData(files, stats)
+      .getOrElse(Map.empty[String, Map[String, (String, String)]])
+    // current shape: "colstats": {file: {column: [lo, hi]}}
+    val cols = Option(doc.get("colstats"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map { case (f, cm) =>
+        f -> cm.asInstanceOf[java.util.Map[String, Object]].asScala.map { case (c, mm) =>
+          val l = mm.asInstanceOf[java.util.List[Object]]
+          c -> (l.get(0).toString, l.get(1).toString)
+        }.toMap
+      }.toMap)
+      .getOrElse(Map.empty[String, Map[String, (String, String)]])
+    ShardData(files, legacy ++ cols)
   }
 
   /** Write a shard file if absent (content-addressed: an existing file
     * with this name already holds exactly these bytes' content). */
-  private[core] def writeShardIfAbsent(fs: FileSystem, manifestDir: Path,
-                                       rel: String, files: Seq[String],
-                                       stats: Map[String, (String, String)] = Map.empty): Unit = {
+  private[core] def writeShardIfAbsent(
+      fs: FileSystem, manifestDir: Path, rel: String, files: Seq[String],
+      stats: Map[String, Map[String, (String, String)]] = Map.empty): Unit = {
     val p = new Path(manifestDir, rel)
     if (fs.exists(p)) return
     val doc = new java.util.LinkedHashMap[String, Object]()
     doc.put("files", new java.util.ArrayList[Object](files.asJava))
     if (stats.nonEmpty) {
       val sm = new java.util.LinkedHashMap[String, Object]()
-      stats.toSeq.sortBy(_._1).foreach { case (f, (lo, hi)) =>
-        val l = new java.util.ArrayList[Object](); l.add(lo); l.add(hi); sm.put(f, l)
+      stats.toSeq.sortBy(_._1).foreach { case (f, byCol) =>
+        val cm = new java.util.LinkedHashMap[String, Object]()
+        byCol.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          val l = new java.util.ArrayList[Object](); l.add(lo); l.add(hi); cm.put(c, l)
+        }
+        sm.put(f, cm)
       }
-      doc.put("stats", sm)
+      doc.put("colstats", sm)
     }
     writeJson(fs, p, doc)
   }
@@ -1711,6 +1957,9 @@ object Collection {
       profile: String = "local-fast",
       attrs: Map[String, String] = Map.empty,
       retainGenerations: Int = 0,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      autoCompactFiles: Int = 0,
   ): Collection = {
     val fs = fileSystem(spark, root)
     val cfg = new Path(s"$root/$ConfigFile")
@@ -1719,6 +1968,10 @@ object Collection {
     if (overwrite && fs.exists(new Path(root))) fs.delete(new Path(root), true)
     require(schema.fieldNames.contains(axis), s"axis '$axis' is not a column of the schema")
     require(retainGenerations >= 0, "retainGenerations must be >= 0")
+    require(autoCompactFiles >= 0, "autoCompactFiles must be >= 0")
+    (statsColumns ++ bloomColumns).foreach(c => require(
+      schema.fieldNames.contains(c),
+      s"stats/bloom column '$c' is not a column of the schema"))
 
     val m = new java.util.LinkedHashMap[String, Object]()
     m.put("formatVersion", Integer.valueOf(FormatVersion))
@@ -1728,6 +1981,12 @@ object Collection {
     m.put("catalog", java.lang.Boolean.valueOf(catalogEnabled))
     m.put("profile", profile)
     m.put("retain", Integer.valueOf(retainGenerations))
+    if (statsColumns.nonEmpty)
+      m.put("statsColumns", new java.util.ArrayList[Object](statsColumns.asJava))
+    if (bloomColumns.nonEmpty)
+      m.put("bloomColumns", new java.util.ArrayList[Object](bloomColumns.asJava))
+    if (autoCompactFiles > 0)
+      m.put("autoCompact", Integer.valueOf(autoCompactFiles))
     val attrsMap = new java.util.LinkedHashMap[String, Object]()
     attrs.foreach { case (k, v) => attrsMap.put(k, v) }
     m.put("attrs", attrsMap)
@@ -1735,7 +1994,8 @@ object Collection {
     writeManifest(fs, new Path(s"$root/$ManifestDir"),
       new Manifest(0L, 0L, schema.toDDL, Map.empty, Nil, _ => ShardData(Nil)))
     new Collection(spark, root, schema, axis, partitioning, catalogEnabled,
-      readOnly = false, CodecProfile(profile), attrs, retainGenerations)
+      readOnly = false, CodecProfile(profile), attrs, retainGenerations,
+      statsColumns, bloomColumns, autoCompactFiles)
   }
 
   /** Migrate a legacy pre-manifest tree (format 1) in place: stamp the
@@ -1804,11 +2064,16 @@ object Collection {
       }.toMap)
       .getOrElse(Map.empty[String, String])
     val retain = Option(doc.get("retain")).map(_.toString.toInt).getOrElse(0)
+    def strList(key: String): Seq[String] = Option(doc.get(key))
+      .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
+      .getOrElse(Nil)
+    val autoCompact = Option(doc.get("autoCompact")).map(_.toString.toInt).getOrElse(0)
     new Collection(
       spark, root, schema, doc.get("axis").toString, partitioning,
       catalogEnabled = doc.get("catalog").asInstanceOf[java.lang.Boolean],
       readOnly = readOnly, profile = CodecProfile(profile), attrs = attrs,
-      retainGenerations = retain)
+      retainGenerations = retain, statsColumns = strList("statsColumns"),
+      bloomColumns = strList("bloomColumns"), autoCompactFiles = autoCompact)
   }
 
   private[core] def fileSystem(spark: SparkSession, root: String): FileSystem =

@@ -371,6 +371,28 @@ object FilterExpr {
     go(ast)
   }
 
+  /** A finite value set S such that the WHOLE expression can only match
+    * rows with `name` ∈ S — the bloom-filter pruning companion to
+    * [[impliedInterval]]. `None` = no finite implication. AND: either
+    * branch's implication suffices (prefer the smaller set — fewer bloom
+    * probes); OR: BOTH branches must imply one, union. Negations and
+    * foreign predicates imply nothing — conservative like the rest of
+    * the prune layer. */
+  def impliedValueSet(ast: Ast, name: String): Option[Seq[Any]] = ast match {
+    case And(l, r) =>
+      (impliedValueSet(l, name), impliedValueSet(r, name)) match {
+        case (Some(a), Some(b)) => Some(if (a.size <= b.size) a else b)
+        case (a, b)             => a.orElse(b)
+      }
+    case Or(l, r) =>
+      for (a <- impliedValueSet(l, name); b <- impliedValueSet(r, name))
+        yield (a ++ b).distinct
+    case In(n, vs, false) if n == name           => Some(vs)
+    case Cmp("==", Name(n), Lit(v)) if n == name => Some(Seq(v))
+    case Cmp("==", Lit(v), Name(n)) if n == name => Some(Seq(v))
+    case _                                       => None
+  }
+
   private def flipOp(op: String): String = op match {
     case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="; case o => o
   }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators every large-scale training-data pipeline
+  * runs after filtering/dedup: deterministic splits, repetition-quality
+  * metrics (the Gopher repetition rules, re-expressed for scalar
+  * evaluation), and token-budget sequence packing.
+  *
+  * All three are pure compositions of codegen'd built-ins:
+  *
+  *  - [[hashSplit]] and [[repetitionMetrics]] are per-row scalar maps —
+  *    NO shuffle at any scale; they pipeline inside the scan's
+  *    WholeStageCodegen span;
+  *  - [[packSequences]] needs exactly ONE shuffle (the stratum key),
+  *    because contiguous packing is inherently a prefix sum: strata
+  *    bound the window's span so parallelism follows the stratum count,
+  *    not one global ordered partition. At 100 TB pick strata that keep
+  *    each group executor-sized ((lang, day), not (lang)).
+  */
+object Corpus {
+
+  /** Deterministic split assignment from a 64-bit fingerprint column:
+    * `bucket = pmod(fp, nBuckets)` and a labeled split per the cut
+    * points, e.g. `Seq(("train", 90), ("val", 95), ("test", 100))` =
+    * buckets [0,90) / [90,95) / [95,100). Hash-based (not random):
+    * membership is stable across runs, machines, and re-ingests — the
+    * property train/test splits must have so a re-run never leaks
+    * validation docs into training. */
+  def hashSplit(fp: Column, cuts: Seq[(String, Int)], nBuckets: Int = 100): (Column, Column) = {
+    require(cuts.nonEmpty && cuts.last._2 == nBuckets,
+      s"cut points must end at nBuckets=$nBuckets, got $cuts")
+    val bucket = pmod(fp, lit(nBuckets))
+    val split = cuts.init.foldRight(lit(cuts.last._1)) { case ((name, hi), rest) =>
+      when(bucket < hi, name).otherwise(rest)
+    }
+    (bucket.cast("int"), split)
+  }
+
+  /** Gopher-style repetition metrics as ONE scalar projection (no
+    * explode, no per-document aggregation — the repeated-n-gram
+    * fractions come from `size(array_distinct(...))`, so a 100 TB corpus
+    * computes them in the scan's codegen span): whitespace token count,
+    * duplicate-token fraction, and duplicate-bigram fraction. High
+    * values flag boilerplate/spam documents for the quality gate. */
+  def repetitionMetrics(text: Column): Seq[Column] = {
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    def dupFrac(arr: Column, cnt: Column): Column =
+      when(cnt > 0, (cnt - size(array_distinct(arr))).cast("double") / cnt)
+        .otherwise(lit(0.0))
+    // bigrams: zip each token with its successor (length n-1)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    Seq(
+      n.cast("int").as("n_tokens"),
+      dupFrac(toks, n).as("dup_token_frac"),
+      dupFrac(bigrams, n - 1).as("dup_bigram_frac"))
+  }
+
+  /** Contiguous token-budget packing: within each stratum, documents in
+    * `order` are assigned to consecutive bins by the EXCLUSIVE prefix
+    * sum of their token counts — `bin = floor(prior_tokens / budget)` —
+    * so every bin (except a stratum's last) carries at least `budget`
+    * tokens and bins preserve corpus order. The deterministic
+    * first-fit-in-order shape sequence-packing trainers use; an exact
+    * bin pack is NP-hard and order-unstable, useless for a reproducible
+    * pipeline. */
+  def packSequences(df: DataFrame, tokens: Column, strata: Seq[Column],
+                    order: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(strata: _*).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bin",
+      floor(coalesce(sum(tokens).over(w), lit(0L)) / budget).cast("int"))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
-import graft.core.Collection
+import graft.core.{Collection, FilterExpr}
 
 /** Manifest-consistent streaming source over a graft [[Collection]].
   *
@@ -42,9 +42,25 @@ import graft.core.Collection
   * checkpointed range through [[getBatch]] before asking for new
   * offsets, which re-seeds the pacing position. */
 class GraftCollectionSource(spark: SparkSession, root: String,
-                            maxGenerationsPerBatch: Option[Long] = None) extends Source {
+                            maxGenerationsPerBatch: Option[Long] = None,
+                            filters: Option[String] = None) extends Source {
 
   private val collection = Collection.open(spark, root, readOnly = true)
+
+  /** Pushed-down filter ([[FilterExpr]] mini-language, the batch
+    * `query(filters)` syntax): each micro-batch's manifest-diff file set
+    * drops whole partitions the filter can't match, then files whose
+    * manifest zone maps can't overlap, then bloom-proven misses — a
+    * windowed stream over a retention-heavy collection never schedules
+    * (or even lists) the non-overlapping files a commit brought in. Rows
+    * are still filtered exactly by the compiled predicate on top.
+    * Parsed + name-checked at stream START, so a typo fails the query
+    * immediately, not on the first matching batch. */
+  private val filterAst: FilterExpr.Ast = {
+    val ast = FilterExpr.parse(filters.orNull)
+    collection.requireKnownNames(ast)
+    ast
+  }
 
   /** Data schema PINNED at stream start: the engine requires every batch
     * to match it even as the collection evolves mid-stream. Batches are
@@ -143,11 +159,22 @@ class GraftCollectionSource(spark: SparkSession, root: String,
           endMan.shardFiles(e).filterNot(old)
         }
     }
+    // pushdown: partition + zone-map + bloom pruning over the diffed
+    // files — a commit whose files all fall outside the filter becomes
+    // an EMPTY batch without scheduling a single task
+    val pruned = filterAst match {
+      case FilterExpr.True => newFiles
+      case ast             => collection.pruneFilesForRead(endMan, newFiles, ast)
+    }
     // MicroBatchExecution requires getBatch's plan to be flagged streaming
     // (the same flip FileStreamSource applies to the relation it builds)
-    org.apache.spark.sql.graftshim.StreamingShim.asStreamingBatch(
-      collection.readManifestFiles(endMan, newFiles,
+    val batch = org.apache.spark.sql.graftshim.StreamingShim.asStreamingBatch(
+      collection.readManifestFiles(endMan, pruned,
         schemaOverride = Some(pinnedDataSchema)))
+    filterAst match {
+      case FilterExpr.True => batch
+      case ast             => batch.where(FilterExpr.toColumn(ast))
+    }
   }
 
   override def stop(): Unit = ()
@@ -184,5 +211,6 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
         val m = v.toLong
         require(m > 0, s"maxGenerationsPerBatch must be positive, got $m")
         m
-      })
+      },
+      parameters.get("filters"))
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Corpus
+
+/** Corpus-assembly operators (round 5): deterministic hash splits,
+  * scalar repetition metrics, token-budget sequence packing. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "en", "the cat sat on the mat"),            // 'the' repeats
+    (2L, "en", "a b a b a b"),                       // tokens AND bigrams repeat
+    (3L, "en", "all distinct words here now"),
+    (4L, "de", "der hund und der hund und der hund"),
+    (5L, "de", ""),                                  // degenerate
+  ).toDF("doc_id", "lang", "text")
+
+  test("hashSplit: stable buckets, exhaustive labeled cuts, no shuffle") {
+    val (bucket, split) = Corpus.hashSplit(xxhash64(col("text")),
+      Seq(("train", 90), ("val", 95), ("test", 100)))
+    val out = docs.select(col("doc_id"), bucket.as("b"), split.as("s"))
+    val rows = out.collect()
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 100))
+    assert(rows.forall { r =>
+      val (b, s) = (r.getInt(1), r.getString(2))
+      (b < 90 && s == "train") || (b >= 90 && b < 95 && s == "val") || (b >= 95 && s == "test")
+    })
+    // determinism: recomputing yields identical assignments
+    assert(out.collect().toSeq == rows.toSeq)
+    // scalar map: no Exchange anywhere in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    // malformed cuts refuse
+    intercept[IllegalArgumentException](
+      Corpus.hashSplit(col("x"), Seq(("train", 90))))
+  }
+
+  test("repetitionMetrics: duplicate token/bigram fractions as a shuffle-free projection") {
+    val out = docs.select(col("doc_id") +: Corpus.repetitionMetrics(col("text")): _*)
+      .orderBy("doc_id").collect()
+    // doc 1: 6 tokens, 'the' twice -> dup 1/6; bigrams distinct (5)
+    assert(out(0).getInt(1) == 6)
+    assert(math.abs(out(0).getDouble(2) - 1.0 / 6) < 1e-12)
+    assert(out(0).getDouble(3) == 0.0)
+    // doc 2: 6 tokens {a,b} -> dup 4/6; 5 bigrams {"a b","b a"} -> dup 3/5
+    assert(math.abs(out(1).getDouble(2) - 4.0 / 6) < 1e-12)
+    assert(math.abs(out(1).getDouble(3) - 3.0 / 5) < 1e-12)
+    // doc 3: nothing repeats
+    assert(out(2).getDouble(2) == 0.0 && out(2).getDouble(3) == 0.0)
+    // doc 5: empty text -> split yields [""], 1 token, zero fractions
+    assert(out(4).getInt(1) == 1 && out(4).getDouble(2) == 0.0 && out(4).getDouble(3) == 0.0)
+    val plan = docs.select(Corpus.repetitionMetrics(col("text")): _*)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "repetition metrics must not shuffle")
+    assert(!plan.contains("Generate"), "repetition metrics must not explode")
+  }
+
+  test("packSequences: contiguous bins per stratum from an exclusive prefix sum") {
+    val d = Seq(
+      ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 300L), ("en", 4L, 50L),
+      ("de", 1L, 600L), ("de", 2L, 10L),
+    ).toDF("lang", "doc_id", "n")
+    val out = Corpus.packSequences(d, col("n"), Seq(col("lang")), col("doc_id"), 512L)
+      .select("lang", "doc_id", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // en prefix sums (excl): 0, 300, 600, 900 -> bins 0,0,1,1
+    assert(out(("en", 1L)) == 0 && out(("en", 2L)) == 0)
+    assert(out(("en", 3L)) == 1 && out(("en", 4L)) == 1)
+    // de: 0, 600 -> bins 0, 1 (strata pack independently)
+    assert(out(("de", 1L)) == 0 && out(("de", 2L)) == 1)
+    // exactly one shuffle: the stratum key
+    val exchanges = Corpus.packSequences(d, col("n"), Seq(col("lang")), col("doc_id"), 512L)
+      .queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"packing must shuffle exactly once, saw $exchanges")
+    intercept[IllegalArgumentException](
+      Corpus.packSequences(d, col("n"), Seq(col("lang")), col("doc_id"), 0L))
+  }
+}

@@ -1,0 +1,206 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Round-5 skip layers beyond the axis zone maps:
+  *
+  *  - multi-column zone maps: declared HOT data columns record per-file
+  *    footer [min,max] in the shard stats; equality/range filters on
+  *    them skip files before scheduling (Iceberg column-metrics shape);
+  *  - bloom-filter skipping: declared columns write parquet footer
+  *    bloom filters; equality/IN predicates drop files whose blooms
+  *    prove every pinned value absent — the case zone maps can't catch
+  *    (uniformly spread high-cardinality values);
+  *  - streaming pushdown: the graft source's `filters` option prunes
+  *    each micro-batch's manifest-diff file set the same three ways;
+  *  - size-triggered auto-compaction: touched partitions exceeding the
+  *    configured file count are rewritten in a follow-up atomic commit.
+  */
+class ColumnSkipSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Rows with user ids correlated to the axis hour, so each Concat
+    * insert lands in files with a tight, disjoint user_id range. */
+  private def mkUsers(rows: Seq[(Long, String, Long, Double)]) = rows
+    .toDF("id", "ts", "user_id", "v").withColumn("ts", col("ts").cast("timestamp"))
+
+  test("multi-column zone maps: a user_id filter skips files by recorded data-column stats") {
+    val root = SparkTestSession.tmp("graft-colzone")
+    val b1 = mkUsers((0L until 50L).map(i => (i, "2024-01-01 08:00:00", i, 1.0)))
+    val c = Collection.create(spark, root, b1.schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("user_id"))
+    c.insert(b1, MergeStrategy.Concat)                                            // ids 0-49
+    c.insert(mkUsers((100L until 150L).map(i => (i, "2024-01-01 12:00:00", i, 2.0))),
+      MergeStrategy.Concat)                                                       // ids 100-149
+    c.insert(mkUsers((200L until 250L).map(i => (i, "2024-01-01 16:00:00", i, 3.0))),
+      MergeStrategy.Concat)                                                       // ids 200-249
+
+    val man = c.currentManifest()
+    val stats = man.statsForFiles(man.files)
+    assert(stats.size == man.files.size, "every file must carry zone maps")
+    assert(stats.values.forall(_.contains("user_id")),
+      "declared stats column must be recorded alongside the axis")
+    def expect(lo: Long, hi: Long): Int = stats.count { case (_, byCol) =>
+      val (a, b) = byCol("user_id"); a.toLong <= hi && b.toLong >= lo
+    }
+
+    // equality: exactly the files whose user_id interval covers 120
+    val q = c.query("user_id == 120")
+    assert(q.inputFiles.length == expect(120, 120),
+      s"want ${expect(120, 120)} files, scanned ${q.inputFiles.length}")
+    assert(q.inputFiles.length < man.files.size, "nothing was pruned")
+    assert(q.select("id").collect().map(_.getLong(0)).toSeq == Seq(120L))
+
+    // range: spans two of the three inserts
+    val qr = c.query("user_id >= 140 and user_id < 220")
+    assert(qr.inputFiles.length == expect(140, 219))
+    assert(qr.inputFiles.length < man.files.size)
+    assert(qr.count() == 30) // 140-149 and 200-219
+
+    // composing with an axis filter intersects per-column intervals
+    val qa = c.query("ts >= '2024-01-01 15:00:00' and user_id >= 100")
+    assert(qa.count() == 50) // only the 16:00 insert
+    assert(qa.inputFiles.length < man.files.size)
+
+    // correctness: pruned result == full scan + same predicate
+    val all = c.query().where(col("user_id") >= 140 && col("user_id") < 220)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(qr.select("id").collect().map(_.getLong(0)).sorted.toSeq == all)
+  }
+
+  test("legacy axis-only shard stats parse under the sentinel and still prune the axis") {
+    val root = SparkTestSession.tmp("graft-legacy-shard")
+    val fs = Collection.fileSystem(spark, root)
+    val dir = new Path(root)
+    // hand-write the pre-multi-column shape: "stats": {file: [lo, hi]}
+    val doc = new java.util.LinkedHashMap[String, Object]()
+    val files = new java.util.ArrayList[Object](); files.add("a=1/part-0.parquet")
+    doc.put("files", files)
+    val sm = new java.util.LinkedHashMap[String, Object]()
+    val iv = new java.util.ArrayList[Object](); iv.add("10"); iv.add("20")
+    sm.put("a=1/part-0.parquet", iv)
+    doc.put("stats", sm)
+    Collection.writeJson(fs, new Path(dir, "legacy-shard.json"), doc)
+
+    val sd = Collection.readShard(fs, dir, "legacy-shard.json")
+    assert(sd.files == Seq("a=1/part-0.parquet"))
+    assert(sd.stats("a=1/part-0.parquet") ==
+      Map(Collection.LegacyAxisKey -> ("10", "20")),
+      "legacy single-interval stats must surface under the axis sentinel")
+  }
+
+  test("bloom skipping: equality and IN drop files whose blooms prove the values absent") {
+    val root = SparkTestSession.tmp("graft-bloom")
+    // values SPREAD across the full range in every insert: zone maps on
+    // user_id would keep everything — only the bloom can discriminate
+    val mod = (r: Long, n: Long) => (0L until n).map(i => i * 3 + r)
+    val b1 = mkUsers(mod(0, 200).map(u => (u, "2024-01-01 08:00:00", u, 1.0)))
+    val c = Collection.create(spark, root, b1.schema, "ts",
+      DatePartitioning("ts", "D"), bloomColumns = Seq("user_id"))
+    c.insert(b1, MergeStrategy.Concat)                                      // u ≡ 0 (mod 3)
+    c.insert(mkUsers(mod(1, 200).map(u => (u, "2024-01-01 12:00:00", u, 2.0))),
+      MergeStrategy.Concat)                                                 // u ≡ 1 (mod 3)
+    c.insert(mkUsers(mod(2, 200).map(u => (u, "2024-01-01 16:00:00", u, 3.0))),
+      MergeStrategy.Concat)                                                 // u ≡ 2 (mod 3)
+    val total = c.currentManifest().files.size
+
+    // 300 ≡ 0 (mod 3): only the first insert's files may survive
+    val q = c.query("user_id == 300")
+    assert(q.inputFiles.length < total,
+      s"bloom should prune: scanned ${q.inputFiles.length}/$total files")
+    assert(q.select("id").collect().map(_.getLong(0)).toSeq == Seq(300L))
+
+    // IN keeps a file iff it may contain ANY of the pinned values
+    val qi = c.query("user_id in (301, 302)") // ≡ 1 and ≡ 2 (mod 3)
+    assert(qi.inputFiles.length < total)
+    assert(qi.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(301L, 302L))
+
+    // a value present nowhere: every file is bloom-provably absent
+    val q0 = c.query("user_id == 599") // 599 ≡ 2 — in range of insert 3? max is 2+199*3=599
+    assert(q0.count() == 1)
+    val qq = c.query("user_id == 601") // beyond every insert
+    assert(qq.count() == 0)
+
+    // correctness under OR (both branches pin -> union of value sets)
+    val qo = c.query("user_id == 300 or user_id == 301")
+    assert(qo.count() == 2)
+    // a non-pinning disjunct disables bloom pruning but not correctness
+    val qn = c.query("user_id == 300 or v >= 3")
+    assert(qn.count() == 1 + 200)
+  }
+
+  test("auto-compaction: touched partitions over the file threshold rewrite in a follow-up commit") {
+    val mk = (i: Long) => mkUsers(Seq((i, "2024-01-01 10:00:00", i, i.toDouble)))
+
+    // control: without the policy, Concat appends accumulate files
+    val r0 = SparkTestSession.tmp("graft-nocompact")
+    val c0 = Collection.create(spark, r0, mk(0).schema, "ts", DatePartitioning("ts", "D"))
+    (1L to 5L).foreach(i => c0.insert(mk(i), MergeStrategy.Concat))
+    assert(c0.currentManifest().files.size >= 5, "control must fragment")
+
+    val root = SparkTestSession.tmp("graft-autocompact")
+    val c = Collection.create(spark, root, mk(0).schema, "ts",
+      DatePartitioning("ts", "D"), autoCompactFiles = 3)
+    (1L to 5L).foreach(i => c.insert(mk(i), MergeStrategy.Concat))
+    val man = c.currentManifest()
+    assert(man.files.size <= 3,
+      s"auto-compaction must bound the partition at 3 files, have ${man.files.size}")
+    // nothing lost, nothing duplicated
+    assert(c.query().select("id").collect().map(_.getLong(0)).sorted.toSeq == (1L to 5L))
+    // compacted files carry fresh zone maps
+    assert(man.statsForFiles(man.files).size == man.files.size)
+    // time travel: the pre-compaction snapshot remains committed history
+    assert(c.generations().size > 6, "compaction must be its own commit")
+  }
+
+  test("streaming pushdown: the filters option prunes each batch's file diff and filters rows") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamOps
+    val root = SparkTestSession.tmp("graft-stream-filter")
+    val mk = (id: Long, day: Int, u: Long) =>
+      mkUsers(Seq((id, f"2024-01-$day%02d 10:00:00", u, id.toDouble)))
+    val c = Collection.create(spark, root, mk(1, 1, 1).schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("user_id"))
+    c.insert(mk(1, 1, 10), MergeStrategy.Concat)
+    c.insert(mk(2, 5, 20), MergeStrategy.Concat)
+    c.insert(mk(3, 9, 30), MergeStrategy.Concat)
+
+    // unit level: the prune layer drops non-overlapping files of a diff
+    val man = c.currentManifest()
+    val ast = FilterExpr.parse("ts >= '2024-01-04 00:00:00' and user_id >= 20")
+    val pruned = c.pruneFilesForRead(man, man.files, ast)
+    assert(pruned.nonEmpty && pruned.size < man.files.size,
+      s"expected a strict subset, got ${pruned.size}/${man.files.size}")
+
+    // end to end: streamed rows == batch query with the same filter
+    val name = "graft_pushdown_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamOps.readStream(spark, c,
+        Map("filters" -> "ts >= '2024-01-04 00:00:00' and user_id >= 20"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(2L, 3L), s"pushdown stream mismatch: $got")
+      // commits arriving mid-stream prune too
+      c.insert(mk(4, 2, 5), MergeStrategy.Concat)  // outside both bounds
+      c.insert(mk(5, 8, 50), MergeStrategy.Concat) // inside
+      q.processAllAvailable()
+      val got2 = spark.table(name).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got2 == Seq(2L, 3L, 5L), s"mid-stream pushdown mismatch: $got2")
+    } finally q.stop()
+
+    // a typo'd column fails when the source initializes (first trigger),
+    // not silently on some later matching batch
+    val bad = StreamOps.readStream(spark, c, Map("filters" -> "nope == 1"))
+      .writeStream.format("memory")
+      .queryName("x" + java.util.UUID.randomUUID().toString.replace("-", "")).start()
+    try intercept[Exception](bad.processAllAvailable())
+    finally bad.stop()
+  }
+}

@@ -118,7 +118,9 @@ class ZoneMapSpec extends AnyFunSuite {
     val stats0 = man0.statsForFiles(man0.files)
     assert(stats0.size == man0.files.size, "every file needs a zone map")
     def overlapping(lo: Long, hi: Long): Int =
-      stats0.count { case (_, (a, b)) => a.toLong <= hi && b.toLong >= lo }
+      stats0.count { case (_, byCol) =>
+        val (a, b) = byCol("seq"); a.toLong <= hi && b.toLong >= lo
+      }
 
     val q = c.query("seq > 305")
     assert(q.inputFiles.length == overlapping(306, Long.MaxValue))
