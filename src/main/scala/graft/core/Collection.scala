@@ -90,6 +90,11 @@ final class Collection private (
       * misses — the skip layer zone maps can't provide when values are
       * uniformly spread across every file's [min,max]. */
     val bloomColumns: Seq[String] = Nil,
+    /** Optional expected distinct-value count per bloom column —
+      * parquet-mr sizes each bloom's bitset from it (fewer distincts =
+      * smaller filter at the same false-positive rate; the default is
+      * the 1 MiB maximum). Keys must appear in [[bloomColumns]]. */
+    val bloomNdv: Map[String, Long] = Map.empty,
     /** When > 0: after a commit, any touched partition holding more than
       * this many data files is immediately rewritten as one fresh
       * axis-sorted file set in a follow-up atomic commit — bounding the
@@ -370,12 +375,15 @@ final class Collection private (
     val prevTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
     try {
-      val writer = bloomColumns.foldLeft(
+      val writer0 = bloomColumns.foldLeft(
         df.write.partitionBy(partCols: _*)
           .option("compression", profile.compression)) { (w, c) =>
         // parquet-mr writes a footer bloom filter per row group for the
         // column; [[pruneByBloom]] reads it back at query time
         w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
+      val writer = bloomNdv.foldLeft(writer0) { case (w, (c, ndv)) =>
+        w.option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
       }
       writer.mode("append").parquet(root)
     }
@@ -488,7 +496,7 @@ final class Collection private (
     * A commit touching one partition of a 10^7-file collection writes
     * one shard + the root, regardless of collection size. */
   private def commitDeltaOnce(prev: Manifest, newFiles: Seq[String],
-                              newStats: Map[String, Map[String, (String, String)]],
+                              newStats: Map[String, Map[String, ColStat]],
                               dropped: Set[String], taskBump: Long,
                               streamMark: Option[(String, Long)] = None): Unit = {
     val newByPrefix = newFiles.groupBy(f => prefixOf(parentRel(f)))
@@ -502,14 +510,21 @@ final class Collection private (
         newByPrefix.getOrElse(pfx, Nil)).sorted
       if (files.isEmpty) None
       else {
-        // zone maps: surviving files keep theirs, new files bring theirs
+        // zone maps: surviving files keep theirs (legacy sentinel keys
+        // normalize to the axis name on rebuild), new files bring theirs
         val fileSet = files.toSet
-        val stats = (oldData.stats ++ newStats).filter { case (f, _) => fileSet(f) }
+        val oldNorm = oldData.stats.map { case (f, byCol) =>
+          f -> byCol.map {
+            case (LegacyAxisKey, st) => axis -> st
+            case kv                  => kv
+          }
+        }
+        val stats = (oldNorm ++ newStats).filter { case (f, _) => fileSet(f) }
         val name = shardName(files, stats)
         writeShardIfAbsent(fs, manifestDir, name, files, stats)
         Some(ShardEntry(pfx,
           files.map(f => parentRel(f).substring(pfx.length).stripPrefix("/")).distinct.sorted,
-          name))
+          name, rollupOf(files, stats)))
       }
     }
     commitManifest(prev.withShards(
@@ -728,11 +743,70 @@ final class Collection private (
             FilterExpr.mayMatch(ast, k.toMap) && keyInRange(k, keyBounds)
           }
           .map(_._1).toSet
+        // layer 1.5: subtree skip by the root-resident stats ROLLUP —
+        // non-overlapping shards never even load their file lists (the
+        // path that stays O(matching subtrees) when the partitioning has
+        // no monotonic axis derivation)
+        val okShards = man.shards.filter(e => shardMayMatch(e, ast))
         val candidates =
-          if (wanted.size == all.size) man.files else man.filesForPartitions(wanted)
+          if (wanted.size == all.size && okShards.size == man.shards.size) man.files
+          else man.filesFromShards(okShards, wanted)
         readManifestFiles(man, pruneByBloom(pruneByStats(man, candidates, ast), ast))
     }
     df.where(FilterExpr.toColumn(ast))
+  }
+
+  /** Aggregate a rebuilt shard's per-file zone maps to subtree
+    * granularity ([[Collection.ShardEntry]] `rollup`). A column rolls up
+    * ONLY when every file carries decodable stats for it — one
+    * stats-less file makes the subtree unprunable on that column. Null
+    * counts sum when all files report one. */
+  private def rollupOf(files: Seq[String],
+                       stats: Map[String, Map[String, ColStat]]): Map[String, ColStat] = {
+    if (files.isEmpty || stats.size < files.size) return Map.empty
+    statsCols.flatMap { c =>
+      columnDomain(c).flatMap { dom =>
+        val perFile = files.map(f => stats.get(f).flatMap(_.get(c)))
+        if (perFile.exists(_.isEmpty)) None
+        else {
+          val sts = perFile.flatten
+          val los = sts.map(st => dom.decodeStat(st.lo))
+          val his = sts.map(st => dom.decodeStat(st.hi))
+          if (los.exists(_.isEmpty) || his.exists(_.isEmpty)) None
+          else {
+            val lo = los.flatten.reduce((a, b) => if (dom.cmp(a, b) <= 0) a else b)
+            val hi = his.flatten.reduce((a, b) => if (dom.cmp(a, b) >= 0) a else b)
+            val nulls = sts.map(_.nulls)
+            Some(c -> ColStat(lo.toString, hi.toString,
+              if (nulls.forall(_.isDefined)) Some(nulls.flatten.sum) else None))
+          }
+        }
+      }
+    }.toMap
+  }
+
+  /** Could any file of this subtree satisfy the filter, judged by the
+    * root-resident rollup alone (no shard IO)? Conservative: a missing
+    * rollup or column keeps the subtree. */
+  private def shardMayMatch(e: ShardEntry, ast: FilterExpr.Ast): Boolean = {
+    if (e.rollup.isEmpty) return true
+    val mentioned = FilterExpr.names(ast)
+    statsCols.filter(mentioned.contains).forall { c =>
+      columnDomain(c) match {
+        case None => true
+        case Some(dom) =>
+          e.rollup.get(c) match {
+            case Some(st) =>
+              (dom.decodeStat(st.lo), dom.decodeStat(st.hi)) match {
+                case (Some(lo), Some(hi)) =>
+                  FilterExpr.mayMatchInterval(ast, c, lo, hi,
+                    dom.decodeLit, dom.cmp, st.nulls)
+                case _ => true
+              }
+            case None => true
+          }
+      }
+    }
   }
 
   /** File-level prune for an EXPLICIT file set — the streaming source's
@@ -787,10 +861,11 @@ final class Collection private (
             // legacy axis-only shards key their interval by sentinel
             byCol.get(c).orElse(
               if (c == axis) byCol.get(LegacyAxisKey) else None) match {
-              case Some((loS, hiS)) =>
-                (dom.decodeStat(loS), dom.decodeStat(hiS)) match {
+              case Some(st) =>
+                (dom.decodeStat(st.lo), dom.decodeStat(st.hi)) match {
                   case (Some(lo), Some(hi)) =>
-                    FilterExpr.mayMatchInterval(ast, c, lo, hi, dom.decodeLit, dom.cmp)
+                    FilterExpr.mayMatchInterval(ast, c, lo, hi,
+                      dom.decodeLit, dom.cmp, st.nulls)
                   case _ => true
                 }
               case None => true
@@ -889,7 +964,7 @@ final class Collection private (
     * footers on the driver; large ones fan the footer reads out as one
     * Spark job — at a 10^7-file initial load the driver never
     * serializes on footer IO. */
-  private def fileStats(newFiles: Seq[String]): Map[String, Map[String, (String, String)]] = {
+  private def fileStats(newFiles: Seq[String]): Map[String, Map[String, ColStat]] = {
     val cols = statsCols.filter(c => columnDomain(c).isDefined)
       .map(c => (c, expectTsAdjusted(c)))
     if (newFiles.isEmpty || cols.isEmpty) return Map.empty
@@ -1282,9 +1357,18 @@ object Collection {
     * root manifest: the subtree's partition names (root-resident, so
     * listings and collision checks never open a shard) and the
     * content-addressed shard file holding its data-file list. An empty
-    * `file` means the list is inline (legacy single-JSON manifests). */
+    * `file` means the list is inline (legacy single-JSON manifests).
+    *
+    * `rollup` aggregates the shard's per-file zone maps to subtree
+    * granularity: `rollup(col)` is present ONLY when every file in the
+    * subtree recorded stats for `col`, so a filter that can't overlap
+    * the rolled-up interval skips the whole subtree WITHOUT loading its
+    * shard JSON — the layer that keeps axis-range queries O(matching
+    * subtrees) even on partitionings with no monotonic key derivation
+    * (the Iceberg manifest-list partition-summary shape). */
   private[graft] final case class ShardEntry(
-      prefix: String, partitions: Seq[String], file: String)
+      prefix: String, partitions: Seq[String], file: String,
+      rollup: Map[String, ColStat] = Map.empty)
 
   private[core] def joinPath(prefix: String, last: String): String =
     if (prefix.isEmpty) last else s"$prefix/$last"
@@ -1411,7 +1495,7 @@ object Collection {
     * (local-wallclock micros), `None` for non-timestamp columns. */
   private[core] def footerColumnStats(rootStr: String, rel: String,
                                       cols: Seq[(String, Option[Boolean])],
-                                      conf: org.apache.hadoop.conf.Configuration): (String, Map[String, (String, String)]) =
+                                      conf: org.apache.hadoop.conf.Configuration): (String, Map[String, ColStat]) =
     try {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -1425,6 +1509,7 @@ object Collection {
           var lo: Any = null
           var hi: Any = null
           var ok = true
+          var nulls: Option[Long] = Some(0L) // drops to None if any block omits it
           for (b <- blocks if ok) {
             b.getColumns.asScala.find(_.getPath.toDotString == colName) match {
               case None => ok = false
@@ -1432,6 +1517,8 @@ object Collection {
                 val st = c.getStatistics
                 if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
                 else {
+                  nulls = if (st.isNumNullsSet && st.getNumNulls >= 0)
+                    nulls.map(_ + st.getNumNulls) else None
                   val pt = c.getPrimitiveType
                   // canonicalize this block's bounds; isMax steers rounding
                   // so the interval only ever WIDENS (nanos -> micros)
@@ -1489,7 +1576,8 @@ object Collection {
                 }
             }
           }
-          if (ok && lo != null && hi != null) Some(colName -> (lo.toString, hi.toString))
+          if (ok && lo != null && hi != null)
+            Some(colName -> ColStat(lo.toString, hi.toString, nulls))
           else None
         }.toMap
         (rel, out)
@@ -1611,17 +1699,25 @@ object Collection {
     }
   }
 
+  /** One column's per-file zone map: [min, max] in the domain-canonical
+    * string encoding of [[AxisDomain]], plus the file's NULL count for
+    * the column when every row group reported one — `nulls = Some(0)`
+    * lets `is null` filters prune the file, and makes `is not null`
+    * row-independent for the negation algebra
+    * ([[FilterExpr.mayMatchInterval]]). */
+  private[graft] final case class ColStat(
+      lo: String, hi: String, nulls: Option[Long] = None)
+
   /** A shard file's payload: the subtree's data files plus per-file zone
-    * maps — `stats(file)(column) = (min, max)` in the domain-canonical
-    * string encoding of [[AxisDomain]], covering the axis plus any
-    * declared `statsColumns` (files written before stats existed, or
+    * maps — `stats(file)(column) = [[ColStat]]`, covering the axis plus
+    * any declared `statsColumns` (files written before stats existed, or
     * whose footer had no usable statistics for a column, simply have no
     * entry — readers treat them as unprunable). Legacy axis-only shards
     * parse their single interval under the [[Collection.LegacyAxisKey]]
     * sentinel — the prune layer resolves it for the axis column. */
   private[graft] final case class ShardData(
       files: Seq[String],
-      stats: Map[String, Map[String, (String, String)]] = Map.empty)
+      stats: Map[String, Map[String, ColStat]] = Map.empty)
 
   private[graft] final class Manifest(
       val generation: Long,
@@ -1656,7 +1752,7 @@ object Collection {
 
     /** Zone maps of exactly the shards containing `files` (keyed by
       * file, then column; absent = no stats recorded, never prune). */
-    def statsForFiles(files: Seq[String]): Map[String, Map[String, (String, String)]] = {
+    def statsForFiles(files: Seq[String]): Map[String, Map[String, ColStat]] = {
       val prefixes = files.map(f => prefixOf(parentRel(f))).toSet
       shards.filter(e => prefixes(e.prefix))
         .flatMap(e => shardData(e).stats).toMap
@@ -1673,7 +1769,12 @@ object Collection {
     /** Files of exactly the given partitions, loading only the shards
       * whose subtree contains one. */
     def filesForPartitions(wanted: Set[String]): Seq[String] =
-      shards
+      filesFromShards(shards, wanted)
+
+    /** Files of the given partitions restricted to a PRE-FILTERED shard
+      * list (the rollup skip layer) — only surviving shards load. */
+    def filesFromShards(entries: Seq[ShardEntry], wanted: Set[String]): Seq[String] =
+      entries
         .filter(e => e.partitions.exists(p => wanted(joinPath(e.prefix, p))))
         .flatMap(e => shardFiles(e).filter(f => wanted(parentRel(f))))
 
@@ -1712,7 +1813,7 @@ object Collection {
     * shard names instead of file lists. */
   private[core] def shardName(
       files: Seq[String],
-      stats: Map[String, Map[String, (String, String)]] = Map.empty): String = {
+      stats: Map[String, Map[String, ColStat]] = Map.empty): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(files.mkString("\n").getBytes("UTF-8"))
     // stats participate in the content address (same file list with new
@@ -1721,7 +1822,9 @@ object Collection {
     if (stats.nonEmpty)
       md.update(stats.toSeq.sortBy(_._1).map { case (f, byCol) =>
         f + " " + byCol.toSeq.sortBy(_._1)
-          .map(e => e._1 + "=" + e._2._1 + ".." + e._2._2).mkString(";")
+          .map(e => e._1 + "=" + e._2.lo + ".." + e._2.hi +
+            e._2.nulls.fold("")("~" + _))
+          .mkString(";")
       }.mkString("\n").getBytes("UTF-8"))
     s"$ShardDir/shard-${md.digest().map("%02x".format(_)).mkString}.json"
   }
@@ -1740,18 +1843,19 @@ object Collection {
     val legacy = Option(doc.get("stats"))
       .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map { case (f, mm) =>
         val l = mm.asInstanceOf[java.util.List[Object]]
-        f -> Map(LegacyAxisKey -> (l.get(0).toString, l.get(1).toString))
+        f -> Map(LegacyAxisKey -> ColStat(l.get(0).toString, l.get(1).toString))
       }.toMap)
-      .getOrElse(Map.empty[String, Map[String, (String, String)]])
-    // current shape: "colstats": {file: {column: [lo, hi]}}
+      .getOrElse(Map.empty[String, Map[String, ColStat]])
+    // current shape: "colstats": {file: {column: [lo, hi] | [lo, hi, nulls]}}
     val cols = Option(doc.get("colstats"))
       .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map { case (f, cm) =>
         f -> cm.asInstanceOf[java.util.Map[String, Object]].asScala.map { case (c, mm) =>
           val l = mm.asInstanceOf[java.util.List[Object]]
-          c -> (l.get(0).toString, l.get(1).toString)
+          c -> ColStat(l.get(0).toString, l.get(1).toString,
+            if (l.size > 2) Some(l.get(2).toString.toLong) else None)
         }.toMap
       }.toMap)
-      .getOrElse(Map.empty[String, Map[String, (String, String)]])
+      .getOrElse(Map.empty[String, Map[String, ColStat]])
     ShardData(files, legacy ++ cols)
   }
 
@@ -1759,7 +1863,7 @@ object Collection {
     * with this name already holds exactly these bytes' content). */
   private[core] def writeShardIfAbsent(
       fs: FileSystem, manifestDir: Path, rel: String, files: Seq[String],
-      stats: Map[String, Map[String, (String, String)]] = Map.empty): Unit = {
+      stats: Map[String, Map[String, ColStat]] = Map.empty): Unit = {
     val p = new Path(manifestDir, rel)
     if (fs.exists(p)) return
     val doc = new java.util.LinkedHashMap[String, Object]()
@@ -1768,8 +1872,11 @@ object Collection {
       val sm = new java.util.LinkedHashMap[String, Object]()
       stats.toSeq.sortBy(_._1).foreach { case (f, byCol) =>
         val cm = new java.util.LinkedHashMap[String, Object]()
-        byCol.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
-          val l = new java.util.ArrayList[Object](); l.add(lo); l.add(hi); cm.put(c, l)
+        byCol.toSeq.sortBy(_._1).foreach { case (c, st) =>
+          val l = new java.util.ArrayList[Object]()
+          l.add(st.lo); l.add(st.hi)
+          st.nulls.foreach(n => l.add(java.lang.Long.valueOf(n)))
+          cm.put(c, l)
         }
         sm.put(f, cm)
       }
@@ -1819,7 +1926,14 @@ object Collection {
             prefix = String.valueOf(m.get("prefix")),
             partitions = m.get("partitions").asInstanceOf[java.util.List[Object]]
               .asScala.map(_.toString).toSeq,
-            file = m.get("file").toString)
+            file = m.get("file").toString,
+            rollup = Option(m.get("rollup"))
+              .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map { case (c, mm) =>
+                val l = mm.asInstanceOf[java.util.List[Object]]
+                c -> ColStat(l.get(0).toString, l.get(1).toString,
+                  if (l.size > 2) Some(l.get(2).toString.toLong) else None)
+              }.toMap)
+              .getOrElse(Map.empty))
         }.toSeq
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => readShard(fs, dir, rel), streams)
@@ -1878,6 +1992,16 @@ object Collection {
       em.put("prefix", e.prefix)
       em.put("partitions", new java.util.ArrayList[Object](e.partitions.asJava))
       em.put("file", e.file)
+      if (e.rollup.nonEmpty) {
+        val rm = new java.util.LinkedHashMap[String, Object]()
+        e.rollup.toSeq.sortBy(_._1).foreach { case (c, st) =>
+          val l = new java.util.ArrayList[Object]()
+          l.add(st.lo); l.add(st.hi)
+          st.nulls.foreach(n => l.add(java.lang.Long.valueOf(n)))
+          rm.put(c, l)
+        }
+        em.put("rollup", rm)
+      }
       shardsArr.add(em)
     }
     doc.put("shards", shardsArr)
@@ -1959,6 +2083,7 @@ object Collection {
       retainGenerations: Int = 0,
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
+      bloomNdv: Map[String, Long] = Map.empty,
       autoCompactFiles: Int = 0,
   ): Collection = {
     val fs = fileSystem(spark, root)
@@ -1972,6 +2097,9 @@ object Collection {
     (statsColumns ++ bloomColumns).foreach(c => require(
       schema.fieldNames.contains(c),
       s"stats/bloom column '$c' is not a column of the schema"))
+    bloomNdv.foreach { case (c, n) => require(
+      bloomColumns.contains(c) && n > 0,
+      s"bloomNdv for '$c' requires a positive count and membership in bloomColumns") }
 
     val m = new java.util.LinkedHashMap[String, Object]()
     m.put("formatVersion", Integer.valueOf(FormatVersion))
@@ -1985,6 +2113,11 @@ object Collection {
       m.put("statsColumns", new java.util.ArrayList[Object](statsColumns.asJava))
     if (bloomColumns.nonEmpty)
       m.put("bloomColumns", new java.util.ArrayList[Object](bloomColumns.asJava))
+    if (bloomNdv.nonEmpty) {
+      val bm = new java.util.LinkedHashMap[String, Object]()
+      bloomNdv.toSeq.sortBy(_._1).foreach { case (c, n) => bm.put(c, java.lang.Long.valueOf(n)) }
+      m.put("bloomNdv", bm)
+    }
     if (autoCompactFiles > 0)
       m.put("autoCompact", Integer.valueOf(autoCompactFiles))
     val attrsMap = new java.util.LinkedHashMap[String, Object]()
@@ -1995,7 +2128,7 @@ object Collection {
       new Manifest(0L, 0L, schema.toDDL, Map.empty, Nil, _ => ShardData(Nil)))
     new Collection(spark, root, schema, axis, partitioning, catalogEnabled,
       readOnly = false, CodecProfile(profile), attrs, retainGenerations,
-      statsColumns, bloomColumns, autoCompactFiles)
+      statsColumns, bloomColumns, bloomNdv, autoCompactFiles)
   }
 
   /** Migrate a legacy pre-manifest tree (format 1) in place: stamp the
@@ -2068,12 +2201,18 @@ object Collection {
       .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
       .getOrElse(Nil)
     val autoCompact = Option(doc.get("autoCompact")).map(_.toString.toInt).getOrElse(0)
+    val ndv = Option(doc.get("bloomNdv"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map {
+        case (k, v) => k -> v.toString.toLong
+      }.toMap)
+      .getOrElse(Map.empty[String, Long])
     new Collection(
       spark, root, schema, doc.get("axis").toString, partitioning,
       catalogEnabled = doc.get("catalog").asInstanceOf[java.lang.Boolean],
       readOnly = readOnly, profile = CodecProfile(profile), attrs = attrs,
       retainGenerations = retain, statsColumns = strList("statsColumns"),
-      bloomColumns = strList("bloomColumns"), autoCompactFiles = autoCompact)
+      bloomColumns = strList("bloomColumns"), bloomNdv = ndv,
+      autoCompactFiles = autoCompact)
   }
 
   private[core] def fileSystem(spark: SparkSession, root: String): FileSystem =

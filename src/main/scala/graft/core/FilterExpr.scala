@@ -22,6 +22,8 @@ object FilterExpr {
   /** `left op right` where operands are names or literals. */
   final case class Cmp(op: String, left: Operand, right: Operand) extends Ast
   final case class In(name: String, values: Seq[Any], negated: Boolean) extends Ast
+  /** `name is null` / `name is not null`. */
+  final case class IsNull(name: String, negated: Boolean) extends Ast
 
   sealed trait Operand
   final case class Name(n: String) extends Operand
@@ -133,6 +135,17 @@ object FilterExpr {
                 case Name(n) => In(n, parseTuple(), negated = false)
                 case _ => throw new ParseException("'in' requires a name on the left")
               }
+            case Some(TName("is")) =>
+              next()
+              val negated = peek.contains(TName("not"))
+              if (negated) next()
+              next() match {
+                case TName("null") => first match {
+                  case Name(n) => IsNull(n, negated)
+                  case _ => throw new ParseException("'is [not] null' requires a name")
+                }
+                case t => throw new ParseException(s"expected 'null' after 'is', got $t")
+              }
             case Some(TName("not")) =>
               next()
               next() match {
@@ -179,6 +192,7 @@ object FilterExpr {
     case In(n, vs, neg) =>
       val c = col(n).isin(vs: _*)
       if (neg) !c else c
+    case IsNull(n, neg) => if (neg) col(n).isNotNull else col(n).isNull
     case Cmp(op, l, r) =>
       val (lc, rc) = (operandCol(l), operandCol(r))
       op match {
@@ -208,6 +222,9 @@ object FilterExpr {
       val v = keyValue(key, n)
       val hit = vs.exists(x => valueEq(v, x))
       if (neg) !hit else hit
+    case IsNull(n, neg) =>
+      val isNull = keyValue(key, n) == null
+      if (neg) !isNull else isNull
     case Cmp(op, l, r) =>
       val (lv, rv) = (operandValue(l, key), operandValue(r, key))
       val c = valueCompare(lv, rv)
@@ -228,6 +245,7 @@ object FilterExpr {
     case Or(l, r)       => names(l) ++ names(r)
     case Not(e)         => names(e)
     case In(n, _, _)    => Set(n)
+    case IsNull(n, _)   => Set(n)
     case Cmp(_, l, r)   => Seq(l, r).collect { case Name(n) => n }.toSet
   }
 
@@ -252,6 +270,9 @@ object FilterExpr {
     case In(n, vs, neg) => key.get(n).map { v =>
       val hit = vs.exists(x => valueEq(v, x))
       if (neg) !hit else v != null && hit
+    }
+    case IsNull(n, neg) => key.get(n).map { v =>
+      if (neg) v != null else v == null
     }
     case Cmp(op, l, r) =>
       def value(o: Operand): Option[Any] = o match {
@@ -282,17 +303,29 @@ object FilterExpr {
   def mayMatch(ast: Ast, key: Map[String, Any]): Boolean =
     !evalOpt(ast, key).contains(false)
 
-  /** Could a row whose `name` value lies in `[lo, hi]` match? The
-    * zone-map file-pruning predicate: `decodeLit` maps the expression's
-    * literals into the stats domain (None = not decodable -> unknown),
-    * `cmp` orders that domain. Conservative: anything undecidable keeps
+  /** Could a row of a file whose `name` values span `[lo, hi]` match?
+    * The zone-map file-pruning predicate: `decodeLit` maps the
+    * expression's literals into the stats domain (None = not decodable
+    * -> unknown), `cmp` orders that domain. `nullCount`, when recorded,
+    * reasons about NULL rows too (the interval only describes non-null
+    * values): `name is null` is provably false in a zero-null file, and
+    * `name is not null` provably true for EVERY row of the same file
+    * (so negations stay sound: a file with nulls makes both predicates
+    * row-dependent -> unknown). Conservative: anything undecidable keeps
     * the file. */
   def mayMatchInterval(ast: Ast, name: String, lo: Any, hi: Any,
                        decodeLit: Any => Option[Any],
-                       cmp: (Any, Any) => Int): Boolean = {
-    // Some(false) = provably NO value in [lo,hi] satisfies; None = maybe
+                       cmp: (Any, Any) => Int,
+                       nullCount: Option[Long] = None): Boolean = {
+    // Some(false) = provably NO row of such a file satisfies; None = maybe
     def definite(a: Ast): Option[Boolean] = a match {
       case True      => Some(true)
+      case IsNull(n, neg) if n == name =>
+        // definite() speaks for EVERY abstract row of the file at once:
+        // only a zero-null file makes nullness row-INdependent. A file
+        // with some nulls satisfies neither branch definitively.
+        if (nullCount.contains(0L)) Some(neg) else None
+      case IsNull(_, _) => None
       case And(l, r) => (definite(l), definite(r)) match {
         case (Some(false), _) | (_, Some(false)) => Some(false)
         case (Some(true), Some(true))            => Some(true)

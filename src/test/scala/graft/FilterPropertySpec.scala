@@ -31,8 +31,18 @@ class FilterPropertySpec extends AnyFunSuite {
     s"$name ${not}in ($vals)"
   }
 
+  private def genNull(): String = {
+    val name = Seq("year", "month", "day")(rnd.nextInt(3))
+    val not = if (rnd.nextBoolean()) "not " else ""
+    s"$name is ${not}null"
+  }
+
   private def genExpr(depth: Int): String =
-    if (depth == 0) { if (rnd.nextBoolean()) genCmp() else genIn() }
+    if (depth == 0) rnd.nextInt(3) match {
+      case 0 => genCmp()
+      case 1 => genIn()
+      case _ => genNull()
+    }
     else rnd.nextInt(4) match {
       case 0 => s"(${genExpr(depth - 1)}) and (${genExpr(depth - 1)})"
       case 1 => s"(${genExpr(depth - 1)}) or (${genExpr(depth - 1)})"

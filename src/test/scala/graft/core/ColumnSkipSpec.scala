@@ -46,7 +46,7 @@ class ColumnSkipSpec extends AnyFunSuite {
     assert(stats.values.forall(_.contains("user_id")),
       "declared stats column must be recorded alongside the axis")
     def expect(lo: Long, hi: Long): Int = stats.count { case (_, byCol) =>
-      val (a, b) = byCol("user_id"); a.toLong <= hi && b.toLong >= lo
+      val st = byCol("user_id"); st.lo.toLong <= hi && st.hi.toLong >= lo
     }
 
     // equality: exactly the files whose user_id interval covers 120
@@ -90,7 +90,7 @@ class ColumnSkipSpec extends AnyFunSuite {
     val sd = Collection.readShard(fs, dir, "legacy-shard.json")
     assert(sd.files == Seq("a=1/part-0.parquet"))
     assert(sd.stats("a=1/part-0.parquet") ==
-      Map(Collection.LegacyAxisKey -> ("10", "20")),
+      Map(Collection.LegacyAxisKey -> Collection.ColStat("10", "20")),
       "legacy single-interval stats must surface under the axis sentinel")
   }
 
@@ -101,7 +101,12 @@ class ColumnSkipSpec extends AnyFunSuite {
     val mod = (r: Long, n: Long) => (0L until n).map(i => i * 3 + r)
     val b1 = mkUsers(mod(0, 200).map(u => (u, "2024-01-01 08:00:00", u, 1.0)))
     val c = Collection.create(spark, root, b1.schema, "ts",
-      DatePartitioning("ts", "D"), bloomColumns = Seq("user_id"))
+      DatePartitioning("ts", "D"), bloomColumns = Seq("user_id"),
+      bloomNdv = Map("user_id" -> 1000L))
+    assert(Collection.open(spark, root).bloomNdv == Map("user_id" -> 1000L),
+      "expected-NDV sizing must round-trip through the config")
+    intercept[IllegalArgumentException](Collection.create(spark, root + "-bad",
+      b1.schema, "ts", DatePartitioning("ts", "D"), bloomNdv = Map("v" -> 10L)))
     c.insert(b1, MergeStrategy.Concat)                                      // u ≡ 0 (mod 3)
     c.insert(mkUsers(mod(1, 200).map(u => (u, "2024-01-01 12:00:00", u, 2.0))),
       MergeStrategy.Concat)                                                 // u ≡ 1 (mod 3)
@@ -132,6 +137,80 @@ class ColumnSkipSpec extends AnyFunSuite {
     // a non-pinning disjunct disables bloom pruning but not correctness
     val qn = c.query("user_id == 300 or v >= 3")
     assert(qn.count() == 1 + 200)
+  }
+
+  test("is null / is not null: zero-null files prune for IS NULL; negations stay sound") {
+    val root = SparkTestSession.tmp("graft-nullzone")
+    def mk(rows: Seq[(Long, String, Option[Long], Double)]) = rows
+      .toDF("id", "ts", "user_id", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val dense = mk((0L until 50L).map(i => (i, "2024-01-01 08:00:00", Some(i), 1.0)))
+    val c = Collection.create(spark, root, dense.schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("user_id"))
+    c.insert(dense, MergeStrategy.Concat) // zero nulls
+    c.insert(mk((100L until 150L).map(i =>
+      (i, "2024-01-01 12:00:00", if (i % 2 == 0) None else Some(i), 2.0))),
+      MergeStrategy.Concat)               // half null
+    val man = c.currentManifest()
+    val stats = man.statsForFiles(man.files)
+    assert(stats.values.forall(_.get("user_id").exists(_.nulls.isDefined)),
+      "null counts must be recorded with the zone maps")
+    val zeroNullFiles = stats.count(_._2("user_id").nulls.contains(0L))
+    assert(zeroNullFiles > 0, "the dense batch must record zero nulls")
+
+    // IS NULL skips every zero-null file before scheduling
+    val q = c.query("user_id is null")
+    assert(q.inputFiles.length == man.files.size - zeroNullFiles,
+      s"want ${man.files.size - zeroNullFiles} files, scanned ${q.inputFiles.length}")
+    assert(q.count() == 25)
+
+    // negation must NOT prune files that contain nulls ('not (user_id is
+    // not null)' == 'user_id is null' — the Some(true) soundness trap)
+    val qn = c.query("not (user_id is not null)")
+    assert(qn.count() == 25)
+    assert(qn.inputFiles.length == q.inputFiles.length)
+
+    // IS NOT NULL keeps everything (every file has non-null rows) but
+    // composes with intervals: the range kills the dense batch's files
+    val qr = c.query("user_id is not null and user_id >= 100")
+    assert(qr.count() == 25)
+    assert(qr.inputFiles.length < man.files.size)
+
+    // driver-side partition eval and Catalyst agree through query()
+    val all = c.query().where(col("user_id").isNull)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == all)
+  }
+
+  test("root rollup: axis filters skip whole subtrees with NO shard IO on non-monotonic partitionings") {
+    val root = SparkTestSession.tmp("graft-rollup")
+    // two-level identity partitioning (a/b): no monotonic axis
+    // derivation exists, so before the rollup an axis filter had to load
+    // EVERY shard to enumerate candidate files
+    val df = Seq((1L, 1L, 1L, 1.0)).toDF("a", "b", "seq", "v")
+    val c = Collection.create(spark, root, df.schema, "seq",
+      SequencePartitioning(Seq("a", "b"), "seq"))
+    def batch(a: Long, lo: Long) =
+      (lo until lo + 60L).map(i => (a, i % 3, i, i.toDouble)).toDF("a", "b", "seq", "v")
+    c.insert(batch(1, 0), MergeStrategy.Concat)      // subtree a=1: seq 0-59
+    c.insert(batch(2, 1000), MergeStrategy.Concat)   // subtree a=2: seq 1000-1059
+
+    val c2 = Collection.open(spark, root, readOnly = true)
+    val man = c2.currentManifest()
+    assert(man.shards.size == 2)
+    assert(man.shards.forall(_.rollup.contains("seq")),
+      "every rebuilt subtree must carry an axis rollup")
+    assert(man.loadedShardCount == 0)
+
+    val q = c2.query("seq >= 1000")
+    assert(q.select("a").distinct().collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(man.loadedShardCount == 1,
+      s"rollup must keep subtree a=1 unloaded, loaded ${man.loadedShardCount}")
+
+    // rollup survives rebuilds (upsert rewrites the touched subtree)
+    c.insert(Seq((2L, 0L, 1005L, 0.0)).toDF("a", "b", "seq", "v"), MergeStrategy.Upsert())
+    val man2 = Collection.open(spark, root, readOnly = true).currentManifest()
+    assert(man2.shards.forall(_.rollup.contains("seq")))
+    assert(c.query("seq == 1005").select("v").collect().map(_.getDouble(0)).toSeq == Seq(0.0))
   }
 
   test("auto-compaction: touched partitions over the file threshold rewrite in a follow-up commit") {

@@ -119,7 +119,7 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(stats0.size == man0.files.size, "every file needs a zone map")
     def overlapping(lo: Long, hi: Long): Int =
       stats0.count { case (_, byCol) =>
-        val (a, b) = byCol("seq"); a.toLong <= hi && b.toLong >= lo
+        val st = byCol("seq"); st.lo.toLong <= hi && st.hi.toLong >= lo
       }
 
     val q = c.query("seq > 305")
