@@ -28,6 +28,7 @@ object Bench {
     "text_quality", "text_tokens",
     "text_quality_filter", "text_decontaminate", "text_redact",
     "text_sample_split", "text_repetition", "text_pack",
+    "text_chunk", "text_decontaminate_ngram",
     "zc_insert_query", "zc_query_filter", "zc_axis_range",
     "zc_col_zone", "zc_bloom", "stream_window",
   )

@@ -128,6 +128,13 @@ object SparkEntry {
         filters = "user_id in (7, 11)"))
     }),
 
+    // E (r5): metadata-only row count — partition-key filters answer
+    // from the manifest's recorded per-file counts, no scan, no job.
+    "zc_count" -> ((s, dir) => {
+      import s.implicits._
+      Seq(eventsCollection(s, dir).countRows("day >= 10 and day <= 20")).toDF("n")
+    }),
+
     // A4: variable projection reaches the parquet scan.
     "zc_query_project" -> ((s, dir) => {
       eventsCollection(s, dir)
@@ -671,6 +678,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C22 (r5): context-window CHUNKING — sliding token windows (50 wide,
+    // stride 40 = 10-token overlap) as one Generate; no shuffle.
+    "text_chunk" -> ((s, dir) => {
+      import graft.operators.Corpus
+      Corpus.chunkDocuments(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          col("text"), window = 50, stride = 40)
+        .select("doc_id", "chunk", "chunk_tokens", "chunk_text")
+        .orderBy("doc_id", "chunk")
+    }),
+
+    // C23 (r5): N-GRAM decontamination — drop docs sharing any word
+    // 5-gram with the benchmark subset (the partial-inclusion test that
+    // whole-document fingerprints miss). Benchmark shingles broadcast;
+    // the corpus never shuffles its text.
+    "text_decontaminate_ngram" -> ((s, dir) => {
+      import graft.operators.Corpus
+      val docs = Tables.documents(s, dir)
+      Corpus.decontaminateNgrams(
+          docs.select(col("doc_id"), col("text")), col("doc_id"), col("text"),
+          docs.where(col("doc_id") % 10 === 0), col("text"), k = 5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // C11: 64-bit FNV-1a document fingerprint (custom codegen Expression).
     "text_fingerprint" -> ((s, dir) => {
       import graft.functions.TextFunctions
@@ -1128,6 +1159,10 @@ object SparkEntry {
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
          FROM events WHERE user_id IN (7, 11) ORDER BY event_id""",
 
+    "zc_count" ->
+      """SELECT COUNT(*) AS n FROM events
+         WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 20""",
+
     "zc_partitions" ->
       """SELECT DISTINCT CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS year,
                 CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS month,
@@ -1530,6 +1565,25 @@ object SparkEntry {
                   PARTITION BY lang ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS INT) AS bin
          FROM d ORDER BY doc_id""",
+
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 40)) AS start FROM t)
+         SELECT doc_id,
+                CAST(start // 40 AS INT) AS chunk,
+                CAST(least(len(toks) - start, 50) AS INT) AS chunk_tokens,
+                array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text
+         FROM s ORDER BY doc_id, chunk""",
+
+    "text_decontaminate_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+                  THEN list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i : i + 4], ' '))
+                  ELSE CAST([] AS VARCHAR[]) END) AS sh FROM t),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+         bad AS (SELECT DISTINCT doc_id FROM sh WHERE sh IN (SELECT sh FROM bench))
+         SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
 
     "q3_shipping" ->
       """SELECT l_orderkey,

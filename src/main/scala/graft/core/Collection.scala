@@ -440,9 +440,9 @@ final class Collection private (
                                 streamMark: Option[(String, Long)] = None): Unit = {
     var base = prev
     var attempts = 0
-    val newStats = fileStats(newFiles) // once — retries reuse it
+    val (newStats, newRows) = fileStats(newFiles) // once — retries reuse it
     while (true) {
-      try { commitDeltaOnce(base, newFiles, newStats, dropped, taskBump, streamMark); return }
+      try { commitDeltaOnce(base, newFiles, newStats, newRows, dropped, taskBump, streamMark); return }
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -497,6 +497,7 @@ final class Collection private (
     * one shard + the root, regardless of collection size. */
   private def commitDeltaOnce(prev: Manifest, newFiles: Seq[String],
                               newStats: Map[String, Map[String, ColStat]],
+                              newRows: Map[String, Long],
                               dropped: Set[String], taskBump: Long,
                               streamMark: Option[(String, Long)] = None): Unit = {
     val newByPrefix = newFiles.groupBy(f => prefixOf(parentRel(f)))
@@ -520,11 +521,13 @@ final class Collection private (
           }
         }
         val stats = (oldNorm ++ newStats).filter { case (f, _) => fileSet(f) }
-        val name = shardName(files, stats)
-        writeShardIfAbsent(fs, manifestDir, name, files, stats)
+        val rows = (oldData.rows ++ newRows).filter { case (f, _) => fileSet(f) }
+        val name = shardName(files, stats, rows)
+        writeShardIfAbsent(fs, manifestDir, name, files, stats, rows)
         Some(ShardEntry(pfx,
           files.map(f => parentRel(f).substring(pfx.length).stripPrefix("/")).distinct.sorted,
-          name, rollupOf(files, stats)))
+          name, rollupOf(files, stats),
+          rowTotal = if (files.forall(rows.contains)) Some(files.map(rows).sum) else None))
       }
     }
     commitManifest(prev.withShards(
@@ -711,6 +714,46 @@ final class Collection private (
     df = attachImmutable(df)
     if (variables != null) df = df.select(variables.map(col): _*)
     df
+  }
+
+  /** Exact row count, answered from MANIFEST METADATA whenever the
+    * filter is decidable per partition — no filter is O(root) (summed
+    * subtree totals, zero shard IO), a partition-key filter loads only
+    * the matching subtrees' shards and sums their recorded per-file
+    * counts (no scan, no Spark job). Filters touching data columns, or
+    * any file without a recorded count (pre-format files — rewrite via
+    * [[compact]] to upgrade), fall back to a pruned scan-count. The
+    * reference answers `len()` from Zarr array metadata the same way. */
+  def countRows(filters: String = null): Long = {
+    val ast = FilterExpr.parse(filters)
+    val man = currentManifest()
+    def scan(): Long = prunedRaw(ast).count()
+    ast match {
+      case FilterExpr.True =>
+        man.shards.foldLeft(Option(0L)) { (acc, e) =>
+          for (a <- acc; b <- e.rowTotal) yield a + b
+        }.getOrElse(scan())
+      case _ =>
+        requireKnownNames(ast)
+        if (!FilterExpr.names(ast).subsetOf(partCols.toSet)) scan()
+        else {
+          // strict per-partition eval: every partition must decode, else
+          // the metadata answer could silently miss rows
+          val decoded = man.partitionPaths.map(p => decodePath(p).map(p -> _))
+          if (decoded.exists(_.isEmpty)) scan()
+          else {
+            val wanted = decoded.flatten
+              .filter { case (_, k) => FilterExpr.eval(ast, k.toMap) }
+              .map(_._1).toSet
+            val files = man.filesForPartitions(wanted)
+            val rowsByFile = man.shards
+              .filter(e => e.partitions.exists(p => wanted(joinPath(e.prefix, p))))
+              .flatMap(e => man.shardData(e).rows).toMap
+            if (files.forall(rowsByFile.contains)) files.map(rowsByFile).sum
+            else scan()
+          }
+        }
+    }
   }
 
   /** Filtered raw scan, pruned in three layers before Catalyst ever sees
@@ -958,18 +1001,18 @@ final class Collection private (
       }
     }
 
-  /** Per-file, per-column [min,max] of freshly written files, from
-    * parquet FOOTERS only (no data pages) — one footer open covers the
-    * axis AND every declared `statsColumns` entry. Small commits read
-    * footers on the driver; large ones fan the footer reads out as one
-    * Spark job — at a 10^7-file initial load the driver never
-    * serializes on footer IO. */
-  private def fileStats(newFiles: Seq[String]): Map[String, Map[String, ColStat]] = {
+  /** Per-file, per-column [min,max] AND row counts of freshly written
+    * files, from parquet FOOTERS only (no data pages) — one footer open
+    * covers the axis, every declared `statsColumns` entry, and the row
+    * total. Small commits read footers on the driver; large ones fan the
+    * footer reads out as one Spark job — at a 10^7-file initial load the
+    * driver never serializes on footer IO. */
+  private def fileStats(newFiles: Seq[String]): (Map[String, Map[String, ColStat]], Map[String, Long]) = {
     val cols = statsCols.filter(c => columnDomain(c).isDefined)
       .map(c => (c, expectTsAdjusted(c)))
-    if (newFiles.isEmpty || cols.isEmpty) return Map.empty
+    if (newFiles.isEmpty || cols.isEmpty) return (Map.empty, Map.empty)
     val rootStr = root
-    val pairs =
+    val triples =
       if (newFiles.size <= 64) {
         val conf = spark.sessionState.newHadoopConf()
         newFiles.map(f => footerColumnStats(rootStr, f, cols, conf))
@@ -982,13 +1025,14 @@ final class Collection private (
           .map(f => footerColumnStats(rootStr, f, cols, bc.value.value))
           .collect().toSeq
       }
-    val usable = pairs.filter(_._2.nonEmpty)
+    val usable = triples.filter(_._2.nonEmpty)
     if (usable.size < newFiles.size)
       Collection.statsLog.info(
         s"zone maps recorded for ${usable.size}/${newFiles.size} new files under " +
         s"$rootStr (files without usable footer statistics are never pruned; " +
         "failed footer reads are logged at WARN)")
-    usable.toMap
+    (usable.map(t => t._1 -> t._2).toMap,
+     triples.flatMap(t => t._3.map(t._1 -> _)).toMap)
   }
 
   /** Zone-map columns: the axis plus the declared hot data columns. */
@@ -1368,7 +1412,10 @@ object Collection {
     * (the Iceberg manifest-list partition-summary shape). */
   private[graft] final case class ShardEntry(
       prefix: String, partitions: Seq[String], file: String,
-      rollup: Map[String, ColStat] = Map.empty)
+      rollup: Map[String, ColStat] = Map.empty,
+      /** Subtree row total (present iff every file recorded a count) —
+        * a full-collection count() is O(root), zero shard IO. */
+      rowTotal: Option[Long] = None)
 
   private[core] def joinPath(prefix: String, last: String): String =
     if (prefix.isEmpty) last else s"$prefix/$last"
@@ -1495,7 +1542,7 @@ object Collection {
     * (local-wallclock micros), `None` for non-timestamp columns. */
   private[core] def footerColumnStats(rootStr: String, rel: String,
                                       cols: Seq[(String, Option[Boolean])],
-                                      conf: org.apache.hadoop.conf.Configuration): (String, Map[String, ColStat]) =
+                                      conf: org.apache.hadoop.conf.Configuration): (String, Map[String, ColStat], Option[Long]) =
     try {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -1504,7 +1551,7 @@ object Collection {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = reader.getFooter.getBlocks.asScala
-        if (blocks.isEmpty) return (rel, Map.empty)
+        if (blocks.isEmpty) return (rel, Map.empty, Some(0L))
         val out = cols.flatMap { case (colName, expectTsAdjusted) =>
           var lo: Any = null
           var hi: Any = null
@@ -1580,7 +1627,7 @@ object Collection {
             Some(colName -> ColStat(lo.toString, hi.toString, nulls))
           else None
         }.toMap
-        (rel, out)
+        (rel, out, Some(blocks.map(_.getRowCount).sum))
       } finally reader.close()
     } catch {
       case e: Exception =>
@@ -1588,7 +1635,7 @@ object Collection {
         // nameservice) must be DIAGNOSABLE, not a silent no-stats file —
         // the file stays unprunable either way, which is always correct
         statsLog.warn(s"zone-map stats unavailable for $rootStr/$rel: $e")
-        (rel, Map.empty)
+        (rel, Map.empty, None)
     }
 
   /** One bloom-prune obligation: the filter implies `col` ∈ `values`
@@ -1717,7 +1764,11 @@ object Collection {
     * sentinel — the prune layer resolves it for the axis column. */
   private[graft] final case class ShardData(
       files: Seq[String],
-      stats: Map[String, Map[String, ColStat]] = Map.empty)
+      stats: Map[String, Map[String, ColStat]] = Map.empty,
+      /** Per-file ROW counts (footer block totals) — the O(metadata)
+        * substrate of [[Collection.countRows]]. Absent for files written
+        * before counts were recorded. */
+      rows: Map[String, Long] = Map.empty)
 
   private[graft] final class Manifest(
       val generation: Long,
@@ -1813,7 +1864,8 @@ object Collection {
     * shard names instead of file lists. */
   private[core] def shardName(
       files: Seq[String],
-      stats: Map[String, Map[String, ColStat]] = Map.empty): String = {
+      stats: Map[String, Map[String, ColStat]] = Map.empty,
+      rows: Map[String, Long] = Map.empty): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(files.mkString("\n").getBytes("UTF-8"))
     // stats participate in the content address (same file list with new
@@ -1826,6 +1878,9 @@ object Collection {
             e._2.nulls.fold("")("~" + _))
           .mkString(";")
       }.mkString("\n").getBytes("UTF-8"))
+    if (rows.nonEmpty)
+      md.update(rows.toSeq.sorted.map(e => e._1 + "#" + e._2)
+        .mkString("\n").getBytes("UTF-8"))
     s"$ShardDir/shard-${md.digest().map("%02x".format(_)).mkString}.json"
   }
 
@@ -1856,14 +1911,20 @@ object Collection {
         }.toMap
       }.toMap)
       .getOrElse(Map.empty[String, Map[String, ColStat]])
-    ShardData(files, legacy ++ cols)
+    val rows = Option(doc.get("rows"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map {
+        case (f, n) => f -> n.toString.toLong
+      }.toMap)
+      .getOrElse(Map.empty[String, Long])
+    ShardData(files, legacy ++ cols, rows)
   }
 
   /** Write a shard file if absent (content-addressed: an existing file
     * with this name already holds exactly these bytes' content). */
   private[core] def writeShardIfAbsent(
       fs: FileSystem, manifestDir: Path, rel: String, files: Seq[String],
-      stats: Map[String, Map[String, ColStat]] = Map.empty): Unit = {
+      stats: Map[String, Map[String, ColStat]] = Map.empty,
+      rows: Map[String, Long] = Map.empty): Unit = {
     val p = new Path(manifestDir, rel)
     if (fs.exists(p)) return
     val doc = new java.util.LinkedHashMap[String, Object]()
@@ -1881,6 +1942,11 @@ object Collection {
         sm.put(f, cm)
       }
       doc.put("colstats", sm)
+    }
+    if (rows.nonEmpty) {
+      val rm = new java.util.LinkedHashMap[String, Object]()
+      rows.toSeq.sortBy(_._1).foreach { case (f, n) => rm.put(f, java.lang.Long.valueOf(n)) }
+      doc.put("rows", rm)
     }
     writeJson(fs, p, doc)
   }
@@ -1933,7 +1999,8 @@ object Collection {
                 c -> ColStat(l.get(0).toString, l.get(1).toString,
                   if (l.size > 2) Some(l.get(2).toString.toLong) else None)
               }.toMap)
-              .getOrElse(Map.empty))
+              .getOrElse(Map.empty),
+            rowTotal = Option(m.get("rows")).map(_.toString.toLong))
         }.toSeq
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => readShard(fs, dir, rel), streams)
@@ -2002,6 +2069,7 @@ object Collection {
         }
         em.put("rollup", rm)
       }
+      e.rowTotal.foreach(n => em.put("rows", java.lang.Long.valueOf(n)))
       shardsArr.add(em)
     }
     doc.put("shards", shardsArr)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
+import graft.operators.Corpus
 import graft.sources.Tables
 
 /** A miniature training-data curation pipeline over the documents and
@@ -52,9 +53,37 @@ object TrainingDataPipeline {
       .join(broadcast(benchmark), Seq("fp"), "left_anti")
     println(s"after decontamination: ${clean.count()}")
 
-    // 3c. PII redaction before anything ships to training
-    val redacted = clean.withColumn("text", TextFunctions.redactPii(col("text")))
+    // 3c. n-gram decontamination catches PARTIAL benchmark inclusions the
+    //     whole-document fingerprint misses (5-gram here; 13 in production)
+    val ngramClean = Corpus.decontaminateNgrams(clean, col("doc_id"), col("text"),
+      docs.where(col("doc_id") % 50 === 0), col("text"), k = 5)
+    println(s"after n-gram decontamination: ${ngramClean.count()}")
+
+    // 3d. PII redaction before anything ships to training
+    val redacted = ngramClean.withColumn("text", TextFunctions.redactPii(col("text")))
     println(s"redacted corpus ready: ${redacted.count()}")
+
+    // 3e. repetition metrics (boilerplate/spam signal, shuffle-free) and a
+    //     deterministic 90/5/5 split that survives re-runs and re-ingests
+    val (bucket, split) = Corpus.hashSplit(
+      TextFunctions.fingerprint(col("text")),
+      Seq(("train", 90), ("val", 95), ("test", 100)))
+    val labeled = redacted
+      .select((col("doc_id") +: col("text") +: Corpus.repetitionMetrics(col("text"))) :+
+        bucket.as("bucket") :+ split.as("split"): _*)
+      .where(col("dup_token_frac") <= 0.6)
+    labeled.groupBy("split").count().show()
+
+    // 3f. chunk to the context window and pack chunks into token-budget
+    //     bins per split (one shuffle, on the stratum key)
+    val chunks = Corpus.chunkDocuments(
+      labeled.select(col("doc_id"), col("text"), col("split")),
+      col("text"), window = 128, stride = 96)
+    val packed = Corpus.packSequences(
+      chunks.withColumn("n_tokens", col("chunk_tokens").cast("long")),
+      col("n_tokens"), Seq(col("split")), col("doc_id"), budget = 4096L)
+    println(s"packed ${packed.count()} chunks into " +
+      s"${packed.select("split", "bin").distinct().count()} bins")
 
     // 4. similarity retrieval over embeddings (exact + LSH path)
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -62,6 +62,61 @@ object Corpus {
       dupFrac(bigrams, n - 1).as("dup_bigram_frac"))
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * sliding windows of `window` tokens advancing by `stride` (stride <
+    * window = overlapping chunks, the usual training shape). ONE
+    * `Generate` per row — no shuffle, no per-document state; a 100 TB
+    * corpus chunks at scan speed. Emits `chunk` (0-based ordinal),
+    * `chunk_tokens` (actual length — tail chunks run short), and
+    * `chunk_text`. */
+  def chunkDocuments(df: DataFrame, text: Column, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = split(trim(text), "\\s+")
+    df.withColumn("_start",
+        explode(sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))))
+      .withColumn("chunk", (col("_start") / stride).cast("int"))
+      .withColumn("chunk_tokens",
+        least(size(toks) - col("_start"), lit(window)).cast("int"))
+      .withColumn("chunk_text",
+        array_join(slice(toks, col("_start") + 1, lit(window)), " "))
+      .drop("_start")
+  }
+
+  /** Word `k`-gram shingles as STRINGS (empty array below `k` tokens) —
+    * the exact-text form n-gram decontamination joins on. The hashed
+    * variant ([[graft.functions.ShingleHashes]]) is the dedup path; the
+    * string form keeps the benchmark join bit-exact and oracle-provable. */
+  def wordShingleStrings(text: Column, k: Int): Column = {
+    require(k > 0, "k must be positive")
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** N-GRAM decontamination: drop every corpus document sharing at least
+    * one word `k`-gram with the benchmark set — the contamination test
+    * evaluation suites actually specify (whole-document fingerprints
+    * miss partial inclusions). Scale shape: the benchmark's distinct
+    * shingles BROADCAST (benchmarks are small by definition); the corpus
+    * side explodes map-side into the broadcast join, so the only shuffle
+    * is the `distinct` over contaminated doc ids — never the corpus
+    * text. */
+  def decontaminateNgrams(corpus: DataFrame, id: Column, text: Column,
+                          benchmark: DataFrame, benchText: Column,
+                          k: Int = 13): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(wordShingleStrings(benchText, k)).as("_sh")).distinct()
+    val contaminated = corpus
+      .select(id.as("_cid"), explode(wordShingleStrings(text, k)).as("_sh"))
+      .join(broadcast(benchShingles), "_sh")
+      .select("_cid").distinct()
+    corpus.join(contaminated, id === col("_cid"), "left_anti")
+  }
+
   /** Contiguous token-budget packing: within each stratum, documents in
     * `order` are assigned to consecutive bins by the EXCLUSIVE prefix
     * sum of their token counts — `bin = floor(prior_tokens / budget)` —

@@ -58,6 +58,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), "repetition metrics must not explode")
   }
 
+  test("chunkDocuments: sliding token windows from one Generate, tail chunks run short") {
+    val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "a b")).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.chunkDocuments(d, col("text"), window = 4, stride = 3)
+      .select("doc_id", "chunk", "chunk_tokens", "chunk_text")
+      .orderBy("doc_id", "chunk").collect()
+    // doc 1: starts 0,3,6,9 -> windows of 4,4,4,1
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    assert(doc1.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(doc1.map(_.getInt(2)).toSeq == Seq(4, 4, 4, 1))
+    assert(doc1(0).getString(3) == "w1 w2 w3 w4")
+    assert(doc1(1).getString(3) == "w4 w5 w6 w7", "stride 3 < window 4 must overlap")
+    assert(doc1(3).getString(3) == "w10")
+    // doc 2: single short chunk
+    val doc2 = out.filter(_.getLong(0) == 2L)
+    assert(doc2.map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSeq == Seq((0, 2, "a b")))
+    // plan: one Generate, zero Exchange
+    val plan = graft.operators.Corpus.chunkDocuments(d, col("text"), 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "chunking must not shuffle")
+    intercept[IllegalArgumentException](
+      graft.operators.Corpus.chunkDocuments(d, col("text"), 4, 5))
+  }
+
+  test("decontaminateNgrams: shared k-grams kill the doc; benchmark side broadcasts") {
+    import graft.operators.Corpus
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),     // contains the canary 5-gram
+      (2L, "totally different words in this document"),
+      (3L, "one two three"),                           // < k tokens: never contaminated
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val kept = Corpus.decontaminateNgrams(corpus, col("doc_id"), col("text"), bench, col("text"), k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 3L), s"doc 1 shares a 5-gram with the benchmark, got $kept")
+    // the benchmark side must reach the join as a broadcast
+    val plan = Corpus.decontaminateNgrams(corpus, col("doc_id"), col("text"), bench, col("text"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "benchmark shingles must broadcast")
+  }
+
   test("packSequences: contiguous bins per stratum from an exclusive prefix sum") {
     val d = Seq(
       ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 300L), ("en", 4L, 50L),

@@ -213,6 +213,28 @@ class ColumnSkipSpec extends AnyFunSuite {
     assert(c.query("seq == 1005").select("v").collect().map(_.getDouble(0)).toSeq == Seq(0.0))
   }
 
+  test("countRows: metadata-only counts — O(root) unfiltered, matching shards for key filters") {
+    val root = SparkTestSession.tmp("graft-count")
+    val mk = (day: Int, n: Int, base: Long) => mkUsers(
+      (0 until n).map(i => (base + i, f"2024-01-$day%02d 10:00:00", base + i, 1.0)))
+    val c = Collection.create(spark, root, mk(1, 1, 0).schema, "ts",
+      DatePartitioning("ts", "D"))
+    c.insert(mk(1, 30, 0), MergeStrategy.Concat)
+    c.insert(mk(15, 70, 100), MergeStrategy.Concat)
+    c.insert(mk(15, 5, 500), MergeStrategy.Concat)
+
+    val c2 = Collection.open(spark, root, readOnly = true)
+    val man = c2.currentManifest()
+    assert(man.loadedShardCount == 0)
+    assert(c2.countRows() == 105L)
+    assert(man.loadedShardCount == 0, "unfiltered count must be root-only")
+    assert(c2.countRows("day == 15") == 75L)
+    assert(c2.countRows("day == 15") == c2.query("day == 15").count())
+    // a data-column filter falls back to a (pruned) scan — still exact
+    assert(c2.countRows("ts >= '2024-01-10 00:00:00'") == 75L)
+    assert(c2.countRows("user_id >= 100") == 75L)
+  }
+
   test("auto-compaction: touched partitions over the file threshold rewrite in a follow-up commit") {
     val mk = (i: Long) => mkUsers(Seq((i, "2024-01-01 10:00:00", i, i.toDouble)))
 
