@@ -756,6 +756,88 @@ final class Collection private (
     }
   }
 
+  /** [min, max] of a zone-mapped column (the axis or a declared
+    * `statsColumns` entry) answered from MANIFEST METADATA, in the
+    * column's canonical domain (timestamps = epoch micros, dates = epoch
+    * days, integrals = Long, fractionals = Double, strings = raw).
+    * Unfiltered: merged root rollups, zero shard IO when every subtree
+    * carries one. With a PARTITION-KEY filter: merged per-file stats of
+    * exactly the matching partitions (their shards only). `None` when
+    * the column isn't zone-mapped, any relevant file lacks stats, or the
+    * filter isn't partition-decidable — callers then aggregate the data
+    * (`query(filters).agg(min, max)`). */
+  def columnBounds(name: String, filters: String = null): Option[(Any, Any)] = {
+    if (!statsCols.contains(name)) return None
+    val dom = columnDomain(name).getOrElse(return None)
+    val ast = FilterExpr.parse(filters)
+    val man = currentManifest()
+    def decode(st: ColStat): Option[(Any, Any)] =
+      for (lo <- dom.decodeStat(st.lo); hi <- dom.decodeStat(st.hi)) yield (lo, hi)
+    def merge(pairs: Seq[Option[(Any, Any)]]): Option[(Any, Any)] =
+      if (pairs.isEmpty || pairs.exists(_.isEmpty)) None
+      else Some((
+        pairs.flatten.map(_._1).reduce((a, b) => if (dom.cmp(a, b) <= 0) a else b),
+        pairs.flatten.map(_._2).reduce((a, b) => if (dom.cmp(a, b) >= 0) a else b)))
+    ast match {
+      case FilterExpr.True =>
+        merge(man.shards.map(_.rollup.get(name).flatMap(decode)))
+      case _ =>
+        requireKnownNames(ast)
+        if (!FilterExpr.names(ast).subsetOf(partCols.toSet)) return None
+        val decoded = man.partitionPaths.map(p => decodePath(p).map(p -> _))
+        if (decoded.exists(_.isEmpty)) return None
+        val wanted = decoded.flatten
+          .filter { case (_, k) => FilterExpr.eval(ast, k.toMap) }
+          .map(_._1).toSet
+        val files = man.filesForPartitions(wanted)
+        val stats = man.statsForFiles(files)
+        merge(files.map(f => stats.get(f)
+          .flatMap(byCol => byCol.get(name).orElse(
+            if (name == axis) byCol.get(LegacyAxisKey) else None))
+          .flatMap(decode)))
+    }
+  }
+
+  /** Record zone maps + row counts for files committed BEFORE stats
+    * existed (legacy or [[repairCatalog]]-bootstrapped trees): reads
+    * only the parquet FOOTERS of files lacking entries, rebuilds their
+    * shards, and commits one metadata-only generation — no data IO, and
+    * afterwards [[countRows]]/[[columnBounds]]/zone-map pruning work on
+    * the old files too. Returns how many files were examined (files
+    * whose footers genuinely carry no usable statistics stay statless
+    * and are simply never pruned). */
+  def backfillStats(): Int = {
+    requireWritable()
+    val man = currentManifest()
+    val missingByShard = man.shards.map { e =>
+      val d = man.shardData(e)
+      e -> d.files.filterNot(f => d.stats.contains(f) && d.rows.contains(f))
+    }.toMap
+    val missing = missingByShard.values.flatten.toSeq
+    if (missing.isEmpty) return 0
+    val (stats, rows) = fileStats(missing)
+    val entries = man.shards.map { e =>
+      if (missingByShard(e).isEmpty) e
+      else {
+        val d = man.shardData(e)
+        val fileSet = d.files.toSet
+        val st = (d.stats ++ stats.filter { case (f, _) => fileSet(f) }).map {
+          case (f, byCol) => f -> byCol.map {
+            case (LegacyAxisKey, v) => axis -> v
+            case kv                 => kv
+          }
+        }
+        val rw = d.rows ++ rows.filter { case (f, _) => fileSet(f) }
+        val name = shardName(d.files, st, rw)
+        writeShardIfAbsent(fs, manifestDir, name, d.files, st, rw)
+        e.copy(file = name, rollup = rollupOf(d.files, st),
+          rowTotal = if (d.files.forall(rw.contains)) Some(d.files.map(rw).sum) else None)
+      }
+    }
+    commitManifest(man.withShards(man.generation + 1, man.taskBase, entries))
+    missing.size
+  }
+
   /** Filtered raw scan, pruned in three layers before Catalyst ever sees
     * a row:
     *  1. PARTITIONS against the ROOT manifest's partition table — only

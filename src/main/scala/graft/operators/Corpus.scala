@@ -108,11 +108,17 @@ object Corpus {
   def decontaminateNgrams(corpus: DataFrame, id: Column, text: Column,
                           benchmark: DataFrame, benchText: Column,
                           k: Int = 13): DataFrame = {
+    // both sides join on the shingles' 64-bit hashes: ~5x smaller
+    // broadcast and fixed-width equality, identical result absent a
+    // 64-bit collision (the same injectivity argument the fingerprint
+    // decontamination path documents)
     val benchShingles = benchmark
-      .select(explode(wordShingleStrings(benchText, k)).as("_sh")).distinct()
+      .select(explode(wordShingleStrings(benchText, k)).as("_sh"))
+      .select(xxhash64(col("_sh")).as("_shh")).distinct()
     val contaminated = corpus
       .select(id.as("_cid"), explode(wordShingleStrings(text, k)).as("_sh"))
-      .join(broadcast(benchShingles), "_sh")
+      .select(col("_cid"), xxhash64(col("_sh")).as("_shh"))
+      .join(broadcast(benchShingles), "_shh")
       .select("_cid").distinct()
     corpus.join(contaminated, id === col("_cid"), "left_anti")
   }

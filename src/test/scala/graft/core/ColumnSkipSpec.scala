@@ -235,6 +235,40 @@ class ColumnSkipSpec extends AnyFunSuite {
     assert(c2.countRows("user_id >= 100") == 75L)
   }
 
+  test("columnBounds + backfillStats: metadata bounds, and the legacy-tree upgrade path") {
+    val root = SparkTestSession.tmp("graft-backfill")
+    val b = mkUsers((0L until 40L).map(i => (i, f"2024-01-${1 + (i % 2) * 10}%02d 10:00:00", i, 1.0)))
+    val c = Collection.create(spark, root, b.schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("user_id"))
+    c.insert(b)
+
+    // metadata bounds: unfiltered from rollups, filtered from shard stats
+    assert(c.columnBounds("user_id").contains((0L, 39L)))
+    assert(c.columnBounds("user_id", "day == 1").exists {
+      case (lo: Long, hi: Long) => lo == 0L && hi == 38L })
+    assert(c.columnBounds("v").isEmpty, "non-stats columns answer None")
+    assert(c.columnBounds("user_id", "user_id >= 3").isEmpty,
+      "data-column filters are not partition-decidable")
+
+    // wipe the stats by rebuilding the manifest from disk (repairCatalog
+    // adopts files with NO stats — the legacy shape)
+    c.repairCatalog()
+    val bare = c.currentManifest()
+    assert(bare.statsForFiles(bare.files).isEmpty, "repair must start statless")
+    assert(c.columnBounds("user_id").isEmpty)
+
+    // backfill: footer reads only, one metadata commit, everything returns
+    val n = c.backfillStats()
+    assert(n == bare.files.size, s"all $n files backfilled")
+    assert(c.columnBounds("user_id").contains((0L, 39L)))
+    assert(c.countRows() == 40L)
+    val man = c.currentManifest()
+    assert(man.statsForFiles(man.files).size == man.files.size)
+    assert(c.backfillStats() == 0, "second backfill is a no-op")
+    // and the data never moved
+    assert(c.query().count() == 40L)
+  }
+
   test("auto-compaction: touched partitions over the file threshold rewrite in a follow-up commit") {
     val mk = (i: Long) => mkUsers(Seq((i, "2024-01-01 10:00:00", i, i.toDouble)))
 
