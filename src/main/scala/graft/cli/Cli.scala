@@ -34,7 +34,8 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: Cli <ls|inspect|query|drop> <path> [args...]")
+      System.err.println(
+        "usage: Cli <ls|inspect|query|drop|history|vacuum|compact|count|prune|backfill-stats> <path> [args...]")
       sys.exit(2)
     }
     val (cmd, path) = (args(0), args(1))
@@ -68,6 +69,16 @@ object Cli {
       case "compact" =>
         val c = Collection.open(spark, path)
         c.compact(args.lift(2).orNull).foreach(println)
+      case "count" =>
+        val c = Collection.open(spark, path, readOnly = true)
+        println(c.countRows(args.lift(2).orNull))
+      case "prune" =>
+        // dry-run the skip layers: why does this filter scan what it scans
+        val c = Collection.open(spark, path, readOnly = true)
+        println(c.explainPruning(args.lift(2).orNull))
+      case "backfill-stats" =>
+        val c = Collection.open(spark, path)
+        println(s"backfilled ${c.backfillStats()} file(s)")
       case other =>
         System.err.println(s"unknown command '$other'"); sys.exit(2)
     } finally spark.stop()

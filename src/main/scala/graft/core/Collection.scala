@@ -697,8 +697,16 @@ final class Collection private (
     val man = manifestCache.getOrElseUpdate(gen, readManifest(fs, manifestDir, gen))
     val dataSchema = StructType.fromDDL(man.schemaDdl)
     val ast = FilterExpr.parse(filters)
-    readRawManifest(man)
-      .where(FilterExpr.toColumn(ast))
+    // time-travel reads prune exactly like current-generation reads: the
+    // snapshot's own shard stats/rollups/blooms drive the same layers
+    val df = ast match {
+      case FilterExpr.True => readRawManifest(man)
+      case _ =>
+        readManifestFiles(man,
+          pruneFilesForRead(man, man.files, ast),
+          schemaOverride = Some(dataSchema))
+    }
+    df.where(FilterExpr.toColumn(ast))
       .select(dataSchema.fieldNames.toSeq.map(col): _*)
   }
 
@@ -753,6 +761,39 @@ final class Collection private (
             else scan()
           }
         }
+    }
+  }
+
+  /** Dry-run the read path's skip layers for a filter and report what
+    * each one would eliminate — the "why does this query scan so much"
+    * debugging tool (Delta/Iceberg expose the same counters as scan
+    * metrics). Metadata-only except the bloom layer, which reads the
+    * surviving candidates' footers exactly as the real query would; no
+    * data pages, no Spark scan. */
+  def explainPruning(filters: String = null): PruneReport = {
+    val ast = FilterExpr.parse(filters)
+    val man = currentManifest()
+    val all = man.partitionPaths
+    ast match {
+      case FilterExpr.True =>
+        val files = man.files.size
+        PruneReport(man.shards.size, man.shards.size, all.size, all.size,
+          files, files, files)
+      case _ =>
+        requireKnownNames(ast)
+        val keyBounds = axisKeyBoundsFromFilter(ast)
+        val wanted = all
+          .flatMap(p => decodePath(p).map(k => (p, k)))
+          .filter { case (_, k) =>
+            FilterExpr.mayMatch(ast, k.toMap) && keyInRange(k, keyBounds)
+          }
+          .map(_._1).toSet
+        val okShards = man.shards.filter(e => shardMayMatch(e, ast))
+        val candidates = man.filesFromShards(okShards, wanted)
+        val afterStats = pruneByStats(man, candidates, ast)
+        val afterBloom = pruneByBloom(afterStats, ast)
+        PruneReport(man.shards.size, okShards.size, all.size, wanted.size,
+          candidates.size, afterStats.size, afterBloom.size)
     }
   }
 
@@ -1461,6 +1502,20 @@ object Collection {
   private val ManifestName = "manifest-([0-9]+)\\.json".r
   private[core] val ShardDir = "shards"
 
+  /** What each skip layer of a filtered read would eliminate
+    * ([[Collection.explainPruning]]): subtrees survive the root rollup,
+    * partitions the key eval + monotonic axis bounds, then candidate
+    * files shrink through zone maps and bloom filters. */
+  final case class PruneReport(
+      subtreesTotal: Int, subtreesKept: Int,
+      partitionsTotal: Int, partitionsKept: Int,
+      filesListed: Int, filesAfterStats: Int, filesAfterBloom: Int) {
+    override def toString: String =
+      s"subtrees $subtreesKept/$subtreesTotal -> partitions " +
+      s"$partitionsKept/$partitionsTotal -> files $filesListed listed, " +
+      s"$filesAfterStats after zone maps, $filesAfterBloom after blooms"
+  }
+
   /** Sentinel column key under which LEGACY axis-only shard stats
     * (`"stats": {file: [lo, hi]}`) surface in [[ShardData.stats]]; the
     * prune layer resolves it when filtering on the axis column. */
@@ -1552,6 +1607,7 @@ object Collection {
 
     object Fractional extends AxisDomain {
       def decodeLit(v: Any): Option[Any] = v match {
+        case d: Double => Some(d)
         case l: Long => Some(l.toDouble)
         case i: Int  => Some(i.toDouble)
         case s: String => s.toDoubleOption

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions.{col, lit}
 
 /** Partition-filter mini-language, modeled on the reference's typed AST
   * walker (zcollection/partitioning/expression.py:1-189): comparisons
-  * (`== != < <= > >=`), `and`/`or`/`not`, `in`/`not in`, integer and
-  * string literals, and partition-key names. Unlike the reference, the
+  * (`== != < <= > >=`), `and`/`or`/`not`, `in`/`not in`,
+  * `is [not] null`, integer/fractional/string literals, and
+  * partition-key names. Unlike the reference, the
   * compiled form is BOTH a driver-side predicate (for partition listing)
   * and a Catalyst [[Column]] over the partition columns, so the same
   * expression prunes partitions inside Spark's planner — no directory
@@ -27,7 +28,7 @@ object FilterExpr {
 
   sealed trait Operand
   final case class Name(n: String) extends Operand
-  final case class Lit(v: Any) extends Operand // Long or String
+  final case class Lit(v: Any) extends Operand // Long, Double, or String
 
   final class ParseException(msg: String) extends IllegalArgumentException(msg)
 
@@ -36,6 +37,7 @@ object FilterExpr {
   private sealed trait Tok
   private case class TName(s: String) extends Tok
   private case class TInt(v: Long) extends Tok
+  private case class TNum(v: Double) extends Tok
   private case class TStr(s: String) extends Tok
   private case class TSym(s: String) extends Tok
 
@@ -50,9 +52,17 @@ object FilterExpr {
         val end = if (j < 0) s.length else j
         out += TName(s.substring(i, end)); i = end
       } else if (c.isDigit || (c == '-' && i + 1 < s.length && s.charAt(i + 1).isDigit)) {
-        val j = s.indexWhere(ch => !(ch.isDigit), i + 1)
-        val end = if (j < 0) s.length else j
-        out += TInt(s.substring(i, end).toLong); i = end
+        var j = i + 1
+        while (j < s.length && s.charAt(j).isDigit) j += 1
+        // fractional literal: digits '.' digits (a bare trailing dot is
+        // left for the symbol handler to reject, like any stray '.')
+        if (j + 1 < s.length && s.charAt(j) == '.' && s.charAt(j + 1).isDigit) {
+          j += 1
+          while (j < s.length && s.charAt(j).isDigit) j += 1
+          out += TNum(s.substring(i, j).toDouble); i = j
+        } else {
+          out += TInt(s.substring(i, j).toLong); i = j
+        }
       } else if (c == '\'' || c == '"') {
         val end = s.indexOf(c, i + 1)
         if (end < 0) throw new ParseException(s"unterminated string at $i in: $s")
@@ -101,6 +111,7 @@ object FilterExpr {
         val inner = parseOr(); expect(")"); Left(inner)
       case TName(n) => Right(Name(n))
       case TInt(v)  => Right(Lit(v))
+      case TNum(v)  => Right(Lit(v))
       case TStr(v)  => Right(Lit(v))
       case t        => throw new ParseException(s"unexpected token $t")
     }
@@ -115,6 +126,7 @@ object FilterExpr {
       while (!done) {
         next() match {
           case TInt(v)        => vals += v
+          case TNum(v)        => vals += v
           case TStr(v)        => vals += v
           case TSym(`close`)  => done = true
           case TSym(",")      => ()
@@ -446,16 +458,28 @@ object FilterExpr {
     case _        => None
   }
 
+  private def toDoubleOpt(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float  => Some(f.toDouble)
+    case _         => toLongOpt(v).map(_.toDouble)
+  }
+
   private def valueEq(a: Any, b: Any): Boolean = (toLongOpt(a), toLongOpt(b)) match {
     case (Some(x), Some(y)) => x == y
-    case _                  => a == b
+    case _ => (toDoubleOpt(a), toDoubleOpt(b)) match {
+      case (Some(x), Some(y)) => x == y
+      case _                  => a == b
+    }
   }
 
   private def valueCompare(a: Any, b: Any): Int = (toLongOpt(a), toLongOpt(b)) match {
     case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
-    case _ => (a, b) match {
-      case (x: String, y: String) => x.compareTo(y)
-      case _ => throw new ParseException(s"cannot compare $a with $b")
+    case _ => (toDoubleOpt(a), toDoubleOpt(b)) match {
+      case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+      case _ => (a, b) match {
+        case (x: String, y: String) => x.compareTo(y)
+        case _ => throw new ParseException(s"cannot compare $a with $b")
+      }
     }
   }
 }

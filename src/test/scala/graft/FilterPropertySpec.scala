@@ -20,7 +20,10 @@ class FilterPropertySpec extends AnyFunSuite {
   private def genCmp(): String = {
     val name = Seq("year", "month", "day")(rnd.nextInt(3))
     val op = Seq("==", "!=", "<", "<=", ">", ">=")(rnd.nextInt(6))
-    val v = rnd.nextInt(32)
+    // fractional literals against integer columns must agree across both
+    // targets too (driver promotes to double, Catalyst casts)
+    val v = if (rnd.nextInt(4) == 0) s"${rnd.nextInt(32)}.${rnd.nextInt(10)}"
+            else rnd.nextInt(32).toString
     s"$name $op $v"
   }
 

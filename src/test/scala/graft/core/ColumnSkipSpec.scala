@@ -33,7 +33,7 @@ class ColumnSkipSpec extends AnyFunSuite {
     val root = SparkTestSession.tmp("graft-colzone")
     val b1 = mkUsers((0L until 50L).map(i => (i, "2024-01-01 08:00:00", i, 1.0)))
     val c = Collection.create(spark, root, b1.schema, "ts",
-      DatePartitioning("ts", "D"), statsColumns = Seq("user_id"))
+      DatePartitioning("ts", "D"), statsColumns = Seq("user_id", "v"))
     c.insert(b1, MergeStrategy.Concat)                                            // ids 0-49
     c.insert(mkUsers((100L until 150L).map(i => (i, "2024-01-01 12:00:00", i, 2.0))),
       MergeStrategy.Concat)                                                       // ids 100-149
@@ -71,6 +71,25 @@ class ColumnSkipSpec extends AnyFunSuite {
     val all = c.query().where(col("user_id") >= 140 && col("user_id") < 220)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(qr.select("id").collect().map(_.getLong(0)).sorted.toSeq == all)
+
+    // fractional literals prune DOUBLE stats columns (v = 1.0/2.0/3.0
+    // per insert; 2.5 falls between the second and third)
+    val qv = c.query("v >= 2.5")
+    assert(qv.count() == 50)
+    assert(qv.inputFiles.length < man.files.size, "v stats must prune")
+
+    // time travel prunes with the SNAPSHOT's own stats
+    val qs = c.snapshotAt(c.generation, "user_id == 120")
+    assert(qs.inputFiles.length == expect(120, 120),
+      s"snapshot read must prune files, scanned ${qs.inputFiles.length}")
+    assert(qs.select("id").collect().map(_.getLong(0)).toSeq == Seq(120L))
+
+    // the dry-run report mirrors what the real scan did
+    val rep = c.explainPruning("user_id == 120")
+    assert(rep.filesAfterBloom == q.inputFiles.length, rep.toString)
+    assert(rep.filesAfterStats < rep.filesListed, rep.toString)
+    val repAll = c.explainPruning()
+    assert(repAll.filesAfterBloom == man.files.size)
   }
 
   test("legacy axis-only shard stats parse under the sentinel and still prune the axis") {
@@ -291,6 +310,39 @@ class ColumnSkipSpec extends AnyFunSuite {
     assert(man.statsForFiles(man.files).size == man.files.size)
     // time travel: the pre-compaction snapshot remains committed history
     assert(c.generations().size > 6, "compaction must be its own commit")
+  }
+
+  test("streaming ingest composes with auto-compaction: files stay bounded, replay detection intact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = SparkTestSession.tmp("graft-stream-compact")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, ts TIMESTAMP, v DOUBLE")
+    val c = Collection.create(spark, root, schema, "ts",
+      DatePartitioning("ts", "D"), autoCompactFiles = 2)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamOps.insertStream(in.toDF().toDF("id", "ts", "v"), c,
+      "compact-ingest", SparkTestSession.tmp("graft-sc-ckpt"))
+    try {
+      (1L to 6L).foreach { i =>
+        in.addData((i, ts("2024-01-01 10:00:00"), i.toDouble))
+        q.processAllAvailable() // one micro-batch (= one commit) per row
+      }
+    } finally q.stop()
+    val man = c.currentManifest()
+    assert(man.files.size <= 2,
+      s"auto-compaction must bound the ingest partition, have ${man.files.size}")
+    assert(c.query().select("id").collect().map(_.getLong(0)).sorted.toSeq == (1L to 6L))
+    // compaction commits must not disturb the stream's high-water mark
+    val hwm = c.streamHighWaterMark("compact-ingest")
+    assert(hwm.exists(_ >= 1L))
+    val replay = Seq((99L, "2024-01-09 10:00:00", 9.0))
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    assert(c.insertStreamBatch("compact-ingest", hwm.get, replay).isEmpty,
+      "replay of a committed batch must stay a no-op after compactions")
+    assert(c.query().count() == 6)
   }
 
   test("streaming pushdown: the filters option prunes each batch's file diff and filters rows") {
