@@ -24,7 +24,7 @@ object Bench {
     "q_window_topn", "q_asof_join", "q_range_join", "q_sessionize",
     "q_semi_anti", "q_rollup",
     "dedup_exact", "dedup_minhash", "dedup_cosine", "ann_bruteforce", "ann_lsh",
-    "ann_ivf",
+    "ann_ivf", "ann_quantize",
     "text_quality", "text_tokens",
     "text_quality_filter", "text_decontaminate", "text_redact",
     "text_sample_split", "text_repetition", "text_pack",

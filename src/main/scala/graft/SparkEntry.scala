@@ -702,6 +702,18 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // C24 (r5): INT8 embedding quantization — per-vector max-abs scale,
+    // floor-based rounding (engine-portable), mean-abs reconstruction
+    // error via an explicit left fold. Scalar map, no shuffle.
+    "ann_quantize" -> ((s, dir) => {
+      import graft.ann.Ann
+      val emb = Tables.embeddings(s, dir)
+      val (maxAbs, qvec) = Ann.quantizeInt8(col("embedding"))
+      emb.select(col("vec_id"), maxAbs.as("max_abs"), qvec.as("qvec"),
+          Ann.quantizeInt8Mae(col("embedding"), maxAbs, qvec).as("mae"))
+        .orderBy("vec_id")
+    }),
+
     // C11: 64-bit FNV-1a document fingerprint (custom codegen Expression).
     "text_fingerprint" -> ((s, dir) => {
       import graft.functions.TextFunctions
@@ -1565,6 +1577,19 @@ object SparkEntry {
                   PARTITION BY lang ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS INT) AS bin
          FROM d ORDER BY doc_id""",
+
+    "ann_quantize" ->
+      """WITH t AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d FROM embeddings),
+         m AS (SELECT vec_id, d, list_max(list_transform(d, x -> abs(x))) AS max_abs FROM t),
+         q AS (SELECT vec_id, d, max_abs,
+                 CASE WHEN max_abs = 0 THEN list_transform(d, x -> CAST(0 AS INT))
+                      ELSE list_transform(d, x -> CAST(floor(x * 127.0 / max_abs + 0.5) AS INT)) END AS qvec
+               FROM m)
+         SELECT vec_id, max_abs, qvec,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(d) + 1), i -> abs(d[i] - CAST(qvec[i] AS DOUBLE) * max_abs / 127.0))),
+             (a, b) -> a + b) / len(d) AS mae
+         FROM q ORDER BY vec_id""",
 
     "text_chunk" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

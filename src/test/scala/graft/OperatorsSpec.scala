@@ -307,4 +307,35 @@ class OperatorsSpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"ivf@8192-list recall collapsed: $recall")
   }
+
+  test("int8 quantization: per-element error bounded by half a step, zero vectors safe, no shuffle") {
+    import graft.ann.Ann
+    val df = spark.range(200).selectExpr("id as vec_id",
+      "transform(sequence(1, 16), j -> cast(sin(id * j) as float)) as embedding")
+      .union(spark.sql("select 999L as vec_id, transform(sequence(1, 16), j -> cast(0.0 as float)) as embedding"))
+    val (maxAbs, qvec) = Ann.quantizeInt8(col("embedding"))
+    val out = df.select(col("vec_id"), col("embedding"), maxAbs.as("ma"), qvec.as("q"))
+    val rows = out.collect()
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1)
+      val ma = r.getDouble(2)
+      val q = r.getSeq[Int](3)
+      assert(q.length == emb.length)
+      assert(q.forall(v => v >= -127 && v <= 127), s"q out of range: $q")
+      if (ma == 0.0) assert(q.forall(_ == 0), "zero vector must quantize to zeros")
+      else emb.zip(q).foreach { case (x, qi) =>
+        val err = math.abs(x.toDouble - qi * ma / 127.0)
+        assert(err <= ma / 254.0 + 1e-12, s"error $err exceeds half-step ${ma / 254.0}")
+      }
+    }
+    // scalar map: no Exchange in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    // mae column agrees with a driver-side recomputation on one vector
+    val mae = df.where(col("vec_id") === 1L)
+      .select(Ann.quantizeInt8Mae(col("embedding"), maxAbs, qvec)).collect()(0).getDouble(0)
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    val expect = r1.getSeq[Float](1).zip(r1.getSeq[Int](3))
+      .foldLeft(0.0) { case (acc, (x, qi)) => acc + math.abs(x.toDouble - qi * r1.getDouble(2) / 127.0) } / 16
+    assert(math.abs(mae - expect) < 1e-12)
+  }
 }
