@@ -63,6 +63,14 @@ object Ann {
     (maxAbs, qvec)
   }
 
+  /** Read path of [[quantizeInt8]]: reconstruct a float vector from the
+    * stored `(max_abs, qvec)` pair — searches run over the dequantized
+    * corpus (each element within max_abs/254 of the original, so
+    * cosine rankings are preserved up to that tolerance; re-rank a
+    * shortlist with original vectors when exact order matters). */
+  def dequantizeInt8(maxAbs: Column, qvec: Column): Column =
+    transform(qvec, q => (q.cast("double") * maxAbs / 127.0).cast("float"))
+
   /** Mean absolute reconstruction error of [[quantizeInt8]] — an explicit
     * LEFT fold so the floating-point addition order is engine-portable. */
   def quantizeInt8Mae(vec: Column, maxAbs: Column, qvec: Column): Column = {

@@ -132,6 +132,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("search over the int8-dequantized corpus keeps near-perfect recall") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where($"vec_id" < 5)
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // store quantized (4x smaller), search the dequantized reconstruction:
+    // per-element error <= max_abs/254 barely perturbs cosine order
+    val (maxAbs, qvec) = Ann.quantizeInt8(col("embedding"))
+    val stored = e.select(col("vec_id"), maxAbs.as("ma"), qvec.as("q"))
+    val dequant = stored.select(col("vec_id"),
+      Ann.dequantizeInt8(col("ma"), col("q")).as("embedding"))
+    val viaQuant = Ann.bruteForceTopK(dequant, q, "vec_id", "embedding", 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & viaQuant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized-corpus recall too low: $recall")
+  }
+
   test("ivf top-k achieves reasonable recall vs brute force") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.where($"vec_id" < 5)
