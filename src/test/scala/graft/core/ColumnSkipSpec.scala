@@ -312,6 +312,30 @@ class ColumnSkipSpec extends AnyFunSuite {
     assert(c.generations().size > 6, "compaction must be its own commit")
   }
 
+  test("streaming reads prune COLUMNS through the substituted batch plan (no pushdown option needed)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamOps
+    val root = SparkTestSession.tmp("graft-stream-prune")
+    val df = mkUsers(Seq((1L, "2024-01-01 10:00:00", 7L, 1.0)))
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    val name = "graft_colprune_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // the consumer selects ONE narrow column; the per-batch optimizer must
+    // push that projection into the substituted parquet relation
+    val q = StreamOps.readStream(spark, c).select("id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).columns.toSeq == Seq("id"))
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(read.contains("id") && !read.contains("user_id") && !read.contains("props"),
+        s"projection must reach the micro-batch scan, got: $read")
+    } finally q.stop()
+  }
+
   test("streaming ingest composes with auto-compaction: files stay bounded, replay detection intact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamOps
