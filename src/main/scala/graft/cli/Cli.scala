@@ -35,7 +35,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: Cli <ls|inspect|query|drop|history|vacuum|compact|count|prune|backfill-stats> <path> [args...]")
+        "usage: Cli <ls|inspect|describe|query|drop|history|vacuum|compact|count|prune|backfill-stats> <path> [args...]")
       sys.exit(2)
     }
     val (cmd, path) = (args(0), args(1))
@@ -69,6 +69,9 @@ object Cli {
       case "compact" =>
         val c = Collection.open(spark, path)
         c.compact(args.lift(2).orNull).foreach(println)
+      case "describe" =>
+        val c = Collection.open(spark, path, readOnly = true)
+        c.describePartitions().orderBy("partition").show(1000, truncate = false)
       case "count" =>
         val c = Collection.open(spark, path, readOnly = true)
         println(c.countRows(args.lift(2).orNull))

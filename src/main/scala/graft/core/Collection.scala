@@ -764,6 +764,50 @@ final class Collection private (
     }
   }
 
+  /** Operational summary of every partition, straight from the manifest
+    * (the Delta `DESCRIBE DETAIL` shape): file count, row count (when
+    * recorded), and the axis [min,max] merged from the per-file zone
+    * maps — one DataFrame row per partition, O(shards) metadata IO and
+    * no data scan. Missing stats surface as nulls, never guesses. */
+  def describePartitions(): DataFrame = {
+    import org.apache.spark.sql.types._
+    val man = currentManifest()
+    val dom = axisDomain
+    val rows = man.shards.flatMap { e =>
+      val d = man.shardData(e)
+      val byPart = d.files.groupBy(parentRel)
+      e.partitions.map { p =>
+        val full = joinPath(e.prefix, p)
+        val files = byPart.getOrElse(full, Nil)
+        val nRows: Any =
+          if (files.nonEmpty && files.forall(d.rows.contains))
+            files.map(d.rows).sum
+          else null
+        val axisBounds: Option[(Any, Any)] = dom.flatMap { dm =>
+          val sts = files.map(f => d.stats.get(f)
+            .flatMap(bc => bc.get(axis).orElse(bc.get(LegacyAxisKey)))
+            .flatMap(st => for (lo <- dm.decodeStat(st.lo); hi <- dm.decodeStat(st.hi)) yield (lo, hi)))
+          if (sts.isEmpty || sts.exists(_.isEmpty)) None
+          else Some((
+            sts.flatten.map(_._1).reduce((a, b) => if (dm.cmp(a, b) <= 0) a else b),
+            sts.flatten.map(_._2).reduce((a, b) => if (dm.cmp(a, b) >= 0) a else b)))
+        }
+        org.apache.spark.sql.Row(
+          full, files.size, nRows,
+          axisBounds.map(_._1.toString).orNull,
+          axisBounds.map(_._2.toString).orNull)
+      }
+    }
+    val schemaOut = StructType(Seq(
+      StructField("partition", StringType),
+      StructField("n_files", IntegerType),
+      StructField("n_rows", LongType),
+      StructField("axis_min", StringType),
+      StructField("axis_max", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schemaOut)
+  }
+
   /** Dry-run the read path's skip layers for a filter and report what
     * each one would eliminate — the "why does this query scan so much"
     * debugging tool (Delta/Iceberg expose the same counters as scan

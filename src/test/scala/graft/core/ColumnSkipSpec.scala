@@ -288,6 +288,28 @@ class ColumnSkipSpec extends AnyFunSuite {
     assert(c.query().count() == 40L)
   }
 
+  test("describePartitions: one metadata row per partition with files/rows/axis bounds") {
+    val root = SparkTestSession.tmp("graft-describe")
+    val c = Collection.create(spark, root,
+      mkUsers(Seq((1L, "2024-01-01 10:00:00", 1L, 1.0))).schema, "ts",
+      DatePartitioning("ts", "D"))
+    c.insert(mkUsers((0L until 30L).map(i => (i, "2024-01-01 10:00:00", i, 1.0))),
+      MergeStrategy.Concat)
+    c.insert(mkUsers((100L until 110L).map(i => (i, "2024-01-05 12:00:00", i, 1.0))),
+      MergeStrategy.Concat)
+    val d = c.describePartitions().orderBy("partition").collect()
+    assert(d.length == 2)
+    assert(d.map(_.getString(0)).toSeq ==
+      Seq("year=2024/month=1/day=1", "year=2024/month=1/day=5"))
+    assert(d(0).getLong(2) == 30L && d(1).getLong(2) == 10L)
+    assert(d.forall(r => r.getInt(1) >= 1))
+    // axis bounds are epoch-micros strings covering the inserted instants
+    val day1Lo = d(0).getString(3).toLong
+    val day1Hi = d(0).getString(4).toLong
+    val t = java.time.Instant.parse("2024-01-01T10:00:00Z").getEpochSecond * 1000000L
+    assert(day1Lo == t && day1Hi == t)
+  }
+
   test("auto-compaction: touched partitions over the file threshold rewrite in a follow-up commit") {
     val mk = (i: Long) => mkUsers(Seq((i, "2024-01-01 10:00:00", i, i.toDouble)))
 
