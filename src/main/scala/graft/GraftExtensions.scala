@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.ann.{CosineSim, LshBuckets, VecDot}
+import graft.ann.{CosineSim, LshBuckets, VecDot, VecMaxAbs, VecQuantizeInt8, VecQuantizeMae}
 import graft.dedup.{MinHashSig, SimHash64}
 import graft.functions.{CharShingleHashes, Fnv1a64, ShingleHashes}
 
@@ -52,6 +52,10 @@ object GraftExtensions {
     "char_shingle_hashes" -> ((exprs: Seq[Expression]) =>
       CharShingleHashes(exprs.head, intArg(exprs(1), "char_shingle_hashes"))),
     "cosine_sim" -> ((exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))),
+    "vec_max_abs" -> ((exprs: Seq[Expression]) => VecMaxAbs(exprs.head)),
+    "vec_quantize_int8" -> ((exprs: Seq[Expression]) => VecQuantizeInt8(exprs.head, exprs(1))),
+    "vec_quantize_mae" -> ((exprs: Seq[Expression]) =>
+      VecQuantizeMae(exprs.head, exprs(1), exprs(2))),
     "lsh_buckets" -> ((exprs: Seq[Expression]) => LshBuckets(
       exprs.head,
       intArg(exprs(1), "lsh_buckets"), intArg(exprs(2), "lsh_buckets"),

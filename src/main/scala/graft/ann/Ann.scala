@@ -54,8 +54,17 @@ object Ann {
     * reproduces it bit-for-bit — banker's-vs-away rounding differences
     * can't creep in), zero vectors quantize to zeros. Returns
     * `(max_abs, qvec)` columns; dequantization is `q * max_abs / 127`.
-    * Pure scalar map — no shuffle at any scale. */
+    * Pure scalar map — no shuffle at any scale; runs as native fused-loop
+    * codegen expressions ([[QuantizeInt8]]), bit-identical to the
+    * builtin composition kept as [[quantizeInt8Hof]] for the spec. */
   def quantizeInt8(vec: Column): (Column, Column) = {
+    val maxAbs = QuantizeInt8.maxAbsCol(vec)
+    (maxAbs, QuantizeInt8.quantizeCol(vec, maxAbs))
+  }
+
+  /** The higher-order-function formulation [[QuantizeInt8]] replaces;
+    * kept as the spec's bit-identity cross-check. */
+  def quantizeInt8Hof(vec: Column): (Column, Column) = {
     val d = transform(vec, x => x.cast("double"))
     val maxAbs = array_max(transform(d, x => abs(x)))
     val qvec = when(maxAbs === 0.0, transform(d, _ => lit(0)))
@@ -72,8 +81,13 @@ object Ann {
     transform(qvec, q => (q.cast("double") * maxAbs / 127.0).cast("float"))
 
   /** Mean absolute reconstruction error of [[quantizeInt8]] — an explicit
-    * LEFT fold so the floating-point addition order is engine-portable. */
-  def quantizeInt8Mae(vec: Column, maxAbs: Column, qvec: Column): Column = {
+    * LEFT fold so the floating-point addition order is engine-portable;
+    * native fused loop ([[QuantizeInt8.mae]]). */
+  def quantizeInt8Mae(vec: Column, maxAbs: Column, qvec: Column): Column =
+    QuantizeInt8.maeCol(vec, maxAbs, qvec)
+
+  /** HOF cross-check twin of [[quantizeInt8Mae]]. */
+  def quantizeInt8MaeHof(vec: Column, maxAbs: Column, qvec: Column): Column = {
     val d = transform(vec, x => x.cast("double"))
     val errs = zip_with(d, qvec, (a, q) => abs(a - q.cast("double") * maxAbs / 127.0))
     aggregate(errs, lit(0.0), (acc, x) => acc + x) / size(errs)

@@ -338,4 +338,28 @@ class OperatorsSpec extends AnyFunSuite {
       .foldLeft(0.0) { case (acc, (x, qi)) => acc + math.abs(x.toDouble - qi * r1.getDouble(2) / 127.0) } / 16
     assert(math.abs(mae - expect) < 1e-12)
   }
+
+  test("native quantization expressions are bit-identical to the HOF composition") {
+    import graft.ann.Ann
+    val df = spark.range(300).selectExpr("id as vec_id",
+      "transform(sequence(1, 32), j -> cast(sin(id * j + 0.1) as float)) as embedding")
+    val (maN, qvN) = Ann.quantizeInt8(col("embedding"))
+    val (maH, qvH) = Ann.quantizeInt8Hof(col("embedding"))
+    val both = df.select(
+      maN.as("ma_n"), maH.as("ma_h"), qvN.as("q_n"), qvH.as("q_h"),
+      Ann.quantizeInt8Mae(col("embedding"), maN, qvN).as("mae_n"),
+      Ann.quantizeInt8MaeHof(col("embedding"), maH, qvH).as("mae_h"))
+    both.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)), "max_abs differs")
+      assert(r.getSeq[Int](2) == r.getSeq[Int](3), "qvec differs")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(5)), "mae differs")
+    }
+    // the native path stays inside whole-stage codegen: the projection
+    // carrying the expressions renders with the codegen stage star
+    val plan = df.select(maN.as("ma"), qvN.as("q")).queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[vec_max_abs""".r.findFirstIn(plan).isDefined,
+      s"quantization projection must be codegen-staged, plan:\n$plan")
+  }
 }
