@@ -53,6 +53,8 @@ object GraftExtensions {
       CharShingleHashes(exprs.head, intArg(exprs(1), "char_shingle_hashes"))),
     "cosine_sim" -> ((exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))),
     "vec_max_abs" -> ((exprs: Seq[Expression]) => VecMaxAbs(exprs.head)),
+    "repetition_stats" -> ((exprs: Seq[Expression]) =>
+      graft.functions.RepetitionStats(exprs.head)),
     "vec_quantize_int8" -> ((exprs: Seq[Expression]) => VecQuantizeInt8(exprs.head, exprs(1))),
     "vec_quantize_mae" -> ((exprs: Seq[Expression]) =>
       VecQuantizeMae(exprs.head, exprs(1), exprs(2))),

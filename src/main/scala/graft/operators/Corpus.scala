@@ -40,12 +40,24 @@ object Corpus {
   }
 
   /** Gopher-style repetition metrics as ONE scalar projection (no
-    * explode, no per-document aggregation — the repeated-n-gram
-    * fractions come from `size(array_distinct(...))`, so a 100 TB corpus
-    * computes them in the scan's codegen span): whitespace token count,
+    * explode, no per-document aggregation): whitespace token count,
     * duplicate-token fraction, and duplicate-bigram fraction. High
-    * values flag boilerplate/spam documents for the quality gate. */
+    * values flag boilerplate/spam documents for the quality gate. Runs
+    * as a single-pass native codegen expression
+    * ([[graft.functions.RepetitionStats]]) — one tokenization, two hash
+    * sets, zero intermediate arrays; [[repetitionMetricsHof]] is the
+    * builtin twin the spec cross-checks bit-for-bit. */
   def repetitionMetrics(text: Column): Seq[Column] = {
+    val st = graft.functions.RepetitionStats.col(text)
+    Seq(
+      st.getField("n_tokens").as("n_tokens"),
+      st.getField("dup_token_frac").as("dup_token_frac"),
+      st.getField("dup_bigram_frac").as("dup_bigram_frac"))
+  }
+
+  /** The builtin composition [[repetitionMetrics]] replaces; kept as
+    * the spec's bit-identity cross-check. */
+  def repetitionMetricsHof(text: Column): Seq[Column] = {
     val toks = split(trim(text), "\\s+")
     val n = size(toks)
     def dupFrac(arr: Column, cnt: Column): Column =

@@ -58,6 +58,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), "repetition metrics must not explode")
   }
 
+  test("native repetition_stats is bit-identical to the builtin composition on real docs") {
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val edge = Seq((9001L, ""), (9002L, "   "), (9003L, "\ta\nb  c"), (9004L, "x"))
+      .toDF("doc_id", "text")
+    val both = real.union(edge).select(
+      (Corpus.repetitionMetrics(col("text")) ++
+       Corpus.repetitionMetricsHof(col("text")).map(c => c.as(c.toString + "_h"))): _*)
+      .toDF("n", "dt", "db", "n_h", "dt_h", "db_h")
+    both.collect().foreach { r =>
+      assert(r.getInt(0) == r.getInt(3), s"n_tokens differs: $r")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(4)), s"dup_token_frac differs: $r")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(5)), s"dup_bigram_frac differs: $r")
+    }
+  }
+
   test("chunkDocuments: sliding token windows from one Generate, tail chunks run short") {
     val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "a b")).toDF("doc_id", "text")
     val out = graft.operators.Corpus.chunkDocuments(d, col("text"), window = 4, stride = 3)
