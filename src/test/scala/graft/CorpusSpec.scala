@@ -99,6 +99,21 @@ class CorpusSpec extends AnyFunSuite {
       graft.operators.Corpus.chunkDocuments(d, col("text"), 4, 5))
   }
 
+  test("chunkDocuments property: non-overlapping chunks reassemble every document exactly") {
+    // stride == window -> a partition of the token stream; joining the
+    // chunks back in order must reproduce the original tokenization
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(200)
+    val back = graft.operators.Corpus.chunkDocuments(docs, col("text"), 32, 32)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("chunk"), col("chunk_text"))))
+        .getField("chunk_text")).as("rebuilt"))
+    val joined = docs.withColumn("orig", concat_ws(" ", split(trim(col("text")), "\\s+")))
+      .join(back, "doc_id")
+    assert(joined.where(col("orig") =!= col("rebuilt")).count() == 0,
+      "chunking must partition the token stream losslessly")
+  }
+
   test("decontaminateNgrams: shared k-grams kill the doc; benchmark side broadcasts") {
     import graft.operators.Corpus
     val corpus = Seq(
