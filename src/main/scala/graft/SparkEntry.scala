@@ -567,17 +567,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // C9: quality scoring — length/token/stopword/punctuation profile.
+    // C9: quality scoring — length/token/stopword/punctuation profile,
+    // one single-pass native struct (quality_stats) instead of five
+    // re-tokenizing builtin compositions.
     "text_quality" -> ((s, dir) => {
       import graft.functions.TextFunctions
-      val en = TextFunctions.LangProfiles.toMap.apply("en")
+      val st = TextFunctions.qualityStats(col("text"))
       Tables.documents(s, dir).select(
           col("doc_id"),
-          length(col("text")).cast("int").as("len"),
-          TextFunctions.tokenCount(col("text")).cast("int").as("n_tokens"),
-          TextFunctions.avgTokenLength(col("text")).as("avg_token_len"),
-          TextFunctions.stopwordRatio(col("text"), en).as("stop_ratio"),
-          TextFunctions.punctRatio(col("text")).as("punct_ratio"))
+          st.getField("len").as("len"),
+          st.getField("n_tokens").as("n_tokens"),
+          st.getField("avg_token_len").as("avg_token_len"),
+          st.getField("stop_ratio").as("stop_ratio"),
+          st.getField("punct_ratio").as("punct_ratio"))
         .orderBy("doc_id")
     }),
 

@@ -54,15 +54,22 @@ object TextFunctions {
                    minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
                    maxPunctRatio: Double = 0.2,
                    minStopwordHits: Int = 2): Column = {
-    val en = LangProfiles.toMap.apply("en")
-    val toks = tokens(text)
-    val n = size(toks)
-    val avgLen = when(n > 0, (length(text) - (n - 1)).cast("double") / n).otherwise(lit(0.0))
-    n.between(minTokens, maxTokens) &&
-      avgLen.between(minAvgTokenLen, maxAvgTokenLen) &&
-      punctRatio(text) <= maxPunctRatio &&
-      size(filter(toks, t => t.isInCollection(en))) >= minStopwordHits
+    val st = qualityStats(text)
+    st.getField("n_tokens").between(minTokens, maxTokens) &&
+      st.getField("avg_token_len").between(minAvgTokenLen, maxAvgTokenLen) &&
+      st.getField("punct_ratio") <= maxPunctRatio &&
+      st.getField("stop_hits") >= minStopwordHits
   }
+
+  /** All five quality metrics + stop-hit count as ONE single-pass native
+    * struct ([[QualityStats]]) — one tokenization and one character scan
+    * instead of the `split`/`filter`/`regexp_replace` composition
+    * re-tokenizing per metric. Fields: `len`, `n_tokens`,
+    * `avg_token_len`, `stop_ratio`, `punct_ratio`, `stop_hits`;
+    * bit-identical to the builtins (spec-checked). */
+  def qualityStats(text: Column,
+                   words: Seq[String] = LangProfiles.toMap.apply("en")): Column =
+    QualityStats.col(text, words)
 
   /** PII redaction: emails, phone-number-looking digit runs and IPv4
     * addresses replaced with typed placeholder tokens. Patterns stay in

@@ -99,6 +99,47 @@ class CorpusSpec extends AnyFunSuite {
       graft.operators.Corpus.chunkDocuments(d, col("text"), 4, 5))
   }
 
+  test("native quality_stats is bit-identical to the builtin composition on real docs") {
+    import graft.functions.TextFunctions
+    val en = TextFunctions.LangProfiles.toMap.apply("en")
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val edge = Seq((9001L, ""), (9002L, "  a.b!! c?? "), (9003L, "the the the"),
+      (9004L, "\u00e9\u00e8 caf\u00e9 ... the"))
+      .toDF("doc_id", "text")
+    val st = TextFunctions.qualityStats(col("text"))
+    val both = real.union(edge).select(
+      st.getField("len").as("len_n"),
+      length(col("text")).cast("int").as("len_h"),
+      st.getField("n_tokens").as("nt_n"),
+      TextFunctions.tokenCount(col("text")).cast("int").as("nt_h"),
+      st.getField("avg_token_len").as("av_n"),
+      TextFunctions.avgTokenLength(col("text")).as("av_h"),
+      st.getField("stop_ratio").as("sr_n"),
+      TextFunctions.stopwordRatio(col("text"), en).as("sr_h"),
+      st.getField("punct_ratio").as("pr_n"),
+      TextFunctions.punctRatio(col("text")).as("pr_h"))
+    both.collect().foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"len differs: $r")
+      assert(r.getInt(2) == r.getInt(3), s"n_tokens differs: $r")
+      for ((a, b, what) <- Seq((4, 5, "avg"), (6, 7, "stop"), (8, 9, "punct")))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(a)) ==
+               java.lang.Double.doubleToLongBits(r.getDouble(b)), s"$what differs: $r")
+    }
+    // qualityRules over the native struct selects the same documents
+    val hofKept = real.where(
+      TextFunctions.tokenCount(col("text")).between(5, 2000) &&
+      TextFunctions.avgTokenLength(col("text")).between(2.0, 12.0) &&
+      TextFunctions.punctRatio(col("text")) <= 0.25 &&
+      size(filter(split(trim(col("text")), "\\s+"), t => t.isInCollection(en))) >= 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val natKept = real.where(TextFunctions.qualityRules(col("text"),
+        minTokens = 5, maxTokens = 2000, minAvgTokenLen = 2.0,
+        maxAvgTokenLen = 12.0, maxPunctRatio = 0.25, minStopwordHits = 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(natKept == hofKept, "rule gate must select identical documents")
+  }
+
   test("chunkDocuments property: non-overlapping chunks reassemble every document exactly") {
     // stride == window -> a partition of the token stream; joining the
     // chunks back in order must reproduce the original tokenization
