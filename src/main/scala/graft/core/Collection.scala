@@ -522,8 +522,12 @@ final class Collection private (
         }
         val stats = (oldNorm ++ newStats).filter { case (f, _) => fileSet(f) }
         val rows = (oldData.rows ++ newRows).filter { case (f, _) => fileSet(f) }
-        val name = shardName(files, stats, rows)
-        writeShardIfAbsent(fs, manifestDir, name, files, stats, rows)
+        val newGen = prev.generation + 1
+        val gens = (oldData.gens ++
+          newByPrefix.getOrElse(pfx, Nil).map(_ -> newGen))
+          .filter { case (f, _) => fileSet(f) }
+        val name = shardName(files, stats, rows, gens)
+        writeShardIfAbsent(fs, manifestDir, name, files, stats, rows, gens)
         Some(ShardEntry(pfx,
           files.map(f => parentRel(f).substring(pfx.length).stripPrefix("/")).distinct.sorted,
           name, rollupOf(files, stats),
@@ -618,7 +622,8 @@ final class Collection private (
     commitManifest(man.withMeta(
       generation = man.generation + 1,
       schemaDdl = StructType(s.fields :+ StructField(name, dataType)).toDDL,
-      fills = man.fills ++ fill.map(name -> _)))
+      fills = man.fills ++ fill.map(name -> _),
+      columnSince = man.columnSince + (name -> (man.generation + 1))))
   }
 
   /** Drop a data variable: no data files are rewritten — the declared
@@ -1061,11 +1066,21 @@ final class Collection private (
     val mentioned = FilterExpr.names(ast)
     val checks = statsCols.filter(mentioned.contains)
       .flatMap(c => columnDomain(c).map(c -> _))
-    if (checks.isEmpty) return files
-    val stats = man.statsForFiles(files)
-    if (stats.isEmpty) files
-    else files.filter { f =>
-      stats.get(f) match {
+    // SCHEMA-GENERATION layer: a file whose commit generation predates
+    // an `addVariable`d column holds only nulls for it (no footer read
+    // needed) — comparisons on it can't match there. A declared fill
+    // makes those rows read as the fill value instead, so fills disable
+    // the proof.
+    val ageChecks = mentioned.toSeq
+      .filter(c => man.columnSince.contains(c) && !man.fills.contains(c))
+      .map(c => c -> man.columnSince(c))
+    if (checks.isEmpty && ageChecks.isEmpty) return files
+    val stats = if (checks.nonEmpty) man.statsForFiles(files)
+                else Map.empty[String, Map[String, ColStat]]
+    val gens = if (ageChecks.nonEmpty) man.gensForFiles(files)
+               else Map.empty[String, Long]
+    files.filter { f =>
+      val statsOk = stats.get(f) match {
         case Some(byCol) =>
           checks.forall { case (c, dom) =>
             // legacy axis-only shards key their interval by sentinel
@@ -1083,6 +1098,13 @@ final class Collection private (
           }
         case None => true
       }
+      val ageOk = ageChecks.forall { case (c, since) =>
+        gens.get(f) match {
+          case Some(g) if g < since => FilterExpr.mayMatchAllNull(ast, c)
+          case _                    => true
+        }
+      }
+      statsOk && ageOk
     }
   }
 
@@ -1950,7 +1972,11 @@ object Collection {
       /** Per-file ROW counts (footer block totals) — the O(metadata)
         * substrate of [[Collection.countRows]]. Absent for files written
         * before counts were recorded. */
-      rows: Map[String, Long] = Map.empty)
+      rows: Map[String, Long] = Map.empty,
+      /** Per-file COMMIT generation — files whose generation predates a
+        * column's [[Manifest.columnSince]] entry are provably all-null
+        * for it (schema-generation pruning). Absent for legacy files. */
+      gens: Map[String, Long] = Map.empty)
 
   private[graft] final class Manifest(
       val generation: Long,
@@ -1970,7 +1996,13 @@ object Collection {
         * from such a snapshot must materialize them to disk
         * (`Collection.commitManifest`) or the new root would reference
         * shard names no other handle can resolve. */
-      private[core] val inline: Map[String, Seq[String]] = Map.empty) {
+      private[core] val inline: Map[String, Seq[String]] = Map.empty,
+      /** Generation at which each EVOLVED column first existed
+        * (`addVariable` records it): a file whose commit generation
+        * predates `columnSince(c)` provably holds only nulls for `c` —
+        * the schema-generation prune signal. Base-schema columns have no
+        * entry (present since generation 0). */
+      val columnSince: Map[String, Long] = Map.empty) {
 
     /** All partition paths — served from the root manifest, zero shard IO. */
     def partitionPaths: Seq[String] =
@@ -1989,6 +2021,13 @@ object Collection {
       val prefixes = files.map(f => prefixOf(parentRel(f))).toSet
       shards.filter(e => prefixes(e.prefix))
         .flatMap(e => shardData(e).stats).toMap
+    }
+
+    /** Commit generations of exactly the shards containing `files`. */
+    def gensForFiles(files: Seq[String]): Map[String, Long] = {
+      val prefixes = files.map(f => prefixOf(parentRel(f))).toSet
+      shards.filter(e => prefixes(e.prefix))
+        .flatMap(e => shardData(e).gens).toMap
     }
 
     /** How many shard file lists this snapshot has loaded — the
@@ -2015,13 +2054,16 @@ object Collection {
       * schema evolution. */
     def withMeta(generation: Long = generation, taskBase: Long = taskBase,
                  schemaDdl: String = schemaDdl,
-                 fills: Map[String, String] = fills): Manifest =
-      new Manifest(generation, taskBase, schemaDdl, fills, shards, loader, streams, inline)
+                 fills: Map[String, String] = fills,
+                 columnSince: Map[String, Long] = columnSince): Manifest =
+      new Manifest(generation, taskBase, schemaDdl, fills, shards, loader,
+        streams, inline, columnSince)
 
     /** New shard table, same loader. */
     def withShards(generation: Long, taskBase: Long, newShards: Seq[ShardEntry],
                    newStreams: Map[String, Long] = streams): Manifest =
-      new Manifest(generation, taskBase, schemaDdl, fills, newShards, loader, newStreams, inline)
+      new Manifest(generation, taskBase, schemaDdl, fills, newShards, loader,
+        newStreams, inline, columnSince)
   }
 
   private[core] def isDataFile(name: String): Boolean =
@@ -2047,7 +2089,8 @@ object Collection {
   private[core] def shardName(
       files: Seq[String],
       stats: Map[String, Map[String, ColStat]] = Map.empty,
-      rows: Map[String, Long] = Map.empty): String = {
+      rows: Map[String, Long] = Map.empty,
+      gens: Map[String, Long] = Map.empty): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(files.mkString("\n").getBytes("UTF-8"))
     // stats participate in the content address (same file list with new
@@ -2062,6 +2105,9 @@ object Collection {
       }.mkString("\n").getBytes("UTF-8"))
     if (rows.nonEmpty)
       md.update(rows.toSeq.sorted.map(e => e._1 + "#" + e._2)
+        .mkString("\n").getBytes("UTF-8"))
+    if (gens.nonEmpty)
+      md.update(gens.toSeq.sorted.map(e => e._1 + "@" + e._2)
         .mkString("\n").getBytes("UTF-8"))
     s"$ShardDir/shard-${md.digest().map("%02x".format(_)).mkString}.json"
   }
@@ -2098,7 +2144,12 @@ object Collection {
         case (f, n) => f -> n.toString.toLong
       }.toMap)
       .getOrElse(Map.empty[String, Long])
-    ShardData(files, legacy ++ cols, rows)
+    val gens = Option(doc.get("gens"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map {
+        case (f, n) => f -> n.toString.toLong
+      }.toMap)
+      .getOrElse(Map.empty[String, Long])
+    ShardData(files, legacy ++ cols, rows, gens)
   }
 
   /** Write a shard file if absent (content-addressed: an existing file
@@ -2106,7 +2157,8 @@ object Collection {
   private[core] def writeShardIfAbsent(
       fs: FileSystem, manifestDir: Path, rel: String, files: Seq[String],
       stats: Map[String, Map[String, ColStat]] = Map.empty,
-      rows: Map[String, Long] = Map.empty): Unit = {
+      rows: Map[String, Long] = Map.empty,
+      gens: Map[String, Long] = Map.empty): Unit = {
     val p = new Path(manifestDir, rel)
     if (fs.exists(p)) return
     val doc = new java.util.LinkedHashMap[String, Object]()
@@ -2129,6 +2181,11 @@ object Collection {
       val rm = new java.util.LinkedHashMap[String, Object]()
       rows.toSeq.sortBy(_._1).foreach { case (f, n) => rm.put(f, java.lang.Long.valueOf(n)) }
       doc.put("rows", rm)
+    }
+    if (gens.nonEmpty) {
+      val gm = new java.util.LinkedHashMap[String, Object]()
+      gens.toSeq.sortBy(_._1).foreach { case (f, n) => gm.put(f, java.lang.Long.valueOf(n)) }
+      doc.put("gens", gm)
     }
     writeJson(fs, p, doc)
   }
@@ -2166,6 +2223,11 @@ object Collection {
         case (k, v) => k -> v.toString.toLong
       }.toMap)
       .getOrElse(Map.empty[String, Long])
+    val columnSince = Option(doc.get("columnSince"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map {
+        case (k, v) => k -> v.toString.toLong
+      }.toMap)
+      .getOrElse(Map.empty[String, Long])
     Option(doc.get("shards")) match {
       case Some(raw) =>
         val entries = raw.asInstanceOf[java.util.List[Object]].asScala.map { o =>
@@ -2185,7 +2247,8 @@ object Collection {
             rowTotal = Option(m.get("rows")).map(_.toString.toLong))
         }.toSeq
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
-          rel => readShard(fs, dir, rel), streams)
+          rel => readShard(fs, dir, rel), streams,
+          columnSince = columnSince)
       case None =>
         // legacy single-JSON manifest: inline file list, synthetic
         // content-addressed names so generation diffs still work
@@ -2205,7 +2268,7 @@ object Collection {
         // files and must resolve through the inherited loader too
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => inline.get(rel).map(ShardData(_)).getOrElse(readShard(fs, dir, rel)),
-          streams, inline)
+          streams, inline, columnSince)
     }
   }
 
@@ -2259,6 +2322,11 @@ object Collection {
       val sm = new java.util.LinkedHashMap[String, Object]()
       m.streams.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, java.lang.Long.valueOf(v)) }
       doc.put("streams", sm)
+    }
+    if (m.columnSince.nonEmpty) {
+      val cm = new java.util.LinkedHashMap[String, Object]()
+      m.columnSince.toSeq.sortBy(_._1).foreach { case (k, v) => cm.put(k, java.lang.Long.valueOf(v)) }
+      doc.put("columnSince", cm)
     }
     val target = manifestPath(dir, m.generation)
     def conflict(): Nothing =

@@ -416,6 +416,43 @@ object FilterExpr {
     go(ast)
   }
 
+  /** Could any row of a file whose `name` column is ALL NULL match? The
+    * schema-generation prune predicate (files committed before an
+    * `addVariable` hold only nulls for it). Tracks the SET of
+    * three-valued outcomes the expression can take over such rows —
+    * comparisons/IN on `name` are uniformly NULL, `is [not] null` is
+    * uniformly true/false, foreign predicates can be anything — and
+    * combines with full Kleene semantics (so `not (w == 5)` is NULL,
+    * never true, and `w == 5 and day == 3` prunes even though `day` is
+    * row-dependent). A row matches only on TRUE: prune iff TRUE is
+    * impossible. */
+  def mayMatchAllNull(ast: Ast, name: String): Boolean = {
+    val T: Option[Boolean] = Some(true)
+    val F: Option[Boolean] = Some(false)
+    val N: Option[Boolean] = None
+    val Any = Set(T, F, N)
+    def and3(x: Option[Boolean], y: Option[Boolean]): Option[Boolean] =
+      if (x == F || y == F) F else if (x == N || y == N) N else T
+    def or3(x: Option[Boolean], y: Option[Boolean]): Option[Boolean] =
+      if (x == T || y == T) T else if (x == N || y == N) N else F
+    def possible(a: Ast): Set[Option[Boolean]] = a match {
+      case True                            => Set(T)
+      case IsNull(n, neg) if n == name     => Set(if (neg) F else T)
+      case IsNull(_, _)                    => Set(T, F) // non-name nullness varies, never NULL
+      case Cmp(_, Name(n), _) if n == name => Set(N)
+      case Cmp(_, _, Name(n)) if n == name => Set(N)
+      case Cmp(_, _, _)                    => Any
+      case In(n, _, _) if n == name        => Set(N)
+      case In(_, _, _)                     => Any
+      case Not(e)                          => possible(e).map(_.map(!_))
+      case And(l, r) =>
+        for (x <- possible(l); y <- possible(r)) yield and3(x, y)
+      case Or(l, r) =>
+        for (x <- possible(l); y <- possible(r)) yield or3(x, y)
+    }
+    possible(ast).contains(T)
+  }
+
   /** A finite value set S such that the WHOLE expression can only match
     * rows with `name` ∈ S — the bloom-filter pruning companion to
     * [[impliedInterval]]. `None` = no finite implication. AND: either

@@ -288,6 +288,43 @@ class ColumnSkipSpec extends AnyFunSuite {
     assert(c.query().count() == 40L)
   }
 
+  test("schema-generation pruning: files predating addVariable skip for filters on the new column") {
+    val root = SparkTestSession.tmp("graft-schemagen")
+    val old = mkUsers((0L until 20L).map(i => (i, "2024-01-01 10:00:00", i, 1.0)))
+    val c = Collection.create(spark, root, old.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(old, MergeStrategy.Concat)        // generation 1: no 'w' yet
+    c.addVariable("w", org.apache.spark.sql.types.LongType) // generation 2
+    val withW = mkUsers((100L until 120L).map(i => (i, "2024-01-01 14:00:00", i, 2.0)))
+      .withColumn("w", col("id") * 10)
+    c.insert(withW, MergeStrategy.Concat)      // generation 3: carries w
+    val man = c.currentManifest()
+    val total = man.files.size
+
+    // comparisons on w can't match pre-evolution files: they never load
+    val q = c.query("w >= 1000")
+    assert(q.inputFiles.length < total,
+      s"schema-generation pruning must skip old files, scanned ${q.inputFiles.length}/$total")
+    assert(q.count() == 20)
+    // 'w is not null' likewise; 'w is null' keeps the old files
+    assert(c.query("w is not null").inputFiles.length < total)
+    assert(c.query("w is not null").count() == 20)
+    assert(c.query("w is null").count() == 20)
+    // negation stays sound: NOT(w == 5) is NULL on old files — not matched
+    assert(c.query("not (w == 1050)").count() == 19)
+    // composing with row-dependent predicates still prunes
+    val qc = c.query("w >= 1000 and day == 1")
+    assert(qc.inputFiles.length < total && qc.count() == 20)
+
+    // a FILL makes old rows read as the fill value — pruning must NOT apply
+    c.addVariable("z", org.apache.spark.sql.types.LongType, fill = Some("7"))
+    assert(c.query("z == 7").count() == 40, "fill-backed column reads the fill everywhere")
+
+    // correctness: pruned == unpruned with the same predicate
+    val all = c.query().where(col("w") >= 1000)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == all)
+  }
+
   test("describePartitions: one metadata row per partition with files/rows/axis bounds") {
     val root = SparkTestSession.tmp("graft-describe")
     val c = Collection.create(spark, root,
