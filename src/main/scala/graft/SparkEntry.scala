@@ -706,12 +706,15 @@ object SparkEntry {
 
     // C24 (r5): INT8 embedding quantization — per-vector max-abs scale,
     // floor-based rounding (engine-portable), mean-abs reconstruction
-    // error via an explicit left fold. Scalar map, no shuffle.
+    // error via an explicit left fold. Scalar map, no shuffle. The
+    // quantized vector is emitted comma-joined (a scalar string) so the
+    // harness can sort the frame; the array stays internal.
     "ann_quantize" -> ((s, dir) => {
       import graft.ann.Ann
       val emb = Tables.embeddings(s, dir)
       val (maxAbs, qvec) = Ann.quantizeInt8(col("embedding"))
-      emb.select(col("vec_id"), maxAbs.as("max_abs"), qvec.as("qvec"),
+      emb.select(col("vec_id"), maxAbs.as("max_abs"),
+          array_join(qvec, ",").as("qvec_csv"),
           Ann.quantizeInt8Mae(col("embedding"), maxAbs, qvec).as("mae"))
         .orderBy("vec_id")
     }),
@@ -1587,7 +1590,8 @@ object SparkEntry {
                  CASE WHEN max_abs = 0 THEN list_transform(d, x -> CAST(0 AS INT))
                       ELSE list_transform(d, x -> CAST(floor(x * 127.0 / max_abs + 0.5) AS INT)) END AS qvec
                FROM m)
-         SELECT vec_id, max_abs, qvec,
+         SELECT vec_id, max_abs,
+           array_to_string(qvec, ',') AS qvec_csv,
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(range(1, len(d) + 1), i -> abs(d[i] - CAST(qvec[i] AS DOUBLE) * max_abs / 127.0))),
              (a, b) -> a + b) / len(d) AS mae
