@@ -618,12 +618,18 @@ final class Collection private (
     val s = StructType.fromDDL(man.schemaDdl)
     require(!s.fieldNames.contains(name), s"variable '$name' already exists")
     require(!partCols.contains(name), s"'$name' collides with a partition column")
-    // metadata-only commit: the shard table carries over by name, zero IO
+    // metadata-only commit: the shard table carries over by name, zero IO.
+    // A name that was EVER dropped gets no columnSince entry: pre-drop
+    // files still physically carry the old column's values, so the
+    // "predates columnSince => all-null" proof would silently skip rows.
+    val since =
+      if (man.droppedEver.contains(name)) man.columnSince
+      else man.columnSince + (name -> (man.generation + 1))
     commitManifest(man.withMeta(
       generation = man.generation + 1,
       schemaDdl = StructType(s.fields :+ StructField(name, dataType)).toDDL,
       fills = man.fills ++ fill.map(name -> _),
-      columnSince = man.columnSince + (name -> (man.generation + 1))))
+      columnSince = since))
   }
 
   /** Drop a data variable: no data files are rewritten — the declared
@@ -639,7 +645,9 @@ final class Collection private (
     commitManifest(man.withMeta(
       generation = man.generation + 1,
       schemaDdl = StructType(s.fields.filterNot(_.name == name)).toDDL,
-      fills = man.fills - name))
+      fills = man.fills - name,
+      columnSince = man.columnSince - name,
+      droppedEver = man.droppedEver + name))
   }
 
   // --- read --------------------------------------------------------
@@ -2002,7 +2010,15 @@ object Collection {
         * predates `columnSince(c)` provably holds only nulls for `c` —
         * the schema-generation prune signal. Base-schema columns have no
         * entry (present since generation 0). */
-      val columnSince: Map[String, Long] = Map.empty) {
+      val columnSince: Map[String, Long] = Map.empty,
+      /** Every column name EVER dropped from this collection. dropVariable
+        * rewrites no data files, so a re-added column of the same name is
+        * physically present in pre-drop files (readDataFiles resolves by
+        * name) — the all-null proof would be unsound for it. addVariable
+        * consults this set and omits the `columnSince` entry for such
+        * names, permanently: generation pruning stays off for that column,
+        * correctness stays on. */
+      val droppedEver: Set[String] = Set.empty) {
 
     /** All partition paths — served from the root manifest, zero shard IO. */
     def partitionPaths: Seq[String] =
@@ -2055,15 +2071,16 @@ object Collection {
     def withMeta(generation: Long = generation, taskBase: Long = taskBase,
                  schemaDdl: String = schemaDdl,
                  fills: Map[String, String] = fills,
-                 columnSince: Map[String, Long] = columnSince): Manifest =
+                 columnSince: Map[String, Long] = columnSince,
+                 droppedEver: Set[String] = droppedEver): Manifest =
       new Manifest(generation, taskBase, schemaDdl, fills, shards, loader,
-        streams, inline, columnSince)
+        streams, inline, columnSince, droppedEver)
 
     /** New shard table, same loader. */
     def withShards(generation: Long, taskBase: Long, newShards: Seq[ShardEntry],
                    newStreams: Map[String, Long] = streams): Manifest =
       new Manifest(generation, taskBase, schemaDdl, fills, newShards, loader,
-        newStreams, inline, columnSince)
+        newStreams, inline, columnSince, droppedEver)
   }
 
   private[core] def isDataFile(name: String): Boolean =
@@ -2228,6 +2245,9 @@ object Collection {
         case (k, v) => k -> v.toString.toLong
       }.toMap)
       .getOrElse(Map.empty[String, Long])
+    val droppedEver = Option(doc.get("droppedColumns"))
+      .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSet)
+      .getOrElse(Set.empty[String])
     Option(doc.get("shards")) match {
       case Some(raw) =>
         val entries = raw.asInstanceOf[java.util.List[Object]].asScala.map { o =>
@@ -2248,7 +2268,7 @@ object Collection {
         }.toSeq
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => readShard(fs, dir, rel), streams,
-          columnSince = columnSince)
+          columnSince = columnSince, droppedEver = droppedEver)
       case None =>
         // legacy single-JSON manifest: inline file list, synthetic
         // content-addressed names so generation diffs still work
@@ -2268,7 +2288,7 @@ object Collection {
         // files and must resolve through the inherited loader too
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => inline.get(rel).map(ShardData(_)).getOrElse(readShard(fs, dir, rel)),
-          streams, inline, columnSince)
+          streams, inline, columnSince, droppedEver)
     }
   }
 
@@ -2328,6 +2348,9 @@ object Collection {
       m.columnSince.toSeq.sortBy(_._1).foreach { case (k, v) => cm.put(k, java.lang.Long.valueOf(v)) }
       doc.put("columnSince", cm)
     }
+    if (m.droppedEver.nonEmpty)
+      doc.put("droppedColumns",
+        new java.util.ArrayList[Object](m.droppedEver.toSeq.sorted.asJava))
     val target = manifestPath(dir, m.generation)
     def conflict(): Nothing =
       throw new java.util.ConcurrentModificationException(

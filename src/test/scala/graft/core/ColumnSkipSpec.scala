@@ -325,6 +325,39 @@ class ColumnSkipSpec extends AnyFunSuite {
     assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == all)
   }
 
+  test("schema-generation pruning stays sound after dropVariable + addVariable of the same name") {
+    val root = SparkTestSession.tmp("graft-schemagen-readd")
+    val base = mkUsers((0L until 10L).map(i => (i, "2024-01-01 10:00:00", i, 1.0)))
+    val c = Collection.create(spark, root, base.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(base, MergeStrategy.Concat)
+    // add w, write files that PHYSICALLY carry w values, then drop it
+    c.addVariable("w", org.apache.spark.sql.types.LongType)
+    c.insert(mkUsers((100L until 110L).map(i => (i, "2024-01-02 10:00:00", i, 2.0)))
+      .withColumn("w", col("id") * 10), MergeStrategy.Concat)
+    c.dropVariable("w")
+    assert(!c.query().columns.contains("w"))
+    // re-add the SAME name: dropVariable rewrote no files, so the middle
+    // insert's files still hold the old values and a by-name read
+    // surfaces them — the all-null proof must NOT apply to this column
+    c.addVariable("w", org.apache.spark.sql.types.LongType)
+    assert(!c.currentManifest().columnSince.contains("w"),
+      "re-added dropped name must not regain a columnSince entry")
+    val pruned = c.query("w == 1050").select("id").collect().map(_.getLong(0)).toSeq
+    val full = c.query().where(col("w") === 1050)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(pruned == full, s"pruned=$pruned full=$full")
+    assert(pruned == Seq(105L), "old physical values must resurface, not be skipped")
+    // the conservatism is permanent: survives reopen and a further cycle
+    val c2 = Collection.open(spark, root)
+    assert(c2.query("w == 1050").count() == 1)
+    c2.dropVariable("w"); c2.addVariable("w", org.apache.spark.sql.types.LongType)
+    assert(!c2.currentManifest().columnSince.contains("w"))
+    assert(c2.query("w == 1050").count() == 1)
+    // an UNRELATED fresh name still earns generation pruning
+    c2.addVariable("w2", org.apache.spark.sql.types.LongType)
+    assert(c2.currentManifest().columnSince.contains("w2"))
+  }
+
   test("describePartitions: one metadata row per partition with files/rows/axis bounds") {
     val root = SparkTestSession.tmp("graft-describe")
     val c = Collection.create(spark, root,
