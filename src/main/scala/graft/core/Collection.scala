@@ -199,18 +199,18 @@ final class Collection private (
                                     streamMark: Option[(String, Long)]): Seq[String] = {
     requireWritable()
     val assigned = partitioning.assign(df)
-    val existing = partitionKeySet()
+    // one manifest read serves collision detection, the merge's read of
+    // existing rows, AND (for read-modify-write merges) the commit base —
+    // see writeAndCommit's `base` contract
+    val man0 = currentManifest()
+    val existing = man0.partitionPaths.toSet
 
     if (existing.isEmpty) {
       // Initial-load fast path: nothing can collide, so skip the
-      // distinct-keys pass entirely — write, then discover the new files
-      // with one directory walk of the tree this very job just created.
-      // The pre-write walk keeps crash orphans from being adopted.
-      val man = currentManifest()
-      val preFiles = walkDataFiles().toSet
-      physicalWrite(prepareForWrite(assigned, man.taskBase))
-      val newFiles = walkDataFiles().filterNot(preFiles.contains)
-      commitDelta(man, newFiles, Set.empty, writeTasks, streamMark)
+      // distinct-keys pass entirely — the staged write reports exactly
+      // the files this job created (crash orphans are never adopted).
+      val newFiles = physicalWrite(prepareForWrite(assigned, man0.taskBase))
+      commitDelta(man0, newFiles, Set.empty, writeTasks, streamMark)
       return newFiles.map(parentRel).distinct.sorted
     }
 
@@ -243,13 +243,18 @@ final class Collection private (
       case _                     => colliding ++ tolExtra      // read + rewrite
     }
 
+    var mergeRead = false
     val toWrite: DataFrame = merge match {
       case MergeStrategy.Replace | MergeStrategy.Concat => assigned
       case _ if replacedPaths.isEmpty                   => assigned
       case strategy =>
+        mergeRead = true
         val collidePred = pathPredicate(replacedPaths)
-        // pruned: loads only the colliding partitions' shards
-        val existingColliding = readPartitionsRaw(replacedPaths.toSet)
+        // pruned: loads only the colliding partitions' shards — resolved
+        // against the PINNED manifest, the same snapshot the commit will
+        // use as its base
+        val existingColliding =
+          readManifestFiles(man0, man0.filesForPartitions(replacedPaths.toSet))
           .where(collidePred).drop(RowIdCol)
           .select(assigned.columns.toSeq.map(col): _*)
         // the full incoming dataset is the merge's right side: a tolerance
@@ -258,8 +263,11 @@ final class Collection private (
         strategy(existingColliding, assigned, axis, partCols)
     }
 
+    // read-modify-write merges pin their snapshot as the commit base so a
+    // commit racing into the same partitions conflicts instead of being
+    // erased; blind writes (Replace/Concat) keep the late base read
     writeAndCommit(toWrite, replaced = replacedPaths.toSet,
-      touched = (incomingPaths ++ replacedPaths).distinct, streamMark = streamMark)
+      streamMark = streamMark, base = if (mergeRead) man0 else null)
     if (catalogEnabled) () // the manifest IS the catalog; kept for API parity
     maybeAutoCompact(incomingPaths)
     incomingPaths.sorted
@@ -281,8 +289,18 @@ final class Collection private (
       .filter(p => man.filesForPartitions(Set(p)).size > autoCompactFiles)
     if (over.isEmpty) return
     val paths = over.toSet
-    val out = readPartitionsRaw(paths).select(schema.fieldNames.toSeq.map(col): _*)
-    writeAndCommit(partitioning.assign(out), replaced = paths, touched = over)
+    // PIN `man` for both the row read and the commit base: with a late
+    // base read, a concurrent commit landing between the two would be
+    // silently erased (its files replaced, its rows absent from the
+    // rewrite). Pinned, that race hits rebaseGuard's overlap check.
+    val out = readManifestFiles(man, man.filesForPartitions(paths))
+      .select(schema.fieldNames.toSeq.map(col): _*)
+    try writeAndCommit(partitioning.assign(out), replaced = paths, base = man)
+    catch { case _: java.util.ConcurrentModificationException =>
+      // auto-compaction is opportunistic: losing the race leaves the
+      // partition fragmented-but-correct; the next insert retries
+      ()
+    }
   }
 
   /** The last micro-batch id committed by streaming query `queryName`
@@ -367,13 +385,26 @@ final class Collection private (
     * (not INT96): micros carry footer min/max statistics, which the
     * commit turns into manifest zone maps ([[axisFileStats]]) — and are
     * the modern parquet interchange type besides. */
-  private def physicalWrite(df: DataFrame): Unit = {
+  /** Stage-then-move physical write. The Spark job writes under a
+    * writer-unique `_stage/<uuid>` dir, then every staged data file is
+    * renamed into its partition dir (a metadata-only move on local/HDFS).
+    * Returns the exact relative paths written — the commit's file set is
+    * KNOWN, not discovered by listing, so a concurrent writer appending
+    * to the same partition can neither be adopted into this commit nor
+    * have its in-flight task files clobbered by this job's `_temporary`
+    * cleanup (writers no longer share a committer dir). File visibility
+    * is governed by the manifest, so the non-atomic move sequence is
+    * safe: a mid-move crash leaves unreferenced files that [[vacuum]]
+    * reclaims. */
+  private def physicalWrite(df: DataFrame): Seq[String] = {
     if (profile.compression == "zstd")
       spark.sparkContext.hadoopConfiguration
         .setInt("parquet.compression.codec.zstd.level", profile.zstdLevel)
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    val stageRel = s"$StageDir/${java.util.UUID.randomUUID().toString}"
+    val stagePath = new Path(s"$root/$stageRel")
     try {
       val writer0 = bloomColumns.foldLeft(
         df.write.partitionBy(partCols: _*)
@@ -385,40 +416,65 @@ final class Collection private (
       val writer = bloomNdv.foldLeft(writer0) { case (w, (c, ndv)) =>
         w.option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
       }
-      writer.mode("append").parquet(root)
+      writer.mode("append").parquet(stagePath.toString)
+      def walk(dir: Path): Seq[Path] = fs.listStatus(dir).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (isDataFile(st.getPath.getName)) Seq(st.getPath)
+        else Nil
+      }
+      walk(stagePath).map { p =>
+        val rel = relativize(stagePath, p)
+        val dest = new Path(s"$root/$rel")
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(p, dest))
+          throw new java.io.IOException(s"failed to move staged file $rel into place")
+        rel
+      }.sorted
     }
-    finally prevTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None    => spark.conf.unset(tsKey)
+    finally {
+      try fs.delete(stagePath, true) catch { case _: Exception => () }
+      prevTs match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None    => spark.conf.unset(tsKey)
+      }
     }
   }
 
-  /** The commit protocol: append data files, diff the touched partition
-    * directories against the previous snapshot to learn the new files,
-    * commit `prev - replaced + new` as the next generation, then GC the
-    * replaced files (readers on the old snapshot may still be streaming
-    * them — deletion is best-effort and deferred-safe, like Icechunk's
-    * expiration). */
+  /** The commit protocol: stage-write the data files (the staged move
+    * reports the exact new-file set), commit `prev - replaced + new` as
+    * the next generation, then GC the replaced files (readers on the old
+    * snapshot may still be streaming them — deletion is best-effort and
+    * deferred-safe, like Icechunk's expiration). */
   private def writeAndCommit(
       df: DataFrame,
       replaced: Set[String],
-      touched: Seq[String],
       streamMark: Option[(String, Long)] = None,
+      base: Manifest = null,
   ): Unit = {
-    val man = currentManifest()
-    // List the touched directories BEFORE writing: everything already on
-    // disk — committed files AND orphans of crashed writers — is excluded
-    // from the commit, so a crash's leftovers can never be silently
-    // adopted by a later insert into the same partition.
-    val preFiles = touched.distinct.flatMap(listDataFiles).toSet
-    physicalWrite(prepareForWrite(df, man.taskBase))
-    val newFiles = touched.distinct.flatMap(listDataFiles).filterNot(preFiles.contains)
+    // Read-modify-write callers PIN the manifest their read resolved
+    // against and pass it as `base`: a concurrent commit to the same
+    // partitions then forces the rebaseGuard conflict path instead of
+    // being silently erased (its files dropped via `replaced` while its
+    // rows are absent from a rewrite computed off the older snapshot).
+    val man = if (base != null) base else currentManifest()
+    // the staged write returns its exact file set: crash orphans and
+    // concurrent writers' files in the same partitions are structurally
+    // excluded from this commit (no directory-diff discovery)
+    val newFiles = physicalWrite(prepareForWrite(df, man.taskBase))
     // resolve the doomed files from the PREVIOUS snapshot before the
     // commit swaps the shard table (loads only the replaced partitions'
     // shards)
     val replacedFiles =
       if (retainGenerations == 0) man.filesForPartitions(replaced) else Nil
-    commitDelta(man, newFiles, replaced, writeTasks, streamMark)
+    try commitDelta(man, newFiles, replaced, writeTasks, streamMark)
+    catch { case e: Throwable =>
+      // the commit never happened: the just-written files are invisible
+      // to every reader (collision-free names, never discovered by any
+      // later commit) — remove them now rather than leaving orphans
+      newFiles.foreach(f =>
+        try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
+      throw e
+    }
     // GC the files this commit replaced — unless a retention window keeps
     // past snapshots readable (then vacuum() expires them later).
     replacedFiles
@@ -540,14 +596,6 @@ final class Collection private (
       streamMark.fold(prev.streams)(prev.streams + _)))
   }
 
-  private def listDataFiles(relDir: String): Seq[String] = {
-    val dir = new Path(s"$root/$relDir")
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq
-      .filter(st => st.isFile && isDataFile(st.getPath.getName))
-      .map(st => s"$relDir/${st.getPath.getName}")
-  }
-
   /** Reclaim unreachable data files: crash leftovers of writers that
     * died before their commit, plus — when a retention window is set —
     * files only referenced by snapshots OLDER than the newest
@@ -603,6 +651,15 @@ final class Collection private (
       if (st.getPath.getName.endsWith(".tmp") && aged(st.getModificationTime))
         try fs.delete(st.getPath, false) catch { case _: Exception => () }
     }
+    // abandoned staging dirs: a writer that crashed mid-write leaves its
+    // `_stage/<uuid>` subtree behind; same age gate (a LIVE writer's
+    // stage dir is newer than the grace window, so it survives)
+    val stageRoot = new Path(s"$root/$StageDir")
+    if (fs.exists(stageRoot))
+      fs.listStatus(stageRoot).toSeq.foreach { st =>
+        if (aged(st.getModificationTime))
+          try fs.delete(st.getPath, true) catch { case _: Exception => () }
+      }
     doomed
   }
 
@@ -952,8 +1009,8 @@ final class Collection private (
     *     only after listing, opening and footer-reading every file).
     *  3. ROWS: the full filter compiles to a Catalyst predicate on top.
     */
-  private[core] def prunedRaw(ast: FilterExpr.Ast): DataFrame = {
-    val man = currentManifest()
+  private[core] def prunedRaw(ast: FilterExpr.Ast, pinned: Manifest = null): DataFrame = {
+    val man = if (pinned != null) pinned else currentManifest()
     val df = ast match {
       case FilterExpr.True => readRawManifest(man)
       case _ =>
@@ -1299,14 +1356,17 @@ final class Collection private (
   /** Relative partition paths matching `filters`, sorted by decoded key
     * (reference base.py:302-338). Served from the manifest — never a
     * directory walk. */
-  def partitions(filters: String = null): Seq[String] = {
-    val ast = FilterExpr.parse(filters)
-    partitionPaths()
+  def partitions(filters: String = null): Seq[String] =
+    partitionsFrom(currentManifest(), FilterExpr.parse(filters))
+
+  /** [[partitions]] against a PINNED snapshot — read-modify-write paths
+    * resolve selection, read, and commit base from one manifest. */
+  private def partitionsFrom(man: Manifest, ast: FilterExpr.Ast): Seq[String] =
+    man.partitionPaths
       .flatMap(p => decodePath(p).map(k => (p, k)))
       .filter { case (_, k) => FilterExpr.eval(ast, k.toMap) }
       .sortWith { case ((_, a), (_, b)) => keyLess(a, b) }
       .map(_._1)
-  }
 
   /** Served from the ROOT manifest — zero shard IO at any scale. */
   private def partitionPaths(): Seq[String] =
@@ -1463,8 +1523,12 @@ final class Collection private (
   ): Seq[String] = {
     requireWritable()
     val ast = FilterExpr.parse(filters)
-    val touched = partitions(filters)
-    val prunedDf = prunedRaw(ast)
+    // PIN one snapshot for partition selection, the row read, and the
+    // commit base: a concurrent commit to a touched partition then
+    // conflicts (rebaseGuard) instead of being erased by the rewrite
+    val man = currentManifest()
+    val touched = partitionsFrom(man, ast)
+    val prunedDf = prunedRaw(ast, man)
     val out: DataFrame =
       if (variables == null) {
         val pruned = prunedDf.select(schema.fieldNames.toSeq.map(col): _*)
@@ -1485,7 +1549,7 @@ final class Collection private (
         rest.join(updated, keyCols)
           .select(schema.fieldNames.toSeq.map(col): _*)
       }
-    writeAndCommit(partitioning.assign(out), replaced = touched.toSet, touched = touched)
+    writeAndCommit(partitioning.assign(out), replaced = touched.toSet, base = man)
     touched
   }
 
@@ -1566,6 +1630,12 @@ object Collection {
   val ManifestDir = "_manifest"
   val ImmutableDir = "_immutable"
   val ImmutableMeta = "_meta.json"
+  /** Writer-unique staging subtree for physical writes: each write job
+    * lands under its own `_stage/<uuid>` before a metadata-only move into
+    * the partition dirs — concurrent writers never share a Spark
+    * `_temporary` dir, and each commit knows its exact file set without
+    * listing (so a concurrent writer's files can never be adopted). */
+  val StageDir = "_stage"
   /** Hidden per-partition row id, the positional key for View overlays. */
   val RowIdCol = "_zc_row"
   /** On-disk format version this build reads and writes; `open` refuses a

@@ -131,4 +131,84 @@ class ManifestConflictSpec extends AnyFunSuite {
       assert(tmps.isEmpty, s"round $round: orphan tmps $tmps")
     }
   }
+
+  test("concurrent END-TO-END inserts to disjoint partitions: both land, loser rebases") {
+    // full-path race: two handles, two threads, each running insert()
+    // through its own staged write and commitDelta. The hard-link claim
+    // decides each generation; the loser must rebase (disjoint
+    // partitions) and BOTH commits' rows must be visible.
+    val root = SparkTestSession.tmp("graft-race-e2e")
+    val seed = Seq((0L, 1L, 1.0)).toDF("a", "seq", "v")
+    val c = Collection.create(spark, root, seed.schema, "seq",
+      SequencePartitioning(Seq("a"), "seq"))
+    c.insert(seed)
+    val handles = Seq(Collection.open(spark, root), Collection.open(spark, root))
+
+    for (round <- 1 to 5) {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new Array[Option[Throwable]](2)
+      val threads = handles.zipWithIndex.map { case (h, i) =>
+        new Thread(() => {
+          val a = 10L * round + i // writer-unique partition value
+          val df = Seq((a, a * 100L, a.toDouble)).toDF("a", "seq", "v")
+          barrier.await()
+          errs(i) =
+            try { h.insert(df, MergeStrategy.Concat); None }
+            catch { case e: Throwable => Some(e) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(errs.forall(_.isEmpty),
+        s"round $round: disjoint-partition writers must both succeed, got " +
+        errs.flatten.map(_.toString).mkString("; "))
+      val fresh = Collection.open(spark, root)
+      assert(fresh.query(s"a == ${10 * round}").count() == 1, s"round $round: writer 0 lost")
+      assert(fresh.query(s"a == ${10 * round + 1}").count() == 1, s"round $round: writer 1 lost")
+    }
+    // every round advanced the generation twice — nothing was absorbed
+    assert(Collection.open(spark, root).generation == 1L + 10L)
+  }
+
+  test("racing update() rewrites of the SAME partition never silently lose an increment") {
+    // the lost-update hole: a rewrite whose read resolved against an
+    // older snapshot than its commit base silently erased any commit
+    // landing in between. With the base PINNED to the read snapshot, a
+    // racing commit forces the rebaseGuard conflict instead: across
+    // rounds, final state must equal initial + (number of SUCCESSFUL
+    // updates) — a loud ConcurrentModificationException is the only
+    // permitted failure mode.
+    val root = SparkTestSession.tmp("graft-race-update")
+    val df = (0L until 8L).map(i => (i, 0L, 1L, 0.0)).toDF("id", "g", "seq", "v")
+    val c = Collection.create(spark, root, df.schema, "seq",
+      SequencePartitioning(Seq("g"), "seq"))
+    c.insert(df) // constant g: ONE partition — every update overlaps every other
+    val handles = Seq(Collection.open(spark, root), Collection.open(spark, root))
+
+    var expected = 0L
+    for (round <- 1 to 4) {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new Array[Option[Throwable]](2)
+      val threads = handles.zipWithIndex.map { case (h, i) =>
+        new Thread(() => {
+          barrier.await()
+          errs(i) =
+            try { h.update(d => d.withColumn("v", col("v") + lit(1.0))); None }
+            catch { case e: Throwable => Some(e) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      errs.flatten.foreach { e =>
+        assert(e.isInstanceOf[java.util.ConcurrentModificationException],
+          s"round $round: only a loud conflict may fail an update, got $e")
+      }
+      expected += errs.count(_.isEmpty)
+      val vs = Collection.open(spark, root).query()
+        .select("v").collect().map(_.getDouble(0)).distinct.toSeq
+      assert(vs == Seq(expected.toDouble),
+        s"round $round: want every v == $expected (silent lost update?), got $vs")
+    }
+    assert(expected >= 4, "at least one update per round must succeed")
+  }
 }
