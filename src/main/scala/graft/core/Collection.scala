@@ -983,8 +983,11 @@ final class Collection private (
           }
         }
         val rw = d.rows ++ rows.filter { case (f, _) => fileSet(f) }
-        val name = shardName(d.files, st, rw)
-        writeShardIfAbsent(fs, manifestDir, name, d.files, st, rw)
+        // carry the per-file commit generations through the rebuild —
+        // dropping them would silently disable schema-generation pruning
+        // for every file in the backfilled shard
+        val name = shardName(d.files, st, rw, d.gens)
+        writeShardIfAbsent(fs, manifestDir, name, d.files, st, rw, d.gens)
         e.copy(file = name, rollup = rollupOf(d.files, st),
           rowTotal = if (d.files.forall(rw.contains)) Some(d.files.map(rw).sum) else None)
       }

@@ -288,6 +288,37 @@ class ColumnSkipSpec extends AnyFunSuite {
     assert(c.query().count() == 40L)
   }
 
+  test("backfillStats preserves per-file commit generations (schema-generation pruning survives)") {
+    val root = SparkTestSession.tmp("graft-backfill-gens")
+    val b = mkUsers((0L until 20L).map(i => (i, "2024-01-01 10:00:00", i, 1.0)))
+    val c = Collection.create(spark, root, b.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(b, MergeStrategy.Concat)
+    val man = c.currentManifest()
+    val gensBefore = man.gensForFiles(man.files)
+    assert(gensBefore.size == man.files.size, "inserts must record commit generations")
+
+    // simulate a stats-less shard era that still carries gens: rewrite
+    // every shard without stats/rows, keeping the gens map
+    val fs = Collection.fileSystem(spark, root)
+    val mdir = new Path(s"$root/${Collection.ManifestDir}")
+    val stripped = man.shards.map { e =>
+      val d = man.shardData(e)
+      val name = Collection.shardName(d.files, Map.empty, Map.empty, d.gens)
+      Collection.writeShardIfAbsent(fs, mdir, name, d.files,
+        Map.empty, Map.empty, d.gens)
+      e.copy(file = name, rollup = Map.empty, rowTotal = None)
+    }
+    Collection.writeManifest(fs, mdir,
+      man.withShards(man.generation + 1, man.taskBase, stripped))
+
+    val c2 = Collection.open(spark, root)
+    assert(c2.backfillStats() == man.files.size, "all files need backfill")
+    val after = c2.currentManifest()
+    assert(after.statsForFiles(after.files).size == after.files.size)
+    assert(after.gensForFiles(after.files) == gensBefore,
+      "backfill must carry the gens map through the shard rebuild")
+  }
+
   test("schema-generation pruning: files predating addVariable skip for filters on the new column") {
     val root = SparkTestSession.tmp("graft-schemagen")
     val old = mkUsers((0L until 20L).map(i => (i, "2024-01-01 10:00:00", i, 1.0)))
