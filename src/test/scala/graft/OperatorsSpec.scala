@@ -362,4 +362,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[vec_max_abs""".r.findFirstIn(plan).isDefined,
       s"quantization projection must be codegen-staged, plan:\n$plan")
   }
+
+  test("native quantization edge inputs: NaN and null elements match the HOF; empty/all-null narrow to null") {
+    import graft.ann.Ann
+    // NaN element and null element rows: bit-identical to the HOF twins
+    val edge = spark.sql("""
+      SELECT * FROM VALUES
+        (1L, array(cast(1.0 as float), cast('NaN' as float), cast(-2.0 as float))),
+        (2L, array(cast(1.0 as float), cast(null as float), cast(-2.0 as float))),
+        (3L, array(cast(0.0 as float), cast(null as float)))
+      AS t(vec_id, embedding)""")
+    val (maN, qvN) = Ann.quantizeInt8(col("embedding"))
+    val (maH, qvH) = Ann.quantizeInt8Hof(col("embedding"))
+    val rows = edge.select(col("vec_id"), maN.as("ma_n"), maH.as("ma_h"),
+        qvN.as("q_n"), qvH.as("q_h"),
+        Ann.quantizeInt8Mae(col("embedding"), maN, qvN).as("mae_n"),
+        Ann.quantizeInt8MaeHof(col("embedding"), maH, qvH).as("mae_h"))
+      .orderBy("vec_id").collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: max_abs ${r.getDouble(1)} != HOF ${r.getDouble(2)}")
+      assert(r.getSeq[Any](3) == r.getSeq[Any](4),
+        s"vec ${r.getLong(0)}: qvec ${r.getSeq[Any](3)} != HOF ${r.getSeq[Any](4)}")
+      assert(r.isNullAt(5) == r.isNullAt(6) &&
+             (r.isNullAt(5) || java.lang.Double.doubleToLongBits(r.getDouble(5)) ==
+                               java.lang.Double.doubleToLongBits(r.getDouble(6))),
+        s"vec ${r.getLong(0)}: mae differs from HOF")
+    }
+    // NaN scale quantizes everything to 0 (the double->int NaN cast)
+    assert(rows(0).getDouble(1).isNaN && rows(0).getSeq[Int](3) == Seq(0, 0, 0))
+    // null elements: skipped by max_abs, propagated by the quantizer,
+    // poisoning the error fold
+    assert(rows(1).getDouble(1) == 2.0)
+    assert(rows(1).getSeq[Any](3) == Seq(64, null, -127))
+    assert(rows(1).isNullAt(5))
+
+    // the narrowed degenerate cases: empty / all-null arrays yield null
+    // for all three native outputs (HOF keeps a degenerate array shape)
+    val degen = spark.sql("""
+      SELECT * FROM VALUES
+        (1L, array()),
+        (2L, array(cast(null as float), cast(null as float)))
+      AS t(vec_id, embedding)""")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val (maD, qvD) = Ann.quantizeInt8(col("embedding"))
+    val drows = degen.select(maD.as("ma"), qvD.as("q"),
+        Ann.quantizeInt8Mae(col("embedding"), maD, qvD).as("mae"))
+      .collect()
+    drows.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2),
+        s"degenerate arrays must yield all-null outputs, got $r")
+    }
+  }
 }
