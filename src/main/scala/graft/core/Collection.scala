@@ -295,7 +295,8 @@ final class Collection private (
     // rewrite). Pinned, that race hits rebaseGuard's overlap check.
     val out = readManifestFiles(man, man.filesForPartitions(paths))
       .select(schema.fieldNames.toSeq.map(col): _*)
-    try writeAndCommit(partitioning.assign(out), replaced = paths, base = man)
+    try writeAndCommit(partitioning.assign(out), replaced = paths, base = man,
+      rewrite = true)
     catch { case _: java.util.ConcurrentModificationException =>
       // auto-compaction is opportunistic: losing the race leaves the
       // partition fragmented-but-correct; the next insert retries
@@ -450,6 +451,7 @@ final class Collection private (
       replaced: Set[String],
       streamMark: Option[(String, Long)] = None,
       base: Manifest = null,
+      rewrite: Boolean = false,
   ): Unit = {
     // Read-modify-write callers PIN the manifest their read resolved
     // against and pass it as `base`: a concurrent commit to the same
@@ -466,7 +468,7 @@ final class Collection private (
     // shards)
     val replacedFiles =
       if (retainGenerations == 0) man.filesForPartitions(replaced) else Nil
-    try commitDelta(man, newFiles, replaced, writeTasks, streamMark)
+    try commitDelta(man, newFiles, replaced, writeTasks, streamMark, rewrite)
     catch { case e: Throwable =>
       // the commit never happened: the just-written files are invisible
       // to every reader (collision-free names, never discovered by any
@@ -493,12 +495,13 @@ final class Collection private (
     * A genuine overlap propagates the conflict to the caller. */
   private[core] def commitDelta(prev: Manifest, newFiles: Seq[String],
                                 dropped: Set[String], taskBump: Long,
-                                streamMark: Option[(String, Long)] = None): Unit = {
+                                streamMark: Option[(String, Long)] = None,
+                                rewrite: Boolean = false): Unit = {
     var base = prev
     var attempts = 0
     val (newStats, newRows) = fileStats(newFiles) // once — retries reuse it
     while (true) {
-      try { commitDeltaOnce(base, newFiles, newStats, newRows, dropped, taskBump, streamMark); return }
+      try { commitDeltaOnce(base, newFiles, newStats, newRows, dropped, taskBump, streamMark, rewrite); return }
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -555,7 +558,8 @@ final class Collection private (
                               newStats: Map[String, Map[String, ColStat]],
                               newRows: Map[String, Long],
                               dropped: Set[String], taskBump: Long,
-                              streamMark: Option[(String, Long)] = None): Unit = {
+                              streamMark: Option[(String, Long)] = None,
+                              rewrite: Boolean = false): Unit = {
     val newByPrefix = newFiles.groupBy(f => prefixOf(parentRel(f)))
     val affected = newByPrefix.keySet ++ dropped.map(prefixOf)
     val kept = prev.shards.filterNot(e => affected(e.prefix))
@@ -593,7 +597,8 @@ final class Collection private (
     commitManifest(prev.withShards(
       prev.generation + 1, prev.taskBase + taskBump,
       (kept ++ rebuilt).sortBy(_.prefix),
-      streamMark.fold(prev.streams)(prev.streams + _)))
+      streamMark.fold(prev.streams)(prev.streams + _),
+      newRewrites = if (rewrite) dropped else Set.empty))
   }
 
   /** Reclaim unreachable data files: crash leftovers of writers that
@@ -1523,6 +1528,13 @@ final class Collection private (
       fn: DataFrame => DataFrame,
       filters: String = null,
       variables: Seq[String] = null,
+  ): Seq[String] = updateInternal(fn, filters, variables, rewrite = false)
+
+  private def updateInternal(
+      fn: DataFrame => DataFrame,
+      filters: String,
+      variables: Seq[String],
+      rewrite: Boolean,
   ): Seq[String] = {
     requireWritable()
     val ast = FilterExpr.parse(filters)
@@ -1552,7 +1564,8 @@ final class Collection private (
         rest.join(updated, keyCols)
           .select(schema.fieldNames.toSeq.map(col): _*)
       }
-    writeAndCommit(partitioning.assign(out), replaced = touched.toSet, base = man)
+    writeAndCommit(partitioning.assign(out), replaced = touched.toSet, base = man,
+      rewrite = rewrite)
     touched
   }
 
@@ -1561,7 +1574,8 @@ final class Collection private (
     * manifest swap; readers never observe a half-compacted partition.
     * Row ids are reassigned (a new write generation), so overlaying views
     * detect the rewrite and must re-run `update`. */
-  def compact(filters: String = null): Seq[String] = update(identity, filters)
+  def compact(filters: String = null): Seq[String] =
+    updateInternal(identity, filters, null, rewrite = true)
 
   // --- key helpers -------------------------------------------------
 
@@ -2091,7 +2105,13 @@ object Collection {
         * consults this set and omits the `columnSince` entry for such
         * names, permanently: generation pruning stays off for that column,
         * correctness stays on. */
-      val droppedEver: Set[String] = Set.empty) {
+      val droppedEver: Set[String] = Set.empty,
+      /** Partitions THIS commit rewrote content-preserving (compact /
+        * auto-compact): same rows, fresh files. Per-commit — never
+        * inherited by later manifests. Streaming sources consult it to
+        * skip re-delivering a compaction's files in their manifest
+        * diffs. */
+      val rewrites: Set[String] = Set.empty) {
 
     /** All partition paths — served from the root manifest, zero shard IO. */
     def partitionPaths: Seq[String] =
@@ -2149,17 +2169,19 @@ object Collection {
       new Manifest(generation, taskBase, schemaDdl, fills, shards, loader,
         streams, inline, columnSince, droppedEver)
 
-    /** New shard table, same loader. */
+    /** New shard table, same loader. `newRewrites` marks THIS commit's
+      * content-preserving rewrites — deliberately not inherited. */
     def withShards(generation: Long, taskBase: Long, newShards: Seq[ShardEntry],
-                   newStreams: Map[String, Long] = streams): Manifest =
+                   newStreams: Map[String, Long] = streams,
+                   newRewrites: Set[String] = Set.empty): Manifest =
       new Manifest(generation, taskBase, schemaDdl, fills, newShards, loader,
-        newStreams, inline, columnSince, droppedEver)
+        newStreams, inline, columnSince, droppedEver, newRewrites)
   }
 
   private[core] def isDataFile(name: String): Boolean =
     name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
 
-  private[core] def parentRel(file: String): String =
+  private[graft] def parentRel(file: String): String =
     file.substring(0, file.lastIndexOf('/'))
 
   /** Shard key of a partition path: everything but the last segment
@@ -2321,6 +2343,9 @@ object Collection {
     val droppedEver = Option(doc.get("droppedColumns"))
       .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSet)
       .getOrElse(Set.empty[String])
+    val rewrites = Option(doc.get("rewrites"))
+      .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSet)
+      .getOrElse(Set.empty[String])
     Option(doc.get("shards")) match {
       case Some(raw) =>
         val entries = raw.asInstanceOf[java.util.List[Object]].asScala.map { o =>
@@ -2341,7 +2366,8 @@ object Collection {
         }.toSeq
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => readShard(fs, dir, rel), streams,
-          columnSince = columnSince, droppedEver = droppedEver)
+          columnSince = columnSince, droppedEver = droppedEver,
+          rewrites = rewrites)
       case None =>
         // legacy single-JSON manifest: inline file list, synthetic
         // content-addressed names so generation diffs still work
@@ -2361,7 +2387,7 @@ object Collection {
         // files and must resolve through the inherited loader too
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => inline.get(rel).map(ShardData(_)).getOrElse(readShard(fs, dir, rel)),
-          streams, inline, columnSince, droppedEver)
+          streams, inline, columnSince, droppedEver, rewrites)
     }
   }
 
@@ -2424,6 +2450,9 @@ object Collection {
     if (m.droppedEver.nonEmpty)
       doc.put("droppedColumns",
         new java.util.ArrayList[Object](m.droppedEver.toSeq.sorted.asJava))
+    if (m.rewrites.nonEmpty)
+      doc.put("rewrites",
+        new java.util.ArrayList[Object](m.rewrites.toSeq.sorted.asJava))
     val target = manifestPath(dir, m.generation)
     def conflict(): Nothing =
       throw new java.util.ConcurrentModificationException(

@@ -47,6 +47,17 @@ class GraftCollectionSource(spark: SparkSession, root: String,
 
   private val collection = Collection.open(spark, root, readOnly = true)
 
+  // A pure compaction no longer re-delivers (rewrite-marked commits skip
+  // the diff), but auto-compaction with retainGenerations=0 DELETES the
+  // fragmented files at commit time — a batch scheduled before the
+  // compaction can lose its inputs mid-read. Surface the hazard once.
+  if (collection.autoCompactFiles > 0 && collection.retainGenerations == 0)
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"graft source over $root: collection auto-compacts " +
+      s"(autoCompactFiles=${collection.autoCompactFiles}) with no retention " +
+      "window — a micro-batch racing a compaction may fail reading replaced " +
+      "files. Set retainGenerations > 0 for streaming readers.")
+
   /** Pushed-down filter ([[FilterExpr]] mini-language, the batch
     * `query(filters)` syntax): each micro-batch's manifest-diff file set
     * drops whole partitions the filter can't match, then files whose
@@ -150,13 +161,42 @@ class GraftCollectionSource(spark: SparkSession, root: String,
     val newFiles = start match {
       case None => endMan.files
       case Some(s) =>
-        val startMan = collection.manifestAt(gen(s))
+        val startGen = gen(s)
+        val startMan = collection.manifestAt(startGen)
+        // partitions some in-range commit rewrote content-preserving
+        // (compact / auto-compact): their fresh files carry only rows the
+        // stream already delivered — skip them when the row totals prove
+        // nothing else changed. One cached root-JSON read per generation.
+        val rewritten: Set[String] =
+          if (endGen <= startGen) Set.empty
+          else ((startGen + 1L) to endGen).iterator
+            .flatMap(g => collection.manifestAt(g).rewrites).toSet
         val startNames = startMan.shards.map(_.file).toSet
         val startByPrefix = startMan.shards.map(e => e.prefix -> e).toMap
         endMan.shards.filterNot(e => startNames.contains(e.file)).flatMap { e =>
-          val old = startByPrefix.get(e.prefix)
-            .map(o => startMan.shardFiles(o).toSet).getOrElse(Set.empty[String])
-          endMan.shardFiles(e).filterNot(old)
+          val od = startByPrefix.get(e.prefix).map(startMan.shardData)
+          val oldByPart = od.map(_.files.groupBy(Collection.parentRel))
+            .getOrElse(Map.empty[String, Seq[String]])
+          val oldRows = od.map(_.rows).getOrElse(Map.empty[String, Long])
+          val nd = endMan.shardData(e)
+          nd.files.groupBy(Collection.parentRel).toSeq.flatMap { case (part, files) =>
+            val old = oldByPart.getOrElse(part, Nil)
+            val oldSet = old.toSet
+            val added = files.filterNot(oldSet)
+            if (added.isEmpty) Nil
+            else if (!rewritten.contains(part)) added
+            else {
+              // row totals present on both sides and unchanged => the
+              // rewrite replaced exactly the already-delivered content.
+              // Changed/unknown totals fall back to delivering the
+              // added files (at-least-once, the pre-marker behavior).
+              val or = old.map(oldRows.get)
+              val nr = files.map(nd.rows.get)
+              if (or.forall(_.isDefined) && nr.forall(_.isDefined) &&
+                  or.flatten.sum == nr.flatten.sum) Nil
+              else added
+            }
+          }
         }
     }
     // pushdown: partition + zone-map + bloom pruning over the diffed

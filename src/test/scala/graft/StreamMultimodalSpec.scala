@@ -100,6 +100,42 @@ class StreamMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a compaction rewrite does not re-deliver already-streamed rows") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val root = SparkTestSession.tmp("graft-stream-compact")
+    val mk = (vals: Seq[(Long, String, Double)]) => vals
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val df = mk(Seq((1L, "2024-01-01 10:00:00", 1.0)))
+    val c = Collection.create(spark, root, df.schema, "ts",
+      DatePartitioning("ts", "D"), retainGenerations = 4)
+    c.insert(df)
+    // fragment the partition with appends
+    (2L to 4L).foreach(i =>
+      c.insert(mk(Seq((i, "2024-01-01 11:00:00", i.toDouble))), MergeStrategy.Concat))
+    val name = "graft_cmp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamOps.readStream(spark, c)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 4)
+      // a pure rewrite: same rows, fresh files — the marker + unchanged
+      // row totals must keep the next batch EMPTY
+      c.compact()
+      assert(c.manifestAt(c.generation).rewrites.nonEmpty,
+        "compact must mark its commit")
+      q.processAllAvailable()
+      val ids = spark.table(name).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 4L),
+        s"compaction re-delivered already-streamed rows: $ids")
+      // data committed AFTER the compaction still streams normally
+      c.insert(mk(Seq((5L, "2024-01-02 10:00:00", 5.0))), MergeStrategy.Concat)
+      q.processAllAvailable()
+      assert(spark.table(name).select("id").collect().map(_.getLong(0)).sorted.toSeq
+        == (1L to 5L), "post-compaction commit lost")
+    } finally q.stop()
+  }
+
   test("maxGenerationsPerBatch paces backfill: bounded commits per micro-batch, nothing lost") {
     import org.apache.spark.sql.streaming.OutputMode
     val root = SparkTestSession.tmp("graft-stream-pace")
