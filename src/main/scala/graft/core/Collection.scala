@@ -2403,9 +2403,11 @@ object Collection {
     * the loser gets a conflict to rebase on, never a silently-lost
     * commit (the Icechunk conflict-on-commit model). The `exists`
     * pre-check below is a fast path only; the publish primitive is the
-    * arbiter. Object stores without an exclusive rename/PUT must layer a
-    * conditional PUT (e.g. If-None-Match) in their FileContext binding —
-    * the rebase contract assumes the publish is exclusive.
+    * arbiter. Filesystems without an exclusive rename (object stores)
+    * REFUSE to publish until a [[Collection.CommitArbiter]] — a
+    * conditional-PUT/lock adapter, or the explicit single-writer
+    * declaration — is registered for their scheme
+    * ([[Collection.registerCommitArbiter]]).
     * Shard files are written BEFORE this root publish — a crash in
     * between leaves only unreferenced shard JSONs (and an orphan tmp),
     * reclaimed by [[Collection.vacuum]]. */
@@ -2476,39 +2478,104 @@ object Collection {
     * target on POSIX). Everything else: `FileContext` rename with
     * `Options.Rename.NONE`, the exclusive namenode-atomic variant on
     * HDFS. */
+  /** The exclusive-publish primitive behind every manifest commit:
+    * atomically install `tmp` as `target` IFF `target` does not exist.
+    * Returning `false` (someone else claimed the generation) triggers
+    * the caller's rebase; returning `true` twice for one target would
+    * silently lose a commit — implementations MUST be genuinely
+    * exclusive. The reference's Icechunk store solves the same problem
+    * with conditional-update sessions (store/icechunk_store.py:159-170);
+    * an object-store adapter does it with a conditional PUT
+    * (`If-None-Match: *`) or an external lock/CAS table keyed by the
+    * target name. Register per URI scheme via
+    * [[Collection.registerCommitArbiter]]. */
+  trait CommitArbiter {
+    def publish(fs: FileSystem, tmp: Path, target: Path): Boolean
+  }
+
+  /** `FileContext.rename(..., Options.Rename.NONE)` — atomic + exclusive
+    * where the filesystem's rename enforces no-overwrite atomically (the
+    * HDFS namenode contract). Register it for a scheme ONLY when that
+    * guarantee is known to hold there. */
+  object ExclusiveRenameArbiter extends CommitArbiter {
+    def publish(fs: FileSystem, tmp: Path, target: Path): Boolean =
+      try {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(target.toUri, fs.getConf)
+          .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          try fs.delete(tmp, false) catch { case _: Exception => () }
+          false
+      }
+  }
+
+  /** Non-atomic `exists` + rename. The name says it all: the TOCTOU
+    * window means two concurrent writers CAN both "win" — registering
+    * this arbiter is an explicit declaration that exactly one process
+    * ever writes the collection (the quiesced-single-writer mode). */
+  object UnsafeSingleWriterArbiter extends CommitArbiter {
+    def publish(fs: FileSystem, tmp: Path, target: Path): Boolean =
+      if (fs.exists(target)) {
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        false
+      } else fs.rename(tmp, target)
+  }
+
+  /** Schemes whose `FileContext.rename(NONE)` is exclusive at the
+    * metadata service — no arbiter registration needed. */
+  private val ExclusiveRenameSchemes = Set("hdfs", "viewfs")
+
+  private val arbiters =
+    scala.collection.concurrent.TrieMap.empty[String, CommitArbiter]
+
+  /** Install the exclusive-publish primitive for a URI scheme (e.g. an
+    * S3 conditional-PUT or DynamoDB-lock adapter for `"s3a"`). */
+  def registerCommitArbiter(scheme: String, arbiter: CommitArbiter): Unit =
+    arbiters.put(scheme, arbiter)
+
+  def unregisterCommitArbiter(scheme: String): Unit = arbiters.remove(scheme)
+
   private[core] def publishExclusive(fs: FileSystem, tmp: Path, target: Path): Boolean = {
     import org.apache.hadoop.fs.{LocalFileSystem, RawLocalFileSystem}
     import java.nio.file.{Files, Paths, FileAlreadyExistsException => NioExists}
-    fs match {
-      case _: LocalFileSystem | _: RawLocalFileSystem =>
-        val t = Paths.get(tmp.toUri.getPath)
-        val d = Paths.get(target.toUri.getPath)
-        def crcOf(p: java.nio.file.Path) =
-          p.resolveSibling("." + p.getFileName.toString + ".crc")
-        try {
-          Files.createLink(d, t) // the atomic claim
-          // carry the ChecksumFileSystem sidecar across (not the arbiter:
-          // readers tolerate an absent crc, never a mismatched one)
-          val (tc, dc) = (crcOf(t), crcOf(d))
-          if (Files.exists(tc)) { Files.deleteIfExists(dc); Files.move(tc, dc) }
-          Files.deleteIfExists(t)
-          true
-        } catch {
-          case _: NioExists =>
-            Files.deleteIfExists(crcOf(t)); Files.deleteIfExists(t)
-            false
-        }
-      case _ =>
-        try {
-          org.apache.hadoop.fs.FileContext
-            .getFileContext(target.toUri, fs.getConf)
-            .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            try fs.delete(tmp, false) catch { case _: Exception => () }
-            false
-        }
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    arbiters.get(scheme) match {
+      case Some(a) => a.publish(fs, tmp, target)
+      case None => fs match {
+        case _: LocalFileSystem | _: RawLocalFileSystem if scheme == "file" =>
+          val t = Paths.get(tmp.toUri.getPath)
+          val d = Paths.get(target.toUri.getPath)
+          def crcOf(p: java.nio.file.Path) =
+            p.resolveSibling("." + p.getFileName.toString + ".crc")
+          try {
+            Files.createLink(d, t) // the atomic claim
+            // carry the ChecksumFileSystem sidecar across (not the arbiter:
+            // readers tolerate an absent crc, never a mismatched one)
+            val (tc, dc) = (crcOf(t), crcOf(d))
+            if (Files.exists(tc)) { Files.deleteIfExists(dc); Files.move(tc, dc) }
+            Files.deleteIfExists(t)
+            true
+          } catch {
+            case _: NioExists =>
+              Files.deleteIfExists(crcOf(t)); Files.deleteIfExists(t)
+              false
+          }
+        case _ if ExclusiveRenameSchemes(scheme) =>
+          ExclusiveRenameArbiter.publish(fs, tmp, target)
+        case _ =>
+          // LOUD refusal beats silent lost commits: an object store's
+          // plain rename overwrites, so the optimistic-rebase contract
+          // would not hold. The deployer must choose: a real CAS/lock
+          // arbiter, or the explicit single-writer declaration.
+          throw new UnsupportedOperationException(
+            s"no exclusive commit primitive for filesystem scheme '$scheme': " +
+            "its rename does not guarantee atomic no-overwrite, so multi-writer " +
+            "commits could be silently lost. Register a conditional-PUT/lock " +
+            "adapter via Collection.registerCommitArbiter(\"" + scheme + "\", ...), " +
+            "or Collection.UnsafeSingleWriterArbiter to declare single-writer mode.")
+      }
     }
   }
 

@@ -132,6 +132,73 @@ class ManifestConflictSpec extends AnyFunSuite {
     }
   }
 
+  test("object-store commit safety: overwrite-on-rename filesystems refuse, a CAS arbiter restores exclusion") {
+    // an S3-shaped filesystem: rename silently REPLACES the destination
+    // (no atomic no-overwrite primitive), reported under its own scheme
+    class MockS3Fs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getUri: java.net.URI = java.net.URI.create("mocks3:///")
+      override def rename(src: Path, dst: Path): Boolean = {
+        if (exists(dst)) delete(dst, true)
+        super.rename(src, dst)
+      }
+    }
+    val fs = new MockS3Fs
+    fs.initialize(java.net.URI.create("mocks3:///"), spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(SparkTestSession.tmp("graft-mocks3"))
+    fs.mkdirs(dir)
+    def mkTmp(tag: String): Path = {
+      val p = new Path(dir, s"m.$tag.tmp")
+      val out = fs.create(p, true); out.write(tag.getBytes("UTF-8")); out.close()
+      p
+    }
+    val target = new Path(dir, "manifest-000000000001.json")
+
+    // 1. WITHOUT an arbiter: loud refusal, nothing published
+    val ex = intercept[UnsupportedOperationException] {
+      Collection.publishExclusive(fs, mkTmp("a"), target)
+    }
+    assert(ex.getMessage.contains("mocks3") &&
+           ex.getMessage.contains("registerCommitArbiter"), ex.getMessage)
+    assert(!fs.exists(target))
+
+    // 2. a conditional-PUT-shaped arbiter (atomic claim table keyed by
+    // target, the If-None-Match model): racing publishes -> ONE winner
+    val claims = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    Collection.registerCommitArbiter("mocks3", new Collection.CommitArbiter {
+      def publish(f: org.apache.hadoop.fs.FileSystem, tmp: Path, tgt: Path): Boolean =
+        if (claims.add(tgt.toString)) f.rename(tmp, tgt)
+        else { try f.delete(tmp, false) catch { case _: Exception => () }; false }
+    })
+    try {
+      for (round <- 1 to 20) {
+        val tgt = new Path(dir, f"manifest-${100 + round}%012d.json")
+        val tmps = Seq(mkTmp(s"A$round"), mkTmp(s"B$round"))
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val won = new Array[Boolean](2)
+        val threads = tmps.zipWithIndex.map { case (t, i) =>
+          new Thread(() => {
+            barrier.await()
+            won(i) = Collection.publishExclusive(fs, t, tgt)
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        assert(won.count(identity) == 1,
+          s"round $round: want exactly one winner, got ${won.toSeq}")
+        assert(fs.exists(tgt))
+      }
+    } finally Collection.unregisterCommitArbiter("mocks3")
+
+    // 3. the explicit single-writer declaration works sequentially and
+    // still reports an already-claimed target as lost
+    Collection.registerCommitArbiter("mocks3", Collection.UnsafeSingleWriterArbiter)
+    try {
+      val tgt = new Path(dir, "manifest-000000000999.json")
+      assert(Collection.publishExclusive(fs, mkTmp("s1"), tgt))
+      assert(!Collection.publishExclusive(fs, mkTmp("s2"), tgt),
+        "second publish of a claimed generation must report loss")
+    } finally Collection.unregisterCommitArbiter("mocks3")
+  }
+
   test("concurrent END-TO-END inserts to disjoint partitions: both land, loser rebases") {
     // full-path race: two handles, two threads, each running insert()
     // through its own staged write and commitDelta. The hard-link claim
