@@ -35,7 +35,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: Cli <ls|inspect|describe|query|drop|history|vacuum|compact|count|prune|backfill-stats> <path> [args...]")
+        "usage: Cli <ls|inspect|describe|query|drop|history|vacuum|compact|compact-plan|count|prune|backfill-stats> <path> [args...]")
       sys.exit(2)
     }
     val (cmd, path) = (args(0), args(1))
@@ -69,6 +69,15 @@ object Cli {
       case "compact" =>
         val c = Collection.open(spark, path)
         c.compact(args.lift(2).orNull).foreach(println)
+      case "compact-plan" =>
+        // budgeted maintenance: plan (and with `apply`, execute) the
+        // most-fragmented rewrites under a byte ceiling
+        val c = Collection.open(spark, path)
+        val budget = args.lift(2).map(_.toLong).getOrElse(1L << 30)
+        val plan = c.compactPlan(budget)
+        plan.foreach(println)
+        if (args.lift(3).contains("apply"))
+          println(s"compacted ${c.compactPartitions(plan).size} partition(s)")
       case "describe" =>
         val c = Collection.open(spark, path, readOnly = true)
         c.describePartitions().orderBy("partition").show(1000, truncate = false)

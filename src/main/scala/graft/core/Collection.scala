@@ -1577,6 +1577,53 @@ final class Collection private (
   def compact(filters: String = null): Seq[String] =
     updateInternal(identity, filters, null, rewrite = true)
 
+  /** Plan a BUDGETED compaction: rank partitions by fragmentation (file
+    * count, from the root + shard metadata — zero data IO), then fill a
+    * byte budget most-fragmented-first, skipping partitions that do not
+    * fit and continuing with smaller ones (greedy knapsack). Only the
+    * examined candidates' file sizes are stat'ed, so planning cost is
+    * proportional to the fragmented set, not the collection. Feed the
+    * result to [[compactPartitions]] — at 100 TB a maintenance window
+    * compacts the worst offenders under a known IO ceiling instead of
+    * rewriting everything [[compact]]-style. */
+  def compactPlan(maxBytes: Long, minFiles: Int = 2): Seq[String] = {
+    require(maxBytes > 0, "maxBytes must be positive")
+    require(minFiles >= 2, "compacting < 2 files is a no-op")
+    val man = currentManifest()
+    val fragmented: Seq[(String, Seq[String])] = man.shards.flatMap { e =>
+      val d = man.shardData(e)
+      d.files.groupBy(parentRel).toSeq.filter(_._2.size >= minFiles)
+    }.sortBy { case (p, fl) => (-fl.size, p) } // deterministic: worst first
+    var budget = maxBytes
+    val chosen = Seq.newBuilder[String]
+    fragmented.foreach { case (p, files) =>
+      if (budget > 0L) {
+        val bytes =
+          try files.map(f => fs.getFileStatus(new Path(s"$root/$f")).getLen).sum
+          catch { case _: Exception => Long.MaxValue } // unstat-able: skip
+        if (bytes <= budget) { chosen += p; budget -= bytes }
+      }
+    }
+    chosen.result()
+  }
+
+  /** Rewrite exactly the given partitions as fresh axis-sorted file sets
+    * (the [[compactPlan]] executor) — one atomic rewrite-marked commit,
+    * same semantics as [[compact]] restricted to `paths`. Unknown paths
+    * are ignored; returns the partitions actually rewritten. */
+  def compactPartitions(paths: Seq[String]): Seq[String] = {
+    requireWritable()
+    val man = currentManifest()
+    val existing = man.partitionPaths.toSet
+    val targets = paths.filter(existing.contains).distinct.sorted
+    if (targets.isEmpty) return Nil
+    val out = readManifestFiles(man, man.filesForPartitions(targets.toSet))
+      .select(schema.fieldNames.toSeq.map(col): _*)
+    writeAndCommit(partitioning.assign(out), replaced = targets.toSet,
+      base = man, rewrite = true)
+    targets
+  }
+
   // --- key helpers -------------------------------------------------
 
   private def distinctKeys(assigned: DataFrame): Seq[Seq[(String, Any)]] =

@@ -389,6 +389,44 @@ class ColumnSkipSpec extends AnyFunSuite {
     assert(c2.currentManifest().columnSince.contains("w2"))
   }
 
+  test("compactPlan fills a byte budget most-fragmented-first; compactPartitions rewrites exactly the plan") {
+    val root = SparkTestSession.tmp("graft-compactplan")
+    val mk = (day: Int, id: Long) =>
+      mkUsers(Seq((id, f"2024-01-$day%02d 10:00:00", id, 1.0)))
+    val c = Collection.create(spark, root, mk(1, 0L).schema, "ts",
+      DatePartitioning("ts", "D"))
+    // day 1: 4 files, day 2: 3 files, day 3: 1 file
+    (0L until 4L).foreach(i => c.insert(mk(1, i), MergeStrategy.Concat))
+    (10L until 13L).foreach(i => c.insert(mk(2, i), MergeStrategy.Concat))
+    c.insert(mk(3, 20L), MergeStrategy.Concat)
+    val fs = Collection.fileSystem(spark, root)
+    val man = c.currentManifest()
+    def bytesOf(p: String): Long = man.filesForPartitions(Set(p))
+      .map(f => fs.getFileStatus(new Path(s"$root/$f")).getLen).sum
+    val (d1, d2) = ("year=2024/month=1/day=1", "year=2024/month=1/day=2")
+    assert(man.filesForPartitions(Set(d1)).size == 4)
+
+    // budget fits only the worst offender
+    assert(c.compactPlan(bytesOf(d1)) == Seq(d1))
+    // bigger budget adds the runner-up; the single-file partition never ranks
+    assert(c.compactPlan(bytesOf(d1) + bytesOf(d2)) == Seq(d1, d2))
+    // the greedy pass SKIPS a too-big head and still takes a fitting tail
+    assert(c.compactPlan(bytesOf(d2)) == Seq(d2))
+    // a budget below every candidate chooses nothing
+    assert(c.compactPlan(10L) == Nil)
+
+    // execute: exactly the planned partition rewrites, content preserved
+    val before = c.query().orderBy("id").collect().toSeq
+    val done = c.compactPartitions(Seq(d1, "year=2024/month=1/day=99"))
+    assert(done == Seq(d1), "unknown paths are ignored")
+    val man2 = c.currentManifest()
+    assert(man2.filesForPartitions(Set(d1)).size < 4, "day 1 must be rewritten")
+    assert(man2.filesForPartitions(Set(d2)).toSet ==
+      man.filesForPartitions(Set(d2)).toSet, "unplanned partitions untouched")
+    assert(man2.rewrites == Set(d1), "budgeted compaction marks its commit")
+    assert(c.query().orderBy("id").collect().toSeq == before, "content must not change")
+  }
+
   test("describePartitions: one metadata row per partition with files/rows/axis bounds") {
     val root = SparkTestSession.tmp("graft-describe")
     val c = Collection.create(spark, root,
