@@ -132,7 +132,12 @@ object Corpus {
       .select(col("_cid"), xxhash64(col("_sh")).as("_shh"))
       .join(broadcast(benchShingles), "_shh")
       .select("_cid").distinct()
-    corpus.join(contaminated, id === col("_cid"), "left_anti")
+    // EXPLICIT broadcast: the driver ships only contaminated IDS (8
+    // bytes/doc — a benchmark hitting 10M docs broadcasts ~80 MB, never
+    // the text). Without the hint a conservative size estimate could
+    // fall back to a shuffled anti-join — which would shuffle the corpus
+    // TEXT and void this operator's no-corpus-shuffle contract.
+    corpus.join(broadcast(contaminated), id === col("_cid"), "left_anti")
   }
 
   /** Contiguous token-budget packing: within each stratum, documents in
@@ -150,5 +155,43 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("bin",
       floor(coalesce(sum(tokens).over(w), lit(0L)) / budget).cast("int"))
+  }
+
+  /** [[packSequences]] with a SCALE GUARD: no window partition ever
+    * spans more than ~`maxStratumTokens` tokens, no matter how lopsided
+    * the strata are. A stratum whose token total exceeds the cap is
+    * deterministically sub-stratified — `sub = pmod(xxhash64(order),
+    * ceil(total / cap))` — and packed per sub-stratum, so the window's
+    * parallelism follows `total / cap`, not the stratum count. The cost
+    * of the guard: one cheap pre-aggregation over the strata (token
+    * totals, broadcast back), and packing that is contiguous within
+    * each SUB-stratum rather than the whole stratum (at most one
+    * under-filled bin per sub-stratum — waste bounded by
+    * `total/cap * budget` tokens). Output `bin` is a LONG encoding
+    * `(sub << 32) | localBin`; assignment is hash-stable across runs.
+    * Use this variant when a stratum can outgrow an executor — the
+    * misuse the plain signature's "(lang, day), not (lang)" guidance
+    * could only document, this one makes impossible. */
+  def packSequences(df: DataFrame, tokens: Column, strata: Seq[Column],
+                    order: Column, budget: Long, maxStratumTokens: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(maxStratumTokens >= budget,
+      s"maxStratumTokens ($maxStratumTokens) must be >= budget ($budget)")
+    val kNames = strata.indices.map(i => s"_pack_k$i")
+    val base = df.select(
+      (df.columns.map(col).toSeq ++ strata.zip(kNames).map { case (c, n) => c.as(n) }
+        :+ tokens.as("_pack_n") :+ order.as("_pack_o")): _*)
+    val totals = base.groupBy(kNames.map(col): _*)
+      .agg(sum(col("_pack_n")).as("_pack_total"))
+    // stratum cardinality is bounded by construction — broadcast it
+    val withTot = base.join(broadcast(totals), kNames.toSeq)
+    val nSub = greatest(lit(1L), ceil(col("_pack_total").cast("double") / maxStratumTokens))
+    val sub = pmod(xxhash64(col("_pack_o")), nSub)
+    val w = Window.partitionBy((kNames.map(col) :+ sub): _*).orderBy(col("_pack_o"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val localBin = floor(coalesce(sum(col("_pack_n")).over(w), lit(0L)) / budget)
+    withTot
+      .withColumn("bin", (shiftleft(sub, 32) + localBin).cast("long"))
+      .drop((kNames :+ "_pack_total" :+ "_pack_n" :+ "_pack_o"): _*)
   }
 }

@@ -167,10 +167,22 @@ class CorpusSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(2L, 3L), s"doc 1 shares a 5-gram with the benchmark, got $kept")
     // the benchmark side must reach the join as a broadcast
-    val plan = Corpus.decontaminateNgrams(corpus, col("doc_id"), col("text"), bench, col("text"), 5)
-      .queryExecution.executedPlan.toString
+    val planned = Corpus.decontaminateNgrams(corpus, col("doc_id"), col("text"), bench, col("text"), 5)
+    val plan = planned.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "benchmark shingles must broadcast")
+    // the no-corpus-shuffle contract, as a plan property: the corpus
+    // `text` column rides through NO Exchange — the final anti-join
+    // broadcasts the contaminated ids instead of shuffling the corpus
+    val exchangesWithText = planned.queryExecution.executedPlan.toString
+      .linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
+      .filter(_.contains("text")).toSeq
+    assert(exchangesWithText.isEmpty,
+      s"an Exchange carries the corpus text:\n${exchangesWithText.mkString("\n")}")
+    // and the anti-join itself is the broadcast variant
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"anti-join must broadcast the contaminated ids, plan:\n$plan")
   }
 
   test("packSequences: contiguous bins per stratum from an exclusive prefix sum") {
@@ -193,5 +205,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(exchanges == 1, s"packing must shuffle exactly once, saw $exchanges")
     intercept[IllegalArgumentException](
       Corpus.packSequences(d, col("n"), Seq(col("lang")), col("doc_id"), 0L))
+  }
+
+  test("packSequences maxStratumTokens: a planted giant stratum sub-stratifies, bins stay budget-bounded") {
+    // one giant 'en' stratum (10k docs x 100 tokens = 1M tokens) next to
+    // a small one — uncapped, 'en' would serialize into ONE window
+    // partition; capped at 100k tokens it must split ~10 ways
+    val d = spark.range(10000).selectExpr(
+        "'en' as lang", "id as doc_id", "100L as n")
+      .union(spark.range(10).selectExpr("'de' as lang", "id + 50000 as doc_id", "100L as n"))
+    val cap = 100000L
+    val out = Corpus.packSequences(d, col("n"), Seq(col("lang")), col("doc_id"), 512L, cap)
+    val rows = out.select("lang", "doc_id", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 10010, "guarded packing must keep every row")
+
+    // the giant stratum split into the expected sub-stratum count
+    val enSubs = rows.filter(_._1 == "en").map(_._3 >> 32).distinct
+    assert(enSubs.length == 10, s"want ceil(1M/100k)=10 sub-strata, got ${enSubs.length}")
+    assert(rows.filter(_._1 == "de").forall(r => (r._3 >> 32) == 0L),
+      "a stratum under the cap keeps one sub-stratum")
+
+    // hard packing invariant per (lang, bin): tokens <= budget + one doc
+    val binTotals = rows.groupBy(r => (r._1, r._3)).view.mapValues(_.length * 100L)
+    assert(binTotals.values.forall(_ <= 512L + 100L),
+      s"a bin exceeded budget+doc: ${binTotals.maxBy(_._2)}")
+    // every sub-stratum's span is close to the cap, never a runaway
+    val subTotals = rows.filter(_._1 == "en").groupBy(_._3 >> 32).view.mapValues(_.size * 100L)
+    assert(subTotals.values.forall(_ <= 2L * cap),
+      s"a sub-stratum far exceeded the cap: ${subTotals.toMap}")
+
+    // deterministic: identical assignment on recomputation
+    val again = Corpus.packSequences(d, col("n"), Seq(col("lang")), col("doc_id"), 512L, cap)
+      .select("lang", "doc_id", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._2).toSeq == rows.sortBy(_._2).toSeq)
+
+    intercept[IllegalArgumentException](
+      Corpus.packSequences(d, col("n"), Seq(col("lang")), col("doc_id"), 512L, 100L))
   }
 }
