@@ -1996,10 +1996,49 @@ object Collection {
     * column's physical type, and no hash hits. Anything less — missing
     * bloom, unhashable literal, foreign physical type, IO failure —
     * keeps the file. Runs on executors for large candidate sets. */
+  /** JVM-wide memo of bloom point-lookup verdicts, keyed by (absolute
+    * file, column, value) -> may-contain. Sound because data files are
+    * immutable (rewrites produce NEW names): a verdict never goes stale.
+    * Interactive workloads re-issuing point lookups skip the footer +
+    * bloom-page reads entirely; on a cluster each executor accumulates
+    * its own memo. Bounded: the map is cleared when it would exceed
+    * [[BloomVerdictCap]] entries (~tens of MB) — a memo, not a store. */
+  private val bloomVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Any), java.lang.Boolean]()
+  private val BloomVerdictCap = 1 << 20
+
+  /** Footer opens performed by bloom checks in this JVM — the spec's
+    * observable for verdict-cache hits. */
+  private[core] val bloomFooterOpens = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def bloomVerdictPut(k: (String, String, Any), v: Boolean): Unit = {
+    if (bloomVerdicts.size >= BloomVerdictCap) bloomVerdicts.clear()
+    bloomVerdicts.put(k, java.lang.Boolean.valueOf(v))
+  }
+
   private[core] def bloomMayContain(rootStr: String, rel: String,
                                     checks: Seq[BloomCheck],
-                                    conf: org.apache.hadoop.conf.Configuration): Boolean =
+                                    conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val abs = s"$rootStr/$rel"
+    // memo fast path: a check passes once ANY value is known may-contain,
+    // prunes once EVERY value is known absent; only unresolved (col,
+    // value) pairs force the footer read below
+    val fromCache: Seq[Option[Boolean]] = checks.map { chk =>
+      val states = chk.values.map(v => Option(bloomVerdicts.get((abs, chk.col, v))))
+      if (states.exists(_.exists(_.booleanValue))) Some(true)
+      else if (states.forall(_.exists(b => !b.booleanValue))) Some(false)
+      else None
+    }
+    if (fromCache.contains(Some(false))) return false
+    if (fromCache.forall(_.contains(true))) return true
+    bloomMayContainUncached(rootStr, rel, checks, conf)
+  }
+
+  private def bloomMayContainUncached(rootStr: String, rel: String,
+                                      checks: Seq[BloomCheck],
+                                      conf: org.apache.hadoop.conf.Configuration): Boolean =
     try {
+      bloomFooterOpens.incrementAndGet()
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       import org.apache.parquet.schema.LogicalTypeAnnotation
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -2049,22 +2088,30 @@ object Collection {
             case _ => None
           }
         }
-        val provablyAbsent = checks.exists { chk =>
-          blocks.forall { b =>
+        // per-(column, value) verdicts across ALL row groups — the prune
+        // predicate re-associated value-wise (forall commutes) so every
+        // pair lands in the verdict memo for later queries
+        val abs = s"$rootStr/$rel"
+        val may = scala.collection.mutable.LinkedHashMap.empty[(String, Any), Boolean]
+        checks.foreach(chk => chk.values.foreach(v => may((chk.col, v)) = false))
+        blocks.foreach { b =>
+          checks.foreach { chk =>
             b.getColumns.asScala.find(_.getPath.toDotString == chk.col) match {
-              case None => false
+              case None => chk.values.foreach(v => may((chk.col, v)) = true)
               case Some(cc) =>
                 val bloom = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
-                bloom != null && chk.values.forall { v =>
-                  hashOf(bloom, cc, chk.expectTsAdjusted, v) match {
-                    case Some(h) => !bloom.findHash(h)
-                    case None    => false // unhashable: no proof of absence
-                  }
+                chk.values.foreach { v =>
+                  val m = bloom == null || (hashOf(bloom, cc, chk.expectTsAdjusted, v) match {
+                    case Some(h) => bloom.findHash(h)
+                    case None    => true // unhashable: no proof of absence
+                  })
+                  if (m) may((chk.col, v)) = true
                 }
             }
           }
         }
-        !provablyAbsent
+        may.foreach { case ((c, v), m) => bloomVerdictPut((abs, c, v), m) }
+        !checks.exists(chk => chk.values.forall(v => !may((chk.col, v))))
       } finally reader.close()
     } catch {
       case e: Exception =>

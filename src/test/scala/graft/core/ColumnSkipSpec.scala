@@ -156,6 +156,23 @@ class ColumnSkipSpec extends AnyFunSuite {
     // a non-pinning disjunct disables bloom pruning but not correctness
     val qn = c.query("user_id == 300 or v >= 3")
     assert(qn.count() == 1 + 200)
+
+    // verdict memo: an identical repeated point lookup answers every
+    // bloom check from the (file, column, value) cache — ZERO new footer
+    // opens — and still scans the same files with the same result
+    val before = Collection.bloomFooterOpens.get()
+    val qr = c.query("user_id == 300")
+    assert(qr.select("id").collect().map(_.getLong(0)).toSeq == Seq(300L))
+    assert(qr.inputFiles.sorted.toSeq == q.inputFiles.sorted.toSeq)
+    assert(Collection.bloomFooterOpens.get() == before,
+      s"repeated lookup re-opened ${Collection.bloomFooterOpens.get() - before} footers")
+    // a NEW value over the same files pays its footer reads exactly once
+    assert(c.query("user_id == 303").count() == 1)
+    val afterNew = Collection.bloomFooterOpens.get()
+    assert(afterNew > before, "an uncached value must read footers")
+    assert(c.query("user_id == 303").count() == 1)
+    assert(Collection.bloomFooterOpens.get() == afterNew,
+      "second lookup of the new value must be memoized")
   }
 
   test("is null / is not null: zero-null files prune for IS NULL; negations stay sound") {
