@@ -423,14 +423,27 @@ final class Collection private (
         else if (isDataFile(st.getPath.getName)) Seq(st.getPath)
         else Nil
       }
-      walk(stagePath).map { p =>
-        val rel = relativize(stagePath, p)
-        val dest = new Path(s"$root/$rel")
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(p, dest))
-          throw new java.io.IOException(s"failed to move staged file $rel into place")
-        rel
-      }.sorted
+      val staged = walk(stagePath)
+      // the move is one metadata RPC per file — fan it out so a 10k-file
+      // commit is bounded by RPC latency x files/threads, not x files
+      val dirs = staged.map(p => new Path(s"$root/${relativize(stagePath, p.getParent)}")).distinct
+      dirs.foreach(fs.mkdirs)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, staged.size)))
+      try {
+        import scala.jdk.CollectionConverters._
+        val moved = pool.invokeAll(staged.map { p =>
+          new java.util.concurrent.Callable[String] {
+            def call(): String = {
+              val rel = relativize(stagePath, p)
+              if (!fs.rename(p, new Path(s"$root/$rel")))
+                throw new java.io.IOException(s"failed to move staged file $rel into place")
+              rel
+            }
+          }
+        }.asJava)
+        moved.asScala.map(_.get()).toSeq.sorted
+      } finally pool.shutdown()
     }
     finally {
       try fs.delete(stagePath, true) catch { case _: Exception => () }
