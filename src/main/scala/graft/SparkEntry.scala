@@ -351,6 +351,36 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // A28 (r6): xarray-shaped escape hatch — one row per partition with
+    // axis-ordered, row-aligned array variables (reference
+    // data/dataset.py:76 Dataset / dataset.py:205 to_xarray). The arrays
+    // posexplode back with their positions so the oracle pins the exact
+    // per-partition ordering, not just the membership.
+    "zc_to_arrays" -> ((s, dir) => {
+      val c = eventsCollection(s, dir)
+      val arr = c.queryArrays(null, Seq("event_id", "user_id", "value"))
+      arr.select(col("year").cast("int").as("year"),
+          col("month").cast("int").as("month"),
+          col("day").cast("int").as("day"), col("n"),
+          posexplode(arrays_zip(col("ts"), col("event_id"), col("user_id"),
+            col("value"))).as(Seq("pos", "e")))
+        .select(col("year"), col("month"), col("day"), col("n"), col("pos"),
+          unix_micros(col("e.ts")).as("ts_us"), col("e.event_id"),
+          col("e.user_id"), col("e.value"))
+        .orderBy("year", "month", "day", "pos")
+    }),
+
+    // A28b: the inverse direction — arraysToRows(queryArrays(...)) must
+    // reproduce the original rows exactly (the from_xarray round trip).
+    "zc_array_roundtrip" -> ((s, dir) => {
+      val c = eventsCollection(s, dir)
+      val arr = c.queryArrays("day <= 5", Seq("event_id", "user_id", "value"))
+      Collection.arraysToRows(arr, Seq("ts", "event_id", "user_id", "value"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // B1: TPC-H Q1-style pricing summary.
     "q1_pricing" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -1186,6 +1216,24 @@ object SparkEntry {
                 CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS day
          FROM events WHERE day(CAST(ts AS TIMESTAMP)) IN (5, 10, 15)
          ORDER BY year, month, day""",
+
+    "zc_to_arrays" ->
+      """WITH e AS (SELECT CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS year,
+                          CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS month,
+                          CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS day,
+                          CAST(ts AS TIMESTAMP) AS ts, event_id, user_id, value
+                   FROM events)
+         SELECT year, month, day,
+                CAST(COUNT(*) OVER (PARTITION BY year, month, day) AS BIGINT) AS n,
+                CAST(ROW_NUMBER() OVER (PARTITION BY year, month, day
+                       ORDER BY ts NULLS FIRST, event_id NULLS FIRST,
+                                user_id NULLS FIRST, value NULLS FIRST) - 1 AS INT) AS pos,
+                epoch_us(ts) AS ts_us, event_id, user_id, value
+         FROM e ORDER BY year, month, day, pos""",
+
+    "zc_array_roundtrip" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, value
+         FROM events WHERE day(CAST(ts AS TIMESTAMP)) <= 5 ORDER BY event_id""",
 
     "zc_drop" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props

@@ -812,6 +812,42 @@ final class Collection private (
     df
   }
 
+  /** Escape hatch to the reference's per-partition Dataset / xarray
+    * shape (reference data/dataset.py:76 Dataset, dataset.py:205
+    * to_xarray, collection/base.py:526 query->Dataset): ONE ROW PER
+    * PARTITION carrying the partition key, the axis-dim length `n`, and
+    * every requested variable as an AXIS-ORDERED array — the columnar
+    * chunk a scientific caller hands to xarray/numpy, or a trainer uses
+    * as a pre-windowed feature block. Arrays are ROW-ALIGNED (packed
+    * from one struct sort, totally ordered by (axis, vars...)), so
+    * element i of every array belongs to the same original row. Exactly
+    * ONE shuffle — the partition key — and each group is memory-bounded
+    * by the partitioning's own contract (the reference materializes the
+    * same unit as one in-memory Dataset). [[Collection.arraysToRows]]
+    * inverts it. Variables of un-orderable types (maps) are rejected —
+    * project them away first. */
+  def queryArrays(filters: String = null, variables: Seq[String] = null): DataFrame = {
+    val dataVars = Option(variables)
+      .map(_.filterNot(v => v == axis || partCols.contains(v)))
+      .getOrElse(schema.fieldNames.toSeq.filterNot(v => v == axis || partCols.contains(v)))
+    val unknown = dataVars.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"unknown variable(s): ${unknown.mkString(", ")}")
+    val cols = axis +: dataVars
+    cols.foreach { c =>
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(schema(c).dataType),
+        s"variable '$c' has an un-orderable type (${schema(c).dataType.catalogString}); " +
+        "project it away or convert it before queryArrays")
+    }
+    val ast = FilterExpr.parse(filters)
+    val packed = sort_array(collect_list(struct(cols.map(col): _*)))
+    prunedRaw(ast)
+      .groupBy(partCols.map(col): _*)
+      .agg(packed.as("_rows"))
+      .select((partCols.map(col) :+ size(col("_rows")).cast("long").as("n")) ++
+        cols.map(c => transform(col("_rows"), r => r.getField(c)).as(c)): _*)
+  }
+
   /** Exact row count, answered from MANIFEST METADATA whenever the
     * filter is decidable per partition — no filter is O(root) (summed
     * subtree totals, zero shard IO), a partition-key filter loads only
@@ -2844,5 +2880,19 @@ object Collection {
   private[core] def relativize(root: Path, p: Path): String = {
     val rootUri = root.toUri.getPath.stripSuffix("/")
     p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+  }
+
+  /** Inverse of [[Collection.queryArrays]] (the from_xarray direction,
+    * reference data/dataset.py:248): explode row-aligned array columns
+    * back to one row per element, carrying every scalar column through.
+    * The result round-trips into [[Collection.insert]]. Pure map-side
+    * (one Generate, no shuffle). */
+  def arraysToRows(df: DataFrame, arrayCols: Seq[String]): DataFrame = {
+    require(arrayCols.nonEmpty, "arrayCols must be non-empty")
+    val keep = df.columns.toSeq.filterNot(c => arrayCols.contains(c) || c == "n")
+    df.select((keep.map(col) :+
+        explode(arrays_zip(arrayCols.map(col): _*)).as("_e")): _*)
+      .select((keep.map(col) ++
+        arrayCols.map(c => col("_e").getField(c).as(c))): _*)
   }
 }

@@ -683,4 +683,38 @@ class CollectionSpec extends AnyFunSuite {
     val got = c.query().orderBy("id").collect().map(_.getString(4)).toSeq
     assert(got == Seq("alpha", "beta", "alpha", "gamma"))
   }
+
+  test("queryArrays: one axis-ordered row-aligned record per partition; arraysToRows inverts it") {
+    val root = SparkTestSession.tmp("graft-xarr")
+    val df = mkEvents() // ids 1..4 over two days
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    val arr = c.queryArrays(null, Seq("id", "v"))
+    val recs = arr.orderBy("day").collect()
+    assert(recs.length == c.partitions().size, "one record per partition")
+    recs.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n"))
+      val ts = r.getSeq[java.sql.Timestamp](r.fieldIndex("ts"))
+      val ids = r.getSeq[Long](r.fieldIndex("id"))
+      val vs = r.getSeq[Double](r.fieldIndex("v"))
+      assert(ts.length == n && ids.length == n && vs.length == n, "row-aligned arrays")
+      assert(ts == ts.sortBy(_.getTime), "axis-ordered")
+    }
+    // round trip: explode back and compare against the plain query
+    val back = Collection.arraysToRows(arr, Seq("ts", "id", "v"))
+      .select("id", "ts", "v").orderBy("id").collect().toSeq
+    val direct = c.query(variables = Seq("id", "ts", "v")).orderBy("id").collect().toSeq
+    assert(back == direct, "arraysToRows(queryArrays(...)) must reproduce the rows")
+    // filters prune before packing (Jan 1 and Feb 1 both have day == 1)
+    assert(c.queryArrays("day == 1").count() == 2)
+    assert(c.queryArrays("month == 1 and day == 1").count() == 1)
+    // un-orderable variables are rejected loudly, not mis-sorted
+    val root2 = SparkTestSession.tmp("graft-xarr-map")
+    val dfm = spark.range(2).selectExpr("id", "timestamp'2024-01-01 10:00:00' as ts",
+      "map('k', id) as props")
+    val cm = Collection.create(spark, root2, dfm.schema, "ts", DatePartitioning("ts", "D"))
+    cm.insert(dfm)
+    intercept[IllegalArgumentException](cm.queryArrays())
+    assert(cm.queryArrays(variables = Seq("id")).count() == 1, "projection avoids the map")
+  }
 }
