@@ -307,6 +307,20 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // A29 (r6): Z-ORDERED rewrite (graft.functions.ZOrder via
+    // compactPartitions clusterBy): same rows back after the Morton
+    // re-clustering — the content-preservation contract of the
+    // multi-dimension skip optimization.
+    "zc_zorder" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val root = s"$scratch/zord-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, ev.schema, "ts", DatePartitioning("ts", "D"),
+        overwrite = true, statsColumns = Seq("user_id"))
+      c.insert(ev)
+      c.compactPartitions(c.partitions(), clusterBy = Seq("user_id", "value"))
+      eventsOut(c.query())
+    }),
+
     // A18: secondary index: equality query via index-selected partitions.
     "zc_index" -> ((s, dir) => {
       val c = eventsCollection(s, dir)
@@ -1335,6 +1349,10 @@ object SparkEntry {
          SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
          FROM events WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 20
          ORDER BY event_id""",
+
+    "zc_zorder" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
 
     "zc_view_partial" ->
       """SELECT event_id, value,

@@ -69,6 +69,12 @@ object Cli {
       case "compact" =>
         val c = Collection.open(spark, path)
         c.compact(args.lift(2).orNull).foreach(println)
+      case "zorder" =>
+        // z-ordered rewrite: Cli zorder <path> <col1,col2[,..]> [filters]
+        val c = Collection.open(spark, path)
+        val cols = args(2).split(",").toSeq
+        c.compactPartitions(c.partitions(args.lift(3).orNull), clusterBy = cols)
+          .foreach(println)
       case "compact-plan" =>
         // budgeted maintenance: plan (and with `apply`, execute) the
         // most-fragmented rewrites under a byte ceiling

@@ -357,7 +357,8 @@ final class Collection private (
     * DATA, not the partition-key count; each task writes contiguous
     * axis-sorted slices — then assign collision-free row ids above the
     * manifest's task base. */
-  private def prepareForWrite(df: DataFrame, taskBase: Long): DataFrame = {
+  private def prepareForWrite(df: DataFrame, taskBase: Long,
+                              cluster: Seq[Column] = null): DataFrame = {
     // Row-id ordering: axis first, then a deterministic hash tiebreak over
     // the SCALAR columns only — hashing wide array/struct payloads (e.g. a
     // 240-float swath) would dominate the insert cost for no extra
@@ -374,9 +375,12 @@ final class Collection private (
       .map(f => col(f.name)).toSeq
     val tiebreak =
       if (scalarCols.nonEmpty) xxhash64(scalarCols: _*) else lit(0L)
+    // default clustering is the axis (tight axis zone maps per file); a
+    // z-ordered compaction passes its Morton value instead
+    val order = if (cluster == null) Seq(col(axis)) else cluster
     df
-      .repartitionByRange(writeTasks, (partCols.map(col) :+ col(axis)): _*)
-      .sortWithinPartitions((partCols.map(col) :+ col(axis) :+ tiebreak): _*)
+      .repartitionByRange(writeTasks, (partCols.map(col) ++ order): _*)
+      .sortWithinPartitions((partCols.map(col) ++ order :+ tiebreak): _*)
       .withColumn(RowIdCol, monotonically_increasing_id() + lit(taskBase << 33))
   }
 
@@ -465,6 +469,7 @@ final class Collection private (
       streamMark: Option[(String, Long)] = None,
       base: Manifest = null,
       rewrite: Boolean = false,
+      cluster: Seq[Column] = null,
   ): Unit = {
     // Read-modify-write callers PIN the manifest their read resolved
     // against and pass it as `base`: a concurrent commit to the same
@@ -475,7 +480,7 @@ final class Collection private (
     // the staged write returns its exact file set: crash orphans and
     // concurrent writers' files in the same partitions are structurally
     // excluded from this commit (no directory-diff discovery)
-    val newFiles = physicalWrite(prepareForWrite(df, man.taskBase))
+    val newFiles = physicalWrite(prepareForWrite(df, man.taskBase, cluster))
     // resolve the doomed files from the PREVIOUS snapshot before the
     // commit swaps the shard table (loads only the replaced partitions'
     // shards)
@@ -1656,20 +1661,60 @@ final class Collection private (
     chosen.result()
   }
 
-  /** Rewrite exactly the given partitions as fresh axis-sorted file sets
-    * (the [[compactPlan]] executor) — one atomic rewrite-marked commit,
-    * same semantics as [[compact]] restricted to `paths`. Unknown paths
-    * are ignored; returns the partitions actually rewritten. */
-  def compactPartitions(paths: Seq[String]): Seq[String] = {
+  /** Rewrite exactly the given partitions as fresh file sets (the
+    * [[compactPlan]] executor) — one atomic rewrite-marked commit, same
+    * semantics as [[compact]] restricted to `paths`. Unknown paths are
+    * ignored; returns the partitions actually rewritten.
+    *
+    * `clusterBy` (1..4 columns) switches the rewrite from axis-sorted
+    * to Z-ORDERED: rows cluster along the Morton curve of the given
+    * columns ([[graft.functions.ZOrder]]), so per-file zone maps tighten
+    * in EVERY clustered dimension at once and multi-column filters skip
+    * files the axis sort alone never could (the Delta/Iceberg OPTIMIZE
+    * ZORDER maintenance shape). Numeric/timestamp columns with manifest
+    * bounds get range locality; others cluster equal values via a hash
+    * bucket (what bloom skipping needs). */
+  def compactPartitions(paths: Seq[String], clusterBy: Seq[String] = Nil): Seq[String] = {
     requireWritable()
     val man = currentManifest()
     val existing = man.partitionPaths.toSet
     val targets = paths.filter(existing.contains).distinct.sorted
     if (targets.isEmpty) return Nil
+    val cluster: Seq[Column] =
+      if (clusterBy.isEmpty) null
+      else {
+        val unknown = clusterBy.filterNot(schema.fieldNames.contains)
+        require(unknown.isEmpty, s"unknown clusterBy column(s): ${unknown.mkString(", ")}")
+        import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, NumericType}
+        import graft.functions.ZOrder
+        val ranks = clusterBy.map { c =>
+          val dt = schema(c).dataType
+          val numeric = dt match {
+            case TimestampType | TimestampNTZType => Some(unix_micros(col(c)))
+            case _: NumericType                   => Some(col(c))
+            case _                                => None
+          }
+          val bounds = columnBounds(c).flatMap { case (lo, hi) =>
+            def d(v: Any): Option[Double] = v match {
+              case l: Long => Some(l.toDouble)
+              case i: Int => Some(i.toDouble)
+              case x: Double => Some(x)
+              case f: Float => Some(f.toDouble)
+              case _ => None
+            }
+            for (l <- d(lo); h <- d(hi)) yield (l, h)
+          }
+          (numeric, bounds) match {
+            case (Some(n), Some((lo, hi))) => ZOrder.normalize16(n, lo, hi)
+            case _                         => ZOrder.hash16(col(c))
+          }
+        }
+        Seq(ZOrder.zvalue(ranks))
+      }
     val out = readManifestFiles(man, man.filesForPartitions(targets.toSet))
       .select(schema.fieldNames.toSeq.map(col): _*)
     writeAndCommit(partitioning.assign(out), replaced = targets.toSet,
-      base = man, rewrite = true)
+      base = man, rewrite = true, cluster = cluster)
     targets
   }
 

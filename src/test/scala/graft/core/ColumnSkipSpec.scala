@@ -444,6 +444,47 @@ class ColumnSkipSpec extends AnyFunSuite {
     assert(c.query().orderBy("id").collect().toSeq == before, "content must not change")
   }
 
+  test("z-ordered compaction: per-file zone maps tighten in BOTH clustered dimensions at once") {
+    val root = SparkTestSession.tmp("graft-zorder")
+    // 8 fragmented inserts, EACH spanning the full user_id and v domains
+    // (decorrelated) — pre-compaction no single-column filter skips
+    val mk = (r: Long) => mkUsers((0L until 128L).map { i =>
+      val u = i * 8 + r
+      (u, "2024-01-01 10:00:00", u, ((u * 7919) % 1024).toDouble)
+    })
+    val c = Collection.create(spark, root, mk(0).schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("user_id", "v"))
+    (0L until 8L).foreach(r => c.insert(mk(r), MergeStrategy.Concat))
+    val total = c.currentManifest().files.size
+    assert(total >= 8)
+    assert(c.query("user_id >= 768").inputFiles.length == total,
+      "pre-compaction: spread user_id defeats zone maps")
+    assert(c.query("v >= 768").inputFiles.length == total,
+      "pre-compaction: spread v defeats zone maps")
+    val before = c.query().orderBy("id").collect().toSeq
+
+    val done = c.compactPartitions(c.partitions(), clusterBy = Seq("user_id", "v"))
+    assert(done.nonEmpty)
+    val total2 = c.currentManifest().files.size
+    assert(total2 >= 4, s"z rewrite should fan out over range partitions, got $total2 file(s)")
+    val qu = c.query("user_id >= 768")
+    val qv = c.query("v >= 768")
+    assert(qu.inputFiles.length < total2,
+      s"user_id filter must skip z-clustered files: ${qu.inputFiles.length}/$total2")
+    assert(qv.inputFiles.length < total2,
+      s"v filter must skip z-clustered files: ${qv.inputFiles.length}/$total2")
+    // correctness: identical rows, both through the skip path and in full
+    assert(qu.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      before.map(_.getLong(0)).filter(_ >= 768).sorted)
+    assert(c.query().orderBy("id").collect().toSeq == before)
+    // a non-numeric cluster column routes through the hash bucket (no
+    // range locality, but equal values cluster) — still a valid rewrite
+    val done2 = c.compactPartitions(c.partitions(), clusterBy = Seq("ts", "user_id"))
+    assert(done2.nonEmpty && c.query().orderBy("id").collect().toSeq == before)
+    intercept[IllegalArgumentException](
+      c.compactPartitions(c.partitions(), clusterBy = Seq("nope")))
+  }
+
   test("describePartitions: one metadata row per partition with files/rows/axis bounds") {
     val root = SparkTestSession.tmp("graft-describe")
     val c = Collection.create(spark, root,
