@@ -30,7 +30,7 @@ object Bench {
     "text_sample_split", "text_repetition", "text_pack",
     "text_chunk", "text_decontaminate_ngram",
     "zc_insert_query", "zc_query_filter", "zc_axis_range",
-    "zc_col_zone", "zc_bloom", "stream_window",
+    "zc_col_zone", "zc_bloom", "zc_to_arrays", "zc_zorder", "stream_window",
   )
 
   def main(args: Array[String]): Unit = {
