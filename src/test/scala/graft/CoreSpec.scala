@@ -708,6 +708,10 @@ class CollectionSpec extends AnyFunSuite {
     // filters prune before packing (Jan 1 and Feb 1 both have day == 1)
     assert(c.queryArrays("day == 1").count() == 2)
     assert(c.queryArrays("month == 1 and day == 1").count() == 1)
+    // exactly ONE shuffle: the partition-key groupBy
+    val exchanges = arr.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"array packing must shuffle exactly once, saw $exchanges")
     // un-orderable variables are rejected loudly, not mis-sorted
     val root2 = SparkTestSession.tmp("graft-xarr-map")
     val dfm = spark.range(2).selectExpr("id", "timestamp'2024-01-01 10:00:00' as ts",

@@ -67,4 +67,35 @@ class FilterPropertySpec extends AnyFunSuite {
       assert(viaEval == viaColumn, s"divergence on: $expr")
     }
   }
+
+  test("ZOrder property: the Column composition matches a bit-twiddling model on random ranks") {
+    import graft.functions.ZOrder
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def model(ranks: Seq[Int]): Long = {
+      var z = 0L
+      val k = ranks.size
+      for (bit <- 0 until ZOrder.Bits; (r, dim) <- ranks.zipWithIndex)
+        z |= (((r.toLong >> bit) & 1L) << (bit * k + dim))
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    for (k <- 1 to 4) {
+      val rows = Seq.fill(200)(Seq.fill(k)(rnd.nextInt(1 << ZOrder.Bits)))
+      val df = rows.map {
+        r => (r.lift(0).getOrElse(0), r.lift(1).getOrElse(0),
+              r.lift(2).getOrElse(0), r.lift(3).getOrElse(0))
+      }.toDF("a", "b", "c", "d")
+      val cols = Seq("a", "b", "c", "d").take(k).map(col)
+      val got = df.select(ZOrder.zvalue(cols)).collect().map(_.getLong(0)).toSeq
+      assert(got == rows.map(model), s"k=$k z-value diverges from the model")
+    }
+    // monotone locality sanity: sorting 2-D points by z groups quadrants
+    val pts = for (x <- 0 until 16; y <- 0 until 16) yield (x * 4096, y * 4096)
+    val z = pts.map { case (x, y) => (model(Seq(x, y)), x, y) }.sorted
+    val firstQuarter = z.take(64)
+    assert(firstQuarter.forall { case (_, x, y) => x < 32768 && y < 32768 },
+      "the first z-quarter must be exactly the low-low quadrant")
+  }
 }
