@@ -1,0 +1,65 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.sources.Tables
+
+/** Round-6 operations tour: budgeted compaction planning, z-ordered
+  * rewrites, the object-store commit-arbiter seam, and the
+  * xarray-shaped per-partition array records.
+  *
+  * Run: `sbt "runMain graft.examples.Maintenance"`.
+  */
+object Maintenance {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft-maint").toString + "/events"
+    val c = Collection.create(spark, root, ev.schema, axis = "ts",
+      partitioning = DatePartitioning("ts", "D"),
+      statsColumns = Seq("user_id"))
+    // fragment a few partitions with small appends
+    ev.where(dayofmonth(col("ts")) <= 10).collect() // force plan once
+    (0 until 4).foreach { i =>
+      c.insert(ev.where(pmod(col("event_id"), lit(4)) === i), MergeStrategy.Concat)
+    }
+
+    // 1. budgeted maintenance: plan the most-fragmented partitions under
+    // a byte ceiling (metadata ranking; only candidates get stat'ed),
+    // then rewrite exactly that plan in one atomic commit
+    val plan = c.compactPlan(maxBytes = 8L << 20)
+    println(s"compaction plan (${plan.size} partitions): ${plan.take(3).mkString(", ")} ...")
+    c.compactPartitions(plan)
+
+    // 2. Z-ORDER a hot partition set: per-file zone maps tighten on
+    // user_id AND value simultaneously, so filters on either skip files
+    c.compactPartitions(c.partitions("day <= 5"), clusterBy = Seq("user_id", "value"))
+    val q = c.query("user_id < 100 and day <= 5")
+    println(s"z-clustered scan: ${q.inputFiles.length} file(s), ${q.count()} row(s)")
+
+    // 3. object-store deployments: filesystems without an exclusive
+    // rename REFUSE to commit until an arbiter is registered — a
+    // conditional-PUT/lock adapter, or the explicit single-writer
+    // declaration below (shown for a hypothetical "s3x" scheme)
+    Collection.registerCommitArbiter("s3x", Collection.UnsafeSingleWriterArbiter)
+    Collection.unregisterCommitArbiter("s3x")
+
+    // 4. the xarray escape hatch: one record per partition, each
+    // variable an axis-ordered array (reference Dataset/to_xarray shape)
+    val arr = c.queryArrays("day <= 3", Seq("event_id", "value"))
+    arr.select(col("day"), col("n"), slice(col("value"), 1, 3).as("value_head"))
+      .orderBy("day").show(3, truncate = false)
+    // ... and back: arraysToRows inverts the packing exactly
+    println(s"round trip rows: ${Collection.arraysToRows(arr,
+      Seq("ts", "event_id", "value")).count()} == ${c.query("day <= 3").count()}")
+
+    spark.stop()
+  }
+}
