@@ -348,6 +348,60 @@ object Ann {
         (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
   }
 
+  /** PERSISTED IVF index: the build-once/search-many shape a 100 TB
+    * corpus actually needs — [[ivfTopK]] recomputes the quantizer and
+    * re-scans the corpus per call, right for one-shot jobs, wrong for a
+    * serving pattern. `buildIvfIndex` writes the centroid table and the
+    * inverted lists as parquet PARTITIONED BY list id, so a later
+    * [[searchIvfIndex]] reads ONLY the probed lists' files (Hive
+    * partition pruning — `PartitionFilters` in the scan), a
+    * `nProbe/nLists` fraction of the index regardless of corpus size. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, nLists: Int = 32, kmeansIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val cents =
+      if (kmeansIters <= 0) collectCentroids(corpus, idCol, vecCol, nLists)
+      else kmeansCentroids(corpus, idCol, vecCol, nLists, kmeansIters)
+    require(cents.nonEmpty, "buildIvfIndex: empty corpus")
+    import spark.implicits._
+    cents.toSeq.toDF("_zc_cent", "_zc_cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val assign = assignCentroid(spark, cents)
+    corpus.select(col(idCol).as("nid"), col(vecCol).as("_zc_v_nid"))
+      .withColumn("_zc_cent", assign(col("_zc_v_nid")))
+      .where(col("_zc_cent") >= 0)
+      .write.mode("overwrite").partitionBy("_zc_cent").parquet(s"$path/lists")
+  }
+
+  /** Search a [[buildIvfIndex]] index: probes resolve against the tiny
+    * persisted centroid table; only the probed lists' parquet partitions
+    * are read. Same output shape as [[ivfTopK]]. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids under $path")
+    val probeFn = topCentroidsCol(spark, cents, nProbe)
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("_zc_v_qid"))
+      .withColumn("_zc_cent", explode(probeFn(col("_zc_v_qid"))))
+    // pin the probed lists as a PARTITION filter so the scan prunes
+    // whole list directories (bounded: nQueries x nProbe ids)
+    val wanted = probes.select("_zc_cent").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .where(col("_zc_cent").isin(wanted: _*))
+    val cands = lists.join(broadcast(probes), "_zc_cent")
+      .where(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("_zc_v_qid"), col("_zc_v_nid")))
+    val topk = graft.functions.TopKAgg.topK(k)
+    cands.groupBy(col("qid"))
+      .agg(topk(col("sim"), col("nid")).as("_zc_tk"))
+      .select(col("qid"), posexplode(col("_zc_tk")).as(Seq("_zc_pos", "_zc_s")))
+      .select(col("qid"), col("_zc_s.id").as("nid"),
+        (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
+  }
+
   /** Near-duplicate pairs by embedding cosine: LSH-bucketed candidate
     * generation (all-pairs within buckets) + exact verification at
     * `threshold`. Identical vectors share every bucket, so exact

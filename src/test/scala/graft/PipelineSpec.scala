@@ -163,6 +163,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("persisted IVF index: identical results to the inline path, searches prune unprobed lists") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where($"vec_id" < 5)
+    val path = SparkTestSession.tmp("graft-ivfidx")
+    Ann.buildIvfIndex(e, "vec_id", "embedding", path, nLists = 64)
+    val persisted = Ann.searchIvfIndex(spark, path, q, "vec_id", "embedding", 10, nProbe = 8)
+    val inline = Ann.ivfTopK(e, q, "vec_id", "embedding", 10, nLists = 64, nProbe = 8)
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // same deterministic quantizer (hash-sampled centroids) => same results
+    assert(key(persisted) == key(inline),
+      "persisted-index search must match the inline computation")
+    // the probed-list filter reaches the scan as a PARTITION filter
+    // (inputFiles ignores pruning, so assert on the planned scan): the
+    // pinned INSET is bounded by queries x nProbe, well under the 64
+    // list directories on disk
+    def probedLists(df: org.apache.spark.sql.DataFrame): Option[Int] = {
+      val s = df.queryExecution.executedPlan.toString
+      assert("""PartitionFilters: \[[^\]]*_zc_cent""".r.findFirstIn(s).isDefined,
+        s"lists scan must carry a partition filter on _zc_cent, plan:\n$s")
+      // big pinned sets render as INSET, small ones as IN (...)
+      """INSET ([0-9, ]+)""".r.findFirstMatchIn(s).map(_.group(1).split(",").length)
+        .orElse("""_zc_cent[^\]]*? IN \(([^)]+)\)""".r.findFirstMatchIn(s)
+          .map(_.group(1).split(",").length))
+    }
+    val probed = probedLists(persisted)
+    assert(probed.exists(_ <= 40),
+      s"probed-list set must be bounded by queries x nProbe, got $probed")
+    // a narrower probe pins a smaller list set still
+    val narrow = Ann.searchIvfIndex(spark, path, q, "vec_id", "embedding", 10, nProbe = 2)
+    val narrowProbed = probedLists(narrow)
+    assert(narrowProbed.exists(n => n <= 10 && n < probed.get),
+      s"nProbe=2 must probe fewer lists: $narrowProbed vs $probed")
+  }
+
   test("native shingle expressions are bit-identical to the HOF compositions") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .unionByName(Seq((900001L, "one two", "en", "t", 7),
