@@ -35,7 +35,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: Cli <ls|inspect|describe|query|drop|history|vacuum|compact|compact-plan|count|prune|backfill-stats> <path> [args...]")
+        "usage: Cli <ls|inspect|describe|query|drop|history|vacuum|compact|compact-plan|zorder|count|prune|backfill-stats> <path> [args...]")
       sys.exit(2)
     }
     val (cmd, path) = (args(0), args(1))
@@ -71,10 +71,15 @@ object Cli {
         c.compact(args.lift(2).orNull).foreach(println)
       case "zorder" =>
         // z-ordered rewrite: Cli zorder <path> <col1,col2[,..]> [filters]
-        val c = Collection.open(spark, path)
-        val cols = args(2).split(",").toSeq
-        c.compactPartitions(c.partitions(args.lift(3).orNull), clusterBy = cols)
-          .foreach(println)
+        args.lift(2) match {
+          case None =>
+            System.err.println("usage: Cli zorder <path> <col1,col2[,..]> [filters]")
+            sys.exit(2)
+          case Some(colArg) =>
+            val c = Collection.open(spark, path)
+            c.compactPartitions(c.partitions(args.lift(3).orNull),
+              clusterBy = colArg.split(",").toSeq).foreach(println)
+        }
       case "compact-plan" =>
         // budgeted maintenance: plan (and with `apply`, execute) the
         // most-fragmented rewrites under a byte ceiling

@@ -487,13 +487,17 @@ final class Collection private (
     val replacedFiles =
       if (retainGenerations == 0) man.filesForPartitions(replaced) else Nil
     try commitDelta(man, newFiles, replaced, writeTasks, streamMark, rewrite)
-    catch { case e: Throwable =>
-      // the commit never happened: the just-written files are invisible
-      // to every reader (collision-free names, never discovered by any
-      // later commit) — remove them now rather than leaving orphans
-      newFiles.foreach(f =>
-        try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
-      throw e
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // a CONFLICT proves the commit did not land (the publish is
+        // exclusive and rebaseGuard refused): the just-written files are
+        // invisible to every reader — remove them rather than leaving
+        // orphans. Any other failure is AMBIGUOUS (an IO error after the
+        // claim could mean the manifest IS durably published referencing
+        // these files) — leave them for vacuum's liveness check.
+        newFiles.foreach(f =>
+          try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
+        throw e
     }
     // GC the files this commit replaced — unless a retention window keeps
     // past snapshots readable (then vacuum() expires them later).
@@ -675,12 +679,21 @@ final class Collection private (
         try fs.delete(st.getPath, false) catch { case _: Exception => () }
     }
     // abandoned staging dirs: a writer that crashed mid-write leaves its
-    // `_stage/<uuid>` subtree behind; same age gate (a LIVE writer's
-    // stage dir is newer than the grace window, so it survives)
+    // `_stage/<uuid>` subtree behind. Gate on the NEWEST mtime anywhere
+    // in the subtree — a long-running live write keeps landing task
+    // files, so its newest entry stays inside the grace window even when
+    // the top dir's creation time has aged out.
+    def newestMtime(p: Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).toSeq.map(s => newestMtime(s.getPath))).max
+    }
     val stageRoot = new Path(s"$root/$StageDir")
     if (fs.exists(stageRoot))
       fs.listStatus(stageRoot).toSeq.foreach { st =>
-        if (aged(st.getModificationTime))
+        val newest = try newestMtime(st.getPath) catch { case _: Exception => Long.MaxValue }
+        if (aged(newest))
           try fs.delete(st.getPath, true) catch { case _: Exception => () }
       }
     doomed
@@ -838,6 +851,11 @@ final class Collection private (
     val unknown = dataVars.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"unknown variable(s): ${unknown.mkString(", ")}")
     val cols = axis +: dataVars
+    // "n" is the output's dim-size column; a variable of that name would
+    // collide there AND be mis-dropped by arraysToRows — refuse loudly
+    require(!cols.contains("n") && !partCols.contains("n"),
+      "queryArrays reserves the column name 'n' for the dim size; " +
+      "rename or project away the conflicting variable")
     cols.foreach { c =>
       require(org.apache.spark.sql.catalyst.expressions.RowOrdering
           .isOrderable(schema(c).dataType),
@@ -2737,18 +2755,26 @@ object Collection {
           val d = Paths.get(target.toUri.getPath)
           def crcOf(p: java.nio.file.Path) =
             p.resolveSibling("." + p.getFileName.toString + ".crc")
-          try {
-            Files.createLink(d, t) // the atomic claim
-            // carry the ChecksumFileSystem sidecar across (not the arbiter:
-            // readers tolerate an absent crc, never a mismatched one)
-            val (tc, dc) = (crcOf(t), crcOf(d))
-            if (Files.exists(tc)) { Files.deleteIfExists(dc); Files.move(tc, dc) }
-            Files.deleteIfExists(t)
+          // the atomic claim — ONLY this call decides the race: once the
+          // link lands the generation is durably published, so the
+          // housekeeping below must never convert its own failure into a
+          // "lost" verdict (a rebase past one's own commit = duplicates)
+          val claimed =
+            try { Files.createLink(d, t); true }
+            catch { case _: NioExists => false }
+          if (!claimed) {
+            Files.deleteIfExists(crcOf(t)); Files.deleteIfExists(t)
+            false
+          } else {
+            try {
+              // carry the ChecksumFileSystem sidecar across (not the
+              // arbiter: readers tolerate an absent crc, never a
+              // mismatched one)
+              val (tc, dc) = (crcOf(t), crcOf(d))
+              if (Files.exists(tc)) { Files.deleteIfExists(dc); Files.move(tc, dc) }
+              Files.deleteIfExists(t)
+            } catch { case _: Exception => () } // best-effort post-publish
             true
-          } catch {
-            case _: NioExists =>
-              Files.deleteIfExists(crcOf(t)); Files.deleteIfExists(t)
-              false
           }
         case _ if ExclusiveRenameSchemes(scheme) =>
           ExclusiveRenameArbiter.publish(fs, tmp, target)

@@ -39,16 +39,26 @@ object ZOrder {
   def hash16(c: Column): Column =
     pmod(xxhash64(c), lit(1 << Bits)).cast("int")
 
-  /** Interleave up to four 16-bit ranks into the Morton code. */
+  /** Bits per dimension actually interleaved for `k` dimensions: the
+    * code must stay OUT of the long's sign bit (bit 63), or the upper
+    * half of the last dimension would signed-sort BEFORE the lower half
+    * and the wrap-spanning file's min/max would cover the whole domain.
+    * k<=3 keeps all 16; k=4 drops each rank's lowest bit (15x4=60). */
+  def bitsFor(k: Int): Int = math.min(Bits, 63 / k)
+
+  /** Interleave up to four 16-bit ranks into the Morton code (top
+    * [[bitsFor]] bits of each rank). */
   def zvalue(ranks: Seq[Column]): Column = {
     require(ranks.nonEmpty && ranks.size <= 4,
       s"z-order interleaves 1..4 dimensions, got ${ranks.size}")
     val k = ranks.size
+    val used = bitsFor(k)
     val terms = for {
-      bit <- 0 until Bits
+      bit <- 0 until used
       (r, dim) <- ranks.zipWithIndex
     } yield shiftleft(
-      shiftright(r.cast("long"), bit).bitwiseAND(lit(1L)), bit * k + dim)
+      shiftright(r.cast("long"), bit + (Bits - used)).bitwiseAND(lit(1L)),
+      bit * k + dim)
     terms.reduce(_.bitwiseOR(_))
   }
 }

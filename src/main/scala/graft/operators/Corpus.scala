@@ -183,8 +183,14 @@ object Corpus {
         :+ tokens.as("_pack_n") :+ order.as("_pack_o")): _*)
     val totals = base.groupBy(kNames.map(col): _*)
       .agg(sum(col("_pack_n")).as("_pack_total"))
-    // stratum cardinality is bounded by construction — broadcast it
-    val withTot = base.join(broadcast(totals), kNames.toSeq)
+    // stratum cardinality is bounded by construction — broadcast it.
+    // NULL-SAFE equality: a null stratum is a legitimate group (the
+    // window overload keeps it); a plain equi-join would silently drop
+    // every null-strata document.
+    val tRenamed = kNames.foldLeft(totals)((d, n) => d.withColumnRenamed(n, s"${n}_t"))
+    val joinCond = kNames.map(n => col(n) <=> col(s"${n}_t")).reduce(_ && _)
+    val withTot = base.join(broadcast(tRenamed), joinCond)
+      .drop(kNames.map(n => s"${n}_t"): _*)
     val nSub = greatest(lit(1L), ceil(col("_pack_total").cast("double") / maxStratumTokens))
     val sub = pmod(xxhash64(col("_pack_o")), nSub)
     val w = Window.partitionBy((kNames.map(col) :+ sub): _*).orderBy(col("_pack_o"))

@@ -166,10 +166,18 @@ class GraftCollectionSource(spark: SparkSession, root: String,
         // partitions some in-range commit rewrote content-preserving
         // (compact / auto-compact): their fresh files carry only rows the
         // stream already delivered — skip them when the row totals prove
-        // nothing else changed. One cached root-JSON read per generation.
+        // nothing else changed. SOUNDNESS: the skip applies only when
+        // EVERY in-range commit is rewrite-marked — a mixed range (e.g.
+        // an update/upsert sharing the window with a compaction) could
+        // hide a count-preserving CONTENT change behind unchanged totals,
+        // so it falls back to full delivery (at-least-once, never loss).
+        // One cached root-JSON read per generation.
+        val rangeGens = (startGen + 1L) to endGen
         val rewritten: Set[String] =
           if (endGen <= startGen) Set.empty
-          else ((startGen + 1L) to endGen).iterator
+          else if (!rangeGens.forall(g => collection.manifestAt(g).rewrites.nonEmpty))
+            Set.empty
+          else rangeGens.iterator
             .flatMap(g => collection.manifestAt(g).rewrites).toSet
         val startNames = startMan.shards.map(_.file).toSet
         val startByPrefix = startMan.shards.map(e => e.prefix -> e).toMap

@@ -243,5 +243,14 @@ class CorpusSpec extends AnyFunSuite {
 
     intercept[IllegalArgumentException](
       Corpus.packSequences(d, col("n"), Seq(col("lang")), col("doc_id"), 512L, 100L))
+
+    // null strata are legitimate groups: the totals join is null-safe,
+    // so no document vanishes when its stratum value is null
+    val withNulls = d.union(spark.range(5)
+      .selectExpr("cast(null as string) as lang", "id + 90000 as doc_id", "100L as n"))
+    val packed = Corpus.packSequences(withNulls, col("n"), Seq(col("lang")),
+      col("doc_id"), 512L, cap)
+    assert(packed.count() == 10015, "null-strata docs must survive the guarded packing")
+    assert(packed.where(col("lang").isNull).count() == 5)
   }
 }

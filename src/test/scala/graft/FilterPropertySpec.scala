@@ -76,8 +76,9 @@ class FilterPropertySpec extends AnyFunSuite {
     def model(ranks: Seq[Int]): Long = {
       var z = 0L
       val k = ranks.size
-      for (bit <- 0 until ZOrder.Bits; (r, dim) <- ranks.zipWithIndex)
-        z |= (((r.toLong >> bit) & 1L) << (bit * k + dim))
+      val used = ZOrder.bitsFor(k)
+      for (bit <- 0 until used; (r, dim) <- ranks.zipWithIndex)
+        z |= (((r.toLong >> (bit + ZOrder.Bits - used)) & 1L) << (bit * k + dim))
       z
     }
     val rnd = new scala.util.Random(7)
@@ -97,5 +98,10 @@ class FilterPropertySpec extends AnyFunSuite {
     val firstQuarter = z.take(64)
     assert(firstQuarter.forall { case (_, x, y) => x < 32768 && y < 32768 },
       "the first z-quarter must be exactly the low-low quadrant")
+    // the sign bit stays clear at every dimensionality — max ranks
+    // included — so signed sorting equals unsigned Morton order
+    for (k <- 1 to 4)
+      assert(model(Seq.fill(k)((1 << ZOrder.Bits) - 1)) >= 0L,
+        s"k=$k max-rank z-value must not touch the sign bit")
   }
 }

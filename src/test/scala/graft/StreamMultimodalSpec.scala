@@ -133,6 +133,16 @@ class StreamMultimodalSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table(name).select("id").collect().map(_.getLong(0)).sorted.toSeq
         == (1L to 5L), "post-compaction commit lost")
+      // SOUNDNESS: a count-preserving UPDATE sharing the batch window
+      // with a compaction is a MIXED range — the rewrite skip must
+      // disable and the updated values must reach the stream (the
+      // rewrite-only skip could otherwise hide them forever)
+      c.update(d => d.withColumn("v", col("v") + 100.0))
+      c.compact()
+      q.processAllAvailable()
+      val vs = spark.table(name).select("v").collect().map(_.getDouble(0))
+      assert(vs.count(_ >= 100.0) >= 5,
+        s"updated rows must be delivered despite the in-range compaction, got ${vs.sorted.toSeq}")
     } finally q.stop()
   }
 
