@@ -373,6 +373,24 @@ object Ann {
       .write.mode("overwrite").partitionBy("_zc_cent").parquet(s"$path/lists")
   }
 
+  /** Incrementally add vectors to a [[buildIvfIndex]] index: assignment
+    * uses the PERSISTED quantizer (so existing list geometry — and
+    * therefore existing searches — are untouched), and the new rows
+    * APPEND as fresh parquet files under their list partitions, no
+    * rewrite of existing lists. Quantizer drift under heavy appends is
+    * the deployer's periodic `buildIvfIndex` rebuild. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       vectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids under $path")
+    val assign = assignCentroid(spark, cents)
+    vectors.select(col(idCol).as("nid"), col(vecCol).as("_zc_v_nid"))
+      .withColumn("_zc_cent", assign(col("_zc_v_nid")))
+      .where(col("_zc_cent") >= 0)
+      .write.mode("append").partitionBy("_zc_cent").parquet(s"$path/lists")
+  }
+
   /** Search a [[buildIvfIndex]] index: probes resolve against the tiny
     * persisted centroid table; only the probed lists' parquet partitions
     * are read. Same output shape as [[ivfTopK]]. */

@@ -196,6 +196,18 @@ class PipelineSpec extends AnyFunSuite {
     val narrowProbed = probedLists(narrow)
     assert(narrowProbed.exists(n => n <= 10 && n < probed.get),
       s"nProbe=2 must probe fewer lists: $narrowProbed vs $probed")
+
+    // incremental append: an exact duplicate of vector 7 under a new id
+    // lands in vector 7's own list (persisted quantizer), so a search
+    // FOR vector 7 must now surface the duplicate at cosine ~1
+    val dup = e.where($"vec_id" === 7).select(lit(900007L).as("vec_id"), $"embedding",
+      $"label")
+    Ann.appendToIvfIndex(spark, path, dup, "vec_id", "embedding")
+    val after = Ann.searchIvfIndex(spark, path, e.where($"vec_id" === 7),
+        "vec_id", "embedding", 10, nProbe = 8)
+      .where($"nid" === 900007L).collect()
+    assert(after.length == 1 && after(0).getAs[Double]("sim") > 0.999,
+      s"appended duplicate must be found at cosine ~1, got ${after.toSeq}")
   }
 
   test("native shingle expressions are bit-identical to the HOF compositions") {
