@@ -1658,14 +1658,43 @@ final class Collection private (
     * result to [[compactPartitions]] — at 100 TB a maintenance window
     * compacts the worst offenders under a known IO ceiling instead of
     * rewriting everything [[compact]]-style. */
-  def compactPlan(maxBytes: Long, minFiles: Int = 2): Seq[String] = {
+  /** `coldestFirst` re-ranks the fragmented candidates by their AXIS
+    * upper bound ascending (from the shard zone maps — partitions whose
+    * newest row is oldest come first, file count breaking ties): a
+    * maintenance window then prefers partitions no writer is actively
+    * appending to, minimizing rewrite/ingest conflicts. Partitions
+    * without recorded axis stats rank hot (conservative). */
+  def compactPlan(maxBytes: Long, minFiles: Int = 2,
+                  coldestFirst: Boolean = false): Seq[String] = {
     require(maxBytes > 0, "maxBytes must be positive")
     require(minFiles >= 2, "compacting < 2 files is a no-op")
     val man = currentManifest()
-    val fragmented: Seq[(String, Seq[String])] = man.shards.flatMap { e =>
+    val dom = axisDomain
+    val candidates: Seq[(String, Seq[String], Option[Any])] = man.shards.flatMap { e =>
       val d = man.shardData(e)
-      d.files.groupBy(parentRel).toSeq.filter(_._2.size >= minFiles)
-    }.sortBy { case (p, fl) => (-fl.size, p) } // deterministic: worst first
+      d.files.groupBy(parentRel).toSeq.filter(_._2.size >= minFiles).map {
+        case (p, fl) =>
+          val axisMax: Option[Any] = dom.flatMap { dm =>
+            val his = fl.map(f => d.stats.get(f)
+              .flatMap(bc => bc.get(axis).orElse(bc.get(LegacyAxisKey)))
+              .flatMap(st => dm.decodeStat(st.hi)))
+            if (his.isEmpty || his.exists(_.isEmpty)) None
+            else Some(his.flatten.reduce((a, b) => if (dm.cmp(a, b) >= 0) a else b))
+          }
+          (p, fl, axisMax)
+      }
+    }
+    val fragmented: Seq[(String, Seq[String])] =
+      (if (!coldestFirst) candidates.sortBy { case (p, fl, _) => (-fl.size, p) }
+       else candidates.sortWith { case ((pa, fa, ma), (pb, fb, mb)) =>
+         (ma, mb) match {
+           case (Some(a), Some(b)) if dom.exists(_.cmp(a, b) != 0) =>
+             dom.exists(_.cmp(a, b) < 0) // older newest-row first
+           case (Some(_), None) => true  // stat-less ranks hot: compact last
+           case (None, Some(_)) => false
+           case _ => if (fa.size != fb.size) fa.size > fb.size else pa < pb
+         }
+       }).map { case (p, fl, _) => (p, fl) }
     var budget = maxBytes
     val chosen = Seq.newBuilder[String]
     fragmented.foreach { case (p, files) =>

@@ -432,6 +432,19 @@ class ColumnSkipSpec extends AnyFunSuite {
     // a budget below every candidate chooses nothing
     assert(c.compactPlan(10L) == Nil)
 
+    // coldestFirst: a FRESHER, more fragmented partition leads the
+    // default ranking but yields to older partitions in a maintenance
+    // window (axis-max ascending from the shard zone maps)
+    val d4 = "year=2024/month=1/day=4"
+    (30L until 35L).foreach(i => c.insert(mk(4, i), MergeStrategy.Concat))
+    val man3 = c.currentManifest()
+    def bytes3(p: String): Long = man3.filesForPartitions(Set(p))
+      .map(f => fs.getFileStatus(new Path(s"$root/$f")).getLen).sum
+    val big = bytes3(d1) + bytes3(d2) + bytes3(d4)
+    assert(c.compactPlan(big) == Seq(d4, d1, d2), "default: most fragmented first")
+    assert(c.compactPlan(big, coldestFirst = true) == Seq(d1, d2, d4),
+      "coldestFirst: oldest axis max first, the hot fresh partition last")
+
     // execute: exactly the planned partition rewrites, content preserved
     val before = c.query().orderBy("id").collect().toSeq
     val done = c.compactPartitions(Seq(d1, "year=2024/month=1/day=99"))
