@@ -763,6 +763,17 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // C25 (r6): boilerplate-line removal — lines shared across >= minDocs
+    // documents (here: a synthetic banner + footer framing every doc)
+    // vanish from all of them; doc-specific lines survive in order.
+    "text_boilerplate" -> ((s, dir) => {
+      import graft.operators.Corpus
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n", lit("COOKIE BANNER"), col("text"), lit("(c) footer")).as("text"))
+      Corpus.removeBoilerplateLines(docs, col("doc_id"), col("text"), minDocs = 100)
+        .select(col("id").as("doc_id"), col("text")).orderBy("doc_id")
+    }),
+
     // C11: 64-bit FNV-1a document fingerprint (custom codegen Expression).
     "text_fingerprint" -> ((s, dir) => {
       import graft.functions.TextFunctions
@@ -1567,6 +1578,21 @@ object SparkEntry {
     // (h XOR b) * prime through a HUGEINT intermediate (64x41-bit
     // product fits 128 bits), reduce mod 2^64, re-sign to BIGINT —
     // bit-identical to the codegen expression.
+    "text_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+                'COOKIE BANNER' || chr(10) || text || chr(10) || '(c) footer' AS text
+              FROM documents),
+         s AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+         i AS (SELECT doc_id, lines, unnest(generate_series(1, len(lines))) AS ord FROM s),
+         l AS (SELECT doc_id, lines[ord] AS line, ord FROM i),
+         b AS (SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS c FROM l GROUP BY line)
+               WHERE c >= 100),
+         k AS (SELECT doc_id, line, ord FROM l WHERE line NOT IN (SELECT line FROM b)),
+         r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
+               FROM k GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(r.text, '') AS text
+         FROM d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""",
+
     "text_fingerprint" ->
       """WITH norm AS (
            SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s

@@ -157,6 +157,39 @@ object Corpus {
       floor(coalesce(sum(tokens).over(w), lit(0L)) / budget).cast("int"))
   }
 
+  /** Remove BOILERPLATE LINES: a line whose exact text occurs in at
+    * least `minDocs` distinct documents (headers, footers, nav chrome,
+    * cookie banners) is deleted from EVERY document; surviving lines
+    * keep their original order (the C4/RefinedWeb line-level dedup
+    * step). Returns `(id, text)` with the rebuilt text — a document
+    * reduced to nothing comes back as the empty string.
+    *
+    * Scale shape: line doc-frequency aggregates 64-bit line hashes (one
+    * shuffle, map-side combined — the same injectivity argument as
+    * [[decontaminateNgrams]]); the boilerplate-hash set is tiny by
+    * definition (lines repeated across >= minDocs docs) and BROADCASTS
+    * into the anti-join; reassembly is the second shuffle, keyed by
+    * document. Empty lines count like any other line — blank-line runs
+    * shared across minDocs docs are boilerplate too. */
+  def removeBoilerplateLines(corpus: DataFrame, id: Column, text: Column,
+                             minDocs: Long): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would delete every line")
+    val lines = corpus.select(id.as("_bid"),
+      posexplode(split(text, "\n", -1)).as(Seq("_pos", "_line")))
+      .withColumn("_lh", xxhash64(col("_line")))
+    val boiler = lines.select("_lh", "_bid").distinct()
+      .groupBy("_lh").agg(count(lit(1)).as("_docs"))
+      .where(col("_docs") >= minDocs).select("_lh")
+    val kept = lines.join(broadcast(boiler), Seq("_lh"), "left_anti")
+    val rebuilt = kept.groupBy("_bid")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_line")))),
+        s => s.getField("_line")), "\n").as("_btext"))
+    corpus.select(id.as("_oid"))
+      .join(rebuilt, col("_oid") === col("_bid"), "left")
+      .select(col("_oid").as("id"), coalesce(col("_btext"), lit("")).as("text"))
+  }
+
   /** [[packSequences]] with a SCALE GUARD: no window partition ever
     * spans more than ~`maxStratumTokens` tokens, no matter how lopsided
     * the strata are. A stratum whose token total exceeds the cap is

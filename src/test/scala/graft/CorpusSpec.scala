@@ -185,6 +185,24 @@ class CorpusSpec extends AnyFunSuite {
       s"anti-join must broadcast the contaminated ids, plan:\n$plan")
   }
 
+  test("removeBoilerplateLines: shared lines vanish everywhere, unique lines keep order, emptied docs empty") {
+    val d = Seq(
+      (1L, "HEAD\nalpha\nbeta\nFOOT"),
+      (2L, "HEAD\ngamma\nFOOT"),
+      (3L, "HEAD\nFOOT"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeBoilerplateLines(d, col("doc_id"), col("text"), minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "alpha\nbeta", 2L -> "gamma", 3L -> ""),
+      s"boilerplate removal wrong: $out")
+    // below the doc-frequency threshold nothing is touched
+    val out2 = Corpus.removeBoilerplateLines(d, col("doc_id"), col("text"), minDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(1L) == "HEAD\nalpha\nbeta\nFOOT")
+    intercept[IllegalArgumentException](
+      Corpus.removeBoilerplateLines(d, col("doc_id"), col("text"), minDocs = 1))
+  }
+
   test("packSequences: contiguous bins per stratum from an exclusive prefix sum") {
     val d = Seq(
       ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 300L), ("en", 4L, 50L),
