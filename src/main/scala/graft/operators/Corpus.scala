@@ -180,14 +180,21 @@ object Corpus {
     val boiler = lines.select("_lh", "_bid").distinct()
       .groupBy("_lh").agg(count(lit(1)).as("_docs"))
       .where(col("_docs") >= minDocs).select("_lh")
-    val kept = lines.join(broadcast(boiler), Seq("_lh"), "left_anti")
-    val rebuilt = kept.groupBy("_bid")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("_pos"), col("_line")))),
-        s => s.getField("_line")), "\n").as("_btext"))
-    corpus.select(id.as("_oid"))
-      .join(rebuilt, col("_oid") === col("_bid"), "left")
-      .select(col("_oid").as("id"), coalesce(col("_btext"), lit("")).as("text"))
+    // flag-and-filter instead of anti-join-and-realign: every line rides
+    // into its document's reassembly group (so even an all-boilerplate
+    // doc keeps a group and comes back as ""), and no final corpus join
+    // is needed — the only heavy shuffle is the per-document regroup
+    val flagged = lines.join(
+      broadcast(boiler.withColumn("_b", lit(true))), Seq("_lh"), "left")
+      .withColumn("_b", coalesce(col("_b"), lit(false)))
+    flagged.groupBy("_bid")
+      .agg(array_join(
+        transform(
+          filter(array_sort(collect_list(struct(col("_pos"), col("_b"), col("_line")))),
+            s => !s.getField("_b")),
+          s => s.getField("_line")),
+        "\n").as("text"))
+      .select(col("_bid").as("id"), col("text"))
   }
 
   /** [[packSequences]] with a SCALE GUARD: no window partition ever
