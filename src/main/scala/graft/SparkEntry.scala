@@ -321,6 +321,15 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // A30 (r6): row-level DELETE — file-granular rewrite via the skip
+    // layers: only files whose stats admit a matching row are rewritten,
+    // the rest carry over untouched (Delta/Iceberg DELETE shape).
+    "zc_delete" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      c.deleteWhere("event_type == 'click' and day >= 10")
+      eventsOut(c.query())
+    }),
+
     // A18: secondary index: equality query via index-selected partitions.
     "zc_index" -> ((s, dir) => {
       val c = eventsCollection(s, dir)
@@ -1364,6 +1373,14 @@ object SparkEntry {
     "zc_zorder" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
+
+    // SQL DELETE semantics: NULL predicates KEEP the row, hence the
+    // COALESCE (graft keeps rows where the predicate is not TRUE).
+    "zc_delete" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events
+         WHERE NOT COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) >= 10, FALSE)
+         ORDER BY event_id""",
 
     "zc_view_partial" ->
       """SELECT event_id, value,

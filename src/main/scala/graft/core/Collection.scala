@@ -470,6 +470,7 @@ final class Collection private (
       base: Manifest = null,
       rewrite: Boolean = false,
       cluster: Seq[Column] = null,
+      replacedFiles: Set[String] = Set.empty,
   ): Unit = {
     // Read-modify-write callers PIN the manifest their read resolved
     // against and pass it as `base`: a concurrent commit to the same
@@ -484,9 +485,10 @@ final class Collection private (
     // resolve the doomed files from the PREVIOUS snapshot before the
     // commit swaps the shard table (loads only the replaced partitions'
     // shards)
-    val replacedFiles =
-      if (retainGenerations == 0) man.filesForPartitions(replaced) else Nil
-    try commitDelta(man, newFiles, replaced, writeTasks, streamMark, rewrite)
+    val doomed =
+      if (retainGenerations == 0) man.filesForPartitions(replaced) ++ replacedFiles
+      else Nil
+    try commitDelta(man, newFiles, replaced, writeTasks, streamMark, rewrite, replacedFiles)
     catch {
       case e: java.util.ConcurrentModificationException =>
         // a CONFLICT proves the commit did not land (the publish is
@@ -501,7 +503,7 @@ final class Collection private (
     }
     // GC the files this commit replaced — unless a retention window keeps
     // past snapshots readable (then vacuum() expires them later).
-    replacedFiles
+    doomed
       .foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
   }
 
@@ -518,18 +520,19 @@ final class Collection private (
   private[core] def commitDelta(prev: Manifest, newFiles: Seq[String],
                                 dropped: Set[String], taskBump: Long,
                                 streamMark: Option[(String, Long)] = None,
-                                rewrite: Boolean = false): Unit = {
+                                rewrite: Boolean = false,
+                                droppedFiles: Set[String] = Set.empty): Unit = {
     var base = prev
     var attempts = 0
     val (newStats, newRows) = fileStats(newFiles) // once — retries reuse it
     while (true) {
-      try { commitDeltaOnce(base, newFiles, newStats, newRows, dropped, taskBump, streamMark, rewrite); return }
+      try { commitDeltaOnce(base, newFiles, newStats, newRows, dropped, taskBump, streamMark, rewrite, droppedFiles); return }
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
           if (attempts > MaxCommitRebases) throw e
           val head = currentManifest() // probes forward past the winner(s)
-          rebaseGuard(base, head, newFiles, dropped, streamMark, e)
+          rebaseGuard(base, head, newFiles, dropped ++ droppedFiles.map(parentRel), streamMark, e)
           base = head
       }
     }
@@ -581,15 +584,18 @@ final class Collection private (
                               newRows: Map[String, Long],
                               dropped: Set[String], taskBump: Long,
                               streamMark: Option[(String, Long)] = None,
-                              rewrite: Boolean = false): Unit = {
+                              rewrite: Boolean = false,
+                              droppedFiles: Set[String] = Set.empty): Unit = {
     val newByPrefix = newFiles.groupBy(f => prefixOf(parentRel(f)))
-    val affected = newByPrefix.keySet ++ dropped.map(prefixOf)
+    val affected = newByPrefix.keySet ++ dropped.map(prefixOf) ++
+      droppedFiles.map(f => prefixOf(parentRel(f)))
     val kept = prev.shards.filterNot(e => affected(e.prefix))
     val prevByPrefix = prev.shards.map(e => e.prefix -> e).toMap
     val rebuilt = affected.toSeq.sorted.flatMap { pfx =>
       val oldData = prevByPrefix.get(pfx).map(prev.shardData)
         .getOrElse(ShardData(Nil))
-      val files = (oldData.files.filterNot(f => dropped.contains(parentRel(f))) ++
+      val files = (oldData.files
+        .filterNot(f => dropped.contains(parentRel(f)) || droppedFiles.contains(f)) ++
         newByPrefix.getOrElse(pfx, Nil)).sorted
       if (files.isEmpty) None
       else {
@@ -1639,6 +1645,45 @@ final class Collection private (
     writeAndCommit(partitioning.assign(out), replaced = touched.toSet, base = man,
       rewrite = rewrite)
     touched
+  }
+
+  /** Row-level DELETE (SQL `DELETE WHERE` semantics: rows where the
+    * predicate is TRUE are removed; FALSE and NULL rows stay). The
+    * rewrite is FILE-granular: partitions prune by tolerant key eval,
+    * then the skip layers (zone maps, blooms, schema generations) prove
+    * which files cannot hold a matching row — those carry over into the
+    * new manifest UNTOUCHED, so delete cost is proportional to the
+    * affected file set, not the collection (the Delta/Iceberg DELETE
+    * shape: at 100 TB a targeted purge — a PII removal, a contaminated-
+    * document takedown — rewrites only files whose stats admit a match).
+    * One atomic commit pinned to the read snapshot; a concurrent commit
+    * into the same partitions conflicts via the rebase guard. Rewritten
+    * rows get fresh row ids (views must re-run `update`; tailing streams
+    * see survivors of rewritten files re-delivered, like `update`).
+    * Returns the files that were rewritten or removed. */
+  def deleteWhere(filters: String): Seq[String] = {
+    requireWritable()
+    val ast = FilterExpr.parse(filters)
+    require(ast != FilterExpr.True,
+      "deleteWhere requires a filter — dropPartitions() drops whole partitions")
+    requireKnownNames(ast)
+    val man = currentManifest()
+    // tolerant three-valued partition eval (filters may mention data
+    // columns), then the file-level skip layers — like [[prunedRaw]]
+    val keyBounds = axisKeyBoundsFromFilter(ast)
+    val parts = man.partitionPaths
+      .flatMap(p => decodePath(p).map(k => (p, k)))
+      .filter { case (_, k) => FilterExpr.mayMatch(ast, k.toMap) && keyInRange(k, keyBounds) }
+      .map(_._1)
+    if (parts.isEmpty) return Nil
+    val affected = pruneFilesForRead(man, man.filesForPartitions(parts.toSet), ast)
+    if (affected.isEmpty) return Nil
+    val keep = readManifestFiles(man, affected)
+      .where(!(FilterExpr.toColumn(ast) <=> lit(true)))
+      .select(schema.fieldNames.toSeq.map(col): _*)
+    writeAndCommit(partitioning.assign(keep), replaced = Set.empty,
+      base = man, replacedFiles = affected.toSet)
+    affected
   }
 
   /** Rewrite matching partitions as a fresh, axis-sorted file set — the

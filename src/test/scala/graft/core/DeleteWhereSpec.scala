@@ -1,0 +1,111 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Row-level DELETE with file-granular rewrites (round 6).
+  *
+  * The contract under test: `deleteWhere(filters)` removes exactly the
+  * rows where the predicate is TRUE (SQL DELETE semantics — NULL keeps),
+  * rewrites ONLY the files the skip layers cannot prove unaffected, and
+  * carries every other file into the new manifest untouched.
+  */
+class DeleteWhereSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Three Concat inserts into ONE day-partition, each with a tight,
+    * disjoint user_id range, so the zone maps discriminate per file. */
+  private def threeSliceColl(root: String): Collection = {
+    def mk(lo: Long, hi: Long, hour: String) = (lo until hi)
+      .map(i => (i, s"2024-01-01 $hour:00:00", i, 1.0))
+      .toDF("id", "ts", "user_id", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val b1 = mk(0, 50, "08")
+    val c = Collection.create(spark, root, b1.schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("user_id"))
+    c.insert(b1, MergeStrategy.Concat)
+    c.insert(mk(100, 150, "12"), MergeStrategy.Concat)
+    c.insert(mk(200, 250, "16"), MergeStrategy.Concat)
+    c
+  }
+
+  test("delete rewrites only files whose zone maps admit a match") {
+    val c = threeSliceColl(SparkTestSession.tmp("graft-del-files"))
+    val before = c.currentManifest().files
+    val stats = c.currentManifest().statsForFiles(before)
+    val mustTouch = before.filter { f =>
+      val st = stats(f)("user_id"); st.lo.toLong <= 149 && st.hi.toLong >= 100
+    }.toSet
+    assert(mustTouch.nonEmpty && mustTouch.size < before.size,
+      "test needs a discriminating layout")
+
+    val touched = c.deleteWhere("user_id >= 100 and user_id < 150").toSet
+    assert(touched == mustTouch,
+      s"expected exactly the stats-admitting files, got $touched vs $mustTouch")
+
+    val after = c.currentManifest().files.toSet
+    // untouched files carried over BY NAME — no rewrite, no data IO
+    (before.toSet -- mustTouch).foreach(f =>
+      assert(after.contains(f), s"untouched file $f must survive the commit"))
+    touched.foreach(f => assert(!after.contains(f), s"deleted-from file $f must be replaced"))
+
+    val ids = c.query().select("id").as[Long].collect().sorted.toSeq
+    assert(ids == ((0L until 50L) ++ (200L until 250L)).toSeq)
+  }
+
+  test("no-op delete: filter disjoint from every zone map commits nothing") {
+    val c = threeSliceColl(SparkTestSession.tmp("graft-del-noop"))
+    val gen = c.generation
+    assert(c.deleteWhere("user_id >= 5000").isEmpty)
+    assert(c.generation == gen, "a no-op delete must not commit")
+  }
+
+  test("NULL predicate rows are kept; is-null deletes exactly the null rows") {
+    val root = SparkTestSession.tmp("graft-del-null")
+    val df = Seq(
+      (1L, "2024-01-01 08:00:00", Some(5L)),
+      (2L, "2024-01-01 09:00:00", None),
+      (3L, "2024-01-01 10:00:00", Some(7L)),
+    ).toDF("id", "ts", "user_id").withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+
+    c.deleteWhere("user_id == 5") // NULL row must NOT be deleted
+    assert(c.query().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+
+    c.deleteWhere("user_id is null")
+    assert(c.query().select("id").as[Long].collect().sorted.toSeq == Seq(3L))
+  }
+
+  test("deleting every row of a partition removes the partition") {
+    val root = SparkTestSession.tmp("graft-del-part")
+    val df = Seq(
+      (1L, "2024-01-01 08:00:00"), (2L, "2024-01-01 09:00:00"),
+      (3L, "2024-01-02 08:00:00"),
+    ).toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    assert(c.partitions().size == 2)
+
+    c.deleteWhere("day == 1")
+    assert(c.partitions() == Seq("year=2024/month=1/day=2"))
+    assert(c.query().select("id").as[Long].collect().toSeq == Seq(3L))
+    assert(c.countRows() == 1L)
+  }
+
+  test("delete on mixed data/axis filters matches NOT(predicate) of a full scan") {
+    val c = threeSliceColl(SparkTestSession.tmp("graft-del-mixed"))
+    c.deleteWhere("v > 0.0 and user_id >= 140 and user_id < 220")
+    val got = c.query().select("id").as[Long].collect().sorted.toSeq
+    assert(got == ((0L until 50L) ++ (100L until 140L) ++ (220L until 250L)).toSeq)
+  }
+
+  test("deleteWhere refuses an empty filter") {
+    val c = threeSliceColl(SparkTestSession.tmp("graft-del-guard"))
+    intercept[IllegalArgumentException](c.deleteWhere(null))
+    intercept[IllegalArgumentException](c.deleteWhere("  "))
+  }
+}
