@@ -598,6 +598,17 @@ object SparkEntry {
         .select("qid", "nid", "rank").orderBy("qid", "rank")
     }),
 
+    // C24b (r6): INT8-quantized search + fp32 re-rank — the serve path
+    // of the quantized store: integer-exact shortlist (scale factors
+    // cancel in cosine, so the quantized score is reproducible
+    // bit-for-bit in any engine), exact re-rank of the shortlist only.
+    "ann_int8_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ann.Ann.int8RerankTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 10, shortlist = 30)
+        .select("qid", "nid", "rank").orderBy("qid", "rank")
+    }),
+
     // C7: LSH-bucketed approximate top-10 (rows-only; recall spec-tested).
     "ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1506,6 +1517,35 @@ object SparkEntry {
            SELECT qid, nid,
                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
            FROM p) t
+         WHERE rank <= 10 ORDER BY qid, rank""",
+
+    // Mirrors int8RerankTopK: quantize exactly like ann_quantize, score
+    // the integer codes (dot and norms integer-exact, combined with the
+    // same IEEE ops as Spark), shortlist 30 by (qsim DESC, nid), then
+    // exact-cosine re-rank of the shortlist down to 10.
+    "ann_int8_rerank" ->
+      """WITH d AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+                    FROM embeddings),
+         m AS (SELECT vec_id, embedding, de, list_max(list_transform(de, x -> abs(x))) AS ma FROM d),
+         q8 AS (SELECT vec_id, embedding,
+                  CASE WHEN ma = 0 THEN list_transform(de, x -> CAST(0 AS INT))
+                       ELSE list_transform(de, x -> CAST(floor(x * 127.0 / ma + 0.5) AS INT)) END AS qv
+                FROM m),
+         n8 AS (SELECT vec_id, embedding, qv,
+                  sqrt(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS nrm FROM q8),
+         qs AS (SELECT * FROM n8 WHERE vec_id < 10),
+         sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS qe, c.embedding AS ce,
+                  CAST(list_dot_product(c.qv, q.qv) AS DOUBLE) / (q.nrm * c.nrm) AS qsim
+                FROM qs q, n8 c WHERE c.vec_id <> q.vec_id),
+         sl AS (SELECT qid, nid, qe, ce FROM (
+                  SELECT qid, nid, qe, ce,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qsim DESC, nid) AS r
+                  FROM sc) t WHERE r <= 30),
+         rr AS (SELECT qid, nid, list_cosine_similarity(qe, ce) AS sim FROM sl)
+         SELECT qid, nid, rank FROM (
+           SELECT qid, nid,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+           FROM rr) t
          WHERE rank <= 10 ORDER BY qid, rank""",
 
     "text_quality" ->

@@ -111,6 +111,64 @@ object Ann {
         (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
   }
 
+  /** Quantized-search-then-exact-rerank — how a production vector store
+    * actually serves top-k over INT8 storage ([[quantizeInt8]], 4x
+    * smaller than float32): (1) score the WHOLE corpus with the
+    * quantized similarity — cosine of the integer code vectors, since
+    * the per-vector max-abs scales cancel in cosine — and keep a
+    * `shortlist` per query; (2) re-score ONLY the shortlist with exact
+    * fp32 cosine and keep `k`. The first pass reads a corpus a quarter
+    * the size; the second touches `shortlist × queries` rows.
+    *
+    * Exactness discipline: int8 codes cast losslessly to float, their
+    * products and partial sums stay integral (|q| <= 127, 64-2048 dims
+    * << 2^53), so the quantized score is `exact_int_dot /
+    * (sqrt(exact_int_norm_a) * sqrt(exact_int_norm_b))` — every input
+    * integer-exact, every op IEEE-determined: any engine reproduces the
+    * shortlist bit-for-bit (the DuckDB oracle does).
+    *
+    * Scale shape: quantized corpus streams against broadcast quantized
+    * queries (no corpus shuffle); the shortlist id-pair set
+    * (queries × shortlist rows) broadcasts back against the fp32 corpus
+    * — the full-precision vectors of non-shortlisted rows are never
+    * deserialized. Both top-k stages are bounded [[graft.functions.TopKAgg]]
+    * partial aggregations, never a global sort. */
+  def int8RerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val floatArr = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType)
+    def quantized(df: DataFrame, outId: String, outQ: String, outN: String) = {
+      val (_, qv) = quantizeInt8(col(vecCol))
+      // int->float Cast is lossless for |q| <= 127 and keeps the whole
+      // pipeline on the native array<float> expressions (no HOF)
+      df.select(col(idCol).as(outId), qv.cast(floatArr).as(outQ))
+        .withColumn(outN, sqrt(dot(col(outQ), col(outQ))))
+    }
+    val c8 = quantized(corpus, "nid", "_zc_cq", "_zc_cn")
+    val q8 = quantized(queries, "qid", "_zc_qq", "_zc_qn")
+    val scored = c8.crossJoin(broadcast(q8))
+      .where(col("nid") =!= col("qid"))
+      .withColumn("qsim",
+        dot(col("_zc_cq"), col("_zc_qq")) / (col("_zc_qn") * col("_zc_cn")))
+    val shortTk = graft.functions.TopKAgg.topK(shortlist)
+    val short = scored.groupBy(col("qid"))
+      .agg(shortTk(col("qsim"), col("nid")).as("_zc_tk"))
+      .select(col("qid"), explode(col("_zc_tk")).as("_zc_s"))
+      .select(col("qid"), col("_zc_s.id").as("nid"))
+    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("_zc_cv"))
+      .join(broadcast(short), "nid")
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("_zc_qv"))
+    val rer = cv.join(broadcast(qv), "qid")
+      .withColumn("sim", cosine(col("_zc_qv"), col("_zc_cv")))
+    val topk = graft.functions.TopKAgg.topK(k)
+    rer.groupBy(col("qid"))
+      .agg(topk(col("sim"), col("nid")).as("_zc_tk"))
+      .select(col("qid"), posexplode(col("_zc_tk")).as(Seq("_zc_pos", "_zc_s")))
+      .select(col("qid"), col("_zc_s.id").as("nid"),
+        (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
+  }
+
   /** LSH bucket id of a vector under `planes` hyperplanes for `table`
     * (one element of the [[LshBuckets]] native expression's output). */
   def lshBucket(vec: Column, table: Int, planes: Int, dims: Int): Column =

@@ -415,4 +415,31 @@ class OperatorsSpec extends AnyFunSuite {
         s"degenerate arrays must yield all-null outputs, got $r")
     }
   }
+
+  test("int8 rerank: quantized shortlist + exact rerank tracks brute force; no vector shuffle") {
+    import graft.ann.Ann
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where(col("vec_id") < 5)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nid", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val exact = keyed(Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10))
+    val rer = keyed(Ann.int8RerankTopK(e, q, "vec_id", "embedding", 10, shortlist = 30))
+    assert(rer.size == exact.size)
+    // the exact re-rank means any rank disagreement can only come from a
+    // true neighbor missing the int8 shortlist; 64-dim int8 error is
+    // ~0.4% relative, so recall against exact top-10 must be ~perfect
+    val agree = exact.count { case (k, v) => rer.get(k).contains(v) }
+    assert(agree >= (exact.size * 0.9).toInt,
+      s"int8 shortlist lost the exact ranking: $agree/${exact.size} agree")
+
+    // plan: corpus vectors never ride an Exchange — the quantized pass
+    // aggregates (qsim, nid) partials; the rerank joins are broadcasts
+    val plan = Ann.int8RerankTopK(e, q, "vec_id", "embedding", 10, shortlist = 30)
+      .queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.forall(!_.output.exists(_.name.contains("_zc_c"))),
+      s"a corpus vector column rode an Exchange:\n$plan")
+  }
 }
