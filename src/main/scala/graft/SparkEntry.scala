@@ -537,6 +537,18 @@ object SparkEntry {
         .select("a", "b", "hamming").orderBy("a", "b")
     }),
 
+    // C3b (r6): the SAME SimHash pipeline over FNV-1a token hashes — a
+    // hash DuckDB folds byte-by-byte, so the whole path (per-token hash,
+    // 64 sign counters, pigeonhole banding, hamming verify) gets an
+    // exact SQL oracle; the xxhash64 default stays the production entry.
+    "dedup_simhash_fnv" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      graft.dedup.Dedup.simhashPairs(
+          plantedDocs(s, dir), "doc_id",
+          TextFunctions.tokens(col("text")), maxHamming = 3, fnvHash = true)
+        .select("a", "b", "hamming").orderBy("a", "b")
+    }),
+
     // C14: near-dup pairs -> connected-component groups (rows-only; the
     // min-label propagation is cross-checked against a driver union-find
     // in PipelineSpec).
@@ -1518,6 +1530,37 @@ object SparkEntry {
                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
            FROM p) t
          WHERE rank <= 10 ORDER BY qid, rank""",
+
+    // Full SimHash mirror: FNV-1a per token (byte fold in HUGEINT, as
+    // text_fingerprint), 64 sign counters per doc, pairwise hamming.
+    // The banding in simhashPairs is candidate generation only — for
+    // maxHamming <= 3 the 16-bit pigeonhole is COMPLETE, so the result
+    // set is exactly { (a,b) : hamming <= 3, a < b }.
+    "dedup_simhash_fnv" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM corpus),
+         th AS (SELECT doc_id,
+                  list_reduce(
+                    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                      list_transform(range(0, octet_length(encode(tok))),
+                        i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(tok)), i*2+1, 1)) - 1) * 16
+                                + (strpos('0123456789ABCDEF', substr(hex(encode(tok)), i*2+2, 1)) - 1) AS UBIGINT))),
+                    (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+                  ) AS hu
+                FROM tok),
+         bitsum AS (SELECT doc_id, j,
+                  CASE WHEN SUM(CASE WHEN (hu >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+                FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j) bits
+                GROUP BY doc_id, j),
+         sh AS (SELECT doc_id, list(bit ORDER BY j) AS bits FROM bitsum GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                  CAST(list_sum(list_transform(range(1, 65),
+                    i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""",
 
     // Mirrors int8RerankTopK: quantize exactly like ann_quantize, score
     // the integer codes (dot and norms integer-exact, combined with the

@@ -280,8 +280,9 @@ object Dedup {
   }
 
   /** 64-bit SimHash sign bits of a token array ([[SimHash64]] native
-    * expression). */
-  def simhash(tokens: Column): Column = SimHash64.bits(tokens)
+    * expression). `fnv = true` hashes tokens with FNV-1a instead of
+    * xxhash64 — externally reproducible (exact SQL oracle). */
+  def simhash(tokens: Column, fnv: Boolean = false): Column = SimHash64.bits(tokens, fnv)
 
   /** The pure-builtin formulation [[SimHash64]] replaces (input: token
     * HASHES); kept as the spec's bit-identity cross-check. */
@@ -302,10 +303,11 @@ object Dedup {
     * ([[boundedBucketPairs]]). */
   def simhashPairs(df: DataFrame, idCol: String, tokens: Column, maxHamming: Int,
                    maxBucket: Int = DefaultMaxBucket,
-                   exhaustive: Boolean = false): DataFrame = {
+                   exhaustive: Boolean = false,
+                   fnvHash: Boolean = false): DataFrame = {
     val withBits = df
       .repartition(col(idCol)) // parallelize the bit computation
-      .withColumn("_zc_bits", simhash(tokens))
+      .withColumn("_zc_bits", simhash(tokens, fnvHash))
       .select(col(idCol), col("_zc_bits"))
       .repartition(col(idCol)) // shared boundary (see minhashPairs)
     val chunks = withBits.select(

@@ -13,8 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `transform(tokens, xxhash64)` + 64-wide `aggregate`/`zip_with`
   * composition (bit-identical outputs: same per-token `xxhash64`, same
   * sign rule `sum((h>>j & 1) * 2 - 1) > 0`).
+  *
+  * `fnv = true` swaps the per-token hash to FNV-1a 64
+  * ([[graft.functions.Fnv1a64]]) — slightly weaker mixing, but a plain
+  * byte fold any engine reproduces, which gives the whole SimHash
+  * pipeline an exact external oracle (the xxhash64 default has no
+  * portable mirror).
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression, fnv: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -28,10 +34,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    SimHash64.compute(input.asInstanceOf[ArrayData])
+    SimHash64.compute(input.asInstanceOf[ArrayData], fnv)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.dedup.SimHash64.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.dedup.SimHash64.compute($c, $fnv)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -41,13 +47,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
-  def compute(tokens: ArrayData): ArrayData = {
+  def compute(tokens: ArrayData, fnv: Boolean): ArrayData = {
     val counts = new Array[Long](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       val t = tokens.getUTF8String(i)
-      val h = XxHash64Function.hash(t, StringType, 42L)
+      val h =
+        if (fnv) graft.functions.Fnv1a64.hash(t)
+        else XxHash64Function.hash(t, StringType, 42L)
       var j = 0
       while (j < 64) {
         counts(j) += ((h >>> j) & 1L) * 2 - 1
@@ -64,8 +72,11 @@ object SimHash64 {
     new GenericArrayData(bits)
   }
 
-  def bits(tokens: Column): Column = {
+  /** Binary-compat shim for pre-fnv call sites (SQL registration). */
+  def compute(tokens: ArrayData): ArrayData = compute(tokens, fnv = false)
+
+  def bits(tokens: Column, fnv: Boolean = false): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
-    Bridge.column(SimHash64(Bridge.expression(tokens)))
+    Bridge.column(SimHash64(Bridge.expression(tokens), fnv))
   }
 }

@@ -94,6 +94,18 @@ class PipelineSpec extends AnyFunSuite {
     native.zip(hof).foreach { case ((ida, ba), (idb, bb)) =>
       assert(ida == idb && ba == bb, s"simhash mismatch for doc $ida")
     }
+    // the fnv variant: same sign-counter machinery over fnv1a64 tokens
+    val nativeFnv = docs.select($"doc_id", Dedup.simhash($"toks", fnv = true).as("bits"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val hofFnv = docs
+      .withColumn("th", transform($"toks", t => graft.functions.Fnv1a64.fingerprint(t)))
+      .select($"doc_id", Dedup.simhashBits($"th").as("bits"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    nativeFnv.zip(hofFnv).foreach { case ((ida, ba), (idb, bb)) =>
+      assert(ida == idb && ba == bb, s"fnv simhash mismatch for doc $ida")
+    }
+    // and it must actually differ from the xxhash64 bits (distinct hash)
+    assert(native.map(_._2).toSeq != nativeFnv.map(_._2).toSeq)
   }
 
   test("simhash: identical docs collide at hamming 0") {
