@@ -851,6 +851,15 @@ final class Collection private (
     * inverts it. Variables of un-orderable types (maps) are rejected —
     * project them away first. */
   def queryArrays(filters: String = null, variables: Seq[String] = null): DataFrame = {
+    val dataVars = resolveArrayVars(variables)
+    val ast = FilterExpr.parse(filters)
+    Collection.packArrays(prunedRaw(ast), axis, partCols, dataVars)
+  }
+
+  /** Validate + resolve the variable list for [[queryArrays]]-shaped
+    * packing (also the streaming incremental path,
+    * [[graft.streaming.StreamOps.streamArrays]]). */
+  private[graft] def resolveArrayVars(variables: Seq[String]): Seq[String] = {
     val dataVars = Option(variables)
       .map(_.filterNot(v => v == axis || partCols.contains(v)))
       .getOrElse(schema.fieldNames.toSeq.filterNot(v => v == axis || partCols.contains(v)))
@@ -868,14 +877,10 @@ final class Collection private (
         s"variable '$c' has an un-orderable type (${schema(c).dataType.catalogString}); " +
         "project it away or convert it before queryArrays")
     }
-    val ast = FilterExpr.parse(filters)
-    val packed = sort_array(collect_list(struct(cols.map(col): _*)))
-    prunedRaw(ast)
-      .groupBy(partCols.map(col): _*)
-      .agg(packed.as("_rows"))
-      .select((partCols.map(col) :+ size(col("_rows")).cast("long").as("n")) ++
-        cols.map(c => transform(col("_rows"), r => r.getField(c)).as(c)): _*)
+    dataVars
   }
+
+  private[graft] def partColumns: Seq[String] = partCols
 
   /** Exact row count, answered from MANIFEST METADATA whenever the
     * filter is decidable per partition — no filter is O(root) (summed
@@ -3025,6 +3030,25 @@ object Collection {
   private[core] def relativize(root: Path, p: Path): String = {
     val rootUri = root.toUri.getPath.stripSuffix("/")
     p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+  }
+
+  /** The [[Collection#queryArrays]] packing applied to an ARBITRARY
+    * slice of collection rows (data + partition columns): group by the
+    * partition key, sort each group by `(axis, variables...)` and emit
+    * one record per partition — `(part cols, n, axis-ordered row-aligned
+    * arrays)`. This is also the INCREMENTAL shape: inside `foreachBatch`
+    * over the streaming source, each micro-batch (one manifest diff)
+    * packs into the same records the batch API yields
+    * ([[graft.streaming.StreamOps.streamArrays]]). Exactly one shuffle,
+    * on the partition key. */
+  def packArrays(df: DataFrame, axis: String, partCols: Seq[String],
+                 variables: Seq[String]): DataFrame = {
+    val cols = axis +: variables
+    val packed = sort_array(collect_list(struct(cols.map(col): _*)))
+    df.groupBy(partCols.map(col): _*)
+      .agg(packed.as("_rows"))
+      .select((partCols.map(col) :+ size(col("_rows")).cast("long").as("n")) ++
+        cols.map(c => transform(col("_rows"), r => r.getField(c)).as(c)): _*)
   }
 
   /** Inverse of [[Collection.queryArrays]] (the from_xarray direction,

@@ -111,6 +111,46 @@ object StreamOps {
     df.withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** INCREMENTAL [[graft.core.Collection#queryArrays]]: stream the
+    * collection and hand `sink` one DataFrame of per-partition ARRAY
+    * RECORDS per micro-batch — the records of exactly the rows that
+    * batch's manifest diff committed, in the batch `queryArrays` schema
+    * `(part cols, n, axis-ordered row-aligned arrays)`. A training
+    * loader consumes pre-windowed feature blocks as they commit instead
+    * of re-packing the whole collection per epoch.
+    *
+    * A partition touched by several commits emits one record per
+    * micro-batch (increments, not totals) — concatenate or re-pack
+    * downstream if a consolidated block is needed. `filters` pushes
+    * down to the source's skip layers (partition/zone-map/bloom), so
+    * non-overlapping commits become empty batches with no record at
+    * all; `options` passes through (`maxGenerationsPerBatch` for paced
+    * backfill of a long history).
+    *
+    * @return the started query; callers own its lifecycle
+    *         (`processAllAvailable()` + `stop()` for run-once). */
+  def streamArrays(
+      spark: SparkSession,
+      c: Collection,
+      queryName: String,
+      checkpoint: String,
+      filters: String = null,
+      variables: Seq[String] = null,
+      options: Map[String, String] = Map.empty,
+  )(sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val dataVars = c.resolveArrayVars(variables)
+    val src = readStream(spark, c,
+      options ++ Option(filters).map("filters" -> _))
+    src.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(Collection.packArrays(batch.toDF(), c.axis, c.partColumns, dataVars), id)
+        ()
+      }
+      .start()
+  }
+
   // --- streaming ingestion sink ------------------------------------
 
   /** Continuous ingestion INTO a collection: each micro-batch runs one

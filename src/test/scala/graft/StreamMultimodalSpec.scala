@@ -340,6 +340,58 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(rows == Set(SessionOut(1L, 0L, 2)))
   }
 
+  test("streamArrays: per-batch partition array records track the manifest diffs") {
+    val root = SparkTestSession.tmp("graft-stream-arrays")
+    val mk = (vals: Seq[(Long, String, Double)]) => vals
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val b1 = mk(Seq((1L, "2024-01-01 10:00:00", 1.0), (2L, "2024-01-01 09:00:00", 2.0),
+                    (3L, "2024-01-02 10:00:00", 3.0)))
+    val c = Collection.create(spark, root, b1.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(b1)
+    def recsOf(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Seq[Long], Seq[Double])] =
+      df.select("day", "n", "id", "v").collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getSeq[Long](2), r.getSeq[Double](3))).toSeq.sortBy(_._1)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, Long, Seq[Long], Seq[Double])]]
+    val q = StreamOps.streamArrays(spark, c,
+      "qa_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+      SparkTestSession.tmp("graft-qa-ckpt"), variables = Seq("id", "v")) { (recs, _) =>
+      val r = recsOf(recs)
+      if (r.nonEmpty) seen.synchronized { seen += r }
+    }
+    try {
+      q.processAllAvailable()
+      // first batch = the whole snapshot; records equal batch queryArrays
+      assert(seen.size == 1)
+      assert(seen(0) == recsOf(c.queryArrays(variables = Seq("id", "v"))))
+      assert(seen(0) == Seq((1, 2L, Seq(2L, 1L), Seq(2.0, 1.0)),
+                            (2, 1L, Seq(3L), Seq(3.0))))
+      // incremental: an append into day 2 plus a fresh day 3 emits
+      // records for exactly the inserted rows, not the partition totals
+      c.insert(mk(Seq((4L, "2024-01-02 08:00:00", 4.0), (5L, "2024-01-03 10:00:00", 5.0))),
+        MergeStrategy.Concat)
+      q.processAllAvailable()
+      assert(seen.size == 2, s"expected one more non-empty batch, got ${seen.size}")
+      assert(seen(1) == Seq((2, 1L, Seq(4L), Seq(4.0)),
+                            (3, 1L, Seq(5L), Seq(5.0))))
+    } finally q.stop()
+
+    // a FRESH filtered stream consolidates: first batch packs the full
+    // (pruned) snapshot per partition — day 2 holds both commits' rows
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, Long, Seq[Long], Seq[Double])]]
+    val q2 = StreamOps.streamArrays(spark, c,
+      "qa2_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+      SparkTestSession.tmp("graft-qa2-ckpt"), filters = "day == 2",
+      variables = Seq("id", "v")) { (recs, _) =>
+      val r = recsOf(recs)
+      if (r.nonEmpty) seen2.synchronized { seen2 += r }
+    }
+    try {
+      q2.processAllAvailable()
+      assert(seen2.size == 1)
+      assert(seen2(0) == Seq((2, 2L, Seq(4L, 3L), Seq(4.0, 3.0))))
+    } finally q2.stop()
+  }
+
   test("PPM decode/features/resize are real: hand-built fixture round-trips") {
     import Multimodal.PpmCodec
     // 2x2 image: red, green / blue, white
