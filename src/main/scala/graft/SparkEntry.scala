@@ -732,6 +732,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C26 (r6): top-k corpus VOCABULARY — tf + df per word, bounded
+    // top-k (TakeOrderedAndProject), never a global vocabulary sort.
+    "text_vocab" -> ((s, dir) => {
+      graft.operators.Corpus.vocabulary(
+          Tables.documents(s, dir), col("doc_id"), col("text"), 100)
+        .orderBy(col("tf").desc, col("word"))
+    }),
+
+    // C27 (r6): EXACT-QUOTA deterministic stratified sample — 20 docs
+    // per lang by fingerprint hash order; stable across re-runs.
+    "text_stratified_sample" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val d = Tables.documents(s, dir)
+      graft.operators.Corpus.stratifiedSample(d, Seq(col("lang")), col("doc_id"),
+          TextFunctions.fingerprint(col("text")), 20)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // C20 (r5): Gopher REPETITION rules — duplicate-token and
     // duplicate-bigram fractions as one scalar projection (array ops in
     // the scan's codegen span; no explode, no per-doc aggregation).
@@ -1714,6 +1732,40 @@ object SparkEntry {
          SELECT doc_id,
            CAST(CAST(hu AS HUGEINT) - CASE WHEN hu >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp
          FROM fnv ORDER BY doc_id""",
+
+    "text_vocab" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+         g AS (SELECT word, CAST(count(*) AS BIGINT) AS tf,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+               FROM w GROUP BY word)
+         SELECT word, tf, df FROM g ORDER BY tf DESC, word LIMIT 100""",
+
+    // Same FNV-1a fingerprint CTE as text_fingerprint; the sample keeps
+    // the 20 smallest hash positions (2^50 ring) per lang, id tiebreak —
+    // exactly TopKAgg's (score desc, id asc) order on the negated pos.
+    "text_stratified_sample" ->
+      """WITH norm AS (
+           SELECT doc_id, lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents
+         ), bytes AS (
+           SELECT doc_id, lang,
+             list_transform(range(0, octet_length(encode(s))),
+               i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+1, 1)) - 1) * 16
+                       + (strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+2, 1)) - 1) AS UBIGINT)) AS bs
+           FROM norm
+         ), fnv AS (
+           SELECT doc_id, lang,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS UBIGINT), bs),
+               (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+             ) AS hu
+           FROM bytes
+         ), r AS (
+           SELECT doc_id, lang,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY hu % 1125899906842624, doc_id) AS rn
+           FROM fnv)
+         SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""",
 
     // Split assignment mirrored on the same FNV-1a fingerprint (the
     // text_fingerprint CTE) with pmod bucket arithmetic.

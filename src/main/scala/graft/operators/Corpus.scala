@@ -39,6 +39,49 @@ object Corpus {
     (bucket.cast("int"), split)
   }
 
+  /** Corpus VOCABULARY: the `k` most frequent whitespace tokens with
+    * total term frequency (`tf`) and document frequency (`df`) — the
+    * stopword-list / tokenizer-audit primitive. Scale shape: the
+    * (word, doc) pre-aggregation collapses within-document repeats
+    * map-side before anything shuffles, the word-level merge is
+    * map-side combined too, and the final top-k plans as
+    * TakeOrderedAndProject (per-task top-k, driver merges `k` rows) —
+    * the vocabulary is never globally sorted. */
+  def vocabulary(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.select(id.as("_zc_did"), explode(split(trim(text), "\\s+")).as("word"))
+      .groupBy(col("word"), col("_zc_did")).agg(count(lit(1)).as("_zc_c"))
+      .groupBy(col("word"))
+      .agg(sum(col("_zc_c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(k)
+  }
+
+  /** EXACT-QUOTA stratified sampling: keep (up to) `n` documents per
+    * stratum, chosen by deterministic hash order (fingerprint position
+    * ascending in a 2^50 ring, id tiebreak) — re-runs and re-ingests
+    * select the same sample, unlike `rand()`-based sampling, and every
+    * stratum gets its exact quota, unlike `sampleBy`'s probabilistic
+    * fractions. Scale shape: per-stratum selection is a bounded
+    * [[graft.functions.TopKAgg]] (map-side partial top-n, O(n) state
+    * per task — giant strata never sort); the chosen id set
+    * (|strata| x n rows) BROADCASTS back for the row-preserving
+    * semi-join, so the corpus itself never shuffles. */
+  def stratifiedSample(df: DataFrame, strata: Seq[Column], id: Column,
+                       fp: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    // 2^50 keeps the hash position (and its negation — TopKAgg ranks
+    // highest-score-first) exactly representable in the double score
+    val pos = pmod(fp, lit(1L << 50)).cast("double")
+    val tk = graft.functions.TopKAgg.topK(n)
+    val chosen = df.select((strata :+ (-pos).as("_zc_pos") :+ id.as("_zc_sid")): _*)
+      .groupBy(strata: _*)
+      .agg(tk(col("_zc_pos"), col("_zc_sid")).as("_zc_tk"))
+      .select(explode(col("_zc_tk")).as("_zc_s"))
+      .select(col("_zc_s.id").as("_zc_keep"))
+    df.join(broadcast(chosen), id === col("_zc_keep"), "left_semi")
+  }
+
   /** Gopher-style repetition metrics as ONE scalar projection (no
     * explode, no per-document aggregation): whitespace token count,
     * duplicate-token fraction, and duplicate-bigram fraction. High

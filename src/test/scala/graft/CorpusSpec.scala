@@ -271,4 +271,45 @@ class CorpusSpec extends AnyFunSuite {
     assert(packed.count() == 10015, "null-strata docs must survive the guarded packing")
     assert(packed.where(col("lang").isNull).count() == 5)
   }
+
+  test("vocabulary: tf/df top-k plans as a bounded top-k, counts exact") {
+    val d = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "the dog"),
+      (3L, "a cat"),
+    ).toDF("doc_id", "text")
+    val v = Corpus.vocabulary(d, col("doc_id"), col("text"), 3)
+    val rows = v.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // tf counts every occurrence, df distinct docs; ties break on word
+    assert(rows == Seq(("the", 3L, 2L), ("cat", 2L, 2L), ("dog", 2L, 2L)))
+    val plan = v.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocabulary top-k must be bounded, not a global sort:\n$plan")
+  }
+
+  test("stratifiedSample: exact quotas, deterministic under input order, corpus never shuffles") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+    val s1 = Corpus.stratifiedSample(d, Seq(col("lang")), col("doc_id"), fp, 7)
+    val quotas = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(quotas.getOrElse(lang, 0L) == math.min(7L, n),
+        s"stratum $lang: want min(7, $n), got ${quotas.get(lang)}")
+    }
+    // same sample out of a differently-ordered, differently-partitioned input
+    val s2 = Corpus.stratifiedSample(d.orderBy(col("text")).repartition(7),
+      Seq(col("lang")), col("doc_id"), fp, 7)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+           s2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // the semi-join side carrying text must be broadcast, not shuffled
+    val plan = s1.queryExecution.executedPlan
+    val shuffled = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if s.output.exists(_.name == "text") => s
+    }
+    assert(shuffled.isEmpty, s"corpus text rode a shuffle:\n$plan")
+  }
 }
