@@ -24,13 +24,15 @@ object Bench {
     "q_window_topn", "q_asof_join", "q_range_join", "q_sessionize",
     "q_semi_anti", "q_rollup",
     "dedup_exact", "dedup_minhash", "dedup_cosine", "ann_bruteforce", "ann_lsh",
-    "ann_ivf", "ann_quantize",
+    "ann_ivf", "ann_quantize", "ann_int8_rerank",
     "text_quality", "text_tokens",
     "text_quality_filter", "text_decontaminate", "text_redact",
     "text_sample_split", "text_repetition", "text_pack",
-    "text_chunk", "text_decontaminate_ngram",
+    "text_chunk", "text_decontaminate_ngram", "text_boilerplate",
+    "text_vocab", "text_stratified_sample",
     "zc_insert_query", "zc_query_filter", "zc_axis_range",
-    "zc_col_zone", "zc_bloom", "zc_to_arrays", "zc_zorder", "stream_window",
+    "zc_col_zone", "zc_bloom", "zc_to_arrays", "zc_zorder", "zc_delete",
+    "stream_window",
   )
 
   def main(args: Array[String]): Unit = {

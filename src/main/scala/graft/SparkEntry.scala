@@ -560,6 +560,16 @@ object SparkEntry {
       graft.dedup.Dedup.groups(pairs).orderBy("id")
     }),
 
+    // C18b (r6): END-TO-END dedup removal — pairs -> connected groups ->
+    // keep the min-id representative, singletons survive. On exact-dup
+    // classes the survivor set is SQL-provable: min doc_id per text.
+    "dedup_remove_exact" -> ((s, dir) => {
+      val d = plantedDocs(s, dir).select("doc_id", "text")
+      val pairs = graft.dedup.Dedup.exactPairs(d, "doc_id", col("text"), cap = 50)
+      graft.dedup.Dedup.keepRepresentatives(d, pairs, "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // C16: EXHAUSTIVE exact-duplicate pair listing over a corpus with a
     // planted 201-strong duplicate class — the full C(201,2) clique must
     // come out (sub-bucket triangle distribution; star expansion would
@@ -1548,6 +1558,19 @@ object SparkEntry {
                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
            FROM p) t
          WHERE rank <= 10 ORDER BY qid, rank""",
+
+    // Survivors of exact-dup removal: the min doc_id of each text class
+    // (keepRepresentatives keeps min-id per connected group; exact pairs
+    // connect precisely the equal-text classes).
+    "dedup_remove_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT doc_id FROM (
+           SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM corpus) t
+         WHERE rn = 1 ORDER BY doc_id""",
 
     // Full SimHash mirror: FNV-1a per token (byte fold in HUGEINT, as
     // text_fingerprint), 64 sign counters per doc, pairwise hamming.
