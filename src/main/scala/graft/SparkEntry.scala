@@ -645,6 +645,18 @@ object SparkEntry {
         .select("qid", "nid", "rank").orderBy("qid", "rank")
     }),
 
+    // C7d (r6): PRODUCT-QUANTIZED (PQ/ADC) approximate top-10 — the 32x
+    // compression tier (rows-only; exactness + recall + plan spec-tested).
+    "ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val books = graft.ann.Ann.pqTrain(e, "vec_id", "embedding", dims = 64, m = 8,
+        k = 256, iters = 1)
+      val codes = graft.ann.Ann.pqEncode(e, "vec_id", "embedding", books)
+      graft.ann.Ann.pqTopK(codes, e.where(col("vec_id") < 10), "vec_id", "embedding",
+          books, 10)
+        .select("qid", "nid", "rank").orderBy("qid", "rank")
+    }),
+
     // C8: language-ID heuristic (rows-only; lang labels are synthetic).
     "text_langid" -> ((s, dir) => {
       import graft.functions.TextFunctions

@@ -366,6 +366,181 @@ object Ann {
     cents
   }
 
+  // --- product quantization (PQ / ADC) -----------------------------
+
+  /** Train per-subspace PQ codebooks: `dims` dimensions split into `m`
+    * contiguous subspaces of `dims/m`, each with its own `k`-centroid
+    * L2 k-means codebook — a vector then encodes as `m` small codes
+    * (m=8, k=256 turns a 64-dim float32 row of 256 B into 8 B: 32x,
+    * the compression tier between INT8 ([[quantizeInt8]], 4x) and the
+    * raw store; IVF+PQ is the standard billion-scale serving layout).
+    *
+    * Scale shape: init is ONE deterministic hash-sample pass (`k` rows
+    * sliced into all `m` subspaces at once); each Lloyd iteration is
+    * one map pass computing all `m` argmin codes per row (broadcast
+    * codebooks, closure like [[topCentroidsCol]]) feeding a map-side
+    * partially-aggregated [[graft.functions.VecMeanAgg]] per
+    * (subspace, code) — the Exchange carries m*k partial buffers per
+    * task, never corpus vectors. Codebooks are k*dims floats total —
+    * driver-sized regardless of corpus size. Empty codes keep their
+    * previous centroid (stable code space). Rows whose vectors are
+    * shorter than `dims` are ignored by training (slice yields a short
+    * subvector; the L2 loop scores present dims only).
+    *
+    * @return codebooks(j)(c) = centroid c of subspace j */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, dims: Int,
+              m: Int, k: Int = 256, iters: Int = 2): Array[Array[Array[Float]]] = {
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    require(k > 1 && k <= 65536, s"k=$k out of range")
+    val spark = corpus.sparkSession
+    val sub = dims / m
+    // deterministic hash-sample init: k vectors, sliced into every subspace
+    val init = sampleCentroids(corpus, idCol, vecCol, k).collect()
+      .map(_.getSeq[Float](1).toArray)
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(m) { j =>
+        init.filter(_.length >= (j + 1) * sub)
+          .map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      }
+    require(books.forall(_.nonEmpty), "no full-width vectors to train on")
+    var it = 0
+    while (it < iters) {
+      val codesOf = pqEncodeCol(spark, books, sub)
+      val refined = corpus
+        .select(posexplode(codesOf(col(vecCol))).as(Seq("_zc_j", "_zc_code")),
+          col(vecCol).as("_zc_v"))
+        .where(col("_zc_code") >= 0)
+        .select(col("_zc_j"), col("_zc_code"),
+          slice(col("_zc_v"), col("_zc_j") * sub + 1, lit(sub)).as("_zc_sv"))
+        .groupBy("_zc_j", "_zc_code")
+        .agg(graft.functions.VecMeanAgg.mean(col("_zc_sv")).as("_zc_cv"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
+        .toMap
+      books = Array.tabulate(m) { j =>
+        books(j).indices.toArray.map(c => refined.getOrElse((j, c), books(j)(c)))
+      }
+      it += 1
+    }
+    books
+  }
+
+  /** Per-row PQ codes (array<int>, one L2-nearest code per subspace;
+    * -1 for a subspace the vector does not fully cover) against
+    * executor-broadcast codebooks — a pure map pass, the corpus never
+    * shuffles (the same deliberate broadcast-closure shape as
+    * [[topCentroidsCol]]; codebooks are k*dims floats). */
+  private def pqEncodeCol(spark: org.apache.spark.sql.SparkSession,
+                          books: Array[Array[Array[Float]]],
+                          sub: Int): Column => Column = {
+    val bc = spark.sparkContext.broadcast(books)
+    val f = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      val bks = bc.value
+      val m = bks.length
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        if (arr.length < (j + 1) * sub) out(j) = -1
+        else {
+          val book = bks(j)
+          var best = -1
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < book.length) {
+            val cv = book(c)
+            var d2 = 0.0
+            var i = 0
+            while (i < sub) {
+              val diff = arr(j * sub + i).toDouble - cv(i)
+              d2 += diff * diff
+              i += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c } // first-wins tie => code asc
+            c += 1
+          }
+          out(j) = best
+        }
+        j += 1
+      }
+      out.toSeq
+    }
+    (vec: Column) => f(vec)
+  }
+
+  /** Encode a corpus as `(id, codes)` — the stored form of the PQ tier
+    * (m ints per row; cast down to bytes at rest if k <= 256). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Array[Float]]]): DataFrame = {
+    require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebooks")
+    val sub = books(0)(0).length
+    val enc = pqEncodeCol(corpus.sparkSession, books, sub)
+    corpus.select(col(idCol).as("nid"), enc(col(vecCol)).as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: each query
+    * precomputes its m x k table of partial dot products
+    * `<q_j, c_(j,code)>`; a corpus row then scores as `m` TABLE LOOKUPS
+    * — zero float multiplies per row — approximating `<q, x>` (the
+    * max-inner-product objective; on L2-normalized vectors, cosine).
+    *
+    * Scale shape: queries (with their tables, m*k doubles each)
+    * BROADCAST; the encoded corpus streams map-side; the only shuffle
+    * is the bounded [[graft.functions.TopKAgg]] over (qid, nid, sim).
+    * Re-rank the result against raw vectors ([[int8RerankTopK]] shape)
+    * when exact order matters. */
+  def pqTopK(codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             books: Array[Array[Array[Float]]], k: Int): DataFrame = {
+    require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebooks")
+    val spark = codes.sparkSession
+    val m = books.length
+    val sub = books(0)(0).length
+    val kk = books.map(_.length).max
+    val bc = spark.sparkContext.broadcast(books)
+    val tableOf = udf { (q: Seq[Float]) =>
+      val arr = q.toArray
+      val bks = bc.value
+      val t = new Array[Double](m * kk)
+      var j = 0
+      while (j < m) {
+        val book = bks(j)
+        var c = 0
+        while (c < book.length) {
+          val cv = book(c)
+          var dot = 0.0
+          var i = 0
+          val lim = math.min(sub, arr.length - j * sub)
+          while (i < lim) { dot += arr(j * sub + i).toDouble * cv(i); i += 1 }
+          t(j * kk + c) = dot
+          c += 1
+        }
+        j += 1
+      }
+      t.toSeq
+    }
+    val adc = udf { (codes: Seq[Int], table: Seq[Double]) =>
+      var s = 0.0
+      var j = 0
+      while (j < codes.length) {
+        val c = codes(j)
+        if (c >= 0) s += table(j * kk + c)
+        j += 1
+      }
+      s
+    }
+    val q = queries.select(col(idCol).as("qid"),
+      tableOf(col(vecCol)).as("_zc_qt"))
+    val scored = codes.crossJoin(broadcast(q))
+      .where(col("nid") =!= col("qid"))
+      .withColumn("sim", adc(col("codes"), col("_zc_qt")))
+    val topk = graft.functions.TopKAgg.topK(k)
+    scored.groupBy(col("qid"))
+      .agg(topk(col("sim"), col("nid")).as("_zc_tk"))
+      .select(col("qid"), posexplode(col("_zc_tk")).as(Seq("_zc_pos", "_zc_s")))
+      .select(col("qid"), col("_zc_s.id").as("nid"),
+        (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
+  }
+
   /** @param kmeansIters 0 = plain deterministic hash-sample quantizer;
     *                    >0 refines it with that many Lloyd iterations
     *                    ([[kmeansCentroids]]) — better lists on clustered

@@ -416,6 +416,63 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("product quantization: exact in the k>=n regime, high recall compressed, no corpus shuffle") {
+    import graft.ann.Ann
+    // normalize so brute-force cosine and ADC inner product agree
+    val unit = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("embedding",
+        transform(col("embedding"), x =>
+          (x / sqrt(aggregate(transform(col("embedding"), e => e.cast("double") * e),
+            lit(0.0), (a, b) => a + b))).cast("float")))
+    val q = unit.where(col("vec_id") < 5)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nid", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+
+    // k >= corpus: every subvector is its own centroid -> exact
+    // reconstruction, ADC == true inner product
+    val books = Ann.pqTrain(unit, "vec_id", "embedding", dims = 64, m = 8, k = 512, iters = 0)
+    assert(books.length == 8 && books.forall(_.length == 500))
+    val codes = Ann.pqEncode(unit, "vec_id", "embedding", books)
+    val pq = keyed(Ann.pqTopK(codes, q, "vec_id", "embedding", books, 10))
+    val exact = keyed(Ann.bruteForceTopK(unit, q, "vec_id", "embedding", 10))
+    val agree = exact.count { case (key, v) => pq.get(key).contains(v) }
+    assert(agree >= (exact.size * 0.9).toInt, s"exact-regime PQ lost rank: $agree/${exact.size}")
+
+    // compressed regime on a clustered corpus (the shape PQ exploits):
+    // 20 centers, 16 dims, m=4 x k=32 codebooks = 8x compression
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val qs = df.where(col("vec_id") < 10)
+    val books2 = Ann.pqTrain(df, "vec_id", "embedding", dims = 16, m = 4, k = 32, iters = 2)
+    val codes2 = Ann.pqEncode(df, "vec_id", "embedding", books2)
+    // PQ deliberately quantizes away WITHIN-cluster noise (neighbors of
+    // a query collapse to near-identical codes), so rank among cluster
+    // siblings is arbitrary — the meaningful bar is that every returned
+    // neighbor comes from the query's own cluster (vec_id % 20)
+    val pq2 = Ann.pqTopK(codes2, qs, "vec_id", "embedding", books2, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq2.length == 50)
+    val sameCluster = pq2.count { case (qid, nid) => qid % 20 == nid % 20 }
+    assert(sameCluster >= 45,
+      s"compressed PQ returned cross-cluster neighbors: $sameCluster/50 same-cluster")
+
+    // plan: neither vectors nor codes ride an Exchange — queries (with
+    // ADC tables) broadcast, the only shuffle is the bounded top-k
+    val plan = Ann.pqTopK(codes2, qs, "vec_id", "embedding", books2, 5)
+      .queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.forall(!_.output.exists(a => a.name == "codes" || a.name == "embedding")),
+      s"corpus codes/vectors rode an Exchange:\n$plan")
+  }
+
   test("int8 rerank: quantized shortlist + exact rerank tracks brute force; no vector shuffle") {
     import graft.ann.Ann
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
