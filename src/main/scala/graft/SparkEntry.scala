@@ -330,6 +330,14 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // A31 (r6): metadata-only axis TTL — partitions whose recorded axis
+    // upper bound predates the cutoff drop with zero data IO.
+    "zc_expire" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      c.expirePartitions("2024-01-11 00:00:00")
+      eventsOut(c.query())
+    }),
+
     // A18: secondary index: equality query via index-selected partitions.
     "zc_index" -> ((s, dir) => {
       val c = eventsCollection(s, dir)
@@ -1436,6 +1444,11 @@ object SparkEntry {
     "zc_zorder" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
+
+    // Day partitions whose max ts < Jan 11 are exactly days 1-10.
+    "zc_expire" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events WHERE day(CAST(ts AS TIMESTAMP)) >= 11 ORDER BY event_id""",
 
     // SQL DELETE semantics: NULL predicates KEEP the row, hence the
     // COALESCE (graft keeps rows where the predicate is not TRUE).

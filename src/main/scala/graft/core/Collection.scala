@@ -1536,7 +1536,51 @@ final class Collection private (
     * atomically; the physical delete follows (reference base.py:599-634). */
   def dropPartitions(filters: String = null): Seq[String] = {
     requireWritable()
-    val doomed = partitions(filters)
+    dropPartitionPaths(partitions(filters))
+  }
+
+  /** TTL maintenance: drop every partition whose recorded AXIS upper
+    * bound is strictly below `olderThan` (a [[FilterExpr]]-style
+    * literal: epoch string for timestamps, number for numeric axes) —
+    * decided ENTIRELY from manifest metadata, no data IO. The root
+    * rollups short-circuit whole subtrees (hi < cutoff = all doomed,
+    * lo >= cutoff = none), so only boundary shards load their stats —
+    * the "expire data older than X" shape when the partitioning derives
+    * no key the cutoff could filter on (e.g. Sequence-partitioned
+    * telemetry with a time axis). Conservative: a partition with any
+    * stat-less or undecodable file is KEPT. Same atomic commit +
+    * physical delete semantics as [[dropPartitions]]. */
+  def expirePartitions(olderThan: Any): Seq[String] = {
+    requireWritable()
+    val dom = axisDomain.getOrElse(throw new IllegalArgumentException(
+      s"axis '$axis' (${schema(axis).dataType.catalogString}) does not support stat-based expiry"))
+    val cut = dom.decodeLit(olderThan).getOrElse(throw new IllegalArgumentException(
+      s"cannot interpret cutoff '$olderThan' for axis type ${schema(axis).dataType.catalogString}"))
+    val man = currentManifest()
+    val doomed = man.shards.flatMap { e =>
+      val roll = e.rollup.get(axis)
+      val rollHi = roll.flatMap(st => dom.decodeStat(st.hi))
+      val rollLo = roll.flatMap(st => dom.decodeStat(st.lo))
+      if (rollHi.exists(hi => dom.cmp(hi, cut) < 0))
+        e.partitions.map(joinPath(e.prefix, _)) // whole subtree expired
+      else if (rollLo.exists(lo => dom.cmp(lo, cut) >= 0))
+        Nil // whole subtree current — zero shard IO
+      else {
+        val d = man.shardData(e)
+        d.files.groupBy(parentRel).toSeq.collect {
+          case (p, fl) if fl.nonEmpty && fl.forall { f =>
+            d.stats.get(f)
+              .flatMap(bc => bc.get(axis).orElse(bc.get(LegacyAxisKey)))
+              .flatMap(st => dom.decodeStat(st.hi))
+              .exists(hi => dom.cmp(hi, cut) < 0)
+          } => p
+        }
+      }
+    }.sorted
+    dropPartitionPaths(doomed)
+  }
+
+  private def dropPartitionPaths(doomed: Seq[String]): Seq[String] = {
     if (doomed.isEmpty) return doomed
     val doomedSet = doomed.toSet
     val man = currentManifest()

@@ -103,6 +103,35 @@ class DeleteWhereSpec extends AnyFunSuite {
     assert(got == ((0L until 50L) ++ (100L until 140L) ++ (220L until 250L)).toSeq)
   }
 
+  test("expirePartitions: metadata-only axis TTL on a partitioning with no time key") {
+    val root = SparkTestSession.tmp("graft-expire")
+    // Sequence-partitioned by an int key — dropPartitions has no key
+    // filter that expresses a TIME cutoff; expiry must come from stats
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (2L, "2024-01-02 10:00:00", 1L), // grp 1: all old
+      (3L, "2024-01-02 10:00:00", 2L), (4L, "2024-01-05 10:00:00", 2L), // grp 2: straddles
+      (5L, "2024-01-06 10:00:00", 3L),                                  // grp 3: all new
+    ).toDF("id", "ts", "grp").withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root, df.schema, "ts",
+      SequencePartitioning(Seq("grp"), "ts"))
+    c.insert(df)
+    assert(c.partitions().size == 3)
+
+    val dropped = c.expirePartitions("2024-01-03 00:00:00")
+    assert(dropped == Seq("grp=1"), s"expected only the all-old partition, got $dropped")
+    assert(c.partitions().sorted == Seq("grp=2", "grp=3"))
+    assert(c.query().select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L))
+
+    // idempotent: nothing else is provably old; no commit happens
+    val gen = c.generation
+    assert(c.expirePartitions("2024-01-03 00:00:00").isEmpty)
+    assert(c.generation == gen)
+
+    // a later cutoff takes the straddler once its newest row ages out
+    assert(c.expirePartitions("2024-01-06 00:00:00") == Seq("grp=2"))
+    assert(c.partitions() == Seq("grp=3"))
+  }
+
   test("deleteWhere refuses an empty filter") {
     val c = threeSliceColl(SparkTestSession.tmp("graft-del-guard"))
     intercept[IllegalArgumentException](c.deleteWhere(null))
