@@ -1536,7 +1536,11 @@ final class Collection private (
     * atomically; the physical delete follows (reference base.py:599-634). */
   def dropPartitions(filters: String = null): Seq[String] = {
     requireWritable()
-    dropPartitionPaths(partitions(filters))
+    // PIN one snapshot for both the selection and the commit base: a
+    // commit racing new files into a doomed partition then conflicts
+    // via the rebase guard instead of being silently dropped with it
+    val man = currentManifest()
+    dropPartitionPaths(partitionsFrom(man, FilterExpr.parse(filters)), man)
   }
 
   /** TTL maintenance: drop every partition whose recorded AXIS upper
@@ -1577,13 +1581,12 @@ final class Collection private (
         }
       }
     }.sorted
-    dropPartitionPaths(doomed)
+    dropPartitionPaths(doomed, man)
   }
 
-  private def dropPartitionPaths(doomed: Seq[String]): Seq[String] = {
+  private def dropPartitionPaths(doomed: Seq[String], man: Manifest): Seq[String] = {
     if (doomed.isEmpty) return doomed
     val doomedSet = doomed.toSet
-    val man = currentManifest()
     commitDelta(man, Nil, doomedSet, taskBump = 0L)
     // under a retention window, dropped partitions stay on disk (and
     // time-travelable) until vacuum() expires them

@@ -74,7 +74,11 @@ object Corpus {
     // highest-score-first) exactly representable in the double score
     val pos = pmod(fp, lit(1L << 50)).cast("double")
     val tk = graft.functions.TopKAgg.topK(n)
+    // rows with a NULL fingerprint have no position in the hash order —
+    // exclude them from selection (they can never be sampled) rather
+    // than feeding a null score into the aggregator
     val chosen = df.select((strata :+ (-pos).as("_zc_pos") :+ id.as("_zc_sid")): _*)
+      .where(col("_zc_pos").isNotNull)
       .groupBy(strata: _*)
       .agg(tk(col("_zc_pos"), col("_zc_sid")).as("_zc_tk"))
       .select(explode(col("_zc_tk")).as("_zc_s"))
