@@ -161,12 +161,7 @@ object Ann {
     val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("_zc_qv"))
     val rer = cv.join(broadcast(qv), "qid")
       .withColumn("sim", cosine(col("_zc_qv"), col("_zc_cv")))
-    val topk = graft.functions.TopKAgg.topK(k)
-    rer.groupBy(col("qid"))
-      .agg(topk(col("sim"), col("nid")).as("_zc_tk"))
-      .select(col("qid"), posexplode(col("_zc_tk")).as(Seq("_zc_pos", "_zc_s")))
-      .select(col("qid"), col("_zc_s.id").as("nid"),
-        (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
+    boundedTopK(rer, k)
   }
 
   /** LSH bucket id of a vector under `planes` hyperplanes for `table`
@@ -489,15 +484,15 @@ object Ann {
     * is the bounded [[graft.functions.TopKAgg]] over (qid, nid, sim).
     * Re-rank the result against raw vectors ([[int8RerankTopK]] shape)
     * when exact order matters. */
-  def pqTopK(codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-             books: Array[Array[Array[Float]]], k: Int): DataFrame = {
-    require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebooks")
-    val spark = codes.sparkSession
+  /** Query side of ADC: vec -> flattened m x kk table of partial dot
+    * products against every codebook centroid (broadcast codebooks). */
+  private def adcTableCol(spark: org.apache.spark.sql.SparkSession,
+                          books: Array[Array[Array[Float]]]): Column => Column = {
     val m = books.length
     val sub = books(0)(0).length
     val kk = books.map(_.length).max
     val bc = spark.sparkContext.broadcast(books)
-    val tableOf = udf { (q: Seq[Float]) =>
+    val f = udf { (q: Seq[Float]) =>
       val arr = q.toArray
       val bks = bc.value
       val t = new Array[Double](m * kk)
@@ -518,7 +513,13 @@ object Ann {
       }
       t.toSeq
     }
-    val adc = udf { (codes: Seq[Int], table: Seq[Double]) =>
+    (vec: Column) => f(vec)
+  }
+
+  /** Corpus side of ADC: (codes, table) -> approximate inner product as
+    * `m` table lookups — zero float multiplies per corpus row. */
+  private def adcScoreCol(kk: Int): (Column, Column) => Column = {
+    val f = udf { (codes: Seq[Int], table: Seq[Double]) =>
       var s = 0.0
       var j = 0
       while (j < codes.length) {
@@ -528,17 +529,99 @@ object Ann {
       }
       s
     }
-    val q = queries.select(col(idCol).as("qid"),
-      tableOf(col(vecCol)).as("_zc_qt"))
-    val scored = codes.crossJoin(broadcast(q))
-      .where(col("nid") =!= col("qid"))
-      .withColumn("sim", adc(col("codes"), col("_zc_qt")))
+    (codes: Column, table: Column) => f(codes, table)
+  }
+
+  private def boundedTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = graft.functions.TopKAgg.topK(k)
     scored.groupBy(col("qid"))
       .agg(topk(col("sim"), col("nid")).as("_zc_tk"))
       .select(col("qid"), posexplode(col("_zc_tk")).as(Seq("_zc_pos", "_zc_s")))
       .select(col("qid"), col("_zc_s.id").as("nid"),
         (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
+  }
+
+  def pqTopK(codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             books: Array[Array[Array[Float]]], k: Int): DataFrame = {
+    require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebooks")
+    val spark = codes.sparkSession
+    val kk = books.map(_.length).max
+    val tableOf = adcTableCol(spark, books)
+    val adc = adcScoreCol(kk)
+    val q = queries.select(col(idCol).as("qid"),
+      tableOf(col(vecCol)).as("_zc_qt"))
+    val scored = codes.crossJoin(broadcast(q))
+      .where(col("nid") =!= col("qid"))
+      .withColumn("sim", adc(col("codes"), col("_zc_qt")))
+    boundedTopK(scored, k)
+  }
+
+  /** PERSISTED IVF+PQ index — [[buildIvfIndex]]'s partition-pruned list
+    * layout with PQ CODES in place of raw vectors: the lists store
+    * `(nid, codes)` at ~32x smaller, so a probe reads `m` small ints
+    * per candidate instead of the vector (the FAISS IVFPQ serving
+    * layout, here as plain parquet + Hive partition pruning). Search
+    * resolves coarse probes against the persisted centroid table,
+    * builds ADC tables against the persisted codebooks, scores probed
+    * lists by table lookup, and finishes with the bounded top-k.
+    * Approximation stacks PQ distortion on IVF routing — re-rank a
+    * shortlist against raw vectors ([[int8RerankTopK]] shape) when
+    * exact order matters. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, dims: Int, nLists: Int = 32, m: Int = 8,
+                      pqK: Int = 256, kmeansIters: Int = 0, pqIters: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    val cents =
+      if (kmeansIters <= 0) collectCentroids(corpus, idCol, vecCol, nLists)
+      else kmeansCentroids(corpus, idCol, vecCol, nLists, kmeansIters)
+    require(cents.nonEmpty, "buildIvfPqIndex: empty corpus")
+    import spark.implicits._
+    cents.toSeq.toDF("_zc_cent", "_zc_cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val books = pqTrain(corpus, idCol, vecCol, dims, m, pqK, pqIters)
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
+    }.toSeq.toDF("_zc_j", "_zc_code", "_zc_cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val assign = assignCentroid(spark, cents)
+    val enc = pqEncodeCol(spark, books, dims / m)
+    corpus.select(col(idCol).as("nid"), col(vecCol).as("_zc_v"))
+      .select(col("nid"), enc(col("_zc_v")).as("codes"), assign(col("_zc_v")).as("_zc_cent"))
+      .where(col("_zc_cent") >= 0)
+      .write.mode("overwrite").partitionBy("_zc_cent").parquet(s"$path/lists")
+  }
+
+  /** Search a [[buildIvfPqIndex]] index: only the probed lists' parquet
+    * partitions are read, and what is read is codes, not vectors. */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids under $path")
+    val bookRows = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    require(bookRows.nonEmpty, s"no codebooks under $path")
+    val books: Array[Array[Array[Float]]] = bookRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }.toArray
+    val kk = books.map(_.length).max
+    val tableOf = adcTableCol(spark, books)
+    val probeFn = topCentroidsCol(spark, cents, nProbe)
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("_zc_v_qid"))
+      .withColumn("_zc_cent", explode(probeFn(col("_zc_v_qid"))))
+      .withColumn("_zc_qt", tableOf(col("_zc_v_qid")))
+      .drop("_zc_v_qid")
+    // pin probed lists as a PARTITION filter (bounded: nQueries x nProbe)
+    val wanted = probes.select("_zc_cent").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .where(col("_zc_cent").isin(wanted: _*))
+    val adc = adcScoreCol(kk)
+    val cands = lists.join(broadcast(probes), "_zc_cent")
+      .where(col("nid") =!= col("qid"))
+      .withColumn("sim", adc(col("codes"), col("_zc_qt")))
+    boundedTopK(cands, k)
   }
 
   /** @param kmeansIters 0 = plain deterministic hash-sample quantizer;
@@ -573,12 +656,7 @@ object Ann {
     val cands = lists.join(broadcast(probes), "_zc_cent")
       .where(col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("_zc_v_qid"), col("_zc_v_nid")))
-    val topk = graft.functions.TopKAgg.topK(k)
-    cands.groupBy(col("qid"))
-      .agg(topk(col("sim"), col("nid")).as("_zc_tk"))
-      .select(col("qid"), posexplode(col("_zc_tk")).as(Seq("_zc_pos", "_zc_s")))
-      .select(col("qid"), col("_zc_s.id").as("nid"),
-        (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
+    boundedTopK(cands, k)
   }
 
   /** PERSISTED IVF index: the build-once/search-many shape a 100 TB
@@ -645,12 +723,7 @@ object Ann {
     val cands = lists.join(broadcast(probes), "_zc_cent")
       .where(col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("_zc_v_qid"), col("_zc_v_nid")))
-    val topk = graft.functions.TopKAgg.topK(k)
-    cands.groupBy(col("qid"))
-      .agg(topk(col("sim"), col("nid")).as("_zc_tk"))
-      .select(col("qid"), posexplode(col("_zc_tk")).as(Seq("_zc_pos", "_zc_s")))
-      .select(col("qid"), col("_zc_s.id").as("nid"),
-        (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
+    boundedTopK(cands, k)
   }
 
   /** Near-duplicate pairs by embedding cosine: LSH-bucketed candidate

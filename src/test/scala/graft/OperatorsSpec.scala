@@ -473,6 +473,39 @@ class OperatorsSpec extends AnyFunSuite {
       s"corpus codes/vectors rode an Exchange:\n$plan")
   }
 
+  test("persisted IVF+PQ index: codes on disk, probed-partition pruning, cluster-true neighbors") {
+    import graft.ann.Ann
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val rows = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val path = SparkTestSession.tmp("graft-ivfpq")
+    Ann.buildIvfPqIndex(df, "vec_id", "embedding", path, dims = 16,
+      nLists = 20, m = 4, pqK = 32, pqIters = 2)
+
+    // the index stores CODES, not vectors: 4 small ints per row
+    val lists = spark.read.parquet(s"$path/lists")
+    assert(lists.columns.sorted.toSeq == Seq("_zc_cent", "codes", "nid"))
+    assert(lists.select(size(col("codes"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(4))
+
+    val q = df.where(col("vec_id") < 10)
+    val res = Ann.searchIvfPqIndex(spark, path, q, "vec_id", "embedding", 5, nProbe = 3)
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 50)
+    val sameCluster = got.count { case (qid, nid) => qid % 10 == nid % 10 }
+    assert(sameCluster >= 45,
+      s"IVF+PQ returned cross-cluster neighbors: $sameCluster/50 same-cluster")
+
+    // the probed-list pin reaches the scan as a partition filter
+    val plan = res.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*_zc_cent""".r.findFirstIn(plan).isDefined,
+      s"lists scan must carry a partition filter on _zc_cent, plan:\n$plan")
+  }
+
   test("int8 rerank: quantized shortlist + exact rerank tracks brute force; no vector shuffle") {
     import graft.ann.Ann
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
