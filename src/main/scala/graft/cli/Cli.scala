@@ -13,6 +13,8 @@ import graft.core.Collection
   *   graft.cli.Cli inspect <path>
   *   graft.cli.Cli query <path> [filter] [comma,separated,variables]
   *   graft.cli.Cli drop <path> <filter>
+  *   graft.cli.Cli delete <path> <filter>   # row-level, file-granular rewrite
+  *   graft.cli.Cli expire <path> <cutoff>   # metadata-only axis TTL
   *   graft.cli.Cli history <path>           # committed snapshot generations
   *   graft.cli.Cli vacuum <path>            # reclaim crashed writers' orphans
   *   graft.cli.Cli compact <path> [filter]  # fold small append files
@@ -35,7 +37,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: Cli <ls|inspect|describe|query|drop|history|vacuum|compact|compact-plan|zorder|count|prune|backfill-stats> <path> [args...]")
+        "usage: Cli <ls|inspect|describe|query|drop|delete|expire|history|vacuum|compact|compact-plan|zorder|count|prune|backfill-stats> <path> [args...]")
       sys.exit(2)
     }
     val (cmd, path) = (args(0), args(1))
@@ -59,6 +61,16 @@ object Cli {
       case "drop" =>
         val c = Collection.open(spark, path)
         c.dropPartitions(args(2)).foreach(println)
+      case "delete" =>
+        // row-level DELETE: rewrites only the files the skip layers
+        // cannot prove unaffected
+        val c = Collection.open(spark, path)
+        val touched = c.deleteWhere(args(2))
+        println(s"rewrote ${touched.size} file(s)")
+      case "expire" =>
+        // metadata-only axis TTL: Cli expire <path> <cutoff-literal>
+        val c = Collection.open(spark, path)
+        c.expirePartitions(args(2)).foreach(println)
       case "history" =>
         val c = Collection.open(spark, path, readOnly = true)
         c.generations().foreach(g => println(s"generation $g"))

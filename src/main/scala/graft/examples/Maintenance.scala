@@ -60,6 +60,18 @@ object Maintenance {
     println(s"round trip rows: ${Collection.arraysToRows(arr,
       Seq("ts", "event_id", "value")).count()} == ${c.query("day <= 3").count()}")
 
+    // 5. row-level DELETE: a targeted purge (PII takedown, contaminated
+    // docs) rewrites ONLY the files whose zone maps admit a match —
+    // everything else carries over by name
+    val touched = c.deleteWhere("user_id == 13 and day <= 5")
+    println(s"deleteWhere rewrote ${touched.size} file(s); " +
+      s"user 13 rows in days 1-5 now: ${c.query("user_id == 13 and day <= 5").count()}")
+
+    // 6. metadata-only TTL: partitions whose recorded axis upper bound
+    // predates the cutoff drop with zero data IO
+    val expired = c.expirePartitions("2024-01-03 00:00:00")
+    println(s"expired ${expired.size} partition(s): ${expired.mkString(", ")}")
+
     spark.stop()
   }
 }

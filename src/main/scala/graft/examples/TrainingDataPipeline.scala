@@ -85,11 +85,28 @@ object TrainingDataPipeline {
     println(s"packed ${packed.count()} chunks into " +
       s"${packed.select("split", "bin").distinct().count()} bins")
 
+    // 3g. corpus audit: top words with term + document frequency (the
+    //     stopword/tokenizer sanity check), and a deterministic
+    //     exact-quota sample per language for human review
+    Corpus.vocabulary(labeled, col("doc_id"), col("text"), 10).show(10, truncate = false)
+    val sample = Corpus.stratifiedSample(docs, Seq(col("lang")), col("doc_id"),
+      TextFunctions.fingerprint(col("text")), n = 3)
+    println(s"review sample: ${sample.count()} docs across " +
+      s"${sample.select("lang").distinct().count()} languages")
+
     // 4. similarity retrieval over embeddings (exact + LSH path)
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.where(col("vec_id") < 3)
     Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5).show()
     Ann.lshTopK(emb, queries, "vec_id", "embedding", 5, tables = 8, planes = 4).show(5)
+
+    // 4b. the quantized serving tiers: INT8 shortlist + exact re-rank
+    //     (4x smaller scan, exact final order), and PQ/ADC (32x): codes
+    //     score as table lookups; both never shuffle corpus vectors
+    Ann.int8RerankTopK(emb, queries, "vec_id", "embedding", k = 5, shortlist = 20).show(5)
+    val books = Ann.pqTrain(emb, "vec_id", "embedding", dims = 64, m = 8, k = 64, iters = 1)
+    val codes = Ann.pqEncode(emb, "vec_id", "embedding", books)
+    Ann.pqTopK(codes, queries, "vec_id", "embedding", books, 5).show(5)
     spark.stop()
   }
 }
