@@ -80,10 +80,11 @@ class ExtrasSpec extends AnyFunSuite {
     assert(oracles.subsetOf(qs), s"orphan oracles: ${oracles.diff(qs)}")
     val rowsOnly = qs.diff(oracles)
     // the intentionally non-SQL-expressible set: xxhash64-based
-    // signatures (DuckDB lacks the hash) and approximate ANN. FNV-1a and
-    // the langid heuristic proved SQL-expressible (round 3) and
-    // graduated to the oracle set.
-    assert(rowsOnly == Set("dedup_simhash", "dedup_groups", "ann_lsh", "ann_ivf"),
+    // signatures (DuckDB lacks the hash) and approximate ANN (LSH/IVF
+    // routing and k-means PQ codebooks have no SQL mirror). FNV-1a, the
+    // langid heuristic (round 3), and the FNV simhash variant (round 6)
+    // proved SQL-expressible and graduated to the oracle set.
+    assert(rowsOnly == Set("dedup_simhash", "dedup_groups", "ann_lsh", "ann_ivf", "ann_pq"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
