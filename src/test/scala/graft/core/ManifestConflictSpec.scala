@@ -278,4 +278,58 @@ class ManifestConflictSpec extends AnyFunSuite {
     }
     assert(expected >= 4, "at least one update per round must succeed")
   }
+
+  test("deleteWhere racing a Concat insert into the same partition never loses rows silently") {
+    // deleteWhere's commit is pinned to its read snapshot and drops
+    // FILES; an insert landing in the same partition between the read
+    // and the publish must force a conflict (one side retries), never a
+    // silent disappearance of the inserted rows.
+    val root = SparkTestSession.tmp("graft-race-delete")
+    val df = (0L until 8L).map(i => (i, 0L, 1L, i.toDouble)).toDF("id", "g", "seq", "v")
+    val c = Collection.create(spark, root, df.schema, "seq",
+      SequencePartitioning(Seq("g"), "seq"))
+    c.insert(df) // one partition (g=0)
+    val h1 = Collection.open(spark, root)
+    val h2 = Collection.open(spark, root)
+
+    var inserted = 0L
+    var deleted = false
+    for (round <- 1 to 3 if !deleted) {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new Array[Option[Throwable]](2)
+      val nextId = 100L * round
+      val t1 = new Thread(() => {
+        barrier.await()
+        errs(0) =
+          try { h1.deleteWhere("v >= 0.0 and v <= 3.0"); None }
+          catch { case e: Throwable => Some(e) }
+      })
+      val t2 = new Thread(() => {
+        barrier.await()
+        errs(1) =
+          try {
+            h2.insert(Seq((nextId, 0L, 1L, -1.0)).toDF("id", "g", "seq", "v"),
+              MergeStrategy.Concat)
+            None
+          } catch { case e: Throwable => Some(e) }
+      })
+      t1.start(); t2.start(); t1.join(); t2.join()
+      errs.flatten.foreach { e =>
+        assert(e.isInstanceOf[java.util.ConcurrentModificationException],
+          s"round $round: only a loud conflict may fail, got $e")
+      }
+      if (errs(0).isEmpty) deleted = true
+      if (errs(1).isEmpty) inserted += 1
+      // invariant after every round: the id-0..3 rows exist iff no
+      // delete succeeded yet, and EVERY successful insert's row exists
+      val ids = Collection.open(spark, root).query()
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert((0L until 4L).forall(i => ids.contains(i) != deleted),
+        s"round $round: delete state inconsistent (deleted=$deleted): $ids")
+      val insertedIds = (1 to round).map(100L * _).filter(r => ids.contains(r))
+      assert(insertedIds.size == inserted,
+        s"round $round: racing insert rows lost — want $inserted of ${(1 to round).map(100L * _)}, see $ids")
+    }
+    assert(deleted || inserted > 0, "nothing ever succeeded")
+  }
 }
