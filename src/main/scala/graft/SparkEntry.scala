@@ -780,6 +780,17 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // C29 (r6): deterministic TOKEN-BUDGET sample — keep docs per lang
+    // in fingerprint hash order until ~2000 tokens; stable re-runs.
+    "text_token_budget" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val d = Tables.documents(s, dir)
+      graft.operators.Corpus.sampleToTokenBudget(d, Seq(col("lang")), col("doc_id"),
+          TextFunctions.fingerprint(col("text")), TextFunctions.tokenCount(col("text")).cast("long"),
+          budget = 2000L)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // C20 (r5): Gopher REPETITION rules — duplicate-token and
     // duplicate-bigram fractions as one scalar projection (array ops in
     // the scan's codegen span; no explode, no per-doc aggregation).
@@ -1814,6 +1825,34 @@ object SparkEntry {
                     ORDER BY hu % 1125899906842624, doc_id) AS rn
            FROM fnv)
          SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""",
+
+    // Same fingerprint CTE; exclusive prefix sum of whitespace token
+    // counts in (hash position, doc_id) order, kept while < 2000.
+    "text_token_budget" ->
+      """WITH norm AS (
+           SELECT doc_id, lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s,
+                  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+           FROM documents
+         ), bytes AS (
+           SELECT doc_id, lang, n_tokens,
+             list_transform(range(0, octet_length(encode(s))),
+               i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+1, 1)) - 1) * 16
+                       + (strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+2, 1)) - 1) AS UBIGINT)) AS bs
+           FROM norm
+         ), fnv AS (
+           SELECT doc_id, lang, n_tokens,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS UBIGINT), bs),
+               (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+             ) AS hu
+           FROM bytes
+         ), p AS (
+           SELECT doc_id, lang,
+                  COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY hu % 1125899906842624, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+           FROM fnv)
+         SELECT doc_id, lang FROM p WHERE prior < 2000 ORDER BY doc_id""",
 
     // Split assignment mirrored on the same FNV-1a fingerprint (the
     // text_fingerprint CTE) with pmod bucket arithmetic.

@@ -86,6 +86,29 @@ object Corpus {
     df.join(broadcast(chosen), id === col("_zc_keep"), "left_semi")
   }
 
+  /** Deterministic TOKEN-BUDGET sampling: within each stratum, keep
+    * documents in fingerprint hash order until the token budget fills —
+    * the "~N tokens per language" corpus-sizing primitive, stable
+    * across re-runs like [[stratifiedSample]] but quota'd in TOKENS,
+    * not documents. A document survives iff the EXCLUSIVE prefix sum of
+    * token counts before it (hash order, id tiebreak) is below
+    * `budget`: the sample overshoots by at most one document and every
+    * non-empty stratum keeps at least one. Exactly one shuffle (the
+    * stratum key); the window spans a stratum, so pick executor-sized
+    * strata ([[packSequences]]' contract). */
+  def sampleToTokenBudget(df: DataFrame, strata: Seq[Column], id: Column,
+                          fp: Column, tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val pos = pmod(fp, lit(1L << 50))
+    df.withColumn("_zc_pos", pos)
+      .where(col("_zc_pos").isNotNull) // null fingerprint: no hash position
+      .withColumn("_zc_prior", coalesce(sum(tokens).over(
+        Window.partitionBy(strata: _*).orderBy(col("_zc_pos"), id)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .where(col("_zc_prior") < budget)
+      .drop("_zc_pos", "_zc_prior")
+  }
+
   /** Gopher-style repetition metrics as ONE scalar projection (no
     * explode, no per-document aggregation): whitespace token count,
     * duplicate-token fraction, and duplicate-bigram fraction. High

@@ -272,6 +272,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(packed.where(col("lang").isNull).count() == 5)
   }
 
+  test("sampleToTokenBudget: fills each stratum to the budget with at-most-one-doc overshoot, deterministically") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+    val toks = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+    val budget = 500L
+    val s1 = Corpus.sampleToTokenBudget(d, Seq(col("lang")), col("doc_id"), fp, toks, budget)
+      .select(col("lang"), col("doc_id"), toks.as("n"))
+    val perLang = s1.groupBy("lang")
+      .agg(sum("n").as("total"), max("n").as("biggest")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val fullTotals = d.groupBy("lang").agg(sum(toks).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, total, biggest) =>
+      assert(total >= math.min(budget, fullTotals(lang)),
+        s"$lang under-filled: $total of budget $budget (stratum holds ${fullTotals(lang)})")
+      assert(total - biggest < budget,
+        s"$lang overshot by more than one document: total $total, biggest doc $biggest")
+    }
+    assert(perLang.map(_._1).toSet == fullTotals.keySet, "every stratum must be served")
+    // deterministic under re-ordering and re-partitioning
+    val s2 = Corpus.sampleToTokenBudget(d.orderBy(col("text")).repartition(7),
+      Seq(col("lang")), col("doc_id"), fp, toks, budget)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+           s2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("vocabulary: tf/df top-k plans as a bounded top-k, counts exact") {
     val d = Seq(
       (1L, "the cat and the dog"),
