@@ -29,7 +29,8 @@ object Bench {
     "text_quality_filter", "text_decontaminate", "text_redact",
     "text_sample_split", "text_repetition", "text_pack",
     "text_chunk", "text_decontaminate_ngram", "text_boilerplate",
-    "text_vocab", "text_stratified_sample",
+    "text_vocab", "text_stratified_sample", "text_token_budget",
+    "dedup_simhash_fnv", "dedup_remove_exact",
     "zc_insert_query", "zc_query_filter", "zc_axis_range",
     "zc_col_zone", "zc_bloom", "zc_to_arrays", "zc_zorder", "zc_delete",
     "stream_window",
