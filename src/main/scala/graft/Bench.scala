@@ -33,7 +33,7 @@ object Bench {
     "dedup_simhash_fnv", "dedup_remove_exact",
     "zc_insert_query", "zc_query_filter", "zc_axis_range",
     "zc_col_zone", "zc_bloom", "zc_to_arrays", "zc_zorder", "zc_delete",
-    "stream_window",
+    "zc_vector_search", "stream_window",
   )
 
   def main(args: Array[String]): Unit = {

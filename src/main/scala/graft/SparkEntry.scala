@@ -639,6 +639,21 @@ object SparkEntry {
         .select("qid", "nid", "rank").orderBy("qid", "rank")
     }),
 
+    // A32 (r6): VECTOR COLLECTION — int8 codes persisted alongside the
+    // fp32 embeddings in a graft collection; the quantized search pass
+    // reads only the (vec_id, qvec) projection (columnar, ~4x smaller),
+    // fp32 touched just for the broadcast shortlist. Bit-identical to
+    // ann_int8_rerank: the stored codes are the same quantization.
+    "zc_vector_search" -> ((s, dir) => {
+      val c = vectorCollection(s, dir)
+      val codes = c.query(variables = Seq("vec_id", "qvec"))
+      val vecs = c.query(variables = Seq("vec_id", "embedding"))
+      val queries = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+      graft.ann.Ann.int8RerankTopKStored(codes, vecs, queries,
+          "vec_id", "qvec", "embedding", k = 10, shortlist = 30)
+        .select("qid", "nid", "rank").orderBy("qid", "rank")
+    }),
+
     // C7: LSH-bucketed approximate top-10 (rows-only; recall spec-tested).
     "ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1272,6 +1287,25 @@ object SparkEntry {
   /** Documents corpus with deterministically planted duplicates (every
     * 10th doc re-appears under id+1000000) — the standard benchmark
     * construction for dedup operators on a dup-free base corpus. */
+  /** Embeddings + their INT8 codes persisted in a graft collection
+    * (GroupedSequence buckets of 100 ids) — the vector-store layout:
+    * searches read the narrow (vec_id, qvec) projection; fp32 vectors
+    * are touched only for the shortlist. */
+  private[graft] def vectorCollection(spark: SparkSession, sfDir: String): Collection =
+    collCache.getOrElseUpdate(("vectors", sfDir), {
+      val e = Tables.embeddings(spark, sfDir)
+      val (ma, qv) = graft.ann.Ann.quantizeInt8(col("embedding"))
+      val rows = e.select(col("vec_id"), col("embedding"),
+        ma.as("max_abs"), qv.as("qvec"))
+      val c = Collection.create(
+        spark, s"$scratch/vectors-${sfDir.replaceAll("[^0-9.]", "")}",
+        rows.schema, axis = "vec_id",
+        partitioning = GroupedSequencePartitioning(Seq("vec_id"), "vec_id", size = 100),
+        overwrite = true)
+      c.insert(rows)
+      c
+    })
+
   private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     d.unionByName(d.where(col("doc_id") % 10 === 0)
@@ -1638,6 +1672,34 @@ object SparkEntry {
                     i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""",
+
+    // The stored-codes collection search computes the identical
+    // shortlist + re-rank as ann_int8_rerank (same quantization,
+    // persisted): one oracle body serves both.
+    "zc_vector_search" ->
+      """WITH d AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+                    FROM embeddings),
+         m AS (SELECT vec_id, embedding, de, list_max(list_transform(de, x -> abs(x))) AS ma FROM d),
+         q8 AS (SELECT vec_id, embedding,
+                  CASE WHEN ma = 0 THEN list_transform(de, x -> CAST(0 AS INT))
+                       ELSE list_transform(de, x -> CAST(floor(x * 127.0 / ma + 0.5) AS INT)) END AS qv
+                FROM m),
+         n8 AS (SELECT vec_id, embedding, qv,
+                  sqrt(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS nrm FROM q8),
+         qs AS (SELECT * FROM n8 WHERE vec_id < 10),
+         sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS qe, c.embedding AS ce,
+                  CAST(list_dot_product(c.qv, q.qv) AS DOUBLE) / (q.nrm * c.nrm) AS qsim
+                FROM qs q, n8 c WHERE c.vec_id <> q.vec_id),
+         sl AS (SELECT qid, nid, qe, ce FROM (
+                  SELECT qid, nid, qe, ce,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qsim DESC, nid) AS r
+                  FROM sc) t WHERE r <= 30),
+         rr AS (SELECT qid, nid, list_cosine_similarity(qe, ce) AS sim FROM sl)
+         SELECT qid, nid, rank FROM (
+           SELECT qid, nid,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+           FROM rr) t
+         WHERE rank <= 10 ORDER BY qid, rank""",
 
     // Mirrors int8RerankTopK: quantize exactly like ann_quantize, score
     // the integer codes (dot and norms integer-exact, combined with the

@@ -361,6 +361,44 @@ object Ann {
     cents
   }
 
+  /** [[int8RerankTopK]] over STORED codes — the shape a vector
+    * COLLECTION serves: `corpusCodes` carries the persisted
+    * `(id, qvec)` pairs (a projection that never deserializes fp32
+    * vectors — with a graft collection, a pruned columnar read a
+    * quarter the size), `corpusVecs` is the fp32 projection touched
+    * ONLY for the broadcast-joined shortlist. Scores are identical to
+    * the on-the-fly variant: quantized-cosine shortlist (scales cancel
+    * — stored max_abs is not even needed), exact fp32 re-rank. */
+  def int8RerankTopKStored(corpusCodes: DataFrame, corpusVecs: DataFrame,
+                           queries: DataFrame, idCol: String, qvecCol: String,
+                           vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val floatArr = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType)
+    val c8 = corpusCodes
+      .select(col(idCol).as("nid"), col(qvecCol).cast(floatArr).as("_zc_cq"))
+      .withColumn("_zc_cn", sqrt(dot(col("_zc_cq"), col("_zc_cq"))))
+    val (_, qQv) = quantizeInt8(col(vecCol))
+    val q8 = queries
+      .select(col(idCol).as("qid"), qQv.cast(floatArr).as("_zc_qq"))
+      .withColumn("_zc_qn", sqrt(dot(col("_zc_qq"), col("_zc_qq"))))
+    val scored = c8.crossJoin(broadcast(q8))
+      .where(col("nid") =!= col("qid"))
+      .withColumn("qsim",
+        dot(col("_zc_cq"), col("_zc_qq")) / (col("_zc_qn") * col("_zc_cn")))
+    val shortTk = graft.functions.TopKAgg.topK(shortlist)
+    val short = scored.groupBy(col("qid"))
+      .agg(shortTk(col("qsim"), col("nid")).as("_zc_tk"))
+      .select(col("qid"), explode(col("_zc_tk")).as("_zc_s"))
+      .select(col("qid"), col("_zc_s.id").as("nid"))
+    val cv = corpusVecs.select(col(idCol).as("nid"), col(vecCol).as("_zc_cv"))
+      .join(broadcast(short), "nid")
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("_zc_qv"))
+    val rer = cv.join(broadcast(qv), "qid")
+      .withColumn("sim", cosine(col("_zc_qv"), col("_zc_cv")))
+    boundedTopK(rer, k)
+  }
+
   // --- product quantization (PQ / ADC) -----------------------------
 
   /** Train per-subspace PQ codebooks: `dims` dimensions split into `m`
