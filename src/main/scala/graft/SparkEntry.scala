@@ -962,6 +962,21 @@ object SparkEntry {
     }),
 
     // B13: sliding-frame window — 4-row moving average per user.
+    // B33 (r6): lead/lag/first_value navigation — per-user event deltas
+    // and neighbors over a total (ts, event_id) order.
+    "q_lead_lag" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(
+          col("event_id"), col("user_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+          lead(col("event_id"), 1).over(w).as("next_event"),
+          first(col("event_id")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .as("first_event"))
+        .orderBy("event_id")
+    }),
+
     "q_moving_avg" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -2117,6 +2132,17 @@ object SparkEntry {
          SELECT user_id, session_start_us, n FROM agg
          WHERE session_id < (SELECT max(a2.session_id) FROM agg a2 WHERE a2.user_id = agg.user_id)
          ORDER BY user_id, session_start_us""",
+
+    "q_lead_lag" ->
+      """SELECT event_id, user_id,
+                value - lag(value, 1) OVER w AS delta_prev,
+                lead(event_id, 1) OVER w AS next_event,
+                first_value(event_id) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_event
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         ORDER BY event_id""",
 
     "q_moving_avg" ->
       """SELECT event_id,
