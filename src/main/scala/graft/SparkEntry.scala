@@ -962,6 +962,28 @@ object SparkEntry {
     }),
 
     // B13: sliding-frame window — 4-row moving average per user.
+    // B34 (r6): CUBE grouping sets — all 2^2 aggregation combinations
+    // of (event_type, day bucket) in one pass.
+    "q_cube" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("week", (dayofmonth(col("ts")) / 7).cast("int"))
+        .cube(col("event_type"), col("week"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,2)").cast("double").as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("week").asc_nulls_first)
+    }),
+
+    // B35 (r6): exact interpolated median per group (both engines
+    // define percentile/quantile_cont as linear interpolation on the
+    // sorted set; value is 2-decimal so the arithmetic is exact).
+    "q_median" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("median_value"),
+          expr("percentile(value, 0.9)").as("p90_value"))
+        .orderBy("event_type")
+    }),
+
     // B33 (r6): lead/lag/first_value navigation — per-user event deltas
     // and neighbors over a total (ts, event_id) order.
     "q_lead_lag" -> ((s, dir) => {
@@ -2132,6 +2154,20 @@ object SparkEntry {
          SELECT user_id, session_start_us, n FROM agg
          WHERE session_id < (SELECT max(a2.session_id) FROM agg a2 WHERE a2.user_id = agg.user_id)
          ORDER BY user_id, session_start_us""",
+
+    "q_cube" ->
+      """SELECT event_type, CAST(day(CAST(ts AS TIMESTAMP)) // 7 AS INT) AS week,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY CUBE (event_type, CAST(day(CAST(ts AS TIMESTAMP)) // 7 AS INT))
+         ORDER BY event_type ASC NULLS FIRST, week ASC NULLS FIRST""",
+
+    "q_median" ->
+      """SELECT event_type,
+                quantile_cont(value, 0.5) AS median_value,
+                quantile_cont(value, 0.9) AS p90_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_lead_lag" ->
       """SELECT event_id, user_id,
