@@ -330,6 +330,17 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // A32 (r6): row-level UPDATE — file-granular rewrite like zc_delete:
+    // matching rows get the assignments, NULL/FALSE rows and every file
+    // the skip layers prove unaffected carry through untouched
+    // (Delta/Iceberg UPDATE shape).
+    "zc_update_where" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      c.updateWhere("event_type == 'click' and day >= 10",
+        Map("event_type" -> "'redacted'", "value" -> "-value"))
+      eventsOut(c.query())
+    }),
+
     // A31 (r6): metadata-only axis TTL — partitions whose recorded axis
     // upper bound predates the cutoff drop with zero data IO.
     "zc_expire" -> ((s, dir) => {
@@ -1308,6 +1319,70 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // B36 (Q11-style): important stock — NATION_3 suppliers' per-part
+    // inventory value (qty * retailprice; this schema has no partsupp),
+    // keeping parts above TWICE the national per-part average (the
+    // scale-invariant form of Q11's fraction threshold). The whole
+    // compare stays in exact integer cents (qty is integral, retailprice
+    // 2dp), so Spark and the oracle cannot disagree at the threshold;
+    // the (total, part count) scalar pair is a broadcast.
+    "q11_stock" -> ((s, dir) => {
+      val cents = col("l_quantity").cast("long") *
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+      val perPart = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"))
+        .agg(sum(cents).as("value_cents"))
+      val total = perPart.agg(sum(col("value_cents")).as("tot"), count(lit(1)).as("np"))
+      perPart.crossJoin(broadcast(total))
+        .where(col("value_cents") * col("np") > col("tot") * 2)
+        .select(col("p_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("p_partkey"))
+    }),
+
+    // B37 (Q12-style): shipment priority split per return flag (the
+    // "ship mode" proxy — this schema has no l_shipmode/commitdate):
+    // 1996 shipments, high-priority (URGENT/HIGH) vs lower orders.
+    "q12_priority" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+             sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("flag")
+    }),
+
+    // B38 (Q20-style): excess-stock suppliers — NATION_3 suppliers that
+    // dominate (strictly more than a third of) the 1996 shipped volume
+    // of some PROMO part (partsupp availqty proxied by shipped volume).
+    // The dominance compare stays in exact integer quantity space.
+    "q20_dominant" -> ((s, dir) => {
+      val perSuppPart = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir).where(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sp_qty"))
+      val perPart = perSuppPart.groupBy("l_partkey").agg(sum(col("sp_qty")).as("p_qty"))
+      val dominant = perSuppPart
+        .join(perPart, "l_partkey")
+        .where(col("sp_qty") * 3 > col("p_qty"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    }),
+
     // B4: TPC-H Q6-style selective filter + aggregate.
     "q6_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -1531,6 +1606,17 @@ object SparkEntry {
     "zc_expire" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
          FROM events WHERE day(CAST(ts AS TIMESTAMP)) >= 11 ORDER BY event_id""",
+
+    // SQL UPDATE semantics: assignments apply only where the predicate
+    // is TRUE (NULL/FALSE rows keep their original values).
+    "zc_update_where" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
+                CASE WHEN COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) >= 10, FALSE)
+                     THEN 'redacted' ELSE event_type END AS event_type,
+                CASE WHEN COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) >= 10, FALSE)
+                     THEN -value ELSE value END AS value,
+                props
+         FROM events ORDER BY event_id""",
 
     // SQL DELETE semantics: NULL predicates KEEP the row, hence the
     // COALESCE (graft keeps rows where the predicate is not TRUE).
@@ -2325,6 +2411,44 @@ object SparkEntry {
                            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_shipdate > o_orderdate)
          GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+
+    "q11_stock" ->
+      """WITH pp AS (
+           SELECT p_partkey,
+                  CAST(sum(CAST(l_quantity AS BIGINT) *
+                           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+           FROM lineitem, supplier, nation, part
+           WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             AND n_name = 'NATION_3' AND l_partkey = p_partkey
+           GROUP BY p_partkey)
+         SELECT p_partkey, value_cents FROM pp
+         WHERE value_cents * (SELECT count(*) FROM pp) > 2 * (SELECT sum(value_cents) FROM pp)
+         ORDER BY value_cents DESC, p_partkey""",
+
+    "q12_priority" ->
+      """SELECT l_returnflag AS flag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem, orders
+         WHERE l_orderkey = o_orderkey
+           AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_returnflag ORDER BY flag""",
+
+    "q20_dominant" ->
+      """WITH sp AS (
+           SELECT l_partkey, l_suppkey,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sp_qty
+           FROM lineitem, part
+           WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+             AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY l_partkey, l_suppkey),
+         tot AS (SELECT l_partkey, CAST(sum(sp_qty) AS BIGINT) AS p_qty FROM sp GROUP BY l_partkey)
+         SELECT s_suppkey, s_name, s_acctbal
+         FROM supplier, nation
+         WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+           AND s_suppkey IN (SELECT sp.l_suppkey FROM sp, tot
+                             WHERE sp.l_partkey = tot.l_partkey AND sp_qty * 3 > p_qty)
+         ORDER BY s_suppkey""",
 
     "q10_returns" ->
       """SELECT c_custkey, c_name, c_acctbal,

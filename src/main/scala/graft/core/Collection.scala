@@ -1738,6 +1738,54 @@ final class Collection private (
     affected
   }
 
+  /** Row-level UPDATE (SQL `UPDATE ... SET ... WHERE` semantics): rows
+    * where the predicate is TRUE get `assignments` applied (column →
+    * SQL expression over the row's columns); FALSE and NULL rows — and
+    * every row of every file the skip layers prove cannot match — are
+    * carried through untouched. Like [[deleteWhere]] the rewrite is
+    * FILE-granular: update cost is proportional to the file set whose
+    * stats admit a match, not the collection (the Delta/Iceberg UPDATE
+    * shape — at 100 TB a targeted correction rewrites a handful of
+    * files). Assignments preserve each column's type; the axis and
+    * partition columns cannot be assigned (rows never migrate across
+    * partitions — same contract as [[update]]). One atomic commit pinned
+    * to the read snapshot; rewritten rows get fresh row ids (views must
+    * re-run `update`). Returns the rewritten files. */
+  def updateWhere(filters: String, assignments: Map[String, String]): Seq[String] = {
+    requireWritable()
+    val ast = FilterExpr.parse(filters)
+    require(ast != FilterExpr.True,
+      "updateWhere requires a filter — update() rewrites whole partitions")
+    requireKnownNames(ast)
+    require(assignments.nonEmpty, "updateWhere requires at least one assignment")
+    assignments.keys.foreach { k =>
+      require(schema.fieldNames.contains(k), s"unknown column in assignment: $k")
+      require(!partCols.contains(k) && k != axis,
+        "cannot update the axis or a partition column in place")
+    }
+    val man = currentManifest()
+    val keyBounds = axisKeyBoundsFromFilter(ast)
+    val parts = man.partitionPaths
+      .flatMap(p => decodePath(p).map(k => (p, k)))
+      .filter { case (_, k) => FilterExpr.mayMatch(ast, k.toMap) && keyInRange(k, keyBounds) }
+      .map(_._1)
+    if (parts.isEmpty) return Nil
+    val affected = pruneFilesForRead(man, man.filesForPartitions(parts.toSet), ast)
+    if (affected.isEmpty) return Nil
+    val df = readManifestFiles(man, affected)
+    val matches = FilterExpr.toColumn(ast) <=> lit(true)
+    val out = df.select(schema.fieldNames.toSeq.map { n =>
+      assignments.get(n) match {
+        case Some(e) =>
+          when(matches, expr(e).cast(df.schema(n).dataType)).otherwise(col(n)).as(n)
+        case None => col(n)
+      }
+    }: _*)
+    writeAndCommit(partitioning.assign(out), replaced = Set.empty,
+      base = man, replacedFiles = affected.toSet)
+    affected
+  }
+
   /** Rewrite matching partitions as a fresh, axis-sorted file set — the
     * cure for accumulations of small `Concat`-append files. One atomic
     * manifest swap; readers never observe a half-compacted partition.

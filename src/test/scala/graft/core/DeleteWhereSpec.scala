@@ -132,6 +132,63 @@ class DeleteWhereSpec extends AnyFunSuite {
     assert(c.partitions() == Seq("grp=3"))
   }
 
+  test("updateWhere rewrites only files whose zone maps admit a match") {
+    val c = threeSliceColl(SparkTestSession.tmp("graft-upd-files"))
+    val before = c.currentManifest().files
+    val stats = c.currentManifest().statsForFiles(before)
+    val mustTouch = before.filter { f =>
+      val st = stats(f)("user_id"); st.lo.toLong <= 149 && st.hi.toLong >= 100
+    }.toSet
+    assert(mustTouch.nonEmpty && mustTouch.size < before.size)
+
+    val touched = c.updateWhere("user_id >= 100 and user_id < 150",
+      Map("v" -> "v * 10")).toSet
+    assert(touched == mustTouch,
+      s"expected exactly the stats-admitting files, got $touched vs $mustTouch")
+
+    val after = c.currentManifest().files.toSet
+    (before.toSet -- mustTouch).foreach(f =>
+      assert(after.contains(f), s"untouched file $f must survive the commit"))
+
+    // exactly the matching rows changed; everything else byte-identical
+    val got = c.query().select("id", "v").as[(Long, Double)].collect().toMap
+    ((0L until 50L) ++ (100L until 150L) ++ (200L until 250L)).foreach { i =>
+      val want = if (i >= 100 && i < 150) 10.0 else 1.0
+      assert(got(i) == want, s"row $i: expected v=$want got ${got(i)}")
+    }
+    assert(c.countRows() == 150L, "update must not add or remove rows")
+  }
+
+  test("updateWhere: NULL predicate rows keep their values; types preserved") {
+    val root = SparkTestSession.tmp("graft-upd-null")
+    val df = Seq(
+      (1L, "2024-01-01 08:00:00", Some(5L), "a"),
+      (2L, "2024-01-01 09:00:00", None, "b"),
+      (3L, "2024-01-01 10:00:00", Some(7L), "c"),
+    ).toDF("id", "ts", "user_id", "tag")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+
+    c.updateWhere("user_id == 5", Map("tag" -> "'hit'", "user_id" -> "user_id + 100"))
+    val rows = c.query().select("id", "user_id", "tag")
+      .as[(Long, Option[Long], String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, Some(105L), "hit"), (2L, None, "b"), (3L, Some(7L), "c")))
+    assert(c.schema("user_id").dataType.typeName == "long",
+      "assignment must preserve the column's type")
+  }
+
+  test("updateWhere refuses axis/partition-column assignments and unknown columns") {
+    val c = threeSliceColl(SparkTestSession.tmp("graft-upd-guard"))
+    intercept[IllegalArgumentException](c.updateWhere("user_id == 1", Map("ts" -> "ts")))
+    intercept[IllegalArgumentException](c.updateWhere("user_id == 1", Map("nope" -> "1")))
+    intercept[IllegalArgumentException](c.updateWhere("user_id == 1", Map.empty))
+    intercept[IllegalArgumentException](c.updateWhere(null, Map("v" -> "0.0")))
+    val gen = c.generation
+    assert(c.updateWhere("user_id >= 5000", Map("v" -> "0.0")).isEmpty)
+    assert(c.generation == gen, "a no-op update must not commit")
+  }
+
   test("deleteWhere refuses an empty filter") {
     val c = threeSliceColl(SparkTestSession.tmp("graft-del-guard"))
     intercept[IllegalArgumentException](c.deleteWhere(null))
