@@ -752,6 +752,25 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // C29 (r6): corpus text NORMALIZATION — NFC compose + control strip
+    // + whitespace collapse + trim as ONE fused native codegen
+    // expression (graft.functions.NormalizeText): the cleaning pass an
+    // LLM pipeline runs before fingerprint/dedup so equivalent byte
+    // streams hash identically. Planted mess (combining accents, BEL,
+    // tabs, edge spaces) makes it non-vacuous on the synthetic corpus.
+    "text_normalize" -> ((s, dir) => {
+      import graft.functions.NormalizeText
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("  "), col("text"),
+          when(col("doc_id") % 3 === 0,
+            // decomposed e+COMBINING ACUTE (NFC-composes) and a BEL control
+            lit(" \tcafe\u0301\u0007 end ")).otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id"),
+          NormalizeText.normalizeText(col("text")).as("norm_text"))
+        .withColumn("norm_chars", length(col("norm_text")))
+        .orderBy("doc_id")
+    }),
+
     // C18 (r4): PII REDACTION — emails/IPv4/phones replaced with typed
     // placeholders; patterns live in the Java-regex ∩ RE2 subset so the
     // oracle runs the identical strings. PII is planted deterministically
@@ -993,6 +1012,22 @@ object SparkEntry {
         .agg(expr("percentile(value, 0.5)").as("median_value"),
           expr("percentile(value, 0.9)").as("p90_value"))
         .orderBy("event_type")
+    }),
+
+    // B39 (r6): window distribution functions — quartile bucket,
+    // percent_rank, cume_dist per event type over a total (value,
+    // event_id) order (unique, so ranks are deterministic; the rank
+    // ratios are small-integer divisions, IEEE-identical in both
+    // engines).
+    "q_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir).select(
+          col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("event_id")
     }),
 
     // B33 (r6): lead/lag/first_value navigation — per-user event deltas
@@ -1897,6 +1932,25 @@ object SparkEntry {
          )
          SELECT doc_id FROM train WHERE s NOT IN (SELECT s FROM bench) ORDER BY doc_id""",
 
+    // The fused normalize expression re-stated as composable SQL: NFC,
+    // strip C0-minus-whitespace + DEL, collapse whitespace runs, trim.
+    // chr(101)||chr(769) = decomposed e + combining acute; chr(7) = BEL.
+    "text_normalize" ->
+      """WITH planted AS (
+           SELECT doc_id, '  ' || text ||
+             CASE WHEN doc_id % 3 = 0
+               THEN ' ' || chr(9) || 'caf' || chr(101) || chr(769) || chr(7) || ' end '
+               ELSE '' END AS text
+           FROM documents),
+         norm AS (
+           SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                    '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+                    '[\x09\x0a\x0b\x0c\x0d ]+', ' ', 'g')) AS norm_text
+           FROM planted)
+         SELECT doc_id, norm_text, CAST(length(norm_text) AS INT) AS norm_chars
+         FROM norm ORDER BY doc_id""",
+
     "text_redact" ->
       """WITH planted AS (
            SELECT doc_id, text ||
@@ -2254,6 +2308,15 @@ object SparkEntry {
                 quantile_cont(value, 0.5) AS median_value,
                 quantile_cont(value, 0.9) AS p90_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_ntile" ->
+      """SELECT event_id, event_type,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+         ORDER BY event_id""",
 
     "q_lead_lag" ->
       """SELECT event_id, user_id,

@@ -488,6 +488,30 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("normalize_text: NFC compose, control strip, whitespace collapse, trim") {
+    import graft.functions.NormalizeText
+    // decomposed e+combining acute must NFC-compose to the precomposed
+    // code point; BEL stripped; runs of mixed whitespace collapse; edges trim
+    val messy = "  caf" + "e\u0301" + "\u0007" + " \t\n x  " + "\u000b" + " y\u007f  "
+    val want = "caf\u00e9 x y"
+    val viaExpr = Seq(messy).toDF("t")
+      .select(NormalizeText.normalizeText($"t").as("n")).collect()(0).getString(0)
+    assert(viaExpr == want, s"got ${viaExpr.codePoints().toArray.toSeq}")
+
+    // static helper (interpreted path) agrees with the codegen path
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(NormalizeText.normalize(UTF8String.fromString(messy)).toString == want)
+
+    // null propagates, empty and all-junk strings normalize to empty
+    val r = Seq((Some(""), 1), (None: Option[String], 2), (Some(" \t \u0007 "), 3))
+      .toDF("t", "i").select($"i", NormalizeText.normalizeText($"t").as("n"))
+      .collect().map(x => (x.getInt(0), if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(r(1) == "" && r(2) == null && r(3) == "")
+
+    // idempotent: normalizing a normalized string is a no-op
+    assert(NormalizeText.normalize(UTF8String.fromString(want)).toString == want)
+  }
+
   test("fnv1a64 matches the reference FNV-1a constants") {
     // FNV-1a("") = offset basis; FNV-1a("a") is the published test vector
     val got = Seq(("a")).toDF("t")
