@@ -21,13 +21,13 @@ object Bench {
   val Headline: Seq[String] = Seq(
     "q1_pricing", "q3_shipping", "q5_local", "q6_revenue",
     "q7_volume", "q10_returns", "q18_large",
-    "q_window_topn", "q_asof_join", "q_range_join", "q_sessionize",
+    "q11_stock", "q_window_topn", "q_asof_join", "q_range_join", "q_sessionize",
     "q_semi_anti", "q_rollup",
     "dedup_exact", "dedup_minhash", "dedup_cosine", "ann_bruteforce", "ann_lsh",
     "ann_ivf", "ann_quantize", "ann_int8_rerank",
     "text_quality", "text_tokens",
     "text_quality_filter", "text_decontaminate", "text_redact",
-    "text_sample_split", "text_repetition", "text_pack",
+    "text_sample_split", "text_repetition", "text_pack", "text_normalize",
     "text_chunk", "text_decontaminate_ngram", "text_boilerplate",
     "text_vocab", "text_stratified_sample", "text_token_budget",
     "dedup_simhash_fnv", "dedup_remove_exact",

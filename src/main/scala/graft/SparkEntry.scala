@@ -935,6 +935,22 @@ object SparkEntry {
         .orderBy("hour_start_us")
     }),
 
+    // D10 (r6): SLIDING-window streaming agg — 2-hour windows stepping
+    // hourly, so every event lands in exactly two windows; same
+    // append-once emission contract as stream_window (windows ending at
+    // or before max(ts) emit when the final watermark passes them).
+    "stream_sliding" -> ((s, dir) => {
+      val c = eventsCollection(s, dir)
+      graft.streaming.StreamOps.windowedAggAppendOnce(s, c, "ts", "2 hours",
+        statePartitions = Some(8), slideDuration = Some("1 hour")) { grouped =>
+        grouped.agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,2)").cast("double").as("sum_value"))
+      }
+        .select(unix_micros(col("w.start")).as("win_start_us"), col("n"), col("sum_value"))
+        .orderBy("win_start_us")
+    }),
+
     // D8: full streaming ROUND TRIP — the events collection streamed out
     // through the manifest-consistent source and ingested into a second
     // collection through the exactly-once sink; the destination must
@@ -2260,6 +2276,22 @@ object SparkEntry {
            FROM events GROUP BY 1) t
          WHERE h + INTERVAL 1 HOUR <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
          ORDER BY hour_start_us""",
+
+    // Sliding windows: every event belongs to the window starting at its
+    // hour and the one an hour earlier; append emission keeps windows
+    // whose END is at or before max(ts), as in stream_window.
+    "stream_sliding" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events),
+         assigned AS (
+           SELECT date_trunc('hour', t) AS w, value FROM ev
+           UNION ALL
+           SELECT date_trunc('hour', t) - INTERVAL 1 HOUR AS w, value FROM ev)
+         SELECT epoch_us(w) AS win_start_us, CAST(count(*) AS BIGINT) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+         FROM assigned
+         GROUP BY w
+         HAVING w + INTERVAL 2 HOUR <= (SELECT max(t) FROM ev)
+         ORDER BY win_start_us""",
 
     "q_semi_anti" ->
       """SELECT c_custkey, c_name, c_acctbal

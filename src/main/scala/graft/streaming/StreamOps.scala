@@ -52,6 +52,10 @@ object StreamOps {
     *        (`spark.newSession()`, shared SparkContext + isolated conf),
     *        so concurrent batch queries on the caller's session keep
     *        their own parallelism (ADVICE r2). */
+  /** @param slideDuration when set, SLIDING windows (size
+    *        `windowDuration`, step `slideDuration`): each event lands in
+    *        size/step windows, state stays bounded by the watermark
+    *        exactly as in the tumbling case. None = tumbling. */
   def windowedAggAppendOnce(
       spark: SparkSession,
       c: Collection,
@@ -59,6 +63,7 @@ object StreamOps {
       windowDuration: String,
       watermarkDelay: String = "0 seconds",
       statePartitions: Option[Int] = None,
+      slideDuration: Option[String] = None,
   )(agg: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val session = statePartitions match {
@@ -68,10 +73,14 @@ object StreamOps {
         forked
       case None => spark
     }
+    val win = slideDuration match {
+      case Some(slide) => window(col(timeCol), windowDuration, slide)
+      case None => window(col(timeCol), windowDuration)
+    }
     val q = agg(
         readStream(session, c)
           .withWatermark(timeCol, watermarkDelay)
-          .groupBy(window(col(timeCol), windowDuration).as("w")))
+          .groupBy(win.as("w")))
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(name)
       .start()
