@@ -1046,6 +1046,34 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // B11 (r6 graduation): the SALTED join drives a SQL oracle — the
+    // plain join's aggregate — proving through DuckDB that salting is
+    // semantics-preserving (hot keys spread over 8 reducers, the
+    // replicated side pays 8x, results identical).
+    "q_skew_salted" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val profile = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+      graft.operators.Skew.saltedJoin(
+          ev.select("event_id", "user_id", "value"), profile, "user_id", salts = 8)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), max(col("user_events")).as("user_events"))
+        .orderBy("user_id")
+    }),
+
+    // B40 (r6): explicit GROUPING SETS — a chosen subset of aggregation
+    // levels (by type, by week, grand total) in one pass, the general
+    // form of ROLLUP/CUBE.
+    "q_grouping_sets" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("week", (dayofmonth(col("ts")) / 7).cast("int"))
+      ev.groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("week")), Seq.empty),
+          col("event_type"), col("week"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,2)").cast("double").as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("week").asc_nulls_first)
+    }),
+
     // B33 (r6): lead/lag/first_value navigation — per-user event deltas
     // and neighbors over a total (ts, event_id) order.
     "q_lead_lag" -> ((s, dir) => {
@@ -2340,6 +2368,25 @@ object SparkEntry {
                 quantile_cont(value, 0.5) AS median_value,
                 quantile_cont(value, 0.9) AS p90_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // The salted join must produce exactly the plain join's result.
+    "q_skew_salted" ->
+      """WITH profile AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
+           FROM events GROUP BY user_id)
+         SELECT e.user_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(max(p.user_events) AS BIGINT) AS user_events
+         FROM events e JOIN profile p USING (user_id)
+         GROUP BY e.user_id ORDER BY e.user_id""",
+
+    "q_grouping_sets" ->
+      """SELECT event_type, CAST(week AS INT) AS week,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+         FROM (SELECT event_type, CAST(day(CAST(ts AS TIMESTAMP)) // 7 AS INT) AS week, value
+               FROM events) t
+         GROUP BY GROUPING SETS ((event_type), (week), ())
+         ORDER BY event_type NULLS FIRST, week NULLS FIRST""",
 
     "q_ntile" ->
       """SELECT event_id, event_type,
