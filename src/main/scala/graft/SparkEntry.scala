@@ -935,6 +935,23 @@ object SparkEntry {
         .orderBy("hour_start_us")
     }),
 
+    // D4 (r6 graduation): streaming exact dedup — the full corpus plus a
+    // planted byte-identical duplicate slice (day <= 5, a second Concat
+    // commit) streamed through dropDuplicatesWithinWatermark; survivors
+    // must be exactly the original table, so the oracle is the hard SQL
+    // gate (duplicates are identical rows — survivor choice cannot leak).
+    "stream_dedup" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val c = freshEventsColl(s, dir)
+      c.insert(Tables.events(s, dir).where(dayofmonth(col("ts")) <= 5),
+        MergeStrategy.Concat)
+      val name = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamOps.dedupStream(StreamOps.readStream(s, c), Seq("event_id"), "ts", "60 days")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      eventsOut(s.table(name))
+    }),
+
     // D10 (r6): SLIDING-window streaming agg — 2-hour windows stepping
     // hourly, so every event lands in exactly two windows; same
     // append-once emission contract as stream_window (windows ending at
@@ -1511,6 +1528,12 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "zc_insert_query" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
+
+    // Streaming dedup of planted byte-identical duplicates recovers the
+    // original table exactly.
+    "stream_dedup" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
 
