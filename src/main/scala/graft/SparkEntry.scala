@@ -639,6 +639,18 @@ object SparkEntry {
         .select("qid", "nid", "rank").orderBy("qid", "rank")
     }),
 
+    // C30 (r6): MATRYOSHKA truncated-dimension search — shortlist on the
+    // first 16 of 64 components (a quarter of the vector bytes), exact
+    // full-dimension re-rank of the shortlist only; the MRL serve
+    // pattern (Kusupati et al. 2022). Both stages IEEE-reproducible, so
+    // the oracle replays them exactly.
+    "ann_matryoshka" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ann.Ann.matryoshkaTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+          dPrefix = 16, k = 10, shortlist = 50)
+        .select("qid", "nid", "rank").orderBy("qid", "rank")
+    }),
+
     // C24b (r6): INT8-quantized search + fp32 re-rank — the serve path
     // of the quantized store: integer-exact shortlist (scale factors
     // cancel in cosine, so the quantized score is reproducible
@@ -1843,6 +1855,27 @@ object SparkEntry {
          FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
          ORDER BY a, b""",
+
+    // Matryoshka two-stage replayed exactly: prefix-slice shortlist of
+    // 50, full-dim re-rank to 10; ties break on nid in both stages.
+    "ann_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         ps AS (SELECT q.qid, e.vec_id AS nid,
+                       list_cosine_similarity(list_slice(q.qe, 1, 16),
+                                              list_slice(e.embedding, 1, 16)) AS psim
+                FROM q, embeddings e WHERE e.vec_id <> q.qid),
+         short AS (SELECT qid, nid FROM (
+             SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY psim DESC, nid) AS srank
+             FROM ps) t
+           WHERE srank <= 50),
+         rer AS (SELECT s.qid, s.nid, list_cosine_similarity(q.qe, e.embedding) AS sim
+                 FROM short s, q, embeddings e
+                 WHERE s.qid = q.qid AND s.nid = e.vec_id)
+         SELECT qid, nid, rank FROM (
+           SELECT qid, nid,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+           FROM rer) t
+         WHERE rank <= 10 ORDER BY qid, rank""",
 
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),

@@ -164,6 +164,44 @@ object Ann {
     boundedTopK(rer, k)
   }
 
+  /** Matryoshka-representation search: shortlist on the FIRST `dPrefix`
+    * components only — MRL-trained embeddings front-load information
+    * (Kusupati et al. 2022), so a dPrefix/d fraction of the vector bytes
+    * buys a high-recall shortlist — then exact full-dimension re-rank of
+    * the shortlist alone. Same two-stage scale shape as
+    * [[int8RerankTopK]]: the prefix pass streams the corpus against
+    * broadcast prefix queries (the full vector is DROPPED before the
+    * join, so only dPrefix floats per row cross the stage), both top-k
+    * stages are bounded [[graft.functions.TopKAgg]] aggregations, and
+    * full-precision vectors are deserialized only for the shortlist.
+    * In a stored collection, persist the prefix as its own variable so
+    * the scan itself reads dPrefix/d of the bytes (the A33
+    * projection-pushdown pattern). All arithmetic is the same
+    * IEEE-determined float→double cosine as [[bruteForceTopK]] — sliced
+    * inputs are exact, so any engine reproduces both stages. */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, dPrefix: Int, k: Int, shortlist: Int): DataFrame = {
+    require(dPrefix >= 1, "dPrefix must be >= 1")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_zc_qv"))
+      .withColumn("_zc_qp", slice(col("_zc_qv"), 1, dPrefix))
+    val scored = corpus
+      .select(col(idCol).as("nid"), slice(col(vecCol), 1, dPrefix).as("_zc_cp"))
+      .crossJoin(broadcast(q.select(col("qid"), col("_zc_qp"))))
+      .where(col("nid") =!= col("qid"))
+      .withColumn("psim", cosine(col("_zc_qp"), col("_zc_cp")))
+    val shortTk = graft.functions.TopKAgg.topK(shortlist)
+    val short = scored.groupBy(col("qid"))
+      .agg(shortTk(col("psim"), col("nid")).as("_zc_tk"))
+      .select(col("qid"), explode(col("_zc_tk")).as("_zc_s"))
+      .select(col("qid"), col("_zc_s.id").as("nid"))
+    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("_zc_cv"))
+      .join(broadcast(short), "nid")
+    val rer = cv.join(broadcast(q.select(col("qid"), col("_zc_qv"))), "qid")
+      .withColumn("sim", cosine(col("_zc_qv"), col("_zc_cv")))
+    boundedTopK(rer, k)
+  }
+
   /** LSH bucket id of a vector under `planes` hyperplanes for `table`
     * (one element of the [[LshBuckets]] native expression's output). */
   def lshBucket(vec: Column, table: Int, planes: Int, dims: Int): Column =

@@ -37,7 +37,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: Cli <ls|inspect|describe|query|drop|delete|expire|history|vacuum|compact|compact-plan|zorder|count|prune|backfill-stats> <path> [args...]")
+        "usage: Cli <ls|inspect|describe|query|drop|delete|expire|history|vacuum|compact|compact-plan|zorder|count|prune|backfill-stats|fsck> <path> [args...]")
       sys.exit(2)
     }
     val (cmd, path) = (args(0), args(1))
@@ -114,6 +114,18 @@ object Cli {
       case "backfill-stats" =>
         val c = Collection.open(spark, path)
         println(s"backfilled ${c.backfillStats()} file(s)")
+      case "fsck" =>
+        // integrity pre-flight: Cli fsck <path> [deep]
+        val c = Collection.open(spark, path, readOnly = true)
+        val r = c.fsck(deep = args.lift(2).contains("deep"))
+        println(s"checked ${r.filesChecked} file(s): " +
+          (if (r.clean) "CLEAN" else "CORRUPT"))
+        r.missingFiles.foreach(f => println(s"missing: $f"))
+        r.rowCountMismatches.foreach { case (f, rec, act) =>
+          println(s"row-count mismatch: $f recorded=$rec actual=$act") }
+        r.orphanFiles.foreach(f => println(s"orphan: $f"))
+        if (r.statlessFiles.nonEmpty)
+          println(s"${r.statlessFiles.size} file(s) lack stats (backfill-stats)")
       case other =>
         System.err.println(s"unknown command '$other'"); sys.exit(2)
     } finally spark.stop()

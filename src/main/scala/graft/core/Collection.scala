@@ -705,6 +705,50 @@ final class Collection private (
     doomed
   }
 
+  /** Integrity check of the current snapshot against the filesystem —
+    * the pre-flight a 100 TB deployment runs before betting a training
+    * job on a collection (and after restoring one from a backup).
+    *
+    * Shallow (default): ONE tree listing (O(directories), no per-file
+    * RPCs) diffed against the manifest both ways — files the manifest
+    * references that are gone from disk (`missingFiles`: every read
+    * touching them will fail) and data files no retained snapshot
+    * references (`orphanFiles`: crash leftovers, [[vacuum]] fodder —
+    * files referenced only by retained older generations are NOT
+    * flagged). `statlessFiles` counts files invisible to the skip
+    * layers ([[backfillStats]] fixes them).
+    *
+    * Deep (`deep = true`): additionally re-reads the parquet FOOTERS of
+    * every present file (distributed like [[backfillStats]] past the
+    * driver threshold) and compares actual row counts against the
+    * manifest's recorded counts — catching silently truncated or
+    * swapped files that existence checks cannot see. Footer-only: cost
+    * is one metadata read per file, no data IO. */
+  def fsck(deep: Boolean = false): FsckReport = {
+    val man = currentManifest()
+    val byShard = man.shards.map(e => man.shardData(e))
+    val files = byShard.flatMap(_.files)
+    val onDisk = walkDataFiles().toSet
+    val missing = files.filterNot(onDisk.contains)
+    val retained = generations().takeRight(retainGenerations + 1)
+    val live = retained.flatMap(g =>
+      manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g)).files).toSet
+    val orphans = onDisk.diff(live).toSeq.sorted
+    val statless = byShard.flatMap(d => d.files.filterNot(d.stats.contains))
+    val mismatches =
+      if (!deep) Nil
+      else {
+        val recorded = byShard.flatMap(_.rows).toMap
+        val present = files.filter(onDisk.contains)
+        val (_, actualRows) = fileStats(present)
+        present.flatMap { f =>
+          for (r <- recorded.get(f); a <- actualRows.get(f) if r != a)
+            yield (f, r, a)
+        }
+      }
+    FsckReport(files.size, missing, mismatches, statless, orphans)
+  }
+
   // --- schema evolution --------------------------------------------
 
   /** Add a data variable (reference schema/builder.py add_variable +
@@ -1973,6 +2017,20 @@ final class Collection private (
     }
     false
   }
+}
+
+/** Result of [[Collection.fsck]]: manifest ↔ filesystem consistency.
+  * `rowCountMismatches` entries are `(file, recordedRows, actualRows)`;
+  * populated only by a deep check. */
+final case class FsckReport(
+    filesChecked: Int,
+    missingFiles: Seq[String],
+    rowCountMismatches: Seq[(String, Long, Long)],
+    statlessFiles: Seq[String],
+    orphanFiles: Seq[String]) {
+  /** No reads will fail and no recorded count lies. Orphans and
+    * statless files degrade space/pruning, not correctness. */
+  def clean: Boolean = missingFiles.isEmpty && rowCountMismatches.isEmpty
 }
 
 object Collection {
