@@ -128,6 +128,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L))
   }
 
+  test("matryoshka: full-prefix degenerates to brute force; prefix stage drops the full vector") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where($"vec_id" < 5)
+    // dPrefix = full dimension and shortlist >= corpus: the two-stage
+    // pipeline must reproduce brute force exactly
+    val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("qid", "nid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val mt = Ann.matryoshkaTopK(e, q, "vec_id", "embedding", dPrefix = 64, k = 10, shortlist = 600)
+      .select("qid", "nid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(mt == bf, "full-prefix matryoshka must equal brute force")
+
+    // These embeddings are near-uniform random (no MRL training), so a
+    // quarter prefix carries only its proportional signal share — the
+    // meaningful bound is against the random-shortlist baseline
+    // (50/499 ~ 0.10): observed ~0.44, i.e. the prefix stage genuinely
+    // ranks. MRL-trained embeddings front-load far more.
+    val mt16 = Ann.matryoshkaTopK(e, q, "vec_id", "embedding", dPrefix = 16, k = 10, shortlist = 50)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfPairs = bf.map(t => (t._1, t._2))
+    val recall = mt16.intersect(bfPairs).size.toDouble / bfPairs.size
+    assert(recall >= 0.3, f"quarter-prefix recall $recall%.2f not above the ~0.10 random baseline")
+
+    // scale contract: the prefix scoring stage must not carry the full
+    // 64-float vector across the join — only the 16-element slice
+    val plan = Ann.matryoshkaTopK(e, q, "vec_id", "embedding", 16, 10, 50)
+      .queryExecution.optimizedPlan
+    val stage1 = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.output.exists(_.name == "_zc_cp") => j
+    }
+    assert(stage1.nonEmpty, "expected the prefix cross join in the plan")
+    assert(!stage1.head.output.map(_.name).contains("_zc_cv"),
+      s"prefix stage must not carry the full vector, got ${stage1.head.output.map(_.name)}")
+  }
+
   test("lsh top-k achieves high recall vs brute force on real embeddings") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.where($"vec_id" < 5)
