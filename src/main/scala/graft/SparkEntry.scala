@@ -330,6 +330,19 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // A34 (r6): general MERGE INTO — one atomic commit: the day-10..12
+    // slice re-arrives with negated values (matched -> replaced), plus
+    // the same rows under shifted ids (unmatched -> inserted). SQL MERGE
+    // semantics through the file-granular rewrite machinery.
+    "zc_merge_into" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      val slice = mergeSlice(s, dir)
+      val updates = slice.withColumn("value", -col("value"))
+      val inserts = slice.withColumn("event_id", col("event_id") + 10000000L)
+      c.mergeInto(updates.unionByName(inserts), on = Seq("event_id"))
+      eventsOut(c.query())
+    }),
+
     // A32 (r6): row-level UPDATE — file-granular rewrite like zc_delete:
     // matching rows get the assignments, NULL/FALSE rows and every file
     // the skip layers prove unaffected carry through untouched
@@ -1720,6 +1733,23 @@ object SparkEntry {
     "zc_expire" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
          FROM events WHERE day(CAST(ts AS TIMESTAMP)) >= 11 ORDER BY event_id""",
+
+    // MERGE: slice ids match -> negated value; shifted ids match nothing
+    // -> insert with the original value.
+    "zc_merge_into" ->
+      """WITH slice AS (
+           SELECT * FROM events
+           WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 12
+             AND hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 18)
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                CASE WHEN event_id IN (SELECT event_id FROM slice) THEN -value ELSE value END AS value,
+                props
+         FROM events
+         UNION ALL
+         SELECT event_id + 10000000 AS event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                user_id, event_type, value, props
+         FROM slice
+         ORDER BY event_id""",
 
     // SQL UPDATE semantics: assignments apply only where the predicate
     // is TRUE (NULL/FALSE rows keep their original values).

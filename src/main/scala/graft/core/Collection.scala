@@ -1830,6 +1830,118 @@ final class Collection private (
     affected
   }
 
+  /** General MERGE (Delta/Iceberg `MERGE INTO` shape): join `source`
+    * against the collection on `on` equality (SQL semantics — NULL keys
+    * never match) and, in ONE atomic commit:
+    *   - matched target rows get `whenMatched` (replace with the source
+    *     row, assign expressions, or delete);
+    *   - unmatched target rows carry through;
+    *   - unmatched source rows insert (`insertUnmatched = false` drops
+    *     them).
+    *
+    * FILE-granular like [[deleteWhere]]/[[updateWhere]]: the source's
+    * per-key [min,max] bounds compile to a range filter and the skip
+    * layers prove which files cannot hold a matching key — everything
+    * else carries over BY NAME. Declare the merge keys in
+    * `statsColumns` at create time or the prune has nothing to cut and
+    * the merge rewrites every candidate partition (the same contract as
+    * Delta's file-pruning MERGE). The rewrite join is a full-outer over
+    * ONLY the affected files plus the source — its shuffle is bounded
+    * by the source key spread, not the collection.
+    *
+    * `source` must carry the collection's full schema. It must be
+    * UNIQUE on the key columns (checked; ambiguous multi-match MERGE is
+    * an error, as in ANSI/Delta). [[WhenMatched.Update]] expressions
+    * may reference target columns as `t.<col>` and source columns as
+    * `s.<col>`; assigned columns keep their types; the axis and
+    * partition columns cannot be assigned (inserted rows, by contrast,
+    * land wherever their own axis says). Returns the rewritten files. */
+  def mergeInto(source: DataFrame, on: Seq[String],
+                whenMatched: WhenMatched = WhenMatched.UpdateAll,
+                insertUnmatched: Boolean = true): Seq[String] = {
+    requireWritable()
+    require(on.nonEmpty, "mergeInto requires at least one key column")
+    on.foreach(k => require(schema.fieldNames.contains(k), s"unknown key column: $k"))
+    whenMatched match {
+      case WhenMatched.Update(as) =>
+        require(as.nonEmpty, "WhenMatched.Update requires at least one assignment")
+        as.keys.foreach { k =>
+          require(schema.fieldNames.contains(k), s"unknown column in assignment: $k")
+          require(!partCols.contains(k) && k != axis,
+            "cannot update the axis or a partition column in place")
+          require(!on.contains(k), s"cannot assign merge key '$k'")
+        }
+      case _ => ()
+    }
+    val src = source.select(schema.fieldNames.toSeq.map(col): _*)
+    // One source pass: duplicate-key guard + per-key bounds for pruning.
+    val keysNonNull = on.map(col(_).isNotNull).reduce(_ && _)
+    val aggs =
+      sum(when(keysNonNull, 1L).otherwise(0L)).as("_zc_n") +:
+      count_distinct(col(on.head), on.tail.map(col): _*).as("_zc_nk") +:
+      on.flatMap(k => Seq(min(col(k)).as(s"_zc_lo_$k"), max(col(k)).as(s"_zc_hi_$k")))
+    val srow = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+    require(srow.getLong(0) == srow.getLong(1),
+      s"mergeInto source must be unique on (${on.mkString(", ")}): " +
+      s"${srow.getLong(0)} keyed rows, ${srow.getLong(1)} distinct keys")
+    // Source key bounds → a range ast the file skip layers understand.
+    // Non-literal-typed keys (e.g. timestamps) contribute no constraint.
+    def lit2(v: Any): Option[Any] = v match {
+      case i: Int    => Some(i.toLong)
+      case l: Long   => Some(l)
+      case s: String => Some(s)
+      case d: Double => Some(d)
+      case f: Float  => Some(f.toDouble)
+      case _         => None
+    }
+    val ranges: Seq[FilterExpr.Ast] = on.flatMap { k =>
+      val lo = Option(srow.getAs[Any](s"_zc_lo_$k")).flatMap(lit2)
+      val hi = Option(srow.getAs[Any](s"_zc_hi_$k")).flatMap(lit2)
+      for (l <- lo; h <- hi) yield FilterExpr.And(
+        FilterExpr.Cmp(">=", FilterExpr.Name(k), FilterExpr.Lit(l)),
+        FilterExpr.Cmp("<=", FilterExpr.Name(k), FilterExpr.Lit(h)))
+    }
+    val ast = ranges.reduceOption(FilterExpr.And).getOrElse(FilterExpr.True)
+    val man = currentManifest()
+    val affected =
+      if (srow.getLong(0) == 0L) Nil // all-null-key source: nothing matches
+      else pruneFilesForRead(man, man.files, ast)
+    if (affected.isEmpty && !insertUnmatched) return Nil
+    val out: DataFrame =
+      if (affected.isEmpty) src
+      else {
+        val tgt = readManifestFiles(man, affected)
+          .select(schema.fieldNames.toSeq.map(col): _*)
+          .withColumn("_zc_tp", lit(true)).alias("t")
+        val s = src.withColumn("_zc_sp", lit(true)).alias("s")
+        val cond = on.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+        val j = tgt.join(s, cond, "full_outer")
+        val tPresent = col("t._zc_tp").isNotNull
+        val sPresent = col("s._zc_sp").isNotNull
+        val keep = whenMatched match {
+          case WhenMatched.Delete => (tPresent && !sPresent) || (!tPresent && lit(insertUnmatched))
+          case _                  => tPresent || lit(insertUnmatched)
+        }
+        val fields = StructType(readSchemaFields(schema))
+        j.where(keep).select(schema.fieldNames.toSeq.map { n =>
+          val fromEither = when(tPresent, col(s"t.$n")).otherwise(col(s"s.$n"))
+          (whenMatched match {
+            case WhenMatched.UpdateAll =>
+              when(sPresent, col(s"s.$n")).otherwise(col(s"t.$n"))
+            case WhenMatched.Update(as) => as.get(n) match {
+              case Some(e) => when(tPresent && sPresent,
+                  expr(e).cast(fields(n).dataType)).otherwise(fromEither)
+              case None => fromEither
+            }
+            case WhenMatched.Delete => fromEither
+          }).as(n)
+        }: _*)
+      }
+    writeAndCommit(partitioning.assign(out), replaced = Set.empty,
+      base = man, replacedFiles = affected.toSet)
+    affected
+  }
+
   /** Rewrite matching partitions as a fresh, axis-sorted file set — the
     * cure for accumulations of small `Concat`-append files. One atomic
     * manifest swap; readers never observe a half-compacted partition.
@@ -2017,6 +2129,19 @@ final class Collection private (
     }
     false
   }
+}
+
+/** Matched-row action for [[Collection.mergeInto]]. */
+sealed trait WhenMatched
+object WhenMatched {
+  /** Replace the matched target row with the source row. */
+  case object UpdateAll extends WhenMatched
+  /** Assign `column -> SQL expression`; expressions reference target
+    * columns as `t.<col>` and source columns as `s.<col>`. Unassigned
+    * columns keep the target value. */
+  final case class Update(assignments: Map[String, String]) extends WhenMatched
+  /** Remove matched target rows. */
+  case object Delete extends WhenMatched
 }
 
 /** Result of [[Collection.fsck]]: manifest ↔ filesystem consistency.
