@@ -777,6 +777,28 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // C31 (r6): URL extraction + canonicalization — the web-corpus
+    // pre-dedup pass: tracking params, default ports, fragments and
+    // trailing slashes collapse, so one page = one key. Planted URLs
+    // (mixed-case host, :443, utm_*, #frag, slash variants) make the
+    // check non-vacuous; the two blog variants MUST normalize equal.
+    "text_urls" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit(" Visit https://Ex.COM:443/a/b?utm_source=x&q=1#frag now")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0,
+            lit(" see http://blog.example.org/post/ and http://blog.example.org/post?utm_campaign=z"))
+            .otherwise(lit(""))).as("text"))
+      planted
+        .select(col("doc_id"), posexplode(TextFunctions.urls(col("text"))).as(Seq("pos", "url")))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          TextFunctions.normalizeUrl(col("url")).as("url_norm"),
+          TextFunctions.urlDomain(col("url")).as("domain"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // C29 (r6): corpus text NORMALIZATION — NFC compose + control strip
     // + whitespace collapse + trim as ONE fused native codegen
     // expression (graft.functions.NormalizeText): the cleaning pass an
@@ -2061,6 +2083,33 @@ object SparkEntry {
            FROM documents WHERE doc_id % 10 = 0
          )
          SELECT doc_id FROM train WHERE s NOT IN (SELECT s FROM bench) ORDER BY doc_id""",
+
+    // Same regexes, RE2 side; DuckDB regexp_replace needs the explicit
+    // 'g' flag where multiple occurrences exist (utm params).
+    "text_urls" ->
+      """WITH planted AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 4 = 0 THEN ' Visit https://Ex.COM:443/a/b?utm_source=x&q=1#frag now' ELSE '' END ||
+             CASE WHEN doc_id % 6 = 0 THEN ' see http://blog.example.org/post/ and http://blog.example.org/post?utm_campaign=z' ELSE '' END AS text
+           FROM documents),
+         ex AS (
+           SELECT doc_id, regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?') AS us
+           FROM planted),
+         rows_ AS (
+           SELECT doc_id, CAST(g - 1 AS INT) AS pos, us[g] AS url
+           FROM ex, (SELECT unnest(generate_series(1, 16)) AS g) s
+           WHERE g <= len(us)),
+         parts AS (
+           SELECT doc_id, pos, regexp_replace(url, '#.*$', '') AS nofrag FROM rows_)
+         SELECT doc_id, pos,
+                lower(regexp_extract(nofrag, '^(https?)://', 1)) || '://' ||
+                regexp_replace(lower(regexp_extract(nofrag, '^https?://([^/?#]+)', 1)), ':(80|443)$', '') ||
+                regexp_replace(regexp_replace(regexp_replace(
+                  regexp_extract(nofrag, '^https?://[^/?#]+(.*)$', 1),
+                  'utm_[A-Za-z_]+=[^&]*&?', '', 'g'), '[?&]$', ''), '/$', '') AS url_norm,
+                regexp_extract(lower(regexp_extract(nofrag, '^https?://([^/?#]+)', 1)),
+                  '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)(?::[0-9]+)?$', 1) AS domain
+         FROM parts ORDER BY doc_id, pos""",
 
     // The fused normalize expression re-stated as composable SQL: NFC,
     // strip C0-minus-whitespace + DEL, collapse whitespace runs, trim.

@@ -24,6 +24,39 @@ object TextFunctions {
   val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
   def bpeTokenCount(c: Column): Column = size(regexp_extract_all(c, lit(BpePattern), lit(0)))
 
+  /** URL occurrences (http/https) — the Java-regex ∩ RE2 subset, so an
+    * oracle can run the identical pattern. */
+  val UrlPattern = "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\\s]*)?"
+  def urls(c: Column): Column = regexp_extract_all(c, lit(UrlPattern), lit(0))
+
+  /** Canonical URL for web-corpus dedup (the crawl-pipeline convention:
+    * the same page under tracking params / default ports / trailing
+    * slashes must collapse to one key): lowercase scheme and host,
+    * strip a default :80/:443 port, drop the #fragment, remove `utm_*`
+    * tracking params, strip one trailing slash. Pure codegen'd
+    * regex/string ops; every pattern avoids replacement group refs so
+    * Java and RE2 engines agree byte-for-byte. */
+  def normalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^(https?)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(noFrag, "^https?://([^/?#]+)", 1)), ":(80|443)$", "")
+    val rest = regexp_replace(
+      regexp_replace(
+        regexp_replace(regexp_extract(noFrag, "^https?://[^/?#]+(.*)$", 1),
+          "utm_[A-Za-z_]+=[^&]*&?", ""),
+        "[?&]$", ""),
+      "/$", "")
+    concat(scheme, lit("://"), host, rest)
+  }
+
+  /** Approximate registered domain: the last two host labels (a public-
+    * suffix list would refine multi-label TLDs; declared approximation). */
+  def urlDomain(u: Column): Column =
+    regexp_extract(
+      lower(regexp_extract(u, "^https?://([^/?#]+)", 1)),
+      "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)(?::[0-9]+)?$", 1)
+
   /** Fraction of tokens found in `words`. */
   def stopwordRatio(c: Column, words: Seq[String]): Column = {
     val toks = tokens(c)
