@@ -1094,6 +1094,25 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // B41 (r6): argmin/argmax aggregates — the event carrying each
+    // user's extreme value, without a self-join or window. Ties break
+    // deterministically through ONE integral ordering key,
+    // cents(value) * 1e9 + event_id (value is 2-decimal — the lossless
+    // DECIMAL(18,2) cast recovers exact cents in both engines; DuckDB's
+    // arg_max takes no composite key, hence the encoding).
+    "q_minmax_by" -> ((s, dir) => {
+      val key = (col("value").cast("decimal(18,2)") * 100).cast("long") *
+        lit(1000000000L) + col("event_id")
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_id"), key).as("max_event"),
+          min_by(col("event_id"), key).as("min_event"),
+          max(col("value")).as("max_value"),
+          min(col("value")).as("min_value"))
+        .orderBy("user_id")
+    }),
+
     // B39 (r6): window distribution functions — quartile bucket,
     // percent_rank, cume_dist per event type over a total (value,
     // event_id) order (unique, so ranks are deterministic; the rank
@@ -1136,6 +1155,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("decimal(38,2)").cast("double").as("sum_value"))
         .orderBy(col("event_type").asc_nulls_first, col("week").asc_nulls_first)
+    }),
+
+    // B42 (r6): time-series GAP FILL (LOCF) — each user's hourly grid
+    // from first to last observation, missing buckets carrying the last
+    // observed value forward: the resample/ffill shape of the
+    // reference's altimetry time-series domain (bucket stat = max, so
+    // no cross-engine arithmetic; grid explode bounded by the span).
+    "q_gap_fill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      val hourly = ev.groupBy("user_id", "h").agg(max(col("value")).as("v"))
+      val grid = hourly.groupBy("user_id").agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(col("user_id"), explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("h")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.join(hourly, Seq("user_id", "h"), "left_outer")
+        .select(col("user_id"), unix_micros(col("h")).as("hour_us"),
+          last(col("v"), ignoreNulls = true).over(w).as("value_filled"),
+          col("v").isNotNull.as("observed"))
+        .orderBy("user_id", "hour_us")
     }),
 
     // B33 (r6): lead/lag/first_value navigation — per-user event deltas
@@ -2503,6 +2543,27 @@ object SparkEntry {
                 quantile_cont(value, 0.5) AS median_value,
                 quantile_cont(value, 0.9) AS p90_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_gap_fill" ->
+      """WITH hourly AS (
+           SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, max(value) AS v
+           FROM events GROUP BY user_id, h),
+         bounds AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY user_id),
+         grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+         j AS (SELECT g.user_id, g.h, hourly.v
+               FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h)
+         SELECT user_id, epoch_us(h) AS hour_us,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+                v IS NOT NULL AS observed
+         FROM j ORDER BY user_id, hour_us""",
+
+    "q_minmax_by" ->
+      """SELECT user_id,
+                arg_max(event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000000 + event_id) AS max_event,
+                arg_min(event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000000 + event_id) AS min_event,
+                max(value) AS max_value, min(value) AS min_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     // The salted join must produce exactly the plain join's result.
     "q_skew_salted" ->
