@@ -343,6 +343,32 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // D11 (r6): CDC CHANGE FEED — the row-level diff between the
+    // pre-update and post-update snapshots. The update's file-granular
+    // rewrite replaces whole files; rows carried through unchanged
+    // cancel in the multiset diff, so exactly the updated rows surface:
+    // a 'delete' carrying the old value and an 'insert' carrying the
+    // new one (Delta CDF table_changes, computed not stored).
+    "zc_changes" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val root = s"$scratch/cdc-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, ev.schema, "ts",
+        DatePartitioning("ts", "D"), overwrite = true,
+        retainGenerations = 4) // CDC needs the from-snapshot readable
+      c.insert(ev)
+      val g0 = c.generation
+      // the assignment must ALWAYS change the row: an update that maps a
+      // row onto itself (e.g. negating a 0.0) correctly cancels in the
+      // diff, which the static SQL oracle can't express row-by-row
+      c.updateWhere("event_type == 'click' and day >= 10",
+        Map("event_type" -> "'cdc_update'"))
+      c.changes(g0, c.generation)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select("event_id", "ts_us", "user_id", "event_type", "value",
+          "props", "_change_type")
+        .orderBy("event_id", "_change_type")
+    }),
+
     // A32 (r6): row-level UPDATE — file-granular rewrite like zc_delete:
     // matching rows get the assignments, NULL/FALSE rows and every file
     // the skip layers prove unaffected carry through untouched
@@ -1812,6 +1838,22 @@ object SparkEntry {
                 user_id, event_type, value, props
          FROM slice
          ORDER BY event_id""",
+
+    // CDC: exactly the updated rows, as delete-of-old + insert-of-new.
+    // The update predicate is `event_type == 'click' and day >= 10`
+    // (NULL/FALSE rows don't change, so they never appear in the feed).
+    "zc_changes" ->
+      """WITH hit AS (
+           SELECT * FROM events
+           WHERE COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) >= 10, FALSE))
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
+                'cdc_update' AS event_type, value, props, 'insert' AS _change_type
+         FROM hit
+         UNION ALL
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                value, props, 'delete' AS _change_type
+         FROM hit
+         ORDER BY event_id, _change_type""",
 
     // SQL UPDATE semantics: assignments apply only where the predicate
     // is TRUE (NULL/FALSE rows keep their original values).

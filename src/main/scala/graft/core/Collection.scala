@@ -866,6 +866,57 @@ final class Collection private (
       .select(dataSchema.fieldNames.toSeq.map(col): _*)
   }
 
+  /** CHANGE FEED (CDC): the exact row-level difference between two
+    * committed snapshots, computed FILE-granularly — only files ADDED or
+    * REMOVED between the generations are ever read; untouched files cost
+    * nothing. The dominant append-only history therefore reads exactly
+    * the new files with no diffing at all, and a file-granular
+    * `deleteWhere`/`updateWhere`/`mergeInto`/compaction pays one
+    * multiset difference (`exceptAll`, a hash aggregate) bounded by its
+    * own rewritten files: rows carried unchanged through a rewrite
+    * appear on both sides and cancel, so only genuinely inserted /
+    * deleted rows surface (an in-place update = one delete + one
+    * insert). This is the Delta CDF `table_changes` shape COMPUTED
+    * rather than stored — graft trades a diff read over rewritten files
+    * at CDC-query time for zero per-commit change-file writes, the
+    * right side of the trade for append-mostly analytics collections.
+    *
+    * Both sides read under `toGen`'s schema and fill values, so the
+    * consumer sees one schema across the range (columns added in the
+    * range surface as their fill/null in delete rows; dropped columns
+    * are absent). Requires the `fromGen` snapshot still readable:
+    * replaced files must not be GC'd yet (set [[retainGenerations]] on
+    * collections that serve CDC) — a reclaimed snapshot fails at scan
+    * time with the missing path.
+    *
+    * Result: the to-schema data columns plus `_change_type`
+    * (`'insert' | 'delete'`). Partition-derived columns and row ids are
+    * not content (rewrites reassign them) and are excluded from the
+    * diff. */
+  def changes(fromGen: Long, toGen: Long): DataFrame = {
+    val gens = generations()
+    require(gens.contains(fromGen), s"no committed generation $fromGen at $root")
+    require(gens.contains(toGen), s"no committed generation $toGen at $root")
+    require(fromGen <= toGen, s"fromGen $fromGen must not exceed toGen $toGen")
+    val mFrom = manifestAt(fromGen)
+    val mTo = manifestAt(toGen)
+    val before = mFrom.files.toSet
+    val after = mTo.files.toSet
+    val removed = mFrom.files.filterNot(after)
+    val added = mTo.files.filterNot(before)
+    val toSchema = StructType.fromDDL(mTo.schemaDdl)
+    val cols = toSchema.fieldNames.toSeq.map(col)
+    def side(files: Seq[String]): DataFrame =
+      readManifestFiles(mTo, files, schemaOverride = Some(toSchema)).select(cols: _*)
+    val ins = side(added)
+    val del = side(removed)
+    ins.exceptAll(del).withColumn(ChangeTypeCol, lit("insert"))
+      .unionByName(del.exceptAll(ins).withColumn(ChangeTypeCol, lit("delete")))
+  }
+
+  /** [[changes]] from `gen` to the current head. */
+  def changesSince(gen: Long): DataFrame = changes(gen, generation)
+
   /** Read matching partitions, reference base.py:526-595. `filters` is the
     * partition-filter expression; `variables` an optional projection. The
     * result carries exactly the declared data columns (partition-derived
@@ -2171,6 +2222,8 @@ object Collection {
   val StageDir = "_stage"
   /** Hidden per-partition row id, the positional key for View overlays. */
   val RowIdCol = "_zc_row"
+  /** [[Collection.changes]]' change-kind column: `'insert' | 'delete'`. */
+  val ChangeTypeCol = "_change_type"
   /** On-disk format version this build reads and writes; `open` refuses a
     * NEWER format instead of silently mis-reading it (reference
     * schema/versioning.py FORMAT_VERSION). */
