@@ -621,6 +621,26 @@ object SparkEntry {
     // C18b (r6): END-TO-END dedup removal — pairs -> connected groups ->
     // keep the min-id representative, singletons survive. On exact-dup
     // classes the survivor set is SQL-provable: min doc_id per text.
+    // C32 (r6): INCREMENTAL dedup against a PERSISTED fingerprint index
+    // — the continuously-ingesting corpus shape: index 2/3 of the docs,
+    // then dedup a batch of the remaining third plus re-ingested copies
+    // of indexed texts (shifted ids). Copies drop via the index; the
+    // fresh third survives keep-first-within-batch. The index read is
+    // partition-pruned to the batch's buckets; the corpus text behind
+    // the index is never touched.
+    "dedup_incremental" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val root = s"$scratch/fpidx-${java.util.UUID.randomUUID().toString.take(8)}"
+      val idx = Dedup.buildFingerprintIndex(s, root,
+        docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text", nBuckets = 16)
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .unionByName(docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.dedupAgainstIndex(idx, batch, "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "dedup_remove_exact" -> ((s, dir) => {
       val d = plantedDocs(s, dir).select("doc_id", "text")
       val pairs = graft.dedup.Dedup.exactPairs(d, "doc_id", col("text"), cap = 50)
@@ -2024,6 +2044,24 @@ object SparkEntry {
     // Survivors of exact-dup removal: the min doc_id of each text class
     // (keepRepresentatives keeps min-id per connected group; exact pairs
     // connect precisely the equal-text classes).
+    // The index/batch key is the FNV-1a fingerprint of the NORMALIZED
+    // text (lower + whitespace collapse); the oracle groups by the
+    // normalized text itself — identical partitions absent a 64-bit
+    // collision inside this fixed corpus (the gate proves there is none).
+    "dedup_incremental" ->
+      """WITH f AS (
+           SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents),
+         idx AS (SELECT DISTINCT s FROM f WHERE doc_id % 3 <> 0),
+         batch AS (
+           SELECT doc_id, s FROM f WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, s FROM f
+           WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0),
+         keep AS (SELECT s, min(doc_id) AS doc_id FROM batch GROUP BY s)
+         SELECT doc_id FROM keep WHERE s NOT IN (SELECT s FROM idx)
+         ORDER BY doc_id""",
+
     "dedup_remove_exact" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

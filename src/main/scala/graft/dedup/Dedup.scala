@@ -328,4 +328,94 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
   }
+
+  // ------- persisted fingerprint index: incremental exact dedup -------
+
+  /** Attrs key holding the index's bucket count (written by
+    * [[buildFingerprintIndex]], read back by [[dedupAgainstIndex]]). */
+  val IndexBucketsAttr = "fingerprint.buckets"
+
+  private def fpIndexRows(docs: DataFrame, idCol: String, textCol: String,
+                          nBuckets: Int): DataFrame =
+    docs
+      .select(graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
+        col(idCol).cast("long").as("doc_id"))
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select(pmod(col("fp"), lit(nBuckets.toLong)).as("bucket"),
+        col("fp"), col("doc_id"))
+
+  /** Build a PERSISTED fingerprint index — the "have I seen this text
+    * before" service of a continuously-ingesting corpus. Stores one
+    * `(bucket, fp, doc_id)` row per distinct normalized-text FNV-1a
+    * fingerprint (`doc_id` = the min representative), as a graft
+    * collection Sequence-partitioned on `bucket = fp mod nBuckets`.
+    *
+    * Scale shape: the index row is 24 bytes/doc — a 10^10-doc corpus
+    * indexes in ~240 GB regardless of text size, and the bucket
+    * partitioning means an incremental batch reads only the buckets its
+    * own fingerprints hash into ([[dedupAgainstIndex]]). Building is one
+    * fingerprint map pass + one `groupBy(fp)` shuffle. */
+  def buildFingerprintIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+                            docs: DataFrame, idCol: String, textCol: String,
+                            nBuckets: Int = 64): graft.core.Collection = {
+    require(nBuckets >= 1, s"nBuckets must be positive; got $nBuckets")
+    val rows = fpIndexRows(docs, idCol, textCol, nBuckets)
+    val c = graft.core.Collection.create(spark, root, rows.schema, "fp",
+      graft.core.SequencePartitioning(Seq("bucket"), "fp"), overwrite = true,
+      attrs = Map(IndexBucketsAttr -> nBuckets.toString))
+    c.insert(rows)
+    c
+  }
+
+  /** Append `docs`' fingerprints to an existing index (call with the
+    * survivors a [[dedupAgainstIndex]] pass accepted). Keep-first
+    * semantics: a fingerprint already present keeps its original
+    * representative — only genuinely new fingerprints land, in one
+    * commit whose read side is bounded to the touched buckets. The
+    * existence check and the insert are two steps: concurrent appenders
+    * can both admit the same fp (a duplicate index ROW, never a wrong
+    * dedup verdict — [[dedupAgainstIndex]] tests existence only). */
+  def appendFingerprints(index: graft.core.Collection, docs: DataFrame,
+                         idCol: String, textCol: String): Seq[String] = {
+    val nBuckets = index.attrs(IndexBucketsAttr).toInt
+    val rows = fpIndexRows(docs, idCol, textCol, nBuckets)
+    val buckets = rows.select("bucket").distinct().collect().map(_.getLong(0)).sorted
+    if (buckets.isEmpty) return Nil
+    val existing = index.query(s"bucket in (${buckets.mkString(", ")})", Seq("fp"))
+    index.insert(rows.join(existing, Seq("fp"), "left_anti"),
+      graft.core.MergeStrategy.Concat)
+  }
+
+  /** INCREMENTAL exact dedup of a new batch against a persisted
+    * [[buildFingerprintIndex]] collection: drop batch docs whose
+    * normalized-text fingerprint is already indexed; within the batch
+    * keep the smallest-`idCol` doc per fingerprint (the arrival-order
+    * keep-first of [[exact]]).
+    *
+    * Scale shape: the batch's fingerprints bucket into at most
+    * `nBuckets` values, and the index read carries `bucket in (...)`
+    * — the collection's partition pruning opens ONLY those buckets'
+    * shards and files, and column pruning reads only the `fp` column of
+    * what it opens. The anti-join then shuffles just those index
+    * fingerprints against the (small) batch: incremental cost follows
+    * the BATCH, not the corpus. The 100 TB corpus behind the index is
+    * never touched — dedup needs its 8-byte fingerprints, not its
+    * text. */
+  def dedupAgainstIndex(index: graft.core.Collection, batch: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    val nBuckets = index.attrs.getOrElse(IndexBucketsAttr,
+      throw new IllegalArgumentException(
+        s"collection at ${index.root} is not a fingerprint index " +
+        s"(missing '$IndexBucketsAttr' attr)")).toInt
+    val withFp = batch.withColumn("_zc_fp",
+      graft.functions.TextFunctions.fingerprint(col(textCol)))
+    val kept = exact(withFp, Seq("_zc_fp"), keepCol = idCol)
+    // the batch's touched buckets: bounded by nBuckets, tiny on the driver
+    val buckets = withFp
+      .select(pmod(col("_zc_fp"), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (buckets.isEmpty) return batch.limit(0)
+    val idx = index.query(s"bucket in (${buckets.mkString(", ")})", Seq("fp"))
+    kept.join(idx, kept("_zc_fp") === idx("fp"), "left_anti").drop("_zc_fp")
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+
+/** Persisted fingerprint index + incremental exact dedup (round 6).
+  *
+  * The contract: [[Dedup.buildFingerprintIndex]] stores one
+  * `(bucket, fp, doc_id)` row per distinct normalized-text fingerprint;
+  * [[Dedup.dedupAgainstIndex]] drops batch docs whose fingerprint is
+  * indexed (keep-first within the batch) while reading ONLY the buckets
+  * the batch hashes into; [[Dedup.appendFingerprints]] admits only new
+  * fingerprints, preserving original representatives.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("end-to-end: indexed texts drop, fresh texts survive keep-first") {
+    val idx = Dedup.buildFingerprintIndex(spark,
+      SparkTestSession.tmp("graft-fpidx-e2e"),
+      docs(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "epsilon"),
+      "doc_id", "text", nBuckets = 4)
+
+    val batch = docs(
+      10L -> "ALPHA   beta", // normalizes to an indexed text -> drop
+      11L -> "fresh one",
+      12L -> "fresh one",    // within-batch dup -> keep 11 only
+      13L -> "epsilon",      // indexed -> drop
+      14L -> "fresh two")
+    val out = Dedup.dedupAgainstIndex(idx, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(11L, 14L), s"survivors: $out")
+  }
+
+  test("the index read is partition-pruned to the batch's buckets") {
+    // 40 distinct texts spread over 8 buckets; a one-doc batch touches
+    // exactly the bucket its fingerprint hashes into
+    val corpus = docs((1L to 40L).map(i => i -> s"document number $i"): _*)
+    val idx = Dedup.buildFingerprintIndex(spark,
+      SparkTestSession.tmp("graft-fpidx-prune"), corpus, "doc_id", "text",
+      nBuckets = 8)
+    val allParts = idx.partitions().length
+    assert(allParts > 4, s"test needs a spread index, got $allParts partitions")
+
+    val one = docs(99L -> "document number 7")
+    val fp = one.select(graft.functions.TextFunctions.fingerprint(col("text")))
+      .collect()(0).getLong(0)
+    val bucket = java.lang.Math.floorMod(fp, 8L)
+    val report = idx.explainPruning(s"bucket in ($bucket)")
+    assert(report.partitionsKept == 1,
+      s"one-bucket filter must keep exactly one partition: $report")
+    assert(Dedup.dedupAgainstIndex(idx, one, "doc_id", "text").count() == 0)
+  }
+
+  test("appendFingerprints: new fps land, existing keep their original representative") {
+    val idx = Dedup.buildFingerprintIndex(spark,
+      SparkTestSession.tmp("graft-fpidx-append"),
+      docs(5L -> "kept text"), "doc_id", "text", nBuckets = 4)
+
+    Dedup.appendFingerprints(idx,
+      docs(50L -> "kept text", 51L -> "new text"), "doc_id", "text")
+
+    val rows = idx.query().select("fp", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.size == 2, s"exactly two fingerprints expected: $rows")
+    assert(rows.values.toSet == Set(5L, 51L),
+      s"'kept text' must keep representative 5, got ${rows.values.toSet}")
+
+    // idempotent: a replayed append admits nothing
+    Dedup.appendFingerprints(idx, docs(60L -> "new text"), "doc_id", "text")
+    assert(idx.query().count() == 2)
+  }
+
+  test("a non-index collection refuses loudly") {
+    val df = docs(1L -> "x").withColumn("fp", lit(1L)).withColumn("bucket", lit(0L))
+    val c = graft.core.Collection.create(spark,
+      SparkTestSession.tmp("graft-fpidx-refuse"), df.schema, "fp",
+      graft.core.SequencePartitioning(Seq("bucket"), "fp"))
+    c.insert(df)
+    intercept[IllegalArgumentException](
+      Dedup.dedupAgainstIndex(c, docs(2L -> "y"), "doc_id", "text"))
+  }
+}
