@@ -1033,6 +1033,32 @@ object SparkEntry {
     // commit) streamed through dropDuplicatesWithinWatermark; survivors
     // must be exactly the original table, so the oracle is the hard SQL
     // gate (duplicates are identical rows — survivor choice cannot leak).
+    // D12 (r6): STREAMING change feed — snapshot batch (all inserts) +
+    // one update commit streamed as delete-old/insert-new records; the
+    // feed's union is fully SQL-decidable.
+    "stream_changes" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val ev = Tables.events(s, dir)
+      val root = s"$scratch/cdcs-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, ev.schema, "ts",
+        DatePartitioning("ts", "D"), overwrite = true, retainGenerations = 4)
+      c.insert(ev)
+      val name = "graft_cdc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamOps.readChangeFeed(s, c)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        c.updateWhere("event_type == 'view' and day <= 5",
+          Map("event_type" -> "'cdc_view'"))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select("event_id", "ts_us", "user_id", "event_type", "value",
+          "props", "_change_type")
+        .orderBy("event_id", "_change_type", "event_type")
+    }),
+
     "stream_dedup" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val c = freshEventsColl(s, dir)
@@ -1858,6 +1884,26 @@ object SparkEntry {
                 user_id, event_type, value, props
          FROM slice
          ORDER BY event_id""",
+
+    // Streaming CDC: batch 1 = the full snapshot as inserts; batch 2 =
+    // the update's delete-old + insert-new rows. Hit rows therefore
+    // appear three times with distinct (change_type, event_type) pairs.
+    "stream_changes" ->
+      """WITH hit AS (
+           SELECT * FROM events
+           WHERE COALESCE(event_type = 'view' AND day(CAST(ts AS TIMESTAMP)) <= 5, FALSE))
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                value, props, 'insert' AS _change_type
+         FROM events
+         UNION ALL
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
+                'cdc_view' AS event_type, value, props, 'insert' AS _change_type
+         FROM hit
+         UNION ALL
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                value, props, 'delete' AS _change_type
+         FROM hit
+         ORDER BY event_id, _change_type, event_type""",
 
     // CDC: exactly the updated rows, as delete-of-old + insert-of-new.
     // The update predicate is `event_type == 'click' and day >= 10`

@@ -893,7 +893,15 @@ final class Collection private (
     * (`'insert' | 'delete'`). Partition-derived columns and row ids are
     * not content (rewrites reassign them) and are excluded from the
     * diff. */
-  def changes(fromGen: Long, toGen: Long): DataFrame = {
+  def changes(fromGen: Long, toGen: Long): DataFrame =
+    changesAs(fromGen, toGen, None)
+
+  /** [[changes]] with the output schema pinned by the caller — the
+    * streaming change feed reads every batch under its start-of-stream
+    * schema ([[graft.streaming.GraftCollectionSource]]), exactly as the
+    * append-mode source pins `readSchema`. */
+  private[graft] def changesAs(fromGen: Long, toGen: Long,
+                               pinned: Option[StructType]): DataFrame = {
     val gens = generations()
     require(gens.contains(fromGen), s"no committed generation $fromGen at $root")
     require(gens.contains(toGen), s"no committed generation $toGen at $root")
@@ -904,7 +912,7 @@ final class Collection private (
     val after = mTo.files.toSet
     val removed = mFrom.files.filterNot(after)
     val added = mTo.files.filterNot(before)
-    val toSchema = StructType.fromDDL(mTo.schemaDdl)
+    val toSchema = pinned.getOrElse(StructType.fromDDL(mTo.schemaDdl))
     val cols = toSchema.fieldNames.toSeq.map(col)
     def side(files: Seq[String]): DataFrame =
       readManifestFiles(mTo, files, schemaOverride = Some(toSchema)).select(cols: _*)

@@ -43,7 +43,8 @@ import graft.core.{Collection, FilterExpr}
   * offsets, which re-seeds the pacing position. */
 class GraftCollectionSource(spark: SparkSession, root: String,
                             maxGenerationsPerBatch: Option[Long] = None,
-                            filters: Option[String] = None) extends Source {
+                            filters: Option[String] = None,
+                            changeFeed: Boolean = false) extends Source {
 
   private val collection = Collection.open(spark, root, readOnly = true)
 
@@ -70,6 +71,10 @@ class GraftCollectionSource(spark: SparkSession, root: String,
   private val filterAst: FilterExpr.Ast = {
     val ast = FilterExpr.parse(filters.orNull)
     collection.requireKnownNames(ast)
+    if (changeFeed) FilterExpr.names(ast).foreach(n => require(
+      collection.schema.fieldNames.contains(n),
+      s"change-feed filters see DATA columns only; '$n' is partition-derived " +
+      "(the CDC diff excludes partition columns — rewrites may reassign them)"))
     ast
   }
 
@@ -80,7 +85,11 @@ class GraftCollectionSource(spark: SparkSession, root: String,
     * invisible until restart. */
   private val pinnedDataSchema = collection.schema
 
-  override val schema: StructType = collection.readSchema
+  override val schema: StructType =
+    if (!changeFeed) collection.readSchema
+    else StructType(pinnedDataSchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        Collection.ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false))
 
   private def gen(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -153,6 +162,7 @@ class GraftCollectionSource(spark: SparkSession, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endGen = gen(end)
     if (endGen > pacedThrough) pacedThrough = endGen
+    if (changeFeed) return getChangeBatch(start, endGen)
     val endMan = collection.manifestAt(endGen)
     // shard-level diff: shard files are content-addressed, so a subtree
     // untouched between the two generations keeps its shard NAME — only
@@ -225,6 +235,47 @@ class GraftCollectionSource(spark: SparkSession, root: String,
     }
   }
 
+  /** CDC micro-batch: the row-level [[Collection.changes]] diff between
+    * the two offsets' snapshots (Delta CDF streaming reads). The FIRST
+    * batch is the starting snapshot delivered as pure inserts (zero
+    * diffing); later batches pay the file-granular `exceptAll`, bounded
+    * by the range's own added/removed files — an append-only commit
+    * range again reads only its new files, and a pure compaction cancels
+    * to an empty batch. Unlike the append path, REPLACED rows surface
+    * here as 'delete' records: this is the mode for replace-heavy
+    * collections (the append path warns and re-delivers or skips).
+    *
+    * The batch plan is collapsed behind one streaming-flagged RDD leaf
+    * ([[StreamingShim.batchPlanAsStreamingLeaf]]): the diff's
+    * `exceptAll` must not surface in the streaming plan, where it would
+    * read as an unsupported stream-stream set operation. The `filters`
+    * option applies as a ROW predicate on the diff result only — the
+    * same predicate lands on both diff sides so the verdict is exact,
+    * but file-level pruning must NOT run before the diff (dropping a
+    * file from one side would surface its carried rows as phantom
+    * changes). Requires the start snapshot readable: serve CDC from
+    * collections with `retainGenerations` sized to the trigger
+    * interval. */
+  private def getChangeBatch(start: Option[Offset], endGen: Long): DataFrame = {
+    val outCols = pinnedDataSchema.fieldNames.toSeq :+ Collection.ChangeTypeCol
+    val batch = start match {
+      case None =>
+        collection.readManifestFiles(collection.manifestAt(endGen),
+            collection.manifestAt(endGen).files,
+            schemaOverride = Some(pinnedDataSchema))
+          .withColumn(Collection.ChangeTypeCol,
+            org.apache.spark.sql.functions.lit("insert"))
+      case Some(s) =>
+        collection.changesAs(gen(s), endGen, Some(pinnedDataSchema))
+    }
+    val selected = batch.select(outCols.map(org.apache.spark.sql.functions.col): _*)
+    val filtered = filterAst match {
+      case FilterExpr.True => selected
+      case ast             => selected.where(FilterExpr.toColumn(ast))
+    }
+    org.apache.spark.sql.graftshim.StreamingShim.batchPlanAsStreamingLeaf(filtered)
+  }
+
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftCollectionSource[$root]"
@@ -240,13 +291,22 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
       throw new IllegalArgumentException(
         "graft streaming source requires .option(\"root\", <collection root>)")))
 
+  private def isChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("changeFeed").exists(_.toBoolean)
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(),
-      Collection.open(sqlContext.sparkSession, rootOf(parameters), readOnly = true).readSchema)
+      parameters: Map[String, String]): (String, StructType) = {
+    val c = Collection.open(sqlContext.sparkSession, rootOf(parameters), readOnly = true)
+    val s =
+      if (!isChangeFeed(parameters)) c.readSchema
+      else StructType(c.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          Collection.ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false))
+    (shortName(), s)
+  }
 
   override def createSource(
       sqlContext: SQLContext,
@@ -260,5 +320,6 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
         require(m > 0, s"maxGenerationsPerBatch must be positive, got $m")
         m
       },
-      parameters.get("filters"))
+      parameters.get("filters"),
+      changeFeed = isChangeFeed(parameters))
 }

@@ -31,6 +31,22 @@ object StreamOps {
       .load()
       .drop(Collection.RowIdCol)
 
+  /** Open a collection as a streaming CHANGE FEED (Delta CDF streaming
+    * reads): data columns + `_change_type` ('insert' | 'delete'). The
+    * first micro-batch is the starting snapshot as pure inserts; each
+    * later batch is the exact row-level [[Collection.changes]] diff of
+    * its generation range — replaced rows arrive as 'delete' records,
+    * compactions cancel to empty batches. Serve from collections with
+    * `retainGenerations` covering the trigger interval. */
+  def readChangeFeed(spark: SparkSession, c: Collection,
+                     options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream
+      .format(classOf[GraftCollectionSourceProvider].getName)
+      .option("root", c.root)
+      .option("changeFeed", "true")
+      .options(options)
+      .load()
+
   /** PRIMARY streaming shape: append-mode tumbling-window aggregation
     * with a watermark. State is bounded (windows older than the watermark
     * are dropped) and only FINALIZED windows are emitted — exactly one

@@ -27,4 +27,17 @@ object StreamingShim {
     }
     Dataset.ofRows(spark, plan)
   }
+
+  /** Collapse `df`'s WHOLE plan behind one streaming-flagged RDD leaf
+    * (the KafkaSource `internalCreateDataFrame(..., isStreaming = true)`
+    * shape). For batch plans that use operators the leaf-flip above
+    * would turn into unsupported STREAMING operators — the change feed's
+    * `exceptAll` would otherwise read as a stream-stream set op — the
+    * computation still runs lazily and fully distributed inside the RDD
+    * lineage; only the streaming planner sees a single leaf. */
+  def batchPlanAsStreamingLeaf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Collection, DatePartitioning, MergeStrategy}
+import graft.streaming.StreamOps
+
+/** Streaming CHANGE FEED (round 6): the Delta-CDF-shaped streaming read
+  * over a collection — first batch = starting snapshot as inserts, each
+  * later batch = the exact row-level [[Collection.changes]] diff of its
+  * generation range, delivered with `_change_type`.
+  */
+class ChangeFeedStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mk(vals: (Long, String, Double)*) = vals
+    .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+
+  private def fresh(root: String): Collection = {
+    val df = mk((1L, "2024-01-01 10:00:00", 1.0), (2L, "2024-01-01 11:00:00", 2.0),
+      (3L, "2024-01-02 10:00:00", 3.0))
+    val c = Collection.create(spark, root, df.schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("id"),
+      retainGenerations = 8)
+    c.insert(df)
+    c
+  }
+
+  private def table(name: String) =
+    spark.table(name).select("id", "v", Collection.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+
+  test("snapshot as inserts, updates as delete+insert, compaction invisible") {
+    val c = fresh(SparkTestSession.tmp("graft-cdcstream"))
+    val name = "graft_cdc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamOps.readChangeFeed(spark, c)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(table(name) == Seq((1L, 1.0, "insert"), (2L, 2.0, "insert"), (3L, 3.0, "insert")),
+        s"first batch must be the snapshot as inserts: ${table(name)}")
+
+      c.updateWhere("id == 2", Map("v" -> "v + 10.0"))
+      q.processAllAvailable()
+      val afterUpdate = table(name)
+      assert(afterUpdate.contains((2L, 2.0, "delete")) && afterUpdate.contains((2L, 12.0, "insert")),
+        s"update must stream as delete-old + insert-new: $afterUpdate")
+      assert(afterUpdate.count(t => t._1 == 1L || t._1 == 3L) == 2,
+        s"carried rows must not re-deliver: $afterUpdate")
+
+      // fragment + compact: a content-preserving rewrite cancels
+      c.insert(mk((4L, "2024-01-01 12:00:00", 4.0)), MergeStrategy.Concat)
+      q.processAllAvailable()
+      val preCompact = table(name)
+      c.compact()
+      q.processAllAvailable()
+      assert(table(name) == preCompact,
+        s"compaction must stream nothing: ${table(name)} vs $preCompact")
+
+      // deleteWhere streams the removed rows as deletes
+      c.deleteWhere("id == 1")
+      q.processAllAvailable()
+      assert(table(name).contains((1L, 1.0, "delete")),
+        s"deleteWhere must stream a delete record: ${table(name)}")
+    } finally q.stop()
+  }
+
+  test("filters apply to rows of the diff; partition-derived names refuse at start") {
+    val c = fresh(SparkTestSession.tmp("graft-cdcstream-filter"))
+    val name = "graft_cdcf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamOps.readChangeFeed(spark, c, Map("filters" -> "id >= 2"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(table(name).map(_._1).toSet == Set(2L, 3L),
+        s"row filter must apply to the feed: ${table(name)}")
+    } finally q.stop()
+
+    val ex = intercept[Exception] {
+      val q2 = StreamOps.readChangeFeed(spark, c, Map("filters" -> "day == 1"))
+        .writeStream.format("memory")
+        .queryName("graft_cdcref_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(ex.getMessage.contains("DATA columns only") ||
+      Option(ex.getCause).exists(_.getMessage.contains("DATA columns only")),
+      s"partition-derived filter must refuse loudly: ${ex.getMessage}")
+  }
+}
