@@ -621,6 +621,25 @@ object SparkEntry {
     // C18b (r6): END-TO-END dedup removal — pairs -> connected groups ->
     // keep the min-id representative, singletons survive. On exact-dup
     // classes the survivor set is SQL-provable: min doc_id per text.
+    // C33 (r6): SEMANTIC dedup (SemDeDup) — embedding-cluster-bounded
+    // near-dup removal: rows with a smaller-id neighbor at cosine >= 0.9
+    // inside their cluster drop. Planted exact-duplicate embeddings (x2
+    // for every 10th id, x3 for every 20th) are the only pairs above
+    // 0.9 in this corpus (natural max ~0.51), and identical vectors
+    // always co-cluster, so the approximate operator is provably exact
+    // here and the oracle can brute-force the same rule.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val planted = e
+        .unionByName(e.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        .unionByName(e.where(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+      graft.ann.Ann.semanticDedup(planted, "vec_id", "embedding",
+          threshold = 0.9, nClusters = 16)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // C32 (r6): INCREMENTAL dedup against a PERSISTED fingerprint index
     // — the continuously-ingesting corpus shape: index 2/3 of the docs,
     // then dedup a batch of the remaining third plus re-ingested copies
@@ -2090,6 +2109,28 @@ object SparkEntry {
     // Survivors of exact-dup removal: the min doc_id of each text class
     // (keepRepresentatives keeps min-id per connected group; exact pairs
     // connect precisely the equal-text classes).
+    // Brute-force mirror of the drop rule: a row drops iff ANY
+    // smaller-id row sits at cosine >= 0.9. Clustering is candidate
+    // generation only — on this corpus every qualifying pair is an
+    // identical-vector pair, which always co-clusters.
+    "dedup_semantic" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         corpus AS (
+           SELECT vec_id, embedding FROM base
+           UNION ALL
+           SELECT vec_id + 100000 AS vec_id, embedding FROM base WHERE vec_id % 10 = 0
+           UNION ALL
+           SELECT vec_id + 200000 AS vec_id, embedding FROM base WHERE vec_id % 20 = 0),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+               FROM corpus),
+         dropped AS (
+           SELECT DISTINCT b.vec_id
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.d, b.d) >= 0.9)
+         SELECT vec_id FROM corpus
+         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         ORDER BY vec_id""",
+
     // The index/batch key is the FNV-1a fingerprint of the NORMALIZED
     // text (lower + whitespace collapse); the oracle groups by the
     // normalized text itself — identical partitions absent a 64-bit

@@ -806,6 +806,45 @@ object Ann {
     * generation (all-pairs within buckets) + exact verification at
     * `threshold`. Identical vectors share every bucket, so exact
     * duplicates have perfect recall. */
+  /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): drop every row that
+    * has a SMALLER-id row at cosine >= `threshold` inside its embedding
+    * cluster; return the survivors. The pair space is bounded by
+    * clustering — the deterministic hash-seeded k-means quantizer
+    * ([[kmeansCentroids]]) assigns each row in a ZERO-shuffle map pass,
+    * then pairs emerge only inside clusters, distributed as O(cap^2)
+    * sub-bucket triangle tasks ([[graft.dedup.Dedup.exhaustiveBucketPairs]])
+    * — never the corpus O(n^2). One shuffle on the cluster id, one on
+    * the pair verdicts; the drop rule ("any smaller-id neighbor") needs
+    * no connected components, so there is no iterative phase.
+    *
+    * The clustering is an approximation boundary, as in the paper: a
+    * near-dup pair straddling two clusters is not examined. IDENTICAL
+    * vectors always co-cluster (argmax is deterministic with a
+    * sorted-centroid first-wins tie-break), so exact-duplicate removal
+    * is complete. Zero-norm vectors match no centroid (cluster -1) and
+    * their NaN cosines never reach the threshold — they all survive. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nClusters: Int, iters: Int = 1,
+                    maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket): DataFrame = {
+    val spark = df.sparkSession
+    val cents = kmeansCentroids(df, idCol, vecCol, nClusters, iters)
+    val assign = assignCentroid(spark, cents)
+    val clustered = df
+      .select(col(idCol).as("_zc_id"), col(vecCol).as("_zc_v"))
+      .withColumn("_zc_cl", assign(col("_zc_v")))
+      // shared Exchange: the pair window and the vector-lookup join both
+      // consume this one cluster-keyed layout
+      .repartition(col("_zc_cl"))
+    val cands = graft.dedup.Dedup.exhaustiveBucketPairs(
+      clustered.select(col("_zc_cl"), col("_zc_id")), Seq("_zc_cl"), "_zc_id", maxBucket)
+    val va = clustered.select(col("_zc_id").as("a"), col("_zc_v").as("_zc_va"))
+    val vb = clustered.select(col("_zc_id").as("b"), col("_zc_v").as("_zc_vb"))
+    val dropped = cands.join(va, "a").join(vb, "b")
+      .where(cosine(col("_zc_va"), col("_zc_vb")) >= threshold)
+      .select(col("b").as("_zc_drop")).distinct()
+    df.join(dropped, col(idCol) === col("_zc_drop"), "left_anti")
+  }
+
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                   tables: Int = 8, planes: Int = 12, dims: Int = 64,
                   maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket,

@@ -553,4 +553,37 @@ class PipelineSpec extends AnyFunSuite {
       .select(graft.functions.Fnv1a64.fingerprint($"t")).collect()(0).getLong(0)
     assert(got == 0xaf63dc4c8601ec8cL)
   }
+
+  test("semanticDedup: cluster-bounded near-dup removal, smaller id wins") {
+    import graft.ann.Ann
+    import org.apache.spark.sql.functions._
+    // 200 well-separated base vectors + planted duplicates: exact copies
+    // of 4 and 8, and a tiny perturbation of 12 (cosine ~0.99997)
+    // hash-random components: 200 vectors whose pairwise cosines
+    // concentrate near 0 (a sinusoid family would alias into near-dups)
+    val base = spark.range(200).selectExpr("id AS vec_id",
+      "transform(sequence(1, 32), j -> cast(pmod(xxhash64(id, j), 1000) / 1000.0 - 0.5 as float)) AS v")
+    val copies = base.where(col("vec_id").isin(4L, 8L))
+      .select((col("vec_id") + 1000L).as("vec_id"), col("v"))
+    val near = base.where(col("vec_id") === 12L)
+      .select(lit(2000L).as("vec_id"),
+        expr("transform(v, (x, j) -> cast(x + 0.0001 * j as float))").as("v"))
+    val zero = spark.sql(
+      "SELECT 3000L AS vec_id, transform(sequence(1, 32), j -> cast(0.0 as float)) AS v")
+    val corpus = base.unionByName(copies).unionByName(near).unionByName(zero)
+
+    val out = Ann.semanticDedup(corpus, "vec_id", "v", threshold = 0.95, nClusters = 8)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // all copies and the perturbed vector drop (their originals have
+    // smaller ids and identical/near-identical embeddings co-cluster);
+    // zero-norm survives (NaN cosine never passes the threshold)
+    assert(out == ((0L until 200L) :+ 3000L),
+      s"expected the 200 originals + the zero vector, got ${out.diff(0L until 200L)}")
+
+    // sanity: the near pair really is above the threshold
+    val sim = base.where(col("vec_id") === 12L).select(col("v").as("a"))
+      .crossJoin(near.select(col("v").as("b")))
+      .select(Ann.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(sim >= 0.95, s"perturbed cosine $sim")
+  }
 }
