@@ -927,6 +927,14 @@ object SparkEntry {
         .orderBy(col("tf").desc, col("word"))
     }),
 
+    // C34 (r6): TOP-K frequent word 3-grams — memorization/boilerplate
+    // inspection over the corpus; never globally sorted (TakeOrdered).
+    "text_ngram_freq" -> ((s, dir) => {
+      graft.operators.Corpus.topNgrams(
+          Tables.documents(s, dir), col("doc_id"), col("text"), n = 3, k = 100)
+        .orderBy(col("tf").desc, col("ngram"))
+    }),
+
     // C27 (r6): EXACT-QUOTA deterministic stratified sample — 20 docs
     // per lang by fingerprint hash order; stable across re-runs.
     "text_stratified_sample" -> ((s, dir) => {
@@ -2423,6 +2431,17 @@ object SparkEntry {
                       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
                FROM w GROUP BY word)
          SELECT word, tf, df FROM g ORDER BY tf DESC, word LIMIT 100""",
+
+    "text_ngram_freq" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         ng AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+                FROM t WHERE len(toks) >= 3),
+         g AS (SELECT ngram, CAST(count(*) AS BIGINT) AS tf,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+               FROM ng GROUP BY ngram)
+         SELECT ngram, tf, df FROM g ORDER BY tf DESC, ngram LIMIT 100""",
 
     // Same FNV-1a fingerprint CTE as text_fingerprint; the sample keeps
     // the 20 smallest hash positions (2^50 ring) per lang, id tiebreak —

@@ -57,6 +57,31 @@ object Corpus {
       .limit(k)
   }
 
+  /** TOP-K frequent word n-grams — the corpus-inspection companion of
+    * [[vocabulary]] (memorization auditing, boilerplate discovery,
+    * candidate decontamination shingles). Same scale shape: the
+    * per-(ngram, doc) pre-aggregation collapses within-doc repeats
+    * map-side before the global count, and the result surfaces through
+    * `TakeOrderedAndProject` — the full n-gram space is never globally
+    * sorted. The n-gram explode is one `Generate` inside the scan
+    * stage: docs shorter than `n` words contribute nothing. */
+  def topNgrams(df: DataFrame, id: Column, text: Column, n: Int, k: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(k > 0, "k must be positive")
+    val toks = split(trim(text), "\\s+")
+    // "w_i .. w_{i+n-1}" per position: slice + join, one Generate
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(id.as("_zc_did"), explode(grams).as("ngram"))
+      .groupBy(col("ngram"), col("_zc_did")).agg(count(lit(1)).as("_zc_c"))
+      .groupBy(col("ngram"))
+      .agg(sum(col("_zc_c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** EXACT-QUOTA stratified sampling: keep (up to) `n` documents per
     * stratum, chosen by deterministic hash order (fingerprint position
     * ascending in a 2^50 ring, id tiebreak) — re-runs and re-ingests

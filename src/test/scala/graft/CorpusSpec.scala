@@ -313,6 +313,22 @@ class CorpusSpec extends AnyFunSuite {
       s"vocabulary top-k must be bounded, not a global sort:\n$plan")
   }
 
+  test("topNgrams: sliding n-grams, short docs contribute nothing, bounded top-k") {
+    val d = Seq(
+      (1L, "a b c a b c"),   // "a b c" x2, "b c a", "c a b"
+      (2L, "a b c"),
+      (3L, "a b"),           // shorter than n -> nothing
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val v = Corpus.topNgrams(d, col("doc_id"), col("text"), n = 3, k = 2)
+    val rows = v.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("a b c", 3L, 2L), ("b c a", 1L, 1L)),
+      s"tf counts occurrences, df distinct docs, ties on ngram: $rows")
+    val plan = v.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ngram top-k must be bounded, not a global sort:\n$plan")
+  }
+
   test("stratifiedSample: exact quotas, deterministic under input order, corpus never shuffles") {
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val fp = graft.functions.TextFunctions.fingerprint(col("text"))
