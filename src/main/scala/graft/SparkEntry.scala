@@ -1060,6 +1060,40 @@ object SparkEntry {
     // commit) streamed through dropDuplicatesWithinWatermark; survivors
     // must be exactly the original table, so the oracle is the hard SQL
     // gate (duplicates are identical rows — survivor choice cannot leak).
+    // D13 (r6): INCREMENTAL VIEW MAINTENANCE — a per-event-type
+    // count/sum aggregate kept equal to the source by change-feed
+    // deltas: the snapshot batch seeds it, then an update that RENAMES
+    // every 'click' to 'clickv2' maintains through delete+insert pairs
+    // — the 'click' group empties (MERGE's delete-when clause removes
+    // it) and 'clickv2' appears (unmatched insert). Decimal sums, so
+    // the maintained totals are bit-equal to direct aggregation.
+    "stream_ivm" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      import org.apache.spark.sql.types._
+      val ev = Tables.events(s, dir)
+      val srcRoot = s"$scratch/ivms-${java.util.UUID.randomUUID().toString.take(8)}"
+      val src = Collection.create(s, srcRoot, ev.schema, "ts",
+        DatePartitioning("ts", "D"), overwrite = true, retainGenerations = 4)
+      src.insert(ev)
+      val tgtSchema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("sum_value", DecimalType(38, 4))))
+      val tgt = Collection.create(s, s"$srcRoot-agg", tgtSchema, "event_type",
+        SequencePartitioning(Seq("event_type"), "event_type"), overwrite = true)
+      val q = StreamOps.maintainAggregate(s, src, tgt, Seq("event_type"), "n",
+        Map("sum_value" -> "CAST(value AS DECIMAL(18,4))"))
+      try {
+        q.processAllAvailable()
+        src.updateWhere("event_type == 'click'",
+          Map("event_type" -> "'clickv2'"))
+        q.processAllAvailable()
+      } finally q.stop()
+      tgt.query().select(col("event_type"), col("n"),
+          col("sum_value").cast("decimal(38,2)").cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // D12 (r6): STREAMING change feed — snapshot batch (all inserts) +
     // one update commit streamed as delete-old/insert-new records; the
     // feed's union is fully SQL-decidable.
@@ -1911,6 +1945,17 @@ object SparkEntry {
                 user_id, event_type, value, props
          FROM slice
          ORDER BY event_id""",
+
+    // IVM: the maintained aggregate must equal a direct GROUP BY over
+    // the post-update source ('click' renamed to 'clickv2').
+    "stream_ivm" ->
+      """WITH upd AS (
+           SELECT CASE WHEN event_type = 'click' THEN 'clickv2' ELSE event_type END AS event_type,
+                  value
+           FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+         FROM upd GROUP BY event_type ORDER BY event_type""",
 
     // Streaming CDC: batch 1 = the full snapshot as inserts; batch 2 =
     // the update's delete-old + insert-new rows. Hit rows therefore

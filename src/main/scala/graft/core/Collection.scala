@@ -1922,7 +1922,7 @@ final class Collection private (
     require(on.nonEmpty, "mergeInto requires at least one key column")
     on.foreach(k => require(schema.fieldNames.contains(k), s"unknown key column: $k"))
     whenMatched match {
-      case WhenMatched.Update(as) =>
+      case WhenMatched.Update(as, _) =>
         require(as.nonEmpty, "WhenMatched.Update requires at least one assignment")
         as.keys.foreach { k =>
           require(schema.fieldNames.contains(k), s"unknown column in assignment: $k")
@@ -1979,7 +1979,11 @@ final class Collection private (
         val sPresent = col("s._zc_sp").isNotNull
         val keep = whenMatched match {
           case WhenMatched.Delete => (tPresent && !sPresent) || (!tPresent && lit(insertUnmatched))
-          case _                  => tPresent || lit(insertUnmatched)
+          case WhenMatched.Update(_, Some(d)) =>
+            // WHEN MATCHED AND <d> THEN DELETE: NULL condition keeps
+            val del = tPresent && sPresent && coalesce(expr(d), lit(false))
+            (tPresent || lit(insertUnmatched)) && !del
+          case _ => tPresent || lit(insertUnmatched)
         }
         val fields = StructType(readSchemaFields(schema))
         j.where(keep).select(schema.fieldNames.toSeq.map { n =>
@@ -1987,7 +1991,7 @@ final class Collection private (
           (whenMatched match {
             case WhenMatched.UpdateAll =>
               when(sPresent, col(s"s.$n")).otherwise(col(s"t.$n"))
-            case WhenMatched.Update(as) => as.get(n) match {
+            case WhenMatched.Update(as, _) => as.get(n) match {
               case Some(e) => when(tPresent && sPresent,
                   expr(e).cast(fields(n).dataType)).otherwise(fromEither)
               case None => fromEither
@@ -2197,8 +2201,13 @@ object WhenMatched {
   case object UpdateAll extends WhenMatched
   /** Assign `column -> SQL expression`; expressions reference target
     * columns as `t.<col>` and source columns as `s.<col>`. Unassigned
-    * columns keep the target value. */
-  final case class Update(assignments: Map[String, String]) extends WhenMatched
+    * columns keep the target value. `deleteWhen` (same `t.`/`s.`
+    * vocabulary) is the ANSI/Delta `WHEN MATCHED AND <cond> THEN
+    * DELETE` clause: a matched row satisfying it is REMOVED instead of
+    * updated (NULL = not satisfied) — the self-maintainable-aggregate
+    * path drops a group the moment its maintained count hits zero. */
+  final case class Update(assignments: Map[String, String],
+                          deleteWhen: Option[String] = None) extends WhenMatched
   /** Remove matched target rows. */
   case object Delete extends WhenMatched
 }

@@ -210,6 +210,55 @@ object StreamOps {
       }
       .start()
 
+  /** INCREMENTALLY-MAINTAINED AGGREGATE — materialized-view maintenance
+    * (IVM) over the change feed: keep `target` equal to
+    * `source GROUP BY keys` with a count and exact decimal sums,
+    * updated per micro-batch from [[readChangeFeed]] deltas instead of
+    * recomputed. Count and SUM are SELF-MAINTAINABLE aggregates: each
+    * batch's insert rows contribute +1/+value and delete rows -1/-value,
+    * one `groupBy` over the (small) batch; the delta then merges into
+    * the target with `t + s` assignments and the `WHEN MATCHED AND
+    * n = 0 THEN DELETE` clause dropping emptied groups — the target
+    * commit cost follows the DELTA's key spread (file-granular
+    * [[Collection.mergeInto]] pruning; declare `keys` in the target's
+    * `statsColumns`), never the source size. Updates in the source
+    * arrive as delete+insert pairs, so value changes and group moves
+    * maintain exactly.
+    *
+    * `sums` maps target column -> SQL expression over the feed's data
+    * columns; wrap values in `CAST(... AS DECIMAL(p, s))` — decimal
+    * addition is associative, so the incrementally-maintained total is
+    * bit-equal to a direct aggregation (float sums would drift).
+    * NULL-key rows are excluded (SQL GROUP BY would keep them; MERGE
+    * keys cannot match on NULL). The target must hold exactly
+    * `keys ++ countCol ++ sums.keys`. */
+  def maintainAggregate(spark: SparkSession, source: Collection, target: Collection,
+                        keys: Seq[String], countCol: String,
+                        sums: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.core.WhenMatched
+    readChangeFeed(spark, source).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sign = when(col(Collection.ChangeTypeCol) === "insert", lit(1L))
+          .otherwise(lit(-1L))
+        val aggs = sum(sign).as(countCol) +:
+          sums.toSeq.map { case (out, e) => sum(expr(e) * sign).as(out) }
+        val delta = batch.toDF()
+          .where(keys.map(col(_).isNotNull).reduce(_ && _))
+          .groupBy(keys.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        if (!delta.isEmpty) {
+          val assigns = (countCol +: sums.keys.toSeq)
+            .map(c => c -> s"t.$c + s.$c").toMap
+          target.mergeInto(delta, on = keys,
+            whenMatched = WhenMatched.Update(assigns,
+              deleteWhen = Some(s"t.$countCol + s.$countCol = 0")))
+        }
+        ()
+      }
+      .start()
+  }
+
   // --- stateful sessionization (D2) --------------------------------
 
   case class SessionEvent(user_id: Long, ts_us: Long)

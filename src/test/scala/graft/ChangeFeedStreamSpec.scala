@@ -69,6 +69,55 @@ class ChangeFeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maintainAggregate: IVM target tracks GROUP BY through inserts, moves, and group deletion") {
+    import org.apache.spark.sql.types._
+    val mkk = (vals: Seq[(Long, String, Long, Double)]) => vals
+      .toDF("id", "ts", "k", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val df0 = mkk((1L to 9L).map(i => (i, "2024-01-01 10:00:00", i % 3, i.toDouble)))
+    val root = SparkTestSession.tmp("graft-ivm")
+    val src = Collection.create(spark, root, df0.schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("k"), retainGenerations = 8)
+    src.insert(df0)
+    val tgtSchema = StructType(Seq(StructField("k", LongType),
+      StructField("n", LongType), StructField("s", DecimalType(38, 4))))
+    val tgt = Collection.create(spark, root + "-agg", tgtSchema, "k",
+      graft.core.SequencePartitioning(Seq("k"), "k"))
+
+    def direct(): Seq[(Long, Long, BigDecimal)] = src.query()
+      .groupBy("k").agg(count(lit(1)).as("n"),
+        sum(expr("CAST(v AS DECIMAL(18,4))")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+      .sortBy(_._1).toSeq
+    def maintained(): Seq[(Long, Long, BigDecimal)] = tgt.query()
+      .collect().map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+      .sortBy(_._1).toSeq
+
+    val q = StreamOps.maintainAggregate(spark, src, tgt, Seq("k"), "n",
+      Map("s" -> "CAST(v AS DECIMAL(18,4))"))
+    try {
+      q.processAllAvailable()
+      assert(maintained().map(t => (t._1, t._2)) == Seq((0L, 3L), (1L, 3L), (2L, 3L)),
+        s"snapshot must seed the aggregate: ${maintained()}")
+
+      src.insert(mkk(Seq((10L, "2024-01-02 10:00:00", 0L, 100.0))), MergeStrategy.Concat)
+      q.processAllAvailable()
+      assert(maintained().map(_._2).sum == direct().map(_._2).sum &&
+        maintained() == direct(), s"insert delta: ${maintained()} vs ${direct()}")
+
+      // a value update maintains the sum through the delete+insert pair
+      src.updateWhere("id == 5", Map("v" -> "v + 1000.0"))
+      q.processAllAvailable()
+      assert(maintained() == direct(), s"value update: ${maintained()} vs ${direct()}")
+
+      // emptying a group must REMOVE its row (delete-when clause)
+      src.deleteWhere("k == 1")
+      q.processAllAvailable()
+      assert(maintained().map(_._1) == Seq(0L, 2L),
+        s"emptied group must disappear: ${maintained()}")
+      assert(maintained() == direct(), s"after group deletion: ${maintained()} vs ${direct()}")
+    } finally q.stop()
+  }
+
   test("filters apply to rows of the diff; partition-derived names refuse at start") {
     val c = fresh(SparkTestSession.tmp("graft-cdcstream-filter"))
     val name = "graft_cdcf_" + java.util.UUID.randomUUID().toString.replace("-", "")

@@ -77,6 +77,24 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(got.size == 150, "insertUnmatched=false adds nothing")
   }
 
+  test("Update deleteWhen: matched rows satisfying the clause are removed, NULL keeps") {
+    val c = threeSliceColl(SparkTestSession.tmp("graft-mrg-delwhen"))
+    // s.v = -t.v for user 100..104 (update drives v to 0 -> delete),
+    // +10 for 105..109 (plain update)
+    val source = src(
+      (100L until 105L).map(i => (i + 5000, "2024-01-01 12:00:00", i, -1.0)) ++
+      (105L until 110L).map(i => (i + 6000, "2024-01-01 12:00:00", i, 10.0)))
+    c.mergeInto(source, on = Seq("user_id"),
+      whenMatched = WhenMatched.Update(Map("v" -> "t.v + s.v"),
+        deleteWhen = Some("t.v + s.v = 0")),
+      insertUnmatched = false)
+    val got = c.query().select("user_id", "v")
+      .as[(Long, Double)].collect().toMap
+    (100L until 105L).foreach(i => assert(!got.contains(i), s"key $i must be deleted"))
+    (105L until 110L).foreach(i => assert(got(i) == 11.0, s"key $i must update"))
+    assert(got.size == 145, "150 - 5 deleted")
+  }
+
   test("Delete: matched rows removed; unmatched source dropped when insertUnmatched=false") {
     val c = threeSliceColl(SparkTestSession.tmp("graft-mrg-del"))
     val source = src(
