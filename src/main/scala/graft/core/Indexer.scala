@@ -25,21 +25,90 @@ final class Indexer private (
 
   private val partCols = collection.partitioning.axis
 
-  /** The raw index table. */
-  def table: DataFrame = spark.read.parquet(s"$root/index")
+  /** The raw index table ([[Indexer.refresh]] swaps the backing dir per
+    * refresh generation; legacy layouts read the original `index/`). */
+  def table: DataFrame = spark.read.parquet(s"$root/$tableDir")
 
-  /** Collection generation the index was built against (None for a
-    * pre-generation-tracking index layout). */
-  def builtAtGeneration: Option[Long] = {
+  private def meta(): Option[java.util.Map[String, Object]] = {
     val fs = Collection.fileSystem(spark, root)
     val p = new org.apache.hadoop.fs.Path(s"$root/${Indexer.MetaFile}")
     if (!fs.exists(p)) return None
     val in: java.io.InputStream = fs.open(p)
-    val doc =
-      try new com.fasterxml.jackson.databind.ObjectMapper()
-        .readValue(in, classOf[java.util.Map[String, Object]])
-      finally in.close()
-    Option(doc.get("generation")).map(_.toString.toLong)
+    try Some(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(in, classOf[java.util.Map[String, Object]]))
+    finally in.close()
+  }
+
+  private def tableDir: String =
+    meta().flatMap(m => Option(m.get("dir"))).map(_.toString).getOrElse("index")
+
+  /** Collection generation the index was built against (None for a
+    * pre-generation-tracking index layout). */
+  def builtAtGeneration: Option[Long] =
+    meta().flatMap(m => Option(m.get("generation"))).map(_.toString.toLong)
+
+  /** INCREMENTAL refresh: bring the index to the collection's head
+    * generation by re-aggregating ONLY the partitions whose file sets
+    * changed since the build — every other partition's index rows carry
+    * over from the existing (tiny) index table, so refresh cost follows
+    * the commits since the last build, not the collection size (the
+    * reference's per-partition `update` contract, driven here by the
+    * manifest diff). The combined table lands in a fresh
+    * `index-g<gen>/` dir and the meta file swaps to it LAST — a crash
+    * mid-refresh leaves the old index intact and consistent.
+    *
+    * Returns the refreshed indexer and the number of partitions
+    * re-aggregated. Falls back to a full rebuild when the built-at
+    * manifest is no longer readable (vacuumed past) or the index
+    * predates generation tracking. */
+  def refresh(): (Indexer, Int) = {
+    val g1 = collection.generation
+    val g0 = builtAtGeneration.getOrElse(-1L)
+    if (g0 == g1) return (this, 0)
+
+    val diff: Option[(Set[String], Seq[String])] =
+      if (g0 < 0) None
+      else try {
+        val by0 = collection.manifestAt(g0).files.groupBy(Collection.parentRel)
+          .map { case (p, fs) => p -> fs.toSet }
+        val by1 = collection.manifestAt(g1).files.groupBy(Collection.parentRel)
+          .map { case (p, fs) => p -> fs.toSet }
+        val changed = (by0.keySet ++ by1.keySet)
+          .filter(p => by0.get(p) != by1.get(p))
+        Some((changed, changed.toSeq.flatMap(p => by1.getOrElse(p, Set.empty))))
+      } catch { case _: Exception => None } // built-at manifest gone
+
+    val (out, nChanged) = diff match {
+      case None =>
+        (Indexer.indexOf(collection.prunedRaw(FilterExpr.True), partCols, keys), -1)
+      case Some((changedPaths, changedFiles)) =>
+        // typed partition tuples of the OLD index rows that fall in a
+        // changed partition — bounded by the partition count, like lookup
+        val oldParts = table.select(partCols.map(col): _*).distinct().collect()
+        val dropPreds = oldParts.toSeq.filter { r =>
+          val path = collection.keyPath(
+            partCols.zipWithIndex.map { case (c, i) => c -> r.get(i) })
+          changedPaths.contains(path)
+        }.map(r => partCols.zipWithIndex
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }.reduce(_ && _))
+        val keep =
+          if (dropPreds.isEmpty) table
+          else table.where(!dropPreds.reduce(_ || _))
+        val fresh = Indexer.indexOf(
+          collection.readManifestFiles(collection.manifestAt(g1), changedFiles),
+          partCols, keys)
+        (keep.unionByName(fresh), changedPaths.size)
+    }
+
+    val dir = s"index-g$g1"
+    out.write.mode("overwrite").parquet(s"$root/$dir")
+    val oldDir = tableDir
+    Indexer.writeMeta(spark, root, keys, g1, Some(dir))
+    if (oldDir != dir) // the swapped-out dir is dead weight, reclaim it
+      try Collection.fileSystem(spark, root)
+        .delete(new org.apache.hadoop.fs.Path(s"$root/$oldDir"), true)
+      catch { case _: Exception => () }
+    (new Indexer(spark, root, collection, keys), nChanged)
   }
 
   /** Raw index lookup: the `{partition path: [(start, stop), ...]}`
@@ -141,19 +210,29 @@ object Indexer {
   ): Indexer = {
     val partCols = collection.partitioning.axis
     val ast = FilterExpr.parse(filters)
-    val df = collection.prunedRaw(ast)
-    val idx = df.groupBy((partCols ++ keys).map(col): _*)
+    val idx = indexOf(collection.prunedRaw(ast), partCols, keys)
+    idx.write.mode("overwrite").parquet(s"$root/index")
+    writeMeta(spark, root, keys, collection.generation, None)
+    new Indexer(spark, root, collection, keys)
+  }
+
+  /** The index aggregation: per (partition, key tuple) row-range + count. */
+  private[core] def indexOf(df: DataFrame, partCols: Seq[String],
+                            keys: Seq[String]): DataFrame =
+    df.groupBy((partCols ++ keys).map(col): _*)
       .agg(
         min(col(Collection.RowIdCol)).as("_start"),
         (max(col(Collection.RowIdCol)) + 1).as("_stop"),
         count(lit(1)).as("_count"))
-    idx.write.mode("overwrite").parquet(s"$root/index")
+
+  private[core] def writeMeta(spark: SparkSession, root: String, keys: Seq[String],
+                              generation: Long, dir: Option[String]): Unit = {
     val m = new java.util.LinkedHashMap[String, Object]()
-    m.put("generation", java.lang.Long.valueOf(collection.generation))
+    m.put("generation", java.lang.Long.valueOf(generation))
     m.put("keys", new java.util.ArrayList[Object](java.util.Arrays.asList(keys: _*)))
+    dir.foreach(d => m.put("dir", d))
     Collection.writeJson(Collection.fileSystem(spark, root),
       new org.apache.hadoop.fs.Path(s"$root/$MetaFile"), m)
-    new Indexer(spark, root, collection, keys)
   }
 
   def open(spark: SparkSession, collection: Collection, keys: Seq[String], root: String): Indexer =

@@ -205,6 +205,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(idx2.query(Map("kind" -> "a")).count() == 2)
   }
 
+  test("indexer refresh: only changed partitions re-aggregate, result equals a full rebuild") {
+    val root = SparkTestSession.tmp("graft-idx-refresh")
+    val mk = (vals: Seq[(Long, String, String)]) => vals
+      .toDF("id", "ts", "kind").withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root,
+      mk(Seq((1L, "x", "x"))).schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(mk(Seq((1L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-02 10:00:00", "b"),
+                    (3L, "2024-01-03 10:00:00", "a"))))
+    val idx = Indexer.build(spark, c, Seq("kind"), root + "-idx")
+
+    // head unchanged: refresh is a no-op
+    assert(idx.refresh()._2 == 0)
+
+    // one new partition + one appended-to partition = 2 changed
+    c.insert(mk(Seq((4L, "2024-01-04 10:00:00", "a"))), MergeStrategy.Concat)
+    c.insert(mk(Seq((5L, "2024-01-02 12:00:00", "a"))), MergeStrategy.Concat)
+    val (idx2, n) = idx.refresh()
+    assert(n == 2, s"exactly the new + appended partitions re-aggregate, got $n")
+    assert(idx2.builtAtGeneration.contains(c.generation))
+
+    // the refreshed table equals a from-scratch rebuild
+    val full = Indexer.build(spark, c, Seq("kind"), root + "-idx-full")
+    val a = idx2.table.orderBy("day", "kind").collect().map(_.toSeq).toSeq
+    val b = full.table.orderBy("day", "kind").collect().map(_.toSeq).toSeq
+    assert(a == b, s"refreshed index diverged:\n$a\nvs\n$b")
+
+    // queries at the new head work without a staleness error
+    assert(idx2.query(Map("kind" -> "a")).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L, 5L))
+
+    // a rewrite (row ids reassigned) refreshes correctly too
+    c.compact()
+    val (idx3, n3) = idx2.refresh()
+    assert(n3 >= 1)
+    assert(idx3.query(Map("kind" -> "a")).count() == 4)
+  }
+
   test("indexer pushes its _zc_row ranges down to the parquet scan") {
     val root = SparkTestSession.tmp("graft-idxr")
     val df = (1L to 100L).map(i => (i, s"2024-01-0${1 + (i % 3)} 10:00:00", if (i <= 5) "hot" else "cold"))
