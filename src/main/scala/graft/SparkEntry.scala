@@ -380,6 +380,15 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // A35 (r6): PARTITION EVOLUTION — the day-keyed collection rewritten
+    // in place as hour-keyed (one atomic rewrite-marked commit; manifest
+    // layout stamp authoritative); the new partition keys drive pruning.
+    "zc_repartition" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      val c2 = c.changePartitioning(DatePartitioning("ts", "h"))
+      eventsOut(c2.query("hour >= 6 and hour < 12"))
+    }),
+
     // A31 (r6): metadata-only axis TTL — partitions whose recorded axis
     // upper bound predates the cutoff drop with zero data IO.
     "zc_expire" -> ((s, dir) => {
@@ -1992,6 +2001,15 @@ object SparkEntry {
                 value, props, 'delete' AS _change_type
          FROM hit
          ORDER BY event_id, _change_type""",
+
+    // Partition evolution preserves rows; the result is just the
+    // hour-band slice of events.
+    "zc_repartition" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                value, props
+         FROM events
+         WHERE hour(CAST(ts AS TIMESTAMP)) >= 6 AND hour(CAST(ts AS TIMESTAMP)) < 12
+         ORDER BY event_id""",
 
     // SQL UPDATE semantics: assignments apply only where the predicate
     // is TRUE (NULL/FALSE rows keep their original values).

@@ -150,13 +150,33 @@ final class Collection private (
     g
   }
 
-  /** The highest committed generation's manifest (point lookups + at
-    * most one small JSON read; parsed manifests are cached). */
-  private[core] def currentManifest(): Manifest = {
+  /** Canonical JSON of this handle's partition layout — compared against
+    * each head manifest's [[Manifest.partSpec]] stamp. */
+  private[core] lazy val partSpecJson: String = Collection.specJson(partitioning)
+
+  /** [[currentManifest]] without the layout guard — commit internals and
+    * [[Collection.open]]'s spec resolution only. */
+  private[core] def currentManifestRaw(): Manifest = {
     val g = latestGeneration()
     if (g < 0L)
       throw new IllegalStateException(s"no committed manifest under $root/$ManifestDir")
     manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g))
+  }
+
+  /** The highest committed generation's manifest (point lookups + at
+    * most one small JSON read; parsed manifests are cached). Refuses a
+    * head whose partition layout ([[Manifest.partSpec]]) disagrees with
+    * this handle's — after a [[changePartitioning]] by another handle,
+    * interpreting the new paths under the old layout would silently
+    * mis-prune; the stale handle must reopen. */
+  private[core] def currentManifest(): Manifest = {
+    val m = currentManifestRaw()
+    if (m.partSpec.exists(_ != partSpecJson))
+      throw new IllegalStateException(
+        s"collection at $root was repartitioned (manifest layout " +
+        s"${m.partSpec.get}; this handle opened with $partSpecJson) — " +
+        "reopen via Collection.open")
+    m
   }
 
   /** Commit generation — bumped by every successful write. [[View]]s record
@@ -471,6 +491,7 @@ final class Collection private (
       rewrite: Boolean = false,
       cluster: Seq[Column] = null,
       replacedFiles: Set[String] = Set.empty,
+      newPartSpec: Option[String] = None,
   ): Unit = {
     // Read-modify-write callers PIN the manifest their read resolved
     // against and pass it as `base`: a concurrent commit to the same
@@ -488,7 +509,7 @@ final class Collection private (
     val doomed =
       if (retainGenerations == 0) man.filesForPartitions(replaced) ++ replacedFiles
       else Nil
-    try commitDelta(man, newFiles, replaced, writeTasks, streamMark, rewrite, replacedFiles)
+    try commitDelta(man, newFiles, replaced, writeTasks, streamMark, rewrite, replacedFiles, newPartSpec)
     catch {
       case e: java.util.ConcurrentModificationException =>
         // a CONFLICT proves the commit did not land (the publish is
@@ -507,6 +528,60 @@ final class Collection private (
       .foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
   }
 
+  /** PARTITION EVOLUTION: rewrite the whole collection under a new
+    * partition layout, IN PLACE, in one atomic commit (the Delta
+    * "overwrite with new partitioning" migration shape — a day-keyed
+    * telemetry tree becomes hour-keyed, a sequence tree becomes
+    * date-keyed, without changing the root anyone points at). The commit
+    * stamps the new layout into the manifest ([[Manifest.partSpec]]),
+    * which is AUTHORITATIVE from that generation on: a crash before the
+    * follow-up config rewrite costs nothing (open() prefers the head
+    * manifest's stamp), and every pre-existing handle — including this
+    * one — detects the stamp mismatch and refuses loudly instead of
+    * mis-pruning ([[currentManifest]]). Returns the NEW handle; use it.
+    *
+    * The rewrite is the full-scan rewrite it sounds like (every row
+    * re-bucketed — cost ∝ collection size, like any layout migration);
+    * it is rewrite-MARKED, so streaming tails skip it and the CDC diff
+    * cancels to empty. Row ids are reassigned: views and indexes detect
+    * staleness as with [[compact]]. Single-writer operation: a commit
+    * racing it conflicts on the all-partitions overlap. */
+  def changePartitioning(newPartitioning: Partitioning): Collection = {
+    requireWritable()
+    require(newPartitioning.dimension == axis,
+      s"new partitioning is keyed on '${newPartitioning.dimension}'; the " +
+      s"collection axis is '$axis' (the axis cannot change)")
+    newPartitioning.inputCols.foreach(c => require(
+      schema.fieldNames.contains(c),
+      s"partitioning input '$c' is not a data column"))
+    val man = currentManifest()
+    val next = new Collection(spark, root, schema, axis, newPartitioning,
+      catalogEnabled, readOnly = false, profile, attrs, retainGenerations,
+      statsColumns, bloomColumns, bloomNdv, autoCompactFiles)
+    require(next.partSpecJson != partSpecJson,
+      "new partitioning is identical to the current layout")
+    val rows = readManifestFiles(man, man.files)
+      .select(schema.fieldNames.toSeq.map(col): _*)
+    // the NEW handle performs the write: its partition columns drive the
+    // physical layout, its spec stamps the manifest
+    next.writeAndCommit(newPartitioning.assign(rows),
+      replaced = man.partitionPaths.toSet, base = man, rewrite = true,
+      newPartSpec = Some(next.partSpecJson))
+    // repair the root config LAST (cosmetic once the manifest is
+    // stamped; open() trusts the manifest over the config)
+    try {
+      val cfg = new Path(s"$root/$ConfigFile")
+      val in: java.io.InputStream = fs.open(cfg)
+      val doc =
+        try new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(in, classOf[java.util.Map[String, Object]])
+        finally in.close()
+      doc.put("partitioning", newPartitioning.toJsonMap)
+      writeJson(fs, cfg, doc)
+    } catch { case _: Exception => () }
+    next
+  }
+
   /** Commit the delta with optimistic RETRY: when another writer claims
     * our target generation first, re-read the new head, verify the two
     * commits touched DISJOINT partitions (and neither evolved the schema
@@ -521,12 +596,13 @@ final class Collection private (
                                 dropped: Set[String], taskBump: Long,
                                 streamMark: Option[(String, Long)] = None,
                                 rewrite: Boolean = false,
-                                droppedFiles: Set[String] = Set.empty): Unit = {
+                                droppedFiles: Set[String] = Set.empty,
+                                newPartSpec: Option[String] = None): Unit = {
     var base = prev
     var attempts = 0
     val (newStats, newRows) = fileStats(newFiles) // once — retries reuse it
     while (true) {
-      try { commitDeltaOnce(base, newFiles, newStats, newRows, dropped, taskBump, streamMark, rewrite, droppedFiles); return }
+      try { commitDeltaOnce(base, newFiles, newStats, newRows, dropped, taskBump, streamMark, rewrite, droppedFiles, newPartSpec); return }
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -585,7 +661,8 @@ final class Collection private (
                               dropped: Set[String], taskBump: Long,
                               streamMark: Option[(String, Long)] = None,
                               rewrite: Boolean = false,
-                              droppedFiles: Set[String] = Set.empty): Unit = {
+                              droppedFiles: Set[String] = Set.empty,
+                              newPartSpec: Option[String] = None): Unit = {
     val newByPrefix = newFiles.groupBy(f => prefixOf(parentRel(f)))
     val affected = newByPrefix.keySet ++ dropped.map(prefixOf) ++
       droppedFiles.map(f => prefixOf(parentRel(f)))
@@ -626,7 +703,8 @@ final class Collection private (
       prev.generation + 1, prev.taskBase + taskBump,
       (kept ++ rebuilt).sortBy(_.prefix),
       streamMark.fold(prev.streams)(prev.streams + _),
-      newRewrites = if (rewrite) dropped else Set.empty))
+      newRewrites = if (rewrite) dropped else Set.empty,
+      newPartSpec = newPartSpec))
   }
 
   /** Reclaim unreachable data files: crash leftovers of writers that
@@ -2744,7 +2822,16 @@ object Collection {
         * inherited by later manifests. Streaming sources consult it to
         * skip re-delivering a compaction's files in their manifest
         * diffs. */
-      val rewrites: Set[String] = Set.empty) {
+      val rewrites: Set[String] = Set.empty,
+      /** The partition LAYOUT this snapshot's paths follow, as canonical
+        * spec JSON — stamped by [[Collection.changePartitioning]] and
+        * inherited by every later commit. `None` = the layout the root
+        * config declared at create time (pre-evolution manifests).
+        * Handles whose partitioning disagrees with the head manifest's
+        * spec refuse to operate ([[Collection.currentManifest]]) — a
+        * stale handle interpreting paths under the wrong layout would
+        * silently mis-prune. */
+      val partSpec: Option[String] = None) {
 
     /** All partition paths — served from the root manifest, zero shard IO. */
     def partitionPaths: Seq[String] =
@@ -2800,15 +2887,18 @@ object Collection {
                  columnSince: Map[String, Long] = columnSince,
                  droppedEver: Set[String] = droppedEver): Manifest =
       new Manifest(generation, taskBase, schemaDdl, fills, shards, loader,
-        streams, inline, columnSince, droppedEver)
+        streams, inline, columnSince, droppedEver, partSpec = partSpec)
 
     /** New shard table, same loader. `newRewrites` marks THIS commit's
-      * content-preserving rewrites — deliberately not inherited. */
+      * content-preserving rewrites — deliberately not inherited;
+      * `newPartSpec` (a repartitioning commit) IS inherited onward. */
     def withShards(generation: Long, taskBase: Long, newShards: Seq[ShardEntry],
                    newStreams: Map[String, Long] = streams,
-                   newRewrites: Set[String] = Set.empty): Manifest =
+                   newRewrites: Set[String] = Set.empty,
+                   newPartSpec: Option[String] = None): Manifest =
       new Manifest(generation, taskBase, schemaDdl, fills, newShards, loader,
-        newStreams, inline, columnSince, droppedEver, newRewrites)
+        newStreams, inline, columnSince, droppedEver, newRewrites,
+        newPartSpec.orElse(partSpec))
   }
 
   private[core] def isDataFile(name: String): Boolean =
@@ -2979,6 +3069,7 @@ object Collection {
     val rewrites = Option(doc.get("rewrites"))
       .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSet)
       .getOrElse(Set.empty[String])
+    val partSpec = Option(doc.get("partitioning")).map(_.toString)
     Option(doc.get("shards")) match {
       case Some(raw) =>
         val entries = raw.asInstanceOf[java.util.List[Object]].asScala.map { o =>
@@ -3000,7 +3091,7 @@ object Collection {
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => readShard(fs, dir, rel), streams,
           columnSince = columnSince, droppedEver = droppedEver,
-          rewrites = rewrites)
+          rewrites = rewrites, partSpec = partSpec)
       case None =>
         // legacy single-JSON manifest: inline file list, synthetic
         // content-addressed names so generation diffs still work
@@ -3020,7 +3111,7 @@ object Collection {
         // files and must resolve through the inherited loader too
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => inline.get(rel).map(ShardData(_)).getOrElse(readShard(fs, dir, rel)),
-          streams, inline, columnSince, droppedEver, rewrites)
+          streams, inline, columnSince, droppedEver, rewrites, partSpec)
     }
   }
 
@@ -3088,6 +3179,7 @@ object Collection {
     if (m.rewrites.nonEmpty)
       doc.put("rewrites",
         new java.util.ArrayList[Object](m.rewrites.toSeq.sorted.asJava))
+    m.partSpec.foreach(s => doc.put("partitioning", s))
     val target = manifestPath(dir, m.generation)
     def conflict(): Nothing =
       throw new java.util.ConcurrentModificationException(
@@ -3357,17 +3449,41 @@ object Collection {
         case (k, v) => k -> v.toString.toLong
       }.toMap)
       .getOrElse(Map.empty[String, Long])
-    new Collection(
+    val c = new Collection(
       spark, root, schema, doc.get("axis").toString, partitioning,
       catalogEnabled = doc.get("catalog").asInstanceOf[java.lang.Boolean],
       readOnly = readOnly, profile = CodecProfile(profile), attrs = attrs,
       retainGenerations = retain, statsColumns = strList("statsColumns"),
       bloomColumns = strList("bloomColumns"), bloomNdv = ndv,
       autoCompactFiles = autoCompact)
+    // the head manifest's layout stamp is AUTHORITATIVE over the config:
+    // a crash between changePartitioning's commit and its config repair
+    // must not hand out a handle that mis-reads the new paths
+    val headSpec =
+      try c.currentManifestRaw().partSpec catch { case _: Exception => None }
+    headSpec.filter(_ != c.partSpecJson) match {
+      case None => c
+      case Some(s) =>
+        val p2 = Partitioning.fromJsonMap(new ObjectMapper()
+          .readValue(s, classOf[java.util.Map[String, Object]]))
+        new Collection(
+          spark, root, schema, doc.get("axis").toString, p2,
+          catalogEnabled = doc.get("catalog").asInstanceOf[java.lang.Boolean],
+          readOnly = readOnly, profile = CodecProfile(profile), attrs = attrs,
+          retainGenerations = retain, statsColumns = strList("statsColumns"),
+          bloomColumns = strList("bloomColumns"), bloomNdv = ndv,
+          autoCompactFiles = autoCompact)
+    }
   }
 
   private[core] def fileSystem(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+
+  /** Canonical single-line JSON of a partitioning spec (key order is the
+    * spec's own LinkedHashMap order — deterministic per implementation,
+    * so string equality decides layout equality). */
+  private[core] def specJson(p: Partitioning): String =
+    new ObjectMapper().writeValueAsString(p.toJsonMap)
 
   private[core] def writeJson(fs: FileSystem, path: Path, value: Object): Unit = {
     val out = fs.create(path, true)
