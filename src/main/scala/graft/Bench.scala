@@ -31,7 +31,7 @@ object Bench {
     "text_chunk", "text_decontaminate_ngram", "text_boilerplate",
     "text_vocab", "text_ngram_freq", "text_stratified_sample", "text_token_budget",
     "dedup_simhash_fnv", "dedup_remove_exact",
-    "dedup_incremental", "dedup_semantic",
+    "dedup_incremental", "dedup_incremental_near", "dedup_semantic",
     "zc_insert_query", "zc_query_filter", "zc_axis_range",
     "zc_col_zone", "zc_bloom", "zc_to_arrays", "zc_zorder", "zc_delete",
     "zc_changes", "zc_vector_search", "stream_window",

@@ -649,6 +649,25 @@ object SparkEntry {
         .select("vec_id").orderBy("vec_id")
     }),
 
+    // C35 (r6): INCREMENTAL NEAR-dup against a persisted MinHash index
+    // (rows-only: the estimator's banding/signature hashes aren't
+    // SQL-replayable; recall + pruning spec-tested). Index 2/3 of the
+    // corpus, then dedup the remaining third plus re-ingested copies of
+    // indexed texts — copies collide in every band and drop at est 1.0.
+    "dedup_incremental_near" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val root = s"$scratch/mhidx-${java.util.UUID.randomUUID().toString.take(8)}"
+      Dedup.buildMinhashIndex(s, root,
+        docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text", nBuckets = 16)
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .unionByName(docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.dedupNearAgainstIndex(s, root, batch, "doc_id", "text",
+          minEstJaccard = 0.9)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // C32 (r6): INCREMENTAL dedup against a PERSISTED fingerprint index
     // — the continuously-ingesting corpus shape: index 2/3 of the docs,
     // then dedup a batch of the remaining third plus re-ingested copies

@@ -386,6 +386,121 @@ object Dedup {
       graft.core.MergeStrategy.Concat)
   }
 
+  // ---- persisted MinHash index: incremental NEAR-dup ----------------
+
+  /** Attrs describing a [[buildMinhashIndex]] layout. */
+  val MinhashBucketsAttr = "minhash.buckets"
+  val MinhashPermsAttr = "minhash.perms"
+  val MinhashBandsAttr = "minhash.bands"
+  val MinhashShingleAttr = "minhash.shingleK"
+
+  private def minhashSigRows(docs: DataFrame, idCol: String, textCol: String,
+                             shingleK: Int, numPerms: Int): DataFrame =
+    docs
+      .repartition(col(idCol))
+      .select(col(idCol).cast("long").as("doc_id"),
+        minhashSignature(
+          graft.functions.ShingleHashes.shingles(
+            split(trim(col(textCol)), "\\s+"), shingleK), numPerms).as("sig"))
+
+  private def minhashBandRows(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                              nBuckets: Int): DataFrame =
+    bandBuckets(col("doc_id"), col("sig"), bands, rowsPerBand)(sigs)
+      .select(pmod(col("_zc_bucket"), lit(nBuckets.toLong)).as("bmod"),
+        col("_zc_band").as("band"), col("_zc_bucket").as("bucket"),
+        col("_zc_id").as("doc_id"))
+
+  private def sigMod(docId: Column, nBuckets: Int): Column =
+    pmod(xxhash64(docId), lit(nBuckets.toLong))
+
+  /** Build a PERSISTED MinHash-LSH index for INCREMENTAL near-dup
+    * detection: two bucket-partitioned sub-collections under `root` —
+    * `bands/` holds one `(bmod, band, bucket, doc_id)` row per banding
+    * key (the LSH candidate-generation side) and `sigs/` one
+    * `(smod, doc_id, sig[numPerms])` row per doc (the estimated-Jaccard
+    * verification side). Both partition on a bounded hash bucket, so an
+    * incremental batch reads only the buckets its own keys hash into.
+    * Index size ∝ docs x (bands + numPerms longs) — text never stored. */
+  def buildMinhashIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+                        docs: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int = 64, numPerms: Int = 64, bands: Int = 16,
+                        shingleK: Int = 3): (graft.core.Collection, graft.core.Collection) = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val attrs = Map(
+      MinhashBucketsAttr -> nBuckets.toString, MinhashPermsAttr -> numPerms.toString,
+      MinhashBandsAttr -> bands.toString, MinhashShingleAttr -> shingleK.toString)
+    val sigs = minhashSigRows(docs, idCol, textCol, shingleK, numPerms)
+    val sigRows = sigs.select(sigMod(col("doc_id"), nBuckets).as("smod"),
+      col("doc_id"), col("sig"))
+    val sc = graft.core.Collection.create(spark, s"$root/sigs", sigRows.schema,
+      "doc_id", graft.core.SequencePartitioning(Seq("smod"), "doc_id"),
+      overwrite = true, attrs = attrs)
+    sc.insert(sigRows)
+    val bandRows = minhashBandRows(sigs, bands, numPerms / bands, nBuckets)
+    val bc = graft.core.Collection.create(spark, s"$root/bands", bandRows.schema,
+      "doc_id", graft.core.SequencePartitioning(Seq("bmod"), "doc_id"),
+      overwrite = true, attrs = attrs)
+    bc.insert(bandRows)
+    (bc, sc)
+  }
+
+  /** Open both halves of a [[buildMinhashIndex]] root. */
+  def openMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                       root: String): (graft.core.Collection, graft.core.Collection) =
+    (graft.core.Collection.open(spark, s"$root/bands", readOnly = true),
+     graft.core.Collection.open(spark, s"$root/sigs", readOnly = true))
+
+  /** INCREMENTAL near-dup dedup: drop batch docs whose ESTIMATED Jaccard
+    * against any indexed doc reaches `minEstJaccard` (matching MinHash
+    * positions / numPerms — the standard unbiased estimator; 64 perms
+    * give ~±0.06 at 1σ). Candidates come from LSH banding collisions, so
+    * the index never produces the O(batch x corpus) pair space.
+    *
+    * Scale shape: THREE bounded reads, all partition-pruned — the batch's
+    * band keys select `bands/` buckets, candidate doc ids select `sigs/`
+    * buckets, and the corpus text behind the index is never touched. The
+    * shuffles carry band keys and signatures of the candidates only;
+    * incremental cost follows the batch and its collision fan-out. */
+  def dedupNearAgainstIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+                            batch: DataFrame, idCol: String, textCol: String,
+                            minEstJaccard: Double = 0.9): DataFrame = {
+    val (bc, sc) = openMinhashIndex(spark, root)
+    val nBuckets = bc.attrs(MinhashBucketsAttr).toInt
+    val numPerms = bc.attrs(MinhashPermsAttr).toInt
+    val bands = bc.attrs(MinhashBandsAttr).toInt
+    val shingleK = bc.attrs(MinhashShingleAttr).toInt
+    val sigs = minhashSigRows(batch.select(col(idCol), col(textCol)),
+      idCol, textCol, shingleK, numPerms).persist()
+    try {
+      val bandRows = minhashBandRows(sigs, bands, numPerms / bands, nBuckets)
+      val bmods = bandRows.select("bmod").distinct().collect().map(_.getLong(0)).sorted
+      if (bmods.isEmpty) return batch.limit(0)
+      val idxBands = bc.query(s"bmod in (${bmods.mkString(", ")})",
+        Seq("band", "bucket", "doc_id"))
+      val cands = bandRows
+        .join(idxBands.withColumnRenamed("doc_id", "_zc_cand"), Seq("band", "bucket"))
+        .select(col("doc_id").as("_zc_bid"), col("_zc_cand")).distinct()
+      val smods = cands.select(sigMod(col("_zc_cand"), nBuckets).as("m"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      val dropped =
+        if (smods.isEmpty) sigs.limit(0).select(col("doc_id").as("_zc_drop"))
+        else {
+          val idxSigs = sc.query(s"smod in (${smods.mkString(", ")})", Seq("doc_id", "sig"))
+            .select(col("doc_id").as("_zc_cand"), col("sig").as("_zc_csig"))
+          cands
+            .join(sigs.select(col("doc_id").as("_zc_bid"), col("sig").as("_zc_bsig")), "_zc_bid")
+            .join(idxSigs, "_zc_cand")
+            .withColumn("_zc_est",
+              aggregate(zip_with(col("_zc_bsig"), col("_zc_csig"),
+                (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+                .cast("double") / numPerms)
+            .where(col("_zc_est") >= minEstJaccard)
+            .select(col("_zc_bid").as("_zc_drop")).distinct()
+        }
+      batch.join(dropped, col(idCol) === col("_zc_drop"), "left_anti")
+    } finally sigs.unpersist()
+  }
+
   /** INCREMENTAL exact dedup of a new batch against a persisted
     * [[buildFingerprintIndex]] collection: drop batch docs whose
     * normalized-text fingerprint is already indexed; within the batch

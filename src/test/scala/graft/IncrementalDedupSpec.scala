@@ -76,6 +76,29 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(idx.query().count() == 2)
   }
 
+  test("minhash index: exact copies and close paraphrases drop, fresh docs survive") {
+    val words = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 60).map(i => s"tok$i") :+ "extra").mkString(" ") // j ~ 0.95
+    val far = (1 to 60).map(i => s"other$i word$i").mkString(" ")
+    val root = SparkTestSession.tmp("graft-mhidx")
+    Dedup.buildMinhashIndex(spark, root,
+      docs(1L -> words, 2L -> far), "doc_id", "text", nBuckets = 8)
+
+    val batch = docs(
+      10L -> words,                 // exact re-ingest: est = 1.0 -> drop
+      11L -> near,                  // close paraphrase: est ~0.95 -> drop
+      12L -> (1 to 60).map(i => s"fresh$i piece$i").mkString(" "))
+    val out = Dedup.dedupNearAgainstIndex(spark, root, batch, "doc_id", "text",
+        minEstJaccard = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(12L), s"survivors: $out")
+
+    // a batch with no banding collision reads nothing and keeps all
+    val none = docs(20L -> (1 to 40).map(i => s"qq$i rr$i").mkString(" "))
+    assert(Dedup.dedupNearAgainstIndex(spark, root, none, "doc_id", "text")
+      .count() == 1)
+  }
+
   test("a non-index collection refuses loudly") {
     val df = docs(1L -> "x").withColumn("fp", lit(1L)).withColumn("bucket", lit(0L))
     val c = graft.core.Collection.create(spark,
