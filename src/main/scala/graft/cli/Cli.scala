@@ -18,6 +18,7 @@ import graft.core.Collection
   *   graft.cli.Cli history <path>           # committed snapshot generations
   *   graft.cli.Cli vacuum <path>            # reclaim crashed writers' orphans
   *   graft.cli.Cli compact <path> [filter]  # fold small append files
+  *   graft.cli.Cli changes <path> <from> [to]  # CDC row-level diff
   * }}}
   */
 object Cli {
@@ -37,7 +38,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: Cli <ls|inspect|describe|query|drop|delete|expire|history|vacuum|compact|compact-plan|zorder|count|prune|backfill-stats|fsck> <path> [args...]")
+        "usage: Cli <ls|inspect|describe|query|drop|delete|expire|history|vacuum|compact|compact-plan|zorder|count|prune|backfill-stats|fsck|changes> <path> [args...]")
       sys.exit(2)
     }
     val (cmd, path) = (args(0), args(1))
@@ -126,6 +127,12 @@ object Cli {
         r.orphanFiles.foreach(f => println(s"orphan: $f"))
         if (r.statlessFiles.nonEmpty)
           println(s"${r.statlessFiles.size} file(s) lack stats (backfill-stats)")
+      case "changes" =>
+        // CDC: Cli changes <path> <fromGen> [toGen]  (row-level diff)
+        val c = Collection.open(spark, path, readOnly = true)
+        val from = args(2).toLong
+        val to = args.lift(3).map(_.toLong).getOrElse(c.generation)
+        c.changes(from, to).show(100, truncate = false)
       case other =>
         System.err.println(s"unknown command '$other'"); sys.exit(2)
     } finally spark.stop()
