@@ -74,7 +74,11 @@ object Cli {
         c.expirePartitions(args(2)).foreach(println)
       case "history" =>
         val c = Collection.open(spark, path, readOnly = true)
-        c.generations().foreach(g => println(s"generation $g"))
+        c.generations().foreach { g =>
+          val ts = c.manifestAt(g).committedAtMs
+            .map(ms => java.time.Instant.ofEpochMilli(ms).toString).getOrElse("-")
+          println(s"generation $g  committed $ts")
+        }
       case "vacuum" =>
         val c = Collection.open(spark, path)
         val gone = c.vacuum()

@@ -201,8 +201,10 @@ final class Collection private (
       m.shards.foreach { e =>
         m.inline.get(e.file).foreach(writeShardIfAbsent(fs, manifestDir, e.file, _))
       }
-    writeManifest(fs, manifestDir, m)
-    manifestCache.put(m.generation, m)
+    val ts = System.currentTimeMillis()
+    writeManifest(fs, manifestDir, m, ts)
+    // cache what a re-read would parse — including the publish stamp
+    manifestCache.put(m.generation, m.withCommitStamp(ts))
     if (m.generation > knownMaxGen) knownMaxGen = m.generation
   }
 
@@ -722,7 +724,16 @@ final class Collection private (
     * window. `graceMs = 0` skips the gate — the quiesced-single-writer
     * mode (this collection's declared concurrency contract) where every
     * unreferenced file is by definition a crash leftover. */
-  def vacuum(graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
+  /** @param retainMillis ADDITIONAL time-based retention: snapshots whose
+    *        commit stamp is younger than this many millis stay readable
+    *        even past the `retainGenerations` count (the Delta
+    *        `delta.deletedFileRetentionDuration` shape — size it to the
+    *        longest CDC consumer lag / time-travel window). 0 = count
+    *        only. Immediate GC on commit applies only when
+    *        `retainGenerations == 0`; time-based windows require a
+    *        retention count > 0 so deletes defer to vacuum. */
+  def vacuum(graceMs: Long = DefaultVacuumGraceMs,
+             retainMillis: Long = 0L): Seq[String] = {
     requireWritable()
     val gens = generations()
     val newestRootMtime =
@@ -731,7 +742,12 @@ final class Collection private (
     val now = System.currentTimeMillis()
     def aged(mtime: Long): Boolean =
       graceMs <= 0L || (mtime < newestRootMtime && now - mtime > graceMs)
-    val retained = gens.takeRight(retainGenerations + 1)
+    val youngEnough: Long => Boolean =
+      if (retainMillis <= 0L) _ => false
+      else g => manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g))
+        .committedAtMs.exists(ts => now - ts < retainMillis)
+    val retained = (gens.takeRight(retainGenerations + 1) ++
+      gens.filter(youngEnough)).distinct
     val live: Set[String] = retained.flatMap { g =>
       manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g)).files
     }.toSet
@@ -943,6 +959,32 @@ final class Collection private (
     df.where(FilterExpr.toColumn(ast))
       .select(dataSchema.fieldNames.toSeq.map(col): _*)
   }
+
+  /** `TIMESTAMP AS OF` resolution: the latest generation committed at or
+    * before `tsMillis` (by each manifest's publish-time stamp). Binary
+    * search over the generation list — O(log history) cached JSON reads;
+    * pre-stamp legacy manifests count as "old enough". None: every
+    * snapshot postdates the timestamp. */
+  def generationAsOf(tsMillis: Long): Option[Long] = {
+    val gens = generations().toIndexedSeq
+    def at(i: Int): Long =
+      manifestCache.getOrElseUpdate(gens(i), readManifest(fs, manifestDir, gens(i)))
+        .committedAtMs.getOrElse(Long.MinValue)
+    var lo = 0
+    var hi = gens.length - 1
+    var best = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) / 2
+      if (at(mid) <= tsMillis) { best = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    if (best < 0) None else Some(gens(best))
+  }
+
+  /** [[snapshotAt]] by wall-clock instead of generation (Delta/Iceberg
+    * `TIMESTAMP AS OF`). */
+  def snapshotAsOf(tsMillis: Long, filters: String = null): DataFrame =
+    snapshotAt(generationAsOf(tsMillis).getOrElse(throw new IllegalArgumentException(
+      s"no snapshot committed at or before $tsMillis at $root")), filters)
 
   /** CHANGE FEED (CDC): the exact row-level difference between two
     * committed snapshots, computed FILE-granularly — only files ADDED or
@@ -2831,7 +2873,19 @@ object Collection {
         * spec refuse to operate ([[Collection.currentManifest]]) — a
         * stale handle interpreting paths under the wrong layout would
         * silently mis-prune. */
-      val partSpec: Option[String] = None) {
+      val partSpec: Option[String] = None,
+      /** Wall-clock commit time (epoch millis), stamped at publish —
+        * drives `TIMESTAMP AS OF` time travel
+        * ([[Collection.generationAsOf]]) and age-based vacuum. Absent on
+        * manifests written before the stamp existed. Writer-local clock:
+        * monotonicity across writers is as good as their clocks. */
+      val committedAtMs: Option[Long] = None) {
+
+    /** This snapshot with its publish stamp — what a re-read of the
+      * just-written JSON would parse. */
+    private[core] def withCommitStamp(ts: Long): Manifest =
+      new Manifest(generation, taskBase, schemaDdl, fills, shards, loader,
+        streams, inline, columnSince, droppedEver, rewrites, partSpec, Some(ts))
 
     /** All partition paths — served from the root manifest, zero shard IO. */
     def partitionPaths: Seq[String] =
@@ -3070,6 +3124,7 @@ object Collection {
       .map(_.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSet)
       .getOrElse(Set.empty[String])
     val partSpec = Option(doc.get("partitioning")).map(_.toString)
+    val committedAt = Option(doc.get("committedAt")).map(_.toString.toLong)
     Option(doc.get("shards")) match {
       case Some(raw) =>
         val entries = raw.asInstanceOf[java.util.List[Object]].asScala.map { o =>
@@ -3091,7 +3146,8 @@ object Collection {
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => readShard(fs, dir, rel), streams,
           columnSince = columnSince, droppedEver = droppedEver,
-          rewrites = rewrites, partSpec = partSpec)
+          rewrites = rewrites, partSpec = partSpec,
+          committedAtMs = committedAt)
       case None =>
         // legacy single-JSON manifest: inline file list, synthetic
         // content-addressed names so generation diffs still work
@@ -3111,7 +3167,8 @@ object Collection {
         // files and must resolve through the inherited loader too
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => inline.get(rel).map(ShardData(_)).getOrElse(readShard(fs, dir, rel)),
-          streams, inline, columnSince, droppedEver, rewrites, partSpec)
+          streams, inline, columnSince, droppedEver, rewrites, partSpec,
+          committedAt)
     }
   }
 
@@ -3135,7 +3192,8 @@ object Collection {
     * Shard files are written BEFORE this root publish — a crash in
     * between leaves only unreferenced shard JSONs (and an orphan tmp),
     * reclaimed by [[Collection.vacuum]]. */
-  private[core] def writeManifest(fs: FileSystem, dir: Path, m: Manifest): Unit = {
+  private[core] def writeManifest(fs: FileSystem, dir: Path, m: Manifest,
+                                  stampMs: Long = System.currentTimeMillis()): Unit = {
     val doc = new java.util.LinkedHashMap[String, Object]()
     doc.put("generation", java.lang.Long.valueOf(m.generation))
     doc.put("taskBase", java.lang.Long.valueOf(m.taskBase))
@@ -3180,6 +3238,9 @@ object Collection {
       doc.put("rewrites",
         new java.util.ArrayList[Object](m.rewrites.toSeq.sorted.asJava))
     m.partSpec.foreach(s => doc.put("partitioning", s))
+    // commit wall-clock, stamped at publish: TIMESTAMP AS OF time travel
+    // + age-based vacuum read it back
+    doc.put("committedAt", java.lang.Long.valueOf(stampMs))
     val target = manifestPath(dir, m.generation)
     def conflict(): Nothing =
       throw new java.util.ConcurrentModificationException(

@@ -110,6 +110,41 @@ class ChangesSpec extends AnyFunSuite {
     assert(del.forall(_._2 == 0.5), s"deletes must surface the fill value: ${del.toSeq}")
   }
 
+  test("TIMESTAMP AS OF: commit stamps resolve generations; age window retains files") {
+    val c = fresh(SparkTestSession.tmp("graft-asof"))
+    val g1 = c.generation
+    val t1 = c.manifestAt(g1).committedAtMs.get
+    Thread.sleep(5)
+    c.insert(mk(100, 110, 2), MergeStrategy.Concat)
+    val g2 = c.generation
+    val t2 = c.manifestAt(g2).committedAtMs.get
+    assert(t2 >= t1, "commit stamps must not go backwards on one writer")
+
+    // between the two commits -> the first snapshot; before both -> none
+    assert(c.generationAsOf(t1).contains(g1))
+    assert(c.generationAsOf(t2).contains(g2))
+    if (t2 > t1) assert(c.generationAsOf(t2 - 1).contains(g1))
+    assert(c.generationAsOf(t1 - 1000000).isEmpty)
+    intercept[IllegalArgumentException](c.snapshotAsOf(t1 - 1000000))
+    assert(c.snapshotAsOf(t1).count() == 100)
+    assert(c.snapshotAsOf(t2).count() == 110)
+
+    // age-based retention: files referenced ONLY by generations outside
+    // the COUNT window survive vacuum while inside the TIME window
+    val c2 = fresh(SparkTestSession.tmp("graft-asof-age"), retain = 1)
+    val gBase = c2.generation
+    c2.updateWhere("id < 5", Map("v" -> "9.0"))
+    c2.updateWhere("id < 5", Map("v" -> "10.0"))
+    val orig = c2.manifestAt(gBase).files.toSet -- c2.currentManifest().files.toSet
+    assert(orig.nonEmpty, "the double update must have replaced files")
+    def exists(f: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"${c2.root}/$f"))
+    c2.vacuum(graceMs = 0L, retainMillis = 24L * 3600 * 1000)
+    orig.foreach(f => assert(exists(f), s"age-retained file $f must survive"))
+    c2.vacuum(graceMs = 0L)
+    orig.foreach(f => assert(!exists(f), s"count-expired file $f must be reclaimed"))
+  }
+
   test("changesSince targets the head; bad generations refuse loudly") {
     val c = fresh(SparkTestSession.tmp("graft-cdc-since"))
     val g0 = c.generation
