@@ -44,7 +44,9 @@ import graft.core.{Collection, FilterExpr}
 class GraftCollectionSource(spark: SparkSession, root: String,
                             maxGenerationsPerBatch: Option[Long] = None,
                             filters: Option[String] = None,
-                            changeFeed: Boolean = false) extends Source {
+                            changeFeed: Boolean = false,
+                            startingGeneration: Option[Long] = None,
+                            startingTimestamp: Option[Long] = None) extends Source {
 
   private val collection = Collection.open(spark, root, readOnly = true)
 
@@ -96,10 +98,28 @@ class GraftCollectionSource(spark: SparkSession, root: String,
     case other         => other.json.trim.toLong // SerializedOffset on restart
   }
 
+  /** Where the stream BEGINS (Delta `startingVersion`/`startingTimestamp`):
+    * 0 = the full starting snapshot (default); a generation G = deliver
+    * only commits AFTER G — the first batch is the manifest diff
+    * `(G, head]`, no snapshot backfill. A timestamp resolves to the
+    * latest generation committed at or before it ([[Collection
+    * .generationAsOf]]; before all history = 0 = everything). */
+  private val startBase: Long = {
+    require(startingGeneration.isEmpty || startingTimestamp.isEmpty,
+      "set startingGeneration or startingTimestamp, not both")
+    startingGeneration.map { g =>
+      require(collection.generations().contains(g),
+        s"startingGeneration $g is not a committed generation at $root")
+      g
+    }.orElse(startingTimestamp.map(ts => collection.generationAsOf(ts).getOrElse(0L)))
+      .getOrElse(0L)
+  }
+
   /** Highest generation handed to [[getBatch]] so far — the pacing
     * position for `maxGenerationsPerBatch` (re-seeded on restart by the
-    * engine's checkpointed-batch replay). */
-  @volatile private var pacedThrough: Long = 0L
+    * engine's checkpointed-batch replay; seeded at [[startBase]] so a
+    * started-from-offset stream paces from there, not from a snapshot). */
+  @volatile private var pacedThrough: Long = startBase
 
   /** Latest committed generation — one directory LIST, no data walk —
     * capped `maxGenerationsPerBatch` commits past the last batch. */
@@ -120,7 +140,7 @@ class GraftCollectionSource(spark: SparkSession, root: String,
         // to cover the window.
         math.max(paced, backfillFloor)
     }
-    if (capped <= 0L) None else Some(LongOffset(capped))
+    if (capped <= math.max(0L, startBase)) None else Some(LongOffset(capped))
   }
 
   /** Oldest generation whose snapshot is guaranteed fully on disk,
@@ -168,10 +188,13 @@ class GraftCollectionSource(spark: SparkSession, root: String,
     // untouched between the two generations keeps its shard NAME — only
     // changed subtrees load their file lists. A commit touching one
     // partition of a 10^7-file collection costs one shard read per side.
-    val newFiles = start match {
+    // a configured starting offset turns the would-be snapshot batch
+    // into a plain manifest diff from that generation
+    val startGenOpt = start.map(gen)
+      .orElse(if (startBase > 0L) Some(startBase) else None)
+    val newFiles = startGenOpt match {
       case None => endMan.files
-      case Some(s) =>
-        val startGen = gen(s)
+      case Some(startGen) =>
         val startMan = collection.manifestAt(startGen)
         // partitions some in-range commit rewrote content-preserving
         // (compact / auto-compact): their fresh files carry only rows the
@@ -258,15 +281,17 @@ class GraftCollectionSource(spark: SparkSession, root: String,
     * interval. */
   private def getChangeBatch(start: Option[Offset], endGen: Long): DataFrame = {
     val outCols = pinnedDataSchema.fieldNames.toSeq :+ Collection.ChangeTypeCol
-    val batch = start match {
+    val startGenOpt = start.map(gen)
+      .orElse(if (startBase > 0L) Some(startBase) else None)
+    val batch = startGenOpt match {
       case None =>
         collection.readManifestFiles(collection.manifestAt(endGen),
             collection.manifestAt(endGen).files,
             schemaOverride = Some(pinnedDataSchema))
           .withColumn(Collection.ChangeTypeCol,
             org.apache.spark.sql.functions.lit("insert"))
-      case Some(s) =>
-        collection.changesAs(gen(s), endGen, Some(pinnedDataSchema))
+      case Some(startGen) =>
+        collection.changesAs(startGen, endGen, Some(pinnedDataSchema))
     }
     val selected = batch.select(outCols.map(org.apache.spark.sql.functions.col): _*)
     val filtered = filterAst match {
@@ -321,5 +346,12 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
         m
       },
       parameters.get("filters"),
-      changeFeed = isChangeFeed(parameters))
+      changeFeed = isChangeFeed(parameters),
+      startingGeneration = parameters.get("startingGeneration").map(_.toLong),
+      // epoch millis or ISO-8601 instant
+      startingTimestamp = parameters.get("startingTimestamp").map { v =>
+        try v.toLong
+        catch { case _: NumberFormatException =>
+          java.time.Instant.parse(v).toEpochMilli }
+      })
 }

@@ -69,6 +69,56 @@ class ChangeFeedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startingGeneration / startingTimestamp: streams tail from an offset, no snapshot backfill") {
+    val c = fresh(SparkTestSession.tmp("graft-startgen"))
+    val gHead = c.generation
+    val tHead = c.manifestAt(gHead).committedAtMs.get
+
+    // append mode from the current head: only post-head commits arrive
+    val n1 = "graft_sg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q1 = StreamOps.readStream(spark, c,
+        Map("startingGeneration" -> gHead.toString))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(n1).start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.table(n1).count() == 0, "nothing before the offset may stream")
+      c.insert(mk((50L, "2024-01-03 12:00:00", 50.0)), MergeStrategy.Concat)
+      q1.processAllAvailable()
+      assert(spark.table(n1).select("id").collect().map(_.getLong(0)).toSeq == Seq(50L))
+    } finally q1.stop()
+
+    // CDC mode from a timestamp at the head: the update streams as a
+    // diff, never as a snapshot
+    val n2 = "graft_st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q2 = StreamOps.readChangeFeed(spark, c,
+        Map("startingTimestamp" -> tHead.toString))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(n2).start()
+    try {
+      q2.processAllAvailable()
+      val first = spark.table(n2).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(first == Seq(50L), s"only the post-timestamp insert may arrive: $first")
+      c.updateWhere("id == 50", Map("v" -> "51.0"))
+      q2.processAllAvailable()
+      val t2 = spark.table(n2)
+        .select("id", "v", Collection.ChangeTypeCol).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+      assert(t2.contains((50L, 50.0, "delete")) && t2.contains((50L, 51.0, "insert")),
+        s"update must arrive as a diff: $t2")
+    } finally q2.stop()
+
+    // both options together refuse
+    intercept[Exception] {
+      val q3 = StreamOps.readStream(spark, c, Map(
+        "startingGeneration" -> "1", "startingTimestamp" -> "0")).writeStream
+        .format("memory")
+        .queryName("graft_both_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+        .start()
+      try q3.processAllAvailable() finally q3.stop()
+    }
+  }
+
   test("maintainAggregate: IVM target tracks GROUP BY through inserts, moves, and group deletion") {
     import org.apache.spark.sql.types._
     val mkk = (vals: Seq[(Long, String, Long, Double)]) => vals
