@@ -501,10 +501,16 @@ final class Collection private (
     // being silently erased (its files dropped via `replaced` while its
     // rows are absent from a rewrite computed off the older snapshot).
     val man = if (base != null) base else currentManifest()
+    // CHECK constraints ride the write job itself; content-preserving
+    // rewrites (compact / z-order / repartition) skip the guard — their
+    // rows already live in a validated snapshot
+    val checked =
+      if (rewrite || man.constraints.isEmpty) df
+      else constraintGuard(df, man.constraints)
     // the staged write returns its exact file set: crash orphans and
     // concurrent writers' files in the same partitions are structurally
     // excluded from this commit (no directory-diff discovery)
-    val newFiles = physicalWrite(prepareForWrite(df, man.taskBase, cluster))
+    val newFiles = physicalWrite(prepareForWrite(checked, man.taskBase, cluster))
     // resolve the doomed files from the PREVIOUS snapshot before the
     // commit swaps the shard table (loads only the replaced partitions'
     // shards)
@@ -633,6 +639,9 @@ final class Collection private (
     }
     if (head.schemaDdl != prev.schemaDdl || head.fills != prev.fills)
       conflict("the schema evolved concurrently")
+    if (head.constraints != prev.constraints)
+      conflict("CHECK constraints changed concurrently — this write was " +
+        "validated against the old set")
     streamMark.foreach { case (q, b) =>
       if (head.streams.get(q).exists(_ >= b))
         conflict(s"stream batch $b of '$q' was already committed by another writer")
@@ -868,6 +877,49 @@ final class Collection private (
       fills = man.fills ++ fill.map(name -> _),
       columnSince = since))
   }
+
+  /** CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT` shape): a
+    * boolean SQL expression over the data columns, ANSI semantics (NULL
+    * passes). EXISTING data validates first — a collection never holds
+    * a row its constraints reject; from this commit on, every
+    * insert/update/merge write job carries a per-row guard that fails
+    * the job (and therefore the commit) on the first violating row, at
+    * zero extra passes over the data. Metadata-only commit. */
+  def addConstraint(name: String, sql: String): Unit = {
+    requireWritable()
+    require(name.nonEmpty && sql.nonEmpty, "constraint needs a name and an expression")
+    val man = currentManifest()
+    require(!man.constraints.contains(name), s"constraint '$name' already exists")
+    val bad = query().where(coalesce(expr(sql).cast("boolean"), lit(true)) === false).count()
+    if (bad > 0) throw new IllegalStateException(
+      s"cannot add CHECK constraint '$name' ($sql): $bad existing row(s) violate it")
+    commitManifest(man.withMeta(generation = man.generation + 1,
+      constraints = man.constraints + (name -> sql)))
+  }
+
+  /** Remove a CHECK constraint (metadata-only commit). */
+  def dropConstraint(name: String): Unit = {
+    requireWritable()
+    val man = currentManifest()
+    require(man.constraints.contains(name), s"no constraint '$name'")
+    commitManifest(man.withMeta(generation = man.generation + 1,
+      constraints = man.constraints - name))
+  }
+
+  /** Declared CHECK constraints of the current snapshot. */
+  def constraints: Map[String, String] = currentManifest().constraints
+
+  /** The per-row constraint guard: evaluates inside the write job's own
+    * scan (no extra pass); the first violating row fails the job before
+    * any manifest commit. Content-preserving rewrites skip it — their
+    * rows already live in a validated snapshot. */
+  private def constraintGuard(df: DataFrame, cs: Map[String, String]): DataFrame =
+    cs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, sql)) =>
+      d.where(when(coalesce(expr(sql).cast("boolean"), lit(true)), lit(true))
+        .otherwise(raise_error(
+          concat(lit(s"CHECK constraint '$n' violated: ($sql) is false for row "),
+            to_json(struct(df.columns.map(col): _*)))).cast("boolean")))
+    }
 
   /** Drop a data variable: no data files are rewritten — the declared
     * schema stops projecting it (reference schema versioning deletes the
@@ -2879,13 +2931,20 @@ object Collection {
         * ([[Collection.generationAsOf]]) and age-based vacuum. Absent on
         * manifests written before the stamp existed. Writer-local clock:
         * monotonicity across writers is as good as their clocks. */
-      val committedAtMs: Option[Long] = None) {
+      val committedAtMs: Option[Long] = None,
+      /** CHECK constraints (`name -> boolean SQL over the data columns`,
+        * ANSI semantics: NULL passes). Enforced INSIDE every write job
+        * as a per-row guard — a violating insert/update/merge fails
+        * before its manifest commits, so no snapshot ever holds a
+        * violating row ([[Collection.addConstraint]]). */
+      val constraints: Map[String, String] = Map.empty) {
 
     /** This snapshot with its publish stamp — what a re-read of the
       * just-written JSON would parse. */
     private[core] def withCommitStamp(ts: Long): Manifest =
       new Manifest(generation, taskBase, schemaDdl, fills, shards, loader,
-        streams, inline, columnSince, droppedEver, rewrites, partSpec, Some(ts))
+        streams, inline, columnSince, droppedEver, rewrites, partSpec, Some(ts),
+        constraints)
 
     /** All partition paths — served from the root manifest, zero shard IO. */
     def partitionPaths: Seq[String] =
@@ -2939,9 +2998,11 @@ object Collection {
                  schemaDdl: String = schemaDdl,
                  fills: Map[String, String] = fills,
                  columnSince: Map[String, Long] = columnSince,
-                 droppedEver: Set[String] = droppedEver): Manifest =
+                 droppedEver: Set[String] = droppedEver,
+                 constraints: Map[String, String] = constraints): Manifest =
       new Manifest(generation, taskBase, schemaDdl, fills, shards, loader,
-        streams, inline, columnSince, droppedEver, partSpec = partSpec)
+        streams, inline, columnSince, droppedEver, partSpec = partSpec,
+        constraints = constraints)
 
     /** New shard table, same loader. `newRewrites` marks THIS commit's
       * content-preserving rewrites — deliberately not inherited;
@@ -2952,7 +3013,7 @@ object Collection {
                    newPartSpec: Option[String] = None): Manifest =
       new Manifest(generation, taskBase, schemaDdl, fills, newShards, loader,
         newStreams, inline, columnSince, droppedEver, newRewrites,
-        newPartSpec.orElse(partSpec))
+        newPartSpec.orElse(partSpec), constraints = constraints)
   }
 
   private[core] def isDataFile(name: String): Boolean =
@@ -3125,6 +3186,11 @@ object Collection {
       .getOrElse(Set.empty[String])
     val partSpec = Option(doc.get("partitioning")).map(_.toString)
     val committedAt = Option(doc.get("committedAt")).map(_.toString.toLong)
+    val constraints = Option(doc.get("constraints"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map {
+        case (k, v) => k -> v.toString
+      }.toMap)
+      .getOrElse(Map.empty[String, String])
     Option(doc.get("shards")) match {
       case Some(raw) =>
         val entries = raw.asInstanceOf[java.util.List[Object]].asScala.map { o =>
@@ -3147,7 +3213,7 @@ object Collection {
           rel => readShard(fs, dir, rel), streams,
           columnSince = columnSince, droppedEver = droppedEver,
           rewrites = rewrites, partSpec = partSpec,
-          committedAtMs = committedAt)
+          committedAtMs = committedAt, constraints = constraints)
       case None =>
         // legacy single-JSON manifest: inline file list, synthetic
         // content-addressed names so generation diffs still work
@@ -3168,7 +3234,7 @@ object Collection {
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => inline.get(rel).map(ShardData(_)).getOrElse(readShard(fs, dir, rel)),
           streams, inline, columnSince, droppedEver, rewrites, partSpec,
-          committedAt)
+          committedAt, constraints)
     }
   }
 
@@ -3238,6 +3304,11 @@ object Collection {
       doc.put("rewrites",
         new java.util.ArrayList[Object](m.rewrites.toSeq.sorted.asJava))
     m.partSpec.foreach(s => doc.put("partitioning", s))
+    if (m.constraints.nonEmpty) {
+      val km = new java.util.LinkedHashMap[String, Object]()
+      m.constraints.toSeq.sortBy(_._1).foreach { case (k, v) => km.put(k, v) }
+      doc.put("constraints", km)
+    }
     // commit wall-clock, stamped at publish: TIMESTAMP AS OF time travel
     // + age-based vacuum read it back
     doc.put("committedAt", java.lang.Long.valueOf(stampMs))
