@@ -380,6 +380,18 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // A37 (r6): the "graft" Spark DataSource — plain
+    // spark.read.format("graft") over the collection; the WHERE clause
+    // pushes down as data-source filters into the skip stack (partition
+    // keys are first-class columns).
+    "zc_sql_source" -> ((s, dir) => {
+      val c = eventsCollection(s, dir)
+      val df = s.read.format("graft").load(c.root)
+      eventsOut(df
+        .where(col("user_id") >= 2 && col("user_id") < 9 && col("day") <= 15)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    }),
+
     // A35 (r6): PARTITION EVOLUTION — the day-keyed collection rewritten
     // in place as hour-keyed (one atomic rewrite-marked commit; manifest
     // layout stamp authoritative); the new partition keys drive pruning.
@@ -2020,6 +2032,14 @@ object SparkEntry {
                 value, props, 'delete' AS _change_type
          FROM hit
          ORDER BY event_id, _change_type""",
+
+    // The DataSource read with pushed filters must equal the plain slice.
+    "zc_sql_source" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                value, props
+         FROM events
+         WHERE user_id >= 2 AND user_id < 9 AND day(CAST(ts AS TIMESTAMP)) <= 15
+         ORDER BY event_id""",
 
     // Partition evolution preserves rows; the result is just the
     // hour-band slice of events.

@@ -1097,6 +1097,12 @@ final class Collection private (
   /** [[changes]] from `gen` to the current head. */
   def changesSince(gen: Long): DataFrame = changes(gen, generation)
 
+  /** Pruned scan for the batch DataSource ([[graft.sources.GraftRelation]]):
+    * data + partition-derived columns (row id dropped), all skip layers
+    * plus the compiled row predicate applied. */
+  private[graft] def scanWithAst(ast: FilterExpr.Ast): DataFrame =
+    prunedRaw(ast).drop(RowIdCol)
+
   /** Read matching partitions, reference base.py:526-595. `filters` is the
     * partition-filter expression; `variables` an optional projection. The
     * result carries exactly the declared data columns (partition-derived

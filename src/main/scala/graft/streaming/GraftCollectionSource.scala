@@ -306,8 +306,46 @@ class GraftCollectionSource(spark: SparkSession, root: String,
   override def toString: String = s"GraftCollectionSource[$root]"
 }
 
-/** `spark.readStream.format("graft").option("root", path).load()`. */
-class GraftCollectionSourceProvider extends StreamSourceProvider with DataSourceRegister {
+/** The `"graft"` format, registered for BOTH engines:
+  * {{{
+  *   spark.read.format("graft").load(root)                  // batch, pushdown
+  *   df.write.format("graft").mode("append").save(root)     // Concat insert
+  *   spark.readStream.format("graft").option("root", root)  // streaming
+  * }}}
+  * Batch reads go through [[graft.sources.GraftRelation]] (data-source
+  * filters prune via the skip layers); batch writes insert into an
+  * EXISTING collection (`Collection.create` declares schema, axis and
+  * partitioning — a bare parquet path can't): `append` = Concat,
+  * `overwrite` = Replace (dynamic partition overwrite — colliding
+  * partitions replaced, others untouched), `ignore` = no-op,
+  * `errorifexists` = refuse. */
+class GraftCollectionSourceProvider extends StreamSourceProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation =
+    new graft.sources.GraftRelation(sqlContext, rootOf(parameters))
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val root = rootOf(parameters)
+    val c = Collection.open(sqlContext.sparkSession, root)
+    mode match {
+      case SaveMode.Append    => c.insert(data, graft.core.MergeStrategy.Concat)
+      case SaveMode.Overwrite => c.insert(data, graft.core.MergeStrategy.Replace)
+      case SaveMode.Ignore    => ()
+      case SaveMode.ErrorIfExists => throw new IllegalStateException(
+        s"collection at $root already exists (mode=ErrorIfExists); " +
+        "use append or overwrite")
+    }
+    new graft.sources.GraftRelation(sqlContext, root)
+  }
 
   override def shortName(): String = "graft"
 

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Collection, DatePartitioning, FilterExpr, MergeStrategy}
+import graft.sources.GraftRelation
+
+/** The `"graft"` batch format (round 6): plain `spark.read.format` /
+  * temp-view SQL over a collection, with data-source filters pushed into
+  * the FilterExpr skip stack; `df.write.format("graft")` inserts.
+  */
+class SqlSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mk(vals: (Long, String, Long, Double)*) = vals
+    .toDF("id", "ts", "k", "v").withColumn("ts", col("ts").cast("timestamp"))
+
+  private def fresh(root: String): Collection = {
+    val c = Collection.create(spark, root, mk((1L, "x", 1L, 1.0)).schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("id"))
+    c.insert(mk(
+      (1L, "2024-01-01 08:00:00", 0L, 1.0), (2L, "2024-01-01 09:00:00", 1L, 2.0),
+      (3L, "2024-01-02 08:00:00", 2L, 3.0), (4L, "2024-01-03 08:00:00", 0L, 4.0)))
+    c
+  }
+
+  test("format(graft) reads match query(); filters push into the skip stack") {
+    val root = SparkTestSession.tmp("graft-sql-src")
+    fresh(root)
+    val df = spark.read.format("graft").load(root)
+
+    // full read parity (data + partition columns exposed)
+    assert(df.count() == 4)
+    assert(df.columns.contains("day") && !df.columns.contains(Collection.RowIdCol))
+
+    // filter + projection through SQL, with pushdown observed
+    df.createOrReplaceTempView("graft_src_events")
+    val got = spark.sql(
+        "SELECT id, v FROM graft_src_events WHERE id >= 2 AND id < 4 AND day <= 2")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == Seq((2L, 2.0), (3L, 3.0)))
+    assert(GraftRelation.lastScanAst != FilterExpr.True,
+      "the WHERE clause must reach the skip stack as a pushed AST")
+
+    // unsupported filter shapes degrade to no pushdown, never wrongness
+    val odd = df.where("v + 1.0 > 3.5").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(odd == Seq(3L, 4L))
+  }
+
+  test("write modes: append concats, overwrite replaces colliding partitions") {
+    val root = SparkTestSession.tmp("graft-sql-write")
+    fresh(root)
+    mk((10L, "2024-01-04 08:00:00", 3L, 10.0)).write
+      .format("graft").mode("append").save(root)
+    val c = Collection.open(spark, root, readOnly = true)
+    assert(c.query().count() == 5)
+
+    // dynamic partition overwrite: day 1 replaced, others untouched
+    mk((20L, "2024-01-01 10:00:00", 9L, 20.0)).write
+      .format("graft").mode("overwrite").save(root)
+    val ids = Collection.open(spark, root, readOnly = true)
+      .query().select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(3L, 4L, 10L, 20L), s"got $ids")
+
+    // ignore is a no-op; errorifexists refuses
+    mk((30L, "2024-01-05 08:00:00", 1L, 30.0)).write
+      .format("graft").mode("ignore").save(root)
+    assert(Collection.open(spark, root, readOnly = true).query().count() == 4)
+    intercept[Exception](mk((31L, "2024-01-05 09:00:00", 1L, 31.0)).write
+      .format("graft").mode("errorifexists").save(root))
+  }
+
+  test("filter translation: strictness under Or/Not, conjunct dropping at top level") {
+    import org.apache.spark.sql.sources._
+    val known = Set("a", "b")
+    def to(fs: Filter*) = GraftRelation.toAst(fs.toArray, known)
+    // exact translations
+    assert(to(EqualTo("a", 5)) ==
+      FilterExpr.Cmp("==", FilterExpr.Name("a"), FilterExpr.Lit(5L)))
+    assert(to(In("a", Array(1, 2))) == FilterExpr.In("a", Seq(1L, 2L), negated = false))
+    // unknown column / unsupported literal drop at top level
+    assert(to(EqualTo("zz", 5)) == FilterExpr.True)
+    assert(to(EqualTo("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))) ==
+      FilterExpr.True)
+    // Or with one unconvertible side must drop ENTIRELY (no weakening)
+    assert(to(Or(EqualTo("a", 5), EqualTo("zz", 1))) == FilterExpr.True)
+    // Not of a convertible subtree converts; of an unconvertible one drops
+    assert(to(Not(EqualTo("a", 5))) ==
+      FilterExpr.Not(FilterExpr.Cmp("==", FilterExpr.Name("a"), FilterExpr.Lit(5L))))
+    assert(to(Not(EqualTo("zz", 5))) == FilterExpr.True)
+  }
+}
