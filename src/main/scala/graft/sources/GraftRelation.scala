@@ -39,9 +39,23 @@ class GraftRelation(override val sqlContext: SQLContext, root: String)
   /** Our filters only PRUNE; the engine re-applies everything. */
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
+  /** Metadata-only cardinality estimate (row count from the manifest
+    * rollups x the schema's default row width) — feeds Catalyst's join
+    * planning, so a small graft dimension joined to a big fact
+    * broadcasts instead of shuffling. */
+  override def sizeInBytes: Long =
+    try {
+      val rows = collection.countRows()
+      if (rows < 0) super.sizeInBytes else rows * math.max(1, schema.defaultSize)
+    } catch { case _: Exception => super.sizeInBytes }
+
+  private def sessionZone: java.time.ZoneId =
+    java.time.ZoneId.of(sqlContext.sparkSession.conf
+      .get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val ast = GraftRelation.toAst(filters, schema.fieldNames.toSet)
+    val ast = GraftRelation.toAst(filters, schema.fieldNames.toSet, sessionZone)
     GraftRelation.lastScanAst = ast // test observable
     val df = collection.scanWithAst(ast)
       .select(requiredColumns.map(col).toSeq: _*)
@@ -60,13 +74,21 @@ object GraftRelation {
     * (prune less, never wrong). INSIDE a conversion the translation is
     * exact-or-None — a weakened subtree under `Or`/`Not` would prune
     * wrongly. */
-  private[graft] def toAst(fs: Array[Filter], known: Set[String]): Ast =
-    fs.flatMap(f => conv(f, known))
+  private[graft] def toAst(fs: Array[Filter], known: Set[String],
+                           zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Ast =
+    fs.flatMap(f => conv(f, known, zone))
       .reduceOption(FilterExpr.And(_, _)).getOrElse(FilterExpr.True)
 
-  /** Literals in FilterExpr's domain (Long / Double / String); anything
-    * else (timestamp, date, decimal, binary) refuses the conversion. */
-  private def litOf(v: Any): Option[Any] = v match {
+  private val TsFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Literals in FilterExpr's domain (Long / Double / String). Temporal
+    * values render as the session-zone wall-clock string the mini-
+    * language parses back to the same micros (and that Spark's
+    * string→timestamp cast reads identically at the row level) — so
+    * `WHERE ts >= timestamp'…'` prunes the axis zone maps. Decimals and
+    * binaries refuse the conversion. */
+  private def litOf(v: Any, zone: java.time.ZoneId): Option[Any] = v match {
     case null       => None
     case i: Int     => Some(i.toLong)
     case l: Long    => Some(l)
@@ -76,31 +98,41 @@ object GraftRelation {
     case d: Double  => Some(d)
     case s: String  => Some(s)
     case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case t: java.sql.Timestamp =>
+      Some(TsFmt.format(t.toInstant.atZone(zone).toLocalDateTime))
+    case t: java.time.Instant =>
+      Some(TsFmt.format(t.atZone(zone).toLocalDateTime))
+    case t: java.time.LocalDateTime => Some(TsFmt.format(t)) // NTZ wallclock
+    case d: java.sql.Date => Some(d.toLocalDate.toString)
+    case d: java.time.LocalDate => Some(d.toString)
     case _          => None
   }
 
-  private def cmp(op: String, a: String, v: Any, known: Set[String]): Option[Ast] =
+  private def cmp(op: String, a: String, v: Any, known: Set[String],
+                  zone: java.time.ZoneId): Option[Ast] =
     if (!known(a)) None
-    else litOf(v).map(x => FilterExpr.Cmp(op, FilterExpr.Name(a), FilterExpr.Lit(x)))
+    else litOf(v, zone).map(x => FilterExpr.Cmp(op, FilterExpr.Name(a), FilterExpr.Lit(x)))
 
-  private def conv(f: Filter, known: Set[String]): Option[Ast] = f match {
-    case EqualTo(a, v)            => cmp("==", a, v, known)
-    case GreaterThan(a, v)        => cmp(">", a, v, known)
-    case GreaterThanOrEqual(a, v) => cmp(">=", a, v, known)
-    case LessThan(a, v)           => cmp("<", a, v, known)
-    case LessThanOrEqual(a, v)    => cmp("<=", a, v, known)
+  private def conv(f: Filter, known: Set[String], zone: java.time.ZoneId): Option[Ast] = f match {
+    case EqualTo(a, v)            => cmp("==", a, v, known, zone)
+    case GreaterThan(a, v)        => cmp(">", a, v, known, zone)
+    case GreaterThanOrEqual(a, v) => cmp(">=", a, v, known, zone)
+    case LessThan(a, v)           => cmp("<", a, v, known, zone)
+    case LessThanOrEqual(a, v)    => cmp("<=", a, v, known, zone)
     case In(a, vs) if known(a) =>
-      val ls = vs.toSeq.map(litOf)
+      val ls = vs.toSeq.map(litOf(_, zone))
       if (ls.nonEmpty && ls.forall(_.isDefined))
         Some(FilterExpr.In(a, ls.flatten, negated = false))
       else None
     case IsNull(a) if known(a)    => Some(FilterExpr.IsNull(a, negated = false))
     case IsNotNull(a) if known(a) => Some(FilterExpr.IsNull(a, negated = true))
     case And(l, r) =>
-      for (cl <- conv(l, known); cr <- conv(r, known)) yield FilterExpr.And(cl, cr)
+      for (cl <- conv(l, known, zone); cr <- conv(r, known, zone))
+        yield FilterExpr.And(cl, cr)
     case Or(l, r) =>
-      for (cl <- conv(l, known); cr <- conv(r, known)) yield FilterExpr.Or(cl, cr)
-    case Not(x) => conv(x, known).map(FilterExpr.Not(_))
+      for (cl <- conv(l, known, zone); cr <- conv(r, known, zone))
+        yield FilterExpr.Or(cl, cr)
+    case Not(x) => conv(x, known, zone).map(FilterExpr.Not(_))
     case _      => None
   }
 }

@@ -48,6 +48,20 @@ class SqlSourceSpec extends AnyFunSuite {
     val odd = df.where("v + 1.0 > 3.5").select("id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(odd == Seq(3L, 4L))
+
+    // TIMESTAMP literals push down as session-zone wall-clock strings —
+    // the axis-range case that drives the zone maps
+    GraftRelation.lastScanAst = FilterExpr.True
+    val ts = df.where("ts >= timestamp'2024-01-02 00:00:00'").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ts == Seq(3L, 4L))
+    assert(GraftRelation.lastScanAst.toString.contains("2024-01-02"),
+      s"timestamp filter must push: ${GraftRelation.lastScanAst}")
+
+    // the relation advertises a metadata cardinality for join planning
+    val rel = new GraftRelation(spark.sqlContext, root)
+    assert(rel.sizeInBytes > 0 && rel.sizeInBytes < 1000000,
+      s"sizeInBytes must come from metadata, got ${rel.sizeInBytes}")
   }
 
   test("write modes: append concats, overwrite replaces colliding partitions") {
@@ -83,8 +97,13 @@ class SqlSourceSpec extends AnyFunSuite {
     assert(to(In("a", Array(1, 2))) == FilterExpr.In("a", Seq(1L, 2L), negated = false))
     // unknown column / unsupported literal drop at top level
     assert(to(EqualTo("zz", 5)) == FilterExpr.True)
-    assert(to(EqualTo("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))) ==
-      FilterExpr.True)
+    assert(to(EqualTo("a", BigDecimal(1))) == FilterExpr.True)
+    // temporal literals render as the wall-clock strings the
+    // mini-language parses (zone = UTC in this spec's call)
+    assert(to(GreaterThanOrEqual("a",
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T08:00:00Z")))) ==
+      FilterExpr.Cmp(">=", FilterExpr.Name("a"),
+        FilterExpr.Lit("2024-01-01 08:00:00.000000")))
     // Or with one unconvertible side must drop ENTIRELY (no weakening)
     assert(to(Or(EqualTo("a", 5), EqualTo("zz", 1))) == FilterExpr.True)
     // Not of a convertible subtree converts; of an unconvertible one drops
