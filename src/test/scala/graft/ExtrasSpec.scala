@@ -84,7 +84,10 @@ class ExtrasSpec extends AnyFunSuite {
     // routing and k-means PQ codebooks have no SQL mirror). FNV-1a, the
     // langid heuristic (round 3), and the FNV simhash variant (round 6)
     // proved SQL-expressible and graduated to the oracle set.
-    assert(rowsOnly == Set("dedup_simhash", "dedup_groups", "ann_lsh", "ann_ivf", "ann_pq"),
+    // dedup_incremental_near rides the xxhash64 MinHash estimator —
+    // recall + pruning are IncrementalDedupSpec's contract instead.
+    assert(rowsOnly == Set("dedup_simhash", "dedup_groups", "ann_lsh", "ann_ivf",
+      "ann_pq", "dedup_incremental_near"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
