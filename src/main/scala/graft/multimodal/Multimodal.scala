@@ -55,6 +55,45 @@ object Multimodal {
       }
     }
 
+    /** 64-bit DIFFERENCE HASH (dHash) of a decoded image: area-averaged
+      * grayscale on a 9x8 grid, bit (r, c) set iff cell (r, c) is
+      * brighter than its right neighbor. Stable under resize,
+      * re-encoding and small edits — the standard cheap perceptual
+      * signature; hamming distance between dHashes ranks near-duplicate
+      * images. */
+    def dHash64(w: Int, h: Int, rgb: Array[Byte]): Long = {
+      val gx = 9; val gy = 8
+      val sums = new Array[Double](gx * gy)
+      val counts = new Array[Long](gx * gy)
+      var y = 0
+      while (y < h) {
+        val ty = math.min(y * gy / h, gy - 1)
+        var x = 0
+        while (x < w) {
+          val tx = math.min(x * gx / w, gx - 1)
+          val p = (y * w + x) * 3
+          sums(ty * gx + tx) +=
+            ((rgb(p) & 0xff) + (rgb(p + 1) & 0xff) + (rgb(p + 2) & 0xff)) / 3.0
+          counts(ty * gx + tx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var r = 0
+      while (r < gy) {
+        var c = 0
+        while (c < gx - 1) {
+          val a = if (counts(r * gx + c) == 0) 0.0 else sums(r * gx + c) / counts(r * gx + c)
+          val b = if (counts(r * gx + c + 1) == 0) 0.0 else sums(r * gx + c + 1) / counts(r * gx + c + 1)
+          if (a > b) hash |= 1L << (r * (gx - 1) + c)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+
     /** Nearest-neighbor resize of packed RGB. */
     def resizeRgb(w: Int, h: Int, rgb: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
       val out = new Array[Byte](outW * outH * 3)
@@ -76,6 +115,12 @@ object Multimodal {
   /** Binary PPM (P6) — the classic uncompressed RGB format: ASCII header
     * `P6 <w> <h> <maxval>` then w*h*3 raw bytes. */
   object PpmCodec {
+    /** Perceptual difference hash of an encoded PPM ([[Raster.dHash64]]). */
+    def dHash(bytes: Array[Byte]): Long = {
+      val (w, h, rgb) = decode(bytes)
+      Raster.dHash64(w, h, rgb)
+    }
+
     /** @return (width, height, rgb) */
     def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
       var i = 0
@@ -460,4 +505,64 @@ object Multimodal {
     * until after the filter). */
   def filterByMeta(df: DataFrame, minWidth: Int, format: String): DataFrame =
     df.where(col("width") >= minWidth && col("format") === format)
+
+  /** Perceptual hashes of the image rows: `(id, dhash)` via the batch
+    * decode plumbing (no shuffle). Non-image formats are dropped — a
+    * dHash of undecodable bytes would near-collide arbitrarily. */
+  def imageHashes(ds: Dataset[Media]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          m.format match {
+            case "ppm" =>
+              val (w, h, rgb) = PpmCodec.decode(m.media)
+              Some((m.id, Raster.dHash64(w, h, rgb)))
+            case f if ImageIoCodec.Formats(f) =>
+              val (w, h, rgb) = ImageIoCodec.decodeRgb(m.media)
+              Some((m.id, Raster.dHash64(w, h, rgb)))
+            case _ => None
+          }
+        }
+      }
+    }.toDF("id", "dhash")
+  }
+
+  /** NEAR-DUPLICATE image pairs by perceptual hash: candidates collide
+    * on at least one of the dHash's eight 8-bit chunks (pigeonhole —
+    * COMPLETE for hamming <= 7, so `maxHamming` up to 7 misses
+    * nothing), then the true hamming distance verifies. The same
+    * bounded-bucket machinery as text near-dup ([[graft.dedup.Dedup]]):
+    * no O(n^2) pair space, oversized buckets star around their min id.
+    * Returns `(a, b, hamming)` with `a < b`. */
+  def nearDuplicateImages(ds: Dataset[Media], maxHamming: Int = 6,
+                          maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"8-bit-chunk pigeonhole is complete only for hamming <= 7; got $maxHamming")
+    val hashes = imageHashes(ds)
+      .repartition(col("id")) // shared Exchange for bucket + both verify joins
+    val chunks = hashes.select(
+      col("id").as("_zc_id"),
+      posexplode(array((0 until 8).map { b =>
+        xxhash64(shiftrightunsigned(col("dhash"), b * 8).bitwiseAND(lit(0xffL)), lit(b))
+      }: _*)).as(Seq("_zc_band", "_zc_bucket")))
+      .repartition(col("_zc_band"), col("_zc_bucket"))
+    val cands = graft.dedup.Dedup.boundedBucketPairs(
+      chunks, Seq("_zc_band", "_zc_bucket"), "_zc_id", maxBucket)
+    val ha = hashes.select(col("id").as("a"), col("dhash").as("_zc_ha"))
+    val hb = hashes.select(col("id").as("b"), col("dhash").as("_zc_hb"))
+    cands.join(ha, "a").join(hb, "b")
+      .withColumn("hamming", bit_count(col("_zc_ha").bitwiseXOR(col("_zc_hb"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Keep one image per near-duplicate group (smallest id wins): the
+    * corpus minus every `b` side of [[nearDuplicateImages]]. */
+  def dedupImages(ds: Dataset[Media], maxHamming: Int = 6): Dataset[Media] = {
+    import ds.sparkSession.implicits._
+    val dropped = nearDuplicateImages(ds, maxHamming)
+      .select(col("b").as("_zc_drop")).distinct()
+    ds.join(dropped, ds("id") === col("_zc_drop"), "left_anti").as[Media]
+  }
 }

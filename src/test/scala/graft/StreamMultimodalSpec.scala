@@ -580,4 +580,45 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(pruned.count() == media.count(m => m.width >= 100 && m.format == "mp4"))
     assert(pruned.count() > 0)
   }
+
+  test("perceptual image dedup: resized/re-encoded copies collapse, distinct images survive") {
+    import Multimodal.{Media, PpmCodec}
+    // a 64x64 right-to-left gradient (adjacent-column contrast
+    // everywhere), its 32x32 downscale (same structure, different
+    // bytes), an exact copy, and a checkerboard (distinct structure)
+    def img(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(w * h * 3) { i =>
+        val p = i / 3
+        f(p % w, p / w).toByte
+      }
+    val base = PpmCodec.encode(64, 64, img(64, 64, (x, _) => 255 - x * 255 / 63))
+    val small = PpmCodec.resize(base, 32, 32)
+    val vert = PpmCodec.encode(64, 64,
+      img(64, 64, (x, y) => ((x / 8 + y / 8) % 2) * 255))
+
+    // the hash itself is scale-stable and structure-sensitive
+    def dh(b: Array[Byte]) = PpmCodec.dHash(b)
+    assert(java.lang.Long.bitCount(dh(base) ^ dh(small)) <= 6,
+      s"downscale must stay within the hamming budget: ${java.lang.Long.bitCount(dh(base) ^ dh(small))}")
+    assert(java.lang.Long.bitCount(dh(base) ^ dh(vert)) > 20,
+      s"distinct structure must be far: ${java.lang.Long.bitCount(dh(base) ^ dh(vert))}")
+
+    val ds = Seq(
+      Media(1L, base, 64, 64, "ppm"),
+      Media(2L, small, 32, 32, "ppm"),
+      Media(3L, base, 64, 64, "ppm"),   // exact copy
+      Media(4L, vert, 64, 64, "ppm"),
+      Media(5L, Array[Byte](1, 2, 3), 0, 0, "mp4")). // non-image: ignored
+      toDS()
+    val pairs = Multimodal.nearDuplicateImages(ds, maxHamming = 6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"the duplicate trio must pair up: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"the vertical gradient must not pair: $pairs")
+
+    val kept = Multimodal.dedupImages(ds, maxHamming = 6)
+      .collect().map(_.id).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L), s"survivors: $kept")
+  }
 }
