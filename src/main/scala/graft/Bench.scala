@@ -29,7 +29,8 @@ object Bench {
     "text_quality_filter", "text_decontaminate", "text_redact",
     "text_sample_split", "text_repetition", "text_pack", "text_normalize",
     "text_chunk", "text_decontaminate_ngram", "text_boilerplate",
-    "text_vocab", "text_ngram_freq", "text_stratified_sample", "text_token_budget",
+    "text_vocab", "text_ngram_freq", "text_dedup_spans",
+    "text_stratified_sample", "text_token_budget",
     "dedup_simhash_fnv", "dedup_remove_exact",
     "dedup_incremental", "dedup_incremental_near", "dedup_semantic",
     "zc_insert_query", "zc_query_filter", "zc_axis_range",

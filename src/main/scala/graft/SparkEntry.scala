@@ -1070,6 +1070,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text")).orderBy("doc_id")
     }),
 
+    // C37 (r6): DUPLICATED-SPAN removal — substring-level dedup that
+    // keeps the docs: any 8-word window occurring twice anywhere in the
+    // corpus (across docs or within one) has its tokens removed
+    // everywhere; survivors rejoin in order.
+    "text_dedup_spans" -> ((s, dir) => {
+      graft.operators.Corpus.removeDuplicatedSpans(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          col("doc_id"), col("text"), k = 8)
+        .select(col("id").as("doc_id"), col("text")).orderBy("doc_id")
+    }),
+
     // C11: 64-bit FNV-1a document fingerprint (custom codegen Expression).
     "text_fingerprint" -> ((s, dir) => {
       import graft.functions.TextFunctions
@@ -2504,6 +2515,25 @@ object SparkEntry {
                FROM k GROUP BY doc_id)
          SELECT d.doc_id, COALESCE(r.text, '') AS text
          FROM d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""",
+
+    // Same rule in SQL: a token is removed iff a duplicated 8-gram
+    // window covers it. Gram identity = tokens joined on chr(1) (never
+    // inside a whitespace token), mirroring the operator's separator.
+    "text_dedup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         g AS (SELECT doc_id, u.w AS w, array_to_string(t[u.w+1 : u.w+8], chr(1)) AS gram
+               FROM d, unnest(range(0, greatest(len(t) - 7, 0))) u(w)),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         dw AS (SELECT doc_id, w FROM g WHERE gram IN (SELECT gram FROM dup)),
+         tok AS (SELECT doc_id, u.i AS i, t[u.i+1] AS token
+                 FROM d, unnest(range(0, len(t))) u(i)),
+         rem AS (SELECT DISTINCT tok.doc_id, tok.i
+                 FROM tok JOIN dw ON tok.doc_id = dw.doc_id
+                   AND dw.w BETWEEN tok.i - 7 AND tok.i)
+         SELECT tok.doc_id,
+                coalesce(string_agg(CASE WHEN rem.i IS NULL THEN token END, ' ' ORDER BY tok.i), '') AS text
+         FROM tok LEFT JOIN rem ON tok.doc_id = rem.doc_id AND tok.i = rem.i
+         GROUP BY tok.doc_id ORDER BY tok.doc_id""",
 
     "text_fingerprint" ->
       """WITH norm AS (

@@ -57,6 +57,45 @@ object Corpus {
       .limit(k)
   }
 
+  /** SUBSTRING-level dedup — remove DUPLICATED SPANS, keep the docs
+    * (the Lee et al. 2022 exact-substring tier, with a symmetric
+    * order-free rule instead of keep-first-occurrence): a token is
+    * removed iff SOME word `k`-gram window covering it occurs more than
+    * once in the corpus (across docs or within one); survivors rejoin
+    * in order. Docs shorter than `k` words carry through whole.
+    *
+    * Scale shape: one Generate per doc (its k-gram windows), one
+    * value-grouped count over the grams (map-side combined; the shuffle
+    * carries DISTINCT grams — grouping by the gram value keeps the
+    * verdict exact and engine-portable, at ~6x the bytes of a hashed
+    * key), one semi-join back, and one per-doc regroup carrying window
+    * indexes (ints, not text). The doc text itself never shuffles: the
+    * final projection filters the original token array in place with
+    * the collected duplicate-window list. */
+  def removeDuplicatedSpans(corpus: DataFrame, id: Column, text: Column,
+                            k: Int): DataFrame = {
+    require(k >= 2, "spans of k < 2 words would delete every repeated word")
+    val sep = ""
+    val toks = split(trim(text), "\\s+")
+    val docs = corpus.select(id.as("_did"), toks.as("_t"))
+    val grams = docs
+      .where(size(col("_t")) >= k)
+      .select(col("_did"), posexplode(
+        transform(sequence(lit(0), size(col("_t")) - k),
+          w => array_join(slice(col("_t"), w + 1, lit(k)), sep))).as(Seq("_w", "_g")))
+    val dup = grams.groupBy("_g").agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1).select("_g")
+    val dupWindows = grams.join(dup, "_g")
+      .groupBy("_did").agg(collect_list(col("_w")).as("_dws"))
+    docs.join(dupWindows, Seq("_did"), "left")
+      .select(col("_did").as("id"),
+        array_join(
+          filter(col("_t"), (tok, i) =>
+            col("_dws").isNull ||
+            !exists(col("_dws"), w => w >= i - (k - 1) && w <= i)),
+          " ").as("text"))
+  }
+
   /** TOP-K frequent word n-grams — the corpus-inspection companion of
     * [[vocabulary]] (memorization auditing, boilerplate discovery,
     * candidate decontamination shingles). Same scale shape: the

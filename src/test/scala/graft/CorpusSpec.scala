@@ -313,6 +313,28 @@ class CorpusSpec extends AnyFunSuite {
       s"vocabulary top-k must be bounded, not a global sort:\n$plan")
   }
 
+  test("removeDuplicatedSpans: shared spans vanish everywhere, unique text and short docs survive") {
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ") // a 10-word run
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three $shared four"),
+      (3L, "totally unique words here nothing repeats at all ever"),
+      (4L, "tiny doc"), // shorter than k -> untouched
+      (5L, "x y " + (1 to 8).map(i => s"self$i").mkString(" ") + " mid " +
+           (1 to 8).map(i => s"self$i").mkString(" ") + " z"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeDuplicatedSpans(d, col("doc_id"), col("text"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // the shared run is gone from BOTH docs; their unique words survive
+    assert(out(1L) == "alpha beta gamma delta", out(1L))
+    assert(out(2L) == "one two three four", out(2L))
+    assert(out(3L) == "totally unique words here nothing repeats at all ever")
+    assert(out(4L) == "tiny doc")
+    // within-doc repetition removes BOTH copies (symmetric rule)
+    assert(!out(5L).contains("self1") && out(5L).contains("mid"), out(5L))
+  }
+
   test("topNgrams: sliding n-grams, short docs contribute nothing, bounded top-k") {
     val d = Seq(
       (1L, "a b c a b c"),   // "a b c" x2, "b c a", "c a b"
