@@ -74,10 +74,12 @@ object Cli {
         c.expirePartitions(args(2)).foreach(println)
       case "history" =>
         val c = Collection.open(spark, path, readOnly = true)
-        c.generations().foreach { g =>
-          val ts = c.manifestAt(g).committedAtMs
-            .map(ms => java.time.Instant.ofEpochMilli(ms).toString).getOrElse("-")
-          println(s"generation $g  committed $ts")
+        c.describeHistory().collect().foreach { r =>
+          val ts = if (r.isNullAt(1)) "-"
+            else java.time.Instant.ofEpochMilli(r.getLong(1)).toString
+          val op = if (r.isNullAt(2)) "-" else r.getString(2)
+          println(f"generation ${r.getLong(0)}%3d  $ts%-24s  $op%-16s " +
+            s"partitions=${r.getInt(3)}")
         }
       case "vacuum" =>
         val c = Collection.open(spark, path)

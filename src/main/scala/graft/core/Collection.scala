@@ -231,8 +231,12 @@ final class Collection private (
       // Initial-load fast path: nothing can collide, so skip the
       // distinct-keys pass entirely — the staged write reports exactly
       // the files this job created (crash orphans are never adopted).
-      val newFiles = physicalWrite(prepareForWrite(assigned, man0.taskBase))
-      commitDelta(man0, newFiles, Set.empty, writeTasks, streamMark)
+      // CHECK constraints still guard (they can predate the first row).
+      val checked =
+        if (man0.constraints.isEmpty) assigned
+        else constraintGuard(assigned, man0.constraints)
+      val newFiles = physicalWrite(prepareForWrite(checked, man0.taskBase))
+      commitDelta(man0, newFiles, Set.empty, writeTasks, streamMark, op = "insert")
       return newFiles.map(parentRel).distinct.sorted
     }
 
@@ -289,7 +293,8 @@ final class Collection private (
     // commit racing into the same partitions conflicts instead of being
     // erased; blind writes (Replace/Concat) keep the late base read
     writeAndCommit(toWrite, replaced = replacedPaths.toSet,
-      streamMark = streamMark, base = if (mergeRead) man0 else null)
+      streamMark = streamMark, base = if (mergeRead) man0 else null,
+      op = "insert")
     if (catalogEnabled) () // the manifest IS the catalog; kept for API parity
     maybeAutoCompact(incomingPaths)
     incomingPaths.sorted
@@ -318,7 +323,7 @@ final class Collection private (
     val out = readManifestFiles(man, man.filesForPartitions(paths))
       .select(schema.fieldNames.toSeq.map(col): _*)
     try writeAndCommit(partitioning.assign(out), replaced = paths, base = man,
-      rewrite = true)
+      rewrite = true, op = "auto-compact")
     catch { case _: java.util.ConcurrentModificationException =>
       // auto-compaction is opportunistic: losing the race leaves the
       // partition fragmented-but-correct; the next insert retries
@@ -494,6 +499,7 @@ final class Collection private (
       cluster: Seq[Column] = null,
       replacedFiles: Set[String] = Set.empty,
       newPartSpec: Option[String] = None,
+      op: String = "write",
   ): Unit = {
     // Read-modify-write callers PIN the manifest their read resolved
     // against and pass it as `base`: a concurrent commit to the same
@@ -517,7 +523,7 @@ final class Collection private (
     val doomed =
       if (retainGenerations == 0) man.filesForPartitions(replaced) ++ replacedFiles
       else Nil
-    try commitDelta(man, newFiles, replaced, writeTasks, streamMark, rewrite, replacedFiles, newPartSpec)
+    try commitDelta(man, newFiles, replaced, writeTasks, streamMark, rewrite, replacedFiles, newPartSpec, op)
     catch {
       case e: java.util.ConcurrentModificationException =>
         // a CONFLICT proves the commit did not land (the publish is
@@ -574,7 +580,7 @@ final class Collection private (
     // physical layout, its spec stamps the manifest
     next.writeAndCommit(newPartitioning.assign(rows),
       replaced = man.partitionPaths.toSet, base = man, rewrite = true,
-      newPartSpec = Some(next.partSpecJson))
+      newPartSpec = Some(next.partSpecJson), op = "repartition")
     // repair the root config LAST (cosmetic once the manifest is
     // stamped; open() trusts the manifest over the config)
     try {
@@ -605,12 +611,13 @@ final class Collection private (
                                 streamMark: Option[(String, Long)] = None,
                                 rewrite: Boolean = false,
                                 droppedFiles: Set[String] = Set.empty,
-                                newPartSpec: Option[String] = None): Unit = {
+                                newPartSpec: Option[String] = None,
+                                op: String = "write"): Unit = {
     var base = prev
     var attempts = 0
     val (newStats, newRows) = fileStats(newFiles) // once — retries reuse it
     while (true) {
-      try { commitDeltaOnce(base, newFiles, newStats, newRows, dropped, taskBump, streamMark, rewrite, droppedFiles, newPartSpec); return }
+      try { commitDeltaOnce(base, newFiles, newStats, newRows, dropped, taskBump, streamMark, rewrite, droppedFiles, newPartSpec, op); return }
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -673,7 +680,8 @@ final class Collection private (
                               streamMark: Option[(String, Long)] = None,
                               rewrite: Boolean = false,
                               droppedFiles: Set[String] = Set.empty,
-                              newPartSpec: Option[String] = None): Unit = {
+                              newPartSpec: Option[String] = None,
+                              op: String = "write"): Unit = {
     val newByPrefix = newFiles.groupBy(f => prefixOf(parentRel(f)))
     val affected = newByPrefix.keySet ++ dropped.map(prefixOf) ++
       droppedFiles.map(f => prefixOf(parentRel(f)))
@@ -715,7 +723,7 @@ final class Collection private (
       (kept ++ rebuilt).sortBy(_.prefix),
       streamMark.fold(prev.streams)(prev.streams + _),
       newRewrites = if (rewrite) dropped else Set.empty,
-      newPartSpec = newPartSpec))
+      newPartSpec = newPartSpec, newOp = Some(op)))
   }
 
   /** Reclaim unreachable data files: crash leftovers of writers that
@@ -875,7 +883,7 @@ final class Collection private (
       generation = man.generation + 1,
       schemaDdl = StructType(s.fields :+ StructField(name, dataType)).toDDL,
       fills = man.fills ++ fill.map(name -> _),
-      columnSince = since))
+      columnSince = since, op = Some("add-column")))
   }
 
   /** CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT` shape): a
@@ -894,7 +902,7 @@ final class Collection private (
     if (bad > 0) throw new IllegalStateException(
       s"cannot add CHECK constraint '$name' ($sql): $bad existing row(s) violate it")
     commitManifest(man.withMeta(generation = man.generation + 1,
-      constraints = man.constraints + (name -> sql)))
+      constraints = man.constraints + (name -> sql), op = Some("add-constraint")))
   }
 
   /** Remove a CHECK constraint (metadata-only commit). */
@@ -903,7 +911,7 @@ final class Collection private (
     val man = currentManifest()
     require(man.constraints.contains(name), s"no constraint '$name'")
     commitManifest(man.withMeta(generation = man.generation + 1,
-      constraints = man.constraints - name))
+      constraints = man.constraints - name, op = Some("drop-constraint")))
   }
 
   /** Declared CHECK constraints of the current snapshot. */
@@ -936,7 +944,7 @@ final class Collection private (
       schemaDdl = StructType(s.fields.filterNot(_.name == name)).toDDL,
       fills = man.fills - name,
       columnSince = man.columnSince - name,
-      droppedEver = man.droppedEver + name))
+      droppedEver = man.droppedEver + name, op = Some("drop-column")))
   }
 
   // --- read --------------------------------------------------------
@@ -1010,6 +1018,21 @@ final class Collection private (
     }
     df.where(FilterExpr.toColumn(ast))
       .select(dataSchema.fieldNames.toSeq.map(col): _*)
+  }
+
+  /** DESCRIBE HISTORY: one row per committed snapshot — generation,
+    * commit wall-clock, operation label, rewrite markers, partition and
+    * file counts — straight from the (cached) root manifests, zero data
+    * IO. Pre-label manifests show a null operation. */
+  def describeHistory(): DataFrame = {
+    val rows = generations().map { g =>
+      val m = manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g))
+      (g, m.committedAtMs, m.op, m.partitionPaths.size,
+        m.shards.size, m.rewrites.size)
+    }
+    import spark.implicits._
+    rows.toDF("generation", "committed_at_ms", "operation",
+      "partitions", "subtrees", "rewritten_partitions")
   }
 
   /** `TIMESTAMP AS OF` resolution: the latest generation committed at or
@@ -1868,7 +1891,7 @@ final class Collection private (
   private def dropPartitionPaths(doomed: Seq[String], man: Manifest): Seq[String] = {
     if (doomed.isEmpty) return doomed
     val doomedSet = doomed.toSet
-    commitDelta(man, Nil, doomedSet, taskBump = 0L)
+    commitDelta(man, Nil, doomedSet, taskBump = 0L, op = "drop-partitions")
     // under a retention window, dropped partitions stay on disk (and
     // time-travelable) until vacuum() expires them
     if (retainGenerations == 0) doomed.foreach { rel =>
@@ -1976,7 +1999,7 @@ final class Collection private (
           .select(schema.fieldNames.toSeq.map(col): _*)
       }
     writeAndCommit(partitioning.assign(out), replaced = touched.toSet, base = man,
-      rewrite = rewrite)
+      rewrite = rewrite, op = if (rewrite) "compact" else "update")
     touched
   }
 
@@ -2015,7 +2038,7 @@ final class Collection private (
       .where(!(FilterExpr.toColumn(ast) <=> lit(true)))
       .select(schema.fieldNames.toSeq.map(col): _*)
     writeAndCommit(partitioning.assign(keep), replaced = Set.empty,
-      base = man, replacedFiles = affected.toSet)
+      base = man, replacedFiles = affected.toSet, op = "delete")
     affected
   }
 
@@ -2063,7 +2086,7 @@ final class Collection private (
       }
     }: _*)
     writeAndCommit(partitioning.assign(out), replaced = Set.empty,
-      base = man, replacedFiles = affected.toSet)
+      base = man, replacedFiles = affected.toSet, op = "update")
     affected
   }
 
@@ -2179,7 +2202,7 @@ final class Collection private (
         }: _*)
       }
     writeAndCommit(partitioning.assign(out), replaced = Set.empty,
-      base = man, replacedFiles = affected.toSet)
+      base = man, replacedFiles = affected.toSet, op = "merge")
     affected
   }
 
@@ -2303,7 +2326,7 @@ final class Collection private (
     val out = readManifestFiles(man, man.filesForPartitions(targets.toSet))
       .select(schema.fieldNames.toSeq.map(col): _*)
     writeAndCommit(partitioning.assign(out), replaced = targets.toSet,
-      base = man, rewrite = true, cluster = cluster)
+      base = man, rewrite = true, cluster = cluster, op = "compact")
     targets
   }
 
@@ -2943,14 +2966,20 @@ object Collection {
         * as a per-row guard — a violating insert/update/merge fails
         * before its manifest commits, so no snapshot ever holds a
         * violating row ([[Collection.addConstraint]]). */
-      val constraints: Map[String, String] = Map.empty) {
+      val constraints: Map[String, String] = Map.empty,
+      /** What KIND of commit produced this snapshot (`insert`, `update`,
+        * `delete`, `compact`, `merge`, `repartition`, `add-column`, …)
+        * — pure observability, surfaced by [[Collection
+        * .describeHistory]] (the DESCRIBE HISTORY shape). Absent on
+        * pre-label manifests. */
+      val op: Option[String] = None) {
 
     /** This snapshot with its publish stamp — what a re-read of the
       * just-written JSON would parse. */
     private[core] def withCommitStamp(ts: Long): Manifest =
       new Manifest(generation, taskBase, schemaDdl, fills, shards, loader,
         streams, inline, columnSince, droppedEver, rewrites, partSpec, Some(ts),
-        constraints)
+        constraints, op)
 
     /** All partition paths — served from the root manifest, zero shard IO. */
     def partitionPaths: Seq[String] =
@@ -3005,10 +3034,11 @@ object Collection {
                  fills: Map[String, String] = fills,
                  columnSince: Map[String, Long] = columnSince,
                  droppedEver: Set[String] = droppedEver,
-                 constraints: Map[String, String] = constraints): Manifest =
+                 constraints: Map[String, String] = constraints,
+                 op: Option[String] = None): Manifest =
       new Manifest(generation, taskBase, schemaDdl, fills, shards, loader,
         streams, inline, columnSince, droppedEver, partSpec = partSpec,
-        constraints = constraints)
+        constraints = constraints, op = op)
 
     /** New shard table, same loader. `newRewrites` marks THIS commit's
       * content-preserving rewrites — deliberately not inherited;
@@ -3016,10 +3046,11 @@ object Collection {
     def withShards(generation: Long, taskBase: Long, newShards: Seq[ShardEntry],
                    newStreams: Map[String, Long] = streams,
                    newRewrites: Set[String] = Set.empty,
-                   newPartSpec: Option[String] = None): Manifest =
+                   newPartSpec: Option[String] = None,
+                   newOp: Option[String] = None): Manifest =
       new Manifest(generation, taskBase, schemaDdl, fills, newShards, loader,
         newStreams, inline, columnSince, droppedEver, newRewrites,
-        newPartSpec.orElse(partSpec), constraints = constraints)
+        newPartSpec.orElse(partSpec), constraints = constraints, op = newOp)
   }
 
   private[core] def isDataFile(name: String): Boolean =
@@ -3192,6 +3223,7 @@ object Collection {
       .getOrElse(Set.empty[String])
     val partSpec = Option(doc.get("partitioning")).map(_.toString)
     val committedAt = Option(doc.get("committedAt")).map(_.toString.toLong)
+    val opLabel = Option(doc.get("op")).map(_.toString)
     val constraints = Option(doc.get("constraints"))
       .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map {
         case (k, v) => k -> v.toString
@@ -3219,7 +3251,7 @@ object Collection {
           rel => readShard(fs, dir, rel), streams,
           columnSince = columnSince, droppedEver = droppedEver,
           rewrites = rewrites, partSpec = partSpec,
-          committedAtMs = committedAt, constraints = constraints)
+          committedAtMs = committedAt, constraints = constraints, op = opLabel)
       case None =>
         // legacy single-JSON manifest: inline file list, synthetic
         // content-addressed names so generation diffs still work
@@ -3240,7 +3272,7 @@ object Collection {
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => inline.get(rel).map(ShardData(_)).getOrElse(readShard(fs, dir, rel)),
           streams, inline, columnSince, droppedEver, rewrites, partSpec,
-          committedAt, constraints)
+          committedAt, constraints, opLabel)
     }
   }
 
@@ -3310,6 +3342,7 @@ object Collection {
       doc.put("rewrites",
         new java.util.ArrayList[Object](m.rewrites.toSeq.sorted.asJava))
     m.partSpec.foreach(s => doc.put("partitioning", s))
+    m.op.foreach(s => doc.put("op", s))
     if (m.constraints.nonEmpty) {
       val km = new java.util.LinkedHashMap[String, Object]()
       m.constraints.toSeq.sortBy(_._1).foreach { case (k, v) => km.put(k, v) }

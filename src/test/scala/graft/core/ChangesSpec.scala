@@ -145,6 +145,25 @@ class ChangesSpec extends AnyFunSuite {
     orig.foreach(f => assert(!exists(f), s"count-expired file $f must be reclaimed"))
   }
 
+  test("describeHistory: every commit carries its operation label and stamp") {
+    val c = fresh(SparkTestSession.tmp("graft-history"))
+    c.updateWhere("id == 1", Map("v" -> "2.0"))
+    c.deleteWhere("id == 2")
+    c.addVariable("w", org.apache.spark.sql.types.DoubleType)
+    c.compact()
+    c.insert(mk(500, 505, 4), MergeStrategy.Concat)
+
+    val h = c.describeHistory().orderBy("generation").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2)))
+    // gen 0 = create (pre-label empty manifest), then the labeled ops
+    assert(h.map(_._2).toSeq.drop(1) ==
+      Seq("insert", "update", "delete", "add-column", "compact", "insert"),
+      s"history labels: ${h.toSeq}")
+    val stamps = c.describeHistory().where(col("generation") > 0)
+      .select("committed_at_ms").collect()
+    assert(stamps.forall(!_.isNullAt(0)), "every labeled commit is stamped")
+  }
+
   test("changesSince targets the head; bad generations refuse loudly") {
     val c = fresh(SparkTestSession.tmp("graft-cdc-since"))
     val g0 = c.generation

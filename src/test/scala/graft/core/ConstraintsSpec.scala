@@ -63,6 +63,16 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(c2.query().count() == 3)
   }
 
+  test("constraints added before the first row guard the initial-load fast path") {
+    val c = Collection.create(spark, SparkTestSession.tmp("graft-chk-empty"),
+      mk((1L, "x", 1.0)).schema, "ts", DatePartitioning("ts", "D"))
+    c.addConstraint("v_nonneg", "v >= 0")
+    intercept[Exception](c.insert(mk((1L, "2024-01-01 08:00:00", -1.0))))
+    assert(c.query().count() == 0, "the violating initial load must not land")
+    c.insert(mk((1L, "2024-01-01 08:00:00", 1.0)))
+    assert(c.query().count() == 1)
+  }
+
   test("adding a constraint the existing data violates refuses") {
     val c = fresh(SparkTestSession.tmp("graft-chk-exist"))
     val ex = intercept[IllegalStateException](c.addConstraint("v_big", "v > 1.5"))
