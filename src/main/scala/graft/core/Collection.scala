@@ -2118,7 +2118,18 @@ final class Collection private (
     * land wherever their own axis says). Returns the rewritten files. */
   def mergeInto(source: DataFrame, on: Seq[String],
                 whenMatched: WhenMatched = WhenMatched.UpdateAll,
-                insertUnmatched: Boolean = true): Seq[String] = {
+                insertUnmatched: Boolean = true): Seq[String] =
+    mergeIntoInternal(source, on, whenMatched, insertUnmatched, None)
+
+  /** [[mergeInto]] carrying a streaming batch mark: the batch id commits
+    * ATOMICALLY with the merge (the [[insertStreamBatch]] idempotent-sink
+    * contract), so a foreachBatch replay of an already-merged batch is
+    * detected by [[streamHighWaterMark]] and skipped — exactly-once
+    * incremental view maintenance. */
+  private[graft] def mergeIntoInternal(source: DataFrame, on: Seq[String],
+                whenMatched: WhenMatched,
+                insertUnmatched: Boolean,
+                streamMark: Option[(String, Long)]): Seq[String] = {
     requireWritable()
     require(on.nonEmpty, "mergeInto requires at least one key column")
     on.foreach(k => require(schema.fieldNames.contains(k), s"unknown key column: $k"))
@@ -2202,7 +2213,8 @@ final class Collection private (
         }: _*)
       }
     writeAndCommit(partitioning.assign(out), replaced = Set.empty,
-      base = man, replacedFiles = affected.toSet, op = "merge")
+      base = man, replacedFiles = affected.toSet, op = "merge",
+      streamMark = streamMark)
     affected
   }
 

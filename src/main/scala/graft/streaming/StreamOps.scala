@@ -232,27 +232,42 @@ object StreamOps {
     * NULL-key rows are excluded (SQL GROUP BY would keep them; MERGE
     * keys cannot match on NULL). The target must hold exactly
     * `keys ++ countCol ++ sums.keys`. */
+  /** @param queryName stable identity for the maintenance stream: each
+    *        micro-batch id commits ATOMICALLY with its merge under this
+    *        name, so a foreachBatch REPLAY (Spark's at-least-once
+    *        contract after a failure) is detected against the target
+    *        manifest's high-water mark and skipped — the delta applies
+    *        exactly once. Pair with `checkpoint` so a RESTARTED stream
+    *        resumes its offsets instead of re-reading the snapshot. */
   def maintainAggregate(spark: SparkSession, source: Collection, target: Collection,
                         keys: Seq[String], countCol: String,
-                        sums: Map[String, String] = Map.empty)
+                        sums: Map[String, String] = Map.empty,
+                        queryName: String = "graft-ivm",
+                        checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.core.WhenMatched
-    readChangeFeed(spark, source).writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sign = when(col(Collection.ChangeTypeCol) === "insert", lit(1L))
-          .otherwise(lit(-1L))
-        val aggs = sum(sign).as(countCol) +:
-          sums.toSeq.map { case (out, e) => sum(expr(e) * sign).as(out) }
-        val delta = batch.toDF()
-          .where(keys.map(col(_).isNotNull).reduce(_ && _))
-          .groupBy(keys.map(col): _*)
-          .agg(aggs.head, aggs.tail: _*)
-        if (!delta.isEmpty) {
-          val assigns = (countCol +: sums.keys.toSeq)
-            .map(c => c -> s"t.$c + s.$c").toMap
-          target.mergeInto(delta, on = keys,
-            whenMatched = WhenMatched.Update(assigns,
-              deleteWhen = Some(s"t.$countCol + s.$countCol = 0")))
+    val writer0 = readChangeFeed(spark, source).writeStream.queryName(queryName)
+    val writer = checkpoint.fold(writer0)(writer0.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!target.streamHighWaterMark(queryName).exists(_ >= id)) {
+          val sign = when(col(Collection.ChangeTypeCol) === "insert", lit(1L))
+            .otherwise(lit(-1L))
+          val aggs = sum(sign).as(countCol) +:
+            sums.toSeq.map { case (out, e) => sum(expr(e) * sign).as(out) }
+          val delta = batch.toDF()
+            .where(keys.map(col(_).isNotNull).reduce(_ && _))
+            .groupBy(keys.map(col): _*)
+            .agg(aggs.head, aggs.tail: _*)
+          if (!delta.isEmpty) {
+            val assigns = (countCol +: sums.keys.toSeq)
+              .map(c => c -> s"t.$c + s.$c").toMap
+            target.mergeIntoInternal(delta, on = keys,
+              whenMatched = WhenMatched.Update(assigns,
+                deleteWhen = Some(s"t.$countCol + s.$countCol = 0")),
+              insertUnmatched = true,
+              streamMark = Some(queryName -> id))
+          }
         }
         ()
       }

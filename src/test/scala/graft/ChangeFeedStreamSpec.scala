@@ -142,8 +142,11 @@ class ChangeFeedStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
       .sortBy(_._1).toSeq
 
-    val q = StreamOps.maintainAggregate(spark, src, tgt, Seq("k"), "n",
-      Map("s" -> "CAST(v AS DECIMAL(18,4))"))
+    val ckpt = SparkTestSession.tmp("graft-ivm-ckpt")
+    def start() = StreamOps.maintainAggregate(spark, src, tgt, Seq("k"), "n",
+      Map("s" -> "CAST(v AS DECIMAL(18,4))"),
+      queryName = "ivm-spec", checkpoint = Some(ckpt))
+    val q = start()
     try {
       q.processAllAvailable()
       assert(maintained().map(t => (t._1, t._2)) == Seq((0L, 3L), (1L, 3L), (2L, 3L)),
@@ -166,6 +169,19 @@ class ChangeFeedStreamSpec extends AnyFunSuite {
         s"emptied group must disappear: ${maintained()}")
       assert(maintained() == direct(), s"after group deletion: ${maintained()} vs ${direct()}")
     } finally q.stop()
+
+    // exactly-once across a RESTART: the checkpoint resumes offsets and
+    // the per-batch mark in the target manifest dedupes any replays —
+    // the aggregate neither double-counts nor misses the new commit
+    assert(tgt.streamHighWaterMark("ivm-spec").isDefined,
+      "merges must record their batch high-water mark")
+    src.insert(mkk(Seq((20L, "2024-01-03 10:00:00", 2L, 7.0))), MergeStrategy.Concat)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(maintained() == direct(),
+        s"restarted IVM must stay exact: ${maintained()} vs ${direct()}")
+    } finally q2.stop()
   }
 
   test("filters apply to rows of the diff; partition-derived names refuse at start") {
