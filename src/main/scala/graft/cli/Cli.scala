@@ -82,9 +82,13 @@ object Cli {
             s"partitions=${r.getInt(3)}")
         }
       case "vacuum" =>
+        // Cli vacuum <path> [dry-run]
         val c = Collection.open(spark, path)
-        val gone = c.vacuum()
-        println(s"reclaimed ${gone.size} orphan file(s)")
+        val dry = args.lift(2).contains("dry-run")
+        val gone = c.vacuum(dryRun = dry)
+        if (dry) { gone.foreach(f => println(s"would reclaim: $f"))
+                   println(s"${gone.size} file(s) reclaimable") }
+        else println(s"reclaimed ${gone.size} orphan file(s)")
       case "compact" =>
         val c = Collection.open(spark, path)
         c.compact(args.lift(2).orNull).foreach(println)

@@ -749,8 +749,12 @@ final class Collection private (
     *        only. Immediate GC on commit applies only when
     *        `retainGenerations == 0`; time-based windows require a
     *        retention count > 0 so deletes defer to vacuum. */
+  /** @param dryRun report the data files vacuum WOULD reclaim without
+    *        deleting anything (no shard/tmp/stage cleanup either) — the
+    *        operator pre-flight before an irreversible GC. */
   def vacuum(graceMs: Long = DefaultVacuumGraceMs,
-             retainMillis: Long = 0L): Seq[String] = {
+             retainMillis: Long = 0L,
+             dryRun: Boolean = false): Seq[String] = {
     requireWritable()
     val gens = generations()
     val newestRootMtime =
@@ -773,6 +777,7 @@ final class Collection private (
       try aged(fs.getFileStatus(new Path(s"$root/$f")).getModificationTime)
       catch { case _: Exception => false }
     }
+    if (dryRun) return doomed
     doomed.foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
     // shard-file GC: reclaim shard JSONs referenced by NO committed root
     // manifest (leftovers of commits that crashed between shard write and

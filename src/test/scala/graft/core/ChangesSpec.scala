@@ -141,6 +141,10 @@ class ChangesSpec extends AnyFunSuite {
       java.nio.file.Files.exists(java.nio.file.Paths.get(s"${c2.root}/$f"))
     c2.vacuum(graceMs = 0L, retainMillis = 24L * 3600 * 1000)
     orig.foreach(f => assert(exists(f), s"age-retained file $f must survive"))
+    // dry run names the victims without touching them
+    val would = c2.vacuum(graceMs = 0L, dryRun = true).toSet
+    assert(orig.subsetOf(would), s"dry run must report $orig, got $would")
+    orig.foreach(f => assert(exists(f), "dry run must delete nothing"))
     c2.vacuum(graceMs = 0L)
     orig.foreach(f => assert(!exists(f), s"count-expired file $f must be reclaimed"))
   }
