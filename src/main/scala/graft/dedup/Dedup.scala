@@ -429,19 +429,24 @@ object Dedup {
     val attrs = Map(
       MinhashBucketsAttr -> nBuckets.toString, MinhashPermsAttr -> numPerms.toString,
       MinhashBandsAttr -> bands.toString, MinhashShingleAttr -> shingleK.toString)
+    // signatures feed BOTH sub-collections' write jobs — materialize the
+    // shingle+minhash pass once instead of twice
     val sigs = minhashSigRows(docs, idCol, textCol, shingleK, numPerms)
-    val sigRows = sigs.select(sigMod(col("doc_id"), nBuckets).as("smod"),
-      col("doc_id"), col("sig"))
-    val sc = graft.core.Collection.create(spark, s"$root/sigs", sigRows.schema,
-      "doc_id", graft.core.SequencePartitioning(Seq("smod"), "doc_id"),
-      overwrite = true, attrs = attrs)
-    sc.insert(sigRows)
-    val bandRows = minhashBandRows(sigs, bands, numPerms / bands, nBuckets)
-    val bc = graft.core.Collection.create(spark, s"$root/bands", bandRows.schema,
-      "doc_id", graft.core.SequencePartitioning(Seq("bmod"), "doc_id"),
-      overwrite = true, attrs = attrs)
-    bc.insert(bandRows)
-    (bc, sc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sigRows = sigs.select(sigMod(col("doc_id"), nBuckets).as("smod"),
+        col("doc_id"), col("sig"))
+      val sc = graft.core.Collection.create(spark, s"$root/sigs", sigRows.schema,
+        "doc_id", graft.core.SequencePartitioning(Seq("smod"), "doc_id"),
+        overwrite = true, attrs = attrs)
+      sc.insert(sigRows)
+      val bandRows = minhashBandRows(sigs, bands, numPerms / bands, nBuckets)
+      val bc = graft.core.Collection.create(spark, s"$root/bands", bandRows.schema,
+        "doc_id", graft.core.SequencePartitioning(Seq("bmod"), "doc_id"),
+        overwrite = true, attrs = attrs)
+      bc.insert(bandRows)
+      (bc, sc)
+    } finally sigs.unpersist()
   }
 
   /** Open both halves of a [[buildMinhashIndex]] root. */
