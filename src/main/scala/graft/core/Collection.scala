@@ -556,10 +556,14 @@ final class Collection private (
     *
     * The rewrite is the full-scan rewrite it sounds like (every row
     * re-bucketed — cost ∝ collection size, like any layout migration);
-    * it is rewrite-MARKED, so streaming tails skip it and the CDC diff
-    * cancels to empty. Row ids are reassigned: views and indexes detect
-    * staleness as with [[compact]]. Single-writer operation: a commit
-    * racing it conflicts on the all-partitions overlap. */
+    * it is rewrite-MARKED, so the CDC diff cancels to empty. LIVE
+    * streaming tails fail loudly (their source handle holds the old
+    * layout — same reopen contract as every stale handle); a RESTARTED
+    * stream resumes from its checkpoint and skips the evolution batch
+    * via the all-rewrites + global-row-total check — no re-delivery.
+    * Row ids are reassigned: views and indexes detect staleness as with
+    * [[compact]]. Single-writer operation: a commit racing it conflicts
+    * on the all-partitions overlap. */
   def changePartitioning(newPartitioning: Partitioning): Collection = {
     requireWritable()
     require(newPartitioning.dimension == axis,

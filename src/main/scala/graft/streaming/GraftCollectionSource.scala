@@ -206,12 +206,33 @@ class GraftCollectionSource(spark: SparkSession, root: String,
         // so it falls back to full delivery (at-least-once, never loss).
         // One cached root-JSON read per generation.
         val rangeGens = (startGen + 1L) to endGen
+        val allRewrites = endGen > startGen &&
+          rangeGens.forall(g => collection.manifestAt(g).rewrites.nonEmpty)
         val rewritten: Set[String] =
-          if (endGen <= startGen) Set.empty
-          else if (!rangeGens.forall(g => collection.manifestAt(g).rewrites.nonEmpty))
-            Set.empty
+          if (!allRewrites) Set.empty
           else rangeGens.iterator
             .flatMap(g => collection.manifestAt(g).rewrites).toSet
+        // CROSS-partition rewrite (changePartitioning moves rows to new
+        // partition paths): the per-partition totals below can't match,
+        // but when EVERY in-range commit is rewrite-marked and the
+        // GLOBAL row totals agree, the range replaced exactly the
+        // already-delivered content — deliver nothing. (The marker is
+        // the soundness carrier: only content-preserving commits set
+        // it; totals are the double-check. Unknown totals fall through
+        // to per-partition handling — at-least-once, never loss.)
+        if (allRewrites) {
+          def total(m: Collection.Manifest): Option[Long] = {
+            val ts = m.shards.map(_.rowTotal)
+            if (ts.forall(_.isDefined)) Some(ts.flatten.sum) else None
+          }
+          (total(startMan), total(endMan)) match {
+            case (Some(a), Some(b)) if a == b =>
+              return org.apache.spark.sql.graftshim.StreamingShim.asStreamingBatch(
+                collection.readManifestFiles(endMan, Nil,
+                  schemaOverride = Some(pinnedDataSchema)))
+            case _ => ()
+          }
+        }
         val startNames = startMan.shards.map(_.file).toSet
         val startByPrefix = startMan.shards.map(e => e.prefix -> e).toMap
         endMan.shards.filterNot(e => startNames.contains(e.file)).flatMap { e =>

@@ -9,6 +9,13 @@ import graft.SparkTestSession
   * rewrites the collection under a new layout in one atomic, rewrite-marked
   * commit whose manifest stamp is authoritative; stale handles refuse.
   */
+object ChangePartitioningSpec {
+  /** Driver-side collector for the restart test (foreachBatch runs on
+    * the driver; a local-mode executor singleton would also work). */
+  val seenIds: java.util.Set[java.lang.Long] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+}
+
 class ChangePartitioningSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -86,6 +93,49 @@ class ChangePartitioningSpec extends AnyFunSuite {
     assert(Collection.specJson(reopened.partitioning) != oldSpec,
       "open must trust the head manifest's layout stamp over the config")
     assert(reopened.query("hour == 8").count() == 2)
+  }
+
+  test("streams fail LOUDLY on a repartition; a restarted stream skips the rewrite") {
+    val root = SparkTestSession.tmp("graft-evolve-stream")
+    val ckpt = SparkTestSession.tmp("graft-evolve-ckpt")
+    val c = fresh(root)
+    val seen = ChangePartitioningSpec.seenIds
+    seen.clear()
+    def start(coll: Collection) = graft.streaming.StreamOps.readStream(spark, coll)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.select("id").collect().foreach(r =>
+          seen.add(java.lang.Long.valueOf(r.getLong(0)))); ()
+      }.start()
+
+    val q = start(c)
+    val c2 =
+      try {
+        q.processAllAvailable()
+        assert(seen.size == 4)
+        // an old-layout handle cannot interpret the new paths: the live
+        // stream must DIE with the reopen error, never mis-read
+        val evolved = c.changePartitioning(DatePartitioning("ts", "h"))
+        val ex = intercept[Exception](q.processAllAvailable())
+        assert(ex.getMessage.contains("repartitioned"), ex.getMessage)
+        evolved
+      } finally q.stop()
+
+    // a RESTARTED stream (fresh source handle, new layout) resumes from
+    // the checkpoint: the all-rewrites + global-row-total check keeps
+    // the evolution batch empty — no re-delivery — and later commits
+    // stream normally
+    val before = seen.size
+    val q2 = start(c2)
+    try {
+      q2.processAllAvailable()
+      assert(seen.size == before,
+        s"repartition must not re-deliver: ${seen.size} vs $before")
+      c2.insert(mk((9L, "2024-01-04 10:00:00", 1L, 9.0)), MergeStrategy.Concat)
+      q2.processAllAvailable()
+      assert(seen.contains(java.lang.Long.valueOf(9L)) && seen.size == before + 1,
+        s"post-evolution commit must stream: $seen")
+    } finally q2.stop()
   }
 
   test("a non-date layout: day tree re-bucketed by a data column") {
