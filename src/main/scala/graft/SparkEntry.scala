@@ -1278,6 +1278,39 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // B43 (r6): GAPS-AND-ISLANDS — contiguous runs of active days per
+    // user via the day-number-minus-row-number grouping trick; day
+    // arithmetic in epoch-day longs so both engines agree exactly.
+    "q_islands" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("dn")
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          (unix_micros(date_trunc("day", col("ts"))) / 86400000000L).cast("long").as("dn"))
+        .distinct()
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("user_id"), (col("dn") - col("rn")).as("grp"))
+        .agg(min("dn").as("start_day"), max("dn").as("end_day"),
+          count(lit(1)).as("len"))
+        .select("user_id", "start_day", "end_day", "len")
+        .orderBy("user_id", "start_day")
+    }),
+
+    // B44 (r6): COHORT RETENTION — users bucketed by first active week,
+    // distinct-user counts per (cohort, week age); week numbers are
+    // floor(epoch_day / 7), exact in both engines.
+    "q_retention" -> ((s, dir) => {
+      val a = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_micros(date_trunc("day", col("ts"))) / 86400000000L / 7).as("wk"))
+        .distinct()
+      val cohort = a.groupBy("user_id").agg(min("wk").as("cohort"))
+      a.join(cohort, "user_id")
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("age"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy("cohort", "age")
+    }),
+
     // B41 (r6): argmin/argmax aggregates — the event carrying each
     // user's extreme value, without a self-join or window. Ties break
     // deterministically through ONE integral ordering key,
@@ -2875,6 +2908,27 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
                 v IS NOT NULL AS observed
          FROM j ORDER BY user_id, hour_us""",
+
+    "q_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) / 86400000000 AS BIGINT) AS dn
+                FROM events),
+         r AS (SELECT user_id, dn,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn) AS rn FROM d)
+         SELECT user_id, min(dn) AS start_day, max(dn) AS end_day,
+                CAST(count(*) AS BIGINT) AS len
+         FROM r GROUP BY user_id, dn - rn
+         ORDER BY user_id, start_day""",
+
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                  CAST(FLOOR(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) / 86400000000 / 7) AS BIGINT) AS wk
+                FROM events),
+         c AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id)
+         SELECT cohort, wk - cohort AS age, CAST(count(*) AS BIGINT) AS users
+         FROM a JOIN c USING (user_id)
+         GROUP BY cohort, wk - cohort
+         ORDER BY cohort, age""",
 
     "q_minmax_by" ->
       """SELECT user_id,
