@@ -1278,6 +1278,32 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // B45 (r6): FUNNEL — strictly-ordered milestone progression per
+    // user (signup -> later click -> later purchase), counting users
+    // reaching each stage: the conversion-analysis staple, as min-ts
+    // chaining joins (each stage's earliest qualifying event).
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def stage(tpe: String, after: DataFrame): DataFrame = {
+        val base = ev.where(col("event_type") === tpe)
+          .select(col("user_id"), col("ts"))
+        val gated = after match {
+          case null => base
+          case a => base.join(a.select(col("user_id"), col("ts").as("_after")), "user_id")
+            .where(col("ts") > col("_after")).select("user_id", "ts")
+        }
+        gated.groupBy("user_id").agg(min("ts").as("ts"))
+      }
+      val s1 = stage("signup", null)
+      val s2 = stage("click", s1)
+      val s3 = stage("purchase", s2)
+      s1.select(lit(1).as("stage"), col("user_id"))
+        .unionByName(s2.select(lit(2).as("stage"), col("user_id")))
+        .unionByName(s3.select(lit(3).as("stage"), col("user_id")))
+        .groupBy("stage").agg(count(lit(1)).as("users"))
+        .orderBy("stage")
+    }),
+
     // B43 (r6): GAPS-AND-ISLANDS — contiguous runs of active days per
     // user via the day-number-minus-row-number grouping trick; day
     // arithmetic in epoch-day longs so both engines agree exactly.
@@ -2908,6 +2934,23 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
                 v IS NOT NULL AS observed
          FROM j ORDER BY user_id, hour_us""",
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS ts FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ts
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.ts
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ts
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.ts
+                GROUP BY e.user_id)
+         SELECT stage, CAST(count(*) AS BIGINT) AS users FROM (
+           SELECT 1 AS stage, user_id FROM s1
+           UNION ALL SELECT 2, user_id FROM s2
+           UNION ALL SELECT 3, user_id FROM s3) t
+         GROUP BY stage ORDER BY stage""",
 
     "q_islands" ->
       """WITH d AS (SELECT DISTINCT user_id,
