@@ -1131,9 +1131,17 @@ final class Collection private (
 
   /** Pruned scan for the batch DataSource ([[graft.sources.GraftRelation]]):
     * data + partition-derived columns (row id dropped), all skip layers
-    * plus the compiled row predicate applied. */
-  private[graft] def scanWithAst(ast: FilterExpr.Ast): DataFrame =
-    prunedRaw(ast).drop(RowIdCol)
+    * plus the compiled row predicate applied. `asOfGen` pins a committed
+    * snapshot (the `versionAsOf` read option) — pruning then runs
+    * against that snapshot's own stats. */
+  private[graft] def scanWithAst(ast: FilterExpr.Ast,
+                                 asOfGen: Option[Long] = None): DataFrame = {
+    val pinned = asOfGen.map { g =>
+      require(generations().contains(g), s"no committed generation $g at $root")
+      manifestAt(g)
+    }.orNull
+    prunedRaw(ast, pinned).drop(RowIdCol)
+  }
 
   /** Read matching partitions, reference base.py:526-595. `filters` is the
     * partition-filter expression; `variables` an optional projection. The

@@ -21,7 +21,8 @@ import graft.core.{Collection, FilterExpr}
   * pruning without graft's own API. Every filter is also left for the
   * engine to re-apply ([[unhandledFilters]] returns all), so a filter
   * the translation cannot express costs pruning, never correctness. */
-class GraftRelation(override val sqlContext: SQLContext, root: String)
+class GraftRelation(override val sqlContext: SQLContext, root: String,
+                    asOfGen: Option[Long] = None)
     extends BaseRelation with PrunedFilteredScan {
 
   private val collection =
@@ -57,7 +58,7 @@ class GraftRelation(override val sqlContext: SQLContext, root: String)
                          filters: Array[Filter]): RDD[Row] = {
     val ast = GraftRelation.toAst(filters, schema.fieldNames.toSet, sessionZone)
     GraftRelation.lastScanAst = ast // test observable
-    val df = collection.scanWithAst(ast)
+    val df = collection.scanWithAst(ast, asOfGen)
       .select(requiredColumns.map(col).toSeq: _*)
     df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }

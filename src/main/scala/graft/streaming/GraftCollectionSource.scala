@@ -346,8 +346,20 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
 
   override def createRelation(
       sqlContext: SQLContext,
-      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation =
-    new graft.sources.GraftRelation(sqlContext, rootOf(parameters))
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    val root = rootOf(parameters)
+    // time travel via read options (Delta's versionAsOf/timestampAsOf)
+    val asOf = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { v =>
+        val ms = try v.toLong
+          catch { case _: NumberFormatException =>
+            java.time.Instant.parse(v).toEpochMilli }
+        val c = Collection.open(sqlContext.sparkSession, root, readOnly = true)
+        c.generationAsOf(ms).getOrElse(throw new IllegalArgumentException(
+          s"no snapshot committed at or before $v at $root"))
+      })
+    new graft.sources.GraftRelation(sqlContext, root, asOf)
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

@@ -17,9 +17,10 @@ class SqlSourceSpec extends AnyFunSuite {
   private def mk(vals: (Long, String, Long, Double)*) = vals
     .toDF("id", "ts", "k", "v").withColumn("ts", col("ts").cast("timestamp"))
 
-  private def fresh(root: String): Collection = {
+  private def fresh(root: String, retain: Int = 0): Collection = {
     val c = Collection.create(spark, root, mk((1L, "x", 1L, 1.0)).schema, "ts",
-      DatePartitioning("ts", "D"), statsColumns = Seq("id"))
+      DatePartitioning("ts", "D"), statsColumns = Seq("id"),
+      retainGenerations = retain)
     c.insert(mk(
       (1L, "2024-01-01 08:00:00", 0L, 1.0), (2L, "2024-01-01 09:00:00", 1L, 2.0),
       (3L, "2024-01-02 08:00:00", 2L, 3.0), (4L, "2024-01-03 08:00:00", 0L, 4.0)))
@@ -85,6 +86,25 @@ class SqlSourceSpec extends AnyFunSuite {
     assert(Collection.open(spark, root, readOnly = true).query().count() == 4)
     intercept[Exception](mk((31L, "2024-01-05 09:00:00", 1L, 31.0)).write
       .format("graft").mode("errorifexists").save(root))
+  }
+
+  test("versionAsOf / timestampAsOf read options time-travel the format") {
+    val root = SparkTestSession.tmp("graft-sql-asof")
+    val c = fresh(root, retain = 4) // AS OF needs the old files on disk
+    val g0 = c.generation
+    val t0 = c.manifestAt(g0).committedAtMs.get
+    c.deleteWhere("id == 1")
+
+    assert(spark.read.format("graft").load(root).count() == 3)
+    assert(spark.read.format("graft").option("versionAsOf", g0).load(root)
+      .count() == 4, "versionAsOf must see the pre-delete snapshot")
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", t0).load(root).count() == 4)
+    // pushdown still applies on the pinned snapshot
+    assert(spark.read.format("graft").option("versionAsOf", g0).load(root)
+      .where("id >= 3").count() == 2)
+    intercept[Exception](spark.read.format("graft")
+      .option("versionAsOf", 999L).load(root).count())
   }
 
   test("filter translation: strictness under Or/Not, conjunct dropping at top level") {
