@@ -795,6 +795,16 @@ object SparkEntry {
         .select("qid", "nid", "rank").orderBy("qid", "rank")
     }),
 
+    // C38 (r6): RADIUS search — every neighbor within cosine >= 0.3 of
+    // the 10 query vectors (recall-complete, unlike top-k); queries
+    // broadcast, corpus never shuffles, IEEE-reproducible scores.
+    "ann_radius" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ann.Ann.radiusSearch(e, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", minSim = 0.3)
+        .select(col("qid"), col("nid")).orderBy("qid", "nid")
+    }),
+
     // C7: LSH-bucketed approximate top-10 (rows-only; recall spec-tested).
     "ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2244,6 +2254,19 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
          WHERE jaccard >= 0.7
          ORDER BY a, b""",
+
+    // The native cosine is dot/(sqrt(aa)*sqrt(bb)) over double-cast
+    // floats, sequential sums — DuckDB's list_dot_product replays the
+    // same IEEE sequence, so the 0.3 boundary decides identically.
+    "ann_radius" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+                    FROM embeddings),
+         n AS (SELECT vec_id, d, sqrt(list_dot_product(d, d)) AS nrm FROM e),
+         q AS (SELECT * FROM n WHERE vec_id < 10)
+         SELECT q.vec_id AS qid, c.vec_id AS nid
+         FROM q JOIN n c ON c.vec_id <> q.vec_id
+         WHERE list_dot_product(q.d, c.d) / (q.nrm * c.nrm) >= 0.3
+         ORDER BY qid, nid""",
 
     "dedup_cosine" ->
       """WITH corpus AS (

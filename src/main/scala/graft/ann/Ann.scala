@@ -111,6 +111,25 @@ object Ann {
         (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
   }
 
+  /** RADIUS (range) search: EVERY corpus vector within cosine >=
+    * `minSim` of each query — the recall-complete companion of top-k
+    * (dedup sweeps and "all sufficiently similar" retrieval want the
+    * full set, not the k best). Brute-force exact: queries broadcast,
+    * the corpus streams once with no shuffle at all — the output IS the
+    * only thing that moves. For corpus-vs-corpus radius joins use the
+    * bucketed [[cosinePairs]]; for serving-scale query sets bucket via
+    * [[lshTopK]]'s layout first. */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, minSim: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_zc_qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("_zc_cv"))
+    c.crossJoin(broadcast(q))
+      .where(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("_zc_qv"), col("_zc_cv")))
+      .where(col("sim") >= minSim)
+      .select(col("qid"), col("nid"), col("sim"))
+  }
+
   /** Quantized-search-then-exact-rerank — how a production vector store
     * actually serves top-k over INT8 storage ([[quantizeInt8]], 4x
     * smaller than float32): (1) score the WHOLE corpus with the
