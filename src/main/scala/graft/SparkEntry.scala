@@ -1155,6 +1155,31 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // D15 (r6): CDC REPLICATION — a second collection kept a row-level
+    // mirror of the first through the change feed: an update commit and
+    // a delete commit on the source land as upserts and deletes on the
+    // replica; the replica's content is fully SQL-decidable.
+    "stream_replicate" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val ev = Tables.events(s, dir)
+      val root = s"$scratch/repl-${java.util.UUID.randomUUID().toString.take(8)}"
+      val src = Collection.create(s, root, ev.schema, "ts",
+        DatePartitioning("ts", "D"), overwrite = true, retainGenerations = 8)
+      src.insert(ev)
+      val tgt = Collection.create(s, s"$root-mirror", ev.schema, "ts",
+        DatePartitioning("ts", "D"), overwrite = true,
+        statsColumns = Seq("event_id"))
+      val q = StreamOps.replicateChanges(s, src, tgt, Seq("event_id"))
+      try {
+        q.processAllAvailable()
+        src.updateWhere("event_type == 'click' and day >= 10",
+          Map("event_type" -> "'rep_click'"))
+        src.deleteWhere("event_type == 'error' and day <= 5")
+        q.processAllAvailable()
+      } finally q.stop()
+      eventsOut(tgt.query())
+    }),
+
     // D12 (r6): STREAMING change feed — snapshot batch (all inserts) +
     // one update commit streamed as delete-old/insert-new records; the
     // feed's union is fully SQL-decidable.
@@ -2076,6 +2101,17 @@ object SparkEntry {
          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                 CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
          FROM upd GROUP BY event_type ORDER BY event_type""",
+
+    // The replica equals the mutated source: clicks from day 10 renamed,
+    // early errors gone.
+    "stream_replicate" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
+                CASE WHEN COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) >= 10, FALSE)
+                     THEN 'rep_click' ELSE event_type END AS event_type,
+                value, props
+         FROM events
+         WHERE NOT COALESCE(event_type = 'error' AND day(CAST(ts AS TIMESTAMP)) <= 5, FALSE)
+         ORDER BY event_id""",
 
     // Streaming CDC: batch 1 = the full snapshot as inserts; batch 2 =
     // the update's delete-old + insert-new rows. Hit rows therefore

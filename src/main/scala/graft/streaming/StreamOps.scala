@@ -274,6 +274,50 @@ object StreamOps {
       .start()
   }
 
+  /** CDC REPLICATION: keep `target` a row-level MIRROR of `source` by
+    * applying the change feed — the downstream-replica shape (reporting
+    * copy, region mirror, staging-to-serving promotion). Requires a
+    * UNIQUE key in the source; per micro-batch the feed nets out as
+    *  - upserts: the batch's insert rows merge in (`UpdateAll`, new keys
+    *    insert) — an update's delete+insert pair lands as one upsert;
+    *  - deletes: delete rows whose key has NO superseding insert in the
+    *    same batch merge out (`WhenMatched.Delete`).
+    * Both merges are IDEMPOTENT (re-deleting an absent key and
+    * re-upserting identical rows are no-ops), so foreachBatch replays
+    * after a failure converge without needing the atomic batch marks —
+    * at-least-once delivery, exactly-the-same replica. Both sides stay
+    * file-granular: the merge rewrite cost follows each batch's key
+    * spread (declare `keys` in the target's `statsColumns`). */
+  def replicateChanges(spark: SparkSession, source: Collection, target: Collection,
+                       keys: Seq[String],
+                       checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.core.WhenMatched
+    val dataCols = target.schema.fieldNames.toSeq
+    val writer0 = readChangeFeed(spark, source).writeStream
+    val writer = checkpoint.fold(writer0)(writer0.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          val ins = b.where(col(Collection.ChangeTypeCol) === "insert")
+            .select(dataCols.map(col): _*)
+          // deletes not superseded by an insert of the same key in this batch
+          val dels = b.where(col(Collection.ChangeTypeCol) === "delete")
+            .select(dataCols.map(col): _*)
+            .join(ins.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          if (!dels.isEmpty)
+            target.mergeInto(dels, on = keys,
+              whenMatched = WhenMatched.Delete, insertUnmatched = false)
+          if (!ins.isEmpty)
+            target.mergeInto(ins, on = keys,
+              whenMatched = WhenMatched.UpdateAll, insertUnmatched = true)
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+  }
+
   // --- stateful sessionization (D2) --------------------------------
 
   case class SessionEvent(user_id: Long, ts_us: Long)

@@ -184,6 +184,36 @@ class ChangeFeedStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("replicateChanges: the mirror tracks inserts, updates, and deletes row-for-row") {
+    val src = fresh(SparkTestSession.tmp("graft-repl-src"))
+    val tgt = Collection.create(spark, SparkTestSession.tmp("graft-repl-tgt"),
+      src.schema, "ts", DatePartitioning("ts", "D"), statsColumns = Seq("id"))
+
+    def rows(c: Collection) = c.query().select("id", "v")
+      .as[(Long, Double)].collect().sorted.toSeq
+    val q = StreamOps.replicateChanges(spark, src, tgt, Seq("id"))
+    try {
+      q.processAllAvailable()
+      assert(rows(tgt) == rows(src), s"snapshot seed: ${rows(tgt)} vs ${rows(src)}")
+
+      src.insert(mk((10L, "2024-01-03 12:00:00", 10.0)), MergeStrategy.Concat)
+      src.updateWhere("id == 2", Map("v" -> "v + 100.0"))
+      q.processAllAvailable()
+      assert(rows(tgt) == rows(src), s"insert+update: ${rows(tgt)} vs ${rows(src)}")
+
+      src.deleteWhere("id == 1")
+      q.processAllAvailable()
+      assert(rows(tgt) == rows(src), s"delete: ${rows(tgt)} vs ${rows(src)}")
+      assert(!rows(tgt).exists(_._1 == 1L))
+
+      // a compaction on the source is invisible to the replica
+      src.insert(mk((11L, "2024-01-03 13:00:00", 11.0)), MergeStrategy.Concat)
+      src.compact()
+      q.processAllAvailable()
+      assert(rows(tgt) == rows(src), s"post-compaction: ${rows(tgt)} vs ${rows(src)}")
+    } finally q.stop()
+  }
+
   test("filters apply to rows of the diff; partition-derived names refuse at start") {
     val c = fresh(SparkTestSession.tmp("graft-cdcstream-filter"))
     val name = "graft_cdcf_" + java.util.UUID.randomUUID().toString.replace("-", "")
