@@ -392,6 +392,22 @@ object SparkEntry {
         .select("event_id", "ts", "user_id", "event_type", "value", "props"))
     }),
 
+    // A38 (r6): RESTORE — two mutations rolled back to the pre-mutation
+    // snapshot as a new commit (zero data IO, shards carried by name);
+    // the query sees exactly the original rows.
+    "zc_restore" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val root = s"$scratch/rst-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, ev.schema, "ts",
+        DatePartitioning("ts", "D"), overwrite = true, retainGenerations = 8)
+      c.insert(ev)
+      val g0 = c.generation
+      c.updateWhere("event_type == 'click'", Map("event_type" -> "'oops'"))
+      c.deleteWhere("day >= 20")
+      c.restore(g0)
+      eventsOut(c.query())
+    }),
+
     // A35 (r6): PARTITION EVOLUTION — the day-keyed collection rewritten
     // in place as hour-keyed (one atomic rewrite-marked commit; manifest
     // layout stamp authoritative); the new partition keys drive pruning.
@@ -2148,6 +2164,12 @@ object SparkEntry {
                 value, props, 'delete' AS _change_type
          FROM hit
          ORDER BY event_id, _change_type""",
+
+    // Restore undoes both mutations: the replica is just events.
+    "zc_restore" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                value, props
+         FROM events ORDER BY event_id""",
 
     // The DataSource read with pushed filters must equal the plain slice.
     "zc_sql_source" ->

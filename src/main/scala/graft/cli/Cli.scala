@@ -137,6 +137,11 @@ object Cli {
         r.orphanFiles.foreach(f => println(s"orphan: $f"))
         if (r.statlessFiles.nonEmpty)
           println(s"${r.statlessFiles.size} file(s) lack stats (backfill-stats)")
+      case "restore" =>
+        // Cli restore <path> <generation>
+        val c = Collection.open(spark, path)
+        c.restore(args(2).toLong)
+        println(s"restored to snapshot ${args(2)} as generation ${c.generation}")
       case "changes" =>
         // CDC: Cli changes <path> <fromGen> [toGen]  (row-level diff)
         val c = Collection.open(spark, path, readOnly = true)

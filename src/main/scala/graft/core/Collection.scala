@@ -1070,6 +1070,47 @@ final class Collection private (
     snapshotAt(generationAsOf(tsMillis).getOrElse(throw new IllegalArgumentException(
       s"no snapshot committed at or before $tsMillis at $root")), filters)
 
+  /** RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`): roll the
+    * collection BACK to snapshot `gen` as a NEW commit — the head
+    * becomes a copy of the old manifest (shards carried by NAME, zero
+    * data IO), history stays intact, and the restoring commit is
+    * CDC-visible (the change feed across it is exactly the inverse of
+    * what the undone commits did). Requires the old snapshot's files
+    * still on disk (`retainGenerations` / `retainMillis` sized to the
+    * undo window — a reclaimed snapshot fails at scan time) and the
+    * SAME partition layout (repartition back first; restoring across a
+    * layout change would mix path schemes). The row-id high-water mark
+    * and stream high-water marks are NOT rolled back — future writes
+    * never reuse id space, replayed stream batches stay detected. */
+  def restore(gen: Long): Unit = {
+    requireWritable()
+    val head = currentManifest()
+    require(generations().contains(gen), s"no committed generation $gen at $root")
+    require(gen < head.generation, s"generation $gen is not in the past")
+    val old = manifestAt(gen)
+    // a None stamp means "the create-time config layout": same as the
+    // head only if no evolution ever happened (head unstamped too)
+    val sameLayout = old.partSpec match {
+      case Some(s) => s == partSpecJson
+      case None    => head.partSpec.isEmpty
+    }
+    require(sameLayout,
+      "cannot restore across a partition-layout change — repartition back first")
+    commitManifest(new Manifest(
+      head.generation + 1,
+      head.taskBase, // ids only ever grow
+      old.schemaDdl, old.fills, old.shards,
+      rel => readShard(fs, manifestDir, rel),
+      head.streams, // exactly-once stream marks never roll back
+      columnSince = old.columnSince,
+      // droppedEver is MONOTONE: a name dropped after `gen` stays
+      // poisoned for the all-null proof even once restored
+      droppedEver = head.droppedEver ++ old.droppedEver,
+      partSpec = head.partSpec,
+      constraints = old.constraints,
+      op = Some("restore")))
+  }
+
   /** CHANGE FEED (CDC): the exact row-level difference between two
     * committed snapshots, computed FILE-granularly — only files ADDED or
     * REMOVED between the generations are ever read; untouched files cost

@@ -149,6 +149,37 @@ class ChangesSpec extends AnyFunSuite {
     orig.foreach(f => assert(!exists(f), s"count-expired file $f must be reclaimed"))
   }
 
+  test("restore rolls content back as a new commit; CDC sees the inverse; layout change refuses") {
+    val c = fresh(SparkTestSession.tmp("graft-restore"))
+    val g0 = c.generation
+    val before = c.query().select("id", "v").as[(Long, Double)].collect().sorted.toSeq
+    c.updateWhere("id >= 40 and id < 45", Map("v" -> "v + 10.0"))
+    c.insert(mk(200, 210, 3), MergeStrategy.Concat)
+    val gMut = c.generation
+
+    c.restore(g0)
+    val after = c.query().select("id", "v").as[(Long, Double)].collect().sorted.toSeq
+    assert(after == before, "restore must reproduce the old snapshot exactly")
+    assert(c.generation == gMut + 1, "restore is a NEW commit, history intact")
+    assert(c.manifestAt(c.generation).op.contains("restore"))
+
+    // CDC across the restore = the inverse of the undone mutations
+    val f = feed(c, gMut, c.generation)
+    assert(f("delete").map(_._1).toSeq == ((40L until 45L) ++ (200L until 210L)).toSeq,
+      s"undone rows must surface as deletes: ${f("delete")}")
+    assert(f("insert") == (40L until 45L).map(i => (i, 1.0)).toSeq,
+      s"restored old values surface as inserts: ${f("insert")}")
+
+    // post-restore writes mint FRESH row ids (taskBase never rolls back)
+    c.insert(mk(300, 305, 4), MergeStrategy.Concat)
+    assert(c.query().count() == 105)
+
+    // refusals: future generation, non-past, cross-layout
+    intercept[IllegalArgumentException](c.restore(c.generation))
+    val evolved = c.changePartitioning(DatePartitioning("ts", "h"))
+    intercept[IllegalArgumentException](evolved.restore(g0))
+  }
+
   test("describeHistory: every commit carries its operation label and stamp") {
     val c = fresh(SparkTestSession.tmp("graft-history"))
     c.updateWhere("id == 1", Map("v" -> "2.0"))
