@@ -417,17 +417,30 @@ final class Collection private (
     * (not INT96): micros carry footer min/max statistics, which the
     * commit turns into manifest zone maps ([[axisFileStats]]) — and are
     * the modern parquet interchange type besides. */
-  /** Stage-then-move physical write. The Spark job writes under a
-    * writer-unique `_stage/<uuid>` dir, then every staged data file is
-    * renamed into its partition dir (a metadata-only move on local/HDFS).
-    * Returns the exact relative paths written — the commit's file set is
-    * KNOWN, not discovered by listing, so a concurrent writer appending
-    * to the same partition can neither be adopted into this commit nor
-    * have its in-flight task files clobbered by this job's `_temporary`
-    * cleanup (writers no longer share a committer dir). File visibility
-    * is governed by the manifest, so the non-atomic move sequence is
-    * safe: a mid-move crash leaves unreferenced files that [[vacuum]]
-    * reclaims. */
+  /** Scheme-dispatched physical write. Two protocols, one contract: the
+    * write job reports the EXACT relative paths it created — the commit's
+    * file set is KNOWN, not discovered by listing, so a concurrent writer
+    * appending to the same partition can neither be adopted into this
+    * commit nor have its in-flight task files clobbered (writers never
+    * share a committer dir). File visibility is governed by the manifest,
+    * so neither protocol needs filesystem atomicity: a mid-write crash
+    * leaves unreferenced files that [[vacuum]]'s age-gated GC reclaims.
+    *
+    *  - STAGED (`file`/`hdfs`/... — stores with metadata-only rename):
+    *    the job writes under a writer-unique `_stage/<uuid>` dir, then
+    *    each data file is renamed into its partition dir (one metadata
+    *    RPC per file, fanned out 16-wide).
+    *  - DIRECT (`s3a`/`gs`/`abfs`/... — keystores where rename is a
+    *    server-side COPY + DELETE, i.e. a second full pass over the
+    *    data): tasks write final uniquely-named files straight into the
+    *    partition dirs via [[DirectWriteProtocol]] — zero renames, bytes
+    *    written exactly once (Delta's DelayedCommitProtocol shape; the
+    *    reference gets the equivalent from Icechunk's content-addressed
+    *    chunk keys, store/icechunk_store.py).
+    *
+    * `spark.graft.write.mode` = `auto` (default, scheme-dispatched) |
+    * `direct` | `staged` forces a protocol. [[WriteMetrics]] accumulates
+    * per-phase wall time for the bench's insert profile. */
   private def physicalWrite(df: DataFrame): Seq[String] = {
     if (profile.compression == "zstd")
       spark.sparkContext.hadoopConfiguration
@@ -435,9 +448,7 @@ final class Collection private (
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    val stageRel = s"$StageDir/${java.util.UUID.randomUUID().toString}"
-    val stagePath = new Path(s"$root/$stageRel")
-    try {
+    def runJob(target: String): Unit = {
       val writer0 = bloomColumns.foldLeft(
         df.write.partitionBy(partCols: _*)
           .option("compression", profile.compression)) { (w, c) =>
@@ -448,7 +459,64 @@ final class Collection private (
       val writer = bloomNdv.foldLeft(writer0) { case (w, (c, ndv)) =>
         w.option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
       }
-      writer.mode("append").parquet(stagePath.toString)
+      writer.mode("append").parquet(target)
+    }
+    try {
+      if (useDirectWrite) directWrite(runJob) else stagedWrite(runJob)
+    } finally {
+      prevTs match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None    => spark.conf.unset(tsKey)
+      }
+    }
+  }
+
+  private def useDirectWrite: Boolean =
+    spark.conf.getOption(DirectWriteModeKey).getOrElse("auto") match {
+      case "direct" => true
+      case "staged" => false
+      case _ => RenameAsCopySchemes.contains(
+        try fs.getScheme.toLowerCase catch { case _: Exception => "file" })
+    }
+
+  /** DIRECT protocol: swap in [[DirectWriteProtocol]] for one V1 write
+    * job targeting the collection root; the protocol's task commit
+    * messages carry the exact file set back. */
+  private def directWrite(runJob: String => Unit): Seq[String] = {
+    val t0 = System.nanoTime()
+    // the protocol instance is recovered by output path after the job:
+    // serialize direct JOBS per root within this JVM so two concurrent
+    // writers can't swap instances (manifest-commit concurrency — the
+    // contended part — is untouched; separate drivers don't share this)
+    val rootKey = fs.makeQualified(new Path(root)).toString
+    val lock = directWriteLocks.computeIfAbsent(rootKey, _ => new Object)
+    lock.synchronized {
+      DirectWriteProtocol.install(spark)
+      try {
+        DirectWriteProtocol.take(rootKey) // drop any stale crashed-job entry
+        runJob(root)
+        val proto = DirectWriteProtocol.take(rootKey)
+        require(proto.isDefined,
+          "direct write ran without DirectWriteProtocol — " +
+          "commitProtocolClass was overridden mid-write")
+        val files = proto.get.committedFiles.sorted
+        WriteMetrics.directJobNanos.addAndGet(System.nanoTime() - t0)
+        WriteMetrics.directFiles.addAndGet(files.size)
+        files
+      } finally DirectWriteProtocol.uninstall(spark)
+    }
+  }
+
+  /** STAGED protocol: write under `_stage/<uuid>`, then rename each data
+    * file into its partition dir (metadata-only on local/HDFS). */
+  private def stagedWrite(runJob: String => Unit): Seq[String] = {
+    val stageRel = s"$StageDir/${java.util.UUID.randomUUID().toString}"
+    val stagePath = new Path(s"$root/$stageRel")
+    try {
+      val tJob0 = System.nanoTime()
+      runJob(stagePath.toString)
+      WriteMetrics.stageJobNanos.addAndGet(System.nanoTime() - tJob0)
+      val tMove0 = System.nanoTime()
       def walk(dir: Path): Seq[Path] = fs.listStatus(dir).toSeq.flatMap { st =>
         if (st.isDirectory) walk(st.getPath)
         else if (isDataFile(st.getPath.getName)) Seq(st.getPath)
@@ -473,15 +541,14 @@ final class Collection private (
             }
           }
         }.asJava)
-        moved.asScala.map(_.get()).toSeq.sorted
+        val out = moved.asScala.map(_.get()).toSeq.sorted
+        WriteMetrics.renameNanos.addAndGet(System.nanoTime() - tMove0)
+        WriteMetrics.renamedFiles.addAndGet(out.size)
+        out
       } finally pool.shutdown()
     }
     finally {
       try fs.delete(stagePath, true) catch { case _: Exception => () }
-      prevTs match {
-        case Some(v) => spark.conf.set(tsKey, v)
-        case None    => spark.conf.unset(tsKey)
-      }
     }
   }
 
@@ -2508,6 +2575,15 @@ object Collection {
     * `_temporary` dir, and each commit knows its exact file set without
     * listing (so a concurrent writer's files can never be adopted). */
   val StageDir = "_stage"
+  /** `spark.graft.write.mode`: `auto` (scheme-dispatched) | `direct`
+    * (zero-rename [[DirectWriteProtocol]]) | `staged` (`_stage` + move). */
+  val DirectWriteModeKey = "spark.graft.write.mode"
+  /** Filesystem schemes where rename is a server-side COPY + DELETE (no
+    * real directories), so the staged protocol would double every
+    * insert's data IO — these default to the direct protocol. */
+  val RenameAsCopySchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+        "oss", "cos", "cosn", "swift", "obs")
   /** Hidden per-partition row id, the positional key for View overlays. */
   val RowIdCol = "_zc_row"
   /** [[Collection.changes]]' change-kind column: `'insert' | 'delete'`. */
@@ -2551,6 +2627,12 @@ object Collection {
   /** Diagnostic counter: shard-file JSON reads (the spec proving that a
     * partition-filtered query opens only the touched shards). */
   private[graft] val shardReadCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Per-root monitors serializing direct-protocol write JOBS within this
+    * JVM (see [[DirectWriteProtocol]] — the instance registry is keyed by
+    * output path, so same-root jobs must not overlap in one driver). */
+  private val directWriteLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
 
   /** One entry per partition SUBTREE (all-but-last path segment) in the
     * root manifest: the subtree's partition names (root-resident, so
@@ -3769,4 +3851,25 @@ object Collection {
       .select((keep.map(col) ++
         arrayCols.map(c => col("_e").getField(c).as(c))): _*)
   }
+}
+
+/** Wall-time accumulators for the physical write path, split by phase —
+  * the profile that arbitrates "host IO contention" vs "protocol cost"
+  * in the bench's insert numbers ([[graft.Bench]] emits the deltas as
+  * `insert_stage_sec` / `insert_rename_sec` / `insert_direct_sec`).
+  * Cheap atomics, always on. */
+private[graft] object WriteMetrics {
+  import java.util.concurrent.atomic.AtomicLong
+  /** Spark write job into `_stage/<uuid>` (staged protocol). */
+  val stageJobNanos = new AtomicLong(0)
+  /** walk + mkdirs + fan-out rename into partition dirs (staged). */
+  val renameNanos = new AtomicLong(0)
+  val renamedFiles = new AtomicLong(0)
+  /** Whole direct-protocol write job (no rename phase exists). */
+  val directJobNanos = new AtomicLong(0)
+  val directFiles = new AtomicLong(0)
+  def snapshot(): Map[String, Long] = Map(
+    "stageJobNanos" -> stageJobNanos.get, "renameNanos" -> renameNanos.get,
+    "renamedFiles" -> renamedFiles.get, "directJobNanos" -> directJobNanos.get,
+    "directFiles" -> directFiles.get)
 }
