@@ -12,7 +12,18 @@ import org.apache.spark.sql.SparkSession
   *  - the shared events collection is built once up front and reported as
   *    `zc_build` (insert throughput), so collection *queries* measure the
   *    pruned-scan path, not repeated construction;
-  *  - timings are single-shot on a warm JVM (the build warms the session).
+  *  - EVERY entry runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and
+  *    reports the MIN — the same protocol for builder and driver, ending
+  *    the per-round "whose host was quieter" ambiguity. All passes run
+  *    the full plan; nothing is cached between them (build entries build
+  *    fresh throwaway roots on the repeat passes). The host's 1-minute
+  *    load average is recorded at start and end (`loadavg_start/_end`)
+  *    so a contended run is visible in the JSON itself;
+  *  - the staged-write profile (`insert_stage_sec` / `insert_rename_sec`,
+  *    from [[graft.core.WriteMetrics]]) splits the best insert pass into
+  *    its Spark-job and rename-into-place phases, and `insert_direct`
+  *    runs the same insert under the zero-rename direct protocol — the
+  *    three numbers together attribute insert cost to a named code path.
   */
 object Bench {
 
@@ -38,9 +49,15 @@ object Bench {
     "zc_changes", "zc_vector_search", "stream_window",
   )
 
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val loadStart = loadAvg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,21 +72,32 @@ object Bench {
       body
       (System.nanoTime() - t0) / 1e9
     }
+    def minOf(n: Int)(pass: => Double): Double =
+      (0 until n).map(_ => pass).min
 
     // Warm the session (executor threads, codegen, parquet codec init) so
     // the first timed entry doesn't absorb JVM start-up costs.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     graft.sources.Tables.lineitem(spark, sfDir).limit(1000).collect()
 
-    val buildSec = time { SparkEntry.eventsCollection(spark, sfDir) }
-    // events collection with user_id zone maps + bloom filters: built once
-    // (timed separately — the bloom/stat write overhead is the number a
-    // deployer weighs against the skip wins of zc_col_zone / zc_bloom)
-    val buildSkipSec = time { SparkEntry.skipEventsCollection(spark, sfDir) }
+    // zc_build: pass 1 builds the shared (memoized) events collection the
+    // downstream zc_* queries read; repeat passes build identical fresh
+    // throwaway roots, so min-of-N times the same work as prior rounds'
+    // single shot.
+    var builtShared = false
+    val buildSec = minOf(reps) {
+      if (!builtShared) { builtShared = true; time { SparkEntry.eventsCollection(spark, sfDir) } }
+      else SparkEntry.throwawayEventsCollection(spark, sfDir, skip = false)
+    }
+    var builtSkip = false
+    // events collection with user_id zone maps + bloom filters (the
+    // bloom/stat write overhead a deployer weighs against the skip wins
+    // of zc_col_zone / zc_bloom)
+    val buildSkipSec = minOf(reps) {
+      if (!builtSkip) { builtSkip = true; time { SparkEntry.skipEventsCollection(spark, sfDir) } }
+      else SparkEntry.throwawayEventsCollection(spark, sfDir, skip = true)
+    }
 
-    // Two timed passes per query, report the min — damps scheduler and
-    // page-cache noise without hiding real cost (both passes run the full
-    // plan; nothing is cached between them).
     def runOnce(name: String): Double = {
       val fn = SparkEntry.queries(name)
       time {
@@ -77,9 +105,7 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       }
     }
-    val results = Headline.map { name =>
-      name -> math.min(runOnce(name), runOnce(name))
-    }
+    val results = Headline.map { name => name -> minOf(reps)(runOnce(name)) }
 
     // View alignment read over the events collection built by zc_build:
     // overlay written once (untimed), the timed part is the sort-free
@@ -95,8 +121,7 @@ object Bench {
           nv.update(_.withColumn("value_x2", col("value") * 2))
           nv
         }
-      def once = time { v.query().write.format("noop").mode("overwrite").save() }
-      math.min(once, once)
+      minOf(reps)(time { v.query().write.format("noop").mode("overwrite").save() })
     }
 
     // --- reference-workload suite (zcollection/benches/harness.py) ----
@@ -104,23 +129,28 @@ object Bench {
     // monthly partitions x 50k rows, time (datetime64[s]) + ssh
     // float32[time, 240], cloud-balanced profile; ratios against
     // BASELINE.md compare like-for-like.
-    val refResults = refSuite(spark)
+    val refResults = refSuite(spark, reps)
 
     val qs = (Seq("zc_build" -> buildSec, "zc_build_skip" -> buildSkipSec) ++ results) ++
       Seq("view_query" -> viewSec) ++ refResults
     val qsJson = qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = buildSec + buildSkipSec + results.map(_._2).sum + refResults.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"sf":"$sfDir"}""")
+    val total = buildSec + buildSkipSec + results.map(_._2).sum +
+      refResults.filterNot(_._1.startsWith("insert_")).map(_._2).sum +
+      refResults.collect { case ("insert_full_dataset", v) => v }.sum
+    val loadEnd = loadAvg
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"queries":$qsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 
-  private def refSuite(spark: SparkSession): Seq[(String, Double)] = {
+  private def refSuite(spark: SparkSession, reps: Int): Seq[(String, Double)] = {
     import org.apache.spark.sql.{Row, types => T}
     import graft.core._
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
+    def minOf(n: Int)(pass: => Double): Double =
+      (0 until n).map(_ => pass).min
 
     val nPartitions = 12
     val rowsPerPartition = 50000
@@ -129,13 +159,9 @@ object Bench {
     val schema = T.StructType(Seq(
       T.StructField("time", T.TimestampType),
       T.StructField("ssh", T.ArrayType(T.FloatType))))
-    // 2024-01-01T00:00:00Z, one row per minute -> ~12 distinct months
-    val epochStart = 1704067200L
     val rows = spark.range(total).rdd.mapPartitions { it =>
       val rnd = new java.util.Random(42)
       it.map { i =>
-        // ~41 days/month of minutes would overflow 12 months; spread rows
-        // evenly over the 12 months instead, like the reference's span
         val month = (i / rowsPerPartition).toInt
         val secondsInMonth = (i % rowsPerPartition) * 50 // stays inside a month
         val ts = java.sql.Timestamp.from(java.time.LocalDateTime
@@ -147,39 +173,83 @@ object Bench {
       }
     }
     // The reference builds its numpy dataset up front, outside the timed
-    // insert; match that by materializing the generated input once
-    // (insert runs three passes over it: distinct keys, range sampling,
-    // write — regeneration would bill three generation passes to the
-    // insert number).
+    // insert; match that by materializing the generated input once.
     val ds = spark.createDataFrame(rows, schema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ds.count()
-    val root = java.nio.file.Files.createTempDirectory("graft-refbench").toString + "/c"
+    val tmpBase = java.nio.file.Files.createTempDirectory("graft-refbench").toString
+    val fs = Collection.fileSystem(spark, tmpBase)
 
-    val insertSec = time {
-      val c = Collection.create(spark, root, schema, "time",
-        DatePartitioning("time", "M"), catalogEnabled = true,
-        profile = "cloud-balanced")
-      c.insert(ds)
+    // insert_full_dataset: each pass inserts into a FRESH root; the best
+    // pass's phase split (Spark write job vs rename-into-place, from
+    // WriteMetrics) is reported alongside. The last pass's root serves
+    // the read queries below.
+    var root: String = null
+    var n = 0
+    var bestInsert = Double.MaxValue
+    var bestStage = 0.0
+    var bestRename = 0.0
+    val insertSec = minOf(reps) {
+      n += 1
+      root = s"$tmpBase/c$n"
+      val m0 = WriteMetrics.snapshot()
+      val sec = time {
+        val c = Collection.create(spark, root, schema, "time",
+          DatePartitioning("time", "M"), catalogEnabled = true,
+          profile = "cloud-balanced")
+        c.insert(ds)
+      }
+      val m1 = WriteMetrics.snapshot()
+      if (sec < bestInsert) {
+        bestInsert = sec
+        bestStage = (m1("stageJobNanos") - m0("stageJobNanos")) / 1e9
+        bestRename = (m1("renameNanos") - m0("renameNanos")) / 1e9
+      }
+      if (n > 1) // keep disk bounded: drop the previous pass's root
+        try fs.delete(new org.apache.hadoop.fs.Path(s"$tmpBase/c${n - 1}"), true)
+        catch { case _: Exception => () }
+      sec
     }
+
+    // insert_direct: the same insert under the zero-rename protocol
+    // (spark.graft.write.mode=direct) — the object-store write path,
+    // measured on the same host/pass protocol for a like-for-like split.
+    val directSec = minOf(reps) {
+      val droot = s"$tmpBase/d"
+      try fs.delete(new org.apache.hadoop.fs.Path(droot), true)
+      catch { case _: Exception => () }
+      spark.conf.set(Collection.DirectWriteModeKey, "direct")
+      try time {
+        val c = Collection.create(spark, droot, schema, "time",
+          DatePartitioning("time", "M"), catalogEnabled = true,
+          profile = "cloud-balanced")
+        c.insert(ds)
+      } finally spark.conf.unset(Collection.DirectWriteModeKey)
+    }
+    try fs.delete(new org.apache.hadoop.fs.Path(s"$tmpBase/d"), true)
+    catch { case _: Exception => () }
     ds.unpersist()
-    val openSec = time { Collection.open(spark, root, readOnly = true) }
+
+    val openSec = minOf(reps)(time { Collection.open(spark, root, readOnly = true) })
     val colRo = Collection.open(spark, root, readOnly = true)
-    val queryOneSec = time {
+    val queryOneSec = minOf(reps)(time {
       colRo.query("year == 2024 and month == 1")
         .write.format("noop").mode("overwrite").save()
-    }
-    val queryFullSec = time {
+    })
+    val queryFullSec = minOf(reps)(time {
       colRo.query().write.format("noop").mode("overwrite").save()
-    }
+    })
     // axis-range over a NON-partition column: partitions prune via the
     // monotonic key derivation, files via manifest zone maps
-    val queryAxisSec = time {
+    val queryAxisSec = minOf(reps)(time {
       colRo.query("time >= '2024-11-15 00:00:00'")
         .write.format("noop").mode("overwrite").save()
-    }
+    })
     Seq(
       "insert_full_dataset" -> insertSec,
+      "insert_stage_sec" -> bestStage,
+      "insert_rename_sec" -> bestRename,
+      "insert_direct" -> directSec,
       "open_collection_cold" -> openSec,
       "query_one_partition_full" -> queryOneSec,
       "query_full" -> queryFullSec,

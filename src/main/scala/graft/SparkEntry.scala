@@ -64,6 +64,33 @@ object SparkEntry {
       c
     })
 
+  /** Bench-only: build an events collection identical to
+    * [[eventsCollection]]/[[skipEventsCollection]] at a throwaway root,
+    * return the build seconds, and clean up — the repeat passes of the
+    * bench's min-of-N build entries (the memoized builders can only be
+    * timed once per JVM). */
+  private[graft] def throwawayEventsCollection(spark: SparkSession, sfDir: String,
+                                               skip: Boolean): Double = {
+    val ev = Tables.events(spark, sfDir)
+    val root = s"$scratch/throwaway-${java.util.UUID.randomUUID().toString.take(8)}"
+    val t0 = System.nanoTime()
+    val c =
+      if (skip)
+        Collection.create(spark, root, ev.schema, axis = "ts",
+          partitioning = DatePartitioning("ts", "D"), catalogEnabled = true,
+          overwrite = true, statsColumns = Seq("user_id"), bloomColumns = Seq("user_id"))
+      else
+        Collection.create(spark, root, ev.schema, axis = "ts",
+          partitioning = DatePartitioning("ts", "D"), catalogEnabled = true,
+          overwrite = true)
+    c.insert(ev)
+    val sec = (System.nanoTime() - t0) / 1e9
+    try Collection.fileSystem(spark, root)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    catch { case _: Exception => () }
+    sec
+  }
+
   private def eventsOut(df: DataFrame): DataFrame =
     df.withColumn("ts_us", unix_micros(col("ts")))
       .select("event_id", "ts_us", "user_id", "event_type", "value", "props")

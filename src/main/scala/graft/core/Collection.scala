@@ -217,6 +217,23 @@ final class Collection private (
   def insert(df: DataFrame, merge: MergeStrategy = MergeStrategy.Replace): Seq[String] =
     insertInternal(df, merge, streamMark = None)
 
+  /** Full-truncate overwrite (Spark's conventional `mode("overwrite")`
+    * semantics under `partitionOverwriteMode=STATIC`): ONE atomic commit
+    * whose snapshot contains ONLY `df`'s rows — every pre-existing
+    * partition is replaced, including those the incoming data does not
+    * touch. Contrast [[insert]] with [[MergeStrategy.Replace]] (dynamic
+    * partition overwrite: non-colliding partitions survive). The commit
+    * pins the head it read, so a racing writer conflicts instead of
+    * having its partitions silently truncated. */
+  def overwrite(df: DataFrame): Seq[String] = {
+    requireWritable()
+    val assigned = partitioning.assign(df)
+    val man0 = currentManifest()
+    writeAndCommit(assigned, replaced = man0.partitionPaths.toSet,
+      base = man0, op = "overwrite")
+    currentManifest().partitionPaths.sorted
+  }
+
   private[graft] def insertInternal(df: DataFrame, merge: MergeStrategy,
                                     streamMark: Option[(String, Long)]): Seq[String] = {
     requireWritable()
@@ -834,12 +851,7 @@ final class Collection private (
     val now = System.currentTimeMillis()
     def aged(mtime: Long): Boolean =
       graceMs <= 0L || (mtime < newestRootMtime && now - mtime > graceMs)
-    val youngEnough: Long => Boolean =
-      if (retainMillis <= 0L) _ => false
-      else g => manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g))
-        .committedAtMs.exists(ts => now - ts < retainMillis)
-    val retained = (gens.takeRight(retainGenerations + 1) ++
-      gens.filter(youngEnough)).distinct
+    val retained = retainedGenerations(gens, now, retainMillis)
     val live: Set[String] = retained.flatMap { g =>
       manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g)).files
     }.toSet
@@ -892,6 +904,29 @@ final class Collection private (
     doomed
   }
 
+  /** The generations whose files must survive a GC: the newest
+    * `retainGenerations + 1` snapshots by count, plus — when
+    * `retainMillis > 0` — every generation whose files were REPLACED
+    * inside the window. A snapshot stays current until its SUCCESSOR
+    * commits, so time retention keys on the successor's commit stamp,
+    * not the generation's own (Delta's deletedFileRetentionDuration
+    * likewise keys on deletion time): on a quiet-then-burst history
+    * (gen G committed 25 h ago, replaced 1 h ago) a consumer lagging
+    * within the window still reads G. Shared by [[vacuum]] and [[fsck]]
+    * so the orphan report matches what vacuum would actually reclaim. */
+  private def retainedGenerations(gens: Seq[Long], now: Long,
+                                  retainMillis: Long): Seq[Long] = {
+    val byCount = gens.takeRight(retainGenerations + 1)
+    val byTime =
+      if (retainMillis <= 0L) Nil
+      else gens.sliding(2).collect {
+        case Seq(g, next) if manifestCache
+          .getOrElseUpdate(next, readManifest(fs, manifestDir, next))
+          .committedAtMs.exists(ts => now - ts < retainMillis) => g
+      }.toSeq
+    (byCount ++ byTime).distinct
+  }
+
   /** Integrity check of the current snapshot against the filesystem —
     * the pre-flight a 100 TB deployment runs before betting a training
     * job on a collection (and after restoring one from a backup).
@@ -910,14 +945,22 @@ final class Collection private (
     * driver threshold) and compares actual row counts against the
     * manifest's recorded counts — catching silently truncated or
     * swapped files that existence checks cannot see. Footer-only: cost
-    * is one metadata read per file, no data IO. */
-  def fsck(deep: Boolean = false): FsckReport = {
+    * is one metadata read per file, no data IO.
+    *
+    * `retainMillis` — pass the SAME window the deployment's [[vacuum]]
+    * uses: `orphanFiles` is computed against the identical retained-
+    * generation set ([[retainedGenerations]]), so the report names
+    * exactly what vacuum would reclaim; with the default 0 a file still
+    * protected by time-based retention would be mis-reported as vacuum
+    * fodder. */
+  def fsck(deep: Boolean = false, retainMillis: Long = 0L): FsckReport = {
     val man = currentManifest()
     val byShard = man.shards.map(e => man.shardData(e))
     val files = byShard.flatMap(_.files)
     val onDisk = walkDataFiles().toSet
     val missing = files.filterNot(onDisk.contains)
-    val retained = generations().takeRight(retainGenerations + 1)
+    val retained = retainedGenerations(generations(),
+      System.currentTimeMillis(), retainMillis)
     val live = retained.flatMap(g =>
       manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g)).files).toSet
     val orphans = onDisk.diff(live).toSeq.sorted
@@ -1167,7 +1210,13 @@ final class Collection private (
       head.generation + 1,
       head.taskBase, // ids only ever grow
       old.schemaDdl, old.fills, old.shards,
-      rel => readShard(fs, manifestDir, rel),
+      // a legacy inline-format snapshot's synthetic shard lists may exist
+      // only in the old handle's memory: carry them (commitManifest
+      // materializes them to disk before the root publishes) and resolve
+      // reads through them until then — without this, a restored head
+      // could reference shard JSONs no handle can load
+      rel => old.inline.get(rel).map(ShardData(_))
+        .getOrElse(readShard(fs, manifestDir, rel)),
       head.streams, // exactly-once stream marks never roll back
       columnSince = old.columnSince,
       // droppedEver is MONOTONE: a name dropped after `gen` stays
@@ -1175,7 +1224,8 @@ final class Collection private (
       droppedEver = head.droppedEver ++ old.droppedEver,
       partSpec = head.partSpec,
       constraints = old.constraints,
-      op = Some("restore")))
+      op = Some("restore"),
+      inline = old.inline))
   }
 
   /** CHANGE FEED (CDC): the exact row-level difference between two
@@ -3799,7 +3849,7 @@ object Collection {
     }
   }
 
-  private[core] def fileSystem(spark: SparkSession, root: String): FileSystem =
+  private[graft] def fileSystem(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
 
   /** Canonical single-line JSON of a partitioning spec (key order is the

@@ -336,10 +336,12 @@ class GraftCollectionSource(spark: SparkSession, root: String,
   * Batch reads go through [[graft.sources.GraftRelation]] (data-source
   * filters prune via the skip layers); batch writes insert into an
   * EXISTING collection (`Collection.create` declares schema, axis and
-  * partitioning — a bare parquet path can't): `append` = Concat,
-  * `overwrite` = Replace (dynamic partition overwrite — colliding
-  * partitions replaced, others untouched), `ignore` = no-op,
-  * `errorifexists` = refuse. */
+  * partitioning — a bare parquet path can't): `append` = Concat;
+  * `overwrite` honors `spark.sql.sources.partitionOverwriteMode` —
+  * STATIC (the session default) truncates the whole collection in one
+  * atomic commit, DYNAMIC replaces only colliding partitions (writer
+  * option `partitionOverwriteMode` overrides the conf per write);
+  * `ignore` = no-op, `errorifexists` = refuse. */
 class GraftCollectionSourceProvider extends StreamSourceProvider with DataSourceRegister
     with org.apache.spark.sql.sources.RelationProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider {
@@ -371,7 +373,17 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
     val c = Collection.open(sqlContext.sparkSession, root)
     mode match {
       case SaveMode.Append    => c.insert(data, graft.core.MergeStrategy.Concat)
-      case SaveMode.Overwrite => c.insert(data, graft.core.MergeStrategy.Replace)
+      case SaveMode.Overwrite =>
+        // Spark's convention for path-based sources: STATIC (the
+        // session default) truncates the whole collection; DYNAMIC
+        // replaces only colliding partitions. The writer option takes
+        // precedence over the session conf (Delta's shape).
+        val pom = parameters.getOrElse("partitionOverwriteMode",
+          sqlContext.sparkSession.conf
+            .get("spark.sql.sources.partitionOverwriteMode", "STATIC"))
+        if (pom.equalsIgnoreCase("dynamic"))
+          c.insert(data, graft.core.MergeStrategy.Replace)
+        else c.overwrite(data)
       case SaveMode.Ignore    => ()
       case SaveMode.ErrorIfExists => throw new IllegalStateException(
         s"collection at $root already exists (mode=ErrorIfExists); " +

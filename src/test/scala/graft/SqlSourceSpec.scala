@@ -65,7 +65,7 @@ class SqlSourceSpec extends AnyFunSuite {
       s"sizeInBytes must come from metadata, got ${rel.sizeInBytes}")
   }
 
-  test("write modes: append concats, overwrite replaces colliding partitions") {
+  test("write modes: append concats; overwrite honors partitionOverwriteMode") {
     val root = SparkTestSession.tmp("graft-sql-write")
     fresh(root)
     mk((10L, "2024-01-04 08:00:00", 3L, 10.0)).write
@@ -73,17 +73,37 @@ class SqlSourceSpec extends AnyFunSuite {
     val c = Collection.open(spark, root, readOnly = true)
     assert(c.query().count() == 5)
 
-    // dynamic partition overwrite: day 1 replaced, others untouched
+    // dynamic partition overwrite (writer option, Delta's shape): day 1
+    // replaced, others untouched
     mk((20L, "2024-01-01 10:00:00", 9L, 20.0)).write
-      .format("graft").mode("overwrite").save(root)
+      .format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(root)
     val ids = Collection.open(spark, root, readOnly = true)
       .query().select("id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(3L, 4L, 10L, 20L), s"got $ids")
 
+    // the session conf works too
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      mk((21L, "2024-01-01 11:00:00", 9L, 21.0)).write
+        .format("graft").mode("overwrite").save(root)
+      val ids2 = Collection.open(spark, root, readOnly = true)
+        .query().select("id").as[Long].collect().sorted.toSeq
+      assert(ids2 == Seq(3L, 4L, 10L, 21L), s"got $ids2")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+    // default (STATIC): Spark's conventional path-source overwrite — the
+    // whole collection truncated in ONE atomic commit
+    mk((40L, "2024-01-06 08:00:00", 2L, 40.0)).write
+      .format("graft").mode("overwrite").save(root)
+    val ids3 = Collection.open(spark, root, readOnly = true)
+      .query().select("id").as[Long].collect().sorted.toSeq
+    assert(ids3 == Seq(40L), s"static overwrite must truncate, got $ids3")
+
     // ignore is a no-op; errorifexists refuses
     mk((30L, "2024-01-05 08:00:00", 1L, 30.0)).write
       .format("graft").mode("ignore").save(root)
-    assert(Collection.open(spark, root, readOnly = true).query().count() == 4)
+    assert(Collection.open(spark, root, readOnly = true).query().count() == 1)
     intercept[Exception](mk((31L, "2024-01-05 09:00:00", 1L, 31.0)).write
       .format("graft").mode("errorifexists").save(root))
   }
