@@ -238,9 +238,13 @@ object Dedup {
     * components are stars/near-cliques (the bucket guard stars oversized
     * classes around their min id), so 2-3 rounds close almost any corpus;
     * `maxIterations` bounds adversarial chains. Each round's labels are
-    * checkpointed via persist and the loop stops at the first round with
-    * zero label changes (the count action doubles as the convergence
-    * test). Returns `(id, rep)` for every id that appears in `pairs`. */
+    * persisted and the loop stops at the first round with zero label
+    * changes (the count action doubles as the convergence test); every
+    * third round the labels are `localCheckpoint`ed so the lineage is
+    * TRUNCATED, not just cached — persist alone leaves a plan that grows
+    * by one join per round, and on a long-running 100 TB job an executor
+    * loss would recompute the whole chain. Returns `(id, rep)` for every
+    * id that appears in `pairs`. */
   def groups(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
@@ -266,6 +270,14 @@ object Dedup {
       joined.unpersist()
       converged = changed == 0
       iter += 1
+      if (!converged && iter % 3 == 0) {
+        // truncate lineage: localCheckpoint materializes to executor
+        // storage and replaces the round's join-on-join plan with a
+        // LogicalRDD leaf, bounding both recompute-on-loss and plan size
+        val cp = labels.localCheckpoint(true)
+        labels.unpersist()
+        labels = cp
+      }
     }
     edges.unpersist()
     labels

@@ -453,6 +453,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == planted.select("doc_id").collect().map(_.getLong(0)).toSet -- doomed)
   }
 
+  test("groups: lineage is truncated across rounds (plan does not grow with iterations)") {
+    // a 16-node chain needs ~15 propagation rounds — far past the every-3rd
+    // localCheckpoint cadence, so the returned labels' logical plan must be
+    // a checkpoint leaf (+ the final round's join), NOT 15 stacked joins.
+    // persist-only lineage would recompute the whole chain on executor loss.
+    val chain = (1L until 16L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.groups(chain, maxIterations = 20)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (1L to 16L).map(_ -> 1L).toMap)
+    val planJoins = labels.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(planJoins <= 6, // ≤3 rounds since the last checkpoint × 2 joins/round
+      s"expected lineage truncated to the post-checkpoint rounds' joins, got $planJoins")
+    assert(labels.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.nonEmpty, "expected a localCheckpoint leaf (LogicalRDD) in the lineage")
+    // short-converging input (2 rounds) never pays a checkpoint: shape sanity
+    val tiny = Seq((1L, 2L)).toDF("a", "b")
+    assert(Dedup.groups(tiny).collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("text functions: tokens, bpe, stopwords, langid, fingerprint") {
     val df = Seq((1L, "the cat sat on the mat v2!")).toDF("id", "text")
     val row = df.select(
