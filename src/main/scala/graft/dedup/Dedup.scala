@@ -240,12 +240,23 @@ object Dedup {
     * `maxIterations` bounds adversarial chains. Each round's labels are
     * persisted and the loop stops at the first round with zero label
     * changes (the count action doubles as the convergence test); every
-    * third round the labels are `localCheckpoint`ed so the lineage is
+    * third round the labels are checkpointed so the lineage is
     * TRUNCATED, not just cached — persist alone leaves a plan that grows
-    * by one join per round, and on a long-running 100 TB job an executor
-    * loss would recompute the whole chain. Returns `(id, rep)` for every
-    * id that appears in `pairs`. */
+    * by one join per round.
+    *
+    * Checkpoint durability is a TRADEOFF the caller picks via the
+    * SparkContext checkpoint dir. With `sc.setCheckpointDir(...)` set,
+    * rounds use reliable `checkpoint()` — labels land on the cluster FS
+    * and survive executor loss, the right mode for a long 100 TB job.
+    * Without one, rounds fall back to `localCheckpoint()`: faster (no
+    * FS write) but the blocks live ONLY in executor storage with the
+    * lineage deleted, so losing an executor after a checkpoint FAILS the
+    * job rather than recomputing (and Spark documents it as unsafe
+    * under dynamic allocation) — acceptable for short interactive runs,
+    * not for fault-sensitive ones. Returns `(id, rep)` for every id
+    * that appears in `pairs`. */
   def groups(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
@@ -255,6 +266,7 @@ object Dedup {
       .persist()
     var iter = 0
     var converged = false
+    var prevCp: Option[DataFrame] = None
     while (iter < maxIterations && !converged) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("rep")).as("_zc_nrep"))
@@ -271,11 +283,19 @@ object Dedup {
       converged = changed == 0
       iter += 1
       if (!converged && iter % 3 == 0) {
-        // truncate lineage: localCheckpoint materializes to executor
-        // storage and replaces the round's join-on-join plan with a
-        // LogicalRDD leaf, bounding both recompute-on-loss and plan size
-        val cp = labels.localCheckpoint(true)
+        // truncate lineage: the checkpoint replaces the round's
+        // join-on-join plan with a leaf, bounding plan size (and, in
+        // reliable mode, recompute-on-loss; see the scaladoc tradeoff)
+        val cp = if (reliable) labels.checkpoint(true) else labels.localCheckpoint(true)
         labels.unpersist()
+        // free the PREVIOUS checkpoint's executor blocks eagerly — the
+        // new checkpoint is materialized, so without this a long loop
+        // holds one full label copy per checkpoint until driver GC
+        prevCp.foreach(_.queryExecution.analyzed.foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+          case _ => ()
+        })
+        prevCp = Some(cp)
         labels = cp
       }
     }

@@ -73,8 +73,14 @@ object GraftRelation {
   /** Catalyst source filters → FilterExpr, best-effort: the top-level
     * array is a conjunction, so unconvertible members simply drop
     * (prune less, never wrong). INSIDE a conversion the translation is
-    * exact-or-None — a weakened subtree under `Or`/`Not` would prune
-    * wrongly. */
+    * polarity-tracked WEAKENING: the produced AST only ever prunes, so
+    * it is safe whenever the true predicate IMPLIES it. In positive
+    * polarity an `And` may drop an unconvertible conjunct
+    * (`a AND f(x)` → `a`, so `(a AND f(x)) OR b` still prunes on
+    * `a OR b`); under an odd number of `Not`s the roles flip — an `Or`
+    * may drop a disjunct (`NOT (a OR f(x))` → `NOT a` ⊇ the true rows)
+    * while `And` must convert exactly (dropping a conjunct there would
+    * STRENGTHEN the negation and prune wrongly). */
   private[graft] def toAst(fs: Array[Filter], known: Set[String],
                            zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Ast =
     fs.flatMap(f => conv(f, known, zone))
@@ -114,7 +120,8 @@ object GraftRelation {
     if (!known(a)) None
     else litOf(v, zone).map(x => FilterExpr.Cmp(op, FilterExpr.Name(a), FilterExpr.Lit(x)))
 
-  private def conv(f: Filter, known: Set[String], zone: java.time.ZoneId): Option[Ast] = f match {
+  private def conv(f: Filter, known: Set[String], zone: java.time.ZoneId,
+                   pos: Boolean = true): Option[Ast] = f match {
     case EqualTo(a, v)            => cmp("==", a, v, known, zone)
     case GreaterThan(a, v)        => cmp(">", a, v, known, zone)
     case GreaterThanOrEqual(a, v) => cmp(">=", a, v, known, zone)
@@ -128,12 +135,24 @@ object GraftRelation {
     case IsNull(a) if known(a)    => Some(FilterExpr.IsNull(a, negated = false))
     case IsNotNull(a) if known(a) => Some(FilterExpr.IsNull(a, negated = true))
     case And(l, r) =>
-      for (cl <- conv(l, known, zone); cr <- conv(r, known, zone))
-        yield FilterExpr.And(cl, cr)
+      (conv(l, known, zone, pos), conv(r, known, zone, pos)) match {
+        case (Some(cl), Some(cr)) => Some(FilterExpr.And(cl, cr))
+        // positive polarity: And is implied by each conjunct, so the
+        // convertible one alone is a sound (weaker) pruning predicate
+        case (one, other) if pos  => one.orElse(other)
+        case _                    => None
+      }
     case Or(l, r) =>
-      for (cl <- conv(l, known, zone); cr <- conv(r, known, zone))
-        yield FilterExpr.Or(cl, cr)
-    case Not(x) => conv(x, known, zone).map(FilterExpr.Not(_))
+      (conv(l, known, zone, pos), conv(r, known, zone, pos)) match {
+        case (Some(cl), Some(cr)) => Some(FilterExpr.Or(cl, cr))
+        // negative polarity: keeping one disjunct STRENGTHENS the
+        // subtree, which WEAKENS the enclosing Not — NOT(a OR f)
+        // implies NOT(a), so pruning on NOT(a) keeps a superset.
+        // Sound only under an odd number of Nots.
+        case (one, other) if !pos => one.orElse(other)
+        case _                    => None
+      }
+    case Not(x) => conv(x, known, zone, !pos).map(FilterExpr.Not(_))
     case _      => None
   }
 }

@@ -31,13 +31,26 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
-  /** `events` with `ts` as a microsecond TimestampType column. */
+  /** `events` with `ts` as a microsecond TimestampType column.
+    *
+    * The generator has shipped `ts` as nanosecond parquet timestamps
+    * (readable only as int64 via the `nanosAsLong` escape hatch) and as
+    * plain microsecond timestamps (which Spark reads as TIMESTAMP_NTZ);
+    * branch on the physical type so either vintage loads. All sessions
+    * run with timeZone=UTC, so the NTZ→TimestampType cast is
+    * value-preserving and downstream code sees one schema either way. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val prev = spark.conf.getOption(NanosKey)
     spark.conf.set(NanosKey, "true")
     try {
       val df = spark.read.parquet(s"$sfDir/events.parquet")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ts = df.schema("ts").dataType match {
+        case LongType         => expr("timestamp_micros(ts div 1000)")
+        case TimestampNTZType => col("ts").cast(TimestampType)
+        case _                => col("ts")
+      }
+      df.withColumn("ts", ts)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } finally prev match {
       case Some(v) => spark.conf.set(NanosKey, v)

@@ -151,4 +151,58 @@ class SqlSourceSpec extends AnyFunSuite {
       FilterExpr.Not(FilterExpr.Cmp("==", FilterExpr.Name("a"), FilterExpr.Lit(5L))))
     assert(to(Not(EqualTo("zz", 5))) == FilterExpr.True)
   }
+
+  test("polarity-tracked weakening: And drops a conjunct under Or; Not flips the rule") {
+    import org.apache.spark.sql.sources._
+    val known = Set("a", "b")
+    def to(fs: Filter*) = GraftRelation.toAst(fs.toArray, known)
+    def cmp(op: String, n: String, v: Long) =
+      FilterExpr.Cmp(op, FilterExpr.Name(n), FilterExpr.Lit(v))
+    // positive polarity: (a<=1 AND f(zz)) OR b>=4 weakens to a<=1 OR b>=4
+    // — the pruning the old exact-or-None translation lost entirely
+    assert(to(Or(And(LessThanOrEqual("a", 1), EqualTo("zz", 0)),
+                 GreaterThanOrEqual("b", 4))) ==
+      FilterExpr.Or(cmp("<=", "a", 1L), cmp(">=", "b", 4L)))
+    // negative polarity flips: NOT(a<=2 OR f(zz)) weakens to NOT(a<=2)
+    assert(to(Not(Or(LessThanOrEqual("a", 2), EqualTo("zz", 0)))) ==
+      FilterExpr.Not(cmp("<=", "a", 2L)))
+    // ...but NOT(a>=3 AND f(zz)) must NOT weaken (dropping the conjunct
+    // would STRENGTHEN the negation) — it drops entirely
+    assert(to(Not(And(GreaterThanOrEqual("a", 3), EqualTo("zz", 0)))) ==
+      FilterExpr.True)
+    // double negation restores positive polarity: NOT(NOT(a<=1 AND f)) weakens
+    assert(to(Not(Not(And(LessThanOrEqual("a", 1), EqualTo("zz", 0))))) ==
+      FilterExpr.Not(FilterExpr.Not(cmp("<=", "a", 1L))))
+  }
+
+  test("polarity weakening end-to-end: mixed conjunction under Or still prunes files") {
+    val root = SparkTestSession.tmp("graft-sql-polarity")
+    val df = Seq(
+      (1L, "2024-01-01 08:00:00", "alpha", 1.0), (2L, "2024-01-02 08:00:00", "beta", 2.0),
+      (3L, "2024-01-03 08:00:00", "gamma", 3.0), (4L, "2024-01-04 08:00:00", "delta", 4.0))
+      .toDF("id", "ts", "tag", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root, df.schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("id"))
+    c.insert(df)
+    val src = spark.read.format("graft").load(root)
+
+    // contains() IS a translatable source Filter (StringContains) — so
+    // the whole disjunction reaches conv — but graft's mini-language
+    // can't express it: positive polarity weakens the conjunction to
+    // id <= 1 and the disjunction around it still prunes
+    GraftRelation.lastScanAst = FilterExpr.True
+    val got = src.where("(id <= 1 AND contains(tag, 'lp')) OR id >= 4")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 4L))
+    val ast = GraftRelation.lastScanAst
+    assert(ast == FilterExpr.Or(
+      FilterExpr.Cmp("<=", FilterExpr.Name("id"), FilterExpr.Lit(1L)),
+      FilterExpr.Cmp(">=", FilterExpr.Name("id"), FilterExpr.Lit(4L))),
+      s"expected the weakened disjunction pushed, got $ast")
+    // the weakened AST prunes: days 2 and 3 (ids 2,3) skip at the zone maps
+    val rep = c.explainPruning("id <= 1 or id >= 4")
+    assert(rep.filesAfterStats < rep.filesListed,
+      s"the weakened predicate must still cut files: $rep")
+    assert(rep.filesAfterStats == 2, s"expected only the two edge-day files: $rep")
+  }
 }
