@@ -704,17 +704,27 @@ object SparkEntry {
         .select("vec_id").orderBy("vec_id")
     }),
 
-    // C35 (r6): INCREMENTAL NEAR-dup against a persisted MinHash index
-    // (rows-only: the estimator's banding/signature hashes aren't
-    // SQL-replayable; recall + pruning spec-tested). Index 2/3 of the
+    // C35 (r6, SQL-oracled r8): INCREMENTAL NEAR-dup against a persisted
+    // MinHash index. The index is built with the FNV-1a hash chain
+    // (shingle hash = FNV byte fold, permutation p = one more FNV step
+    // folding byte p), which DuckDB replays exactly in HUGEINT — so the
+    // whole estimator (shingles -> 64-perm signature -> est-Jaccard >=
+    // 0.9 drop) is oracle-exact, not rows-only. The banding layer is
+    // candidate generation only: est >= 0.9 means <= 6 of 64 positions
+    // differ, so >= 10 of the 16 4-row bands match exactly and every
+    // qualifying pair IS a MinHash-LSH candidate — the oracle can skip
+    // the banding and test all (batch x index) pairs. Index 2/3 of the
     // corpus, then dedup the remaining third plus re-ingested copies of
     // indexed texts — copies collide in every band and drop at est 1.0.
+    // (xxhash64 stays the production default; the attr-dispatched hash
+    // is what a deployment audits with.)
     "dedup_incremental_near" -> ((s, dir) => {
       import graft.dedup.Dedup
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val root = s"$scratch/mhidx-${java.util.UUID.randomUUID().toString.take(8)}"
       Dedup.buildMinhashIndex(s, root,
-        docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text", nBuckets = 16)
+        docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text", nBuckets = 16,
+        fnvHash = true)
       val batch = docs.where(col("doc_id") % 3 === 0)
         .unionByName(docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
@@ -2435,6 +2445,57 @@ object SparkEntry {
            WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0),
          keep AS (SELECT s, min(doc_id) AS doc_id FROM batch GROUP BY s)
          SELECT doc_id FROM keep WHERE s NOT IN (SELECT s FROM idx)
+         ORDER BY doc_id""",
+
+    // Full MinHash-estimator mirror of dedupNearAgainstIndex over the
+    // FNV index: 3-word shingles (distinct, whole-doc when < 3 tokens),
+    // FNV-1a byte fold per shingle, permutation p = one more FNV step
+    // folding byte p, signed-long min per position, drop when >= 58 of
+    // 64 positions match (est 58/64 >= 0.9; 57/64 < 0.9). Banding is
+    // skipped: <= 6 mismatched positions leave >= 10 of 16 bands exact,
+    // so every qualifying pair is an LSH candidate (pigeonhole).
+    "dedup_incremental_near" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         shl AS (SELECT doc_id,
+                   CASE WHEN len(t) >= 3
+                        THEN list_distinct(list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' ')))
+                        ELSE [array_to_string(t, ' ')] END AS shs
+                 FROM toks),
+         sh AS (SELECT doc_id, unnest(shs) AS s FROM shl),
+         h0 AS (SELECT doc_id,
+                  list_reduce(
+                    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                      list_transform(range(0, octet_length(encode(s))),
+                        i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+1, 1)) - 1) * 16
+                                + (strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+2, 1)) - 1) AS UBIGINT))),
+                    (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+                  ) AS h
+                FROM sh),
+         hp AS (SELECT doc_id, p,
+                  CAST((CAST(xor(h, CAST(p AS UBIGINT)) AS HUGEINT) * 1099511628211)
+                       % 18446744073709551616 AS UBIGINT) AS hu
+                FROM h0 CROSS JOIN (SELECT unnest(range(0, 64)) AS p) perms),
+         sig AS (SELECT doc_id, p,
+                   min(CASE WHEN hu >= CAST(9223372036854775808 AS UBIGINT)
+                            THEN CAST(hu AS HUGEINT) - 18446744073709551616
+                            ELSE CAST(hu AS HUGEINT) END) AS v
+                 FROM hp GROUP BY doc_id, p),
+         sigl AS (SELECT doc_id, list(v ORDER BY p) AS sig FROM sig GROUP BY doc_id),
+         idx AS (SELECT doc_id, sig FROM sigl WHERE doc_id % 3 <> 0),
+         batch AS (
+           SELECT doc_id, sig FROM sigl WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, sig FROM sigl
+           WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0),
+         dropped AS (
+           SELECT DISTINCT b.doc_id
+           FROM batch b JOIN idx c
+             ON list_sum(list_transform(range(1, 65),
+                  i -> CASE WHEN b.sig[i] = c.sig[i] THEN 1 ELSE 0 END)) >= 58)
+         SELECT doc_id FROM batch
+         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
          ORDER BY doc_id""",
 
     "dedup_remove_exact" ->

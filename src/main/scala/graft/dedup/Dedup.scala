@@ -425,15 +425,21 @@ object Dedup {
   val MinhashPermsAttr = "minhash.perms"
   val MinhashBandsAttr = "minhash.bands"
   val MinhashShingleAttr = "minhash.shingleK"
+  /** `"xxhash64"` (production default) or `"fnv1a"` — the FNV chain is
+    * DuckDB-replayable byte arithmetic, so an FNV index's whole
+    * incremental-dedup path gets an exact SQL oracle. Baked into the
+    * index at build time; readers follow the attr. */
+  val MinhashHashAttr = "minhash.hash"
 
   private def minhashSigRows(docs: DataFrame, idCol: String, textCol: String,
-                             shingleK: Int, numPerms: Int): DataFrame =
+                             shingleK: Int, numPerms: Int,
+                             fnv: Boolean = false): DataFrame =
     docs
       .repartition(col(idCol))
       .select(col(idCol).cast("long").as("doc_id"),
-        minhashSignature(
+        MinHashSig.signature(
           graft.functions.ShingleHashes.shingles(
-            split(trim(col(textCol)), "\\s+"), shingleK), numPerms).as("sig"))
+            split(trim(col(textCol)), "\\s+"), shingleK, fnv), numPerms, fnv).as("sig"))
 
   private def minhashBandRows(sigs: DataFrame, bands: Int, rowsPerBand: Int,
                               nBuckets: Int): DataFrame =
@@ -456,14 +462,16 @@ object Dedup {
   def buildMinhashIndex(spark: org.apache.spark.sql.SparkSession, root: String,
                         docs: DataFrame, idCol: String, textCol: String,
                         nBuckets: Int = 64, numPerms: Int = 64, bands: Int = 16,
-                        shingleK: Int = 3): (graft.core.Collection, graft.core.Collection) = {
+                        shingleK: Int = 3,
+                        fnvHash: Boolean = false): (graft.core.Collection, graft.core.Collection) = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val attrs = Map(
       MinhashBucketsAttr -> nBuckets.toString, MinhashPermsAttr -> numPerms.toString,
-      MinhashBandsAttr -> bands.toString, MinhashShingleAttr -> shingleK.toString)
+      MinhashBandsAttr -> bands.toString, MinhashShingleAttr -> shingleK.toString,
+      MinhashHashAttr -> (if (fnvHash) "fnv1a" else "xxhash64"))
     // signatures feed BOTH sub-collections' write jobs — materialize the
     // shingle+minhash pass once instead of twice
-    val sigs = minhashSigRows(docs, idCol, textCol, shingleK, numPerms)
+    val sigs = minhashSigRows(docs, idCol, textCol, shingleK, numPerms, fnvHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sigRows = sigs.select(sigMod(col("doc_id"), nBuckets).as("smod"),
@@ -506,8 +514,9 @@ object Dedup {
     val numPerms = bc.attrs(MinhashPermsAttr).toInt
     val bands = bc.attrs(MinhashBandsAttr).toInt
     val shingleK = bc.attrs(MinhashShingleAttr).toInt
+    val fnv = bc.attrs.getOrElse(MinhashHashAttr, "xxhash64") == "fnv1a"
     val sigs = minhashSigRows(batch.select(col(idCol), col(textCol)),
-      idCol, textCol, shingleK, numPerms).persist()
+      idCol, textCol, shingleK, numPerms, fnv).persist()
     try {
       val bandRows = minhashBandRows(sigs, bands, numPerms / bands, nBuckets)
       val bmods = bandRows.select("bmod").distinct().collect().map(_.getLong(0)).sorted

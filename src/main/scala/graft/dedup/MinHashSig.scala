@@ -16,7 +16,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * `xxhash64(shingle, lit(perm))` composition it replaces (same seeded
   * xxhash chaining), so LSH candidate sets are unchanged.
   */
-case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression {
+case class MinHashSig(child: Expression, numPerms: Int, fnv: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -30,10 +31,10 @@ case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression 
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHashSig.compute(input.asInstanceOf[ArrayData], numPerms)
+    MinHashSig.compute(input.asInstanceOf[ArrayData], numPerms, fnv)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.dedup.MinHashSig.compute($c, $numPerms)")
+    defineCodeGen(ctx, ev, c => s"graft.dedup.MinHashSig.compute($c, $numPerms, $fnv)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -43,30 +44,51 @@ case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression 
 
 object MinHashSig {
 
-  /** Shared by interpreted eval and generated code. Reproduces the seed
-    * chaining of the two-argument `xxhash64(shingle, permLiteral)`
-    * builtin: `hash(perm: INT, seed = hash(shingle: LONG, seed = 42))`
-    * (the permutation literal is an IntegerType in the builtin form). */
-  def compute(shingles: ArrayData, numPerms: Int): ArrayData = {
+  private val FnvPrime = 0x100000001b3L
+
+  /** Shared by interpreted eval and generated code. Default mode
+    * reproduces the seed chaining of the two-argument
+    * `xxhash64(shingle, permLiteral)` builtin: `hash(perm: INT, seed =
+    * hash(shingle: LONG, seed = 42))` (the permutation literal is an
+    * IntegerType in the builtin form).
+    *
+    * `fnv = true` derives permutation `p` by folding `p` into the
+    * (FNV-1a) shingle hash as one more FNV byte: `(h ^ p) * prime`,
+    * wrapping mod 2^64 — exactly the arithmetic DuckDB replays in
+    * HUGEINT, so an FNV-shingled MinHash estimate is SQL-provable
+    * end-to-end. Permutation count is capped at 256 so `p` stays one
+    * byte. Signed-long mins on both sides. */
+  def compute(shingles: ArrayData, numPerms: Int, fnv: Boolean): ArrayData = {
     val mins = Array.fill(numPerms)(Long.MaxValue)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
       val s = shingles.getLong(i)
-      val h1 = XxHash64Function.hash(java.lang.Long.valueOf(s), LongType, 42L)
-      var p = 0
-      while (p < numPerms) {
-        val h = XxHash64Function.hash(java.lang.Integer.valueOf(p), IntegerType, h1)
-        if (h < mins(p)) mins(p) = h
-        p += 1
+      if (fnv) {
+        var p = 0
+        while (p < numPerms) {
+          val h = (s ^ p) * FnvPrime
+          if (h < mins(p)) mins(p) = h
+          p += 1
+        }
+      } else {
+        val h1 = XxHash64Function.hash(java.lang.Long.valueOf(s), LongType, 42L)
+        var p = 0
+        while (p < numPerms) {
+          val h = XxHash64Function.hash(java.lang.Integer.valueOf(p), IntegerType, h1)
+          if (h < mins(p)) mins(p) = h
+          p += 1
+        }
       }
       i += 1
     }
     new GenericArrayData(mins)
   }
 
-  def signature(shingles: Column, numPerms: Int): Column = {
+  def signature(shingles: Column, numPerms: Int, fnv: Boolean = false): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
-    Bridge.column(MinHashSig(Bridge.expression(shingles), numPerms))
+    require(!fnv || numPerms <= 256, "fnv permutation derivation folds the perm " +
+      s"index as a single byte; numPerms must be <= 256, got $numPerms")
+    Bridge.column(MinHashSig(Bridge.expression(shingles), numPerms, fnv))
   }
 }

@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * first-occurrence order — but without `transform`'s per-window
   * interpreted lambda, slice allocation, and repeated concat.
   */
-case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, k: Int, fnv: Boolean = false)
+    extends UnaryExpression {
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -32,10 +33,10 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[ArrayData], k)
+    ShingleHashes.compute(input.asInstanceOf[ArrayData], k, fnv)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.compute($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.compute($c, $k, $fnv)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -47,8 +48,11 @@ object ShingleHashes {
   private val Space = UTF8String.fromString(" ")
 
   /** Join tokens [from, from+len) with single spaces (concat_ws skips
-    * nulls) and xxhash64 the result at seed 42. */
-  private def hashWindow(toks: ArrayData, from: Int, len: Int): Long = {
+    * nulls) and hash the result: xxhash64 at seed 42 (production), or
+    * FNV-1a over the UTF-8 bytes (`fnv = true`) — the latter is the
+    * byte-fold DuckDB replays exactly, giving MinHash pipelines built on
+    * these shingles a full SQL oracle. */
+  private def hashWindow(toks: ArrayData, from: Int, len: Int, fnv: Boolean): Long = {
     val parts = new java.util.ArrayList[UTF8String](2 * len)
     var i = 0
     var first = true
@@ -62,20 +66,21 @@ object ShingleHashes {
       i += 1
     }
     val joined = UTF8String.concat(parts.toArray(new Array[UTF8String](parts.size)): _*)
-    XxHash64Function.hash(joined, StringType, 42L)
+    if (fnv) Fnv1a64.hash(joined)
+    else XxHash64Function.hash(joined, StringType, 42L)
   }
 
-  def compute(toks: ArrayData, k: Int): ArrayData = {
+  def compute(toks: ArrayData, k: Int, fnv: Boolean): ArrayData = {
     val n = toks.numElements()
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     if (n >= k) {
       var i = 0
       while (i <= n - k) {
-        seen.add(hashWindow(toks, i, k))
+        seen.add(hashWindow(toks, i, k, fnv))
         i += 1
       }
     } else {
-      seen.add(hashWindow(toks, 0, n))
+      seen.add(hashWindow(toks, 0, n, fnv))
     }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
@@ -84,9 +89,9 @@ object ShingleHashes {
     new GenericArrayData(out)
   }
 
-  def shingles(tokens: Column, k: Int): Column = {
+  def shingles(tokens: Column, k: Int, fnv: Boolean = false): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
-    Bridge.column(ShingleHashes(Bridge.expression(tokens), k))
+    Bridge.column(ShingleHashes(Bridge.expression(tokens), k, fnv))
   }
 }
 

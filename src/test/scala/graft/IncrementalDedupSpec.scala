@@ -99,6 +99,46 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("fnv hash mode: attr-dispatched, bit-identical to the reference chain") {
+    // driver-side reference of the FNV chain: shingle string -> FNV-1a
+    // byte fold -> perm p folds byte p -> signed min per position
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    def refSig(text: String, k: Int, perms: Int): Seq[Long] = {
+      val t = text.trim.split("\\s+").toSeq
+      val shingles =
+        (if (t.length >= k) t.sliding(k).map(_.mkString(" ")).toSeq.distinct
+         else Seq(t.mkString(" "))).map(fnv)
+      (0 until perms).map(p => shingles.map(h => (h ^ p) * 0x100000001b3L).min)
+    }
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val got = docs(1L -> text)
+      .select(graft.dedup.MinHashSig.signature(
+        graft.functions.ShingleHashes.shingles(
+          split(trim(col("text")), "\\s+"), 3, fnv = true), 64, fnv = true).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == refSig(text, 3, 64), "fnv signature must match the reference chain")
+
+    // an index built with fnvHash=true records the attr and the batch
+    // side follows it — same drop verdicts as the xxhash64 spec above
+    val words = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 60).map(i => s"tok$i") :+ "extra").mkString(" ")
+    val root = SparkTestSession.tmp("graft-mhidx-fnv")
+    val (bc, _) = Dedup.buildMinhashIndex(spark, root,
+      docs(1L -> words, 2L -> (1 to 60).map(i => s"other$i word$i").mkString(" ")),
+      "doc_id", "text", nBuckets = 8, fnvHash = true)
+    assert(bc.attrs(Dedup.MinhashHashAttr) == "fnv1a")
+    val out = Dedup.dedupNearAgainstIndex(spark, root,
+        docs(10L -> words, 11L -> near,
+             12L -> (1 to 60).map(i => s"fresh$i piece$i").mkString(" ")),
+        "doc_id", "text", minEstJaccard = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(12L), s"survivors: $out")
+  }
+
   test("a non-index collection refuses loudly") {
     val df = docs(1L -> "x").withColumn("fp", lit(1L)).withColumn("bucket", lit(0L))
     val c = graft.core.Collection.create(spark,
