@@ -3553,6 +3553,13 @@ object Collection {
     // commit wall-clock, stamped at publish: TIMESTAMP AS OF time travel
     // + age-based vacuum read it back
     doc.put("committedAt", java.lang.Long.valueOf(stampMs))
+    // writer-unique nonce: object-store arbiters resolve AMBIGUOUS
+    // publishes (timeout after the bytes left) by reading the target
+    // back and comparing content ([[ConditionalPutArbiter]]); without
+    // this, two writers committing the identical logical change in the
+    // same millisecond would produce byte-identical manifests and both
+    // would claim the win
+    doc.put("commitNonce", java.util.UUID.randomUUID().toString)
     val target = manifestPath(dir, m.generation)
     def conflict(): Nothing =
       throw new java.util.ConcurrentModificationException(
