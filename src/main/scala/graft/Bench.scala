@@ -46,7 +46,7 @@ object Bench {
     "dedup_incremental", "dedup_incremental_near", "dedup_semantic",
     "zc_insert_query", "zc_query_filter", "zc_axis_range",
     "zc_col_zone", "zc_bloom", "zc_to_arrays", "zc_zorder", "zc_delete",
-    "zc_changes", "zc_vector_search", "stream_window",
+    "zc_changes", "zc_vector_search", "stream_window", "stream_join",
   )
 
   private def loadAvg: Double =

@@ -1169,6 +1169,35 @@ object SparkEntry {
         .orderBy("hour_start_us")
     }),
 
+    // D16 (r8): STREAM-STREAM interval join — clicks paired with the
+    // views the same user produced within the next 12 hours, both sides
+    // watermarked streams of the events collection. Inner join in
+    // append mode emits every matched pair exactly once, so the result
+    // is SQL-decidable as the batch join of the same inputs; the time
+    // range in the join condition is what bounds the state stores.
+    "stream_join" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val c = eventsCollection(s, dir)
+      val clicks = StreamOps.readStream(s, c)
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val views = StreamOps.readStream(s, c)
+        .where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val name = "graft_sjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamOps.intervalJoin(clicks, views, Seq("user_id"),
+          "click_ts", "view_ts", "12 hours")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .select(col("click_id"), col("view_id"), col("user_id"),
+          unix_micros(col("click_ts")).as("click_ts_us"),
+          unix_micros(col("view_ts")).as("view_ts_us"))
+        .orderBy("click_id", "view_id")
+    }),
+
     // D4 (r6 graduation): streaming exact dedup — the full corpus plus a
     // planted byte-identical duplicate slice (day <= 5, a second Concat
     // commit) streamed through dropDuplicatesWithinWatermark; survivors
@@ -3041,6 +3070,19 @@ object SparkEntry {
          GROUP BY w
          HAVING w + INTERVAL 2 HOUR <= (SELECT max(t) FROM ev)
          ORDER BY win_start_us""",
+
+    // Inner stream-stream join in append mode emits every matched pair
+    // exactly once — the batch join of the same inputs IS the oracle.
+    "stream_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+                epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us,
+                epoch_us(CAST(v.ts AS TIMESTAMP)) AS view_ts_us
+         FROM events c JOIN events v
+           ON c.user_id = v.user_id
+          AND c.event_type = 'click' AND v.event_type = 'view'
+          AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+          AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 12 HOUR
+         ORDER BY click_id, view_id""",
 
     "q_semi_anti" ->
       """SELECT c_custkey, c_name, c_acctbal

@@ -136,6 +136,41 @@ object StreamOps {
     df.withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked STREAM-STREAM interval join: pair each left row with
+    * every right row sharing its `keys` whose `rightTs` falls in
+    * `[leftTs, leftTs + maxSpan]` — clicks joined to the views they led
+    * to, sensor readings to the alarms that followed, the
+    * correlate-two-firehoses shape batch joins cannot run unbounded.
+    *
+    * Both sides carry a watermark and the join condition carries the
+    * time range, which is what lets Spark BOUND THE STATE: a left row's
+    * state is droppable once the right watermark passes
+    * `leftTs + maxSpan + delay`, a right row's once the left watermark
+    * passes its `rightTs` (the stream-stream join state-cleanup
+    * contract). Without the range the state grows forever; this
+    * operator makes the bound part of the API. Inner join: every
+    * matched pair is emitted exactly once in append mode, so the result
+    * equals the batch join of the same inputs — the SQL-oracle
+    * equivalence `stream_join` verifies.
+    *
+    * Column names must be disjoint apart from `keys` (alias/rename
+    * upstream, as any self-join does). Scale: state shuffles hash by
+    * `keys` across `spark.sql.shuffle.partitions` state stores; skewed
+    * keys salt upstream exactly like a batch join. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, maxSpan: String,
+                   watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin requires at least one equality key")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+      .withColumnsRenamed(keys.map(k => k -> s"_zc_r_$k").toMap)
+    val keyCond = keys.map(k => l(k) === r(s"_zc_r_$k")).reduce(_ && _)
+    val range = r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxSpan")
+    l.join(r, keyCond && range, "inner")
+      .drop(keys.map(k => s"_zc_r_$k"): _*)
+  }
+
   /** INCREMENTAL [[graft.core.Collection#queryArrays]]: stream the
     * collection and hand `sink` one DataFrame of per-partition ARRAY
     * RECORDS per micro-batch — the records of exactly the rows that

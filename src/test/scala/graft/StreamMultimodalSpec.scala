@@ -325,6 +325,58 @@ class StreamMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: every in-span pair once, out-of-span never") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val name = "graft_sjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      views.toDF().toDF("user_id", "view_id", "view_ts"),
+      Seq("user_id"), "click_ts", "view_ts", "1 hour")
+    val q = joined.select("click_id", "view_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      // user 1: click 10 -> views at +30m (in) and +90m (out);
+      // user 2's view at +10m must not cross users; a view BEFORE the
+      // click must not match (the range is one-sided)
+      clicks.addData((1L, 10L, ts("2024-01-01 10:00:00")),
+                     (2L, 20L, ts("2024-01-01 10:00:00")))
+      views.addData((1L, 100L, ts("2024-01-01 10:30:00")),
+                    (1L, 101L, ts("2024-01-01 11:30:00")),
+                    (1L, 102L, ts("2024-01-01 09:30:00")),
+                    (2L, 200L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // late-arriving second click still pairs with the already-seen view
+      // (the right side's state held it)
+      clicks.addData((2L, 21L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq((10L, 100L), (20L, 200L), (21L, 200L)), s"got $got")
+      // streaming inner join == the batch join of the same inputs
+      val bc = Seq((1L, 10L, ts("2024-01-01 10:00:00")),
+                   (2L, 20L, ts("2024-01-01 10:00:00")),
+                   (2L, 21L, ts("2024-01-01 10:05:00")))
+        .toDF("user_id", "click_id", "click_ts")
+      val bv = Seq((1L, 100L, ts("2024-01-01 10:30:00")),
+                   (1L, 101L, ts("2024-01-01 11:30:00")),
+                   (1L, 102L, ts("2024-01-01 09:30:00")),
+                   (2L, 200L, ts("2024-01-01 10:10:00")))
+        .toDF("user_id", "view_id", "view_ts")
+      val batch = bc.join(bv, bc("user_id") === bv("user_id") &&
+          bv("view_ts") >= bc("click_ts") &&
+          bv("view_ts") <= bc("click_ts") + org.apache.spark.sql.functions.expr("INTERVAL 1 hour"))
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches batch sessionize") {
     import StreamOps._
     val evs = Seq(
