@@ -1059,6 +1059,35 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // C39 (r8): per-language QUANTILE GATE — the CCNet-style tail cut:
+    // drop each language's bottom quartile by stopword ratio. Value-
+    // decided (score > the group's q-quantile value; cutoff ties drop
+    // together), so no row-order tiebreak exists to diverge on. The
+    // corpus never sorts: (lang, score) counts -> distinct-score scan ->
+    // one broadcast cutoff row per language.
+    "text_quality_gate" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val d = Tables.documents(s, dir)
+        .withColumn("stop_ratio",
+          TextFunctions.qualityStats(col("text")).getField("stop_ratio"))
+      graft.operators.Corpus.quantileGate(d, Seq("lang"), col("stop_ratio"), 0.25)
+        .select("doc_id", "lang", "stop_ratio").orderBy("doc_id")
+    }),
+
+    // C40 (r8): weighted MIXTURE sampling — the pretraining mix recipe:
+    // three sources sized to explicit token budgets (others drop), each
+    // filled in deterministic fingerprint hash order with the same
+    // overshoot-by-at-most-one contract as text_token_budget.
+    "text_mixture" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val d = Tables.documents(s, dir)
+      graft.operators.Corpus.mixtureSample(d, col("source"),
+          Map("src0" -> 800L, "src1" -> 400L, "src2" -> 200L),
+          col("doc_id"), TextFunctions.fingerprint(col("text")),
+          TextFunctions.tokenCount(col("text")).cast("long"))
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // C20 (r5): Gopher REPETITION rules — duplicate-token and
     // duplicate-bigram fractions as one scalar projection (array ops in
     // the scan's codegen span; no explode, no per-doc aggregation).
@@ -2640,6 +2669,59 @@ object SparkEntry {
                 CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
                 CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+
+    // Per-language quantile gate mirrored value-for-value: same
+    // stop_ratio as text_quality (hash-proven identical doubles), same
+    // cutoff rule (min score whose cumulative fraction reaches q), keep
+    // strictly above.
+    "text_quality_gate" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks, text FROM documents),
+         sc AS (SELECT doc_id, lang,
+                  CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','that','it','for'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_ratio
+                FROM t),
+         c AS (SELECT lang, stop_ratio AS s, count(*) AS n FROM sc GROUP BY 1, 2),
+         cm AS (SELECT lang, s,
+                  SUM(n) OVER (PARTITION BY lang ORDER BY s) AS cum,
+                  SUM(n) OVER (PARTITION BY lang) AS tot
+                FROM c),
+         cut AS (SELECT lang, min(s) AS cutoff FROM cm
+                 WHERE CAST(cum AS DOUBLE) / tot >= 0.25 GROUP BY lang)
+         SELECT sc.doc_id, sc.lang, sc.stop_ratio
+         FROM sc JOIN cut USING (lang)
+         WHERE sc.stop_ratio > cut.cutoff
+         ORDER BY doc_id""",
+
+    // Mixture recipe mirrored on the shared FNV fingerprint hash order;
+    // per-source budgets are the same literals as the Spark entry.
+    "text_mixture" ->
+      """WITH norm AS (
+           SELECT doc_id, source, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s,
+                  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+           FROM documents
+           WHERE source IN ('src0', 'src1', 'src2')
+         ), bytes AS (
+           SELECT doc_id, source, n_tokens,
+             list_transform(range(0, octet_length(encode(s))),
+               i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+1, 1)) - 1) * 16
+                       + (strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+2, 1)) - 1) AS UBIGINT)) AS bs
+           FROM norm
+         ), fnv AS (
+           SELECT doc_id, source, n_tokens,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS UBIGINT), bs),
+               (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+             ) AS hu
+           FROM bytes
+         ), p AS (
+           SELECT doc_id, source,
+                  COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY hu % 1125899906842624, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+           FROM fnv)
+         SELECT doc_id, source FROM p
+         WHERE prior < CASE source WHEN 'src0' THEN 800
+                                   WHEN 'src1' THEN 400 ELSE 200 END
+         ORDER BY doc_id""",
 
     "text_quality_filter" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -173,6 +173,64 @@ object Corpus {
       .drop("_zc_pos", "_zc_prior")
   }
 
+  /** Per-group QUANTILE GATE: drop each group's bottom `q` fraction by
+    * `score` — the CCNet-style "per-language quality tail cut" (keep
+    * rows whose score is STRICTLY ABOVE the group's q-quantile value;
+    * ties at the cutoff drop together, so the gate is value-decided and
+    * deterministic with no row-order tiebreak).
+    *
+    * Scale shape — deliberately NOT one giant window over each group
+    * (a per-language window at 100 TB sorts a whole language in a
+    * handful of tasks): pass 1 is a `(group, score)` COUNT aggregate
+    * (map-side combined, shuffles one row per distinct score); the
+    * cumulative scan then runs over distinct scores only; the per-group
+    * cutoffs (one row per group) broadcast back into a semi-join gate
+    * on the unshuffled data. The full corpus never sorts. */
+  def quantileGate(df: DataFrame, groupCols: Seq[String], score: Column,
+                   q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
+    val groups = groupCols.map(col)
+    val counts = df.groupBy((groups :+ score.as("_zc_sc")): _*)
+      .agg(count(lit(1)).as("_zc_n"))
+    val byGroup = Window.partitionBy(groups: _*)
+    val cum = counts
+      .withColumn("_zc_cum", sum(col("_zc_n")).over(byGroup.orderBy(col("_zc_sc"))))
+      .withColumn("_zc_tot", sum(col("_zc_n")).over(byGroup))
+    val cutoffs = cum
+      .where(col("_zc_cum").cast("double") / col("_zc_tot") >= q)
+      .groupBy(groups: _*).agg(min(col("_zc_sc")).as("_zc_cut"))
+    df.join(broadcast(cutoffs), groupCols, "inner")
+      .where(score > col("_zc_cut"))
+      .drop("_zc_cut")
+  }
+
+  /** Weighted MIXTURE sampling: one deterministic pass that sizes each
+    * source to its own token budget — the "pretraining mix recipe"
+    * (web 60%, code 25%, books 15%...) materialized as a dataset.
+    * Within each source, documents survive in fingerprint hash order
+    * until that source's budget fills (exclusive prefix sum, same
+    * overshoot-by-at-most-one contract as [[sampleToTokenBudget]]);
+    * sources absent from `budgets` drop entirely. Budgets are TOKENS,
+    * supplied explicitly — deriving them from ratios is the caller's
+    * one-liner and keeps this exactly reproducible. One shuffle (the
+    * source key); same executor-sized-strata contract as the other
+    * samplers. */
+  def mixtureSample(df: DataFrame, source: Column, budgets: Map[String, Long],
+                    id: Column, fp: Column, tokens: Column): DataFrame = {
+    require(budgets.nonEmpty, "mixtureSample requires a non-empty recipe")
+    require(budgets.values.forall(_ > 0), "budgets must be positive")
+    val pos = pmod(fp, lit(1L << 50))
+    df.withColumn("_zc_budget", element_at(typedLit(budgets), source))
+      .where(col("_zc_budget").isNotNull) // sources outside the recipe drop
+      .withColumn("_zc_pos", pos)
+      .where(col("_zc_pos").isNotNull)
+      .withColumn("_zc_prior", coalesce(sum(tokens).over(
+        Window.partitionBy(source).orderBy(col("_zc_pos"), id)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .where(col("_zc_prior") < col("_zc_budget"))
+      .drop("_zc_budget", "_zc_pos", "_zc_prior")
+  }
+
   /** Gopher-style repetition metrics as ONE scalar projection (no
     * explode, no per-document aggregation): whitespace token count,
     * duplicate-token fraction, and duplicate-bigram fraction. High

@@ -298,6 +298,69 @@ class CorpusSpec extends AnyFunSuite {
            s2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("quantileGate: value-decided tail cut, cutoff ties drop together, corpus never sorts") {
+    // scores 1..8 in one group: q=0.25 -> cutoff is the score whose
+    // cumulative fraction first reaches 0.25 (= 2), survivors are > 2
+    val d = (1 to 8).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("id", "grp", "score")
+    val got = Corpus.quantileGate(d, Seq("grp"), col("score"), 0.25)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(3L, 4L, 5L, 6L, 7L, 8L), s"got $got")
+    // ties AT the cutoff value drop together (value-decided, no
+    // row-order tiebreak): 4 copies of score 1, cutoff = 1, all drop
+    val tied = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0),
+                   (5L, 2.0), (6L, 3.0)).map { case (i, v) => (i, "g", v) }
+      .toDF("id", "grp", "score")
+    val got2 = Corpus.quantileGate(tied, Seq("grp"), col("score"), 0.25)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 == Seq(5L, 6L), s"got $got2")
+    // groups gate independently
+    val multi = (1 to 4).map(i => (i.toLong, "a", i.toDouble)) ++
+                (5 to 8).map(i => (i.toLong, "b", i.toDouble))
+    val got3 = Corpus.quantileGate(multi.toDF("id", "grp", "score"),
+        Seq("grp"), col("score"), 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got3 == Seq(3L, 4L, 7L, 8L), s"got $got3")
+    // scale contract: the full rows never ride a sort — only the
+    // (group, score) count aggregate does; the cutoff side broadcasts
+    val gated = Corpus.quantileGate(docs.withColumn("score", length(col("text")).cast("double")),
+      Seq("lang"), col("score"), 0.5)
+    // sparkPlan: the pre-AQE tree (AdaptiveSparkPlanExec is opaque to collect)
+    val plan = gated.queryExecution.sparkPlan
+    val sorted = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec
+        if s.output.exists(_.name == "text") => s
+    }
+    assert(sorted.isEmpty, s"corpus rows rode a sort:\n$plan")
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"cutoffs must broadcast:\n$plan")
+  }
+
+  test("mixtureSample: per-source budgets, recipe-absent sources drop, deterministic") {
+    val d = (1 to 30).map { i =>
+      val src = s"s${i % 3}" // s0, s1, s2 x10 docs, 10 tokens each
+      (i.toLong, src, (1 to 10).map(j => s"w$i-$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+    val toks = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+    // s0 gets ~35 tokens (4 docs with overshoot), s1 ~10 (1 doc +
+    // overshoot), s2 absent from the recipe -> drops entirely
+    val out = Corpus.mixtureSample(d, col("source"),
+        Map("s0" -> 35L, "s1" -> 10L), col("doc_id"), fp, toks)
+      .select("doc_id", "source")
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet == Set("s0", "s1"), s"got $bySrc")
+    assert(bySrc("s0") == 4, s"35-token budget of 10-token docs -> 4 (overshoot-one): $bySrc")
+    assert(bySrc("s1") == 1, s"10-token budget -> exactly 1 doc: $bySrc")
+    // deterministic under re-ordering/re-partitioning
+    val again = Corpus.mixtureSample(d.orderBy(col("text").desc).repartition(5),
+        col("source"), Map("s0" -> 35L, "s1" -> 10L), col("doc_id"), fp, toks)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("vocabulary: tf/df top-k plans as a bounded top-k, counts exact") {
     val d = Seq(
       (1L, "the cat and the dog"),

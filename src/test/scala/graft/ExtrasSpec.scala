@@ -82,12 +82,11 @@ class ExtrasSpec extends AnyFunSuite {
     // the intentionally non-SQL-expressible set: xxhash64-based
     // signatures (DuckDB lacks the hash) and approximate ANN (LSH/IVF
     // routing and k-means PQ codebooks have no SQL mirror). FNV-1a, the
-    // langid heuristic (round 3), and the FNV simhash variant (round 6)
-    // proved SQL-expressible and graduated to the oracle set.
-    // dedup_incremental_near rides the xxhash64 MinHash estimator —
-    // recall + pruning are IncrementalDedupSpec's contract instead.
+    // langid heuristic (round 3), the FNV simhash variant (round 6),
+    // and the FNV MinHash estimator behind dedup_incremental_near
+    // (round 8) proved SQL-expressible and graduated to the oracle set.
     assert(rowsOnly == Set("dedup_simhash", "dedup_groups", "ann_lsh", "ann_ivf",
-      "ann_pq", "dedup_incremental_near"),
+      "ann_pq"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
