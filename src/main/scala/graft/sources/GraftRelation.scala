@@ -23,10 +23,38 @@ import graft.core.{Collection, FilterExpr}
   * the translation cannot express costs pruning, never correctness. */
 class GraftRelation(override val sqlContext: SQLContext, root: String,
                     asOfGen: Option[Long] = None)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private val collection =
     Collection.open(sqlContext.sparkSession, root, readOnly = true)
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a registered graft table.
+    * The relation's schema exposes partition-DERIVED columns (`day`...)
+    * so the analyzer expects them in the insert projection, but their
+    * values are always recomputed from the axis on write — supplied
+    * values for derived columns are ignored, never trusted (the same
+    * rule as writing through the DataFrame API, where they are not part
+    * of the declared schema at all). `INSERT OVERWRITE` follows
+    * `spark.sql.sources.partitionOverwriteMode`: STATIC truncates the
+    * collection in one atomic commit, DYNAMIC replaces only colliding
+    * partitions. Time-travel relations (AS OF) refuse writes. */
+  override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+    require(asOfGen.isEmpty,
+      "cannot INSERT into a time-travel (versionAsOf/timestampAsOf) relation")
+    val c = Collection.open(sqlContext.sparkSession, root)
+    // positional resolution against THIS relation's schema, then keep
+    // only the declared (non-derived) columns
+    val named = data.toDF(schema.fieldNames.toSeq: _*)
+    val declared = named.select(c.schema.fieldNames.toSeq.map(col): _*)
+    if (!overwrite) c.insert(declared, graft.core.MergeStrategy.Concat)
+    else {
+      val dynamic = sqlContext.sparkSession.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        .equalsIgnoreCase("dynamic")
+      if (dynamic) c.insert(declared, graft.core.MergeStrategy.Replace)
+      else c.overwrite(declared)
+    }
+  }
 
   /** Data + partition-derived columns: `WHERE day = 3` is first-class
     * SQL and prunes at the partition layer. The hidden row id stays

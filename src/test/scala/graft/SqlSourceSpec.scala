@@ -152,6 +152,41 @@ class SqlSourceSpec extends AnyFunSuite {
     assert(to(Not(EqualTo("zz", 5))) == FilterExpr.True)
   }
 
+  test("SQL INSERT INTO / INSERT OVERWRITE on a registered graft table") {
+    val root = SparkTestSession.tmp("graft-sql-insert")
+    fresh(root)
+    val tbl = "graft_ins_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    spark.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root')")
+    try {
+      assert(spark.table(tbl).count() == 4)
+      // positional projection over the relation's full schema (derived
+      // partition cols included — their supplied values are recomputed,
+      // not trusted: day says 25, the axis says day 4)
+      val cols = spark.table(tbl).columns.map {
+        case "id"  => "id + 100 AS id"
+        case "ts"  => "ts + INTERVAL 1 DAY AS ts"
+        case "day" => "25 AS day"
+        case c     => c
+      }.mkString(", ")
+      spark.sql(s"INSERT INTO $tbl SELECT $cols FROM $tbl WHERE id = 3")
+      val got = spark.sql(s"SELECT id, day FROM $tbl ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 103L), s"got $got")
+      assert(got.last._2 == 3, s"derived day must come from the axis (Jan 3), got $got")
+
+      // INSERT OVERWRITE, static mode: one atomic truncating commit
+      spark.sql(s"INSERT OVERWRITE $tbl SELECT ${spark.table(tbl).columns.mkString(", ")} " +
+        s"FROM $tbl WHERE id >= 100")
+      assert(spark.table(tbl).select("id").as[Long].collect().toSeq == Seq(103L))
+
+      // time-travel relations refuse writes
+      intercept[Exception] {
+        new GraftRelation(spark.sqlContext, root, asOfGen = Some(1L))
+          .insert(spark.table(tbl), overwrite = false)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("polarity-tracked weakening: And drops a conjunct under Or; Not flips the rule") {
     import org.apache.spark.sql.sources._
     val known = Set("a", "b")
