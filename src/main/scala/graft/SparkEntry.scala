@@ -1088,6 +1088,17 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // C41 (r8): CHARACTERISTIC TERMS — tf-idf's join-back shape with an
+    // integer-lexicographic rank (tf desc, df asc, term asc) in place
+    // of the float score, so both engines decide identically; top-3
+    // per doc with the quality stopword list excluded.
+    "text_top_terms" -> ((s, dir) => {
+      graft.operators.Corpus.topTerms(
+          Tables.documents(s, dir), col("doc_id"), col("text"), k = 3,
+          stopwords = Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "for"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // C20 (r5): Gopher REPETITION rules — duplicate-token and
     // duplicate-bigram fractions as one scalar projection (array ops in
     // the scan's codegen span; no explode, no per-doc aggregation).
@@ -2669,6 +2680,21 @@ object SparkEntry {
                 CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
                 CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+
+    "text_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+                      FROM documents),
+         t AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+               WHERE length(term) > 0
+                 AND term NOT IN ('the','a','of','and','is','to','in','that','it','for')
+               GROUP BY 1, 2),
+         d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
+         r AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                 ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                   ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rank
+               FROM t JOIN d USING (term))
+         SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     // Per-language quantile gate mirrored value-for-value: same
     // stop_ratio as text_quality (hash-proven identical doubles), same

@@ -231,6 +231,40 @@ object Corpus {
       .drop("_zc_budget", "_zc_pos", "_zc_prior")
   }
 
+  /** CHARACTERISTIC TERMS per document — the tf-idf shape (corpus-global
+    * statistics joined back per document) with an integer-lexicographic
+    * rank `(tf DESC, df ASC, term ASC)` instead of a float score, so
+    * the result is decidable bit-for-bit in any engine (a float
+    * `tf·ln(N/df)` ranks the same way when tf and df tie-break it, but
+    * its ULPs differ across libm implementations — this keeps the exact
+    * same "frequent here, rare elsewhere" ordering principle and drops
+    * the float).
+    *
+    * Scale shape: per-(doc, term) counts and per-term document
+    * frequencies are both map-side-combined aggregates; the join
+    * shuffles on `term` (vocabulary-sized — NOT broadcast, a 100 TB
+    * corpus's vocabulary isn't a dimension table); the final top-k
+    * window partitions per doc, whose groups are document-sized.
+    * Documents with no qualifying term emit nothing. */
+  def topTerms(df: DataFrame, id: Column, text: Column, k: Int,
+               stopwords: Seq[String] = Nil): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base = df.select(id.as("doc_id"),
+        explode(split(trim(text), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val filtered =
+      if (stopwords.isEmpty) base else base.where(!col("term").isin(stopwords: _*))
+    val tf = filtered.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("term"), col("tf"), col("df"))
+  }
+
   /** Gopher-style repetition metrics as ONE scalar projection (no
     * explode, no per-document aggregation): whitespace token count,
     * duplicate-token fraction, and duplicate-bigram fraction. High

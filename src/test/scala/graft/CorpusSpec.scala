@@ -361,6 +361,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("topTerms: integer-lexicographic characteristic terms, stopwords excluded") {
+    val d = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana banana apple common"),
+      (3L, "cherry common common the the")).toDF("doc_id", "text")
+    val out = Corpus.topTerms(d, col("doc_id"), col("text"), k = 2,
+        stopwords = Seq("the"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // doc 1: apple tf=2 beats banana/common tf=1; banana (df 2) beats common (df 3)
+    // doc 3: common tf=2 first; cherry (df 1) ranks 2; 'the' never appears
+    assert(out == Seq(
+      (1L, 1, "apple", 2L, 2L), (1L, 2, "banana", 1L, 2L),
+      (2L, 1, "banana", 2L, 2L), (2L, 2, "apple", 1L, 2L),
+      (3L, 1, "common", 2L, 3L), (3L, 2, "cherry", 1L, 1L)), s"got $out")
+    // empty and all-stopword docs emit nothing
+    val e = Corpus.topTerms(Seq((9L, ""), (10L, "the the")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), 3, Seq("the"))
+    assert(e.count() == 0)
+  }
+
   test("vocabulary: tf/df top-k plans as a bounded top-k, counts exact") {
     val d = Seq(
       (1L, "the cat and the dog"),
