@@ -1401,6 +1401,25 @@ object SparkEntry {
 
     // D2: stateful sessionization (flatMapGroupsWithState) — emits CLOSED
     // sessions, i.e. every session except each user's final open one.
+    // D17 (r8): NATIVE session windows — Spark's merging session_window
+    // state (the builtin counterpart of the custom mapGroupsWithState
+    // sessionizer): per-user sessions at a 6-hour gap, emitted once
+    // when the final watermark (max ts, delay 0) passes each session's
+    // end = last event + gap. The oracle is the gaps-and-islands CTE
+    // with the same emission cut.
+    "stream_session_native" -> ((s, dir) => {
+      val c = eventsCollection(s, dir)
+      graft.streaming.StreamOps.sessionWindowAggAppendOnce(s, c, "ts", "6 hours",
+        Seq("user_id"), statePartitions = Some(8)) { g =>
+        g.agg(count(lit(1)).as("n"))
+      }
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n").cast("int").as("n"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
     "stream_sessions" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.StreamOps
@@ -3224,6 +3243,30 @@ object SparkEntry {
            FROM s GROUP BY user_id, session_id)
          SELECT user_id, session_start_us, n FROM agg
          WHERE session_id < (SELECT max(a2.session_id) FROM agg a2 WHERE a2.user_id = agg.user_id)
+         ORDER BY user_id, session_start_us""",
+
+    // Native session_window mirror: 6-hour-gap islands per user; a
+    // session's window is [first event, last event + gap) and it emits
+    // iff its end is at or before the final watermark (max ts, delay 0).
+    "stream_session_native" ->
+      """WITH t AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))) > 21600000000
+                       THEN 1 ELSE 0 END AS opens
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+                  sum(opens) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM t),
+         agg AS (
+           SELECT user_id, session_id,
+                  epoch_us(min(ts)) AS session_start_us,
+                  epoch_us(max(ts)) + 21600000000 AS session_end_us,
+                  CAST(count(*) AS INT) AS n
+           FROM s GROUP BY user_id, session_id)
+         SELECT user_id, session_start_us, session_end_us, n FROM agg
+         WHERE session_end_us <= (SELECT epoch_us(max(CAST(ts AS TIMESTAMP))) FROM events)
          ORDER BY user_id, session_start_us""",
 
     "q_cube" ->

@@ -131,6 +131,41 @@ object StreamOps {
     * is evicted, so state size tracks the window, not the stream's
     * lifetime — the streaming analogue of [[graft.dedup.Dedup.exact]]
     * for incremental training-data ingestion. */
+  /** Append-mode SESSION-window aggregation with Spark's NATIVE
+    * `session_window` (merging state store windows), the builtin
+    * counterpart of the custom `flatMapGroupsWithState` sessionizer
+    * [[sessionize]]: per `keyCols` group, events within `gap` of each
+    * other merge into one session `[first, last + gap)`; a session
+    * emits exactly once, when the watermark passes its end. Same
+    * run-to-completion contract as [[windowedAggAppendOnce]]. */
+  def sessionWindowAggAppendOnce(
+      spark: SparkSession,
+      c: Collection,
+      timeCol: String,
+      gap: String,
+      keyCols: Seq[String],
+      watermarkDelay: String = "0 seconds",
+      statePartitions: Option[Int] = None,
+  )(agg: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): DataFrame = {
+    val name = "graft_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val session = statePartitions match {
+      case Some(n) =>
+        val forked = spark.newSession()
+        forked.conf.set("spark.sql.shuffle.partitions", n.toString)
+        forked
+      case None => spark
+    }
+    val q = agg(
+        readStream(session, c)
+          .withWatermark(timeCol, watermarkDelay)
+          .groupBy((session_window(col(timeCol), gap).as("w") +: keyCols.map(col)): _*))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    session.table(name)
+  }
+
   def dedupStream(df: DataFrame, keyCols: Seq[String], timeCol: String,
                   watermarkDelay: String): DataFrame =
     df.withWatermark(timeCol, watermarkDelay)

@@ -476,6 +476,34 @@ class PipelineSpec extends AnyFunSuite {
       Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("groups: a configured checkpoint dir switches to reliable checkpoints") {
+    // with sc.setCheckpointDir set, the every-3rd-round truncation uses
+    // checkpoint() — labels land on the checkpoint FS and survive
+    // executor loss (localCheckpoint blocks die with their executor)
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "spec assumes no ambient checkpoint dir")
+    val dir = SparkTestSession.tmp("graft-groups-ckpt")
+    sc.setCheckpointDir(dir)
+    try {
+      val chain = (1L until 16L).map(i => (i, i + 1)).toDF("a", "b")
+      val labels = Dedup.groups(chain, maxIterations = 20)
+      val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == (1L to 16L).map(_ -> 1L).toMap)
+      // lineage is truncated exactly as in local mode
+      val planJoins = labels.queryExecution.analyzed.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+      assert(planJoins <= 6, s"expected truncated lineage, got $planJoins joins")
+      // the reliable checkpoint actually wrote to the configured dir
+      val fs = graft.core.Collection.fileSystem(spark, dir)
+      val wrote = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).nonEmpty
+      assert(wrote, "reliable checkpoint must persist under the checkpoint dir")
+    } finally {
+      sc.setCheckpointDir(null)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("text functions: tokens, bpe, stopwords, langid, fingerprint") {
     val df = Seq((1L, "the cat sat on the mat v2!")).toDF("id", "text")
     val row = df.select(
