@@ -94,6 +94,27 @@ object TrainingDataPipeline {
     println(s"review sample: ${sample.count()} docs across " +
       s"${sample.select("lang").distinct().count()} languages")
 
+    // 3h. per-language quality TAIL CUT (drop each language's bottom
+    //     quartile by stopword ratio — the corpus never sorts), then a
+    //     pretraining MIX recipe: explicit per-source token budgets
+    //     filled in deterministic fingerprint order
+    val gated = Corpus.quantileGate(
+      docs.withColumn("stop_ratio",
+        TextFunctions.qualityStats(col("text")).getField("stop_ratio")),
+      Seq("lang"), col("stop_ratio"), q = 0.25)
+    println(s"after per-language tail cut: ${gated.count()}")
+    val mixed = Corpus.mixtureSample(gated, col("source"),
+      Map("src0" -> 400L, "src1" -> 200L, "src2" -> 100L),
+      col("doc_id"), TextFunctions.fingerprint(col("text")),
+      TextFunctions.tokenCount(col("text")).cast("long"))
+    mixed.groupBy("source").count().show()
+
+    // 3i. characteristic terms (the tf-idf join-back shape, ranked
+    //     integer-exactly) — the "what is this doc about" audit column
+    Corpus.topTerms(docs, col("doc_id"), col("text"), k = 3,
+      stopwords = Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "for"))
+      .show(9, truncate = false)
+
     // 4. similarity retrieval over embeddings (exact + LSH path)
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.where(col("vec_id") < 3)
