@@ -383,6 +383,26 @@ object Multimodal {
       (sampleRate, data)
     }
 
+    /** 64-bit ENERGY-ENVELOPE difference hash — the dHash idea applied
+      * to the time axis: RMS over 65 duration-relative windows, bit i =
+      * "the envelope rises from window i to i+1". Invariant to uniform
+      * gain (both sides of each comparison scale together) and to
+      * resampling (windows are duration-fractional, not
+      * sample-absolute); a re-encoded / re-gained / resampled copy of a
+      * clip lands within a few bits, unrelated clips at ~32. The audio
+      * analogue of [[Raster.dHash64]], feeding the same 8-bit-chunk
+      * pigeonhole banding. */
+    def eHash64(bytes: Array[Byte]): Long = {
+      val rms = rmsWindows(bytes, 65)
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (rms(i + 1) > rms(i)) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+
     /** Features: RMS energy per window over `nWindows` equal slices,
       * normalized to [0,1]. */
     def rmsWindows(bytes: Array[Byte], nWindows: Int): Array[Float] = {
@@ -528,33 +548,72 @@ object Multimodal {
     }.toDF("id", "dhash")
   }
 
-  /** NEAR-DUPLICATE image pairs by perceptual hash: candidates collide
-    * on at least one of the dHash's eight 8-bit chunks (pigeonhole —
-    * COMPLETE for hamming <= 7, so `maxHamming` up to 7 misses
-    * nothing), then the true hamming distance verifies. The same
-    * bounded-bucket machinery as text near-dup ([[graft.dedup.Dedup]]):
-    * no O(n^2) pair space, oversized buckets star around their min id.
-    * Returns `(a, b, hamming)` with `a < b`. */
-  def nearDuplicateImages(ds: Dataset[Media], maxHamming: Int = 6,
-                          maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket): DataFrame = {
+  /** NEAR-DUPLICATE pairs from any 64-bit perceptual hash column
+    * `(id, hash)`: candidates collide on at least one of the hash's
+    * eight 8-bit chunks (pigeonhole — COMPLETE for hamming <= 7, so
+    * `maxHamming` up to 7 misses nothing), then the true hamming
+    * distance verifies. The same bounded-bucket machinery as text
+    * near-dup ([[graft.dedup.Dedup]]): no O(n^2) pair space, oversized
+    * buckets star around their min id. Returns `(a, b, hamming)` with
+    * `a < b`. Shared by the image (dHash) and audio (eHash) paths. */
+  private def nearDuplicateByHash64(hashCol: String)(hashesIn: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"8-bit-chunk pigeonhole is complete only for hamming <= 7; got $maxHamming")
-    val hashes = imageHashes(ds)
+    val hashes = hashesIn
       .repartition(col("id")) // shared Exchange for bucket + both verify joins
     val chunks = hashes.select(
       col("id").as("_zc_id"),
       posexplode(array((0 until 8).map { b =>
-        xxhash64(shiftrightunsigned(col("dhash"), b * 8).bitwiseAND(lit(0xffL)), lit(b))
+        xxhash64(shiftrightunsigned(col(hashCol), b * 8).bitwiseAND(lit(0xffL)), lit(b))
       }: _*)).as(Seq("_zc_band", "_zc_bucket")))
       .repartition(col("_zc_band"), col("_zc_bucket"))
     val cands = graft.dedup.Dedup.boundedBucketPairs(
       chunks, Seq("_zc_band", "_zc_bucket"), "_zc_id", maxBucket)
-    val ha = hashes.select(col("id").as("a"), col("dhash").as("_zc_ha"))
-    val hb = hashes.select(col("id").as("b"), col("dhash").as("_zc_hb"))
+    val ha = hashes.select(col("id").as("a"), col(hashCol).as("_zc_ha"))
+    val hb = hashes.select(col("id").as("b"), col(hashCol).as("_zc_hb"))
     cands.join(ha, "a").join(hb, "b")
       .withColumn("hamming", bit_count(col("_zc_ha").bitwiseXOR(col("_zc_hb"))))
       .where(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Near-duplicate IMAGE pairs by perceptual dHash —
+    * see [[nearDuplicateByHash64]]. */
+  def nearDuplicateImages(ds: Dataset[Media], maxHamming: Int = 6,
+                          maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket): DataFrame =
+    nearDuplicateByHash64("dhash")(imageHashes(ds), maxHamming, maxBucket)
+
+  /** Perceptual hashes of the audio rows: `(id, ehash)` via the batch
+    * decode plumbing (no shuffle). Only WAV rows hash — an envelope of
+    * undecodable bytes would near-collide arbitrarily. */
+  def audioHashes(ds: Dataset[Media]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          m.format match {
+            case "wav" => Some((m.id, WavCodec.eHash64(m.media)))
+            case _     => None
+          }
+        }
+      }
+    }.toDF("id", "ehash")
+  }
+
+  /** Near-duplicate AUDIO pairs by energy-envelope hash
+    * ([[WavCodec.eHash64]]) — re-encoded / resampled / re-gained copies
+    * of a clip land within a few bits; see [[nearDuplicateByHash64]]. */
+  def nearDuplicateAudio(ds: Dataset[Media], maxHamming: Int = 6,
+                         maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket): DataFrame =
+    nearDuplicateByHash64("ehash")(audioHashes(ds), maxHamming, maxBucket)
+
+  /** Keep one audio clip per near-duplicate group (smallest id wins). */
+  def dedupAudio(ds: Dataset[Media], maxHamming: Int = 6): Dataset[Media] = {
+    import ds.sparkSession.implicits._
+    val dropped = nearDuplicateAudio(ds, maxHamming)
+      .select(col("b").as("_zc_drop")).distinct()
+    ds.join(dropped, ds("id") === col("_zc_drop"), "left_anti").as[Media]
   }
 
   /** Keep one image per near-duplicate group (smallest id wins): the

@@ -633,6 +633,59 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("perceptual audio dedup: resampled/re-gained copies collapse, distinct clips survive") {
+    import Multimodal.{Media, WavCodec}
+    // synthesize PCM16 WAVs: a loud/soft alternating envelope (winNum ->
+    // amplitude), rendered at different sample rates and gains
+    def wav(rate: Int, seconds: Double, gain: Double, pattern: Int => Double): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val samples = Array.tabulate[Short](n) { i =>
+        val win = i * 80 / n // 80 envelope cells over the clip
+        val amp = pattern(win) * gain
+        ((if (i % 2 == 0) amp else -amp) * 32767).toShort
+      }
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + samples.length * 2); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val rises = (w: Int) => 0.1 + 0.8 * ((w % 8) / 8.0)      // sawtooth envelope
+    val falls = (w: Int) => 0.9 - 0.8 * ((w % 8) / 8.0)      // inverted structure
+    val base      = wav(8000, 2.0, 1.0, rises)
+    val resampled = wav(11025, 2.0, 1.0, rises)  // same clip, other rate
+    val quiet     = wav(8000, 2.0, 0.35, rises)  // same clip, lower gain
+    val other     = wav(8000, 2.0, 1.0, falls)
+
+    def eh(b: Array[Byte]) = WavCodec.eHash64(b)
+    assert(java.lang.Long.bitCount(eh(base) ^ eh(resampled)) <= 6,
+      s"resampling must stay within the hamming budget: ${java.lang.Long.bitCount(eh(base) ^ eh(resampled))}")
+    assert(java.lang.Long.bitCount(eh(base) ^ eh(quiet)) <= 6,
+      s"gain change must stay within the hamming budget: ${java.lang.Long.bitCount(eh(base) ^ eh(quiet))}")
+    assert(java.lang.Long.bitCount(eh(base) ^ eh(other)) > 20,
+      s"distinct envelope must be far: ${java.lang.Long.bitCount(eh(base) ^ eh(other))}")
+
+    val ds = Seq(
+      Media(1L, base, 0, 0, "wav"),
+      Media(2L, resampled, 0, 0, "wav"),
+      Media(3L, quiet, 0, 0, "wav"),
+      Media(4L, other, 0, 0, "wav"),
+      Media(5L, Array[Byte](9, 9), 0, 0, "mp4")). // non-audio: ignored
+      toDS()
+    val pairs = Multimodal.nearDuplicateAudio(ds, maxHamming = 6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"the duplicate trio must pair up: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"the inverted clip must not pair: $pairs")
+    val kept = Multimodal.dedupAudio(ds, maxHamming = 6)
+      .collect().map(_.id).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L), s"survivors: $kept")
+  }
+
   test("perceptual image dedup: resized/re-encoded copies collapse, distinct images survive") {
     import Multimodal.{Media, PpmCodec}
     // a 64x64 right-to-left gradient (adjacent-column contrast
