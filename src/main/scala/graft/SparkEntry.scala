@@ -2401,6 +2401,35 @@ object SparkEntry {
          WHERE jaccard >= 0.8
          ORDER BY a, b""",
 
+    // Connected components of the true-Jaccard >= 0.8 pair graph over
+    // the planted corpus, closed by a recursive CTE (min reachable id
+    // per node = the min-label fixpoint Spark's propagation converges
+    // to). Pair-set equality rides the same LSH-recall-complete proof
+    // as dedup_minhash; a planted copy shares its original's signature,
+    // so recall carries over to the planted corpus.
+    "dedup_groups" ->
+      """WITH RECURSIVE
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [text] END) AS s
+                FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM corpus) x),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         bi AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM bi),
+         reach(id, rep) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT b.dst, r.rep FROM reach r JOIN bi b ON b.src = r.id)
+         SELECT id, min(rep) AS rep FROM reach GROUP BY id ORDER BY id""",
+
     "dedup_pairs_exhaustive" ->
       """WITH planted AS (
            SELECT doc_id, text FROM documents

@@ -79,14 +79,14 @@ class ExtrasSpec extends AnyFunSuite {
     val oracles = SparkEntry.oracleSql.keySet
     assert(oracles.subsetOf(qs), s"orphan oracles: ${oracles.diff(qs)}")
     val rowsOnly = qs.diff(oracles)
-    // the intentionally non-SQL-expressible set: xxhash64-based
-    // signatures (DuckDB lacks the hash) and approximate ANN (LSH/IVF
+    // the intentionally non-SQL-expressible set: the xxhash64 simhash
+    // signature (DuckDB lacks the hash) and approximate ANN (LSH/IVF
     // routing and k-means PQ codebooks have no SQL mirror). FNV-1a, the
     // langid heuristic (round 3), the FNV simhash variant (round 6),
-    // and the FNV MinHash estimator behind dedup_incremental_near
-    // (round 8) proved SQL-expressible and graduated to the oracle set.
-    assert(rowsOnly == Set("dedup_simhash", "dedup_groups", "ann_lsh", "ann_ivf",
-      "ann_pq"),
+    // the FNV MinHash estimator behind dedup_incremental_near, and the
+    // recursive-CTE component closure behind dedup_groups (round 8)
+    // proved SQL-expressible and graduated to the oracle set.
+    assert(rowsOnly == Set("dedup_simhash", "ann_lsh", "ann_ivf", "ann_pq"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
