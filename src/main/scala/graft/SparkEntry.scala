@@ -1612,6 +1612,37 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // B46 (r8): RANGE-frame window — trailing 24-hour per-user sum,
+    // framed by the ORDER-BY VALUE (micros), not row position: all rows
+    // within the time span enter the frame regardless of tie order, so
+    // the result is deterministic where a rows-frame would not be.
+    "q_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-86400000000L, 0L)
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("day_sum", sum(col("value").cast("decimal(18,4)")).over(w)
+          .cast("decimal(38,2)").cast("double"))
+        .withColumn("day_n", count(lit(1)).over(w))
+        .select("event_id", "day_sum", "day_n")
+        .orderBy("event_id")
+    }),
+
+    // B47 (r8): LATERAL join — top-2 orders by totalprice per customer,
+    // the correlated-subquery-per-row shape (Spark 3.2+ LATERAL).
+    "q_lateral" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    }),
+
     "q_moving_avg" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -3419,6 +3450,23 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+
+    "q_range_frame" ->
+      """SELECT event_id,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS day_sum,
+                CAST(count(*) OVER w AS BIGINT) AS day_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
 
     "q_set_ops" ->
       """SELECT o_custkey AS k FROM orders
