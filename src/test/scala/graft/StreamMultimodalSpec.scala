@@ -377,6 +377,58 @@ class StreamMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin property: random arrival orders always equal the batch join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // with a watermark delay covering the whole data span nothing is
+    // ever late, so the streaming inner join must equal the batch join
+    // for EVERY arrival order — out-of-order, interleaved, or bursty
+    val rnd = new scala.util.Random(0x51eaL)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    for (iter <- 1 to 3) {
+      val left = (1 to 15 + rnd.nextInt(10))
+        .map(i => (rnd.nextInt(4).toLong, 1000L + i, ts(rnd.nextInt(240))))
+      val right = (1 to 15 + rnd.nextInt(10))
+        .map(i => (rnd.nextInt(4).toLong, 2000L + i, ts(rnd.nextInt(240))))
+      val ls = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val rs = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val name = s"graft_sjprop_${iter}_" + java.util.UUID.randomUUID().toString.take(8)
+      val q = StreamOps.intervalJoin(
+          ls.toDF().toDF("k", "lid", "lts"), rs.toDF().toDF("k", "rid", "rts"),
+          Seq("k"), "lts", "rts", "1 hour", watermarkDelay = "30 days")
+        .select("lid", "rid")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try {
+        // shuffled arrival in random interleaved chunks
+        var lRem = rnd.shuffle(left); var rRem = rnd.shuffle(right)
+        while (lRem.nonEmpty || rRem.nonEmpty) {
+          if (lRem.nonEmpty) {
+            val n = 1 + rnd.nextInt(math.min(8, lRem.size))
+            ls.addData(lRem.take(n)); lRem = lRem.drop(n)
+          }
+          if (rRem.nonEmpty) {
+            val n = 1 + rnd.nextInt(math.min(8, rRem.size))
+            rs.addData(rRem.take(n)); rRem = rRem.drop(n)
+          }
+          if (rnd.nextBoolean()) q.processAllAvailable()
+        }
+        q.processAllAvailable()
+        val got = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val lb = left.toDF("k", "lid", "lts")
+        val rb = right.toDF("k", "rid", "rts")
+        val want = lb.join(rb, lb("k") === rb("k") &&
+            rb("rts") >= lb("lts") &&
+            rb("rts") <= lb("lts") + org.apache.spark.sql.functions.expr("INTERVAL 1 hour"))
+          .select("lid", "rid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got == want, s"iter $iter: stream ${got.size} pairs != batch ${want.size}")
+      } finally q.stop()
+    }
+  }
+
   test("stateful streaming sessionization matches batch sessionize") {
     import StreamOps._
     val evs = Seq(
