@@ -42,11 +42,14 @@ object Bench {
     "text_chunk", "text_decontaminate_ngram", "text_boilerplate",
     "text_vocab", "text_ngram_freq", "text_dedup_spans",
     "text_stratified_sample", "text_token_budget",
+    "text_quality_gate", "text_mixture", "text_top_terms",
+    "q_range_frame", "q_lateral",
     "dedup_simhash_fnv", "dedup_remove_exact",
     "dedup_incremental", "dedup_incremental_near", "dedup_semantic",
     "zc_insert_query", "zc_query_filter", "zc_axis_range",
     "zc_col_zone", "zc_bloom", "zc_to_arrays", "zc_zorder", "zc_delete",
     "zc_changes", "zc_vector_search", "stream_window", "stream_join",
+    "stream_session_native",
   )
 
   private def loadAvg: Double =

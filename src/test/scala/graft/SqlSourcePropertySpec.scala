@@ -37,7 +37,7 @@ class SqlSourcePropertySpec extends AnyFunSuite {
     truth.count()
     val src = spark.read.format("graft").load(root)
 
-    def leaf(): org.apache.spark.sql.Column = rnd.nextInt(7) match {
+    def leaf(): org.apache.spark.sql.Column = rnd.nextInt(8) match {
       case 0 => col("id") >= rnd.nextInt(400)
       case 1 => col("id") < rnd.nextInt(400)
       case 2 => col("k") === rnd.nextInt(12)
@@ -45,6 +45,10 @@ class SqlSourcePropertySpec extends AnyFunSuite {
       case 4 => col("tag") === s"s${rnd.nextInt(8)}"
       case 5 => col("v").isNull
       case 6 => col("ts") >= lit(f"2024-01-${1 + rnd.nextInt(9)}%02d 12:00:00").cast("timestamp")
+      // translatable by Catalyst (StringContains) but NOT by graft's
+      // mini-language: exercises the polarity-tracked weakening inside
+      // every random And/Or/Not shape against the ground truth
+      case 7 => col("tag").contains(s"s${rnd.nextInt(8)}")
     }
     def tree(depth: Int): org.apache.spark.sql.Column =
       if (depth == 0) leaf()
