@@ -1238,6 +1238,36 @@ object SparkEntry {
         .orderBy("click_id", "view_id")
     }),
 
+    // D16b (r8): LEFT-OUTER stream-stream interval join — matched pairs
+    // emit as they meet; an unmatched click emits its null row only
+    // when the watermark PROVES no in-span view can still arrive
+    // (watermark past click_ts + 12h). The final watermark of a
+    // two-stream query is the MIN of the sides' watermarks (Spark's
+    // multipleWatermarkPolicy default), which is what the oracle's
+    // emission cut encodes.
+    "stream_join_outer" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val c = eventsCollection(s, dir)
+      val clicks = StreamOps.readStream(s, c)
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val views = StreamOps.readStream(s, c)
+        .where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val name = "graft_sjo_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamOps.intervalJoin(clicks, views, Seq("user_id"),
+          "click_ts", "view_ts", "12 hours", joinType = "left_outer")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .select(col("click_id"), col("view_id"), col("user_id"),
+          unix_micros(col("click_ts")).as("click_ts_us"),
+          unix_micros(col("view_ts")).as("view_ts_us"))
+        .orderBy(col("click_id"), coalesce(col("view_id"), lit(-1L)))
+    }),
+
     // D4 (r6 graduation): streaming exact dedup — the full corpus plus a
     // planted byte-identical duplicate slice (day <= 5, a second Concat
     // commit) streamed through dropDuplicatesWithinWatermark; survivors
@@ -3270,6 +3300,29 @@ object SparkEntry {
           AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
           AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 12 HOUR
          ORDER BY click_id, view_id""",
+
+    // Matched pairs = the plain batch join; unmatched lefts emit iff
+    // the final watermark (min of the two sides' max event times, delay
+    // 0) passed click_ts + 12h.
+    "stream_join_outer" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+                    FROM events WHERE event_type = 'click'),
+         v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS vts
+               FROM events WHERE event_type = 'view'),
+         wm AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(vts) FROM v)) AS w),
+         m AS (SELECT c.click_id, v.view_id, c.user_id, c.cts, v.vts
+               FROM c JOIN v ON c.user_id = v.user_id
+                AND v.vts >= c.cts AND v.vts <= c.cts + INTERVAL 12 HOUR),
+         um AS (SELECT c.click_id, CAST(NULL AS BIGINT) AS view_id, c.user_id,
+                       c.cts, CAST(NULL AS TIMESTAMP) AS vts
+                FROM c
+                WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = c.user_id
+                        AND v.vts >= c.cts AND v.vts <= c.cts + INTERVAL 12 HOUR)
+                  AND c.cts + INTERVAL 12 HOUR <= (SELECT w FROM wm))
+         SELECT click_id, view_id, user_id,
+                epoch_us(cts) AS click_ts_us, epoch_us(vts) AS view_ts_us
+         FROM (SELECT * FROM m UNION ALL SELECT * FROM um)
+         ORDER BY click_id, COALESCE(view_id, -1)""",
 
     "q_semi_anti" ->
       """SELECT c_custkey, c_name, c_acctbal

@@ -192,17 +192,28 @@ object StreamOps {
     * upstream, as any self-join does). Scale: state shuffles hash by
     * `keys` across `spark.sql.shuffle.partitions` state stores; skewed
     * keys salt upstream exactly like a batch join. */
+  /** @param joinType `"inner"` (default) or `"left_outer"`. Outer rows
+    *        are watermark-gated: an unmatched left row emits (right
+    *        columns null) only once the watermark proves no in-span
+    *        right row can still arrive — i.e. when it passes
+    *        `leftTs + maxSpan`. A run-to-completion query therefore
+    *        emits exactly the unmatched rows whose span closed at or
+    *        before the final watermark; the rest are truthfully still
+    *        pending. */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String, maxSpan: String,
-                   watermarkDelay: String = "0 seconds"): DataFrame = {
+                   watermarkDelay: String = "0 seconds",
+                   joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "intervalJoin requires at least one equality key")
+    require(Set("inner", "left_outer")(joinType),
+      s"intervalJoin supports inner and left_outer, got $joinType")
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
       .withColumnsRenamed(keys.map(k => k -> s"_zc_r_$k").toMap)
     val keyCond = keys.map(k => l(k) === r(s"_zc_r_$k")).reduce(_ && _)
     val range = r(rightTs) >= l(leftTs) &&
       r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxSpan")
-    l.join(r, keyCond && range, "inner")
+    l.join(r, keyCond && range, joinType)
       .drop(keys.map(k => s"_zc_r_$k"): _*)
   }
 
