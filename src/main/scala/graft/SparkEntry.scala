@@ -419,6 +419,32 @@ object SparkEntry {
         .select("event_id", "ts", "user_id", "event_type", "value", "props"))
     }),
 
+    // A37b (r8): SQL INSERT round trip — a registered graft table
+    // filled purely through SQL (CREATE TABLE USING graft + INSERT
+    // INTO ... SELECT), read back through the format; must reproduce
+    // the source table exactly (same oracle as zc_insert_query).
+    // Supplied derived partition columns are recomputed from the axis.
+    "zc_sql_insert" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val root = s"$scratch/sqlins-${java.util.UUID.randomUUID().toString.take(8)}"
+      Collection.create(s, root, ev.schema, "ts",
+        DatePartitioning("ts", "D"), overwrite = true)
+      val tbl = "graft_sqlins_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$root')")
+      try {
+        ev.createOrReplaceTempView("graft_sqlins_src")
+        // positional projection over the table's full schema (derived
+        // cols supplied as NULL literals — ignored and recomputed)
+        val cols = s.table(tbl).columns.map {
+          case c if ev.columns.contains(c) => c
+          case c                           => s"CAST(NULL AS INT) AS $c"
+        }.mkString(", ")
+        s.sql(s"INSERT INTO $tbl SELECT $cols FROM graft_sqlins_src")
+        eventsOut(s.table(tbl)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     // A38 (r6): RESTORE — two mutations rolled back to the pre-mutation
     // snapshot as a new commit (zero data IO, shards carried by name);
     // the query sees exactly the original rows.
@@ -2095,6 +2121,11 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "zc_insert_query" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
+
+    // SQL INSERT round trip reproduces the source exactly.
+    "zc_sql_insert" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
 
