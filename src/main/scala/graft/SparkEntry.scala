@@ -1294,6 +1294,35 @@ object SparkEntry {
         .orderBy(col("click_id"), coalesce(col("view_id"), lit(-1L)))
     }),
 
+    // D16c (r8): FULL-OUTER stream-stream interval join — both
+    // unmatched sides emit watermark-gated null rows: lefts when the
+    // watermark passes click_ts + 12h, rights when it passes their own
+    // view_ts (any later left whose span could cover them would be
+    // late). The oracle encodes both cuts against the min-watermark.
+    "stream_join_full" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val c = eventsCollection(s, dir)
+      val clicks = StreamOps.readStream(s, c)
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val views = StreamOps.readStream(s, c)
+        .where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val name = "graft_sjf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamOps.intervalJoin(clicks, views, Seq("user_id"),
+          "click_ts", "view_ts", "12 hours", joinType = "full_outer")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .select(col("click_id"), col("view_id"), col("user_id"),
+          unix_micros(col("click_ts")).as("click_ts_us"),
+          unix_micros(col("view_ts")).as("view_ts_us"))
+        .orderBy(coalesce(col("click_id"), lit(-1L)),
+          coalesce(col("view_id"), lit(-1L)))
+    }),
+
     // D4 (r6 graduation): streaming exact dedup — the full corpus plus a
     // planted byte-identical duplicate slice (day <= 5, a second Concat
     // commit) streamed through dropDuplicatesWithinWatermark; survivors
@@ -3354,6 +3383,33 @@ object SparkEntry {
                 epoch_us(cts) AS click_ts_us, epoch_us(vts) AS view_ts_us
          FROM (SELECT * FROM m UNION ALL SELECT * FROM um)
          ORDER BY click_id, COALESCE(view_id, -1)""",
+
+    // Full outer: matched pairs + both watermark-gated unmatched sides.
+    "stream_join_full" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+                    FROM events WHERE event_type = 'click'),
+         v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS vts
+               FROM events WHERE event_type = 'view'),
+         wm AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(vts) FROM v)) AS w),
+         m AS (SELECT c.click_id, v.view_id, c.user_id, c.cts, v.vts
+               FROM c JOIN v ON c.user_id = v.user_id
+                AND v.vts >= c.cts AND v.vts <= c.cts + INTERVAL 12 HOUR),
+         ul AS (SELECT c.click_id, CAST(NULL AS BIGINT) AS view_id, c.user_id,
+                       c.cts, CAST(NULL AS TIMESTAMP) AS vts
+                FROM c
+                WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = c.user_id
+                        AND v.vts >= c.cts AND v.vts <= c.cts + INTERVAL 12 HOUR)
+                  AND c.cts + INTERVAL 12 HOUR <= (SELECT w FROM wm)),
+         ur AS (SELECT CAST(NULL AS BIGINT) AS click_id, v.view_id, v.user_id,
+                       CAST(NULL AS TIMESTAMP) AS cts, v.vts
+                FROM v
+                WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = v.user_id
+                        AND v.vts >= c.cts AND v.vts <= c.cts + INTERVAL 12 HOUR)
+                  AND v.vts <= (SELECT w FROM wm))
+         SELECT click_id, view_id, user_id,
+                epoch_us(cts) AS click_ts_us, epoch_us(vts) AS view_ts_us
+         FROM (SELECT * FROM m UNION ALL SELECT * FROM ul UNION ALL SELECT * FROM ur)
+         ORDER BY COALESCE(click_id, -1), COALESCE(view_id, -1)""",
 
     "q_semi_anti" ->
       """SELECT c_custkey, c_name, c_acctbal

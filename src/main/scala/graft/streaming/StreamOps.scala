@@ -192,29 +192,39 @@ object StreamOps {
     * upstream, as any self-join does). Scale: state shuffles hash by
     * `keys` across `spark.sql.shuffle.partitions` state stores; skewed
     * keys salt upstream exactly like a batch join. */
-  /** @param joinType `"inner"` (default) or `"left_outer"`. Outer rows
-    *        are watermark-gated: an unmatched left row emits (right
-    *        columns null) only once the watermark proves no in-span
-    *        right row can still arrive — i.e. when it passes
-    *        `leftTs + maxSpan`. A run-to-completion query therefore
-    *        emits exactly the unmatched rows whose span closed at or
-    *        before the final watermark; the rest are truthfully still
-    *        pending. */
+  /** @param joinType `"inner"` (default), `"left_outer"`, or
+    *        `"full_outer"`. Outer rows are watermark-gated: an
+    *        unmatched LEFT row emits (right columns null) only once the
+    *        watermark proves no in-span right row can still arrive —
+    *        when it passes `leftTs + maxSpan`; an unmatched RIGHT row
+    *        (full outer) once the watermark passes its own `rightTs`
+    *        (any later-arriving left with `leftTs <= rightTs` would be
+    *        late by definition). A run-to-completion query therefore
+    *        emits exactly the unmatched rows whose cut the final
+    *        watermark passed; the rest are truthfully still pending. */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String, maxSpan: String,
                    watermarkDelay: String = "0 seconds",
                    joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "intervalJoin requires at least one equality key")
-    require(Set("inner", "left_outer")(joinType),
-      s"intervalJoin supports inner and left_outer, got $joinType")
+    require(Set("inner", "left_outer", "full_outer")(joinType),
+      s"intervalJoin supports inner, left_outer and full_outer, got $joinType")
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
       .withColumnsRenamed(keys.map(k => k -> s"_zc_r_$k").toMap)
     val keyCond = keys.map(k => l(k) === r(s"_zc_r_$k")).reduce(_ && _)
     val range = r(rightTs) >= l(leftTs) &&
       r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxSpan")
-    l.join(r, keyCond && range, joinType)
-      .drop(keys.map(k => s"_zc_r_$k"): _*)
+    val joined = l.join(r, keyCond && range, joinType)
+    // full outer: right-only rows carry their key on the RIGHT side —
+    // surface one coalesced key column instead of losing it with the
+    // renamed copy
+    val keyed =
+      if (joinType == "full_outer")
+        keys.foldLeft(joined)((d, k) =>
+          d.withColumn(k, coalesce(l(k), r(s"_zc_r_$k"))))
+      else joined
+    keyed.drop(keys.map(k => s"_zc_r_$k"): _*)
   }
 
   /** INCREMENTAL [[graft.core.Collection#queryArrays]]: stream the
