@@ -49,7 +49,7 @@ object Bench {
     "zc_insert_query", "zc_query_filter", "zc_axis_range",
     "zc_col_zone", "zc_bloom", "zc_to_arrays", "zc_zorder", "zc_delete",
     "zc_changes", "zc_vector_search", "stream_window", "stream_join",
-    "stream_session_native",
+    "stream_join_outer", "stream_join_full", "stream_session_native",
   )
 
   private def loadAvg: Double =
