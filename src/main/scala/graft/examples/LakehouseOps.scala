@@ -38,8 +38,16 @@ object LakehouseOps {
                  FROM events_lake WHERE day <= 5 AND user_id = 3
                  GROUP BY event_type ORDER BY n DESC""").show()
 
-    // writes through the format too: append = Concat
-    spark.sql("SELECT * FROM events_lake WHERE event_id < 0") // none
+    // SQL writes too: a registered table accepts INSERT INTO (derived
+    // partition columns are recomputed from the axis, whatever you pass)
+    spark.sql(s"CREATE TABLE events_tbl USING graft OPTIONS (path '$root')")
+    spark.sql("""INSERT INTO events_tbl
+                 SELECT event_id + 1000000, ts, user_id, event_type, value,
+                        props, CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT)
+                 FROM events_tbl WHERE event_id <= 3""")
+    println(s"rows after SQL INSERT: ${spark.table("events_tbl").count()}")
+    spark.sql("DROP TABLE events_tbl")
+
     val t0 = System.currentTimeMillis()
     c.updateWhere("event_type == 'click' and day <= 3",
       Map("event_type" -> "'early_click'"))
