@@ -461,6 +461,46 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // A39 (r8): SHALLOW CLONE — a zero-copy fork whose head references
+    // the source's files (`base::rel`). Mutations to the CLONE compose
+    // while the SOURCE stays byte-identical; both sides return in one
+    // side-labelled, oracle-exact result (isolation is part of the
+    // checked answer, not just a spec assertion).
+    "zc_clone" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      val dst = c.cloneTo(s"$scratch/cln-${java.util.UUID.randomUUID().toString.take(8)}")
+      dst.updateWhere("event_type == 'click'", Map("value" -> "value + 1000.0"))
+      dst.deleteWhere("day >= 25")
+      def side(df: DataFrame, tag: String) = df
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"), lit(tag).as("side"))
+      side(dst.query(), "clone").unionAll(side(c.query(), "source"))
+        .orderBy("side", "event_id")
+    }),
+
+    // r8: TAGS — a named, GC-pinned snapshot. The tagged generation
+    // stays exactly readable across a rewriting update + delete even at
+    // retainGenerations=0 (the commit-time GC honors the pin).
+    "zc_tag" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      c.tag("v1")
+      c.updateWhere("event_type == 'view'", Map("value" -> "0.0"))
+      c.deleteWhere("day >= 20")
+      eventsOut(c.snapshotAtTag("v1"))
+    }),
+
+    // r8: BRANCHES — an in-tree shallow clone (Icechunk
+    // writable_session(branch=...) shape); the branch mutates freely,
+    // the parent never sees it.
+    "zc_branch" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      val dev = c.branch("dev")
+      dev.deleteWhere("day >= 20")
+      dev.updateWhere("event_type == 'purchase'", Map("props" -> "'branch'"))
+      eventsOut(dev.query())
+    }),
+
     // A35 (r6): PARTITION EVOLUTION — the day-keyed collection rewritten
     // in place as hour-keyed (one atomic rewrite-marked commit; manifest
     // layout stamp authoritative); the new partition keys drive pruning.
@@ -2416,6 +2456,35 @@ object SparkEntry {
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
                 value, props
          FROM events ORDER BY event_id""",
+
+    // Shallow clone: the 'clone' side shows the mutations (click values
+    // bumped, day>=25 deleted), the 'source' side is untouched events —
+    // the isolation contract IS the oracle.
+    "zc_clone" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                CASE WHEN event_type = 'click' THEN value + 1000.0 ELSE value END AS value,
+                props, 'clone' AS side
+         FROM events WHERE day(CAST(ts AS TIMESTAMP)) < 25
+         UNION ALL
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                value, props, 'source' AS side
+         FROM events
+         ORDER BY side, event_id""",
+
+    // The tagged snapshot pins the pre-mutation state: just events.
+    "zc_tag" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                value, props
+         FROM events ORDER BY event_id""",
+
+    // The branch applied delete-then-update; the parent is untouched
+    // (parent isolation is proven by zc_clone's source side + CloneSpec).
+    "zc_branch" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                value,
+                CASE WHEN event_type = 'purchase' THEN 'branch' ELSE props END AS props
+         FROM events WHERE day(CAST(ts AS TIMESTAMP)) < 20
+         ORDER BY event_id""",
 
     // The DataSource read with pushed filters must equal the plain slice.
     "zc_sql_source" ->

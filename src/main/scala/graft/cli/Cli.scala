@@ -19,6 +19,11 @@ import graft.core.Collection
   *   graft.cli.Cli vacuum <path>            # reclaim crashed writers' orphans
   *   graft.cli.Cli compact <path> [filter]  # fold small append files
   *   graft.cli.Cli changes <path> <from> [to]  # CDC row-level diff
+  *   graft.cli.Cli clone <src> <dest>       # zero-copy shallow clone
+  *   graft.cli.Cli tag <path> [name [gen]]  # list / create named snapshots
+  *   graft.cli.Cli untag <path> <name>
+  *   graft.cli.Cli branch <path> [name]     # list / create in-tree clones
+  *   graft.cli.Cli drop-branch <path> <name>
   * }}}
   */
 object Cli {
@@ -38,7 +43,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: Cli <ls|inspect|describe|query|drop|delete|expire|history|vacuum|compact|compact-plan|zorder|count|prune|backfill-stats|fsck|changes> <path> [args...]")
+        "usage: Cli <ls|inspect|describe|query|drop|delete|expire|history|vacuum|compact|compact-plan|zorder|count|prune|backfill-stats|fsck|changes|clone|tag|untag|branch|drop-branch> <path> [args...]")
       sys.exit(2)
     }
     val (cmd, path) = (args(0), args(1))
@@ -148,6 +153,37 @@ object Cli {
         val from = args(2).toLong
         val to = args.lift(3).map(_.toLong).getOrElse(c.generation)
         c.changes(from, to).show(100, truncate = false)
+      case "clone" =>
+        // zero-copy sandbox: Cli clone <srcPath> <destPath>
+        val dst = Collection.cloneTo(spark, path, args(2))
+        println(s"cloned $path -> ${dst.root} at generation ${dst.generation} (zero data copied)")
+      case "tag" =>
+        // named snapshots: Cli tag <path> [name [generation]]
+        val c = Collection.open(spark, path, args.length < 3)
+        args.lift(2) match {
+          case None => c.tags().toSeq.sortBy(_._1)
+            .foreach { case (n, g) => println(s"$n\t$g") }
+          case Some(name) =>
+            c.tag(name, args.lift(3).map(_.toLong).getOrElse(-1L))
+            println(s"tagged generation ${c.tags()(name)} as '$name'")
+        }
+      case "untag" =>
+        // Cli untag <path> <name>
+        Collection.open(spark, path).deleteTag(args(2))
+        println(s"deleted tag '${args(2)}'")
+      case "branch" =>
+        // in-tree clones: Cli branch <path> [name]  (no name: list)
+        val c = Collection.open(spark, path, args.length < 3)
+        args.lift(2) match {
+          case None => c.branches().foreach(println)
+          case Some(name) =>
+            val b = c.branch(name)
+            println(s"branched '$name' at generation ${b.generation} -> ${b.root}")
+        }
+      case "drop-branch" =>
+        // Cli drop-branch <path> <name>
+        Collection.open(spark, path).dropBranch(args(2))
+        println(s"dropped branch '${args(2)}'")
       case other =>
         System.err.println(s"unknown command '$other'"); sys.exit(2)
     } finally spark.stop()

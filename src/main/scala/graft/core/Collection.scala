@@ -622,7 +622,21 @@ final class Collection private (
     }
     // GC the files this commit replaced — unless a retention window keeps
     // past snapshots readable (then vacuum() expires them later).
-    doomed
+    // EXTERNAL references (shallow clones) are dropped, never deleted:
+    // the physical file belongs to the clone's source collection. Files
+    // still referenced by a TAGGED snapshot are equally off-limits —
+    // the tag pins them until it's deleted (only the affected
+    // partitions' shards of each tagged generation load here).
+    val gcable = doomed.filterNot(isExternal)
+    val pinned: Set[String] =
+      if (gcable.isEmpty) Set.empty
+      else {
+        val affected = (replaced ++ replacedFiles.map(parentRel)).toSet
+        tags().values.toSet.flatMap { g: Long =>
+          try manifestAt(g).filesForPartitions(affected) catch { case _: Exception => Nil }
+        }
+      }
+    gcable.filterNot(pinned.contains)
       .foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
   }
 
@@ -924,7 +938,12 @@ final class Collection private (
           .getOrElseUpdate(next, readManifest(fs, manifestDir, next))
           .committedAtMs.exists(ts => now - ts < retainMillis) => g
       }.toSeq
-    (byCount ++ byTime).distinct
+    // TAGGED snapshots are pinned unconditionally: a tag is the user's
+    // explicit promise that this generation stays readable (Icechunk
+    // tags share the semantics) — vacuum never reclaims its files,
+    // fsck never reports them as orphans, until the tag is deleted.
+    val byTag = tags().values.toSeq.filter(gens.contains)
+    (byCount ++ byTime ++ byTag).distinct
   }
 
   /** Integrity check of the current snapshot against the filesystem —
@@ -958,7 +977,16 @@ final class Collection private (
     val byShard = man.shards.map(e => man.shardData(e))
     val files = byShard.flatMap(_.files)
     val onDisk = walkDataFiles().toSet
-    val missing = files.filterNot(onDisk.contains)
+    // local refs check against one walk of our own tree; EXTERNAL refs
+    // (shallow clones) stat their source path individually — a source
+    // that was vacuumed past the clone point shows up here as missing
+    val missing = files.filterNot { f =>
+      if (isExternal(f)) {
+        val p = new Path(absOf(root, f))
+        try p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        catch { case _: Exception => false }
+      } else onDisk.contains(f)
+    }
     val retained = retainedGenerations(generations(),
       System.currentTimeMillis(), retainMillis)
     val live = retained.flatMap(g =>
@@ -969,7 +997,8 @@ final class Collection private (
       if (!deep) Nil
       else {
         val recorded = byShard.flatMap(_.rows).toMap
-        val present = files.filter(onDisk.contains)
+        val missingSet = missing.toSet
+        val present = files.filterNot(missingSet.contains)
         val (_, actualRows) = fileStats(present)
         present.flatMap { f =>
           for (r <- recorded.get(f); a <- actualRows.get(f) if r != a)
@@ -1101,13 +1130,32 @@ final class Collection private (
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
-    var df = spark.read
-      .option("basePath", root)
-      .schema(StructType(fields))
-      .parquet(files.map(f => s"$root/$f"): _*)
+    var df = parquetByBase(files, fields)
     for ((c, fillSql) <- man.fills if dataSchema.fieldNames.contains(c))
       df = df.withColumn(c, coalesce(col(c), expr(fillSql).cast(dataSchema(c).dataType)))
     df.select(fields.map(f => col(f.name)): _*)
+  }
+
+  /** One parquet scan per reference base (the clone-aware read shape):
+    * local refs scan under `root`, external refs under their source
+    * root — each group with ITS root as `basePath`, so Hive partition
+    * columns derive identically from either tree, then a by-position
+    * union (every group declares the same read schema). A collection
+    * with no external refs — the overwhelmingly common case — is
+    * exactly the old single scan. */
+  private def parquetByBase(files: Seq[String],
+                            fields: Seq[StructField]): DataFrame = {
+    val schema = StructType(fields)
+    files.groupBy(Collection.baseOf).toSeq
+      .sortBy(_._1.getOrElse("")) // deterministic plan across runs
+      .map { case (base, group) =>
+        val b = base.getOrElse(root)
+        spark.read
+          .option("basePath", b)
+          .schema(schema)
+          .parquet(group.map(f => Collection.absOf(root, f)): _*)
+      }
+      .reduce(_ union _)
   }
 
   /** The committed manifest at `gen` (cached; manifests are immutable). */
@@ -1179,6 +1227,119 @@ final class Collection private (
   def snapshotAsOf(tsMillis: Long, filters: String = null): DataFrame =
     snapshotAt(generationAsOf(tsMillis).getOrElse(throw new IllegalArgumentException(
       s"no snapshot committed at or before $tsMillis at $root")), filters)
+
+  // --- tags (named snapshots) --------------------------------------
+  //
+  // A tag is a NAME for a committed generation (the Icechunk tag shape,
+  // store/icechunk_store.py repository refs; Delta has no first-class
+  // analogue — users abuse table copies). Tags are tiny JSON refs under
+  // `_manifest/tags/`, created exclusively (the same loser-must-lose
+  // publish as manifests), and they PIN their snapshot: vacuum and the
+  // commit-time GC never reclaim a tagged generation's files until the
+  // tag is deleted — the "release dataset v1.2 stays reproducible"
+  // contract a training pipeline needs.
+
+  private def tagsDir = new Path(manifestDir, "tags")
+  private def tagPath(name: String) = new Path(tagsDir, s"$name.json")
+
+  private def requireTagName(name: String): Unit = require(
+    name.nonEmpty && name.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+    s"invalid tag name '$name' (allowed: letters, digits, '.', '_', '-')")
+
+  /** Name generation `gen` (default: the current head). Refuses an
+    * existing name — tags are immutable; delete and re-create to move
+    * one (the audit trail is the point). */
+  def tag(name: String, gen: Long = -1L): Unit = {
+    requireWritable()
+    requireTagName(name)
+    val g = if (gen < 0) currentManifest().generation else gen
+    require(generations().contains(g), s"no committed generation $g at $root")
+    val doc = new java.util.LinkedHashMap[String, Object]()
+    doc.put("generation", java.lang.Long.valueOf(g))
+    doc.put("createdAt", java.lang.Long.valueOf(System.currentTimeMillis()))
+    val tmp = new Path(tagsDir,
+      s".$name.${java.util.UUID.randomUUID().toString.substring(0, 8)}.tmp")
+    writeJson(fs, tmp, doc)
+    if (!publishExclusive(fs, tmp, tagPath(name)))
+      throw new IllegalStateException(s"tag '$name' already exists at $root")
+  }
+
+  /** All tags: name -> generation. One directory listing + one tiny
+    * JSON read per tag (tags are few by construction). */
+  def tags(): Map[String, Long] = {
+    if (!fs.exists(tagsDir)) return Map.empty
+    fs.listStatus(tagsDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .flatMap { st =>
+        try {
+          val in: java.io.InputStream = fs.open(st.getPath)
+          val doc =
+            try new ObjectMapper().readValue(in, classOf[java.util.Map[String, Object]])
+            finally in.close()
+          Some(st.getPath.getName.stripSuffix(".json") ->
+            doc.get("generation").toString.toLong)
+        } catch { case _: Exception => None }
+      }.toMap
+  }
+
+  /** Drop a tag — its generation becomes reclaimable under the normal
+    * retention rules at the next vacuum/GC. */
+  def deleteTag(name: String): Unit = {
+    requireWritable()
+    requireTagName(name)
+    if (!fs.delete(tagPath(name), false))
+      throw new IllegalArgumentException(s"no tag '$name' at $root")
+  }
+
+  /** Read the collection as of a tag (`VERSION AS OF <name>`). */
+  def snapshotAtTag(name: String, filters: String = null): DataFrame =
+    snapshotAt(tags().getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' at $root")), filters)
+
+  // --- clones & branches -------------------------------------------
+
+  /** [[Collection.cloneTo]] with this collection as the source. */
+  def cloneTo(destRoot: String): Collection = Collection.cloneTo(spark, root, destRoot)
+
+  /** A named BRANCH: a shallow clone living INSIDE this collection's
+    * tree (`_branches/<name>` — invisible to the data-file walk, so
+    * vacuum/fsck of the parent never see it), for the Icechunk
+    * `writable_session(branch=...)` workflow (store/icechunk_store.py:
+    * 112-145): fork, mutate freely, read back, drop. Unlike Icechunk
+    * branches there is no merge-back — promote results by reading the
+    * branch and writing into the parent (mergeInto / insert). */
+  def branch(name: String): Collection = {
+    requireTagName(name)
+    Collection.cloneTo(spark, root, s"$root/$BranchDir/$name")
+  }
+
+  /** Open an existing branch. */
+  def openBranch(name: String, readOnly: Boolean = false): Collection = {
+    requireTagName(name)
+    Collection.open(spark, s"$root/$BranchDir/$name", readOnly)
+  }
+
+  /** Branch names present under this collection's tree. */
+  def branches(): Seq[String] = {
+    val d = new Path(s"$root/$BranchDir")
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  /** Drop a branch and everything it wrote. Only the branch's OWN files
+    * die — its references into this collection are just metadata. */
+  def dropBranch(name: String): Unit = {
+    requireWritable()
+    requireTagName(name)
+    val d = new Path(s"$root/$BranchDir/$name")
+    if (!fs.exists(d))
+      throw new IllegalArgumentException(s"no branch '$name' at $root")
+    fs.delete(d, true)
+  }
+
+  /** Does this collection's head reference files outside its own tree? */
+  def isExternalClone: Boolean =
+    currentManifest().shards.exists(e => currentManifest().shardData(e).files.exists(isExternal))
 
   /** RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`): roll the
     * collection BACK to snapshot `gen` as a NEW commit — the head
@@ -1977,6 +2138,15 @@ final class Collection private (
     requireWritable()
     val walked = walkDataFiles()
     val haveManifest = fs.exists(manifestDir) && generations().nonEmpty
+    // a walk of OUR tree cannot see a shallow clone's external
+    // references — "repairing" from it would silently drop every
+    // source-owned file from the catalog. Refuse loudly; the recovery
+    // path for a damaged clone is re-cloning from its source.
+    if (haveManifest && isExternalClone)
+      throw new IllegalStateException(
+        s"$root is a shallow clone (its manifest references files outside " +
+        "this tree); repairCatalog() rebuilds from a local walk and would " +
+        "drop those references — re-clone from the source instead")
     val baseSchema =
       if (haveManifest) schema
       else createSchema
@@ -2103,10 +2273,7 @@ final class Collection private (
       s"map() would run ${parts.size} sequential driver-side jobs (> $maxPartitions); " +
       "use transformPartitions for distributed per-partition work, or raise maxPartitions")
     parts.map { p =>
-      val df = spark.read
-        .option("basePath", root)
-        .schema(StructType(fields))
-        .parquet(byPart(p).map(f => s"$root/$f"): _*)
+      val df = parquetByBase(byPart(p), fields)
         .select(schema.fieldNames.toSeq.map(col): _*)
       // variables whitelist (reference map(..., variables=)): projection
       // after the immutable merge, so immutable columns are selectable;
@@ -2452,7 +2619,10 @@ final class Collection private (
     fragmented.foreach { case (p, files) =>
       if (budget > 0L) {
         val bytes =
-          try files.map(f => fs.getFileStatus(new Path(s"$root/$f")).getLen).sum
+          try files.map { f =>
+            val p = new Path(absOf(root, f))
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+          }.sum
           catch { case _: Exception => Long.MaxValue } // unstat-able: skip
         if (bytes <= budget) { chosen += p; budget -= bytes }
       }
@@ -2625,6 +2795,7 @@ object Collection {
     * `_temporary` dir, and each commit knows its exact file set without
     * listing (so a concurrent writer's files can never be adopted). */
   val StageDir = "_stage"
+  val BranchDir = "_branches"
   /** `spark.graft.write.mode`: `auto` (scheme-dispatched) | `direct`
     * (zero-rename [[DirectWriteProtocol]]) | `staged` (`_stage` + move). */
   val DirectWriteModeKey = "spark.graft.write.mode"
@@ -2835,7 +3006,7 @@ object Collection {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       import org.apache.parquet.schema.LogicalTypeAnnotation
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new Path(s"$rootStr/$rel"), conf)
+        .fromPath(new Path(absOf(rootStr, rel)), conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = reader.getFooter.getBlocks.asScala
@@ -2961,7 +3132,7 @@ object Collection {
   private[core] def bloomMayContain(rootStr: String, rel: String,
                                     checks: Seq[BloomCheck],
                                     conf: org.apache.hadoop.conf.Configuration): Boolean = {
-    val abs = s"$rootStr/$rel"
+    val abs = absOf(rootStr, rel)
     // memo fast path: a check passes once ANY value is known may-contain,
     // prunes once EVERY value is known absent; only unresolved (col,
     // value) pairs force the footer read below
@@ -2984,7 +3155,7 @@ object Collection {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       import org.apache.parquet.schema.LogicalTypeAnnotation
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new Path(s"$rootStr/$rel"), conf)
+        .fromPath(new Path(absOf(rootStr, rel)), conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = reader.getFooter.getBlocks.asScala
@@ -3033,7 +3204,7 @@ object Collection {
         // per-(column, value) verdicts across ALL row groups — the prune
         // predicate re-associated value-wise (forall commutes) so every
         // pair lands in the verdict memo for later queries
-        val abs = s"$rootStr/$rel"
+        val abs = absOf(rootStr, rel)
         val may = scala.collection.mutable.LinkedHashMap.empty[(String, Any), Boolean]
         checks.foreach(chk => chk.values.foreach(v => may((chk.col, v)) = false))
         blocks.foreach { b =>
@@ -3258,8 +3429,54 @@ object Collection {
   private[core] def isDataFile(name: String): Boolean =
     name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
 
-  private[graft] def parentRel(file: String): String =
-    file.substring(0, file.lastIndexOf('/'))
+  // --- external file references (shallow clones) -------------------
+  //
+  // A data-file reference inside a shard list is normally a path
+  // RELATIVE to the collection root (`date=2021-01-01/part-x.parquet`).
+  // A SHALLOW CLONE ([[Collection.cloneTo]]) instead references the
+  // source collection's physical files without copying them, encoding
+  // the source root into the reference: `<base-uri>::<rel>`. The rel
+  // part still carries the partition directories, so every layer that
+  // derives partition identity from a reference ([[parentRel]]) works
+  // unchanged; only the points that do physical IO resolve the base
+  // ([[absOf]]). External files are NEVER deleted by the referencing
+  // collection — rewrites simply drop the reference (the file belongs
+  // to the source; Delta shallow clones share the same contract).
+  private[graft] val ExtSep = "::"
+
+  /** Is `f` a reference into another collection's tree? */
+  private[graft] def isExternal(f: String): Boolean = f.indexOf(ExtSep) >= 0
+
+  /** The root-relative part of a reference (identity for local refs). */
+  private[graft] def relOf(f: String): String = {
+    val i = f.indexOf(ExtSep)
+    if (i < 0) f else f.substring(i + ExtSep.length)
+  }
+
+  /** The external base of a reference, if any. */
+  private[graft] def baseOf(f: String): Option[String] = {
+    val i = f.indexOf(ExtSep)
+    if (i < 0) None else Some(f.substring(0, i))
+  }
+
+  /** Physical path of a reference: `root`-resolved for local refs,
+    * base-resolved for external ones. */
+  private[graft] def absOf(root: String, f: String): String = {
+    val i = f.indexOf(ExtSep)
+    if (i < 0) s"$root/$f" else f.substring(0, i) + "/" + f.substring(i + ExtSep.length)
+  }
+
+  /** Rebase a local reference onto `base`. Already-external refs keep
+    * their ORIGINAL base (a clone of a clone still points at whichever
+    * tree physically holds each file — chains never stack bases). */
+  private[graft] def externalRef(base: String, f: String): String =
+    if (isExternal(f)) f else base + ExtSep + f
+
+  /** Partition path of a data-file reference (external-ref aware). */
+  private[graft] def parentRel(file: String): String = {
+    val r = relOf(file)
+    r.substring(0, r.lastIndexOf('/'))
+  }
 
   /** Shard key of a partition path: everything but the last segment
     * ("" for single-level partitionings). */
@@ -3854,6 +4071,87 @@ object Collection {
           bloomColumns = strList("bloomColumns"), bloomNdv = ndv,
           autoCompactFiles = autoCompact)
     }
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`; Icechunk
+    * branch-from-snapshot): a new, independently-writable collection at
+    * `destRoot` whose head snapshot references the SOURCE's current data
+    * files without copying a byte of data. O(metadata): one new config +
+    * one shard JSON per subtree (with the source's zone maps, row counts
+    * and commit generations carried over verbatim, so every skip layer
+    * prunes identically on the clone) + one root manifest. The dev/test
+    * sandbox shape at 100 TB — clone, experiment destructively, drop.
+    *
+    * Independence: writes to the clone land under `destRoot` and commit
+    * to the clone's own manifest line; rewrites DROP source references
+    * (never delete the source's files); the source never learns the
+    * clone exists. The clone starts at the source's current GENERATION
+    * number (not 0) so the per-file commit generations baked into the
+    * carried shards keep ordering correctly against `columnSince` —
+    * schema-generation pruning stays sound across the clone boundary.
+    *
+    * Durability contract (same as Delta's): the clone depends on the
+    * source's files AS OF the clone point. `vacuum`/`deleteWhere`/
+    * retention on the SOURCE can reclaim files the clone still
+    * references — pin the clone point with [[Collection.tag]] on the
+    * source if the source is actively mutating ([[Collection.fsck]] on
+    * the clone detects a vacuumed-away base). */
+  def cloneTo(spark: SparkSession, srcRoot: String, destRoot: String): Collection = {
+    val src = open(spark, srcRoot, readOnly = true)
+    val destFs = fileSystem(spark, destRoot)
+    val destCfg = new Path(s"$destRoot/$ConfigFile")
+    if (destFs.exists(destCfg))
+      throw new IllegalStateException(s"a collection already exists at $destRoot")
+    val srcFs = src.fs
+    // qualified base URI: refs must resolve from ANY working directory
+    // and any handle, not just ones opened with the same root string
+    val base = srcFs.makeQualified(new Path(srcRoot)).toString.stripSuffix("/")
+    val man = src.currentManifest()
+    val destManifestDir = new Path(s"$destRoot/$ManifestDir")
+    destFs.mkdirs(destManifestDir)
+    // per-subtree: rebase every file ref onto the source root (already-
+    // external refs — cloning a clone — keep their original base), and
+    // re-key the per-file stats/rows/gens maps to match. Content
+    // addressing gives the rewritten list a fresh shard name.
+    val entries = man.shards.map { e =>
+      val d = man.shardData(e)
+      val files = d.files.map(f => externalRef(base, f))
+      val stats = d.stats.map { case (f, v) => externalRef(base, f) -> v }
+      val rows = d.rows.map { case (f, v) => externalRef(base, f) -> v }
+      val gens = d.gens.map { case (f, v) => externalRef(base, f) -> v }
+      val name = shardName(files, stats, rows, gens)
+      writeShardIfAbsent(destFs, destManifestDir, name, files, stats, rows, gens)
+      ShardEntry(e.prefix, e.partitions, name, e.rollup, e.rowTotal)
+    }
+    // config: byte-equivalent copy of the source's, plus provenance attrs
+    val in: java.io.InputStream = srcFs.open(new Path(s"$srcRoot/$ConfigFile"))
+    val doc =
+      try new ObjectMapper().readValue(in, classOf[java.util.Map[String, Object]])
+      finally in.close()
+    val cfgDoc = new java.util.LinkedHashMap[String, Object](doc)
+    val attrsMap = Option(cfgDoc.get("attrs"))
+      .map(a => new java.util.LinkedHashMap[String, Object](
+        a.asInstanceOf[java.util.Map[String, Object]]))
+      .getOrElse(new java.util.LinkedHashMap[String, Object]())
+    attrsMap.put("clonedFrom", base)
+    attrsMap.put("cloneGeneration", java.lang.Long.valueOf(man.generation))
+    cfgDoc.put("attrs", attrsMap)
+    writeJson(destFs, destCfg, cfgDoc)
+    // immutable metadata vars are small by construction (broadcast side
+    // of every read) — physical copy keeps the clone self-contained for
+    // the one layer whose files aren't manifest-tracked
+    val srcImm = new Path(s"$srcRoot/$ImmutableDir")
+    if (srcFs.exists(srcImm))
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, srcImm,
+        destFs, new Path(s"$destRoot/$ImmutableDir"), false,
+        spark.sparkContext.hadoopConfiguration)
+    writeManifest(destFs, destManifestDir,
+      new Manifest(man.generation, man.taskBase, man.schemaDdl, man.fills,
+        entries, rel => readShard(destFs, destManifestDir, rel),
+        streams = man.streams, columnSince = man.columnSince,
+        droppedEver = man.droppedEver, partSpec = man.partSpec,
+        constraints = man.constraints, op = Some("clone")))
+    open(spark, destRoot)
   }
 
   private[graft] def fileSystem(spark: SparkSession, root: String): FileSystem =

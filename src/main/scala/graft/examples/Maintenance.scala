@@ -72,6 +72,26 @@ object Maintenance {
     val expired = c.expirePartitions("2024-01-03 00:00:00")
     println(s"expired ${expired.size} partition(s): ${expired.mkString(", ")}")
 
+    // 7. (r8) tag the current state, then branch a zero-copy sandbox:
+    // the branch mutates freely (its rewrites DROP references to the
+    // parent's files, never delete them), the tag pins this snapshot
+    // against GC until released
+    c.tag("pre-experiment")
+    val dev = c.branch("exp-42")
+    dev.updateWhere("event_type == 'click'", Map("value" -> "value * 2.0"))
+    println(s"branch rows: ${dev.query().count()} (parent: ${c.query().count()}, " +
+      s"branches: ${c.branches().mkString(",")}, tags: ${c.tags().keys.mkString(",")})")
+    c.dropBranch("exp-42")
+    c.deleteTag("pre-experiment")
+
+    // 8. (r8) a standalone SHALLOW CLONE: same zero-copy fork at an
+    // arbitrary root — the 100 TB dev/test sandbox (clone, experiment
+    // destructively, drop; the source never learns it existed)
+    val cloneRoot = java.nio.file.Files.createTempDirectory("graft-clone").toString + "/fork"
+    val fork = c.cloneTo(cloneRoot)
+    println(s"clone at generation ${fork.generation}: ${fork.query().count()} row(s), " +
+      s"external refs: ${fork.isExternalClone}")
+
     spark.stop()
   }
 }

@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Collection, DatePartitioning, MergeStrategy}
+
+/** SHALLOW CLONE + TAGS + BRANCHES (round 8).
+  *
+  * A clone's head references the source's physical files (`base::rel`
+  * external refs) without copying a byte; the clone is independently
+  * writable, rewrites DROP references instead of deleting source files,
+  * and every skip layer (zone maps, blooms, generation pruning) carries
+  * over. Tags pin generations against GC; branches are in-tree clones.
+  * Reference: Icechunk branch/tag sessions (store/icechunk_store.py:
+  * 112-145); Delta SHALLOW CLONE semantics for the durability contract.
+  */
+class CloneSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mk(vals: (Long, String, Double)*) = vals
+    .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+
+  private def fresh(root: String, retain: Int = 0): Collection = {
+    val df = mk(
+      (1L, "2024-01-01 10:00:00", 1.0), (2L, "2024-01-01 11:00:00", 2.0),
+      (3L, "2024-01-02 10:00:00", 3.0), (4L, "2024-01-03 10:00:00", 4.0))
+    val c = Collection.create(spark, root, df.schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("id"),
+      bloomColumns = Seq("id"), retainGenerations = retain)
+    c.insert(df)
+    c
+  }
+
+  private def rows(c: Collection): Seq[(Long, Double)] =
+    c.query().select("id", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+
+  private def localParquets(root: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val d = new java.io.File(root)
+    if (!d.exists()) Nil
+    else walk(d).map(_.getPath).filter(p => p.endsWith(".parquet") && !p.contains("/_"))
+  }
+
+  test("clone reads the source's data with zero copied files") {
+    val srcRoot = SparkTestSession.tmp("clone-src")
+    val dstRoot = SparkTestSession.tmp("clone-dst")
+    val src = fresh(srcRoot)
+    val dst = src.cloneTo(dstRoot)
+
+    assert(rows(dst) == rows(src), "clone must read identically to the source")
+    assert(localParquets(dstRoot).isEmpty,
+      s"shallow clone must copy no data files, found: ${localParquets(dstRoot)}")
+    assert(dst.isExternalClone)
+    assert(!src.isExternalClone)
+    // generation number carries over so per-file gens / columnSince
+    // ordering stays sound across the boundary
+    assert(dst.generation == src.generation)
+    // filtered reads prune through the carried zone maps
+    val filtered = dst.query("ts >= '2024-01-03'").select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(filtered == Seq(4L))
+  }
+
+  test("clone point is a snapshot: later source writes are invisible to the clone") {
+    val src = fresh(SparkTestSession.tmp("clone-snap-src"))
+    val dst = src.cloneTo(SparkTestSession.tmp("clone-snap-dst"))
+    src.insert(mk((9L, "2024-01-09 10:00:00", 9.0)), MergeStrategy.Concat)
+    assert(rows(dst).map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(rows(src).map(_._1) == Seq(1L, 2L, 3L, 4L, 9L))
+  }
+
+  test("writes to the clone never touch the source") {
+    val srcRoot = SparkTestSession.tmp("clone-w-src")
+    val src = fresh(srcRoot)
+    val before = localParquets(srcRoot).sorted
+    val srcGen = src.generation
+    val dst = src.cloneTo(SparkTestSession.tmp("clone-w-dst"))
+
+    // append a fresh partition AND rewrite an existing one
+    dst.insert(mk((5L, "2024-01-04 10:00:00", 5.0)), MergeStrategy.Concat)
+    dst.updateWhere("id == 2", Map("v" -> "v + 10.0"))
+    dst.deleteWhere("id == 3")
+
+    assert(rows(dst) == Seq((1L, 1.0), (2L, 12.0), (4L, 4.0), (5L, 5.0)),
+      s"clone mutations must compose: ${rows(dst)}")
+    assert(rows(src) == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)),
+      "source rows must be untouched")
+    assert(localParquets(srcRoot).sorted == before,
+      "the source's physical file set must be byte-for-byte untouched")
+    assert(src.generation == srcGen, "the source's manifest line must not advance")
+    // the rewrite dropped external refs for the touched partitions; the
+    // untouched partitions still reference the source
+    assert(dst.isExternalClone, "untouched partitions still reference the source")
+  }
+
+  test("compact materializes the clone locally; source files survive") {
+    val srcRoot = SparkTestSession.tmp("clone-c-src")
+    val src = fresh(srcRoot)
+    val dst = src.cloneTo(SparkTestSession.tmp("clone-c-dst"))
+    val before = localParquets(srcRoot).sorted
+    dst.compact()
+    assert(!dst.isExternalClone, "compaction rewrites every partition locally")
+    assert(rows(dst) == rows(src))
+    assert(localParquets(srcRoot).sorted == before, "source files must survive the clone's compact")
+    // once materialized, the clone is fully self-contained: deleting the
+    // source does not affect it
+    val fs = new Path(srcRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(srcRoot), true)
+    assert(rows(dst).map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("vacuum on the clone reclaims only clone-written files") {
+    val srcRoot = SparkTestSession.tmp("clone-v-src")
+    val src = fresh(srcRoot)
+    val dst = src.cloneTo(SparkTestSession.tmp("clone-v-dst"))
+    val before = localParquets(srcRoot).sorted
+    dst.updateWhere("id == 1", Map("v" -> "0.5"))
+    val reclaimed = dst.vacuum(graceMs = 0L)
+    assert(localParquets(srcRoot).sorted == before,
+      s"vacuum on a clone must never delete source files (reclaimed: $reclaimed)")
+    assert(rows(dst).contains((1L, 0.5)))
+    assert(rows(src).contains((1L, 1.0)))
+  }
+
+  test("fsck resolves external refs; a vacuumed-away source file is reported missing") {
+    val srcRoot = SparkTestSession.tmp("clone-f-src")
+    val src = fresh(srcRoot)
+    val dst = src.cloneTo(SparkTestSession.tmp("clone-f-dst"))
+    val ok = dst.fsck()
+    assert(ok.missingFiles.isEmpty, s"fresh clone must fsck clean: ${ok.missingFiles}")
+    // simulate the source reclaiming a file the clone still references
+    val victim = localParquets(srcRoot).head
+    new java.io.File(victim).delete()
+    val broken = dst.fsck()
+    assert(broken.missingFiles.size == 1,
+      s"fsck must detect the vacuumed-away base file: ${broken.missingFiles}")
+    assert(broken.missingFiles.head.contains(Collection.ExtSep))
+  }
+
+  test("clone of a clone references the ORIGINAL tree (bases never chain)") {
+    val srcRoot = SparkTestSession.tmp("clone-cc-src")
+    val midRoot = SparkTestSession.tmp("clone-cc-mid")
+    val src = fresh(srcRoot)
+    val mid = src.cloneTo(midRoot)
+    val leaf = mid.cloneTo(SparkTestSession.tmp("clone-cc-leaf"))
+    // dropping the INTERMEDIATE clone must not break the leaf: every
+    // external ref resolves to whichever tree physically holds the file
+    val fs = new Path(midRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(midRoot), true)
+    assert(rows(leaf) == rows(src))
+    assert(leaf.fsck().missingFiles.isEmpty)
+  }
+
+  test("repairCatalog refuses on a clone instead of dropping external refs") {
+    val src = fresh(SparkTestSession.tmp("clone-r-src"))
+    val dst = src.cloneTo(SparkTestSession.tmp("clone-r-dst"))
+    val e = intercept[IllegalStateException](dst.repairCatalog())
+    assert(e.getMessage.contains("shallow clone"))
+  }
+
+  test("schema evolution on the clone stays sound across the boundary") {
+    val src = fresh(SparkTestSession.tmp("clone-e-src"))
+    val dst = src.cloneTo(SparkTestSession.tmp("clone-e-dst"))
+    dst.addVariable("w", org.apache.spark.sql.types.DoubleType)
+    dst.insert(Seq((7L, "2024-01-07 10:00:00", 7.0, 77.0))
+      .toDF("id", "ts", "v", "w").withColumn("ts", col("ts").cast("timestamp")),
+      MergeStrategy.Concat)
+    val got = dst.query().select("id", "w").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1))).sorted.toSeq
+    assert(got == Seq((1L, -1.0), (2L, -1.0), (3L, -1.0), (4L, -1.0), (7L, 77.0)),
+      s"pre-clone files must read the evolved column as null, new files carry it: $got")
+    // the source schema is untouched
+    assert(!src.schema.fieldNames.contains("w"))
+  }
+
+  test("tags pin generations against commit-time GC and vacuum") {
+    val root = SparkTestSession.tmp("tag-pin")
+    val c = fresh(root) // retainGenerations = 0: immediate GC on rewrite
+    c.tag("v1")
+    assert(c.tags() == Map("v1" -> c.generation))
+    val taggedGen = c.generation
+
+    c.updateWhere("id == 1", Map("v" -> "100.0"))
+    // without the tag, the replaced file would be GC'd at commit;
+    // with it, the tagged snapshot must stay fully readable
+    val v1 = c.snapshotAtTag("v1").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(v1 == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)),
+      s"tagged snapshot must survive a rewriting commit: $v1")
+    assert(c.vacuum(graceMs = 0L).isEmpty,
+      "vacuum must not reclaim a tagged generation's files")
+
+    // dropping the tag releases the pin
+    c.deleteTag(name = "v1")
+    assert(c.tags().isEmpty)
+    val reclaimed = c.vacuum(graceMs = 0L)
+    assert(reclaimed.nonEmpty, "after deleteTag the old file becomes reclaimable")
+    intercept[Exception] { c.snapshotAt(taggedGen).collect() }
+  }
+
+  test("tag API contract: immutability, names, unknown lookups") {
+    val c = fresh(SparkTestSession.tmp("tag-api"))
+    c.tag("release-1.0")
+    intercept[IllegalStateException](c.tag("release-1.0"))
+    intercept[IllegalArgumentException](c.tag("bad/name"))
+    intercept[IllegalArgumentException](c.deleteTag("nope"))
+    intercept[IllegalArgumentException](c.snapshotAtTag("nope"))
+    assert(c.snapshotAtTag("release-1.0").count() == 4L)
+  }
+
+  test("branches: in-tree clones, invisible to the parent's walk") {
+    val root = SparkTestSession.tmp("branch")
+    val c = fresh(root)
+    val dev = c.branch("dev")
+    dev.insert(mk((8L, "2024-01-08 10:00:00", 8.0)), MergeStrategy.Concat)
+    dev.updateWhere("id == 1", Map("v" -> "-1.0"))
+
+    assert(c.branches() == Seq("dev"))
+    assert(rows(c).map(_._1) == Seq(1L, 2L, 3L, 4L), "parent rows unchanged")
+    assert(rows(c.openBranch("dev", readOnly = true)).map(_._1) == Seq(1L, 2L, 3L, 4L, 8L))
+
+    // the parent's integrity layers must not see the branch's files
+    val rep = c.fsck()
+    assert(rep.missingFiles.isEmpty && rep.orphanFiles.isEmpty,
+      s"branch files must be invisible to the parent: $rep")
+    assert(c.vacuum(graceMs = 0L).isEmpty)
+    assert(rows(c.openBranch("dev", readOnly = true)).contains((1L, -1.0)),
+      "parent vacuum must not damage the branch")
+
+    c.dropBranch("dev")
+    assert(c.branches().isEmpty)
+    intercept[IllegalArgumentException](c.dropBranch("dev"))
+    assert(rows(c).map(_._1) == Seq(1L, 2L, 3L, 4L), "dropBranch only removes branch-owned state")
+  }
+
+  test("bloom + zone-map skip layers prune through external refs") {
+    val src = fresh(SparkTestSession.tmp("clone-p-src"))
+    val dst = src.cloneTo(SparkTestSession.tmp("clone-p-dst"))
+    // id is a bloom + stats column: the prune report must still skip
+    // non-matching files on the CLONE (stats were carried, blooms open
+    // the source's footers through the external refs)
+    val rep = dst.explainPruning("id == 4")
+    assert(rep.filesAfterBloom < rep.filesListed,
+      s"clone must keep skipping files: $rep")
+    val got = dst.query("id == 4").select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(4L))
+  }
+}
