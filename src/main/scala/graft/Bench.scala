@@ -50,6 +50,7 @@ object Bench {
     "zc_col_zone", "zc_bloom", "zc_to_arrays", "zc_zorder", "zc_delete",
     "zc_changes", "zc_vector_search", "stream_window", "stream_join",
     "stream_join_outer", "stream_join_full", "stream_session_native",
+    "zc_clone", "zc_branch_merge",
   )
 
   private def loadAvg: Double =

@@ -501,6 +501,32 @@ object SparkEntry {
       eventsOut(dev.query())
     }),
 
+    // r8: MATERIALIZE — the deep-copy escape from the clone durability
+    // contract: after localizing, the SOURCE TREE IS DELETED and the
+    // clone still answers exactly (the read below runs source-less).
+    "zc_materialize" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      val dst = c.cloneTo(s"$scratch/mat-${java.util.UUID.randomUUID().toString.take(8)}")
+      dst.updateWhere("event_type == 'view'", Map("value" -> "value * 2.0"))
+      dst.materialize()
+      val fs = new org.apache.hadoop.fs.Path(c.root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(c.root), true)
+      eventsOut(dst.query())
+    }),
+
+    // r8: PROMOTE — the branch's row-level diff (CDC from its fork
+    // point) applied back to the parent as one atomic commit; the
+    // PARENT is queried, so the oracle checks the merge-back itself.
+    "zc_branch_merge" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      val dev = c.branch("dev")
+      dev.deleteWhere("day >= 25")
+      dev.updateWhere("event_type == 'click'", Map("value" -> "value + 7.0"))
+      c.promoteBranch("dev")
+      eventsOut(c.query())
+    }),
+
     // A35 (r6): PARTITION EVOLUTION — the day-keyed collection rewritten
     // in place as hour-keyed (one atomic rewrite-marked commit; manifest
     // layout stamp authoritative); the new partition keys drive pruning.
@@ -2484,6 +2510,23 @@ object SparkEntry {
                 value,
                 CASE WHEN event_type = 'purchase' THEN 'branch' ELSE props END AS props
          FROM events WHERE day(CAST(ts AS TIMESTAMP)) < 20
+         ORDER BY event_id""",
+
+    // Materialize preserves the clone's state exactly (the update
+    // happened before localizing; the source is gone by read time).
+    "zc_materialize" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                CASE WHEN event_type = 'view' THEN value * 2.0 ELSE value END AS value,
+                props
+         FROM events ORDER BY event_id""",
+
+    // After promotion the parent equals the branch: day>=25 deleted,
+    // click values bumped.
+    "zc_branch_merge" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                CASE WHEN event_type = 'click' THEN value + 7.0 ELSE value END AS value,
+                props
+         FROM events WHERE day(CAST(ts AS TIMESTAMP)) < 25
          ORDER BY event_id""",
 
     // The DataSource read with pushed filters must equal the plain slice.

@@ -23,7 +23,9 @@ import graft.core.Collection
   *   graft.cli.Cli tag <path> [name [gen]]  # list / create named snapshots
   *   graft.cli.Cli untag <path> <name>
   *   graft.cli.Cli branch <path> [name]     # list / create in-tree clones
+  *   graft.cli.Cli promote <path> <name>    # merge a branch's diff back
   *   graft.cli.Cli drop-branch <path> <name>
+  *   graft.cli.Cli materialize <path>       # clone -> self-contained deep copy
   * }}}
   */
 object Cli {
@@ -184,6 +186,15 @@ object Cli {
         // Cli drop-branch <path> <name>
         Collection.open(spark, path).dropBranch(args(2))
         println(s"dropped branch '${args(2)}'")
+      case "materialize" =>
+        // clone -> deep copy: Cli materialize <path>
+        val n = Collection.open(spark, path).materialize().size
+        println(if (n == 0) "nothing external to localize"
+                else s"localized $n external file reference(s)")
+      case "promote" =>
+        // merge a branch back: Cli promote <path> <branch>
+        val parts = Collection.open(spark, path).promoteBranch(args(2))
+        println(s"promoted branch '${args(2)}': ${parts.size} partition(s) touched")
       case other =>
         System.err.println(s"unknown command '$other'"); sys.exit(2)
     } finally spark.stop()

@@ -626,18 +626,45 @@ final class Collection private (
     // the physical file belongs to the clone's source collection. Files
     // still referenced by a TAGGED snapshot are equally off-limits —
     // the tag pins them until it's deleted (only the affected
-    // partitions' shards of each tagged generation load here).
+    // partitions' shards of each tagged generation load here) — as are
+    // files a live in-tree BRANCH head still references (a branch
+    // forked before this rewrite keeps reading its fork-point files;
+    // standalone clones can't be discovered and rely on tags instead).
     val gcable = doomed.filterNot(isExternal)
     val pinned: Set[String] =
       if (gcable.isEmpty) Set.empty
       else {
         val affected = (replaced ++ replacedFiles.map(parentRel)).toSet
-        tags().values.toSet.flatMap { g: Long =>
+        val byTag = tags().values.toSet.flatMap { g: Long =>
           try manifestAt(g).filesForPartitions(affected) catch { case _: Exception => Nil }
         }
+        byTag ++ branchPinnedRels(Some(affected))
       }
     gcable.filterNot(pinned.contains)
       .foreach(f => try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
+  }
+
+  /** OUR rel paths that live in-tree branch heads still reference
+    * (their `base::rel` refs whose base is this collection). `affected
+    * = Some(partitions)` restricts the scan to those partitions' shards
+    * (the commit-GC shape); `None` loads each branch head fully (the
+    * vacuum/fsck shape). An unreadable branch pins nothing — it is
+    * damaged, not a veto on the parent's progress. */
+  private def branchPinnedRels(affected: Option[Set[String]]): Set[String] = {
+    val names = branches()
+    if (names.isEmpty) return Set.empty
+    val mine = fs.makeQualified(new Path(root)).toString.stripSuffix("/")
+    names.flatMap { name =>
+      try {
+        val bman = Collection.open(spark, s"$root/$BranchDir/$name", readOnly = true)
+          .currentManifestRaw()
+        val refs = affected match {
+          case Some(parts) => bman.filesForPartitions(parts)
+          case None        => bman.files
+        }
+        refs.filter(f => baseOf(f).contains(mine)).map(relOf)
+      } catch { case _: Exception => Nil }
+    }.toSet
   }
 
   /** PARTITION EVOLUTION: rewrite the whole collection under a new
@@ -866,9 +893,12 @@ final class Collection private (
     def aged(mtime: Long): Boolean =
       graceMs <= 0L || (mtime < newestRootMtime && now - mtime > graceMs)
     val retained = retainedGenerations(gens, now, retainMillis)
+    // live = retained snapshots' refs + anything a live in-tree branch
+    // head still references of OURS (branch fork points must survive
+    // the parent's GC — same pin the commit-time GC honors)
     val live: Set[String] = retained.flatMap { g =>
       manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g)).files
-    }.toSet
+    }.toSet ++ branchPinnedRels(None)
     val all = walkDataFiles()
     val doomed = all.filterNot(live.contains).filter { f =>
       try aged(fs.getFileStatus(new Path(s"$root/$f")).getModificationTime)
@@ -990,7 +1020,8 @@ final class Collection private (
     val retained = retainedGenerations(generations(),
       System.currentTimeMillis(), retainMillis)
     val live = retained.flatMap(g =>
-      manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g)).files).toSet
+      manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g)).files).toSet ++
+      branchPinnedRels(None) // matches vacuum: branch-pinned files are not orphans
     val orphans = onDisk.diff(live).toSeq.sorted
     val statless = byShard.flatMap(d => d.files.filterNot(d.stats.contains))
     val mismatches =
@@ -1298,19 +1329,34 @@ final class Collection private (
 
   // --- clones & branches -------------------------------------------
 
-  /** [[Collection.cloneTo]] with this collection as the source. */
-  def cloneTo(destRoot: String): Collection = Collection.cloneTo(spark, root, destRoot)
+  /** [[Collection.cloneTo]] with this collection as the source.
+    * `asOfGeneration` clones a PAST snapshot; `asOfTag` resolves a
+    * [[tag]] (which conveniently also pins the files being cloned). */
+  def cloneTo(destRoot: String, asOfGeneration: Long = -1L,
+              asOfTag: String = null): Collection = {
+    require(asOfGeneration < 0 || asOfTag == null,
+      "pass asOfGeneration or asOfTag, not both")
+    val gen =
+      if (asOfTag != null) tags().getOrElse(asOfTag,
+        throw new IllegalArgumentException(s"no tag '$asOfTag' at $root"))
+      else asOfGeneration
+    Collection.cloneTo(spark, root, destRoot, gen)
+  }
 
   /** A named BRANCH: a shallow clone living INSIDE this collection's
     * tree (`_branches/<name>` — invisible to the data-file walk, so
-    * vacuum/fsck of the parent never see it), for the Icechunk
+    * vacuum/fsck of the parent never see its files), for the Icechunk
     * `writable_session(branch=...)` workflow (store/icechunk_store.py:
-    * 112-145): fork, mutate freely, read back, drop. Unlike Icechunk
-    * branches there is no merge-back — promote results by reading the
-    * branch and writing into the parent (mergeInto / insert). */
-  def branch(name: String): Collection = {
+    * 112-145): fork, mutate freely, read back, [[promoteBranch]] or
+    * drop. Because branches are in-tree they are DISCOVERABLE, and the
+    * parent's commit-time GC and [[vacuum]] PIN every file a live
+    * branch head still references — parent rewrites never break a
+    * branch (standalone [[cloneTo]] clones can't be discovered and
+    * rely on [[tag]] pins instead). [[dropBranch]] releases the pin. */
+  def branch(name: String, asOfGeneration: Long = -1L,
+             asOfTag: String = null): Collection = {
     requireTagName(name)
-    Collection.cloneTo(spark, root, s"$root/$BranchDir/$name")
+    cloneTo(s"$root/$BranchDir/$name", asOfGeneration, asOfTag)
   }
 
   /** Open an existing branch. */
@@ -1340,6 +1386,114 @@ final class Collection private (
   /** Does this collection's head reference files outside its own tree? */
   def isExternalClone: Boolean =
     currentManifest().shards.exists(e => currentManifest().shardData(e).files.exists(isExternal))
+
+  /** MATERIALIZE a shallow clone: copy every still-external file into
+    * this collection's own tree and commit a manifest with purely local
+    * references — the escape hatch from the clone durability contract
+    * (run it BEFORE the source is vacuumed or decommissioned, and the
+    * clone becomes a self-contained deep copy; Delta: `CLONE` deep).
+    *
+    * The byte copies run as ONE distributed Spark job (a 100 TB
+    * materialize is bounded by cluster IO, not the driver); rel paths
+    * are preserved, so zone maps, blooms, row counts and commit
+    * generations carry over by re-key — no footer is re-read, no row
+    * re-written. The commit is content-preserving and marks every
+    * touched partition as a REWRITE, so tailing streams skip it exactly
+    * like a compaction. Crash-safe: copies land before the commit;
+    * a crash leaves unreferenced local copies for [[vacuum]].
+    *
+    * Returns the localized references (empty = nothing was external). */
+  def materialize(): Seq[String] = {
+    requireWritable()
+    val man = currentManifest()
+    val byShard = man.shards.map(e => e -> man.shardData(e))
+    val ext = byShard.flatMap(_._2.files).filter(isExternal)
+    if (ext.isEmpty) return Nil
+    val rootStr = root
+    val bc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    spark.sparkContext.parallelize(ext, math.min(ext.size, 256)).foreach { f =>
+      val conf = bc.value.value
+      val src = new Path(absOf(rootStr, f))
+      val dst = new Path(s"$rootStr/${relOf(f)}")
+      val dstFs = dst.getFileSystem(conf)
+      if (dstFs.exists(dst)) {
+        // rel names are writer-unique task UUIDs — an existing file of a
+        // DIFFERENT length is a genuine collision, not idempotent retry
+        val srcLen = src.getFileSystem(conf).getFileStatus(src).getLen
+        if (dstFs.getFileStatus(dst).getLen != srcLen)
+          throw new IllegalStateException(
+            s"materialize collision: $dst exists with different content than $src")
+      } else {
+        dstFs.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(
+          src.getFileSystem(conf), src, dstFs, dst, false, conf)
+      }
+    }
+    val rewritten = scala.collection.mutable.Set.empty[String]
+    val entries = byShard.map { case (e, d) =>
+      if (!d.files.exists(isExternal)) e
+      else {
+        val files = d.files.map(relOf)
+        val stats = d.stats.map { case (f, v) => relOf(f) -> v }
+        val rows = d.rows.map { case (f, v) => relOf(f) -> v }
+        val gens = d.gens.map { case (f, v) => relOf(f) -> v }
+        val name = shardName(files, stats, rows, gens)
+        writeShardIfAbsent(fs, manifestDir, name, files, stats, rows, gens)
+        rewritten ++= e.partitions.map(p => joinPath(e.prefix, p))
+        ShardEntry(e.prefix, e.partitions, name, e.rollup, e.rowTotal)
+      }
+    }
+    commitManifest(man.withShards(man.generation + 1, man.taskBase, entries,
+      newRewrites = rewritten.toSet, newOp = Some("materialize")))
+    ext.sorted
+  }
+
+  /** PROMOTE a branch: apply the exact row-level diff the branch made
+    * since it was forked back into this (parent) collection, as one
+    * atomic commit — the merge-back the Icechunk session workflow ends
+    * with (`session.commit()`), re-expressed through the CDC layer:
+    * the branch's [[changes]] from its fork point to its head is the
+    * promotion payload (deletes subtract multiset-exactly, inserts
+    * append), and only the touched partitions rewrite.
+    *
+    * Fast-forward by default: refuses when the parent has committed
+    * past the fork point (`allowDiverged = true` applies the branch
+    * diff on top of the parent's CURRENT state instead — last-writer-
+    * wins at row granularity, no 3-way merge). Refuses if the branch
+    * evolved its schema (evolve the parent first, then promote).
+    * CHECK constraints re-validate the promoted rows. Returns the
+    * parent partitions rewritten. */
+  def promoteBranch(name: String, allowDiverged: Boolean = false): Seq[String] = {
+    requireWritable()
+    val b = openBranch(name, readOnly = true)
+    val forkGen = b.generations().head
+    if (b.generation == forkGen) return Nil // branch never committed
+    val man = currentManifest()
+    require(allowDiverged || man.generation == forkGen,
+      s"parent advanced past the branch fork point ($forkGen -> " +
+      s"${man.generation}); re-branch, or pass allowDiverged=true to " +
+      "apply the branch's row diff onto the current state")
+    require(b.schema.toDDL == StructType.fromDDL(man.schemaDdl).toDDL,
+      s"branch '$name' evolved its schema; evolve the parent to match " +
+      "before promoting")
+    val cols = StructType.fromDDL(man.schemaDdl).fieldNames.toSeq
+    val diff = b.changes(forkGen, b.generation)
+    val inserts = diff.where(col(ChangeTypeCol) === "insert").select(cols.map(col): _*)
+    val deletes = diff.where(col(ChangeTypeCol) === "delete").select(cols.map(col): _*)
+    // touched parent partitions: anywhere the diff lands on either side
+    // (the distinct key set is small — bounded by partitions, not rows)
+    val touched = distinctKeys(partitioning.assign(inserts.unionByName(deletes)))
+      .map(keyPath)
+    val existing = man.partitionPaths.toSet
+    val replaced = touched.filter(existing.contains).toSet
+    val existingRows = readManifestFiles(man, man.filesForPartitions(replaced))
+      .select(cols.map(col): _*)
+    val out = existingRows.exceptAll(deletes).unionAll(inserts)
+    writeAndCommit(partitioning.assign(out), replaced = replaced, base = man,
+      op = "promote")
+    touched.sorted
+  }
 
   /** RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`): roll the
     * collection BACK to snapshot `gen` as a NEW commit — the head
@@ -4096,7 +4250,12 @@ object Collection {
     * references — pin the clone point with [[Collection.tag]] on the
     * source if the source is actively mutating ([[Collection.fsck]] on
     * the clone detects a vacuumed-away base). */
-  def cloneTo(spark: SparkSession, srcRoot: String, destRoot: String): Collection = {
+  /** @param asOfGeneration clone the source AS OF this committed
+    *        generation instead of its head (the Icechunk branch-from-
+    *        snapshot shape; pin it with a [[Collection.tag]] first if
+    *        the source GCs aggressively). -1 = the current head. */
+  def cloneTo(spark: SparkSession, srcRoot: String, destRoot: String,
+              asOfGeneration: Long = -1L): Collection = {
     val src = open(spark, srcRoot, readOnly = true)
     val destFs = fileSystem(spark, destRoot)
     val destCfg = new Path(s"$destRoot/$ConfigFile")
@@ -4106,7 +4265,19 @@ object Collection {
     // qualified base URI: refs must resolve from ANY working directory
     // and any handle, not just ones opened with the same root string
     val base = srcFs.makeQualified(new Path(srcRoot)).toString.stripSuffix("/")
-    val man = src.currentManifest()
+    val man =
+      if (asOfGeneration < 0) src.currentManifest()
+      else {
+        require(src.generations().contains(asOfGeneration),
+          s"no committed generation $asOfGeneration at $srcRoot")
+        val m = src.manifestAt(asOfGeneration)
+        // an old snapshot must still be interpretable under the CURRENT
+        // layout — cloning across a repartitioning would mis-prune
+        require(m.partSpec == src.currentManifest().partSpec,
+          s"generation $asOfGeneration predates a partition-layout change; " +
+          "clone the head or restore first")
+        m
+      }
     val destManifestDir = new Path(s"$destRoot/$ManifestDir")
     destFs.mkdirs(destManifestDir)
     // per-subtree: rebase every file ref onto the source root (already-

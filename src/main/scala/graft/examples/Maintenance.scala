@@ -81,6 +81,10 @@ object Maintenance {
     dev.updateWhere("event_type == 'click'", Map("value" -> "value * 2.0"))
     println(s"branch rows: ${dev.query().count()} (parent: ${c.query().count()}, " +
       s"branches: ${c.branches().mkString(",")}, tags: ${c.tags().keys.mkString(",")})")
+    // the experiment worked: merge the branch's row diff back into the
+    // parent (one atomic commit), then clean up
+    val promoted = c.promoteBranch("exp-42")
+    println(s"promoted exp-42: ${promoted.size} partition(s) touched")
     c.dropBranch("exp-42")
     c.deleteTag("pre-experiment")
 

@@ -237,6 +237,110 @@ class CloneSpec extends AnyFunSuite {
     assert(rows(c).map(_._1) == Seq(1L, 2L, 3L, 4L), "dropBranch only removes branch-owned state")
   }
 
+  test("materialize localizes every external ref; the clone survives the source") {
+    val srcRoot = SparkTestSession.tmp("mat-src")
+    val dstRoot = SparkTestSession.tmp("mat-dst")
+    val src = fresh(srcRoot)
+    val dst = src.cloneTo(dstRoot)
+    // mixed state: one partition rewritten locally, the rest external
+    dst.updateWhere("id == 1", Map("v" -> "1.5"))
+    val localized = dst.materialize()
+    assert(localized.nonEmpty, "the untouched partitions were external and must localize")
+    assert(!dst.isExternalClone, "after materialize no external refs remain")
+    assert(localParquets(dstRoot).nonEmpty)
+    // content-preserving commit, rewrite-marked for tailing streams
+    val hist = dst.describeHistory().orderBy(col("generation").desc).limit(1)
+      .select("operation", "rewritten_partitions").collect().head
+    assert(hist.getString(0) == "materialize" && hist.getInt(1) > 0)
+    // the source can now disappear entirely
+    val fs = new Path(srcRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(srcRoot), true)
+    assert(rows(dst) == Seq((1L, 1.5), (2L, 2.0), (3L, 3.0), (4L, 4.0)))
+    assert(dst.fsck().clean)
+    // skip layers carried through the re-key: still pruning
+    val rep = dst.explainPruning("id == 4")
+    assert(rep.filesAfterBloom < rep.filesListed, s"must still skip: $rep")
+    // nothing to reclaim: every copied file is live
+    assert(dst.vacuum(graceMs = 0L).isEmpty)
+    // idempotent: a second call is a no-op with no commit
+    val gen = dst.generation
+    assert(dst.materialize().isEmpty && dst.generation == gen)
+  }
+
+  test("promoteBranch applies the branch's exact row diff to the parent") {
+    val c = fresh(SparkTestSession.tmp("promote"))
+    val dev = c.branch("dev")
+    dev.updateWhere("id == 2", Map("v" -> "22.0"))
+    dev.deleteWhere("id == 3")
+    dev.insert(mk((6L, "2024-01-06 10:00:00", 6.0)), MergeStrategy.Concat)
+    val touched = c.promoteBranch("dev")
+    assert(touched.nonEmpty)
+    assert(rows(c) == Seq((1L, 1.0), (2L, 22.0), (4L, 4.0), (6L, 6.0)),
+      s"parent must equal the branch after promotion: ${rows(c)}")
+    assert(rows(c) == rows(c.openBranch("dev", readOnly = true)))
+    val hist = c.describeHistory().orderBy(col("generation").desc).limit(1)
+      .select("operation").collect().head.getString(0)
+    assert(hist == "promote")
+    c.dropBranch("dev")
+  }
+
+  test("parent rewrites and vacuum pin a live branch's fork-point files") {
+    val c = fresh(SparkTestSession.tmp("branch-pin"))
+    val dev = c.branch("dev")
+    // parent rewrites a partition the branch still references at its
+    // fork point (retainGenerations=0: immediate GC — without the
+    // branch pin this deletes the file out from under the branch)
+    c.updateWhere("id == 1", Map("v" -> "100.0"))
+    assert(rows(c.openBranch("dev", readOnly = true)) ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)),
+      "the branch must keep reading its fork-point state")
+    // vacuum honors the same pin and the orphan report agrees
+    assert(c.vacuum(graceMs = 0L).isEmpty)
+    assert(c.fsck().orphanFiles.isEmpty)
+    assert(rows(c.openBranch("dev", readOnly = true)).contains((1L, 1.0)))
+    // dropping the branch releases the pin
+    c.dropBranch("dev")
+    assert(c.vacuum(graceMs = 0L).nonEmpty,
+      "after dropBranch the fork-point file becomes reclaimable")
+  }
+
+  test("promoteBranch contract: fast-forward check, empty branch, schema drift") {
+    val c = fresh(SparkTestSession.tmp("promote-c"))
+    val dev = c.branch("dev")
+    assert(c.promoteBranch("dev").isEmpty, "an uncommitted branch promotes to nothing")
+
+    dev.deleteWhere("id == 4")
+    // parent advances past the fork point -> refuse ...
+    c.insert(mk((7L, "2024-01-07 10:00:00", 7.0)), MergeStrategy.Concat)
+    val e = intercept[IllegalArgumentException](c.promoteBranch("dev"))
+    assert(e.getMessage.contains("fork point"))
+    // ... unless explicitly allowed: diff applies onto the CURRENT state
+    c.promoteBranch("dev", allowDiverged = true)
+    assert(rows(c).map(_._1) == Seq(1L, 2L, 3L, 7L), s"got ${rows(c)}")
+
+    // schema drift refuses
+    val dev2 = c.branch("dev2")
+    dev2.addVariable("extra", org.apache.spark.sql.types.DoubleType)
+    dev2.updateWhere("id == 1", Map("v" -> "0.0"))
+    val e2 = intercept[IllegalArgumentException](c.promoteBranch("dev2"))
+    assert(e2.getMessage.contains("schema"))
+  }
+
+  test("clone AS OF a generation / tag forks the past snapshot") {
+    val c = fresh(SparkTestSession.tmp("clone-asof"), retain = 4)
+    c.tag("v1")
+    c.insert(mk((9L, "2024-01-09 10:00:00", 9.0)), MergeStrategy.Concat)
+    val atTag = c.cloneTo(SparkTestSession.tmp("clone-asof-tag"), asOfTag = "v1")
+    assert(rows(atTag).map(_._1) == Seq(1L, 2L, 3L, 4L),
+      "the tag clone must not see the later insert")
+    val atHead = c.cloneTo(SparkTestSession.tmp("clone-asof-head"))
+    assert(rows(atHead).map(_._1) == Seq(1L, 2L, 3L, 4L, 9L))
+    val dev = c.branch("old", asOfTag = "v1")
+    assert(rows(dev).map(_._1) == Seq(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException](
+      c.cloneTo(SparkTestSession.tmp("clone-asof-x"), asOfTag = "nope"))
+  }
+
   test("bloom + zone-map skip layers prune through external refs") {
     val src = fresh(SparkTestSession.tmp("clone-p-src"))
     val dst = src.cloneTo(SparkTestSession.tmp("clone-p-dst"))
