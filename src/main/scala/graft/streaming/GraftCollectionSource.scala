@@ -350,7 +350,8 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
       sqlContext: SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
     val root = rootOf(parameters)
-    // time travel via read options (Delta's versionAsOf/timestampAsOf)
+    // time travel via read options (Delta's versionAsOf/timestampAsOf,
+    // plus tagAsOf — a named snapshot, r8)
     val asOf = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf").map { v =>
         val ms = try v.toLong
@@ -359,6 +360,11 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
         val c = Collection.open(sqlContext.sparkSession, root, readOnly = true)
         c.generationAsOf(ms).getOrElse(throw new IllegalArgumentException(
           s"no snapshot committed at or before $v at $root"))
+      })
+      .orElse(parameters.get("tagAsOf").map { t =>
+        val c = Collection.open(sqlContext.sparkSession, root, readOnly = true)
+        c.tags().getOrElse(t, throw new IllegalArgumentException(
+          s"no tag '$t' at $root"))
       })
     new graft.sources.GraftRelation(sqlContext, root, asOf)
   }

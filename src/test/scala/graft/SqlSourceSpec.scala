@@ -125,6 +125,14 @@ class SqlSourceSpec extends AnyFunSuite {
       .where("id >= 3").count() == 2)
     intercept[Exception](spark.read.format("graft")
       .option("versionAsOf", 999L).load(root).count())
+
+    // tagAsOf (r8): the named-snapshot form of the same pin — and the
+    // tag KEEPS the old files alive without a retention count
+    c.tag("pre-delete", g0)
+    assert(spark.read.format("graft").option("tagAsOf", "pre-delete").load(root)
+      .count() == 4, "tagAsOf must read the tagged snapshot")
+    intercept[Exception](spark.read.format("graft")
+      .option("tagAsOf", "nope").load(root).count())
   }
 
   test("filter translation: strictness under Or/Not, conjunct dropping at top level") {
