@@ -135,8 +135,19 @@ object Bench {
     // BASELINE.md compare like-for-like.
     val refResults = refSuite(spark, reps)
 
+    // Pure fork cost on the shared collection — the O(metadata) claim
+    // in numbers: cloning must not scale with data volume (each pass
+    // clones to a fresh root; the manifest+shard JSON writes ARE the
+    // whole cost).
+    val cloneSec = {
+      val c = SparkEntry.eventsCollection(spark, sfDir)
+      minOf(reps)(time {
+        c.cloneTo(c.root + "-fork-" + java.util.UUID.randomUUID().toString.take(8))
+      })
+    }
+
     val qs = (Seq("zc_build" -> buildSec, "zc_build_skip" -> buildSkipSec) ++ results) ++
-      Seq("view_query" -> viewSec) ++ refResults
+      Seq("view_query" -> viewSec, "clone_fork" -> cloneSec) ++ refResults
     val qsJson = qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = buildSec + buildSkipSec + results.map(_._2).sum +
       refResults.filterNot(_._1.startsWith("insert_")).map(_._2).sum +

@@ -326,6 +326,81 @@ class CloneSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("schema"))
   }
 
+  test("promote racing a parent insert: linearizable — both land or a loud conflict") {
+    // promote pins its read snapshot like every read-modify-write
+    // commit: a parent insert landing between promote's fast-forward
+    // check and its publish either rebases cleanly (disjoint
+    // partitions) or surfaces as ConcurrentModificationException —
+    // never a silent erase of either side's rows.
+    val root = SparkTestSession.tmp("promote-race")
+    val c = fresh(root)
+    val dev = c.branch("dev")
+    dev.updateWhere("id == 2", Map("v" -> "22.0"))
+    val writer = Collection.open(spark, root)
+
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new Array[Option[Throwable]](2)
+    val t1 = new Thread(() => {
+      barrier.await()
+      errs(0) = try { c.promoteBranch("dev"); None } catch { case e: Throwable => Some(e) }
+    })
+    val t2 = new Thread(() => {
+      barrier.await()
+      errs(1) = try {
+        writer.insert(mk((8L, "2024-01-08 10:00:00", 8.0)), MergeStrategy.Concat); None
+      } catch { case e: Throwable => Some(e) }
+    })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    errs.flatten.foreach(e => assert(
+      e.isInstanceOf[java.util.ConcurrentModificationException] ||
+        e.getMessage.contains("fork point"),
+      s"only a loud conflict/fork-point refusal may fail, got $e"))
+    val finalRows = rows(Collection.open(spark, root, readOnly = true))
+    val promoted = errs(0).isEmpty
+    val inserted = errs(1).isEmpty
+    val expect =
+      (if (promoted) Seq((1L, 1.0), (2L, 22.0), (3L, 3.0), (4L, 4.0))
+       else Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))) ++
+      (if (inserted) Seq((8L, 8.0)) else Nil)
+    assert(finalRows == expect.sorted,
+      s"final state must reflect exactly the successful commits " +
+      s"(promoted=$promoted inserted=$inserted): $finalRows")
+    assert(promoted || inserted, "at least one writer must succeed")
+  }
+
+  test("promote law: branch-then-promote equals applying the mutations directly") {
+    // For any mutation sequence M: promote(branch.M) must leave the
+    // parent in exactly the state M(parent) would have — the algebraic
+    // contract that makes a branch a safe staging area. Checked over
+    // several mutation programs including rewrites, deletes, appends,
+    // and their compositions on overlapping partitions.
+    val programs: Seq[(String, Collection => Unit)] = Seq(
+      "update-only" -> (h => h.updateWhere("id <= 2", Map("v" -> "v * 10.0"))),
+      "delete-then-append" -> { h =>
+        h.deleteWhere("id == 1")
+        h.insert(mk((7L, "2024-01-01 12:00:00", 7.0)), MergeStrategy.Concat)
+      },
+      "compose-same-partition" -> { h =>
+        h.updateWhere("id == 2", Map("v" -> "v + 1.0"))
+        h.updateWhere("id == 2", Map("v" -> "v * 3.0"))
+        h.deleteWhere("id == 4")
+      },
+      "drop-partition-via-rows" -> { h =>
+        h.deleteWhere("id == 3") // day=2 becomes empty and disappears
+        h.insert(mk((9L, "2024-01-02 09:00:00", 9.0)), MergeStrategy.Concat)
+      })
+    for ((name, prog) <- programs) {
+      val branched = fresh(SparkTestSession.tmp(s"law-b-$name"))
+      val direct = fresh(SparkTestSession.tmp(s"law-d-$name"))
+      val dev = branched.branch("work")
+      prog(dev)
+      branched.promoteBranch("work")
+      prog(direct)
+      assert(rows(branched) == rows(direct),
+        s"program '$name': promoted ${rows(branched)} != direct ${rows(direct)}")
+    }
+  }
+
   test("clone AS OF a generation / tag forks the past snapshot") {
     val c = fresh(SparkTestSession.tmp("clone-asof"), retain = 4)
     c.tag("v1")
