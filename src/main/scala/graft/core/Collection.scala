@@ -744,9 +744,9 @@ final class Collection private (
                                 op: String = "write"): Unit = {
     var base = prev
     var attempts = 0
-    val (newStats, newRows) = fileStats(newFiles) // once — retries reuse it
+    val (newStats, newRows, newBytes) = fileStats(newFiles) // once — retries reuse it
     while (true) {
-      try { commitDeltaOnce(base, newFiles, newStats, newRows, dropped, taskBump, streamMark, rewrite, droppedFiles, newPartSpec, op); return }
+      try { commitDeltaOnce(base, newFiles, newStats, newRows, newBytes, dropped, taskBump, streamMark, rewrite, droppedFiles, newPartSpec, op); return }
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -805,6 +805,7 @@ final class Collection private (
   private def commitDeltaOnce(prev: Manifest, newFiles: Seq[String],
                               newStats: Map[String, Map[String, ColStat]],
                               newRows: Map[String, Long],
+                              newBytes: Map[String, Long],
                               dropped: Set[String], taskBump: Long,
                               streamMark: Option[(String, Long)] = None,
                               rewrite: Boolean = false,
@@ -835,16 +836,18 @@ final class Collection private (
         }
         val stats = (oldNorm ++ newStats).filter { case (f, _) => fileSet(f) }
         val rows = (oldData.rows ++ newRows).filter { case (f, _) => fileSet(f) }
+        val bytes = (oldData.bytes ++ newBytes).filter { case (f, _) => fileSet(f) }
         val newGen = prev.generation + 1
         val gens = (oldData.gens ++
           newByPrefix.getOrElse(pfx, Nil).map(_ -> newGen))
           .filter { case (f, _) => fileSet(f) }
-        val name = shardName(files, stats, rows, gens)
-        writeShardIfAbsent(fs, manifestDir, name, files, stats, rows, gens)
+        val name = shardName(files, stats, rows, gens, bytes)
+        writeShardIfAbsent(fs, manifestDir, name, files, stats, rows, gens, bytes)
         Some(ShardEntry(pfx,
           files.map(f => parentRel(f).substring(pfx.length).stripPrefix("/")).distinct.sorted,
           name, rollupOf(files, stats),
-          rowTotal = if (files.forall(rows.contains)) Some(files.map(rows).sum) else None))
+          rowTotal = if (files.forall(rows.contains)) Some(files.map(rows).sum) else None,
+          byteTotal = if (files.forall(bytes.contains)) Some(files.map(bytes).sum) else None))
       }
     }
     commitManifest(prev.withShards(
@@ -1030,7 +1033,7 @@ final class Collection private (
         val recorded = byShard.flatMap(_.rows).toMap
         val missingSet = missing.toSet
         val present = files.filterNot(missingSet.contains)
-        val (_, actualRows) = fileStats(present)
+        val (_, actualRows, _) = fileStats(present)
         present.flatMap { f =>
           for (r <- recorded.get(f); a <- actualRows.get(f) if r != a)
             yield (f, r, a)
@@ -1438,10 +1441,11 @@ final class Collection private (
         val stats = d.stats.map { case (f, v) => relOf(f) -> v }
         val rows = d.rows.map { case (f, v) => relOf(f) -> v }
         val gens = d.gens.map { case (f, v) => relOf(f) -> v }
-        val name = shardName(files, stats, rows, gens)
-        writeShardIfAbsent(fs, manifestDir, name, files, stats, rows, gens)
+        val sizes = d.bytes.map { case (f, v) => relOf(f) -> v }
+        val name = shardName(files, stats, rows, gens, sizes)
+        writeShardIfAbsent(fs, manifestDir, name, files, stats, rows, gens, sizes)
         rewritten ++= e.partitions.map(p => joinPath(e.prefix, p))
-        ShardEntry(e.prefix, e.partitions, name, e.rollup, e.rowTotal)
+        ShardEntry(e.prefix, e.partitions, name, e.rollup, e.rowTotal, e.byteTotal)
       }
     }
     commitManifest(man.withShards(man.generation + 1, man.taskBase, entries,
@@ -1684,6 +1688,14 @@ final class Collection private (
     * any file without a recorded count (pre-format files — rewrite via
     * [[compact]] to upgrade), fall back to a pruned scan-count. The
     * reference answers `len()` from Zarr array metadata the same way. */
+  /** Collection size in bytes from manifest metadata alone — `Some`
+    * iff every file recorded a size at commit ([[backfillStats]] fills
+    * legacy gaps). O(root): served entirely from the byte rollups, zero
+    * shard IO, zero filesystem stats. The SQL relation surfaces it to
+    * Catalyst as `sizeInBytes`, so a small registered graft table picks
+    * the broadcast side of a join automatically. */
+  def sizeOnDisk(): Option[Long] = currentManifest().byteTotal
+
   def countRows(filters: String = null): Long = {
     val ast = FilterExpr.parse(filters)
     val man = currentManifest()
@@ -1735,6 +1747,10 @@ final class Collection private (
           if (files.nonEmpty && files.forall(d.rows.contains))
             files.map(d.rows).sum
           else null
+        val nBytes: Any =
+          if (files.nonEmpty && files.forall(d.bytes.contains))
+            files.map(d.bytes).sum
+          else null
         val axisBounds: Option[(Any, Any)] = dom.flatMap { dm =>
           val sts = files.map(f => d.stats.get(f)
             .flatMap(bc => bc.get(axis).orElse(bc.get(LegacyAxisKey)))
@@ -1745,7 +1761,7 @@ final class Collection private (
             sts.flatten.map(_._2).reduce((a, b) => if (dm.cmp(a, b) >= 0) a else b)))
         }
         org.apache.spark.sql.Row(
-          full, files.size, nRows,
+          full, files.size, nRows, nBytes,
           axisBounds.map(_._1.toString).orNull,
           axisBounds.map(_._2.toString).orNull)
       }
@@ -1754,6 +1770,7 @@ final class Collection private (
       StructField("partition", StringType),
       StructField("n_files", IntegerType),
       StructField("n_rows", LongType),
+      StructField("bytes", LongType),
       StructField("axis_min", StringType),
       StructField("axis_max", StringType)))
     spark.createDataFrame(
@@ -1848,11 +1865,12 @@ final class Collection private (
     val man = currentManifest()
     val missingByShard = man.shards.map { e =>
       val d = man.shardData(e)
-      e -> d.files.filterNot(f => d.stats.contains(f) && d.rows.contains(f))
+      e -> d.files.filterNot(f =>
+        d.stats.contains(f) && d.rows.contains(f) && d.bytes.contains(f))
     }.toMap
     val missing = missingByShard.values.flatten.toSeq
     if (missing.isEmpty) return 0
-    val (stats, rows) = fileStats(missing)
+    val (stats, rows, sizes) = fileStats(missing)
     val entries = man.shards.map { e =>
       if (missingByShard(e).isEmpty) e
       else {
@@ -1865,13 +1883,15 @@ final class Collection private (
           }
         }
         val rw = d.rows ++ rows.filter { case (f, _) => fileSet(f) }
+        val bw = d.bytes ++ sizes.filter { case (f, _) => fileSet(f) }
         // carry the per-file commit generations through the rebuild —
         // dropping them would silently disable schema-generation pruning
         // for every file in the backfilled shard
-        val name = shardName(d.files, st, rw, d.gens)
-        writeShardIfAbsent(fs, manifestDir, name, d.files, st, rw, d.gens)
+        val name = shardName(d.files, st, rw, d.gens, bw)
+        writeShardIfAbsent(fs, manifestDir, name, d.files, st, rw, d.gens, bw)
         e.copy(file = name, rollup = rollupOf(d.files, st),
-          rowTotal = if (d.files.forall(rw.contains)) Some(d.files.map(rw).sum) else None)
+          rowTotal = if (d.files.forall(rw.contains)) Some(d.files.map(rw).sum) else None,
+          byteTotal = if (d.files.forall(bw.contains)) Some(d.files.map(bw).sum) else None)
       }
     }
     commitManifest(man.withShards(man.generation + 1, man.taskBase, entries))
@@ -2146,10 +2166,11 @@ final class Collection private (
     * total. Small commits read footers on the driver; large ones fan the
     * footer reads out as one Spark job — at a 10^7-file initial load the
     * driver never serializes on footer IO. */
-  private def fileStats(newFiles: Seq[String]): (Map[String, Map[String, ColStat]], Map[String, Long]) = {
+  private def fileStats(newFiles: Seq[String])
+      : (Map[String, Map[String, ColStat]], Map[String, Long], Map[String, Long]) = {
     val cols = statsCols.filter(c => columnDomain(c).isDefined)
       .map(c => (c, expectTsAdjusted(c)))
-    if (newFiles.isEmpty || cols.isEmpty) return (Map.empty, Map.empty)
+    if (newFiles.isEmpty || cols.isEmpty) return (Map.empty, Map.empty, Map.empty)
     val rootStr = root
     val triples =
       if (newFiles.size <= 64) {
@@ -2171,7 +2192,8 @@ final class Collection private (
         s"$rootStr (files without usable footer statistics are never pruned; " +
         "failed footer reads are logged at WARN)")
     (usable.map(t => t._1 -> t._2).toMap,
-     triples.flatMap(t => t._3.map(t._1 -> _)).toMap)
+     triples.flatMap(t => t._3.map(t._1 -> _)).toMap,
+     triples.flatMap(t => t._4.map(t._1 -> _)).toMap)
   }
 
   /** Zone-map columns: the axis plus the declared hot data columns. */
@@ -2772,10 +2794,15 @@ final class Collection private (
     val chosen = Seq.newBuilder[String]
     fragmented.foreach { case (p, files) =>
       if (budget > 0L) {
+        // manifest-recorded sizes first (metadata-only at 100 TB); a
+        // per-file stat only for legacy files without one
+        val recorded = man.bytesForFiles(files)
         val bytes =
           try files.map { f =>
-            val p = new Path(absOf(root, f))
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+            recorded.getOrElse(f, {
+              val pp = new Path(absOf(root, f))
+              pp.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(pp).getLen
+            })
           }.sum
           catch { case _: Exception => Long.MaxValue } // unstat-able: skip
         if (bytes <= budget) { chosen += p; budget -= bytes }
@@ -3027,7 +3054,11 @@ object Collection {
       rollup: Map[String, ColStat] = Map.empty,
       /** Subtree row total (present iff every file recorded a count) —
         * a full-collection count() is O(root), zero shard IO. */
-      rowTotal: Option[Long] = None)
+      rowTotal: Option[Long] = None,
+      /** Subtree byte total (present iff every file recorded a size) —
+        * [[Collection.sizeOnDisk]] and the SQL relation's CBO
+        * `sizeInBytes` read it off the root, zero shard IO. */
+      byteTotal: Option[Long] = None)
 
   private[core] def joinPath(prefix: String, last: String): String =
     if (prefix.isEmpty) last else s"$prefix/$last"
@@ -3155,16 +3186,20 @@ object Collection {
     * (local-wallclock micros), `None` for non-timestamp columns. */
   private[core] def footerColumnStats(rootStr: String, rel: String,
                                       cols: Seq[(String, Option[Boolean])],
-                                      conf: org.apache.hadoop.conf.Configuration): (String, Map[String, ColStat], Option[Long]) =
+                                      conf: org.apache.hadoop.conf.Configuration): (String, Map[String, ColStat], Option[Long], Option[Long]) =
     try {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       import org.apache.parquet.schema.LogicalTypeAnnotation
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new Path(absOf(rootStr, rel)), conf)
+      // file length rides the footer open for free (HadoopInputFile
+      // wraps the FileStatus) -> per-file bytes in the manifest, so
+      // compaction planning and CBO size estimates go metadata-only
+      val bytes = Some(in.getLength)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = reader.getFooter.getBlocks.asScala
-        if (blocks.isEmpty) return (rel, Map.empty, Some(0L))
+        if (blocks.isEmpty) return (rel, Map.empty, Some(0L), bytes)
         val out = cols.flatMap { case (colName, expectTsAdjusted) =>
           var lo: Any = null
           var hi: Any = null
@@ -3240,7 +3275,7 @@ object Collection {
             Some(colName -> ColStat(lo.toString, hi.toString, nulls))
           else None
         }.toMap
-        (rel, out, Some(blocks.map(_.getRowCount).sum))
+        (rel, out, Some(blocks.map(_.getRowCount).sum), bytes)
       } finally reader.close()
     } catch {
       case e: Exception =>
@@ -3248,7 +3283,7 @@ object Collection {
         // nameservice) must be DIAGNOSABLE, not a silent no-stats file —
         // the file stays unprunable either way, which is always correct
         statsLog.warn(s"zone-map stats unavailable for $rootStr/$rel: $e")
-        (rel, Map.empty, None)
+        (rel, Map.empty, None, None)
     }
 
   /** One bloom-prune obligation: the filter implies `col` ∈ `values`
@@ -3432,7 +3467,13 @@ object Collection {
       /** Per-file COMMIT generation — files whose generation predates a
         * column's [[Manifest.columnSince]] entry are provably all-null
         * for it (schema-generation pruning). Absent for legacy files. */
-      gens: Map[String, Long] = Map.empty)
+      gens: Map[String, Long] = Map.empty,
+      /** Per-file SIZE in bytes (captured off the same FileStatus the
+        * commit-time footer pass opens — zero extra RPCs): compaction
+        * planning and CBO size estimates go metadata-only. Absent for
+        * files written before sizes were recorded
+        * ([[Collection.backfillStats]] fills them in). */
+      bytes: Map[String, Long] = Map.empty)
 
   private[graft] final class Manifest(
       val generation: Long,
@@ -3533,6 +3574,20 @@ object Collection {
       shards.filter(e => prefixes(e.prefix))
         .flatMap(e => shardData(e).gens).toMap
     }
+
+    /** Recorded file sizes of exactly the shards containing `files`. */
+    def bytesForFiles(files: Seq[String]): Map[String, Long] = {
+      val prefixes = files.map(f => prefixOf(parentRel(f))).toSet
+      shards.filter(e => prefixes(e.prefix))
+        .flatMap(e => shardData(e).bytes).toMap
+    }
+
+    /** Collection bytes from the ROOT alone — present iff every subtree
+      * carries a byte rollup (all files size-recorded). Zero shard IO. */
+    def byteTotal: Option[Long] =
+      if (shards.isEmpty) Some(0L)
+      else if (shards.forall(_.byteTotal.isDefined)) Some(shards.flatMap(_.byteTotal).sum)
+      else None
 
     /** How many shard file lists this snapshot has loaded — the
       * observable proving a pruned read touched only its shards. */
@@ -3650,7 +3705,8 @@ object Collection {
       files: Seq[String],
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       rows: Map[String, Long] = Map.empty,
-      gens: Map[String, Long] = Map.empty): String = {
+      gens: Map[String, Long] = Map.empty,
+      bytes: Map[String, Long] = Map.empty): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(files.mkString("\n").getBytes("UTF-8"))
     // stats participate in the content address (same file list with new
@@ -3668,6 +3724,9 @@ object Collection {
         .mkString("\n").getBytes("UTF-8"))
     if (gens.nonEmpty)
       md.update(gens.toSeq.sorted.map(e => e._1 + "@" + e._2)
+        .mkString("\n").getBytes("UTF-8"))
+    if (bytes.nonEmpty)
+      md.update(bytes.toSeq.sorted.map(e => e._1 + "!" + e._2)
         .mkString("\n").getBytes("UTF-8"))
     s"$ShardDir/shard-${md.digest().map("%02x".format(_)).mkString}.json"
   }
@@ -3709,7 +3768,12 @@ object Collection {
         case (f, n) => f -> n.toString.toLong
       }.toMap)
       .getOrElse(Map.empty[String, Long])
-    ShardData(files, legacy ++ cols, rows, gens)
+    val bytes = Option(doc.get("bytes"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map {
+        case (f, n) => f -> n.toString.toLong
+      }.toMap)
+      .getOrElse(Map.empty[String, Long])
+    ShardData(files, legacy ++ cols, rows, gens, bytes)
   }
 
   /** Write a shard file if absent (content-addressed: an existing file
@@ -3718,7 +3782,8 @@ object Collection {
       fs: FileSystem, manifestDir: Path, rel: String, files: Seq[String],
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       rows: Map[String, Long] = Map.empty,
-      gens: Map[String, Long] = Map.empty): Unit = {
+      gens: Map[String, Long] = Map.empty,
+      bytes: Map[String, Long] = Map.empty): Unit = {
     val p = new Path(manifestDir, rel)
     if (fs.exists(p)) return
     val doc = new java.util.LinkedHashMap[String, Object]()
@@ -3746,6 +3811,11 @@ object Collection {
       val gm = new java.util.LinkedHashMap[String, Object]()
       gens.toSeq.sortBy(_._1).foreach { case (f, n) => gm.put(f, java.lang.Long.valueOf(n)) }
       doc.put("gens", gm)
+    }
+    if (bytes.nonEmpty) {
+      val bm = new java.util.LinkedHashMap[String, Object]()
+      bytes.toSeq.sortBy(_._1).foreach { case (f, n) => bm.put(f, java.lang.Long.valueOf(n)) }
+      doc.put("bytes", bm)
     }
     writeJson(fs, p, doc)
   }
@@ -3818,7 +3888,8 @@ object Collection {
                   if (l.size > 2) Some(l.get(2).toString.toLong) else None)
               }.toMap)
               .getOrElse(Map.empty),
-            rowTotal = Option(m.get("rows")).map(_.toString.toLong))
+            rowTotal = Option(m.get("rows")).map(_.toString.toLong),
+            byteTotal = Option(m.get("bytes")).map(_.toString.toLong))
         }.toSeq
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => readShard(fs, dir, rel), streams,
@@ -3895,6 +3966,7 @@ object Collection {
         em.put("rollup", rm)
       }
       e.rowTotal.foreach(n => em.put("rows", java.lang.Long.valueOf(n)))
+      e.byteTotal.foreach(n => em.put("bytes", java.lang.Long.valueOf(n)))
       shardsArr.add(em)
     }
     doc.put("shards", shardsArr)
@@ -4290,9 +4362,10 @@ object Collection {
       val stats = d.stats.map { case (f, v) => externalRef(base, f) -> v }
       val rows = d.rows.map { case (f, v) => externalRef(base, f) -> v }
       val gens = d.gens.map { case (f, v) => externalRef(base, f) -> v }
-      val name = shardName(files, stats, rows, gens)
-      writeShardIfAbsent(destFs, destManifestDir, name, files, stats, rows, gens)
-      ShardEntry(e.prefix, e.partitions, name, e.rollup, e.rowTotal)
+      val sizes = d.bytes.map { case (f, v) => externalRef(base, f) -> v }
+      val name = shardName(files, stats, rows, gens, sizes)
+      writeShardIfAbsent(destFs, destManifestDir, name, files, stats, rows, gens, sizes)
+      ShardEntry(e.prefix, e.partitions, name, e.rollup, e.rowTotal, e.byteTotal)
     }
     // config: byte-equivalent copy of the source's, plus provenance attrs
     val in: java.io.InputStream = srcFs.open(new Path(s"$srcRoot/$ConfigFile"))

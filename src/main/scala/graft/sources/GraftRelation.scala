@@ -68,14 +68,20 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
   /** Our filters only PRUNE; the engine re-applies everything. */
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
-  /** Metadata-only cardinality estimate (row count from the manifest
-    * rollups x the schema's default row width) — feeds Catalyst's join
-    * planning, so a small graft dimension joined to a big fact
-    * broadcasts instead of shuffling. */
+  /** Metadata-only size estimate for Catalyst's join planning, so a
+    * small graft dimension joined to a big fact broadcasts instead of
+    * shuffling. Preference order: the manifest's exact byte rollup
+    * (r8 — the same on-disk-bytes convention Spark's own file relations
+    * report, O(root), zero stats), else row count x the schema's
+    * default row width, else unknown. */
   override def sizeInBytes: Long =
     try {
-      val rows = collection.countRows()
-      if (rows < 0) super.sizeInBytes else rows * math.max(1, schema.defaultSize)
+      collection.sizeOnDisk() match {
+        case Some(b) => b
+        case None =>
+          val rows = collection.countRows()
+          if (rows < 0) super.sizeInBytes else rows * math.max(1, schema.defaultSize)
+      }
     } catch { case _: Exception => super.sizeInBytes }
 
   private def sessionZone: java.time.ZoneId =

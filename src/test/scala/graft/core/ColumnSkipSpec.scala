@@ -513,9 +513,11 @@ class ColumnSkipSpec extends AnyFunSuite {
       Seq("year=2024/month=1/day=1", "year=2024/month=1/day=5"))
     assert(d(0).getLong(2) == 30L && d(1).getLong(2) == 10L)
     assert(d.forall(r => r.getInt(1) >= 1))
+    // recorded bytes per partition (r8) are present and positive
+    assert(d.forall(r => r.getLong(3) > 0L))
     // axis bounds are epoch-micros strings covering the inserted instants
-    val day1Lo = d(0).getString(3).toLong
-    val day1Hi = d(0).getString(4).toLong
+    val day1Lo = d(0).getString(4).toLong
+    val day1Hi = d(0).getString(5).toLong
     val t = java.time.Instant.parse("2024-01-01T10:00:00Z").getEpochSecond * 1000000L
     assert(day1Lo == t && day1Hi == t)
   }
