@@ -61,6 +61,7 @@ object Cli {
                    |partitioning: ${c.partitioning.name} (${c.partitioning.axis.mkString("/")})
                    |profile: ${c.profile.name}
                    |n_partitions: ${c.partitions().size}
+                   |bytes: ${c.sizeOnDisk().map(_.toString).getOrElse("(unrecorded: run backfill-stats)")}
                    |schema: ${c.schema.toDDL}""".stripMargin)
       case "query" =>
         val c = Collection.open(spark, path, readOnly = true)
