@@ -527,6 +527,22 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // r8: REBASE — parent and branch diverge on DISJOINT keys (views
+    // vs clicks); the checked rebase preserves both sides' edits in
+    // one commit. Retention keeps the parent's own diff readable.
+    "zc_rebase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val root = s"$scratch/rbs-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, ev.schema, "ts",
+        DatePartitioning("ts", "D"), overwrite = true, retainGenerations = 4)
+      c.insert(ev)
+      val dev = c.branch("dev")
+      dev.updateWhere("event_type == 'click'", Map("value" -> "value + 7.0"))
+      c.updateWhere("event_type == 'view'", Map("value" -> "value * 2.0"))
+      c.rebaseBranch("dev", Seq("event_id"))
+      eventsOut(c.query())
+    }),
+
     // A35 (r6): PARTITION EVOLUTION — the day-keyed collection rewritten
     // in place as hour-keyed (one atomic rewrite-marked commit; manifest
     // layout stamp authoritative); the new partition keys drive pruning.
@@ -2528,6 +2544,15 @@ object SparkEntry {
                 props
          FROM events WHERE day(CAST(ts AS TIMESTAMP)) < 25
          ORDER BY event_id""",
+
+    // Rebase keeps BOTH sides: branch bumped clicks, parent doubled views.
+    "zc_rebase" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                CASE WHEN event_type = 'click' THEN value + 7.0
+                     WHEN event_type = 'view' THEN value * 2.0
+                     ELSE value END AS value,
+                props
+         FROM events ORDER BY event_id""",
 
     // The DataSource read with pushed filters must equal the plain slice.
     "zc_sql_source" ->

@@ -196,6 +196,11 @@ object Cli {
         // merge a branch back: Cli promote <path> <branch>
         val parts = Collection.open(spark, path).promoteBranch(args(2))
         println(s"promoted branch '${args(2)}': ${parts.size} partition(s) touched")
+      case "rebase" =>
+        // checked merge onto a diverged parent: Cli rebase <path> <branch> <key[,key...]>
+        val parts = Collection.open(spark, path)
+          .rebaseBranch(args(2), args(3).split(",").toSeq)
+        println(s"rebased branch '${args(2)}': ${parts.size} partition(s) touched")
       case other =>
         System.err.println(s"unknown command '$other'"); sys.exit(2)
     } finally spark.stop()

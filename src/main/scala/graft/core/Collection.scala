@@ -1476,10 +1476,57 @@ final class Collection private (
     val man = currentManifest()
     require(allowDiverged || man.generation == forkGen,
       s"parent advanced past the branch fork point ($forkGen -> " +
-      s"${man.generation}); re-branch, or pass allowDiverged=true to " +
-      "apply the branch's row diff onto the current state")
+      s"${man.generation}); re-branch, rebaseBranch(keys) for checked " +
+      "divergence, or pass allowDiverged=true to apply the branch's " +
+      "row diff onto the current state unchecked")
+    applyBranchDiff(b, forkGen, man, op = "promote")
+  }
+
+  /** REBASE a branch onto a DIVERGED parent with row-level conflict
+    * DETECTION — the checked middle ground between [[promoteBranch]]'s
+    * fast-forward refusal and its unchecked `allowDiverged` overwrite
+    * (the Icechunk session-rebase contract, expressed through CDC):
+    * both sides' diffs since the fork are compared on `keys` (the row
+    * identity, e.g. the primary key a `mergeInto` would use); any key
+    * BOTH sides touched is a conflict and the rebase refuses, naming
+    * samples. Disjoint-key divergence applies cleanly onto the
+    * CURRENT parent state.
+    *
+    * Reading the parent's own diff requires its replaced files to
+    * still exist: set `retainGenerations > 0` (or [[tag]] the fork
+    * point) on rebase workflows — at retain=0 a GC'd parent snapshot
+    * fails the diff read with a missing-file error. */
+  def rebaseBranch(name: String, keys: Seq[String]): Seq[String] = {
+    requireWritable()
+    require(keys.nonEmpty, "rebaseBranch requires conflict-detection keys")
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"unknown conflict key '$k'"))
+    val b = openBranch(name, readOnly = true)
+    val forkGen = b.generations().head
+    if (b.generation == forkGen) return Nil
+    val man = currentManifest()
+    if (man.generation == forkGen) // not diverged: plain fast-forward
+      return applyBranchDiff(b, forkGen, man, op = "promote")
+    val kcols = keys.map(col)
+    val ours = changes(forkGen, man.generation).select(kcols: _*).distinct()
+    val theirs = b.changes(forkGen, b.generation).select(kcols: _*).distinct()
+    val conflicts = ours.intersect(theirs).limit(6).collect()
+    if (conflicts.nonEmpty)
+      throw new IllegalStateException(
+        s"rebase conflict: ${if (conflicts.length > 5) "5+" else conflicts.length.toString} " +
+        s"key(s) modified on both the parent and branch '$name' since " +
+        s"fork generation $forkGen — e.g. ${conflicts.take(5).mkString(", ")}; " +
+        "resolve by re-branching or merging manually (mergeInto)")
+    applyBranchDiff(b, forkGen, man, op = "rebase")
+  }
+
+  /** Apply `b`'s row-level diff since `forkGen` onto `man` as one
+    * atomic commit (shared by promote/rebase — callers have already
+    * decided the divergence policy). */
+  private def applyBranchDiff(b: Collection, forkGen: Long,
+                              man: Manifest, op: String): Seq[String] = {
     require(b.schema.toDDL == StructType.fromDDL(man.schemaDdl).toDDL,
-      s"branch '$name' evolved its schema; evolve the parent to match " +
+      "the branch evolved its schema; evolve the parent to match " +
       "before promoting")
     val cols = StructType.fromDDL(man.schemaDdl).fieldNames.toSeq
     val diff = b.changes(forkGen, b.generation)
@@ -1495,7 +1542,7 @@ final class Collection private (
       .select(cols.map(col): _*)
     val out = existingRows.exceptAll(deletes).unionAll(inserts)
     writeAndCommit(partitioning.assign(out), replaced = replaced, base = man,
-      op = "promote")
+      op = op)
     touched.sorted
   }
 

@@ -401,6 +401,42 @@ class CloneSpec extends AnyFunSuite {
     }
   }
 
+  test("rebaseBranch: disjoint-key divergence applies; shared keys conflict loudly") {
+    // retention keeps the fork-point files readable for the parent's
+    // own diff (the documented rebase requirement)
+    val c = fresh(SparkTestSession.tmp("rebase"), retain = 4)
+    val dev = c.branch("dev")
+    dev.updateWhere("id == 2", Map("v" -> "22.0"))
+    // parent diverges on a DIFFERENT key
+    c.updateWhere("id == 4", Map("v" -> "44.0"))
+    intercept[IllegalArgumentException](c.promoteBranch("dev")) // fast-forward refuses
+    val touched = c.rebaseBranch("dev", Seq("id"))
+    assert(touched.nonEmpty)
+    assert(rows(c) == Seq((1L, 1.0), (2L, 22.0), (3L, 3.0), (4L, 44.0)),
+      s"rebase must preserve BOTH sides' edits: ${rows(c)}")
+    val hist = c.describeHistory().orderBy(col("generation").desc).limit(1)
+      .select("operation").collect().head.getString(0)
+    assert(hist == "rebase")
+
+    // shared-key divergence: both touch id==1 -> loud conflict, parent unchanged
+    val c2 = fresh(SparkTestSession.tmp("rebase-c"), retain = 4)
+    val dev2 = c2.branch("dev")
+    dev2.updateWhere("id == 1", Map("v" -> "-1.0"))
+    c2.updateWhere("id == 1", Map("v" -> "100.0"))
+    val before = rows(c2)
+    val e = intercept[IllegalStateException](c2.rebaseBranch("dev", Seq("id")))
+    assert(e.getMessage.contains("rebase conflict") && e.getMessage.contains("[1]"),
+      s"conflict message must name the key: ${e.getMessage}")
+    assert(rows(c2) == before, "a refused rebase must not commit anything")
+
+    // not diverged: rebase degrades to a plain fast-forward promote
+    val c3 = fresh(SparkTestSession.tmp("rebase-ff"))
+    val dev3 = c3.branch("dev")
+    dev3.deleteWhere("id == 3")
+    c3.rebaseBranch("dev", Seq("id"))
+    assert(rows(c3).map(_._1) == Seq(1L, 2L, 4L))
+  }
+
   test("clone AS OF a generation / tag forks the past snapshot") {
     val c = fresh(SparkTestSession.tmp("clone-asof"), retain = 4)
     c.tag("v1")
