@@ -21,13 +21,18 @@ import graft.functions.{CharShingleHashes, Fnv1a64, ShingleHashes}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.All.foreach { case (name, builder) =>
       e.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // restore reported statistics to V1-bridged catalog scans (the
+    // auto-broadcast input Spark's V1ScanWrapper drops) — runs after
+    // the V2 pushdown rules
+    e.injectPreCBORule(_ => org.apache.spark.sql.graftbridge.RestoreV1ScanStatistics)
+  }
 }
 
 /** Runtime registration for sessions that already exist (extensions only
@@ -65,8 +70,16 @@ object GraftExtensions {
       if (exprs.length > 4) intArg(exprs(4), "lsh_buckets") else 0)),
   )
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     All.foreach { case (name, builder) =>
       org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, builder)
     }
+    // the runtime analogue of injectPreCBORule (extensions only apply
+    // at builder time); the "User Provided Optimizers" batch runs after
+    // the V2 pushdown rules, which is all the stats restore needs
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(org.apache.spark.sql.graftbridge.RestoreV1ScanStatistics))
+      spark.experimental.extraOptimizations =
+        extra :+ org.apache.spark.sql.graftbridge.RestoreV1ScanStatistics
+  }
 }

@@ -2582,9 +2582,15 @@ final class Collection private (
     * rows get fresh row ids (views must re-run `update`; tailing streams
     * see survivors of rewritten files re-delivered, like `update`).
     * Returns the files that were rewritten or removed. */
-  def deleteWhere(filters: String): Seq[String] = {
+  def deleteWhere(filters: String): Seq[String] =
+    deleteWhereAst(FilterExpr.parse(filters))
+
+  /** [[deleteWhere]] over an already-built AST — the SQL `DELETE FROM`
+    * entry point ([[graft.sources.GraftTable]] translates Catalyst
+    * predicates to the same [[FilterExpr]] domain EXACTLY, or refuses
+    * the pushdown). */
+  private[graft] def deleteWhereAst(ast: FilterExpr.Ast): Seq[String] = {
     requireWritable()
-    val ast = FilterExpr.parse(filters)
     require(ast != FilterExpr.True,
       "deleteWhere requires a filter — dropPartitions() drops whole partitions")
     requireKnownNames(ast)

@@ -120,6 +120,18 @@ object GraftRelation {
     fs.flatMap(f => conv(f, known, zone))
       .reduceOption(FilterExpr.And(_, _)).getOrElse(FilterExpr.True)
 
+  /** EXACT translation or refusal — no weakening anywhere. The DSv2
+    * `DELETE FROM` path needs the AST to hold on precisely the SQL
+    * predicate's TRUE rows (a weaker AST would delete extra rows), so
+    * any unconvertible node refuses the whole conjunction and the
+    * caller reports `canDeleteWhere = false`. */
+  private[graft] def toAstExact(fs: Array[Filter], known: Set[String],
+                                zone: java.time.ZoneId): Option[Ast] = {
+    val parts = fs.map(f => conv(f, known, zone, strict = true))
+    if (parts.contains(None)) None
+    else Some(parts.flatten.reduceOption(FilterExpr.And(_, _)).getOrElse(FilterExpr.True))
+  }
+
   private val TsFmt =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
 
@@ -155,7 +167,7 @@ object GraftRelation {
     else litOf(v, zone).map(x => FilterExpr.Cmp(op, FilterExpr.Name(a), FilterExpr.Lit(x)))
 
   private def conv(f: Filter, known: Set[String], zone: java.time.ZoneId,
-                   pos: Boolean = true): Option[Ast] = f match {
+                   pos: Boolean = true, strict: Boolean = false): Option[Ast] = f match {
     case EqualTo(a, v)            => cmp("==", a, v, known, zone)
     case GreaterThan(a, v)        => cmp(">", a, v, known, zone)
     case GreaterThanOrEqual(a, v) => cmp(">=", a, v, known, zone)
@@ -169,24 +181,27 @@ object GraftRelation {
     case IsNull(a) if known(a)    => Some(FilterExpr.IsNull(a, negated = false))
     case IsNotNull(a) if known(a) => Some(FilterExpr.IsNull(a, negated = true))
     case And(l, r) =>
-      (conv(l, known, zone, pos), conv(r, known, zone, pos)) match {
-        case (Some(cl), Some(cr)) => Some(FilterExpr.And(cl, cr))
+      (conv(l, known, zone, pos, strict), conv(r, known, zone, pos, strict)) match {
+        case (Some(cl), Some(cr))         => Some(FilterExpr.And(cl, cr))
         // positive polarity: And is implied by each conjunct, so the
         // convertible one alone is a sound (weaker) pruning predicate
-        case (one, other) if pos  => one.orElse(other)
-        case _                    => None
+        case (one, other) if pos && !strict => one.orElse(other)
+        case _                            => None
       }
     case Or(l, r) =>
-      (conv(l, known, zone, pos), conv(r, known, zone, pos)) match {
-        case (Some(cl), Some(cr)) => Some(FilterExpr.Or(cl, cr))
+      (conv(l, known, zone, pos, strict), conv(r, known, zone, pos, strict)) match {
+        case (Some(cl), Some(cr))         => Some(FilterExpr.Or(cl, cr))
         // negative polarity: keeping one disjunct STRENGTHENS the
         // subtree, which WEAKENS the enclosing Not — NOT(a OR f)
         // implies NOT(a), so pruning on NOT(a) keeps a superset.
         // Sound only under an odd number of Nots.
-        case (one, other) if !pos => one.orElse(other)
-        case _                    => None
+        case (one, other) if !pos && !strict => one.orElse(other)
+        case _                            => None
       }
-    case Not(x) => conv(x, known, zone, !pos).map(FilterExpr.Not(_))
+    case Not(x) => conv(x, known, zone, !pos, strict).map(FilterExpr.Not(_))
+    // DELETE FROM with no WHERE arrives as the literal TRUE predicate
+    case _: AlwaysTrue  => Some(FilterExpr.True)
+    case _: AlwaysFalse => Some(FilterExpr.Not(FilterExpr.True))
     case _      => None
   }
 }

@@ -1,0 +1,366 @@
+package graft.sources
+
+import java.util.{Map => JMap, Set => JSet}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{Collection, DatePartitioning, FilterExpr, GroupedSequencePartitioning,
+  MergeStrategy, Partitioning, SequencePartitioning}
+
+/** A graft collection as a DataSource **V2** table — what
+  * [[GraftCatalog]] hands the analyzer for `graft.<ns>.<table>`
+  * identifiers. The execution paths are the PROVEN ones: scans go
+  * through [[org.apache.spark.sql.connector.read.V1Scan]] into the same
+  * pruned manifest scan as [[GraftRelation]] (Spark's own JDBC
+  * connector ships on exactly this bridge), writes through
+  * [[org.apache.spark.sql.connector.write.V1Write]] into
+  * [[Collection.insert]]/[[Collection.overwrite]]. What V2 adds on top
+  * of the V1 relation:
+  *
+  *  - catalog identity: `CREATE/DROP/ALTER TABLE graft.db.t`, INSERT,
+  *    `DESCRIBE`, `SHOW TABLES` — no temp-view registration step;
+  *  - native SQL time travel: `SELECT ... FROM graft.db.t VERSION AS OF
+  *    3` (generation or tag name) and `TIMESTAMP AS OF ...`, resolved
+  *    by [[GraftCatalog.loadTable]] to a pinned-manifest table;
+  *  - `DELETE FROM` with EXACT predicate translation into the
+  *    file-granular [[Collection.deleteWhereAst]] (refused — loudly —
+  *    when a predicate falls outside the translatable domain, never
+  *    approximated);
+  *  - derived partition columns (`year`/`month`/`day`...) as V2
+  *    METADATA columns: queryable and pushdown-pruning like any column,
+  *    but never demanded by INSERT (the Iceberg `_partition` shape);
+  *  - metadata-only aggregate pushdown: `COUNT(*)` answers from the
+  *    manifest row rollup (E14) and `MIN`/`MAX` over the axis or a
+  *    declared stats column from the zone-map rollup (E6/E7) — zero
+  *    data files opened, O(root metadata) at any collection size;
+  *  - exact `sizeInBytes`/`rowCount` statistics from the manifest byte
+  *    rollup (E32), so a small graft dimension auto-broadcasts in joins
+  *    against big facts.
+  */
+class GraftTable(spark: SparkSession, val root: String, identName: String,
+                 asOfGen: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsMetadataColumns {
+
+  private lazy val collection = Collection.open(spark, root, readOnly = true)
+  private def partStrategy: Partitioning = collection.partitioning
+
+  override def name(): String = identName
+
+  /** The DECLARED data schema only — INSERT supplies exactly these;
+    * derived partition columns ride as metadata columns instead. */
+  override def schema(): StructType = collection.schema
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    partStrategy.derivedCols.map { c =>
+      new MetadataColumn {
+        override def name(): String = c
+        override def dataType(): DataType = partStrategy.colType(c, collection.schema)
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          s"partition component derived from '${partStrategy.dimension}'"
+      }
+    }.toArray
+
+  override def partitioning(): Array[Transform] = partStrategy match {
+    case DatePartitioning(v, res) =>
+      val name = res match {
+        case "Y" => "years"; case "M" => "months"; case "D" => "days"
+        case "h" => "hours"; case "m" => "minutes"; case _ => "seconds"
+      }
+      Array(Expressions.apply(name, Expressions.column(v)))
+    case SequencePartitioning(vars, _) =>
+      vars.map(v => Expressions.identity(v)).toArray
+    case g @ GroupedSequencePartitioning(vars, _, size, _) =>
+      (vars.init.map(v => Expressions.identity(v)) :+
+        Expressions.apply("chunk", Expressions.literal(size), Expressions.column(vars.last))).toArray
+  }
+
+  override def properties(): JMap[String, String] = {
+    val m = new java.util.LinkedHashMap[String, String]()
+    m.put(TableCatalog.PROP_PROVIDER, "graft")
+    m.put(TableCatalog.PROP_LOCATION, root)
+    m.put("axis", collection.axis)
+    asOfGen.foreach(g => m.put("asOfGeneration", g.toString))
+    collection.attrs.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  override def version(): String =
+    asOfGen.getOrElse(collection.generation).toString
+
+  /** No OVERWRITE_DYNAMIC: Spark's V1 write bridge covers append and
+    * overwrite-by-filter only (`V1FallbackWriters`), so dynamic
+    * `INSERT OVERWRITE` refuses at analysis — partition-replace writes
+    * go through `df.write.format("graft").mode("overwrite")` with
+    * `partitionOverwriteMode=dynamic`, or [[Collection.insert]] with
+    * `MergeStrategy.Replace`, which land on the same atomic commit. */
+  override def capabilities(): JSet[TableCapability] = JSet.of(
+    TableCapability.BATCH_READ,
+    TableCapability.BATCH_WRITE,
+    TableCapability.V1_BATCH_WRITE,
+    TableCapability.TRUNCATE,
+    TableCapability.OVERWRITE_BY_FILTER)
+
+  // --- read ---------------------------------------------------------
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, collection, schema(), asOfGen)
+
+  // --- write --------------------------------------------------------
+
+  private def writable(): Collection = {
+    require(asOfGen.isEmpty,
+      s"table $identName is pinned VERSION/TIMESTAMP AS OF ${asOfGen.get} — time-travel reads are immutable")
+    Collection.open(spark, root)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(() => writable(), identName)
+
+  // --- DELETE FROM --------------------------------------------------
+
+  private def sessionZone: java.time.ZoneId =
+    java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID))
+
+  private def deleteAst(predicates: Array[Predicate]): Option[FilterExpr.Ast] = {
+    val v1: Array[Option[Filter]] = predicates.map(org.apache.spark.sql.graftbridge.Bridge.predicateToV1)
+    if (v1.contains(None)) None
+    else {
+      val known = (collection.schema.fieldNames ++ partStrategy.axis).toSet
+      GraftRelation.toAstExact(v1.flatten, known, sessionZone)
+    }
+  }
+
+  /** DELETE pushes down ONLY when every predicate translates EXACTLY —
+    * a weakened translation would delete rows the SQL predicate does
+    * not select. (Reads weaken safely because the engine re-applies
+    * the filter; a delete has no second chance.) */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    deleteAst(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val ast = deleteAst(predicates).getOrElse(throw new IllegalArgumentException(
+      s"DELETE predicate not exactly translatable: ${predicates.mkString(", ")}"))
+    val c = writable()
+    if (ast == FilterExpr.True) c.overwrite(emptyBatch())
+    else c.deleteWhereAst(ast)
+  }
+
+  override def truncateTable(): Boolean = {
+    writable().overwrite(emptyBatch())
+    true
+  }
+
+  private def emptyBatch(): DataFrame =
+    spark.createDataFrame(java.util.List.of[Row](), collection.schema)
+}
+
+/** Pushdown state machine for one scan: filters compile (weakening,
+  * polarity-tracked) into the [[FilterExpr]] skip stack, projections
+  * narrow the final select, and an eligible aggregate replaces the scan
+  * with manifest metadata. All pushed filters are ALSO returned as
+  * post-scan filters — pruning can only skip files, never change a row. */
+class GraftScanBuilder(spark: SparkSession, collection: Collection,
+                       tableSchema: StructType, asOfGen: Option[Long])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  private val partStrategy = collection.partitioning
+  private val fullSchema: StructType = StructType(
+    tableSchema.fields ++ partStrategy.derivedCols.map(c =>
+      StructField(c, partStrategy.colType(c, tableSchema), nullable = false)))
+
+  private var requiredSchema: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var ast: FilterExpr.Ast = FilterExpr.True
+  /** When an aggregate pushed completely: (output schema, the one
+    * metadata-computed row). */
+  private var aggResult: Option[(StructType, Row)] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID))
+    ast = GraftRelation.toAst(filters, fullSchema.fieldNames.toSet, zone)
+    pushed = filters
+    filters // engine re-applies everything — pruning-only contract
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit = {
+    // keep scan-side order stable; `required` may include metadata cols
+    requiredSchema = StructType(required.fields.map(f =>
+      fullSchema(fullSchema.fieldIndex(f.name))))
+  }
+
+  /** `COUNT(*)` answers from the manifest row rollup; `MIN`/`MAX` over
+    * the axis or a declared stats column from the zone-map rollup —
+    * parquet footer min/max are exact (and files whose writers dropped
+    * stats — all-null or NaN-bearing — poison the rollup to None, which
+    * refuses the pushdown rather than guessing). Only COMPLETE pushdown
+    * with no residual filters, no grouping, and no VERSION/TIMESTAMP AS
+    * OF pin (the rollup describes the CURRENT manifest): anything else
+    * falls back to the ordinary scan. */
+  private def resolveAggregation(agg: Aggregation): Option[(StructType, Row)] = {
+    if (asOfGen.isDefined) return None
+    if (ast != FilterExpr.True || pushed.nonEmpty) return None
+    if (agg.groupByExpressions.nonEmpty) return None
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames.head)
+        case _ => None
+      }
+
+    def boundOf(name: String, hi: Boolean): Option[(Any, DataType)] = {
+      if (!tableSchema.fieldNames.contains(name)) return None
+      val dt = tableSchema(name).dataType
+      collection.columnBounds(name).map { case (lo, up) => (if (hi) up else lo, dt) }
+    }
+
+    def external(v: Any, dt: DataType): Any = (v, dt) match {
+      case (l: Long, LongType)     => l
+      case (l: Long, IntegerType)  => l.toInt
+      case (l: Long, ShortType)    => l.toShort
+      case (l: Long, ByteType)     => l.toByte
+      case (d: Double, DoubleType) => d
+      case (d: Double, FloatType)  => d.toFloat
+      case (l: Long, TimestampType) =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L))
+      case (l: Long, TimestampNTZType) =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(l, 1000000L), (Math.floorMod(l, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case (l: Long, DateType)     => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(l))
+      case (s: String, StringType) => s
+      case _ => throw new IllegalStateException(s"unexpected bound $v for $dt")
+    }
+
+    val resolved: Array[Option[(StructField, Any)]] = agg.aggregateExpressions.map {
+      case _: CountStar =>
+        val n = collection.countRows()
+        if (n < 0) None else Some((StructField("count(*)", LongType, nullable = false), n))
+      case m: Min =>
+        for {
+          c <- colOf(m.column); (v, dt) <- boundOf(c, hi = false)
+        } yield (StructField(s"min($c)", dt), external(v, dt))
+      case m: Max =>
+        for {
+          c <- colOf(m.column); (v, dt) <- boundOf(c, hi = true)
+        } yield (StructField(s"max($c)", dt), external(v, dt))
+      case _ => None
+    }
+    if (resolved.contains(None)) return None
+    val fields = resolved.flatten
+    Some((StructType(fields.map(_._1)), Row(fields.map(_._2).toSeq: _*)))
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = resolveAggregation(agg)
+    aggResult.isDefined
+  }
+
+  /** Called by the optimizer BEFORE [[pushAggregation]]: partial
+    * pushdown of a one-row metadata answer would be correct but leaves
+    * a pointless re-aggregation in the plan, so only the complete form
+    * is offered. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    resolveAggregation(agg).isDefined
+
+  override def build(): Scan =
+    new GraftV1Scan(spark, collection, requiredSchema, ast, asOfGen, aggResult)
+}
+
+/** V2 scan executing through the V1 bridge — the same
+  * `scanWithAst → select → toRdd` path [[GraftRelation.buildScan]]
+  * runs, so pruning, schema evolution, and fills behave identically in
+  * both SQL surfaces. Reports exact manifest statistics for CBO. */
+class GraftV1Scan(spark: SparkSession, collection: Collection,
+                  requiredSchema: StructType, ast: FilterExpr.Ast,
+                  asOfGen: Option[Long],
+                  aggResult: Option[(StructType, Row)])
+    extends V1Scan with SupportsReportStatistics {
+
+  override def readSchema(): StructType = aggResult.map(_._1).getOrElse(requiredSchema)
+
+  override def description(): String = aggResult match {
+    case Some((s, _)) => s"graft ${collection.root} metadata-agg ${s.fieldNames.mkString(", ")}"
+    case None => s"graft ${collection.root} ast=$ast"
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      (try collection.sizeOnDisk() catch { case _: Exception => None }) match {
+        case Some(b) => java.util.OptionalLong.of(b)
+        case None    => java.util.OptionalLong.empty()
+      }
+    override def numRows(): java.util.OptionalLong = {
+      val n = try collection.countRows() catch { case _: Exception => -1L }
+      if (n < 0) java.util.OptionalLong.empty() else java.util.OptionalLong.of(n)
+    }
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T = {
+    val scan = this
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = scan.readSchema()
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] = {
+        val df = aggResult match {
+          case Some((s, row)) =>
+            context.sparkSession.createDataFrame(java.util.List.of(row), s)
+          case None =>
+            GraftRelation.lastScanAst = ast // shared spec observable
+            collection.scanWithAst(ast, asOfGen)
+              .select(requiredSchema.fieldNames.toSeq.map(col): _*)
+        }
+        df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+      }
+    }.asInstanceOf[T]
+  }
+}
+
+/** INSERT INTO (append), static INSERT OVERWRITE (truncate-and-write),
+  * and TRUNCATE, all landing on the atomic manifest-commit write paths
+  * through Spark's V1 write bridge. Partial `INSERT OVERWRITE ...
+  * PARTITION (k=v)` would need delete+insert in ONE commit and is
+  * refused at analysis rather than done non-atomically; dynamic
+  * partition replace goes through the V1 writer or
+  * [[Collection.insert]] with `MergeStrategy.Replace` (see
+  * [[GraftTable.capabilities]]). */
+class GraftWriteBuilder(open: () => Collection, tableName: String)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var mode: String = "append"
+
+  override def truncate(): WriteBuilder = { mode = "truncate"; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      (data: DataFrame, _: Boolean) => {
+        val c = open()
+        mode match {
+          case "append"   => c.insert(data, MergeStrategy.Concat)
+          case "truncate" => c.overwrite(data)
+        }
+      }
+  }
+}

@@ -27,6 +27,18 @@ object Bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** `private[sql]` CatalogV2Util: V2 Column[] -> StructType for the
+    * graft TableCatalog's CREATE TABLE. */
+  def v2ColumnsToStructType(columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.v2ColumnsToStructType(columns)
+
+  /** `private[sql]` PredicateUtils: V2 Predicate -> V1 source Filter
+    * (None when the predicate has no V1 form). */
+  def predicateToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+
   /** Register a temp SQL function on an ALREADY-RUNNING session (the
     * `spark.sql.extensions` path only applies at session construction). */
   def registerFunction(

@@ -1,0 +1,248 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Collection, FilterExpr}
+import graft.sources.GraftRelation
+
+/** The graft DataSource-V2 catalog (round 9): `graft.<ns>.<table>`
+  * identifiers resolve to warehouse-rooted collections and the whole
+  * SQL DDL/DML surface — CREATE/ALTER/DROP TABLE, INSERT, DELETE FROM,
+  * VERSION/TIMESTAMP AS OF, metadata-only aggregate pushdown — runs
+  * against them with no registration step. */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", CatalogSpec.warehouse)
+    GraftExtensions.register(s) // stats-restore rule for V1-bridged scans
+    s
+  }
+  import spark.implicits._
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def mkEvents(tbl: String): Unit = {
+    sql(s"""CREATE TABLE $tbl (ts TIMESTAMP, user_id BIGINT, v DOUBLE)
+            PARTITIONED BY (days(ts))
+            TBLPROPERTIES ('statsColumns'='user_id', 'owner.team'='search')""")
+    sql(s"""INSERT INTO $tbl VALUES
+            (TIMESTAMP'2024-01-01 08:00:00', 1, 1.0),
+            (TIMESTAMP'2024-01-01 09:00:00', 2, 2.0),
+            (TIMESTAMP'2024-01-02 08:00:00', 3, 3.0),
+            (TIMESTAMP'2024-01-03 08:00:00', 1, 4.0)""")
+  }
+
+  test("CREATE TABLE + INSERT + SELECT round-trips through the catalog") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db1")
+    mkEvents("graft.db1.events")
+
+    val rows = sql("SELECT user_id, v FROM graft.db1.events ORDER BY v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (1L, 4.0)))
+
+    // it is a real collection in the warehouse
+    val c = Collection.open(spark, s"${CatalogSpec.warehouse}/db1/events", readOnly = true)
+    assert(c.statsColumns == Seq("user_id"))
+    assert(c.attrs.get("owner.team").contains("search"))
+
+    // SHOW TABLES sees it
+    val shown = sql("SHOW TABLES IN graft.db1").collect().map(_.getString(1)).toSeq
+    assert(shown.contains("events"))
+
+    // filters push into the skip stack (shared observable with the V1 path)
+    GraftRelation.lastScanAst = FilterExpr.True
+    val got = sql("SELECT v FROM graft.db1.events WHERE user_id = 1")
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(got == Seq(1.0, 4.0))
+    assert(GraftRelation.lastScanAst != FilterExpr.True,
+      "catalog scans must push filters like the V1 relation does")
+
+    // derived partition components are METADATA columns: queryable +
+    // pruning, but never demanded by INSERT
+    val jan2 = sql("SELECT user_id FROM graft.db1.events WHERE day = 2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(jan2 == Seq(3L))
+    assert(!sql("SELECT * FROM graft.db1.events").columns.contains("day"),
+      "metadata columns stay out of SELECT *")
+  }
+
+  test("INSERT OVERWRITE: static truncates; dynamic refuses at analysis") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db2")
+    mkEvents("graft.db2.ow")
+
+    // dynamic SQL overwrite has no V1 write bridge — loud refusal, and
+    // the V1 writer path delivers the same semantics on the same table
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      intercept[Exception] {
+        sql("""INSERT OVERWRITE graft.db2.ow VALUES
+               (TIMESTAMP'2024-01-01 10:00:00', 9, 90.0)""")
+      }
+      import spark.implicits._
+      val day1 = Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 9L, 90.0))
+        .toDF("ts", "user_id", "v")
+      day1.write.format("graft").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .save(s"${CatalogSpec.warehouse}/db2/ow")
+      val afterDyn = sql("SELECT user_id FROM graft.db2.ow ORDER BY user_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(afterDyn == Seq(1L, 3L, 9L), s"dynamic overwrite kept other days: $afterDyn")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+    // static: the whole table is replaced
+    sql("""INSERT OVERWRITE graft.db2.ow VALUES
+           (TIMESTAMP'2024-02-01 00:00:00', 7, 70.0)""")
+    val afterStatic = sql("SELECT user_id, v FROM graft.db2.ow")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterStatic == Seq((7L, 70.0)))
+  }
+
+  test("DELETE FROM: exact translations run file-granular; inexact refuse; no-WHERE truncates") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
+    mkEvents("graft.db3.del")
+
+    sql("DELETE FROM graft.db3.del WHERE user_id = 1 AND day >= 2")
+    val left = sql("SELECT user_id FROM graft.db3.del ORDER BY user_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(1L, 2L, 3L), s"only the (user_id=1, day>=2) row deletes: $left")
+
+    // a predicate outside the translatable domain must refuse, not
+    // approximate (v+1 > 2 has no FilterExpr form)
+    val e = intercept[Exception] {
+      sql("DELETE FROM graft.db3.del WHERE v + 1 > 2")
+    }
+    assert(e.getMessage != null)
+    assert(sql("SELECT count(*) FROM graft.db3.del").collect().head.getLong(0) == 3)
+
+    sql("DELETE FROM graft.db3.del")
+    assert(sql("SELECT count(*) FROM graft.db3.del").collect().head.getLong(0) == 0)
+  }
+
+  test("VERSION AS OF (generation + tag) and TIMESTAMP AS OF") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db4")
+    mkEvents("graft.db4.tt")
+    val root = s"${CatalogSpec.warehouse}/db4/tt"
+    val c = Collection.open(spark, root)
+    val g1 = c.generation
+    c.tag("v1")
+    val tAfterG1 = System.currentTimeMillis()
+
+    Thread.sleep(20)
+    sql("INSERT INTO graft.db4.tt VALUES (TIMESTAMP'2024-03-01 00:00:00', 42, 420.0)")
+
+    assert(sql("SELECT count(*) FROM graft.db4.tt").collect().head.getLong(0) == 5)
+    assert(sql(s"SELECT count(*) FROM graft.db4.tt VERSION AS OF $g1")
+      .collect().head.getLong(0) == 4)
+    assert(sql("SELECT count(*) FROM graft.db4.tt VERSION AS OF 'v1'")
+      .collect().head.getLong(0) == 4)
+    val ts = new java.sql.Timestamp(tAfterG1).toString
+    assert(sql(s"SELECT count(*) FROM graft.db4.tt TIMESTAMP AS OF '$ts'")
+      .collect().head.getLong(0) == 4)
+
+    // time-travel tables are immutable
+    val e = intercept[Exception] {
+      sql(s"DELETE FROM graft.db4.tt VERSION AS OF $g1 WHERE user_id = 1")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("COUNT(*)/MIN/MAX push down to manifest metadata — zero data files opened") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db5")
+    mkEvents("graft.db5.agg")
+
+    val q = sql("SELECT count(*), min(ts), max(ts), min(user_id), max(user_id) FROM graft.db5.agg")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)"),
+      s"aggregate must push to the metadata scan; got plan:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown leaves no re-aggregation in the plan:\n$plan")
+    val r = q.collect().head
+    assert(r.getLong(0) == 4)
+    assert(r.getTimestamp(1).toInstant == java.time.Instant.parse("2024-01-01T08:00:00Z"))
+    assert(r.getTimestamp(2).toInstant == java.time.Instant.parse("2024-01-03T08:00:00Z"))
+    assert(r.getLong(3) == 1 && r.getLong(4) == 3)
+
+    // a WHERE clause disables the metadata path and still answers right
+    val q2 = sql("SELECT count(*) FROM graft.db5.agg WHERE user_id = 1")
+    assert(q2.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(q2.collect().head.getLong(0) == 2)
+
+    // an aggregate over a non-stats column falls back to the scan
+    val q3 = sql("SELECT min(v) FROM graft.db5.agg")
+    assert(q3.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(q3.collect().head.getDouble(0) == 1.0)
+  }
+
+  test("ALTER TABLE ADD/DROP COLUMN ride the schema-evolution path") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db6")
+    mkEvents("graft.db6.evo")
+    sql("ALTER TABLE graft.db6.evo ADD COLUMN score DOUBLE")
+    assert(sql("SELECT score FROM graft.db6.evo").collect().forall(_.isNullAt(0)))
+    sql("""INSERT INTO graft.db6.evo VALUES
+           (TIMESTAMP'2024-01-05 00:00:00', 5, 5.0, 0.5)""")
+    assert(sql("SELECT score FROM graft.db6.evo WHERE user_id = 5")
+      .collect().head.getDouble(0) == 0.5)
+    sql("ALTER TABLE graft.db6.evo DROP COLUMN v")
+    assert(!sql("SELECT * FROM graft.db6.evo").columns.contains("v"))
+  }
+
+  test("identity and chunk(n, col) partitionings; hash bucket refuses") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db7")
+    sql("""CREATE TABLE graft.db7.seq (k STRING, n BIGINT)
+           PARTITIONED BY (k) TBLPROPERTIES ('axis'='k')""")
+    sql("INSERT INTO graft.db7.seq VALUES ('a', 1), ('b', 2), ('a', 3)")
+    assert(sql("SELECT sum(n) FROM graft.db7.seq WHERE k = 'a'")
+      .collect().head.getLong(0) == 4)
+
+    sql("""CREATE TABLE graft.db7.chunked (vid BIGINT, x DOUBLE)
+           PARTITIONED BY (chunk(100, vid))""")
+    sql("INSERT INTO graft.db7.chunked VALUES (5, 1.0), (105, 2.0), (205, 3.0)")
+    assert(sql("SELECT sum(x) FROM graft.db7.chunked WHERE vid >= 100 AND vid < 200")
+      .collect().head.getDouble(0) == 2.0)
+    val c = Collection.open(spark, s"${CatalogSpec.warehouse}/db7/chunked", readOnly = true)
+    assert(c.partitioning.name == "grouped-sequence")
+
+    val e = intercept[Exception] {
+      sql("""CREATE TABLE graft.db7.bucketed (vid BIGINT, x DOUBLE)
+             PARTITIONED BY (bucket(16, vid))""")
+    }
+    assert(e.getMessage.toLowerCase.contains("chunk"),
+      s"bucket must refuse with guidance: ${e.getMessage}")
+  }
+
+  test("DROP TABLE, RENAME, and namespace lifecycle") {
+    sql("CREATE NAMESPACE graft.db8")
+    assert(sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0)).contains("db8"))
+    sql("""CREATE TABLE graft.db8.t (ts TIMESTAMP, x BIGINT) PARTITIONED BY (days(ts))""")
+    sql("INSERT INTO graft.db8.t VALUES (TIMESTAMP'2024-01-01 00:00:00', 1)")
+
+    sql("ALTER TABLE graft.db8.t RENAME TO graft.db8.t2")
+    assert(sql("SELECT count(*) FROM graft.db8.t2").collect().head.getLong(0) == 1)
+    assert(!spark.catalog.tableExists("graft.db8.t"))
+
+    sql("DROP TABLE graft.db8.t2")
+    assert(!spark.catalog.tableExists("graft.db8.t2"))
+    sql("DROP NAMESPACE graft.db8")
+    assert(!sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0)).contains("db8"))
+  }
+
+  test("catalog scans report exact manifest statistics (CBO broadcast input)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
+    mkEvents("graft.db9.stats")
+    val bytes = Collection.open(spark, s"${CatalogSpec.warehouse}/db9/stats",
+      readOnly = true).sizeOnDisk()
+    assert(bytes.exists(_ > 0))
+    val rel = sql("SELECT * FROM graft.db9.stats")
+    val stats = rel.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes == BigInt(bytes.get),
+      s"optimizer must see the manifest byte rollup: ${stats.sizeInBytes} vs $bytes\n" +
+        s"optimized: ${rel.queryExecution.optimizedPlan}")
+  }
+}
+
+object CatalogSpec {
+  lazy val warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-cat-wh").toString
+}
