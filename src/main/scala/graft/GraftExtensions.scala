@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // auto-broadcast input Spark's V1ScanWrapper drops) — runs after
     // the V2 pushdown rules
     e.injectPreCBORule(_ => org.apache.spark.sql.graftbridge.RestoreV1ScanStatistics)
+    // SQL UPDATE / MERGE INTO / row-level DELETE over graft tables:
+    // Spark rewrites these only for SupportsRowLevelOperations tables,
+    // so the post-hoc rule lowers them onto the collection engine
+    // (analysis-time injection only — like Delta, DML requires
+    // spark.sql.extensions at session build)
+    e.injectPostHocResolutionRule(session => graft.sources.GraftDmlRule(session))
   }
 }
 

@@ -445,6 +445,106 @@ object SparkEntry {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
 
+    // A44 (r8): SQL UPDATE — GraftDmlRule lowers the statement onto the
+    // file-granular updateWhereCols rewrite: the predicate applies
+    // row-exactly, its translatable conjuncts (here the derived `day`
+    // column) prune through the skip layers, untouched files carry BY
+    // NAME. Same V1 `USING graft` face as zc_sql_insert.
+    "zc_sql_update" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      val tbl = "graft_squpd_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '${c.root}')")
+      try {
+        s.sql(s"UPDATE $tbl SET event_type = 'sql_update', value = -value " +
+          "WHERE event_type = 'click' AND day >= 10")
+        eventsOut(c.query())
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
+    // A44b (r8): row-level SQL DELETE fallback — LIKE has a V1 filter
+    // form (it still PRUNES via the translatable value conjunct) but no
+    // exact FilterExpr form, so the native SupportsDeleteV2 path refuses
+    // and GraftDmlRule row-levels it through deleteWhereCols.
+    "zc_sql_delete" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      val tbl = "graft_sqdel_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '${c.root}')")
+      try {
+        s.sql(s"DELETE FROM $tbl WHERE event_type LIKE 'err%' AND value < 0.5")
+        eventsOut(c.query())
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
+    // A44c (r8): SQL MERGE INTO through the DSv2 catalog — the ANSI
+    // upsert (UPDATE SET * / INSERT *) lowered onto mergeInto: one
+    // atomic file-granular commit, same semantics (and oracle) as the
+    // programmatic zc_merge_into.
+    "zc_sql_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val name = "m" + java.util.UUID.randomUUID().toString.take(8)
+      val c = Collection.create(s, s"$scratch/sqlwh/db/$name", ev.schema, "ts",
+        DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+      c.insert(ev)
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", s"$scratch/sqlwh")
+      val slice = mergeSlice(s, dir)
+      slice.withColumn("value", -col("value"))
+        .unionByName(slice.withColumn("event_id", col("event_id") + 10000000L))
+        .createOrReplaceTempView("sql_merge_src")
+      s.sql(s"""MERGE INTO graftq.db.$name t USING sql_merge_src s
+                ON t.event_id = s.event_id
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+      eventsOut(c.query())
+    }),
+
+    // A45 (r8): the ANSI three-leg MERGE — WHEN NOT MATCHED BY SOURCE
+    // DELETE turns the upsert into a full one-commit SYNC: the target
+    // becomes exactly the source (Delta's sync-merge shape; the clause
+    // puts every target row in play, so the rewrite is full-table by
+    // contract).
+    "zc_merge_sync" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val name = "s" + java.util.UUID.randomUUID().toString.take(8)
+      val c = Collection.create(s, s"$scratch/sqlwh/db/$name", ev.schema, "ts",
+        DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+      c.insert(ev)
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", s"$scratch/sqlwh")
+      val slice = mergeSlice(s, dir)
+      slice.withColumn("value", -col("value"))
+        .unionByName(slice.withColumn("event_id", col("event_id") + 10000000L))
+        .createOrReplaceTempView("sql_sync_src")
+      s.sql(s"""MERGE INTO graftq.db.$name t USING sql_sync_src s
+                ON t.event_id = s.event_id
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *
+                WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      eventsOut(c.query())
+    }),
+
+    // A46 (r8): rebase with conflict RESOLUTION — Theirs: keys BOTH
+    // sides touched take the branch's HEAD rows (state-level
+    // replacement, not diff replay — the diverged parent no longer
+    // holds the fork-time rows a replay would subtract); each side's
+    // disjoint edits survive verbatim.
+    "zc_rebase_theirs" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val root = s"$scratch/rbt-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, ev.schema, "ts",
+        DatePartitioning("ts", "D"), overwrite = true, retainGenerations = 6)
+      c.insert(ev)
+      val dev = c.branch("dev")
+      dev.updateWhere("event_type == 'click' and day >= 10",
+        Map("event_type" -> "'b_click'"))
+      c.updateWhere("event_type == 'click' and day >= 20",
+        Map("event_type" -> "'p_click'")) // conflicts with the branch
+      c.updateWhere("event_type == 'view' and day <= 5",
+        Map("event_type" -> "'p_view'")) // disjoint parent edit
+      c.rebaseBranch("dev", Seq("event_id"), RebaseResolve.Theirs)
+      eventsOut(c.query())
+    }),
+
     // A38 (r6): RESTORE — two mutations rolled back to the pre-mutation
     // snapshot as a new commit (zero data IO, shards carried by name);
     // the query sees exactly the original rows.
@@ -2421,6 +2521,68 @@ object SparkEntry {
     // MERGE: slice ids match -> negated value; shifted ids match nothing
     // -> insert with the original value.
     "zc_merge_into" ->
+      """WITH slice AS (
+           SELECT * FROM events
+           WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 12
+             AND hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 18)
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                CASE WHEN event_id IN (SELECT event_id FROM slice) THEN -value ELSE value END AS value,
+                props
+         FROM events
+         UNION ALL
+         SELECT event_id + 10000000 AS event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                user_id, event_type, value, props
+         FROM slice
+         ORDER BY event_id""",
+
+    // SQL UPDATE: clicks from day 10 renamed and negated, NULL/FALSE
+    // predicate rows carry.
+    "zc_sql_update" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
+                CASE WHEN COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) >= 10, FALSE)
+                     THEN 'sql_update' ELSE event_type END AS event_type,
+                CASE WHEN COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) >= 10, FALSE)
+                     THEN -value ELSE value END AS value,
+                props
+         FROM events ORDER BY event_id""",
+
+    // Row-level SQL DELETE: TRUE rows go, NULL/FALSE rows stay.
+    "zc_sql_delete" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events
+         WHERE NOT COALESCE(event_type LIKE 'err%' AND value < 0.5, FALSE)
+         ORDER BY event_id""",
+
+    // Sync merge: the target IS the source afterwards.
+    "zc_merge_sync" ->
+      """WITH slice AS (
+           SELECT * FROM events
+           WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 12
+             AND hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 18)
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                -value AS value, props
+         FROM slice
+         UNION ALL
+         SELECT event_id + 10000000 AS event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                user_id, event_type, value, props
+         FROM slice
+         ORDER BY event_id""",
+
+    // Rebase Theirs: branch wins the conflicted clicks (day >= 10 —
+    // superset of the parent's day >= 20 edit), parent's disjoint
+    // view edit survives.
+    "zc_rebase_theirs" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
+                CASE WHEN COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) >= 10, FALSE)
+                     THEN 'b_click'
+                     WHEN COALESCE(event_type = 'view' AND day(CAST(ts AS TIMESTAMP)) <= 5, FALSE)
+                     THEN 'p_view'
+                     ELSE event_type END AS event_type,
+                value, props
+         FROM events ORDER BY event_id""",
+
+    // SQL MERGE = the programmatic merge's oracle (same source shape).
+    "zc_sql_merge" ->
       """WITH slice AS (
            SELECT * FROM events
            WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 12

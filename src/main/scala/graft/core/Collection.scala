@@ -1496,7 +1496,8 @@ final class Collection private (
     * still exist: set `retainGenerations > 0` (or [[tag]] the fork
     * point) on rebase workflows — at retain=0 a GC'd parent snapshot
     * fails the diff read with a missing-file error. */
-  def rebaseBranch(name: String, keys: Seq[String]): Seq[String] = {
+  def rebaseBranch(name: String, keys: Seq[String],
+                   resolve: RebaseResolve = RebaseResolve.Refuse): Seq[String] = {
     requireWritable()
     require(keys.nonEmpty, "rebaseBranch requires conflict-detection keys")
     keys.foreach(k => require(schema.fieldNames.contains(k),
@@ -1510,28 +1511,67 @@ final class Collection private (
     val kcols = keys.map(col)
     val ours = changes(forkGen, man.generation).select(kcols: _*).distinct()
     val theirs = b.changes(forkGen, b.generation).select(kcols: _*).distinct()
-    val conflicts = ours.intersect(theirs).limit(6).collect()
-    if (conflicts.nonEmpty)
-      throw new IllegalStateException(
-        s"rebase conflict: ${if (conflicts.length > 5) "5+" else conflicts.length.toString} " +
-        s"key(s) modified on both the parent and branch '$name' since " +
-        s"fork generation $forkGen — e.g. ${conflicts.take(5).mkString(", ")}; " +
-        "resolve by re-branching or merging manually (mergeInto)")
-    applyBranchDiff(b, forkGen, man, op = "rebase")
+    resolve match {
+      case RebaseResolve.Refuse =>
+        val conflicts = ours.intersect(theirs).limit(6).collect()
+        if (conflicts.nonEmpty)
+          throw new IllegalStateException(
+            s"rebase conflict: ${if (conflicts.length > 5) "5+" else conflicts.length.toString} " +
+            s"key(s) modified on both the parent and branch '$name' since " +
+            s"fork generation $forkGen — e.g. ${conflicts.take(5).mkString(", ")}; " +
+            "resolve by re-branching, merging manually (mergeInto), or " +
+            "rebasing with RebaseResolve.Ours/Theirs")
+        applyBranchDiff(b, forkGen, man, op = "rebase")
+      case RebaseResolve.Ours =>
+        applyBranchDiff(b, forkGen, man, op = "rebase",
+          conflict = Some((keys, ours.intersect(theirs), false)))
+      case RebaseResolve.Theirs =>
+        applyBranchDiff(b, forkGen, man, op = "rebase",
+          conflict = Some((keys, ours.intersect(theirs), true)))
+    }
+  }
+
+  /** Null-safe key-equality anti/semi join helper for the rebase
+    * conflict sets (the conflict keys came from a DISTINCT/INTERSECT,
+    * where NULL groups — the joins must agree). */
+  private def keyJoin(rows: DataFrame, conflictKeys: DataFrame,
+                      keys: Seq[String], joinType: String): DataFrame = {
+    val c = conflictKeys.toDF(keys.map(k => s"_zc_ck_$k"): _*)
+    val cond = keys.map(k => rows(k) <=> c(s"_zc_ck_$k")).reduce(_ && _)
+    rows.join(c, cond, joinType)
   }
 
   /** Apply `b`'s row-level diff since `forkGen` onto `man` as one
     * atomic commit (shared by promote/rebase — callers have already
-    * decided the divergence policy). */
+    * decided the divergence policy). `conflict = (keys, conflictKeys,
+    * theirsWins)` carries a rebase resolution: the branch's edits to
+    * conflicted keys drop from the payload, and with `theirsWins` the
+    * parent's CURRENT rows at those keys are swapped for the branch's
+    * HEAD rows (plain diff replay would subtract the FORK-time rows,
+    * which the diverged parent no longer holds — state-level
+    * replacement is the sound form). */
   private def applyBranchDiff(b: Collection, forkGen: Long,
-                              man: Manifest, op: String): Seq[String] = {
+                              man: Manifest, op: String,
+                              conflict: Option[(Seq[String], DataFrame, Boolean)] = None)
+      : Seq[String] = {
     require(b.schema.toDDL == StructType.fromDDL(man.schemaDdl).toDDL,
       "the branch evolved its schema; evolve the parent to match " +
       "before promoting")
     val cols = StructType.fromDDL(man.schemaDdl).fieldNames.toSeq
     val diff = b.changes(forkGen, b.generation)
-    val inserts = diff.where(col(ChangeTypeCol) === "insert").select(cols.map(col): _*)
-    val deletes = diff.where(col(ChangeTypeCol) === "delete").select(cols.map(col): _*)
+    var inserts = diff.where(col(ChangeTypeCol) === "insert").select(cols.map(col): _*)
+    var deletes = diff.where(col(ChangeTypeCol) === "delete").select(cols.map(col): _*)
+    conflict.foreach { case (keys, conflictKeys, theirsWins) =>
+      inserts = keyJoin(inserts, conflictKeys, keys, "left_anti")
+      deletes = keyJoin(deletes, conflictKeys, keys, "left_anti")
+      if (theirsWins) {
+        val current = readManifestFiles(man, man.files).select(cols.map(col): _*)
+        deletes = deletes.unionByName(
+          keyJoin(current, conflictKeys, keys, "left_semi"))
+        inserts = inserts.unionByName(
+          keyJoin(b.query().select(cols.map(col): _*), conflictKeys, keys, "left_semi"))
+      }
+    }
     // touched parent partitions: anywhere the diff lands on either side
     // (the distinct key set is small — bounded by partitions, not rows)
     val touched = distinctKeys(partitioning.assign(inserts.unionByName(deletes)))
@@ -2590,23 +2630,41 @@ final class Collection private (
     * predicates to the same [[FilterExpr]] domain EXACTLY, or refuses
     * the pushdown). */
   private[graft] def deleteWhereAst(ast: FilterExpr.Ast): Seq[String] = {
-    requireWritable()
     require(ast != FilterExpr.True,
       "deleteWhere requires a filter — dropPartitions() drops whole partitions")
     requireKnownNames(ast)
-    val man = currentManifest()
-    // tolerant three-valued partition eval (filters may mention data
-    // columns), then the file-level skip layers — like [[prunedRaw]]
+    deleteWhereCols(FilterExpr.toColumn(ast), ast)
+  }
+
+  /** Partition + skip-layer candidate file set for a PRUNING ast:
+    * tolerant three-valued partition eval (the predicate may mention
+    * data columns), then the file-level skip layers — like
+    * [[prunedRaw]]. Shared by the row-level DELETE/UPDATE rewrites. */
+  private def candidateFiles(man: Manifest, ast: FilterExpr.Ast): Seq[String] = {
     val keyBounds = axisKeyBoundsFromFilter(ast)
     val parts = man.partitionPaths
       .flatMap(p => decodePath(p).map(k => (p, k)))
       .filter { case (_, k) => FilterExpr.mayMatch(ast, k.toMap) && keyInRange(k, keyBounds) }
       .map(_._1)
-    if (parts.isEmpty) return Nil
-    val affected = pruneFilesForRead(man, man.filesForPartitions(parts.toSet), ast)
+    if (parts.isEmpty) Nil
+    else pruneFilesForRead(man, man.filesForPartitions(parts.toSet), ast)
+  }
+
+  /** [[deleteWhereAst]] generalized to an ARBITRARY row predicate — the
+    * SQL `DELETE FROM` fallback when the predicate exceeds the
+    * [[FilterExpr]] exact-translation domain. `cond` (full Spark Column
+    * expressiveness) decides row fate EXACTLY; `pruneAst` — any sound
+    * WEAKENING of `cond` (its TRUE rows ⊇ cond's) — feeds the skip
+    * layers, so files the weakened form rules out carry BY NAME and only
+    * candidate files are read and rewritten. `FilterExpr.True` is a
+    * legal (prune-nothing) weakening. */
+  private[graft] def deleteWhereCols(cond: Column, pruneAst: FilterExpr.Ast): Seq[String] = {
+    requireWritable()
+    val man = currentManifest()
+    val affected = candidateFiles(man, pruneAst)
     if (affected.isEmpty) return Nil
     val keep = readManifestFiles(man, affected)
-      .where(!(FilterExpr.toColumn(ast) <=> lit(true)))
+      .where(!(cond <=> lit(true)))
       .select(schema.fieldNames.toSeq.map(col): _*)
     writeAndCommit(partitioning.assign(keep), replaced = Set.empty,
       base = man, replacedFiles = affected.toSet, op = "delete")
@@ -2627,11 +2685,23 @@ final class Collection private (
     * to the read snapshot; rewritten rows get fresh row ids (views must
     * re-run `update`). Returns the rewritten files. */
   def updateWhere(filters: String, assignments: Map[String, String]): Seq[String] = {
-    requireWritable()
     val ast = FilterExpr.parse(filters)
     require(ast != FilterExpr.True,
       "updateWhere requires a filter — update() rewrites whole partitions")
     requireKnownNames(ast)
+    updateWhereCols(FilterExpr.toColumn(ast), ast,
+      assignments.view.mapValues(expr).toMap)
+  }
+
+  /** [[updateWhere]] generalized to an ARBITRARY row predicate and
+    * Column-typed assignments — the SQL `UPDATE` entry point. `cond`
+    * decides which rows take the assignments EXACTLY (TRUE rows only;
+    * FALSE/NULL carry); `pruneAst` is any sound WEAKENING of `cond`
+    * for the skip layers ([[FilterExpr.True]] = prune nothing, e.g. an
+    * unconditional `UPDATE t SET ...`). */
+  private[graft] def updateWhereCols(cond: Column, pruneAst: FilterExpr.Ast,
+                                     assignments: Map[String, Column]): Seq[String] = {
+    requireWritable()
     require(assignments.nonEmpty, "updateWhere requires at least one assignment")
     assignments.keys.foreach { k =>
       require(schema.fieldNames.contains(k), s"unknown column in assignment: $k")
@@ -2639,20 +2709,14 @@ final class Collection private (
         "cannot update the axis or a partition column in place")
     }
     val man = currentManifest()
-    val keyBounds = axisKeyBoundsFromFilter(ast)
-    val parts = man.partitionPaths
-      .flatMap(p => decodePath(p).map(k => (p, k)))
-      .filter { case (_, k) => FilterExpr.mayMatch(ast, k.toMap) && keyInRange(k, keyBounds) }
-      .map(_._1)
-    if (parts.isEmpty) return Nil
-    val affected = pruneFilesForRead(man, man.filesForPartitions(parts.toSet), ast)
+    val affected = candidateFiles(man, pruneAst)
     if (affected.isEmpty) return Nil
     val df = readManifestFiles(man, affected)
-    val matches = FilterExpr.toColumn(ast) <=> lit(true)
+    val matches = cond <=> lit(true)
     val out = df.select(schema.fieldNames.toSeq.map { n =>
       assignments.get(n) match {
         case Some(e) =>
-          when(matches, expr(e).cast(df.schema(n).dataType)).otherwise(col(n)).as(n)
+          when(matches, e.cast(df.schema(n).dataType)).otherwise(col(n)).as(n)
         case None => col(n)
       }
     }: _*)
@@ -2666,7 +2730,10 @@ final class Collection private (
     * never match) and, in ONE atomic commit:
     *   - matched target rows get `whenMatched` (replace with the source
     *     row, assign expressions, or delete);
-    *   - unmatched target rows carry through;
+    *   - unmatched target rows carry through — or take
+    *     `notMatchedBySource` (delete/assign: the ANSI `WHEN NOT
+    *     MATCHED BY SOURCE` sync leg; anything but Keep makes the
+    *     rewrite full-table, see [[WhenNotMatchedBySource]]);
     *   - unmatched source rows insert (`insertUnmatched = false` drops
     *     them).
     *
@@ -2689,8 +2756,11 @@ final class Collection private (
     * land wherever their own axis says). Returns the rewritten files. */
   def mergeInto(source: DataFrame, on: Seq[String],
                 whenMatched: WhenMatched = WhenMatched.UpdateAll,
-                insertUnmatched: Boolean = true): Seq[String] =
-    mergeIntoInternal(source, on, whenMatched, insertUnmatched, None)
+                insertUnmatched: Boolean = true,
+                notMatchedBySource: WhenNotMatchedBySource =
+                  WhenNotMatchedBySource.Keep): Seq[String] =
+    mergeIntoInternal(source, on, whenMatched, insertUnmatched, None,
+      notMatchedBySource)
 
   /** [[mergeInto]] carrying a streaming batch mark: the batch id commits
     * ATOMICALLY with the merge (the [[insertStreamBatch]] idempotent-sink
@@ -2700,19 +2770,29 @@ final class Collection private (
   private[graft] def mergeIntoInternal(source: DataFrame, on: Seq[String],
                 whenMatched: WhenMatched,
                 insertUnmatched: Boolean,
-                streamMark: Option[(String, Long)]): Seq[String] = {
+                streamMark: Option[(String, Long)],
+                bySource: WhenNotMatchedBySource =
+                  WhenNotMatchedBySource.Keep): Seq[String] = {
     requireWritable()
     require(on.nonEmpty, "mergeInto requires at least one key column")
     on.foreach(k => require(schema.fieldNames.contains(k), s"unknown key column: $k"))
+    def checkAssigned(ks: Iterable[String]): Unit = ks.foreach { k =>
+      require(schema.fieldNames.contains(k), s"unknown column in assignment: $k")
+      require(!partCols.contains(k) && k != axis,
+        "cannot update the axis or a partition column in place")
+      require(!on.contains(k), s"cannot assign merge key '$k'")
+    }
     whenMatched match {
+      case WhenMatched.UpdateCols(as, _) => checkAssigned(as.keys)
       case WhenMatched.Update(as, _) =>
         require(as.nonEmpty, "WhenMatched.Update requires at least one assignment")
-        as.keys.foreach { k =>
-          require(schema.fieldNames.contains(k), s"unknown column in assignment: $k")
-          require(!partCols.contains(k) && k != axis,
-            "cannot update the axis or a partition column in place")
-          require(!on.contains(k), s"cannot assign merge key '$k'")
-        }
+        checkAssigned(as.keys)
+      case _ => ()
+    }
+    bySource match {
+      case WhenNotMatchedBySource.Update(as, _) =>
+        require(as.nonEmpty, "WhenNotMatchedBySource.Update requires an assignment")
+        checkAssigned(as.keys)
       case _ => ()
     }
     val src = source.select(schema.fieldNames.toSeq.map(col): _*)
@@ -2746,7 +2826,11 @@ final class Collection private (
     val ast = ranges.reduceOption(FilterExpr.And).getOrElse(FilterExpr.True)
     val man = currentManifest()
     val affected =
-      if (srow.getLong(0) == 0L) Nil // all-null-key source: nothing matches
+      // NOT MATCHED BY SOURCE puts EVERY target row in play: no file can
+      // prove "none of my rows lack a source match" from stats alone, so
+      // the rewrite is full-table (Delta's cost contract for the clause)
+      if (bySource != WhenNotMatchedBySource.Keep) man.files
+      else if (srow.getLong(0) == 0L) Nil // all-null-key source: nothing matches
       else pruneFilesForRead(man, man.files, ast)
     if (affected.isEmpty && !insertUnmatched) return Nil
     val out: DataFrame =
@@ -2760,18 +2844,28 @@ final class Collection private (
         val j = tgt.join(s, cond, "full_outer")
         val tPresent = col("t._zc_tp").isNotNull
         val sPresent = col("s._zc_sp").isNotNull
-        val keep = whenMatched match {
+        val keepMatched = whenMatched match {
           case WhenMatched.Delete => (tPresent && !sPresent) || (!tPresent && lit(insertUnmatched))
           case WhenMatched.Update(_, Some(d)) =>
             // WHEN MATCHED AND <d> THEN DELETE: NULL condition keeps
             val del = tPresent && sPresent && coalesce(expr(d), lit(false))
             (tPresent || lit(insertUnmatched)) && !del
+          case WhenMatched.UpdateCols(_, Some(d)) =>
+            val del = tPresent && sPresent && coalesce(d, lit(false))
+            (tPresent || lit(insertUnmatched)) && !del
           case _ => tPresent || lit(insertUnmatched)
+        }
+        val keep = bySource match {
+          case WhenNotMatchedBySource.Delete(w) =>
+            val del = tPresent && !sPresent &&
+              w.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+            keepMatched && !del
+          case _ => keepMatched
         }
         val fields = StructType(readSchemaFields(schema))
         j.where(keep).select(schema.fieldNames.toSeq.map { n =>
           val fromEither = when(tPresent, col(s"t.$n")).otherwise(col(s"s.$n"))
-          (whenMatched match {
+          val matched = whenMatched match {
             case WhenMatched.UpdateAll =>
               when(sPresent, col(s"s.$n")).otherwise(col(s"t.$n"))
             case WhenMatched.Update(as, _) => as.get(n) match {
@@ -2779,7 +2873,22 @@ final class Collection private (
                   expr(e).cast(fields(n).dataType)).otherwise(fromEither)
               case None => fromEither
             }
+            case WhenMatched.UpdateCols(as, _) => as.get(n) match {
+              case Some(e) => when(tPresent && sPresent,
+                  e.cast(fields(n).dataType)).otherwise(fromEither)
+              case None => fromEither
+            }
             case WhenMatched.Delete => fromEither
+          }
+          (bySource match {
+            case WhenNotMatchedBySource.Update(as, w) => as.get(n) match {
+              case Some(e) =>
+                val gate = tPresent && !sPresent &&
+                  w.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+                when(gate, e.cast(fields(n).dataType)).otherwise(matched)
+              case None => matched
+            }
+            case _ => matched
           }).as(n)
         }: _*)
       }
@@ -3000,8 +3109,53 @@ object WhenMatched {
     * path drops a group the moment its maintained count hits zero. */
   final case class Update(assignments: Map[String, String],
                           deleteWhen: Option[String] = None) extends WhenMatched
+  /** [[Update]] with pre-built Columns instead of SQL text — the SQL
+    * `MERGE INTO` rule's form (same `t.`/`s.` alias vocabulary; a
+    * NULL/FALSE `deleteWhen` keeps the row). BOTH parts may be empty:
+    * that is the no-op matched action (matched target rows carry
+    * unchanged — SQL's insert-only MERGE). */
+  private[graft] final case class UpdateCols(
+      assignments: Map[String, Column],
+      deleteWhen: Option[Column] = None) extends WhenMatched
   /** Remove matched target rows. */
   case object Delete extends WhenMatched
+}
+
+/** `WHEN NOT MATCHED BY SOURCE` action for [[Collection.mergeInto]] —
+  * what happens to TARGET rows no source row matches (ANSI/Delta's
+  * sync-merge third leg). Conditions and assignments are `t.<col>`
+  * Columns (there IS no source row). Anything but [[Keep]] puts every
+  * target row in play, so the rewrite is necessarily full-table — the
+  * same cost contract as Delta's NOT MATCHED BY SOURCE. */
+sealed trait WhenNotMatchedBySource
+object WhenNotMatchedBySource {
+  /** Unmatched target rows carry through (the default MERGE). */
+  case object Keep extends WhenNotMatchedBySource
+  /** Remove unmatched target rows ([AND `when`]; NULL/FALSE keeps) —
+    * with an upsert source this makes MERGE a full one-commit SYNC:
+    * target becomes exactly the source. */
+  final case class Delete(when: Option[Column] = None) extends WhenNotMatchedBySource
+  /** Assign unmatched target rows ([AND `when`]) — e.g. mark rows
+    * stale when a feed stops carrying them. */
+  final case class Update(assignments: Map[String, Column],
+                          when: Option[Column] = None) extends WhenNotMatchedBySource
+}
+
+/** Conflict policy for [[Collection.rebaseBranch]] — what to do with a
+  * key BOTH the parent and the branch modified since the fork (the
+  * git-rebase vocabulary, row-granular). */
+sealed trait RebaseResolve
+object RebaseResolve {
+  /** Refuse the rebase, naming sample conflict keys (default). */
+  case object Refuse extends RebaseResolve
+  /** Parent wins conflicted keys: the branch's edits to them DROP from
+    * the promotion payload; its disjoint-key edits still apply. */
+  case object Ours extends RebaseResolve
+  /** Branch wins conflicted keys: the parent's CURRENT rows for them
+    * are replaced by the branch's HEAD rows (state-level replacement —
+    * sound even when the two sides rewrote different subsets of a
+    * key's rows); disjoint-key edits apply as usual. */
+  case object Theirs extends RebaseResolve
 }
 
 /** Result of [[Collection.fsck]]: manifest ↔ filesystem consistency.

@@ -1,0 +1,360 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference,
+  Cast, Expression, PlanExpression, And => CAnd, EqualTo => CEqualTo,
+  Literal => CLiteral, Not => CNot}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.sources.{Filter => SFilter}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.core.{Collection, FilterExpr, WhenMatched, WhenNotMatchedBySource}
+
+/** The resolved DML target: a graft collection behind either SQL face —
+  * the DSv2 catalog table ([[GraftTable]], `graft.db.t`) or the V1
+  * relation ([[GraftRelation]], `CREATE TABLE ... USING graft` and
+  * temp views over `spark.read.format("graft")`). `output` covers data
+  * AND derived partition columns (`day`...), so predicates over either
+  * bind; assignments to derived columns are refused downstream. */
+private[sources] final case class DmlTarget(root: String, pinned: Boolean,
+                                            attrs: Seq[Attribute])
+
+private[sources] object DmlTarget {
+  def unapply(plan: LogicalPlan): Option[DmlTarget] =
+    EliminateSubqueryAliases(plan) match {
+      case r: DataSourceV2Relation => r.table match {
+        case gt: GraftTable =>
+          Some(DmlTarget(gt.root, gt.pinned, r.output ++ r.metadataOutput))
+        case _ => None
+      }
+      case lr: LogicalRelation => lr.relation match {
+        case gr: GraftRelation => Some(DmlTarget(gr.collRoot, gr.pinned, lr.output))
+        case _ => None
+      }
+      case _ => None
+    }
+}
+
+/** Post-hoc analyzer rule completing the SQL DML triangle on graft
+  * tables. Spark rewrites `UPDATE` / `MERGE INTO` (and row-level
+  * `DELETE`) only for `SupportsRowLevelOperations` tables; everything
+  * else fails at CheckAnalysis. This rule intercepts the RESOLVED
+  * statements over graft targets and lowers them onto the proven
+  * file-granular copy-on-write engine paths instead:
+  *
+  *  - `UPDATE t SET ... WHERE p` → [[Collection.updateWhereCols]]: `p`
+  *    applies row-exactly as a Column, while its V1-translatable
+  *    conjuncts WEAKEN into the [[FilterExpr]] skip stack, so only
+  *    files whose stats admit a match rewrite (the Delta/Iceberg
+  *    copy-on-write UPDATE shape — arbitrary predicates, still
+  *    file-granular whenever any conjunct prunes);
+  *  - `DELETE FROM t WHERE p` with `p` OUTSIDE the exact-translation
+  *    domain → [[Collection.deleteWhereCols]], same weakened-pruning
+  *    scheme (exactly-translatable deletes keep Spark's native
+  *    `SupportsDeleteV2` path through [[GraftTable.deleteWhere]]);
+  *  - `MERGE INTO t USING s ON t.k = s.k WHEN ...` →
+  *    [[Collection.mergeInto]]: equality keys from the ON conjunction,
+  *    matched/not-matched actions mapped onto
+  *    [[WhenMatched]]/`insertUnmatched`/[[WhenNotMatchedBySource]]
+  *    (the full ANSI three-leg MERGE, including the BY SOURCE sync
+  *    leg), first-match-wins composition for `UPDATE`+`DELETE` action
+  *    pairs. Out-of-model shapes (non-equi ON, conditional INSERT,
+  *    schema evolution) refuse loudly — never approximated.
+  *
+  * Reference analogue: the collection surface the zcollection library
+  * exposes only through Python `update`/`drop` calls
+  * (collection/base.py:162-798) becomes ANSI SQL DML here.
+  */
+case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import GraftDmlRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case u @ UpdateTable(DmlTarget(t), assignments, condition) if u.resolved =>
+      requireWritable(t, "UPDATE")
+      val sets = assignments.flatMap { a =>
+        val (key, keyName) = a.key match {
+          case ar: AttributeReference => (ar, ar.name)
+          case other => refuse(s"UPDATE SET target must be a top-level column, got ${other.sql}")
+        }
+        // assignment alignment expands identity assignments (c := c) over
+        // every untouched column — drop them or the axis/partition-column
+        // guard would refuse its own no-ops
+        if (isIdentity(key, a.value)) None
+        else Some(keyName -> selfCol(a.value, t, "UPDATE"))
+      }
+      val condCol = condition.map(selfCol(_, t, "UPDATE")).getOrElse(lit(true))
+      GraftUpdateCommand(t.root, sets, condCol, pruneFilters(condition))
+
+    case d @ DeleteFromTable(DmlTarget(t), condition) if d.resolved &&
+        !exactlyTranslatable(spark, t, condition) =>
+      requireWritable(t, "DELETE")
+      GraftDeleteCommand(t.root, selfCol(condition, t, "DELETE"),
+        pruneFilters(Some(condition)))
+
+    case m: MergeIntoTable if m.resolved && DmlTarget.unapply(m.targetTable).isDefined =>
+      val t = DmlTarget.unapply(m.targetTable).get
+      requireWritable(t, "MERGE INTO")
+      if (m.withSchemaEvolution)
+        refuse("MERGE WITH SCHEMA EVOLUTION is not supported — ALTER TABLE ... ADD COLUMN first")
+      val src = m.sourceTable
+      val tIds = t.attrs.map(_.exprId).toSet
+      val sIds = src.output.map(_.exprId).toSet
+
+      val on: Seq[String] = conjuncts(m.mergeCondition).map {
+        case CEqualTo(l: AttributeReference, r: AttributeReference) =>
+          val (tc, sc) =
+            if (tIds(l.exprId) && sIds(r.exprId)) (l, r)
+            else if (tIds(r.exprId) && sIds(l.exprId)) (r, l)
+            else refuse("ON must equate a target column with a source column")
+          if (!tc.name.equalsIgnoreCase(sc.name))
+            refuse(s"ON joins target '${tc.name}' to source '${sc.name}' — merge keys " +
+              "must share a name (alias the source column)")
+          tc.name
+        case other =>
+          refuse(s"ON supports only AND-ed key equalities, got: ${other.sql}")
+      }
+
+      def tsCol(e: Expression, what: String): Column = {
+        noSubquery(e, what)
+        Bridge.column(e.transform {
+          case a: AttributeReference if tIds(a.exprId) => UnresolvedAttribute(Seq("t", a.name))
+          case a: AttributeReference if sIds(a.exprId) => UnresolvedAttribute(Seq("s", a.name))
+          case a: AttributeReference =>
+            refuse(s"$what references '${a.name}', which binds to neither the target nor the source")
+        })
+      }
+      def gated(c: Column): Column = coalesce(c, lit(false))
+
+      /** SET assignments → Column map; `gate` (already in t/s terms)
+        * confines the assignment to rows where it holds. */
+      def assignMap(as: Seq[Assignment], gate: Option[Expression]): Map[String, Column] =
+        as.flatMap { a =>
+          val key = a.key match {
+            case ar: AttributeReference if tIds(ar.exprId) => ar
+            case other => refuse(s"MERGE SET target must be a target column, got ${other.sql}")
+          }
+          if (isIdentity(key, a.value)) None
+          else {
+            val v = tsCol(a.value, "MERGE SET")
+            Some(key.name -> (gate match {
+              case Some(g) => when(gated(tsCol(g, "MERGE")), v).otherwise(col(s"t.${key.name}"))
+              case None    => v
+            }))
+          }
+        }.toMap
+
+      /** `UPDATE SET *` after alignment: every target column assigned its
+        * same-named source column verbatim — the engine's UpdateAll. */
+      def isStarShape(as: Seq[Assignment]): Boolean =
+        as.nonEmpty && as.forall { a =>
+          (a.key, stripCasts(a.value)) match {
+            case (k: AttributeReference, v: AttributeReference) =>
+              sIds(v.exprId) && v.name.equalsIgnoreCase(k.name)
+            case _ => false
+          }
+        }
+
+      val whenMatched: WhenMatched = m.matchedActions match {
+        case Seq() => WhenMatched.UpdateCols(Map.empty, None)
+        case Seq(UpdateStarAction(None)) => WhenMatched.UpdateAll
+        case Seq(UpdateStarAction(Some(_))) =>
+          refuse("conditional UPDATE SET * is not supported — write explicit SET assignments")
+        case Seq(UpdateAction(None, as, _)) if isStarShape(as) => WhenMatched.UpdateAll
+        case Seq(UpdateAction(c, as, _)) =>
+          WhenMatched.UpdateCols(assignMap(as, c), None)
+        case Seq(DeleteAction(None)) => WhenMatched.Delete
+        case Seq(DeleteAction(Some(c))) =>
+          WhenMatched.UpdateCols(Map.empty, Some(gated(tsCol(c, "MERGE DELETE"))))
+        case Seq(UpdateAction(uc, as, _), DeleteAction(dc)) => uc match {
+          // unconditional first action wins every match: delete unreachable
+          case None => if (isStarShape(as)) WhenMatched.UpdateAll
+                       else WhenMatched.UpdateCols(assignMap(as, None), None)
+          case Some(c) =>
+            val notC = !gated(tsCol(c, "MERGE"))
+            val del = dc match {
+              case None    => notC
+              case Some(d) => notC && gated(tsCol(d, "MERGE DELETE"))
+            }
+            WhenMatched.UpdateCols(assignMap(as, Some(c)), Some(del))
+        }
+        case Seq(DeleteAction(dc), UpdateAction(uc, as, _)) => dc match {
+          case None => WhenMatched.Delete // delete wins every match
+          case Some(c) =>
+            val updGate = uc match {
+              case None    => CNot(c)
+              case Some(u) => CAnd(CNot(c), u)
+            }
+            WhenMatched.UpdateCols(assignMap(as, Some(updGate)),
+              Some(gated(tsCol(c, "MERGE DELETE"))))
+        }
+        case other => refuse(s"unsupported WHEN MATCHED combination (${other.size} actions)")
+      }
+
+      val insertUnmatched = m.notMatchedActions match {
+        case Seq() => false
+        case Seq(InsertStarAction(None)) => true
+        case Seq(InsertAction(None, as)) if isStarShape(as) => true
+        case Seq(InsertStarAction(Some(_))) | Seq(InsertAction(Some(_), _)) =>
+          refuse("conditional WHEN NOT MATCHED is not supported — pre-filter the source")
+        case _ =>
+          refuse("WHEN NOT MATCHED supports only INSERT * (whole source rows insert)")
+      }
+
+      // the sync leg: target rows no source row matches (t.-terms only —
+      // there IS no source row to reference)
+      def tOnly(e: Expression, what: String): Column = {
+        noSubquery(e, what)
+        Bridge.column(e.transform {
+          case a: AttributeReference if tIds(a.exprId) => UnresolvedAttribute(Seq("t", a.name))
+          case a: AttributeReference =>
+            refuse(s"$what may reference only target columns, got '${a.name}'")
+        })
+      }
+      val bySource: WhenNotMatchedBySource = m.notMatchedBySourceActions match {
+        case Seq() => WhenNotMatchedBySource.Keep
+        case Seq(DeleteAction(c)) =>
+          WhenNotMatchedBySource.Delete(c.map(tOnly(_, "NOT MATCHED BY SOURCE")))
+        case Seq(UpdateAction(c, as, _)) =>
+          val asm = as.flatMap { a =>
+            val key = a.key match {
+              case ar: AttributeReference if tIds(ar.exprId) => ar
+              case other => refuse(s"MERGE SET target must be a target column, got ${other.sql}")
+            }
+            if (isIdentity(key, a.value)) None
+            else Some(key.name -> tOnly(a.value, "NOT MATCHED BY SOURCE SET"))
+          }.toMap
+          WhenNotMatchedBySource.Update(asm, c.map(tOnly(_, "NOT MATCHED BY SOURCE")))
+        case other =>
+          refuse(s"unsupported WHEN NOT MATCHED BY SOURCE combination (${other.size} actions)")
+      }
+
+      GraftMergeCommand(t.root, src, on, whenMatched, insertUnmatched, bySource)
+  }
+
+  /** Predicate/value over the TARGET's columns only → a Column in plain
+    * column-name terms (resolves against the engine's rewrite scan). */
+  private def selfCol(e: Expression, t: DmlTarget, what: String): Column = {
+    noSubquery(e, what)
+    val ids = t.attrs.map(_.exprId).toSet
+    Bridge.column(e.transform {
+      case a: AttributeReference =>
+        if (!ids.contains(a.exprId))
+          refuse(s"$what references '${a.name}', which does not bind to the target table")
+        UnresolvedAttribute.quoted(a.name)
+    })
+  }
+
+  /** The predicate's V1-translatable conjuncts — each independently
+    * weakenable into the pruning AST (engine re-checks rows exactly). */
+  private def pruneFilters(condition: Option[Expression]): Seq[SFilter] =
+    condition.toSeq.flatMap(conjuncts).flatMap(Bridge.translateFilter)
+}
+
+object GraftDmlRule {
+
+  private[sources] def refuse(msg: String): Nothing =
+    throw new UnsupportedOperationException("graft SQL DML: " + msg)
+
+  private def requireWritable(t: DmlTarget, what: String): Unit =
+    if (t.pinned)
+      refuse(s"$what on a VERSION/TIMESTAMP AS OF pin — time-travel reads are immutable")
+
+  private def noSubquery(e: Expression, what: String): Unit =
+    if (e.exists(_.isInstanceOf[PlanExpression[_]]))
+      refuse(s"subqueries are not supported in $what — rewrite as MERGE INTO with a source table")
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x          => Seq(x)
+  }
+
+  private def stripCasts(e: Expression): Expression = e match {
+    case a: Alias => stripCasts(a.child)
+    case c: Cast  => stripCasts(c.child)
+    case x        => x
+  }
+
+  /** `c := c` (modulo alignment casts) — the no-op assignments alignment
+    * synthesizes for untouched columns. */
+  private def isIdentity(key: AttributeReference, value: Expression): Boolean =
+    stripCasts(value) match {
+      case v: AttributeReference => v.exprId == key.exprId
+      case _                     => false
+    }
+
+  /** Would Spark's native exact-translation DELETE path succeed? Checked
+    * with the SAME translator chain the V2 path lands on — all conjuncts
+    * must reach the [[FilterExpr]] domain exactly. */
+  private def exactlyTranslatable(spark: SparkSession, t: DmlTarget,
+                                  condition: Expression): Boolean = {
+    val filters = conjuncts(condition).map(Bridge.translateFilter)
+    if (filters.contains(None)) return false
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID))
+    GraftRelation.toAstExact(filters.flatten.toArray, t.attrs.map(_.name).toSet, zone)
+      .isDefined
+  }
+}
+
+/** Shared output shape: each DML command reports its rewritten-file
+  * count (the file-granularity observable — `spark.sql("UPDATE ...")`
+  * returns it as a one-row result). */
+private[sources] object GraftDmlCommands {
+  def filesOutput: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "files_rewritten", IntegerType, nullable = false)())
+
+  def pruneAst(session: SparkSession, c: Collection, prune: Seq[SFilter]): FilterExpr.Ast = {
+    val zone = java.time.ZoneId.of(session.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID))
+    GraftRelation.toAst(prune.toArray,
+      c.readSchema.fieldNames.toSet, zone)
+  }
+}
+
+/** `UPDATE graft table` lowered onto [[Collection.updateWhereCols]]. */
+case class GraftUpdateCommand(root: String, sets: Seq[(String, Column)],
+                              cond: Column, prune: Seq[SFilter])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDmlCommands.filesOutput
+  override def run(session: SparkSession): Seq[Row] = {
+    val c = Collection.open(session, root)
+    val ast = GraftDmlCommands.pruneAst(session, c, prune)
+    Seq(Row(c.updateWhereCols(cond, ast, sets.toMap).size))
+  }
+}
+
+/** Row-level `DELETE FROM` fallback (predicate outside the exact
+  * pushdown domain) lowered onto [[Collection.deleteWhereCols]]. */
+case class GraftDeleteCommand(root: String, cond: Column, prune: Seq[SFilter])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDmlCommands.filesOutput
+  override def run(session: SparkSession): Seq[Row] = {
+    val c = Collection.open(session, root)
+    val ast = GraftDmlCommands.pruneAst(session, c, prune)
+    Seq(Row(c.deleteWhereCols(cond, ast).size))
+  }
+}
+
+/** `MERGE INTO graft table` lowered onto [[Collection.mergeInto]]. The
+  * source plan re-analyzes at run time (it was resolved as part of the
+  * original statement). */
+case class GraftMergeCommand(root: String, source: LogicalPlan, on: Seq[String],
+                             whenMatched: WhenMatched, insertUnmatched: Boolean,
+                             bySource: WhenNotMatchedBySource)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDmlCommands.filesOutput
+  override def run(session: SparkSession): Seq[Row] = {
+    val c = Collection.open(session, root)
+    val src = Bridge.ofRows(session, source)
+    Seq(Row(c.mergeInto(src, on, whenMatched, insertUnmatched, bySource).size))
+  }
+}

@@ -28,6 +28,10 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
   private val collection =
     Collection.open(sqlContext.sparkSession, root, readOnly = true)
 
+  /** Collection root / AS-OF pin — for the SQL DML rule's target match. */
+  private[sources] def collRoot: String = root
+  private[sources] def pinned: Boolean = asOfGen.isDefined
+
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a registered graft table.
     * The relation's schema exposes partition-DERIVED columns (`day`...)
     * so the analyzer expects them in the insert projection, but their

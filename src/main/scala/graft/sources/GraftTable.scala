@@ -59,6 +59,9 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
   private lazy val collection = Collection.open(spark, root, readOnly = true)
   private def partStrategy: Partitioning = collection.partitioning
 
+  /** VERSION/TIMESTAMP AS OF pin — immutable; the SQL DML rule refuses. */
+  private[sources] def pinned: Boolean = asOfGen.isDefined
+
   override def name(): String = identName
 
   /** The DECLARED data schema only — INSERT supplies exactly these;

@@ -39,6 +39,13 @@ object Bridge {
       : Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
 
+  /** `private[sql]` DataSourceStrategy: Catalyst predicate -> V1 source
+    * Filter (None when untranslatable) — the SQL DML rule weakens row
+    * predicates into the pruning domain with it. */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
+
   /** Register a temp SQL function on an ALREADY-RUNNING session (the
     * `spark.sql.extensions` path only applies at session construction). */
   def registerFunction(

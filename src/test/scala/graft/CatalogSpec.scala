@@ -99,7 +99,7 @@ class CatalogSpec extends AnyFunSuite {
     assert(afterStatic == Seq((7L, 70.0)))
   }
 
-  test("DELETE FROM: exact translations run file-granular; inexact refuse; no-WHERE truncates") {
+  test("DELETE FROM: exact translations run file-granular; inexact row-levels; no-WHERE truncates") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
     mkEvents("graft.db3.del")
 
@@ -108,13 +108,12 @@ class CatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(left == Seq(1L, 2L, 3L), s"only the (user_id=1, day>=2) row deletes: $left")
 
-    // a predicate outside the translatable domain must refuse, not
-    // approximate (v+1 > 2 has no FilterExpr form)
-    val e = intercept[Exception] {
-      sql("DELETE FROM graft.db3.del WHERE v + 1 > 2")
-    }
-    assert(e.getMessage != null)
-    assert(sql("SELECT count(*) FROM graft.db3.del").collect().head.getLong(0) == 3)
+    // a predicate outside the exact-translation domain (v+1 > 2 has no
+    // FilterExpr form) takes GraftDmlRule's row-level fallback — exact
+    // row semantics, not the pushed metadata path (pre-r8 this refused)
+    sql("DELETE FROM graft.db3.del WHERE v + 1 > 2")
+    val kept = sql("SELECT v FROM graft.db3.del").collect().map(_.getDouble(0)).toSeq
+    assert(kept == Seq(1.0), s"v+1>2 deletes v in {2.0, 3.0} row-exactly: $kept")
 
     sql("DELETE FROM graft.db3.del")
     assert(sql("SELECT count(*) FROM graft.db3.del").collect().head.getLong(0) == 0)

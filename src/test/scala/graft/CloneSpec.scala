@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.core.{Collection, DatePartitioning, MergeStrategy}
+import graft.core.{Collection, DatePartitioning, MergeStrategy, RebaseResolve}
 
 /** SHALLOW CLONE + TAGS + BRANCHES (round 8).
   *
@@ -428,6 +428,27 @@ class CloneSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rebase conflict") && e.getMessage.contains("[1]"),
       s"conflict message must name the key: ${e.getMessage}")
     assert(rows(c2) == before, "a refused rebase must not commit anything")
+
+    // conflict RESOLUTION policies (git vocabulary, row-granular):
+    // both sides touch id==1, branch alone touches id==2, parent alone
+    // touches id==4 — disjoint edits must survive under EITHER policy
+    def diverged(tag: String): Collection = {
+      val cc = fresh(SparkTestSession.tmp(s"rebase-$tag"), retain = 4)
+      val dd = cc.branch("dev")
+      dd.updateWhere("id == 1", Map("v" -> "-1.0"))
+      dd.updateWhere("id == 2", Map("v" -> "22.0"))
+      cc.updateWhere("id == 1", Map("v" -> "100.0"))
+      cc.updateWhere("id == 4", Map("v" -> "44.0"))
+      cc
+    }
+    val co = diverged("ours")
+    co.rebaseBranch("dev", Seq("id"), RebaseResolve.Ours)
+    assert(rows(co) == Seq((1L, 100.0), (2L, 22.0), (3L, 3.0), (4L, 44.0)),
+      s"Ours: parent keeps id=1, branch's disjoint id=2 applies: ${rows(co)}")
+    val ct = diverged("theirs")
+    ct.rebaseBranch("dev", Seq("id"), RebaseResolve.Theirs)
+    assert(rows(ct) == Seq((1L, -1.0), (2L, 22.0), (3L, 3.0), (4L, 44.0)),
+      s"Theirs: branch wins id=1, parent's disjoint id=4 survives: ${rows(ct)}")
 
     // not diverged: rebase degrades to a plain fast-forward promote
     val c3 = fresh(SparkTestSession.tmp("rebase-ff"))

@@ -11,6 +11,7 @@ object SparkTestSession {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",

@@ -1,0 +1,215 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Collection
+
+/** SQL DML triangle over graft tables (GraftDmlRule): UPDATE, MERGE
+  * INTO, and the row-level DELETE fallback, on both SQL faces — the
+  * DSv2 catalog (`graftdml.dml.t`) and V1 `USING graft` tables. Spark only
+  * rewrites these statements for SupportsRowLevelOperations tables; the
+  * post-hoc rule lowers them onto the file-granular copy-on-write
+  * engine paths instead. */
+class SqlDmlSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graftdml", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftdml.warehouse", SqlDmlSpec.warehouse)
+    s
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  private var n = 0
+  /** Fresh catalog table (days(ts) partitioning, one file per day). */
+  private def mkTable(): String = {
+    n += 1
+    val tbl = s"graftdml.dml.t$n"
+    sql("CREATE NAMESPACE IF NOT EXISTS graftdml.dml")
+    sql(s"""CREATE TABLE $tbl (ts TIMESTAMP, user_id BIGINT, etype STRING, v DOUBLE)
+            PARTITIONED BY (days(ts))""")
+    sql(s"""INSERT INTO $tbl VALUES
+            (TIMESTAMP'2024-01-01 08:00:00', 1, 'click', 1.0),
+            (TIMESTAMP'2024-01-01 09:00:00', 2, 'view',  2.0),
+            (TIMESTAMP'2024-01-02 08:00:00', 3, 'click', 3.0),
+            (TIMESTAMP'2024-01-02 09:00:00', 4, 'view',  4.0),
+            (TIMESTAMP'2024-01-03 08:00:00', 5, 'click', 5.0)""")
+    tbl
+  }
+
+  private def rows(tbl: String): Seq[(Long, String, Double)] =
+    sql(s"SELECT user_id, etype, v FROM $tbl ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+  test("SQL UPDATE: row-exact predicate, expression assignments") {
+    val tbl = mkTable()
+    val res = sql(s"UPDATE $tbl SET v = v * 10, etype = concat(etype, '!') " +
+      s"WHERE etype = 'click' AND user_id >= 3")
+    assert(res.collect().map(_.getInt(0)).toSeq.head >= 1) // files_rewritten
+    assert(rows(tbl) == Seq(
+      (1L, "click", 1.0), (2L, "view", 2.0), (3L, "click!", 30.0),
+      (4L, "view", 4.0), (5L, "click!", 50.0)))
+  }
+
+  test("SQL UPDATE without WHERE touches every row") {
+    val tbl = mkTable()
+    sql(s"UPDATE $tbl SET v = 0.5")
+    assert(rows(tbl).forall(_._3 == 0.5))
+  }
+
+  test("SQL UPDATE is file-granular: translatable conjuncts prune the rewrite") {
+    val tbl = mkTable()
+    def files(day: Int): Int = {
+      val dir = java.nio.file.Paths.get(SqlDmlSpec.warehouse,
+        "dml", tbl.split("\\.").last, "year=2024", "month=1", s"day=$day")
+      java.nio.file.Files.list(dir).filter(_.toString.endsWith(".parquet")).count().toInt
+    }
+    val (d2, total) = (files(2), files(1) + files(2) + files(3))
+    assert(total > d2, "need untouched partitions for the assertion to bite")
+    // pmod() is outside the pushdown domain; day = 2 (a METADATA column)
+    // still prunes — only jan-2's files rewrite
+    val res = sql(s"UPDATE $tbl SET v = -v WHERE day = 2 AND pmod(user_id, 2) = 1")
+    assert(res.collect().head.getInt(0) == d2,
+      "exactly the day=2 files must rewrite (derived-column conjunct prunes)")
+    assert(rows(tbl).map(_._3) == Seq(1.0, 2.0, -3.0, 4.0, 5.0))
+  }
+
+  test("SQL UPDATE refusals are loud: subquery, axis/partition assignment") {
+    val tbl = mkTable()
+    val e1 = intercept[UnsupportedOperationException] {
+      sql(s"UPDATE $tbl SET v = 0 WHERE user_id IN (SELECT user_id FROM $tbl WHERE v > 4)")
+    }
+    assert(e1.getMessage.contains("subqueries"))
+    val e2 = intercept[Exception] {
+      sql(s"UPDATE $tbl SET ts = TIMESTAMP'2030-01-01 00:00:00'")
+    }
+    assert(e2.getMessage.contains("axis") || e2.getMessage.contains("partition"))
+  }
+
+  test("SQL DELETE with a predicate outside the exact domain row-levels") {
+    val tbl = mkTable()
+    // LIKE translates to a V1 filter but has no exact FilterExpr form —
+    // the native SupportsDeleteV2 path refuses, the fallback deletes
+    // row-exactly
+    sql(s"DELETE FROM $tbl WHERE etype LIKE 'cl%' AND v < 4")
+    assert(rows(tbl) == Seq((2L, "view", 2.0), (4L, "view", 4.0), (5L, "click", 5.0)))
+  }
+
+  test("SQL MERGE: UPDATE SET * + INSERT * (upsert)") {
+    val tbl = mkTable()
+    sql("""SELECT TIMESTAMP'2024-01-02 08:00:00' AS ts, CAST(3 AS BIGINT) AS user_id,
+             'merged' AS etype, 33.0 AS v
+           UNION ALL
+           SELECT TIMESTAMP'2024-01-04 10:00:00', CAST(9 AS BIGINT), 'new', 9.0""")
+      .createOrReplaceTempView("dml_src_upsert")
+    sql(s"""MERGE INTO $tbl t USING dml_src_upsert s ON t.user_id = s.user_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows(tbl) == Seq(
+      (1L, "click", 1.0), (2L, "view", 2.0), (3L, "merged", 33.0),
+      (4L, "view", 4.0), (5L, "click", 5.0), (9L, "new", 9.0)))
+  }
+
+  test("SQL MERGE: gated explicit SET referencing both sides; no insert clause") {
+    val tbl = mkTable()
+    sql("""SELECT TIMESTAMP'2024-01-01 08:00:00' AS ts, CAST(1 AS BIGINT) AS user_id,
+             'x' AS etype, 100.0 AS v
+           UNION ALL
+           SELECT TIMESTAMP'2024-01-02 09:00:00', CAST(4 AS BIGINT), 'x', 1.0
+           UNION ALL
+           SELECT TIMESTAMP'2024-01-04 10:00:00', CAST(7 AS BIGINT), 'x', 7.0""")
+      .createOrReplaceTempView("dml_src_gate")
+    sql(s"""MERGE INTO $tbl t USING dml_src_gate s ON t.user_id = s.user_id
+            WHEN MATCHED AND s.v > 50 THEN UPDATE SET v = t.v + s.v""")
+    // user 1 gated in (1+100); user 4 gated out; user 7 unmatched, no insert
+    assert(rows(tbl).map(r => (r._1, r._3)) ==
+      Seq((1L, 101.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0)))
+  }
+
+  test("SQL MERGE: conditional DELETE and insert-only merge") {
+    val tbl = mkTable()
+    sql("""SELECT TIMESTAMP'2024-01-01 08:00:00' AS ts, CAST(1 AS BIGINT) AS user_id,
+             'd' AS etype, -1.0 AS v
+           UNION ALL
+           SELECT TIMESTAMP'2024-01-02 08:00:00', CAST(3 AS BIGINT), 'd', 10.0"""
+      ).createOrReplaceTempView("dml_src_del")
+    sql(s"""MERGE INTO $tbl t USING dml_src_del s ON t.user_id = s.user_id
+            WHEN MATCHED AND s.v < 0 THEN DELETE""")
+    assert(rows(tbl).map(_._1) == Seq(2L, 3L, 4L, 5L)) // only user 1 deleted
+
+    sql("""SELECT TIMESTAMP'2024-01-05 08:00:00' AS ts, CAST(8 AS BIGINT) AS user_id,
+             'ins' AS etype, 8.0 AS v""").createOrReplaceTempView("dml_src_ins")
+    sql(s"""MERGE INTO $tbl t USING dml_src_ins s ON t.user_id = s.user_id
+            WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows(tbl).map(_._1) == Seq(2L, 3L, 4L, 5L, 8L))
+  }
+
+  test("SQL MERGE: NOT MATCHED BY SOURCE DELETE makes merge a full sync") {
+    val tbl = mkTable()
+    sql("""SELECT TIMESTAMP'2024-01-01 08:00:00' AS ts, CAST(1 AS BIGINT) AS user_id,
+             'sync' AS etype, 11.0 AS v
+           UNION ALL
+           SELECT TIMESTAMP'2024-01-04 10:00:00', CAST(9 AS BIGINT), 'sync', 9.0""")
+      .createOrReplaceTempView("dml_src_sync")
+    sql(s"""MERGE INTO $tbl t USING dml_src_sync s ON t.user_id = s.user_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    // target becomes exactly the source
+    assert(rows(tbl) == Seq((1L, "sync", 11.0), (9L, "sync", 9.0)))
+  }
+
+  test("SQL MERGE: conditional NOT MATCHED BY SOURCE UPDATE marks stale rows") {
+    val tbl = mkTable()
+    sql("""SELECT TIMESTAMP'2024-01-02 08:00:00' AS ts, CAST(3 AS BIGINT) AS user_id,
+             'fresh' AS etype, 3.5 AS v""").createOrReplaceTempView("dml_src_stale")
+    sql(s"""MERGE INTO $tbl t USING dml_src_stale s ON t.user_id = s.user_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED BY SOURCE AND t.v < 3 THEN UPDATE SET etype = 'stale'""")
+    assert(rows(tbl) == Seq(
+      (1L, "stale", 1.0), (2L, "stale", 2.0), (3L, "fresh", 3.5),
+      (4L, "view", 4.0), (5L, "click", 5.0)))
+  }
+
+  test("SQL MERGE refusals: non-equi ON, conditional INSERT") {
+    val tbl = mkTable()
+    sql("""SELECT TIMESTAMP'2024-01-05 08:00:00' AS ts, CAST(8 AS BIGINT) AS user_id,
+             'z' AS etype, 8.0 AS v""").createOrReplaceTempView("dml_src_bad")
+    val e1 = intercept[UnsupportedOperationException] {
+      sql(s"""MERGE INTO $tbl t USING dml_src_bad s ON t.user_id >= s.user_id
+              WHEN MATCHED THEN DELETE""")
+    }
+    assert(e1.getMessage.contains("key equalities"))
+    val e3 = intercept[UnsupportedOperationException] {
+      sql(s"""MERGE INTO $tbl t USING dml_src_bad s ON t.user_id = s.user_id
+              WHEN NOT MATCHED AND s.v > 0 THEN INSERT *""")
+    }
+    assert(e3.getMessage.contains("conditional"))
+  }
+
+  test("V1 `USING graft` tables take the same DML surface") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.range(6).select(
+      expr("timestamp'2024-02-01 00:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0)").as("ts"),
+      col("id").as("k"), (col("id") * 1.0).as("v"))
+    val root = SparkTestSession.tmp("sqldml-v1")
+    val c = Collection.create(spark, root, ev.schema, "ts",
+      graft.core.DatePartitioning("ts", "D"), overwrite = true)
+    c.insert(ev)
+    sql(s"CREATE TABLE dml_v1 USING graft OPTIONS (path '$root')")
+    try {
+      sql("UPDATE dml_v1 SET v = v + 0.5 WHERE pmod(k, 2) = 0")
+      val got = sql("SELECT v FROM dml_v1 ORDER BY k").collect().map(_.getDouble(0)).toSeq
+      assert(got == Seq(0.5, 1.0, 2.5, 3.0, 4.5, 5.0))
+      // row-level DELETE fallback (k*2 is untranslatable)
+      sql("DELETE FROM dml_v1 WHERE k * 2 >= 8")
+      assert(sql("SELECT count(*) FROM dml_v1").collect().head.getLong(0) == 4L)
+    } finally sql("DROP TABLE IF EXISTS dml_v1")
+  }
+}
+
+object SqlDmlSpec {
+  lazy val warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-dml-wh").toString
+}
