@@ -498,6 +498,22 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // E33 (r8): FILTERED metadata-only COUNT — the day-range predicate
+    // translates exactly, aligns with the partition columns, and the
+    // count answers from the per-partition recorded rows: O(shards),
+    // zero data files opened, at any collection size.
+    "zc_sql_count" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val name = "c" + java.util.UUID.randomUUID().toString.take(8)
+      val c = Collection.create(s, s"$scratch/sqlwh/db/$name", ev.schema, "ts",
+        DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+      c.insert(ev)
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", s"$scratch/sqlwh")
+      s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n FROM graftq.db.$name " +
+        "WHERE day >= 10 AND day <= 20")
+    }),
+
     // A45 (r8): the ANSI three-leg MERGE — WHEN NOT MATCHED BY SOURCE
     // DELETE turns the upsert into a full one-commit SYNC: the target
     // becomes exactly the source (Delta's sync-merge shape; the clause
@@ -2552,6 +2568,10 @@ object SparkEntry {
          FROM events
          WHERE NOT COALESCE(event_type LIKE 'err%' AND value < 0.5, FALSE)
          ORDER BY event_id""",
+
+    "zc_sql_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM events
+         WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 20""",
 
     // Sync merge: the target IS the source afterwards.
     "zc_merge_sync" ->

@@ -1785,21 +1785,30 @@ final class Collection private (
 
   def countRows(filters: String = null): Long = {
     val ast = FilterExpr.parse(filters)
+    if (ast != FilterExpr.True) requireKnownNames(ast)
+    countRowsMeta(ast).getOrElse(prunedRaw(ast).count())
+  }
+
+  /** The METADATA-ONLY half of [[countRows]]: the manifest row rollup
+    * (unfiltered) or the per-partition recorded row counts (a filter
+    * naming only partition columns, strictly evaluated against every
+    * decoded partition key). `None` = the metadata cannot answer — the
+    * caller decides whether to scan; the SQL aggregate pushdown refuses
+    * instead, so a pushed `COUNT(*)` never hides a data scan. */
+  private[graft] def countRowsMeta(ast: FilterExpr.Ast): Option[Long] = {
     val man = currentManifest()
-    def scan(): Long = prunedRaw(ast).count()
     ast match {
       case FilterExpr.True =>
         man.shards.foldLeft(Option(0L)) { (acc, e) =>
           for (a <- acc; b <- e.rowTotal) yield a + b
-        }.getOrElse(scan())
+        }
       case _ =>
-        requireKnownNames(ast)
-        if (!FilterExpr.names(ast).subsetOf(partCols.toSet)) scan()
+        if (!FilterExpr.names(ast).subsetOf(partCols.toSet)) None
         else {
           // strict per-partition eval: every partition must decode, else
           // the metadata answer could silently miss rows
           val decoded = man.partitionPaths.map(p => decodePath(p).map(p -> _))
-          if (decoded.exists(_.isEmpty)) scan()
+          if (decoded.exists(_.isEmpty)) None
           else {
             val wanted = decoded.flatten
               .filter { case (_, k) => FilterExpr.eval(ast, k.toMap) }
@@ -1808,8 +1817,8 @@ final class Collection private (
             val rowsByFile = man.shards
               .filter(e => e.partitions.exists(p => wanted(joinPath(e.prefix, p))))
               .flatMap(e => man.shardData(e).rows).toMap
-            if (files.forall(rowsByFile.contains)) files.map(rowsByFile).sum
-            else scan()
+            if (files.forall(rowsByFile.contains)) Some(files.map(rowsByFile).sum)
+            else None
           }
         }
     }

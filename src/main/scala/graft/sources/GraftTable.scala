@@ -44,9 +44,16 @@ import graft.core.{Collection, DatePartitioning, FilterExpr, GroupedSequencePart
   *    METADATA columns: queryable and pushdown-pruning like any column,
   *    but never demanded by INSERT (the Iceberg `_partition` shape);
   *  - metadata-only aggregate pushdown: `COUNT(*)` answers from the
-  *    manifest row rollup (E14) and `MIN`/`MAX` over the axis or a
-  *    declared stats column from the zone-map rollup (E6/E7) — zero
-  *    data files opened, O(root metadata) at any collection size;
+  *    manifest row rollup (E14) — including FILTERED counts when the
+  *    predicate translates exactly and aligns with the partition
+  *    columns (`WHERE day = 3`: per-partition recorded rows, O(shards))
+  *    — and `MIN`/`MAX` over the axis or a declared stats column from
+  *    the zone-map rollup (E6/E7) — zero data files opened at any
+  *    collection size;
+  *  - EXACTLY-translatable predicates are claimed and applied in-scan
+  *    (prune + row filter), so the engine drops its post-scan Filter;
+  *    anything outside the exact domain falls back to the weakened
+  *    pruning-only contract with full engine re-application;
   *  - exact `sizeInBytes`/`rowCount` statistics from the manifest byte
   *    rollup (E32), so a small graft dimension auto-broadcasts in joins
   *    against big facts.
@@ -192,6 +199,12 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
   private var requiredSchema: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var ast: FilterExpr.Ast = FilterExpr.True
+  /** The pushed filters translated EXACTLY (the DELETE-grade strict
+    * translator): the scan then applies `ast` row-level itself and
+    * claims the filters handled — which is what unlocks FILTERED
+    * aggregate pushdown (Spark never offers an aggregate to a source
+    * that left post-scan filters behind). */
+  private var exactPush: Boolean = false
   /** When an aggregate pushed completely: (output schema, the one
     * metadata-computed row). */
   private var aggResult: Option[(StructType, Row)] = None
@@ -199,9 +212,16 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID))
-    ast = GraftRelation.toAst(filters, fullSchema.fieldNames.toSet, zone)
     pushed = filters
-    filters // engine re-applies everything — pruning-only contract
+    GraftRelation.toAstExact(filters, fullSchema.fieldNames.toSet, zone) match {
+      case Some(exact) =>
+        ast = exact; exactPush = true
+        Array.empty // fully handled: pruned AND applied row-level in-scan
+      case None =>
+        ast = GraftRelation.toAst(filters, fullSchema.fieldNames.toSet, zone)
+        exactPush = false
+        filters // engine re-applies everything — pruning-only weakening
+    }
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -222,7 +242,9 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     * falls back to the ordinary scan. */
   private def resolveAggregation(agg: Aggregation): Option[(StructType, Row)] = {
     if (asOfGen.isDefined) return None
-    if (ast != FilterExpr.True || pushed.nonEmpty) return None
+    // weakened filters leave post-scan residuals (Spark never offers the
+    // aggregate then anyway); exact filters feed the metadata count below
+    if (!exactPush && (ast != FilterExpr.True || pushed.nonEmpty)) return None
     if (agg.groupByExpressions.nonEmpty) return None
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -258,14 +280,20 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
 
     val resolved: Array[Option[(StructField, Any)]] = agg.aggregateExpressions.map {
       case _: CountStar =>
-        val n = collection.countRows()
-        if (n < 0) None else Some((StructField("count(*)", LongType, nullable = false), n))
+        // filtered counts answer from the per-partition recorded rows
+        // when the (exact) predicate is partition-aligned — O(shards),
+        // zero data files, `SELECT count(*) ... WHERE day = 3` at any
+        // collection size; anything metadata can't prove refuses
+        collection.countRowsMeta(ast)
+          .map(n => (StructField("count(*)", LongType, nullable = false), n))
       case m: Min =>
         for {
+          _ <- if (ast == FilterExpr.True) Some(()) else None // bounds are global
           c <- colOf(m.column); (v, dt) <- boundOf(c, hi = false)
         } yield (StructField(s"min($c)", dt), external(v, dt))
       case m: Max =>
         for {
+          _ <- if (ast == FilterExpr.True) Some(()) else None
           c <- colOf(m.column); (v, dt) <- boundOf(c, hi = true)
         } yield (StructField(s"max($c)", dt), external(v, dt))
       case _ => None
@@ -288,7 +316,8 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     resolveAggregation(agg).isDefined
 
   override def build(): Scan =
-    new GraftV1Scan(spark, collection, requiredSchema, ast, asOfGen, aggResult)
+    new GraftV1Scan(spark, collection, requiredSchema, ast, asOfGen, aggResult,
+      applyAst = exactPush)
 }
 
 /** V2 scan executing through the V1 bridge — the same
@@ -298,7 +327,8 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
 class GraftV1Scan(spark: SparkSession, collection: Collection,
                   requiredSchema: StructType, ast: FilterExpr.Ast,
                   asOfGen: Option[Long],
-                  aggResult: Option[(StructType, Row)])
+                  aggResult: Option[(StructType, Row)],
+                  applyAst: Boolean = false)
     extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = aggResult.map(_._1).getOrElse(requiredSchema)
@@ -332,8 +362,14 @@ class GraftV1Scan(spark: SparkSession, collection: Collection,
             context.sparkSession.createDataFrame(java.util.List.of(row), s)
           case None =>
             GraftRelation.lastScanAst = ast // shared spec observable
-            collection.scanWithAst(ast, asOfGen)
-              .select(requiredSchema.fieldNames.toSeq.map(col): _*)
+            val scanned = collection.scanWithAst(ast, asOfGen)
+            // exact pushdown: the engine dropped its Filter — apply the
+            // predicate row-level here (files were only PRUNED by stats)
+            val filtered =
+              if (applyAst && ast != FilterExpr.True)
+                scanned.where(FilterExpr.toColumn(ast))
+              else scanned
+            filtered.select(requiredSchema.fieldNames.toSeq.map(col): _*)
         }
         df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
       }

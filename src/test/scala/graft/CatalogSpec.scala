@@ -174,6 +174,36 @@ class CatalogSpec extends AnyFunSuite {
     assert(q3.collect().head.getDouble(0) == 1.0)
   }
 
+  test("FILTERED COUNT(*) answers from partition metadata; exact predicates drop the engine Filter") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db10")
+    mkEvents("graft.db10.fcnt")
+
+    // partition-aligned exact predicate: per-partition recorded rows
+    // answer the count, O(shards), zero data files
+    val q = sql("SELECT count(*) FROM graft.db10.fcnt WHERE day <= 2")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)"),
+      s"filtered count must push to the metadata scan; got plan:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown leaves no re-aggregation in the plan:\n$plan")
+    assert(q.collect().head.getLong(0) == 3)
+
+    // exact DATA-column predicate: claimed by the scan (prune + in-scan
+    // row filter) — the engine plans no post-scan Filter, rows exact
+    val q2 = sql("SELECT user_id, v FROM graft.db10.fcnt WHERE user_id = 1 AND day >= 2")
+    val noFilter = q2.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.isEmpty
+    assert(noFilter, "an exactly-translated predicate leaves no post-scan Filter")
+    assert(q2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 4.0)))
+
+    // a filter metadata can't count (data column) still refuses the
+    // aggregate — but the exact in-scan filter keeps the result right
+    val q3 = sql("SELECT count(*) FROM graft.db10.fcnt WHERE user_id = 1")
+    assert(q3.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(q3.collect().head.getLong(0) == 2)
+  }
+
   test("ALTER TABLE ADD/DROP COLUMN ride the schema-evolution path") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.db6")
     mkEvents("graft.db6.evo")
