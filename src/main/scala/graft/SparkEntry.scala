@@ -1254,6 +1254,16 @@ object SparkEntry {
         .orderBy(col("tf").desc, col("word"))
     }),
 
+    // C39 (r8): corpus-frequency surprisal — the integer-exact skeleton
+    // of the CCNet/Gopher perplexity quality gate (frequency bits +
+    // hapax count per doc; every column BIGINT, so the oracle compare
+    // is hash-exact — no float log-likelihood crosses engines).
+    "text_surprisal" -> ((s, dir) => {
+      graft.operators.Corpus.surprisal(
+          Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // C34 (r6): TOP-K frequent word 3-grams — memorization/boilerplate
     // inspection over the corpus; never globally sorted (TakeOrdered).
     "text_ngram_freq" -> ((s, dir) => {
@@ -3416,6 +3426,17 @@ object SparkEntry {
                       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
                FROM w GROUP BY word)
          SELECT word, tf, df FROM g ORDER BY tf DESC, word LIMIT 100""",
+
+    "text_surprisal" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+         dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY doc_id, word),
+         tfv AS (SELECT word, SUM(c) AS tf FROM dw GROUP BY word)
+         SELECT d.doc_id,
+                CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+                CAST(SUM(d.c * CAST(floor(log2(t.tf)) AS BIGINT)) AS BIGINT) AS freq_bits,
+                CAST(SUM(CASE WHEN t.tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+         FROM dw d JOIN tfv t USING (word)
+         GROUP BY d.doc_id ORDER BY doc_id""",
 
     "text_ngram_freq" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -57,6 +57,40 @@ object Corpus {
       .limit(k)
   }
 
+  /** Corpus-frequency SURPRISAL profile — the integer-exact skeleton of
+    * the CCNet/Gopher LM-perplexity quality gate (Wenzek et al. 2019
+    * train a 5-gram LM; with no model artifacts available the unigram
+    * corpus frequency is the standard proxy): every token scores
+    * `floor(log2(corpus tf))` "frequency bits", and each doc reports
+    *
+    *  - `n_tokens` — its token count,
+    *  - `freq_bits` — the summed frequency bits (LOW mean bits ⇒ the
+    *    doc leans on rare vocabulary — gibberish/OCR noise at the low
+    *    tail, boilerplate at the high tail; the ratio is the caller's
+    *    division so every stored column stays a BIGINT, hash-exact
+    *    across engines — floor∘log2 of an integer count is reproducible
+    *    bit-for-bit, unlike a float log-likelihood),
+    *  - `hapax` — how many of its tokens occur exactly once in the
+    *    whole corpus (the classic contamination/garbage signal).
+    *
+    * Scale shape: doc text never shuffles. One map-side-combined
+    * aggregation to per-(doc,word) counts, the corpus tf as a window
+    * sum over the word partition (no self-join), one final doc-keyed
+    * regroup — three exchanges of the DISTINCT (doc,word) pairs,
+    * bounded by vocabulary spread, not corpus bytes. */
+  def surprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val dw = df
+      .select(id.as("doc_id"), explode(split(trim(text), "\\s+")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("_zc_c"))
+    val tf = dw.withColumn("_zc_tf",
+      sum(col("_zc_c")).over(Window.partitionBy(col("word"))))
+    tf.groupBy(col("doc_id")).agg(
+      sum(col("_zc_c")).cast("long").as("n_tokens"),
+      sum(col("_zc_c") * floor(log2(col("_zc_tf"))).cast("long"))
+        .cast("long").as("freq_bits"),
+      sum(when(col("_zc_tf") === 1L, 1L).otherwise(0L)).cast("long").as("hapax"))
+  }
+
   /** SUBSTRING-level dedup — remove DUPLICATED SPANS, keep the docs
     * (the Lee et al. 2022 exact-substring tier, with a symmetric
     * order-free rule instead of keep-first-occurrence): a token is

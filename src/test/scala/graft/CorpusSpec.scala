@@ -397,6 +397,26 @@ class CorpusSpec extends AnyFunSuite {
       s"vocabulary top-k must be bounded, not a global sort:\n$plan")
   }
 
+  test("surprisal: integer frequency bits, hapax count, repeated tokens weighted") {
+    val d = Seq(
+      (1L, "the the the the cat"), // the: tf=5 -> 2 bits each; cat: tf=2 -> 1 bit
+      (2L, "the zyzzyva"),         // zyzzyva: tf=1 -> 0 bits, hapax
+      (3L, "cat"),
+    ).toDF("doc_id", "text")
+    val s = Corpus.surprisal(d, col("doc_id"), col("text")).orderBy("doc_id")
+    val rows = s.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq(
+      (1L, 5L, 4L * 2 + 1, 0L),  // 4x the(2 bits) + 1x cat(1 bit) = 9
+      (2L, 2L, 2L, 1L),          // the(2) + zyzzyva(0); one hapax
+      (3L, 1L, 1L, 0L)))         // cat(1 bit)
+    // doc text never shuffles: every Exchange carries (doc_id, word)
+    // pairs or smaller, not the original text column
+    val plan = s.queryExecution.executedPlan.toString
+    assert(!plan.contains("text#") ||
+      !plan.split("Exchange").tail.exists(_.take(200).contains("text#")),
+      s"the text column must not cross an Exchange:\n$plan")
+  }
+
   test("removeDuplicatedSpans: shared spans vanish everywhere, unique text and short docs survive") {
     val shared = (1 to 10).map(i => s"dup$i").mkString(" ") // a 10-word run
     val d = Seq(
