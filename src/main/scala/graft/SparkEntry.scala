@@ -1665,6 +1665,26 @@ object SparkEntry {
       eventsOut(dst.query())
     }),
 
+    // D16 (r8): the NATIVE sink — collection-to-collection replication
+    // as pure readStream/writeStream format("graft") plumbing, no
+    // foreachBatch: the sink's (streamName, batchId) mark commits
+    // atomically with each micro-batch (exactly-once across replays).
+    "stream_sink_format" -> ((s, dir) => {
+      val src = eventsCollection(s, dir)
+      val dstRoot = s"$scratch/sinkfmt-${java.util.UUID.randomUUID().toString.take(8)}"
+      val dst = Collection.create(s, dstRoot, src.schema, "ts",
+        DatePartitioning("ts", "D"))
+      val q = graft.streaming.StreamOps.readStream(s, src)
+        .select(src.schema.fieldNames.toSeq.map(col): _*)
+        .writeStream.format("graft")
+        .option("path", dstRoot)
+        .option("streamName", "sink_format")
+        .option("checkpointLocation", dstRoot + "-ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      eventsOut(dst.query())
+    }),
+
     // B9: semi/anti joins — customers with high-value orders but no
     // low-priority ones.
     "q_semi_anti" -> ((s, dir) => {
@@ -2373,6 +2393,10 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
 
     "stream_ingest" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
+
+    "stream_sink_format" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
 

@@ -344,7 +344,42 @@ class GraftCollectionSource(spark: SparkSession, root: String,
   * `ignore` = no-op, `errorifexists` = refuse. */
 class GraftCollectionSourceProvider extends StreamSourceProvider with DataSourceRegister
     with org.apache.spark.sql.sources.RelationProvider
-    with org.apache.spark.sql.sources.CreatableRelationProvider {
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
+
+  /** `df.writeStream.format("graft")` — the native exactly-once sink:
+    * each micro-batch lands through [[Collection.insertStreamBatch]],
+    * whose (streamName, batchId) high-water mark commits ATOMICALLY
+    * with the data, so Spark's at-least-once batch replay after a
+    * crash is detected and skipped — the same idempotence contract the
+    * foreachBatch [[StreamOps.insertStream]] path proves, without the
+    * foreachBatch boilerplate. Options: `root`/`path` (an EXISTING
+    * collection — create declares schema/axis/partitioning), `merge`
+    * (`concat` default | `upsert` | `replace` | `time_series` — pair
+    * `upsert` with Update-mode aggregations for streaming UPSERT),
+    * `streamName` (the idempotence key; REQUIRED when several streams
+    * feed one collection — defaults to the checkpoint location else
+    * "stream"). */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = rootOf(parameters)
+    val merge = parameters.getOrElse("merge", "concat").toLowerCase match {
+      case "concat"      => graft.core.MergeStrategy.Concat
+      case "upsert"      => graft.core.MergeStrategy.Upsert(
+        parameters.get("upsertToleranceMicros").map(_.toLong))
+      case "replace"     => graft.core.MergeStrategy.Replace
+      case "time_series" => graft.core.MergeStrategy.TimeSeries
+      case other => throw new IllegalArgumentException(
+        s"unknown merge strategy '$other' (concat|upsert|replace|time_series)")
+    }
+    val name = parameters.getOrElse("streamName",
+      parameters.getOrElse("checkpointLocation", "stream"))
+    new GraftSink(sqlContext.sparkSession, root, name, merge)
+  }
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -443,4 +478,24 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
         catch { case _: NumberFormatException =>
           java.time.Instant.parse(v).toEpochMilli }
       })
+}
+
+/** The V1 streaming Sink behind `writeStream.format("graft")` (see
+  * [[GraftCollectionSourceProvider.createSink]]). Stateless across
+  * batches on purpose: the (streamName, batchId) high-water mark lives
+  * in the COLLECTION's manifest — committed atomically with the rows —
+  * so exactly-once survives driver restarts with no sink-side state,
+  * and a replayed batch id is a detected no-op. */
+class GraftSink(spark: org.apache.spark.sql.SparkSession, root: String,
+                streamName: String, merge: graft.core.MergeStrategy)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    // the incoming frame is IncrementalExecution-backed; re-wrap the
+    // executed rows as a plain batch frame (the memory-sink pattern)
+    val batch = org.apache.spark.sql.graftbridge.Bridge.fromInternalRows(data)
+    Collection.open(spark, root).insertStreamBatch(streamName, batchId, batch, merge)
+  }
+
+  override def toString: String = s"GraftSink[$root, stream=$streamName]"
 }

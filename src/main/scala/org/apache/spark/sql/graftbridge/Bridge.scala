@@ -39,6 +39,16 @@ object Bridge {
       : Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
 
+  /** A V1 streaming Sink's `addBatch` DataFrame is backed by an
+    * IncrementalExecution that must not be re-planned as a batch query —
+    * the established sink pattern (Spark's own memory/console sinks)
+    * re-wraps the executed InternalRow RDD as a plain batch DataFrame. */
+  def fromInternalRows(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** `private[sql]` DataSourceStrategy: Catalyst predicate -> V1 source
     * Filter (None when untranslatable) — the SQL DML rule weakens row
     * predicates into the pruning domain with it. */
