@@ -514,6 +514,22 @@ object SparkEntry {
         "WHERE day >= 10 AND day <= 20")
     }),
 
+    // A47 (r8): Iceberg-style METADATA TABLES — `graft.db.t.partitions`
+    // is plain SQL over the manifest layer (per-partition recorded row
+    // counts, O(shards), zero data files); history/files/tags/branches
+    // resolve the same way.
+    "zc_sql_meta" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val name = "p" + java.util.UUID.randomUUID().toString.take(8)
+      val c = Collection.create(s, s"$scratch/sqlwh/db/$name", ev.schema, "ts",
+        DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+      c.insert(ev)
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", s"$scratch/sqlwh")
+      s.sql(s"SELECT partition AS part, n_rows FROM graftq.db.$name.partitions " +
+        "ORDER BY part")
+    }),
+
     // A45 (r8): the ANSI three-leg MERGE — WHEN NOT MATCHED BY SOURCE
     // DELETE turns the upsert into a full one-commit SYNC: the target
     // becomes exactly the source (Delta's sync-merge shape; the clause
@@ -2606,6 +2622,13 @@ object SparkEntry {
     "zc_sql_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS n FROM events
          WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 20""",
+
+    "zc_sql_meta" ->
+      """SELECT 'year=' || CAST(year(CAST(ts AS TIMESTAMP)) AS VARCHAR)
+              || '/month=' || CAST(month(CAST(ts AS TIMESTAMP)) AS VARCHAR)
+              || '/day=' || CAST(day(CAST(ts AS TIMESTAMP)) AS VARCHAR) AS part,
+              CAST(count(*) AS BIGINT) AS n_rows
+         FROM events GROUP BY 1 ORDER BY part""",
 
     // Sync merge: the target IS the source afterwards.
     "zc_merge_sync" ->

@@ -1829,6 +1829,33 @@ final class Collection private (
     * recorded), and the axis [min,max] merged from the per-file zone
     * maps — one DataFrame row per partition, O(shards) metadata IO and
     * no data scan. Missing stats surface as nulls, never guesses. */
+  /** Per-FILE manifest inventory (the Iceberg `files` metadata-table
+    * shape): root-relative path (external clone refs keep their
+    * `base::rel` form), owning partition, recorded row/byte counts and
+    * the commit generation that wrote it — nulls where a legacy shard
+    * recorded no stat, never guesses. O(shards) metadata, zero data
+    * IO at any collection size. */
+  def describeFiles(): DataFrame = {
+    import org.apache.spark.sql.types._
+    val man = currentManifest()
+    val rows = man.shards.flatMap { e =>
+      val d = man.shardData(e)
+      d.files.map { f =>
+        org.apache.spark.sql.Row(f, parentRel(f),
+          d.rows.get(f).map(Long.box).orNull,
+          d.bytes.get(f).map(Long.box).orNull,
+          d.gens.get(f).map(Long.box).orNull)
+      }
+    }
+    val schemaOut = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("partition", StringType, nullable = false),
+      StructField("n_rows", LongType),
+      StructField("bytes", LongType),
+      StructField("generation", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schemaOut)
+  }
+
   def describePartitions(): DataFrame = {
     import org.apache.spark.sql.types._
     val man = currentManifest()

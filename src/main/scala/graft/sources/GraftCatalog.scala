@@ -98,8 +98,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
-    if (!isCollection(p)) throw new NoSuchTableException(ident)
-    new GraftTable(spark, p.toString, ident.toString)
+    if (isCollection(p)) return new GraftTable(spark, p.toString, ident.toString)
+    // Iceberg-style metadata tables: `graft.db.t.history` resolves with
+    // namespace [db, t] and name `history` — when db.t IS a collection,
+    // serve the manifest-layer system table
+    val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
+    if (GraftMetaTable.Kinds(kind) && ident.namespace.nonEmpty) {
+      val base = nsPath(ident.namespace)
+      if (isCollection(base))
+        return new GraftMetaTable(spark, base.toString, ident.toString, kind)
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** `VERSION AS OF <v>`: a generation number, or a tag name (named

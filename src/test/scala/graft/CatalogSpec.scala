@@ -204,6 +204,36 @@ class CatalogSpec extends AnyFunSuite {
     assert(q3.collect().head.getLong(0) == 2)
   }
 
+  test("metadata tables: history/partitions/files/tags/branches are plain SQL") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db11")
+    mkEvents("graft.db11.meta")
+    val c = Collection.open(spark, s"${CatalogSpec.warehouse}/db11/meta")
+    c.tag("v1")
+    c.branch("dev")
+
+    val hist = sql(
+      "SELECT generation, operation FROM graft.db11.meta.history ORDER BY generation")
+      .collect()
+    assert(hist.nonEmpty && hist.exists(_.getString(1) == "insert"),
+      s"history must list the insert commit: ${hist.mkString(", ")}")
+    val parts = sql("SELECT partition, n_files, n_rows FROM graft.db11.meta.partitions")
+      .collect()
+    assert(parts.length == 3, s"three day partitions: ${parts.mkString(", ")}")
+    assert(parts.map(_.getLong(2)).sum == 4)
+    val files = sql("SELECT count(*) AS n, sum(n_rows) AS r FROM graft.db11.meta.files")
+      .collect().head
+    assert(files.getLong(1) == 4, s"file inventory rows must sum to the table: $files")
+    val tags = sql("SELECT tag, generation FROM graft.db11.meta.tags")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tags == Seq(("v1", c.generation)))
+    val branches = sql("SELECT branch FROM graft.db11.meta.branches")
+      .collect().map(_.getString(0)).toSeq
+    assert(branches == Seq("dev"))
+    // a bogus suffix on a real collection still refuses
+    val e = intercept[Exception](sql("SELECT * FROM graft.db11.meta.bogus").collect())
+    assert(e.getMessage != null)
+  }
+
   test("ALTER TABLE ADD/DROP COLUMN ride the schema-evolution path") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.db6")
     mkEvents("graft.db6.evo")
