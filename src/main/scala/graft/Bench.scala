@@ -51,6 +51,10 @@ object Bench {
     "zc_changes", "zc_vector_search", "stream_window", "stream_join",
     "stream_join_outer", "stream_join_full", "stream_session_native",
     "zc_clone", "zc_branch_merge",
+    // r8b: SQL DML + sync merge + rebase policies + metadata/agg SQL +
+    // native sink + surprisal
+    "zc_sql_update", "zc_sql_merge", "zc_merge_sync", "zc_rebase_theirs",
+    "zc_sql_count", "zc_sql_meta", "stream_sink_format", "text_surprisal",
   )
 
   private def loadAvg: Double =

@@ -1270,7 +1270,7 @@ object SparkEntry {
         .orderBy(col("tf").desc, col("word"))
     }),
 
-    // C39 (r8): corpus-frequency surprisal — the integer-exact skeleton
+    // C42 (r8b): corpus-frequency surprisal — the integer-exact skeleton
     // of the CCNet/Gopher perplexity quality gate (frequency bits +
     // hapax count per doc; every column BIGINT, so the oracle compare
     // is hash-exact — no float log-likelihood crosses engines).
@@ -1681,7 +1681,7 @@ object SparkEntry {
       eventsOut(dst.query())
     }),
 
-    // D16 (r8): the NATIVE sink — collection-to-collection replication
+    // D17 (r8b): the NATIVE sink — collection-to-collection replication
     // as pure readStream/writeStream format("graft") plumbing, no
     // foreachBatch: the sink's (streamName, batchId) mark commits
     // atomically with each micro-batch (exactly-once across replays).

@@ -1944,9 +1944,17 @@ final class Collection private (
     * filter isn't partition-decidable — callers then aggregate the data
     * (`query(filters).agg(min, max)`). */
   def columnBounds(name: String, filters: String = null): Option[(Any, Any)] = {
+    val ast = FilterExpr.parse(filters)
+    if (ast != FilterExpr.True) requireKnownNames(ast)
+    columnBoundsAst(name, ast)
+  }
+
+  /** [[columnBounds]] over an already-built AST — the SQL aggregate
+    * pushdown's filtered MIN/MAX entry point (names pre-checked). */
+  private[graft] def columnBoundsAst(name: String,
+                                     ast: FilterExpr.Ast): Option[(Any, Any)] = {
     if (!statsCols.contains(name)) return None
     val dom = columnDomain(name).getOrElse(return None)
-    val ast = FilterExpr.parse(filters)
     val man = currentManifest()
     def decode(st: ColStat): Option[(Any, Any)] =
       for (lo <- dom.decodeStat(st.lo); hi <- dom.decodeStat(st.hi)) yield (lo, hi)

@@ -256,7 +256,11 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     def boundOf(name: String, hi: Boolean): Option[(Any, DataType)] = {
       if (!tableSchema.fieldNames.contains(name)) return None
       val dt = tableSchema(name).dataType
-      collection.columnBounds(name).map { case (lo, up) => (if (hi) up else lo, dt) }
+      // filtered bounds answer when the (exact) predicate is partition-
+      // aligned: merged per-file zone maps of exactly the matching
+      // partitions — same metadata contract as the filtered count
+      collection.columnBoundsAst(name, ast)
+        .map { case (lo, up) => (if (hi) up else lo, dt) }
     }
 
     def external(v: Any, dt: DataType): Any = (v, dt) match {
@@ -288,12 +292,10 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
           .map(n => (StructField("count(*)", LongType, nullable = false), n))
       case m: Min =>
         for {
-          _ <- if (ast == FilterExpr.True) Some(()) else None // bounds are global
           c <- colOf(m.column); (v, dt) <- boundOf(c, hi = false)
         } yield (StructField(s"min($c)", dt), external(v, dt))
       case m: Max =>
         for {
-          _ <- if (ast == FilterExpr.True) Some(()) else None
           c <- colOf(m.column); (v, dt) <- boundOf(c, hi = true)
         } yield (StructField(s"max($c)", dt), external(v, dt))
       case _ => None

@@ -179,14 +179,19 @@ class CatalogSpec extends AnyFunSuite {
     mkEvents("graft.db10.fcnt")
 
     // partition-aligned exact predicate: per-partition recorded rows
-    // answer the count, O(shards), zero data files
-    val q = sql("SELECT count(*) FROM graft.db10.fcnt WHERE day <= 2")
+    // answer the count — and MIN/MAX answer from the merged per-file
+    // zone maps of exactly the matching partitions — O(shards), zero
+    // data files
+    val q = sql("SELECT count(*), min(ts), max(user_id) FROM graft.db10.fcnt WHERE day <= 2")
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PushedAggregates: [COUNT(*)"),
       s"filtered count must push to the metadata scan; got plan:\n$plan")
     assert(!plan.contains("HashAggregate"),
       s"complete pushdown leaves no re-aggregation in the plan:\n$plan")
-    assert(q.collect().head.getLong(0) == 3)
+    val r0 = q.collect().head
+    assert(r0.getLong(0) == 3)
+    assert(r0.getTimestamp(1).toInstant == java.time.Instant.parse("2024-01-01T08:00:00Z"))
+    assert(r0.getLong(2) == 3)
 
     // exact DATA-column predicate: claimed by the scan (prune + in-scan
     // row filter) — the engine plans no post-scan Filter, rows exact
