@@ -45,7 +45,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: Cli <ls|inspect|describe|query|drop|delete|expire|history|vacuum|compact|compact-plan|zorder|count|prune|backfill-stats|fsck|changes|clone|tag|untag|branch|drop-branch> <path> [args...]")
+        "usage: Cli <ls|inspect|describe|files|query|drop|delete|expire|history|vacuum|compact|compact-plan|zorder|count|prune|backfill-stats|fsck|changes|clone|tag|untag|branch|drop-branch> <path> [args...]")
       sys.exit(2)
     }
     val (cmd, path) = (args(0), args(1))
@@ -123,6 +123,13 @@ object Cli {
       case "describe" =>
         val c = Collection.open(spark, path, readOnly = true)
         c.describePartitions().orderBy("partition").show(1000, truncate = false)
+      case "files" =>
+        // per-file manifest inventory (Iceberg `files` shape), and in
+        // SQL as graft.<ns>.<t>.files; optional partition-prefix filter
+        val c = Collection.open(spark, path, readOnly = true)
+        val all = c.describeFiles()
+        args.lift(2).fold(all)(p => all.where(s"partition LIKE '$p%'"))
+          .orderBy("partition", "file").show(1000, truncate = false)
       case "count" =>
         val c = Collection.open(spark, path, readOnly = true)
         println(c.countRows(args.lift(2).orNull))

@@ -15,6 +15,7 @@ import graft.sources.Tables
 object LakehouseOps {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.extensions", "graft.GraftExtensions") // SQL DML
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -47,6 +48,32 @@ object LakehouseOps {
                  FROM events_tbl WHERE event_id <= 3""")
     println(s"rows after SQL INSERT: ${spark.table("events_tbl").count()}")
     spark.sql("DROP TABLE events_tbl")
+
+    // r8b: the FULL SQL DML triangle (GraftDmlRule lowers UPDATE/MERGE/
+    // row-level DELETE onto the file-granular engine paths — requires
+    // spark.sql.extensions=graft.GraftExtensions, set above)
+    spark.sql(s"CREATE TABLE events_dml USING graft OPTIONS (path '$root')")
+    spark.sql("""UPDATE events_dml SET value = value * 2
+                 WHERE event_type = 'view' AND day <= 2""")
+    spark.sql("DELETE FROM events_dml WHERE event_type LIKE 'err%' AND value < 0.1")
+    spark.table("events_dml").limit(2)
+      .select((col("event_id") + 5000000).as("event_id"), col("ts"),
+        col("user_id"), lit("merged").as("event_type"), col("value"), col("props"))
+      .createOrReplaceTempView("dml_src")
+    spark.sql("""MERGE INTO events_dml t USING dml_src s ON t.event_id = s.event_id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    // filtered COUNT answers from partition metadata — zero data files
+    spark.sql("SELECT count(*) AS first_week FROM events_dml WHERE day <= 7").show()
+    spark.sql("DROP TABLE events_dml")
+
+    // r8b: the DSv2 catalog face + Iceberg-style metadata tables
+    spark.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.lake.warehouse",
+      root.substring(0, root.lastIndexOf('/')))
+    spark.sql("SELECT * FROM lake.events.history").show(truncate = false)
+    spark.sql("""SELECT partition, n_files, n_rows, bytes
+                 FROM lake.events.partitions ORDER BY partition LIMIT 5""").show(truncate = false)
 
     val t0 = System.currentTimeMillis()
     c.updateWhere("event_type == 'click' and day <= 3",

@@ -69,8 +69,14 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
   /** The internal scan already produces InternalRows. */
   override def needConversion: Boolean = false
 
-  /** Our filters only PRUNE; the engine re-applies everything. */
-  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+  /** EXACTLY-translatable filters are claimed (pruned AND applied
+    * row-level in [[buildScan]] — the engine plans no re-filter for
+    * them); anything outside the strict domain returns for engine
+    * re-application, with its weakened form still pruning. Same
+    * contract the V2 face adopted for the filtered-aggregate path. */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filterNot(f =>
+      GraftRelation.toAstExact(Array(f), schema.fieldNames.toSet, sessionZone).isDefined)
 
   /** Metadata-only size estimate for Catalyst's join planning, so a
     * small graft dimension joined to a big fact broadcasts instead of
@@ -94,11 +100,17 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val ast = GraftRelation.toAst(filters, schema.fieldNames.toSet, sessionZone)
+    val zone = sessionZone
+    val known = schema.fieldNames.toSet
+    val ast = GraftRelation.toAst(filters, known, zone)
     GraftRelation.lastScanAst = ast // test observable
-    val df = collection.scanWithAst(ast, asOfGen)
-      .select(requiredColumns.map(col).toSeq: _*)
-    df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    // the filters [[unhandledFilters]] claimed must be APPLIED here,
+    // not just pruned — the engine dropped its own re-filter for them
+    val claimed = filters.flatMap(f => GraftRelation.toAstExact(Array(f), known, zone))
+    val scanned = collection.scanWithAst(ast, asOfGen)
+    val filtered = claimed.foldLeft(scanned)((d, a) => d.where(FilterExpr.toColumn(a)))
+    filtered.select(requiredColumns.map(col).toSeq: _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
 
