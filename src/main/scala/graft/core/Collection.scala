@@ -1698,6 +1698,31 @@ final class Collection private (
     * plus the compiled row predicate applied. `asOfGen` pins a committed
     * snapshot (the `versionAsOf` read option) — pruning then runs
     * against that snapshot's own stats. */
+  /** LIMIT-budgeted unfiltered scan: files in manifest order until the
+    * recorded row counts reach `n` — a SUPERSET of n rows (the engine's
+    * own LIMIT applies on top), so `SELECT * FROM t LIMIT 10` schedules
+    * one file instead of the whole collection. `None` (caller scans
+    * normally) when any needed file lacks a recorded count — the answer
+    * must be provable, never guessed. */
+  private[graft] def scanHead(n: Long, asOfGen: Option[Long]): Option[DataFrame] = {
+    val man = asOfGen.map { g =>
+      require(generations().contains(g), s"no committed generation $g at $root")
+      manifestAt(g)
+    }.getOrElse(currentManifest())
+    val rowsByFile = man.shards.flatMap(e => man.shardData(e).rows).toMap
+    val take = scala.collection.mutable.ArrayBuffer.empty[String]
+    var acc = 0L
+    val it = man.files.iterator
+    while (acc < n && it.hasNext) {
+      val f = it.next()
+      rowsByFile.get(f) match {
+        case Some(r) => take += f; acc += r
+        case None    => return None
+      }
+    }
+    Some(readManifestFiles(man, take.toSeq).drop(RowIdCol))
+  }
+
   private[graft] def scanWithAst(ast: FilterExpr.Ast,
                                  asOfGen: Option[Long] = None): DataFrame = {
     val pinned = asOfGen.map { g =>

@@ -189,7 +189,8 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
 class GraftScanBuilder(spark: SparkSession, collection: Collection,
                        tableSchema: StructType, asOfGen: Option[Long])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private val partStrategy = collection.partitioning
   private val fullSchema: StructType = StructType(
@@ -317,9 +318,24 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     resolveAggregation(agg).isDefined
 
+  /** Unfiltered LIMIT: the scan schedules files (manifest order) only
+    * until their RECORDED row counts cover n — `SELECT * FROM t LIMIT
+    * 10` reads one file, not the collection. Partial by contract (the
+    * engine's own LIMIT stays on top; the file set is a provable
+    * superset of n rows). Filtered limits refuse: post-filter
+    * cardinality per file is unknowable from metadata. */
+  private var limit: Option[Int] = None
+
+  override def pushLimit(n: Int): Boolean = {
+    if (ast != FilterExpr.True || pushed.nonEmpty) return false
+    limit = Some(n)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
     new GraftV1Scan(spark, collection, requiredSchema, ast, asOfGen, aggResult,
-      applyAst = exactPush)
+      applyAst = exactPush, limit = limit)
 }
 
 /** V2 scan executing through the V1 bridge — the same
@@ -330,7 +346,8 @@ class GraftV1Scan(spark: SparkSession, collection: Collection,
                   requiredSchema: StructType, ast: FilterExpr.Ast,
                   asOfGen: Option[Long],
                   aggResult: Option[(StructType, Row)],
-                  applyAst: Boolean = false)
+                  applyAst: Boolean = false,
+                  limit: Option[Int] = None)
     extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = aggResult.map(_._1).getOrElse(requiredSchema)
@@ -364,7 +381,8 @@ class GraftV1Scan(spark: SparkSession, collection: Collection,
             context.sparkSession.createDataFrame(java.util.List.of(row), s)
           case None =>
             GraftRelation.lastScanAst = ast // shared spec observable
-            val scanned = collection.scanWithAst(ast, asOfGen)
+            val scanned = limit.flatMap(n => collection.scanHead(n, asOfGen))
+              .getOrElse(collection.scanWithAst(ast, asOfGen))
             // exact pushdown: the engine dropped its Filter — apply the
             // predicate row-level here (files were only PRUNED by stats)
             val filtered =

@@ -207,6 +207,18 @@ class CatalogSpec extends AnyFunSuite {
     val q3 = sql("SELECT count(*) FROM graft.db10.fcnt WHERE user_id = 1")
     assert(q3.queryExecution.executedPlan.toString.contains("HashAggregate"))
     assert(q3.collect().head.getLong(0) == 2)
+
+    // unfiltered LIMIT schedules files only until recorded rows cover
+    // it — one file of the three partitions, not the collection
+    assert(sql("SELECT * FROM graft.db10.fcnt LIMIT 1").count() == 1)
+    val c10 = Collection.open(spark, s"${CatalogSpec.warehouse}/db10/fcnt",
+      readOnly = true)
+    val head = c10.scanHead(1, None).get
+    assert(head.inputFiles.length < c10.query().inputFiles.length,
+      "the LIMIT file budget must schedule fewer files than the full scan")
+    assert(head.count() >= 1, "the budgeted file set is a superset of n rows")
+    // filtered LIMIT refuses the file budget and stays correct
+    assert(sql("SELECT * FROM graft.db10.fcnt WHERE day >= 2 LIMIT 2").count() == 2)
   }
 
   test("metadata tables: history/partitions/files/tags/branches are plain SQL") {
