@@ -567,11 +567,11 @@ object SparkEntry {
         DatePartitioning("ts", "D"), overwrite = true, retainGenerations = 6)
       c.insert(ev)
       val dev = c.branch("dev")
-      dev.updateWhere("event_type == 'click' and day >= 10",
+      dev.updateWhere("event_type == 'click' and day >= 10 and day <= 14",
         Map("event_type" -> "'b_click'"))
-      c.updateWhere("event_type == 'click' and day >= 20",
-        Map("event_type" -> "'p_click'")) // conflicts with the branch
-      c.updateWhere("event_type == 'view' and day <= 5",
+      c.updateWhere("event_type == 'click' and day >= 12 and day <= 16",
+        Map("event_type" -> "'p_click'")) // days 12-14 conflict with the branch
+      c.updateWhere("event_type == 'view' and day <= 3",
         Map("event_type" -> "'p_view'")) // disjoint parent edit
       c.rebaseBranch("dev", Seq("event_id"), RebaseResolve.Theirs)
       eventsOut(c.query())
@@ -2645,14 +2645,16 @@ object SparkEntry {
          FROM slice
          ORDER BY event_id""",
 
-    // Rebase Theirs: branch wins the conflicted clicks (day >= 10 —
-    // superset of the parent's day >= 20 edit), parent's disjoint
-    // view edit survives.
+    // Rebase Theirs: the branch wins the conflicted clicks (days 12-14,
+    // the overlap of the two edits), the parent's non-conflicted click
+    // days (15-16) and its disjoint view edit survive.
     "zc_rebase_theirs" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
-                CASE WHEN COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) >= 10, FALSE)
+                CASE WHEN COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 14, FALSE)
                      THEN 'b_click'
-                     WHEN COALESCE(event_type = 'view' AND day(CAST(ts AS TIMESTAMP)) <= 5, FALSE)
+                     WHEN COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) BETWEEN 15 AND 16, FALSE)
+                     THEN 'p_click'
+                     WHEN COALESCE(event_type = 'view' AND day(CAST(ts AS TIMESTAMP)) <= 3, FALSE)
                      THEN 'p_view'
                      ELSE event_type END AS event_type,
                 value, props

@@ -1974,6 +1974,35 @@ final class Collection private (
     columnBoundsAst(name, ast)
   }
 
+  /** Metadata-only GROUPED count: `GROUP BY <partition components>`
+    * with `COUNT(*)`, optionally under a partition-aligned filter —
+    * each partition's recorded row count contributes to the group its
+    * decoded key projects onto (GROUP BY month merges the months of
+    * every year, as SQL says). One pass over the wanted file set;
+    * `None` whenever a partition fails to decode or a file lacks a
+    * recorded count — the SQL pushdown refuses instead of scanning. */
+  private[graft] def groupedCountMeta(groupCols: Seq[String],
+      ast: FilterExpr.Ast): Option[Seq[(Seq[Any], Long)]] = {
+    if (groupCols.isEmpty || !groupCols.forall(partCols.contains)) return None
+    if (ast != FilterExpr.True && !FilterExpr.names(ast).subsetOf(partCols.toSet))
+      return None
+    val man = currentManifest()
+    val decoded = man.partitionPaths.map(p => decodePath(p).map(p -> _))
+    if (decoded.exists(_.isEmpty)) return None
+    val wanted = decoded.flatten.filter { case (_, k) =>
+      ast == FilterExpr.True || FilterExpr.eval(ast, k.toMap) }
+    val files = man.filesForPartitions(wanted.map(_._1).toSet)
+    val rowsByFile = man.shards.flatMap(e => man.shardData(e).rows).toMap
+    if (!files.forall(rowsByFile.contains)) return None
+    val byPart = files.groupBy(parentRel)
+    val perPartition = wanted.map { case (p, k) =>
+      val km = k.toMap
+      (groupCols.map(km), byPart.getOrElse(p, Nil).map(rowsByFile).sum)
+    }
+    Some(perPartition.groupBy(_._1).toSeq.map { case (g, rs) =>
+      (g, rs.map(_._2).sum) })
+  }
+
   /** [[columnBounds]] over an already-built AST — the SQL aggregate
     * pushdown's filtered MIN/MAX entry point (names pre-checked). */
   private[graft] def columnBoundsAst(name: String,

@@ -206,9 +206,10 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     * aggregate pushdown (Spark never offers an aggregate to a source
     * that left post-scan filters behind). */
   private var exactPush: Boolean = false
-  /** When an aggregate pushed completely: (output schema, the one
-    * metadata-computed row). */
-  private var aggResult: Option[(StructType, Row)] = None
+  /** When an aggregate pushed completely: (output schema, the
+    * metadata-computed rows — one for a global aggregate, one per
+    * group for a partition-column GROUP BY). */
+  private var aggResult: Option[(StructType, Seq[Row])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
@@ -241,18 +242,12 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     * with no residual filters, no grouping, and no VERSION/TIMESTAMP AS
     * OF pin (the rollup describes the CURRENT manifest): anything else
     * falls back to the ordinary scan. */
-  private def resolveAggregation(agg: Aggregation): Option[(StructType, Row)] = {
+  private def resolveAggregation(agg: Aggregation): Option[(StructType, Seq[Row])] = {
     if (asOfGen.isDefined) return None
     // weakened filters leave post-scan residuals (Spark never offers the
     // aggregate then anyway); exact filters feed the metadata count below
     if (!exactPush && (ast != FilterExpr.True || pushed.nonEmpty)) return None
-    if (agg.groupByExpressions.nonEmpty) return None
-
-    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
-      e match {
-        case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames.head)
-        case _ => None
-      }
+    if (agg.groupByExpressions.nonEmpty) return resolveGroupedAggregation(agg)
 
     def boundOf(name: String, hi: Boolean): Option[(Any, DataType)] = {
       if (!tableSchema.fieldNames.contains(name)) return None
@@ -262,25 +257,6 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
       // partitions — same metadata contract as the filtered count
       collection.columnBoundsAst(name, ast)
         .map { case (lo, up) => (if (hi) up else lo, dt) }
-    }
-
-    def external(v: Any, dt: DataType): Any = (v, dt) match {
-      case (l: Long, LongType)     => l
-      case (l: Long, IntegerType)  => l.toInt
-      case (l: Long, ShortType)    => l.toShort
-      case (l: Long, ByteType)     => l.toByte
-      case (d: Double, DoubleType) => d
-      case (d: Double, FloatType)  => d.toFloat
-      case (l: Long, TimestampType) =>
-        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-          Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L))
-      case (l: Long, TimestampNTZType) =>
-        java.time.LocalDateTime.ofEpochSecond(
-          Math.floorDiv(l, 1000000L), (Math.floorMod(l, 1000000L) * 1000L).toInt,
-          java.time.ZoneOffset.UTC)
-      case (l: Long, DateType)     => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(l))
-      case (s: String, StringType) => s
-      case _ => throw new IllegalStateException(s"unexpected bound $v for $dt")
     }
 
     val resolved: Array[Option[(StructField, Any)]] = agg.aggregateExpressions.map {
@@ -303,7 +279,67 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     }
     if (resolved.contains(None)) return None
     val fields = resolved.flatten
-    Some((StructType(fields.map(_._1)), Row(fields.map(_._2).toSeq: _*)))
+    Some((StructType(fields.map(_._1)), Seq(Row(fields.map(_._2).toSeq: _*))))
+  }
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames.head)
+      case _ => None
+    }
+
+  /** Metadata value (Long/Double/String canonical domain) → the Spark
+    * external type of the declared column. */
+  private def external(v: Any, dt: DataType): Any = (v, dt) match {
+    case (l: Long, LongType)     => l
+    case (l: Long, IntegerType)  => l.toInt
+    case (l: Long, ShortType)    => l.toShort
+    case (l: Long, ByteType)     => l.toByte
+    case (d: Double, DoubleType) => d
+    case (d: Double, FloatType)  => d.toFloat
+    case (l: Long, TimestampType) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L))
+    case (l: Long, TimestampNTZType) =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(l, 1000000L), (Math.floorMod(l, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    case (l: Long, DateType)     => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(l))
+    case (s: String, StringType) => s
+    case (i: Int, IntegerType)   => i
+    case (i: Int, LongType)      => i.toLong
+    case _ => throw new IllegalStateException(s"unexpected metadata value $v for $dt")
+  }
+
+  /** `GROUP BY <partition components>` + `COUNT(*)`: every partition's
+    * RECORDED row count lands in the group its decoded key projects
+    * onto — `SELECT day, count(*) ... GROUP BY day` answers from the
+    * manifest, O(shards), zero data files, under the same exact
+    * partition-aligned filters as the global form. Only COUNT(*)
+    * aggregates (per-group MIN/MAX would need per-group stat merges —
+    * refused for now), only single-column group keys that ARE partition
+    * components; anything else falls back to the ordinary scan. */
+  private def resolveGroupedAggregation(agg: Aggregation): Option[(StructType, Seq[Row])] = {
+    val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map { e =>
+      colOf(e).getOrElse(return None)
+    }
+    if (groupCols.exists(c => !fullSchema.fieldNames.contains(c))) return None
+    val aggFields: Seq[StructField] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => StructField("count(*)", LongType, nullable = false)
+      case _            => return None
+    }
+    if (aggFields.isEmpty) return None
+    collection.groupedCountMeta(groupCols, ast).map { groups =>
+      val gTypes = groupCols.map(c => fullSchema(fullSchema.fieldIndex(c)).dataType)
+      val schema = StructType(
+        groupCols.zip(gTypes).map { case (c, t) => StructField(c, t, nullable = false) }
+          ++ aggFields)
+      val rows = groups.map { case (vals, n) =>
+        Row.fromSeq(vals.zip(gTypes).map { case (v, t) => external(v, t) }
+          ++ aggFields.map(_ => n))
+      }
+      (schema, rows)
+    }
   }
 
   override def pushAggregation(agg: Aggregation): Boolean = {
@@ -345,7 +381,7 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
 class GraftV1Scan(spark: SparkSession, collection: Collection,
                   requiredSchema: StructType, ast: FilterExpr.Ast,
                   asOfGen: Option[Long],
-                  aggResult: Option[(StructType, Row)],
+                  aggResult: Option[(StructType, Seq[Row])],
                   applyAst: Boolean = false,
                   limit: Option[Int] = None)
     extends V1Scan with SupportsReportStatistics {
@@ -377,8 +413,9 @@ class GraftV1Scan(spark: SparkSession, collection: Collection,
       override def needConversion: Boolean = false
       override def buildScan(): RDD[Row] = {
         val df = aggResult match {
-          case Some((s, row)) =>
-            context.sparkSession.createDataFrame(java.util.List.of(row), s)
+          case Some((s, rows)) =>
+            context.sparkSession.createDataFrame(
+              new java.util.ArrayList[Row](rows.asJava), s)
           case None =>
             GraftRelation.lastScanAst = ast // shared spec observable
             val scanned = limit.flatMap(n => collection.scanHead(n, asOfGen))

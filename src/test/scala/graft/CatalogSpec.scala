@@ -208,6 +208,30 @@ class CatalogSpec extends AnyFunSuite {
     assert(q3.queryExecution.executedPlan.toString.contains("HashAggregate"))
     assert(q3.collect().head.getLong(0) == 2)
 
+    // GROUP BY a partition component answers from the manifest too:
+    // one row per group from the per-partition recorded counts
+    val q5 = sql(
+      "SELECT day, count(*) AS n FROM graft.db10.fcnt GROUP BY day ORDER BY day")
+    val p5 = q5.queryExecution.executedPlan.toString
+    assert(p5.contains("PushedAggregates: [COUNT(*)"),
+      s"grouped count must push to the metadata scan:\n$p5")
+    assert(!p5.contains("HashAggregate"),
+      s"complete grouped pushdown leaves no re-aggregation:\n$p5")
+    assert(q5.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 2L), (2, 1L), (3, 1L)))
+    // composed with a partition-aligned filter
+    val q6 = sql("SELECT day, count(*) AS n FROM graft.db10.fcnt " +
+      "WHERE day >= 2 GROUP BY day ORDER BY day")
+    assert(!q6.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(q6.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((2, 1L), (3, 1L)))
+    // a DATA-column group key falls back to the scan and stays right
+    val q7 = sql("SELECT user_id, count(*) AS n FROM graft.db10.fcnt " +
+      "GROUP BY user_id ORDER BY user_id")
+    assert(q7.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(q7.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+
     // unfiltered LIMIT schedules files only until recorded rows cover
     // it — one file of the three partitions, not the collection
     assert(sql("SELECT * FROM graft.db10.fcnt LIMIT 1").count() == 1)
