@@ -514,6 +514,20 @@ object SparkEntry {
         "WHERE day >= 10 AND day <= 20")
     }),
 
+    // E34 (r8b): GROUPED metadata COUNT — one row per partition group
+    // from the recorded counts; complete pushdown, no re-aggregation.
+    "zc_sql_group_count" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val name = "g" + java.util.UUID.randomUUID().toString.take(8)
+      val c = Collection.create(s, s"$scratch/sqlwh/db/$name", ev.schema, "ts",
+        DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+      c.insert(ev)
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", s"$scratch/sqlwh")
+      s.sql(s"SELECT day, CAST(count(*) AS BIGINT) AS n FROM graftq.db.$name " +
+        "WHERE day >= 5 GROUP BY day ORDER BY day")
+    }),
+
     // A47 (r8): Iceberg-style METADATA TABLES — `graft.db.t.partitions`
     // is plain SQL over the manifest layer (per-partition recorded row
     // counts, O(shards), zero data files); history/files/tags/branches
@@ -2622,6 +2636,12 @@ object SparkEntry {
     "zc_sql_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS n FROM events
          WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 20""",
+
+    "zc_sql_group_count" ->
+      """SELECT CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS day,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events WHERE day(CAST(ts AS TIMESTAMP)) >= 5
+         GROUP BY 1 ORDER BY day""",
 
     "zc_sql_meta" ->
       """SELECT 'year=' || CAST(year(CAST(ts AS TIMESTAMP)) AS VARCHAR)
