@@ -1284,6 +1284,15 @@ object SparkEntry {
         .orderBy(col("tf").desc, col("word"))
     }),
 
+    // C43 (r8b): data-profile audit — per-column row/null/exact-distinct
+    // counts in ONE pass (single Aggregate, one Expand-fed shuffle);
+    // every output BIGINT, hash-exact across engines.
+    "text_profile" -> ((s, dir) => {
+      graft.operators.Profile.columns(
+          Tables.documents(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("col_name")
+    }),
+
     // C42 (r8b): corpus-frequency surprisal — the integer-exact skeleton
     // of the CCNet/Gopher perplexity quality gate (frequency bits +
     // hapax count per doc; every column BIGINT, so the oracle compare
@@ -3495,6 +3504,25 @@ object SparkEntry {
                       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
                FROM w GROUP BY word)
          SELECT word, tf, df FROM g ORDER BY tf DESC, word LIMIT 100""",
+
+    "text_profile" ->
+      """SELECT col_name, n_rows, n_nulls, n_distinct FROM (
+           SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents
+           UNION ALL
+           SELECT 'lang', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+           UNION ALL
+           SELECT 'source', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT source) AS BIGINT) FROM documents
+           UNION ALL
+           SELECT 'n_chars', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents)
+         ORDER BY col_name""",
 
     "text_surprisal" ->
       """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),

@@ -397,6 +397,19 @@ class CorpusSpec extends AnyFunSuite {
       s"vocabulary top-k must be bounded, not a global sort:\n$plan")
   }
 
+  test("Profile.columns: nulls excluded from distinct, one row per column, one pass") {
+    val d = Seq(
+      (1L, Option("a")), (2L, Option("a")), (3L, None), (4L, Option("b")),
+    ).toDF("id", "s")
+    val p = graft.operators.Profile.columns(d).orderBy("col_name")
+    val rows = p.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // count(DISTINCT s) is SQL-semantics: NULL contributes nothing
+    assert(rows == Seq(("id", 4L, 0L, 4L), ("s", 4L, 1L, 2L)))
+    intercept[IllegalArgumentException](
+      graft.operators.Profile.columns(d, Seq("nope")))
+  }
+
   test("surprisal: integer frequency bits, hapax count, repeated tokens weighted") {
     val d = Seq(
       (1L, "the the the the cat"), // the: tf=5 -> 2 bits each; cat: tf=2 -> 1 bit
