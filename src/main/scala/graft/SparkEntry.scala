@@ -1284,6 +1284,17 @@ object SparkEntry {
         .orderBy(col("tf").desc, col("word"))
     }),
 
+    // C44 (r8b): weighted-fair INTERLEAVE — integer virtual time orders
+    // the curriculum so any prefix carries sources 7:2:1 (WFQ finish
+    // times cleared of fractions; strides 2/7/14 for lcm 14).
+    "text_interleave" -> ((s, dir) => {
+      graft.operators.Corpus.interleave(
+          Tables.documents(s, dir), col("source"),
+          Map("src0" -> 7L, "src1" -> 2L, "src2" -> 1L), Seq(col("doc_id")))
+        .select("doc_id", "source", "vtime")
+        .orderBy("vtime", "source", "doc_id")
+    }),
+
     // C43 (r8b): data-profile audit — per-column row/null/exact-distinct
     // counts in ONE pass (single Aggregate, one Expand-fed shuffle);
     // every output BIGINT, hash-exact across engines.
@@ -3504,6 +3515,17 @@ object SparkEntry {
                       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
                FROM w GROUP BY word)
          SELECT word, tf, df FROM g ORDER BY tf DESC, word LIMIT 100""",
+
+    "text_interleave" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+         SELECT doc_id, source,
+                CAST((2*rn - 1) * (CASE source WHEN 'src0' THEN 2
+                                               WHEN 'src1' THEN 7
+                                               ELSE 14 END) AS BIGINT) AS vtime
+         FROM r ORDER BY vtime, source, doc_id""",
 
     "text_profile" ->
       """SELECT col_name, n_rows, n_nulls, n_distinct FROM (

@@ -57,6 +57,45 @@ object Corpus {
       .limit(k)
   }
 
+  /** Deterministic weighted INTERLEAVE — the training-ORDER counterpart
+    * of [[mixtureSample]]'s budgets: every kept row gets an integer
+    * VIRTUAL TIME such that sorting by it yields the curriculum order
+    * in which any prefix carries the sources in (±1 per source) the
+    * requested ratios — weighted fair queueing, integer-exact. The
+    * `rn`-th row of source `s` (1-based, ordered by `order` within the
+    * source) finishes at `vtime = (2·rn − 1) · (L / w_s)` where `L` =
+    * lcm of the weights — the WFQ finish-time formula cleared of
+    * fractions, so both engines decide the order identically (ties
+    * break on (source, order)). Rows whose source has no weight drop.
+    *
+    * The ORDER is the product: downstream writers sort by
+    * `(vtime, source, ...)` when materializing shards; no global
+    * position is assigned here, so the only window is the per-source
+    * `row_number` (one task per source — fine for the handful of
+    * sources a mixing recipe names; a thousand-source recipe would
+    * sub-stratify first). Overflow guard: `L · 2·maxRows` must fit a
+    * Long — lcm of the REDUCED weight vector, checked. */
+  def interleave(df: DataFrame, source: Column, weights: Map[String, Long],
+                 order: Seq[Column]): DataFrame = {
+    require(weights.nonEmpty, "interleave requires a non-empty recipe")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    require(order.nonEmpty, "interleave requires a within-source order")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val g = weights.values.reduce(gcd)
+    val reduced = weights.view.mapValues(_ / g).toMap
+    val lcm = reduced.values.reduce { (a, b) =>
+      val l = a / gcd(a, b) * b
+      require(l > 0 && l < (1L << 40), s"weight lcm $l too large for integer vtime")
+      l
+    }
+    val strides = reduced.view.mapValues(lcm / _).toMap
+    val rn = row_number().over(Window.partitionBy(source).orderBy(order: _*))
+    df.withColumn("_zc_stride", element_at(typedLit(strides), source))
+      .where(col("_zc_stride").isNotNull) // sources outside the recipe drop
+      .withColumn("vtime", (lit(2L) * rn - 1L) * col("_zc_stride"))
+      .drop("_zc_stride")
+  }
+
   /** Corpus-frequency SURPRISAL profile — the integer-exact skeleton of
     * the CCNet/Gopher LM-perplexity quality gate (Wenzek et al. 2019
     * train a 5-gram LM; with no model artifacts available the unigram

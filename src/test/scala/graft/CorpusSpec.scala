@@ -397,6 +397,26 @@ class CorpusSpec extends AnyFunSuite {
       s"vocabulary top-k must be bounded, not a global sort:\n$plan")
   }
 
+  test("interleave: every prefix of the vtime order carries the weighted mix (±1/source)") {
+    val d = (1 to 12).map(i => (i.toLong, "a")).++((1 to 4).map(i => (i.toLong, "b")))
+      .toDF("id", "src")
+    val out = Corpus.interleave(d, col("src"), Map("a" -> 3L, "b" -> 1L), Seq(col("id")))
+      .orderBy("vtime", "src", "id")
+      .collect().map(r => r.getString(1)).toSeq
+    assert(out.length == 16)
+    // WFQ guarantee: after any prefix of length n, each source has
+    // delivered at least floor(n * w_s / W) - 1 rows
+    for (n <- 1 to 16) {
+      val p = out.take(n)
+      assert(p.count(_ == "a") >= n * 3 / 4 - 1, s"prefix $n starves a: $p")
+      assert(p.count(_ == "b") >= n / 4 - 1, s"prefix $n starves b: $p")
+    }
+    // unweighted sources drop
+    val d2 = d.union(Seq((99L, "c")).toDF("id", "src"))
+    assert(Corpus.interleave(d2, col("src"), Map("a" -> 3L, "b" -> 1L),
+      Seq(col("id"))).count() == 16)
+  }
+
   test("Profile.columns: nulls excluded from distinct, one row per column, one pass") {
     val d = Seq(
       (1L, Option("a")), (2L, Option("a")), (3L, None), (4L, Option("b")),

@@ -61,6 +61,37 @@ class GraftSinkSpec extends AnyFunSuite {
     assert(c.query().count() == 3)
   }
 
+  test("checkpoint restart: a second query over the same checkpoint never double-lands") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = SparkTestSession.tmp("sinkrestart")
+    val c = mkColl(root)
+    val ckpt = SparkTestSession.tmp("sinkrestart-ckpt")
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def start() = in.toDF().toDF("id", "ts", "v")
+      .writeStream.format("graft")
+      .option("path", root).option("streamName", "restart")
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(c.query().count() == 1)
+
+    // the restarted query re-plans from the checkpoint; the collection's
+    // high-water mark (not sink state — there is none) dedupes batches
+    val q2 = start()
+    try {
+      in.addData((2L, ts("2024-01-02 10:00:00"), 2.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(c.query().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "a checkpoint restart must not re-land committed batches")
+  }
+
   test("merge=upsert option: axis-matching micro-batch rows replace") {
     import spark.implicits._
     val root = SparkTestSession.tmp("sinkupsert")
