@@ -65,6 +65,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catalogName
   override def defaultNamespace(): Array[String] = Array("default")
 
+  /** `ALTER TABLE ... ADD CONSTRAINT` is gated on the CATALOG declaring
+    * support (ResolveTableConstraints.validateCatalogForTableChange). */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.Set.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def fs = Collection.fileSystem(spark, warehouse)
 
   private def checkPart(p: String): String = {
@@ -188,8 +193,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(del.fieldNames.length == 1,
           s"graft columns are top-level; cannot drop nested ${del.fieldNames.mkString(".")}")
         c.dropVariable(del.fieldNames.head)
+      // ALTER TABLE ... ADD CONSTRAINT c CHECK (...) / DROP CONSTRAINT c
+      // land on the manifest constraint registry — enforced inside every
+      // subsequent write job, SQL or programmatic (A36)
+      case add: TableChange.AddConstraint => add.constraint() match {
+        case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          c.addConstraint(chk.name,
+            Option(chk.predicateSql()).getOrElse(throw new IllegalArgumentException(
+              s"CHECK constraint '${chk.name}' carries no predicate SQL")))
+        case other => throw new UnsupportedOperationException(
+          s"graft tables support CHECK constraints; not ${other.getClass.getSimpleName}")
+      }
+      case drop: TableChange.DropConstraint =>
+        if (!(drop.ifExists() && !c.constraints.contains(drop.name())))
+          c.dropConstraint(drop.name())
       case other => throw new UnsupportedOperationException(
-        s"graft tables support ADD/DROP COLUMN; not $other")
+        s"graft tables support ADD/DROP COLUMN and CHECK constraints; not $other")
     }
     new GraftTable(spark, p.toString, ident.toString)
   }

@@ -69,6 +69,16 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
   /** VERSION/TIMESTAMP AS OF pin — immutable; the SQL DML rule refuses. */
   private[sources] def pinned: Boolean = asOfGen.isDefined
 
+  /** The collection's CHECK constraints as catalog constraints —
+    * `DESCRIBE`-visible, and enforced (inside every write job) whether
+    * the write arrives through SQL or the programmatic API. */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    collection.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).enforced(true).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   override def name(): String = identName
 
   /** The DECLARED data schema only — INSERT supplies exactly these;

@@ -245,6 +245,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(sql("SELECT * FROM graft.db10.fcnt WHERE day >= 2 LIMIT 2").count() == 2)
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT: SQL CHECK constraints hit the manifest registry") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db12")
+    mkEvents("graft.db12.ck")
+    sql("ALTER TABLE graft.db12.ck ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val c = Collection.open(spark, s"${CatalogSpec.warehouse}/db12/ck")
+    assert(c.constraints.get("v_pos").exists(_.contains("v > 0")))
+    // enforced inside the write job, whichever surface writes
+    val e = intercept[Exception] {
+      sql("INSERT INTO graft.db12.ck VALUES (TIMESTAMP'2024-01-05 00:00:00', 9, -1.0)")
+    }
+    assert(e.getMessage != null)
+    assert(sql("SELECT count(*) FROM graft.db12.ck").collect().head.getLong(0) == 4,
+      "a constraint-violating SQL INSERT must not land")
+    sql("ALTER TABLE graft.db12.ck DROP CONSTRAINT v_pos")
+    assert(c.constraints.isEmpty)
+    sql("INSERT INTO graft.db12.ck VALUES (TIMESTAMP'2024-01-05 00:00:00', 9, -1.0)")
+    assert(sql("SELECT count(*) FROM graft.db12.ck").collect().head.getLong(0) == 5)
+  }
+
   test("metadata tables: history/partitions/files/tags/branches are plain SQL") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.db11")
     mkEvents("graft.db11.meta")
