@@ -56,9 +56,13 @@ object LakehouseOps {
     spark.sql("""UPDATE events_dml SET value = value * 2
                  WHERE event_type = 'view' AND day <= 2""")
     spark.sql("DELETE FROM events_dml WHERE event_type LIKE 'err%' AND value < 0.1")
+    // note: the V1 face exposes derived partition columns in its schema,
+    // so SET */INSERT * expansion expects them in the source too (their
+    // values are recomputed from the axis on write regardless)
     spark.table("events_dml").limit(2)
       .select((col("event_id") + 5000000).as("event_id"), col("ts"),
-        col("user_id"), lit("merged").as("event_type"), col("value"), col("props"))
+        col("user_id"), lit("merged").as("event_type"), col("value"), col("props"),
+        col("year"), col("month"), col("day"))
       .createOrReplaceTempView("dml_src")
     spark.sql("""MERGE INTO events_dml t USING dml_src s ON t.event_id = s.event_id
                  WHEN MATCHED THEN UPDATE SET *
