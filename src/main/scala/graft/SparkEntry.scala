@@ -514,18 +514,21 @@ object SparkEntry {
         "WHERE day >= 10 AND day <= 20")
     }),
 
-    // E34 (r8b): GROUPED metadata COUNT — one row per partition group
-    // from the recorded counts; complete pushdown, no re-aggregation.
+    // E34 (r8b): GROUPED metadata aggregates — one row per partition
+    // group: counts from the recorded rows, MIN/MAX from the group's
+    // merged per-file zone maps; complete pushdown, no re-aggregation.
     "zc_sql_group_count" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val name = "g" + java.util.UUID.randomUUID().toString.take(8)
       val c = Collection.create(s, s"$scratch/sqlwh/db/$name", ev.schema, "ts",
-        DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+        DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true,
+        statsColumns = Seq("user_id"))
       c.insert(ev)
       s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftq.warehouse", s"$scratch/sqlwh")
-      s.sql(s"SELECT day, CAST(count(*) AS BIGINT) AS n FROM graftq.db.$name " +
-        "WHERE day >= 5 GROUP BY day ORDER BY day")
+      s.sql(s"""SELECT day, CAST(count(*) AS BIGINT) AS n,
+                       min(user_id) AS lo, max(user_id) AS hi
+                FROM graftq.db.$name WHERE day >= 5 GROUP BY day ORDER BY day""")
     }),
 
     // A47 (r8): Iceberg-style METADATA TABLES — `graft.db.t.partitions`
@@ -2659,7 +2662,9 @@ object SparkEntry {
 
     "zc_sql_group_count" ->
       """SELECT CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS day,
-                CAST(count(*) AS BIGINT) AS n
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(min(user_id) AS BIGINT) AS lo,
+                CAST(max(user_id) AS BIGINT) AS hi
          FROM events WHERE day(CAST(ts AS TIMESTAMP)) >= 5
          GROUP BY 1 ORDER BY day""",
 

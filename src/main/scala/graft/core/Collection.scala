@@ -1982,10 +1982,24 @@ final class Collection private (
     * `None` whenever a partition fails to decode or a file lacks a
     * recorded count — the SQL pushdown refuses instead of scanning. */
   private[graft] def groupedCountMeta(groupCols: Seq[String],
-      ast: FilterExpr.Ast): Option[Seq[(Seq[Any], Long)]] = {
+      ast: FilterExpr.Ast): Option[Seq[(Seq[Any], Long)]] =
+    groupedAggMeta(groupCols, ast, Nil).map(_.map { case (g, n, _) => (g, n) })
+
+  /** The general grouped form: per group, the summed recorded row count
+    * AND, for each requested zone-mapped column, the merged per-file
+    * [min, max] (in the column's canonical domain) of exactly that
+    * group's partitions — `SELECT day, count(*), min(user_id) ... GROUP
+    * BY day` entirely from manifest metadata. All-or-nothing: one
+    * undecodable partition, uncounted file, or statless file for a
+    * requested column refuses the whole answer. */
+  private[graft] def groupedAggMeta(groupCols: Seq[String], ast: FilterExpr.Ast,
+      boundsFor: Seq[String])
+      : Option[Seq[(Seq[Any], Long, Map[String, (Any, Any)])]] = {
     if (groupCols.isEmpty || !groupCols.forall(partCols.contains)) return None
     if (ast != FilterExpr.True && !FilterExpr.names(ast).subsetOf(partCols.toSet))
       return None
+    if (!boundsFor.forall(statsCols.contains)) return None
+    val doms = boundsFor.map(c => c -> columnDomain(c).getOrElse(return None)).toMap
     val man = currentManifest()
     val decoded = man.partitionPaths.map(p => decodePath(p).map(p -> _))
     if (decoded.exists(_.isEmpty)) return None
@@ -1994,13 +2008,38 @@ final class Collection private (
     val files = man.filesForPartitions(wanted.map(_._1).toSet)
     val rowsByFile = man.shards.flatMap(e => man.shardData(e).rows).toMap
     if (!files.forall(rowsByFile.contains)) return None
+    val stats = if (boundsFor.isEmpty) Map.empty[String, Map[String, ColStat]]
+                else man.statsForFiles(files)
     val byPart = files.groupBy(parentRel)
-    val perPartition = wanted.map { case (p, k) =>
-      val km = k.toMap
-      (groupCols.map(km), byPart.getOrElse(p, Nil).map(rowsByFile).sum)
-    }
-    Some(perPartition.groupBy(_._1).toSeq.map { case (g, rs) =>
-      (g, rs.map(_._2).sum) })
+    val perPartition: Seq[(Seq[Any], Long, Map[String, (Any, Any)])] =
+      wanted.map { case (p, k) =>
+        val km = k.toMap
+        val fl = byPart.getOrElse(p, Nil)
+        val bounds = boundsFor.map { c =>
+          val dom = doms(c)
+          val pairs = fl.map(f => stats.get(f)
+            .flatMap(byCol => byCol.get(c).orElse(
+              if (c == axis) byCol.get(LegacyAxisKey) else None))
+            .flatMap(st => for (lo <- dom.decodeStat(st.lo);
+                                hi <- dom.decodeStat(st.hi)) yield (lo, hi)))
+          if (pairs.isEmpty || pairs.exists(_.isEmpty)) return None
+          c -> ((
+            pairs.flatten.map(_._1).reduce((a, b) => if (dom.cmp(a, b) <= 0) a else b),
+            pairs.flatten.map(_._2).reduce((a, b) => if (dom.cmp(a, b) >= 0) a else b)))
+        }.toMap
+        (groupCols.map(km), fl.map(rowsByFile).sum, bounds)
+      }
+    Some(perPartition.groupBy(_._1).toSeq.map { case (g, parts) =>
+      val n = parts.map(_._2).sum
+      val merged = boundsFor.map { c =>
+        val dom = doms(c)
+        val all = parts.map(_._3(c))
+        c -> ((
+          all.map(_._1).reduce((a, b) => if (dom.cmp(a, b) <= 0) a else b),
+          all.map(_._2).reduce((a, b) => if (dom.cmp(a, b) >= 0) a else b)))
+      }.toMap
+      (g, n, merged)
+    })
   }
 
   /** [[columnBounds]] over an already-built AST — the SQL aggregate

@@ -321,32 +321,48 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     case _ => throw new IllegalStateException(s"unexpected metadata value $v for $dt")
   }
 
-  /** `GROUP BY <partition components>` + `COUNT(*)`: every partition's
-    * RECORDED row count lands in the group its decoded key projects
-    * onto — `SELECT day, count(*) ... GROUP BY day` answers from the
-    * manifest, O(shards), zero data files, under the same exact
-    * partition-aligned filters as the global form. Only COUNT(*)
-    * aggregates (per-group MIN/MAX would need per-group stat merges —
-    * refused for now), only single-column group keys that ARE partition
-    * components; anything else falls back to the ordinary scan. */
+  /** `GROUP BY <partition components>` with `COUNT(*)`/`MIN`/`MAX`:
+    * every partition's RECORDED row count lands in the group its
+    * decoded key projects onto, and per-group bounds merge exactly that
+    * group's per-file zone maps — `SELECT day, count(*), min(user_id)
+    * ... GROUP BY day` answers from the manifest, O(shards), zero data
+    * files, under the same exact partition-aligned filters as the
+    * global form. Only single-column group keys that ARE partition
+    * components; anything unprovable falls back to the ordinary scan. */
   private def resolveGroupedAggregation(agg: Aggregation): Option[(StructType, Seq[Row])] = {
     val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map { e =>
       colOf(e).getOrElse(return None)
     }
     if (groupCols.exists(c => !fullSchema.fieldNames.contains(c))) return None
-    val aggFields: Seq[StructField] = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => StructField("count(*)", LongType, nullable = false)
-      case _            => return None
-    }
-    if (aggFields.isEmpty) return None
-    collection.groupedCountMeta(groupCols, ast).map { groups =>
+    // (field, None = the group's count | Some((col, hi)) = a bound)
+    val aggSpecs: Seq[(StructField, Option[(String, Boolean)])] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          (StructField("count(*)", LongType, nullable = false), None)
+        case m: Min =>
+          val c = colOf(m.column).getOrElse(return None)
+          if (!tableSchema.fieldNames.contains(c)) return None
+          (StructField(s"min($c)", tableSchema(c).dataType), Some((c, false)))
+        case m: Max =>
+          val c = colOf(m.column).getOrElse(return None)
+          if (!tableSchema.fieldNames.contains(c)) return None
+          (StructField(s"max($c)", tableSchema(c).dataType), Some((c, true)))
+        case _ => return None
+      }
+    if (aggSpecs.isEmpty) return None
+    val boundsFor = aggSpecs.flatMap(_._2).map(_._1).distinct
+    collection.groupedAggMeta(groupCols, ast, boundsFor).map { groups =>
       val gTypes = groupCols.map(c => fullSchema(fullSchema.fieldIndex(c)).dataType)
       val schema = StructType(
         groupCols.zip(gTypes).map { case (c, t) => StructField(c, t, nullable = false) }
-          ++ aggFields)
-      val rows = groups.map { case (vals, n) =>
+          ++ aggSpecs.map(_._1))
+      val rows = groups.map { case (vals, n, bounds) =>
         Row.fromSeq(vals.zip(gTypes).map { case (v, t) => external(v, t) }
-          ++ aggFields.map(_ => n))
+          ++ aggSpecs.map {
+            case (_, None) => n
+            case (f, Some((c, hi))) =>
+              external(if (hi) bounds(c)._2 else bounds(c)._1, f.dataType)
+          })
       }
       (schema, rows)
     }

@@ -225,6 +225,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(!q6.queryExecution.executedPlan.toString.contains("HashAggregate"))
     assert(q6.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
       Seq((2, 1L), (3, 1L)))
+    // per-group MIN/MAX merge exactly the group's per-file zone maps
+    val q6b = sql("SELECT day, count(*) AS n, min(user_id) AS lo, max(user_id) AS hi " +
+      "FROM graft.db10.fcnt GROUP BY day ORDER BY day")
+    assert(!q6b.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "grouped count+bounds must answer completely from metadata")
+    assert(q6b.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1, 2L, 1L, 2L), (2, 1L, 3L, 3L), (3, 1L, 1L, 1L)))
+    // a non-stats column's bound refuses the metadata path, stays right
+    val q6c = sql("SELECT day, min(v) AS lo FROM graft.db10.fcnt GROUP BY day ORDER BY day")
+    assert(q6c.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(q6c.collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 1.0), (2, 3.0), (3, 4.0)))
     // a DATA-column group key falls back to the scan and stays right
     val q7 = sql("SELECT user_id, count(*) AS n FROM graft.db10.fcnt " +
       "GROUP BY user_id ORDER BY user_id")
