@@ -594,6 +594,26 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // A46b (r8b): the same divergence resolved OURS — the parent keeps
+    // its conflicted-key edits, the branch's edits to them drop, and
+    // both sides' disjoint edits still apply.
+    "zc_rebase_ours" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val root = s"$scratch/rbo-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, ev.schema, "ts",
+        DatePartitioning("ts", "D"), overwrite = true, retainGenerations = 6)
+      c.insert(ev)
+      val dev = c.branch("dev")
+      dev.updateWhere("event_type == 'click' and day >= 10 and day <= 14",
+        Map("event_type" -> "'b_click'"))
+      c.updateWhere("event_type == 'click' and day >= 12 and day <= 16",
+        Map("event_type" -> "'p_click'"))
+      c.updateWhere("event_type == 'view' and day <= 3",
+        Map("event_type" -> "'p_view'"))
+      c.rebaseBranch("dev", Seq("event_id"), RebaseResolve.Ours)
+      eventsOut(c.query())
+    }),
+
     // A38 (r6): RESTORE — two mutations rolled back to the pre-mutation
     // snapshot as a new commit (zero data IO, shards carried by name);
     // the query sees exactly the original rows.
@@ -2698,6 +2718,21 @@ object SparkEntry {
                 CASE WHEN COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 14, FALSE)
                      THEN 'b_click'
                      WHEN COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) BETWEEN 15 AND 16, FALSE)
+                     THEN 'p_click'
+                     WHEN COALESCE(event_type = 'view' AND day(CAST(ts AS TIMESTAMP)) <= 3, FALSE)
+                     THEN 'p_view'
+                     ELSE event_type END AS event_type,
+                value, props
+         FROM events ORDER BY event_id""",
+
+    // Rebase Ours: the parent keeps the conflicted clicks (12-14 stay
+    // p_click, as do its exclusive 15-16); the branch's disjoint days
+    // (10-11) still apply.
+    "zc_rebase_ours" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
+                CASE WHEN COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 11, FALSE)
+                     THEN 'b_click'
+                     WHEN COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) BETWEEN 12 AND 16, FALSE)
                      THEN 'p_click'
                      WHEN COALESCE(event_type = 'view' AND day(CAST(ts AS TIMESTAMP)) <= 3, FALSE)
                      THEN 'p_view'
