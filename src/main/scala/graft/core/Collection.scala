@@ -1561,15 +1561,49 @@ final class Collection private (
     val diff = b.changes(forkGen, b.generation)
     var inserts = diff.where(col(ChangeTypeCol) === "insert").select(cols.map(col): _*)
     var deletes = diff.where(col(ChangeTypeCol) === "delete").select(cols.map(col): _*)
-    conflict.foreach { case (keys, conflictKeys, theirsWins) =>
-      inserts = keyJoin(inserts, conflictKeys, keys, "left_anti")
-      deletes = keyJoin(deletes, conflictKeys, keys, "left_anti")
-      if (theirsWins) {
-        val current = readManifestFiles(man, man.files).select(cols.map(col): _*)
-        deletes = deletes.unionByName(
-          keyJoin(current, conflictKeys, keys, "left_semi"))
-        inserts = inserts.unionByName(
-          keyJoin(b.query().select(cols.map(col): _*), conflictKeys, keys, "left_semi"))
+    // the conflict-key set feeds four joins and one bounds agg — cache
+    // it for the duration of the commit (freed below)
+    var cachedConflicts: Option[DataFrame] = None
+    conflict.foreach { case (keys, conflictKeys0, theirsWins) =>
+      val conflictKeys = conflictKeys0.persist()
+      cachedConflicts = Some(conflictKeys)
+      locally {
+        inserts = keyJoin(inserts, conflictKeys, keys, "left_anti")
+        deletes = keyJoin(deletes, conflictKeys, keys, "left_anti")
+        if (theirsWins) {
+          // bound BOTH state scans by the conflict keys' [min,max]
+          // ranges (the MERGE file-prune trick): the skip layers cut to
+          // files that can hold a conflicted key; the null-safe semi
+          // joins stay exact on the superset. Non-literal-typed keys
+          // contribute no constraint (full scan, still correct).
+          def lit2(v: Any): Option[Any] = v match {
+            case i: Int    => Some(i.toLong)
+            case l: Long   => Some(l)
+            case s: String => Some(s)
+            case d: Double => Some(d)
+            case f: Float  => Some(f.toDouble)
+            case _         => None
+          }
+          val aggs = keys.flatMap(k =>
+            Seq(min(col(k)).as(s"_zc_lo_$k"), max(col(k)).as(s"_zc_hi_$k")))
+          val srow = conflictKeys.agg(aggs.head, aggs.tail: _*).collect()(0)
+          val ranges: Seq[FilterExpr.Ast] = keys.flatMap { k =>
+            val lo = Option(srow.getAs[Any](s"_zc_lo_$k")).flatMap(lit2)
+            val hi = Option(srow.getAs[Any](s"_zc_hi_$k")).flatMap(lit2)
+            for (l <- lo; h <- hi) yield FilterExpr.And(
+              FilterExpr.Cmp(">=", FilterExpr.Name(k), FilterExpr.Lit(l)),
+              FilterExpr.Cmp("<=", FilterExpr.Name(k), FilterExpr.Lit(h)))
+          }
+          val rangeAst = ranges.reduceOption(FilterExpr.And).getOrElse(FilterExpr.True)
+          val current = readManifestFiles(man,
+              pruneFilesForRead(man, man.files, rangeAst))
+            .select(cols.map(col): _*)
+          deletes = keyJoin(current, conflictKeys, keys, "left_semi")
+            .unionByName(deletes)
+          inserts = keyJoin(b.scanWithAst(rangeAst).select(cols.map(col): _*),
+              conflictKeys, keys, "left_semi")
+            .unionByName(inserts)
+        }
       }
     }
     // touched parent partitions: anywhere the diff lands on either side
@@ -1581,8 +1615,9 @@ final class Collection private (
     val existingRows = readManifestFiles(man, man.filesForPartitions(replaced))
       .select(cols.map(col): _*)
     val out = existingRows.exceptAll(deletes).unionAll(inserts)
-    writeAndCommit(partitioning.assign(out), replaced = replaced, base = man,
+    try writeAndCommit(partitioning.assign(out), replaced = replaced, base = man,
       op = op)
+    finally cachedConflicts.foreach(_.unpersist(blocking = false))
     touched.sorted
   }
 
