@@ -1738,6 +1738,31 @@ object SparkEntry {
       eventsOut(dst.query())
     }),
 
+    // D18 (r8b): streaming ingestion with ONLINE DEDUP — every
+    // micro-batch dedups against the persisted fingerprint index
+    // (bucket-pruned reads), lands survivors exactly-once, appends
+    // their fingerprints; replay-convergent at every crash point. The
+    // source re-delivers every doc under shifted ids — none survive.
+    "stream_ingest_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "lang", "source")
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val src = Collection.create(s, s"$scratch/sid-src-$tag", docs.schema,
+        "doc_id", GroupedSequencePartitioning(Seq("doc_id"), "doc_id", 1000),
+        overwrite = true)
+      src.insert(docs)
+      src.insert(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      val dst = Collection.create(s, s"$scratch/sid-dst-$tag", docs.schema,
+        "doc_id", GroupedSequencePartitioning(Seq("doc_id"), "doc_id", 1000),
+        overwrite = true)
+      val index = graft.dedup.Dedup.buildFingerprintIndex(
+        s, s"$scratch/sid-idx-$tag", docs.limit(0), "doc_id", "text")
+      val q = graft.streaming.StreamOps.ingestDeduped(
+        graft.streaming.StreamOps.readStream(s, src), dst, index,
+        "ingest_dedup", s"$scratch/sid-ckpt-$tag", "doc_id", "text")
+      try q.processAllAvailable() finally q.stop()
+      dst.query().select("doc_id", "text", "lang", "source").orderBy("doc_id")
+    }),
+
     // D17 (r8b): the NATIVE sink — collection-to-collection replication
     // as pure readStream/writeStream format("graft") plumbing, no
     // foreachBatch: the sink's (streamName, batchId) mark commits
@@ -2472,6 +2497,17 @@ object SparkEntry {
     "stream_sink_format" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
+
+    // Whatever the micro-batching, the min-id copy of each text wins.
+    "stream_ingest_dedup" ->
+      """WITH u AS (
+           SELECT doc_id, text, lang, source FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text, lang, source FROM documents),
+         k AS (SELECT text, min(doc_id) AS m FROM u GROUP BY text)
+         SELECT u.doc_id, u.text, u.lang, u.source
+         FROM u JOIN k ON u.doc_id = k.m AND u.text = k.text
+         ORDER BY doc_id""",
 
     "zc_query_filter" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props

@@ -1133,7 +1133,11 @@ final class Collection private (
 
   private def readSchemaFields(dataSchema: StructType): Seq[StructField] =
     dataSchema.fields.toSeq ++
-      partCols.map(c => StructField(c, partitioning.colType(c, dataSchema))) :+
+      // identity partitionings (Sequence/GroupedSequence) key on DATA
+      // columns — appending those again would duplicate the field
+      // (latent everywhere, ambiguous on the empty-file-set read)
+      partCols.filterNot(dataSchema.fieldNames.contains)
+        .map(c => StructField(c, partitioning.colType(c, dataSchema))) :+
       StructField(RowIdCol, LongType)
 
   /** Raw snapshot scan: data columns + partition columns + `_zc_row`,

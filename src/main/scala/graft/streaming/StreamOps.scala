@@ -301,6 +301,47 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingestion WITH ONLINE DEDUP — the continuously-ingesting
+    * training-corpus shape (the incremental index services C32 + the
+    * exactly-once sink D8 composed in one foreachBatch): each micro-batch
+    *
+    *   1. drops documents whose text fingerprint the PERSISTED index
+    *      already holds, and intra-batch copies (keep = min id) —
+    *      reading only the batch's buckets ([[graft.dedup.Dedup
+    *      .dedupAgainstIndex]]);
+    *   2. lands the survivors in ONE atomic commit carrying the batch
+    *      mark ([[graft.core.Collection.insertStreamBatch]]);
+    *   3. appends the survivors' fingerprints to the index (keep-first,
+    *      bucket-bounded — [[graft.dedup.Dedup.appendFingerprints]]).
+    *
+    * Replay-CONVERGENT across every crash point: a replay after (2)
+    * committed skips the insert by the high-water mark and re-runs (3),
+    * which is keep-first idempotent; a replay after (3) committed
+    * dedups the whole batch away at (1), so both side effects are
+    * no-ops. The batch's rows land exactly once, the index gains each
+    * fingerprint once (a racing duplicate index ROW is possible and
+    * harmless — existence is all (1) tests). */
+  def ingestDeduped(
+      source: DataFrame,
+      dst: Collection,
+      index: Collection,
+      queryName: String,
+      checkpoint: String,
+      idCol: String,
+      textCol: String,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val survivors = graft.dedup.Dedup
+          .dedupAgainstIndex(index, batch.toDF(), idCol, textCol)
+        dst.insertStreamBatch(queryName, id, survivors)
+        graft.dedup.Dedup.appendFingerprints(index, survivors, idCol, textCol)
+        ()
+      }
+      .start()
+
   /** INCREMENTALLY-MAINTAINED AGGREGATE — materialized-view maintenance
     * (IVM) over the change feed: keep `target` equal to
     * `source GROUP BY keys` with a count and exact decimal sums,
