@@ -55,7 +55,7 @@ object Bench {
     // native sink + surprisal
     "zc_sql_update", "zc_sql_merge", "zc_merge_sync", "zc_rebase_theirs",
     "zc_sql_count", "zc_sql_meta", "stream_sink_format", "text_surprisal",
-    "zc_sql_group_count", "text_profile", "text_interleave",
+    "zc_sql_group_count", "text_profile", "text_interleave", "stream_ingest_dedup",
   )
 
   private def loadAvg: Double =
