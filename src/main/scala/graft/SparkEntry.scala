@@ -1313,7 +1313,10 @@ object SparkEntry {
     "text_interleave" -> ((s, dir) => {
       graft.operators.Corpus.interleave(
           Tables.documents(s, dir), col("source"),
-          Map("src0" -> 7L, "src1" -> 2L, "src2" -> 1L), Seq(col("doc_id")))
+          Map("src0" -> 7L, "src1" -> 2L, "src2" -> 1L), Seq(col("doc_id")),
+          // scale bucket: dense ids coarsened 1024-wide — per-source
+          // ranking parallelizes across id ranges (PrefixSum contract)
+          orderBucket = shiftright(col("doc_id"), 10))
         .select("doc_id", "source", "vtime")
         .orderBy("vtime", "source", "doc_id")
     }),

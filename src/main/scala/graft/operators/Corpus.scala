@@ -70,13 +70,22 @@ object Corpus {
     *
     * The ORDER is the product: downstream writers sort by
     * `(vtime, source, ...)` when materializing shards; no global
-    * position is assigned here, so the only window is the per-source
-    * `row_number` (one task per source — fine for the handful of
-    * sources a mixing recipe names; a thousand-source recipe would
-    * sub-stratify first). Overflow guard: `L · 2·maxRows` must fit a
-    * Long — lcm of the REDUCED weight vector, checked. */
+    * position is assigned here. The per-source rank comes from
+    * [[PrefixSum.exclusive]], so with an `orderBucket` (a deterministic
+    * monotone coarsening of the order key — `floor(id / 1024)` for a
+    * dense id, [[PrefixSum.hashPosBucket]] for a hash position) each
+    * source's ranking runs on one task PER BUCKET, not one task per
+    * source; the no-bucket overload keeps the single-window plan for
+    * small recipes. Overflow guard: `L · 2·maxRows` must fit a Long —
+    * lcm of the REDUCED weight vector, checked. */
   def interleave(df: DataFrame, source: Column, weights: Map[String, Long],
-                 order: Seq[Column]): DataFrame = {
+                 order: Seq[Column]): DataFrame =
+    interleave(df, source, weights, order, lit(0L))
+
+  /** [[interleave]] with a scale bucket for the per-source ranking —
+    * see [[PrefixSum.exclusive]] for the bucket contract. */
+  def interleave(df: DataFrame, source: Column, weights: Map[String, Long],
+                 order: Seq[Column], orderBucket: Column): DataFrame = {
     require(weights.nonEmpty, "interleave requires a non-empty recipe")
     require(weights.values.forall(_ > 0), "weights must be positive")
     require(order.nonEmpty, "interleave requires a within-source order")
@@ -89,11 +98,13 @@ object Corpus {
       l
     }
     val strides = reduced.view.mapValues(lcm / _).toMap
-    val rn = row_number().over(Window.partitionBy(source).orderBy(order: _*))
-    df.withColumn("_zc_stride", element_at(typedLit(strides), source))
+    val kept = df.withColumn("_zc_stride", element_at(typedLit(strides), source))
       .where(col("_zc_stride").isNotNull) // sources outside the recipe drop
-      .withColumn("vtime", (lit(2L) * rn - 1L) * col("_zc_stride"))
-      .drop("_zc_stride")
+    // rank = 1 + exclusive prefix COUNT; vtime = (2·rank − 1) · stride
+    PrefixSum.exclusive(kept, Seq(source), order, lit(1L), orderBucket, "_zc_rn0")
+      .withColumn("vtime",
+        (lit(2L) * (col("_zc_rn0") + 1L) - 1L) * col("_zc_stride"))
+      .drop("_zc_stride", "_zc_rn0")
   }
 
   /** Corpus-frequency SURPRISAL profile — the integer-exact skeleton of
@@ -230,18 +241,18 @@ object Corpus {
     * not documents. A document survives iff the EXCLUSIVE prefix sum of
     * token counts before it (hash order, id tiebreak) is below
     * `budget`: the sample overshoots by at most one document and every
-    * non-empty stratum keeps at least one. Exactly one shuffle (the
-    * stratum key); the window spans a stratum, so pick executor-sized
-    * strata ([[packSequences]]' contract). */
+    * non-empty stratum keeps at least one. The prefix sum runs through
+    * [[PrefixSum.exclusive]] bucketed on the hash position (uniform by
+    * construction, so 256 balanced cells per stratum with no sampling):
+    * a giant stratum's scan parallelizes across its buckets instead of
+    * sorting through one task. */
   def sampleToTokenBudget(df: DataFrame, strata: Seq[Column], id: Column,
                           fp: Column, tokens: Column, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val pos = pmod(fp, lit(1L << 50))
-    df.withColumn("_zc_pos", pos)
+    val base = df.withColumn("_zc_pos", pmod(fp, lit(1L << 50)))
       .where(col("_zc_pos").isNotNull) // null fingerprint: no hash position
-      .withColumn("_zc_prior", coalesce(sum(tokens).over(
-        Window.partitionBy(strata: _*).orderBy(col("_zc_pos"), id)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    PrefixSum.exclusive(base, strata, Seq(col("_zc_pos"), id), tokens,
+        PrefixSum.hashPosBucket(col("_zc_pos")), "_zc_prior")
       .where(col("_zc_prior") < budget)
       .drop("_zc_pos", "_zc_prior")
   }
@@ -256,21 +267,28 @@ object Corpus {
     * (a per-language window at 100 TB sorts a whole language in a
     * handful of tasks): pass 1 is a `(group, score)` COUNT aggregate
     * (map-side combined, shuffles one row per distinct score); the
-    * cumulative scan then runs over distinct scores only; the per-group
-    * cutoffs (one row per group) broadcast back into a semi-join gate
-    * on the unshuffled data. The full corpus never sorts. */
+    * cumulative scan over distinct scores runs through
+    * [[PrefixSum.exclusive]] bucketed on `floor(score · 2^20)` — a
+    * deterministic monotone coarsening, so even a group whose scores
+    * are ~all distinct (continuous scores: distinct ≈ row count — the
+    * case a plain distinct-score window degrades on) scans its
+    * cumulative counts across one task per occupied score cell; the
+    * per-group cutoffs (one row per group) broadcast back into a
+    * semi-join gate on the unshuffled data. The full corpus never
+    * sorts. */
   def quantileGate(df: DataFrame, groupCols: Seq[String], score: Column,
                    q: Double): DataFrame = {
     require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
     val groups = groupCols.map(col)
     val counts = df.groupBy((groups :+ score.as("_zc_sc")): _*)
       .agg(count(lit(1)).as("_zc_n"))
-    val byGroup = Window.partitionBy(groups: _*)
-    val cum = counts
-      .withColumn("_zc_cum", sum(col("_zc_n")).over(byGroup.orderBy(col("_zc_sc"))))
-      .withColumn("_zc_tot", sum(col("_zc_n")).over(byGroup))
-    val cutoffs = cum
-      .where(col("_zc_cum").cast("double") / col("_zc_tot") >= q)
+    // 2^-20-wide cells keep ratio-type scores ([0,1] and friends) spread
+    // over up to 2^20 cells while equal scores always share a cell
+    val cum = PrefixSum.exclusive(counts, groups, Seq(col("_zc_sc")), col("_zc_n"),
+      floor(col("_zc_sc").cast("double") * (1L << 20)), "_zc_prior")
+    val totals = counts.groupBy(groups: _*).agg(sum(col("_zc_n")).as("_zc_tot"))
+    val cutoffs = cum.join(broadcast(totals), groupCols)
+      .where((col("_zc_prior") + col("_zc_n")).cast("double") / col("_zc_tot") >= q)
       .groupBy(groups: _*).agg(min(col("_zc_sc")).as("_zc_cut"))
     df.join(broadcast(cutoffs), groupCols, "inner")
       .where(score > col("_zc_cut"))
@@ -285,21 +303,20 @@ object Corpus {
     * overshoot-by-at-most-one contract as [[sampleToTokenBudget]]);
     * sources absent from `budgets` drop entirely. Budgets are TOKENS,
     * supplied explicitly — deriving them from ratios is the caller's
-    * one-liner and keeps this exactly reproducible. One shuffle (the
-    * source key); same executor-sized-strata contract as the other
-    * samplers. */
+    * one-liner and keeps this exactly reproducible. The prefix sum runs
+    * through [[PrefixSum.exclusive]] bucketed on the uniform hash
+    * position, so a recipe of ten web-scale sources fills each budget
+    * across 256 tasks per source, not one. */
   def mixtureSample(df: DataFrame, source: Column, budgets: Map[String, Long],
                     id: Column, fp: Column, tokens: Column): DataFrame = {
     require(budgets.nonEmpty, "mixtureSample requires a non-empty recipe")
     require(budgets.values.forall(_ > 0), "budgets must be positive")
-    val pos = pmod(fp, lit(1L << 50))
-    df.withColumn("_zc_budget", element_at(typedLit(budgets), source))
+    val base = df.withColumn("_zc_budget", element_at(typedLit(budgets), source))
       .where(col("_zc_budget").isNotNull) // sources outside the recipe drop
-      .withColumn("_zc_pos", pos)
+      .withColumn("_zc_pos", pmod(fp, lit(1L << 50)))
       .where(col("_zc_pos").isNotNull)
-      .withColumn("_zc_prior", coalesce(sum(tokens).over(
-        Window.partitionBy(source).orderBy(col("_zc_pos"), id)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    PrefixSum.exclusive(base, Seq(source), Seq(col("_zc_pos"), id), tokens,
+        PrefixSum.hashPosBucket(col("_zc_pos")), "_zc_prior")
       .where(col("_zc_prior") < col("_zc_budget"))
       .drop("_zc_budget", "_zc_pos", "_zc_prior")
   }
