@@ -3631,7 +3631,7 @@ object SparkEntry {
          tfv AS (SELECT word, SUM(c) AS tf FROM dw GROUP BY word)
          SELECT d.doc_id,
                 CAST(SUM(d.c) AS BIGINT) AS n_tokens,
-                CAST(SUM(d.c * CAST(floor(log2(t.tf)) AS BIGINT)) AS BIGINT) AS freq_bits,
+                CAST(SUM(d.c * CAST(length(bin(t.tf)) - 1 AS BIGINT)) AS BIGINT) AS freq_bits,
                 CAST(SUM(CASE WHEN t.tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
          FROM dw d JOIN tfv t USING (word)
          GROUP BY d.doc_id ORDER BY doc_id""",

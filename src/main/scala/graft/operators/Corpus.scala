@@ -134,9 +134,13 @@ object Corpus {
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("_zc_c"))
     val tf = dw.withColumn("_zc_tf",
       sum(col("_zc_c")).over(Window.partitionBy(col("word"))))
+    // floor(log2(tf)) as pure INTEGER arithmetic (bit width − 1): a
+    // double log2 is an ln-ratio whose value can straddle an integer
+    // boundary differently across libms for tf at/near exact powers of
+    // two — the bit-width form cannot
     tf.groupBy(col("doc_id")).agg(
       sum(col("_zc_c")).cast("long").as("n_tokens"),
-      sum(col("_zc_c") * floor(log2(col("_zc_tf"))).cast("long"))
+      sum(col("_zc_c") * (length(bin(col("_zc_tf"))) - 1).cast("long"))
         .cast("long").as("freq_bits"),
       sum(when(col("_zc_tf") === 1L, 1L).otherwise(0L)).cast("long").as("hapax"))
   }

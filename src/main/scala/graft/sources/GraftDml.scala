@@ -24,18 +24,19 @@ import graft.core.{Collection, FilterExpr, WhenMatched, WhenNotMatchedBySource}
   * AND derived partition columns (`day`...), so predicates over either
   * bind; assignments to derived columns are refused downstream. */
 private[sources] final case class DmlTarget(root: String, pinned: Boolean,
-                                            attrs: Seq[Attribute])
+                                            attrs: Seq[Attribute], v2: Boolean)
 
 private[sources] object DmlTarget {
   def unapply(plan: LogicalPlan): Option[DmlTarget] =
     EliminateSubqueryAliases(plan) match {
       case r: DataSourceV2Relation => r.table match {
         case gt: GraftTable =>
-          Some(DmlTarget(gt.root, gt.pinned, r.output ++ r.metadataOutput))
+          Some(DmlTarget(gt.root, gt.pinned, r.output ++ r.metadataOutput, v2 = true))
         case _ => None
       }
       case lr: LogicalRelation => lr.relation match {
-        case gr: GraftRelation => Some(DmlTarget(gr.collRoot, gr.pinned, lr.output))
+        case gr: GraftRelation =>
+          Some(DmlTarget(gr.collRoot, gr.pinned, lr.output, v2 = false))
         case _ => None
       }
       case _ => None
@@ -93,8 +94,12 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val condCol = condition.map(selfCol(_, t, "UPDATE")).getOrElse(lit(true))
       GraftUpdateCommand(t.root, sets, condCol, pruneFilters(condition))
 
+    // exactly-translatable deletes keep Spark's native SupportsDeleteV2
+    // path ONLY on the V2 catalog face — the V1 face has no native DML
+    // at all (CheckAnalysis rejects DELETE on non-v2 tables), so every
+    // V1-face DELETE takes the row-level fallback here
     case d @ DeleteFromTable(DmlTarget(t), condition) if d.resolved &&
-        !exactlyTranslatable(spark, t, condition) =>
+        (!t.v2 || !exactlyTranslatable(spark, t, condition)) =>
       requireWritable(t, "DELETE")
       GraftDeleteCommand(t.root, selfCol(condition, t, "DELETE"),
         pruneFilters(Some(condition)))
@@ -326,6 +331,9 @@ case class GraftUpdateCommand(root: String, sets: Seq[(String, Column)],
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDmlCommands.filesOutput
   override def run(session: SparkSession): Seq[Row] = {
+    // `UPDATE t SET v = v`: identity pruning leaves no assignment — a
+    // legal no-op statement, not an engine error
+    if (sets.isEmpty) return Seq(Row(0))
     val c = Collection.open(session, root)
     val ast = GraftDmlCommands.pruneAst(session, c, prune)
     Seq(Row(c.updateWhereCols(cond, ast, sets.toMap).size))

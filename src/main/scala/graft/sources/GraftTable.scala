@@ -368,8 +368,26 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     }
   }
 
+  // Spark probes supportCompletePushDown and then pushAggregation with
+  // the same aggregation — memoize so the O(shards) metadata resolution
+  // (partition-path decode + per-file stats) runs ONCE per query, keyed
+  // on the connector expressions' stable renderings
+  private var aggMemo: Option[(Seq[String], Option[(StructType, Seq[Row])])] = None
+
+  private def resolveAggregationMemo(agg: Aggregation): Option[(StructType, Seq[Row])] = {
+    val key = (agg.groupByExpressions.map(_.describe) ++
+      Seq("|") ++ agg.aggregateExpressions.map(_.describe)).toSeq
+    aggMemo match {
+      case Some((k, r)) if k == key => r
+      case _ =>
+        val r = resolveAggregation(agg)
+        aggMemo = Some((key, r))
+        r
+    }
+  }
+
   override def pushAggregation(agg: Aggregation): Boolean = {
-    aggResult = resolveAggregation(agg)
+    aggResult = resolveAggregationMemo(agg)
     aggResult.isDefined
   }
 
@@ -378,7 +396,7 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     * a pointless re-aggregation in the plan, so only the complete form
     * is offered. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    resolveAggregation(agg).isDefined
+    resolveAggregationMemo(agg).isDefined
 
   /** Unfiltered LIMIT: the scan schedules files (manifest order) only
     * until their RECORDED row counts cover n — `SELECT * FROM t LIMIT
