@@ -16,9 +16,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * returning — on a real object store the put IS the write, so this
   * holds by construction.
   *
-  * An AWS-SDK adapter is a few lines (none compiled here: the SDK is
-  * not on this build's classpath, and an untestable binding would be
-  * worse than a documented one):
+  * [[HttpConditionalStore]] is the COMPILED wire-level binding (JDK
+  * HttpClient, `If-None-Match: *` — no SDK needed; auth plugs in via
+  * its request customizer). An AWS-SDK adapter, for deployments that
+  * prefer the SDK's credential/retry stack, stays a few lines:
   * {{{
   *   class S3Store(s3: S3Client) extends ConditionalObjectStore {
   *     def putIfAbsent(uri: String, content: Array[Byte]) =
