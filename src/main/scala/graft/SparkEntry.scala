@@ -928,6 +928,12 @@ object SparkEntry {
     }),
 
     // C3: SimHash near-dup pairs (hamming <= 3) over the planted corpus.
+    // TERMINALLY rows-only BY DESIGN: the production hash is xxhash64,
+    // which no SQL engine folds bit-identically — its FNV-1a twin
+    // `dedup_simhash_fnv` runs the IDENTICAL sign-counter/banding/
+    // hamming machinery with a DuckDB-replayable hash and IS this
+    // pipeline's exact oracle; SimHash64Spec additionally pins the
+    // xxhash bit pattern against fixed vectors.
     "dedup_simhash" -> ((s, dir) => {
       import graft.functions.TextFunctions
       graft.dedup.Dedup.simhashPairs(
@@ -1135,30 +1141,52 @@ object SparkEntry {
         .select(col("qid"), col("nid")).orderBy("qid", "nid")
     }),
 
-    // C7: LSH-bucketed approximate top-10 (rows-only; recall spec-tested).
+    // C7: LSH-bucketed approximate top-10. No SQL mirror by nature, so
+    // the entry carries its own hard signal (r9): a deterministic
+    // per-query recall@10 column vs brute force, with the mean asserted
+    // in-entry — a recall collapse FAILS the entry instead of passing a
+    // rows>0 check.
     "ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      graft.ann.Ann.lshTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 10)
-        .select("qid", "nid", "rank").orderBy("qid", "rank")
+      val q = e.where(col("vec_id") < 10)
+      annWithRecall(
+        // 4 planes x 8 tables + 1-step multi-probe: the spec-proven
+        // serving configuration (8 planes without probing buckets too
+        // finely — measured mean recall collapses to ~0.06)
+        graft.ann.Ann.lshTopK(e, q, "vec_id", "embedding", 10,
+          tables = 8, planes = 4, multiProbe = true),
+        e, q, k = 10, floor = 0.3)
+        .select("qid", "nid", "rank", "recall").orderBy("qid", "rank")
     }),
 
-    // C7b: IVF-bucketed approximate top-10 (rows-only; recall spec-tested).
+    // C7b: IVF-bucketed approximate top-10 — same in-entry recall floor
+    // as ann_lsh (r9).
     "ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      graft.ann.Ann.ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 10)
-        .select("qid", "nid", "rank").orderBy("qid", "rank")
+      val q = e.where(col("vec_id") < 10)
+      annWithRecall(
+        // 16 lists / 8 probes (half the space scanned): recall well
+        // clear of the floor where the 32/4 default sat at ~0.32
+        graft.ann.Ann.ivfTopK(e, q, "vec_id", "embedding", 10,
+          nLists = 16, nProbe = 8),
+        e, q, k = 10, floor = 0.3)
+        .select("qid", "nid", "rank", "recall").orderBy("qid", "rank")
     }),
 
     // C7d (r6): PRODUCT-QUANTIZED (PQ/ADC) approximate top-10 — the 32x
-    // compression tier (rows-only; exactness + recall + plan spec-tested).
+    // compression tier; same in-entry recall floor as ann_lsh (r9).
     "ann_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
       val books = graft.ann.Ann.pqTrain(e, "vec_id", "embedding", dims = 64, m = 8,
         k = 256, iters = 1)
       val codes = graft.ann.Ann.pqEncode(e, "vec_id", "embedding", books)
-      graft.ann.Ann.pqTopK(codes, e.where(col("vec_id") < 10), "vec_id", "embedding",
-          books, 10)
-        .select("qid", "nid", "rank").orderBy("qid", "rank")
+      annWithRecall(
+        // measured mean recall 0.36-0.70 across sf0.001-0.1 (pure ADC,
+        // no re-rank): floor 0.25 = collapse detector with margin
+        graft.ann.Ann.pqTopK(codes, q, "vec_id", "embedding", books, 10),
+        e, q, k = 10, floor = 0.25)
+        .select("qid", "nid", "rank", "recall").orderBy("qid", "rank")
     }),
 
     // C8: language-ID heuristic (rows-only; lang labels are synthetic).
@@ -2475,6 +2503,29 @@ object SparkEntry {
     val e = Tables.embeddings(s, dir)
     e.unionByName(e.where(col("vec_id") % 10 === 0)
       .withColumn("vec_id", col("vec_id") + 1000000L))
+  }
+
+  /** In-entry quality signal for the approximate-ANN entries (which have
+    * no SQL mirror by nature): appends per-query `recall` vs the exact
+    * brute-force top-k and FAILS the entry when mean recall drops below
+    * `floor` — the driver's rows-only check thereby becomes a hard
+    * pass/fail, not just rows>0. Deterministic: the approximate tiers
+    * are seed-fixed, brute force is exact, so the recall column
+    * reproduces bit-for-bit run to run. */
+  private def annWithRecall(approx: DataFrame, corpus: DataFrame,
+                            queries: DataFrame, k: Int, floor: Double): DataFrame = {
+    val exact = graft.ann.Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", k)
+      .select(col("qid"), col("nid"))
+    val hits = approx.select("qid", "nid").intersect(exact)
+      .groupBy("qid").agg(count(lit(1)).as("_zc_h"))
+    val rec = approx.join(hits, Seq("qid"), "left")
+      .withColumn("recall",
+        coalesce(col("_zc_h"), lit(0L)).cast("double") / k)
+      .drop("_zc_h")
+    val mean = rec.agg(avg(col("recall"))).head.getDouble(0)
+    require(mean >= floor,
+      f"approximate-ANN mean recall@$k = $mean%.3f fell below the $floor floor")
+    rec
   }
 
   def oracleSql: Map[String, String] = Map(
