@@ -59,6 +59,9 @@ object Bench {
     "zc_sql_update", "zc_sql_merge", "zc_merge_sync", "zc_rebase_theirs",
     "zc_sql_count", "zc_sql_meta", "stream_sink_format", "text_surprisal",
     "zc_sql_group_count", "text_profile", "text_interleave", "stream_ingest_dedup",
+    // r9: the one-giant-source mixture (8x corpus under one label) — the
+    // skew shape the PrefixSum rebuild parallelizes
+    "text_mixture_skew",
   )
 
   private def loadAvg: Double =

@@ -1412,6 +1412,24 @@ object SparkEntry {
         .select("doc_id", "lang", "stop_ratio").orderBy("doc_id")
     }),
 
+    // C40b (r9): the SKEWED-source mixture — 8 replicas of the whole
+    // corpus relabeled as ONE source, the one-giant-stratum shape that
+    // put a per-source ordered window through a single task before the
+    // PrefixSum rebuild; now the budget fill scans 256 hash-position
+    // cells in parallel. Same oracle machinery as text_mixture.
+    "text_mixture_skew" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val d = Tables.documents(s, dir)
+      val planted = d
+        .crossJoin(broadcast(s.range(8).select(col("id").as("_r"))))
+        .select((col("doc_id") * 8 + col("_r")).as("doc_id"), col("text"))
+      graft.operators.Corpus.mixtureSample(planted, lit("heavy"),
+          Map("heavy" -> 60000L),
+          col("doc_id"), TextFunctions.fingerprint(col("text")),
+          TextFunctions.tokenCount(col("text")).cast("long"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // C40 (r8): weighted MIXTURE sampling — the pretraining mix recipe:
     // three sources sized to explicit token budgets (others drop), each
     // filled in deterministic fingerprint hash order with the same
@@ -3433,6 +3451,38 @@ object SparkEntry {
          FROM sc JOIN cut USING (lang)
          WHERE sc.stop_ratio > cut.cutoff
          ORDER BY doc_id""",
+
+    // The skewed one-giant-source mixture: 8 corpus replicas under one
+    // label, budget fill in FNV hash order — the DuckDB window replays
+    // the global prefix sum the Spark side computes across 256 cells.
+    "text_mixture_skew" ->
+      """WITH rep AS (
+           SELECT d.doc_id * 8 + t.r AS doc_id, d.text
+           FROM documents d CROSS JOIN range(8) t(r)
+         ), norm AS (
+           SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s,
+                  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+           FROM rep
+         ), bytes AS (
+           SELECT doc_id, n_tokens,
+             list_transform(range(0, octet_length(encode(s))),
+               i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+1, 1)) - 1) * 16
+                       + (strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+2, 1)) - 1) AS UBIGINT)) AS bs
+           FROM norm
+         ), fnv AS (
+           SELECT doc_id, n_tokens,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS UBIGINT), bs),
+               (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+             ) AS hu
+           FROM bytes
+         ), p AS (
+           SELECT doc_id,
+                  COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY hu % 1125899906842624, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+           FROM fnv)
+         SELECT doc_id FROM p WHERE prior < 60000 ORDER BY doc_id""",
 
     // Mixture recipe mirrored on the shared FNV fingerprint hash order;
     // per-source budgets are the same literals as the Spark entry.

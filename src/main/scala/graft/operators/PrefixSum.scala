@@ -60,17 +60,24 @@ object PrefixSum {
     val base = group.zip(gNames)
       .foldLeft(df) { case (d, (c, n)) => d.withColumn(n, c) }
       .withColumn("_ps_b", bucket)
+      .withColumn("_ps_v", value) // materialized pre-shuffle: evaluated once
     val cellKeys = (gNames :+ "_ps_b").map(col)
     // pass 1: running sum local to the (group, bucket) cell — the heavy
     // window, partitioned by the cell key so parallelism follows the
     // occupied-cell count, not the group count
     val local = base.withColumn("_ps_local",
-      coalesce(sum(value).over(Window.partitionBy(cellKeys: _*).orderBy(order: _*)
+      coalesce(sum(col("_ps_v")).over(Window.partitionBy(cellKeys: _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    // pass 2: per-cell subtotals -> exclusive offsets. The window here
+    // pass 2: per-cell subtotals -> exclusive offsets. This branch
+    // RE-SCANS the input COLUMN-PRUNED to (group, bucket, value) with
+    // map-side partial aggregation — its exchange carries only cell
+    // aggregates, never rows. A second narrow scan is the classic
+    // two-pass prefix-sum cost and the deliberate trade: the single-
+    // window plan saves the scan but pays a whole group through one
+    // task's sort, which is what dies at scale. The offsets window then
     // runs over AGGREGATE rows (one per occupied cell), partitioned by
     // group and ordered by bucket — per group at most |buckets| rows.
-    val subs = base.groupBy(cellKeys: _*).agg(sum(value).as("_ps_sub"))
+    val subs = base.groupBy(cellKeys: _*).agg(sum(col("_ps_v")).as("_ps_sub"))
     val offs = subs
       .withColumn("_ps_off",
         sum(col("_ps_sub")).over(Window.partitionBy(gNames.map(col): _*)
@@ -88,7 +95,7 @@ object PrefixSum {
     local.join(broadcast(offs), cond, "left")
       .withColumn(out, col("_ps_local") + coalesce(col("_ps_off"), lit(0L)))
       .drop((gNames ++ gNames.map(n => s"${n}_o") ++
-        Seq("_ps_b", "_ps_b_o", "_ps_local", "_ps_off")): _*)
+        Seq("_ps_b", "_ps_v", "_ps_b_o", "_ps_local", "_ps_off")): _*)
   }
 
   /** The standard bucket for this library's deterministic hash-order
