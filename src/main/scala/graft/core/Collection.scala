@@ -5,7 +5,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType,
+  LongType, ShortType, StringType, StructField, StructType}
 
 import scala.jdk.CollectionConverters._
 
@@ -2181,27 +2182,136 @@ final class Collection private (
     val man = if (pinned != null) pinned else currentManifest()
     val df = ast match {
       case FilterExpr.True => readRawManifest(man)
-      case _ =>
-        requireKnownNames(ast)
-        val all = man.partitionPaths
-        val keyBounds = axisKeyBoundsFromFilter(ast)
-        val wanted = all
-          .flatMap(p => decodePath(p).map(k => (p, k)))
-          .filter { case (_, k) =>
-            FilterExpr.mayMatch(ast, k.toMap) && keyInRange(k, keyBounds)
-          }
-          .map(_._1).toSet
-        // layer 1.5: subtree skip by the root-resident stats ROLLUP —
-        // non-overlapping shards never even load their file lists (the
-        // path that stays O(matching subtrees) when the partitioning has
-        // no monotonic axis derivation)
-        val okShards = man.shards.filter(e => shardMayMatch(e, ast))
-        val candidates =
-          if (wanted.size == all.size && okShards.size == man.shards.size) man.files
-          else man.filesFromShards(okShards, wanted)
-        readManifestFiles(man, pruneByBloom(pruneByStats(man, candidates, ast), ast))
+      case _ => readManifestFiles(man, pruneCandidates(man, ast))
     }
     df.where(FilterExpr.toColumn(ast))
+  }
+
+  /** The layered FILE selection of [[prunedRaw]] without the scan:
+    * partition-key tolerant eval + monotonic axis-key bounds, the
+    * subtree stats rollup (non-overlapping shards never load their file
+    * lists), per-file zone maps, then bloom filters. Shared by the
+    * DataFrame read path and the native DSv2 batch scan planner. */
+  private[core] def pruneCandidates(man: Manifest, ast: FilterExpr.Ast): Seq[String] = {
+    requireKnownNames(ast)
+    val all = man.partitionPaths
+    val keyBounds = axisKeyBoundsFromFilter(ast)
+    val wanted = all
+      .flatMap(p => decodePath(p).map(k => (p, k)))
+      .filter { case (_, k) =>
+        FilterExpr.mayMatch(ast, k.toMap) && keyInRange(k, keyBounds)
+      }
+      .map(_._1).toSet
+    // layer 1.5: subtree skip by the root-resident stats ROLLUP —
+    // non-overlapping shards never even load their file lists (the
+    // path that stays O(matching subtrees) when the partitioning has
+    // no monotonic axis derivation)
+    val okShards = man.shards.filter(e => shardMayMatch(e, ast))
+    val candidates =
+      if (wanted.size == all.size && okShards.size == man.shards.size) man.files
+      else man.filesFromShards(okShards, wanted)
+    pruneByBloom(pruneByStats(man, candidates, ast), ast)
+  }
+
+  // --- native DSv2 batch-scan planning -----------------------------
+
+  /** Fill-bearing columns of the (pinned or current) snapshot — reads
+    * touching one go through the DataFrame path, whose coalesce applies
+    * the declared fill (the native parquet reader surfaces raw nulls). */
+  private[graft] def fillColumns(asOfGen: Option[Long]): Set[String] =
+    manifestFor(asOfGen).fills.keySet
+
+  private def manifestFor(asOfGen: Option[Long]): Manifest = asOfGen.map { g =>
+    require(generations().contains(g), s"no committed generation $g at $root")
+    manifestAt(g)
+  }.getOrElse(currentManifest())
+
+  /** Can `ast` be CLAIMED as fully handled by file-level pruning alone?
+    * True iff it references only partition columns and every partition
+    * key in the snapshot decodes and STRICTLY decides the predicate
+    * (three-valued eval returns a definite answer) — then every row of
+    * every kept file satisfies the predicate exactly, so the engine may
+    * drop its re-filter without a row ever being checked. A null
+    * partition value (Hive default sentinel) or an undecidable
+    * comparison refuses — tolerant pruning plus an engine re-filter
+    * stays the contract there. */
+  private[graft] def canClaimStrict(ast: FilterExpr.Ast, asOfGen: Option[Long]): Boolean = {
+    if (ast == FilterExpr.True) return false
+    if (!FilterExpr.names(ast).subsetOf(partCols.toSet)) return false
+    manifestFor(asOfGen).partitionPaths.forall { p =>
+      decodePath(p) match {
+        case Some(kvs) if kvs.forall(_._2 != Collection.HiveDefaultPartition) =>
+          FilterExpr.evalOpt(ast, kvs.toMap).isDefined
+        case _ => false
+      }
+    }
+  }
+
+  /** Plan a NATIVE parquet batch scan: the pruned file list with
+    * per-file physical path, size, and the partition key as Catalyst
+    * INTERNAL values (aligned with [[partColumns]]). `None` = this
+    * snapshot is not natively scannable (an undecodable partition path,
+    * a partition column of an unsupported type) — the caller falls back
+    * to the proven DataFrame bridge. `limitRows` applies the LIMIT file
+    * budget: manifest-ordered files are scheduled only until their
+    * recorded row counts cover the limit (unknown counts simply skip
+    * the optimization — the engine's own LIMIT still applies). */
+  private[graft] def nativeScanPlan(ast: FilterExpr.Ast, asOfGen: Option[Long],
+                                    limitRows: Option[Long])
+      : Option[Seq[Collection.NativeFile]] = {
+    val man = manifestFor(asOfGen)
+    val keyTypes = partCols.map(c => partitioning.colType(c, schema))
+    if (!keyTypes.forall(Collection.nativeKeyType)) return None
+    val selected0 = ast match {
+      case FilterExpr.True => man.files
+      case _               => pruneCandidates(man, ast)
+    }
+    val selected = limitRows match {
+      case Some(n) => headFilesByRows(man, selected0, n).getOrElse(selected0)
+      case None    => selected0
+    }
+    val bytes = man.bytesForFiles(selected)
+    val keyCache = scala.collection.mutable.Map.empty[String, Option[Seq[Any]]]
+    val out = Seq.newBuilder[Collection.NativeFile]
+    for (f <- selected) {
+      val parent = parentRel(f)
+      keyCache.getOrElseUpdate(parent,
+        decodePath(parent).flatMap { kvs =>
+          val vs = kvs.map(_._2).zip(keyTypes).map {
+            case (v, t) => Collection.internalKeyValue(v, t)
+          }
+          if (vs.contains(None)) None else Some(vs.map(_.get))
+        }) match {
+        case None => return None
+        case Some(key) =>
+          val abs = Collection.absOf(root, f)
+          val len = bytes.getOrElse(f, {
+            val p = new Path(abs)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .getFileStatus(p).getLen
+          })
+          out += Collection.NativeFile(abs, len, key)
+      }
+    }
+    Some(out.result())
+  }
+
+  /** Manifest-ordered file prefix whose RECORDED row counts cover `n`
+    * rows — `None` when any candidate lacks a count. */
+  private def headFilesByRows(man: Manifest, files: Seq[String],
+                              n: Long): Option[Seq[String]] = {
+    val rowsByFile = man.shards.flatMap(e => man.shardData(e).rows).toMap
+    val take = scala.collection.mutable.ArrayBuffer.empty[String]
+    var acc = 0L
+    val it = files.iterator
+    while (acc < n && it.hasNext) {
+      val f = it.next()
+      rowsByFile.get(f) match {
+        case Some(r) => take += f; acc += r
+        case None    => return None
+      }
+    }
+    Some(take.toSeq)
   }
 
   /** Aggregate a rebuilt shard's per-file zone maps to subtree
@@ -3371,6 +3481,42 @@ object Collection extends CollectionManifestLayer {
         "oss", "cos", "cosn", "swift", "obs")
   /** Hidden per-partition row id, the positional key for View overlays. */
   val RowIdCol = "_zc_row"
+  /** Hive's null-partition-value directory sentinel. */
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** One data file of a native batch-scan plan: physical path, size,
+    * and the partition key as Catalyst internal values. */
+  private[graft] final case class NativeFile(path: String, bytes: Long, key: Seq[Any])
+
+  /** Partition-column types the native scan can decode from Hive path
+    * segments into Catalyst internal values ([[internalKeyValue]]). */
+  private[graft] def nativeKeyType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType | DateType => true
+    case _ => false
+  }
+
+  /** A [[Collection#decodePath]] value (Long | String) → the Catalyst
+    * internal value of the declared partition-column type; the Hive
+    * default sentinel reads as null. `None` = not convertible (the
+    * caller falls back to the DataFrame read path). */
+  private[graft] def internalKeyValue(raw: Any, dt: DataType): Option[Any] = raw match {
+    case HiveDefaultPartition => Some(null)
+    case l: Long => dt match {
+      case LongType    => Some(l)
+      case IntegerType => Some(l.toInt)
+      case ShortType   => Some(l.toShort)
+      case ByteType    => Some(l.toByte)
+      case _           => None
+    }
+    case s: String => dt match {
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case DateType =>
+        scala.util.Try(java.time.LocalDate.parse(s).toEpochDay.toInt).toOption
+      case _ => None
+    }
+    case _ => None
+  }
   /** [[Collection.changes]]' change-kind column: `'insert' | 'delete'`. */
   val ChangeTypeCol = "_change_type"
   /** On-disk format version this build reads and writes; `open` refuses a

@@ -24,7 +24,11 @@ import scala.jdk.CollectionConverters._
   *    registry, [[graft.core.ConditionalPutArbiter]] plugging in via
   *    `registerCommitArbiter`).
   */
-private[graft] trait CollectionManifestLayer {
+// Serializable: nested case classes (ColStat, ShardData, ...) carry an
+// $outer reference to the mixing object — task results holding one
+// (e.g. commit-time footer-stats rows) must serialize through it (the
+// module deserializes back to the singleton via generated readResolve)
+private[graft] trait CollectionManifestLayer extends Serializable {
 
   /** Sentinel column key under which LEGACY axis-only shard stats
     * (`"stats": {file: [lo, hi]}`) surface in [[ShardData.stats]]; the

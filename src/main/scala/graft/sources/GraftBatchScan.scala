@@ -1,0 +1,239 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
+  Partitioning => V2Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.graftbridge.{Bridge, ParquetReadBridge}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+import graft.core.{Collection, FilterExpr}
+
+/** An input partition of the native scan: one packed bin of parquet
+  * slices, all from ONE collection partition, carrying that partition's
+  * key — the [[HasPartitionKey]] contract behind storage-partitioned
+  * joins (two collections partitioned the same way join with ZERO
+  * shuffle under `spark.sql.sources.v2.bucketing.enabled`). */
+final case class GraftInputPartition(delegate: InputPartition, key: InternalRow)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = Array.empty
+}
+
+/** Unwraps [[GraftInputPartition]] and delegates to Spark's stock
+  * parquet reader factory — columnar (vectorized) whenever the read
+  * schema supports it. */
+final class GraftReaderFactory(delegate: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition =
+    p.asInstanceOf[GraftInputPartition].delegate
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    delegate.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegate.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(unwrap(p))
+}
+
+/** The NATIVE DSv2 batch scan over a graft collection — what the
+  * catalog face plans when [[GraftScanBuilder]] can prove the snapshot
+  * natively scannable (decodable partition keys, no fill-bearing read
+  * columns). Compared to the V1 bridge it adds the two scan features a
+  * 100 TB star-join plan lives on:
+  *
+  *  - '''runtime partition filtering''' ([[SupportsRuntimeV2Filtering]]):
+  *    a join against a filtered dimension re-prunes this scan's FILE
+  *    list at execution start with the dimension's actual key values —
+  *    the DSv2 form of dynamic partition pruning, feeding the same
+  *    manifest skip layers as static pruning (subtree rollups, zone
+  *    maps, blooms);
+  *  - '''storage-partitioned joins''' ([[SupportsReportPartitioning]]):
+  *    the scan reports [[KeyGroupedPartitioning]] over the partition
+  *    columns, so joins/aggregations keyed on them skip the shuffle
+  *    entirely when `spark.sql.sources.v2.bucketing.enabled` is on.
+  *
+  * Execution delegates to Spark's own vectorized parquet reader
+  * ([[org.apache.spark.sql.graftbridge.ParquetReadBridge]]) — the scan
+  * only decides WHICH files and WHICH bytes, never how to decode them.
+  * File selection is manifest-metadata only; there is no directory
+  * walk anywhere in the plan path.
+  *
+  * Filter contract: `claimed` filters (partition-only, strictly
+  * decidable — [[Collection.canClaimStrict]]) are fully enforced by
+  * file-level pruning (every row of a kept file satisfies them);
+  * everything else was returned to the engine as a residual, so rows
+  * are re-checked above the scan exactly like a stock parquet plan.
+  */
+final class GraftBatchScan(spark: SparkSession, collection: Collection,
+                           requiredSchema: StructType, baseAst: FilterExpr.Ast,
+                           asOfGen: Option[Long], limitRows: Option[Long],
+                           parquetFilters: Array[Filter],
+                           prePlanned: Option[Seq[Collection.NativeFile]] = None)
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning with SupportsReportStatistics {
+
+  private val partCols: Seq[String] = collection.partColumns
+  private val partColSet = partCols.toSet
+  private val readPartitionSchema = StructType(
+    requiredSchema.fields.filter(f => partColSet(f.name)))
+  private val readDataSchema = StructType(
+    requiredSchema.fields.filterNot(f => partColSet(f.name)))
+  /** Physical file schema: declared data columns minus the partition
+    * columns (written as Hive directories, never into the files). */
+  private val fileDataSchema = StructType(
+    collection.schema.fields.filterNot(f => partColSet(f.name)))
+  /** Indices (into the full partition key) of the REQUIRED partition
+    * columns, in required order. */
+  private val keyProjection: Array[Int] =
+    readPartitionSchema.fieldNames.map(partCols.indexOf)
+
+  @volatile private var runtimeAst: FilterExpr.Ast = FilterExpr.True
+  @volatile private var planned: Array[InputPartition] = _
+  @volatile private var plannedKeyCount: Int = 0
+
+  private def currentAst: FilterExpr.Ast = (baseAst, runtimeAst) match {
+    case (FilterExpr.True, r) => r
+    case (b, FilterExpr.True) => b
+    case (b, r)               => FilterExpr.And(b, r)
+  }
+
+  private def plan(): Array[InputPartition] = synchronized {
+    if (planned == null) {
+      val ast = currentAst
+      GraftRelation.lastScanAst = ast // shared spec observable
+      val files = prePlanned.filter(_ => runtimeAst == FilterExpr.True)
+        .getOrElse(collection.nativeScanPlan(ast, asOfGen, limitRows)
+          .getOrElse(throw new IllegalStateException(
+            s"native scan plan unavailable for ${collection.root} (validated at build)")))
+      planned = packPartitions(files)
+      GraftBatchScan.lastPlannedFiles = files.size
+    }
+    planned
+  }
+
+  /** Group by partition key, split big files at the session split size,
+    * pack slices per key with open-cost padding — Spark's own file-scan
+    * packing, but never across partition keys (the HasPartitionKey
+    * contract). */
+  private def packPartitions(files: Seq[Collection.NativeFile]): Array[InputPartition] = {
+    val totalBytes = files.map(_.bytes).sum
+    val maxSplit = ParquetReadBridge.maxSplitBytes(spark, totalBytes, files.size)
+    val openCost = ParquetReadBridge.openCostInBytes(spark)
+    val out = mutable.ArrayBuffer.empty[InputPartition]
+    var index = 0
+    val grouped = files.groupBy(_.key).toSeq
+      .sortBy(_._1.map(v => if (v == null) "" else v.toString).mkString("/"))
+    for ((key, group) <- grouped) {
+      val fullKey = new GenericInternalRow(key.toArray)
+      val readKey = new GenericInternalRow(keyProjection.map(i => key(i)))
+      val slices = group.flatMap { f =>
+        (0L until math.max(1L, (f.bytes + maxSplit - 1) / maxSplit)).map { i =>
+          ParquetReadBridge.FileSlice(f.path, i * maxSplit,
+            math.min(maxSplit, f.bytes - i * maxSplit), f.bytes, readKey)
+        }
+      }.sortBy(-_.length)
+      val bin = mutable.ArrayBuffer.empty[ParquetReadBridge.FileSlice]
+      var binBytes = 0L
+      def flush(): Unit = if (bin.nonEmpty) {
+        out += GraftInputPartition(
+          ParquetReadBridge.filePartition(index, bin.toSeq), fullKey)
+        index += 1; bin.clear(); binBytes = 0L
+      }
+      for (s <- slices) {
+        if (binBytes + s.length + openCost > maxSplit && bin.nonEmpty) flush()
+        bin += s; binBytes += s.length + openCost
+      }
+      flush()
+    }
+    plannedKeyCount = grouped.size
+    out.toArray
+  }
+
+  // --- Scan ---------------------------------------------------------
+
+  override def readSchema(): StructType =
+    StructType(readDataSchema.fields ++ readPartitionSchema.fields)
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-native ${collection.root} ast=$baseAst"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      (try collection.sizeOnDisk() catch { case _: Exception => None }) match {
+        case Some(b) => java.util.OptionalLong.of(b)
+        case None    => java.util.OptionalLong.empty()
+      }
+    override def numRows(): java.util.OptionalLong = {
+      val n = try collection.countRows() catch { case _: Exception => -1L }
+      if (n < 0) java.util.OptionalLong.empty() else java.util.OptionalLong.of(n)
+    }
+  }
+
+  // --- Batch --------------------------------------------------------
+
+  override def planInputPartitions(): Array[InputPartition] = plan()
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dataFilters = parquetFilters.filter(
+      _.references.forall(fileDataSchema.fieldNames.contains))
+    new GraftReaderFactory(ParquetReadBridge.readerFactory(
+      spark, fileDataSchema, readDataSchema, readPartitionSchema, dataFilters))
+  }
+
+  // --- SupportsReportPartitioning -----------------------------------
+
+  /** Reported only when the scan READS every partition column (the
+    * join keys must be resolvable in the scan output) — otherwise the
+    * honest unknown. */
+  override def outputPartitioning(): V2Partitioning =
+    if (partCols.nonEmpty && partCols.forall(requiredSchema.fieldNames.contains)) {
+      plan()
+      new KeyGroupedPartitioning(
+        partCols.map(c => Expressions.identity(c): Transform).toArray,
+        plannedKeyCount)
+    } else new UnknownPartitioning(plan().length)
+
+  // --- SupportsRuntimeV2Filtering -----------------------------------
+
+  /** Only the partition columns this scan READS: Spark's
+    * PartitionPruning resolves every listed attribute against the scan
+    * output and fails on absent ones (an unread partition column can't
+    * be a join key anyway). */
+  override def filterAttributes(): Array[NamedReference] =
+    readPartitionSchema.fieldNames.map(c => Expressions.column(c)).toArray
+
+  /** Execution-time re-prune: the runtime predicates (join-key values
+    * from a dimension side) WEAKEN into the partition-key domain and
+    * AND onto the static filter — pruning-only by contract (the join
+    * itself re-checks rows), so dropping untranslatable predicates is
+    * always safe. */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID))
+    val v1 = predicates.flatMap(p => Bridge.predicateToV1(p))
+    val rf = GraftRelation.toAst(v1, partColSet, zone)
+    if (rf != FilterExpr.True) synchronized {
+      runtimeAst = if (runtimeAst == FilterExpr.True) rf
+                   else FilterExpr.And(runtimeAst, rf)
+      planned = null
+      GraftBatchScan.lastRuntimeAst = runtimeAst
+    }
+  }
+}
+
+object GraftBatchScan {
+  /** Spec observables: the last runtime-filter AST applied and the last
+    * planned file count (asserting DPP actually shrank the scan). */
+  @volatile private[graft] var lastRuntimeAst: FilterExpr.Ast = FilterExpr.True
+  @volatile private[graft] var lastPlannedFiles: Int = -1
+}

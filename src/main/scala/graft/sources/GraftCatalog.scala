@@ -47,12 +47,34 @@ import graft.core.{Collection, DatePartitioning, GroupedSequencePartitioning,
   * [[GroupedSequencePartitioning]]. Hash `bucket(n, col)` is refused
   * loudly — graft partitions carry zone-map intervals, which value runs
   * preserve and hash buckets would destroy. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
 
   private def spark: SparkSession = SparkSession.active
+
+  // --- procedures (`CALL graft.system.<proc>(...)`) -----------------
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ok = ident.namespace.length == 1 &&
+      ident.namespace.head.equalsIgnoreCase(GraftCatalog.ProcedureNamespace)
+    (if (ok) GraftProcedures.load(ident.name.toLowerCase(java.util.Locale.ROOT),
+        () => spark, warehouse) else None)
+      .getOrElse(throw new RuntimeException(
+        s"undefined procedure $ident — known: " +
+          GraftProcedures.names.map(n => s"$catalogName.system.$n").mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty ||
+      (namespace.length == 1 &&
+        namespace.head.equalsIgnoreCase(GraftCatalog.ProcedureNamespace)))
+      GraftProcedures.names
+        .map(n => Identifier.of(Array(GraftCatalog.ProcedureNamespace), n)).toArray
+    else Array.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -280,6 +302,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object GraftCatalog {
+
+  /** Namespace of the maintenance procedures: `CALL graft.system.<p>`. */
+  val ProcedureNamespace = "system"
 
   private val DateResolutions = Map(
     "years" -> "Y", "months" -> "M", "days" -> "D",

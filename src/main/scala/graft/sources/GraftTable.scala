@@ -221,14 +221,34 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     * group for a partition-column GROUP BY). */
   private var aggResult: Option[(StructType, Seq[Row])] = None
 
+  /** Native batch scans on by default; `spark.graft.nativeScan=false`
+    * pins every catalog read to the proven V1 DataFrame bridge. */
+  private def nativeMode: Boolean =
+    spark.conf.get("spark.graft.nativeScan", "true").toBoolean
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID))
     pushed = filters
     GraftRelation.toAstExact(filters, fullSchema.fieldNames.toSet, zone) match {
-      case Some(exact) =>
+      case Some(exact) if !nativeMode =>
         ast = exact; exactPush = true
         Array.empty // fully handled: pruned AND applied row-level in-scan
+      case Some(exact) if collection.canClaimStrict(exact, asOfGen) =>
+        // partition-only + strictly decidable on every partition key:
+        // file-level pruning IS exact row-level filtering (every row of
+        // a kept file shares the key), so the native scan claims it
+        // without ever re-checking a row — and the claim is what keeps
+        // filtered metadata-aggregate pushdown (E33/E34) on the table
+        ast = exact; exactPush = true
+        Array.empty
+      case Some(exact) =>
+        // exact but touching data columns: the native scan prunes with
+        // it (zone maps, blooms) and hands the parquet reader the V1
+        // filters for row-group pruning, while the ENGINE re-applies
+        // rows vectorized — the stock parquet-source contract
+        ast = exact; exactPush = false
+        filters
       case None =>
         ast = GraftRelation.toAst(filters, fullSchema.fieldNames.toSet, zone)
         exactPush = false
@@ -413,9 +433,21 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
   }
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan =
-    new GraftV1Scan(spark, collection, requiredSchema, ast, asOfGen, aggResult,
-      applyAst = exactPush, limit = limit)
+  override def build(): Scan = {
+    def v1 = new GraftV1Scan(spark, collection, requiredSchema, ast, asOfGen,
+      aggResult, applyAst = exactPush, limit = limit)
+    if (aggResult.isDefined || !nativeMode) return v1
+    // fills surface through the DataFrame path's coalesce — a read or
+    // filter touching a fill-bearing column keeps the proven bridge
+    val touched = requiredSchema.fieldNames.toSet ++ FilterExpr.names(ast)
+    if (collection.fillColumns(asOfGen).exists(touched)) return v1
+    collection.nativeScanPlan(ast, asOfGen, limit.map(_.toLong)) match {
+      case Some(files) =>
+        new GraftBatchScan(spark, collection, requiredSchema, ast, asOfGen,
+          limit.map(_.toLong), pushed, prePlanned = Some(files))
+      case None => v1 // undecodable key / unsupported partition type
+    }
+  }
 }
 
 /** V2 scan executing through the V1 bridge — the same
