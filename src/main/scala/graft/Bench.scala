@@ -62,6 +62,9 @@ object Bench {
     // r9: the one-giant-source mixture (8x corpus under one label) — the
     // skew shape the PrefixSum rebuild parallelizes
     "text_mixture_skew",
+    // r9b: exact-integer BM25 search, PII scrub, bounded-state KMV
+    // sketch, leakage-safe group split
+    "text_bm25", "text_pii", "text_kmv", "text_group_split",
   )
 
   private def loadAvg: Double =

@@ -1455,6 +1455,73 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // C45 (r9b): BM25 TOP-K search — Okapi BM25 (k1=1.2, b=0.75, raw
+    // odds-ratio idf) computed as EXACT scaled-integer rationals in
+    // DECIMAL(38,0), so the ranking replays bit-for-bit in any engine
+    // with 128-bit integer math (a float BM25 drifts in ULPs).
+    "text_bm25" -> ((s, dir) => {
+      graft.operators.Corpus.bm25TopK(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          query = Seq("data", "spark", "merge"), k = 20)
+        .orderBy(col("score_scaled").desc, col("doc_id"))
+    }),
+
+    // C46 (r9b): PII scrub — emails / IPv4s / E.164 phones planted
+    // deterministically per doc_id, then counted and redacted with the
+    // shared RE2-subset patterns (pure scalar map, zero shuffles).
+    "text_pii" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) =!= 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@mail"), pmod(col("doc_id"), lit(7)), lit(".org"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" from 10."), pmod(col("doc_id"), lit(200)),
+              lit(".0."), pmod(col("doc_id") * 7, lit(250)))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" call +1415555"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.Corpus.piiScrub(docs, col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // C47 (r9b): KMV distinct sketch — per-language distinct-token
+    // estimate from a native bounded-state aggregate (k=64 smallest
+    // FNV-1a hashes; O(k) state per group at any scale), next to the
+    // exact count so the estimate's error is visible; the integer
+    // estimator replays exactly in the oracle's 128-bit arithmetic.
+    "text_kmv" -> ((s, dir) => {
+      import graft.functions.{Fnv1a64, KmvSketch}
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+      toks.withColumn("h", Fnv1a64.rehashUnsigned(Fnv1a64.fingerprint(col("tok"))))
+        .groupBy("lang")
+        .agg(countDistinct(col("tok")).as("exact"),
+          KmvSketch.kmv(col("h"), 64).as("sk"))
+        .select(col("lang"), col("exact"), col("sk.estimate").as("estimate"),
+          col("sk.kth_hash").as("kth_hash"),
+          col("sk.sample_size").as("sample_size"))
+        .orderBy("lang")
+    }),
+
+    // C48 (r9b): LEAKAGE-SAFE SPLIT — duplicate groups (exact-dup
+    // fingerprints over a corpus with planted replicas) assigned to
+    // train/val/test ATOMICALLY via the group representative's FNV
+    // hash: no group ever spans splits, the eval-contamination guard a
+    // per-doc hash split cannot give.
+    "text_group_split" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      graft.operators.Corpus.groupSplit(corpus, col("doc_id"),
+          graft.functions.TextFunctions.fingerprint(col("text")),
+          Seq(("train", 80), ("val", 90), ("test", 100)))
+        .orderBy("doc_id")
+    }),
+
     // C20 (r5): Gopher REPETITION rules — duplicate-token and
     // duplicate-bigram fractions as one scalar projection (array ops in
     // the scan's codegen span; no explode, no per-doc aggregation).
@@ -3430,6 +3497,130 @@ object SparkEntry {
                FROM t JOIN d USING (term))
          SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df
          FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    // BM25 replayed in HUGEINT: same scaled-integer rational per term
+    // ((2N-2df+1)*44*tf*L*10^9) // ((2df+1)*(20*tf*L + 6*L + 18*dl*N)),
+    // summed per doc; the double `score` is the same integer cast.
+    "text_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+                      FROM documents),
+         t AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+         dl AS (SELECT doc_id, CAST(COUNT(*) AS HUGEINT) AS dl FROM t GROUP BY doc_id),
+         c AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(dl) AS l FROM dl),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf FROM t
+                WHERE term IN ('data','spark','merge') GROUP BY doc_id, term),
+         df AS (SELECT term, CAST(COUNT(*) AS HUGEINT) AS df FROM tf GROUP BY term),
+         p AS (SELECT tf.doc_id,
+                 ((2*c.n - 2*df.df + 1) * 44 * tf.tf * c.l * 1000000000)
+                   // ((2*df.df + 1) * (20*tf.tf*c.l + 6*c.l + 18*dl.dl*c.n)) AS s
+               FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN c),
+         a AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_scaled,
+                 CAST(COUNT(*) AS INT) AS matched_terms FROM p GROUP BY doc_id),
+         r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id) AS rk FROM a)
+         SELECT doc_id, score_scaled, matched_terms,
+                CAST(score_scaled AS DOUBLE) / 1e9 AS score
+         FROM r WHERE rk <= 20 ORDER BY score_scaled DESC, doc_id""",
+
+    // Identical PII planting (doc_id arithmetic), identical RE2-subset
+    // patterns; DuckDB needs the explicit 'g' flag Spark implies.
+    "text_pii" ->
+      """WITH d AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 3 <> 0
+                THEN ' contact user' || doc_id || '@mail' || (doc_id % 7) || '.org'
+                ELSE '' END ||
+           CASE WHEN doc_id % 4 = 0
+                THEN ' from 10.' || (doc_id % 200) || '.0.' || ((doc_id * 7) % 250)
+                ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0
+                THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS emails,
+           CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS ipv4s,
+           CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS INT) AS phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+             '\+[0-9]{7,15}', '<PHONE>', 'g') AS clean
+         FROM d ORDER BY doc_id""",
+
+    // KMV replay: distinct FNV-1a token hashes per language, unsigned
+    // sort, 64th-smallest as the threshold, floor((k-1)*2^64/kth) in
+    // HUGEINT — bit-identical to the native bounded-state aggregate.
+    "text_kmv" ->
+      """WITH tok AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                      FROM documents),
+         t AS (SELECT lang, tok FROM tok WHERE length(tok) > 0),
+         x AS (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact FROM t GROUP BY lang),
+         h AS (SELECT DISTINCT lang,
+                 list_reduce(
+                   list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                     list_transform(range(0, octet_length(encode(tok))),
+                       i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(tok)), i*2+1, 1)) - 1) * 16
+                               + (strpos('0123456789ABCDEF', substr(hex(encode(tok)), i*2+2, 1)) - 1) AS UBIGINT))),
+                   (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)) AS hu
+               FROM t),
+         hr AS (SELECT DISTINCT lang,
+                 list_reduce(
+                   list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                     list_transform(range(0, octet_length(encode(CAST(hu AS VARCHAR)))),
+                       i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(CAST(hu AS VARCHAR))), i*2+1, 1)) - 1) * 16
+                               + (strpos('0123456789ABCDEF', substr(hex(encode(CAST(hu AS VARCHAR))), i*2+2, 1)) - 1) AS UBIGINT))),
+                   (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)) AS hu
+               FROM h),
+         s AS (SELECT lang, list_sort(list(hu)) AS hs, COUNT(*) AS nd FROM hr GROUP BY lang),
+         k AS (SELECT lang, nd,
+                 CASE WHEN nd >= 64 THEN hs[64] ELSE hs[CAST(nd AS INT)] END AS kthu FROM s),
+         e AS (SELECT lang,
+                 CASE WHEN nd < 64 THEN CAST(nd AS BIGINT)
+                      ELSE CAST((63 * CAST(18446744073709551616 AS HUGEINT))
+                                // CAST(kthu AS HUGEINT) AS BIGINT) END AS estimate,
+                 CASE WHEN kthu >= 9223372036854775808
+                      THEN CAST(CAST(kthu AS HUGEINT) - 18446744073709551616 AS BIGINT)
+                      ELSE CAST(kthu AS BIGINT) END AS kth_hash,
+                 CAST(LEAST(nd, 64) AS INT) AS sample_size FROM k)
+         SELECT x.lang, x.exact, e.estimate, e.kth_hash, e.sample_size
+         FROM x JOIN e USING (lang) ORDER BY lang""",
+
+    // Leakage-safe split replay: exact-dup groups from the normalized
+    // FNV fingerprint (same chain as text_sample_split), representative
+    // = min doc_id, the rep's DIGITS re-hashed through the same chain,
+    // signed pmod 100 → 80/10/10 cuts.
+    "text_group_split" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                         UNION ALL
+                         SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                         WHERE doc_id % 10 = 0),
+         norm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+                  FROM corpus),
+         fnv AS (SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                     list_transform(range(0, octet_length(encode(s))),
+                       i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+1, 1)) - 1) * 16
+                               + (strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+2, 1)) - 1) AS UBIGINT))),
+                   (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)) AS hu
+               FROM norm),
+         g AS (SELECT doc_id, hu, MIN(doc_id) OVER (PARTITION BY hu) AS rep FROM fnv),
+         rh AS (SELECT DISTINCT rep FROM g),
+         rf AS (SELECT rep, CAST(rep AS VARCHAR) AS s FROM rh),
+         rfh AS (SELECT rep,
+                 list_reduce(
+                   list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                     list_transform(range(0, octet_length(encode(s))),
+                       i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+1, 1)) - 1) * 16
+                               + (strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+2, 1)) - 1) AS UBIGINT))),
+                   (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)) AS rhu
+               FROM rf),
+         b AS (SELECT rep, CAST((((CASE WHEN rhu >= 9223372036854775808
+                     THEN CAST(rhu AS HUGEINT) - 18446744073709551616
+                     ELSE CAST(rhu AS HUGEINT) END) % 100) + 100) % 100 AS INT) AS bucket
+               FROM rfh)
+         SELECT g.doc_id, g.rep, b.bucket,
+           CASE WHEN b.bucket < 80 THEN 'train'
+                WHEN b.bucket < 90 THEN 'val' ELSE 'test' END AS split
+         FROM g JOIN b USING (rep) ORDER BY doc_id""",
 
     // Per-language quantile gate mirrored value-for-value: same
     // stop_ratio as text_quality (hash-proven identical doubles), same

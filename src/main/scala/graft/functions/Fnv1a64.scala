@@ -59,4 +59,20 @@ object Fnv1a64 {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(Fnv1a64(Bridge.expression(c)))
   }
+
+  /** Mixing RE-HASH for order-statistic consumers (KMV sketches,
+    * minima-based sampling): FNV-1a applied once more over the first
+    * hash's UNSIGNED decimal digits. Raw FNV-1a of short keys has
+    * biased low-order statistics (its final byte only multiplies once),
+    * which skews anything that reads the smallest hashes as uniform;
+    * the ~20-digit second pass runs twenty more multiply rounds and
+    * restores uniformity, while staying replayable in any SQL engine
+    * (digits → the same byte-fold chain). */
+  def rehashUnsigned(hash: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val d = hash.cast("decimal(20,0)")
+    val u = when(hash < 0,
+      d + lit(new java.math.BigDecimal("18446744073709551616"))).otherwise(d)
+    fingerprint(u.cast("decimal(21,0)").cast("string"))
+  }
 }

@@ -560,4 +560,108 @@ object Corpus {
       .withColumn("bin", (shiftleft(sub, 32) + localBin).cast("long"))
       .drop((kNames :+ "_pack_total" :+ "_pack_n" :+ "_pack_o"): _*)
   }
+
+  /** BM25 TOP-K text search (r9b) — rank documents against a small
+    * query-term set with Okapi BM25 at `k1 = 1.2, b = 0.75`, computed
+    * EXACTLY: the per-term score is an integer rational
+    *
+    * {{{
+    *   idf'·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *     = (2N−2df+1)·44·tf·L / [(2df+1)·(20·tf·L + 6·L + 18·dl·N)]
+    * }}}
+    *
+    * (idf' = the raw Robertson odds ratio `(N−df+0.5)/(df+0.5)` — the
+    * argument of BM25's log, monotone in it, so rankings that the log
+    * merely dampens are preserved without a transcendental; N = doc
+    * count, L = corpus token count, dl = doc length). Each term score
+    * scales by 10^9 and floors via exact DECIMAL(38,0) arithmetic
+    * (`(n·S − n·S mod d) / d` — integer-divisible, so the engine's
+    * decimal division is exact), and the doc score is the BIGINT sum —
+    * every engine that can do 38-digit integer math reproduces the
+    * ranking bit-for-bit (a float BM25 differs in ULPs across libms).
+    * Overflow bound: `N·tf·L < 2·10^27` keeps the numerator inside 38
+    * digits — beyond that (a ~10^13-token corpus with 10^5-token tf
+    * extremes) drop the scale factor a few digits.
+    *
+    * Scale shape: doc lengths and per-(doc, term) tfs are map-side-
+    * combined aggregates over one tokenize pass; the query-term filter
+    * (`isin` over a literal list) prunes before any shuffle; N/L ride a
+    * broadcast single-row corpus summary; df joins on the ≤|query|-row
+    * term table; top-k plans as TakeOrderedAndProject (per-task top-k,
+    * driver merges k rows). The corpus text never shuffles. */
+  def bm25TopK(df: DataFrame, id: Column, text: Column, query: Seq[String],
+               k: Int): DataFrame = {
+    require(query.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, "k must be positive")
+    val D = "decimal(38,0)"
+    val S = lit(1000000000L).cast(D)
+    val toks = df.select(id.as("doc_id"), explode(split(trim(text), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corp = dl.agg(count(lit(1)).cast(D).as("_n"), sum(col("dl")).cast(D).as("_l"))
+    val tf = toks.where(col("term").isin(query.distinct: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val j = tf.join(broadcast(dfreq), "term").join(dl, "doc_id").crossJoin(broadcast(corp))
+    val n = col("_n"); val l = col("_l")
+    val tfd = col("tf").cast(D); val dfd = col("df").cast(D); val dld = col("dl").cast(D)
+    val two = lit(2).cast(D)
+    val num = (two * n - two * dfd + lit(1).cast(D)) * lit(44).cast(D) * tfd * l * S
+    val den = (two * dfd + lit(1).cast(D)) *
+      (lit(20).cast(D) * tfd * l + lit(6).cast(D) * l + lit(18).cast(D) * dld * n)
+    val scaled = ((num - pmod(num, den)) / den).cast(D).cast("long")
+    val scored = j.withColumn("_s", scaled)
+      .groupBy("doc_id")
+      .agg(sum(col("_s")).as("score_scaled"), count(lit(1)).cast("int").as("matched_terms"))
+    scored
+      .orderBy(col("score_scaled").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("score", col("score_scaled").cast("double") / 1e9)
+  }
+
+  /** PII detection + redaction (r9b): emails, IPv4 literals, and E.164
+    * phone numbers counted per document and replaced with typed
+    * placeholders — the pre-training scrub pass every web corpus runs
+    * (C4/Dolma ship the same three regex classes). The patterns stay
+    * inside RE2's common subset (no backreferences, no lookaround), so
+    * any engine applies them identically. Pure per-row scalar map: NO
+    * shuffle, pipelines inside WholeStageCodegen at any scale. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhonePattern = "\\+[0-9]{7,15}"
+
+  def piiScrub(df: DataFrame, id: Column, text: Column): DataFrame = {
+    def cnt(c: Column, pat: String) = size(regexp_extract_all(c, lit(pat), lit(0)))
+    df.select(
+      id.as("doc_id"),
+      cnt(text, EmailPattern).as("emails"),
+      cnt(text, Ipv4Pattern).as("ipv4s"),
+      cnt(text, PhonePattern).as("phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>").as("clean"))
+  }
+
+  /** LEAKAGE-SAFE SPLIT (r9b): assign train/val/test so that every
+    * duplicate GROUP lands in exactly one split — the eval-contamination
+    * guard plain [[hashSplit]] cannot give (two near-identical docs
+    * hash-split independently and leak test content into training).
+    * `groupKey` is any duplicate-group key (a fingerprint for exact
+    * dups, a connected-component label from
+    * [[graft.dedup.Dedup]] for near-dups); the group's REPRESENTATIVE
+    * (min id) is hashed — via the same FNV-1a chain as every other
+    * split decision in the library — and the whole group inherits its
+    * split. Scale shape: one map-side-combined min-aggregate on the
+    * group key + one join back on it; the split itself is a scalar map. */
+  def groupSplit(df: DataFrame, id: Column, groupKey: Column,
+                 cuts: Seq[(String, Int)]): DataFrame = {
+    val keyed = df.select(id.as("doc_id"), groupKey.as("_gk"))
+    val reps = keyed.groupBy("_gk").agg(min(col("doc_id")).as("rep"))
+    val fp = graft.functions.Fnv1a64.fingerprint(col("rep").cast("string"))
+    val (bucket, split) = hashSplit(fp, cuts)
+    keyed.join(reps, "_gk")
+      .select(col("doc_id"), col("rep"), bucket.as("bucket"), split.as("split"))
+  }
 }

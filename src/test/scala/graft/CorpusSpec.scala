@@ -513,4 +513,95 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(shuffled.isEmpty, s"corpus text rode a shuffle:\n$plan")
   }
+
+  test("bm25TopK: exact integer ranking honors tf, dl normalization, and idf (r9b)") {
+    val corpus = Seq(
+      (1L, "spark spark spark data"),               // high tf, short doc
+      (2L, "spark data " + ("pad " * 50).trim),     // same terms, long doc → lower score
+      (3L, "spark"),                                // one matched term
+      (4L, "nothing relevant here"),                // no match → absent
+      (5L, "data data data data")                   // rarer term weighting
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25TopK(corpus, col("doc_id"), col("text"),
+      query = Seq("spark", "data"), k = 10)
+    val rows = out.orderBy(col("score_scaled").desc, col("doc_id")).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 5L), "only matching docs rank")
+    val byDoc = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc(1L) > byDoc(2L), "longer doc with the same terms scores lower (b-normalization)")
+    assert(byDoc(1L) > byDoc(3L), "more matched terms and higher tf score higher")
+    // determinism bit-for-bit across runs and partitionings
+    val again = Corpus.bm25TopK(corpus.repartition(7), col("doc_id"), col("text"),
+      query = Seq("spark", "data"), k = 10)
+      .orderBy(col("score_scaled").desc, col("doc_id")).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // the double score is exactly the scaled integer cast
+    assert(rows.forall(r => r.getDouble(3) == r.getLong(1).toDouble / 1e9))
+  }
+
+  test("piiScrub: counts and typed redaction; non-PII text untouched (r9b)") {
+    val d = Seq(
+      (1L, "mail a.b-c_d@ex-ample.org and x@y.io end"),
+      (2L, "ip 192.168.1.254 and 10.0.0.1"),
+      (3L, "call +4915123456789 now"),
+      (4L, "no pii here at all"),
+      (5L, "mixed bob@corp.com from 172.16.0.9 tel +14155550100")
+    ).toDF("doc_id", "text")
+    val out = Corpus.piiScrub(d, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((2, 0, 0), (0, 2, 0), (0, 0, 1), (0, 0, 0), (1, 1, 1)))
+    assert(out(0).getString(4) == "mail <EMAIL> and <EMAIL> end")
+    assert(out(1).getString(4) == "ip <IP> and <IP>")
+    assert(out(2).getString(4) == "call <PHONE> now")
+    assert(out(3).getString(4) == "no pii here at all")
+    assert(out(4).getString(4) == "mixed <EMAIL> from <IP> tel <PHONE>")
+    // scalar map: no shuffle
+    assert(!Corpus.piiScrub(d, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("KMV sketch: exact below k, stable estimate above k, partition-invariant (r9b)") {
+    import graft.functions.{Fnv1a64, KmvSketch}
+    // group 'small' has 10 distinct values (< k=16): estimate is EXACT
+    // group 'big' has 5000 distinct values (>> k): estimate within 50%
+    val small = (0 until 40).map(i => ("small", s"v${i % 10}"))
+    val big = (0 until 5000).map(i => ("big", s"w$i"))
+    val df = (small ++ big).toDF("g", "v")
+      .withColumn("h", Fnv1a64.rehashUnsigned(Fnv1a64.fingerprint(col("v"))))
+    def run(d: org.apache.spark.sql.DataFrame): Map[String, (Long, Int)] =
+      d.groupBy("g").agg(KmvSketch.kmv(col("h"), 16).as("sk"))
+        .select(col("g"), col("sk.estimate"), col("sk.sample_size"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val got = run(df)
+    val bySmall = got("small"); val byBig = got("big")
+    assert(bySmall == ((10L, 10)), s"below-k groups are exact: $bySmall")
+    assert(byBig._2 == 16)
+    assert(byBig._1 > 2500 && byBig._1 < 10000, s"estimate off: ${byBig._1} vs 5000")
+    // merge correctness: any partitioning yields the identical sketch
+    assert(run(df.repartition(13)) == got)
+    // nulls ignored like count(col)
+    val withNull = df.unionByName(Seq(("small", null: String)).toDF("g", "v")
+      .withColumn("h", Fnv1a64.rehashUnsigned(Fnv1a64.fingerprint(col("v")))))
+    assert(run(withNull)("small") == bySmall)
+  }
+
+  test("groupSplit: a duplicate group never spans splits (r9b)") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),   // dup group {1,2}
+      (3L, "Alpha  Beta   GAMMA"),                          // normalizes into the group
+      (4L, "unique one"), (5L, "unique two"),
+      (6L, "unique one")                                    // dup of 4
+    ).toDF("doc_id", "text")
+    val out = Corpus.groupSplit(corpus, col("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col("text")),
+        Seq(("train", 80), ("val", 90), ("test", 100)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(out.length == 6, "every doc keeps exactly one assignment")
+    val byRep = out.groupBy(_._2)
+    assert(byRep(1L).map(_._1).toSet == Set(1L, 2L, 3L), "normalized dups share the group")
+    assert(byRep(4L).map(_._1).toSet == Set(4L, 6L))
+    assert(byRep.values.forall(_.map(_._3).distinct.length == 1),
+      "split label is constant within every duplicate group")
+  }
 }
