@@ -63,8 +63,9 @@ object Bench {
     // skew shape the PrefixSum rebuild parallelizes
     "text_mixture_skew",
     // r9b: exact-integer BM25 search, PII scrub, bounded-state KMV
-    // sketch, leakage-safe group split
-    "text_bm25", "text_pii", "text_kmv", "text_group_split",
+    // sketch, leakage-safe group split, and the native-batch-scan
+    // catalog data read
+    "text_bm25", "text_pii", "text_kmv", "text_group_split", "zc_sql_scan",
   )
 
   private def loadAvg: Double =

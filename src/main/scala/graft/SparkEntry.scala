@@ -514,6 +514,26 @@ object SparkEntry {
         "WHERE day >= 10 AND day <= 20")
     }),
 
+    // E36 (r9b): catalog-face DATA scan through the NATIVE batch reader
+    // (BatchScanExec over the vectorized parquet stack, manifest-planned
+    // files) — a data-column filter + group-by that metadata cannot
+    // answer, so this measures the real read path end-to-end.
+    "zc_sql_scan" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val name = "s" + java.util.UUID.randomUUID().toString.take(8)
+      val c = Collection.create(s, s"$scratch/sqlwh/db/$name", ev.schema, "ts",
+        DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+      c.insert(ev)
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", s"$scratch/sqlwh")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(min(user_id) AS BIGINT) AS lo,
+                       CAST(max(user_id) AS BIGINT) AS hi
+                FROM graftq.db.$name
+                WHERE value > 0.5 AND day BETWEEN 5 AND 25
+                GROUP BY event_type ORDER BY event_type""")
+    }),
+
     // E34 (r8b): GROUPED metadata aggregates — one row per partition
     // group: counts from the recorded rows, MIN/MAX from the group's
     // merged per-file zone maps; complete pushdown, no re-aggregation.
@@ -2854,6 +2874,14 @@ object SparkEntry {
     "zc_sql_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS n FROM events
          WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 20""",
+
+    "zc_sql_scan" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(min(user_id) AS BIGINT) AS lo,
+                CAST(max(user_id) AS BIGINT) AS hi
+         FROM events
+         WHERE value > 0.5 AND day(CAST(ts AS TIMESTAMP)) BETWEEN 5 AND 25
+         GROUP BY event_type ORDER BY event_type""",
 
     "zc_sql_group_count" ->
       """SELECT CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS day,

@@ -2260,8 +2260,6 @@ final class Collection private (
                                     limitRows: Option[Long])
       : Option[Seq[Collection.NativeFile]] = {
     val man = manifestFor(asOfGen)
-    val keyTypes = partCols.map(c => partitioning.colType(c, schema))
-    if (!keyTypes.forall(Collection.nativeKeyType)) return None
     val selected0 = ast match {
       case FilterExpr.True => man.files
       case _               => pruneCandidates(man, ast)
@@ -2270,6 +2268,15 @@ final class Collection private (
       case Some(n) => headFilesByRows(man, selected0, n).getOrElse(selected0)
       case None    => selected0
     }
+    nativeFilesFor(man, selected)
+  }
+
+  /** [[nativeScanPlan]]'s file-metadata half for an EXPLICIT file set —
+    * the DSv2 streaming source's per-micro-batch planning primitive. */
+  private[graft] def nativeFilesFor(man: Manifest, selected: Seq[String])
+      : Option[Seq[Collection.NativeFile]] = {
+    val keyTypes = partCols.map(c => partitioning.colType(c, schema))
+    if (!keyTypes.forall(Collection.nativeKeyType)) return None
     val bytes = man.bytesForFiles(selected)
     val keyCache = scala.collection.mutable.Map.empty[String, Option[Seq[Any]]]
     val out = Seq.newBuilder[Collection.NativeFile]

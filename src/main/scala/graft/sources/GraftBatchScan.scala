@@ -43,6 +43,53 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory)
     delegate.supportColumnarReads(unwrap(p))
 }
 
+/** Reorders reader output to a target schema (streaming relations pin
+  * the TABLE column order, while the parquet stack emits data columns
+  * followed by partition columns; batch plans get a Project from the
+  * pushdown rules — streaming plans do not). Columnar batches permute
+  * the vector array (zero copy); rows go through an unsafe projection. */
+final class PermutingReaderFactory(delegate: PartitionReaderFactory,
+                                   fromSchema: StructType, toSchema: StructType)
+    extends PartitionReaderFactory {
+  private val perm: Array[Int] = toSchema.fieldNames.map(fromSchema.fieldIndex)
+  private val identity = perm.zipWithIndex.forall { case (p, i) => p == i }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(p)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val inner = delegate.createColumnarReader(p)
+    if (identity) inner
+    else new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = inner.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = inner.get()
+        new org.apache.spark.sql.vectorized.ColumnarBatch(
+          perm.map(i => b.column(i)), b.numRows())
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val inner = delegate.createReader(p)
+    if (identity) inner
+    else new PartitionReader[InternalRow] {
+      private val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(perm.zipWithIndex.map { case (from, i) =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            from, fromSchema(toSchema.fields(i).name).dataType,
+            fromSchema(toSchema.fields(i).name).nullable)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        }.toSeq)
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = proj(inner.get())
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
 /** The NATIVE DSv2 batch scan over a graft collection — what the
   * catalog face plans when [[GraftScanBuilder]] can prove the snapshot
   * natively scannable (decodable partition keys, no fill-bearing read
@@ -72,11 +119,15 @@ final class GraftReaderFactory(delegate: PartitionReaderFactory)
   * everything else was returned to the engine as a residual, so rows
   * are re-checked above the scan exactly like a stock parquet plan.
   */
-final class GraftBatchScan(spark: SparkSession, collection: Collection,
-                           requiredSchema: StructType, baseAst: FilterExpr.Ast,
-                           asOfGen: Option[Long], limitRows: Option[Long],
+final class GraftBatchScan(spark: SparkSession,
+                           private val collection: Collection,
+                           private val requiredSchema: StructType,
+                           private val baseAst: FilterExpr.Ast,
+                           private val asOfGen: Option[Long],
+                           private val limitRows: Option[Long],
                            parquetFilters: Array[Filter],
-                           prePlanned: Option[Seq[Collection.NativeFile]] = None)
+                           prePlanned: Option[Seq[Collection.NativeFile]] = None,
+                           streamOptions: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportStatistics {
 
@@ -124,37 +175,9 @@ final class GraftBatchScan(spark: SparkSession, collection: Collection,
     * packing, but never across partition keys (the HasPartitionKey
     * contract). */
   private def packPartitions(files: Seq[Collection.NativeFile]): Array[InputPartition] = {
-    val totalBytes = files.map(_.bytes).sum
-    val maxSplit = ParquetReadBridge.maxSplitBytes(spark, totalBytes, files.size)
-    val openCost = ParquetReadBridge.openCostInBytes(spark)
-    val out = mutable.ArrayBuffer.empty[InputPartition]
-    var index = 0
-    val grouped = files.groupBy(_.key).toSeq
-      .sortBy(_._1.map(v => if (v == null) "" else v.toString).mkString("/"))
-    for ((key, group) <- grouped) {
-      val fullKey = new GenericInternalRow(key.toArray)
-      val readKey = new GenericInternalRow(keyProjection.map(i => key(i)))
-      val slices = group.flatMap { f =>
-        (0L until math.max(1L, (f.bytes + maxSplit - 1) / maxSplit)).map { i =>
-          ParquetReadBridge.FileSlice(f.path, i * maxSplit,
-            math.min(maxSplit, f.bytes - i * maxSplit), f.bytes, readKey)
-        }
-      }.sortBy(-_.length)
-      val bin = mutable.ArrayBuffer.empty[ParquetReadBridge.FileSlice]
-      var binBytes = 0L
-      def flush(): Unit = if (bin.nonEmpty) {
-        out += GraftInputPartition(
-          ParquetReadBridge.filePartition(index, bin.toSeq), fullKey)
-        index += 1; bin.clear(); binBytes = 0L
-      }
-      for (s <- slices) {
-        if (binBytes + s.length + openCost > maxSplit && bin.nonEmpty) flush()
-        bin += s; binBytes += s.length + openCost
-      }
-      flush()
-    }
-    plannedKeyCount = grouped.size
-    out.toArray
+    val (parts, keys) = GraftBatchScan.packByKey(spark, files, keyProjection)
+    plannedKeyCount = keys
+    parts
   }
 
   // --- Scan ---------------------------------------------------------
@@ -167,6 +190,20 @@ final class GraftBatchScan(spark: SparkSession, collection: Collection,
   override def description(): String =
     s"graft-native ${collection.root} ast=$baseAst"
 
+  /** Value equality (the ParquetScan contract): lets the engine reuse
+    * one scan/exchange for identical reads in a plan (self-joins, CTE
+    * fan-out). Runtime filters participate — a runtime-pruned scan is
+    * NOT the same read as an unpruned one. */
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftBatchScan =>
+      g.collection.root == collection.root && g.requiredSchema == requiredSchema &&
+        g.baseAst == baseAst && g.asOfGen == asOfGen && g.limitRows == limitRows &&
+        g.runtimeAst == runtimeAst
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (collection.root, requiredSchema, baseAst.toString, asOfGen, limitRows).hashCode()
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       (try collection.sizeOnDisk() catch { case _: Exception => None }) match {
@@ -177,6 +214,20 @@ final class GraftBatchScan(spark: SparkSession, collection: Collection,
       val n = try collection.countRows() catch { case _: Exception => -1L }
       if (n < 0) java.util.OptionalLong.empty() else java.util.OptionalLong.of(n)
     }
+  }
+
+  // --- streaming ----------------------------------------------------
+
+  /** `spark.readStream.table("graft.db.t")`: the DSv2 micro-batch face
+    * over the same manifest-generation offset machinery as
+    * `format("graft")`, reading each batch through this scan's native
+    * parquet partitions. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOfGen.isEmpty,
+      "VERSION/TIMESTAMP AS OF reads are immutable snapshots — they cannot stream")
+    new graft.streaming.GraftMicroBatchStream(spark, collection.root,
+      requiredSchema, baseAst, streamOptions)
   }
 
   // --- Batch --------------------------------------------------------
@@ -236,4 +287,46 @@ object GraftBatchScan {
     * planned file count (asserting DPP actually shrank the scan). */
   @volatile private[graft] var lastRuntimeAst: FilterExpr.Ast = FilterExpr.True
   @volatile private[graft] var lastPlannedFiles: Int = -1
+
+  /** The shared per-key split-and-pack planner: files grouped by
+    * partition key, large files sliced at the session split size,
+    * slices binned with open-cost padding, one [[GraftInputPartition]]
+    * per bin (never mixing keys). Returns the partitions and the
+    * distinct-key count. Used by the batch scan and the DSv2
+    * micro-batch stream ([[graft.streaming.GraftMicroBatchStream]]). */
+  private[graft] def packByKey(spark: SparkSession,
+                               files: Seq[Collection.NativeFile],
+                               keyProjection: Array[Int])
+      : (Array[InputPartition], Int) = {
+    val totalBytes = files.map(_.bytes).sum
+    val maxSplit = ParquetReadBridge.maxSplitBytes(spark, totalBytes, files.size)
+    val openCost = ParquetReadBridge.openCostInBytes(spark)
+    val out = mutable.ArrayBuffer.empty[InputPartition]
+    var index = 0
+    val grouped = files.groupBy(_.key).toSeq
+      .sortBy(_._1.map(v => if (v == null) "" else v.toString).mkString("/"))
+    for ((key, group) <- grouped) {
+      val fullKey = new GenericInternalRow(key.toArray)
+      val readKey = new GenericInternalRow(keyProjection.map(i => key(i)))
+      val slices = group.flatMap { f =>
+        (0L until math.max(1L, (f.bytes + maxSplit - 1) / maxSplit)).map { i =>
+          ParquetReadBridge.FileSlice(f.path, i * maxSplit,
+            math.min(maxSplit, f.bytes - i * maxSplit), f.bytes, readKey)
+        }
+      }.sortBy(-_.length)
+      val bin = mutable.ArrayBuffer.empty[ParquetReadBridge.FileSlice]
+      var binBytes = 0L
+      def flush(): Unit = if (bin.nonEmpty) {
+        out += GraftInputPartition(
+          ParquetReadBridge.filePartition(index, bin.toSeq), fullKey)
+        index += 1; bin.clear(); binBytes = 0L
+      }
+      for (s <- slices) {
+        if (binBytes + s.length + openCost > maxSplit && bin.nonEmpty) flush()
+        bin += s; binBytes += s.length + openCost
+      }
+      flush()
+    }
+    (out.toArray, grouped.size)
+  }
 }

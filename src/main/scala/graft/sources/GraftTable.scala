@@ -131,6 +131,7 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
     * `MergeStrategy.Replace`, which land on the same atomic commit. */
   override def capabilities(): JSet[TableCapability] = JSet.of(
     TableCapability.BATCH_READ,
+    TableCapability.MICRO_BATCH_READ,
     TableCapability.BATCH_WRITE,
     TableCapability.V1_BATCH_WRITE,
     TableCapability.TRUNCATE,
@@ -139,7 +140,10 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
   // --- read ---------------------------------------------------------
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, collection, schema(), asOfGen)
+    new GraftScanBuilder(spark, collection, schema(), asOfGen,
+      options.asCaseSensitiveMap().asScala.map {
+        case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
+      }.toMap)
 
   // --- write --------------------------------------------------------
 
@@ -197,7 +201,8 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
   * with manifest metadata. All pushed filters are ALSO returned as
   * post-scan filters — pruning can only skip files, never change a row. */
 class GraftScanBuilder(spark: SparkSession, collection: Collection,
-                       tableSchema: StructType, asOfGen: Option[Long])
+                       tableSchema: StructType, asOfGen: Option[Long],
+                       scanOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -444,7 +449,8 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     collection.nativeScanPlan(ast, asOfGen, limit.map(_.toLong)) match {
       case Some(files) =>
         new GraftBatchScan(spark, collection, requiredSchema, ast, asOfGen,
-          limit.map(_.toLong), pushed, prePlanned = Some(files))
+          limit.map(_.toLong), pushed, prePlanned = Some(files),
+          streamOptions = scanOptions)
       case None => v1 // undecodable key / unsupported partition type
     }
   }
@@ -463,6 +469,14 @@ class GraftV1Scan(spark: SparkSession, collection: Collection,
     extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = aggResult.map(_._1).getOrElse(requiredSchema)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      s"this read of ${collection.root} fell back to the V1 bridge " +
+        "(fill-bearing columns or an unsupported partition-key type) and cannot " +
+        "stream through readStream.table — use " +
+        "spark.readStream.format(\"graft\").load(path) instead")
 
   override def description(): String = aggResult match {
     case Some((s, _)) => s"graft ${collection.root} metadata-agg ${s.fieldNames.mkString(", ")}"

@@ -48,7 +48,7 @@ class GraftCollectionSource(spark: SparkSession, root: String,
                             startingGeneration: Option[Long] = None,
                             startingTimestamp: Option[Long] = None) extends Source {
 
-  private val collection = Collection.open(spark, root, readOnly = true)
+  private[streaming] val collection = Collection.open(spark, root, readOnly = true)
 
   // A pure compaction no longer re-delivers (rewrite-marked commits skip
   // the diff), but auto-compaction with retainGenerations=0 DELETES the
@@ -70,7 +70,7 @@ class GraftCollectionSource(spark: SparkSession, root: String,
     * are still filtered exactly by the compiled predicate on top.
     * Parsed + name-checked at stream START, so a typo fails the query
     * immediately, not on the first matching batch. */
-  private val filterAst: FilterExpr.Ast = {
+  private[streaming] val filterAst: FilterExpr.Ast = {
     val ast = FilterExpr.parse(filters.orNull)
     collection.requireKnownNames(ast)
     if (changeFeed) FilterExpr.names(ast).foreach(n => require(
@@ -85,7 +85,7 @@ class GraftCollectionSource(spark: SparkSession, root: String,
     * read under this schema directly, so a column dropped mid-stream
     * keeps serving its on-disk data and a column added mid-stream stays
     * invisible until restart. */
-  private val pinnedDataSchema = collection.schema
+  private[streaming] val pinnedDataSchema = collection.schema
 
   override val schema: StructType =
     if (!changeFeed) collection.readSchema
@@ -181,8 +181,30 @@ class GraftCollectionSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endGen = gen(end)
+    if (changeFeed) { pace(endGen); return getChangeBatch(start, endGen) }
+    val (endMan, pruned) = batchFiles(start.map(gen), endGen)
+    // MicroBatchExecution requires getBatch's plan to be flagged streaming
+    // (the same flip FileStreamSource applies to the relation it builds)
+    val batch = org.apache.spark.sql.graftshim.StreamingShim.asStreamingBatch(
+      collection.readManifestFiles(endMan, pruned,
+        schemaOverride = Some(pinnedDataSchema)))
+    filterAst match {
+      case FilterExpr.True => batch
+      case ast             => batch.where(FilterExpr.toColumn(ast))
+    }
+  }
+
+  private def pace(endGen: Long): Unit =
     if (endGen > pacedThrough) pacedThrough = endGen
-    if (changeFeed) return getChangeBatch(start, endGen)
+
+  /** The append-path micro-batch FILE set for offsets `(start, end]`:
+    * the content-addressed shard diff, the compaction-rewrite skip, and
+    * the filter-pushdown pruning — shared by the V1 [[getBatch]] and
+    * the DSv2 [[GraftMicroBatchStream]] (which plans the same files as
+    * native parquet input partitions). Also advances the pacing mark. */
+  private[streaming] def batchFiles(startOffsetGen: Option[Long],
+                                    endGen: Long): (Collection.Manifest, Seq[String]) = {
+    pace(endGen)
     val endMan = collection.manifestAt(endGen)
     // shard-level diff: shard files are content-addressed, so a subtree
     // untouched between the two generations keeps its shard NAME — only
@@ -190,7 +212,7 @@ class GraftCollectionSource(spark: SparkSession, root: String,
     // partition of a 10^7-file collection costs one shard read per side.
     // a configured starting offset turns the would-be snapshot batch
     // into a plain manifest diff from that generation
-    val startGenOpt = start.map(gen)
+    val startGenOpt = startOffsetGen
       .orElse(if (startBase > 0L) Some(startBase) else None)
     val newFiles = startGenOpt match {
       case None => endMan.files
@@ -226,10 +248,7 @@ class GraftCollectionSource(spark: SparkSession, root: String,
             if (ts.forall(_.isDefined)) Some(ts.flatten.sum) else None
           }
           (total(startMan), total(endMan)) match {
-            case (Some(a), Some(b)) if a == b =>
-              return org.apache.spark.sql.graftshim.StreamingShim.asStreamingBatch(
-                collection.readManifestFiles(endMan, Nil,
-                  schemaOverride = Some(pinnedDataSchema)))
+            case (Some(a), Some(b)) if a == b => return (endMan, Nil)
             case _ => ()
           }
         }
@@ -268,15 +287,7 @@ class GraftCollectionSource(spark: SparkSession, root: String,
       case FilterExpr.True => newFiles
       case ast             => collection.pruneFilesForRead(endMan, newFiles, ast)
     }
-    // MicroBatchExecution requires getBatch's plan to be flagged streaming
-    // (the same flip FileStreamSource applies to the relation it builds)
-    val batch = org.apache.spark.sql.graftshim.StreamingShim.asStreamingBatch(
-      collection.readManifestFiles(endMan, pruned,
-        schemaOverride = Some(pinnedDataSchema)))
-    filterAst match {
-      case FilterExpr.True => batch
-      case ast             => batch.where(FilterExpr.toColumn(ast))
-    }
+    (endMan, pruned)
   }
 
   /** CDC micro-batch: the row-level [[Collection.changes]] diff between
