@@ -66,6 +66,7 @@ object Bench {
     // sketch, leakage-safe group split, and the native-batch-scan
     // catalog data read
     "text_bm25", "text_pii", "text_kmv", "text_group_split", "zc_sql_scan",
+    "text_classifier_gate",
   )
 
   private def loadAvg: Double =

@@ -1526,6 +1526,21 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // C49 (r9b): MODEL-BASED QUALITY GATE — hashed-linear-classifier
+    // inference (fastText/DCLM quality filtering) reduced to its
+    // deterministic integer core: 4096 feature buckets, a fixed
+    // pseudo-random weight table both engines compute inline (a real
+    // deployment feeds quantized trained logits), keep when the mean
+    // token logit is non-negative.
+    "text_classifier_gate" -> ((s, dir) => {
+      graft.operators.Corpus.linearQualityGate(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          nBuckets = 4096,
+          weightOf = b => pmod(b * lit(2654435761L), lit(2001L)) - lit(1000L),
+          thresholdNum = 0L, thresholdDen = 1L)
+        .orderBy("doc_id")
+    }),
+
     // C48 (r9b): LEAKAGE-SAFE SPLIT — duplicate groups (exact-dup
     // fingerprints over a corpus with planted replicas) assigned to
     // train/val/test ATOMICALLY via the group representative's FNV
@@ -3610,6 +3625,29 @@ object SparkEntry {
                  CAST(LEAST(nd, 64) AS INT) AS sample_size FROM k)
          SELECT x.lang, x.exact, e.estimate, e.kth_hash, e.sample_size
          FROM x JOIN e USING (lang) ORDER BY lang""",
+
+    // Classifier-gate replay: same FNV bucket (4096 = 2^12, so the
+    // unsigned low bits equal Spark's signed pmod), same inline weight
+    // table, same integer mean-logit cut.
+    "text_classifier_gate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                      FROM documents),
+         t AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
+         h AS (SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                     list_transform(range(0, octet_length(encode(tok))),
+                       i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(tok)), i*2+1, 1)) - 1) * 16
+                               + (strpos('0123456789ABCDEF', substr(hex(encode(tok)), i*2+2, 1)) - 1) AS UBIGINT))),
+                   (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)) AS hu
+               FROM t),
+         w AS (SELECT doc_id,
+                 (CAST(hu % 4096 AS BIGINT) * 2654435761) % 2001 - 1000 AS w
+               FROM h),
+         a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(w) AS BIGINT) AS score FROM w GROUP BY doc_id)
+         SELECT doc_id, n_tokens, score, score >= 0 AS keep
+         FROM a ORDER BY doc_id""",
 
     // Leakage-safe split replay: exact-dup groups from the normalized
     // FNV fingerprint (same chain as text_sample_split), representative

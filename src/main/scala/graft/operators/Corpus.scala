@@ -644,6 +644,36 @@ object Corpus {
         PhonePattern, "<PHONE>").as("clean"))
   }
 
+  /** MODEL-BASED QUALITY GATE (r9b): the fastText/DCLM-shaped hashed
+    * linear classifier — each token hashes into one of `nBuckets`
+    * feature buckets, `weightOf(bucket)` supplies that bucket's
+    * INTEGER-scaled weight (a trained model's quantized logits as a
+    * lookup expression, or any deterministic formula), and a document
+    * keeps when its summed score clears `thresholdNum/thresholdDen`
+    * PER TOKEN (the mean-logit cut), decided by integer
+    * cross-multiplication — no float dot product, so the gate replays
+    * bit-for-bit in any engine. This is the "model-based quality
+    * filtering" stage of modern pretraining pipelines, with the
+    * inference reduced to its deterministic integer core.
+    *
+    * Scale shape: one tokenize pass, per-doc map-side-combined sum —
+    * the classic bag-of-hashed-features inference is a pure
+    * aggregation; nothing but (doc_id, partial sums) ever shuffles. */
+  def linearQualityGate(df: DataFrame, id: Column, text: Column,
+                        nBuckets: Int, weightOf: Column => Column,
+                        thresholdNum: Long, thresholdDen: Long): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(thresholdDen > 0, "thresholdDen must be positive")
+    val toks = df.select(id.as("doc_id"), explode(split(trim(text), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val bucket = pmod(graft.functions.Fnv1a64.fingerprint(col("tok")), lit(nBuckets))
+    toks.withColumn("_w", weightOf(bucket))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_w")).as("score"))
+      .withColumn("keep",
+        col("score") * lit(thresholdDen) >= lit(thresholdNum) * col("n_tokens"))
+  }
+
   /** LEAKAGE-SAFE SPLIT (r9b): assign train/val/test so that every
     * duplicate GROUP lands in exactly one split — the eval-contamination
     * guard plain [[hashSplit]] cannot give (two near-identical docs

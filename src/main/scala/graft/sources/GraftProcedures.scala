@@ -165,7 +165,44 @@ private[sources] object GraftProcedures {
       "Rebuild the partition catalog from storage (the reference repair_catalog)",
       Seq(table),
       StructType(Seq(StructField("partitions", IntegerType, nullable = false))),
-      (s, w, a) => Seq(row(open(s, w, a).repairCatalog().size))))
+      (s, w, a) => Seq(row(open(s, w, a).repairCatalog().size))),
+    Impl("zorder",
+      "Rewrite partitions Z-ORDERED on the given comma-separated columns (1-4): " +
+        "multi-column zone maps tighten so range filters on any listed column prune files",
+      Seq(table, in("columns", StringType), inDefault("filter", StringType, "NULL")),
+      StructType(Seq(StructField("rewritten_partitions", IntegerType, nullable = false))),
+      (s, w, a) => {
+        val c = open(s, w, a)
+        val cols = a.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty)
+        val paths = c.partitions(strArg(a, 2).orNull)
+        Seq(row(c.compactPartitions(paths, clusterBy = cols.toSeq).size))
+      }),
+    Impl("create_index",
+      "Build a secondary row-range index on the given comma-separated key columns " +
+        "(default location: <table>/_index/<keys>)",
+      Seq(table, in("keys", StringType), inDefault("index_path", StringType, "NULL")),
+      StructType(Seq(StructField("index_path", StringType, nullable = false),
+        StructField("generation", LongType, nullable = false))),
+      (s, w, a) => {
+        val c = open(s, w, a)
+        val keys = a.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val path = strArg(a, 2).getOrElse(s"${c.root}/_index/${keys.mkString("_")}")
+        graft.core.Indexer.build(s, c, keys, path)
+        Seq(row(utf8(path), c.generation))
+      }),
+    Impl("refresh_index",
+      "Incrementally refresh a secondary index: only partitions whose file sets " +
+        "changed since the build re-aggregate",
+      Seq(table, in("keys", StringType), inDefault("index_path", StringType, "NULL")),
+      StructType(Seq(StructField("index_path", StringType, nullable = false),
+        StructField("refreshed_partitions", IntegerType, nullable = false))),
+      (s, w, a) => {
+        val c = open(s, w, a)
+        val keys = a.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val path = strArg(a, 2).getOrElse(s"${c.root}/_index/${keys.mkString("_")}")
+        val (_, n) = graft.core.Indexer.open(s, c, keys, path).refresh()
+        Seq(row(utf8(path), n))
+      }))
 
   private val byName: Map[String, Impl] = impls.map(i => i.name -> i).toMap
 

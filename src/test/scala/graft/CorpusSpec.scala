@@ -586,6 +586,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(run(withNull)("small") == bySmall)
   }
 
+  test("linearQualityGate: integer mean-logit cut, threshold algebra, no-token docs absent (r9b)") {
+    val d = Seq((1L, "a b c"), (2L, "x"), (3L, "   "), (4L, "p q r s t")).toDF("doc_id", "text")
+    // constant weight +1: score == n_tokens; mean exactly 1
+    val unit = Corpus.linearQualityGate(d, col("doc_id"), col("text"),
+      nBuckets = 64, weightOf = _ => lit(1L), thresholdNum = 1L, thresholdDen = 1L)
+      .orderBy("doc_id").collect()
+    assert(unit.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L), "no-token docs emit nothing")
+    assert(unit.map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((3L, 3L, true), (1L, 1L, true), (5L, 5L, true)))
+    // mean 1 fails a 3/2 cut, negative weights fail a 0 cut
+    val strict = Corpus.linearQualityGate(d, col("doc_id"), col("text"),
+      64, _ => lit(1L), thresholdNum = 3L, thresholdDen = 2L).collect()
+    assert(strict.forall(!_.getBoolean(3)))
+    val neg = Corpus.linearQualityGate(d, col("doc_id"), col("text"),
+      64, _ => lit(-1L), thresholdNum = 0L, thresholdDen = 1L).collect()
+    assert(neg.forall(!_.getBoolean(3)))
+    // bucket-dependent weights are partition-invariant
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.linearQualityGate(df, col("doc_id"), col("text"),
+        4096, b => pmod(b * lit(2654435761L), lit(2001L)) - lit(1000L), 0L, 1L)
+        .orderBy("doc_id").collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(run(d) == run(d.repartition(5)))
+  }
+
   test("groupSplit: a duplicate group never spans splits (r9b)") {
     val corpus = Seq(
       (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),   // dup group {1,2}

@@ -103,6 +103,28 @@ class ProceduresSpec extends AnyFunSuite {
       .collect().head.getInt(0) >= 0)
   }
 
+  test("zorder, create_index, refresh_index procedures") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    sql("""CREATE TABLE graft.proc.zi (ts TIMESTAMP, user_id BIGINT, v DOUBLE)
+           PARTITIONED BY (days(ts))""")
+    sql("""INSERT INTO graft.proc.zi VALUES
+           (TIMESTAMP'2024-01-01 08:00:00', 5, 1.0),
+           (TIMESTAMP'2024-01-01 09:00:00', 2, 2.0),
+           (TIMESTAMP'2024-01-02 08:00:00', 9, 3.0)""")
+    assert(sql("CALL graft.system.zorder(table => 'proc.zi', columns => 'user_id,v')")
+      .collect().head.getInt(0) == 2)
+    assert(sql("SELECT count(*) FROM graft.proc.zi").collect().head.getLong(0) == 3)
+
+    val idx = sql("CALL graft.system.create_index(table => 'proc.zi', keys => 'user_id')")
+      .collect().head
+    assert(idx.getString(0).endsWith("_index/user_id"))
+    sql("INSERT INTO graft.proc.zi VALUES (TIMESTAMP'2024-01-03 08:00:00', 5, 4.0)")
+    val refreshed = sql(
+      "CALL graft.system.refresh_index(table => 'proc.zi', keys => 'user_id')")
+      .collect().head
+    assert(refreshed.getInt(1) >= 1, s"the new partition must re-aggregate: $refreshed")
+  }
+
   test("SHOW PROCEDURES lists the surface; unknown procedure refuses loudly") {
     val shown = sql("SHOW PROCEDURES IN graft.system").collect()
       .map(_.toString).mkString("\n")
