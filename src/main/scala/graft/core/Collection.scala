@@ -3355,8 +3355,17 @@ final class Collection private (
   /** Decode a partition path against the DECLARED partition-column types:
     * only integral columns parse to Long — a string column whose values
     * happen to look numeric stays a string, so `pathPredicate`, sort
-    * order, and `FilterExpr.eval` all see the declared type. */
-  private def decodePath(path: String): Option[Seq[(String, Any)]] = {
+    * order, and `FilterExpr.eval` all see the declared type. Memoized
+    * per path (pure; paths recur across generations), so a query that
+    * walks partitions in several layers — claim check, pruning, native
+    * planning — pays the string parse once. */
+  private val decodePathCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Seq[(String, Any)]]]
+
+  private def decodePath(path: String): Option[Seq[(String, Any)]] =
+    decodePathCache.getOrElseUpdate(path, decodePathUncached(path))
+
+  private def decodePathUncached(path: String): Option[Seq[(String, Any)]] = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
     val segs = path.split("/").toSeq
     if (segs.length != partCols.length) return None

@@ -688,10 +688,16 @@ object Corpus {
   def groupSplit(df: DataFrame, id: Column, groupKey: Column,
                  cuts: Seq[(String, Int)]): DataFrame = {
     val keyed = df.select(id.as("doc_id"), groupKey.as("_gk"))
-    val reps = keyed.groupBy("_gk").agg(min(col("doc_id")).as("rep"))
+    // a NULL group key means "no known duplicate group", NOT "the null
+    // group": such docs are their own singleton groups (rep = own id) —
+    // an equi-join would silently DROP them, and grouping them together
+    // would chain unrelated docs into one split
+    val reps = keyed.where(col("_gk").isNotNull)
+      .groupBy("_gk").agg(min(col("doc_id")).as("_rep"))
+    val withRep = keyed.join(reps, Seq("_gk"), "left")
+      .withColumn("rep", coalesce(col("_rep"), col("doc_id")))
     val fp = graft.functions.Fnv1a64.fingerprint(col("rep").cast("string"))
     val (bucket, split) = hashSplit(fp, cuts)
-    keyed.join(reps, "_gk")
-      .select(col("doc_id"), col("rep"), bucket.as("bucket"), split.as("split"))
+    withRep.select(col("doc_id"), col("rep"), bucket.as("bucket"), split.as("split"))
   }
 }

@@ -127,7 +127,17 @@ final class GraftBatchScan(spark: SparkSession,
                            private val limitRows: Option[Long],
                            parquetFilters: Array[Filter],
                            prePlanned: Option[Seq[Collection.NativeFile]] = None,
-                           streamOptions: Map[String, String] = Map.empty)
+                           streamOptions: Map[String, String] = Map.empty,
+                           /** Generation every (re-)plan reads — pinned
+                             * at build so runtime-filter re-planning and
+                             * a claimed filter's validity cannot drift
+                             * onto a manifest committed mid-query. */
+                           private val pinnedGen: Option[Long] = None,
+                           /** Did the builder CLAIM `baseAst` (engine
+                             * dropped its re-filter)? Streaming must
+                             * then re-prove the claim on every batch's
+                             * manifest. */
+                           private val claimed: Boolean = false)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportStatistics {
 
@@ -161,7 +171,7 @@ final class GraftBatchScan(spark: SparkSession,
       val ast = currentAst
       GraftRelation.lastScanAst = ast // shared spec observable
       val files = prePlanned.filter(_ => runtimeAst == FilterExpr.True)
-        .getOrElse(collection.nativeScanPlan(ast, asOfGen, limitRows)
+        .getOrElse(collection.nativeScanPlan(ast, asOfGen.orElse(pinnedGen), limitRows)
           .getOrElse(throw new IllegalStateException(
             s"native scan plan unavailable for ${collection.root} (validated at build)")))
       planned = packPartitions(files)
@@ -198,7 +208,7 @@ final class GraftBatchScan(spark: SparkSession,
     case g: GraftBatchScan =>
       g.collection.root == collection.root && g.requiredSchema == requiredSchema &&
         g.baseAst == baseAst && g.asOfGen == asOfGen && g.limitRows == limitRows &&
-        g.runtimeAst == runtimeAst
+        g.pinnedGen == pinnedGen && g.runtimeAst == runtimeAst
     case _ => false
   }
   override def hashCode(): Int =
@@ -227,7 +237,9 @@ final class GraftBatchScan(spark: SparkSession,
     require(asOfGen.isEmpty,
       "VERSION/TIMESTAMP AS OF reads are immutable snapshots — they cannot stream")
     new graft.streaming.GraftMicroBatchStream(spark, collection.root,
-      requiredSchema, baseAst, streamOptions)
+      requiredSchema, baseAst,
+      claimedAst = if (claimed) baseAst else FilterExpr.True,
+      options = streamOptions)
   }
 
   // --- Batch --------------------------------------------------------

@@ -446,11 +446,23 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     // filter touching a fill-bearing column keeps the proven bridge
     val touched = requiredSchema.fieldNames.toSet ++ FilterExpr.names(ast)
     if (collection.fillColumns(asOfGen).exists(touched)) return v1
-    collection.nativeScanPlan(ast, asOfGen, limit.map(_.toLong)) match {
+    // pin the generation every (re-)plan of this scan reads: runtime
+    // (DPP) re-planning must see the SAME snapshot the query planned
+    // against, not whatever a concurrent writer committed since
+    val pin: Option[Long] = asOfGen.orElse(
+      if (collection.generations().nonEmpty) Some(collection.generation) else None)
+    // a CLAIMED filter was validated against the pushFilters-time
+    // manifest; a commit could have raced in between (e.g. a new
+    // null-key partition the strict eval cannot decide). Re-prove the
+    // claim against the pin — the V1 path row-filters, so falling back
+    // is always row-exact.
+    if (exactPush && ast != FilterExpr.True &&
+        !collection.canClaimStrict(ast, pin)) return v1
+    collection.nativeScanPlan(ast, pin, limit.map(_.toLong)) match {
       case Some(files) =>
         new GraftBatchScan(spark, collection, requiredSchema, ast, asOfGen,
           limit.map(_.toLong), pushed, prePlanned = Some(files),
-          streamOptions = scanOptions)
+          streamOptions = scanOptions, pinnedGen = pin, claimed = exactPush)
       case None => v1 // undecodable key / unsupported partition type
     }
   }

@@ -197,6 +197,11 @@ class GraftCollectionSource(spark: SparkSession, root: String,
   private def pace(endGen: Long): Unit =
     if (endGen > pacedThrough) pacedThrough = endGen
 
+  /** Re-seed the pacing mark from a checkpointed offset — the DSv2
+    * stream calls this from `deserializeOffset` on restart (there is no
+    * V1-style getBatch replay to re-seed it implicitly). */
+  private[streaming] def paceTo(gen: Long): Unit = pace(gen)
+
   /** The append-path micro-batch FILE set for offsets `(start, end]`:
     * the content-addressed shard diff, the compaction-rewrite skip, and
     * the filter-pushdown pruning — shared by the V1 [[getBatch]] and

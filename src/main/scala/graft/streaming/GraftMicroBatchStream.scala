@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => OffsetV2}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  Offset => OffsetV2, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.ParquetReadBridge
 import org.apache.spark.sql.types.StructType
@@ -24,11 +25,25 @@ import graft.sources.{GraftBatchScan, GraftReaderFactory}
   * `startingTimestamp`. Exactly-once comes from deterministic replay:
   * offsets are manifest generations and `(start, end]` always resolves
   * to the same committed file set, so checkpoint recovery re-plans
-  * byte-identical batches. */
+  * byte-identical batches; `deserializeOffset` re-seeds the pacing mark
+  * on restart (no V1 getBatch replay exists to do it implicitly) and
+  * `latestOffset` never regresses below a seen offset.
+  *
+  * FILTER CONTRACT — this face has no engine re-filter below the sink,
+  * so every filter that reaches it must be ROW-EXACT at file
+  * granularity: the `filters` option and any builder-claimed predicate
+  * must be partition-only and strictly decidable on every partition key
+  * ([[Collection.canClaimStrict]]), checked at stream start AND against
+  * every batch's end manifest (a later commit can introduce a null or
+  * undecidable partition key — the stream then fails loudly instead of
+  * silently delivering rows the filter excludes). Row-level filters
+  * belong on the DataFrame: `readStream.table(t).where(...)`. */
 class GraftMicroBatchStream(spark: SparkSession, root: String,
                             requiredSchema: StructType,
                             pushedAst: FilterExpr.Ast,
-                            options: Map[String, String]) extends MicroBatchStream {
+                            claimedAst: FilterExpr.Ast,
+                            options: Map[String, String])
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val source = new GraftCollectionSource(spark, root,
     maxGenerationsPerBatch = options.get("maxgenerationsperbatch").map(_.toLong),
@@ -42,12 +57,25 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
   private val partColSet = partCols.toSet
   private val pinned = source.pinnedDataSchema
 
+  /** Everything that must hold row-exactly with no engine re-filter:
+    * the `filters` option plus the builder-claimed predicate. */
+  private val mustHold: FilterExpr.Ast = (source.filterAst, claimedAst) match {
+    case (FilterExpr.True, c) => c
+    case (f, FilterExpr.True) => f
+    case (f, c)               => FilterExpr.And(f, c)
+  }
+
   {
     val touched = requiredSchema.fieldNames.toSet ++ FilterExpr.names(pushedAst)
     val fills = collection.fillColumns(None).filter(touched)
     require(fills.isEmpty,
       s"readStream.table cannot serve fill-bearing column(s) ${fills.mkString(", ")} " +
         "natively — stream with spark.readStream.format(\"graft\").load(path) instead")
+    require(mustHold == FilterExpr.True || collection.canClaimStrict(mustHold, None),
+      "readStream.table filters must be PARTITION-EXACT (partition columns only, " +
+        s"strictly decidable on every partition key): '$mustHold' is not — " +
+        "apply row-level predicates as .where(...) on the stream, or use " +
+        "spark.readStream.format(\"graft\") which re-filters rows")
   }
 
   private val readPartitionSchema = StructType(
@@ -68,18 +96,48 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
 
   override def initialOffset(): OffsetV2 = LongOffset(-1L)
 
-  override def deserializeOffset(json: String): OffsetV2 =
-    LongOffset(json.trim.toLong)
+  /** Re-seeds the monotonicity floor when the engine materializes a
+    * checkpointed offset. NOT sufficient for restart pacing by itself —
+    * the engine may call `latestOffset` before ever deserializing the
+    * committed offset — which is why pacing is driven through
+    * [[SupportsAdmissionControl]] below. */
+  override def deserializeOffset(json: String): OffsetV2 = {
+    val g = json.trim.toLong
+    if (g > lastEnd) lastEnd = g
+    if (g > 0) source.paceTo(g)
+    LongOffset(g)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** The admission-control form: the engine hands the CURRENT start
+    * offset, so a paced stream (`maxGenerationsPerBatch`) restarts from
+    * its checkpointed position instead of regressing to the start base
+    * and re-delivering generations a previous run already committed. */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val base = toGen(startOffset)
+    if (base > lastEnd) lastEnd = base
+    if (base > 0) source.paceTo(base)
+    val next = source.getOffset.map(_.json.trim.toLong).getOrElse(lastEnd)
+    LongOffset(math.max(next, lastEnd))
+  }
 
   override def latestOffset(): OffsetV2 =
-    source.getOffset.map(o => LongOffset(o.json.trim.toLong): OffsetV2)
-      .getOrElse(LongOffset(lastEnd))
+    throw new IllegalStateException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
 
   override def planInputPartitions(start: OffsetV2, end: OffsetV2): Array[InputPartition] = {
     val s = toGen(start)
     val e = toGen(end)
     if (e > lastEnd) lastEnd = e
     if (e < 0) return Array.empty
+    // the no-refilter contract must hold on THIS batch's manifest too —
+    // a commit since stream start may have added an undecidable key
+    if (mustHold != FilterExpr.True && !collection.canClaimStrict(mustHold, Some(e)))
+      throw new IllegalStateException(
+        s"a commit made the stream filter '$mustHold' undecidable on some partition " +
+          s"of $root at generation $e (e.g. a null partition key) — restart the " +
+          "stream with a row-level .where(...) instead")
     val (man, diffed) = source.batchFiles(if (s < 0L) None else Some(s), e)
     val files = pushedAst match {
       case FilterExpr.True => diffed

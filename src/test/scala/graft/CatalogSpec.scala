@@ -68,6 +68,23 @@ class CatalogSpec extends AnyFunSuite {
       "metadata columns stay out of SELECT *")
   }
 
+  test("CTAS and CREATE OR REPLACE TABLE AS SELECT land as real collections") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    sql("CREATE TABLE graft.ctas.src (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    sql("INSERT INTO graft.ctas.src VALUES (1, 1.0), (2, 2.0)")
+    sql("""CREATE TABLE graft.ctas.dst PARTITIONED BY (cargo) AS
+           SELECT cargo, v * 10 AS v FROM graft.ctas.src""")
+    assert(sql("SELECT * FROM graft.ctas.dst").collect().map(_.toString).sorted.toSeq ==
+      Seq("[1,10.0]", "[2,20.0]"))
+    // the CTAS result is a full graft collection: partitioned, versioned
+    val c = Collection.open(spark, s"${CatalogSpec.warehouse}/ctas/dst", readOnly = true)
+    assert(c.partitioning.axis == Seq("cargo"))
+    sql("""CREATE OR REPLACE TABLE graft.ctas.dst PARTITIONED BY (cargo) AS
+           SELECT cargo, v * 100 AS v FROM graft.ctas.src""")
+    assert(sql("SELECT * FROM graft.ctas.dst").collect().map(_.toString).sorted.toSeq ==
+      Seq("[1,100.0]", "[2,200.0]"))
+  }
+
   test("INSERT OVERWRITE: static truncates; dynamic refuses at analysis") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.db2")
     mkEvents("graft.db2.ow")

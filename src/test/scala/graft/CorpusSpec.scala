@@ -628,5 +628,15 @@ class CorpusSpec extends AnyFunSuite {
     assert(byRep(4L).map(_._1).toSet == Set(4L, 6L))
     assert(byRep.values.forall(_.map(_._3).distinct.length == 1),
       "split label is constant within every duplicate group")
+
+    // NULL group keys = no known group: each such doc is its OWN
+    // singleton group (neither dropped nor chained together)
+    val withNulls = Seq((10L, "k1"), (11L, "k1"), (12L, null: String), (13L, null: String))
+      .toDF("doc_id", "gk")
+    val out2 = Corpus.groupSplit(withNulls, col("doc_id"), col("gk"),
+        Seq(("train", 80), ("val", 90), ("test", 100)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out2.length == 4, "null-keyed docs must not vanish")
+    assert(out2.toMap == Map(10L -> 10L, 11L -> 10L, 12L -> 12L, 13L -> 13L))
   }
 }

@@ -70,6 +70,52 @@ class StreamTableSpec extends AnyFunSuite {
     assert(rows == Seq(1L, 2L), s"restart must deliver ONLY the new commit once, got $rows")
   }
 
+  test("paced stream restarts at its committed offset — no re-delivery under maxGenerationsPerBatch") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.strm")
+    sql("CREATE TABLE graft.strm.pace (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    for (i <- 1 to 3) sql(s"INSERT INTO graft.strm.pace VALUES ($i, $i.0)")
+    val ckpt = java.nio.file.Files.createTempDirectory("strm-pace-ckpt").toString
+    val outRoot = SparkTestSession.tmp("strm-pace-out")
+    graft.core.Collection.create(spark, outRoot,
+      sql("SELECT * FROM graft.strm.pace").schema, "cargo",
+      graft.core.SequencePartitioning(Seq("cargo"), "cargo"))
+    def run(): Unit = {
+      val q = spark.readStream.option("maxGenerationsPerBatch", "1")
+        .table("graft.strm.pace")
+        .writeStream.format("graft").option("path", outRoot)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val out = graft.core.Collection.open(spark, outRoot, readOnly = true)
+    assert(out.query().count() == 3)
+    // restart after more commits: the pacing mark must re-seed from the
+    // checkpoint, not regress to the start and re-deliver old generations
+    sql("INSERT INTO graft.strm.pace VALUES (4, 4.0)")
+    sql("INSERT INTO graft.strm.pace VALUES (5, 5.0)")
+    run()
+    val rows = out.query().collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 2L, 3L, 4L, 5L),
+      s"paced restart must deliver each row exactly once, got $rows")
+  }
+
+  test("data-column filters refuse on the no-refilter streaming face") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.strm")
+    sql("CREATE TABLE graft.strm.refuse (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    sql("INSERT INTO graft.strm.refuse VALUES (1, 0.5), (1, 2.0)")
+    val q = spark.readStream.option("filters", "v > 1.0")
+      .table("graft.strm.refuse")
+      .writeStream.format("memory").queryName("strm_refuse_" + System.nanoTime())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("strm-refuse-ckpt").toString)
+      .start()
+    val e = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    assert(e.getMessage.contains("PARTITION-EXACT") ||
+      Option(e.getCause).exists(_.getMessage.contains("PARTITION-EXACT")),
+      s"a data-column filter must refuse loudly, got: ${e.getMessage}")
+  }
+
   test("options: filters prune batches; maxGenerationsPerBatch paces; AS OF refuses") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.strm")
     sql("CREATE TABLE graft.strm.opt (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
