@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
-  Offset => OffsetV2, ReadLimit, SupportsAdmissionControl}
+  Offset => OffsetV2, ReadLimit, SupportsAdmissionControl,
+  SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.ParquetReadBridge
 import org.apache.spark.sql.types.StructType
@@ -43,7 +44,8 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
                             pushedAst: FilterExpr.Ast,
                             claimedAst: FilterExpr.Ast,
                             options: Map[String, String])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val source = new GraftCollectionSource(spark, root,
     maxGenerationsPerBatch = options.get("maxgenerationsperbatch").map(_.toLong),
@@ -110,6 +112,13 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** Trigger.AvailableNow: pin the drain target at trigger start — a
+    * PACED stream then keeps producing capped batches until it reaches
+    * this head, instead of terminating after the first paced offset. */
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(collection.generation)
+
   /** The admission-control form: the engine hands the CURRENT start
     * offset, so a paced stream (`maxGenerationsPerBatch`) restarts from
     * its checkpointed position instead of regressing to the start base
@@ -118,7 +127,8 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
     val base = toGen(startOffset)
     if (base > lastEnd) lastEnd = base
     if (base > 0) source.paceTo(base)
-    val next = source.getOffset.map(_.json.trim.toLong).getOrElse(lastEnd)
+    val next0 = source.getOffset.map(_.json.trim.toLong).getOrElse(lastEnd)
+    val next = availableNowTarget.fold(next0)(t => math.min(next0, t))
     LongOffset(math.max(next, lastEnd))
   }
 

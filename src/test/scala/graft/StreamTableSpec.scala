@@ -99,6 +99,24 @@ class StreamTableSpec extends AnyFunSuite {
       s"paced restart must deliver each row exactly once, got $rows")
   }
 
+  test("Trigger.AvailableNow drains to the head and terminates") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.strm")
+    sql("CREATE TABLE graft.strm.an (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    for (i <- 1 to 3) sql(s"INSERT INTO graft.strm.an VALUES ($i, $i.0)")
+    val name = "strm_an_" + System.nanoTime()
+    val q = spark.readStream
+      .option("maxGenerationsPerBatch", "1") // several batches, one trigger
+      .table("graft.strm.an")
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("strm-an-ckpt").toString)
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+    val rows = spark.table(name).collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 2L, 3L), s"AvailableNow must drain every generation: $rows")
+  }
+
   test("data-column filters refuse on the no-refilter streaming face") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.strm")
     sql("CREATE TABLE graft.strm.refuse (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
