@@ -467,15 +467,90 @@ object Corpus {
     * tokens and bins preserve corpus order. The deterministic
     * first-fit-in-order shape sequence-packing trainers use; an exact
     * bin pack is NP-hard and order-unstable, useless for a reproducible
-    * pipeline. */
+    * pipeline.
+    *
+    * Scale shape (r10 — the last single-task-per-stratum window in the
+    * library, rebuilt on [[PrefixSum.exclusive]] like its C27b/C39/C40/
+    * C44 siblings): the prior-token sum runs as the two-pass prefix sum
+    * whose heavy window partitions by `(stratum, order-bucket)` — a
+    * 10 TB stratum scans on one task per occupied bucket instead of one
+    * task total. The bucket is derived from the order key itself
+    * ([[orderRangeBucket]]): per-stratum equal-width cells over the
+    * key's `[min, max]` span, which is weakly monotone in the key by
+    * construction (PrefixSum requirement 2) and bounded at 1024 cells
+    * per stratum (requirement 3). Non-rangeable order types (strings,
+    * structs) degrade to the degenerate single-cell bucket — exactly
+    * the pre-r10 single-window plan, bit-identical results either way. */
   def packSequences(df: DataFrame, tokens: Column, strata: Seq[Column],
                     order: Column, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(strata: _*).orderBy(order)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("bin",
-      floor(coalesce(sum(tokens).over(w), lit(0L)) / budget).cast("int"))
+    orderKeyToDouble(df, order) match {
+      case Some(toD) =>
+        val bounded = withOrderBounds(df, strata, order)
+        val bucket = orderRangeBucket(toD(order), toD(col("_pack_lo")), toD(col("_pack_hi")))
+        PrefixSum.exclusive(bounded, strata, Seq(order), tokens, bucket, "_pack_prior")
+          .withColumn("bin", floor(col("_pack_prior") / budget).cast("int"))
+          .drop("_pack_prior", "_pack_lo", "_pack_hi")
+      case None =>
+        // non-rangeable order type (string, struct): the degenerate
+        // single-cell bucket IS the pre-r10 single-window plan —
+        // bit-identical, just not intra-stratum parallel
+        PrefixSum.exclusive(df, strata, Seq(order), tokens, lit(0L), "_pack_prior")
+          .withColumn("bin", floor(col("_pack_prior") / budget).cast("int"))
+          .drop("_pack_prior")
+    }
   }
+
+  /** Order-preserving map of a RANGEABLE order key to double (numeric:
+    * plain cast — double rounding is monotone, and key ties merely
+    * share a bucket cell; date: epoch days; timestamp: epoch seconds).
+    * `None` for any other type — a defensive `cast("double")` on, say,
+    * strings would null out unparseable values and BREAK the bucket's
+    * monotonicity contract, so unknown types must degrade to the
+    * degenerate bucket instead. */
+  private def orderKeyToDouble(df: DataFrame, order: Column): Option[Column => Column] = {
+    import org.apache.spark.sql.types._
+    df.select(order).schema.head.dataType match {
+      case _: NumericType => Some(_.cast("double"))
+      case DateType       => Some(c => unix_date(c).cast("double"))
+      case TimestampType  => Some(_.cast("double"))
+      case _              => None
+    }
+  }
+
+  /** Per-stratum `[min, max]` bounds of the order key, broadcast back
+    * onto the rows as `_pack_lo`/`_pack_hi` (stratum cardinality is
+    * bounded by construction — the bounds table is tiny). Null-safe
+    * join: a null stratum is a legitimate group. The extra pass scans
+    * only the (strata, order) columns — the same narrow-rescan price
+    * [[PrefixSum.exclusive]] already pays for its subtotal branch. */
+  private def withOrderBounds(df: DataFrame, strata: Seq[Column],
+                              order: Column): DataFrame = {
+    val kNames = strata.indices.map(i => s"_pb_k$i")
+    val keyed = strata.zip(kNames).foldLeft(df) { case (d, (c, n)) => d.withColumn(n, c) }
+    val bounds = keyed.groupBy(kNames.map(col): _*)
+      .agg(min(order).as("_pack_lo"), max(order).as("_pack_hi"))
+    val bRenamed = kNames.foldLeft(bounds)((d, n) => d.withColumnRenamed(n, s"${n}_b"))
+    val cond = kNames.map(n => col(n) <=> col(s"${n}_b")).reduce(_ && _)
+    keyed.join(broadcast(bRenamed), cond)
+      .drop((kNames ++ kNames.map(n => s"${n}_b")): _*)
+  }
+
+  /** Equal-width coarsening of an order key over known `[lo, hi]`
+    * bounds (all three already mapped to double by an order-preserving
+    * conversion) — the [[PrefixSum]] bucket for callers ordering by a
+    * rangeable key rather than the uniform hash positions
+    * [[PrefixSum.hashPosBucket]] serves. Weakly monotone in the key
+    * (cell width is a positive constant per stratum), bounded at
+    * `cells` distinct values, null key -> null cell (nulls sort first
+    * in both the data window and the bucket order, so the two stay
+    * aligned). */
+  private[operators] def orderRangeBucket(o: Column, lo: Column, hi: Column,
+                                          cells: Int = 1024): Column =
+    when(o.isNull, lit(null).cast("long"))
+      .when(hi <= lo, lit(0L))
+      .otherwise(least(lit((cells - 1).toLong),
+        floor((o - lo) / ((hi - lo) / cells)).cast("long")))
 
   /** Remove BOILERPLATE LINES: a line whose exact text occurs in at
     * least `minDocs` distinct documents (headers, footers, nav chrome,
@@ -541,8 +616,14 @@ object Corpus {
     val base = df.select(
       (df.columns.map(col).toSeq ++ strata.zip(kNames).map { case (c, n) => c.as(n) }
         :+ tokens.as("_pack_n") :+ order.as("_pack_o")): _*)
+    // one narrow pre-aggregation carries BOTH the sub-stratification
+    // totals and the order-bucket bounds (r10: this overload now runs on
+    // the same PrefixSum primitive as the plain one — sub-stratification
+    // bounds the tokens per (stratum, sub) GROUP, the range bucket
+    // parallelizes the scan WITHIN each group).
     val totals = base.groupBy(kNames.map(col): _*)
-      .agg(sum(col("_pack_n")).as("_pack_total"))
+      .agg(sum(col("_pack_n")).as("_pack_total"),
+        min(col("_pack_o")).as("_pack_lo"), max(col("_pack_o")).as("_pack_hi"))
     // stratum cardinality is bounded by construction — broadcast it.
     // NULL-SAFE equality: a null stratum is a legitimate group (the
     // window overload keeps it); a plain equi-join would silently drop
@@ -552,13 +633,18 @@ object Corpus {
     val withTot = base.join(broadcast(tRenamed), joinCond)
       .drop(kNames.map(n => s"${n}_t"): _*)
     val nSub = greatest(lit(1L), ceil(col("_pack_total").cast("double") / maxStratumTokens))
-    val sub = pmod(xxhash64(col("_pack_o")), nSub)
-    val w = Window.partitionBy((kNames.map(col) :+ sub): _*).orderBy(col("_pack_o"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val localBin = floor(coalesce(sum(col("_pack_n")).over(w), lit(0L)) / budget)
-    withTot
-      .withColumn("bin", (shiftleft(sub, 32) + localBin).cast("long"))
-      .drop((kNames :+ "_pack_total" :+ "_pack_n" :+ "_pack_o"): _*)
+    val withSub = withTot.withColumn("_pack_sub", pmod(xxhash64(col("_pack_o")), nSub))
+    val bucket = orderKeyToDouble(df, order) match {
+      case Some(toD) => orderRangeBucket(
+        toD(col("_pack_o")), toD(col("_pack_lo")), toD(col("_pack_hi")))
+      case None => lit(0L)
+    }
+    PrefixSum.exclusive(withSub, kNames.map(col) :+ col("_pack_sub"),
+        Seq(col("_pack_o")), col("_pack_n"), bucket, "_pack_prior")
+      .withColumn("bin",
+        (shiftleft(col("_pack_sub"), 32) + floor(col("_pack_prior") / budget)).cast("long"))
+      .drop((kNames :+ "_pack_total" :+ "_pack_n" :+ "_pack_o" :+ "_pack_sub"
+        :+ "_pack_lo" :+ "_pack_hi" :+ "_pack_prior"): _*)
   }
 
   /** BM25 TOP-K text search (r9b) — rank documents against a small
