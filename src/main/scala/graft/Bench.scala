@@ -269,15 +269,32 @@ object Bench {
       colRo.query("year == 2024 and month == 1")
         .write.format("noop").mode("overwrite").save()
     })
-    val queryFullSec = minOf(reps)(time {
-      colRo.query().write.format("noop").mode("overwrite").save()
-    })
-    // axis-range over a NON-partition column: partitions prune via the
-    // monotonic key derivation, files via manifest zone maps
-    val queryAxisSec = minOf(reps)(time {
-      colRo.query("time >= '2024-11-15 00:00:00'")
-        .write.format("noop").mode("overwrite").save()
-    })
+    // query_full / query_axis_range run INTERLEAVED (F,A,F,A,...) with a
+    // PLAN-vs-EXEC phase split — the r9 driver bench showed the filtered
+    // axis read at 9.6x its r8 value while its SUPERSET read query_full
+    // improved, a shape min-of-3 host noise cannot explain; this is the
+    // same arbitration protocol that cleared insert_direct in r9. The
+    // plan phase is `Collection.query(...)` construction (manifest access
+    // + partition/zone-map/bloom pruning, all driver-side); the exec
+    // phase is the noop write of the pre-built frame (Spark planning +
+    // scan). The headline entries stay pass totals (plan + exec) for
+    // round-over-round continuity; the `_plan_sec` splits say WHERE any
+    // future drift lives. Axis-range filters a NON-partition column:
+    // partitions prune via the monotonic key derivation, files via
+    // manifest zone maps — at the same snapshot it reads a strict subset
+    // of query_full's files and must not time above it.
+    var bestFull = Double.MaxValue; var bestFullPlan = 0.0
+    var bestAxis = Double.MaxValue; var bestAxisPlan = 0.0
+    for (_ <- 1 to reps) {
+      var dfF: org.apache.spark.sql.DataFrame = null
+      val fPlan = time { dfF = colRo.query() }
+      val fExec = time { dfF.write.format("noop").mode("overwrite").save() }
+      if (fPlan + fExec < bestFull) { bestFull = fPlan + fExec; bestFullPlan = fPlan }
+      var dfA: org.apache.spark.sql.DataFrame = null
+      val aPlan = time { dfA = colRo.query("time >= '2024-11-15 00:00:00'") }
+      val aExec = time { dfA.write.format("noop").mode("overwrite").save() }
+      if (aPlan + aExec < bestAxis) { bestAxis = aPlan + aExec; bestAxisPlan = aPlan }
+    }
     Seq(
       "insert_full_dataset" -> insertSec,
       "insert_stage_sec" -> bestStage,
@@ -286,7 +303,9 @@ object Bench {
       "insert_direct_job_sec" -> bestDirectJob,
       "open_collection_cold" -> openSec,
       "query_one_partition_full" -> queryOneSec,
-      "query_full" -> queryFullSec,
-      "query_axis_range" -> queryAxisSec)
+      "query_full" -> bestFull,
+      "query_full_plan_sec" -> bestFullPlan,
+      "query_axis_range" -> bestAxis,
+      "query_axis_plan_sec" -> bestAxisPlan)
   }
 }
