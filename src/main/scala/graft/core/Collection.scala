@@ -602,6 +602,19 @@ final class Collection private (
     // concurrent writers' files in the same partitions are structurally
     // excluded from this commit (no directory-diff discovery)
     val newFiles = physicalWrite(prepareForWrite(checked, man.taskBase, cluster))
+    commitWrittenFiles(man, newFiles, replaced, streamMark, rewrite,
+      replacedFiles, newPartSpec, op)
+  }
+
+  /** The commit tail of [[writeAndCommit]], shared with the NATIVE DSv2
+    * batch write (whose data files arrive from executor task commits
+    * instead of [[physicalWrite]]): resolve the doomed files, publish
+    * the delta (with the conflict-cleanup contract), GC the replaced
+    * files honoring tag/branch pins. `newFiles` are root-relative. */
+  private[core] def commitWrittenFiles(man: Manifest, newFiles: Seq[String],
+      replaced: Set[String], streamMark: Option[(String, Long)],
+      rewrite: Boolean, replacedFiles: Set[String],
+      newPartSpec: Option[String], op: String): Unit = {
     // resolve the doomed files from the PREVIOUS snapshot before the
     // commit swaps the shard table (loads only the replaced partitions'
     // shards)
@@ -2321,6 +2334,82 @@ final class Collection private (
     Some(take.toSeq)
   }
 
+  // --- native DSv2 batch-write planning ----------------------------
+
+  /** Plan a NATIVE DSv2 batch write (the write-side mirror of
+    * [[nativeScanPlan]]): the pinned generation whose `taskBase` seeds
+    * executor row ids plus everything the executor-side parquet writers
+    * need. `None` = this write is not natively expressible and must go
+    * through the proven V1 bridge:
+    *
+    *  - CHECK constraints present — [[constraintGuard]] rides the V1
+    *    write job's own scan; the native path would have to re-prove
+    *    the per-row raise-error semantics (fallback, like the read
+    *    side's fill-column escape);
+    *  - a partition column of a type whose Hive path segment the native
+    *    writer cannot format EXACTLY as Spark's own dynamic-partition
+    *    committer would ([[Collection.nativeKeyType]] — the same gate
+    *    the native scan applies for decoding). */
+  /** Read-only-safe eligibility probe for [[nativeWriteSpec]] — what
+    * [[graft.sources.GraftTable.capabilities]] consults to decide
+    * whether to advertise `V1_BATCH_WRITE` (Spark's write strategy
+    * REQUIRES the capability set and the built Write to agree, so the
+    * decision is made once at table level and the builder follows it). */
+  private[graft] def nativeWriteCompatible: Boolean =
+    currentManifest().constraints.isEmpty &&
+      partCols.map(c => partitioning.colType(c, schema))
+        .forall(Collection.nativeKeyType)
+
+  private[graft] def nativeWriteSpec(): Option[Collection.NativeWriteSpec] = {
+    requireWritable()
+    val man = currentManifest()
+    if (man.constraints.nonEmpty) return None
+    val keyTypes = partCols.map(c => partitioning.colType(c, schema))
+    if (!keyTypes.forall(Collection.nativeKeyType)) return None
+    Some(Collection.NativeWriteSpec(
+      generation = man.generation,
+      taskBase = man.taskBase,
+      partCols = partCols,
+      partColTypes = keyTypes,
+      identityCols = partitioning.identityCols,
+      compression = profile.compression,
+      zstdLevel = profile.zstdLevel,
+      bloomCols = bloomColumns,
+      bloomNdv = bloomNdv))
+  }
+
+  /** Publish a native batch write's task-committed files as one atomic
+    * manifest commit — [[writeAndCommit]]'s tail with the data files
+    * already on disk (executor task commits reported the exact set;
+    * crash/abort leftovers are unreferenced and vacuum-reclaimed, the
+    * same contract as [[DirectWriteProtocol]]). `truncate` mirrors
+    * [[overwrite]]: the snapshot pinned at write planning supplies the
+    * replaced-partition set, so a racing writer conflicts instead of
+    * being silently truncated. Append mirrors [[insertInternal]]'s
+    * Concat leg, including the post-commit auto-compaction check. */
+  private[graft] def commitNativeWrite(pinnedGen: Long, newFiles: Seq[String],
+                                       truncate: Boolean): Unit = {
+    requireWritable()
+    val base =
+      if (generation == pinnedGen) currentManifest() else manifestAt(pinnedGen)
+    if (truncate) {
+      commitWrittenFiles(base, newFiles, replaced = base.partitionPaths.toSet,
+        streamMark = None, rewrite = false, replacedFiles = Set.empty,
+        newPartSpec = None, op = "overwrite")
+    } else {
+      commitWrittenFiles(base, newFiles, replaced = Set.empty,
+        streamMark = None, rewrite = false, replacedFiles = Set.empty,
+        newPartSpec = None, op = "insert")
+      maybeAutoCompact(newFiles.map(parentRel).distinct)
+    }
+  }
+
+  /** Delete files a FAILED native write job left behind (the
+    * BatchWrite.abort contract) — best-effort, vacuum covers stragglers. */
+  private[graft] def dropUncommittedFiles(files: Seq[String]): Unit =
+    files.foreach(f =>
+      try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
+
   /** Aggregate a rebuilt shard's per-file zone maps to subtree
     * granularity ([[Collection.ShardEntry]] `rollup`). A column rolls up
     * ONLY when every file carries decodable stats for it — one
@@ -3503,6 +3592,18 @@ object Collection extends CollectionManifestLayer {
   /** One data file of a native batch-scan plan: physical path, size,
     * and the partition key as Catalyst internal values. */
   private[graft] final case class NativeFile(path: String, bytes: Long, key: Seq[Any])
+
+  /** Everything a NATIVE DSv2 batch write's driver side needs from the
+    * pinned snapshot ([[Collection#nativeWriteSpec]]): the generation to
+    * commit against, the row-id task base, the partition-column layout
+    * for executor-side Hive path formatting, and the parquet codec/bloom
+    * configuration [[Collection#physicalWrite]] would have applied. */
+  private[graft] final case class NativeWriteSpec(
+      generation: Long, taskBase: Long,
+      partCols: Seq[String], partColTypes: Seq[DataType],
+      identityCols: Seq[String],
+      compression: String, zstdLevel: Int,
+      bloomCols: Seq[String], bloomNdv: Map[String, Long])
 
   /** Partition-column types the native scan can decode from Hive path
     * segments into Catalyst internal values ([[internalKeyValue]]). */

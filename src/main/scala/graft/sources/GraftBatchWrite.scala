@@ -1,0 +1,217 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.graftbridge.{Bridge, ParquetWriteBridge}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.core.Collection
+
+/** NATIVE DSv2 batch write for the graft catalog face (r10) — the
+  * write-side mirror of the E36 native scan: `INSERT INTO graft.db.t`
+  * plans as a real `AppendData` (no `V1Write -> InsertableRelation`
+  * Row-bridge seam), executor tasks stream [[InternalRow]]s through
+  * Spark's own parquet writer directly into their FINAL files under the
+  * collection root (the [[graft.core.DirectWriteProtocol]] zero-rename
+  * shape — file visibility is governed by the manifest, so crash/abort
+  * leftovers are unreferenced files vacuum reclaims), task commits
+  * report the exact file set, and `commit()` publishes ONE atomic
+  * manifest generation via the same commit/conflict/GC path every other
+  * writer uses.
+  *
+  * Layout parity with the V1 path: [[RequiresDistributionAndOrdering]]
+  * demands a RANGE distribution + intra-task sort on the partitioning's
+  * input columns then the axis — exactly
+  * `Collection.prepareForWrite`'s `repartitionByRange(partCols, axis)`
+  * expressed over data columns (every partition key derivation is
+  * monotone in its source column, so sorting by source groups each
+  * Hive directory into one contiguous run and each task holds ONE open
+  * parquet writer at a time — bounded memory at any partition fan-out).
+  * Row ids reproduce the V1 formula
+  * `(taskBase + sparkPartitionId) << 33 + rowIndex`.
+  *
+  * Fallback contract (the read-side claim discipline, mirrored): CHECK
+  * constraints or a partition-column type the native path cannot format
+  * byte-identically to Spark's dynamic-partition committer fall back to
+  * the proven V1 write — correctness escapes, not optimizations.
+  * `spark.graft.nativeWrite=false` pins every write to the V1 bridge.
+  *
+  * Reference behavior: zcollection's insert writes Zarr chunks then
+  * commits an Icechunk snapshot referencing exactly those chunk keys
+  * (collection/base.py:218-320, store/icechunk_store.py); this is that
+  * two-phase shape on Spark's DSv2 write protocol. */
+class GraftNativeWrite(spark: SparkSession, collection: Collection,
+                       spec: Collection.NativeWriteSpec, truncate: Boolean,
+                       inputSchema: StructType)
+    extends Write with RequiresDistributionAndOrdering {
+
+  // range-cluster + sort on (partitioning inputs, axis): the data-column
+  // expression of prepareForWrite's (partCols, axis) — derivations are
+  // monotone in their inputs, so directory runs are contiguous per task
+  private val orderCols: Seq[String] =
+    (collection.partitioning.identityCols ++ collection.partitioning.inputCols ++
+      Seq(collection.axis)).distinct
+
+  private val sortOrders: Array[SortOrder] = orderCols.map(c =>
+    Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+
+  override def requiredDistribution(): Distribution = Distributions.ordered(sortOrders)
+  override def requiredOrdering(): Array[SortOrder] = sortOrders
+  // 0 = engine-chosen (session shuffle partitions, AQE-coalescible) —
+  // parallelism follows the data volume, like the V1 range repartition
+  override def requiredNumPartitions(): Int = 0
+
+  override def description(): String =
+    s"GraftNativeWrite(${collection.root}, gen=${spec.generation}, truncate=$truncate)"
+
+  override def toBatch: BatchWrite =
+    new GraftNativeBatchWrite(spark, collection, spec, truncate, inputSchema)
+}
+
+class GraftNativeBatchWrite(spark: SparkSession, collection: Collection,
+                            spec: Collection.NativeWriteSpec, truncate: Boolean,
+                            inputSchema: StructType)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // resolve the partition-key derivations ONCE on the driver: run the
+    // partitioning's own assign() over an empty frame of the input
+    // schema, collapse the analyzed withColumn Projects, and bind each
+    // partition column's expression to input ordinals — the executors
+    // evaluate exactly what the V1 write job would have evaluated
+    // (session timezone and casts resolved by the analyzer)
+    val df0 = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], inputSchema)
+    val assigned = collection.partitioning.assign(df0)
+    val (byName, baseAttrs) = ParquetWriteBridge.collapseProjects(Bridge.analyzed(assigned))
+    val partExprs = ParquetWriteBridge.boundProjection(
+      spec.partCols.map(c => byName.getOrElse(c, throw new IllegalStateException(
+        s"partitioning did not derive expected column '$c'"))), baseAttrs)
+    // file content = input columns minus identity partition columns
+    // (moved into the directory name, like partitionBy), plus the row id
+    val keptIdx = inputSchema.fields.toSeq.zipWithIndex
+      .filterNot { case (f, _) => spec.identityCols.contains(f.name) }
+    val outExprs: Seq[Expression] = keptIdx.map { case (f, i) =>
+      BoundReference(i, f.dataType, f.nullable)
+    }
+    val fileSchema = StructType(
+      keptIdx.map(_._1) :+ StructField(Collection.RowIdCol, LongType, nullable = false))
+    val conf = ParquetWriteBridge.writeConf(spark, fileSchema,
+      spec.compression, spec.zstdLevel, spec.bloomCols, spec.bloomNdv)
+    GraftWriterFactory(collection.root, new SerializableConfiguration(conf),
+      partExprs, spec.partCols, spec.partColTypes, outExprs, spec.taskBase,
+      spec.compression, UUID.randomUUID().toString)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.flatMap {
+      case GraftNativeCommit(fs) => fs
+      case other => throw new IllegalStateException(s"unexpected commit message $other")
+    }.toSeq.sorted
+    collection.commitNativeWrite(spec.generation, files, truncate)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    collection.dropUncommittedFiles(messages.collect {
+      case GraftNativeCommit(fs) => fs
+    }.toSeq.flatten)
+}
+
+/** Files (root-relative) one committed task wrote. */
+case class GraftNativeCommit(files: Seq[String]) extends WriterCommitMessage
+
+case class GraftWriterFactory(root: String, conf: SerializableConfiguration,
+                              partExprs: Seq[Expression], partCols: Seq[String],
+                              partColTypes: Seq[DataType], outExprs: Seq[Expression],
+                              taskBase: Long, compression: String, jobUuid: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(this, partitionId, taskId)
+}
+
+/** One task's writer: rows arrive sorted so each Hive directory is a
+  * contiguous run — exactly one parquet writer is open at any moment.
+  * Speculative attempts are arbitrated by Spark's commit coordinator
+  * (only one attempt's files reach `commit()`); a losing or crashed
+  * attempt's files are unreferenced and reclaimed by vacuum. */
+class GraftDataWriter(f: GraftWriterFactory, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val partProj = ParquetWriteBridge.unsafeProjection(f.partExprs)
+  private val outProj = ParquetWriteBridge.unsafeProjection(f.outExprs)
+  private val idRow = new GenericInternalRow(1)
+  private val joined = new JoinedRow
+  private var rowId: Long = (f.taskBase + partitionId) << 33
+  private var currentDir: String = null
+  private var writer: org.apache.spark.sql.execution.datasources.parquet.ParquetOutputWriter = null
+  private var fileSeq = 0
+  private val files = ArrayBuffer.empty[String]
+
+  private val ext =
+    if (f.compression.toLowerCase == "none") ".parquet"
+    else s".${f.compression.toLowerCase}.parquet"
+
+  private def partitionDir(vals: InternalRow): String =
+    f.partCols.indices.map { i =>
+      val s: String =
+        if (vals.isNullAt(i)) null
+        else f.partColTypes(i) match {
+          case StringType => vals.getUTF8String(i).toString
+          case LongType   => vals.getLong(i).toString
+          case IntegerType => vals.getInt(i).toString
+          case ShortType  => vals.getShort(i).toString
+          case ByteType   => vals.getByte(i).toString
+          case DateType   => java.time.LocalDate.ofEpochDay(vals.getInt(i)).toString
+          case other => throw new IllegalStateException(
+            s"unsupported native-write partition type $other") // gated at planning
+        }
+      ParquetWriteBridge.partitionPathSegment(f.partCols(i), s)
+    }.mkString("/")
+
+  private def roll(dir: String): Unit = {
+    if (writer != null) writer.close()
+    val name = f"part-$partitionId%05d-${f.jobUuid}-t$taskId-c$fileSeq$ext"
+    fileSeq += 1
+    val rel = s"$dir/$name"
+    files += rel
+    writer = ParquetWriteBridge.newWriter(f.conf.value,
+      new Path(f.root, rel).toString, partitionId, taskId)
+    currentDir = dir
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val dir = partitionDir(partProj(row))
+    if (dir != currentDir) roll(dir)
+    idRow.setLong(0, rowId)
+    rowId += 1
+    writer.write(joined(outProj(row), idRow).asInstanceOf[InternalRow])
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) { writer.close(); writer = null }
+    GraftNativeCommit(files.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) {
+      try writer.close() catch { case _: Exception => () }
+      writer = null
+    }
+    val fs = new Path(f.root).getFileSystem(f.conf.value)
+    files.foreach { rel =>
+      try fs.delete(new Path(f.root, rel), false) catch { case _: Exception => () }
+    }
+  }
+
+  override def close(): Unit =
+    if (writer != null) { writer.close(); writer = null }
+}

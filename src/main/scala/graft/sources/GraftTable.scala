@@ -123,19 +123,40 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
   override def version(): String =
     asOfGen.getOrElse(collection.generation).toString
 
+  /** Does this table's write path run NATIVELY (r10: executor-side
+    * parquet task writes + one atomic manifest publish in
+    * `BatchWrite.commit`) or through the proven V1 bridge? Decided HERE,
+    * once, because Spark's write strategy requires the capability set
+    * and the built `Write` to agree: a table advertising
+    * `V1_BATCH_WRITE` must build a `V1Write`; one that doesn't must
+    * build a `toBatch`-capable Write. Fallback to V1 when CHECK
+    * constraints exist (the per-row guard rides the V1 job's scan), a
+    * partition-key type is outside the native-formattable set, or
+    * `spark.graft.nativeWrite=false` pins the bridge. */
+  private[sources] def nativeWriteEligible: Boolean =
+    spark.conf.get("spark.graft.nativeWrite", "true").toBoolean &&
+      collection.nativeWriteCompatible
+
   /** No OVERWRITE_DYNAMIC: Spark's V1 write bridge covers append and
     * overwrite-by-filter only (`V1FallbackWriters`), so dynamic
     * `INSERT OVERWRITE` refuses at analysis — partition-replace writes
     * go through `df.write.format("graft").mode("overwrite")` with
     * `partitionOverwriteMode=dynamic`, or [[Collection.insert]] with
     * `MergeStrategy.Replace`, which land on the same atomic commit. */
-  override def capabilities(): JSet[TableCapability] = JSet.of(
-    TableCapability.BATCH_READ,
-    TableCapability.MICRO_BATCH_READ,
-    TableCapability.BATCH_WRITE,
-    TableCapability.V1_BATCH_WRITE,
-    TableCapability.TRUNCATE,
-    TableCapability.OVERWRITE_BY_FILTER)
+  override def capabilities(): JSet[TableCapability] = {
+    val base = JSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+    if (nativeWriteEligible) base
+    else {
+      val s = new java.util.HashSet[TableCapability](base)
+      s.add(TableCapability.V1_BATCH_WRITE)
+      s
+    }
+  }
 
   // --- read ---------------------------------------------------------
 
@@ -154,7 +175,7 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(() => writable(), identName)
+    new GraftWriteBuilder(spark, () => writable(), identName, info, nativeWriteEligible)
 
   // --- DELETE FROM --------------------------------------------------
 
@@ -544,21 +565,40 @@ class GraftV1Scan(spark: SparkSession, collection: Collection,
   * partition replace goes through the V1 writer or
   * [[Collection.insert]] with `MergeStrategy.Replace` (see
   * [[GraftTable.capabilities]]). */
-class GraftWriteBuilder(open: () => Collection, tableName: String)
+class GraftWriteBuilder(spark: SparkSession, open: () => Collection,
+                        tableName: String, info: LogicalWriteInfo,
+                        native: Boolean)
     extends WriteBuilder with SupportsTruncate {
 
   private var mode: String = "append"
 
   override def truncate(): WriteBuilder = { mode = "truncate"; this }
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      (data: DataFrame, _: Boolean) => {
-        val c = open()
-        mode match {
-          case "append"   => c.insert(data, MergeStrategy.Concat)
-          case "truncate" => c.overwrite(data)
+  /** FOLLOWS the table-level native/V1 decision
+    * ([[GraftTable.nativeWriteEligible]] — the capability set and the
+    * Write instance must agree for Spark's write strategy). A snapshot
+    * whose eligibility changed between table load and write planning
+    * (a concurrently-added CHECK constraint) fails loudly here rather
+    * than silently skipping the constraint guard. */
+  override def build(): Write = {
+    val c = open()
+    if (native) {
+      val spec = c.nativeWriteSpec().getOrElse(throw new IllegalStateException(
+        s"table $tableName was loaded native-writable but the current " +
+        "snapshot is not (CHECK constraints changed concurrently?) — " +
+        "re-read the table and retry"))
+      require(info.schema().fieldNames.toSeq == c.schema.fieldNames.toSeq,
+        s"INSERT schema ${info.schema().fieldNames.mkString(",")} does not " +
+        s"match table schema ${c.schema.fieldNames.mkString(",")}")
+      new GraftNativeWrite(spark, c, spec, mode == "truncate", info.schema())
+    } else new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        (data: DataFrame, _: Boolean) => {
+          mode match {
+            case "append"   => c.insert(data, MergeStrategy.Concat)
+            case "truncate" => c.overwrite(data)
+          }
         }
-      }
+    }
   }
 }
