@@ -152,6 +152,14 @@ object Bench {
     // BASELINE.md compare like-for-like.
     val refResults = refSuite(spark, reps)
 
+    // --- SPJ / DPP headline entries (r10) -----------------------------
+    // The two native-scan features whose payoff is invisible at spec
+    // scale, measured head-to-head: a co-partitioned fact-fact join
+    // with storage-partitioned-join bucketing ON vs OFF (the delta IS
+    // the two exchanges), and a broadcast-dim join whose runtime filter
+    // re-prunes the fact file list (reported as *_files counts).
+    val spjDppResults = spjDppSuite(spark, sfDir, reps)
+
     // Pure fork cost on the shared collection — the O(metadata) claim
     // in numbers: cloning must not scale with data volume (each pass
     // clones to a fresh root; the manifest+shard JSON writes ARE the
@@ -164,7 +172,7 @@ object Bench {
     }
 
     val qs = (Seq("zc_build" -> buildSec, "zc_build_skip" -> buildSkipSec) ++ results) ++
-      Seq("view_query" -> viewSec, "clone_fork" -> cloneSec) ++ refResults
+      Seq("view_query" -> viewSec, "clone_fork" -> cloneSec) ++ refResults ++ spjDppResults
     val qsJson = qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = buildSec + buildSkipSec + results.map(_._2).sum +
       refResults.filterNot(_._1.startsWith("insert_")).map(_._2).sum +
@@ -172,6 +180,103 @@ object Bench {
     val loadEnd = loadAvg
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"queries":$qsJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** r10: storage-partitioned-join and dynamic-file-pruning entries.
+    * SPJ: two collections identity-partitioned on `k = user_id % 32`
+    * join on (k, user_id) — with `v2.bucketing.enabled` the scans'
+    * KeyGroupedPartitioning satisfies the join's distribution and BOTH
+    * exchanges vanish; the `_shuffled` twin (bucketing off, same query,
+    * same confs otherwise) prices exactly those exchanges. Broadcast
+    * and AQE are disabled for both twins so the comparison is
+    * SPJ-vs-shuffle, not SPJ-vs-broadcast. DPP: a broadcast dim
+    * selecting 7 of ~30 days re-prunes the fact scan's manifest file
+    * list at execution start; `dpp_files_pruned` / `dpp_files_full`
+    * record the planned file counts (counts, not seconds — the direct
+    * evidence the runtime filter reached the skip layers). */
+  private def spjDppSuite(spark: SparkSession, sfDir: String, reps: Int): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.core.{Collection, SequencePartitioning}
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def minOf(n: Int)(pass: => Double): Double = (0 until n).map(_ => pass).min
+    def withConfs[T](kv: (String, String)*)(body: => T): T = {
+      val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kv.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+
+    val base = java.nio.file.Files.createTempDirectory("graft-spjdpp").toString
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val facts = events.select((col("user_id") % 32).as("k"), col("user_id"), col("value"))
+    val aRoot = s"$base/spj_a"
+    Collection.create(spark, aRoot, facts.schema, axis = "k",
+      partitioning = SequencePartitioning(Seq("k"), "k")).insert(facts)
+    // join keys must EQUAL the partition keys (Spark requires all
+    // cluster keys for co-partition by default), so the right side is a
+    // per-k rollup — each fact row matches exactly one
+    val dims = facts.groupBy("k").agg(sum("value").as("w"), count(lit(1)).as("n"))
+    val bRoot = s"$base/spj_b"
+    Collection.create(spark, bRoot, dims.schema, axis = "k",
+      partitioning = SequencePartitioning(Seq("k"), "k")).insert(dims)
+
+    def spjQuery() = {
+      val a = spark.read.format("graft").load(aRoot)
+      val b = spark.read.format("graft").load(bRoot)
+      a.join(b, Seq("k")).agg(sum(col("value") * col("w") / col("n")).as("s"))
+    }
+    val noBroadcastNoAqe = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val spjOn = ("spark.sql.sources.v2.bucketing.enabled" -> "true") +: noBroadcastNoAqe
+    val spjOff = ("spark.sql.sources.v2.bucketing.enabled" -> "false") +: noBroadcastNoAqe
+    withConfs(spjOn: _*) { // plan-shape check, untimed
+      val shuffles = spjQuery().queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      if (shuffles.nonEmpty)
+        System.err.println(s"[bench] WARNING: SPJ plan still has ${shuffles.size} shuffle(s)")
+    }
+    val spjNative = withConfs(spjOn: _*) {
+      minOf(reps)(time { spjQuery().write.format("noop").mode("overwrite").save() })
+    }
+    val spjShuffled = withConfs(spjOff: _*) {
+      minOf(reps)(time { spjQuery().write.format("noop").mode("overwrite").save() })
+    }
+
+    // DPP over the shared day-partitioned events collection
+    val c = SparkEntry.eventsCollection(spark, sfDir)
+    val dimPath = s"$base/dpp_dim"
+    spark.range(1, 32).selectExpr("CAST(id AS INT) AS day_key",
+      "CASE WHEN id <= 7 THEN 'keep' ELSE 'drop' END AS flag")
+      .write.mode("overwrite").parquet(dimPath)
+    def dppQuery() = {
+      val e = spark.read.format("graft").load(c.root)
+      val d = spark.read.parquet(dimPath).where(col("flag") === "keep")
+      e.join(broadcast(d), e("day") === d("day_key")).agg(sum("value").as("s"))
+    }
+    graft.sources.GraftBatchScan.lastPlannedFiles = -1
+    val dppSec = minOf(reps)(time { dppQuery().write.format("noop").mode("overwrite").save() })
+    val prunedFiles = graft.sources.GraftBatchScan.lastPlannedFiles
+    graft.sources.GraftBatchScan.lastPlannedFiles = -1
+    val fullSec = minOf(reps)(time {
+      spark.read.format("graft").load(c.root).agg(sum("value").as("s"))
+        .write.format("noop").mode("overwrite").save()
+    })
+    val fullFiles = graft.sources.GraftBatchScan.lastPlannedFiles
+    if (prunedFiles >= fullFiles)
+      System.err.println(s"[bench] WARNING: DPP did not prune files ($prunedFiles vs $fullFiles)")
+
+    Seq("spj_join_colocated" -> spjNative,
+      "spj_join_shuffled" -> spjShuffled,
+      "dpp_join_pruned" -> dppSec,
+      "dpp_scan_full" -> fullSec,
+      "dpp_files_pruned" -> prunedFiles.toDouble,
+      "dpp_files_full" -> fullFiles.toDouble)
   }
 
   private def refSuite(spark: SparkSession, reps: Int): Seq[(String, Double)] = {

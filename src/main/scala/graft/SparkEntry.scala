@@ -440,7 +440,11 @@ object SparkEntry {
           case c                           => s"CAST(NULL AS INT) AS $c"
         }.mkString(", ")
         s.sql(s"INSERT INTO $tbl SELECT $cols FROM graft_sqlins_src")
-        eventsOut(s.table(tbl)
+        // read back through the PATH face (not the catalog handle): the
+        // result is consumed lazily after the finally-DROP below, and a
+        // V2 relation re-loads its table at execution
+        // (V2TableRefreshUtil) — a dropped table read would then refuse
+        eventsOut(s.read.format("graft").load(root)
           .select("event_id", "ts", "user_id", "event_type", "value", "props"))
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),

@@ -3451,8 +3451,14 @@ final class Collection private (
   private val decodePathCache =
     scala.collection.concurrent.TrieMap.empty[String, Option[Seq[(String, Any)]]]
 
-  private def decodePath(path: String): Option[Seq[(String, Any)]] =
+  private def decodePath(path: String): Option[Seq[(String, Any)]] = {
+    // bound the memo on long-lived handles (catalog-cached tables,
+    // streaming sources): growth tracks distinct paths EVER seen, not
+    // live partitions — under heavy partition churn a wholesale reset
+    // beats unbounded growth, and re-decoding is a cheap string parse
+    if (decodePathCache.size > Collection.DecodePathCacheMax) decodePathCache.clear()
     decodePathCache.getOrElseUpdate(path, decodePathUncached(path))
+  }
 
   private def decodePathUncached(path: String): Option[Seq[(String, Any)]] = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
@@ -3588,6 +3594,9 @@ object Collection extends CollectionManifestLayer {
   val RowIdCol = "_zc_row"
   /** Hive's null-partition-value directory sentinel. */
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+  /** Per-handle cap on the partition-path decode memo (~64k entries ≈
+    * a few MB); exceeded = wholesale reset, see `decodePath`. */
+  private[core] val DecodePathCacheMax = 65536
 
   /** One data file of a native batch-scan plan: physical path, size,
     * and the partition key as Catalyst internal values. */

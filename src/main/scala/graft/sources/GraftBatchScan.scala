@@ -159,6 +159,7 @@ final class GraftBatchScan(spark: SparkSession,
   @volatile private var runtimeAst: FilterExpr.Ast = FilterExpr.True
   @volatile private var planned: Array[InputPartition] = _
   @volatile private var plannedKeyCount: Int = 0
+  @volatile private var plannedFiles: Seq[Collection.NativeFile] = Nil
 
   private def currentAst: FilterExpr.Ast = (baseAst, runtimeAst) match {
     case (FilterExpr.True, r) => r
@@ -170,11 +171,18 @@ final class GraftBatchScan(spark: SparkSession,
     if (planned == null) {
       val ast = currentAst
       GraftRelation.lastScanAst = ast // shared spec observable
-      val files = prePlanned.filter(_ => runtimeAst == FilterExpr.True)
+      // an empty-at-build snapshot has no generation to pin
+      // (pinnedGen=None): letting a runtime-filter re-plan fall through
+      // to currentManifest() could adopt a manifest committed AFTER
+      // query planning — keep the build-time (empty) file set instead;
+      // there is nothing for DPP to prune from an empty scan anyway
+      val rePlannable = asOfGen.isDefined || pinnedGen.isDefined
+      val files = prePlanned.filter(_ => runtimeAst == FilterExpr.True || !rePlannable)
         .getOrElse(collection.nativeScanPlan(ast, asOfGen.orElse(pinnedGen), limitRows)
           .getOrElse(throw new IllegalStateException(
             s"native scan plan unavailable for ${collection.root} (validated at build)")))
       planned = packPartitions(files)
+      plannedFiles = files
       GraftBatchScan.lastPlannedFiles = files.size
     }
     planned
@@ -214,13 +222,25 @@ final class GraftBatchScan(spark: SparkSession,
   override def hashCode(): Int =
     (collection.root, requiredSchema, baseAst.toString, asOfGen, limitRows).hashCode()
 
+  /** Statistics from the PLANNED selection, not the whole table: a
+    * heavily pruned scan advertising full-table bytes would block its
+    * own broadcast-join selection (Spark's ParquetScan estimates from
+    * the pruned selection the same way — r9 ADVICE). Row counts are
+    * only advertised for the unfiltered, unlimited read (post-filter
+    * cardinality is unknowable from metadata); byte totals come from
+    * the manifest-recorded sizes of exactly the files this scan reads. */
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): java.util.OptionalLong =
-      (try collection.sizeOnDisk() catch { case _: Exception => None }) match {
-        case Some(b) => java.util.OptionalLong.of(b)
-        case None    => java.util.OptionalLong.empty()
-      }
+    private lazy val selectedBytes: Option[Long] =
+      try { plan(); Some(plannedFiles.map(_.bytes).sum) }
+      catch { case _: Exception =>
+        try collection.sizeOnDisk() catch { case _: Exception => None } }
+    override def sizeInBytes(): java.util.OptionalLong = selectedBytes match {
+      case Some(b) => java.util.OptionalLong.of(b)
+      case None    => java.util.OptionalLong.empty()
+    }
     override def numRows(): java.util.OptionalLong = {
+      if (currentAst != FilterExpr.True || limitRows.isDefined)
+        return java.util.OptionalLong.empty()
       val n = try collection.countRows() catch { case _: Exception => -1L }
       if (n < 0) java.util.OptionalLong.empty() else java.util.OptionalLong.of(n)
     }

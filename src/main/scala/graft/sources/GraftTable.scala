@@ -59,7 +59,15 @@ import graft.core.{Collection, DatePartitioning, FilterExpr, GroupedSequencePart
   *    against big facts.
   */
 class GraftTable(spark: SparkSession, val root: String, identName: String,
-                 asOfGen: Option[Long] = None)
+                 asOfGen: Option[Long] = None,
+                 /** r10: the PATH face (`spark.read.format("graft")`) —
+                   * advertises BATCH_READ only, so reads plan through the
+                   * native DSv2 scan while writes and streaming keep
+                   * falling back to the proven V1 provider faces
+                   * (dynamic partition overwrite, change feeds, the
+                   * exactly-once sink), whose semantics the V2 write
+                   * protocol does not cover for anonymous tables. */
+                 pathFace: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsMetadataColumns {
 
@@ -82,11 +90,18 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
   override def name(): String = identName
 
   /** The DECLARED data schema only — INSERT supplies exactly these;
-    * derived partition columns ride as metadata columns instead. */
-  override def schema(): StructType = collection.schema
+    * derived partition columns ride as metadata columns instead. The
+    * PATH face keeps its historical V1 contract: derived partition
+    * columns are REAL schema columns (`WHERE day = 3` is first-class
+    * and `SELECT *` includes them — GraftRelation.scala:63). */
+  override def schema(): StructType =
+    if (pathFace) StructType(collection.schema.fields ++
+      partStrategy.derivedCols.map(c =>
+        StructField(c, partStrategy.colType(c, collection.schema), nullable = false)))
+    else collection.schema
 
   override def metadataColumns(): Array[MetadataColumn] =
-    partStrategy.derivedCols.map { c =>
+    (if (pathFace) Seq.empty else partStrategy.derivedCols).map { c =>
       new MetadataColumn {
         override def name(): String = c
         override def dataType(): DataType = partStrategy.colType(c, collection.schema)
@@ -142,8 +157,26 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
     * `INSERT OVERWRITE` refuses at analysis — partition-replace writes
     * go through `df.write.format("graft").mode("overwrite")` with
     * `partitionOverwriteMode=dynamic`, or [[Collection.insert]] with
-    * `MergeStrategy.Replace`, which land on the same atomic commit. */
+    * `MergeStrategy.Replace`, which land on the same atomic commit.
+    *
+    * MICRO_BATCH_READ is advertised unconditionally, but a read that
+    * must fall back to the V1 bridge (fill-bearing columns, an
+    * undecodable partition key) cannot stream: it refuses at STREAM
+    * START with GraftV1Scan.toMicroBatchStream's explicit message
+    * rather than analysis time — capability probing would race the
+    * snapshot anyway (fills can be added between load and start). */
   override def capabilities(): JSet[TableCapability] = {
+    // the path face reads natively but keeps EVERY write on the V1
+    // bridge: V1_BATCH_WRITE serves session-catalog `USING graft`
+    // tables' INSERT/INSERT OVERWRITE, while DataFrameWriter.save sees
+    // no BATCH_WRITE and falls back to the CreatableRelationProvider
+    // (preserving dynamic partition overwrite, which the V2 protocol
+    // only covers via OVERWRITE_DYNAMIC + a native writer)
+    if (pathFace) return JSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
     val base = JSet.of(
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -175,7 +208,8 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(spark, () => writable(), identName, info, nativeWriteEligible)
+    new GraftWriteBuilder(spark, () => writable(), identName, info,
+      native = nativeWriteEligible && !pathFace)
 
   // --- DELETE FROM --------------------------------------------------
 
@@ -229,9 +263,11 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     with SupportsPushDownLimit {
 
   private val partStrategy = collection.partitioning
+  // dedup: the path face's tableSchema already carries the derived cols
   private val fullSchema: StructType = StructType(
-    tableSchema.fields ++ partStrategy.derivedCols.map(c =>
-      StructField(c, partStrategy.colType(c, tableSchema), nullable = false)))
+    tableSchema.fields ++ partStrategy.derivedCols
+      .filterNot(tableSchema.fieldNames.contains).map(c =>
+        StructField(c, partStrategy.colType(c, tableSchema), nullable = false)))
 
   private var requiredSchema: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty

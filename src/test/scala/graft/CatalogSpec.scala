@@ -174,6 +174,12 @@ class CatalogSpec extends AnyFunSuite {
       s"aggregate must push to the metadata scan; got plan:\n$plan")
     assert(!plan.contains("HashAggregate"),
       s"complete pushdown leaves no re-aggregation in the plan:\n$plan")
+    // r10 pin: under the DEFAULT native scan, the metadata answer must
+    // keep planning ZERO parquet reads — no BatchScan node may appear
+    // (the aggregate resolves before the native/V1 scan choice is made)
+    assert(spark.conf.get("spark.graft.nativeScan", "true") == "true")
+    assert(!plan.contains("BatchScan"),
+      s"metadata aggregate must not schedule a data scan:\n$plan")
     val r = q.collect().head
     assert(r.getLong(0) == 4)
     assert(r.getTimestamp(1).toInstant == java.time.Instant.parse("2024-01-01T08:00:00Z"))
@@ -205,6 +211,8 @@ class CatalogSpec extends AnyFunSuite {
       s"filtered count must push to the metadata scan; got plan:\n$plan")
     assert(!plan.contains("HashAggregate"),
       s"complete pushdown leaves no re-aggregation in the plan:\n$plan")
+    assert(!plan.contains("BatchScan"),
+      s"filtered metadata count must not schedule a data scan (r10 pin):\n$plan")
     val r0 = q.collect().head
     assert(r0.getLong(0) == 3)
     assert(r0.getTimestamp(1).toInstant == java.time.Instant.parse("2024-01-01T08:00:00Z"))
@@ -243,6 +251,8 @@ class CatalogSpec extends AnyFunSuite {
       s"grouped count must push to the metadata scan:\n$p5")
     assert(!p5.contains("HashAggregate"),
       s"complete grouped pushdown leaves no re-aggregation:\n$p5")
+    assert(!p5.contains("BatchScan"),
+      s"grouped metadata count must not schedule a data scan (r10 pin):\n$p5")
     assert(q5.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
       Seq((1, 2L), (2, 1L), (3, 1L)))
     // composed with a partition-aligned filter

@@ -465,6 +465,32 @@ class CorpusSpec extends AnyFunSuite {
       graft.operators.Profile.columns(d, Seq("nope")))
   }
 
+  test("Profile.columnsApprox: exact below k, KMV-bounded above it, no Expand in the plan (r10)") {
+    // planted NDVs: 'big' has 50k distinct (far above k), 'small' 37,
+    // 'nul' is all-null — same schema contract as the exact profile
+    val d = spark.range(50000).selectExpr(
+      "id AS big", "id % 37 AS small", "CAST(NULL AS STRING) AS nul")
+    val k = 1024
+    val byName = graft.operators.Profile.columnsApprox(d, k = k).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byName("small") == ((50000L, 0L, 37L)),
+      s"below-k cardinality must be EXACT: ${byName("small")}")
+    assert(byName("nul") == ((50000L, 50000L, 0L)),
+      "an all-null column has zero distinct values (count_distinct parity)")
+    val (_, _, bigEst) = byName("big")
+    assert(math.abs(bigEst - 50000L) <= 50000L * 0.12,
+      s"KMV estimate out of bound for planted 50k NDV: $bigEst")
+    // the scale contract: ONE ordinary aggregate — no Expand (the exact
+    // profile's multi-distinct shape), state bounded at k per column
+    val plan = d.agg(graft.functions.KmvSketch.kmv(xxhash64(col("big")), k))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+    // determinism: same input, same estimate
+    val again = graft.operators.Profile.columnsApprox(d, k = k).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(again("big") == bigEst)
+  }
+
   test("surprisal: integer frequency bits, hapax count, repeated tokens weighted") {
     val d = Seq(
       (1L, "the the the the cat"), // the: tf=5 -> 2 bits each; cat: tf=2 -> 1 bit

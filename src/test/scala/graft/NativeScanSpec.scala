@@ -123,12 +123,18 @@ class NativeScanSpec extends AnyFunSuite {
     assert(rowsOf(df) == Seq("[1,3.5]", "[3,3.0]"))
     assert(GraftBatchScan.lastRuntimeAst != FilterExpr.True,
       "the dim side's key values must reach the scan as a runtime filter")
+    // r10 pin: the runtime filter must have SHRUNK the planned file set,
+    // not merely arrived — the executed DPP scan plans strictly fewer
+    // files than the unfiltered read of the same snapshot
+    val pruned = GraftBatchScan.lastPlannedFiles
     val total = { // all partitions, for comparison
       GraftBatchScan.lastPlannedFiles = -1
       sql("SELECT v FROM graft.nsc.events").collect()
       GraftBatchScan.lastPlannedFiles
     }
     assert(total >= 3)
+    assert(pruned >= 1 && pruned < total,
+      s"DPP must prune the file list: planned $pruned of $total files")
   }
 
   test("storage-partitioned join: co-partitioned tables join with zero shuffles") {

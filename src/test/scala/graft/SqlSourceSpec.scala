@@ -65,6 +65,28 @@ class SqlSourceSpec extends AnyFunSuite {
       s"sizeInBytes must come from metadata, got ${rel.sizeInBytes}")
   }
 
+  test("path reads resolve through the DSv2 face: native BatchScan, V1-pinnable (r10)") {
+    val root = SparkTestSession.tmp("graft-sql-native")
+    fresh(root)
+    val plan = spark.read.format("graft").load(root).where("id >= 2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"),
+      s"a path read must plan the native vectorized BatchScan:\n$plan")
+    spark.conf.set("spark.graft.nativeScan", "false")
+    try {
+      val v1 = spark.read.format("graft").load(root).where("id >= 2")
+        .queryExecution.executedPlan.toString
+      assert(!v1.contains("BatchScan"),
+        s"nativeScan=false must pin the proven V1 bridge:\n$v1")
+    } finally spark.conf.set("spark.graft.nativeScan", "true")
+    // writes through the SAME format string stay on the V1 provider
+    // (dynamic partition overwrite & friends): plan-level proof is the
+    // V1 commands in the write-modes test; here assert the round trip
+    mk((99L, "2024-01-05 08:00:00", 9L, 9.0)).write
+      .format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).count() == 5)
+  }
+
   test("write modes: append concats; overwrite honors partitionOverwriteMode") {
     val root = SparkTestSession.tmp("graft-sql-write")
     fresh(root)
