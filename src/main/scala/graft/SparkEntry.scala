@@ -538,6 +538,32 @@ object SparkEntry {
                 GROUP BY event_type ORDER BY event_type""")
     }),
 
+    // A49 (r10): dynamic SQL INSERT OVERWRITE — the native BatchWrite
+    // commits (files, replaced = touched partitions) in ONE atomic
+    // generation: day<=5 partitions are replaced with the recomputed
+    // rows, every other day survives untouched.
+    "zc_sql_overwrite_dynamic" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val name = "dynow" + java.util.UUID.randomUUID().toString.take(8)
+      val c = Collection.create(s, s"$scratch/sqlwh/db/$name", ev.schema, "ts",
+        DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+      c.insert(ev)
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", s"$scratch/sqlwh")
+      ev.createOrReplaceTempView("zc_dynow_src")
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"""INSERT OVERWRITE graftq.db.$name
+        SELECT event_id + 1000000 AS event_id, ts, user_id,
+               'dyn' AS event_type, -value AS value, props
+        FROM zc_dynow_src WHERE dayofmonth(ts) <= 5""")
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      eventsOut(c.query())
+    }),
+
     // E34 (r8b): GROUPED metadata aggregates — one row per partition
     // group: counts from the recorded rows, MIN/MAX from the group's
     // merged per-file zone maps; complete pushdown, no re-aggregation.
@@ -2893,6 +2919,19 @@ object SparkEntry {
     "zc_sql_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS n FROM events
          WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 20""",
+
+    "zc_sql_overwrite_dynamic" ->
+      """WITH repl AS (
+           SELECT event_id + 1000000 AS event_id, ts, user_id,
+                  'dyn' AS event_type, -value AS value, props
+           FROM events WHERE EXTRACT(DAY FROM ts) <= 5),
+         keep AS (
+           SELECT event_id, ts, user_id, event_type, value, props
+           FROM events WHERE EXTRACT(DAY FROM ts) > 5)
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
+                event_type, value, props
+         FROM (SELECT * FROM repl UNION ALL SELECT * FROM keep)
+         ORDER BY event_id""",
 
     "zc_sql_scan" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -2382,25 +2382,42 @@ final class Collection private (
     * manifest commit — [[writeAndCommit]]'s tail with the data files
     * already on disk (executor task commits reported the exact set;
     * crash/abort leftovers are unreferenced and vacuum-reclaimed, the
-    * same contract as [[DirectWriteProtocol]]). `truncate` mirrors
-    * [[overwrite]]: the snapshot pinned at write planning supplies the
-    * replaced-partition set, so a racing writer conflicts instead of
-    * being silently truncated. Append mirrors [[insertInternal]]'s
-    * Concat leg, including the post-commit auto-compaction check. */
+    * same contract as [[DirectWriteProtocol]]). Modes:
+    *
+    *  - `"append"` mirrors [[insertInternal]]'s Concat leg, including
+    *    the post-commit auto-compaction check;
+    *  - `"truncate"` mirrors [[overwrite]]: the snapshot pinned at
+    *    write planning supplies the replaced-partition set, so a racing
+    *    writer conflicts instead of being silently truncated;
+    *  - `"dynamic"` is dynamic partition overwrite
+    *    ([[MergeStrategy.Replace]] semantics): exactly the partitions
+    *    this write's files landed in are replaced, everything else
+    *    survives — `INSERT OVERWRITE` under
+    *    `partitionOverwriteMode=dynamic`. */
   private[graft] def commitNativeWrite(pinnedGen: Long, newFiles: Seq[String],
-                                       truncate: Boolean): Unit = {
+                                       mode: String): Unit = {
     requireWritable()
     val base =
       if (generation == pinnedGen) currentManifest() else manifestAt(pinnedGen)
-    if (truncate) {
-      commitWrittenFiles(base, newFiles, replaced = base.partitionPaths.toSet,
-        streamMark = None, rewrite = false, replacedFiles = Set.empty,
-        newPartSpec = None, op = "overwrite")
-    } else {
-      commitWrittenFiles(base, newFiles, replaced = Set.empty,
-        streamMark = None, rewrite = false, replacedFiles = Set.empty,
-        newPartSpec = None, op = "insert")
-      maybeAutoCompact(newFiles.map(parentRel).distinct)
+    mode match {
+      case "truncate" =>
+        commitWrittenFiles(base, newFiles, replaced = base.partitionPaths.toSet,
+          streamMark = None, rewrite = false, replacedFiles = Set.empty,
+          newPartSpec = None, op = "overwrite")
+      case "dynamic" =>
+        // `replaced` lists the incoming dirs; pre-existing files there
+        // are dropped (and GC'd), non-existent ones are a no-op — the
+        // incoming files themselves are in `newFiles`, never doomed
+        commitWrittenFiles(base, newFiles,
+          replaced = newFiles.map(parentRel).toSet,
+          streamMark = None, rewrite = false, replacedFiles = Set.empty,
+          newPartSpec = None, op = "overwrite-dynamic")
+      case "append" =>
+        commitWrittenFiles(base, newFiles, replaced = Set.empty,
+          streamMark = None, rewrite = false, replacedFiles = Set.empty,
+          newPartSpec = None, op = "insert")
+        maybeAutoCompact(newFiles.map(parentRel).distinct)
+      case other => throw new IllegalArgumentException(s"unknown write mode '$other'")
     }
   }
 

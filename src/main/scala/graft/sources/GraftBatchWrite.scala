@@ -51,7 +51,7 @@ import graft.core.Collection
   * (collection/base.py:218-320, store/icechunk_store.py); this is that
   * two-phase shape on Spark's DSv2 write protocol. */
 class GraftNativeWrite(spark: SparkSession, collection: Collection,
-                       spec: Collection.NativeWriteSpec, truncate: Boolean,
+                       spec: Collection.NativeWriteSpec, mode: String,
                        inputSchema: StructType)
     extends Write with RequiresDistributionAndOrdering {
 
@@ -72,14 +72,14 @@ class GraftNativeWrite(spark: SparkSession, collection: Collection,
   override def requiredNumPartitions(): Int = 0
 
   override def description(): String =
-    s"GraftNativeWrite(${collection.root}, gen=${spec.generation}, truncate=$truncate)"
+    s"GraftNativeWrite(${collection.root}, gen=${spec.generation}, mode=$mode)"
 
   override def toBatch: BatchWrite =
-    new GraftNativeBatchWrite(spark, collection, spec, truncate, inputSchema)
+    new GraftNativeBatchWrite(spark, collection, spec, mode, inputSchema)
 }
 
 class GraftNativeBatchWrite(spark: SparkSession, collection: Collection,
-                            spec: Collection.NativeWriteSpec, truncate: Boolean,
+                            spec: Collection.NativeWriteSpec, mode: String,
                             inputSchema: StructType)
     extends BatchWrite {
 
@@ -117,7 +117,7 @@ class GraftNativeBatchWrite(spark: SparkSession, collection: Collection,
       case GraftNativeCommit(fs) => fs
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }.toSeq.sorted
-    collection.commitNativeWrite(spec.generation, files, truncate)
+    collection.commitNativeWrite(spec.generation, files, mode)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -152,10 +152,11 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
     spark.conf.get("spark.graft.nativeWrite", "true").toBoolean &&
       collection.nativeWriteCompatible
 
-  /** No OVERWRITE_DYNAMIC: Spark's V1 write bridge covers append and
-    * overwrite-by-filter only (`V1FallbackWriters`), so dynamic
-    * `INSERT OVERWRITE` refuses at analysis — partition-replace writes
-    * go through `df.write.format("graft").mode("overwrite")` with
+  /** OVERWRITE_DYNAMIC rides the native write only (r10): the V1 write
+    * bridge covers append and overwrite-by-filter (`V1FallbackWriters`),
+    * so on a V1-fallback table dynamic `INSERT OVERWRITE` still refuses
+    * at analysis — there, partition-replace writes go through
+    * `df.write.format("graft").mode("overwrite")` with
     * `partitionOverwriteMode=dynamic`, or [[Collection.insert]] with
     * `MergeStrategy.Replace`, which land on the same atomic commit.
     *
@@ -183,8 +184,15 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
-    if (nativeWriteEligible) base
-    else {
+    if (nativeWriteEligible) {
+      // r10: the native BatchWrite expresses dynamic partition replace
+      // (commit with replaced = touched partitions), so dynamic INSERT
+      // OVERWRITE stops refusing — on natively-writable tables only
+      // (the V1 bridge still has no dynamic exec)
+      val s = new java.util.HashSet[TableCapability](base)
+      s.add(TableCapability.OVERWRITE_DYNAMIC)
+      s
+    } else {
       val s = new java.util.HashSet[TableCapability](base)
       s.add(TableCapability.V1_BATCH_WRITE)
       s
@@ -604,11 +612,21 @@ class GraftV1Scan(spark: SparkSession, collection: Collection,
 class GraftWriteBuilder(spark: SparkSession, open: () => Collection,
                         tableName: String, info: LogicalWriteInfo,
                         native: Boolean)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
 
   private var mode: String = "append"
 
   override def truncate(): WriteBuilder = { mode = "truncate"; this }
+
+  /** Dynamic partition overwrite — native-only (the OVERWRITE_DYNAMIC
+    * capability is advertised exactly when [[GraftTable
+    * .nativeWriteEligible]], so this is unreachable on V1-fallback
+    * tables; the guard keeps a capability/builder drift loud). */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(native, s"dynamic overwrite of $tableName requires the native write path")
+    mode = "dynamic"
+    this
+  }
 
   /** FOLLOWS the table-level native/V1 decision
     * ([[GraftTable.nativeWriteEligible]] — the capability set and the
@@ -626,7 +644,7 @@ class GraftWriteBuilder(spark: SparkSession, open: () => Collection,
       require(info.schema().fieldNames.toSeq == c.schema.fieldNames.toSeq,
         s"INSERT schema ${info.schema().fieldNames.mkString(",")} does not " +
         s"match table schema ${c.schema.fieldNames.mkString(",")}")
-      new GraftNativeWrite(spark, c, spec, mode == "truncate", info.schema())
+      new GraftNativeWrite(spark, c, spec, mode, info.schema())
     } else new V1Write {
       override def toInsertableRelation: InsertableRelation =
         (data: DataFrame, _: Boolean) => {

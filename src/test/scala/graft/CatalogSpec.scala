@@ -85,27 +85,31 @@ class CatalogSpec extends AnyFunSuite {
       Seq("[1,100.0]", "[2,200.0]"))
   }
 
-  test("INSERT OVERWRITE: static truncates; dynamic refuses at analysis") {
+  test("INSERT OVERWRITE: static truncates; dynamic replaces touched partitions (native, r10)") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.db2")
     mkEvents("graft.db2.ow")
 
-    // dynamic SQL overwrite has no V1 write bridge — loud refusal, and
-    // the V1 writer path delivers the same semantics on the same table
+    // dynamic SQL overwrite runs natively: only day 1 (the partition
+    // the incoming row lands in) is replaced, days 2 and 3 survive
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      intercept[Exception] {
-        sql("""INSERT OVERWRITE graft.db2.ow VALUES
-               (TIMESTAMP'2024-01-01 10:00:00', 9, 90.0)""")
-      }
+      val dyn = sql("""INSERT OVERWRITE graft.db2.ow VALUES
+             (TIMESTAMP'2024-01-01 10:00:00', 9, 90.0)""")
+      assert(!dyn.queryExecution.executedPlan.toString.contains("ExecV1"),
+        "dynamic overwrite must run on the native BatchWrite")
+      val afterDyn = sql("SELECT user_id FROM graft.db2.ow ORDER BY user_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(afterDyn == Seq(1L, 3L, 9L), s"dynamic overwrite kept other days: $afterDyn")
+      // the V1 writer path delivers the same semantics on the same table
       import spark.implicits._
-      val day1 = Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 9L, 90.0))
+      val day1 = Seq((java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 8L, 80.0))
         .toDF("ts", "user_id", "v")
       day1.write.format("graft").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .save(s"${CatalogSpec.warehouse}/db2/ow")
-      val afterDyn = sql("SELECT user_id FROM graft.db2.ow ORDER BY user_id")
+      val afterV1 = sql("SELECT user_id FROM graft.db2.ow ORDER BY user_id")
         .collect().map(_.getLong(0)).toSeq
-      assert(afterDyn == Seq(1L, 3L, 9L), s"dynamic overwrite kept other days: $afterDyn")
+      assert(afterV1 == Seq(1L, 3L, 8L), s"V1 dynamic overwrite diverged: $afterV1")
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
 
     // static: the whole table is replaced
