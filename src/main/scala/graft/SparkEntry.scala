@@ -2678,6 +2678,26 @@ object SparkEntry {
     rec
   }
 
+  /** Declared HARD in-entry signals for the `queries` entries that have
+    * no SQL oracle (the driver records them `no_oracle`): each names an
+    * assertion computed INSIDE the entry that FAILS it outright when
+    * violated — a green rows-only row therefore certifies the signal
+    * held, not merely that rows came back. Dumped by [[Verify]] as
+    * `signals.json` next to `oracle_sql.json` (the r9 verdict's ask to
+    * make the recall floors visible per-round). */
+  def signals: Map[String, String] = Map(
+    "dedup_simhash" -> ("rows-only by design: the xxhash64 bit chain has no DuckDB replay; " +
+      "its exact-oracle TWIN dedup_simhash_fnv runs the identical banding/hamming " +
+      "pipeline over FNV-1a and is hash-exact — the algorithm is oracled, this entry " +
+      "pins the production hash"),
+    "ann_lsh" -> ("in-entry HARD floor: per-query recall@10 vs an in-entry brute-force " +
+      "baseline, mean asserted >= 0.3 — a recall collapse ERRORS the entry instead of " +
+      "passing a plausible-looking top-k"),
+    "ann_ivf" -> ("in-entry HARD floor: mean recall@10 vs brute force asserted >= 0.3 " +
+      "(16 lists / 8 probes — half the space scanned)"),
+    "ann_pq" -> ("in-entry HARD floor: mean recall@10 vs brute force asserted >= 0.3 " +
+      "(pure ADC over 8-bit product codes)"))
+
   def oracleSql: Map[String, String] = Map(
     "zc_insert_query" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props

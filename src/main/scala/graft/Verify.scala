@@ -42,6 +42,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // declared hard in-entry signals for the rows-only entries — a
+    // green rows-only row certifies the named assertion held (r10)
+    val sig = SparkEntry.signals
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/signals.json"), sig)
     spark.stop()
   }
 }

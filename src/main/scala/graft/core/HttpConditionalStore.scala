@@ -28,26 +28,43 @@ import java.time.Duration
   * `toUrl` maps the engine's commit key (the qualified manifest target
   * path, e.g. `s3a://bucket/coll/_manifest/manifest-000000000042.json`)
   * onto the endpoint URL; [[HttpConditionalStore.pathStyle]] builds the
-  * standard path-style mapping. `customize` decorates every request
-  * before send — the seam for auth (static token headers, or a SigV4
-  * signer for real AWS; signing is deliberately not re-implemented
-  * here). Unauthenticated/self-signed deployments (MinIO in a VPC, a
-  * storage proxy) work as-is.
+  * standard path-style mapping. Auth: pass a [[SigV4Signer]] for
+  * real-AWS (or any SigV4-speaking) endpoints — r10, pure-JDK signing,
+  * no SDK — or use `customize` for static-token schemes.
+  * Unauthenticated/self-signed deployments (MinIO in a VPC, a storage
+  * proxy) work as-is.
   */
 final class HttpConditionalStore(
     toUrl: String => URI,
     customize: HttpRequest.Builder => HttpRequest.Builder = identity,
     requestTimeout: Duration = Duration.ofSeconds(30),
     client: HttpClient = HttpClient.newBuilder()
-      .connectTimeout(Duration.ofSeconds(10)).build())
+      .connectTimeout(Duration.ofSeconds(10)).build(),
+    /** r10: built-in [[SigV4Signer]] — set for real-AWS (or any
+      * SigV4-speaking) endpoints and every request carries
+      * `x-amz-content-sha256`, `x-amz-date`, the session token if any,
+      * and the `Authorization` credential line; `customize` still runs
+      * AFTER signing (add only unsigned headers there, or they would
+      * not be covered). None = unauthenticated, as before. */
+    signer: Option[SigV4Signer] = None)
     extends ConditionalObjectStore {
+
+  private def signed(b: HttpRequest.Builder, method: String, url: URI,
+                     payloadSha256Hex: String): HttpRequest.Builder =
+    signer.fold(b) { sg =>
+      val withHash = b.header("x-amz-content-sha256", payloadSha256Hex)
+      sg.authHeaders(method, url,
+          Map("x-amz-content-sha256" -> payloadSha256Hex), payloadSha256Hex)
+        .foldLeft(withHash) { case (bb, (k, v)) => bb.header(k, v) }
+    }
 
   override def putIfAbsent(key: String, content: Array[Byte]): Boolean = {
     val url = toUrl(key)
-    val req = customize(HttpRequest.newBuilder(url)
+    val req = customize(signed(HttpRequest.newBuilder(url)
       .timeout(requestTimeout)
       .header("If-None-Match", "*")
-      .PUT(BodyPublishers.ofByteArray(content))).build()
+      .PUT(BodyPublishers.ofByteArray(content)),
+      "PUT", url, SigV4.sha256Hex(content))).build()
     val resp: HttpResponse[Void] = client.send(req, BodyHandlers.discarding())
     resp.statusCode() match {
       case c if c / 100 == 2 => true
@@ -59,8 +76,9 @@ final class HttpConditionalStore(
 
   override def get(key: String): Option[Array[Byte]] = {
     val url = toUrl(key)
-    val req = customize(HttpRequest.newBuilder(url)
-      .timeout(requestTimeout).GET()).build()
+    val req = customize(signed(HttpRequest.newBuilder(url)
+      .timeout(requestTimeout).GET(),
+      "GET", url, SigV4.EmptyPayloadSha256)).build()
     val resp = client.send(req, BodyHandlers.ofByteArray())
     resp.statusCode() match {
       case c if c / 100 == 2 => Some(resp.body())
