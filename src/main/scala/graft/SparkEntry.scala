@@ -564,6 +564,29 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // A50 (r10): INSERT INTO ... REPLACE WHERE — ANSI
+    // overwrite-by-expression, accepted exactly when every partition
+    // key strictly decides the predicate: the 'en' partition is
+    // replaced with recomputed docs, every other language survives, in
+    // ONE atomic commit.
+    "zc_sql_replace_where" -> ((s, dir) => {
+      import graft.core.SequencePartitioning
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "source", "text")
+      val name = "rw" + java.util.UUID.randomUUID().toString.take(8)
+      val c = Collection.create(s, s"$scratch/sqlwh/db/$name", docs.schema, "doc_id",
+        SequencePartitioning(Seq("lang"), "doc_id"), catalogEnabled = true,
+        overwrite = true)
+      c.insert(docs)
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", s"$scratch/sqlwh")
+      docs.createOrReplaceTempView("zc_rw_src")
+      s.sql(s"""INSERT INTO graftq.db.$name REPLACE WHERE lang = 'en'
+        SELECT doc_id + 1000000 AS doc_id, lang, source,
+               concat('replaced: ', text) AS text
+        FROM zc_rw_src WHERE lang = 'en'""")
+      c.query().select("doc_id", "lang", "source", "text").orderBy("doc_id")
+    }),
+
     // E34 (r8b): GROUPED metadata aggregates — one row per partition
     // group: counts from the recorded rows, MIN/MAX from the group's
     // merged per-file zone maps; complete pushdown, no re-aggregation.
@@ -2952,6 +2975,16 @@ object SparkEntry {
                 event_type, value, props
          FROM (SELECT * FROM repl UNION ALL SELECT * FROM keep)
          ORDER BY event_id""",
+
+    "zc_sql_replace_where" ->
+      """SELECT doc_id, lang, source, text FROM (
+           SELECT doc_id + 1000000 AS doc_id, lang, source,
+                  concat('replaced: ', text) AS text
+           FROM documents WHERE lang = 'en'
+           UNION ALL
+           SELECT doc_id, lang, source, text
+           FROM documents WHERE lang <> 'en' OR lang IS NULL)
+         ORDER BY doc_id""",
 
     "zc_sql_scan" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -2395,7 +2395,8 @@ final class Collection private (
     *    survives — `INSERT OVERWRITE` under
     *    `partitionOverwriteMode=dynamic`. */
   private[graft] def commitNativeWrite(pinnedGen: Long, newFiles: Seq[String],
-                                       mode: String): Unit = {
+                                       mode: String,
+                                       replaceAst: FilterExpr.Ast = null): Unit = {
     requireWritable()
     val base =
       if (generation == pinnedGen) currentManifest() else manifestAt(pinnedGen)
@@ -2412,6 +2413,16 @@ final class Collection private (
           replaced = newFiles.map(parentRel).toSet,
           streamMark = None, rewrite = false, replacedFiles = Set.empty,
           newPartSpec = None, op = "overwrite-dynamic")
+      case "replace-where" =>
+        // ANSI overwrite-by-expression: delete the rows matching the
+        // predicate, insert the new rows, atomically. Sound here ONLY
+        // because every partition key STRICTLY decides the predicate
+        // (re-proven against the commit base — a racing commit that
+        // added an undecidable partition fails loudly, never partially)
+        commitWrittenFiles(base, newFiles,
+          replaced = replaceWherePartitions(base, replaceAst).toSet,
+          streamMark = None, rewrite = false, replacedFiles = Set.empty,
+          newPartSpec = None, op = "replace-where")
       case "append" =>
         commitWrittenFiles(base, newFiles, replaced = Set.empty,
           streamMark = None, rewrite = false, replacedFiles = Set.empty,
@@ -2420,6 +2431,38 @@ final class Collection private (
       case other => throw new IllegalArgumentException(s"unknown write mode '$other'")
     }
   }
+
+  /** Partitions whose every row the REPLACE WHERE predicate selects —
+    * defined ONLY when each partition key decodes cleanly and strictly
+    * decides the predicate (three-valued eval returns a definite
+    * answer): then "replace these partitions" IS "delete the matching
+    * rows", exactly. Anything less throws — a row-level replace-where
+    * would need a read-modify-write, which `updateWhere`/`deleteWhere`
+    * already provide. */
+  private[graft] def replaceWherePartitions(man: Manifest,
+                                            ast: FilterExpr.Ast): Seq[String] = {
+    require(ast != null && ast != FilterExpr.True, "replace-where needs a predicate")
+    man.partitionPaths.filter { p =>
+      decodePath(p)
+        .filter(_.forall(_._2 != Collection.HiveDefaultPartition)) match {
+        case Some(kvs) => FilterExpr.evalOpt(ast, kvs.toMap).getOrElse(
+          throw new IllegalArgumentException(
+            s"REPLACE WHERE predicate $ast does not strictly decide " +
+            s"partition '$p' — align the predicate with the partition " +
+            "columns, or use UPDATE/DELETE for row-level semantics"))
+        case None => throw new IllegalArgumentException(
+          s"REPLACE WHERE cannot decide partition '$p' (undecodable or " +
+          "null partition key)")
+      }
+    }
+  }
+
+  /** Read-only probe: does every current partition strictly decide
+    * `ast`? (The analysis-time `canOverwrite` answer; the commit leg
+    * re-proves against its own base.) */
+  private[graft] def canReplaceWhere(ast: FilterExpr.Ast): Boolean =
+    try { replaceWherePartitions(currentManifest(), ast); true }
+    catch { case _: IllegalArgumentException => false }
 
   /** Delete files a FAILED native write job left behind (the
     * BatchWrite.abort contract) — best-effort, vacuum covers stragglers. */

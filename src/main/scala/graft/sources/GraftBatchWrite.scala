@@ -52,7 +52,8 @@ import graft.core.Collection
   * two-phase shape on Spark's DSv2 write protocol. */
 class GraftNativeWrite(spark: SparkSession, collection: Collection,
                        spec: Collection.NativeWriteSpec, mode: String,
-                       inputSchema: StructType)
+                       inputSchema: StructType,
+                       replaceAst: graft.core.FilterExpr.Ast = null)
     extends Write with RequiresDistributionAndOrdering {
 
   // range-cluster + sort on (partitioning inputs, axis): the data-column
@@ -75,12 +76,13 @@ class GraftNativeWrite(spark: SparkSession, collection: Collection,
     s"GraftNativeWrite(${collection.root}, gen=${spec.generation}, mode=$mode)"
 
   override def toBatch: BatchWrite =
-    new GraftNativeBatchWrite(spark, collection, spec, mode, inputSchema)
+    new GraftNativeBatchWrite(spark, collection, spec, mode, inputSchema, replaceAst)
 }
 
 class GraftNativeBatchWrite(spark: SparkSession, collection: Collection,
                             spec: Collection.NativeWriteSpec, mode: String,
-                            inputSchema: StructType)
+                            inputSchema: StructType,
+                            replaceAst: graft.core.FilterExpr.Ast = null)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -117,7 +119,7 @@ class GraftNativeBatchWrite(spark: SparkSession, collection: Collection,
       case GraftNativeCommit(fs) => fs
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }.toSeq.sorted
-    collection.commitNativeWrite(spec.generation, files, mode)
+    collection.commitNativeWrite(spec.generation, files, mode, replaceAst)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

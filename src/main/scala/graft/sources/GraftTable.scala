@@ -217,7 +217,8 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(spark, () => writable(), identName, info,
-      native = nativeWriteEligible && !pathFace)
+      native = nativeWriteEligible && !pathFace,
+      translate = deleteAst)
 
   // --- DELETE FROM --------------------------------------------------
 
@@ -611,10 +612,13 @@ class GraftV1Scan(spark: SparkSession, collection: Collection,
   * [[GraftTable.capabilities]]). */
 class GraftWriteBuilder(spark: SparkSession, open: () => Collection,
                         tableName: String, info: LogicalWriteInfo,
-                        native: Boolean)
-    extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+                        native: Boolean,
+                        translate: Array[Predicate] => Option[FilterExpr.Ast] = _ => None)
+    extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite
+    with SupportsOverwriteV2 {
 
   private var mode: String = "append"
+  private var replaceAst: FilterExpr.Ast = null
 
   override def truncate(): WriteBuilder = { mode = "truncate"; this }
 
@@ -625,6 +629,29 @@ class GraftWriteBuilder(spark: SparkSession, open: () => Collection,
   override def overwriteDynamicPartitions(): WriteBuilder = {
     require(native, s"dynamic overwrite of $tableName requires the native write path")
     mode = "dynamic"
+    this
+  }
+
+  /** `INSERT INTO ... REPLACE WHERE <cond>` (r10): ANSI
+    * overwrite-by-expression, accepted ONLY when the predicate
+    * translates EXACTLY and every current partition key strictly
+    * decides it — then replacing those partitions IS deleting the
+    * matching rows (the Delta replaceWhere shape, partition-aligned).
+    * `canOverwrite` refuses anything else at analysis; row-level
+    * replace semantics stay with UPDATE/DELETE/MERGE. */
+  override def canOverwrite(predicates: Array[Predicate]): Boolean =
+    native && translate(predicates).exists { ast =>
+      ast != FilterExpr.True &&
+        (try open().canReplaceWhere(ast) catch { case _: Exception => false })
+    }
+
+  override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+    val ast = translate(predicates).getOrElse(throw new IllegalArgumentException(
+      s"REPLACE WHERE predicate not exactly translatable: ${predicates.mkString(", ")}"))
+    if (ast == FilterExpr.True) return truncate()
+    require(native, s"REPLACE WHERE on $tableName requires the native write path")
+    mode = "replace-where"
+    replaceAst = ast
     this
   }
 
@@ -644,7 +671,7 @@ class GraftWriteBuilder(spark: SparkSession, open: () => Collection,
       require(info.schema().fieldNames.toSeq == c.schema.fieldNames.toSeq,
         s"INSERT schema ${info.schema().fieldNames.mkString(",")} does not " +
         s"match table schema ${c.schema.fieldNames.mkString(",")}")
-      new GraftNativeWrite(spark, c, spec, mode, info.schema())
+      new GraftNativeWrite(spark, c, spec, mode, info.schema(), replaceAst)
     } else new V1Write {
       override def toInsertableRelation: InsertableRelation =
         (data: DataFrame, _: Boolean) => {

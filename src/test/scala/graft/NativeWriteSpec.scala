@@ -106,6 +106,40 @@ class NativeWriteSpec extends AnyFunSuite {
       "a violating insert must not commit")
   }
 
+  test("INSERT INTO ... REPLACE WHERE: partition-aligned overwrite-by-expression (r10)") {
+    sql("""CREATE TABLE graft.nw.rw_t (grp BIGINT, pos BIGINT, v DOUBLE)
+           PARTITIONED BY (grp) TBLPROPERTIES ('axis'='pos')""")
+    sql("""INSERT INTO graft.nw.rw_t VALUES
+           (1, 1, 1.0), (1, 2, 1.5), (2, 3, 2.0), (2, 4, 2.5), (3, 5, 3.0)""")
+    val genBefore = Collection.open(spark,
+      s"${CatalogSpec.warehouse}/nw/rw_t", readOnly = true).generation
+
+    val rw = sql("""INSERT INTO graft.nw.rw_t REPLACE WHERE grp = 2
+                    SELECT 2L, 99L, 9.9 UNION ALL SELECT 2L, 100L, 9.8""")
+    assert(!rw.queryExecution.executedPlan.toString.contains("ExecV1"))
+    val got = sql("SELECT grp, pos, v FROM graft.nw.rw_t ORDER BY pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 1L, 1.0), (1L, 2L, 1.5), (3L, 5L, 3.0),
+      (2L, 99L, 9.9), (2L, 100L, 9.8)),
+      s"REPLACE WHERE must replace exactly the grp=2 partition: $got")
+    // one atomic generation for the whole delete+insert
+    val c = Collection.open(spark, s"${CatalogSpec.warehouse}/nw/rw_t", readOnly = true)
+    assert(c.generation == genBefore + 1, "replace-where is ONE commit")
+
+    // a data-column predicate cannot be partition-decided — loud refusal
+    val err = intercept[Exception](
+      sql("INSERT INTO graft.nw.rw_t REPLACE WHERE v > 2.0 SELECT 9L, 9L, 0.0"))
+    assert(err.getMessage != null)
+    assert(sql("SELECT COUNT(*) FROM graft.nw.rw_t").collect().head.getLong(0) == 5,
+      "a refused replace-where must not mutate anything")
+    // new rows may land OUTSIDE the replaced partitions (ANSI overwrite
+    // semantics: delete matching, insert all new rows)
+    sql("INSERT INTO graft.nw.rw_t REPLACE WHERE grp = 3 SELECT 4L, 200L, 4.0")
+    val after = sql("SELECT grp FROM graft.nw.rw_t ORDER BY grp")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == Seq(1L, 1L, 2L, 2L, 4L), s"got $after")
+  }
+
   test("identity (sequence) partition keys: Hive escaping and null sentinel round-trip") {
     sql("""CREATE TABLE graft.nw.seq_t (k STRING, pos BIGINT, payload DOUBLE)
            PARTITIONED BY (k) TBLPROPERTIES ('axis'='pos')""")
