@@ -1861,6 +1861,11 @@ final class Collection private (
     * the broadcast side of a join automatically. */
   def sizeOnDisk(): Option[Long] = currentManifest().byteTotal
 
+  /** [[sizeOnDisk]] pinned to a committed generation (AS-OF scan
+    * statistics) — `None` reads the head. */
+  private[graft] def sizeOnDiskAt(at: Option[Long]): Option[Long] =
+    at.map(manifestAt).getOrElse(currentManifest()).byteTotal
+
   def countRows(filters: String = null): Long = {
     val ast = FilterExpr.parse(filters)
     if (ast != FilterExpr.True) requireKnownNames(ast)
@@ -1872,9 +1877,12 @@ final class Collection private (
     * naming only partition columns, strictly evaluated against every
     * decoded partition key). `None` = the metadata cannot answer — the
     * caller decides whether to scan; the SQL aggregate pushdown refuses
-    * instead, so a pushed `COUNT(*)` never hides a data scan. */
-  private[graft] def countRowsMeta(ast: FilterExpr.Ast): Option[Long] = {
-    val man = currentManifest()
+    * instead, so a pushed `COUNT(*)` never hides a data scan. `at` pins
+    * the answer to a committed generation (AS-OF scan statistics) —
+    * `None` reads the head. */
+  private[graft] def countRowsMeta(ast: FilterExpr.Ast,
+                                   at: Option[Long] = None): Option[Long] = {
+    val man = at.map(manifestAt).getOrElse(currentManifest())
     ast match {
       case FilterExpr.True =>
         man.shards.foldLeft(Option(0L)) { (acc, e) =>
@@ -1889,7 +1897,7 @@ final class Collection private (
           if (decoded.exists(_.isEmpty)) None
           else {
             val wanted = decoded.flatten
-              .filter { case (_, k) => FilterExpr.eval(ast, k.toMap) }
+              .filter { case (_, k) => partitionSelected(ast, k).getOrElse(return None) }
               .map(_._1).toSet
             val files = man.filesForPartitions(wanted)
             val rowsByFile = man.shards
@@ -1999,7 +2007,7 @@ final class Collection private (
         val wanted = all
           .flatMap(p => decodePath(p).map(k => (p, k)))
           .filter { case (_, k) =>
-            FilterExpr.mayMatch(ast, k.toMap) && keyInRange(k, keyBounds)
+            partitionMayHoldRows(ast, k) && keyInRange(k, keyBounds)
           }
           .map(_._1).toSet
         val okShards = man.shards.filter(e => shardMayMatch(e, ast))
@@ -2057,7 +2065,7 @@ final class Collection private (
     val decoded = man.partitionPaths.map(p => decodePath(p).map(p -> _))
     if (decoded.exists(_.isEmpty)) return None
     val wanted = decoded.flatten.filter { case (_, k) =>
-      ast == FilterExpr.True || FilterExpr.eval(ast, k.toMap) }
+      ast == FilterExpr.True || partitionSelected(ast, k).getOrElse(return None) }
     val files = man.filesForPartitions(wanted.map(_._1).toSet)
     val rowsByFile = man.shards.flatMap(e => man.shardData(e).rows).toMap
     if (!files.forall(rowsByFile.contains)) return None
@@ -2066,7 +2074,9 @@ final class Collection private (
     val byPart = files.groupBy(parentRel)
     val perPartition: Seq[(Seq[Any], Long, Map[String, (Any, Any)])] =
       wanted.map { case (p, k) =>
-        val km = k.toMap
+        // sentinel → NULL: a null-keyed partition's GROUP value is SQL
+        // NULL, not the literal __HIVE_DEFAULT_PARTITION__ string
+        val km = nullableKey(k)
         val fl = byPart.getOrElse(p, Nil)
         val bounds = boundsFor.map { c =>
           val dom = doms(c)
@@ -2118,7 +2128,7 @@ final class Collection private (
         val decoded = man.partitionPaths.map(p => decodePath(p).map(p -> _))
         if (decoded.exists(_.isEmpty)) return None
         val wanted = decoded.flatten
-          .filter { case (_, k) => FilterExpr.eval(ast, k.toMap) }
+          .filter { case (_, k) => partitionSelected(ast, k).getOrElse(return None) }
           .map(_._1).toSet
         val files = man.filesForPartitions(wanted)
         val stats = man.statsForFiles(files)
@@ -2212,7 +2222,7 @@ final class Collection private (
     val wanted = all
       .flatMap(p => decodePath(p).map(k => (p, k)))
       .filter { case (_, k) =>
-        FilterExpr.mayMatch(ast, k.toMap) && keyInRange(k, keyBounds)
+        partitionMayHoldRows(ast, k) && keyInRange(k, keyBounds)
       }
       .map(_._1).toSet
     // layer 1.5: subtree skip by the root-resident stats ROLLUP —
@@ -2239,23 +2249,62 @@ final class Collection private (
     manifestAt(g)
   }.getOrElse(currentManifest())
 
+  /** A decoded partition key with the Hive null sentinel mapped to real
+    * NULL — the value domain [[FilterExpr.evalPartition]] expects. Every
+    * driver-side partition decision routes through this: treating the
+    * sentinel as an ordinary STRING gave SQL-wrong answers on null-keyed
+    * partitions (`k IS NULL` pruned the exact partition holding its
+    * rows; a metadata `COUNT(*) WHERE k IS NOT NULL` counted them). */
+  private def nullableKey(kvs: Seq[(String, Any)]): Map[String, Any] =
+    kvs.map { case (k, v) =>
+      k -> (if (v == Collection.HiveDefaultPartition) null else v)
+    }.toMap
+
+  /** Tolerant null-sound PRUNING decision: drop the partition only when
+    * the predicate provably selects NO row of it — definite FALSE, or
+    * uniform UNKNOWN under SQL three-valued logic (an UNKNOWN row is
+    * never selected by a WHERE). Row-dependence (a data-column
+    * reference) keeps the partition for the engine's re-filter — the
+    * [[FilterExpr.mayMatch]] contract, made sound for NULL keys. */
+  private def partitionMayHoldRows(ast: FilterExpr.Ast,
+                                   kvs: Seq[(String, Any)]): Boolean =
+    FilterExpr.evalPartition(ast, nullableKey(kvs)) match {
+      case FilterExpr.NoRows | FilterExpr.UnknownRows => false
+      case _                                          => true
+    }
+
+  /** STRICT whole-partition selection: `Some(true)` iff the predicate
+    * selects every row, `Some(false)` iff it selects none (definite
+    * FALSE or uniform UNKNOWN), `None` when rows could disagree — the
+    * caller refuses its metadata shortcut and falls back to a scan. */
+  private def partitionSelected(ast: FilterExpr.Ast,
+                                kvs: Seq[(String, Any)]): Option[Boolean] =
+    FilterExpr.evalPartition(ast, nullableKey(kvs)) match {
+      case FilterExpr.AllRows                         => Some(true)
+      case FilterExpr.NoRows | FilterExpr.UnknownRows => Some(false)
+      case FilterExpr.RowDependent                    => None
+    }
+
   /** Can `ast` be CLAIMED as fully handled by file-level pruning alone?
     * True iff it references only partition columns and every partition
-    * key in the snapshot decodes and STRICTLY decides the predicate
-    * (three-valued eval returns a definite answer) — then every row of
-    * every kept file satisfies the predicate exactly, so the engine may
-    * drop its re-filter without a row ever being checked. A null
-    * partition value (Hive default sentinel) or an undecidable
-    * comparison refuses — tolerant pruning plus an engine re-filter
-    * stays the contract there. */
+    * key in the snapshot decodes and reaches a WHOLE-PARTITION verdict
+    * ([[FilterExpr.evalPartition]]) — then every partition the pruning
+    * keeps is an every-row-selected partition, so the engine may drop
+    * its re-filter without a row ever being checked. A NULL partition
+    * key no longer refuses (r10): three-valued logic decides it
+    * uniformly (kept by `k IS NULL`, dropped by any ordinary
+    * comparison), and [[partitionMayHoldRows]] prunes by the SAME
+    * procedure, keeping claim and prune agreed. Only a genuinely
+    * row-dependent verdict (an incomparable value) refuses — tolerant
+    * pruning plus an engine re-filter stays the contract there. */
   private[graft] def canClaimStrict(ast: FilterExpr.Ast, asOfGen: Option[Long]): Boolean = {
     if (ast == FilterExpr.True) return false
     if (!FilterExpr.names(ast).subsetOf(partCols.toSet)) return false
     manifestFor(asOfGen).partitionPaths.forall { p =>
       decodePath(p) match {
-        case Some(kvs) if kvs.forall(_._2 != Collection.HiveDefaultPartition) =>
-          FilterExpr.evalOpt(ast, kvs.toMap).isDefined
-        case _ => false
+        case Some(kvs) =>
+          FilterExpr.evalPartition(ast, nullableKey(kvs)) != FilterExpr.RowDependent
+        case None => false
       }
     }
   }
@@ -2433,26 +2482,37 @@ final class Collection private (
   }
 
   /** Partitions whose every row the REPLACE WHERE predicate selects —
-    * defined ONLY when each partition key decodes cleanly and strictly
-    * decides the predicate (three-valued eval returns a definite
-    * answer): then "replace these partitions" IS "delete the matching
-    * rows", exactly. Anything less throws — a row-level replace-where
-    * would need a read-modify-write, which `updateWhere`/`deleteWhere`
-    * already provide. */
+    * defined ONLY when each partition key decodes cleanly and the
+    * four-valued [[FilterExpr.evalPartition]] reaches a whole-partition
+    * verdict: then "replace these partitions" IS "delete the matching
+    * rows", exactly. A NULL partition key (`__HIVE_DEFAULT_PARTITION__`)
+    * is NOT a refusal: SQL three-valued logic makes a comparison
+    * against it uniformly UNKNOWN, so a WHERE selects none of the
+    * partition's rows (keep), while `k IS NULL`-shaped predicates
+    * select all of them (replace). Only a genuinely row-dependent
+    * predicate throws — row-level replace-where would need a
+    * read-modify-write, which `updateWhere`/`deleteWhere` already
+    * provide. */
   private[graft] def replaceWherePartitions(man: Manifest,
                                             ast: FilterExpr.Ast): Seq[String] = {
     require(ast != null && ast != FilterExpr.True, "replace-where needs a predicate")
     man.partitionPaths.filter { p =>
-      decodePath(p)
-        .filter(_.forall(_._2 != Collection.HiveDefaultPartition)) match {
-        case Some(kvs) => FilterExpr.evalOpt(ast, kvs.toMap).getOrElse(
-          throw new IllegalArgumentException(
-            s"REPLACE WHERE predicate $ast does not strictly decide " +
-            s"partition '$p' — align the predicate with the partition " +
-            "columns, or use UPDATE/DELETE for row-level semantics"))
+      decodePath(p) match {
+        case Some(kvs) =>
+          val key = kvs.map { case (k, v) =>
+            k -> (if (v == Collection.HiveDefaultPartition) null else v)
+          }.toMap
+          FilterExpr.evalPartition(ast, key) match {
+            case FilterExpr.AllRows => true
+            case FilterExpr.NoRows | FilterExpr.UnknownRows => false
+            case FilterExpr.RowDependent => throw new IllegalArgumentException(
+              s"REPLACE WHERE predicate $ast does not strictly decide " +
+              s"partition '$p' — align the predicate with the partition " +
+              "columns, or use UPDATE/DELETE for row-level semantics")
+          }
         case None => throw new IllegalArgumentException(
-          s"REPLACE WHERE cannot decide partition '$p' (undecodable or " +
-          "null partition key)")
+          s"REPLACE WHERE cannot decide partition '$p' (undecodable " +
+          "partition key)")
       }
     }
   }
@@ -2538,7 +2598,7 @@ final class Collection private (
       val keyBounds = axisKeyBoundsFromFilter(ast)
       val keep = files.groupBy(parentRel).filter { case (p, _) =>
         decodePath(p).forall(k =>
-          FilterExpr.mayMatch(ast, k.toMap) && keyInRange(k, keyBounds))
+          partitionMayHoldRows(ast, k) && keyInRange(k, keyBounds))
       }.values.flatten.toSeq.sorted
       pruneByBloom(pruneByStats(man, keep, ast), ast)
   }
@@ -2800,7 +2860,10 @@ final class Collection private (
   private def partitionsFrom(man: Manifest, ast: FilterExpr.Ast): Seq[String] =
     man.partitionPaths
       .flatMap(p => decodePath(p).map(k => (p, k)))
-      .filter { case (_, k) => FilterExpr.eval(ast, k.toMap) }
+      .filter { case (_, k) =>
+        partitionSelected(ast, k).getOrElse(throw new FilterExpr.ParseException(
+          s"filter $ast does not decide partitions of $root — it may only " +
+          s"reference partition keys ${partCols.mkString(",")}")) }
       .sortWith { case ((_, a), (_, b)) => keyLess(a, b) }
       .map(_._1)
 
@@ -3086,7 +3149,7 @@ final class Collection private (
     val keyBounds = axisKeyBoundsFromFilter(ast)
     val parts = man.partitionPaths
       .flatMap(p => decodePath(p).map(k => (p, k)))
-      .filter { case (_, k) => FilterExpr.mayMatch(ast, k.toMap) && keyInRange(k, keyBounds) }
+      .filter { case (_, k) => partitionMayHoldRows(ast, k) && keyInRange(k, keyBounds) }
       .map(_._1)
     if (parts.isEmpty) Nil
     else pruneFilesForRead(man, man.filesForPartitions(parts.toSet), ast)

@@ -308,6 +308,90 @@ object FilterExpr {
       }
   }
 
+  /** What [[evalPartition]] can prove about a predicate over EVERY row
+    * of one partition: the key is fully known (values may be NULL — the
+    * `__HIVE_DEFAULT_PARTITION__` directory), so each leaf touching a
+    * key column evaluates the SAME for every row of the partition. */
+  sealed trait PartEval
+  /** TRUE for every row — the partition as a whole is selected. */
+  case object AllRows extends PartEval
+  /** FALSE for every row — no row selected, definitively. */
+  case object NoRows extends PartEval
+  /** UNKNOWN (SQL three-valued) for every row — a WHERE selects no row
+    * either, but distinct from [[NoRows]] because `NOT UNKNOWN` is
+    * still UNKNOWN while `NOT FALSE` is TRUE. */
+  case object UnknownRows extends PartEval
+  /** The predicate touches a non-key column — rows can disagree. */
+  case object RowDependent extends PartEval
+
+  /** REPLACE WHERE's partition decision under SQL THREE-VALUED logic.
+    * Unlike [[evalOpt]] (partial knowledge: an absent column is simply
+    * unknown), here the partition key is COMPLETE and a NULL key value
+    * makes a comparison uniformly UNKNOWN for every row — which a WHERE
+    * clause definitively does NOT select, so the partition can be KEPT
+    * without a row scan. Combination is conservative where soundness
+    * demands it: `UnknownRows` meeting `RowDependent` yields
+    * `RowDependent` (per-row the AND/OR can only be FALSE/UNKNOWN, but
+    * an ENCLOSING `NOT` could turn that mix into selected-some rows, so
+    * the uniformity claim is dropped rather than audited). */
+  def evalPartition(ast: Ast, key: Map[String, Any]): PartEval = ast match {
+    case True => AllRows
+    case And(l, r) => (evalPartition(l, key), evalPartition(r, key)) match {
+      case (NoRows, _) | (_, NoRows)             => NoRows
+      case (RowDependent, _) | (_, RowDependent) => RowDependent
+      case (UnknownRows, _) | (_, UnknownRows)   => UnknownRows
+      case _                                     => AllRows
+    }
+    case Or(l, r) => (evalPartition(l, key), evalPartition(r, key)) match {
+      case (AllRows, _) | (_, AllRows)           => AllRows
+      case (RowDependent, _) | (_, RowDependent) => RowDependent
+      case (UnknownRows, _) | (_, UnknownRows)   => UnknownRows
+      case _                                     => NoRows
+    }
+    case Not(e) => evalPartition(e, key) match {
+      case AllRows => NoRows
+      case NoRows  => AllRows
+      case other   => other
+    }
+    case In(n, vs, neg) => key.get(n) match {
+      case None       => RowDependent
+      case Some(null) => UnknownRows // NULL [NOT] IN (...) is UNKNOWN
+      case Some(v) =>
+        val hit = vs.exists(x => x != null && valueEq(v, x))
+        if (hit) { if (neg) NoRows else AllRows }
+        else if (vs.exists(_ == null)) UnknownRows // miss decided by a NULL element
+        else if (neg) AllRows else NoRows
+    }
+    case IsNull(n, neg) => key.get(n) match {
+      case None => RowDependent
+      case Some(v) =>
+        val sel = if (neg) v != null else v == null
+        if (sel) AllRows else NoRows
+    }
+    case Cmp(op, l, r) =>
+      def value(o: Operand): Option[Any] = o match {
+        case Name(n) => key.get(n)
+        case Lit(v)  => Some(v)
+      }
+      (value(l), value(r)) match {
+        case (None, _) | (_, None)             => RowDependent
+        case (Some(null), _) | (_, Some(null)) => UnknownRows
+        case (Some(a), Some(b)) =>
+          try {
+            val c = valueCompare(a, b)
+            val sel = op match {
+              case "=="  => c == 0
+              case "!="  => c != 0
+              case "<"   => c < 0
+              case "<="  => c <= 0
+              case ">"   => c > 0
+              case ">="  => c >= 0
+            }
+            if (sel) AllRows else NoRows
+          } catch { case _: ParseException => RowDependent }
+      }
+  }
+
   /** Could a row of a container described by `key` match? Containers
     * expose only some columns (partition keys), so predicates over the
     * others are unknown -> kept. Used for partition pruning when the

@@ -227,13 +227,18 @@ final class GraftBatchScan(spark: SparkSession,
     * own broadcast-join selection (Spark's ParquetScan estimates from
     * the pruned selection the same way — r9 ADVICE). Row counts are
     * only advertised for the unfiltered, unlimited read (post-filter
-    * cardinality is unknowable from metadata); byte totals come from
-    * the manifest-recorded sizes of exactly the files this scan reads. */
+    * cardinality is unknowable from metadata), and BOTH numbers answer
+    * at THIS scan's snapshot (`asOfGen`/`pinnedGen`) — a VERSION AS OF
+    * read of a 1k-row snapshot must not advertise the head's 1B rows
+    * next to the pinned selection's bytes, or the optimizer mis-plans
+    * joins off self-contradictory stats. Metadata-only throughout:
+    * never a Spark job inside optimizer-time statistics. */
   override def estimateStatistics(): Statistics = new Statistics {
+    private def statGen: Option[Long] = asOfGen.orElse(pinnedGen)
     private lazy val selectedBytes: Option[Long] =
       try { plan(); Some(plannedFiles.map(_.bytes).sum) }
       catch { case _: Exception =>
-        try collection.sizeOnDisk() catch { case _: Exception => None } }
+        try collection.sizeOnDiskAt(statGen) catch { case _: Exception => None } }
     override def sizeInBytes(): java.util.OptionalLong = selectedBytes match {
       case Some(b) => java.util.OptionalLong.of(b)
       case None    => java.util.OptionalLong.empty()
@@ -241,8 +246,12 @@ final class GraftBatchScan(spark: SparkSession,
     override def numRows(): java.util.OptionalLong = {
       if (currentAst != FilterExpr.True || limitRows.isDefined)
         return java.util.OptionalLong.empty()
-      val n = try collection.countRows() catch { case _: Exception => -1L }
-      if (n < 0) java.util.OptionalLong.empty() else java.util.OptionalLong.of(n)
+      val n = try collection.countRowsMeta(FilterExpr.True, statGen)
+        catch { case _: Exception => None }
+      n match {
+        case Some(v) => java.util.OptionalLong.of(v)
+        case None    => java.util.OptionalLong.empty()
+      }
     }
   }
 

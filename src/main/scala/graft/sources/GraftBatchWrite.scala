@@ -153,7 +153,6 @@ class GraftDataWriter(f: GraftWriterFactory, partitionId: Int, taskId: Long)
   private val idRow = new GenericInternalRow(1)
   private val joined = new JoinedRow
   private var rowId: Long = (f.taskBase + partitionId) << 33
-  private var currentDir: String = null
   private var writer: org.apache.spark.sql.execution.datasources.parquet.ParquetOutputWriter = null
   private var fileSeq = 0
   private val files = ArrayBuffer.empty[String]
@@ -187,12 +186,21 @@ class GraftDataWriter(f: GraftWriterFactory, partitionId: Int, taskId: Long)
     files += rel
     writer = ParquetWriteBridge.newWriter(f.conf.value,
       new Path(f.root, rel).toString, partitionId, taskId)
-    currentDir = dir
   }
 
+  /** The last roll's partition key (a defensive copy — `partProj`
+    * reuses its buffer). The demanded sort makes each Hive directory a
+    * contiguous run, so the per-row cost is one UnsafeRow bytes-compare;
+    * the per-column value formatting + path escaping in [[partitionDir]]
+    * runs only when the key actually changes. */
+  private var currentKey: InternalRow = null
+
   override def write(row: InternalRow): Unit = {
-    val dir = partitionDir(partProj(row))
-    if (dir != currentDir) roll(dir)
+    val key = partProj(row)
+    if (currentKey == null || key != currentKey) {
+      roll(partitionDir(key))
+      currentKey = key.copy()
+    }
     idRow.setLong(0, rowId)
     rowId += 1
     writer.write(joined(outProj(row), idRow).asInstanceOf[InternalRow])

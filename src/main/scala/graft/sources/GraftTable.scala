@@ -147,10 +147,24 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
     * build a `toBatch`-capable Write. Fallback to V1 when CHECK
     * constraints exist (the per-row guard rides the V1 job's scan), a
     * partition-key type is outside the native-formattable set, or
-    * `spark.graft.nativeWrite=false` pins the bridge. */
-  private[sources] def nativeWriteEligible: Boolean =
-    spark.conf.get("spark.graft.nativeWrite", "true").toBoolean &&
-      collection.nativeWriteCompatible
+    * `spark.graft.nativeWrite=false` pins the bridge.
+    *
+    * CACHED (lazy val) and NON-THROWING: `capabilities()` consults this
+    * on every `Table.supports()` probe during analysis and planning —
+    * a `def` would pay a manifest head probe (remote `fs.exists`) per
+    * probe, and a concurrently-repartitioned or manifest-less handle
+    * would throw `IllegalStateException` out of `capabilities()`,
+    * failing analysis of a plain SELECT before the scan path's own
+    * guarded handling could produce its clear error. An undecidable
+    * probe falls back to the V1 bridge (always-correct side); a
+    * snapshot whose eligibility genuinely changed between table load
+    * and write planning still fails loudly in
+    * [[GraftWriteBuilder.build]]. */
+  private[sources] lazy val nativeWriteEligible: Boolean =
+    try {
+      spark.conf.get("spark.graft.nativeWrite", "true").toBoolean &&
+        collection.nativeWriteCompatible
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** OVERWRITE_DYNAMIC rides the native write only (r10): the V1 write
     * bridge covers append and overwrite-by-filter (`V1FallbackWriters`),
@@ -392,6 +406,7 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
   /** Metadata value (Long/Double/String canonical domain) → the Spark
     * external type of the declared column. */
   private def external(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _)               => null // null-keyed partition group value
     case (l: Long, LongType)     => l
     case (l: Long, IntegerType)  => l.toInt
     case (l: Long, ShortType)    => l.toShort
@@ -445,7 +460,8 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     collection.groupedAggMeta(groupCols, ast, boundsFor).map { groups =>
       val gTypes = groupCols.map(c => fullSchema(fullSchema.fieldIndex(c)).dataType)
       val schema = StructType(
-        groupCols.zip(gTypes).map { case (c, t) => StructField(c, t, nullable = false) }
+        // nullable: a null-keyed partition surfaces as a SQL NULL group
+        groupCols.zip(gTypes).map { case (c, t) => StructField(c, t, nullable = true) }
           ++ aggSpecs.map(_._1))
       val rows = groups.map { case (vals, n, bounds) =>
         Row.fromSeq(vals.zip(gTypes).map { case (v, t) => external(v, t) }
@@ -641,8 +657,12 @@ class GraftWriteBuilder(spark: SparkSession, open: () => Collection,
     * replace semantics stay with UPDATE/DELETE/MERGE. */
   override def canOverwrite(predicates: Array[Predicate]): Boolean =
     native && translate(predicates).exists { ast =>
-      ast != FilterExpr.True &&
-        (try open().canReplaceWhere(ast) catch { case _: Exception => false })
+      // canReplaceWhere answers the ANALYSIS question (partition-aligned
+      // or not) and only that; a manifest-IO failure or the repartition
+      // guard PROPAGATES — swallowing it here would convert a transient
+      // store error into Spark's misleading "table does not support
+      // overwrite by expression"
+      ast != FilterExpr.True && open().canReplaceWhere(ast)
     }
 
   override def overwrite(predicates: Array[Predicate]): WriteBuilder = {

@@ -378,7 +378,14 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
   // exactly-once sink. Time travel arrives as read options
   // (versionAsOf / timestampAsOf / tagAsOf), like the V1 relation.
 
-  override def supportsExternalMetadata(): Boolean = false
+  /** TRUE so a user-supplied `.schema(s)` reaches [[getTable]] instead
+    * of throwing in `DataSourceV2Utils.getTableFromProvider` — the
+    * pre-r10 V1 faces ACCEPTED (and ignored) a passed schema
+    * (`sourceSchema` returns the collection schema regardless), and
+    * `spark.readStream.format("graft").schema(s)...` must keep
+    * working. [[getTable]] keeps that exact contract: the collection's
+    * own manifest schema is authoritative. */
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
@@ -395,20 +402,8 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
     val spark = org.apache.spark.sql.SparkSession.active
     val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
     val root = pathFaceRoot(opts)
-    val asOf = Option(opts.get("versionAsOf")).map(_.toLong)
-      .orElse(Option(opts.get("timestampAsOf")).map { v =>
-        val ms = try v.toLong
-          catch { case _: NumberFormatException =>
-            java.time.Instant.parse(v).toEpochMilli }
-        val c = Collection.open(spark, root, readOnly = true)
-        c.generationAsOf(ms).getOrElse(throw new IllegalArgumentException(
-          s"no snapshot committed at or before $v at $root"))
-      })
-      .orElse(Option(opts.get("tagAsOf")).map { t =>
-        val c = Collection.open(spark, root, readOnly = true)
-        c.tags().getOrElse(t, throw new IllegalArgumentException(
-          s"no tag '$t' at $root"))
-      })
+    val asOf = GraftCollectionSourceProvider.resolveAsOf(spark, root,
+      k => Option(opts.get(k)))
     new graft.sources.GraftTable(spark, root, s"graft.`$root`", asOf, pathFace = true)
   }
 
@@ -458,20 +453,8 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
     val root = rootOf(parameters)
     // time travel via read options (Delta's versionAsOf/timestampAsOf,
     // plus tagAsOf — a named snapshot, r8)
-    val asOf = parameters.get("versionAsOf").map(_.toLong)
-      .orElse(parameters.get("timestampAsOf").map { v =>
-        val ms = try v.toLong
-          catch { case _: NumberFormatException =>
-            java.time.Instant.parse(v).toEpochMilli }
-        val c = Collection.open(sqlContext.sparkSession, root, readOnly = true)
-        c.generationAsOf(ms).getOrElse(throw new IllegalArgumentException(
-          s"no snapshot committed at or before $v at $root"))
-      })
-      .orElse(parameters.get("tagAsOf").map { t =>
-        val c = Collection.open(sqlContext.sparkSession, root, readOnly = true)
-        c.tags().getOrElse(t, throw new IllegalArgumentException(
-          s"no tag '$t' at $root"))
-      })
+    val asOf = GraftCollectionSourceProvider.resolveAsOf(
+      sqlContext.sparkSession, root, parameters.get)
     new graft.sources.GraftRelation(sqlContext, root, asOf)
   }
 
@@ -548,6 +531,33 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
         try v.toLong
         catch { case _: NumberFormatException =>
           java.time.Instant.parse(v).toEpochMilli }
+      })
+}
+
+object GraftCollectionSourceProvider {
+  /** Resolve the Delta-style time-travel read options
+    * (`versionAsOf` | `timestampAsOf` (epoch-millis or ISO instant) |
+    * `tagAsOf`) to a pinned generation — ONE parser shared by the V1
+    * relation face ([[GraftCollectionSourceProvider.createRelation]])
+    * and the DSv2 path face
+    * ([[GraftCollectionSourceProvider.getTable]]), so the two faces
+    * can never drift in accepted formats or error text. */
+  private[graft] def resolveAsOf(spark: org.apache.spark.sql.SparkSession,
+                                 root: String,
+                                 opt: String => Option[String]): Option[Long] =
+    opt("versionAsOf").map(_.toLong)
+      .orElse(opt("timestampAsOf").map { v =>
+        val ms = try v.toLong
+          catch { case _: NumberFormatException =>
+            java.time.Instant.parse(v).toEpochMilli }
+        val c = Collection.open(spark, root, readOnly = true)
+        c.generationAsOf(ms).getOrElse(throw new IllegalArgumentException(
+          s"no snapshot committed at or before $v at $root"))
+      })
+      .orElse(opt("tagAsOf").map { t =>
+        val c = Collection.open(spark, root, readOnly = true)
+        c.tags().getOrElse(t, throw new IllegalArgumentException(
+          s"no tag '$t' at $root"))
       })
 }
 

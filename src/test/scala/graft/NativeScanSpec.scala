@@ -156,6 +156,32 @@ class NativeScanSpec extends AnyFunSuite {
     }
   }
 
+  test("AS-OF scan statistics answer at the pinned snapshot, metadata-only") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.nsc")
+    sql("CREATE TABLE graft.nsc.stats_t (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    sql("INSERT INTO graft.nsc.stats_t VALUES (1, 1.0)")
+    sql("INSERT INTO graft.nsc.stats_t VALUES (2, 2.0), (3, 3.0), (4, 4.0), (5, 5.0)")
+
+    def scanStats(q: String) = sql(q).queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats
+    }.head
+
+    val head = scanStats("SELECT * FROM graft.nsc.stats_t")
+    assert(head.rowCount.contains(BigInt(5)),
+      s"head scan must advertise the manifest row rollup: ${head.rowCount}")
+
+    // a VERSION AS OF read of the 1-row snapshot must NOT advertise the
+    // head's 5 rows next to the pinned selection's bytes — numRows and
+    // sizeInBytes answer at the SAME snapshot
+    val pinned = scanStats("SELECT * FROM graft.nsc.stats_t VERSION AS OF 1")
+    assert(pinned.rowCount.contains(BigInt(1)),
+      s"AS-OF stats must answer at the pinned snapshot: ${pinned.rowCount}")
+    assert(pinned.sizeInBytes < head.sizeInBytes,
+      s"pinned selection bytes (${pinned.sizeInBytes}) must be below the " +
+      s"head's (${head.sizeInBytes})")
+  }
+
   test("VERSION AS OF, LIMIT, empty match, and fill fallback stay correct") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.nsc")
     sql("CREATE TABLE graft.nsc.tt (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")

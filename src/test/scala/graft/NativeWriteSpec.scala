@@ -140,6 +140,62 @@ class NativeWriteSpec extends AnyFunSuite {
     assert(after == Seq(1L, 1L, 2L, 2L, 4L), s"got $after")
   }
 
+  test("REPLACE WHERE under a null partition key: SQL three-valued logic, not a refusal") {
+    sql("""CREATE TABLE graft.nw.rwn_t (grp BIGINT, pos BIGINT, v DOUBLE)
+           PARTITIONED BY (grp) TBLPROPERTIES ('axis'='pos')""")
+    sql("""INSERT INTO graft.nw.rwn_t VALUES
+           (1, 1, 1.0), (2, 2, 2.0), (CAST(NULL AS BIGINT), 3, 3.0)""")
+
+    // `grp = 1` on the null-keyed partition is UNKNOWN for every row —
+    // definitively NOT selected, so the partition is KEPT, not refused
+    sql("INSERT INTO graft.nw.rwn_t REPLACE WHERE grp = 1 SELECT 1L, 10L, 1.1")
+    val kept = sql("SELECT pos FROM graft.nw.rwn_t ORDER BY pos")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L, 3L, 10L),
+      s"null-keyed partition must survive an unrelated REPLACE WHERE: $kept")
+
+    // `grp IS NULL` selects every row of exactly that partition
+    sql("INSERT INTO graft.nw.rwn_t REPLACE WHERE grp IS NULL " +
+      "SELECT CAST(NULL AS BIGINT), 20L, 0.3")
+    val afterNull = sql("SELECT grp, pos FROM graft.nw.rwn_t ORDER BY pos")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSeq
+    assert(afterNull == Seq((2L, 2L), (1L, 10L), (-1L, 20L)),
+      s"IS NULL must replace exactly the null partition: $afterNull")
+
+    // a negation around the null key stays three-valued: NOT(grp = 9)
+    // is UNKNOWN on the null partition (kept), TRUE elsewhere (replaced)
+    sql("INSERT INTO graft.nw.rwn_t REPLACE WHERE NOT (grp = 9) SELECT 5L, 30L, 5.0")
+    val afterNot = sql("SELECT grp, pos FROM graft.nw.rwn_t ORDER BY pos")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSeq
+    assert(afterNot == Seq((-1L, 20L), (5L, 30L)),
+      s"NOT(grp = 9) must keep ONLY the null partition: $afterNot")
+  }
+
+  test("capabilities() is IO-free after first probe and never throws on a stale handle") {
+    import org.apache.spark.sql.connector.catalog.TableCapability
+    val root = SparkTestSession.tmp("graft-caps")
+    val df = spark.range(3).selectExpr(
+      "timestampadd(HOUR, CAST(id AS INT), TIMESTAMP'2024-01-01 00:00:00') AS ts",
+      "id AS v")
+    val c = graft.core.Collection.create(spark, root, df.schema, "ts",
+      graft.core.DatePartitioning("ts", "D"))
+    c.insert(df)
+
+    // a handle whose collection was concurrently REPARTITIONED: analysis
+    // of a plain SELECT probes capabilities() — it must not throw, and
+    // must fall back to the always-correct V1 write side
+    val table = new graft.sources.GraftTable(spark, root, "caps_t", None)
+    table.schema() // force the handle open BEFORE the concurrent repartition
+    graft.core.Collection.open(spark, root)
+      .changePartitioning(graft.core.DatePartitioning("ts", "h"))
+    val caps = table.capabilities()
+    assert(caps.contains(TableCapability.V1_BATCH_WRITE) &&
+      !caps.contains(TableCapability.OVERWRITE_DYNAMIC),
+      s"a stale handle must advertise the V1 bridge, not throw: $caps")
+    // cached: repeated probes return the same set without re-probing IO
+    assert(table.capabilities() == caps)
+  }
+
   test("identity (sequence) partition keys: Hive escaping and null sentinel round-trip") {
     sql("""CREATE TABLE graft.nw.seq_t (k STRING, pos BIGINT, payload DOUBLE)
            PARTITIONED BY (k) TBLPROPERTIES ('axis'='pos')""")

@@ -87,6 +87,27 @@ class SqlSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(root).count() == 5)
   }
 
+  test("a user-supplied .schema is accepted and ignored on both faces (pre-r10 contract)") {
+    val root = SparkTestSession.tmp("graft-sql-uschema")
+    val c = fresh(root)
+
+    // batch: the DSv2 path face must not refuse a passed schema — the
+    // manifest stays authoritative (the V1 sourceSchema contract)
+    val bare = spark.read.format("graft").load(root)
+    val withSchema = spark.read.format("graft").schema(c.readSchema).load(root)
+    assert(withSchema.count() == 4 &&
+      withSchema.schema.fieldNames.toSeq == bare.schema.fieldNames.toSeq)
+
+    // streaming: `.schema(s)` reached the V1 source pre-r10 (which
+    // ignored it); the TableProvider face must keep that working, with
+    // the same schema the schemaless stream face serves
+    val bareStream = spark.readStream.format("graft").option("root", root).load()
+    val stream = spark.readStream.format("graft").schema(c.readSchema)
+      .option("root", root).load()
+    assert(stream.isStreaming &&
+      stream.schema.fieldNames.toSeq == bareStream.schema.fieldNames.toSeq)
+  }
+
   test("write modes: append concats; overwrite honors partitionOverwriteMode") {
     val root = SparkTestSession.tmp("graft-sql-write")
     fresh(root)
