@@ -1987,6 +1987,28 @@ object SparkEntry {
       eventsOut(dst.query())
     }),
 
+    // D21 (r10): the CATALOG-native streaming sink —
+    // `writeStream.toTable("graft.db.t")` plans the native DSv2
+    // StreamingWrite: per-epoch executor parquet task writes + ONE
+    // atomic manifest generation carrying the (streamName, epochId)
+    // high-water mark, exactly-once across replays — the write-side
+    // close of the readStream.table loop (D20), zero path options.
+    "stream_sink_table" -> ((s, dir) => {
+      val src = eventsCollection(s, dir)
+      val name = "sinktbl" + java.util.UUID.randomUUID().toString.take(8)
+      val dst = Collection.create(s, s"$scratch/sqlwh/db/$name", src.schema, "ts",
+        DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", s"$scratch/sqlwh")
+      val q = graft.streaming.StreamOps.readStream(s, src)
+        .select(src.schema.fieldNames.toSeq.map(col): _*)
+        .writeStream
+        .option("checkpointLocation", s"$scratch/sqlwh/db/$name-ckpt")
+        .toTable(s"graftq.db.$name")
+      try q.processAllAvailable() finally q.stop()
+      eventsOut(dst.query())
+    }),
+
     // B9: semi/anti joins — customers with high-value orders but no
     // low-priority ones.
     "q_semi_anti" -> ((s, dir) => {
@@ -2742,6 +2764,10 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
 
     "stream_sink_format" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
+
+    "stream_sink_table" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
 

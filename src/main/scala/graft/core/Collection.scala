@@ -2442,17 +2442,24 @@ final class Collection private (
     *    ([[MergeStrategy.Replace]] semantics): exactly the partitions
     *    this write's files landed in are replaced, everything else
     *    survives — `INSERT OVERWRITE` under
-    *    `partitionOverwriteMode=dynamic`. */
+    *    `partitionOverwriteMode=dynamic`.
+    *
+    * `streamMark` (the native STREAMING write, r10) commits a
+    * `(queryName, epochId)` high-water mark ATOMICALLY with the files —
+    * the [[insertStreamBatch]] exactly-once contract on the DSv2 write
+    * protocol; the rebase guard refuses a replayed epoch another run
+    * already committed. */
   private[graft] def commitNativeWrite(pinnedGen: Long, newFiles: Seq[String],
                                        mode: String,
-                                       replaceAst: FilterExpr.Ast = null): Unit = {
+                                       replaceAst: FilterExpr.Ast = null,
+                                       streamMark: Option[(String, Long)] = None): Unit = {
     requireWritable()
     val base =
       if (generation == pinnedGen) currentManifest() else manifestAt(pinnedGen)
     mode match {
       case "truncate" =>
         commitWrittenFiles(base, newFiles, replaced = base.partitionPaths.toSet,
-          streamMark = None, rewrite = false, replacedFiles = Set.empty,
+          streamMark = streamMark, rewrite = false, replacedFiles = Set.empty,
           newPartSpec = None, op = "overwrite")
       case "dynamic" =>
         // `replaced` lists the incoming dirs; pre-existing files there
@@ -2460,7 +2467,7 @@ final class Collection private (
         // incoming files themselves are in `newFiles`, never doomed
         commitWrittenFiles(base, newFiles,
           replaced = newFiles.map(parentRel).toSet,
-          streamMark = None, rewrite = false, replacedFiles = Set.empty,
+          streamMark = streamMark, rewrite = false, replacedFiles = Set.empty,
           newPartSpec = None, op = "overwrite-dynamic")
       case "replace-where" =>
         // ANSI overwrite-by-expression: delete the rows matching the
@@ -2470,11 +2477,11 @@ final class Collection private (
         // added an undecidable partition fails loudly, never partially)
         commitWrittenFiles(base, newFiles,
           replaced = replaceWherePartitions(base, replaceAst).toSet,
-          streamMark = None, rewrite = false, replacedFiles = Set.empty,
+          streamMark = streamMark, rewrite = false, replacedFiles = Set.empty,
           newPartSpec = None, op = "replace-where")
       case "append" =>
         commitWrittenFiles(base, newFiles, replaced = Set.empty,
-          streamMark = None, rewrite = false, replacedFiles = Set.empty,
+          streamMark = streamMark, rewrite = false, replacedFiles = Set.empty,
           newPartSpec = None, op = "insert")
         maybeAutoCompact(newFiles.map(parentRel).distinct)
       case other => throw new IllegalArgumentException(s"unknown write mode '$other'")

@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Ge
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.graftbridge.{Bridge, ParquetWriteBridge}
 import org.apache.spark.sql.types._
 import org.apache.spark.util.SerializableConfiguration
@@ -53,7 +54,14 @@ import graft.core.Collection
 class GraftNativeWrite(spark: SparkSession, collection: Collection,
                        spec: Collection.NativeWriteSpec, mode: String,
                        inputSchema: StructType,
-                       replaceAst: graft.core.FilterExpr.Ast = null)
+                       replaceAst: graft.core.FilterExpr.Ast = null,
+                       /** Re-open a WRITABLE handle — the streaming leg
+                         * refreshes its snapshot per epoch. */
+                       reopen: () => Collection = null,
+                       /** The exactly-once idempotence key for the
+                         * streaming leg (`streamName` option |
+                         * `checkpointLocation` | query id). */
+                       streamName: String = null)
     extends Write with RequiresDistributionAndOrdering {
 
   // range-cluster + sort on (partitioning inputs, axis): the data-column
@@ -77,6 +85,83 @@ class GraftNativeWrite(spark: SparkSession, collection: Collection,
 
   override def toBatch: BatchWrite =
     new GraftNativeBatchWrite(spark, collection, spec, mode, inputSchema, replaceAst)
+
+  /** `df.writeStream.toTable("graft.db.t")` (r10) — the NATIVE
+    * exactly-once streaming sink on the catalog face: each micro-batch's
+    * tasks stream parquet into final files (the same writer factory as
+    * the batch leg, rebuilt per epoch against the epoch's head snapshot
+    * so row-id task bases never collide across epochs), and
+    * `commit(epochId)` publishes ONE atomic generation carrying the
+    * `(streamName, epochId)` high-water mark — Spark's at-least-once
+    * epoch replay after a failure or restart is detected against the
+    * committed mark and skipped, the [[Collection.insertStreamBatch]]
+    * idempotence contract without the V1 Row bridge. Append mode
+    * appends; Complete mode (`truncate()`) replaces the table every
+    * epoch. */
+  override def toStreaming: StreamingWrite = {
+    require(mode == "append" || mode == "truncate",
+      s"streaming writes support Append and Complete output modes, not '$mode'")
+    require(reopen != null && streamName != null,
+      "streaming write requires a reopenable table handle") // catalog face only
+    new GraftNativeStreamingWrite(spark, reopen, mode, inputSchema, streamName)
+  }
+}
+
+/** The streaming half of [[GraftNativeWrite]]. One instance serves the
+  * whole query run; Spark calls `createStreamingWriterFactory` then
+  * `commit(epochId, ...)` strictly in sequence per micro-batch, so the
+  * per-epoch (collection, spec) pair lives in a volatile field set at
+  * factory-build time and read at commit. */
+class GraftNativeStreamingWrite(spark: SparkSession, reopen: () => Collection,
+                                mode: String, inputSchema: StructType,
+                                streamName: String)
+    extends StreamingWrite {
+
+  @volatile private var epoch: (Collection, Collection.NativeWriteSpec) = null
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // per-EPOCH snapshot: generation + row-id task base advance with the
+    // collection, so epoch N+1's ids never collide with epoch N's rows
+    val c = reopen()
+    val spec = c.nativeWriteSpec().getOrElse(throw new IllegalStateException(
+      s"collection ${c.root} stopped being natively writable mid-stream " +
+      "(CHECK constraints added concurrently?) — restart the query"))
+    epoch = (c, spec)
+    val f = GraftNativeBatchWrite.writerFactory(spark, c, spec, inputSchema)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+                                epochId: Long): DataWriter[InternalRow] =
+        f.createWriter(partitionId, taskId)
+    }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val (c, spec) = epoch
+    val files = messages.flatMap {
+      case GraftNativeCommit(fs) => fs
+      case other => throw new IllegalStateException(s"unexpected commit message $other")
+    }.toSeq.sorted
+    if (c.streamHighWaterMark(streamName).exists(_ >= epochId)) {
+      // a replayed epoch another run already committed (the checkpoint's
+      // commit log lagged the sink): the just-written duplicates were
+      // never published — remove them
+      c.dropUncommittedFiles(files)
+    } else {
+      // the mark commits ATOMICALLY with the files; a racing zombie run
+      // committing the same epoch loses in the rebase guard (loudly),
+      // never lands twice
+      c.commitNativeWrite(spec.generation, files, mode,
+        streamMark = Some(streamName -> epochId))
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val e = epoch
+    if (e != null) e._1.dropUncommittedFiles(messages.collect {
+      case GraftNativeCommit(fs) => fs
+    }.toSeq.flatten)
+  }
 }
 
 class GraftNativeBatchWrite(spark: SparkSession, collection: Collection,
@@ -85,13 +170,35 @@ class GraftNativeBatchWrite(spark: SparkSession, collection: Collection,
                             replaceAst: graft.core.FilterExpr.Ast = null)
     extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // resolve the partition-key derivations ONCE on the driver: run the
-    // partitioning's own assign() over an empty frame of the input
-    // schema, collapse the analyzed withColumn Projects, and bind each
-    // partition column's expression to input ordinals — the executors
-    // evaluate exactly what the V1 write job would have evaluated
-    // (session timezone and casts resolved by the analyzer)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftNativeBatchWrite.writerFactory(spark, collection, spec, inputSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.flatMap {
+      case GraftNativeCommit(fs) => fs
+      case other => throw new IllegalStateException(s"unexpected commit message $other")
+    }.toSeq.sorted
+    collection.commitNativeWrite(spec.generation, files, mode, replaceAst)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    collection.dropUncommittedFiles(messages.collect {
+      case GraftNativeCommit(fs) => fs
+    }.toSeq.flatten)
+}
+
+object GraftNativeBatchWrite {
+  /** Build the executor writer factory for one job or one streaming
+    * epoch — shared by the batch and streaming legs. Resolves the
+    * partition-key derivations ONCE on the driver: runs the
+    * partitioning's own assign() over an empty frame of the input
+    * schema, collapses the analyzed withColumn Projects, and binds each
+    * partition column's expression to input ordinals — the executors
+    * evaluate exactly what the V1 write job would have evaluated
+    * (session timezone and casts resolved by the analyzer). */
+  private[sources] def writerFactory(spark: SparkSession, collection: Collection,
+                                     spec: Collection.NativeWriteSpec,
+                                     inputSchema: StructType): GraftWriterFactory = {
     val df0 = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], inputSchema)
     val assigned = collection.partitioning.assign(df0)
     val (byName, baseAttrs) = ParquetWriteBridge.collapseProjects(Bridge.analyzed(assigned))
@@ -113,19 +220,6 @@ class GraftNativeBatchWrite(spark: SparkSession, collection: Collection,
       partExprs, spec.partCols, spec.partColTypes, outExprs, spec.taskBase,
       spec.compression, UUID.randomUUID().toString)
   }
-
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.flatMap {
-      case GraftNativeCommit(fs) => fs
-      case other => throw new IllegalStateException(s"unexpected commit message $other")
-    }.toSeq.sorted
-    collection.commitNativeWrite(spec.generation, files, mode, replaceAst)
-  }
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    collection.dropUncommittedFiles(messages.collect {
-      case GraftNativeCommit(fs) => fs
-    }.toSeq.flatten)
 }
 
 /** Files (root-relative) one committed task wrote. */

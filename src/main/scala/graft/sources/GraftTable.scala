@@ -202,9 +202,14 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
       // r10: the native BatchWrite expresses dynamic partition replace
       // (commit with replaced = touched partitions), so dynamic INSERT
       // OVERWRITE stops refusing — on natively-writable tables only
-      // (the V1 bridge still has no dynamic exec)
+      // (the V1 bridge still has no dynamic exec). STREAMING_WRITE
+      // rides the same eligibility: `writeStream.toTable` plans the
+      // native exactly-once epoch sink; CHECK-constraint tables refuse
+      // at analysis (stream through `format("graft")`+foreachBatch or
+      // drop the constraint — the V1 bridge has no streaming exec)
       val s = new java.util.HashSet[TableCapability](base)
       s.add(TableCapability.OVERWRITE_DYNAMIC)
+      s.add(TableCapability.STREAMING_WRITE)
       s
     } else {
       val s = new java.util.HashSet[TableCapability](base)
@@ -691,7 +696,15 @@ class GraftWriteBuilder(spark: SparkSession, open: () => Collection,
       require(info.schema().fieldNames.toSeq == c.schema.fieldNames.toSeq,
         s"INSERT schema ${info.schema().fieldNames.mkString(",")} does not " +
         s"match table schema ${c.schema.fieldNames.mkString(",")}")
-      new GraftNativeWrite(spark, c, spec, mode, info.schema(), replaceAst)
+      // the streaming leg's exactly-once idempotence key: an explicit
+      // streamName beats the checkpoint location beats the query id —
+      // the same precedence as the V1 path sink (several streams feeding
+      // one collection need distinct names)
+      val streamName = Option(info.options.get("streamName"))
+        .orElse(Option(info.options.get("checkpointLocation")))
+        .getOrElse(info.queryId())
+      new GraftNativeWrite(spark, c, spec, mode, info.schema(), replaceAst,
+        reopen = () => open(), streamName = streamName)
     } else new V1Write {
       override def toInsertableRelation: InsertableRelation =
         (data: DataFrame, _: Boolean) => {

@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `df.writeStream.toTable("graft.db.t")` (r10): the NATIVE DSv2
+  * streaming sink on the catalog face — per-epoch executor parquet
+  * writes + one atomic manifest generation carrying the
+  * (streamName, epochId) high-water mark, the exactly-once contract of
+  * the V1 path sink (GraftSink) without the Row bridge. Paired with
+  * `readStream.table` (StreamTableSpec) this closes the catalog-native
+  * streaming loop: table -> transform -> table, no format/path options.
+  */
+class StreamTableWriteSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", CatalogSpec.warehouse)
+    GraftExtensions.register(s)
+    s
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def ckpt(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("toTable appends each micro-batch exactly once; the mark commits with the data") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.stw")
+    sql("CREATE TABLE graft.stw.src (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    sql("CREATE TABLE graft.stw.out (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    sql("INSERT INTO graft.stw.src VALUES (1, 1.0), (2, 2.0)")
+
+    val cp = ckpt("stw-append")
+    def run(): Unit = {
+      val q = spark.readStream.table("graft.stw.src")
+        .writeStream.option("checkpointLocation", cp)
+        .toTable("graft.stw.out")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def got: Seq[(Long, Double)] = sql("SELECT * FROM graft.stw.out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got == Seq((1L, 1.0), (2L, 2.0)), s"first epoch = source snapshot: $got")
+
+    // restart from the same checkpoint after new source commits: ONLY
+    // the increment lands — offsets resume AND the sink's high-water
+    // mark refuses any replayed epoch
+    sql("INSERT INTO graft.stw.src VALUES (3, 3.0)")
+    run()
+    assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      s"restart must append only the new commit, once: $got")
+
+    // the idempotence mark is IN the manifest, committed with the files
+    val out = graft.core.Collection.open(spark,
+      s"${CatalogSpec.warehouse}/stw/out", readOnly = true)
+    assert(out.streamHighWaterMark(cp).nonEmpty,
+      "the (streamName=checkpointLocation, epoch) mark must be committed " +
+      "atomically with the batch")
+  }
+
+  test("a replayed epoch is skipped against the committed mark (at-least-once -> exactly-once)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.stw")
+    sql("CREATE TABLE graft.stw.rp (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    val root = s"${CatalogSpec.warehouse}/stw/rp"
+
+    // drive the StreamingWrite directly with the SAME epoch twice — the
+    // harness-level simulation of Spark replaying an epoch whose sink
+    // commit landed but whose checkpoint commit-log record did not
+    val table = new graft.sources.GraftTable(spark, root, "graft.stw.rp", None)
+    val rowSchema = sql("SELECT * FROM graft.stw.rp").schema
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def options() = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("streamName", "replay-test"))
+      override def queryId(): String = "qid-replay"
+      override def schema() = rowSchema
+    }
+    val sw = table.newWriteBuilder(info).build()
+      .toStreaming
+    def writeEpoch(epochId: Long, rows: Seq[(Long, Double)]): Unit = {
+      val f = sw.createStreamingWriterFactory(
+        new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+          override def numPartitions(): Int = 1
+        })
+      val w = f.createWriter(0, 0L, epochId)
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(rowSchema.fields.map(_.dataType))
+      rows.foreach { case (k, v) =>
+        w.write(proj(org.apache.spark.sql.catalyst.InternalRow(k, v)))
+      }
+      sw.commit(epochId, Array(w.commit()))
+    }
+    writeEpoch(0L, Seq((1L, 1.0)))
+    writeEpoch(0L, Seq((1L, 1.0))) // the replay — must be skipped
+    writeEpoch(1L, Seq((2L, 2.0)))
+    val got = sql("SELECT * FROM graft.stw.rp").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got == Seq((1L, 1.0), (2L, 2.0)),
+      s"epoch 0's replay must not land twice: $got")
+    // the replay's orphan files were actively removed, not left to vacuum
+    val c = graft.core.Collection.open(spark, root, readOnly = true)
+    assert(c.streamHighWaterMark("replay-test").contains(1L))
+  }
+
+  test("Complete mode replaces the table every epoch (aggregate toTable)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.stw")
+    sql("CREATE TABLE graft.stw.csrc (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    sql("CREATE TABLE graft.stw.cagg (cargo BIGINT, n BIGINT) PARTITIONED BY (cargo)")
+    sql("INSERT INTO graft.stw.csrc VALUES (1, 1.0), (1, 2.0), (2, 1.0)")
+
+    val cp = ckpt("stw-complete")
+    def run(): Unit = {
+      val q = spark.readStream.table("graft.stw.csrc")
+        .groupBy("cargo").count().withColumnRenamed("count", "n")
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", cp)
+        .toTable("graft.stw.cagg")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def got: Seq[(Long, Long)] = sql("SELECT * FROM graft.stw.cagg")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L)), s"complete mode = full aggregate: $got")
+
+    sql("INSERT INTO graft.stw.csrc VALUES (2, 3.0), (3, 3.0)")
+    run()
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 1L)),
+      s"each epoch must REPLACE the previous complete result, not append: $got")
+  }
+
+  test("a CHECK-constraint table refuses streaming writes at analysis") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.stw")
+    sql("CREATE TABLE graft.stw.guarded (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    graft.core.Collection.open(spark, s"${CatalogSpec.warehouse}/stw/guarded")
+      .addConstraint("v_nonneg", "v >= 0")
+    // a FRESH table load sees the constraint (eligibility is cached per
+    // table instance by design)
+    val table = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("stw"), "guarded"))
+    assert(!table.capabilities().contains(
+      org.apache.spark.sql.connector.catalog.TableCapability.STREAMING_WRITE),
+      "constraint tables must not advertise STREAMING_WRITE (the per-row " +
+      "guard rides the V1 write job, which has no streaming exec)")
+  }
+}
