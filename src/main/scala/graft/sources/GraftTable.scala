@@ -359,11 +359,18 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     * parquet footer min/max are exact (and files whose writers dropped
     * stats — all-null or NaN-bearing — poison the rollup to None, which
     * refuses the pushdown rather than guessing). Only COMPLETE pushdown
-    * with no residual filters, no grouping, and no VERSION/TIMESTAMP AS
-    * OF pin (the rollup describes the CURRENT manifest): anything else
-    * falls back to the ordinary scan. */
+    * with no residual filters and no grouping: anything else falls back
+    * to the ordinary scan. Under a VERSION/TIMESTAMP AS OF pin, ONLY
+    * `COUNT(*)` answers (r10b: [[Collection.countRowsMeta]] reads the
+    * pinned manifest's recorded rows — the time-travel audit
+    * `SELECT count(*) ... VERSION AS OF n` stays zero-data-files at any
+    * collection size); MIN/MAX and grouped shapes refuse, their
+    * zone-map rollups describe the CURRENT manifest. */
   private def resolveAggregation(agg: Aggregation): Option[(StructType, Seq[Row])] = {
-    if (asOfGen.isDefined) return None
+    if (asOfGen.isDefined &&
+        (agg.groupByExpressions.nonEmpty ||
+         !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])))
+      return None
     // weakened filters leave post-scan residuals (Spark never offers the
     // aggregate then anyway); exact filters feed the metadata count below
     if (!exactPush && (ast != FilterExpr.True || pushed.nonEmpty)) return None
@@ -385,7 +392,7 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
         // when the (exact) predicate is partition-aligned — O(shards),
         // zero data files, `SELECT count(*) ... WHERE day = 3` at any
         // collection size; anything metadata can't prove refuses
-        collection.countRowsMeta(ast)
+        collection.countRowsMeta(ast, asOfGen)
           .map(n => (StructField("count(*)", LongType, nullable = false), n))
       case m: Min =>
         for {
