@@ -2054,14 +2054,14 @@ final class Collection private (
     * undecodable partition, uncounted file, or statless file for a
     * requested column refuses the whole answer. */
   private[graft] def groupedAggMeta(groupCols: Seq[String], ast: FilterExpr.Ast,
-      boundsFor: Seq[String])
+      boundsFor: Seq[String], at: Option[Long] = None)
       : Option[Seq[(Seq[Any], Long, Map[String, (Any, Any)])]] = {
     if (groupCols.isEmpty || !groupCols.forall(partCols.contains)) return None
     if (ast != FilterExpr.True && !FilterExpr.names(ast).subsetOf(partCols.toSet))
       return None
     if (!boundsFor.forall(statsCols.contains)) return None
     val doms = boundsFor.map(c => c -> columnDomain(c).getOrElse(return None)).toMap
-    val man = currentManifest()
+    val man = at.map(manifestAt).getOrElse(currentManifest())
     val decoded = man.partitionPaths.map(p => decodePath(p).map(p -> _))
     if (decoded.exists(_.isEmpty)) return None
     val wanted = decoded.flatten.filter { case (_, k) =>
@@ -2106,12 +2106,16 @@ final class Collection private (
   }
 
   /** [[columnBounds]] over an already-built AST — the SQL aggregate
-    * pushdown's filtered MIN/MAX entry point (names pre-checked). */
-  private[graft] def columnBoundsAst(name: String,
-                                     ast: FilterExpr.Ast): Option[(Any, Any)] = {
+    * pushdown's filtered MIN/MAX entry point (names pre-checked). `at`
+    * answers from a PINNED generation's own shard rollups (AS-OF
+    * aggregate pushdown); files the snapshot holds without stats for
+    * `name` — e.g. written before the column existed — poison the merge
+    * to None, refusing rather than answering off-snapshot. */
+  private[graft] def columnBoundsAst(name: String, ast: FilterExpr.Ast,
+                                     at: Option[Long] = None): Option[(Any, Any)] = {
     if (!statsCols.contains(name)) return None
     val dom = columnDomain(name).getOrElse(return None)
-    val man = currentManifest()
+    val man = at.map(manifestAt).getOrElse(currentManifest())
     def decode(st: ColStat): Option[(Any, Any)] =
       for (lo <- dom.decodeStat(st.lo); hi <- dom.decodeStat(st.hi)) yield (lo, hi)
     def merge(pairs: Seq[Option[(Any, Any)]]): Option[(Any, Any)] =

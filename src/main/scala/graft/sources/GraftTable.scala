@@ -360,17 +360,13 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
     * stats — all-null or NaN-bearing — poison the rollup to None, which
     * refuses the pushdown rather than guessing). Only COMPLETE pushdown
     * with no residual filters and no grouping: anything else falls back
-    * to the ordinary scan. Under a VERSION/TIMESTAMP AS OF pin, ONLY
-    * `COUNT(*)` answers (r10b: [[Collection.countRowsMeta]] reads the
-    * pinned manifest's recorded rows — the time-travel audit
-    * `SELECT count(*) ... VERSION AS OF n` stays zero-data-files at any
-    * collection size); MIN/MAX and grouped shapes refuse, their
-    * zone-map rollups describe the CURRENT manifest. */
+    * to the ordinary scan. A VERSION/TIMESTAMP AS OF pin answers too
+    * (r10b): counts from the PINNED manifest's recorded rows, MIN/MAX
+    * from the pinned snapshot's own per-file zone maps — the
+    * time-travel audit `SELECT count(*)/min/max ... VERSION AS OF n`
+    * stays zero-data-files at any collection size (a snapshot holding
+    * files without stats for the asked column refuses and scans). */
   private def resolveAggregation(agg: Aggregation): Option[(StructType, Seq[Row])] = {
-    if (asOfGen.isDefined &&
-        (agg.groupByExpressions.nonEmpty ||
-         !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])))
-      return None
     // weakened filters leave post-scan residuals (Spark never offers the
     // aggregate then anyway); exact filters feed the metadata count below
     if (!exactPush && (ast != FilterExpr.True || pushed.nonEmpty)) return None
@@ -382,7 +378,7 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
       // filtered bounds answer when the (exact) predicate is partition-
       // aligned: merged per-file zone maps of exactly the matching
       // partitions — same metadata contract as the filtered count
-      collection.columnBoundsAst(name, ast)
+      collection.columnBoundsAst(name, ast, asOfGen)
         .map { case (lo, up) => (if (hi) up else lo, dt) }
     }
 
@@ -469,7 +465,7 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
       }
     if (aggSpecs.isEmpty) return None
     val boundsFor = aggSpecs.flatMap(_._2).map(_._1).distinct
-    collection.groupedAggMeta(groupCols, ast, boundsFor).map { groups =>
+    collection.groupedAggMeta(groupCols, ast, boundsFor, asOfGen).map { groups =>
       val gTypes = groupCols.map(c => fullSchema(fullSchema.fieldIndex(c)).dataType)
       val schema = StructType(
         // nullable: a null-keyed partition surfaces as a SQL NULL group

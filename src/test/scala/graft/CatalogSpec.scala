@@ -200,25 +200,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(q3.queryExecution.executedPlan.toString.contains("HashAggregate"))
     assert(q3.collect().head.getDouble(0) == 1.0)
 
-    // r10b: COUNT(*) under VERSION AS OF answers from the PINNED
-    // manifest's recorded rows — still metadata-only (the time-travel
-    // audit shape), and at the snapshot's count, not the head's
+    // r10b: aggregates under VERSION AS OF answer from the PINNED
+    // manifest — counts from its recorded rows, MIN/MAX from its own
+    // per-file zone maps — still metadata-only (the time-travel audit
+    // shape), and at the SNAPSHOT's values, not the head's
     sql("INSERT INTO graft.db5.agg VALUES " +
       "(TIMESTAMP'2024-01-04 08:00:00', 9, 9.0)")
     val gens = sql("SELECT max(generation) FROM graft.db5.agg.history")
       .collect().head.getLong(0)
-    val q4 = sql(s"SELECT count(*) FROM graft.db5.agg VERSION AS OF ${gens - 1}")
+    val q4 = sql(s"SELECT count(*), max(user_id) FROM graft.db5.agg " +
+      s"VERSION AS OF ${gens - 1}")
     val p4 = q4.queryExecution.executedPlan.toString
     assert(p4.contains("PushedAggregates: [COUNT(*)") && !p4.contains("BatchScan"),
-      s"pinned COUNT(*) must stay metadata-only:\n$p4")
-    assert(q4.collect().head.getLong(0) == 4,
-      "pinned COUNT(*) must answer at the snapshot, not the head")
-    assert(sql("SELECT count(*) FROM graft.db5.agg").collect().head.getLong(0) == 5)
-    // MIN/MAX rollups describe the head — a pinned MIN/MAX refuses the
-    // metadata path (scans instead) rather than answering off-snapshot
-    val q5 = sql(s"SELECT min(user_id) FROM graft.db5.agg VERSION AS OF ${gens - 1}")
-    assert(q5.queryExecution.executedPlan.toString.contains("HashAggregate"))
-    assert(q5.collect().head.getLong(0) == 1)
+      s"pinned aggregates must stay metadata-only:\n$p4")
+    val r4 = q4.collect().head
+    assert(r4.getLong(0) == 4 && r4.getLong(1) == 3,
+      s"pinned count/max must answer at the snapshot, not the head: $r4")
+    val head = sql("SELECT count(*), max(user_id) FROM graft.db5.agg").collect().head
+    assert(head.getLong(0) == 5 && head.getLong(1) == 9)
   }
 
   test("FILTERED COUNT(*) answers from partition metadata; exact predicates drop the engine Filter") {
