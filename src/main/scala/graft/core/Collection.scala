@@ -2393,30 +2393,29 @@ final class Collection private (
     * [[nativeScanPlan]]): the pinned generation whose `taskBase` seeds
     * executor row ids plus everything the executor-side parquet writers
     * need. `None` = this write is not natively expressible and must go
-    * through the proven V1 bridge:
-    *
-    *  - CHECK constraints present — [[constraintGuard]] rides the V1
-    *    write job's own scan; the native path would have to re-prove
-    *    the per-row raise-error semantics (fallback, like the read
-    *    side's fill-column escape);
-    *  - a partition column of a type whose Hive path segment the native
-    *    writer cannot format EXACTLY as Spark's own dynamic-partition
-    *    committer would ([[Collection.nativeKeyType]] — the same gate
-    *    the native scan applies for decoding). */
+    * through the proven V1 bridge — a partition column of a type whose
+    * Hive path segment the native writer cannot format EXACTLY as
+    * Spark's own dynamic-partition committer would
+    * ([[Collection.nativeKeyType]] — the same gate the native scan
+    * applies for decoding). CHECK constraints stopped being a fallback
+    * in r10b: the spec carries them and the native tasks enforce the
+    * [[constraintGuard]] NULL-passes/raise semantics per row, so
+    * constrained tables keep dynamic overwrite, REPLACE WHERE, and
+    * streaming writes. A constraint added CONCURRENTLY with the write
+    * still refuses in the rebase guard (constraints are pinned at
+    * planning). */
   /** Read-only-safe eligibility probe for [[nativeWriteSpec]] — what
     * [[graft.sources.GraftTable.capabilities]] consults to decide
     * whether to advertise `V1_BATCH_WRITE` (Spark's write strategy
     * REQUIRES the capability set and the built Write to agree, so the
     * decision is made once at table level and the builder follows it). */
   private[graft] def nativeWriteCompatible: Boolean =
-    currentManifest().constraints.isEmpty &&
-      partCols.map(c => partitioning.colType(c, schema))
-        .forall(Collection.nativeKeyType)
+    partCols.map(c => partitioning.colType(c, schema))
+      .forall(Collection.nativeKeyType)
 
   private[graft] def nativeWriteSpec(): Option[Collection.NativeWriteSpec] = {
     requireWritable()
     val man = currentManifest()
-    if (man.constraints.nonEmpty) return None
     val keyTypes = partCols.map(c => partitioning.colType(c, schema))
     if (!keyTypes.forall(Collection.nativeKeyType)) return None
     Some(Collection.NativeWriteSpec(
@@ -2428,7 +2427,8 @@ final class Collection private (
       compression = profile.compression,
       zstdLevel = profile.zstdLevel,
       bloomCols = bloomColumns,
-      bloomNdv = bloomNdv))
+      bloomNdv = bloomNdv,
+      constraints = man.constraints.toSeq.sortBy(_._1)))
   }
 
   /** Publish a native batch write's task-committed files as one atomic
@@ -3739,14 +3739,17 @@ object Collection extends CollectionManifestLayer {
   /** Everything a NATIVE DSv2 batch write's driver side needs from the
     * pinned snapshot ([[Collection#nativeWriteSpec]]): the generation to
     * commit against, the row-id task base, the partition-column layout
-    * for executor-side Hive path formatting, and the parquet codec/bloom
-    * configuration [[Collection#physicalWrite]] would have applied. */
+    * for executor-side Hive path formatting, the parquet codec/bloom
+    * configuration [[Collection#physicalWrite]] would have applied, and
+    * the CHECK constraints (name -> predicate SQL, name-sorted) the
+    * write's tasks enforce per row (r10b — previously a V1 fallback). */
   private[graft] final case class NativeWriteSpec(
       generation: Long, taskBase: Long,
       partCols: Seq[String], partColTypes: Seq[DataType],
       identityCols: Seq[String],
       compression: String, zstdLevel: Int,
-      bloomCols: Seq[String], bloomNdv: Map[String, Long])
+      bloomCols: Seq[String], bloomNdv: Map[String, Long],
+      constraints: Seq[(String, String)])
 
   /** Partition-column types the native scan can decode from Hive path
     * segments into Catalyst internal values ([[internalKeyValue]]). */

@@ -41,11 +41,15 @@ import graft.core.Collection
   * Row ids reproduce the V1 formula
   * `(taskBase + sparkPartitionId) << 33 + rowIndex`.
   *
-  * Fallback contract (the read-side claim discipline, mirrored): CHECK
-  * constraints or a partition-column type the native path cannot format
-  * byte-identically to Spark's dynamic-partition committer fall back to
-  * the proven V1 write — correctness escapes, not optimizations.
+  * Fallback contract (the read-side claim discipline, mirrored): a
+  * partition-column type the native path cannot format byte-identically
+  * to Spark's dynamic-partition committer falls back to the proven V1
+  * write — a correctness escape, not an optimization.
   * `spark.graft.nativeWrite=false` pins every write to the V1 bridge.
+  * CHECK constraints are NOT a fallback (r10b): the tasks evaluate the
+  * V1 guard's exact NULL-passes boolean per row, codegen'd, and raise
+  * naming the constraint — which keeps dynamic overwrite, REPLACE
+  * WHERE, and streaming writes available on constrained tables.
   *
   * Reference behavior: zcollection's insert writes Zarr chunks then
   * commits an Icechunk snapshot referencing exactly those chunk keys
@@ -124,9 +128,11 @@ class GraftNativeStreamingWrite(spark: SparkSession, reopen: () => Collection,
     // per-EPOCH snapshot: generation + row-id task base advance with the
     // collection, so epoch N+1's ids never collide with epoch N's rows
     val c = reopen()
+    // NOTE: a CHECK constraint added mid-stream is picked up here — the
+    // NEXT epoch's tasks enforce the new set (constraints ride the spec)
     val spec = c.nativeWriteSpec().getOrElse(throw new IllegalStateException(
       s"collection ${c.root} stopped being natively writable mid-stream " +
-      "(CHECK constraints added concurrently?) — restart the query"))
+      "(partitioning changed concurrently?) — restart the query"))
     epoch = (c, spec)
     val f = GraftNativeBatchWrite.writerFactory(spark, c, spec, inputSchema)
     new StreamingDataWriterFactory {
@@ -216,9 +222,32 @@ object GraftNativeBatchWrite {
       keptIdx.map(_._1) :+ StructField(Collection.RowIdCol, LongType, nullable = false))
     val conf = ParquetWriteBridge.writeConf(spark, fileSchema,
       spec.compression, spec.zstdLevel, spec.bloomCols, spec.bloomNdv)
+    // CHECK constraints (r10b): compile each predicate ONCE on the
+    // driver into the V1 guard's exact boolean — `coalesce(expr(sql)
+    // .cast("boolean"), true)` (ANSI: NULL passes) — bound to input
+    // ordinals; the tasks evaluate codegen'd per row and raise naming
+    // the constraint, plus a to_json(struct(*)) rendering of the
+    // offending row, the constraintGuard message shape
+    val checkExprs: Seq[Expression] =
+      if (spec.constraints.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.functions.{coalesce, expr, lit, struct, to_json}
+        val guarded = df0.select(
+          spec.constraints.zipWithIndex.map { case ((_, sql), i) =>
+            coalesce(expr(sql).cast("boolean"), lit(true)).as(s"__check_$i")
+          } :+ to_json(struct(inputSchema.fieldNames.toSeq.map(
+            org.apache.spark.sql.functions.col): _*)).as("__check_row"): _*)
+        val (byName2, baseAttrs2) = ParquetWriteBridge.collapseProjects(
+          Bridge.analyzed(guarded))
+        ParquetWriteBridge.boundProjection(
+          (spec.constraints.indices.map(i => byName2(s"__check_$i"))
+            :+ byName2("__check_row")).map(ParquetWriteBridge.replaceRuntime),
+          baseAttrs2)
+      }
     GraftWriterFactory(collection.root, new SerializableConfiguration(conf),
       partExprs, spec.partCols, spec.partColTypes, outExprs, spec.taskBase,
-      spec.compression, UUID.randomUUID().toString)
+      spec.compression, UUID.randomUUID().toString,
+      checkExprs, spec.constraints)
   }
 }
 
@@ -228,7 +257,12 @@ case class GraftNativeCommit(files: Seq[String]) extends WriterCommitMessage
 case class GraftWriterFactory(root: String, conf: SerializableConfiguration,
                               partExprs: Seq[Expression], partCols: Seq[String],
                               partColTypes: Seq[DataType], outExprs: Seq[Expression],
-                              taskBase: Long, compression: String, jobUuid: String)
+                              taskBase: Long, compression: String, jobUuid: String,
+                              /** Bound CHECK guards: one boolean per
+                                * constraint, then the row's JSON
+                                * rendering (violation message). */
+                              checkExprs: Seq[Expression] = Nil,
+                              checkConstraints: Seq[(String, String)] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(this, partitionId, taskId)
@@ -244,6 +278,10 @@ class GraftDataWriter(f: GraftWriterFactory, partitionId: Int, taskId: Long)
 
   private val partProj = ParquetWriteBridge.unsafeProjection(f.partExprs)
   private val outProj = ParquetWriteBridge.unsafeProjection(f.outExprs)
+  // CHECK guards: booleans (never null — coalesced true) + row JSON
+  private val checkProj =
+    if (f.checkExprs.isEmpty) null
+    else ParquetWriteBridge.unsafeProjection(f.checkExprs)
   private val idRow = new GenericInternalRow(1)
   private val joined = new JoinedRow
   private var rowId: Long = (f.taskBase + partitionId) << 33
@@ -290,6 +328,22 @@ class GraftDataWriter(f: GraftWriterFactory, partitionId: Int, taskId: Long)
   private var currentKey: InternalRow = null
 
   override def write(row: InternalRow): Unit = {
+    if (checkProj != null) {
+      val v = checkProj(row)
+      var i = 0
+      while (i < f.checkConstraints.length) {
+        if (!v.getBoolean(i)) {
+          val (name, sql) = f.checkConstraints(i)
+          // the task fails -> the job aborts -> nothing commits; same
+          // atomic-refusal contract (and message shape) as the V1
+          // write's raise_error guard
+          throw new IllegalStateException(
+            s"CHECK constraint '$name' violated: ($sql) is false for row " +
+            v.getUTF8String(f.checkConstraints.length))
+        }
+        i += 1
+      }
+    }
     val key = partProj(row)
     if (currentKey == null || key != currentKey) {
       roll(partitionDir(key))

@@ -144,10 +144,11 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
     * once, because Spark's write strategy requires the capability set
     * and the built `Write` to agree: a table advertising
     * `V1_BATCH_WRITE` must build a `V1Write`; one that doesn't must
-    * build a `toBatch`-capable Write. Fallback to V1 when CHECK
-    * constraints exist (the per-row guard rides the V1 job's scan), a
+    * build a `toBatch`-capable Write. Fallback to V1 when a
     * partition-key type is outside the native-formattable set, or
-    * `spark.graft.nativeWrite=false` pins the bridge.
+    * `spark.graft.nativeWrite=false` pins the bridge (CHECK constraints
+    * stopped being a fallback in r10b — the native tasks enforce them
+    * per row).
     *
     * CACHED (lazy val) and NON-THROWING: `capabilities()` consults this
     * on every `Table.supports()` probe during analysis and planning —
@@ -204,9 +205,9 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
       // OVERWRITE stops refusing — on natively-writable tables only
       // (the V1 bridge still has no dynamic exec). STREAMING_WRITE
       // rides the same eligibility: `writeStream.toTable` plans the
-      // native exactly-once epoch sink; CHECK-constraint tables refuse
-      // at analysis (stream through `format("graft")`+foreachBatch or
-      // drop the constraint — the V1 bridge has no streaming exec)
+      // native exactly-once epoch sink (CHECK constraints enforce
+      // in-task since r10b, so constrained tables stream too; only
+      // exotic partition-key types remain on the V1 bridge)
       val s = new java.util.HashSet[TableCapability](base)
       s.add(TableCapability.OVERWRITE_DYNAMIC)
       s.add(TableCapability.STREAMING_WRITE)
@@ -687,14 +688,14 @@ class GraftWriteBuilder(spark: SparkSession, open: () => Collection,
     * ([[GraftTable.nativeWriteEligible]] — the capability set and the
     * Write instance must agree for Spark's write strategy). A snapshot
     * whose eligibility changed between table load and write planning
-    * (a concurrently-added CHECK constraint) fails loudly here rather
-    * than silently skipping the constraint guard. */
+    * (a concurrent partition evolution to an exotic key type) fails
+    * loudly here rather than formatting paths wrong. */
   override def build(): Write = {
     val c = open()
     if (native) {
       val spec = c.nativeWriteSpec().getOrElse(throw new IllegalStateException(
         s"table $tableName was loaded native-writable but the current " +
-        "snapshot is not (CHECK constraints changed concurrently?) — " +
+        "snapshot is not (partitioning changed concurrently?) — " +
         "re-read the table and retry"))
       require(info.schema().fieldNames.toSeq == c.schema.fieldNames.toSeq,
         s"INSERT schema ${info.schema().fieldNames.mkString(",")} does not " +

@@ -108,6 +108,25 @@ object ParquetWriteBridge {
       : org.apache.spark.sql.catalyst.expressions.UnsafeProjection =
     org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(bound)
 
+  /** The optimizer's `ReplaceExpressions` rewrite for a bare expression
+    * tree: [[org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable]]
+    * nodes (`to_json`, many SQL sugar functions) cannot be evaluated —
+    * only their `replacement` can. ANALYZED-but-unoptimized expressions
+    * lifted out of a plan (the CHECK-constraint guards) must pass
+    * through this before binding, or interpreted eval asserts. Iterates
+    * because a replacement may itself contain replaceables. */
+  def replaceRuntime(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    var cur = e
+    var rounds = 0
+    while (rounds < 10 && cur.exists(_.isInstanceOf[RuntimeReplaceable])) {
+      cur = cur.transformUp { case r: RuntimeReplaceable => r.replacement }
+      rounds += 1
+    }
+    cur
+  }
+
   /** Inline a stack of analyzed `Project`s onto the plan's base relation:
     * returns (exprFor(name), base output attributes). The partitioning's
     * `assign` builds `withColumn` chains — this collapses them so each

@@ -90,20 +90,39 @@ class NativeWriteSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 150)
   }
 
-  test("CHECK constraints fall back to the V1 write and stay enforced") {
+  test("CHECK constraints enforce IN the native tasks (r10b) — no V1 fallback") {
     sql("CREATE TABLE graft.nw.con_t (ts TIMESTAMP, user_id BIGINT, v DOUBLE) PARTITIONED BY (days(ts))")
     val w = Collection.open(spark, s"${CatalogSpec.warehouse}/nw/con_t")
     w.addConstraint("v_pos", "v >= 0")
 
     val ins = sql("INSERT INTO graft.nw.con_t SELECT TIMESTAMP'2024-01-01 00:00:00', 1, 2.0")
-    assert(ins.queryExecution.executedPlan.toString.contains("AppendDataExecV1"),
-      "a CHECK-constrained table must advertise and use the V1 write")
+    assert(!ins.queryExecution.executedPlan.toString.contains("ExecV1"),
+      "a CHECK-constrained table must stay on the native write")
     assert(sql("SELECT COUNT(*) FROM graft.nw.con_t").collect().head.getLong(0) == 1)
+    // ANSI NULL passes — the V1 guard's coalesce(.., true) semantics
+    sql("INSERT INTO graft.nw.con_t SELECT TIMESTAMP'2024-01-03 00:00:00', 3, CAST(NULL AS DOUBLE)")
+    assert(sql("SELECT COUNT(*) FROM graft.nw.con_t").collect().head.getLong(0) == 2)
     val err = intercept[Exception](
       sql("INSERT INTO graft.nw.con_t SELECT TIMESTAMP'2024-01-02 00:00:00', 2, -5.0"))
-    assert(err.getMessage != null)
-    assert(sql("SELECT COUNT(*) FROM graft.nw.con_t").collect().head.getLong(0) == 1,
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(err).contains("v_pos"),
+      s"the failure must name the constraint: ${messages(err)}")
+    assert(sql("SELECT COUNT(*) FROM graft.nw.con_t").collect().head.getLong(0) == 2,
       "a violating insert must not commit")
+    // dynamic overwrite now works on constrained tables (it used to
+    // refuse at analysis on the V1-fallback path)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try sql("INSERT OVERWRITE graft.nw.con_t SELECT TIMESTAMP'2024-01-01 00:00:00', 9, 9.0")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val users = sql("SELECT user_id FROM graft.nw.con_t ORDER BY user_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(users == Seq(3L, 9L),
+      s"dynamic overwrite must replace only the touched day partition: $users")
   }
 
   test("INSERT INTO ... REPLACE WHERE: partition-aligned overwrite-by-expression (r10)") {

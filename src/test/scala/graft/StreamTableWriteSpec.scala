@@ -127,20 +127,32 @@ class StreamTableWriteSpec extends AnyFunSuite {
       s"each epoch must REPLACE the previous complete result, not append: $got")
   }
 
-  test("a CHECK-constraint table refuses streaming writes at analysis") {
+  test("CHECK constraints stream too (r10b): enforced per epoch, violations kill the query uncommitted") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.stw")
+    sql("CREATE TABLE graft.stw.gsrc (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
     sql("CREATE TABLE graft.stw.guarded (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
     graft.core.Collection.open(spark, s"${CatalogSpec.warehouse}/stw/guarded")
       .addConstraint("v_nonneg", "v >= 0")
-    // a FRESH table load sees the constraint (eligibility is cached per
-    // table instance by design)
-    val table = spark.sessionState.catalogManager.catalog("graft")
-      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
-      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
-        Array("stw"), "guarded"))
-    assert(!table.capabilities().contains(
-      org.apache.spark.sql.connector.catalog.TableCapability.STREAMING_WRITE),
-      "constraint tables must not advertise STREAMING_WRITE (the per-row " +
-      "guard rides the V1 write job, which has no streaming exec)")
+    sql("INSERT INTO graft.stw.gsrc VALUES (1, 1.0), (2, 2.0)")
+
+    val cp = ckpt("stw-guard")
+    def run(): Unit = {
+      val q = spark.readStream.table("graft.stw.gsrc")
+        .writeStream.option("checkpointLocation", cp)
+        .toTable("graft.stw.guarded")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(sql("SELECT count(*) FROM graft.stw.guarded").collect().head.getLong(0) == 2)
+
+    // a violating epoch fails the query and commits NOTHING
+    sql("INSERT INTO graft.stw.gsrc VALUES (3, -3.0), (4, 4.0)")
+    val err = intercept[Exception](run())
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(err).contains("v_nonneg"),
+      s"the stream failure must name the constraint: ${messages(err)}")
+    assert(sql("SELECT count(*) FROM graft.stw.guarded").collect().head.getLong(0) == 2,
+      "a violating epoch must not commit any of its rows")
   }
 }
