@@ -67,6 +67,10 @@ object Bench {
     // catalog data read
     "text_bm25", "text_pii", "text_kmv", "text_group_split", "zc_sql_scan",
     "text_classifier_gate",
+    // r10: native write (SQL insert + dynamic overwrite + replace-where)
+    // and the catalog-native streaming sink twin of stream_sink_format
+    "zc_sql_insert", "zc_sql_overwrite_dynamic", "zc_sql_replace_where",
+    "stream_sink_table",
   )
 
   private def loadAvg: Double =
