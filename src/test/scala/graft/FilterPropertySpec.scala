@@ -68,6 +68,78 @@ class FilterPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("evalPartition matches SQL three-valued logic exactly on complete keys (NULLs included)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val cols = Seq("year", "month", "day")
+    val schema = StructType(cols.map(c => StructField(c, LongType, nullable = true)))
+    for (_ <- 1 to 150) {
+      val expr = genExpr(2)
+      val ast = FilterExpr.parse(expr)
+      val key: Map[String, Any] = cols.map(c =>
+        c -> (if (rnd.nextInt(4) == 0) null else rnd.nextInt(32).toLong)).toMap
+      val row = Row(cols.map(key(_).asInstanceOf[Any]): _*)
+      val df = spark.createDataFrame(java.util.List.of(row), schema)
+      val got = df.select(FilterExpr.toColumn(ast)).collect().head
+      // the key is COMPLETE and every value comparable, so the calculus
+      // must reach the EXACT SQL verdict — RowDependent here would not
+      // be wrong but would silently lose native-scan claims
+      val expected =
+        if (got.isNullAt(0)) FilterExpr.UnknownRows
+        else if (got.getBoolean(0)) FilterExpr.AllRows
+        else FilterExpr.NoRows
+      assert(FilterExpr.evalPartition(ast, key) == expected,
+        s"'$expr' on $key: evalPartition=${FilterExpr.evalPartition(ast, key)}, " +
+        s"SQL=${if (got.isNullAt(0)) "UNKNOWN" else got.getBoolean(0)}")
+    }
+  }
+
+  test("evalPartition is SOUND under data-column references (sampled rows)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val cols = Seq("year", "month", "day", "v")
+    val schema = StructType(cols.map(c => StructField(c, LongType, nullable = true)))
+    def genMixed(depth: Int): String =
+      if (depth == 0) {
+        if (rnd.nextInt(3) == 0)
+          s"v ${Seq("==", "!=", "<", ">=")(rnd.nextInt(4))} ${rnd.nextInt(32)}"
+        else genExpr(0)
+      }
+      else rnd.nextInt(3) match {
+        case 0 => s"(${genMixed(depth - 1)}) and (${genMixed(depth - 1)})"
+        case 1 => s"(${genMixed(depth - 1)}) or (${genMixed(depth - 1)})"
+        case _ => s"not (${genMixed(depth - 1)})"
+      }
+    val vSamples: Seq[Any] = Seq(null, 0L, 7L, 16L, 31L)
+    for (_ <- 1 to 150) {
+      val expr = genMixed(2)
+      val ast = FilterExpr.parse(expr)
+      val key: Map[String, Any] = Seq("year", "month", "day").map(c =>
+        c -> (if (rnd.nextInt(4) == 0) null else rnd.nextInt(32).toLong)).toMap
+      val rows = vSamples.map(v => Row(
+        key("year").asInstanceOf[Any], key("month").asInstanceOf[Any],
+        key("day").asInstanceOf[Any], v))
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
+      val verdicts = df.select(FilterExpr.toColumn(ast)).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getBoolean(0)).toSeq
+      FilterExpr.evalPartition(ast, key) match {
+        case FilterExpr.AllRows =>
+          assert(verdicts.forall(_ == true),
+            s"'$expr' on $key claimed AllRows but a sampled row disagrees: $verdicts")
+        case FilterExpr.NoRows =>
+          assert(verdicts.forall(_ == false),
+            s"'$expr' on $key claimed NoRows but a sampled row disagrees: $verdicts")
+        case FilterExpr.UnknownRows =>
+          assert(verdicts.forall(_ == null),
+            s"'$expr' on $key claimed uniform UNKNOWN but a sampled row " +
+            s"disagrees: $verdicts")
+        case FilterExpr.RowDependent => () // conservative — always sound
+      }
+    }
+  }
+
   test("ZOrder property: the Column composition matches a bit-twiddling model on random ranks") {
     import graft.functions.ZOrder
     import org.apache.spark.sql.functions.col
