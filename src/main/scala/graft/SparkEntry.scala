@@ -1987,24 +1987,28 @@ object SparkEntry {
       eventsOut(dst.query())
     }),
 
-    // D21 (r10): the CATALOG-native streaming sink —
-    // `writeStream.toTable("graft.db.t")` plans the native DSv2
-    // StreamingWrite: per-epoch executor parquet task writes + ONE
-    // atomic manifest generation carrying the (streamName, epochId)
-    // high-water mark, exactly-once across replays — the write-side
-    // close of the readStream.table loop (D20), zero path options.
+    // D20+D21 (r10): the FULL catalog-native streaming loop —
+    // `readStream.table` (DSv2 micro-batch source over manifest
+    // generations, native vectorized parquet partitions) piped into
+    // `writeStream.toTable` (native DSv2 StreamingWrite: per-epoch
+    // executor parquet task writes + ONE atomic manifest generation
+    // carrying the (streamName, epochId) high-water mark, exactly-once
+    // across replays). Zero path options, zero foreachBatch — pure
+    // catalog identifiers end to end.
     "stream_sink_table" -> ((s, dir) => {
       val src = eventsCollection(s, dir)
-      val name = "sinktbl" + java.util.UUID.randomUUID().toString.take(8)
-      val dst = Collection.create(s, s"$scratch/sqlwh/db/$name", src.schema, "ts",
-        DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val srcT = Collection.create(s, s"$scratch/sqlwh/db/st_src$tag", src.schema,
+        "ts", DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+      srcT.insert(src.query())
+      val dst = Collection.create(s, s"$scratch/sqlwh/db/st_dst$tag", src.schema,
+        "ts", DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
       s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftq.warehouse", s"$scratch/sqlwh")
-      val q = graft.streaming.StreamOps.readStream(s, src)
-        .select(src.schema.fieldNames.toSeq.map(col): _*)
+      val q = s.readStream.table(s"graftq.db.st_src$tag")
         .writeStream
-        .option("checkpointLocation", s"$scratch/sqlwh/db/$name-ckpt")
-        .toTable(s"graftq.db.$name")
+        .option("checkpointLocation", s"$scratch/sqlwh/db/st_dst$tag-ckpt")
+        .toTable(s"graftq.db.st_dst$tag")
       try q.processAllAvailable() finally q.stop()
       eventsOut(dst.query())
     }),
