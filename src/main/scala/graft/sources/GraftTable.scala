@@ -703,10 +703,14 @@ class GraftWriteBuilder(spark: SparkSession, open: () => Collection,
       // the streaming leg's exactly-once idempotence key: an explicit
       // streamName beats the checkpoint location beats the query id —
       // the same precedence as the V1 path sink (several streams feeding
-      // one collection need distinct names)
+      // one collection need distinct names). The query id fallback is
+      // RESTART-STABLE: Spark passes StreamExecution.id, which persists
+      // in the checkpoint's metadata file across restarts (proven by
+      // StreamTableWriteSpec's same-checkpoint stability test).
       val streamName = Option(info.options.get("streamName"))
         .orElse(Option(info.options.get("checkpointLocation")))
         .getOrElse(info.queryId())
+      GraftWriteBuilder.lastStreamName = streamName
       new GraftNativeWrite(spark, c, spec, mode, info.schema(), replaceAst,
         reopen = () => open(), streamName = streamName)
     } else new V1Write {
@@ -719,4 +723,11 @@ class GraftWriteBuilder(spark: SparkSession, open: () => Collection,
         }
     }
   }
+}
+
+object GraftWriteBuilder {
+  /** Test observability: the idempotence key the last streaming write
+    * build resolved — lets specs prove the queryId fallback is stable
+    * across checkpoint restarts without reaching into Spark internals. */
+  @volatile private[graft] var lastStreamName: String = null
 }

@@ -127,6 +127,39 @@ class StreamTableWriteSpec extends AnyFunSuite {
       s"each epoch must REPLACE the previous complete result, not append: $got")
   }
 
+  test("the queryId mark fallback is stable across checkpoint restarts") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.stw")
+    sql("CREATE TABLE graft.stw.qsrc (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    sql("CREATE TABLE graft.stw.qout (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    sql("INSERT INTO graft.stw.qsrc VALUES (1, 1.0)")
+    // checkpoint via the CONF default (no checkpointLocation OPTION), so
+    // the mark key falls through to info.queryId() — the exactly-once
+    // contract then requires that id to survive a restart
+    val cp = ckpt("stw-qid")
+    val prev = spark.conf.getOption("spark.sql.streaming.checkpointLocation")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", cp)
+    def run(): String = {
+      val q = spark.readStream.table("graft.stw.qsrc")
+        .writeStream.queryName("stw_qid_probe").toTable("graft.stw.qout")
+      try q.processAllAvailable() finally q.stop()
+      graft.sources.GraftWriteBuilder.lastStreamName
+    }
+    try {
+      val first = run()
+      sql("INSERT INTO graft.stw.qsrc VALUES (2, 2.0)")
+      val second = run()
+      assert(first != null && first == second,
+        s"the queryId mark key must survive a checkpoint restart " +
+        s"($first vs $second) — otherwise a replayed epoch could land twice")
+      val got = sql("SELECT cargo FROM graft.stw.qout ORDER BY cargo")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L, 2L), s"exactly-once across the restart: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.checkpointLocation", v)
+      case None    => spark.conf.unset("spark.sql.streaming.checkpointLocation")
+    }
+  }
+
   test("CHECK constraints stream too (r10b): enforced per epoch, violations kill the query uncommitted") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.stw")
     sql("CREATE TABLE graft.stw.gsrc (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
