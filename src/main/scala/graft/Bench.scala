@@ -71,6 +71,11 @@ object Bench {
     // and the catalog-native streaming sink twin of stream_sink_format
     "zc_sql_insert", "zc_sql_overwrite_dynamic", "zc_sql_replace_where",
     "stream_sink_table",
+    // r10c: global training-order shuffle (PrefixSum empty-group rank),
+    // keep-best canonical selection, markup strip, stream-static join,
+    // linear-interpolation resample, hybrid RRF fusion
+    "text_shuffle", "dedup_keep_best", "text_html_strip", "stream_static_join",
+    "q_interpolate", "ann_hybrid_rrf",
   )
 
   private def loadAvg: Double =

@@ -1038,6 +1038,22 @@ object SparkEntry {
       graft.dedup.Dedup.groups(pairs).orderBy("id")
     }),
 
+    // C51 (r10c): CANONICAL-document selection — keep-BEST-per-cluster
+    // (quality = text length, ties -> min id) over the same planted
+    // near-dup graph as dedup_groups; singletons survive. The oracle
+    // replays the components closure (recursive CTE) and the
+    // (length DESC, id) argmax exactly — pair-set equality rides
+    // dedup_minhash's LSH-recall-complete argument.
+    "dedup_keep_best" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = plantedDocs(s, dir)
+      val pairs = graft.dedup.Dedup.minhashPairs(
+        docs, "doc_id", TextFunctions.wordShingles(col("text"), 3),
+        threshold = 0.8)
+      graft.dedup.Dedup.keepBest(docs, pairs, "doc_id", length(col("text")))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // C18b (r6): END-TO-END dedup removal — pairs -> connected groups ->
     // keep the min-id representative, singletons survive. On exact-dup
     // classes the survivor set is SQL-provable: min doc_id per text.
@@ -1400,6 +1416,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C52 (r10c): deterministic GLOBAL training-order shuffle — dense
+    // position by (fingerprint hash position, id) rank, computed as an
+    // exclusive prefix COUNT through PrefixSum (empty group, hash
+    // bucket: no single-task global sort). The oracle replays the FNV
+    // chain and ranks with one row_number — the plan this operator
+    // deliberately avoids at scale.
+    "text_shuffle" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      graft.operators.Corpus.shuffleOrder(
+          Tables.documents(s, dir), col("doc_id"),
+          TextFunctions.fingerprint(col("text")))
+        .select("doc_id", "pos").orderBy("doc_id")
+    }),
+
+    // C53 (r10c): HTML/markup STRIP — documents wrapped in a
+    // deterministic HTML shell (tags, comment, style+script blocks,
+    // the five predefined entities) and extracted back to visible
+    // text; every regex is in the RE2-compatible subset, so the oracle
+    // applies the identical chain.
+    "text_html_strip" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val html = concat(
+        lit("<html><head><title>t</title><style>p { color: red; }</style></head>" +
+          "<body><!-- boiler --><h1>Doc &amp; Co</h1><p class=\"b\">"),
+        col("text"),
+        lit("</p><script type=\"text/javascript\">var x = \"<p>not text</p>\";" +
+          "</script><p>&lt;escaped&gt; &#39;q&#39; &quot;w&quot;</p></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.stripMarkup(html).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // C26 (r6): top-k corpus VOCABULARY — tf + df per word, bounded
     // top-k (TakeOrderedAndProject), never a global vocabulary sort.
     "text_vocab" -> ((s, dir) => {
@@ -1537,6 +1585,30 @@ object SparkEntry {
           Tables.documents(s, dir), col("doc_id"), col("text"),
           query = Seq("data", "spark", "merge"), k = 20)
         .orderBy(col("score_scaled").desc, col("doc_id"))
+    }),
+
+    // C54 (r10c): HYBRID search — sparse BM25 ranks (C45, exact scaled
+    // integers) fused with dense cosine top-k ranks (C6) by
+    // exact-integer Reciprocal Rank Fusion: each side contributes the
+    // fraction 1/(60+rank) and the sum stays an integer (num, den)
+    // pair, so everything but the one-division order key is
+    // engine-replayable arithmetic. documents and embeddings share the
+    // 0..N−1 id space by testdata construction.
+    "ann_hybrid_rrf" -> ((s, dir) => {
+      import graft.operators.Corpus
+      val wT = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_scaled").desc, col("doc_id"))
+      val text = Corpus.bm25TopK(Tables.documents(s, dir), col("doc_id"),
+          col("text"), query = Seq("data", "spark", "merge"), k = 20)
+        .withColumn("rank", row_number().over(wT)) // 20 rows: k-bounded window
+        .select("doc_id", "rank")
+      val e = Tables.embeddings(s, dir)
+      val vec = graft.ann.Ann.bruteForceTopK(e,
+          e.where(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+        .select(col("nid").as("doc_id"), col("rank"))
+      graft.ann.Ann.hybridRrf(text, vec, "doc_id", "rank", k = 20)
+        .orderBy((col("rrf_num").cast("double") / col("rrf_den").cast("double")).desc,
+          col("doc_id"))
     }),
 
     // C46 (r9b): PII scrub — emails / IPv4s / E.164 phones planted
@@ -1942,6 +2014,30 @@ object SparkEntry {
       eventsOut(dst.query())
     }),
 
+    // D22 (r10c): STREAM-STATIC enrichment — events stream broadcast-
+    // hash-joined to the customer dimension per micro-batch (stateless,
+    // append-safe), landed exactly-once through the graft sink. The
+    // oracle is the batch join: stream-static inner join is batch-
+    // equivalent whatever the micro-batching.
+    "stream_static_join" -> ((s, dir) => {
+      val src = eventsCollection(s, dir)
+      val dim = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val enriched = graft.streaming.StreamOps.enrichStatic(
+          graft.streaming.StreamOps.readStream(s, src), dim,
+          col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("c_mktsegment").as("segment"), col("value"))
+      val dstRoot = s"$scratch/enrich-${java.util.UUID.randomUUID().toString.take(8)}"
+      val dst = Collection.create(s, dstRoot, enriched.schema, "ts",
+        DatePartitioning("ts", "D"))
+      val q = graft.streaming.StreamOps.insertStream(enriched, dst,
+        "stream_static_join", dstRoot + "-ckpt")
+      try q.processAllAvailable() finally q.stop()
+      dst.query().withColumn("ts_us", unix_micros(col("ts")))
+        .select("event_id", "ts_us", "user_id", "segment", "value")
+        .orderBy("event_id")
+    }),
+
     // D18 (r8b): streaming ingestion with ONLINE DEDUP — every
     // micro-batch dedups against the persisted fingerprint index
     // (bucket-pruned reads), lands survivors exactly-once, appends
@@ -2234,6 +2330,45 @@ object SparkEntry {
       grid.join(hourly, Seq("user_id", "h"), "left_outer")
         .select(col("user_id"), unix_micros(col("h")).as("hour_us"),
           last(col("v"), ignoreNulls = true).over(w).as("value_filled"),
+          col("v").isNotNull.as("observed"))
+        .orderBy("user_id", "hour_us")
+    }),
+
+    // B48 (r10c): LINEAR-interpolation resample — per-user hourly grid
+    // between first and last observation; interior missing buckets take
+    // the time-weighted blend of their bracketing observations
+    // (v = pv + (nv − pv)·(g − pt)/(nt − pt), every term double and the
+    // expression tree written identically in the oracle), observed
+    // buckets pass through exactly. The lerp counterpart of
+    // q_gap_fill's LOCF — the xarray interpolate_na shape of the
+    // reference's altimetry domain. Same scale shape as B42: per-key
+    // windows (users parallelize; a single giant series would compose
+    // with time-bucket chunking), grid explode bounded by the span.
+    "q_interpolate" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      val hourly = ev.groupBy("user_id", "h").agg(max(col("value")).as("v"))
+      val grid = hourly.groupBy("user_id").agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(col("user_id"), explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val j = grid.join(hourly, Seq("user_id", "h"), "left_outer")
+        .withColumn("hu", unix_micros(col("h")))
+      val wPrev = W.partitionBy("user_id").orderBy("hu")
+        .rowsBetween(W.unboundedPreceding, 0)
+      val wNext = W.partitionBy("user_id").orderBy("hu")
+        .rowsBetween(0, W.unboundedFollowing)
+      j.withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pt",
+          last(when(col("v").isNotNull, col("hu")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nt",
+          first(when(col("v").isNotNull, col("hu")), ignoreNulls = true).over(wNext))
+        .select(col("user_id"), col("hu").as("hour_us"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("hu") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")))
+            .as("value_interp"),
           col("v").isNotNull.as("observed"))
         .orderBy("user_id", "hour_us")
     }),
@@ -2766,6 +2901,14 @@ object SparkEntry {
     "stream_ingest" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
+
+    // Stream-static inner join is batch-equivalent: the enrichment is
+    // stateless, so whatever the micro-batching, output = batch join.
+    "stream_static_join" ->
+      """SELECT e.event_id, epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us, e.user_id,
+                c.c_mktsegment AS segment, e.value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY event_id""",
 
     "stream_sink_format" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
@@ -3353,6 +3496,41 @@ object SparkEntry {
            SELECT b.dst, r.rep FROM reach r JOIN bi b ON b.src = r.id)
          SELECT id, min(rep) AS rep FROM reach GROUP BY id ORDER BY id""",
 
+    // Keep-best-per-cluster over the same closure: per component, the
+    // (length(text) DESC, id ASC) argmax survives; everything outside
+    // the pair graph survives as a singleton.
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [text] END) AS s
+                FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM corpus) x),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         bi AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM bi),
+         reach(id, rep) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT b.dst, r.rep FROM reach r JOIN bi b ON b.src = r.id),
+         comp AS (SELECT id, min(rep) AS rep FROM reach GROUP BY id),
+         ranked AS (
+           SELECT comp.id,
+                  row_number() OVER (PARTITION BY comp.rep
+                    ORDER BY length(c.text) DESC, comp.id) AS rn
+           FROM comp JOIN corpus c ON c.doc_id = comp.id),
+         losers AS (SELECT id FROM ranked WHERE rn > 1)
+         SELECT c.doc_id FROM corpus c
+         LEFT JOIN losers l ON c.doc_id = l.id
+         WHERE l.id IS NULL ORDER BY doc_id""",
+
     "dedup_pairs_exhaustive" ->
       """WITH planted AS (
            SELECT doc_id, text FROM documents
@@ -3689,6 +3867,48 @@ object SparkEntry {
          SELECT doc_id, score_scaled, matched_terms,
                 CAST(score_scaled AS DOUBLE) / 1e9 AS score
          FROM r WHERE rk <= 20 ORDER BY score_scaled DESC, doc_id""",
+
+    // Both retrievers replayed by their proven oracle shapes (BM25
+    // integer scores; list_cosine_similarity ordering), then the exact
+    // fraction fusion; only the final order key divides.
+    "ann_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+                      FROM documents),
+         t AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+         dl AS (SELECT doc_id, CAST(COUNT(*) AS HUGEINT) AS dl FROM t GROUP BY doc_id),
+         c AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(dl) AS l FROM dl),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf FROM t
+                WHERE term IN ('data','spark','merge') GROUP BY doc_id, term),
+         df AS (SELECT term, CAST(COUNT(*) AS HUGEINT) AS df FROM tf GROUP BY term),
+         p AS (SELECT tf.doc_id,
+                 ((2*c.n - 2*df.df + 1) * 44 * tf.tf * c.l * 1000000000)
+                   // ((2*df.df + 1) * (20*tf.tf*c.l + 6*c.l + 18*dl.dl*c.n)) AS s
+               FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN c),
+         a AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_scaled FROM p GROUP BY doc_id),
+         trk AS (SELECT doc_id, ra FROM (
+                   SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS ra
+                   FROM a) x WHERE ra <= 20),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         cs AS (SELECT e.vec_id AS doc_id, list_cosine_similarity(q.qe, e.embedding) AS sim
+                FROM q, embeddings e WHERE e.vec_id <> 0),
+         vrk AS (SELECT doc_id, rb FROM (
+                   SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rb
+                   FROM cs) x WHERE rb <= 20),
+         f AS (SELECT COALESCE(trk.doc_id, vrk.doc_id) AS doc_id, ra, rb
+               FROM trk FULL OUTER JOIN vrk ON trk.doc_id = vrk.doc_id),
+         g AS (SELECT doc_id,
+                 CASE WHEN ra IS NOT NULL THEN ra + 60 ELSE 1 END AS d1,
+                 CASE WHEN ra IS NOT NULL THEN 1 ELSE 0 END AS n1,
+                 CASE WHEN rb IS NOT NULL THEN rb + 60 ELSE 1 END AS d2,
+                 CASE WHEN rb IS NOT NULL THEN 1 ELSE 0 END AS n2,
+                 ra, rb
+               FROM f)
+         SELECT doc_id, CAST(n1*d2 + n2*d1 AS BIGINT) AS rrf_num,
+                CAST(d1*d2 AS BIGINT) AS rrf_den,
+                ra AS rank_a, rb AS rank_b
+         FROM g
+         ORDER BY CAST(n1*d2 + n2*d1 AS DOUBLE) / CAST(d1*d2 AS DOUBLE) DESC, doc_id
+         LIMIT 20""",
 
     // Identical PII planting (doc_id arithmetic), identical RE2-subset
     // patterns; DuckDB needs the explicit 'g' flag Spark implies.
@@ -4217,6 +4437,68 @@ object SparkEntry {
                      ELSE 'test' END AS split
          FROM fp ORDER BY doc_id""",
 
+    // Global shuffle = rank on (pmod(fp, 2^50), doc_id) — the oracle
+    // pays the one-window global sort the operator's PrefixSum plan
+    // replaces (fine at sf0.01; that plan shape is WHY the operator
+    // exists).
+    "text_shuffle" ->
+      """WITH norm AS (
+           SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents
+         ), bytes AS (
+           SELECT doc_id,
+             list_transform(range(0, octet_length(encode(s))),
+               i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+1, 1)) - 1) * 16
+                       + (strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2+2, 1)) - 1) AS UBIGINT)) AS bs
+           FROM norm
+         ), fnv AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS UBIGINT), bs),
+               (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+             ) AS hu
+           FROM bytes
+         ), fp AS (
+           SELECT doc_id,
+             CAST(CAST(hu AS HUGEINT) - CASE WHEN hu >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp
+           FROM fnv
+         ), pos AS (
+           SELECT doc_id,
+                  ((fp % 1125899906842624) + 1125899906842624) % 1125899906842624 AS p
+           FROM fp WHERE fp IS NOT NULL
+         )
+         SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY p, doc_id) - 1 AS BIGINT) AS pos
+         FROM pos ORDER BY doc_id""",
+
+    // The identical RE2-subset regex chain, replayed by DuckDB's RE2.
+    "text_html_strip" ->
+      """WITH html AS (
+           SELECT doc_id,
+             '<html><head><title>t</title><style>p { color: red; }</style></head><body><!-- boiler --><h1>Doc &amp; Co</h1><p class="b">'
+             || text ||
+             '</p><script type="text/javascript">var x = "<p>not text</p>";</script><p>&lt;escaped&gt; &#39;q&#39; &quot;w&quot;</p></body></html>' AS h
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(h, '(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                         '(?s)<[^>]*>', ' ', 'g'),
+                       '&lt;', '<', 'g'),
+                     '&gt;', '>', 'g'),
+                   '&quot;', '"', 'g'),
+                 '&#39;', '''', 'g'),
+               '&amp;', '&', 'g'),
+             '\s+', ' ', 'g')) AS clean
+         FROM html ORDER BY doc_id""",
+
     "text_repetition" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
@@ -4518,6 +4800,34 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
                 v IS NOT NULL AS observed
          FROM j ORDER BY user_id, hour_us""",
+
+    // Same grid; interior gaps lerp between bracketing observations
+    // with the identical double expression tree.
+    "q_interpolate" ->
+      """WITH hourly AS (
+           SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, max(value) AS v
+           FROM events GROUP BY user_id, h),
+         bounds AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY user_id),
+         grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+         j AS (SELECT g.user_id, epoch_us(g.h) AS hu, hourly.v
+               FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h),
+         w AS (SELECT user_id, hu, v,
+                 last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hu
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN hu END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY hu
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                 first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hu
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN hu END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY hu
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+               FROM j)
+         SELECT user_id, hu AS hour_us,
+                CASE WHEN v IS NOT NULL THEN v
+                     ELSE pv + (nv - pv) * (CAST(hu - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END AS value_interp,
+                v IS NOT NULL AS observed
+         FROM w ORDER BY user_id, hour_us""",
 
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS ts FROM events

@@ -111,6 +111,42 @@ object Ann {
         (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
   }
 
+  /** HYBRID-search fusion by Reciprocal Rank Fusion (r10c): merge two
+    * ranked candidate lists — typically sparse (BM25, C45) and dense
+    * (cosine top-k, C6) retrieval over the same corpus — with the
+    * standard RRF score `Σ 1/(c + rank)` (Cormack/Clarke/Büttcher 2009;
+    * the Elasticsearch/Vespa hybrid default). EXACT-INTEGER
+    * formulation: each present side contributes the fraction
+    * `1/(c+rank)`, an absent side contributes `0/1`, and the sum stays
+    * a `(num, den)` integer pair (`n₁d₂+n₂d₁`, `d₁d₂`) — no float
+    * accumulation anywhere, so the output is engine-replayable
+    * bit-for-bit; the order key `num/den` is ONE double division
+    * (deterministic bits) with an id tiebreak.
+    *
+    * Scale shape: both inputs are already top-n lists — bounded by
+    * construction — so the fusion is a tiny full-outer join plus a
+    * TakeOrdered; it never touches corpus-sized data. The heavy lifting
+    * stays in the upstream retrievers, each with its own scale story. */
+  def hybridRrf(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+                k: Int, c: Int = 60): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(c >= 1, "rrf constant must be >= 1 (0 + rank 0 would divide by zero)")
+    val left = a.select(col(idCol), col(rankCol).cast("long").as("_ra"))
+    val right = b.select(col(idCol), col(rankCol).cast("long").as("_rb"))
+    val d1 = when(col("_ra").isNotNull, col("_ra") + c).otherwise(lit(1L))
+    val n1 = when(col("_ra").isNotNull, lit(1L)).otherwise(lit(0L))
+    val d2 = when(col("_rb").isNotNull, col("_rb") + c).otherwise(lit(1L))
+    val n2 = when(col("_rb").isNotNull, lit(1L)).otherwise(lit(0L))
+    left.join(right, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (n1 * d2 + n2 * d1).as("rrf_num"),
+        (d1 * d2).as("rrf_den"),
+        col("_ra").as("rank_a"), col("_rb").as("rank_b"))
+      .orderBy((col("rrf_num").cast("double") / col("rrf_den").cast("double")).desc,
+        col(idCol))
+      .limit(k)
+  }
+
   /** RADIUS (range) search: EVERY corpus vector within cosine >=
     * `minSim` of each query — the recall-complete companion of top-k
     * (dedup sweeps and "all sufficiently similar" retrieval want the

@@ -311,6 +311,37 @@ object Dedup {
     df.join(doomed, df(idCol) === doomed("id"), "left_anti")
   }
 
+  /** CANONICAL-document selection (C51): keep, per connected group of
+    * `pairs`, the member MAXIMIZING `quality` (ties → smallest id);
+    * singletons always survive. The keep-BEST refinement of
+    * [[keepRepresentatives]] production pipelines actually run — near-dup
+    * clusters mix full documents with truncated/boilerplate-wrapped
+    * copies, and keep-min-id keeps whichever arrived first while this
+    * keeps the longest/cleanest one (quality is the caller's column:
+    * text length, a C9 quality score, a C49 classifier margin).
+    *
+    * Scale shape: the component table is bounded by the DUPLICATED
+    * subset (only ids appearing in `pairs`), never the corpus; quality
+    * rides a two-column `(id, quality)` projection so document text
+    * never shuffles; the per-group argmax is one map-side-combined
+    * `max_by` aggregate over component rows; and the LOSER set (members
+    * minus winners — the duplicate excess, small by definition)
+    * broadcasts into a single anti-join against the unshuffled corpus. */
+  def keepBest(df: DataFrame, pairs: DataFrame, idCol: String,
+               quality: Column): DataFrame = {
+    val comp = groups(pairs) // (id, rep): only ids that appear in pairs
+    val q = df.select(col(idCol).as("_zc_qid"), quality.as("_zc_q"))
+    val member = comp.join(q, col("id") === col("_zc_qid"))
+    // deterministic argmax: max_by over a (quality, -id) struct —
+    // highest quality wins, smallest id on a quality tie (two members
+    // can never tie on the full struct: ids are unique)
+    val winners = member.groupBy(col("rep"))
+      .agg(max_by(col("id"), struct(col("_zc_q"), -col("id"))).as("_zc_win"))
+    val losers = member.join(winners, "rep")
+      .where(col("id") =!= col("_zc_win")).select(col("id"))
+    df.join(broadcast(losers), df(idCol) === losers("id"), "left_anti")
+  }
+
   /** 64-bit SimHash sign bits of a token array ([[SimHash64]] native
     * expression). `fnv = true` hashes tokens with FNV-1a instead of
     * xxhash64 — externally reproducible (exact SQL oracle). */

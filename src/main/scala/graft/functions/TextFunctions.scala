@@ -196,4 +196,28 @@ object TextFunctions {
     * Catalyst expression with codegen ([[Fnv1a64]]). */
   def fingerprint(c: Column): Column =
     Fnv1a64.fingerprint(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** HTML/markup STRIP to visible text (C53): drops `<script>`/`<style>`
+    * blocks and comments wholesale, removes every remaining tag, decodes
+    * the five predefined character entities (`&lt; &gt; &quot; &#39;
+    * &amp;` — `&amp;` LAST, so `&amp;lt;` correctly decodes to the
+    * literal text `&lt;` instead of double-decoding), collapses
+    * whitespace. The regex-grade extractor of the C4/CCNet web-corpus
+    * preprocessing stage — deliberately NOT a spec-complete HTML parser
+    * (CDATA, conditional comments, malformed nesting degrade gracefully
+    * to text); a parser would be a per-row UDF, this is a chain of
+    * codegen'd builtins that never leaves whole-stage codegen. Every
+    * pattern is written in the RE2-compatible subset (inline `(?is)`
+    * flags, lazy quantifiers, no backrefs) so an external engine can
+    * replay the transformation exactly. */
+  def stripMarkup(c: Column): Column = {
+    val noBlock = regexp_replace(c,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComment = regexp_replace(noBlock, "(?s)<!--.*?-->", " ")
+    val noTag = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTag) { case (acc, (ent, ch)) => regexp_replace(acc, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

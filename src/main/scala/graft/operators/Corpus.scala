@@ -261,6 +261,32 @@ object Corpus {
       .drop("_zc_pos", "_zc_prior")
   }
 
+  /** Deterministic GLOBAL SHUFFLE for training order (C52): every row
+    * gets a dense position `pos` in `[0, N)` by ranking the corpus on
+    * `(fingerprint hash position, id)` — the "shuffle the corpus before
+    * training" step, reproducible across runs and engines because the
+    * permutation is a pure function of the DATA (hash order), never of
+    * physical placement (`rand()`/`monotonically_increasing_id()` change
+    * with partitioning and retries; this cannot). Duplicate fingerprints
+    * (copies not yet dedup'd) tie-break on `id`, so the order is total.
+    *
+    * Scale shape: the global rank is an exclusive prefix COUNT through
+    * [[PrefixSum.exclusive]] with an EMPTY group and the hash-position
+    * bucket (uniform by construction → 256 balanced cells): no
+    * single-task global sort at any size — the classic
+    * `row_number() OVER (ORDER BY ...)` this replaces funnels 100 TB
+    * through one window task. Rows with a NULL fingerprint have no hash
+    * position and drop (the samplers' contract). Downstream writers
+    * range-partition on `pos` to materialize the shuffled corpus with
+    * its training order as the file order. */
+  def shuffleOrder(df: DataFrame, id: Column, fp: Column): DataFrame = {
+    val base = df.withColumn("_zc_pos", pmod(fp, lit(1L << 50)))
+      .where(col("_zc_pos").isNotNull)
+    PrefixSum.exclusive(base, Seq.empty, Seq(col("_zc_pos"), id), lit(1L),
+        PrefixSum.hashPosBucket(col("_zc_pos")), "pos")
+      .drop("_zc_pos")
+  }
+
   /** Per-group QUANTILE GATE: drop each group's bottom `q` fraction by
     * `score` — the CCNet-style "per-language quality tail cut" (keep
     * rows whose score is STRICTLY ABOVE the group's q-quantile value;

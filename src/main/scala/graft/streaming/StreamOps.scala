@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -285,6 +285,36 @@ object StreamOps {
     * @return the started query; callers own its lifecycle (use
     *         `.processAllAvailable()` + `.stop()` for run-once, a
     *         trigger + `awaitTermination` in production). */
+  /** STREAM-STATIC enrichment join (D22): join a streaming frame to a
+    * bounded dimension table, the stateless per-micro-batch lookup shape
+    * (enrich click events with the user/catalog dimension) — no
+    * watermark, no join state: Spark re-plans the static side into each
+    * micro-batch, so the output stays in Append mode and the sink
+    * contract is untouched. `broadcastDim` (default) pins the dimension
+    * to a broadcast hash join — the plan you want at scale, every
+    * micro-batch hash-probing a shipped dim copy instead of shuffling
+    * the stream; turn it off only for a dimension too large to ship,
+    * which shuffles EVERY batch on the join key. Inner and left-outer
+    * are the append-safe types (stream side preserved); right/full
+    * would need the unmatched-dim bookkeeping streaming cannot do
+    * statelessly, and Spark rejects them — this wrapper re-checks
+    * loudly rather than at stream start.
+    *
+    * The static side is re-READ each micro-batch (file sources re-list):
+    * a dimension updated mid-stream is picked up on the next batch —
+    * slowly-changing enrichment for free; pin a snapshot (cache or AS
+    * OF read) if batch-stable dimensions are required. */
+  def enrichStatic(stream: DataFrame, dim: DataFrame, cond: Column,
+                   joinType: String = "inner",
+                   broadcastDim: Boolean = true): DataFrame = {
+    require(stream.isStreaming, "enrichStatic: stream side must be streaming")
+    require(!dim.isStreaming, "enrichStatic: dim side must be a static frame")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter").contains(jt),
+      s"enrichStatic supports inner/left_outer (append-safe), got $joinType")
+    stream.join(if (broadcastDim) broadcast(dim) else dim, cond, joinType)
+  }
+
   def insertStream(
       source: DataFrame,
       c: Collection,

@@ -700,4 +700,54 @@ class CorpusSpec extends AnyFunSuite {
     assert(out2.length == 4, "null-keyed docs must not vanish")
     assert(out2.toMap == Map(10L -> 10L, 11L -> 10L, 12L -> 12L, 13L -> 13L))
   }
+
+  test("shuffleOrder: dense permutation, bit-equal to the single-window rank, null fp drops (r10c)") {
+    import graft.functions.TextFunctions
+    val d = (1L to 400L).map(i => (i, if (i % 7 == 0) "dup text" else s"text $i"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((9999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val fp = TextFunctions.fingerprint(col("text"))
+    val out = Corpus.shuffleOrder(d, col("doc_id"), fp).select("doc_id", "pos")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 400, "null-fingerprint row must drop")
+    assert(rows.map(_._2).sorted.toSeq == (0L until 400L),
+      "positions must be a dense permutation of [0, N)")
+    // bit-equality vs the single-window formulation PrefixSum replaces
+    // (duplicate texts share a hash position; the id tiebreak decides
+    // identically in both)
+    val expect = d.where(col("text").isNotNull)
+      .withColumn("_p", pmod(fp, lit(1L << 50)))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("_p"), col("doc_id")))
+        .cast("long") - 1)
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toMap == expect.toMap)
+    // deterministic across recomputation (pure function of the data)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap == rows.toMap)
+  }
+
+  test("stripMarkup: blocks, comments, tags, entities, whitespace (r10c)") {
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      ("<p>hello <b>world</b></p>", "hello world"),
+      ("<script>var x = '<p>no</p>';</script>after", "after"),
+      ("<STYLE type=\"a\">p{}</STYLE>text", "text"),
+      ("a<!-- hidden <b>x</b> -->b", "a b"),
+      // &amp; decodes LAST: &amp;lt; is the literal text "&lt;", never
+      // double-decoded to "<"
+      ("&amp;lt; stays &lt;b&gt;", "&lt; stays <b>"),
+      ("x&#39;y&quot;z&amp;w", "x'y\"z&w"),
+      ("  a   \n\t b  ", "a b"),
+      ("no markup at all", "no markup at all"))
+    val df = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }.toDF("i", "t")
+    val got = df.select(col("i"), TextFunctions.stripMarkup(col("t")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    cases.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(got(i) == want, s"case $i")
+    }
+    // pure scalar chain: no Exchange, stays in whole-stage codegen
+    val plan = df.select(TextFunctions.stripMarkup(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }

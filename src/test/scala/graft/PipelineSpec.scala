@@ -637,4 +637,23 @@ class PipelineSpec extends AnyFunSuite {
       .select(Ann.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
     assert(sim >= 0.95, s"perturbed cosine $sim")
   }
+
+  test("keepBest: per-cluster quality argmax, min-id tiebreak, singletons survive (r10c)") {
+    val docs = Seq(
+      (1L, "aaaa"),   // cluster {1,2,3} via chained pairs: lengths 4, 6, 5
+      (2L, "bbbbbb"), //   -> 2 wins on quality alone (not min id)
+      (3L, "ccccc"),
+      (10L, "dd"),    // cluster {10,11}: equal length -> min id 10 wins
+      (11L, "ee"),
+      (20L, "solo")   // never paired: survives untouched
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val kept = Dedup.keepBest(docs, pairs, "doc_id", length(col("text")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 10L, 20L))
+    // contrast with keepRepresentatives: min-id keeps 1, quality keeps 2
+    val rep = Dedup.keepRepresentatives(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(rep == Seq(1L, 10L, 20L))
+  }
 }

@@ -778,4 +778,39 @@ class StreamMultimodalSpec extends AnyFunSuite {
       .collect().map(_.id).sorted.toSeq
     assert(kept == Seq(1L, 4L, 5L), s"survivors: $kept")
   }
+
+  test("enrichStatic: stream-static broadcast join equals batch; unsafe shapes refuse (r10c)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+    val in = MemoryStream[(Long, Double)]
+    in.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    val stream = in.toDF().toDF("user", "v")
+
+    val inner = StreamOps.enrichStatic(stream, dim, col("user") === col("k"))
+    // the dim side carries the broadcast hint into every micro-batch
+    assert(inner.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val q = inner.writeStream.format("memory").queryName("enrich_inner")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enrich_inner").select("user", "tier", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "gold", 10.0), (2L, "silver", 20.0)),
+      s"inner join must drop the unmatched stream row: $got")
+
+    // left_outer keeps the unmatched stream row with a null dim side
+    val left = StreamOps.enrichStatic(stream, dim, col("user") === col("k"), "left_outer")
+    val q2 = left.writeStream.format("memory").queryName("enrich_left")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val gotLeft = spark.table("enrich_left").select("user", "tier").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(gotLeft == Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+
+    // refusals: append-unsafe join type, swapped sides
+    intercept[IllegalArgumentException](
+      StreamOps.enrichStatic(stream, dim, col("user") === col("k"), "right_outer"))
+    intercept[IllegalArgumentException](
+      StreamOps.enrichStatic(dim, dim, col("k") === col("k")))
+  }
 }
