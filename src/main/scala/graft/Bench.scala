@@ -76,6 +76,9 @@ object Bench {
     // linear-interpolation resample, hybrid RRF fusion
     "text_shuffle", "dedup_keep_best", "text_html_strip", "stream_static_join",
     "q_interpolate", "ann_hybrid_rrf",
+    // r10d: two-pass Misra-Gries exact heavy hitters, version-ordered
+    // streaming upsert, nearest-direction as-of
+    "text_heavy_hitters", "stream_upsert", "q_asof_nearest",
   )
 
   private def loadAvg: Double =

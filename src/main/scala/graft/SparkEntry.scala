@@ -963,6 +963,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // B49 (r10d): NEAREST-direction as-of with tolerance — each purchase
+    // pairs with the user's CLOSEST click within 1 hour, backward or
+    // forward (ties -> backward), the pandas merge_asof
+    // direction='nearest' shape. Same one-shuffle union-window plan as
+    // the backward as-of; the oracle pays the per-key pair join.
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click").select("user_id", "ts")
+      graft.operators.AsOf.joinNearestTime(
+          purchases, clicks,
+          col("user_id"), col("user_id"), col("ts"), col("ts"), "nearest_click",
+          toleranceMicros = Some(3600000000L))
+        .select(col("event_id"),
+          unix_micros(col("nearest_click")).as("nearest_click_us"))
+        .orderBy("event_id")
+    }),
+
     // B7: banded range join — same-user events within 30min after each error.
     "q_range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -1454,6 +1473,24 @@ object SparkEntry {
       graft.operators.Corpus.vocabulary(
           Tables.documents(s, dir), col("doc_id"), col("text"), 100)
         .orderBy(col("tf").desc, col("word"))
+    }),
+
+    // C55 (r10d): EXACT heavy hitters via the two-pass Misra–Gries
+    // protocol — a skewed token stream is planted on top of the
+    // near-uniform documents vocabulary (every 10th doc contributes 200
+    // copies of a hot token) so the bounded sketch genuinely overflows
+    // (vocab 34 > k 24); pass 2 re-counts the <= k candidates exactly
+    // and the 1/25 >= 1/(k+1) threshold makes the result provably
+    // complete and plan-invariant. The oracle pays the full vocabulary
+    // groupBy the sketch exists to avoid.
+    "text_heavy_hitters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(concat_ws(" ", array_repeat(
+          concat(lit("hot"), pmod(col("doc_id"), lit(3))), 200)).as("text"))
+      graft.operators.Corpus.heavyHitters(
+        docs.select("text").unionByName(planted), col("text"),
+        k = 24, thresholdNum = 1, thresholdDen = 25)
     }),
 
     // C44 (r8b): weighted-fair INTERLEAVE — integer virtual time orders
@@ -2036,6 +2073,27 @@ object SparkEntry {
       dst.query().withColumn("ts_us", unix_micros(col("ts")))
         .select("event_id", "ts_us", "user_id", "segment", "value")
         .orderBy("event_id")
+    }),
+
+    // D23 (r10d): version-ordered streaming UPSERT — the target keeps
+    // the LATEST event per user, latest decided by the DATA
+    // (struct(ts, event_id)), not arrival order: stale rows are refused
+    // per batch, so the final state is the global per-key version
+    // argmax whatever the micro-batching — which is exactly what the
+    // batch oracle computes with one row_number.
+    "stream_upsert" -> ((s, dir) => {
+      val src = eventsCollection(s, dir)
+      val stream = graft.streaming.StreamOps.readStream(s, src)
+      val dstRoot = s"$scratch/upsert-${java.util.UUID.randomUUID().toString.take(8)}"
+      val dst = Collection.create(s, dstRoot, stream.schema, "ts",
+        DatePartitioning("ts", "D"))
+      val q = graft.streaming.StreamOps.upsertStream(stream, dst,
+        Seq("user_id"), struct(col("ts"), col("event_id")),
+        "stream_upsert", dstRoot + "-ckpt")
+      try q.processAllAvailable() finally q.stop()
+      dst.query().withColumn("ts_us", unix_micros(col("ts")))
+        .select("user_id", "ts_us", "event_id", "value")
+        .orderBy("user_id")
     }),
 
     // D18 (r8b): streaming ingestion with ONLINE DEDUP — every
@@ -2909,6 +2967,15 @@ object SparkEntry {
                 c.c_mktsegment AS segment, e.value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY event_id""",
+
+    // Version-ordered LWW is batch-order-independent: final state = the
+    // per-key (ts, event_id) argmax, which one window replays.
+    "stream_upsert" ->
+      """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+               FROM events) x
+         WHERE rn = 1 ORDER BY user_id""",
 
     "stream_sink_format" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
@@ -4299,6 +4366,20 @@ object SparkEntry {
                FROM w GROUP BY word)
          SELECT word, tf, df FROM g ORDER BY tf DESC, word LIMIT 100""",
 
+    // The oracle replays the planted skew and pays the full-vocabulary
+    // groupBy; the operator's answer must match it exactly (the MG
+    // guarantee covers the 1/25 threshold, so sketch nondeterminism
+    // cannot show through).
+    "text_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+         tt AS (SELECT term FROM t WHERE length(term) > 0),
+         planted AS (SELECT 'hot' || CAST(doc_id % 3 AS VARCHAR) AS term
+                     FROM documents, generate_series(1, 200) g(i) WHERE doc_id % 10 = 0),
+         allt AS (SELECT term FROM tt UNION ALL SELECT term FROM planted),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM allt),
+         c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM allt GROUP BY term)
+         SELECT term, cnt FROM c, n WHERE cnt * 25 > n.n ORDER BY cnt DESC, term""",
+
     "text_interleave" ->
       """WITH r AS (
            SELECT doc_id, source,
@@ -4602,6 +4683,24 @@ object SparkEntry {
           AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP)
          WHERE a.event_type = 'purchase'
          GROUP BY a.event_id ORDER BY a.event_id""",
+
+    // Nearest = argmin |click - purchase| within tolerance, ties to the
+    // EARLIER click (ORDER BY distance, then click time); unmatched
+    // purchases keep a NULL match, as in pandas merge_asof.
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+               FROM events WHERE event_type = 'click'),
+         j AS (SELECT p.event_id, c.t AS ct, abs(c.t - p.t) AS d
+               FROM p JOIN c ON p.user_id = c.user_id
+               WHERE abs(c.t - p.t) <= 3600000000),
+         r AS (SELECT event_id, ct,
+                      row_number() OVER (PARTITION BY event_id ORDER BY d, ct) AS rn
+               FROM j)
+         SELECT p.event_id, r.ct AS nearest_click_us
+         FROM p LEFT JOIN (SELECT event_id, ct FROM r WHERE rn = 1) r USING (event_id)
+         ORDER BY event_id""",
 
     "q_range_join" ->
       """SELECT e.event_id, CAST(count(*) AS BIGINT) AS n

@@ -50,6 +50,71 @@ object AsOf {
       .drop("_zc_k", "_zc_t", "_zc_tag")
   }
 
+  /** NEAREST-direction as-of (B49): attach the right timestamp CLOSEST
+    * to each left row's time within the key — backward or forward,
+    * whichever is nearer; ties prefer backward (the earlier right row),
+    * optionally refusing matches farther than `toleranceMicros` — the
+    * pandas `merge_asof(direction='nearest', tolerance=...)` shape the
+    * altimetry-style domains pair observations with (closest reference
+    * measurement, not latest).
+    *
+    * Same scale plan as [[joinLastTime]]: union the tagged sides, ONE
+    * shuffle on the key, one sort, and TWO frames over the same window
+    * (running-last backward, running-first forward) — Spark plans both
+    * WindowExecs over the single sort, so nearest costs the same
+    * shuffle as backward-only. No per-key pair explosion at any size. */
+  def joinNearestTime(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      leftTime: Column,
+      rightTime: Column,
+      matchCol: String = "asof_ts",
+      toleranceMicros: Option[Long] = None,
+  ): DataFrame = {
+    toleranceMicros.foreach(t => require(t >= 0, "tolerance must be >= 0"))
+    val leftCols = left.columns.toSeq
+    val isTs = left.select(leftTime).schema.head.dataType ==
+      org.apache.spark.sql.types.TimestampType
+    def micros(c: Column): Column = if (isTs) unix_micros(c) else c.cast("long")
+    val l = left
+      .withColumn("_zc_k", leftKey)
+      .withColumn("_zc_t", micros(leftTime))
+      .withColumn("_zc_tag", lit(1))
+    val r = right
+      .select(rightKey.as("_zc_k"), micros(rightTime).as("_zc_t"), lit(0).as("_zc_tag"))
+    val rAligned = leftCols.foldLeft(r)((d, c) =>
+      d.withColumn(c, lit(null).cast(l.schema(c).dataType)))
+      .select(l.columns.toSeq.map(col): _*)
+
+    val w = Window.partitionBy(col("_zc_k")).orderBy(col("_zc_t"), col("_zc_tag"))
+    val wb = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wf = w.rowsBetween(0, Window.unboundedFollowing)
+    val rt = when(col("_zc_tag") === 0, col("_zc_t"))
+    val withBf = l.unionByName(rAligned)
+      .withColumn("_zc_b", last(rt, ignoreNulls = true).over(wb))
+      .withColumn("_zc_f", first(rt, ignoreNulls = true).over(wf))
+      .where(col("_zc_tag") === 1)
+    val db = col("_zc_t") - col("_zc_b")
+    val df_ = col("_zc_f") - col("_zc_t")
+    // tolerance is an ELIGIBILITY filter per direction (the nearest
+    // in-tolerance candidate wins, even when the other direction is
+    // closer but out of tolerance), never a post-hoc null-out — so
+    // "nearest within tol" composes as SQL argmin over the banded pairs
+    def ok(c: Column, d: Column): Column =
+      toleranceMicros.fold(c.isNotNull)(t => c.isNotNull && d <= t)
+    val bOk = ok(col("_zc_b"), db)
+    val fOk = ok(col("_zc_f"), df_)
+    val nearest = when(bOk && fOk,
+        when(db <= df_, col("_zc_b")).otherwise(col("_zc_f"))) // tie -> backward
+      .when(bOk, col("_zc_b"))
+      .when(fOk, col("_zc_f"))
+    withBf
+      .withColumn(matchCol, if (isTs) timestamp_micros(nearest) else nearest)
+      .drop("_zc_k", "_zc_t", "_zc_tag", "_zc_b", "_zc_f")
+  }
+
   /** Same semantics through the NATIVE operator
     * ([[graft.plans.AsOfJoin]]): a custom LogicalPlan planned by
     * [[graft.plans.AsOfJoinStrategy]] into a co-partitioned two-pointer

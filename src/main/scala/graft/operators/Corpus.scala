@@ -812,4 +812,53 @@ object Corpus {
     val (bucket, split) = hashSplit(fp, cuts)
     withRep.select(col("doc_id"), col("rep"), bucket.as("bucket"), split.as("split"))
   }
+
+  /** EXACT corpus heavy hitters in TWO bounded passes (C55): every
+    * whitespace token whose share of the corpus token count exceeds
+    * `thresholdNum/thresholdDen`, with its EXACT count — without ever
+    * shuffling the distinct-term set. The classic sketch-then-verify
+    * frequent-items protocol:
+    *
+    *  1. one pass aggregates a Misra–Gries summary
+    *     ([[graft.functions.MgSketchAgg]] — O(k) state, map-side
+    *     partials, k-bounded mergeable-summaries combine) plus the
+    *     total token count N. MG guarantees every term with true count
+    *     > N/(k+1) survives as a candidate, under ANY arrival order or
+    *     partitioning;
+    *  2. a second pass counts ONLY the <= k candidates exactly (the
+    *     candidate set broadcasts into the token stream; the count
+    *     shuffle carries at most k × partitions rows) and keeps those
+    *     with `count · thresholdDen > N · thresholdNum`.
+    *
+    * `require(thresholdNum · (k+1) >= thresholdDen)` — i.e. threshold
+    * >= 1/(k+1) — makes the guarantee cover the filter, so the RESULT
+    * is exact and plan-invariant even though the intermediate sketch is
+    * not. At 100 TB this is the difference between shuffling billions
+    * of distinct n-gram groups (the [[vocabulary]] shape — right for
+    * top-k audits at moderate vocabulary) and shuffling k counters.
+    *
+    * The candidate set (<= k strings) is collected to the driver — a
+    * k-bounded collect, like the ANN centroid pulls. Output:
+    * `(term, cnt)` ordered by (cnt DESC, term). */
+  def heavyHitters(df: DataFrame, text: Column, k: Int,
+                   thresholdNum: Long, thresholdDen: Long): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(thresholdNum > 0 && thresholdDen > 0, "threshold must be positive")
+    require(thresholdNum * (k + 1) >= thresholdDen,
+      s"threshold $thresholdNum/$thresholdDen below the MG guarantee 1/(k+1) " +
+        s"= 1/${k + 1}: raise k or the threshold, or completeness is lost")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(split(trim(text), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val p1 = toks.agg(graft.functions.MgSketch.mg(col("term"), k).as("s"),
+      count(lit(1)).as("n")).head()
+    val n = p1.getLong(1)
+    val cands = p1.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val candDf = cands.toDF("term")
+    toks.join(broadcast(candDf), "term")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * thresholdDen > lit(n) * thresholdNum)
+      .orderBy(col("cnt").desc, col("term"))
+  }
 }

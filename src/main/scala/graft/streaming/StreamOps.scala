@@ -315,6 +315,82 @@ object StreamOps {
     stream.join(if (broadcastDim) broadcast(dim) else dim, cond, joinType)
   }
 
+  /** VERSION-ORDERED streaming UPSERT sink (D23): maintain `c` as the
+    * LATEST row per key from an arbitrary stream — the Kafka-CDC /
+    * entity-state ingestion shape (`insertStream` appends history; this
+    * keeps current state), with last-write-wins decided by `version`,
+    * NOT by arrival order. Per micro-batch:
+    *
+    *  1. intra-batch LWW: one `max_by(fullRow, version)` per key;
+    *  2. cross-batch LWW: batch winners STALE against the target's
+    *     current version for their key are dropped (left-outer to the
+    *     target's per-key max version, keep `version > current`), so a
+    *     late-arriving older version can never overwrite a newer row —
+    *     batch boundaries and delivery order are immaterial: the final
+    *     state is the global per-key version argmax;
+    *  3. survivors upsert through the file-granular merge
+    *     ([[graft.core.Collection.mergeInto]] `UpdateAll` +
+    *     insert-unmatched, key-bounds file pruning), committing the
+    *     batch id ATOMICALLY with the rewrite — a foreachBatch replay
+    *     is detected by the high-water mark and skipped: exactly-once.
+    *
+    * `version` is any orderable Column over the stream's columns —
+    * include a unique tiebreak (`struct(ts, event_id)`) or exact ties
+    * resolve first-writer-wins. Rows may change their axis value across
+    * versions: the merge re-homes rewritten rows by partitioning
+    * assignment. The target should be key-unique at start (empty, or a
+    * prior upsert target).
+    *
+    * Cost contract at scale: step 2 reads ONLY the key + version-input
+    * columns of the target (column-pruned via the `variables`
+    * projection — version inputs are recovered from `version`'s
+    * attribute references) but cannot file-prune (every key's current
+    * version is in play); the merge in step 3 file-prunes by the
+    * batch's key bounds as usual. For a key-partitioned target the
+    * stale-check is one column-pruned scan per batch — size it with
+    * the trigger interval. */
+  def upsertStream(
+      source: DataFrame,
+      c: Collection,
+      keys: Seq[String],
+      version: Column,
+      queryName: String,
+      checkpoint: String,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    require(source.isStreaming, "upsertStream: source must be streaming")
+    require(keys.nonEmpty, "upsertStream requires at least one key column")
+    source.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!c.streamHighWaterMark(queryName).exists(_ >= id)) {
+          val b = batch.toDF()
+          val winners = b
+            .groupBy(keys.map(col): _*)
+            .agg(max_by(struct(b.columns.toSeq.map(col): _*), version).as("_zc_r"))
+            .select(col("_zc_r.*"))
+          val verCols = org.apache.spark.sql.graftbridge.Bridge.expression(version)
+            .collect { case u: UnresolvedAttribute => u.name }.distinct
+          val need = (keys ++ verCols).distinct
+          val cols =
+            if (verCols.nonEmpty && need.forall(c.schema.fieldNames.contains)) need
+            else c.schema.fieldNames.toSeq
+          val tgt = c.query(variables = cols)
+            .groupBy(keys.map(col): _*).agg(max(version).as("_zc_tv"))
+          val fresh = winners.join(tgt, keys, "left_outer")
+            .where(col("_zc_tv").isNull || version > col("_zc_tv"))
+            .drop("_zc_tv")
+          if (!fresh.isEmpty)
+            c.mergeIntoInternal(fresh, on = keys,
+              whenMatched = graft.core.WhenMatched.UpdateAll,
+              insertUnmatched = true, streamMark = Some(queryName -> id))
+        }
+        ()
+      }
+      .start()
+  }
+
   def insertStream(
       source: DataFrame,
       c: Collection,

@@ -750,4 +750,67 @@ class CorpusSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("MgBuffer: bounded state, lower-bound counts, N/(k+1) guarantee, weighted merge (r10d)") {
+    import graft.functions.MgBuffer
+    // adversarial stream: 3 hot terms (600 each) buried in 2000 distinct
+    // singletons, arriving interleaved — N = 3800, k = 9 => any term
+    // with count > N/10 = 380 MUST survive
+    val b = new MgBuffer(9)
+    val rnd = new scala.util.Random(7)
+    val stream = rnd.shuffle(
+      (0 until 600).flatMap(i => Seq("h0", "h1", "h2")) ++
+        (0 until 2000).map(i => s"cold$i")).toList
+    var maxSize = 0
+    stream.foreach { t => b.add(t); maxSize = math.max(maxSize, b.counts.size) }
+    assert(maxSize <= 9, s"state exceeded k: $maxSize")
+    Seq("h0", "h1", "h2").foreach { h =>
+      assert(b.counts.containsKey(h), s"guaranteed heavy hitter $h evicted")
+      val low = b.counts.get(h)
+      assert(low <= 600 && low >= 600 - 3800 / 10,
+        s"$h count $low outside [${600 - 380}, 600]")
+    }
+    // mergeable-summaries combine: splitting the stream across buffers
+    // and merging keeps the bound (the map-side-partials path)
+    val parts = stream.grouped(977).map { chunk =>
+      val p = new MgBuffer(9); chunk.foreach(p.add); p
+    }.toList
+    val merged = parts.reduceLeft { (a, c) => a.merge(c); a }
+    assert(merged.counts.size <= 9)
+    Seq("h0", "h1", "h2").foreach { h =>
+      assert(merged.counts.containsKey(h), s"merged summary lost $h")
+      assert(merged.counts.get(h) <= 600)
+    }
+    // weighted arrival equals unit repeats
+    val u = new MgBuffer(3); val w = new MgBuffer(3)
+    Seq("a", "b", "c").foreach { t => u.add(t); w.add(t) }
+    (0 until 5).foreach(_ => u.add("d"))
+    w.addCount("d", 5L)
+    assert(u.counts == w.counts)
+  }
+
+  test("heavyHitters: exact vs brute force, plan-invariant, threshold guard (r10d)") {
+    // 40 distinct terms; 4 planted heavy (share > 1/12), k = 11 covers
+    // threshold 1/12 (12 <= k+1); vocab 40 > k so the sketch overflows
+    val rows = (0 until 4).flatMap(h => Seq.fill(300)(s"hot$h")) ++
+      (0 until 36).flatMap(c => Seq.fill(20)(s"cold$c"))
+    val d = new scala.util.Random(3).shuffle(rows).grouped(25)
+      .map(_.mkString(" ")).toSeq.toDF("text")
+    val n = rows.size.toLong // 1200 + 720 = 1920; heavy iff cnt*12 > 1920
+    val brute = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case (_, c) => c * 12 > n }
+    def run(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Corpus.heavyHitters(df, col("text"), k = 11, 1, 12)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run(d)
+    assert(got == brute, s"got $got want $brute")
+    assert(got.keySet == Set("hot0", "hot1", "hot2", "hot3"))
+    // plan-invariance: the sketch differs per partitioning, the RESULT
+    // cannot (the guarantee covers the threshold)
+    assert(run(d.repartition(1)) == brute)
+    assert(run(d.repartition(17)) == brute)
+    // a threshold below 1/(k+1) would break completeness: refuse loudly
+    intercept[IllegalArgumentException](
+      Corpus.heavyHitters(d, col("text"), k = 11, 1, 13))
+  }
 }

@@ -27,6 +27,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2).isNullAt(1)) // key 20 has no right rows
   }
 
+  test("nearest as-of: direction by distance, backward ties, per-direction tolerance (r10d)") {
+    // key 10 rights at 09:00 and 11:30; key 40: only a forward right
+    val left = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"),  // b=1h, f=1.5h -> backward
+      (2L, 10L, "2024-01-01 11:00:00"),  // b=2h, f=0.5h -> forward
+      (3L, 10L, "2024-01-01 10:15:00"),  // b=1.25h f=1.25h TIE -> backward
+      (4L, 20L, "2024-01-01 10:00:00"),  // no rights -> null
+      (5L, 40L, "2024-01-01 10:00:00"))  // forward-only -> forward
+      .toDF("id", "k", "t").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq((10L, "2024-01-01 09:00:00"), (10L, "2024-01-01 11:30:00"),
+                    (40L, "2024-01-01 10:20:00"))
+      .toDF("k", "t").withColumn("t", col("t").cast("timestamp"))
+    def run(tol: Option[Long]) =
+      AsOf.joinNearestTime(left, right, col("k"), col("k"), col("t"), col("t"),
+          toleranceMicros = tol)
+        .orderBy("id").select("id", "asof_ts").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getTimestamp(1))).toSeq
+    assert(run(None) == Seq(
+      Some(ts("2024-01-01 09:00:00")), Some(ts("2024-01-01 11:30:00")),
+      Some(ts("2024-01-01 09:00:00")), None, Some(ts("2024-01-01 10:20:00"))))
+    // tolerance 65 min: id 1's nearest (backward, 60m) survives; id 2's
+    // backward (2h) is OUT but its forward (30m) is IN -> the tolerance
+    // must act per direction, not null the chosen side post-hoc; id 3
+    // loses both (75m each)
+    assert(run(Some(65L * 60 * 1000000)) == Seq(
+      Some(ts("2024-01-01 09:00:00")), Some(ts("2024-01-01 11:30:00")),
+      None, None, Some(ts("2024-01-01 10:20:00"))))
+    // one shuffle: the two window frames share the single (key) Exchange
+    val plan = AsOf.joinNearestTime(left, right, col("k"), col("k"),
+      col("t"), col("t")).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 3, // 2 side scans + 1 window
+      s"nearest as-of must not add shuffles:\n$plan")
+  }
+
   test("native as-of operator (LogicalPlan+Strategy+Exec) equals the window form") {
     val left = Seq((1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 12:00:00"),
                    (3L, 20L, "2024-01-01 10:00:00"), (4L, 99L, "2024-01-01 10:00:00"))

@@ -813,4 +813,48 @@ class StreamMultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       StreamOps.enrichStatic(dim, dim, col("k") === col("k")))
   }
+
+  test("upsertStream: version-ordered LWW across batches, stale rows refused, axis re-homes (r10d)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = SparkTestSession.tmp("graft-upsert")
+    def ts(day: Int): Long = // 2024-01-<day> 10:00:00 UTC in micros
+      (java.time.LocalDate.of(2024, 1, day).toEpochDay * 86400L + 36000L) * 1000000L
+    val in = MemoryStream[(Long, Long, Double)]
+    val stream = in.toDF().toDF("id", "ts_us", "v")
+      .select(col("id"), timestamp_micros(col("ts_us")).as("ts"), col("v"))
+    val c = Collection.create(spark, root, stream.schema, "ts",
+      DatePartitioning("ts", "D"))
+    val q = StreamOps.upsertStream(stream, c, Seq("id"),
+      struct(col("ts")), "upsert-test", root + "-ckpt")
+    def state(): Map[Long, (Long, Double)] =
+      c.query().select(col("id"), unix_micros(col("ts")), col("v"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    try {
+      // batch 1: two keys; key 1 appears twice IN the batch — the
+      // higher version must win intra-batch
+      in.addData((1L, ts(2), 10.0), (1L, ts(1), 9.0), (2L, ts(1), 20.0))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> ((ts(2), 10.0)), 2L -> ((ts(1), 20.0))))
+      // batch 2: a STALE update for key 1 (older version — must be
+      // refused), a newer version for key 2 (axis moves day 1 -> 3),
+      // and a brand-new key 3
+      in.addData((1L, ts(1), 99.0), (2L, ts(3), 21.0), (3L, ts(1), 30.0))
+      q.processAllAvailable()
+      assert(state() == Map(
+        1L -> ((ts(2), 10.0)), 2L -> ((ts(3), 21.0)), 3L -> ((ts(1), 30.0))))
+      // the re-homed key-2 row lives in the day-3 partition now
+      val parts = c.query("ts >= '2024-01-03'").select("id").collect().map(_.getLong(0))
+      assert(parts.toSeq == Seq(2L), s"day-3 partition holds: ${parts.toSeq}")
+      // exactly-once: the batch marks advanced with the merges
+      assert(c.streamHighWaterMark("upsert-test").exists(_ >= 1L))
+    } finally q.stop()
+    // restart from the checkpoint: no new data, no state change
+    val q2 = StreamOps.upsertStream(stream, c, Seq("id"),
+      struct(col("ts")), "upsert-test", root + "-ckpt")
+    try {
+      q2.processAllAvailable()
+      assert(state().size == 3)
+    } finally q2.stop()
+  }
 }
