@@ -342,6 +342,51 @@ object Dedup {
     df.join(broadcast(losers), df(idCol) === losers("id"), "left_anti")
   }
 
+  /** TUNE the LSH banding (r10d): pick `(bands, rowsPerBand)` for
+    * [[minhashPairs]] that best approximates a step filter at the
+    * Jaccard `threshold` — the datasketch `_optimal_param` shape. A
+    * `(b, r)` banding collides a pair of similarity `s` with
+    * probability `1 − (1 − s^r)^b`; the tuner minimizes the equal-
+    * weighted false-positive + false-negative mass
+    *
+    *   ∫₀ᵗ [1−(1−s^r)^b] ds  +  ∫ₜ¹ (1−s^r)^b ds
+    *
+    * over every banding with `r = numPerms / b` (all permutations
+    * spent), by deterministic midpoint quadrature — same inputs, same
+    * answer, every platform. The default `bands = 16` of
+    * [[minhashPairs]] is tuned for thresholds near 0.8 at 64 perms;
+    * recall-critical pipelines at other operating points should pass
+    * the tuned value: more bands = higher recall + more candidate
+    * pairs, fewer bands = the reverse, and this picks the principled
+    * middle. Cost model only — runs on the driver in microseconds,
+    * touches no data. */
+  def tuneBands(numPerms: Int, threshold: Double): (Int, Int) = {
+    require(numPerms >= 1, "numPerms must be positive")
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    val n = 2000
+    def integrate(f: Double => Double, a: Double, b: Double): Double = {
+      val h = (b - a) / n
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += f(a + h * (i + 0.5)); i += 1 }
+      acc * h
+    }
+    var best: (Double, Int, Int) = null
+    var bands = 1
+    while (bands <= numPerms) {
+      val r = numPerms / bands
+      if (r >= 1) {
+        def collide(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), bands)
+        val fp = integrate(collide, 0.0, threshold)
+        val fn = integrate(s => 1.0 - collide(s), threshold, 1.0)
+        val c = fp + fn
+        if (best == null || c < best._1 - 1e-12) best = (c, bands, r)
+      }
+      bands += 1
+    }
+    (best._2, best._3)
+  }
+
   /** 64-bit SimHash sign bits of a token array ([[SimHash64]] native
     * expression). `fnv = true` hashes tokens with FNV-1a instead of
     * xxhash64 — externally reproducible (exact SQL oracle). */

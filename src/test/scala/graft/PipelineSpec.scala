@@ -638,6 +638,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(sim >= 0.95, s"perturbed cosine $sim")
   }
 
+  test("tuneBands: pinned optima, budget respected, threshold monotonicity (r10d)") {
+    // pinned against an independent reference implementation of the
+    // same FP+FN integral (midpoint quadrature, n=2000)
+    assert(Dedup.tuneBands(64, 0.8) == ((6, 10)))
+    assert(Dedup.tuneBands(128, 0.8) == ((9, 14)))
+    assert(Dedup.tuneBands(64, 0.5) == ((14, 4)))
+    assert(Dedup.tuneBands(128, 0.9) == ((5, 25)))
+    assert(Dedup.tuneBands(256, 0.7) == ((25, 10)))
+    // the banding never spends more hashes than it has, and the S-curve
+    // midpoint (1/b)^(1/r) tracks the requested threshold
+    for (p <- Seq(32, 64, 128); t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val (b, r) = Dedup.tuneBands(p, t)
+      assert(b * r <= p, s"($b,$r) overspends $p perms")
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(mid - t) < 0.15, s"S-curve midpoint $mid far from $t ($p perms)")
+    }
+    // higher threshold -> longer rows (stricter bands), fewer of them
+    val loose = Dedup.tuneBands(64, 0.4)
+    val strict = Dedup.tuneBands(64, 0.9)
+    assert(strict._2 > loose._2 && strict._1 < loose._1)
+    intercept[IllegalArgumentException](Dedup.tuneBands(64, 1.0))
+  }
+
   test("keepBest: per-cluster quality argmax, min-id tiebreak, singletons survive (r10c)") {
     val docs = Seq(
       (1L, "aaaa"),   // cluster {1,2,3} via chained pairs: lengths 4, 6, 5

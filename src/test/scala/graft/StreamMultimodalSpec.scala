@@ -857,4 +857,33 @@ class StreamMultimodalSpec extends AnyFunSuite {
       assert(state().size == 3)
     } finally q2.stop()
   }
+
+  test("upsertStream property: random batch orders converge to the global version argmax (r10d)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    // unique (id, version) pairs so LWW is total; versions deliberately
+    // SHUFFLED across batches so later batches often carry older
+    // versions — the stale-refusal path does real work
+    val rows = rnd.shuffle((for (id <- 0L until 8L; ver <- 0L until 12L)
+      yield (id, ver, id * 1000.0 + ver)).toList)
+    val batches = rows.grouped(24).toList
+    val expect = rows.groupBy(_._1).map { case (id, rs) => id -> rs.maxBy(_._2) }
+    val root = SparkTestSession.tmp("graft-upsert-prop")
+    val in = MemoryStream[(Long, Long, Double)]
+    val stream = in.toDF().toDF("id", "ver", "v")
+      .select(col("id"), timestamp_micros(col("ver") * 86400000000L + 1700000000000000L).as("ts"),
+        col("ver"), col("v"))
+    val c = Collection.create(spark, root, stream.schema, "ts",
+      DatePartitioning("ts", "D"))
+    val q = StreamOps.upsertStream(stream, c, Seq("id"),
+      col("ver"), "upsert-prop", root + "-ckpt")
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = c.query().select("id", "ver", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(0), r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expect,
+      s"final state must be the per-key version argmax independent of batching")
+  }
 }
