@@ -79,6 +79,8 @@ object Bench {
     // r10d: two-pass Misra-Gries exact heavy hitters, version-ordered
     // streaming upsert, nearest-direction as-of
     "text_heavy_hitters", "stream_upsert", "q_asof_nearest",
+    // r10d: Delta-parity CDF reader options (same diff as zc_changes)
+    "zc_changes_read",
   )
 
   private def loadAvg: Double =

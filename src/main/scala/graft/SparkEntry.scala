@@ -396,6 +396,30 @@ object SparkEntry {
         .orderBy("event_id", "_change_type")
     }),
 
+    // A49 (r10d): the SAME change feed through the DataFrame READ face —
+    // Delta-parity `readChangeFeed` + startingVersion/endingVersion
+    // options on format("graft"); must match zc_changes' oracle exactly
+    // (it is the identical generation diff, third face).
+    "zc_changes_read" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val root = s"$scratch/cdcr-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, ev.schema, "ts",
+        DatePartitioning("ts", "D"), overwrite = true, retainGenerations = 4)
+      c.insert(ev)
+      val g0 = c.generation
+      c.updateWhere("event_type == 'click' and day >= 10",
+        Map("event_type" -> "'cdc_update'"))
+      s.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", g0)
+        .option("endingVersion", c.generation)
+        .load(root)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select("event_id", "ts_us", "user_id", "event_type", "value",
+          "props", "_change_type")
+        .orderBy("event_id", "_change_type")
+    }),
+
     // A32 (r6): row-level UPDATE — file-granular rewrite like zc_delete:
     // matching rows get the assignments, NULL/FALSE rows and every file
     // the skip layers prove unaffected carry through untouched
@@ -3356,6 +3380,20 @@ object SparkEntry {
     // The update predicate is `event_type == 'click' and day >= 10`
     // (NULL/FALSE rows don't change, so they never appear in the feed).
     "zc_changes" ->
+      """WITH hit AS (
+           SELECT * FROM events
+           WHERE COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) >= 10, FALSE))
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
+                'cdc_update' AS event_type, value, props, 'insert' AS _change_type
+         FROM hit
+         UNION ALL
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                value, props, 'delete' AS _change_type
+         FROM hit
+         ORDER BY event_id, _change_type""",
+
+    // The read-options face serves the identical generation diff.
+    "zc_changes_read" ->
       """WITH hit AS (
            SELECT * FROM events
            WHERE COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) >= 10, FALSE))

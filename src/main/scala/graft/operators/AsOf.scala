@@ -106,10 +106,14 @@ object AsOf {
       toleranceMicros.fold(c.isNotNull)(t => c.isNotNull && d <= t)
     val bOk = ok(col("_zc_b"), db)
     val fOk = ok(col("_zc_f"), df_)
-    val nearest = when(bOk && fOk,
+    // a NULL left time matches nothing (guarded explicitly: its null
+    // distances would otherwise fail the backward tie-compare and fall
+    // through to the forward branch — "nearest to null" = first right)
+    val nearest = when(col("_zc_t").isNotNull,
+      when(bOk && fOk,
         when(db <= df_, col("_zc_b")).otherwise(col("_zc_f"))) // tie -> backward
       .when(bOk, col("_zc_b"))
-      .when(fOk, col("_zc_f"))
+      .when(fOk, col("_zc_f")))
     withBf
       .withColumn(matchCol, if (isTs) timestamp_micros(nearest) else nearest)
       .drop("_zc_k", "_zc_t", "_zc_tag", "_zc_b", "_zc_f")

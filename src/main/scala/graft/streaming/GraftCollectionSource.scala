@@ -391,7 +391,11 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.types.StructType = {
     val spark = org.apache.spark.sql.SparkSession.active
-    Collection.open(spark, pathFaceRoot(options), readOnly = true).schema
+    val root = pathFaceRoot(options)
+    graft.sources.GraftChangesTable
+      .resolveRange(spark, root, k => Option(options.get(k)))
+      .map { case (f, t) => new graft.sources.GraftChangesTable(spark, root, f, t).schema() }
+      .getOrElse(Collection.open(spark, root, readOnly = true).schema)
   }
 
   override def getTable(
@@ -402,9 +406,18 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
     val spark = org.apache.spark.sql.SparkSession.active
     val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
     val root = pathFaceRoot(opts)
-    val asOf = GraftCollectionSourceProvider.resolveAsOf(spark, root,
-      k => Option(opts.get(k)))
-    new graft.sources.GraftTable(spark, root, s"graft.`$root`", asOf, pathFace = true)
+    // batch change-feed reads (readChangeFeed=true, r10d) plan the
+    // generation-diff table instead of the snapshot scan
+    graft.sources.GraftChangesTable
+      .resolveRange(spark, root, k => Option(opts.get(k)))
+      .map { case (f, t) =>
+        new graft.sources.GraftChangesTable(spark, root, f, t)
+          : org.apache.spark.sql.connector.catalog.Table }
+      .getOrElse {
+        val asOf = GraftCollectionSourceProvider.resolveAsOf(spark, root,
+          k => Option(opts.get(k)))
+        new graft.sources.GraftTable(spark, root, s"graft.`$root`", asOf, pathFace = true)
+      }
   }
 
   private def pathFaceRoot(
@@ -451,6 +464,16 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
       sqlContext: SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
     val root = rootOf(parameters)
+    // batch change-feed reads on the V1 face too (sessions that pin
+    // graft onto spark.sql.sources.useV1SourceList see this path)
+    graft.sources.GraftChangesTable
+      .resolveRange(sqlContext.sparkSession, root, parameters.get)
+      .foreach { case (f, t) =>
+        val tbl = new graft.sources.GraftChangesTable(sqlContext.sparkSession, root, f, t)
+        return tbl.newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty)
+          .build().asInstanceOf[org.apache.spark.sql.connector.read.V1Scan]
+          .toV1TableScan(sqlContext)
+      }
     // time travel via read options (Delta's versionAsOf/timestampAsOf,
     // plus tagAsOf — a named snapshot, r8)
     val asOf = GraftCollectionSourceProvider.resolveAsOf(

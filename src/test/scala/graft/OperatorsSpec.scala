@@ -34,7 +34,8 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, 10L, "2024-01-01 11:00:00"),  // b=2h, f=0.5h -> forward
       (3L, 10L, "2024-01-01 10:15:00"),  // b=1.25h f=1.25h TIE -> backward
       (4L, 20L, "2024-01-01 10:00:00"),  // no rights -> null
-      (5L, 40L, "2024-01-01 10:00:00"))  // forward-only -> forward
+      (5L, 40L, "2024-01-01 10:00:00"),  // forward-only -> forward
+      (6L, 40L, null: String))           // NULL left time -> no match
       .toDF("id", "k", "t").withColumn("t", col("t").cast("timestamp"))
     val right = Seq((10L, "2024-01-01 09:00:00"), (10L, "2024-01-01 11:30:00"),
                     (40L, "2024-01-01 10:20:00"))
@@ -46,14 +47,15 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => if (r.isNullAt(1)) None else Some(r.getTimestamp(1))).toSeq
     assert(run(None) == Seq(
       Some(ts("2024-01-01 09:00:00")), Some(ts("2024-01-01 11:30:00")),
-      Some(ts("2024-01-01 09:00:00")), None, Some(ts("2024-01-01 10:20:00"))))
+      Some(ts("2024-01-01 09:00:00")), None, Some(ts("2024-01-01 10:20:00")),
+      None))
     // tolerance 65 min: id 1's nearest (backward, 60m) survives; id 2's
     // backward (2h) is OUT but its forward (30m) is IN -> the tolerance
     // must act per direction, not null the chosen side post-hoc; id 3
     // loses both (75m each)
     assert(run(Some(65L * 60 * 1000000)) == Seq(
       Some(ts("2024-01-01 09:00:00")), Some(ts("2024-01-01 11:30:00")),
-      None, None, Some(ts("2024-01-01 10:20:00"))))
+      None, None, Some(ts("2024-01-01 10:20:00")), None))
     // one shuffle: the two window frames share the single (key) Exchange
     val plan = AsOf.joinNearestTime(left, right, col("k"), col("k"),
       col("t"), col("t")).queryExecution.executedPlan.toString

@@ -291,4 +291,40 @@ class SqlSourceSpec extends AnyFunSuite {
       s"the weakened predicate must still cut files: $rep")
     assert(rep.filesAfterStats == 2, s"expected only the two edge-day files: $rep")
   }
+
+  test("readChangeFeed options: generation range, timestamp start, head default, refusals (r10d)") {
+    val root = SparkTestSession.tmp("graft-sql-cdf")
+    val c = fresh(root, retain = 4)
+    val g0 = c.generation
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    c.insert(mk((5L, "2024-01-04 08:00:00", 3L, 5.0)), MergeStrategy.Concat)
+    val g1 = c.generation
+    c.deleteWhere("id == 2")
+    def feed(opts: (String, String)*) = {
+      val r = spark.read.format("graft").option("readChangeFeed", "true")
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load(root)
+    }
+    // explicit range: exactly the insert committed in (g0, g1]
+    val mid = feed("startingVersion" -> g0.toString, "endingVersion" -> g1.toString)
+      .select("id", "_change_type").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(mid.toSeq == Seq((5L, "insert")))
+    // default ending = head: the delete shows too
+    val toHead = feed("startingVersion" -> g0.toString)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(identity)
+    assert(toHead.toSeq == Seq((2L, "delete"), (5L, "insert")))
+    // timestamp start resolves to the snapshot a reader at t0 saw (g0)
+    val byTs = feed("startingTimestamp" -> t0.toString)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(identity)
+    assert(byTs.toSeq == Seq((2L, "delete"), (5L, "insert")))
+    // schema = table schema + _change_type, on the reader face
+    assert(feed("startingVersion" -> g0.toString).schema.fieldNames.toSeq ==
+      c.schema.fieldNames.toSeq :+ "_change_type")
+    // refusals: no start; an uncommitted generation
+    intercept[IllegalArgumentException](feed().collect())
+    intercept[Exception](
+      feed("startingVersion" -> "999").collect())
+  }
 }
