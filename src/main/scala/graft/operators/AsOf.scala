@@ -88,13 +88,22 @@ object AsOf {
       d.withColumn(c, lit(null).cast(l.schema(c).dataType)))
       .select(l.columns.toSeq.map(col): _*)
 
-    val w = Window.partitionBy(col("_zc_k")).orderBy(col("_zc_t"), col("_zc_tag"))
-    val wb = w.rowsBetween(Window.unboundedPreceding, 0)
-    val wf = w.rowsBetween(0, Window.unboundedFollowing)
+    // BOTH directions as RUNNING frames: the forward match is a running
+    // last over the REVERSED order, never a [current, unboundedFollowing)
+    // frame — Spark executes those by rescanning to the partition end
+    // per row (O(n²) on a hot key); the reversed running frame costs one
+    // extra in-partition sort and stays O(n log n). Same single key
+    // shuffle: both windows share the partitioning.
+    val wb = Window.partitionBy(col("_zc_k"))
+      .orderBy(col("_zc_t").asc, col("_zc_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wfRev = Window.partitionBy(col("_zc_k"))
+      .orderBy(col("_zc_t").desc, col("_zc_tag").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val rt = when(col("_zc_tag") === 0, col("_zc_t"))
     val withBf = l.unionByName(rAligned)
       .withColumn("_zc_b", last(rt, ignoreNulls = true).over(wb))
-      .withColumn("_zc_f", first(rt, ignoreNulls = true).over(wf))
+      .withColumn("_zc_f", last(rt, ignoreNulls = true).over(wfRev))
       .where(col("_zc_tag") === 1)
     val db = col("_zc_t") - col("_zc_b")
     val df_ = col("_zc_f") - col("_zc_t")

@@ -79,6 +79,11 @@ object GraftChangesTable {
   def resolveRange(spark: SparkSession, root: String,
                    opt: String => Option[String]): Option[(Long, Option[Long])] = {
     if (!opt("readChangeFeed").exists(_.toBoolean)) return None
+    Seq("versionAsOf", "timestampAsOf", "tagAsOf").foreach { k =>
+      require(opt(k).isEmpty,
+        s"readChangeFeed cannot combine with the time-travel option '$k': " +
+          "the feed's range is startingVersion/startingTimestamp -> endingVersion")
+    }
     val from = opt("startingVersion").map(_.toLong)
       .orElse(opt("startingTimestamp").map { v =>
         val ms = try v.toLong

@@ -322,9 +322,11 @@ class SqlSourceSpec extends AnyFunSuite {
     // schema = table schema + _change_type, on the reader face
     assert(feed("startingVersion" -> g0.toString).schema.fieldNames.toSeq ==
       c.schema.fieldNames.toSeq :+ "_change_type")
-    // refusals: no start; an uncommitted generation
+    // refusals: no start; an uncommitted generation; mixing with AS OF
     intercept[IllegalArgumentException](feed().collect())
     intercept[Exception](
       feed("startingVersion" -> "999").collect())
+    intercept[IllegalArgumentException](
+      feed("startingVersion" -> g0.toString, "versionAsOf" -> g1.toString).collect())
   }
 }
