@@ -1212,6 +1212,27 @@ object SparkEntry {
         .select("a", "b", "jaccard").orderBy("a", "b")
     }),
 
+    // C57 (r10e): NEAR-SUPERSET containment pairs — overlap coefficient
+    // |Sa∩Sb|/min(|Sa|,|Sb|) >= 0.9 over char-4 shingles, prefix-filter
+    // candidates recall-complete by theorem (Dedup.containmentPairs).
+    // Planted truncations (doc % 97 spawns a copy holding the first two
+    // thirds of the text) sit at containment ~1 but Jaccard ~2/3 —
+    // exactly the quote/truncation shape dedup_jaccard's resemblance
+    // gate misses. Oracle: all-pairs exact coefficient; the division is
+    // the same int/int-via-double IEEE op in both engines.
+    "dedup_containment" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.unionByName(
+        d.where(col("doc_id") % 97 === 0).select(
+          (col("doc_id") + 1000000).as("doc_id"),
+          col("text").substr(lit(1),
+            floor(length(col("text")) * 2 / 3).cast("int")).as("text")))
+      graft.dedup.Dedup.containmentPairs(planted, "doc_id",
+          TextFunctions.charShingles(col("text"), 4), threshold = 0.9)
+        .orderBy("a", "b")
+    }),
+
     // C5: embedding-cosine near-dup pairs at 0.95 (LSH buckets + verify).
     "dedup_cosine" -> ((s, dir) => {
       graft.ann.Ann.cosinePairs(plantedEmbeddings(s, dir), "vec_id", "embedding", 0.95)
@@ -1568,6 +1589,35 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // C58 (r10e): PER-DOMAIN CAP — the web-pipeline "at most N pages per
+    // registered domain" balancing step: the FIRST URL's registered
+    // domain (C31 extraction) keys the cap, keep order = doc_id asc
+    // (earliest-crawled wins, deterministic), and the cap itself is the
+    // bounded-TopKAgg stratified sample (C27) — a million-page domain
+    // ships k rows per task, never sorting in one. Undomained docs pass
+    // through untouched. Planted mirrors make two domains exceed the
+    // cap of 10; the oracle replays extraction + row_number per domain.
+    "text_domain_cap" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val d = Tables.documents(s, dir)
+      val planted = d.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit(" https://Mirror.example.COM/p?utm_source=x")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0,
+            lit(" http://blog.example.org/post")).otherwise(lit(""))).as("text"))
+      val dom = planted.withColumn("domain",
+        when(size(TextFunctions.urls(col("text"))) > 0,
+          TextFunctions.urlDomain(element_at(TextFunctions.urls(col("text")), 1))))
+      val keyed = dom.where(col("domain").isNotNull && col("domain") =!= "")
+      graft.operators.Corpus.stratifiedSample(
+          keyed, Seq(col("domain")), col("doc_id"), col("doc_id"), 10)
+        .select(col("doc_id"), col("domain"))
+        .unionByName(dom.where(col("domain").isNull || col("domain") === "")
+          .select(col("doc_id"), lit(null).cast("string").as("domain")))
+        .orderBy("doc_id")
+    }),
+
     // C29 (r6): deterministic TOKEN-BUDGET sample — keep docs per lang
     // in fingerprint hash order until ~2000 tokens; stable re-runs.
     "text_token_budget" -> ((s, dir) => {
@@ -1851,6 +1901,24 @@ object SparkEntry {
       }
         .select(unix_micros(col("w.start")).as("hour_start_us"), col("n"), col("sum_value"))
         .orderBy("hour_start_us")
+    }),
+
+    // D25 (r10e): streaming windowed TOP-K leaderboard — per (hour,
+    // event_type) the 3 highest-value events, emitted exactly once per
+    // closed window from O(k) TopKAgg state (a row_number formulation
+    // would retain and sort every event of the window in the state
+    // store). The batch replay — row_number per (window, type) over the
+    // same (value desc, id asc) total order, windows closed by the
+    // final watermark — is the oracle.
+    "stream_window_topn" -> ((s, dir) => {
+      val c = eventsCollection(s, dir)
+      graft.streaming.StreamOps.windowedTopK(s, c, "ts", "1 hour",
+          Seq("event_type"), col("value"), col("event_id"), k = 3,
+          statePartitions = Some(8))
+        .select(unix_micros(col("w.start")).as("hour_start_us"),
+          col("event_type"), col("rank"), col("id").as("event_id"),
+          col("score").as("value"))
+        .orderBy("hour_start_us", "event_type", "rank")
     }),
 
     // D16 (r8): STREAM-STREAM interval join — clicks paired with the
@@ -2610,6 +2678,49 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy("day")
+    }),
+
+    // B50 (r10e): UNPIVOT/melt — pivot's inverse: wide metric columns to
+    // (metric, value) rows through Spark's native unpivot (one Expand
+    // pass over the scan — no per-metric rescans or unions), then a
+    // decimal-exact grouped rollup. The melt is the standard first step
+    // of any "metrics long table" export.
+    "q_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          dec(col("l_quantity")).as("quantity"),
+          dec(col("l_extendedprice")).as("extendedprice"),
+          dec(col("l_discount")).as("discount"),
+          dec(col("l_tax")).as("tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "metric", "value")
+        .groupBy("l_returnflag", "metric")
+        .agg(sum(col("value")).cast("decimal(38,4)").cast("double").as("total"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "metric")
+    }),
+
+    // B51 (r10e): RUNNING DISTINCT COUNT over an event-time window —
+    // SQL's `count(DISTINCT x) OVER (...)`, which Spark's window
+    // aggregates refuse outright: re-expressed EXACTLY as first-
+    // occurrence flags (row_number = 1 per (user, type) in time order)
+    // summed over a RANGE frame per user, so tied timestamps read the
+    // same value as the SQL default RANGE frame prescribes. Scale: both
+    // windows partition by high-cardinality user_id — per-task work is
+    // one user's history, never a corpus sort.
+    "q_distinct_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val firstW = w.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val runW = w.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(w.unboundedPreceding, w.currentRow)
+      Tables.events(s, dir)
+        .withColumn("_f", when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+        .withColumn("n_types", sum(col("_f")).over(runW))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("n_types"))
+        .orderBy("event_id")
     }),
 
     // B18 (Q2-style): cheapest part per brand via a broadcast min join —
@@ -3737,6 +3848,29 @@ object SparkEntry {
          WHERE jaccard >= 0.7
          ORDER BY a, b""",
 
+    // All-pairs exact overlap coefficient; the Spark side's prefix-
+    // filter candidates are recall-complete by theorem, so the two
+    // agree exactly. Same substr-shingle replay as dedup_jaccard.
+    "dedup_containment" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+                  substr(text, 1, CAST(floor(length(text) * 2 / 3) AS BIGINT)) AS text
+           FROM documents WHERE doc_id % 97 = 0),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN length(text) >= 4
+             THEN list_transform(range(1, length(text) - 2), i -> substr(text, i, 4))
+             ELSE [text] END) AS s
+           FROM corpus)
+         SELECT a, b, containment FROM (
+           SELECT a.doc_id AS a, b.doc_id AS b,
+                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    least(len(a.s), len(b.s)) AS containment
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+         WHERE containment >= 0.9
+         ORDER BY a, b""",
+
     // The native cosine is dot/(sqrt(aa)*sqrt(bb)) over double-cast
     // floats, sequential sums — DuckDB's list_dot_product replays the
     // same IEEE sequence, so the 0.3 boundary decides identically.
@@ -4561,6 +4695,36 @@ object SparkEntry {
            FROM fnv)
          SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""",
 
+    // First-URL registered domain (the text_urls extraction replay),
+    // row_number <= 10 per domain in doc_id order; undomained docs pass
+    // with a NULL domain. regexp_extract returns '' on no match in both
+    // engines, so '' is the shared no-domain sentinel.
+    "text_domain_cap" ->
+      """WITH planted AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 4 = 0 THEN ' https://Mirror.example.COM/p?utm_source=x' ELSE '' END ||
+             CASE WHEN doc_id % 6 = 0 THEN ' http://blog.example.org/post' ELSE '' END AS text
+           FROM documents),
+         ex AS (
+           SELECT doc_id,
+                  regexp_extract(text, 'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?') AS u
+           FROM planted),
+         dom AS (
+           SELECT doc_id,
+                  CASE WHEN u IS NOT NULL AND u <> '' THEN
+                    regexp_extract(lower(regexp_extract(u, '^https?://([^/?#]+)', 1)),
+                      '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)(?::[0-9]+)?$', 1)
+                  ELSE '' END AS domain
+           FROM ex),
+         r AS (
+           SELECT doc_id, domain,
+                  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+           FROM dom WHERE domain <> '')
+         SELECT doc_id, domain FROM r WHERE rn <= 10
+         UNION ALL
+         SELECT doc_id, NULL AS domain FROM dom WHERE domain = ''
+         ORDER BY doc_id""",
+
     // Same fingerprint CTE; exclusive prefix sum of whitespace token
     // counts in (hash position, doc_id) order, kept while < 2000.
     "text_token_budget" ->
@@ -4836,6 +5000,20 @@ object SparkEntry {
            FROM events GROUP BY 1) t
          WHERE h + INTERVAL 1 HOUR <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
          ORDER BY hour_start_us""",
+
+    // Top-3 per closed (hour, type) window over the TopKAgg total order
+    // (value desc, id asc); the emission cut is stream_window's.
+    "stream_window_topn" ->
+      """WITH ev AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+         r AS (SELECT date_trunc('hour', t) AS h, event_type, event_id, value,
+                      row_number() OVER (PARTITION BY date_trunc('hour', t), event_type
+                                         ORDER BY value DESC, event_id ASC) AS rank
+               FROM ev)
+         SELECT epoch_us(h) AS hour_start_us, event_type,
+                CAST(rank AS INT) AS rank, event_id, value
+         FROM r
+         WHERE rank <= 3 AND h + INTERVAL 1 HOUR <= (SELECT max(t) FROM ev)
+         ORDER BY hour_start_us, event_type, rank""",
 
     // Sliding windows: every event belongs to the window starting at its
     // hour and the one an hour earlier; append emission keeps windows
@@ -5172,6 +5350,32 @@ object SparkEntry {
                 CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
                 CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
          FROM events GROUP BY 1 ORDER BY day""",
+
+    // The melt as explicit per-metric projections; sums decimal-exact
+    // at the same (18,4) -> (38,4) scales as the Spark side.
+    "q_unpivot" ->
+      """WITH m AS (
+           SELECT l_returnflag, 'quantity' AS metric,
+                  CAST(l_quantity AS DECIMAL(18,4)) AS value FROM lineitem
+           UNION ALL SELECT l_returnflag, 'extendedprice',
+                  CAST(l_extendedprice AS DECIMAL(18,4)) FROM lineitem
+           UNION ALL SELECT l_returnflag, 'discount',
+                  CAST(l_discount AS DECIMAL(18,4)) FROM lineitem
+           UNION ALL SELECT l_returnflag, 'tax',
+                  CAST(l_tax AS DECIMAL(18,4)) FROM lineitem)
+         SELECT l_returnflag, metric,
+                CAST(CAST(sum(value) AS DECIMAL(38,4)) AS DOUBLE) AS total,
+                CAST(count(*) AS BIGINT) AS n
+         FROM m GROUP BY l_returnflag, metric
+         ORDER BY l_returnflag, metric""",
+
+    // count(DISTINCT) window with the SQL-default RANGE frame — ties
+    // share a value, matching the flag-sum RANGE formulation.
+    "q_distinct_window" ->
+      """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                CAST(count(DISTINCT event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts) AS BIGINT) AS n_types
+         FROM events ORDER BY event_id""",
 
     "q6_revenue" ->
       """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue

@@ -186,6 +186,75 @@ object Dedup {
       boundedBucketPairs(buckets, Seq("_zc_band", "_zc_bucket"), "_zc_id", maxBucket)
   }
 
+  /** NEAR-SUPERSET (containment) pairs: documents whose OVERLAP
+    * COEFFICIENT `|Sa ∩ Sb| / min(|Sa|, |Sb|)` reaches `threshold` — the
+    * quote/forwarding-chain/truncation shape that resemblance dedup
+    * structurally misses: a document embedded verbatim inside a much
+    * longer one has overlap ≈ 1 but Jaccard ≈ |small|/|big|, far below
+    * any [[minhashPairs]] threshold (and MinHash banding recall decays
+    * with the Jaccard value, not the containment).
+    *
+    * Candidate generation is the PREFIX FILTER of the set-similarity-
+    * join literature (Bayardo/Ma/Srikant "Scaling Up All Pairs
+    * Similarity Search", WWW'07; Chaudhuri et al. SSJoin, ICDE'06) —
+    * recall-COMPLETE by theorem, not data luck: order the shingle
+    * universe rare-first (document frequency asc, shingle asc); for a
+    * pair at overlap >= tau with smaller side B, `|A ∩ B| >= ceil(tau
+    * |B|)`, so B's first `|B| - ceil(tau |B|) + 1` shingles in that
+    * order must contain at least one shared shingle (removing the rest
+    * leaves fewer than `|A ∩ B|` slots otherwise). Joining every doc's
+    * FULL shingle set against other docs' PREFIXES therefore finds
+    * every qualifying pair; verification computes the exact coefficient
+    * over the full sets and decides the threshold.
+    *
+    * Scale shape: the join is (inverted index) ⋈ (prefix index) keyed
+    * by shingle. Rare-first ordering makes a PREFIX entry for a
+    * globally-common shingle rare (only a doc whose every shingle is
+    * common puts one there), so hot-shingle buckets are (df × few), not
+    * (df × df); candidate volume is the literature's prefix-filter
+    * bound, a vanishing fraction of the pair square at realistic
+    * thresholds. Per-doc ranking is a window over one document's
+    * shingles — bounded by document size, never a corpus sort. The
+    * prefix length uses `floor((1-tau)|B| + 1e-6) + 1`, a provable
+    * upper bound on the required `|B| - ceil(tau |B|) + 1` (the 1e-6
+    * bias absorbs float error in the UPWARD direction only — an
+    * occasional one-longer prefix adds candidates, never loses one).
+    *
+    * Returns `(a, b, containment)` with `a < b`, exact coefficient. */
+  def containmentPairs(df: DataFrame, idCol: String, shingles: Column,
+                       threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    // Exchange above the shingle projection: the token explode and both
+    // verify joins reuse one materialization (the minhashPairs pattern).
+    val docs = df
+      .select(col(idCol).as("_zc_id"), shingles.as("_zc_sh"))
+      .where(size(col("_zc_sh")) > 0)
+      .repartition(col("_zc_id"))
+    val toks = docs.select(col("_zc_id"), size(col("_zc_sh")).as("_zc_n"),
+      explode(col("_zc_sh")).as("_zc_t"))
+    val dfreq = toks.groupBy(col("_zc_t")).agg(count(lit(1)).as("_zc_df"))
+    val ranked = toks.join(dfreq, "_zc_t")
+      .withColumn("_zc_rank", row_number().over(
+        Window.partitionBy(col("_zc_id")).orderBy(col("_zc_df"), col("_zc_t"))))
+    val prefix = ranked.where(col("_zc_rank") <=
+      floor((lit(1.0) - lit(threshold)) * col("_zc_n") + lit(1e-6)) + lit(1))
+    val cands = prefix.select(col("_zc_t"), col("_zc_id").as("_zc_pb"))
+      .join(toks.select(col("_zc_t"), col("_zc_id").as("_zc_pa")), "_zc_t")
+      .where(col("_zc_pa") =!= col("_zc_pb"))
+      .select(least(col("_zc_pa"), col("_zc_pb")).as("a"),
+        greatest(col("_zc_pa"), col("_zc_pb")).as("b"))
+      .distinct()
+    val sa = docs.select(col("_zc_id").as("a"), col("_zc_sh").as("_zc_sa"))
+    val sb = docs.select(col("_zc_id").as("b"), col("_zc_sh").as("_zc_sb"))
+    cands.join(sa, "a").join(sb, "b")
+      .withColumn("containment",
+        size(array_intersect(col("_zc_sa"), col("_zc_sb"))).cast("double") /
+          least(size(col("_zc_sa")), size(col("_zc_sb"))))
+      .where(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
   /** Verify candidate pairs against the TRUE Jaccard similarity of the
     * hashed shingle sets; keeps pairs with `jaccard >= threshold`. */
   def verifyJaccard(candidates: DataFrame, df: DataFrame, idCol: String,

@@ -104,6 +104,51 @@ object StreamOps {
     session.table(name)
   }
 
+  /** Append-mode streaming TOP-K per (window, key): each tumbling
+    * window's k best `(score, id)` rows per key group, emitted exactly
+    * once when the watermark closes the window — the "hourly top
+    * sellers / hottest documents" leaderboard shape (D25).
+    *
+    * State is the BOUNDED [[graft.functions.TopKAgg]] buffer: O(k) per
+    * live (window, key) group however many events flow through it —
+    * the streaming analogue of the batch bounded top-k (C27's quota
+    * machinery), where a `row_number` window would have to retain and
+    * sort every event of the window. Watermark-expired windows drop
+    * their state; the total footprint tracks (live windows × keys × k),
+    * never the stream. Determinism: TopKAgg's total order (score desc,
+    * id asc) makes the k winners independent of batching and merge
+    * order. Returns one row per (window, key, rank): `w`, the key
+    * columns, `rank` (1-based), `id`, `score`. */
+  def windowedTopK(spark: SparkSession, c: Collection, timeCol: String,
+                   windowDuration: String, keys: Seq[String],
+                   score: Column, id: Column, k: Int,
+                   watermarkDelay: String = "0 seconds",
+                   statePartitions: Option[Int] = None): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val session = statePartitions match {
+      case Some(n) =>
+        val forked = spark.newSession()
+        forked.conf.set("spark.sql.shuffle.partitions", n.toString)
+        forked
+      case None => spark
+    }
+    val tk = graft.functions.TopKAgg.topK(k)
+    val grouped = readStream(session, c)
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowDuration).as("w") +: keys.map(col): _*)
+      .agg(tk(score, id).as("_zc_tk"))
+    val q = grouped
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    session.table(name)
+      .select((col("w") +: keys.map(col)) :+ posexplode(col("_zc_tk")).as(Seq("_zc_pos", "_zc_s")): _*)
+      .select((col("w") +: keys.map(col)) ++ Seq(
+        (col("_zc_pos") + 1).cast("int").as("rank"),
+        col("_zc_s.id").as("id"), col("_zc_s.score").as("score")): _*)
+  }
+
   /** Run a streaming tumbling-window aggregation over the collection to
     * completion (all currently-available data) and return the final
     * result from the in-memory sink. Complete mode: a batch-equivalence

@@ -643,6 +643,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(sim >= 0.95, s"perturbed cosine $sim")
   }
 
+  test("containmentPairs: prefix-filter recall-completeness vs brute force, seeded random universes (r10e)") {
+    // The prefix filter is recall-complete by theorem; this replays the
+    // theorem empirically across 6 seeded random corpora (varied set
+    // sizes, heavy element skew so rare-first ordering actually bites,
+    // planted subset/superset pairs) and checks EXACT equality with the
+    // brute-force O(n^2) overlap-coefficient join — both directions:
+    // nothing missed (completeness), nothing extra (the verify step).
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val universe = 40
+      val base = (0L until 50L).map { id =>
+        val sz = 1 + rnd.nextInt(12)
+        // skewed element draw: low ids are hot, high ids rare
+        val set = Seq.fill(sz * 3)(math.min(rnd.nextInt(universe), rnd.nextInt(universe)))
+          .map(_.toLong).distinct.take(sz)
+        (id, set)
+      }
+      // planted: doc 100+i holds a strict subset of doc i (containment 1)
+      val planted = (0L until 5L).map(i =>
+        (100L + i, base(i.toInt)._2.take(math.max(1, base(i.toInt)._2.size - 2))))
+      val docs = base ++ planted
+      val df = docs.toDF("id", "sh")
+      val tau = 0.7
+      val got = Dedup.containmentPairs(df, "id", col("sh"), tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val byId = docs.toMap
+      val want = (for {
+        (a, sa) <- docs; (b, sb) <- docs if a < b && sa.nonEmpty && sb.nonEmpty
+        inter = sa.toSet.intersect(sb.toSet).size
+        if inter.toDouble / math.min(sa.size, sb.size) >= tau
+      } yield (a, b)).toSet
+      assert(got == want,
+        s"seed $seed: missed=${want -- got} extra=${got -- want}")
+      // and the emitted coefficient is the exact brute-force value
+      val gotC = Dedup.containmentPairs(df, "id", col("sh"), tau)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      gotC.foreach { case ((a, b), c) =>
+        val (sa, sb) = (byId(a).toSet, byId(b).toSet)
+        val exact = sa.intersect(sb).size.toDouble / math.min(sa.size, sb.size)
+        assert(c == exact, s"seed $seed pair ($a,$b): $c != $exact")
+      }
+    }
+    // threshold 1.0: only exact-set or subset-with-equal-min pairs — the
+    // prefix degenerates to a single rarest shingle and must still find
+    // the identical-set pair
+    val eq = Seq((1L, Seq(5L, 6L, 7L)), (2L, Seq(5L, 6L, 7L)), (3L, Seq(5L, 6L)))
+      .toDF("id", "sh")
+    val full = Dedup.containmentPairs(eq, "id", col("sh"), 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"subset at containment 1.0 must qualify: $full")
+  }
+
   test("tuneBands: pinned optima, budget respected, threshold monotonicity (r10d)") {
     // pinned against an independent reference implementation of the
     // same FP+FN integral (midpoint quadrature, n=2000)

@@ -34,6 +34,34 @@ class StreamMultimodalSpec extends AnyFunSuite {
       ("2024-01-02 10:00:00", 1L, 8.0)))
   }
 
+  test("windowedTopK: closed windows only, tie order, per-key k bound (r10e)") {
+    val root = SparkTestSession.tmp("graft-stream-topk")
+    val df = Seq(
+      // hour 10, key "a": 4 events — only the 3 best may emit; the 5.0
+      // tie must resolve to the LOWER id first (TopKAgg order)
+      (1L, "2024-01-01 10:05:00", "a", 5.0), (2L, "2024-01-01 10:10:00", "a", 5.0),
+      (3L, "2024-01-01 10:20:00", "a", 9.0), (4L, "2024-01-01 10:30:00", "a", 1.0),
+      // hour 10, key "b": 1 event — ranks are per (window, key)
+      (5L, "2024-01-01 10:40:00", "b", 7.0),
+      // hour 11: the FINAL window (max ts lives here) must NOT emit
+      (6L, "2024-01-01 11:05:00", "a", 99.0),
+    ).toDF("id", "ts", "k", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    val got = StreamOps.windowedTopK(spark, c, "ts", "1 hour",
+        Seq("k"), col("v"), col("id"), k = 3)
+      .select(col("w.start").cast("string").as("w"), col("k"),
+        col("rank"), col("id"), col("score"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00", "a", 1, 3L, 9.0),
+      ("2024-01-01 10:00:00", "a", 2, 1L, 5.0), // tie: id 1 before id 2
+      ("2024-01-01 10:00:00", "a", 3, 2L, 5.0), // id 4 (1.0) cut by k=3
+      ("2024-01-01 10:00:00", "b", 1, 5L, 7.0),
+    ), s"got $got")
+  }
+
   test("streaming reads are manifest-consistent: orphans and retained replaced files invisible") {
     // r2 verdict #1: a directory-listing stream ingests (a) files of a
     // writer that crashed before its manifest commit and (b) with
