@@ -81,6 +81,10 @@ object Bench {
     "text_heavy_hitters", "stream_upsert", "q_asof_nearest",
     // r10d: Delta-parity CDF reader options (same diff as zc_changes)
     "zc_changes_read",
+    // r10e: stream-stream as-of, prefix-filter containment dedup,
+    // per-domain cap, running distinct count, streaming top-k
+    "stream_asof_join", "dedup_containment", "text_domain_cap",
+    "q_distinct_window", "stream_window_topn",
   )
 
   private def loadAvg: Double =

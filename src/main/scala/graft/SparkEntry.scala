@@ -1841,6 +1841,82 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // C59 (r10e): CONTAMINATION REPORT — the audit face of C23's drop
+    // verdict: per (corpus doc, benchmark doc) pair, the exact shared-
+    // distinct-5-gram fraction of the benchmark doc — which eval items
+    // leak, from where, how badly. Corpus text never shuffles
+    // (broadcast benchmark; only matching hits move).
+    "text_contamination_report" -> ((s, dir) => {
+      import graft.operators.Corpus
+      val docs = Tables.documents(s, dir)
+      Corpus.contaminationReport(
+          docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+          docs.where(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+          k = 5)
+        .orderBy("corpus_id", "bench_id")
+    }),
+
+    // E27 oracle face (r10e): FSCK damage matrix — a fresh collection
+    // must audit CLEAN (asserted in-entry), then all FOUR damage
+    // classes are planted (delete a referenced file; swap another for a
+    // valid one-row parquet so only the DEEP footer pass can tell;
+    // truncate a third so its footer won't open at all; drop a stray
+    // parquet into a partition dir) and the deep report must count
+    // exactly them, one each.
+    "zc_fsck" -> ((s, dir) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val ev = Tables.events(s, dir)
+      val root = s"$scratch/fsck-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, ev.schema, "ts",
+        DatePartitioning("ts", "D"), overwrite = true)
+      c.insert(ev)
+      val pre = c.fsck(deep = true)
+      require(pre.clean && pre.orphanFiles.isEmpty,
+        s"fresh collection must fsck clean: $pre")
+      def dataFiles() = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+            p.getParent.getFileName.toString.contains("=")
+        }
+        .toSeq.sortBy(_.toString)
+      val victims = dataFiles()
+      require(victims.size >= 3, "need three data files to damage")
+      val conf = s.sparkContext.hadoopConfiguration
+      val hfs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      // swap: a valid ONE-ROW parquet whose footer row count can't match
+      // any daily partition — copied THROUGH the filesystem API so
+      // checksum sidecars stay consistent and only the deep row-count
+      // compare can tell
+      val tinyDir = s"$root-tiny"
+      ev.limit(1).coalesce(1).write.mode("overwrite").parquet(tinyDir)
+      val tiny = hfs.listStatus(new org.apache.hadoop.fs.Path(tinyDir))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val swapDst = new org.apache.hadoop.fs.Path(victims.head.toString)
+      hfs.delete(swapDst, false)
+      org.apache.hadoop.fs.FileUtil.copy(hfs, tiny, hfs, swapDst, false, conf)
+      // missing: deleted behind the manifest's back
+      hfs.delete(new org.apache.hadoop.fs.Path(victims(1).toString), false)
+      // unreadable: truncated so the parquet footer cannot open
+      val ch = java.nio.file.Files.newByteChannel(victims(2),
+        java.nio.file.StandardOpenOption.WRITE)
+      try ch.truncate(10L) finally ch.close()
+      // orphan: a stray parquet-named file inside a partition dir
+      java.nio.file.Files.write(
+        victims.last.getParent.resolve("part-stray-zzz.parquet"),
+        Array[Byte](1, 2, 3))
+      val rep = c.fsck(deep = true)
+      Seq(
+        ("missing", rep.missingFiles.size.toLong),
+        ("orphan", rep.orphanFiles.size.toLong),
+        ("row_count_mismatch", rep.rowCountMismatches.size.toLong),
+        ("unreadable", rep.unreadableFiles.size.toLong))
+        .toDF("issue", "n").orderBy("issue")
+    }),
+
     // C24 (r5): INT8 embedding quantization — per-vector max-abs scale,
     // floor-based rounding (engine-portable), mean-abs reconstruction
     // error via an explicit left fold. Scalar map, no shuffle. The
@@ -4907,6 +4983,33 @@ object SparkEntry {
          bad AS (SELECT DISTINCT doc_id FROM sh WHERE sh IN (SELECT sh FROM bench))
          SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",
+
+    // Same 5-gram construction; exact per-pair shared-distinct counts
+    // over the (corpus, benchmark) split, fraction of the bench doc.
+    "text_contamination_report" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+                  THEN list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i : i + 4], ' '))
+                  ELSE CAST([] AS VARCHAR[]) END) AS sh FROM t),
+         bsh AS (SELECT DISTINCT doc_id AS bench_id, sh FROM sh WHERE doc_id % 10 = 0),
+         btot AS (SELECT bench_id, count(*) AS bench_ngrams FROM bsh GROUP BY 1),
+         csh AS (SELECT DISTINCT doc_id AS corpus_id, sh FROM sh WHERE doc_id % 10 <> 0),
+         hit AS (SELECT c.corpus_id, b.bench_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+                 FROM csh c JOIN bsh b USING (sh) GROUP BY 1, 2)
+         SELECT corpus_id, bench_id, shared_ngrams,
+                CAST(bench_ngrams AS BIGINT) AS bench_ngrams,
+                CAST(shared_ngrams AS DOUBLE) / bench_ngrams AS overlap
+         FROM hit JOIN btot USING (bench_id)
+         ORDER BY corpus_id, bench_id""",
+
+    // fsck must find exactly the three planted damages, one per class;
+    // the clean pre-check is asserted inside the entry.
+    "zc_fsck" ->
+      """SELECT * FROM (VALUES ('missing', CAST(1 AS BIGINT)),
+                               ('orphan', CAST(1 AS BIGINT)),
+                               ('row_count_mismatch', CAST(1 AS BIGINT)),
+                               ('unreadable', CAST(1 AS BIGINT))) AS t(issue, n)
+         ORDER BY issue""",
 
     "q3_shipping" ->
       """SELECT l_orderkey,

@@ -1041,19 +1041,26 @@ final class Collection private (
       branchPinnedRels(None) // matches vacuum: branch-pinned files are not orphans
     val orphans = onDisk.diff(live).toSeq.sorted
     val statless = byShard.flatMap(d => d.files.filterNot(d.stats.contains))
-    val mismatches =
-      if (!deep) Nil
+    val (mismatches, unreadable) =
+      if (!deep) (Nil, Nil)
       else {
         val recorded = byShard.flatMap(_.rows).toMap
         val missingSet = missing.toSet
         val present = files.filterNot(missingSet.contains)
         val (_, actualRows, _) = fileStats(present)
-        present.flatMap { f =>
+        val mm = present.flatMap { f =>
           for (r <- recorded.get(f); a <- actualRows.get(f) if r != a)
             yield (f, r, a)
         }
+        // a present file whose FOOTER cannot be read at all (truncation,
+        // checksum damage, non-parquet bytes) is its own damage class —
+        // every read touching it will fail, and the row-count compare
+        // above would otherwise silently skip it (r10e: found by planting
+        // a truncated file that the deep pass waved through)
+        val ur = present.filterNot(actualRows.contains).sorted
+        (mm, ur)
       }
-    FsckReport(files.size, missing, mismatches, statless, orphans)
+    FsckReport(files.size, missing, mismatches, statless, orphans, unreadable)
   }
 
   // --- schema evolution --------------------------------------------
@@ -3691,16 +3698,21 @@ object RebaseResolve {
 
 /** Result of [[Collection.fsck]]: manifest ↔ filesystem consistency.
   * `rowCountMismatches` entries are `(file, recordedRows, actualRows)`;
-  * populated only by a deep check. */
+  * `unreadableFiles` are referenced files present on disk whose parquet
+  * footer cannot be opened at all (truncation, checksum damage,
+  * non-parquet bytes) — reads touching them WILL fail. Both populated
+  * only by a deep check. */
 final case class FsckReport(
     filesChecked: Int,
     missingFiles: Seq[String],
     rowCountMismatches: Seq[(String, Long, Long)],
     statlessFiles: Seq[String],
-    orphanFiles: Seq[String]) {
+    orphanFiles: Seq[String],
+    unreadableFiles: Seq[String] = Nil) {
   /** No reads will fail and no recorded count lies. Orphans and
     * statless files degrade space/pruning, not correctness. */
-  def clean: Boolean = missingFiles.isEmpty && rowCountMismatches.isEmpty
+  def clean: Boolean =
+    missingFiles.isEmpty && rowCountMismatches.isEmpty && unreadableFiles.isEmpty
 }
 
 object Collection extends CollectionManifestLayer {

@@ -486,6 +486,46 @@ object Corpus {
     corpus.join(broadcast(contaminated), id === col("_cid"), "left_anti")
   }
 
+  /** CONTAMINATION REPORT — the auditing face of
+    * [[decontaminateNgrams]] (which only drops): for every (corpus doc,
+    * benchmark doc) pair sharing at least one word `k`-gram, the EXACT
+    * overlap fraction `|shared distinct k-grams| / |benchmark doc's
+    * distinct k-grams|` — which eval items leak, from where, and how
+    * badly (the dirt sheet an eval-integrity review wants before
+    * deciding drop thresholds; GPT-3 appx. C / PaLM-style reporting).
+    *
+    * Scale shape: the benchmark's distinct (doc, shingle-hash) rows
+    * BROADCAST with their per-doc totals (benchmarks are small by
+    * definition); the corpus side explodes map-side into the broadcast
+    * join, so only MATCHING (corpus, bench, shingle) hits shuffle — for
+    * the dedup and count — never corpus text and never non-matching
+    * shingles. `minOverlap` gates the report (0.0 = every touching
+    * pair). */
+  def contaminationReport(corpus: DataFrame, id: Column, text: Column,
+                          benchmark: DataFrame, benchId: Column,
+                          benchText: Column, k: Int = 13,
+                          minOverlap: Double = 0.0): DataFrame = {
+    val bench = benchmark
+      .select(benchId.as("_bid"), explode(wordShingleStrings(benchText, k)).as("_sh"))
+      .select(col("_bid"), xxhash64(col("_sh")).as("_shh")).distinct()
+    val benchTot = bench.groupBy(col("_bid")).agg(count(lit(1)).as("_btot"))
+    val benchSide = broadcast(bench.join(benchTot, "_bid"))
+    corpus
+      .select(id.as("corpus_id"), explode(wordShingleStrings(text, k)).as("_sh"))
+      .select(col("corpus_id"), xxhash64(col("_sh")).as("_shh"))
+      .join(benchSide, "_shh")
+      // a corpus doc repeating a shingle must count it once: dedup the
+      // (corpus, bench, shingle) hits — candidate-volume-bounded
+      .select(col("corpus_id"), col("_bid"), col("_shh"), col("_btot"))
+      .distinct()
+      .groupBy(col("corpus_id"), col("_bid"), col("_btot"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .withColumn("overlap", col("shared_ngrams").cast("double") / col("_btot"))
+      .where(col("overlap") >= minOverlap)
+      .select(col("corpus_id"), col("_bid").as("bench_id"),
+        col("shared_ngrams"), col("_btot").as("bench_ngrams"), col("overlap"))
+  }
+
   /** Contiguous token-budget packing: within each stratum, documents in
     * `order` are assigned to consecutive bins by the EXCLUSIVE prefix
     * sum of their token counts — `bin = floor(prior_tokens / budget)` —

@@ -722,4 +722,29 @@ class CollectionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](cm.queryArrays())
     assert(cm.queryArrays(variables = Seq("id")).count() == 1, "projection avoids the map")
   }
+
+  test("fsck orphans equal vacuum's dry-run reclaim set; read-only handles may audit (r10e)") {
+    val root = SparkTestSession.tmp("graft-fsck-vac")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts",
+      DatePartitioning("ts", "D"))
+    c.insert(df)
+    assert(c.fsck().clean && c.fsck().orphanFiles.isEmpty)
+    // plant two strays in different partition dirs
+    val parts = c.partitions().take(2)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/$p/part-stray-$i.parquet"),
+        Array[Byte](1, 2, 3))
+    }
+    val orphans = c.fsck().orphanFiles.toSet
+    assert(orphans.size == 2, s"both strays must be flagged: $orphans")
+    // the report names exactly what vacuum (age-ungated) would reclaim
+    val wouldReclaim = c.vacuum(graceMs = 0, dryRun = true).toSet
+    assert(orphans == wouldReclaim, s"fsck $orphans != vacuum dryRun $wouldReclaim")
+    // a read-only handle may audit (fsck never commits)
+    val ro = Collection.open(spark, root, readOnly = true)
+    assert(ro.fsck().orphanFiles.toSet == orphans)
+    assert(c.generations() == ro.generations())
+  }
 }

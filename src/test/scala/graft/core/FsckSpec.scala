@@ -89,4 +89,24 @@ class FsckSpec extends AnyFunSuite {
       f == fa && rec == ra && act == rows(fb)
     }, s"expected $fa recorded=$ra actual=${rows(fb)}, got ${deep.rowCountMismatches}")
   }
+
+  test("deep fsck reports a file whose footer cannot be opened at all (r10e)") {
+    // truncation (or checksum damage) makes the footer read THROW; the
+    // row-count compare would silently skip such a file — it must land
+    // in unreadableFiles instead (every read touching it will fail)
+    val c = coll(SparkTestSession.tmp("graft-fsck-trunc"))
+    val man = c.currentManifest()
+    val victim = man.shards.flatMap(e => man.shardData(e).files).sorted.head
+    val p = java.nio.file.Paths.get(s"${c.root}/$victim")
+    val ch = java.nio.file.Files.newByteChannel(p,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(10L) finally ch.close()
+    assert(c.fsck().clean, "shallow check cannot see the truncation")
+    val deep = c.fsck(deep = true)
+    assert(!deep.clean)
+    assert(deep.unreadableFiles == Seq(victim),
+      s"expected $victim unreadable, got ${deep.unreadableFiles}")
+    assert(deep.missingFiles.isEmpty && deep.rowCountMismatches.isEmpty,
+      s"truncation must not double-report: $deep")
+  }
 }
