@@ -1148,6 +1148,32 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // C60 (r10e): INCREMENTAL CONTAINMENT against a persisted prefix
+    // index — the near-superset service: index 2/3 of the corpus, then
+    // a batch (the remaining third + planted two-thirds truncations of
+    // indexed docs) reports every (batch, indexed) pair at overlap
+    // coefficient >= 0.9. Prefixes are in FIXED hash order, so they
+    // stay recall-complete as the corpus grows; the oracle is the exact
+    // all-pairs batch x corpus coefficient.
+    "dedup_incremental_contain" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.where(col("doc_id") % 3 =!= 0)
+      val root = s"$scratch/cnidx-${java.util.UUID.randomUUID().toString.take(8)}"
+      Dedup.buildContainmentIndex(s, root, corpus, "doc_id",
+        TextFunctions.charShingles(col("text"), 4), threshold = 0.9,
+        nBuckets = 16)
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .unionByName(corpus.where(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("text").substr(lit(1),
+              floor(length(col("text")) * 2 / 3).cast("int")).as("text")))
+      Dedup.containmentAgainstIndex(s, root, batch, "doc_id",
+          TextFunctions.charShingles(col("text"), 4), threshold = 0.9)
+        .orderBy("a", "b")
+    }),
+
     // C32 (r6): INCREMENTAL dedup against a PERSISTED fingerprint index
     // — the continuously-ingesting corpus shape: index 2/3 of the docs,
     // then dedup a batch of the remaining third plus re-ingested copies
@@ -4051,6 +4077,31 @@ object SparkEntry {
     // 64 positions match (est 58/64 >= 0.9; 57/64 < 0.9). Banding is
     // skipped: <= 6 mismatched positions leave >= 10 of 16 bands exact,
     // so every qualifying pair is an LSH candidate (pigeonhole).
+    // Exact all-pairs batch x corpus overlap coefficient; the index's
+    // prefix-filter candidates are recall-complete by theorem, so the
+    // service and the brute-force replay agree exactly.
+    "dedup_incremental_contain" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         batch AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+                  substr(text, 1, CAST(floor(length(text) * 2 / 3) AS BIGINT)) AS text
+           FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 97 = 0),
+         shc AS (SELECT doc_id, list_distinct(CASE WHEN length(text) >= 4
+                   THEN list_transform(range(1, length(text) - 2), i -> substr(text, i, 4))
+                   ELSE [text] END) AS s FROM corpus),
+         shb AS (SELECT doc_id, list_distinct(CASE WHEN length(text) >= 4
+                   THEN list_transform(range(1, length(text) - 2), i -> substr(text, i, 4))
+                   ELSE [text] END) AS s FROM batch)
+         SELECT a, b, containment FROM (
+           SELECT bb.doc_id AS a, cc.doc_id AS b,
+                  CAST(len(list_intersect(bb.s, cc.s)) AS DOUBLE) /
+                    least(len(bb.s), len(cc.s)) AS containment
+           FROM shb bb CROSS JOIN shc cc) p
+         WHERE containment >= 0.9
+         ORDER BY a, b""",
+
     "dedup_incremental_near" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),

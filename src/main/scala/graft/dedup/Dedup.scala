@@ -222,26 +222,65 @@ object Dedup {
     *
     * Returns `(a, b, containment)` with `a < b`, exact coefficient. */
   def containmentPairs(df: DataFrame, idCol: String, shingles: Column,
-                       threshold: Double): DataFrame = {
+                       threshold: Double,
+                       denseUniverseMax: Int = 1 << 14,
+                       denseDocsMax: Long = 1L << 14): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
-    // Exchange above the shingle projection: the token explode and both
-    // verify joins reuse one materialization (the minhashPairs pattern).
+    // Repartition FIRST (the minhashPairs pattern): the raw rows spread
+    // across cores BEFORE the shingle projection — a one-row-group
+    // parquet input would otherwise hash every shingle inside the single
+    // scan task. The second boundary is the shared Exchange the token
+    // explode and both verify joins reuse.
     val docs = df
+      .repartition(col(idCol))
       .select(col(idCol).as("_zc_id"), shingles.as("_zc_sh"))
       .where(size(col("_zc_sh")) > 0)
       .repartition(col("_zc_id"))
     val toks = docs.select(col("_zc_id"), size(col("_zc_sh")).as("_zc_n"),
       explode(col("_zc_sh")).as("_zc_t"))
     val dfreq = toks.groupBy(col("_zc_t")).agg(count(lit(1)).as("_zc_df"))
+    // ADAPTIVE regime switch, measured from the data (two cheap counts):
+    // a DENSE universe (few distinct shingles, every posting list hot) is
+    // the inverted filter's provable worst case — with ~1000 shingles
+    // over ~5000 docs every pair shares "rare" shingles and the prefix
+    // join degrades toward all-pairs (measured: 7.9M of 12.7M possible
+    // candidates on the synthetic corpus). There, brute force over
+    // fixed-width BITMAPS is the right plan: ceil(U/64) longs per doc,
+    // intersection = popcount of AND, the whole corpus side broadcasts.
+    // The sparse regime (real web text: universe >> docs) keeps the
+    // literature path below.
+    val statsRow = toks.agg(count_distinct(col("_zc_t")),
+      count_distinct(col("_zc_id"))).head()
+    val (universe, nDocs) = (statsRow.getLong(0), statsRow.getLong(1))
+    if (universe <= denseUniverseMax && nDocs <= denseDocsMax)
+      return densePairs(docs, universe.toInt, threshold)
     val ranked = toks.join(dfreq, "_zc_t")
       .withColumn("_zc_rank", row_number().over(
         Window.partitionBy(col("_zc_id")).orderBy(col("_zc_df"), col("_zc_t"))))
     val prefix = ranked.where(col("_zc_rank") <=
       floor((lit(1.0) - lit(threshold)) * col("_zc_n") + lit(1e-6)) + lit(1))
-    val cands = prefix.select(col("_zc_t"), col("_zc_id").as("_zc_pb"))
-      .join(toks.select(col("_zc_t"), col("_zc_id").as("_zc_pa")), "_zc_t")
-      .where(col("_zc_pa") =!= col("_zc_pb"))
+    // POSITIONAL filter (PPJoin, Xiao et al. WWW'08), applied ROW-WISE
+    // inside the candidate join: a hit on token t at ranks (i in A, j in
+    // B) bounds the whole intersection for tokens shared AT OR AFTER t —
+    // and per-doc rank order is the global (df, shingle) order
+    // restricted, so for the pair's globally-FIRST shared token the
+    // bound covers ALL shared tokens: |A∩B| <= 1 + min(|A|-i, |B|-j).
+    // The bound only SHRINKS as ranks grow, so if a pair's first hit
+    // fails it, every later hit fails too — filtering each hit row
+    // independently is exact, drops doomed pairs BEFORE the distinct
+    // shuffle, and needs no per-pair aggregation. The epsilon keeps
+    // float tau*min from wrongly pruning an exactly-at-threshold pair;
+    // over-keeping is just cost.
+    val cands = prefix
+      .select(col("_zc_t"), col("_zc_id").as("_zc_pb"),
+        col("_zc_rank").as("_zc_jr"), col("_zc_n").as("_zc_nb"))
+      .join(ranked.select(col("_zc_t"), col("_zc_id").as("_zc_pa"),
+        col("_zc_rank").as("_zc_ir"), col("_zc_n").as("_zc_na")), "_zc_t")
+      .where(col("_zc_pa") =!= col("_zc_pb") &&
+        (lit(1) + least(col("_zc_na") - col("_zc_ir"),
+          col("_zc_nb") - col("_zc_jr"))).cast("double") >=
+          lit(threshold) * least(col("_zc_na"), col("_zc_nb")) - lit(1e-6))
       .select(least(col("_zc_pa"), col("_zc_pb")).as("a"),
         greatest(col("_zc_pa"), col("_zc_pb")).as("b"))
       .distinct()
@@ -251,6 +290,50 @@ object Dedup {
       .withColumn("containment",
         size(array_intersect(col("_zc_sa"), col("_zc_sb"))).cast("double") /
           least(size(col("_zc_sa")), size(col("_zc_sb"))))
+      .where(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
+  /** Dense-universe containment: every shingle gets a dense id (one
+    * driver-bounded window over <= denseUniverseMax rows), every doc a
+    * fixed-width bitmap of `ceil(U/64)` longs, and the pair space is
+    * enumerated by a BROADCAST self-join — `|A∩B|` is the popcount of
+    * the bitmap AND, unrolled at plan-build time into `W` codegen'd
+    * `bit_count(a & b)` terms (no per-row array allocation). Exact, and
+    * immune to posting-list heat: cost is C(n,2) cheap vector ops, the
+    * right trade exactly when the universe is too small for any
+    * inverted filter to discriminate. */
+  private def densePairs(docs: DataFrame, universe: Int,
+                         threshold: Double): DataFrame = {
+    val words = (universe + 63) / 64
+    // dense ids: one window over the (bounded) distinct-shingle table
+    val ids = docs.select(explode(col("_zc_sh")).as("_zc_t")).distinct()
+      .select(col("_zc_t"),
+        (row_number().over(Window.orderBy(col("_zc_t"))) - 1).as("_zc_tid"))
+    val bits = docs
+      .select(col("_zc_id"), size(col("_zc_sh")).as("_zc_n"),
+        explode(col("_zc_sh")).as("_zc_t"))
+      .join(broadcast(ids), "_zc_t") // <= denseUniverseMax rows by regime
+      .groupBy(col("_zc_id"), col("_zc_n"))
+      .agg(collect_list(col("_zc_tid")).as("_zc_tids"))
+      .select(col("_zc_id") +: col("_zc_n") +:
+        (0 until words).map { w =>
+          // SQL form: the scala shiftleft() wrapper only takes a literal
+          // shift amount; the SQL function shifts by an expression
+          expr(s"aggregate(filter(_zc_tids, t -> (t div 64) = $w), 0L, " +
+            "(acc, t) -> acc | shiftleft(1L, cast(t % 64 as int)))")
+            .as(s"_zc_w$w")
+        }: _*)
+    val l = bits.select(col("_zc_id").as("a") +: col("_zc_n").as("_zc_na") +:
+      (0 until words).map(w => col(s"_zc_w$w").as(s"_zc_aw$w")): _*)
+    val r = bits.select(col("_zc_id").as("b") +: col("_zc_n").as("_zc_nb") +:
+      (0 until words).map(w => col(s"_zc_w$w").as(s"_zc_bw$w")): _*)
+    val inter = (0 until words)
+      .map(w => bit_count(col(s"_zc_aw$w").bitwiseAND(col(s"_zc_bw$w"))))
+      .reduce(_ + _)
+    l.join(broadcast(r), col("a") < col("b"))
+      .withColumn("containment",
+        inter.cast("double") / least(col("_zc_na"), col("_zc_nb")))
       .where(col("containment") >= threshold)
       .select(col("a"), col("b"), col("containment"))
   }
@@ -767,5 +850,179 @@ object Dedup {
     if (buckets.isEmpty) return batch.limit(0)
     val idx = index.query(s"bucket in (${buckets.mkString(", ")})", Seq("fp"))
     kept.join(idx, kept("_zc_fp") === idx("fp"), "left_anti").drop("_zc_fp")
+  }
+
+  // ------- persisted containment index: incremental near-superset -----
+
+  val ContainBucketsAttr = "containment.buckets"
+  val ContainThresholdAttr = "containment.threshold"
+
+  /** Per-doc rows `(doc_id, sh sorted-asc, n, p)` — the shared substrate
+    * of both index halves and the query side. The GLOBAL shingle order
+    * here is the HASH VALUE itself (ascending), not document frequency:
+    * hash order is FIXED as the corpus grows, so a prefix computed at
+    * index time stays a valid prefix against every future batch — the
+    * property an incremental service needs and a df-ordered prefix
+    * ([[containmentPairs]]' candidate-minimizing choice) cannot give
+    * (new docs shift frequencies). Any fixed total order satisfies the
+    * prefix-filter theorem; hash order just generates somewhat more
+    * candidates. */
+  private def containDocRows(docs: DataFrame, idCol: String,
+                             shingles: Column, threshold: Double): DataFrame =
+    docs
+      .repartition(col(idCol)) // shingle pass parallel even off one file
+      .select(col(idCol).cast("long").as("doc_id"), array_sort(shingles).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("n", size(col("sh")))
+      .withColumn("p",
+        (floor((lit(1.0) - lit(threshold)) * col("n") + lit(1e-6)) + lit(1)).cast("int"))
+
+  /** Build a PERSISTED containment (near-superset) index for INCREMENTAL
+    * overlap-coefficient detection at `threshold`: two bucket-partitioned
+    * sub-collections under `root` —
+    *
+    *  - `inv/`: one `(bucket, sh, doc_id, pfx)` row per (doc, distinct
+    *    shingle) — the inverted index; `pfx` marks the doc's first
+    *    `floor((1-tau)n)+1` shingles in FIXED hash order (the
+    *    prefix-filter candidate side, see [[containmentPairs]] for the
+    *    theorem; hash order keeps prefixes valid as the corpus grows);
+    *  - `sets/`: one `(dbucket, doc_id, sh, n)` row per doc — the full
+    *    sorted shingle-set side the exact verify reads back,
+    *    partition-pruned by candidate doc ids.
+    *
+    * Index size ∝ corpus distinct-shingle volume (`inv/` is a real
+    * inverted index; `sets/` stores the arrays once more) — the honest
+    * cost of serving exact containment; text itself is never stored. */
+  def buildContainmentIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+                            docs: DataFrame, idCol: String, shingles: Column,
+                            threshold: Double, nBuckets: Int = 64): (graft.core.Collection, graft.core.Collection) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val attrs = Map(ContainBucketsAttr -> nBuckets.toString,
+      ContainThresholdAttr -> threshold.toString)
+    val base = containDocRows(docs, idCol, shingles, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val setRows = base.select(
+        pmod(col("doc_id"), lit(nBuckets.toLong)).as("dbucket"),
+        col("doc_id"), col("sh"), col("n"))
+      val sc = graft.core.Collection.create(spark, s"$root/sets", setRows.schema,
+        "doc_id", graft.core.SequencePartitioning(Seq("dbucket"), "doc_id"),
+        overwrite = true, attrs = attrs)
+      sc.insert(setRows)
+      val invRows = base
+        .select(col("doc_id"), col("p"), col("n"),
+          posexplode(col("sh")).as(Seq("_pos", "sh")))
+        .select(pmod(col("sh"), lit(nBuckets.toLong)).as("bucket"), col("sh"),
+          col("doc_id"), (col("_pos") + 1).cast("int").as("pos"), col("n"),
+          (col("_pos") < col("p")).as("pfx"))
+      val ic = graft.core.Collection.create(spark, s"$root/inv", invRows.schema,
+        "sh", graft.core.SequencePartitioning(Seq("bucket"), "sh"),
+        overwrite = true, attrs = attrs)
+      ic.insert(invRows)
+      (ic, sc)
+    } finally base.unpersist()
+  }
+
+  /** Append `docs` to an existing containment index (call with the docs
+    * an ingestion pass admitted): one Concat commit per half. Stored
+    * prefixes never go stale — the prefix order is the FIXED hash
+    * order, independent of corpus content, so rows written at build
+    * time and rows appended years later obey the same theorem. */
+  def appendContainment(spark: org.apache.spark.sql.SparkSession, root: String,
+                        docs: DataFrame, idCol: String, shingles: Column): Unit = {
+    val ic = graft.core.Collection.open(spark, s"$root/inv")
+    val sc = graft.core.Collection.open(spark, s"$root/sets")
+    val nBuckets = ic.attrs(ContainBucketsAttr).toInt
+    val built = ic.attrs(ContainThresholdAttr).toDouble
+    val base = containDocRows(docs, idCol, shingles, built)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sc.insert(base.select(
+        pmod(col("doc_id"), lit(nBuckets.toLong)).as("dbucket"),
+        col("doc_id"), col("sh"), col("n")), graft.core.MergeStrategy.Concat)
+      ic.insert(base
+        .select(col("doc_id"), col("p"), col("n"),
+          posexplode(col("sh")).as(Seq("_pos", "sh")))
+        .select(pmod(col("sh"), lit(nBuckets.toLong)).as("bucket"), col("sh"),
+          col("doc_id"), (col("_pos") + 1).cast("int").as("pos"), col("n"),
+          (col("_pos") < col("p")).as("pfx")), graft.core.MergeStrategy.Concat)
+    } finally base.unpersist()
+  }
+
+  /** INCREMENTAL containment pairs of a new batch against a
+    * [[buildContainmentIndex]] root: every `(batch doc, indexed doc)`
+    * pair whose exact overlap coefficient reaches `threshold` (>= the
+    * index's build threshold — a LOWER one would need longer prefixes
+    * than the index stores, and is refused loudly).
+    *
+    * Candidate recall is complete by the prefix-filter theorem applied
+    * in BOTH directions: if the indexed doc is the smaller side, its
+    * stored `pfx` rows intersect the batch doc's full set; if the batch
+    * doc is smaller, its own prefix intersects the indexed doc's full
+    * inverted rows. Scale shape: three bounded pruned reads — the
+    * batch's shingle buckets select `inv/` shards, the candidates' id
+    * buckets select `sets/` shards, and the corpus text behind the
+    * index is never touched; shuffles carry the batch's tokens and the
+    * candidates' sets only. */
+  def containmentAgainstIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+                              batch: DataFrame, idCol: String, shingles: Column,
+                              threshold: Double): DataFrame = {
+    val ic = graft.core.Collection.open(spark, s"$root/inv", readOnly = true)
+    val sc = graft.core.Collection.open(spark, s"$root/sets", readOnly = true)
+    val nBuckets = ic.attrs(ContainBucketsAttr).toInt
+    val built = ic.attrs(ContainThresholdAttr).toDouble
+    require(threshold >= built,
+      s"query threshold $threshold is below the index's build threshold $built: " +
+      "stored prefixes are too short to stay recall-complete — rebuild the index")
+    val base = containDocRows(batch, idCol, shingles, built).persist()
+    try {
+      val btoks = base
+        .select(col("doc_id").as("_zc_bid"), col("p"), col("n").as("_zc_bn"),
+          posexplode(col("sh")).as(Seq("_pos", "sh")))
+        .select(col("_zc_bid"), col("sh"), col("_zc_bn"),
+          (col("_pos") + 1).cast("int").as("_zc_bpos"),
+          (col("_pos") < col("p")).as("_zc_bpfx"))
+      val buckets = btoks.select(pmod(col("sh"), lit(nBuckets.toLong)).as("b"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      if (buckets.isEmpty) return base.limit(0)
+        .select(col("doc_id").as("a"), col("doc_id").as("b"),
+          lit(0.0).as("containment"))
+      val inv = ic.query(s"bucket in (${buckets.mkString(", ")})",
+        Seq("sh", "doc_id", "pos", "n", "pfx"))
+        .select(col("sh"), col("doc_id").as("_zc_cand"), col("pos"),
+          col("n").as("_zc_cn0"), col("pfx"))
+      // both prefix directions, one pass: a (batch token ⋈ index token)
+      // hit is a candidate iff EITHER side's token is in its prefix —
+      // then the POSITIONAL filter (see containmentPairs) bounds the
+      // intersection by the first shared token's ranks and drops pairs
+      // that can't reach the threshold before sets/ is ever read
+      val cands = btoks.join(inv, "sh")
+        .where(col("_zc_bpfx") || col("pfx"))
+        .groupBy(col("_zc_bid"), col("_zc_cand"), col("_zc_bn"), col("_zc_cn0"))
+        .agg(min(col("_zc_bpos")).as("_zc_bj"), min(col("pos")).as("_zc_ci"))
+        .where((lit(1) + least(col("_zc_bn") - col("_zc_bj"),
+            col("_zc_cn0") - col("_zc_ci"))).cast("double") >=
+          lit(threshold) * least(col("_zc_bn"), col("_zc_cn0")) - lit(1e-6))
+        .select(col("_zc_bid"), col("_zc_cand")).distinct()
+      val dmods = cands.select(pmod(col("_zc_cand"), lit(nBuckets.toLong)).as("m"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      if (dmods.isEmpty) return base.limit(0)
+        .select(col("doc_id").as("a"), col("doc_id").as("b"),
+          lit(0.0).as("containment"))
+      val sets = sc.query(s"dbucket in (${dmods.mkString(", ")})",
+        Seq("doc_id", "sh", "n"))
+        .select(col("doc_id").as("_zc_cand"), col("sh").as("_zc_csh"),
+          col("n").as("_zc_cn"))
+      cands
+        .join(base.select(col("doc_id").as("_zc_bid"), col("sh").as("_zc_bsh"),
+          col("n").as("_zc_bn")), "_zc_bid")
+        .join(sets, "_zc_cand")
+        .withColumn("containment",
+          size(array_intersect(col("_zc_bsh"), col("_zc_csh"))).cast("double") /
+            least(col("_zc_bn"), col("_zc_cn")))
+        .where(col("containment") >= threshold)
+        .select(col("_zc_bid").as("a"), col("_zc_cand").as("b"), col("containment"))
+    } finally base.unpersist()
   }
 }

@@ -139,6 +139,55 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(out == Seq(12L), s"survivors: $out")
   }
 
+  test("containment index: both prefix directions, append growth, threshold guard, randomized completeness (r10e)") {
+    val root = SparkTestSession.tmp("graft-cnidx")
+    def ds(rows: (Long, Seq[Long])*) = rows.toDF("doc_id", "sh")
+    val corpus = ds(
+      1L -> (1L to 10L),          // C1
+      2L -> (100L to 104L),       // C2 (small: tests the index-prefix direction)
+      3L -> Seq(200L, 201L))
+    Dedup.buildContainmentIndex(spark, root, corpus, "doc_id", col("sh"),
+      threshold = 0.9, nBuckets = 4)
+    val batch = ds(
+      10L -> (1L to 9L),          // subset of C1: batch side smaller, 9/9 = 1.0
+      11L -> ((100L to 104L) ++ Seq(900L, 901L, 902L)), // superset of C2: 5/5 = 1.0
+      12L -> ((1L to 5L) ++ (300L to 304L)),            // 5/10 = 0.5 < 0.9
+      13L -> Seq(400L, 401L))                           // unrelated
+    val got = Dedup.containmentAgainstIndex(spark, root, batch, "doc_id",
+        col("sh"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((10L, 1L, 1.0), (11L, 2L, 1.0)), s"got $got")
+    // append: a later batch matches the appended doc — fixed hash order
+    // keeps stored prefixes recall-complete as the corpus grows
+    Dedup.appendContainment(spark, root, ds(4L -> (500L to 509L)), "doc_id", col("sh"))
+    val got2 = Dedup.containmentAgainstIndex(spark, root,
+        ds(20L -> (500L to 508L)), "doc_id", col("sh"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((20L, 4L)), s"got2 $got2")
+    // a query threshold BELOW the build threshold needs longer prefixes
+    // than the index stores: refused, not silently incomplete
+    intercept[IllegalArgumentException](
+      Dedup.containmentAgainstIndex(spark, root, batch, "doc_id", col("sh"), 0.8))
+    // seeded randomized completeness vs brute force, small hot universe
+    val rnd = new scala.util.Random(4242)
+    def randSets(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(10))(rnd.nextInt(30).toLong).distinct))
+    val corp2 = randSets(0 until 40)
+    val bat2 = randSets(100 until 130)
+    val root2 = SparkTestSession.tmp("graft-cnidx-rnd")
+    Dedup.buildContainmentIndex(spark, root2, corp2.toDF("doc_id", "sh"),
+      "doc_id", col("sh"), threshold = 0.7, nBuckets = 8)
+    val got3 = Dedup.containmentAgainstIndex(spark, root2,
+        bat2.toDF("doc_id", "sh"), "doc_id", col("sh"), threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want3 = (for {
+      (b, sb) <- bat2; (c, sc) <- corp2
+      inter = sb.toSet.intersect(sc.toSet).size
+      if inter.toDouble / math.min(sb.size, sc.size) >= 0.7
+    } yield (b, c)).toSet
+    assert(got3 == want3, s"missed=${want3 -- got3} extra=${got3 -- want3}")
+  }
+
   test("a non-index collection refuses loudly") {
     val df = docs(1L -> "x").withColumn("fp", lit(1L)).withColumn("bucket", lit(0L))
     val c = graft.core.Collection.create(spark,

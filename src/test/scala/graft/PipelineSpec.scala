@@ -666,7 +666,13 @@ class PipelineSpec extends AnyFunSuite {
       val docs = base ++ planted
       val df = docs.toDF("id", "sh")
       val tau = 0.7
-      val got = Dedup.containmentPairs(df, "id", col("sh"), tau)
+      // BOTH regimes must agree with brute force: the dense bitmap path
+      // (default — these universes are tiny) and the sparse
+      // prefix+positional path (forced via denseUniverseMax = 0)
+      val gotDense = Dedup.containmentPairs(df, "id", col("sh"), tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotSparse = Dedup.containmentPairs(df, "id", col("sh"), tau,
+          denseUniverseMax = 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val byId = docs.toMap
       val want = (for {
@@ -674,10 +680,13 @@ class PipelineSpec extends AnyFunSuite {
         inter = sa.toSet.intersect(sb.toSet).size
         if inter.toDouble / math.min(sa.size, sb.size) >= tau
       } yield (a, b)).toSet
-      assert(got == want,
-        s"seed $seed: missed=${want -- got} extra=${got -- want}")
+      assert(gotDense == want,
+        s"seed $seed dense: missed=${want -- gotDense} extra=${gotDense -- want}")
+      assert(gotSparse == want,
+        s"seed $seed sparse: missed=${want -- gotSparse} extra=${gotSparse -- want}")
       // and the emitted coefficient is the exact brute-force value
-      val gotC = Dedup.containmentPairs(df, "id", col("sh"), tau)
+      val gotC = Dedup.containmentPairs(df, "id", col("sh"), tau,
+          denseUniverseMax = 0)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
       gotC.foreach { case ((a, b), c) =>
         val (sa, sb) = (byId(a).toSet, byId(b).toSet)
@@ -687,13 +696,16 @@ class PipelineSpec extends AnyFunSuite {
     }
     // threshold 1.0: only exact-set or subset-with-equal-min pairs — the
     // prefix degenerates to a single rarest shingle and must still find
-    // the identical-set pair
+    // the identical-set pair, on both paths
     val eq = Seq((1L, Seq(5L, 6L, 7L)), (2L, Seq(5L, 6L, 7L)), (3L, Seq(5L, 6L)))
       .toDF("id", "sh")
-    val full = Dedup.containmentPairs(eq, "id", col("sh"), 1.0)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(full == Set((1L, 2L), (1L, 3L), (2L, 3L)),
-      s"subset at containment 1.0 must qualify: $full")
+    for (denseMax <- Seq(0, 1 << 14)) {
+      val full = Dedup.containmentPairs(eq, "id", col("sh"), 1.0,
+          denseUniverseMax = denseMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(full == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"subset at containment 1.0 must qualify (denseMax=$denseMax): $full")
+    }
   }
 
   test("tuneBands: pinned optima, budget respected, threshold monotonicity (r10d)") {
