@@ -82,9 +82,11 @@ object Bench {
     // r10d: Delta-parity CDF reader options (same diff as zc_changes)
     "zc_changes_read",
     // r10e: stream-stream as-of, prefix-filter containment dedup,
-    // per-domain cap, running distinct count, streaming top-k
+    // per-domain cap, running distinct count, streaming top-k,
+    // chained-stateful streaming distinct, contamination report
     "stream_asof_join", "dedup_containment", "text_domain_cap",
-    "q_distinct_window", "stream_window_topn",
+    "q_distinct_window", "stream_window_topn", "stream_distinct_window",
+    "text_contamination_report", "q_unpivot",
   )
 
   private def loadAvg: Double =

@@ -2023,6 +2023,21 @@ object SparkEntry {
         .orderBy("hour_start_us", "event_type", "rank")
     }),
 
+    // D26 (r10e): streaming windowed DISTINCT COUNT — CHAINED stateful
+    // operators (Spark 3.4+): dropDuplicates(window, user) feeding a
+    // windowed count inside ONE streaming query, each closed hour
+    // emitting its exact distinct-user count once from bounded state
+    // (one row per live (window, user), evicted at the watermark). The
+    // batch count(DISTINCT) per closed hour is the oracle.
+    "stream_distinct_window" -> ((s, dir) => {
+      val c = eventsCollection(s, dir)
+      graft.streaming.StreamOps.windowedDistinct(s, c, "ts", "1 hour",
+          "user_id", statePartitions = Some(8))
+        .select(unix_micros(col("w.start")).as("hour_start_us"),
+          col("n_distinct").as("n_users"))
+        .orderBy("hour_start_us")
+    }),
+
     // D16 (r8): STREAM-STREAM interval join — clicks paired with the
     // views the same user produced within the next 12 hours, both sides
     // watermarked streams of the events collection. Inner join in
@@ -5153,6 +5168,17 @@ object SparkEntry {
                   CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
            FROM events GROUP BY 1) t
          WHERE h + INTERVAL 1 HOUR <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
+         ORDER BY hour_start_us""",
+
+    // Exact distinct users per closed hour; the emission cut is
+    // stream_window's (windows whose end <= the final watermark).
+    "stream_distinct_window" ->
+      """SELECT epoch_us(h) AS hour_start_us,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, user_id
+               FROM events) t
+         GROUP BY h
+         HAVING h + INTERVAL 1 HOUR <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
          ORDER BY hour_start_us""",
 
     // Top-3 per closed (hour, type) window over the TopKAgg total order

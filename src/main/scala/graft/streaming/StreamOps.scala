@@ -149,6 +149,42 @@ object StreamOps {
         col("_zc_s.id").as("id"), col("_zc_s.score").as("score")): _*)
   }
 
+  /** Append-mode streaming DISTINCT COUNT per tumbling window — CHAINED
+    * stateful operators (Spark 3.4+ multi-stateful pipelines with
+    * watermark propagation): stage 1 `dropDuplicates(window, key)`
+    * keeps the first row per live (window, key) — state one row per
+    * distinct key per open window, evicted when the watermark closes
+    * the window; stage 2 counts the survivors per window and emits each
+    * closed window exactly once. The shape a naive
+    * `approx_count_distinct` window agg approximates, made EXACT with
+    * bounded state — the two operators chain inside one streaming
+    * query, no intermediate sink. */
+  def windowedDistinct(spark: SparkSession, c: Collection, timeCol: String,
+                       windowDuration: String, keyCol: String,
+                       watermarkDelay: String = "0 seconds",
+                       statePartitions: Option[Int] = None): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val session = statePartitions match {
+      case Some(n) =>
+        val forked = spark.newSession()
+        forked.conf.set("spark.sql.shuffle.partitions", n.toString)
+        forked
+      case None => spark
+    }
+    val deduped = readStream(session, c)
+      .withWatermark(timeCol, watermarkDelay)
+      .select(window(col(timeCol), windowDuration).as("w"), col(keyCol).as("_zc_k"))
+      .dropDuplicates("w", "_zc_k")
+    val q = deduped
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_distinct"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    session.table(name)
+  }
+
   /** Run a streaming tumbling-window aggregation over the collection to
     * completion (all currently-available data) and return the final
     * result from the in-memory sink. Complete mode: a batch-equivalence
