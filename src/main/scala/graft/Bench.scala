@@ -86,7 +86,8 @@ object Bench {
     // chained-stateful streaming distinct, contamination report
     "stream_asof_join", "dedup_containment", "text_domain_cap",
     "q_distinct_window", "stream_window_topn", "stream_distinct_window",
-    "text_contamination_report", "q_unpivot",
+    "text_contamination_report", "q_unpivot", "text_bpe_encode",
+    "dedup_groups", "zc_fsck",
   )
 
   private def loadAvg: Double =

@@ -813,4 +813,41 @@ class CorpusSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Corpus.heavyHitters(d, col("text"), k = 11, 1, 13))
   }
+
+  test("bpeEncode: greedy lowest-rank loop, chained merges, ties, round trip, codegen/eval parity (r10e)") {
+    import graft.functions.BpeEncode
+    def enc(text: String, merges: Seq[(String, String)]): Seq[String] =
+      spark.range(1).select(BpeEncode.encode(lit(text), merges).as("p"))
+        .head().getSeq[String](0)
+    // chained merges: (a,b) then (ab,c) — rank order decides, and the
+    // second fires only on the first's OUTPUT piece
+    assert(enc("abc abcd xy", Seq(("a", "b"), ("ab", "c"))) ==
+      Seq("abc", "abc", "d", "x", "y"))
+    // rank priority: with (b,c) ranked ABOVE (a,b), "abc" merges bc
+    // first and (a,b) can then never fire
+    assert(enc("abc", Seq(("b", "c"), ("a", "b"))) == Seq("a", "bc"))
+    // all occurrences of the chosen pair merge in one pass, left to
+    // right, non-overlapping: "aaaa" with (a,a) -> [aa, aa] -> [aaaa]
+    // only if (aa,aa) is ranked; here it is not
+    assert(enc("aaaa", Seq(("a", "a"))) == Seq("aa", "aa"))
+    assert(enc("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    // the key separator keeps ("ab","c") distinct from ("a","bc")
+    assert(enc("abc", Seq(("a", "bc"))) == Seq("a", "b", "c"),
+      "(a,bc) must not fire on single-char pieces")
+    // empty table = code-point split; whitespace dropped
+    assert(enc("hi yo", Nil) == Seq("h", "i", "y", "o"))
+    // surrogate pairs survive as single pieces
+    assert(enc("a😀b", Nil) == Seq("a", "😀", "b"))
+    // round trip + interpreted/codegen parity over a real frame: the
+    // filter below runs the expression through codegen, the head()
+    // calls above through eval — both must agree with the property
+    val d = (1L to 50L).map(i => (i, s"w${i}x y${i % 7}z abc" * (1 + (i % 3).toInt)))
+      .toDF("id", "text")
+    val merges = Seq(("a", "b"), ("ab", "c"), ("x", " ")) // (x,' ') can never fire: words have no spaces
+    val bad = d.select(col("text"),
+        BpeEncode.encode(col("text"), merges).as("p"))
+      .where(concat_ws("", col("p")) =!= regexp_replace(col("text"), "\\s+", ""))
+      .count()
+    assert(bad == 0, "round trip must hold for every row")
+  }
 }
