@@ -1056,8 +1056,13 @@ final class Collection private (
         // checksum damage, non-parquet bytes) is its own damage class —
         // every read touching it will fail, and the row-count compare
         // above would otherwise silently skip it (r10e: found by planting
-        // a truncated file that the deep pass waved through)
-        val ur = present.filterNot(actualRows.contains).sorted
+        // a truncated file that the deep pass waved through). Gated on
+        // fileStats having actually run: with no usable stats column the
+        // footer pass is skipped entirely and an empty actualRows would
+        // mis-flag EVERY file
+        val statsRan = statsCols.exists(c => columnDomain(c).isDefined)
+        val ur =
+          if (statsRan) present.filterNot(actualRows.contains).sorted else Nil
         (mm, ur)
       }
     FsckReport(files.size, missing, mismatches, statless, orphans, unreadable)

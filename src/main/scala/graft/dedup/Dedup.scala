@@ -220,6 +220,10 @@ object Dedup {
     * bias absorbs float error in the UPWARD direction only — an
     * occasional one-longer prefix adds candidates, never loses one).
     *
+    * Shingle arrays are treated as SETS — pass distinct elements (as
+    * [[graft.functions.TextFunctions.charShingles]] produces); duplicate
+    * elements would skew the `min(|Sa|, |Sb|)` denominator.
+    *
     * Returns `(a, b, containment)` with `a < b`, exact coefficient. */
   def containmentPairs(df: DataFrame, idCol: String, shingles: Column,
                        threshold: Double,
@@ -253,6 +257,9 @@ object Dedup {
     val statsRow = toks.agg(count_distinct(col("_zc_t")),
       count_distinct(col("_zc_id"))).head()
     val (universe, nDocs) = (statsRow.getLong(0), statsRow.getLong(1))
+    if (nDocs == 0) // empty input: densePairs' 0-word bitmap can't plan
+      return docs.select(col("_zc_id").as("a"), col("_zc_id").as("b"),
+        lit(0.0).as("containment"))
     if (universe <= denseUniverseMax && nDocs <= denseDocsMax)
       return densePairs(docs, universe.toInt, threshold)
     val ranked = toks.join(dfreq, "_zc_t")

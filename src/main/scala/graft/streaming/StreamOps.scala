@@ -135,6 +135,10 @@ object StreamOps {
     val tk = graft.functions.TopKAgg.topK(k)
     val grouped = readStream(session, c)
       .withWatermark(timeCol, watermarkDelay)
+      // a NULL score or id has no place in the ranking (and would break
+      // the typed aggregator's product encoder) — same exclusion rule
+      // as the batch TopKAgg call sites
+      .where(score.isNotNull && id.isNotNull)
       .groupBy(window(col(timeCol), windowDuration).as("w") +: keys.map(col): _*)
       .agg(tk(score, id).as("_zc_tk"))
     val q = grouped
