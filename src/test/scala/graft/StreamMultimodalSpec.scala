@@ -943,6 +943,69 @@ class StreamMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofJoinStream property: random interleaved arrival equals the batch as-of (r10e)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the watermark delay covers the whole data span, so no arrival
+    // order can drop a row as late; far-future sentinel rights then
+    // push the watermark past every left — the finalized output must be
+    // the batch argmax-(ts, v) right at-or-before each left, per key,
+    // for EVERY random interleaving
+    val rnd = new scala.util.Random(0xa50fL)
+    val base = 1700000000000000L
+    def t(min: Int) = base + min * 60000000L
+    for (iter <- 1 to 3) {
+      // a coarse minute grid over few keys FORCES timestamp ties
+      val lefts = (1 to 12 + rnd.nextInt(8)).map(i =>
+        (rnd.nextInt(3).toLong, 100L + i, t(rnd.nextInt(40)), i * 1.0))
+      val rights = (1 to 12 + rnd.nextInt(8)).map(i =>
+        (rnd.nextInt(3).toLong, t(rnd.nextInt(40)), i * 10.0))
+      val inL = MemoryStream[(Long, Long, Long, Double)] // key, id, ts_us, v
+      val inR = MemoryStream[(Long, Long, Double)]       // key, ts_us, v
+      def shapeL = inL.toDF().toDF("key", "id", "ts_us", "v")
+        .select(col("key"), col("id"), timestamp_micros(col("ts_us")).as("ts"), col("v"))
+      def shapeR = inR.toDF().toDF("key", "ts_us", "v")
+        .select(col("key"), timestamp_micros(col("ts_us")).as("ts"), col("v"))
+      val out = StreamOps.asofJoinStream(shapeL, shapeR,
+        "key", "ts", "id", "v", "1 hour")
+      val name = s"asof_prop_${iter}_" + java.util.UUID.randomUUID().toString.take(8)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        var lRem = rnd.shuffle(lefts); var rRem = rnd.shuffle(rights)
+        while (lRem.nonEmpty || rRem.nonEmpty) {
+          if (lRem.nonEmpty) {
+            val n = 1 + rnd.nextInt(math.min(6, lRem.size))
+            inL.addData(lRem.take(n)); lRem = lRem.drop(n)
+          }
+          if (rRem.nonEmpty) {
+            val n = 1 + rnd.nextInt(math.min(6, rRem.size))
+            inR.addData(rRem.take(n)); rRem = rRem.drop(n)
+          }
+          if (rnd.nextBoolean()) q.processAllAvailable()
+        }
+        q.processAllAvailable()
+        // sentinels: two watermark pushes past every left + the delay,
+        // on every key (unmatchable: they postdate every left)
+        for (d <- Seq(5000, 5100)) {
+          inR.addData((0L until 3L).map(k => (k, t(d), 0.0)): _*)
+          q.processAllAvailable()
+        }
+        val got = spark.table(name).collect().map { r =>
+          (r.getLong(1), (if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+        }.toMap
+        val want = lefts.map { case (k, id, lts, _) =>
+          val m = rights.filter(r => r._1 == k && r._2 <= lts)
+            .sortBy(r => (r._2, r._3)).lastOption
+          (id, (m.map(_._2), m.map(_._3)))
+        }.toMap
+        assert(got == want,
+          s"iter $iter: diff=${(want.toSet -- got.toSet) ++ (got.toSet -- want.toSet)}")
+      } finally q.stop()
+    }
+  }
+
   test("upsertStream property: random batch orders converge to the global version argmax (r10d)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
