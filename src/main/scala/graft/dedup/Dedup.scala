@@ -254,14 +254,21 @@ object Dedup {
     // intersection = popcount of AND, the whole corpus side broadcasts.
     // The sparse regime (real web text: universe >> docs) keeps the
     // literature path below.
-    val statsRow = toks.agg(count_distinct(col("_zc_t")),
-      count_distinct(col("_zc_id"))).head()
-    val (universe, nDocs) = (statsRow.getLong(0), statsRow.getLong(1))
+    // Regime probe, cheapest-first: the doc count needs no explode; the
+    // universe probe collects AT MOST denseUniverseMax+1 distinct
+    // shingles — if they fit, the collected set IS the whole universe
+    // (one token pass serves both the decision and the dense path's
+    // id table; tid order is irrelevant — popcounts are order-blind).
+    val nDocs = docs.count()
     if (nDocs == 0) // empty input: densePairs' 0-word bitmap can't plan
       return docs.select(col("_zc_id").as("a"), col("_zc_id").as("b"),
         lit(0.0).as("containment"))
-    if (universe <= denseUniverseMax && nDocs <= denseDocsMax)
-      return densePairs(docs, universe.toInt, threshold)
+    if (nDocs <= denseDocsMax) {
+      val probe = toks.select(col("_zc_t")).distinct()
+        .limit(denseUniverseMax + 1).collect()
+      if (probe.length <= denseUniverseMax)
+        return densePairs(docs, toks.schema("_zc_t").dataType, probe, threshold)
+    }
     val ranked = toks.join(dfreq, "_zc_t")
       .withColumn("_zc_rank", row_number().over(
         Window.partitionBy(col("_zc_id")).orderBy(col("_zc_df"), col("_zc_t"))))
@@ -310,13 +317,22 @@ object Dedup {
     * immune to posting-list heat: cost is C(n,2) cheap vector ops, the
     * right trade exactly when the universe is too small for any
     * inverted filter to discriminate. */
-  private def densePairs(docs: DataFrame, universe: Int,
+  private def densePairs(docs: DataFrame, shingleType: org.apache.spark.sql.types.DataType,
+                         universeRows: Array[org.apache.spark.sql.Row],
                          threshold: Double): DataFrame = {
-    val words = (universe + 63) / 64
-    // dense ids: one window over the (bounded) distinct-shingle table
-    val ids = docs.select(explode(col("_zc_sh")).as("_zc_t")).distinct()
-      .select(col("_zc_t"),
-        (row_number().over(Window.orderBy(col("_zc_t"))) - 1).as("_zc_tid"))
+    val spark = docs.sparkSession
+    val words = (universeRows.length + 63) / 64
+    // the probe already enumerated the whole universe — assign dense ids
+    // on the driver (any order is correct) and broadcast the tiny table
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_zc_t", shingleType),
+      org.apache.spark.sql.types.StructField("_zc_tid", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val ids = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        universeRows.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.get(0), i)
+        }.toSeq, 1),
+      idSchema)
     val bits = docs
       .select(col("_zc_id"), size(col("_zc_sh")).as("_zc_n"),
         explode(col("_zc_sh")).as("_zc_t"))
