@@ -80,14 +80,21 @@ class ExtrasSpec extends AnyFunSuite {
     assert(oracles.subsetOf(qs), s"orphan oracles: ${oracles.diff(qs)}")
     val rowsOnly = qs.diff(oracles)
     // the intentionally non-SQL-expressible set: the xxhash64 simhash
-    // signature (DuckDB lacks the hash) and approximate ANN (LSH/IVF
-    // routing and k-means PQ codebooks have no SQL mirror). FNV-1a, the
-    // langid heuristic (round 3), the FNV simhash variant (round 6),
-    // the FNV MinHash estimator behind dedup_incremental_near, and the
-    // recursive-CTE component closure behind dedup_groups (round 8)
-    // proved SQL-expressible and graduated to the oracle set.
-    assert(rowsOnly == Set("dedup_simhash", "ann_lsh", "ann_ivf", "ann_pq"),
+    // signature (DuckDB lacks the hash), approximate ANN (LSH/IVF
+    // routing and k-means PQ codebooks have no SQL mirror), and the BPE
+    // merge loop (r10e — iterative greedy merging has no SQL replay;
+    // its entry asserts pinned-vector/round-trip/merges-fired signals).
+    // FNV-1a, the langid heuristic (round 3), the FNV simhash variant
+    // (round 6), the FNV MinHash estimator behind
+    // dedup_incremental_near, and the recursive-CTE component closure
+    // behind dedup_groups (round 8) proved SQL-expressible and
+    // graduated to the oracle set.
+    assert(rowsOnly ==
+      Set("dedup_simhash", "ann_lsh", "ann_ivf", "ann_pq", "text_bpe_encode"),
       s"unexpected rows-only queries: $rowsOnly")
+    // every rows-only entry must carry a declared hard signal
+    assert(rowsOnly.subsetOf(SparkEntry.signals.keySet),
+      s"rows-only entries without declared signals: ${rowsOnly.diff(SparkEntry.signals.keySet)}")
   }
 
   test("native expressions stay inside whole-stage codegen") {
