@@ -87,7 +87,8 @@ object Bench {
     "stream_asof_join", "dedup_containment", "text_domain_cap",
     "q_distinct_window", "stream_window_topn", "stream_distinct_window",
     "text_contamination_report", "q_unpivot", "text_bpe_encode",
-    "dedup_groups", "zc_fsck",
+    "dedup_groups", "zc_fsck", "stream_ingest_contain",
+    "dedup_incremental_contain",
   )
 
   private def loadAvg: Double =

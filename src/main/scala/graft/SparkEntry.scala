@@ -2417,6 +2417,42 @@ object SparkEntry {
       dst.query().select("doc_id", "text", "lang", "source").orderBy("doc_id")
     }),
 
+    // D27 (r10e): streaming ingestion with ONLINE CONTAINMENT dedup —
+    // C60's incremental near-superset index + the exactly-once sink in
+    // one foreachBatch. Two paced micro-batches (one generation each):
+    // originals first (intra-batch containment pairs drop the larger
+    // id), then two-thirds truncations — each dropped against its
+    // indexed surviving original or a smaller-id truncation. The oracle
+    // replays both batches' drop rules over exact all-pairs
+    // coefficients.
+    "stream_ingest_contain" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val src = Collection.create(s, s"$scratch/sic-src-$tag", docs.schema,
+        "doc_id", GroupedSequencePartitioning(Seq("doc_id"), "doc_id", 1000),
+        overwrite = true)
+      src.insert(docs)
+      src.insert(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            floor(length(col("text")) * 2 / 3).cast("int")).as("text")))
+      val dst = Collection.create(s, s"$scratch/sic-dst-$tag", docs.schema,
+        "doc_id", GroupedSequencePartitioning(Seq("doc_id"), "doc_id", 1000),
+        overwrite = true)
+      val idxRoot = s"$scratch/sic-idx-$tag"
+      graft.dedup.Dedup.buildContainmentIndex(s, idxRoot, docs.limit(0),
+        "doc_id", TextFunctions.charShingles(col("text"), 4),
+        threshold = 0.9, nBuckets = 16)
+      val q = graft.streaming.StreamOps.ingestContainmentDeduped(
+        graft.streaming.StreamOps.readStream(s, src,
+          Map("maxGenerationsPerBatch" -> "1")),
+        dst, idxRoot, "ingest_contain", s"$scratch/sic-ckpt-$tag",
+        "doc_id", "text", threshold = 0.9)
+      try q.processAllAvailable() finally q.stop()
+      dst.query().select("doc_id").orderBy("doc_id")
+    }),
+
     // D17 (r8b): the NATIVE sink — collection-to-collection replication
     // as pure readStream/writeStream format("graft") plumbing, no
     // foreachBatch: the sink's (streamName, batchId) mark commits
@@ -3352,6 +3388,40 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
 
     // Whatever the micro-batching, the min-id copy of each text wins.
+    // Batch 1: originals, intra-batch pairs drop the larger id. Batch 2:
+    // truncations, dropped against an indexed SURVIVING original (any
+    // direction) or a smaller-id truncation. Exact coefficients replay
+    // the same substr-shingle construction as dedup_containment.
+    "stream_ingest_contain" ->
+      """WITH orig AS (SELECT doc_id, text FROM documents),
+         tr AS (SELECT doc_id + 1000000 AS doc_id,
+                       substr(text, 1, CAST(floor(length(text) * 2 / 3) AS BIGINT)) AS text
+                FROM documents WHERE doc_id % 7 = 0),
+         sh1 AS (SELECT doc_id, list_distinct(CASE WHEN length(text) >= 4
+                   THEN list_transform(range(1, length(text) - 2), i -> substr(text, i, 4))
+                   ELSE [text] END) AS s FROM orig),
+         sh2 AS (SELECT doc_id, list_distinct(CASE WHEN length(text) >= 4
+                   THEN list_transform(range(1, length(text) - 2), i -> substr(text, i, 4))
+                   ELSE [text] END) AS s FROM tr),
+         p1 AS (SELECT b.doc_id AS b FROM sh1 a JOIN sh1 b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                      least(len(a.s), len(b.s)) >= 0.9),
+         surv1 AS (SELECT doc_id FROM orig WHERE doc_id NOT IN (SELECT b FROM p1)),
+         idx AS (SELECT s1.doc_id, s1.s FROM sh1 s1 JOIN surv1 USING (doc_id)),
+         d2a AS (SELECT t.doc_id FROM sh2 t JOIN idx i ON
+                 CAST(len(list_intersect(t.s, i.s)) AS DOUBLE) /
+                   least(len(t.s), len(i.s)) >= 0.9),
+         d2b AS (SELECT b.doc_id AS doc_id FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+                 WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       least(len(a.s), len(b.s)) >= 0.9),
+         surv2 AS (SELECT doc_id FROM tr
+                   WHERE doc_id NOT IN (SELECT doc_id FROM d2a)
+                     AND doc_id NOT IN (SELECT doc_id FROM d2b))
+         SELECT doc_id FROM surv1
+         UNION ALL
+         SELECT doc_id FROM surv2
+         ORDER BY doc_id""",
+
     "stream_ingest_dedup" ->
       """WITH u AS (
            SELECT doc_id, text, lang, source FROM documents

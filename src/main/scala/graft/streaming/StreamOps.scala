@@ -533,6 +533,75 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingestion with ONLINE CONTAINMENT dedup (D27) — the
+    * near-superset sibling of [[ingestDeduped]] (C60's incremental
+    * containment index + the exactly-once sink composed in one
+    * foreachBatch): each micro-batch
+    *
+    *   1. drops documents at overlap coefficient >= `threshold` against
+    *      ANY indexed doc (both directions, bucket-pruned reads —
+    *      [[graft.dedup.Dedup.containmentAgainstIndex]]) and, within
+    *      the batch, every doc paired with a SMALLER-id batch doc
+    *      (keep-first; chains drop with their head, the deterministic
+    *      greedy rule);
+    *   2. lands survivors in ONE atomic commit carrying the batch mark;
+    *   3. appends survivors' shingle sets + prefixes to the index —
+    *      IDEMPOTENTLY: ids already present in `sets/` (a replay) are
+    *      filtered by a bucket-pruned existence check first, so the
+    *      index never holds duplicate rows.
+    *
+    * Replay-convergent at every crash point: after (2), the high-water
+    * mark skips the insert and (3)'s existence filter no-ops; after
+    * (3), (1) would drop the whole batch against its own indexed copy
+    * anyway (self-pairs are excluded from the drop rule, but the
+    * high-water mark already decides). */
+  def ingestContainmentDeduped(
+      source: DataFrame,
+      dst: Collection,
+      indexRoot: String,
+      queryName: String,
+      checkpoint: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleK: Int = 4,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val batchDf = batch.toDF()
+        val sh = graft.functions.TextFunctions.charShingles(col(textCol), shingleK)
+        val vsIndex = graft.dedup.Dedup
+          .containmentAgainstIndex(spark, indexRoot, batchDf, idCol, sh, threshold)
+          .where(col("a") =!= col("b"))
+          .select(col("a").as("_zc_drop"))
+        val intra = graft.dedup.Dedup
+          .containmentPairs(batchDf, idCol, sh, threshold)
+          .select(col("b").as("_zc_drop"))
+        val survivors = batchDf.join(
+          broadcast(vsIndex.unionByName(intra).distinct()),
+          col(idCol) === col("_zc_drop"), "left_anti")
+        dst.insertStreamBatch(queryName, id, survivors)
+        // idempotent index growth: only ids sets/ does not already hold
+        val sc = Collection.open(spark, s"$indexRoot/sets", readOnly = true)
+        val nB = sc.attrs(graft.dedup.Dedup.ContainBucketsAttr).toInt
+        val buckets = survivors
+          .select(pmod(col(idCol).cast("long"), lit(nB.toLong)).as("b"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        val fresh =
+          if (buckets.isEmpty) survivors
+          else survivors.join(
+            sc.query(s"dbucket in (${buckets.mkString(", ")})", Seq("doc_id"))
+              .select(col("doc_id").as("_zc_have")),
+            col(idCol) === col("_zc_have"), "left_anti")
+        graft.dedup.Dedup.appendContainment(spark, indexRoot, fresh, idCol,
+          graft.functions.TextFunctions.charShingles(col(textCol), shingleK))
+        ()
+      }
+      .start()
+
   /** INCREMENTALLY-MAINTAINED AGGREGATE — materialized-view maintenance
     * (IVM) over the change feed: keep `target` equal to
     * `source GROUP BY keys` with a count and exact decimal sums,
