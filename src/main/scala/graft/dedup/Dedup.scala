@@ -338,13 +338,16 @@ object Dedup {
         explode(col("_zc_sh")).as("_zc_t"))
       .join(broadcast(ids), "_zc_t") // <= denseUniverseMax rows by regime
       .groupBy(col("_zc_id"), col("_zc_n"))
-      .agg(collect_list(col("_zc_tid")).as("_zc_tids"))
-      .select(col("_zc_id") +: col("_zc_n") +:
-        (0 until words).map { w =>
-          // SQL form: the scala shiftleft() wrapper only takes a literal
-          // shift amount; the SQL function shifts by an expression
-          expr(s"aggregate(filter(_zc_tids, t -> (t div 64) = $w), 0L, " +
-            "(acc, t) -> acc | shiftleft(1L, cast(t % 64 as int)))")
+      // bit_or aggregates get MAP-SIDE partial combining — each upstream
+      // task ships `words` longs per doc instead of a collect_list of
+      // every tid (SQL form: the scala shiftleft() wrapper only takes a
+      // literal shift amount; the SQL function shifts by an expression)
+      .agg(
+        expr("bit_or(CASE WHEN _zc_tid div 64 = 0 THEN " +
+          "shiftleft(1L, cast(_zc_tid % 64 as int)) ELSE 0L END)").as("_zc_w0"),
+        (1 until words).map { w =>
+          expr(s"bit_or(CASE WHEN _zc_tid div 64 = $w THEN " +
+            "shiftleft(1L, cast(_zc_tid % 64 as int)) ELSE 0L END)")
             .as(s"_zc_w$w")
         }: _*)
     val l = bits.select(col("_zc_id").as("a") +: col("_zc_n").as("_zc_na") +:
