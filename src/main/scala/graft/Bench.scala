@@ -87,7 +87,7 @@ object Bench {
     "stream_asof_join", "dedup_containment", "text_domain_cap",
     "q_distinct_window", "stream_window_topn", "stream_distinct_window",
     "text_contamination_report", "q_unpivot", "text_bpe_encode",
-    "dedup_groups", "zc_fsck",
+    "dedup_groups", "zc_fsck", "text_novelty",
     // NOT benched: dedup_incremental_contain / stream_ingest_contain —
     // the incremental containment index builds a full inverted index of
     // the corpus per entry (its cost IS the index build, ~40 s at sf0.1

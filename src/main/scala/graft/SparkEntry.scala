@@ -1867,6 +1867,18 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // C62 (r10e): N-GRAM NOVELTY rate — the fraction of each doc's
+    // distinct word 3-grams appearing in NO other document; the
+    // memorization/duplication diagnostic (low novelty flags shared
+    // boilerplate and near-dups before doc-level dedup fires). Exact
+    // doc-frequency counting; text never shuffles.
+    "text_novelty" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.operators.Corpus.noveltyRate(d, col("doc_id"), col("text"), n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // C61 (r10e): BPE tokenizer APPLY — a ranked merge table (learned
     // here in ONE frequency pass: top-64 char pairs + top-32 chained
     // (2-char, 1-char) continuations) applied by the native greedy
@@ -5169,6 +5181,21 @@ object SparkEntry {
          bad AS (SELECT DISTINCT doc_id FROM sh WHERE sh IN (SELECT sh FROM bench))
          SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",
+
+    // Distinct 3-grams per doc; a gram is novel iff exactly one doc
+    // contains it. Docs under 3 tokens have no grams and no row.
+    "text_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i : i + 2], ' '))
+                 ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+         dfq AS (SELECT g, count(*) AS d FROM g GROUP BY 1)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+         FROM g JOIN dfq USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     // Same 5-gram construction; exact per-pair shared-distinct counts
     // over the (corpus, benchmark) split, fraction of the bench doc.

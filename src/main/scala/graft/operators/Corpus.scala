@@ -486,6 +486,32 @@ object Corpus {
     corpus.join(broadcast(contaminated), id === col("_cid"), "left_anti")
   }
 
+  /** N-GRAM NOVELTY rate per document — the fraction of a doc's
+    * DISTINCT word `n`-grams that appear in NO other document: the
+    * memorization/duplication diagnostic (high duplication shows up as
+    * low novelty long before doc-level dedup fires; the per-doc
+    * complement of the corpus-level duplicate-rate analyses in Lee et
+    * al. 2022). Exact, not sketched: explode distinct grams, count
+    * containing docs per gram, re-join — shuffles (gram, doc) pairs and
+    * gram counts, never document text. Docs with fewer than `n` tokens
+    * have no grams and emit no row (same exclusion the oracle replays).
+    * Returns `(id, n_grams, n_novel, novelty)`. */
+  def noveltyRate(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val grams = df
+      .repartition(id) // gram construction parallel even off one file
+      .select(id.as("_zc_did"),
+        explode(array_distinct(wordShingleStrings(text, n))).as("_zc_g"))
+    // grams are distinct per doc, so the count IS the containing-doc count
+    val docFreq = grams.groupBy(col("_zc_g")).agg(count(lit(1)).as("_zc_df"))
+    grams.join(docFreq, "_zc_g")
+      .groupBy(col("_zc_did"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_zc_df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+      .withColumnRenamed("_zc_did", "id")
+  }
+
   /** CONTAMINATION REPORT — the auditing face of
     * [[decontaminateNgrams]] (which only drops): for every (corpus doc,
     * benchmark doc) pair sharing at least one word `k`-gram, the EXACT
