@@ -814,6 +814,26 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.heavyHitters(d, col("text"), k = 11, 1, 13))
   }
 
+  test("noveltyRate: exact duplicates at zero, unique docs at one, short docs excluded (r10e)") {
+    import graft.operators.Corpus
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),   // shares all grams with doc 2
+      (2L, "alpha beta gamma delta"),   // exact duplicate -> novelty 0 both
+      (3L, "completely different words entirely"), // all grams unique -> 1.0
+      (4L, "alpha beta gamma epsilon"), // shares 'alpha beta gamma' only
+      (5L, "too short"),                // < 3 tokens: no grams, no row
+    ).toDF("doc_id", "text")
+    val got = Corpus.noveltyRate(d, col("doc_id"), col("text"), n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains(5L), "sub-n-token docs emit no row")
+    assert(got(1L) == ((2L, 0L)), s"duplicate doc must be all-shared: ${got(1L)}")
+    assert(got(2L) == ((2L, 0L)))
+    assert(got(3L) == ((2L, 2L)), "unique doc is fully novel")
+    // doc 4: grams = [alpha beta gamma, beta gamma epsilon]; the first
+    // appears in docs 1/2 too, the second nowhere else
+    assert(got(4L) == ((2L, 1L)), s"partial sharing: ${got(4L)}")
+  }
+
   test("bpeEncode: greedy lowest-rank loop, chained merges, ties, round trip, codegen/eval parity (r10e)") {
     import graft.functions.BpeEncode
     def enc(text: String, merges: Seq[(String, String)]): Seq[String] =
