@@ -399,7 +399,10 @@ object SparkEntry {
     // A49 (r10d): the SAME change feed through the DataFrame READ face —
     // Delta-parity `readChangeFeed` + startingVersion/endingVersion
     // options on format("graft"); must match zc_changes' oracle exactly
-    // (it is the identical generation diff, third face).
+    // (it is the identical generation diff, third face). startingVersion
+    // is INCLUSIVE of that generation's commit (r11, Delta's contract) —
+    // the update below commits g0+1, so starting AT g0+1 reads exactly
+    // the update's diff, the same range zc_changes computes as (g0, head].
     "zc_changes_read" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val root = s"$scratch/cdcr-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -411,7 +414,7 @@ object SparkEntry {
         Map("event_type" -> "'cdc_update'"))
       s.read.format("graft")
         .option("readChangeFeed", "true")
-        .option("startingVersion", g0)
+        .option("startingVersion", g0 + 1)
         .option("endingVersion", c.generation)
         .load(root)
         .withColumn("ts_us", unix_micros(col("ts")))

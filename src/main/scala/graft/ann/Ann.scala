@@ -263,13 +263,12 @@ object Ann {
     element_at(LshBuckets.buckets(vec, table + 1, planes, dims), table + 1)
 
   /** `(id, table, bucket)` rows for every table — one native-expression
-    * pass per vector ([[LshBuckets]]). The id-repartition both spreads
-    * bucket computation across cores and plants an Exchange that
-    * ReuseExchange shares between the two sides of the candidate
-    * self-join — buckets compute once. */
+    * pass per vector ([[LshBuckets]]). A GATED spread ([[graft.Spread]],
+    * r11) parallelizes bucket computation off a narrow input; a
+    * corpus-wide scan plans no extra Exchange. */
   private def buckets(df: DataFrame, idCol: String, vecCol: String, outId: String,
                       tables: Int, planes: Int, dims: Int): DataFrame =
-    df.repartition(col(idCol))
+    graft.Spread.spread(df, col(idCol))
       .select(col(idCol).as(outId),
         posexplode(LshBuckets.buckets(col(vecCol), tables, planes, dims))
           .as(Seq("_zc_t", "_zc_bkt")))
@@ -289,7 +288,7 @@ object Ann {
               multiProbe: Boolean = false): DataFrame = {
     val qb =
       if (!multiProbe) buckets(queries, idCol, vecCol, "qid", tables, planes, dims)
-      else queries.repartition(col(idCol))
+      else graft.Spread.spread(queries, col(idCol))
         .select(col(idCol).as("qid"),
           posexplode(LshBuckets.bucketsMultiProbe(col(vecCol), tables, planes, dims, planes))
             .as(Seq("_zc_pos", "_zc_bkt")))

@@ -231,16 +231,17 @@ object Dedup {
                        denseDocsMax: Long = 1L << 14): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
-    // Repartition FIRST (the minhashPairs pattern): the raw rows spread
-    // across cores BEFORE the shingle projection — a one-row-group
+    // Spread FIRST (the minhashPairs pattern), but ONLY when the input
+    // is under-partitioned ([[graft.Spread]], r11): a one-row-group
     // parquet input would otherwise hash every shingle inside the single
-    // scan task. The second boundary is the shared Exchange the token
-    // explode and both verify joins reuse.
-    val docs = df
-      .repartition(col(idCol))
+    // scan task, while a corpus-wide scan is already parallel and an
+    // unconditional repartition would pay a full-text Exchange for
+    // nothing. (The former second boundary on the same key was a second
+    // full Exchange of the shingle arrays — dropped r11; the explode
+    // and verify joins plan their own exchanges on their own keys.)
+    val docs = graft.Spread.spread(df, col(idCol))
       .select(col(idCol).as("_zc_id"), shingles.as("_zc_sh"))
       .where(size(col("_zc_sh")) > 0)
-      .repartition(col("_zc_id"))
     val toks = docs.select(col("_zc_id"), size(col("_zc_sh")).as("_zc_n"),
       explode(col("_zc_sh")).as("_zc_t"))
     val dfreq = toks.groupBy(col("_zc_t")).agg(count(lit(1)).as("_zc_df"))
@@ -389,12 +390,10 @@ object Dedup {
                    bands: Int = 16, maxBucket: Int = DefaultMaxBucket,
                    exhaustive: Boolean = false): DataFrame = {
     val rowsPerBand = numPerms / bands
-    // Repartition FIRST: the signature projection then runs above the
-    // exchange, spread across cores even for a one-file input, and the
-    // shared Exchange(scan) is reused by the band-join and both verify
-    // joins instead of rescanning.
-    val withSig = df
-      .repartition(col(idCol))
+    // Spread FIRST — gated on input partitioning ([[graft.Spread]],
+    // r11): the signature projection runs above the exchange for a
+    // one-file input, and a corpus-wide scan plans no extra Exchange.
+    val withSig = graft.Spread.spread(df, col(idCol))
       .withColumn("_zc_sh", shingles)
       .withColumn("_zc_sig", minhashSignature(col("_zc_sh"), numPerms))
       .select(col(idCol), col("_zc_sh"), col("_zc_sig"))
@@ -554,11 +553,26 @@ object Dedup {
     val comp = groups(pairs) // (id, rep): only ids that appear in pairs
     val q = df.select(col(idCol).as("_zc_qid"), quality.as("_zc_q"))
     val member = comp.join(q, col("id") === col("_zc_qid"))
-    // deterministic argmax: max_by over a (quality, -id) struct —
-    // highest quality wins, smallest id on a quality tie (two members
-    // can never tie on the full struct: ids are unique)
-    val winners = member.groupBy(col("rep"))
-      .agg(max_by(col("id"), struct(col("_zc_q"), -col("id"))).as("_zc_win"))
+    // deterministic argmax: highest quality wins, smallest id on a
+    // quality tie (two members can never fully tie: ids are unique).
+    // Numeric ids ride one map-side-combined max_by over a
+    // (quality, -id) struct; non-numeric ids (arithmetic negation
+    // would be null and silently break the tie rule) take a
+    // rep-partitioned row_number — same shuffle key, sort instead of
+    // combine, still bounded by the duplicated subset.
+    val idIsNumeric = df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val winners =
+      if (idIsNumeric)
+        member.groupBy(col("rep"))
+          .agg(max_by(col("id"), struct(col("_zc_q"), -col("id"))).as("_zc_win"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rep")).orderBy(col("_zc_q").desc, col("id").asc)
+        member.withColumn("_zc_rn", row_number().over(w))
+          .where(col("_zc_rn") === 1)
+          .select(col("rep"), col("id").as("_zc_win"))
+      }
     val losers = member.join(winners, "rep")
       .where(col("id") =!= col("_zc_win")).select(col("id"))
     df.join(broadcast(losers), df(idCol) === losers("id"), "left_anti")
@@ -635,8 +649,7 @@ object Dedup {
                    maxBucket: Int = DefaultMaxBucket,
                    exhaustive: Boolean = false,
                    fnvHash: Boolean = false): DataFrame = {
-    val withBits = df
-      .repartition(col(idCol)) // parallelize the bit computation
+    val withBits = graft.Spread.spread(df, col(idCol)) // gated, r11
       .withColumn("_zc_bits", simhash(tokens, fnvHash))
       .select(col(idCol), col("_zc_bits"))
       .repartition(col(idCol)) // shared boundary (see minhashPairs)
@@ -732,8 +745,7 @@ object Dedup {
   private def minhashSigRows(docs: DataFrame, idCol: String, textCol: String,
                              shingleK: Int, numPerms: Int,
                              fnv: Boolean = false): DataFrame =
-    docs
-      .repartition(col(idCol))
+    graft.Spread.spread(docs, col(idCol))
       .select(col(idCol).cast("long").as("doc_id"),
         MinHashSig.signature(
           graft.functions.ShingleHashes.shingles(
@@ -895,8 +907,7 @@ object Dedup {
     * candidates. */
   private def containDocRows(docs: DataFrame, idCol: String,
                              shingles: Column, threshold: Double): DataFrame =
-    docs
-      .repartition(col(idCol)) // shingle pass parallel even off one file
+    graft.Spread.spread(docs, col(idCol)) // shingle pass parallel even off one file; gated r11
       .select(col(idCol).cast("long").as("doc_id"), array_sort(shingles).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("n", size(col("sh")))
@@ -1025,6 +1036,10 @@ object Dedup {
       // that can't reach the threshold before sets/ is ever read
       val cands = btoks.join(inv, "sh")
         .where(col("_zc_bpfx") || col("pfx"))
+        // a batch doc already present in the index would meet itself at
+        // containment 1.0 and poison any append-then-query caller;
+        // exclude self-pairs here, matching containmentPairs' a < b
+        .where(col("_zc_bid") =!= col("_zc_cand"))
         .groupBy(col("_zc_bid"), col("_zc_cand"), col("_zc_bn"), col("_zc_cn0"))
         .agg(min(col("_zc_bpos")).as("_zc_bj"), min(col("pos")).as("_zc_ci"))
         .where((lit(1) + least(col("_zc_bn") - col("_zc_bj"),

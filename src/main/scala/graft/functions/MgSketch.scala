@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -119,9 +119,13 @@ final class MgBuffer(val k: Int) {
 case class MgSketchAgg(child: Expression, k: Int,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[MgBuffer] {
+    extends TypedImperativeAggregate[MgBuffer] with ExpectsInputTypes {
 
   require(k >= 1, s"misra-gries needs k >= 1, got $k")
+
+  // update() casts to UTF8String — declare it so mg() over a non-string
+  // column is an ANALYSIS error, not a mid-job ClassCastException
+  override def inputTypes = Seq(StringType) // result type inherited (AbstractDataType is private[sql])
 
   override def children: Seq[Expression] = Seq(child)
   override protected def withNewChildrenInternal(

@@ -498,8 +498,7 @@ object Corpus {
     * Returns `(id, n_grams, n_novel, novelty)`. */
   def noveltyRate(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     require(n > 0, "n must be positive")
-    val grams = df
-      .repartition(id) // gram construction parallel even off one file
+    val grams = graft.Spread.spread(df, id) // gated spread, r11
       .select(id.as("_zc_did"),
         explode(array_distinct(wordShingleStrings(text, n))).as("_zc_g"))
     // grams are distinct per doc, so the count IS the containing-doc count

@@ -21,10 +21,15 @@ import graft.core.Collection
   * {{{
   *   spark.read.format("graft")
   *     .option("readChangeFeed", "true")
-  *     .option("startingVersion", 3)        // or startingTimestamp
+  *     .option("startingVersion", 3)        // INCLUSIVE of commit 3
   *     .option("endingVersion", 7)          // optional; default = head
   *     .load(root)                          // -> rows + _change_type
   * }}}
+  *
+  * `startingVersion = v` includes generation `v`'s own commit (Delta's
+  * inclusive-start contract; the diff base is `v - 1`, resolved in
+  * [[GraftChangesTable.resolveRange]]), so a pipeline migrated off
+  * Delta's `table_changes(t, v)` sees the identical row set.
   *
   * The scan is the file-granular generation diff: only files added or
   * removed across the range are read (append-only history = exactly the
@@ -68,14 +73,26 @@ class GraftChangesTable(spark: SparkSession, root: String,
 }
 
 object GraftChangesTable {
-  /** Resolve the Delta-style change-feed read options: `None` unless
-    * `readChangeFeed` is set true; then `startingVersion` (a committed
-    * generation) or `startingTimestamp` (epoch millis or ISO-8601
-    * instant — resolved to the LAST generation committed at or before
-    * it, the snapshot a reader at that moment saw, so the feed carries
-    * everything committed SINCE that moment) is required;
-    * `endingVersion` bounds the range (default: the current head at
-    * table-load time). */
+  /** Resolve the Delta-style change-feed read options into the DIFF
+    * BASE generation: `None` unless `readChangeFeed` is set true; then
+    * one of
+    *
+    *  - `startingVersion = v` — INCLUSIVE of generation `v`'s own
+    *    commit, matching Delta's `readChangeFeed` exactly (r11, was
+    *    exclusive through r10): the diff base is `v - 1`, so the feed
+    *    carries every change committed in `[v, endingVersion]`.
+    *    `startingVersion = 0` is the whole history (generation 0 is the
+    *    empty create commit, so base 0 loses nothing); `v - 1` must
+    *    still be a committed generation (enforced by
+    *    [[Collection.changes]]).
+    *  - `startingTimestamp` (epoch millis or ISO-8601 instant) —
+    *    resolved to the LAST generation committed at or before it, the
+    *    snapshot a reader at that moment saw, so the feed carries
+    *    everything committed SINCE that moment (also Delta's shape: a
+    *    commit stamped exactly at the timestamp counts as seen).
+    *
+    * `endingVersion` bounds the range inclusively (default: the current
+    * head at table-load time). */
   def resolveRange(spark: SparkSession, root: String,
                    opt: String => Option[String]): Option[(Long, Option[Long])] = {
     if (!opt("readChangeFeed").exists(_.toBoolean)) return None
@@ -84,7 +101,11 @@ object GraftChangesTable {
         s"readChangeFeed cannot combine with the time-travel option '$k': " +
           "the feed's range is startingVersion/startingTimestamp -> endingVersion")
     }
-    val from = opt("startingVersion").map(_.toLong)
+    val base = opt("startingVersion").map { raw =>
+      val v = raw.toLong
+      require(v >= 0, s"startingVersion must be >= 0, got $v")
+      math.max(0L, v - 1) // inclusive of v's commit (Delta parity)
+    }
       .orElse(opt("startingTimestamp").map { v =>
         val ms = try v.toLong
           catch { case _: NumberFormatException =>
@@ -95,6 +116,6 @@ object GraftChangesTable {
       })
       .getOrElse(throw new IllegalArgumentException(
         "readChangeFeed requires startingVersion or startingTimestamp"))
-    Some((from, opt("endingVersion").map(_.toLong)))
+    Some((base, opt("endingVersion").map(_.toLong)))
   }
 }

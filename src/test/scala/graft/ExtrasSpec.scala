@@ -97,6 +97,21 @@ class ExtrasSpec extends AnyFunSuite {
       s"rows-only entries without declared signals: ${rowsOnly.diff(SparkEntry.signals.keySet)}")
   }
 
+  test("SURVEY §2 ledger row ids are unique (r10 verdict #4)") {
+    // the duplicate-id defect class recurred three times in four rounds
+    // (r8 C-table, r10 A49); parse §2 and fail loudly on any repeat id.
+    val lines = scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines().toVector
+    val start = lines.indexWhere(_.startsWith("## §2"))
+    val end = lines.indexWhere(_.startsWith("## §3"))
+    assert(start >= 0 && end > start, "SURVEY.md §2/§3 markers missing")
+    val idRe = """^\| ([A-E][0-9]+[a-z]?(?:[/–-][A-E]?[0-9]+[a-z]?)*) \|""".r
+    val ids = lines.slice(start, end)
+      .flatMap(l => idRe.findFirstMatchIn(l).map(_.group(1)))
+    assert(ids.nonEmpty, "no §2 row ids parsed — table format drifted")
+    val dups = ids.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dups.isEmpty, s"duplicate SURVEY §2 row ids: ${dups.mkString(", ")}")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.select(

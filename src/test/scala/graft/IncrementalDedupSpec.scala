@@ -186,6 +186,14 @@ class IncrementalDedupSpec extends AnyFunSuite {
       if inter.toDouble / math.min(sb.size, sc.size) >= 0.7
     } yield (b, c)).toSet
     assert(got3 == want3, s"missed=${want3 -- got3} extra=${got3 -- want3}")
+    // SELF-PAIR exclusion (r11 ADVICE): a batch doc whose id is already
+    // in the index must not meet itself at containment 1.0 — an
+    // append-then-query caller would otherwise drop every appended doc
+    Dedup.appendContainment(spark, root, ds(30L -> (600L to 609L)), "doc_id", col("sh"))
+    val again = Dedup.containmentAgainstIndex(spark, root,
+        ds(30L -> (600L to 609L)), "doc_id", col("sh"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again.isEmpty, s"self-pairs leaked: $again")
   }
 
   test("a non-index collection refuses loudly") {

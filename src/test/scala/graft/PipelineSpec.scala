@@ -749,4 +749,58 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(rep == Seq(1L, 10L, 20L))
   }
+
+  test("keepBest: non-numeric ids keep the deterministic min-id tiebreak (r11)") {
+    // arithmetic negation of a string id is null — the r10 tie-break
+    // silently degraded to a nondeterministic pick; r11 routes
+    // non-numeric ids through a rep-partitioned row_number instead
+    val docs = Seq(
+      ("a2", "xx"), ("a1", "xx"),   // tie on quality -> lexicographic min "a1"
+      ("b1", "yyy"), ("b2", "y"),   // quality decides -> "b1"
+      ("solo", "z")                 // unpaired survives
+    ).toDF("doc_id", "text")
+    val pairs = Seq(("a1", "a2"), ("b1", "b2")).toDF("a", "b")
+    val kept = Dedup.keepBest(docs, pairs, "doc_id", length(col("text")))
+      .select("doc_id").as[String].collect().sorted.toSeq
+    assert(kept == Seq("a1", "b1", "solo"))
+  }
+
+  test("spread is gated: a wide input plans NO extra Exchange, a narrow one keeps it (r11)") {
+    // defaultParallelism is 8 here (local[8]); 16 input slices = wide,
+    // 1 slice = the single-row-group-parquet shape the spread exists for
+    def corpus(slices: Int) = spark.range(0, 120, 1, slices)
+      .select(col("id"), concat(lit("tok"), col("id") % 7, lit(" tok"),
+        col("id") % 5, lit(" tok"), col("id") % 3).as("text"))
+    // Exchanges are planted by EnsureRequirements — count them in the
+    // EXECUTED plan string (the AQE initial plan prints them all)
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    // the helper itself
+    assert(shuffles(Spread.spread(corpus(16), col("id"))) == 0,
+      "wide input must not gain an Exchange")
+    assert(shuffles(Spread.spread(corpus(1), col("id"))) == 1,
+      "narrow input must keep the spread Exchange")
+    // through a real operator: the spread exchange is the only
+    // REPARTITION_BY_COL in these plans — a wide input must plan NONE
+    // (the narrow plan prints it once per join branch; runtime exchange
+    // reuse collapses them), and results are identical on both
+    def spreads(df: org.apache.spark.sql.DataFrame): Int =
+      "REPARTITION_BY_COL".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    val wideQ = graft.operators.Corpus.noveltyRate(corpus(16), col("id"), col("text"), 2)
+    val narrowQ = graft.operators.Corpus.noveltyRate(corpus(1), col("id"), col("text"), 2)
+    assert(spreads(wideQ) == 0, s"wide input planned a spread:\n${wideQ.queryExecution.executedPlan}")
+    assert(spreads(narrowQ) >= 1, "narrow input lost its spread")
+    val w = wideQ.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val n = narrowQ.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(w == n && w.nonEmpty)
+  }
+
+  test("mg() over a non-string column fails at analysis, not mid-job (r11)") {
+    val df = Seq(1L, 2L).toDF("v")
+    val ex = intercept[org.apache.spark.sql.AnalysisException](
+      df.select(graft.functions.MgSketch.mg(col("v"), 4)).collect())
+    assert(ex.getMessage.toLowerCase.contains("type"))
+  }
 }

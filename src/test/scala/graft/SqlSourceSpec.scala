@@ -305,15 +305,24 @@ class SqlSourceSpec extends AnyFunSuite {
       val r = spark.read.format("graft").option("readChangeFeed", "true")
       opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load(root)
     }
-    // explicit range: exactly the insert committed in (g0, g1]
-    val mid = feed("startingVersion" -> g0.toString, "endingVersion" -> g1.toString)
+    // explicit range: startingVersion is INCLUSIVE of its own commit
+    // (Delta parity, r11) — starting AT g1 reads exactly g1's insert
+    val mid = feed("startingVersion" -> g1.toString, "endingVersion" -> g1.toString)
       .select("id", "_change_type").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(mid.toSeq == Seq((5L, "insert")))
     // default ending = head: the delete shows too
-    val toHead = feed("startingVersion" -> g0.toString)
+    val toHead = feed("startingVersion" -> g1.toString)
       .select("id", "_change_type").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(identity)
     assert(toHead.toSeq == Seq((2L, "delete"), (5L, "insert")))
+    // inclusive start at the FIRST data commit (g0) backfills it too —
+    // and because the feed is a SNAPSHOT diff, id 2's insert-then-delete
+    // inside the range cancels: the net changes are the surviving rows
+    val fromBirth = feed("startingVersion" -> g0.toString)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(identity)
+    assert(fromBirth.toSeq == Seq((1L, "insert"),
+      (3L, "insert"), (4L, "insert"), (5L, "insert")))
     // timestamp start resolves to the snapshot a reader at t0 saw (g0)
     val byTs = feed("startingTimestamp" -> t0.toString)
       .select("id", "_change_type").collect()
