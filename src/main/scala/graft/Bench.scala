@@ -88,6 +88,11 @@ object Bench {
     "q_distinct_window", "stream_window_topn", "stream_distinct_window",
     "text_contamination_report", "q_unpivot", "text_bpe_encode",
     "dedup_groups", "zc_fsck", "text_novelty",
+    // r11: deletion-vector delete through the oracle entry (the A/B
+    // seconds/bytes evidence lives in the dvSuite entries), subquery
+    // DELETE (IN-list semi over a DV-enabled collection), and the
+    // metadata-only column rename followed by a cross-vintage read
+    "zc_delete_dv", "zc_sql_delete_subq", "zc_schema_rename",
     // NOT benched: dedup_incremental_contain / stream_ingest_contain —
     // the incremental containment index builds a full inverted index of
     // the corpus per entry (its cost IS the index build, ~40 s at sf0.1
@@ -153,7 +158,27 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       }
     }
-    val results = Headline.map { name => name -> minOf(reps)(runOnce(name)) }
+    // SELF-SATURATION hygiene (r11, r10 verdict #7): the single-run
+    // 131-entry bench drives its own host loadavg from ~2 to ~10 and
+    // inflated the unchanged IO-bound micro-entries' tails 1.5-2x in
+    // every round-over-round comparison. The CONTROL set — unchanged
+    // micro-entries whose drift is the contention signal — now runs
+    // FIRST, on a freshly warmed but otherwise idle session, behind a
+    // bounded load-settle gate; the heavy pile follows. JSON keys are
+    // unchanged, so round comparisons line up.
+    val controls = Seq("zc_insert_query", "zc_query_filter", "zc_axis_range",
+      "zc_col_zone", "zc_bloom", "zc_to_arrays", "zc_changes")
+      .filter(Headline.contains)
+    def settle(maxWaitMs: Long): Unit = {
+      val t0 = System.currentTimeMillis()
+      val cores = Runtime.getRuntime.availableProcessors()
+      while (loadAvg > cores * 0.5 && System.currentTimeMillis() - t0 < maxWaitMs)
+        Thread.sleep(2000)
+    }
+    settle(60000)
+    val controlResults = controls.map { name => name -> minOf(reps)(runOnce(name)) }
+    val results = controlResults ++
+      Headline.filterNot(controls.contains).map { name => name -> minOf(reps)(runOnce(name)) }
 
     // View alignment read over the events collection built by zc_build:
     // overlay written once (untimed), the timed part is the sort-free
@@ -198,8 +223,12 @@ object Bench {
       })
     }
 
+    // --- deletion-vector A/B (r11) ------------------------------------
+    val dvResults = dvSuite(spark, sfDir, reps)
+
     val qs = (Seq("zc_build" -> buildSec, "zc_build_skip" -> buildSkipSec) ++ results) ++
-      Seq("view_query" -> viewSec, "clone_fork" -> cloneSec) ++ refResults ++ spjDppResults
+      Seq("view_query" -> viewSec, "clone_fork" -> cloneSec) ++ refResults ++
+      spjDppResults ++ dvResults
     val qsJson = qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = buildSec + buildSkipSec + results.map(_._2).sum +
       refResults.filterNot(_._1.startsWith("insert_")).map(_._2).sum +
@@ -207,6 +236,68 @@ object Bench {
     val loadEnd = loadAvg
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"queries":$qsJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** r11: deletion-vector vs rewrite A/B. The SAME small delete (one
+    * event_type of one day — the targeted-correction shape) runs against
+    * two identical events collections, one DV-enabled and one classic;
+    * passes INTERLEAVE (D,R,D,R) on fresh roots so host drift hits both
+    * legs equally (the insert-suite arbitration protocol). Timed:
+    * `delete_dv` / `delete_rewrite` seconds. Evidence entries (bytes,
+    * not seconds): `delete_dv_bytes_written` — the DV file bytes, the
+    * ENTIRE write cost of the vectored commit — vs
+    * `delete_rewrite_bytes_written` — the replacement parquet bytes of
+    * the classic path. The ratio is the feature's claim: delete cost
+    * proportional to deleted rows, not rewritten files. */
+  private def dvSuite(spark: SparkSession, sfDir: String, reps: Int): Seq[(String, Double)] = {
+    import graft.core.{Collection, DatePartitioning}
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-dvbench").toString
+    val fs = Collection.fileSystem(spark, base)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ev.count()
+    def build(root: String, dv: Boolean): Collection = {
+      val c = Collection.create(spark, root, ev.schema, "ts",
+        DatePartitioning("ts", "D"),
+        attrs = if (dv) Map(Collection.DvEnabledAttr -> "true") else Map.empty)
+      c.insert(ev)
+      c
+    }
+    val pred = "event_type == 'purchase' and day == 10"
+    var dvSec = Double.MaxValue; var rwSec = Double.MaxValue
+    var dvBytes = 0.0; var rwBytes = 0.0
+    def fileBytes(c: Collection): Map[String, Long] = {
+      import spark.implicits._
+      c.describeFiles().select("file", "bytes").as[(String, Option[Long])]
+        .collect().map { case (f, b) => f -> b.getOrElse(0L) }.toMap
+    }
+    def bytesWritten(c: Collection, before: Set[String]): Double = {
+      val now = fileBytes(c)
+      val parquet = now.collect { case (f, b) if !before(f) => b }.sum.toDouble
+      val dv = c.deletionVectors().values.map(n => 8L + 8L * n).sum.toDouble
+      parquet + dv
+    }
+    for (i <- 1 to reps) {
+      val cD = build(s"$base/dv$i", dv = true)
+      val beforeD = fileBytes(cD).keySet
+      val tD = time { cD.deleteWhere(pred) }
+      if (tD < dvSec) { dvSec = tD; dvBytes = bytesWritten(cD, beforeD) }
+      try fs.delete(new org.apache.hadoop.fs.Path(s"$base/dv$i"), true)
+      catch { case _: Exception => () }
+      val cR = build(s"$base/rw$i", dv = false)
+      val beforeR = fileBytes(cR).keySet
+      val tR = time { cR.deleteWhere(pred) }
+      if (tR < rwSec) { rwSec = tR; rwBytes = bytesWritten(cR, beforeR) }
+      try fs.delete(new org.apache.hadoop.fs.Path(s"$base/rw$i"), true)
+      catch { case _: Exception => () }
+    }
+    ev.unpersist()
+    Seq("delete_dv" -> dvSec, "delete_rewrite" -> rwSec,
+      "delete_dv_bytes_written" -> dvBytes,
+      "delete_rewrite_bytes_written" -> rwBytes)
   }
 
   /** r10: storage-partitioned-join and dynamic-file-pruning entries.

@@ -97,11 +97,13 @@ object SparkEntry {
       .orderBy("event_id")
 
   /** Fresh (non-cached) events collection for mutating queries. */
-  private def freshEventsColl(spark: SparkSession, sfDir: String, rows: DataFrame = null): Collection = {
+  private def freshEventsColl(spark: SparkSession, sfDir: String, rows: DataFrame = null,
+                              dv: Boolean = false): Collection = {
     val ev = if (rows != null) rows else Tables.events(spark, sfDir)
     val root = s"$scratch/fresh-${java.util.UUID.randomUUID().toString.take(8)}"
     val c = Collection.create(spark, root, ev.schema, "ts",
-      DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+      DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true,
+      attrs = if (dv) Map(Collection.DvEnabledAttr -> "true") else Map.empty)
     c.insert(ev)
     c
   }
@@ -314,6 +316,29 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // A54 (r11): COLUMN RENAME via name mapping — metadata-only (hard
+    // signal: the rename commit touches zero data files), the physical
+    // name pinned at add time so PRE-rename files and POST-rename
+    // inserts read under one logical schema; time travel keeps the old
+    // snapshot under its own name (RenameColumnSpec).
+    "zc_schema_rename" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val c = freshEventsColl(s, dir, ev.where(dayofmonth(col("ts")) <= 15))
+      def files() = {
+        import s.implicits._
+        c.describeFiles().select("file").as[String].collect().toSet
+      }
+      val before = files()
+      c.renameVariable("value", "score")
+      require(files() == before, "zc_schema_rename: rename must touch no data files")
+      c.insert(ev.where(dayofmonth(col("ts")) > 15)
+        .withColumnRenamed("value", "score"), MergeStrategy.Concat)
+      c.query()
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select("event_id", "ts_us", "user_id", "event_type", "score", "props")
+        .orderBy("event_id")
+    }),
+
     // A28: time travel — query an earlier committed snapshot while the
     // collection has moved on.
     "zc_snapshot" -> ((s, dir) => {
@@ -351,9 +376,34 @@ object SparkEntry {
     // A30 (r6): row-level DELETE — file-granular rewrite via the skip
     // layers: only files whose stats admit a matching row are rewritten,
     // the rest carry over untouched (Delta/Iceberg DELETE shape).
+    // r11: the collection is DELETION-VECTOR enabled — the same call now
+    // vectors light files and rewrites only heavy ones, and must stay
+    // hash-exact against the unchanged oracle.
     "zc_delete" -> ((s, dir) => {
-      val c = freshEventsColl(s, dir)
+      val c = freshEventsColl(s, dir, dv = true)
       c.deleteWhere("event_type == 'click' and day >= 10")
+      eventsOut(c.query())
+    }),
+
+    // E40 (r11): DELETION-VECTOR delete — delete cost proportional to
+    // DELETED ROWS: the commit touches ZERO data files (hard-asserted
+    // in-entry), masks ride the manifest's per-file DV refs, and every
+    // face (query here, SQL/native scan in DeletionVectorSpec) reads
+    // the identical live rows the oracle computes.
+    "zc_delete_dv" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir, dv = true)
+      def files() = {
+        import s.implicits._
+        c.describeFiles().select("file").as[String].collect().toSet
+      }
+      val before = files()
+      c.deleteWhere("event_type == 'purchase' and day == 10")
+      require(files() == before,
+        "zc_delete_dv: a DV delete must not touch data files")
+      require(c.deletionVectors().nonEmpty,
+        "zc_delete_dv: no deletion vectors written")
+      require(c.countRows() == c.query().count(),
+        "zc_delete_dv: metadata live count disagrees with the scan")
       eventsOut(c.query())
     }),
 
@@ -362,7 +412,7 @@ object SparkEntry {
     // the same rows under shifted ids (unmatched -> inserted). SQL MERGE
     // semantics through the file-granular rewrite machinery.
     "zc_merge_into" -> ((s, dir) => {
-      val c = freshEventsColl(s, dir)
+      val c = freshEventsColl(s, dir, dv = true) // r11: DV-enabled (merge keeps its rewrite)
       val slice = mergeSlice(s, dir)
       val updates = slice.withColumn("value", -col("value"))
       val inserts = slice.withColumn("event_id", col("event_id") + 10000000L)
@@ -428,7 +478,7 @@ object SparkEntry {
     // the skip layers prove unaffected carry through untouched
     // (Delta/Iceberg UPDATE shape).
     "zc_update_where" -> ((s, dir) => {
-      val c = freshEventsColl(s, dir)
+      val c = freshEventsColl(s, dir, dv = true) // r11: DV update, oracle unchanged
       c.updateWhere("event_type == 'click' and day >= 10",
         Map("event_type" -> "'redacted'", "value" -> "-value"))
       eventsOut(c.query())
@@ -502,6 +552,42 @@ object SparkEntry {
       s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '${c.root}')")
       try {
         s.sql(s"DELETE FROM $tbl WHERE event_type LIKE 'err%' AND value < 0.5")
+        eventsOut(c.query())
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
+    // A53 (r11): SUBQUERY predicates in SQL DML — uncorrelated
+    // `IN (SELECT ...)` lowered onto the engine's row-level paths with
+    // exact three-valued IN semantics (GraftDmlCommands.subqueryAugment:
+    // the subquery evaluates ONCE, matches ride a broadcast left join,
+    // the result's [min,max] strengthens the skip-layer prune). The
+    // collection is also DV-enabled, so this exercises subquery-driven
+    // DELETION VECTORS end-to-end.
+    "zc_sql_delete_subq" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir, dv = true)
+      val tbl = "graft_sqdsq_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '${c.root}')")
+      try {
+        Tables.events(s, dir).createOrReplaceTempView("zc_subq_events")
+        s.sql(s"""DELETE FROM $tbl WHERE user_id IN
+                  (SELECT user_id FROM zc_subq_events
+                   WHERE event_type = 'error' AND day(ts) = 5)""")
+        eventsOut(c.query())
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
+    // A53b (r11): the NOT IN flavor through UPDATE — the lifted flag's
+    // three-valued shape survives the enclosing NOT, so the statement
+    // updates exactly SQL's NOT IN row set.
+    "zc_sql_update_subq" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir, dv = true)
+      val tbl = "graft_squsq_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '${c.root}')")
+      try {
+        Tables.events(s, dir).createOrReplaceTempView("zc_subq_events")
+        s.sql(s"""UPDATE $tbl SET value = -value WHERE user_id NOT IN
+                  (SELECT user_id FROM zc_subq_events
+                   WHERE event_type = 'click' AND day(ts) <= 3)""")
         eventsOut(c.query())
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
@@ -3930,6 +4016,29 @@ object SparkEntry {
          WHERE NOT COALESCE(event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) >= 10, FALSE)
          ORDER BY event_id""",
 
+    "zc_delete_dv" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events
+         WHERE NOT COALESCE(event_type = 'purchase' AND day(CAST(ts AS TIMESTAMP)) = 10, FALSE)
+         ORDER BY event_id""",
+
+    "zc_sql_delete_subq" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events
+         WHERE NOT COALESCE(user_id IN
+           (SELECT user_id FROM events
+            WHERE event_type = 'error' AND day(CAST(ts AS TIMESTAMP)) = 5), FALSE)
+         ORDER BY event_id""",
+
+    "zc_sql_update_subq" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                CASE WHEN COALESCE(user_id NOT IN
+                  (SELECT user_id FROM events
+                   WHERE event_type = 'click' AND day(CAST(ts AS TIMESTAMP)) <= 3), FALSE)
+                     THEN -value ELSE value END AS value,
+                props
+         FROM events ORDER BY event_id""",
+
     "zc_view_partial" ->
       """SELECT event_id, value,
                 CAST(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 10
@@ -3942,6 +4051,11 @@ object SparkEntry {
     "zc_schema_evo" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
                 CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 10 THEN false ELSE value > 50 END AS flagged
+         FROM events ORDER BY event_id""",
+
+    "zc_schema_rename" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                value AS score, props
          FROM events ORDER BY event_id""",
 
     "zc_index" ->

@@ -585,6 +585,7 @@ final class Collection private (
       replacedFiles: Set[String] = Set.empty,
       newPartSpec: Option[String] = None,
       op: String = "write",
+      dvUpdates: Map[String, DvRef] = Map.empty,
   ): Unit = {
     // Read-modify-write callers PIN the manifest their read resolved
     // against and pass it as `base`: a concurrent commit to the same
@@ -601,9 +602,17 @@ final class Collection private (
     // the staged write returns its exact file set: crash orphans and
     // concurrent writers' files in the same partitions are structurally
     // excluded from this commit (no directory-diff discovery)
-    val newFiles = physicalWrite(prepareForWrite(checked, man.taskBase, cluster))
+    val prepared = prepareForWrite(checked, man.taskBase, cluster)
+    // COLUMN RENAMES (r11): files always carry PHYSICAL names — new
+    // writes of a renamed column land under its pinned original name,
+    // so every file of every generation shares one physical schema
+    val physical =
+      if (man.renames.isEmpty) prepared
+      else prepared.select(prepared.columns.toSeq.map(c =>
+        col(c).as(man.renames.getOrElse(c, c))): _*)
+    val newFiles = physicalWrite(physical)
     commitWrittenFiles(man, newFiles, replaced, streamMark, rewrite,
-      replacedFiles, newPartSpec, op)
+      replacedFiles, newPartSpec, op, dvUpdates)
   }
 
   /** The commit tail of [[writeAndCommit]], shared with the NATIVE DSv2
@@ -614,14 +623,15 @@ final class Collection private (
   private[core] def commitWrittenFiles(man: Manifest, newFiles: Seq[String],
       replaced: Set[String], streamMark: Option[(String, Long)],
       rewrite: Boolean, replacedFiles: Set[String],
-      newPartSpec: Option[String], op: String): Unit = {
+      newPartSpec: Option[String], op: String,
+      dvUpdates: Map[String, DvRef] = Map.empty): Unit = {
     // resolve the doomed files from the PREVIOUS snapshot before the
     // commit swaps the shard table (loads only the replaced partitions'
     // shards)
     val doomed =
       if (retainGenerations == 0) man.filesForPartitions(replaced) ++ replacedFiles
       else Nil
-    try commitDelta(man, newFiles, replaced, writeTasks, streamMark, rewrite, replacedFiles, newPartSpec, op)
+    try commitDelta(man, newFiles, replaced, writeTasks, streamMark, rewrite, replacedFiles, newPartSpec, op, dvUpdates)
     catch {
       case e: java.util.ConcurrentModificationException =>
         // a CONFLICT proves the commit did not land (the publish is
@@ -630,7 +640,7 @@ final class Collection private (
         // orphans. Any other failure is AMBIGUOUS (an IO error after the
         // claim could mean the manifest IS durably published referencing
         // these files) — leave them for vacuum's liveness check.
-        newFiles.foreach(f =>
+        (newFiles ++ dvUpdates.values.map(_.path).toSeq.distinct).foreach(f =>
           try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
         throw e
     }
@@ -674,7 +684,10 @@ final class Collection private (
           .currentManifestRaw()
         val refs = affected match {
           case Some(parts) => bman.filesForPartitions(parts)
-          case None        => bman.files
+          case None        =>
+            // full shape (vacuum/fsck): the branch's deletion-vector
+            // files pin like its data files — same `base::rel` form
+            bman.files ++ bman.allDvs.values.map(_.path)
         }
         refs.filter(f => baseOf(f).contains(mine)).map(relOf)
       } catch { case _: Exception => Nil }
@@ -755,18 +768,25 @@ final class Collection private (
                                 rewrite: Boolean = false,
                                 droppedFiles: Set[String] = Set.empty,
                                 newPartSpec: Option[String] = None,
-                                op: String = "write"): Unit = {
+                                op: String = "write",
+                                dvUpdates: Map[String, DvRef] = Map.empty): Unit = {
     var base = prev
     var attempts = 0
-    val (newStats, newRows, newBytes) = fileStats(newFiles) // once — retries reuse it
+    val (newStats, newRows, newBytes) = fileStats(newFiles, prev.renames) // once — retries reuse it
     while (true) {
-      try { commitDeltaOnce(base, newFiles, newStats, newRows, newBytes, dropped, taskBump, streamMark, rewrite, droppedFiles, newPartSpec, op); return }
+      try { commitDeltaOnce(base, newFiles, newStats, newRows, newBytes, dropped, taskBump, streamMark, rewrite, droppedFiles, newPartSpec, op, dvUpdates); return }
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
           if (attempts > MaxCommitRebases) throw e
           val head = currentManifest() // probes forward past the winner(s)
-          rebaseGuard(base, head, newFiles, dropped ++ droppedFiles.map(parentRel), streamMark, e)
+          rebaseGuard(base, head, newFiles,
+            dropped ++ droppedFiles.map(parentRel) ++ dvUpdates.keys.map(parentRel),
+            streamMark, e)
+          // a DV computed against `base` names rowids of `base`'s files;
+          // rebasing is sound only if the head carries those files AND
+          // their DV state unchanged (the guard above admits only
+          // non-overlapping partition deltas, which implies it)
           base = head
       }
     }
@@ -802,9 +822,18 @@ final class Collection private (
     val differing = (prevByPfx.keySet ++ headByPfx.keySet)
       .filter(p => prevByPfx.get(p).map(_.file) != headByPfx.get(p).map(_.file))
     val theirs: Set[String] = differing.flatMap { p =>
-      val a = prevByPfx.get(p).map(prev.shardFiles).getOrElse(Nil).groupBy(parentRel)
-      val b = headByPfx.get(p).map(head.shardFiles).getOrElse(Nil).groupBy(parentRel)
-      (a.keySet ++ b.keySet).filter(part => a.get(part) != b.get(part))
+      val aD = prevByPfx.get(p).map(prev.shardData)
+      val bD = headByPfx.get(p).map(head.shardData)
+      val a = aD.map(_.files).getOrElse(Nil).groupBy(parentRel)
+      val b = bD.map(_.files).getOrElse(Nil).groupBy(parentRel)
+      // a partition differs if its file list OR its deletion-vector
+      // state moved: a concurrent DV delete changes rows without
+      // touching files, and a rewrite rebased over it would resurrect
+      // the deleted rows
+      val aDv = aD.map(_.dvs).getOrElse(Map.empty).groupBy { case (f, _) => parentRel(f) }
+      val bDv = bD.map(_.dvs).getOrElse(Map.empty).groupBy { case (f, _) => parentRel(f) }
+      (a.keySet ++ b.keySet ++ aDv.keySet ++ bDv.keySet)
+        .filter(part => a.get(part) != b.get(part) || aDv.get(part) != bDv.get(part))
     }
     val overlap = ours & theirs
     if (overlap.nonEmpty)
@@ -825,10 +854,12 @@ final class Collection private (
                               rewrite: Boolean = false,
                               droppedFiles: Set[String] = Set.empty,
                               newPartSpec: Option[String] = None,
-                              op: String = "write"): Unit = {
+                              op: String = "write",
+                              dvUpdates: Map[String, DvRef] = Map.empty): Unit = {
     val newByPrefix = newFiles.groupBy(f => prefixOf(parentRel(f)))
     val affected = newByPrefix.keySet ++ dropped.map(prefixOf) ++
-      droppedFiles.map(f => prefixOf(parentRel(f)))
+      droppedFiles.map(f => prefixOf(parentRel(f))) ++
+      dvUpdates.keySet.map(f => prefixOf(parentRel(f)))
     val kept = prev.shards.filterNot(e => affected(e.prefix))
     val prevByPrefix = prev.shards.map(e => e.prefix -> e).toMap
     val rebuilt = affected.toSeq.sorted.flatMap { pfx =>
@@ -855,13 +886,22 @@ final class Collection private (
         val gens = (oldData.gens ++
           newByPrefix.getOrElse(pfx, Nil).map(_ -> newGen))
           .filter { case (f, _) => fileSet(f) }
-        val name = shardName(files, stats, rows, gens, bytes)
-        writeShardIfAbsent(fs, manifestDir, name, files, stats, rows, gens, bytes)
+        // deletion vectors: surviving files keep theirs, this commit's
+        // updates override (pre-merged rowid unions), refs of dropped /
+        // rewritten files fall away with the file — compaction
+        // materializes a DV simply by replacing its file
+        val dvs = (oldData.dvs ++ dvUpdates).filter { case (f, _) => fileSet(f) }
+        val name = shardName(files, stats, rows, gens, bytes, dvs)
+        writeShardIfAbsent(fs, manifestDir, name, files, stats, rows, gens, bytes, dvs)
         Some(ShardEntry(pfx,
           files.map(f => parentRel(f).substring(pfx.length).stripPrefix("/")).distinct.sorted,
-          name, rollupOf(files, stats),
-          rowTotal = if (files.forall(rows.contains)) Some(files.map(rows).sum) else None,
-          byteTotal = if (files.forall(bytes.contains)) Some(files.map(bytes).sum) else None))
+          name, rollupOf(files, stats, prev.renames),
+          // rowTotal is LIVE rows (physical minus DV'd): countRows and
+          // CBO stats answer what a reader would see
+          rowTotal = if (files.forall(rows.contains))
+            Some(files.map(rows).sum - dvs.values.map(_.count).sum) else None,
+          byteTotal = if (files.forall(bytes.contains)) Some(files.map(bytes).sum) else None,
+          dvCount = dvs.values.map(_.count).sum))
       }
     }
     commitManifest(prev.withShards(
@@ -933,6 +973,24 @@ final class Collection private (
       fs.listStatus(shardDirPath).toSeq.filter(_.isFile).foreach { st =>
         val rel = s"$ShardDir/${st.getPath.getName}"
         if (!referenced.contains(rel) && st.getPath.getName.startsWith("shard-") &&
+            aged(st.getModificationTime))
+          try fs.delete(st.getPath, false) catch { case _: Exception => () }
+      }
+    }
+    // deletion-vector file GC (r11): DV files referenced by NO retained
+    // snapshot — superseded sections, crash leftovers of writers that
+    // died before their commit, refs dropped by compaction/rewrites —
+    // age out under the same grace gate (the `live` set above already
+    // carries branch-pinned DV rels via branchPinnedRels)
+    val dvDirPath = new Path(s"$root/${DeletionVectors.DvDir}")
+    if (fs.exists(dvDirPath)) {
+      val liveDv: Set[String] = retained.flatMap { g =>
+        manifestCache.getOrElseUpdate(g, readManifest(fs, manifestDir, g))
+          .allDvs.values.map(_.path).filterNot(isExternal).map(relOf)
+      }.toSet ++ live
+      fs.listStatus(dvDirPath).toSeq.filter(_.isFile).foreach { st =>
+        val rel = s"${DeletionVectors.DvDir}/${st.getPath.getName}"
+        if (!liveDv.contains(rel) && st.getPath.getName.startsWith("dv-") &&
             aged(st.getModificationTime))
           try fs.delete(st.getPath, false) catch { case _: Exception => () }
       }
@@ -1047,7 +1105,7 @@ final class Collection private (
         val recorded = byShard.flatMap(_.rows).toMap
         val missingSet = missing.toSet
         val present = files.filterNot(missingSet.contains)
-        val (_, actualRows, _) = fileStats(present)
+        val (_, actualRows, _) = fileStats(present, man.renames)
         val mm = present.flatMap { f =>
           for (r <- recorded.get(f); a <- actualRows.get(f) if r != a)
             yield (f, r, a)
@@ -1065,7 +1123,28 @@ final class Collection private (
           if (statsRan) present.filterNot(actualRows.contains).sorted else Nil
         (mm, ur)
       }
-    FsckReport(files.size, missing, mismatches, statless, orphans, unreadable)
+    // DELETION VECTORS (r11): a missing/short/corrupt DV file would
+    // RESURRECT deleted rows on every read — its own damage class.
+    // Shallow checks existence; deep re-reads every section (magic +
+    // declared count, [[DeletionVectors.readSection]] fails loudly on
+    // both) — section reads are `8 + 8*count` bytes, no data IO.
+    val dvRefs = byShard.flatMap(_.dvs.values)
+    val badDvs = dvRefs.flatMap { ref =>
+      val abs = absOf(root, ref.path)
+      val p = new Path(abs)
+      try {
+        val dfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!dfs.exists(p)) Some(ref.path)
+        else if (!deep) None
+        else {
+          DeletionVectors.readSection(
+            spark.sparkContext.hadoopConfiguration, abs, ref)
+          None
+        }
+      } catch { case _: Exception => Some(s"${ref.path}@${ref.offset}") }
+    }.distinct.sorted
+    FsckReport(files.size, missing, mismatches, statless, orphans, unreadable,
+      badDvs)
   }
 
   // --- schema evolution --------------------------------------------
@@ -1080,6 +1159,10 @@ final class Collection private (
     val s = StructType.fromDDL(man.schemaDdl)
     require(!s.fieldNames.contains(name), s"variable '$name' already exists")
     require(!partCols.contains(name), s"'$name' collides with a partition column")
+    // a new column must not shadow any column's PHYSICAL (file-resident)
+    // name — files would then carry two meanings under one name (r11)
+    require(!man.renames.values.toSet.contains(name),
+      s"'$name' is the physical (file-resident) name of a renamed column")
     // metadata-only commit: the shard table carries over by name, zero IO.
     // A name that was EVER dropped gets no columnSince entry: pre-drop
     // files still physically carry the old column's values, so the
@@ -1152,7 +1235,65 @@ final class Collection private (
       schemaDdl = StructType(s.fields.filterNot(_.name == name)).toDDL,
       fills = man.fills - name,
       columnSince = man.columnSince - name,
-      droppedEver = man.droppedEver + name, op = Some("drop-column")))
+      // a dropped RENAMED column also retires its physical name: files
+      // keep those bytes, so the schema-generation proof must stay off
+      // for any future same-named column (the droppedEver contract)
+      droppedEver = man.droppedEver + name + man.physName(name),
+      op = Some("drop-column"),
+      renames = man.renames - name))
+  }
+
+  /** RENAME a data variable (r11, the last schema-evolution verb):
+    * metadata-only — the column's PHYSICAL name (what every parquet
+    * file, footer stat, and bloom structure carries) was pinned when it
+    * was added and never changes; the manifest's name mapping
+    * ([[Collection.Manifest.renames]]) redirects reads, writes, and
+    * every skip-layer lookup, the Iceberg field-id indirection
+    * re-expressed over names. Old snapshots keep reading under their
+    * own names (time travel is rename-aware per manifest); stale
+    * handles refuse at their next commit like any schema evolution
+    * (rebase guard: "the schema evolved concurrently").
+    *
+    * The axis and partitioning inputs cannot rename (partition paths
+    * and the collection config speak their names); a CHECK constraint
+    * referencing the column must be dropped first (its SQL is raw
+    * text); the new name must not collide with any logical OR physical
+    * name. Tables renamed mid-stream: a pinned streaming schema keeps
+    * resolving as long as the pinned names' physical bindings are
+    * unchanged — renaming an ALREADY-renamed column out from under a
+    * running stream is not supported (restart the stream). */
+  def renameVariable(oldName: String, newName: String): Unit = {
+    requireWritable()
+    val man = currentManifest()
+    val s = StructType.fromDDL(man.schemaDdl)
+    require(s.fieldNames.contains(oldName), s"no variable '$oldName'")
+    require(oldName != axis, "cannot rename the partition axis")
+    require(!partitioning.inputCols.contains(oldName), "cannot rename a partitioning input")
+    require(oldName != newName, "old and new names are identical")
+    require(!s.fieldNames.contains(newName) && !partCols.contains(newName),
+      s"'$newName' already exists")
+    val phys = man.physName(oldName)
+    val otherPhys = s.fieldNames.filterNot(_ == oldName).map(man.physName).toSet
+    require(!otherPhys.contains(newName),
+      s"'$newName' is the physical (file-resident) name of another column")
+    man.constraints.find { case (_, sql) =>
+      sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*")
+    }.foreach { case (n, sql) =>
+      throw new IllegalStateException(
+        s"CHECK constraint '$n' ($sql) references '$oldName' — " +
+        "drop the constraint, rename, then re-add it under the new name")
+    }
+    commitManifest(man.withMeta(
+      generation = man.generation + 1,
+      schemaDdl = StructType(s.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f)).toDDL,
+      fills = (man.fills - oldName) ++ man.fills.get(oldName).map(newName -> _),
+      columnSince = (man.columnSince - oldName) ++
+        man.columnSince.get(oldName).map(newName -> _),
+      op = Some("rename-column"),
+      // rename-back to the physical name leaves no entry (identity)
+      renames = (man.renames - oldName) ++
+        (if (phys == newName) Map.empty[String, String] else Map(newName -> phys))))
   }
 
   // --- read --------------------------------------------------------
@@ -1187,14 +1328,56 @@ final class Collection private (
     * different declared schema (a stream's schema is fixed at start even
     * as the collection's evolves); fills apply only to its columns. */
   private[graft] def readManifestFiles(man: Manifest, files: Seq[String],
-                                       schemaOverride: Option[StructType] = None): DataFrame = {
+                                       schemaOverride: Option[StructType] = None,
+                                       /** Snapshot whose DELETION VECTORS
+                                         * mask the read — defaults to
+                                         * `man`; the CDC diff reads each
+                                         * side under its OWN side's DVs. */
+                                       dvMan: Manifest = null,
+                                       /** false = PHYSICAL read (deleted
+                                         * rows included) — the DV
+                                         * writer's victim scan, where
+                                         * `input_file_name()` must stay
+                                         * join-free and re-deleting an
+                                         * already-DV'd rowid is an
+                                         * idempotent union. */
+                                       applyDvs: Boolean = true): DataFrame = {
     val dataSchema = schemaOverride.getOrElse(
       schemaCache.getOrElseUpdate(man.generation, StructType.fromDDL(man.schemaDdl)))
     val fields = readSchemaFields(dataSchema)
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
-    var df = parquetByBase(files, fields)
+    val dvs =
+      if (!applyDvs) Map.empty[String, DvRef]
+      else (if (dvMan != null) dvMan else man).dvsForFiles(files)
+    // COLUMN RENAMES (r11): request the files' PHYSICAL names, alias
+    // back to the declared logical names — physical names are pinned at
+    // add time, so one mapping serves every file of every generation
+    def parquetByBase(fs: Seq[String], flds: Seq[StructField]): DataFrame =
+      parquetByBaseRenamed(fs, flds, man.renames)
+    var df =
+      if (dvs.isEmpty) parquetByBase(files, fields)
+      else {
+        // Split the scan: only DV'd files pay the rowid anti-join —
+        // clean files (the overwhelming majority at any scale) plan
+        // exactly the old read. The DV side stays broadcastable by
+        // construction (the delete path caps DV cardinality and falls
+        // back to rewrite beyond it); if accumulated counts ever exceed
+        // the cap the join degrades to a shuffle, never to wrong rows.
+        val withDv = files.filter(dvs.contains)
+        val clean = files.filterNot(dvs.contains)
+        val dvRows = DeletionVectors.rowsDf(spark, dvs.values.toSeq,
+          p => Collection.absOf(root, p))
+        val right =
+          if (dvs.values.map(_.count).sum <= Collection.DvBroadcastMaxRows)
+            broadcast(dvRows)
+          else dvRows
+        val masked = parquetByBase(withDv, fields)
+          .join(right, col(Collection.RowIdCol) === col("_zc_dv_row"), "left_anti")
+        if (clean.isEmpty) masked
+        else parquetByBase(clean, fields).union(masked)
+      }
     for ((c, fillSql) <- man.fills if dataSchema.fieldNames.contains(c))
       df = df.withColumn(c, coalesce(col(c), expr(fillSql).cast(dataSchema(c).dataType)))
     df.select(fields.map(f => col(f.name)): _*)
@@ -1208,9 +1391,19 @@ final class Collection private (
     * with no external refs — the overwhelmingly common case — is
     * exactly the old single scan. */
   private def parquetByBase(files: Seq[String],
-                            fields: Seq[StructField]): DataFrame = {
-    val schema = StructType(fields)
-    files.groupBy(Collection.baseOf).toSeq
+                            fields: Seq[StructField]): DataFrame =
+    parquetByBaseRenamed(files, fields, Map.empty)
+
+  /** [[parquetByBase]] under a column-rename mapping (r11): the scan
+    * requests each field's PHYSICAL name and the result aliases back to
+    * the logical one. Identity mapping = the plain scan (no extra
+    * Project planned: the select collapses). */
+  private def parquetByBaseRenamed(files: Seq[String], fields: Seq[StructField],
+                                   renames: Map[String, String]): DataFrame = {
+    val physFields = fields.map(f =>
+      renames.get(f.name).fold(f)(p => f.copy(name = p)))
+    val schema = StructType(physFields)
+    val scan = files.groupBy(Collection.baseOf).toSeq
       .sortBy(_._1.getOrElse("")) // deterministic plan across runs
       .map { case (base, group) =>
         val b = base.getOrElse(root)
@@ -1220,6 +1413,9 @@ final class Collection private (
           .parquet(group.map(f => Collection.absOf(root, f)): _*)
       }
       .reduce(_ union _)
+    if (renames.isEmpty || fields.forall(f => !renames.contains(f.name))) scan
+    else scan.select(fields.map(f =>
+      col(renames.getOrElse(f.name, f.name)).as(f.name)): _*)
   }
 
   /** The committed manifest at `gen` (cached; manifests are immutable). */
@@ -1472,10 +1668,13 @@ final class Collection private (
         val rows = d.rows.map { case (f, v) => relOf(f) -> v }
         val gens = d.gens.map { case (f, v) => relOf(f) -> v }
         val sizes = d.bytes.map { case (f, v) => relOf(f) -> v }
-        val name = shardName(files, stats, rows, gens, sizes)
-        writeShardIfAbsent(fs, manifestDir, name, files, stats, rows, gens, sizes)
+        // DV refs follow their (now-local) data file; the DV bytes stay
+        // where they were written — still readable through the ref path
+        val dvs = d.dvs.map { case (f, v) => relOf(f) -> v }
+        val name = shardName(files, stats, rows, gens, sizes, dvs)
+        writeShardIfAbsent(fs, manifestDir, name, files, stats, rows, gens, sizes, dvs)
         rewritten ++= e.partitions.map(p => joinPath(e.prefix, p))
-        ShardEntry(e.prefix, e.partitions, name, e.rollup, e.rowTotal, e.byteTotal)
+        ShardEntry(e.prefix, e.partitions, name, e.rollup, e.rowTotal, e.byteTotal, e.dvCount)
       }
     }
     commitManifest(man.withShards(man.generation + 1, man.taskBase, entries,
@@ -1747,12 +1946,52 @@ final class Collection private (
     val added = mTo.files.filterNot(before)
     val toSchema = pinned.getOrElse(StructType.fromDDL(mTo.schemaDdl))
     val cols = toSchema.fieldNames.toSeq.map(col)
-    def side(files: Seq[String]): DataFrame =
-      readManifestFiles(mTo, files, schemaOverride = Some(toSchema)).select(cols: _*)
-    val ins = side(added)
-    val del = side(removed)
-    ins.exceptAll(del).withColumn(ChangeTypeCol, lit("insert"))
+    // each side reads under ITS snapshot's deletion vectors: the from-
+    // side sees what a fromGen reader saw, the to-side what a toGen
+    // reader sees — a row DV'd before fromGen is on neither side
+    def side(files: Seq[String], dvMan: Manifest): DataFrame =
+      readManifestFiles(mTo, files, schemaOverride = Some(toSchema),
+        dvMan = dvMan).select(cols: _*)
+    val ins = side(added, mTo)
+    val del = side(removed, mFrom)
+    // files CARRIED across the range whose DV grew: the delta rowids
+    // are rows deleted in-place inside the range — read exactly those
+    // rows (a rowid semi-filter over only the touched files) as deletes.
+    // DVs only grow on a carried file (shrinking = a rewrite = new
+    // file), so the delta is toDv minus fromDv.
+    val carried = mTo.files.filter(before)
+    val dvTo = mTo.dvsForFiles(carried)
+    val dvFrom = mFrom.dvsForFiles(carried)
+    val dvDelta: Seq[(String, DvRef, Option[DvRef])] =
+      dvTo.toSeq.collect {
+        case (f, to) if !dvFrom.get(f).contains(to) => (f, to, dvFrom.get(f))
+      }
+    val dvDeletes =
+      if (dvDelta.isEmpty) None
+      else {
+        val newer = DeletionVectors.rowsDf(spark, dvDelta.map(_._2),
+          p => Collection.absOf(root, p))
+        val older = dvDelta.flatMap(_._3) match {
+          case Nil  => None
+          case olds => Some(DeletionVectors.rowsDf(spark, olds,
+            p => Collection.absOf(root, p)))
+        }
+        val deltaIds = older.fold(newer)(o =>
+          newer.join(o, Seq("_zc_dv_row"), "left_anti"))
+        val rightIds =
+          if (dvDelta.map(_._2.count).sum <= Collection.DvBroadcastMaxRows)
+            broadcast(deltaIds)
+          else deltaIds
+        Some(readManifestFiles(mTo, dvDelta.map(_._1),
+            schemaOverride = Some(toSchema), applyDvs = false)
+          .join(rightIds,
+            col(Collection.RowIdCol) === col("_zc_dv_row"), "left_semi")
+          .select(cols: _*))
+      }
+    val base = ins.exceptAll(del).withColumn(ChangeTypeCol, lit("insert"))
       .unionByName(del.exceptAll(ins).withColumn(ChangeTypeCol, lit("delete")))
+    dvDeletes.fold(base)(d =>
+      base.unionByName(d.withColumn(ChangeTypeCol, lit("delete"))))
   }
 
   /** [[changes]] from `gen` to the current head. */
@@ -1912,10 +2151,15 @@ final class Collection private (
               .filter { case (_, k) => partitionSelected(ast, k).getOrElse(return None) }
               .map(_._1).toSet
             val files = man.filesForPartitions(wanted)
-            val rowsByFile = man.shards
+            val touched = man.shards
               .filter(e => e.partitions.exists(p => wanted(joinPath(e.prefix, p))))
-              .flatMap(e => man.shardData(e).rows).toMap
-            if (files.forall(rowsByFile.contains)) Some(files.map(rowsByFile).sum)
+            val rowsByFile = touched.flatMap(e => man.shardData(e).rows).toMap
+            // live rows: physical minus deletion-vector counts (r11) —
+            // the metadata COUNT answers what a reader would see
+            val dvByFile = touched.flatMap(e => man.shardData(e).dvs).toMap
+            if (files.forall(rowsByFile.contains))
+              Some(files.map(rowsByFile).sum -
+                files.flatMap(dvByFile.get).map(_.count).sum)
             else None
           }
         }
@@ -1933,6 +2177,13 @@ final class Collection private (
     * the commit generation that wrote it — nulls where a legacy shard
     * recorded no stat, never guesses. O(shards) metadata, zero data
     * IO at any collection size. */
+  /** Per-file deleted-row counts of the current snapshot's DELETION
+    * VECTORS (r11): `file ref -> rows masked`. Empty = no file carries
+    * deletions. Metadata-only — the operator face of the DV layer
+    * (compaction materializes and clears them). */
+  def deletionVectors(): Map[String, Long] =
+    currentManifest().allDvs.map { case (f, r) => f -> r.count }
+
   def describeFiles(): DataFrame = {
     import org.apache.spark.sql.types._
     val man = currentManifest()
@@ -2022,10 +2273,10 @@ final class Collection private (
             partitionMayHoldRows(ast, k) && keyInRange(k, keyBounds)
           }
           .map(_._1).toSet
-        val okShards = man.shards.filter(e => shardMayMatch(e, ast))
+        val okShards = man.shards.filter(e => shardMayMatch(man, e, ast))
         val candidates = man.filesFromShards(okShards, wanted)
         val afterStats = pruneByStats(man, candidates, ast)
-        val afterBloom = pruneByBloom(afterStats, ast)
+        val afterBloom = pruneByBloom(afterStats, ast, man)
         PruneReport(man.shards.size, okShards.size, all.size, wanted.size,
           candidates.size, afterStats.size, afterBloom.size)
     }
@@ -2071,9 +2322,9 @@ final class Collection private (
     if (groupCols.isEmpty || !groupCols.forall(partCols.contains)) return None
     if (ast != FilterExpr.True && !FilterExpr.names(ast).subsetOf(partCols.toSet))
       return None
-    if (!boundsFor.forall(statsCols.contains)) return None
-    val doms = boundsFor.map(c => c -> columnDomain(c).getOrElse(return None)).toMap
     val man = at.map(manifestAt).getOrElse(currentManifest())
+    if (!boundsFor.forall(c => statsCols.contains(man.physName(c)))) return None
+    val doms = boundsFor.map(c => c -> columnDomain(c).getOrElse(return None)).toMap
     val decoded = man.partitionPaths.map(p => decodePath(p).map(p -> _))
     if (decoded.exists(_.isEmpty)) return None
     val wanted = decoded.flatten.filter { case (_, k) =>
@@ -2081,6 +2332,11 @@ final class Collection private (
     val files = man.filesForPartitions(wanted.map(_._1).toSet)
     val rowsByFile = man.shards.flatMap(e => man.shardData(e).rows).toMap
     if (!files.forall(rowsByFile.contains)) return None
+    // deletion vectors (r11): group COUNTS subtract per-file DV'd rows
+    // (still exact); group BOUNDS over a DV'd file refuse (see
+    // columnBoundsAst — its min/max row may be deleted)
+    val dvByFile = man.dvsForFiles(files)
+    if (boundsFor.nonEmpty && dvByFile.nonEmpty) return None
     val stats = if (boundsFor.isEmpty) Map.empty[String, Map[String, ColStat]]
                 else man.statsForFiles(files)
     val byPart = files.groupBy(parentRel)
@@ -2093,7 +2349,7 @@ final class Collection private (
         val bounds = boundsFor.map { c =>
           val dom = doms(c)
           val pairs = fl.map(f => stats.get(f)
-            .flatMap(byCol => byCol.get(c).orElse(
+            .flatMap(byCol => byCol.get(man.physName(c)).orElse(
               if (c == axis) byCol.get(LegacyAxisKey) else None))
             .flatMap(st => for (lo <- dom.decodeStat(st.lo);
                                 hi <- dom.decodeStat(st.hi)) yield (lo, hi)))
@@ -2102,7 +2358,9 @@ final class Collection private (
             pairs.flatten.map(_._1).reduce((a, b) => if (dom.cmp(a, b) <= 0) a else b),
             pairs.flatten.map(_._2).reduce((a, b) => if (dom.cmp(a, b) >= 0) a else b)))
         }.toMap
-        (groupCols.map(km), fl.map(rowsByFile).sum, bounds)
+        (groupCols.map(km),
+          fl.map(rowsByFile).sum - fl.flatMap(dvByFile.get).map(_.count).sum,
+          bounds)
       }
     Some(perPartition.groupBy(_._1).toSeq.map { case (g, parts) =>
       val n = parts.map(_._2).sum
@@ -2125,9 +2383,10 @@ final class Collection private (
     * to None, refusing rather than answering off-snapshot. */
   private[graft] def columnBoundsAst(name: String, ast: FilterExpr.Ast,
                                      at: Option[Long] = None): Option[(Any, Any)] = {
-    if (!statsCols.contains(name)) return None
-    val dom = columnDomain(name).getOrElse(return None)
     val man = at.map(manifestAt).getOrElse(currentManifest())
+    val pname = man.physName(name) // renames (r11): stats key physically
+    if (!statsCols.contains(pname)) return None
+    val dom = columnDomain(name).getOrElse(return None)
     def decode(st: ColStat): Option[(Any, Any)] =
       for (lo <- dom.decodeStat(st.lo); hi <- dom.decodeStat(st.hi)) yield (lo, hi)
     def merge(pairs: Seq[Option[(Any, Any)]]): Option[(Any, Any)] =
@@ -2137,7 +2396,11 @@ final class Collection private (
         pairs.flatten.map(_._2).reduce((a, b) => if (dom.cmp(a, b) >= 0) a else b)))
     ast match {
       case FilterExpr.True =>
-        merge(man.shards.map(_.rollup.get(name).flatMap(decode)))
+        // a deletion-vectored subtree's zone maps bound a SUPERSET of
+        // its live rows — sound for pruning, not exact for MIN/MAX:
+        // refuse off the root rollup, zero shard IO (r11)
+        if (man.shards.exists(_.dvCount > 0L)) return None
+        merge(man.shards.map(_.rollup.get(pname).flatMap(decode)))
       case _ =>
         requireKnownNames(ast)
         if (!FilterExpr.names(ast).subsetOf(partCols.toSet)) return None
@@ -2147,9 +2410,10 @@ final class Collection private (
           .filter { case (_, k) => partitionSelected(ast, k).getOrElse(return None) }
           .map(_._1).toSet
         val files = man.filesForPartitions(wanted)
+        if (man.dvsForFiles(files).nonEmpty) return None // see above
         val stats = man.statsForFiles(files)
         merge(files.map(f => stats.get(f)
-          .flatMap(byCol => byCol.get(name).orElse(
+          .flatMap(byCol => byCol.get(pname).orElse(
             if (name == axis) byCol.get(LegacyAxisKey) else None))
           .flatMap(decode)))
     }
@@ -2173,7 +2437,7 @@ final class Collection private (
     }.toMap
     val missing = missingByShard.values.flatten.toSeq
     if (missing.isEmpty) return 0
-    val (stats, rows, sizes) = fileStats(missing)
+    val (stats, rows, sizes) = fileStats(missing, man.renames)
     val entries = man.shards.map { e =>
       if (missingByShard(e).isEmpty) e
       else {
@@ -2190,11 +2454,13 @@ final class Collection private (
         // carry the per-file commit generations through the rebuild —
         // dropping them would silently disable schema-generation pruning
         // for every file in the backfilled shard
-        val name = shardName(d.files, st, rw, d.gens, bw)
-        writeShardIfAbsent(fs, manifestDir, name, d.files, st, rw, d.gens, bw)
-        e.copy(file = name, rollup = rollupOf(d.files, st),
-          rowTotal = if (d.files.forall(rw.contains)) Some(d.files.map(rw).sum) else None,
-          byteTotal = if (d.files.forall(bw.contains)) Some(d.files.map(bw).sum) else None)
+        val name = shardName(d.files, st, rw, d.gens, bw, d.dvs)
+        writeShardIfAbsent(fs, manifestDir, name, d.files, st, rw, d.gens, bw, d.dvs)
+        e.copy(file = name, rollup = rollupOf(d.files, st, man.renames),
+          rowTotal = if (d.files.forall(rw.contains))
+            Some(d.files.map(rw).sum - d.dvs.values.map(_.count).sum) else None,
+          byteTotal = if (d.files.forall(bw.contains)) Some(d.files.map(bw).sum) else None,
+          dvCount = d.dvs.values.map(_.count).sum)
       }
     }
     commitManifest(man.withShards(man.generation + 1, man.taskBase, entries))
@@ -2245,11 +2511,11 @@ final class Collection private (
     // non-overlapping shards never even load their file lists (the
     // path that stays O(matching subtrees) when the partitioning has
     // no monotonic axis derivation)
-    val okShards = man.shards.filter(e => shardMayMatch(e, ast))
+    val okShards = man.shards.filter(e => shardMayMatch(man, e, ast))
     val candidates =
       if (wanted.size == all.size && okShards.size == man.shards.size) man.files
       else man.filesFromShards(okShards, wanted)
-    pruneByBloom(pruneByStats(man, candidates, ast), ast)
+    pruneByBloom(pruneByStats(man, candidates, ast), ast, man)
   }
 
   // --- native DSv2 batch-scan planning -----------------------------
@@ -2259,6 +2525,25 @@ final class Collection private (
     * the declared fill (the native parquet reader surfaces raw nulls). */
   private[graft] def fillColumns(asOfGen: Option[Long]): Set[String] =
     manifestFor(asOfGen).fills.keySet
+
+  /** RENAMED columns of the (pinned or current) snapshot (r11) — reads
+    * touching one keep the DataFrame path, whose scan requests the
+    * physical name and aliases back. */
+  private[graft] def renamedColumns(asOfGen: Option[Long]): Set[String] =
+    manifestFor(asOfGen).renames.keySet
+
+  /** Can a micro-batch STREAM of this collection plan natively at all —
+    * native-typed partition keys and no fill-bearing columns (r11, r10
+    * verdict #5)? Computable from schema + head manifest at table
+    * build, so `capabilities()` withholds MICRO_BATCH_READ and a
+    * V1-fallback `readStream.table` refuses at ANALYSIS, matching the
+    * write side's capability discipline (fills added between load and
+    * stream start still fail loudly at start — that race is
+    * irreducible). */
+  private[graft] def nativeStreamCompatible: Boolean =
+    partCols.map(c => partitioning.colType(c, schema))
+      .forall(Collection.nativeKeyType) && fillColumns(None).isEmpty &&
+      currentManifest().renames.isEmpty // r11: V1-bridge reads can't stream
 
   private def manifestFor(asOfGen: Option[Long]): Manifest = asOfGen.map { g =>
     require(generations().contains(g), s"no committed generation $g at $root")
@@ -2356,6 +2641,7 @@ final class Collection private (
     val keyTypes = partCols.map(c => partitioning.colType(c, schema))
     if (!keyTypes.forall(Collection.nativeKeyType)) return None
     val bytes = man.bytesForFiles(selected)
+    val dvs = man.dvsForFiles(selected)
     val keyCache = scala.collection.mutable.Map.empty[String, Option[Seq[Any]]]
     val out = Seq.newBuilder[Collection.NativeFile]
     for (f <- selected) {
@@ -2375,17 +2661,21 @@ final class Collection private (
             p.getFileSystem(spark.sparkContext.hadoopConfiguration)
               .getFileStatus(p).getLen
           })
-          out += Collection.NativeFile(abs, len, key)
+          out += Collection.NativeFile(abs, len, key,
+            dvs.get(f).map(r => r.copy(path = Collection.absOf(root, r.path))))
       }
     }
     Some(out.result())
   }
 
-  /** Manifest-ordered file prefix whose RECORDED row counts cover `n`
-    * rows — `None` when any candidate lacks a count. */
+  /** Manifest-ordered file prefix whose RECORDED LIVE row counts
+    * (physical minus deletion-vectored, r11) cover `n` rows — `None`
+    * when any candidate lacks a count. */
   private def headFilesByRows(man: Manifest, files: Seq[String],
                               n: Long): Option[Seq[String]] = {
+    val dvByFile = man.dvsForFiles(files)
     val rowsByFile = man.shards.flatMap(e => man.shardData(e).rows).toMap
+      .map { case (f, r) => f -> (r - dvByFile.get(f).map(_.count).getOrElse(0L)) }
     val take = scala.collection.mutable.ArrayBuffer.empty[String]
     var acc = 0L
     val it = files.iterator
@@ -2423,13 +2713,18 @@ final class Collection private (
     * decision is made once at table level and the builder follows it). */
   private[graft] def nativeWriteCompatible: Boolean =
     partCols.map(c => partitioning.colType(c, schema))
-      .forall(Collection.nativeKeyType)
+      .forall(Collection.nativeKeyType) &&
+      // renamed columns (r11): files carry PHYSICAL names — the V1
+      // write bridge applies the mapping; the native task writer
+      // doesn't (yet), so renamed tables keep the proven path
+      currentManifest().renames.isEmpty
 
   private[graft] def nativeWriteSpec(): Option[Collection.NativeWriteSpec] = {
     requireWritable()
     val man = currentManifest()
     val keyTypes = partCols.map(c => partitioning.colType(c, schema))
     if (!keyTypes.forall(Collection.nativeKeyType)) return None
+    if (man.renames.nonEmpty) return None // see nativeWriteCompatible
     Some(Collection.NativeWriteSpec(
       generation = man.generation,
       taskBase = man.taskBase,
@@ -2559,10 +2854,14 @@ final class Collection private (
     * stats-less file makes the subtree unprunable on that column. Null
     * counts sum when all files report one. */
   private def rollupOf(files: Seq[String],
-                       stats: Map[String, Map[String, ColStat]]): Map[String, ColStat] = {
+                       stats: Map[String, Map[String, ColStat]],
+                       renames: Map[String, String] = Map.empty): Map[String, ColStat] = {
     if (files.isEmpty || stats.size < files.size) return Map.empty
+    // statsCols and the stat keys are PHYSICAL; the type domain lives
+    // under the LOGICAL name (r11)
+    val inverse = renames.map(_.swap)
     statsCols.flatMap { c =>
-      columnDomain(c).flatMap { dom =>
+      columnDomain(inverse.getOrElse(c, c)).flatMap { dom =>
         val perFile = files.map(f => stats.get(f).flatMap(_.get(c)))
         if (perFile.exists(_.isEmpty)) None
         else {
@@ -2585,14 +2884,15 @@ final class Collection private (
   /** Could any file of this subtree satisfy the filter, judged by the
     * root-resident rollup alone (no shard IO)? Conservative: a missing
     * rollup or column keeps the subtree. */
-  private def shardMayMatch(e: ShardEntry, ast: FilterExpr.Ast): Boolean = {
+  private def shardMayMatch(man: Manifest, e: ShardEntry, ast: FilterExpr.Ast): Boolean = {
     if (e.rollup.isEmpty) return true
     val mentioned = FilterExpr.names(ast)
-    statsCols.filter(mentioned.contains).forall { c =>
+    // renames (r11): rollups are keyed by the PHYSICAL (footer) name
+    mentioned.toSeq.filter(c => statsCols.contains(man.physName(c))).forall { c =>
       columnDomain(c) match {
         case None => true
         case Some(dom) =>
-          e.rollup.get(c) match {
+          e.rollup.get(man.physName(c)) match {
             case Some(st) =>
               (dom.decodeStat(st.lo), dom.decodeStat(st.hi)) match {
                 case (Some(lo), Some(hi)) =>
@@ -2623,7 +2923,7 @@ final class Collection private (
         decodePath(p).forall(k =>
           partitionMayHoldRows(ast, k) && keyInRange(k, keyBounds))
       }.values.flatten.toSeq.sorted
-      pruneByBloom(pruneByStats(man, keep, ast), ast)
+      pruneByBloom(pruneByStats(man, keep, ast), ast, man)
   }
 
   /** Validate that a filter references only known columns — shared by
@@ -2646,7 +2946,9 @@ final class Collection private (
   private[core] def pruneByStats(man: Manifest, files: Seq[String],
                                  ast: FilterExpr.Ast): Seq[String] = {
     val mentioned = FilterExpr.names(ast)
-    val checks = statsCols.filter(mentioned.contains)
+    // renames (r11): predicates speak LOGICAL names, recorded stats are
+    // keyed by the PHYSICAL (footer) name; statsCols carries physical
+    val checks = mentioned.toSeq.filter(c => statsCols.contains(man.physName(c)))
       .flatMap(c => columnDomain(c).map(c -> _))
     // SCHEMA-GENERATION layer: a file whose commit generation predates
     // an `addVariable`d column holds only nulls for it (no footer read
@@ -2666,7 +2968,7 @@ final class Collection private (
         case Some(byCol) =>
           checks.forall { case (c, dom) =>
             // legacy axis-only shards key their interval by sentinel
-            byCol.get(c).orElse(
+            byCol.get(man.physName(c)).orElse(
               if (c == axis) byCol.get(LegacyAxisKey) else None) match {
               case Some(st) =>
                 (dom.decodeStat(st.lo), dom.decodeStat(st.hi)) match {
@@ -2700,16 +3002,19 @@ final class Collection private (
     * Footer + bloom-page reads only (no data pages); fanned out as one
     * Spark job past 64 candidates. Conservative: a missing bloom, an
     * unhashable literal, or a filter that pins nothing keeps the file. */
-  private def pruneByBloom(files: Seq[String], ast: FilterExpr.Ast): Seq[String] = {
+  private def pruneByBloom(files: Seq[String], ast: FilterExpr.Ast,
+                           man: Manifest): Seq[String] = {
     if (bloomColumns.isEmpty || files.isEmpty) return files
     val mentioned = FilterExpr.names(ast)
-    val checks = bloomColumns.filter(mentioned.contains).flatMap { c =>
+    // renames (r11): bloom structures are keyed by the PHYSICAL name
+    val checks = mentioned.toSeq.filter(c => bloomColumns.contains(man.physName(c)))
+      .flatMap { c =>
       for {
         dom <- columnDomain(c)
         vs  <- FilterExpr.impliedValueSet(ast, c)
         decoded = vs.map(dom.decodeLit)
         if decoded.nonEmpty && decoded.forall(_.isDefined)
-      } yield BloomCheck(c, expectTsAdjusted(c), decoded.flatten)
+      } yield BloomCheck(man.physName(c), expectTsAdjusted(c), decoded.flatten)
     }
     if (checks.isEmpty) return files
     val rootStr = root
@@ -2778,10 +3083,15 @@ final class Collection private (
     * total. Small commits read footers on the driver; large ones fan the
     * footer reads out as one Spark job — at a 10^7-file initial load the
     * driver never serializes on footer IO. */
-  private def fileStats(newFiles: Seq[String])
+  private def fileStats(newFiles: Seq[String],
+                        renames: Map[String, String] = Map.empty)
       : (Map[String, Map[String, ColStat]], Map[String, Long], Map[String, Long]) = {
-    val cols = statsCols.filter(c => columnDomain(c).isDefined)
-      .map(c => (c, expectTsAdjusted(c)))
+    // statsCols carries PHYSICAL (footer) names; type information lives
+    // under the LOGICAL name — resolve through the inverse mapping (r11)
+    val inverse = renames.map(_.swap)
+    val cols = statsCols
+      .filter(c => columnDomain(inverse.getOrElse(c, c)).isDefined)
+      .map(c => (c, expectTsAdjusted(inverse.getOrElse(c, c))))
     if (newFiles.isEmpty || cols.isEmpty) return (Map.empty, Map.empty, Map.empty)
     val rootStr = root
     val triples =
@@ -2938,6 +3248,15 @@ final class Collection private (
         s"$root is a shallow clone (its manifest references files outside " +
         "this tree); repairCatalog() rebuilds from a local walk and would " +
         "drop those references — re-clone from the source instead")
+    // deletion vectors are manifest state a file walk cannot see:
+    // rebuilding from the walk would drop every DV ref and RESURRECT
+    // the deleted rows. Compact first (materializes the DVs into clean
+    // files), then repair. (r11)
+    if (haveManifest && currentManifest().allDvs.nonEmpty)
+      throw new IllegalStateException(
+        s"$root has deletion vectors; repairCatalog() rebuilds from a " +
+        "local file walk and would resurrect the deleted rows — run " +
+        "compact() to materialize them first")
     val baseSchema =
       if (haveManifest) schema
       else createSchema
@@ -3186,18 +3505,132 @@ final class Collection private (
     * layers, so files the weakened form rules out carry BY NAME and only
     * candidate files are read and rewritten. `FilterExpr.True` is a
     * legal (prune-nothing) weakening. */
-  private[graft] def deleteWhereCols(cond: Column, pruneAst: FilterExpr.Ast): Seq[String] = {
+  /** @param augment applied to every read of the affected files BEFORE
+    *        `cond` evaluates — the SQL-DML subquery hook (r11): an
+    *        uncorrelated `IN (SELECT ...)` becomes a left-join-computed
+    *        three-valued flag column `cond` references. Must be
+    *        row-preserving on the frame's own rows (joins may only add
+    *        columns) and is projected away by the schema select. */
+  private[graft] def deleteWhereCols(cond: Column, pruneAst: FilterExpr.Ast,
+      augment: DataFrame => DataFrame = identity): Seq[String] = {
     requireWritable()
     val man = currentManifest()
     val affected = candidateFiles(man, pruneAst)
     if (affected.isEmpty) return Nil
-    val keep = readManifestFiles(man, affected)
+    if (dvEnabled) collectVictims(man, affected, cond, augment) match {
+      case Some(victims) if victims.isEmpty => return Nil // no-op delete: no commit
+      case Some(victims) =>
+        // DELETION-VECTOR delete (r11): cost ∝ deleted rows. Per-file
+        // adaptive — files past the DV caps join the rewrite leg of the
+        // SAME atomic commit (the heavy-delete regime where a rewrite
+        // is the cheaper plan anyway, and compaction-by-delete is free).
+        val (light, heavy) = planDv(man, victims)
+        if (light.isEmpty && heavy.isEmpty) return Nil // fully covered already
+        val dvRefs =
+          if (light.isEmpty) Map.empty[String, DvRef]
+          else DeletionVectors.write(fs, root, light)
+        if (heavy.nonEmpty) {
+          val keep = augment(readManifestFiles(man, heavy))
+            .where(!(cond <=> lit(true)))
+            .select(schema.fieldNames.toSeq.map(col): _*)
+          writeAndCommit(partitioning.assign(keep), replaced = Set.empty,
+            base = man, replacedFiles = heavy.toSet, op = "delete",
+            dvUpdates = dvRefs)
+        } else commitDvOnly(man, dvRefs, op = "delete")
+        return (light.map(_._1) ++ heavy).sorted
+      case None => () // over the collect budget: full rewrite below
+    }
+    val keep = augment(readManifestFiles(man, affected))
       .where(!(cond <=> lit(true)))
       .select(schema.fieldNames.toSeq.map(col): _*)
     writeAndCommit(partitioning.assign(keep), replaced = Set.empty,
       base = man, replacedFiles = affected.toSet, op = "delete")
     affected
   }
+
+  /** Is this collection DELETION-VECTOR enabled? (the create-time
+    * `graft.deletionVectors` attr — off, every row-level mutation keeps
+    * the classic file rewrite). */
+  private def dvEnabled: Boolean =
+    attrs.get(Collection.DvEnabledAttr).exists(_.toBoolean)
+
+  /** Victim scan for the DV write path: each affected file's rowids
+    * matching `cond` — PHYSICAL read (an already-DV'd row may
+    * re-collect; the union is idempotent) so `input_file_name()` rides
+    * a join-free scan stage, and BOUNDED: `None` = more than
+    * [[Collection.DvMaxTotalRows]] matches, the regime where the
+    * classic rewrite wins (same gated-driver-pass shape as the dedup
+    * union-find). */
+  private def collectVictims(man: Manifest, affected: Seq[String],
+                             cond: Column,
+                             augment: DataFrame => DataFrame = identity)
+      : Option[Map[String, Array[Long]]] = {
+    val byAbs = affected
+      .map(f => new Path(absOf(root, f)).toUri.getPath -> f).toMap
+    // file provenance is stamped BEFORE `augment`: input_file_name()
+    // refuses plans with a second source (the subquery flag join), and
+    // stamping in the scan-stage projection is also what keeps it exact
+    val raw = readManifestFiles(man, affected, applyDvs = false)
+      .withColumn("_zc_f", input_file_name())
+    val rows = augment(raw)
+      .where(cond <=> lit(true))
+      .select(col("_zc_f"), col(Collection.RowIdCol))
+      .limit(Collection.DvMaxTotalRows + 1)
+      .collect()
+    if (rows.length > Collection.DvMaxTotalRows) return None
+    // an `augment` join the planner chose to SHUFFLE loses per-task file
+    // lineage (input_file_name comes back empty) — fall back to the
+    // rewrite path rather than guessing provenance
+    if (rows.exists(r => r.isNullAt(0) || r.getString(0).isEmpty ||
+        !byAbs.contains(new Path(r.getString(0)).toUri.getPath))) return None
+    Some(rows.groupBy(r => byAbs(new Path(r.getString(0)).toUri.getPath))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)) })
+  }
+
+  /** Merge new victims with each file's existing DV (driver-side
+    * section reads, bounded by the caps that wrote them) and classify:
+    * light files keep a (merged) DV, files past [[Collection
+    * .DvMaxPerFile]] or [[Collection.DvMaxFraction]] of their physical
+    * rows go to the rewrite leg. */
+  private def planDv(man: Manifest, victims: Map[String, Array[Long]])
+      : (Seq[(String, Array[Long])], Seq[String]) = {
+    val existing = man.dvsForFiles(victims.keys.toSeq)
+    val phys = man.rowsForFiles(victims.keys.toSeq)
+    val conf = spark.sessionState.newHadoopConf()
+    val light = Seq.newBuilder[(String, Array[Long])]
+    val heavy = Seq.newBuilder[String]
+    victims.toSeq.sortBy(_._1).foreach { case (f, ids) =>
+      val merged: Array[Long] = existing.get(f) match {
+        case Some(ref) =>
+          (DeletionVectors.readSection(conf, absOf(root, ref.path), ref).toSet
+            ++ ids).toArray
+        case None => ids.distinct
+      }
+      // victims already covered by the existing DV (the physical victim
+      // scan re-collects them): nothing changed for this file — skip it,
+      // so a fully-covered re-delete is a true no-op (no commit at all)
+      val unchanged = existing.get(f).exists(_.count == merged.length)
+      if (unchanged) ()
+      else if (merged.length > Collection.DvMaxPerFile ||
+          phys.get(f).exists(n => merged.length > Collection.DvMaxFraction * n))
+        heavy += f
+      else light += f -> merged
+    }
+    (light.result(), heavy.result())
+  }
+
+  /** Commit a pure DV delta (no data files touched). A conflict that
+    * exhausts the rebase loop deletes the just-written (unreferenced)
+    * DV file, mirroring [[commitWrittenFiles]]'s cleanup contract. */
+  private def commitDvOnly(man: Manifest, dvRefs: Map[String, DvRef],
+                           op: String): Unit =
+    try commitDelta(man, Nil, Set.empty, 0L, op = op, dvUpdates = dvRefs)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        dvRefs.values.map(_.path).toSeq.distinct.foreach(f =>
+          try fs.delete(new Path(s"$root/$f"), false) catch { case _: Exception => () })
+        throw e
+    }
 
   /** Row-level UPDATE (SQL `UPDATE ... SET ... WHERE` semantics): rows
     * where the predicate is TRUE get `assignments` applied (column →
@@ -3228,7 +3661,8 @@ final class Collection private (
     * for the skip layers ([[FilterExpr.True]] = prune nothing, e.g. an
     * unconditional `UPDATE t SET ...`). */
   private[graft] def updateWhereCols(cond: Column, pruneAst: FilterExpr.Ast,
-                                     assignments: Map[String, Column]): Seq[String] = {
+                                     assignments: Map[String, Column],
+                                     augment: DataFrame => DataFrame = identity): Seq[String] = {
     requireWritable()
     require(assignments.nonEmpty, "updateWhere requires at least one assignment")
     assignments.keys.foreach { k =>
@@ -3239,15 +3673,49 @@ final class Collection private (
     val man = currentManifest()
     val affected = candidateFiles(man, pruneAst)
     if (affected.isEmpty) return Nil
-    val df = readManifestFiles(man, affected)
     val matches = cond <=> lit(true)
-    val out = df.select(schema.fieldNames.toSeq.map { n =>
-      assignments.get(n) match {
-        case Some(e) =>
-          when(matches, e.cast(df.schema(n).dataType)).otherwise(col(n)).as(n)
-        case None => col(n)
-      }
-    }: _*)
+    def rewriteAll(df: DataFrame): DataFrame =
+      df.select(schema.fieldNames.toSeq.map { n =>
+        assignments.get(n) match {
+          case Some(e) =>
+            when(matches, e.cast(df.schema(n).dataType)).otherwise(col(n)).as(n)
+          case None => col(n)
+        }
+      }: _*)
+    if (dvEnabled) collectVictims(man, affected, cond, augment) match {
+      case Some(victims) if victims.isEmpty => return Nil // no-op update
+      case Some(victims) =>
+        // DV UPDATE (r11) = delete-old + append-updated, the Delta-DV
+        // shape: light files DV their matched rowids and the updated
+        // COPIES (read under the current DV mask, so a previously
+        // deleted row can never resurrect as a copy) append with fresh
+        // row ids; heavy files take the classic in-place rewrite. One
+        // atomic commit either way.
+        val (light, heavy) = planDv(man, victims)
+        if (light.isEmpty && heavy.isEmpty) return Nil // only DV'd rows matched
+        val dvRefs =
+          if (light.isEmpty) Map.empty[String, DvRef]
+          else DeletionVectors.write(fs, root, light)
+        val legs = Seq(
+          if (light.isEmpty) None else Some {
+            val df = augment(readManifestFiles(man, light.map(_._1))).where(matches)
+            df.select(schema.fieldNames.toSeq.map { n =>
+              assignments.get(n) match {
+                case Some(e) => e.cast(df.schema(n).dataType).as(n)
+                case None    => col(n)
+              }
+            }: _*)
+          },
+          if (heavy.isEmpty) None
+          else Some(rewriteAll(augment(readManifestFiles(man, heavy))))
+        ).flatten
+        writeAndCommit(partitioning.assign(legs.reduce(_ union _)),
+          replaced = Set.empty, base = man, replacedFiles = heavy.toSet,
+          op = "update", dvUpdates = dvRefs)
+        return (light.map(_._1) ++ heavy).sorted
+      case None => () // over the collect budget: full rewrite below
+    }
+    val out = rewriteAll(augment(readManifestFiles(man, affected)))
     writeAndCommit(partitioning.assign(out), replaced = Set.empty,
       base = man, replacedFiles = affected.toSet, op = "update")
     affected
@@ -3713,11 +4181,15 @@ final case class FsckReport(
     rowCountMismatches: Seq[(String, Long, Long)],
     statlessFiles: Seq[String],
     orphanFiles: Seq[String],
-    unreadableFiles: Seq[String] = Nil) {
+    unreadableFiles: Seq[String] = Nil,
+    /** Missing or (deep) corrupt DELETION-VECTOR sections (r11): damage
+      * here silently resurrects deleted rows, so it fails `clean`. */
+    badDvFiles: Seq[String] = Nil) {
   /** No reads will fail and no recorded count lies. Orphans and
     * statless files degrade space/pruning, not correctness. */
   def clean: Boolean =
-    missingFiles.isEmpty && rowCountMismatches.isEmpty && unreadableFiles.isEmpty
+    missingFiles.isEmpty && rowCountMismatches.isEmpty &&
+      unreadableFiles.isEmpty && badDvFiles.isEmpty
 }
 
 object Collection extends CollectionManifestLayer {
@@ -3743,6 +4215,25 @@ object Collection extends CollectionManifestLayer {
         "oss", "cos", "cosn", "swift", "obs")
   /** Hidden per-partition row id, the positional key for View overlays. */
   val RowIdCol = "_zc_row"
+
+  // --- deletion vectors (r11) ---------------------------------------
+  /** Collection attr enabling DV-backed row-level deletes:
+    * `attrs("graft.deletionVectors") = "true"` at create. Off, every
+    * row-level mutation keeps the classic file rewrite. */
+  val DvEnabledAttr = "graft.deletionVectors"
+  /** Per-file cap: a file losing more rowids than this (or more than
+    * [[DvMaxFraction]] of its rows) is REWRITTEN instead — beyond these
+    * points the rewrite is the cheaper plan and the DV would only tax
+    * every later read. */
+  val DvMaxPerFile = 1 << 20
+  val DvMaxFraction = 0.5
+  /** Per-commit driver cap on collected DV rowids (the DV writer is a
+    * bounded driver pass, like the dedup union-find gate): files beyond
+    * the budget fall back to the rewrite leg of the SAME commit. */
+  val DvMaxTotalRows = 1 << 22
+  /** Reads broadcast the DV anti-join side up to this many rowids
+    * (32 MB of longs); beyond it the join plans as a shuffle. */
+  val DvBroadcastMaxRows = 1L << 22
   /** Hive's null-partition-value directory sentinel. */
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
   /** Per-handle cap on the partition-path decode memo (~64k entries ≈
@@ -3751,7 +4242,11 @@ object Collection extends CollectionManifestLayer {
 
   /** One data file of a native batch-scan plan: physical path, size,
     * and the partition key as Catalyst internal values. */
-  private[graft] final case class NativeFile(path: String, bytes: Long, key: Seq[Any])
+  private[graft] final case class NativeFile(path: String, bytes: Long, key: Seq[Any],
+      /** This file's deletion vector, if any — path pre-resolved to
+        * ABSOLUTE so the executor-side reader needs no root context.
+        * The native reader masks these rowids per batch (r11). */
+      dv: Option[DvRef] = None)
 
   /** Everything a NATIVE DSv2 batch write's driver side needs from the
     * pinned snapshot ([[Collection#nativeWriteSpec]]): the generation to
@@ -4063,9 +4558,14 @@ object Collection extends CollectionManifestLayer {
       val rows = d.rows.map { case (f, v) => externalRef(base, f) -> v }
       val gens = d.gens.map { case (f, v) => externalRef(base, f) -> v }
       val sizes = d.bytes.map { case (f, v) => externalRef(base, f) -> v }
-      val name = shardName(files, stats, rows, gens, sizes)
-      writeShardIfAbsent(destFs, destManifestDir, name, files, stats, rows, gens, sizes)
-      ShardEntry(e.prefix, e.partitions, name, e.rollup, e.rowTotal, e.byteTotal)
+      // DV refs: the data-file key AND the DV file path both rebase onto
+      // the source root — the clone reads the source's deletion vectors
+      // exactly like its data files (and never deletes either)
+      val dvs = d.dvs.map { case (f, v) =>
+        externalRef(base, f) -> v.copy(path = externalRef(base, v.path)) }
+      val name = shardName(files, stats, rows, gens, sizes, dvs)
+      writeShardIfAbsent(destFs, destManifestDir, name, files, stats, rows, gens, sizes, dvs)
+      ShardEntry(e.prefix, e.partitions, name, e.rollup, e.rowTotal, e.byteTotal, e.dvCount)
     }
     // config: byte-equivalent copy of the source's, plus provenance attrs
     val in: java.io.InputStream = srcFs.open(new Path(s"$srcRoot/$ConfigFile"))

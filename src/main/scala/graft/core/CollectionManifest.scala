@@ -72,7 +72,14 @@ private[graft] trait CollectionManifestLayer extends Serializable {
       /** Subtree byte total (present iff every file recorded a size) —
         * [[Collection.sizeOnDisk]] and the SQL relation's CBO
         * `sizeInBytes` read it off the root, zero shard IO. */
-      byteTotal: Option[Long] = None)
+      byteTotal: Option[Long] = None,
+      /** Subtree DELETION-VECTOR row total (r11): 0 = no file in this
+        * subtree has deleted rows, so whole-table metadata MIN/MAX can
+        * refuse DV'd snapshots off the root, zero shard IO (a DV'd
+        * file's zone maps bound a SUPERSET — still sound for pruning,
+        * no longer exact for aggregates). `rowTotal` above is LIVE rows
+        * (physical minus this). */
+      dvCount: Long = 0L)
 
   private[core] def joinPath(prefix: String, last: String): String =
     if (prefix.isEmpty) last else s"$prefix/$last"
@@ -464,6 +471,21 @@ private[graft] trait CollectionManifestLayer extends Serializable {
   private[graft] final case class ColStat(
       lo: String, hi: String, nulls: Option[Long] = None)
 
+  /** DELETION VECTOR reference (r11): the rows of one data file deleted
+    * without rewriting it — Delta-DV / Iceberg-v2 position-delete shape
+    * over graft's PERSISTED row ids (`_zc_row` is written into every
+    * file and globally unique, so a DV is a sorted rowid set, valid
+    * under any later read plan or file slicing). The ids live in a
+    * section of a shared per-commit DV file under `_dv/`:
+    * `[magic, count, count x int64]` at `offset`. `count` rides the
+    * manifest so metadata row counts stay exact with zero DV IO. A file
+    * has at most ONE ref — a second delete merges (unions) into a fresh
+    * section, copy-on-write, so manifests stay immutable snapshots. */
+  private[graft] final case class DvRef(path: String, offset: Long, count: Long) {
+    /** Section byte length: magic(4) + count(4) + 8*count. */
+    def length: Long = 8L + 8L * count
+  }
+
   /** A shard file's payload: the subtree's data files plus per-file zone
     * maps — `stats(file)(column) = [[ColStat]]`, covering the axis plus
     * any declared `statsColumns` (files written before stats existed, or
@@ -487,7 +509,11 @@ private[graft] trait CollectionManifestLayer extends Serializable {
         * planning and CBO size estimates go metadata-only. Absent for
         * files written before sizes were recorded
         * ([[Collection.backfillStats]] fills them in). */
-      bytes: Map[String, Long] = Map.empty)
+      bytes: Map[String, Long] = Map.empty,
+      /** Per-file DELETION VECTOR refs (r11): files absent from this map
+        * have no deleted rows. `rows` above stays PHYSICAL (fsck's
+        * footer comparison); live rows = rows(f) − dvs(f).count. */
+      dvs: Map[String, DvRef] = Map.empty)
 
   private[graft] final class Manifest(
       val generation: Long,
@@ -554,14 +580,26 @@ private[graft] trait CollectionManifestLayer extends Serializable {
         * — pure observability, surfaced by [[Collection
         * .describeHistory]] (the DESCRIBE HISTORY shape). Absent on
         * pre-label manifests. */
-      val op: Option[String] = None) {
+      val op: Option[String] = None,
+      /** COLUMN RENAMES (r11): `logical name -> physical name`, the
+        * Iceberg field-id shape over names — the PHYSICAL name is
+        * pinned when a column is added (it is what every parquet file,
+        * footer stat, and bloom structure carries, forever), the
+        * LOGICAL name is what the schema declares and every API speaks.
+        * Only genuinely renamed columns have entries; identity is
+        * implicit. Metadata-only commits — no data file is ever
+        * rewritten by a rename. */
+      val renames: Map[String, String] = Map.empty) {
+
+    /** Physical (file-resident) name of a logical column. */
+    def physName(logical: String): String = renames.getOrElse(logical, logical)
 
     /** This snapshot with its publish stamp — what a re-read of the
       * just-written JSON would parse. */
     private[core] def withCommitStamp(ts: Long): Manifest =
       new Manifest(generation, taskBase, schemaDdl, fills, shards, loader,
         streams, inline, columnSince, droppedEver, rewrites, partSpec, Some(ts),
-        constraints, op)
+        constraints, op, renames)
 
     /** All partition paths — served from the root manifest, zero shard IO. */
     def partitionPaths: Seq[String] =
@@ -595,6 +633,29 @@ private[graft] trait CollectionManifestLayer extends Serializable {
       shards.filter(e => prefixes(e.prefix))
         .flatMap(e => shardData(e).bytes).toMap
     }
+
+    /** Recorded PHYSICAL row counts of exactly the given files' shards. */
+    def rowsForFiles(files: Seq[String]): Map[String, Long] = {
+      val prefixes = files.map(f => prefixOf(parentRel(f))).toSet
+      shards.filter(e => prefixes(e.prefix))
+        .flatMap(e => shardData(e).rows).toMap
+    }
+
+    /** DELETION-VECTOR refs of exactly the given files (r11) — loads
+      * only their shards, returns only entries for `files` (a shard can
+      * hold DVs for siblings the read did not select). Empty = every
+      * selected file is read whole. */
+    def dvsForFiles(files: Seq[String]): Map[String, DvRef] = {
+      val prefixes = files.map(f => prefixOf(parentRel(f))).toSet
+      val wanted = files.toSet
+      shards.filter(e => prefixes(e.prefix))
+        .flatMap(e => shardData(e).dvs.filter { case (f, _) => wanted(f) }).toMap
+    }
+
+    /** Every DV ref in this snapshot — vacuum/fsck's live-set source
+      * (loads all shards, like [[files]]). */
+    def allDvs: Map[String, DvRef] =
+      shards.flatMap(e => shardData(e).dvs).toMap
 
     /** Collection bytes from the ROOT alone — present iff every subtree
       * carries a byte rollup (all files size-recorded). Zero shard IO. */
@@ -631,10 +692,11 @@ private[graft] trait CollectionManifestLayer extends Serializable {
                  columnSince: Map[String, Long] = columnSince,
                  droppedEver: Set[String] = droppedEver,
                  constraints: Map[String, String] = constraints,
-                 op: Option[String] = None): Manifest =
+                 op: Option[String] = None,
+                 renames: Map[String, String] = renames): Manifest =
       new Manifest(generation, taskBase, schemaDdl, fills, shards, loader,
         streams, inline, columnSince, droppedEver, partSpec = partSpec,
-        constraints = constraints, op = op)
+        constraints = constraints, op = op, renames = renames)
 
     /** New shard table, same loader. `newRewrites` marks THIS commit's
       * content-preserving rewrites — deliberately not inherited;
@@ -646,7 +708,8 @@ private[graft] trait CollectionManifestLayer extends Serializable {
                    newOp: Option[String] = None): Manifest =
       new Manifest(generation, taskBase, schemaDdl, fills, newShards, loader,
         newStreams, inline, columnSince, droppedEver, newRewrites,
-        newPartSpec.orElse(partSpec), constraints = constraints, op = newOp)
+        newPartSpec.orElse(partSpec), constraints = constraints, op = newOp,
+        renames = renames)
   }
 
   private[core] def isDataFile(name: String): Boolean =
@@ -720,7 +783,8 @@ private[graft] trait CollectionManifestLayer extends Serializable {
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       rows: Map[String, Long] = Map.empty,
       gens: Map[String, Long] = Map.empty,
-      bytes: Map[String, Long] = Map.empty): String = {
+      bytes: Map[String, Long] = Map.empty,
+      dvs: Map[String, DvRef] = Map.empty): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(files.mkString("\n").getBytes("UTF-8"))
     // stats participate in the content address (same file list with new
@@ -741,6 +805,12 @@ private[graft] trait CollectionManifestLayer extends Serializable {
         .mkString("\n").getBytes("UTF-8"))
     if (bytes.nonEmpty)
       md.update(bytes.toSeq.sorted.map(e => e._1 + "!" + e._2)
+        .mkString("\n").getBytes("UTF-8"))
+    // DV refs are content (same files, new deletions = new shard); the
+    // dv-free hash is unchanged so every existing shard name is stable
+    if (dvs.nonEmpty)
+      md.update(dvs.toSeq.sortBy(_._1)
+        .map(e => e._1 + "^" + e._2.path + ":" + e._2.offset + ":" + e._2.count)
         .mkString("\n").getBytes("UTF-8"))
     s"$ShardDir/shard-${md.digest().map("%02x".format(_)).mkString}.json"
   }
@@ -787,7 +857,14 @@ private[graft] trait CollectionManifestLayer extends Serializable {
         case (f, n) => f -> n.toString.toLong
       }.toMap)
       .getOrElse(Map.empty[String, Long])
-    ShardData(files, legacy ++ cols, rows, gens, bytes)
+    // "dvs": {file: [path, offset, count]}
+    val dvs = Option(doc.get("dvs"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map { case (f, v) =>
+        val l = v.asInstanceOf[java.util.List[Object]]
+        f -> DvRef(l.get(0).toString, l.get(1).toString.toLong, l.get(2).toString.toLong)
+      }.toMap)
+      .getOrElse(Map.empty[String, DvRef])
+    ShardData(files, legacy ++ cols, rows, gens, bytes, dvs)
   }
 
   /** Write a shard file if absent (content-addressed: an existing file
@@ -797,7 +874,8 @@ private[graft] trait CollectionManifestLayer extends Serializable {
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       rows: Map[String, Long] = Map.empty,
       gens: Map[String, Long] = Map.empty,
-      bytes: Map[String, Long] = Map.empty): Unit = {
+      bytes: Map[String, Long] = Map.empty,
+      dvs: Map[String, DvRef] = Map.empty): Unit = {
     val p = new Path(manifestDir, rel)
     if (fs.exists(p)) return
     val doc = new java.util.LinkedHashMap[String, Object]()
@@ -830,6 +908,16 @@ private[graft] trait CollectionManifestLayer extends Serializable {
       val bm = new java.util.LinkedHashMap[String, Object]()
       bytes.toSeq.sortBy(_._1).foreach { case (f, n) => bm.put(f, java.lang.Long.valueOf(n)) }
       doc.put("bytes", bm)
+    }
+    if (dvs.nonEmpty) {
+      val dm = new java.util.LinkedHashMap[String, Object]()
+      dvs.toSeq.sortBy(_._1).foreach { case (f, d) =>
+        val l = new java.util.ArrayList[Object]()
+        l.add(d.path); l.add(java.lang.Long.valueOf(d.offset))
+        l.add(java.lang.Long.valueOf(d.count))
+        dm.put(f, l)
+      }
+      doc.put("dvs", dm)
     }
     writeJson(fs, p, doc)
   }
@@ -886,6 +974,11 @@ private[graft] trait CollectionManifestLayer extends Serializable {
         case (k, v) => k -> v.toString
       }.toMap)
       .getOrElse(Map.empty[String, String])
+    val renames = Option(doc.get("renames"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map {
+        case (k, v) => k -> v.toString
+      }.toMap)
+      .getOrElse(Map.empty[String, String])
     Option(doc.get("shards")) match {
       case Some(raw) =>
         val entries = raw.asInstanceOf[java.util.List[Object]].asScala.map { o =>
@@ -903,13 +996,15 @@ private[graft] trait CollectionManifestLayer extends Serializable {
               }.toMap)
               .getOrElse(Map.empty),
             rowTotal = Option(m.get("rows")).map(_.toString.toLong),
-            byteTotal = Option(m.get("bytes")).map(_.toString.toLong))
+            byteTotal = Option(m.get("bytes")).map(_.toString.toLong),
+            dvCount = Option(m.get("dvrows")).map(_.toString.toLong).getOrElse(0L))
         }.toSeq
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => readShard(fs, dir, rel), streams,
           columnSince = columnSince, droppedEver = droppedEver,
           rewrites = rewrites, partSpec = partSpec,
-          committedAtMs = committedAt, constraints = constraints, op = opLabel)
+          committedAtMs = committedAt, constraints = constraints, op = opLabel,
+          renames = renames)
       case None =>
         // legacy single-JSON manifest: inline file list, synthetic
         // content-addressed names so generation diffs still work
@@ -930,7 +1025,7 @@ private[graft] trait CollectionManifestLayer extends Serializable {
         new Manifest(generation, taskBase, schemaDdl, fills, entries,
           rel => inline.get(rel).map(ShardData(_)).getOrElse(readShard(fs, dir, rel)),
           streams, inline, columnSince, droppedEver, rewrites, partSpec,
-          committedAt, constraints, opLabel)
+          committedAt, constraints, opLabel, renames)
     }
   }
 
@@ -981,6 +1076,7 @@ private[graft] trait CollectionManifestLayer extends Serializable {
       }
       e.rowTotal.foreach(n => em.put("rows", java.lang.Long.valueOf(n)))
       e.byteTotal.foreach(n => em.put("bytes", java.lang.Long.valueOf(n)))
+      if (e.dvCount > 0L) em.put("dvrows", java.lang.Long.valueOf(e.dvCount))
       shardsArr.add(em)
     }
     doc.put("shards", shardsArr)
@@ -1006,6 +1102,11 @@ private[graft] trait CollectionManifestLayer extends Serializable {
       val km = new java.util.LinkedHashMap[String, Object]()
       m.constraints.toSeq.sortBy(_._1).foreach { case (k, v) => km.put(k, v) }
       doc.put("constraints", km)
+    }
+    if (m.renames.nonEmpty) {
+      val rm = new java.util.LinkedHashMap[String, Object]()
+      m.renames.toSeq.sortBy(_._1).foreach { case (k, v) => rm.put(k, v) }
+      doc.put("renames", rm)
     }
     // commit wall-clock, stamped at publish: TIMESTAMP AS OF time travel
     // + age-based vacuum read it back

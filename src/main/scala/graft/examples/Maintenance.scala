@@ -62,7 +62,11 @@ object Maintenance {
 
     // 5. row-level DELETE: a targeted purge (PII takedown, contaminated
     // docs) rewrites ONLY the files whose zone maps admit a match —
-    // everything else carries over by name
+    // everything else carries over by name. On a collection created
+    // with attrs = Map(Collection.DvEnabledAttr -> "true"), the same
+    // call writes DELETION VECTORS instead (r11): zero data files
+    // rewritten, cost proportional to the deleted rows, and compact()
+    // materializes the masks back into clean files whenever you choose.
     val touched = c.deleteWhere("user_id == 13 and day <= 5")
     println(s"deleteWhere rewrote ${touched.size} file(s); " +
       s"user 13 rows in days 1-5 now: ${c.query("user_id == 13 and day <= 5").count()}")

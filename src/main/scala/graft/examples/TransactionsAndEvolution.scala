@@ -48,6 +48,12 @@ object TransactionsAndEvolution {
     val byScore = coll.query().groupBy(col("score") > 0).count()
     byScore.show()
 
+    // ...and RENAME (r11): metadata-only — files keep the pinned
+    // physical name, the manifest maps it, every vintage reads under
+    // the new logical name (old snapshots keep theirs via time travel)
+    coll.renameVariable("score", "quality")
+    println(s"renamed: ${coll.query("quality > 0", Seq("event_id")).count()} scored rows")
+
     // a writer that dies mid-insert leaves only invisible orphans
     // graceMs=0: we KNOW no other writer is running; the default 15-min
     // grace window protects concurrent writers' in-flight commits

@@ -90,6 +90,100 @@ final class PermutingReaderFactory(delegate: PartitionReaderFactory,
   }
 }
 
+/** Applies DELETION VECTORS inside the native scan (r11): for input
+  * partitions containing DV'd files, the read schema is widened with
+  * the persisted row-id column, each task reads its own files' DV
+  * sections (`8 + 8*count` bytes, sorted rowids, binary-searched per
+  * row), masked rows drop, and the row id projects back out — the
+  * engine above sees exactly the live rows under the original schema.
+  * DV-free partitions keep the COLUMNAR (vectorized) reader untouched;
+  * only partitions that actually carry deletions fall back to the
+  * row-based reader (a columnar batch has no deletion mask).
+  *
+  * `rowIdOrdinal` is the widened read schema's row-id position (last
+  * data column, before the partition columns); `outOrdinals` projects
+  * the original output. */
+final class DvFilteringReaderFactory(
+    delegate: PartitionReaderFactory,
+    dvByPath: Map[String, graft.core.Collection.DvRef],
+    conf: org.apache.spark.util.SerializableConfiguration,
+    rowIdOrdinal: Int,
+    outTypes: Array[org.apache.spark.sql.types.DataType])
+    extends PartitionReaderFactory {
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  private val dvNormed: Map[String, graft.core.Collection.DvRef] =
+    dvByPath.map { case (p, r) => norm(p) -> r }
+
+  private def partitionDvs(p: InputPartition): Seq[graft.core.Collection.DvRef] =
+    ParquetReadBridge.filePaths(p).map(norm).distinct.flatMap(dvNormed.get)
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    partitionDvs(p).isEmpty && delegate.supportColumnarReads(p)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    require(partitionDvs(p).isEmpty, "columnar read planned over a DV'd partition")
+    // DV-free partition: zero-copy drop of the widened row-id vector so
+    // every path honors the scan's reported (original) schema
+    val inner = delegate.createColumnarReader(p)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = inner.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = inner.get()
+        val cols = (0 until b.numCols()).filter(_ != rowIdOrdinal)
+          .map(b.column).toArray
+        new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val inner = delegate.createReader(p)
+    val refs = partitionDvs(p)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(outTypes.zipWithIndex.map { case (dt, i) =>
+        val from = if (i < rowIdOrdinal) i else i + 1
+        org.apache.spark.sql.catalyst.expressions.BoundReference(from, dt, true)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      }.toSeq)
+    if (refs.isEmpty)
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = proj(inner.get())
+        override def close(): Unit = inner.close()
+      }
+    else {
+      // one sorted rowid array per partition (rowids are globally
+      // unique, so the per-file sections merge into one mask)
+      val mask: Array[Long] = {
+        val all = refs.flatMap(r =>
+          graft.core.DeletionVectors.readSection(conf.value, r.path, r)).toArray
+        java.util.Arrays.sort(all)
+        all
+      }
+      new PartitionReader[InternalRow] {
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          while (inner.next()) {
+            val r = inner.get()
+            if (java.util.Arrays.binarySearch(mask, r.getLong(rowIdOrdinal)) < 0) {
+              current = proj(r)
+              return true
+            }
+          }
+          false
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = inner.close()
+      }
+    }
+  }
+}
+
 /** The NATIVE DSv2 batch scan over a graft collection — what the
   * catalog face plans when [[GraftScanBuilder]] can prove the snapshot
   * natively scannable (decodable partition keys, no fill-bearing read
@@ -278,8 +372,28 @@ final class GraftBatchScan(spark: SparkSession,
   override def createReaderFactory(): PartitionReaderFactory = {
     val dataFilters = parquetFilters.filter(
       _.references.forall(fileDataSchema.fieldNames.contains))
-    new GraftReaderFactory(ParquetReadBridge.readerFactory(
-      spark, fileDataSchema, readDataSchema, readPartitionSchema, dataFilters))
+    plan()
+    val dvByPath = plannedFiles.flatMap(f => f.dv.map(f.path -> _)).toMap
+    if (dvByPath.isEmpty)
+      new GraftReaderFactory(ParquetReadBridge.readerFactory(
+        spark, fileDataSchema, readDataSchema, readPartitionSchema, dataFilters))
+    else {
+      // DELETION VECTORS in the plan (r11): widen the read with the
+      // persisted row-id column and mask per partition — see
+      // [[DvFilteringReaderFactory]]. Only this snapshot's DV'd files
+      // lose the columnar reader; everything else reads unchanged.
+      val rowIdField = org.apache.spark.sql.types.StructField(
+        Collection.RowIdCol, org.apache.spark.sql.types.LongType)
+      val fileWide = StructType(fileDataSchema.fields :+ rowIdField)
+      val readWide = StructType(readDataSchema.fields :+ rowIdField)
+      val inner = ParquetReadBridge.readerFactory(
+        spark, fileWide, readWide, readPartitionSchema, dataFilters)
+      val outTypes = (readDataSchema.fields ++ readPartitionSchema.fields)
+        .map(_.dataType)
+      new GraftReaderFactory(new DvFilteringReaderFactory(
+        inner, dvByPath, ParquetReadBridge.serializableConf(spark),
+        rowIdOrdinal = readDataSchema.length, outTypes = outTypes))
+    }
   }
 
   // --- SupportsReportPartitioning -----------------------------------

@@ -215,6 +215,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames.length == 1,
           s"graft columns are top-level; cannot drop nested ${del.fieldNames.mkString(".")}")
         c.dropVariable(del.fieldNames.head)
+      // ALTER TABLE ... RENAME COLUMN old TO new — metadata-only name
+      // mapping (r11): no data file rewrites, old snapshots keep their
+      // own names under time travel
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"graft columns are top-level; cannot rename nested ${ren.fieldNames.mkString(".")}")
+        c.renameVariable(ren.fieldNames.head, ren.newName)
       // ALTER TABLE ... ADD CONSTRAINT c CHECK (...) / DROP CONSTRAINT c
       // land on the manifest constraint registry — enforced inside every
       // subsequent write job, SQL or programmatic (A36)
@@ -230,7 +237,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (!(drop.ifExists() && !c.constraints.contains(drop.name())))
           c.dropConstraint(drop.name())
       case other => throw new UnsupportedOperationException(
-        s"graft tables support ADD/DROP COLUMN and CHECK constraints; not $other")
+        s"graft tables support ADD/DROP/RENAME COLUMN and CHECK constraints; not $other")
     }
     new GraftTable(spark, p.toString, ident.toString)
   }

@@ -1,10 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference,
-  Cast, Expression, PlanExpression, And => CAnd, EqualTo => CEqualTo,
-  Literal => CLiteral, Not => CNot}
+  Cast, Exists, Expression, InSubquery, ListQuery, PlanExpression, And => CAnd,
+  EqualTo => CEqualTo, Literal => CLiteral, Not => CNot}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -91,8 +91,9 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (isIdentity(key, a.value)) None
         else Some(keyName -> selfCol(a.value, t, "UPDATE"))
       }
-      val condCol = condition.map(selfCol(_, t, "UPDATE")).getOrElse(lit(true))
-      GraftUpdateCommand(t.root, sets, condCol, pruneFilters(condition))
+      val (cond2, subs) = extractSubqueries(condition, t, "UPDATE")
+      val condCol = cond2.map(selfCol(_, t, "UPDATE")).getOrElse(lit(true))
+      GraftUpdateCommand(t.root, sets, condCol, pruneFilters(condition), subs)
 
     // exactly-translatable deletes keep Spark's native SupportsDeleteV2
     // path ONLY on the V2 catalog face — the V1 face has no native DML
@@ -101,8 +102,9 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case d @ DeleteFromTable(DmlTarget(t), condition) if d.resolved &&
         (!t.v2 || !exactlyTranslatable(spark, t, condition)) =>
       requireWritable(t, "DELETE")
-      GraftDeleteCommand(t.root, selfCol(condition, t, "DELETE"),
-        pruneFilters(Some(condition)))
+      val (cond2, subs) = extractSubqueries(Some(condition), t, "DELETE")
+      GraftDeleteCommand(t.root, selfCol(cond2.get, t, "DELETE"),
+        pruneFilters(Some(condition)), subs)
 
     case m: MergeIntoTable if m.resolved && DmlTarget.unapply(m.targetTable).isDefined =>
       val t = DmlTarget.unapply(m.targetTable).get
@@ -244,6 +246,52 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftMergeCommand(t.root, src, on, whenMatched, insertUnmatched, bySource)
   }
 
+  /** SUBQUERY predicates in DELETE/UPDATE conditions (r11, the r10
+    * verdict's #2): every UNCORRELATED, single-column `IN (SELECT ...)`
+    * — under any enclosing boolean structure, so `NOT IN` comes free —
+    * and uncorrelated `EXISTS` is lifted out of the condition and
+    * replaced by a flag-column placeholder; the command evaluates each
+    * subquery ONCE at run time and computes the flag with EXACT SQL
+    * three-valued semantics through a left join ([[GraftDmlCommands
+    * .subqueryAugment]]), so the engine's row predicate sees precisely
+    * the values `IN` would produce (TRUE on match; FALSE on no-match
+    * against a null-free result or an empty result; NULL otherwise).
+    * Top-level POSITIVE `col IN (...)` conjuncts additionally feed the
+    * subquery result's [min, max] into the skip-layer prune at run time
+    * — file-granular deletes keyed by a dimension stay file-granular.
+    * Correlated subqueries (and scalar subqueries) still refuse loudly
+    * downstream — never approximated. */
+  private def extractSubqueries(condition: Option[Expression], t: DmlTarget,
+      what: String): (Option[Expression], Seq[DmlSubquery]) = {
+    val cond = condition.getOrElse(return (condition, Nil))
+    // top-level positive IN conjuncts are bounds-eligible (a negated or
+    // OR-nested IN must not strengthen the prune)
+    val topLevel = conjuncts(cond).toSet
+    val subs = Seq.newBuilder[DmlSubquery]
+    var i = 0
+    val rewritten = cond.transform {
+      case in @ InSubquery(values, lq: ListQuery) if !lq.isCorrelated =>
+        val v = values match {
+          case Seq(one) => one
+          case _ => refuse(s"multi-column IN tuples are not supported in $what — " +
+            "rewrite as MERGE INTO with a source table")
+        }
+        val flag = s"_zc_subq_$i"; i += 1
+        val boundsKey = v match {
+          case a: AttributeReference if topLevel(in) => Some(a.name)
+          case _                                     => None
+        }
+        subs += DmlSubquery(flag, lq.plan, selfCol(v, t, s"$what IN"),
+          boundsKey, isExists = false)
+        UnresolvedAttribute(Seq(flag))
+      case ex: Exists if !ex.isCorrelated =>
+        val flag = s"_zc_subq_$i"; i += 1
+        subs += DmlSubquery(flag, ex.plan, null, None, isExists = true)
+        UnresolvedAttribute(Seq(flag))
+    }
+    (Some(rewritten), subs.result())
+  }
+
   /** Predicate/value over the TARGET's columns only → a Column in plain
     * column-name terms (resolves against the engine's rewrite scan). */
   private def selfCol(e: Expression, t: DmlTarget, what: String): Column = {
@@ -274,7 +322,9 @@ object GraftDmlRule {
 
   private def noSubquery(e: Expression, what: String): Unit =
     if (e.exists(_.isInstanceOf[PlanExpression[_]]))
-      refuse(s"subqueries are not supported in $what — rewrite as MERGE INTO with a source table")
+      refuse(s"correlated or scalar subqueries are not supported in $what — " +
+        "uncorrelated IN (SELECT ...)/EXISTS work in DELETE/UPDATE conditions (r11); " +
+        "rewrite anything else as MERGE INTO with a source table")
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -309,6 +359,14 @@ object GraftDmlRule {
   }
 }
 
+/** One lifted DML subquery: `flag` is the placeholder column the
+  * rewritten condition references, `plan` the (resolved, uncorrelated)
+  * subquery, `value` the IN's left side over target columns (null for
+  * EXISTS), `boundsKey` the bare column name whose prune range the
+  * subquery's [min, max] may strengthen (top-level positive IN only). */
+private[sources] final case class DmlSubquery(flag: String, plan: LogicalPlan,
+    value: Column, boundsKey: Option[String], isExists: Boolean)
+
 /** Shared output shape: each DML command reports its rewritten-file
   * count (the file-granularity observable — `spark.sql("UPDATE ...")`
   * returns it as a one-row result). */
@@ -323,11 +381,76 @@ private[sources] object GraftDmlCommands {
     GraftRelation.toAst(prune.toArray,
       c.readSchema.fieldNames.toSet, zone)
   }
+
+  /** Evaluate each lifted subquery ONCE and build (a) the frame
+    * `augment` that computes its flag column with EXACT SQL IN
+    * three-valued semantics, and (b) the prune-AST strengthening from
+    * bounds-eligible subqueries' [min, max]:
+    *
+    *  - `x IN (S)` = TRUE on a match; FALSE when S is EMPTY (even for
+    *    null x) or when nothing matched and S is null-free and x is
+    *    non-null; NULL otherwise — computed as a left join against
+    *    `S.distinct` plus two driver-side aggregates (count, nulls),
+    *    broadcast up to the DV collect cap so the victim scan's
+    *    `input_file_name` lineage survives (a bigger S shuffles and the
+    *    engine falls back to the rewrite leg, never to wrong rows);
+    *  - uncorrelated EXISTS = one count, a constant flag. */
+  def subqueryAugment(session: SparkSession, ast: FilterExpr.Ast,
+      subs: Seq[DmlSubquery]): (DataFrame => DataFrame, FilterExpr.Ast) = {
+    import org.apache.spark.sql.functions._
+    var outAst = ast
+    val steps: Seq[DataFrame => DataFrame] = subs.zipWithIndex.map { case (s, i) =>
+      val sub = Bridge.ofRows(session, s.plan)
+      if (s.isExists) {
+        val exists = sub.limit(1).count() > 0
+        (df: DataFrame) => df.withColumn(s.flag, lit(exists))
+      } else {
+        val vCol = sub.columns.head
+        val stats = sub.agg(count(lit(1)).as("n"), count(col(vCol)).as("nn"),
+          min(col(vCol)).as("lo"), max(col(vCol)).as("hi")).collect()(0)
+        val n = stats.getLong(0)
+        val hasNull = n > stats.getLong(1)
+        val joinName = s"_zc_subq_v_$i"
+        val vals0 = sub.select(col(vCol).as(joinName)).where(col(joinName).isNotNull).distinct()
+        val vals = if (n <= Collection.DvMaxTotalRows) broadcast(vals0) else vals0
+        s.boundsKey.foreach { k =>
+          def litOf(v: Any): Option[FilterExpr.Lit] = v match {
+            case l: Long => Some(FilterExpr.Lit(l))
+            case x: Int => Some(FilterExpr.Lit(x.toLong))
+            case sh: Short => Some(FilterExpr.Lit(sh.toLong))
+            case b: Byte => Some(FilterExpr.Lit(b.toLong))
+            case d: Double => Some(FilterExpr.Lit(d))
+            case f: Float => Some(FilterExpr.Lit(f.toDouble))
+            case str: String => Some(FilterExpr.Lit(str))
+            case _ => None // exotic key domain: prune-nothing, still exact
+          }
+          for (lo <- Option(stats.get(2)).flatMap(litOf);
+               hi <- Option(stats.get(3)).flatMap(litOf)) {
+            val range = FilterExpr.And(
+              FilterExpr.Cmp(">=", FilterExpr.Name(k), lo),
+              FilterExpr.Cmp("<=", FilterExpr.Name(k), hi))
+            outAst = if (outAst == FilterExpr.True) range else FilterExpr.And(outAst, range)
+          }
+        }
+        (df: DataFrame) => {
+          val joined = df.join(vals, s.value === col(joinName), "left")
+          val flag =
+            if (n == 0L) lit(false)
+            else when(col(joinName).isNotNull, lit(true))
+              .otherwise(when(s.value.isNull || lit(hasNull),
+                lit(null).cast("boolean")).otherwise(lit(false)))
+          joined.withColumn(s.flag, flag).drop(joinName)
+        }
+      }
+    }
+    (steps.foldLeft(identity[DataFrame] _)((acc, f) => acc.andThen(f)), outAst)
+  }
 }
 
 /** `UPDATE graft table` lowered onto [[Collection.updateWhereCols]]. */
 case class GraftUpdateCommand(root: String, sets: Seq[(String, Column)],
-                              cond: Column, prune: Seq[SFilter])
+                              cond: Column, prune: Seq[SFilter],
+                              subs: Seq[DmlSubquery] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDmlCommands.filesOutput
   override def run(session: SparkSession): Seq[Row] = {
@@ -335,20 +458,23 @@ case class GraftUpdateCommand(root: String, sets: Seq[(String, Column)],
     // legal no-op statement, not an engine error
     if (sets.isEmpty) return Seq(Row(0))
     val c = Collection.open(session, root)
-    val ast = GraftDmlCommands.pruneAst(session, c, prune)
-    Seq(Row(c.updateWhereCols(cond, ast, sets.toMap).size))
+    val ast0 = GraftDmlCommands.pruneAst(session, c, prune)
+    val (augment, ast) = GraftDmlCommands.subqueryAugment(session, ast0, subs)
+    Seq(Row(c.updateWhereCols(cond, ast, sets.toMap, augment).size))
   }
 }
 
 /** Row-level `DELETE FROM` fallback (predicate outside the exact
   * pushdown domain) lowered onto [[Collection.deleteWhereCols]]. */
-case class GraftDeleteCommand(root: String, cond: Column, prune: Seq[SFilter])
+case class GraftDeleteCommand(root: String, cond: Column, prune: Seq[SFilter],
+                              subs: Seq[DmlSubquery] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDmlCommands.filesOutput
   override def run(session: SparkSession): Seq[Row] = {
     val c = Collection.open(session, root)
-    val ast = GraftDmlCommands.pruneAst(session, c, prune)
-    Seq(Row(c.deleteWhereCols(cond, ast).size))
+    val ast0 = GraftDmlCommands.pruneAst(session, c, prune)
+    val (augment, ast) = GraftDmlCommands.subqueryAugment(session, ast0, subs)
+    Seq(Row(c.deleteWhereCols(cond, ast, augment).size))
   }
 }
 

@@ -175,12 +175,20 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
     * `partitionOverwriteMode=dynamic`, or [[Collection.insert]] with
     * `MergeStrategy.Replace`, which land on the same atomic commit.
     *
-    * MICRO_BATCH_READ is advertised unconditionally, but a read that
-    * must fall back to the V1 bridge (fill-bearing columns, an
-    * undecodable partition key) cannot stream: it refuses at STREAM
-    * START with GraftV1Scan.toMicroBatchStream's explicit message
-    * rather than analysis time — capability probing would race the
-    * snapshot anyway (fills can be added between load and start). */
+    * MICRO_BATCH_READ is advertised only when the table can actually
+    * stream (r11, closing the r10 verdict's #5): fill-bearing columns
+    * or a non-native partition-key type force the V1 bridge, which has
+    * no micro-batch stream — withholding the capability turns what was
+    * a stream-START UnsupportedOperationException into Spark's own
+    * ANALYSIS-time "does not support micro-batch scan" error, matching
+    * the write side's capability discipline. A fill added between table
+    * load and stream start still fails loudly at start
+    * (GraftV1Scan.toMicroBatchStream keeps its message) — that race is
+    * irreducible by any capability probe. */
+  private[sources] lazy val nativeStreamEligible: Boolean =
+    try collection.nativeStreamCompatible
+    catch { case scala.util.control.NonFatal(_) => false }
+
   override def capabilities(): JSet[TableCapability] = {
     // the path face reads natively but keeps EVERY write on the V1
     // bridge: V1_BATCH_WRITE serves session-catalog `USING graft`
@@ -193,12 +201,12 @@ class GraftTable(spark: SparkSession, val root: String, identName: String,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
-    val base = JSet.of(
+    val base = new java.util.HashSet[TableCapability](JSet.of(
       TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER))
+    if (nativeStreamEligible) base.add(TableCapability.MICRO_BATCH_READ)
     if (nativeWriteEligible) {
       // r10: the native BatchWrite expresses dynamic partition replace
       // (commit with replaced = touched partitions), so dynamic INSERT
@@ -534,9 +542,12 @@ class GraftScanBuilder(spark: SparkSession, collection: Collection,
       aggResult, applyAst = exactPush, limit = limit)
     if (aggResult.isDefined || !nativeMode) return v1
     // fills surface through the DataFrame path's coalesce — a read or
-    // filter touching a fill-bearing column keeps the proven bridge
+    // filter touching a fill-bearing column keeps the proven bridge;
+    // renamed columns likewise (r11): the bridge scan requests the
+    // physical name and aliases back, the native reader doesn't (yet)
     val touched = requiredSchema.fieldNames.toSet ++ FilterExpr.names(ast)
     if (collection.fillColumns(asOfGen).exists(touched)) return v1
+    if (collection.renamedColumns(asOfGen).exists(touched)) return v1
     // pin the generation every (re-)plan of this scan reads: runtime
     // (DPP) re-planning must see the SAME snapshot the query planned
     // against, not whatever a concurrent writer committed since

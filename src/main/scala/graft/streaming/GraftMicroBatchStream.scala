@@ -156,6 +156,18 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
     val native = collection.nativeFilesFor(man, files).getOrElse(
       throw new IllegalStateException(
         s"native streaming plan unavailable for $root (validated at scan build)"))
+    // DELETION VECTORS (r11): this factory's reader is built once with
+    // the unwidened schema — delivering a DV'd file would resurrect its
+    // deleted rows mid-stream. Refuse loudly; the append stream's
+    // contract is insert-only anyway (a DV delete is a non-append
+    // commit, Delta's source fails on those too) — compact to
+    // materialize the DVs, then restart, or consume the change feed.
+    native.find(_.dv.isDefined).foreach { f =>
+      throw new IllegalStateException(
+        s"streaming batch [$s, $e] of $root includes ${f.path} which " +
+        "carries a deletion vector — compact() to materialize deletions, " +
+        "then restart the stream (or read the change feed instead)")
+    }
     GraftBatchScan.packByKey(spark, native, keyProjection)._1
   }
 

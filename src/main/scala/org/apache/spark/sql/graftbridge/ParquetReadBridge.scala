@@ -101,4 +101,19 @@ object ParquetReadBridge {
   def openCostInBytes(spark: SparkSession): Long =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.conf.filesOpenCostInBytes
+
+  /** The file paths inside an executable partition built by
+    * [[filePartition]] — the deletion-vector reader wrapper keys its
+    * per-partition rowid mask on them (r11). */
+  def filePaths(p: InputPartition): Seq[String] = p match {
+    case fp: FilePartition => fp.files.toSeq.map(_.filePath.toString)
+    case _                 => Nil
+  }
+
+  /** A serializable Hadoop configuration capsule for executor-side
+    * section reads (the same shape [[readerFactory]] broadcasts). */
+  def serializableConf(spark: SparkSession): SerializableConfiguration =
+    new SerializableConfiguration(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.newHadoopConf())
 }

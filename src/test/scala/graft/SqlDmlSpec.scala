@@ -75,16 +75,59 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(rows(tbl).map(_._3) == Seq(1.0, 2.0, -3.0, 4.0, 5.0))
   }
 
-  test("SQL UPDATE refusals are loud: subquery, axis/partition assignment") {
+  test("SQL UPDATE refusals are loud: correlated/scalar subquery, axis/partition assignment") {
     val tbl = mkTable()
+    // scalar subqueries stay refused (r11 narrowed the refusal to the
+    // still-unsupported shapes; uncorrelated IN/EXISTS now lower)
     val e1 = intercept[UnsupportedOperationException] {
-      sql(s"UPDATE $tbl SET v = 0 WHERE user_id IN (SELECT user_id FROM $tbl WHERE v > 4)")
+      sql(s"UPDATE $tbl SET v = 0 WHERE v > (SELECT avg(v) FROM $tbl)")
     }
-    assert(e1.getMessage.contains("subqueries"))
+    assert(e1.getMessage.contains("correlated or scalar"))
     val e2 = intercept[Exception] {
       sql(s"UPDATE $tbl SET ts = TIMESTAMP'2030-01-01 00:00:00'")
     }
     assert(e2.getMessage.contains("axis") || e2.getMessage.contains("partition"))
+  }
+
+  test("SQL DELETE/UPDATE with uncorrelated IN (SELECT ...) lowers exactly (r11)") {
+    val tbl = mkTable()
+    // dimension table driving the subquery
+    sql(s"""CREATE TABLE graftdml.dml.dim_users (user_id BIGINT, flagged BOOLEAN)
+            PARTITIONED BY (chunk(4, user_id))""")
+    sql(s"""INSERT INTO graftdml.dml.dim_users VALUES
+            (1, true), (3, true), (4, false), (99, true)""")
+    try {
+      sql(s"DELETE FROM $tbl WHERE user_id IN " +
+        "(SELECT user_id FROM graftdml.dml.dim_users WHERE flagged)")
+      assert(rows(tbl) == Seq((2L, "view", 2.0), (4L, "view", 4.0), (5L, "click", 5.0)))
+      // UPDATE through the same lowering, NOT IN flavor: the flag's
+      // three-valued shape survives the enclosing NOT
+      sql(s"UPDATE $tbl SET v = v + 100 WHERE user_id NOT IN " +
+        "(SELECT user_id FROM graftdml.dml.dim_users WHERE NOT flagged)")
+      assert(rows(tbl) == Seq((2L, "view", 102.0), (4L, "view", 4.0), (5L, "click", 105.0)))
+      // subquery result holding a NULL: NOT IN selects NOTHING (UNKNOWN
+      // everywhere except matches, which are FALSE) — the classic trap,
+      // exactly SQL
+      sql(s"INSERT INTO graftdml.dml.dim_users VALUES (CAST(NULL AS BIGINT), false)")
+      sql(s"UPDATE $tbl SET v = -1 WHERE user_id NOT IN " +
+        "(SELECT user_id FROM graftdml.dml.dim_users WHERE NOT flagged)")
+      assert(rows(tbl) == Seq((2L, "view", 102.0), (4L, "view", 4.0), (5L, "click", 105.0)),
+        "NOT IN over a null-bearing subquery must select no row")
+      // empty subquery: IN = FALSE (delete nothing), NOT IN = TRUE
+      sql(s"DELETE FROM $tbl WHERE user_id IN " +
+        "(SELECT user_id FROM graftdml.dml.dim_users WHERE user_id > 1000)")
+      assert(rows(tbl).size == 3)
+      // uncorrelated EXISTS folds to a constant
+      sql(s"DELETE FROM $tbl WHERE v < 0 OR NOT EXISTS " +
+        "(SELECT 1 FROM graftdml.dml.dim_users)")
+      assert(rows(tbl).size == 3)
+      // correlated stays a loud refusal
+      val e = intercept[UnsupportedOperationException] {
+        sql(s"DELETE FROM $tbl WHERE EXISTS (SELECT 1 FROM graftdml.dml.dim_users d " +
+          s"WHERE d.user_id = $tbl.user_id)")
+      }
+      assert(e.getMessage.contains("correlated or scalar"))
+    } finally sql("DROP TABLE IF EXISTS graftdml.dml.dim_users")
   }
 
   test("SQL DELETE with a predicate outside the exact domain row-levels") {

@@ -117,6 +117,30 @@ class StreamTableSpec extends AnyFunSuite {
     assert(rows == Seq(1L, 2L, 3L), s"AvailableNow must drain every generation: $rows")
   }
 
+  test("a V1-fallback table refuses readStream.table at ANALYSIS (r11)") {
+    // a fill-bearing column forces every read through the V1 bridge,
+    // which has no micro-batch stream — capabilities() now withholds
+    // MICRO_BATCH_READ, so the refusal is Spark's own analysis error,
+    // not a stream-start UnsupportedOperationException
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.strm")
+    sql("CREATE TABLE graft.strm.evfill (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    sql("INSERT INTO graft.strm.evfill VALUES (1, 1.0)")
+    val root = CatalogSpec.warehouse + "/strm/evfill"
+    graft.core.Collection.open(spark, root)
+      .addVariable("w", org.apache.spark.sql.types.DoubleType, fill = Some("0.0"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.readStream.table("graft.strm.evfill")
+        .writeStream.format("memory").queryName("strm_fill_" + System.nanoTime())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("strm-ckpt").toString)
+        .start()
+    }
+    assert(e.getMessage.toLowerCase.contains("micro-batch"),
+      s"expected the analysis-time capability error, got: ${e.getMessage}")
+    // batch reads of the same table still work (V1 bridge)
+    assert(sql("SELECT * FROM graft.strm.evfill").count() == 1)
+  }
+
   test("data-column filters refuse on the no-refilter streaming face") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.strm")
     sql("CREATE TABLE graft.strm.refuse (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")

@@ -1,0 +1,229 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** DELETION VECTORS (r11): row-level deletes whose cost is proportional
+  * to DELETED ROWS, not rewritten files — the Delta-DV / Iceberg-v2
+  * position-delete shape over graft's persisted row ids.
+  *
+  * Contracts under test: a DV delete touches ZERO data files; every
+  * read face masks (query, SQL source, time travel, clones, CDC);
+  * metadata counts stay exact and metadata MIN/MAX refuses; repeated
+  * deletes union; per-file heavy deletes fall back to rewrite inside
+  * the same commit; compaction materializes; fsck flags DV damage;
+  * vacuum reclaims superseded DV files. */
+class DeletionVectorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mk(lo: Long, hi: Long, day: Int, hour: String = "08") = (lo until hi)
+    .map(i => (i, f"2024-01-$day%02d $hour:00:00", i, 1.0))
+    .toDF("id", "ts", "user_id", "v")
+    .withColumn("ts", col("ts").cast("timestamp"))
+
+  /** DV-enabled collection: two day-partitions, the first day split in
+    * two files with disjoint user_id ranges. */
+  private def dvColl(root: String, retain: Int = 0): Collection = {
+    val b1 = mk(0, 50, 1)
+    val c = Collection.create(spark, root, b1.schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("user_id"),
+      attrs = Map(Collection.DvEnabledAttr -> "true"),
+      retainGenerations = retain)
+    c.insert(b1, MergeStrategy.Concat)
+    c.insert(mk(100, 150, 1, "12"), MergeStrategy.Concat)
+    c.insert(mk(200, 250, 2), MergeStrategy.Concat)
+    c
+  }
+
+  test("DV delete: zero data files touched, every read face masks, counts exact") {
+    val root = SparkTestSession.tmp("graft-dv-basic")
+    val c = dvColl(root)
+    val filesBefore = c.currentManifest().files.toSet
+
+    val touched = c.deleteWhere("user_id >= 10 and user_id < 15")
+    assert(touched.size == 1, s"one file holds ids 10..14: $touched")
+
+    val man = c.currentManifest()
+    // THE point: the data file set is unchanged — no rewrite happened
+    assert(man.files.toSet == filesBefore, "a DV delete must not rewrite data files")
+    assert(man.op.contains("delete"))
+    val dvs = man.allDvs
+    assert(dvs.keySet == touched.toSet && dvs.values.head.count == 5L)
+    // the DV file exists under _dv/
+    assert(dvs.values.head.path.startsWith("_dv/"))
+
+    // Scala face
+    assert(c.query().count() == 145)
+    assert(c.query("user_id < 20", Seq("user_id")).as[Long].collect().sorted.toSeq ==
+      ((0L until 10L) ++ (15L until 20L)))
+    // metadata count: exact, zero data IO semantics (countRows subtracts)
+    assert(c.countRows() == 145)
+    assert(c.countRows("day == 1") == 95)
+    // metadata MIN/MAX refuses over the DV'd snapshot (bounds may lie)
+    assert(c.columnBounds("user_id").isEmpty)
+    // SQL DataFrame face (native scan path applies the row mask)
+    val sql = spark.read.format("graft").load(root)
+    assert(sql.count() == 145)
+    assert(sql.where("user_id >= 5 and user_id < 20").select("user_id")
+      .as[Long].collect().sorted.toSeq == ((5L until 10L) ++ (15L until 20L)))
+
+    // a second delete on the SAME file unions into a fresh section
+    c.deleteWhere("user_id >= 15 and user_id < 18")
+    val dvs2 = c.currentManifest().allDvs
+    assert(dvs2.values.head.count == 8L, s"union of the two deletes: $dvs2")
+    assert(dvs2.values.head.path != dvs.values.head.path, "copy-on-write section")
+    assert(c.query().count() == 142)
+    // idempotent re-delete: covered rows only -> no-op, no commit
+    val genBefore = c.generation
+    assert(c.deleteWhere("user_id == 16").isEmpty)
+    assert(c.generation == genBefore)
+  }
+
+  test("per-file adaptive: heavy file rewrites, light file keeps a DV, one commit") {
+    val root = SparkTestSession.tmp("graft-dv-adaptive")
+    val c = dvColl(root)
+    val man0 = c.currentManifest()
+    val gen0 = c.generation
+    // kills 40/50 rows of file A (80% > DvMaxFraction) and 5/50 of B
+    val touched = c.deleteWhere("(user_id >= 0 and user_id < 40) or (user_id >= 100 and user_id < 105)")
+    assert(c.generation == gen0 + 1, "one atomic commit")
+    val man = c.currentManifest()
+    assert(c.query().count() == 150 - 45)
+    // the heavy file is gone (rewritten), the light one survives with a DV
+    val dvs = man.allDvs
+    assert(dvs.size == 1 && dvs.values.head.count == 5L,
+      s"light file keeps a 5-row DV: $dvs")
+    val survivors = man.files.toSet
+    assert(dvs.keySet.forall(survivors.contains))
+    val heavy = touched.filterNot(dvs.keySet)
+    assert(heavy.nonEmpty && heavy.forall(f => !survivors.contains(f)),
+      "the heavy file must have been replaced")
+    assert(man0.files.toSet.intersect(survivors).size == survivors.size - 1,
+      "exactly one new file (the heavy rewrite)")
+  }
+
+  test("DV update: old rows masked, updated copies appended, no in-place rewrite") {
+    val root = SparkTestSession.tmp("graft-dv-upd")
+    val c = dvColl(root)
+    val filesBefore = c.currentManifest().files.toSet
+    val touched = c.updateWhere("user_id >= 10 and user_id < 13", Map("v" -> "v + 41.0"))
+    val man = c.currentManifest()
+    assert(man.op.contains("update"))
+    // old files all survive; the update only APPENDED the copies
+    assert(filesBefore.subsetOf(man.files.toSet))
+    assert(man.allDvs.values.map(_.count).sum == 3L)
+    assert(c.query().count() == 150)
+    val got = c.query("user_id >= 9 and user_id < 14", Seq("user_id", "v"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((9L, 1.0), (10L, 42.0), (11L, 42.0), (12L, 42.0), (13L, 1.0)))
+    assert(touched.nonEmpty)
+  }
+
+  test("CDC over DV commits: in-place deletes surface as delete rows, updates as delete+insert") {
+    val root = SparkTestSession.tmp("graft-dv-cdc")
+    val c = dvColl(root, retain = 4)
+    val g0 = c.generation
+    c.deleteWhere("user_id == 7")
+    val g1 = c.generation
+    val del = c.changes(g0, g1)
+      .select("user_id", Collection.ChangeTypeCol)
+      .as[(Long, String)].collect().toSeq
+    assert(del == Seq((7L, "delete")), s"got $del")
+    c.updateWhere("user_id == 8", Map("v" -> "9.0"))
+    val g2 = c.generation
+    val upd = c.changes(g1, g2)
+      .select("user_id", "v", Collection.ChangeTypeCol)
+      .as[(Long, Double, String)].collect().sortBy(_._3).toSeq
+    assert(upd == Seq((8L, 9.0, "delete"), (8L, 9.0, "insert")) ||
+           upd == Seq((8L, 1.0, "delete"), (8L, 9.0, "insert")), s"got $upd")
+    // the full range composes: net = delete 7 (old v), delete 8 (old v), insert 8 (new v)
+    val all = c.changes(g0, g2)
+      .select("user_id", "v", Collection.ChangeTypeCol)
+      .as[(Long, Double, String)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(all == Seq((7L, 1.0, "delete"), (8L, 1.0, "delete"), (8L, 9.0, "insert")),
+      s"got $all")
+  }
+
+  test("time travel, restore and clones read each snapshot's own DV state") {
+    val root = SparkTestSession.tmp("graft-dv-tt")
+    val c = dvColl(root, retain = 4)
+    val g0 = c.generation
+    c.deleteWhere("user_id >= 100 and user_id < 120")
+    assert(c.snapshotAt(g0).count() == 150, "pre-delete snapshot reads whole")
+    assert(c.query().count() == 130)
+    // a shallow clone of the DV'd head masks through external DV refs
+    val cloneRoot = SparkTestSession.tmp("graft-dv-clone")
+    Collection.cloneTo(spark, root, cloneRoot)
+    assert(Collection.open(spark, cloneRoot).query().count() == 130)
+    // restore to the pre-delete snapshot resurrects (by commit, not damage)
+    c.restore(g0)
+    assert(c.query().count() == 150)
+  }
+
+  test("compaction materializes DVs; repairCatalog refuses while they exist") {
+    val root = SparkTestSession.tmp("graft-dv-compact")
+    val c = dvColl(root)
+    c.deleteWhere("user_id >= 10 and user_id < 15")
+    assert(c.currentManifest().allDvs.nonEmpty)
+    val ex = intercept[IllegalStateException](c.repairCatalog())
+    assert(ex.getMessage.contains("deletion vectors"))
+    c.compact("day == 1")
+    val man = c.currentManifest()
+    assert(man.allDvs.isEmpty, "compaction must materialize the day-1 DV")
+    assert(c.query().count() == 145)
+    assert(c.countRows() == 145)
+    // with no DVs left, metadata MIN/MAX answers again
+    assert(c.columnBounds("user_id").contains((0L, 249L)))
+  }
+
+  test("fsck flags DV damage; vacuum reclaims superseded DV files") {
+    val root = SparkTestSession.tmp("graft-dv-fsck")
+    val c = dvColl(root)
+    c.deleteWhere("user_id == 3")
+    val firstDv = c.currentManifest().allDvs.values.head.path
+    c.deleteWhere("user_id == 4") // supersedes: fresh merged section
+    assert(c.fsck(deep = true).clean)
+    // the superseded DV file is unreferenced -> vacuum (no grace) reclaims it
+    val reclaimed = c.vacuum(graceMs = 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$firstDv")),
+      "superseded DV file must be reclaimed")
+    val liveDv = c.currentManifest().allDvs.values.head.path
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$liveDv")),
+      "live DV file must survive vacuum")
+    // damage the live DV -> fsck reports the class, clean = false
+    val p = new org.apache.hadoop.fs.Path(s"$root/$liveDv")
+    fs.delete(p, false)
+    val rep = c.fsck()
+    assert(rep.badDvFiles.nonEmpty && !rep.clean)
+    assert(reclaimed != null)
+  }
+
+  test("rewrite-vs-DV equivalence: identical visible rows either way") {
+    val rootA = SparkTestSession.tmp("graft-dv-eqA")
+    val rootB = SparkTestSession.tmp("graft-dv-eqB")
+    val cA = dvColl(rootA)
+    // same content, DV disabled -> classic rewrite path
+    val b1 = mk(0, 50, 1)
+    val cB = Collection.create(spark, rootB, b1.schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("user_id"))
+    cB.insert(b1, MergeStrategy.Concat)
+    cB.insert(mk(100, 150, 1, "12"), MergeStrategy.Concat)
+    cB.insert(mk(200, 250, 2), MergeStrategy.Concat)
+    for (c <- Seq(cA, cB)) {
+      c.deleteWhere("user_id in (3, 17, 29, 104, 131, 149) and day == 1")
+      c.updateWhere("user_id >= 200 and user_id < 210", Map("v" -> "v * 2"))
+    }
+    val a = cA.query().select("id", "user_id", "v").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    val b = cB.query().select("id", "user_id", "v").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(a == b && a.nonEmpty)
+    // and the DV side really vectored (day-1 delete was light everywhere)
+    assert(cA.currentManifest().allDvs.nonEmpty)
+  }
+}
