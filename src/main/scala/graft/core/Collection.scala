@@ -3829,9 +3829,37 @@ final class Collection private (
       else if (srow.getLong(0) == 0L) Nil // all-null-key source: nothing matches
       else pruneFilesForRead(man, man.files, ast)
     if (affected.isEmpty && !insertUnmatched) return Nil
+    // DELETION-VECTOR merge (r11): on DV-enabled collections with the
+    // Keep sync leg, matched rows DV out of light files and their new
+    // versions append — merge cost follows the MATCHED set, not the
+    // affected files. Heavy files and every out-of-model shape keep the
+    // classic rewrite below.
+    if (dvEnabled && bySource == WhenNotMatchedBySource.Keep &&
+        affected.nonEmpty && srow.getLong(0) > 0L) {
+      mergeDv(man, src, on, whenMatched, insertUnmatched, streamMark,
+        affected, srow.getLong(0)) match {
+        case Some(touched) => return touched
+        case None          => () // over the victim budget: rewrite below
+      }
+    }
     val out: DataFrame =
       if (affected.isEmpty) src
-      else {
+      else classicMergeOut(man, src, on, whenMatched, insertUnmatched,
+        bySource, affected)
+    writeAndCommit(partitioning.assign(out), replaced = Set.empty,
+      base = man, replacedFiles = affected.toSet, op = "merge",
+      streamMark = streamMark)
+    affected
+  }
+
+  /** The classic MERGE rewrite frame: full-outer join of the affected
+    * files against the source, per-column three-leg projection.
+    * `insertUnmatched = false` restricts it to carried/updated target
+    * rows (the DV path's heavy leg computes inserts separately). */
+  private def classicMergeOut(man: Manifest, src: DataFrame, on: Seq[String],
+      whenMatched: WhenMatched, insertUnmatched: Boolean,
+      bySource: WhenNotMatchedBySource, affected: Seq[String]): DataFrame = {
+    locally {
         val tgt = readManifestFiles(man, affected)
           .select(schema.fieldNames.toSeq.map(col): _*)
           .withColumn("_zc_tp", lit(true)).alias("t")
@@ -3887,11 +3915,100 @@ final class Collection private (
             case _ => matched
           }).as(n)
         }: _*)
+    }
+  }
+
+  /** The DV leg of [[mergeIntoInternal]] (r11): victims = matched
+    * target rows that CHANGE (replaced, assigned, or delete-gated),
+    * collected per file through the bounded victim scan with the source
+    * joined in as the match flag; light files DV their victims and the
+    * new versions append (read under the current mask — a DV'd row can
+    * never resurrect as a copy); heavy files take the classic rewrite
+    * WITHOUT its insert leg; inserts come from one anti-join of the
+    * source against the affected files' live keys. One atomic commit.
+    * `None` = victim budget exceeded (the caller's classic rewrite is
+    * the better plan there). */
+  private def mergeDv(man: Manifest, src: DataFrame, on: Seq[String],
+      whenMatched: WhenMatched, insertUnmatched: Boolean,
+      streamMark: Option[(String, Long)], affected: Seq[String],
+      srcRows: Long): Option[Seq[String]] = {
+    val sMark = src.withColumn("_zc_sp", lit(true)).alias("s")
+    def augment(df: DataFrame): DataFrame = {
+      val right =
+        if (srcRows <= Collection.DvBroadcastMaxRows) broadcast(sMark) else sMark
+      df.alias("t").join(right,
+        on.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "left")
+    }
+    val sPresent = col("_zc_sp").isNotNull
+    // does a matched row CHANGE? (an empty-assignment matched leg with
+    // no delete gate carries rows unchanged — no victim, no copy)
+    val delGate: Option[Column] = whenMatched match {
+      case WhenMatched.Delete                => Some(lit(true))
+      case WhenMatched.Update(_, Some(d))    => Some(coalesce(expr(d), lit(false)))
+      case WhenMatched.UpdateCols(_, Some(d)) => Some(coalesce(d, lit(false)))
+      case _                                 => None
+    }
+    val hasAssign = whenMatched match {
+      case WhenMatched.UpdateAll         => true
+      case WhenMatched.Update(as, _)     => as.nonEmpty
+      case WhenMatched.UpdateCols(as, _) => as.nonEmpty
+      case WhenMatched.Delete            => false
+    }
+    val changes: Column =
+      if (hasAssign) lit(true)
+      else delGate.getOrElse(lit(false))
+    val victims = collectVictims(man, affected, sPresent && changes, augment)
+      .getOrElse(return None)
+    val (light, heavy) = planDv(man, victims)
+    val dvRefs =
+      if (light.isEmpty) Map.empty[String, DvRef]
+      else DeletionVectors.write(fs, root, light)
+    val fields = StructType(readSchemaFields(schema))
+    val updatedCopies: Option[DataFrame] =
+      if (light.isEmpty || !hasAssign) None
+      else Some {
+        val aug = augment(readManifestFiles(man, light.map(_._1)))
+          .where(sPresent && delGate.map(d => !(d <=> lit(true))).getOrElse(lit(true)))
+        aug.select(schema.fieldNames.toSeq.map { n =>
+          (whenMatched match {
+            case WhenMatched.UpdateAll => col(s"s.$n")
+            case WhenMatched.Update(as, _) =>
+              as.get(n).map(e => expr(e).cast(fields(n).dataType))
+                .getOrElse(col(s"t.$n"))
+            case WhenMatched.UpdateCols(as, _) =>
+              as.get(n).map(_.cast(fields(n).dataType)).getOrElse(col(s"t.$n"))
+            case WhenMatched.Delete => col(s"t.$n") // unreachable (hasAssign)
+          }).as(n)
+        }: _*)
       }
+    val heavyLeg: Option[DataFrame] =
+      if (heavy.isEmpty) None
+      else Some(classicMergeOut(man, src, on, whenMatched,
+        insertUnmatched = false, WhenNotMatchedBySource.Keep, heavy))
+    val inserts: Option[DataFrame] =
+      if (!insertUnmatched) None
+      else Some {
+        // live keys only: a source row matching ONLY already-DV'd rows
+        // is NOT MATCHED against the current snapshot, so it inserts
+        val tKeys = readManifestFiles(man, affected)
+          .select(on.map(col): _*).distinct()
+        src.join(tKeys, on, "left_anti")
+          .select(schema.fieldNames.toSeq.map(col): _*)
+      }
+    val legs = Seq(updatedCopies, heavyLeg, inserts).flatten
+    if (legs.isEmpty && dvRefs.isEmpty && streamMark.isEmpty)
+      return Some(Nil) // nothing changed: no commit
+    if (legs.isEmpty && streamMark.isEmpty) {
+      commitDvOnly(man, dvRefs, op = "merge")
+      return Some(light.map(_._1).sorted)
+    }
+    val out = legs.reduceOption(_ union _).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields)))
     writeAndCommit(partitioning.assign(out), replaced = Set.empty,
-      base = man, replacedFiles = affected.toSet, op = "merge",
-      streamMark = streamMark)
-    affected
+      base = man, replacedFiles = heavy.toSet, op = "merge",
+      streamMark = streamMark, dvUpdates = dvRefs)
+    Some((light.map(_._1) ++ heavy).sorted)
   }
 
   /** Rewrite matching partitions as a fresh, axis-sorted file set — the

@@ -203,6 +203,54 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(reclaimed != null)
   }
 
+  test("DV merge: matched rows vector out, new versions + inserts append, one commit") {
+    val root = SparkTestSession.tmp("graft-dv-merge")
+    val c = dvColl(root)
+    val filesBefore = c.currentManifest().files.toSet
+    val gen0 = c.generation
+    // source: updates ids 5..7 (matched), inserts ids 900..902 (unmatched)
+    val src = ((5L until 8L) ++ (900L until 903L))
+      .map(i => (i, "2024-01-01 08:00:00", i, -1.0 * i))
+      .toDF("id", "ts", "user_id", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val touched = c.mergeInto(src, on = Seq("id"))
+    assert(c.generation == gen0 + 1, "one atomic commit")
+    val man = c.currentManifest()
+    assert(man.op.contains("merge"))
+    // old files all survive (matched rows were VECTORED, not rewritten)
+    assert(filesBefore.subsetOf(man.files.toSet), "DV merge must not rewrite files")
+    assert(man.allDvs.values.map(_.count).sum == 3L, s"3 matched victims: ${man.allDvs}")
+    assert(touched.nonEmpty)
+    // row-level truth: updates took, inserts landed, everything else carried
+    assert(c.query().count() == 153)
+    val got = c.query("id >= 4 and id <= 8", Seq("id", "v"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((4L, 1.0), (5L, -5.0), (6L, -6.0), (7L, -7.0), (8L, 1.0)))
+    assert(c.query("id >= 900", Seq("v")).as[Double].collect().sorted.toSeq ==
+      Seq(-902.0, -901.0, -900.0))
+    // MERGE ... WHEN MATCHED DELETE through the same leg: pure-DV commit
+    val del = ((900L until 903L)).map(i => (i, "2024-01-01 08:00:00", i, 0.0))
+      .toDF("id", "ts", "user_id", "v").withColumn("ts", col("ts").cast("timestamp"))
+    c.mergeInto(del, on = Seq("id"), whenMatched = WhenMatched.Delete,
+      insertUnmatched = false)
+    assert(c.query().count() == 150)
+    assert(c.query("id >= 900").count() == 0)
+    // equivalence against the classic rewrite on a non-DV twin
+    val rootB = SparkTestSession.tmp("graft-dv-mergeB")
+    val b1 = mk(0, 50, 1)
+    val cB = Collection.create(spark, rootB, b1.schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("user_id"))
+    cB.insert(b1, MergeStrategy.Concat)
+    cB.insert(mk(100, 150, 1, "12"), MergeStrategy.Concat)
+    cB.insert(mk(200, 250, 2), MergeStrategy.Concat)
+    cB.mergeInto(src, on = Seq("id"))
+    cB.mergeInto(del, on = Seq("id"), whenMatched = WhenMatched.Delete,
+      insertUnmatched = false)
+    val a = c.query().select("id", "v").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val b = cB.query().select("id", "v").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b && a.size == 150)
+  }
+
   test("rewrite-vs-DV equivalence: identical visible rows either way") {
     val rootA = SparkTestSession.tmp("graft-dv-eqA")
     val rootB = SparkTestSession.tmp("graft-dv-eqB")
