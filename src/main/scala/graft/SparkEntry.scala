@@ -592,6 +592,26 @@ object SparkEntry {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
 
+    // A55 (r11b): CORRELATED EXISTS in SQL DML — the equality-correlated
+    // shape decorrelates into a DISTINCT key-set evaluated once; the
+    // flag rides a broadcast left join against the target (EXISTS is
+    // two-valued, so NOT EXISTS comes free through the enclosing
+    // boolean), and the single-key top-level EXISTS feeds the key set's
+    // [min,max] into the skip-layer prune. DV-enabled end-to-end.
+    "zc_sql_delete_corr" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir, dv = true)
+      val tbl = "graft_sqdcx_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '${c.root}')")
+      try {
+        Tables.events(s, dir).createOrReplaceTempView("zc_corr_events")
+        s.sql(s"""DELETE FROM $tbl t WHERE EXISTS
+                  (SELECT 1 FROM zc_corr_events e
+                   WHERE e.user_id = t.user_id
+                     AND e.event_type = 'purchase' AND e.value > 90)""")
+        eventsOut(c.query())
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     // A44c (r8): SQL MERGE INTO through the DSv2 catalog — the ANSI
     // upsert (UPDATE SET * / INSERT *) lowered onto mergeInto: one
     // atomic file-granular commit, same semantics (and oracle) as the
@@ -1358,6 +1378,19 @@ object SparkEntry {
     "ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.ann.Ann.bruteForceTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 10)
+        .select("qid", "nid", "rank").orderBy("qid", "rank")
+    }),
+
+    // C63 (r11b): FILTERED vector search — top-k under a metadata
+    // predicate with PRE-filter semantics (the true top-k of the
+    // filtered set, never the under-returning post-filter). The
+    // predicate reaches the parquet scan as a pushed filter; the
+    // persisted-IVF filtered variant (payload columns in the probed
+    // lists) is spec-covered in PipelineSpec.
+    "ann_filtered" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ann.Ann.filteredTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 10, predicate = col("label") % 3 === 0)
         .select("qid", "nid", "rank").orderBy("qid", "rank")
     }),
 
@@ -4039,6 +4072,14 @@ object SparkEntry {
                 props
          FROM events ORDER BY event_id""",
 
+    "zc_sql_delete_corr" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events t
+         WHERE NOT EXISTS
+           (SELECT 1 FROM events e
+            WHERE e.user_id = t.user_id AND e.event_type = 'purchase' AND e.value > 90)
+         ORDER BY event_id""",
+
     "zc_view_partial" ->
       """SELECT event_id, value,
                 CAST(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 10
@@ -4285,6 +4326,16 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
          p AS (SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qe, e.embedding) AS sim
                FROM q, embeddings e WHERE e.vec_id <> q.qid)
+         SELECT qid, nid, rank FROM (
+           SELECT qid, nid,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+           FROM p) t
+         WHERE rank <= 10 ORDER BY qid, rank""",
+
+    "ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         p AS (SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qe, e.embedding) AS sim
+               FROM q, embeddings e WHERE e.vec_id <> q.qid AND e.label % 3 = 0)
          SELECT qid, nid, rank FROM (
            SELECT qid, nid,
                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank

@@ -111,6 +111,25 @@ object Ann {
         (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
   }
 
+  /** FILTERED vector search (r11b), exact: top-k under a metadata
+    * predicate — the other half of every production vector query
+    * ("nearest docs WHERE lang = 'en' AND label = 3"; Qdrant/Milvus/
+    * Vespa all make this a first-class parameter). PRE-filter
+    * semantics: the predicate restricts the corpus BEFORE scoring, so
+    * the result is the true top-k of the filtered set at ANY
+    * selectivity — the post-filter shape (search first, filter the k
+    * results) silently under-returns on selective predicates and is
+    * deliberately not offered. Scale shape inherits [[bruteForceTopK]]:
+    * the corpus streams once against broadcast queries with the
+    * predicate applied AT THE SCAN (parquet-translatable conjuncts
+    * reach `PushedFilters`, so a selective filter also prunes IO), and
+    * the only shuffle is the bounded per-query TopKAgg. For the
+    * serving-scale path over a persisted index see [[searchIvfIndex]]'s
+    * `predicate`/payload support. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, predicate: Column): DataFrame =
+    bruteForceTopK(corpus.where(predicate), queries, idCol, vecCol, k)
+
   /** HYBRID-search fusion by Reciprocal Rank Fusion (r10c): merge two
     * ranked candidate lists — typically sparse (BM25, C45) and dense
     * (cosine top-k, C6) retrieval over the same corpus — with the
@@ -798,7 +817,8 @@ object Ann {
     * partition pruning — `PartitionFilters` in the scan), a
     * `nProbe/nLists` fraction of the index regardless of corpus size. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    path: String, nLists: Int = 32, kmeansIters: Int = 0): Unit = {
+                    path: String, nLists: Int = 32, kmeansIters: Int = 0,
+                    payloadCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     val cents =
       if (kmeansIters <= 0) collectCentroids(corpus, idCol, vecCol, nLists)
@@ -808,7 +828,12 @@ object Ann {
     cents.toSeq.toDF("_zc_cent", "_zc_cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val assign = assignCentroid(spark, cents)
-    corpus.select(col(idCol).as("nid"), col(vecCol).as("_zc_v_nid"))
+    // payload columns (r11b) ride the lists VERBATIM under their own
+    // names, so a later search's metadata predicate evaluates inside
+    // the probed partitions — the filtered-search shape every vector
+    // store serves (payload lives WITH the index, no side join)
+    corpus.select((Seq(col(idCol).as("nid"), col(vecCol).as("_zc_v_nid")) ++
+        payloadCols.map(col)): _*)
       .withColumn("_zc_cent", assign(col("_zc_v_nid")))
       .where(col("_zc_cent") >= 0)
       .write.mode("overwrite").partitionBy("_zc_cent").parquet(s"$path/lists")
@@ -821,12 +846,14 @@ object Ann {
     * rewrite of existing lists. Quantizer drift under heavy appends is
     * the deployer's periodic `buildIvfIndex` rebuild. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                       vectors: DataFrame, idCol: String, vecCol: String): Unit = {
+                       vectors: DataFrame, idCol: String, vecCol: String,
+                       payloadCols: Seq[String] = Nil): Unit = {
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     require(cents.nonEmpty, s"no centroids under $path")
     val assign = assignCentroid(spark, cents)
-    vectors.select(col(idCol).as("nid"), col(vecCol).as("_zc_v_nid"))
+    vectors.select((Seq(col(idCol).as("nid"), col(vecCol).as("_zc_v_nid")) ++
+        payloadCols.map(col)): _*)
       .withColumn("_zc_cent", assign(col("_zc_v_nid")))
       .where(col("_zc_cent") >= 0)
       .write.mode("append").partitionBy("_zc_cent").parquet(s"$path/lists")
@@ -834,10 +861,22 @@ object Ann {
 
   /** Search a [[buildIvfIndex]] index: probes resolve against the tiny
     * persisted centroid table; only the probed lists' parquet partitions
-    * are read. Same output shape as [[ivfTopK]]. */
+    * are read. Same output shape as [[ivfTopK]].
+    *
+    * FILTERED search (r11b): `predicate` over the index's payload
+    * columns applies to the probed lists BEFORE scoring — pre-filter
+    * semantics inside the probed set, so every returned row satisfies
+    * the predicate and the k results are the best among the probed
+    * survivors (never the post-filter under-return). Selective filters
+    * thin the candidate lists, so the right response to selectivity is
+    * RAISING `nProbe` (the standard IVF over-probe move), not raising
+    * k; the predicate's translatable conjuncts reach the parquet scan
+    * of the probed partitions (`PushedFilters`), so the filter cuts IO
+    * rather than adding it. */
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, idCol: String, vecCol: String,
-                     k: Int, nProbe: Int = 4): DataFrame = {
+                     k: Int, nProbe: Int = 4,
+                     predicate: Column = lit(true)): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     require(cents.nonEmpty, s"no centroids under $path")
@@ -850,6 +889,7 @@ object Ann {
       .collect().map(_.getLong(0)).toSeq
     val lists = spark.read.parquet(s"$path/lists")
       .where(col("_zc_cent").isin(wanted: _*))
+      .where(predicate)
     val cands = lists.join(broadcast(probes), "_zc_cent")
       .where(col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("_zc_v_qid"), col("_zc_v_nid")))

@@ -3,8 +3,8 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference,
-  Cast, Exists, Expression, InSubquery, ListQuery, PlanExpression, And => CAnd,
-  EqualTo => CEqualTo, Literal => CLiteral, Not => CNot}
+  Cast, Exists, Expression, InSubquery, ListQuery, OuterReference, PlanExpression,
+  And => CAnd, EqualTo => CEqualTo, Literal => CLiteral, Not => CNot}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -288,8 +288,74 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val flag = s"_zc_subq_$i"; i += 1
         subs += DmlSubquery(flag, ex.plan, null, None, isExists = true)
         UnresolvedAttribute(Seq(flag))
+      case ex: Exists =>
+        // CORRELATED EXISTS (r11b): decorrelate the equality-correlated
+        // shape — `EXISTS (SELECT ... FROM s WHERE s.k = t.k AND rest)`
+        // — into a DISTINCT key-set plan evaluated once; the flag joins
+        // the target against it (EXISTS is two-valued, so NOT EXISTS
+        // rides the enclosing boolean structure for free, and a NULL
+        // outer key never matches — exactly the semantics the dropped
+        // equality filter would have produced).
+        val (keysPlan, pairs) = decorrelateExists(ex, what)
+        val flag = s"_zc_subq_$i"; i += 1
+        val boundsKey = pairs match {
+          case Seq((a, _)) if topLevel(ex) => Some(a.name)
+          case _                           => None
+        }
+        subs += DmlSubquery(flag, keysPlan, null, boundsKey, isExists = true,
+          corrValues = pairs.map(p => selfCol(p._1, t, s"$what EXISTS")))
+        UnresolvedAttribute(Seq(flag))
     }
     (Some(rewritten), subs.result())
+  }
+
+  /** Decorrelate a correlated EXISTS whose ONLY outer references are
+    * top-level equality conjuncts `outer = innerExpr` in one Filter
+    * reachable through Project/Distinct/SubqueryAlias wrappers (the
+    * ubiquitous real-world shape). Returns the key-set plan —
+    * `Distinct(Project(innerKeys, Filter(rest, child)))` — plus the
+    * (outerAttr, innerKey) pairs in key order. Projections above the
+    * filter drop safely (row EXISTENCE is invariant under projection);
+    * anything else — non-equality correlation, correlation below a
+    * join/aggregate, nested subqueries — refuses loudly, never
+    * approximated. */
+  private def decorrelateExists(ex: Exists,
+      what: String): (LogicalPlan, Seq[(AttributeReference, Expression)]) = {
+    def bail(why: String): Nothing =
+      refuse(s"correlated EXISTS in $what supports only top-level equality " +
+        s"correlation (`outer_col = inner_expr` conjuncts in one WHERE) — $why; " +
+        "rewrite anything else as MERGE INTO with a source table")
+    def hasOuter(e: Expression): Boolean = e.exists(_.isInstanceOf[OuterReference])
+    // nested subqueries could hide outer references inside plans this
+    // expression-level scan cannot see — refuse the whole class
+    if (ex.plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))))
+      bail("the subquery nests another subquery")
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child)                          => strip(child)
+      case Project(es, child) if !es.exists(hasOuter)       => strip(child)
+      case Distinct(child)                                  => strip(child)
+      case other                                            => other
+    }
+    strip(ex.plan) match {
+      case Filter(cond, child) if !child.exists(_.expressions.exists(hasOuter)) =>
+        val (corr, rest) = conjuncts(cond).partition(hasOuter)
+        val pairs = corr.map {
+          case CEqualTo(OuterReference(a: AttributeReference), inner) if !hasOuter(inner) =>
+            (a, inner)
+          case CEqualTo(inner, OuterReference(a: AttributeReference)) if !hasOuter(inner) =>
+            (a, inner)
+          case other => bail(s"unsupported correlated conjunct: ${other.sql}")
+        }
+        if (pairs.isEmpty) bail("no correlated equality found in the WHERE")
+        val base = rest.reduceOption(CAnd).map(Filter(_, child)).getOrElse(child)
+        val proj = pairs.zipWithIndex.map { case ((_, inner), k) =>
+          Alias(inner, s"_zc_ck_$k")()
+        }
+        (Distinct(Project(proj, base)), pairs)
+      case _ =>
+        bail("the outer reference is not in a directly-reachable WHERE clause")
+    }
   }
 
   /** Predicate/value over the TARGET's columns only → a Column in plain
@@ -323,7 +389,8 @@ object GraftDmlRule {
   private def noSubquery(e: Expression, what: String): Unit =
     if (e.exists(_.isInstanceOf[PlanExpression[_]]))
       refuse(s"correlated or scalar subqueries are not supported in $what — " +
-        "uncorrelated IN (SELECT ...)/EXISTS work in DELETE/UPDATE conditions (r11); " +
+        "uncorrelated IN (SELECT ...)/EXISTS and equality-correlated EXISTS " +
+        "work in DELETE/UPDATE conditions (r11); " +
         "rewrite anything else as MERGE INTO with a source table")
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -361,11 +428,15 @@ object GraftDmlRule {
 
 /** One lifted DML subquery: `flag` is the placeholder column the
   * rewritten condition references, `plan` the (resolved, uncorrelated)
-  * subquery, `value` the IN's left side over target columns (null for
-  * EXISTS), `boundsKey` the bare column name whose prune range the
-  * subquery's [min, max] may strengthen (top-level positive IN only). */
+  * subquery — for a decorrelated EXISTS, its DISTINCT key-set plan with
+  * columns `_zc_ck_*` — `value` the IN's left side over target columns
+  * (null for EXISTS), `boundsKey` the bare column name whose prune
+  * range the subquery's [min, max] may strengthen (top-level positive
+  * IN, or single-key top-level EXISTS), `corrValues` the decorrelated
+  * EXISTS's outer key columns in `_zc_ck_*` order (empty otherwise). */
 private[sources] final case class DmlSubquery(flag: String, plan: LogicalPlan,
-    value: Column, boundsKey: Option[String], isExists: Boolean)
+    value: Column, boundsKey: Option[String], isExists: Boolean,
+    corrValues: Seq[Column] = Nil)
 
 /** Shared output shape: each DML command reports its rewritten-file
   * count (the file-granularity observable — `spark.sql("UPDATE ...")`
@@ -399,9 +470,45 @@ private[sources] object GraftDmlCommands {
       subs: Seq[DmlSubquery]): (DataFrame => DataFrame, FilterExpr.Ast) = {
     import org.apache.spark.sql.functions._
     var outAst = ast
+    def litOf(v: Any): Option[FilterExpr.Lit] = v match {
+      case l: Long => Some(FilterExpr.Lit(l))
+      case x: Int => Some(FilterExpr.Lit(x.toLong))
+      case sh: Short => Some(FilterExpr.Lit(sh.toLong))
+      case b: Byte => Some(FilterExpr.Lit(b.toLong))
+      case d: Double => Some(FilterExpr.Lit(d))
+      case f: Float => Some(FilterExpr.Lit(f.toDouble))
+      case str: String => Some(FilterExpr.Lit(str))
+      case _ => None // exotic key domain: prune-nothing, still exact
+    }
+    def strengthen(key: Option[String], lo: Any, hi: Any): Unit =
+      for (k <- key; l <- Option(lo).flatMap(litOf); h <- Option(hi).flatMap(litOf)) {
+        val range = FilterExpr.And(
+          FilterExpr.Cmp(">=", FilterExpr.Name(k), l),
+          FilterExpr.Cmp("<=", FilterExpr.Name(k), h))
+        outAst = if (outAst == FilterExpr.True) range else FilterExpr.And(outAst, range)
+      }
     val steps: Seq[DataFrame => DataFrame] = subs.zipWithIndex.map { case (s, i) =>
       val sub = Bridge.ofRows(session, s.plan)
-      if (s.isExists) {
+      if (s.isExists && s.corrValues.nonEmpty) {
+        // decorrelated EXISTS: the DISTINCT key-set plan evaluated ONCE;
+        // the flag is a key match through a (broadcast-gated) left join
+        // against keys + a hit marker. EXISTS is two-valued — a NULL
+        // outer key never equals, so it lands FALSE through the
+        // coalesce, exactly what the dropped correlated filter yields.
+        val stats = sub.agg(count(lit(1)).as("n"),
+          min(col("_zc_ck_0")).as("lo"), max(col("_zc_ck_0")).as("hi")).collect()(0)
+        val n = stats.getLong(0)
+        strengthen(s.boundsKey, stats.get(1), stats.get(2))
+        val hit = s"_zc_ck_hit_$i"
+        val keys0 = sub.withColumn(hit, lit(true))
+        val keys = if (n <= Collection.DvMaxTotalRows) broadcast(keys0) else keys0
+        val cond = s.corrValues.zipWithIndex
+          .map { case (v, k) => v === col(s"_zc_ck_$k") }.reduce(_ && _)
+        val ckCols = s.corrValues.indices.map(k => s"_zc_ck_$k") :+ hit
+        (df: DataFrame) => df.join(keys, cond, "left")
+          .withColumn(s.flag, coalesce(col(hit), lit(false)))
+          .drop(ckCols: _*)
+      } else if (s.isExists) {
         val exists = sub.limit(1).count() > 0
         (df: DataFrame) => df.withColumn(s.flag, lit(exists))
       } else {
@@ -413,25 +520,7 @@ private[sources] object GraftDmlCommands {
         val joinName = s"_zc_subq_v_$i"
         val vals0 = sub.select(col(vCol).as(joinName)).where(col(joinName).isNotNull).distinct()
         val vals = if (n <= Collection.DvMaxTotalRows) broadcast(vals0) else vals0
-        s.boundsKey.foreach { k =>
-          def litOf(v: Any): Option[FilterExpr.Lit] = v match {
-            case l: Long => Some(FilterExpr.Lit(l))
-            case x: Int => Some(FilterExpr.Lit(x.toLong))
-            case sh: Short => Some(FilterExpr.Lit(sh.toLong))
-            case b: Byte => Some(FilterExpr.Lit(b.toLong))
-            case d: Double => Some(FilterExpr.Lit(d))
-            case f: Float => Some(FilterExpr.Lit(f.toDouble))
-            case str: String => Some(FilterExpr.Lit(str))
-            case _ => None // exotic key domain: prune-nothing, still exact
-          }
-          for (lo <- Option(stats.get(2)).flatMap(litOf);
-               hi <- Option(stats.get(3)).flatMap(litOf)) {
-            val range = FilterExpr.And(
-              FilterExpr.Cmp(">=", FilterExpr.Name(k), lo),
-              FilterExpr.Cmp("<=", FilterExpr.Name(k), hi))
-            outAst = if (outAst == FilterExpr.True) range else FilterExpr.And(outAst, range)
-          }
-        }
+        strengthen(s.boundsKey, stats.get(2), stats.get(3))
         (df: DataFrame) => {
           val joined = df.join(vals, s.value === col(joinName), "left")
           val flag =

@@ -257,6 +257,45 @@ class PipelineSpec extends AnyFunSuite {
       s"appended duplicate must be found at cosine ~1, got ${after.toSeq}")
   }
 
+  test("filtered vector search: pre-filter exactness; payload predicate inside probed IVF lists") {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where($"vec_id" < 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Ann.filteredTopK(e, q, "vec_id", "embedding", 10, $"label" % 3 === 0)
+    // independent window-based oracle over the pre-filtered corpus
+    val scored = e.where($"label" % 3 === 0).select($"vec_id".as("nid"), $"embedding".as("cv"))
+      .crossJoin(q.select($"vec_id".as("qid"), $"embedding".as("qv")))
+      .where($"nid" =!= $"qid")
+      .withColumn("sim", Ann.cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy($"sim".desc, $"nid")).cast("int"))
+      .where($"rank" <= 10)
+    assert(key(exact) == key(scored), "filteredTopK must be the true filtered top-k")
+    // persisted IVF with the label payload: probing EVERY list makes the
+    // filtered search exact — it must reproduce filteredTopK verbatim
+    val path = SparkTestSession.tmp("graft-ivfflt")
+    Ann.buildIvfIndex(e, "vec_id", "embedding", path, nLists = 16, payloadCols = Seq("label"))
+    val full = Ann.searchIvfIndex(spark, path, q, "vec_id", "embedding", 10, nProbe = 16,
+      predicate = $"label" % 3 === 0)
+    assert(key(full) == key(exact), "full-probe filtered IVF must equal the exact filtered top-k")
+    // a translatable conjunct reaches the probed lists' parquet scan as a
+    // pushed filter — the filter CUTS index IO rather than adding a pass
+    val pushed = Ann.searchIvfIndex(spark, path, q, "vec_id", "embedding", 10, nProbe = 4,
+      predicate = $"label" >= 3)
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(label,3)"),
+      s"payload predicate must push into the lists scan, plan:\n$plan")
+    // narrow probe: pre-filter discipline — every returned row satisfies
+    // the predicate (post-filter would leak non-matching rows)
+    val narrow = Ann.searchIvfIndex(spark, path, q, "vec_id", "embedding", 10, nProbe = 4,
+      predicate = $"label" % 3 === 0)
+    val lbl = e.select($"vec_id".as("nid"), $"label").where($"label" % 3 === 0)
+    assert(narrow.join(lbl, "nid").count() == narrow.count(),
+      "every filtered-search hit must satisfy the predicate")
+  }
+
   test("native shingle expressions are bit-identical to the HOF compositions") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .unionByName(Seq((900001L, "one two", "en", "t", 7),

@@ -121,13 +121,54 @@ class SqlDmlSpec extends AnyFunSuite {
       sql(s"DELETE FROM $tbl WHERE v < 0 OR NOT EXISTS " +
         "(SELECT 1 FROM graftdml.dml.dim_users)")
       assert(rows(tbl).size == 3)
-      // correlated stays a loud refusal
+      // correlated IN stays a loud refusal (rewrite as EXISTS)
       val e = intercept[UnsupportedOperationException] {
-        sql(s"DELETE FROM $tbl WHERE EXISTS (SELECT 1 FROM graftdml.dml.dim_users d " +
-          s"WHERE d.user_id = $tbl.user_id)")
+        sql(s"DELETE FROM $tbl WHERE user_id IN (SELECT d.user_id FROM " +
+          s"graftdml.dml.dim_users d WHERE d.user_id = $tbl.user_id)")
       }
       assert(e.getMessage.contains("correlated or scalar"))
     } finally sql("DROP TABLE IF EXISTS graftdml.dml.dim_users")
+  }
+
+  test("SQL DELETE/UPDATE with equality-correlated EXISTS decorrelates exactly (r11b)") {
+    val tbl = mkTable()
+    sql(s"""CREATE TABLE graftdml.dml.dim_corr (user_id BIGINT, flagged BOOLEAN)
+            PARTITIONED BY (chunk(4, user_id))""")
+    sql(s"""INSERT INTO graftdml.dml.dim_corr VALUES
+            (1, true), (3, true), (4, false), (99, true), (CAST(NULL AS BIGINT), true)""")
+    try {
+      // EXISTS with an extra uncorrelated conjunct: only flagged users
+      // delete; the NULL dim key never equates (and a NULL outer key
+      // would land FALSE, not UNKNOWN — EXISTS is two-valued)
+      sql(s"DELETE FROM $tbl t WHERE EXISTS (SELECT 1 FROM graftdml.dml.dim_corr d " +
+        "WHERE d.user_id = t.user_id AND d.flagged)")
+      assert(rows(tbl) == Seq((2L, "view", 2.0), (4L, "view", 4.0), (5L, "click", 5.0)))
+      // NOT EXISTS rides the enclosing boolean structure for free
+      sql(s"UPDATE $tbl t SET v = v + 100 WHERE NOT EXISTS " +
+        s"(SELECT 1 FROM graftdml.dml.dim_corr d WHERE d.user_id = t.user_id)")
+      assert(rows(tbl) == Seq((2L, "view", 102.0), (4L, "view", 4.0), (5L, "click", 105.0)))
+      // reversed equality sides + expression on the inner side
+      sql(s"DELETE FROM $tbl t WHERE EXISTS (SELECT 1 FROM graftdml.dml.dim_corr d " +
+        "WHERE t.user_id = d.user_id + 1 AND NOT d.flagged)")
+      assert(rows(tbl) == Seq((2L, "view", 102.0), (4L, "view", 4.0))) // 5 = 4+1 deleted
+      // HAVING-correlated equality decorrelates too (the key set is the
+      // per-group aggregate): delete rows whose user_id is some group's max
+      sql(s"DELETE FROM $tbl t WHERE EXISTS (SELECT 1 FROM graftdml.dml.dim_corr d " +
+        "GROUP BY d.flagged HAVING max(d.user_id) = t.user_id)")
+      assert(rows(tbl) == Seq((2L, "view", 102.0))) // max(flagged)=99, max(!flagged)=4
+      // non-equality correlation refuses loudly
+      val e1 = intercept[UnsupportedOperationException] {
+        sql(s"DELETE FROM $tbl t WHERE EXISTS (SELECT 1 FROM graftdml.dml.dim_corr d " +
+          "WHERE d.user_id < t.user_id)")
+      }
+      assert(e1.getMessage.contains("correlated EXISTS"))
+      // OR-nested correlation refuses loudly (not a top-level conjunct)
+      val e2 = intercept[UnsupportedOperationException] {
+        sql(s"DELETE FROM $tbl t WHERE EXISTS (SELECT 1 FROM graftdml.dml.dim_corr d " +
+          "WHERE d.user_id = t.user_id OR d.flagged)")
+      }
+      assert(e2.getMessage.contains("correlated"))
+    } finally sql("DROP TABLE IF EXISTS graftdml.dml.dim_corr")
   }
 
   test("SQL DELETE with a predicate outside the exact domain row-levels") {
