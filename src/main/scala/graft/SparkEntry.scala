@@ -420,6 +420,28 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // A56 (r11b): MULTI-OPERATION TRANSACTION — insert + delete + update
+    // as ONE atomic commit (the Iceberg Transaction shape): the body
+    // runs on an anonymous branch forked at head, each op SEES the
+    // previous ops (the delete removes error rows the insert just
+    // appended — sequential visibility the oracle replays in order),
+    // and publish is a single promoted generation (hard-asserted).
+    "zc_transaction" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      val gBefore = c.generation
+      c.transaction { t =>
+        val slice = Tables.events(s, dir).where(dayofmonth(col("ts")) === 5)
+        t.insert(slice.withColumn("event_id", col("event_id") + 20000000L)
+          .withColumn("value", -col("value")), MergeStrategy.Concat)
+        t.deleteWhere("event_type == 'error'")
+        t.updateWhere("event_type == 'click' and day <= 3",
+          Map("event_type" -> "'txn_click'"))
+      }
+      require(c.generation == gBefore + 1,
+        "zc_transaction: the transaction must publish exactly ONE generation")
+      eventsOut(c.query())
+    }),
+
     // D11 (r6): CDC CHANGE FEED — the row-level diff between the
     // pre-update and post-update snapshots. The update's file-granular
     // rewrite replaces whole files; rows carried through unchanged
@@ -4079,6 +4101,24 @@ object SparkEntry {
            (SELECT 1 FROM events e
             WHERE e.user_id = t.user_id AND e.event_type = 'purchase' AND e.value > 90)
          ORDER BY event_id""",
+
+    // Sequential replay of the transaction's three ops — the delete
+    // applies AFTER the insert (within-transaction visibility).
+    "zc_transaction" ->
+      """WITH base AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+                       FROM events),
+         ins AS (SELECT * FROM base
+                 UNION ALL
+                 SELECT event_id + 20000000, ts, user_id, event_type, -value, props
+                 FROM base WHERE day(ts) = 5),
+         del AS (SELECT * FROM ins WHERE NOT COALESCE(event_type = 'error', FALSE)),
+         upd AS (SELECT event_id, ts, user_id,
+                        CASE WHEN COALESCE(event_type = 'click' AND day(ts) <= 3, FALSE)
+                             THEN 'txn_click' ELSE event_type END AS event_type,
+                        value, props
+                 FROM del)
+         SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+         FROM upd ORDER BY event_id""",
 
     "zc_view_partial" ->
       """SELECT event_id, value,

@@ -1760,6 +1760,66 @@ final class Collection private (
     }
   }
 
+  /** MULTI-OPERATION TRANSACTION (r11b): run several mutations as ONE
+    * atomic, all-or-nothing commit — the Iceberg `Transaction` /
+    * Icechunk writable-session shape, which single-statement lakehouse
+    * DML cannot express ("insert the corrections AND delete the
+    * retracted rows, atomically"). Built entirely from proven pieces:
+    *
+    *  - `body` receives a WORKING collection: an anonymous branch
+    *    forked at the current head (metadata-only shallow clone, data
+    *    files referenced not copied). Every mutation the Collection API
+    *    offers works on it — insert/deleteWhere/updateWhere/mergeInto/
+    *    compact — and each op SEES the previous ops' effects
+    *    (sequential within-transaction visibility), while parent
+    *    readers see NOTHING until publish (snapshot isolation).
+    *  - publish = [[promoteBranch]]: the branch's row-level CDC diff
+    *    since the fork applies to the parent as ONE atomic commit —
+    *    readers observe all of the transaction's effects or none, and
+    *    time travel shows ONE generation.
+    *  - `body` throwing aborts: the branch (and every file it wrote)
+    *    is dropped, the parent is untouched.
+    *  - optimistic concurrency: a parent commit racing the transaction
+    *    makes the publish REFUSE (ConcurrentModificationException —
+    *    rerun the transaction against the new head). Passing
+    *    `rebaseKeys` upgrades the refusal to [[rebaseBranch]]'s checked
+    *    row-level divergence handling (disjoint keys apply cleanly;
+    *    conflicts follow `resolve`).
+    *
+    * Scale shape: the fork is O(manifest); publish cost is promote's —
+    * the CDC diff of what the transaction actually changed, touched
+    * parent partitions rewrite, untouched subtrees carry by name. A
+    * crash INSIDE `body` leaves only the invisible branch directory;
+    * it is reclaimed like any branch (`dropBranch`), never visible to
+    * readers. Schema evolution inside a transaction refuses at publish
+    * (promote's contract: evolve the parent first).
+    *
+    * Returns the parent partitions the publish rewrote (empty for a
+    * no-op transaction, which publishes nothing). */
+  def transaction(body: Collection => Unit, rebaseKeys: Seq[String] = Nil,
+                  resolve: RebaseResolve = RebaseResolve.Refuse): Seq[String] = {
+    requireWritable()
+    val name = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+    val forkGen = generation
+    val work = branch(name)
+    try {
+      body(work)
+      if (work.generation == forkGen) Nil // no-op transaction: publish nothing
+      else if (rebaseKeys.nonEmpty) rebaseBranch(name, rebaseKeys, resolve)
+      else try promoteBranch(name)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("fork point") =>
+          val c = new java.util.ConcurrentModificationException(
+            s"transaction conflict: the collection advanced past generation $forkGen " +
+            "while the transaction ran — rerun it against the new head (or pass " +
+            "rebaseKeys for checked row-level divergence)")
+          c.initCause(e)
+          throw c
+      }
+    } finally dropBranch(name)
+  }
+
   /** Null-safe key-equality anti/semi join helper for the rebase
     * conflict sets (the conflict keys came from a DISTINCT/INTERSECT,
     * where NULL groups — the joins must agree). */
