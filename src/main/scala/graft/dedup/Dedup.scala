@@ -351,9 +351,19 @@ object Dedup {
             "shiftleft(1L, cast(_zc_tid % 64 as int)) ELSE 0L END)")
             .as(s"_zc_w$w")
         }: _*)
-    val l = bits.select(col("_zc_id").as("a") +: col("_zc_n").as("_zc_na") +:
+    // materialize the bitmap table ONCE (bounded by regime: <=
+    // denseDocsMax rows x (2 + words) longs — a few MB at the gate
+    // ceiling) — both sides of the self-join would otherwise replay
+    // the whole text -> shingle -> explode -> bit_or pipeline, doubling
+    // the dominant cost of the dense path
+    val bitsRows = bits.collect().toSeq
+    val slices = math.max(1, math.min(bitsRows.length / 64,
+      spark.sparkContext.defaultParallelism))
+    val bitsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(bitsRows, slices), bits.schema)
+    val l = bitsDf.select(col("_zc_id").as("a") +: col("_zc_n").as("_zc_na") +:
       (0 until words).map(w => col(s"_zc_w$w").as(s"_zc_aw$w")): _*)
-    val r = bits.select(col("_zc_id").as("b") +: col("_zc_n").as("_zc_nb") +:
+    val r = bitsDf.select(col("_zc_id").as("b") +: col("_zc_n").as("_zc_nb") +:
       (0 until words).map(w => col(s"_zc_w$w").as(s"_zc_bw$w")): _*)
     val inter = (0 until words)
       .map(w => bit_count(col(s"_zc_aw$w").bitwiseAND(col(s"_zc_bw$w"))))
