@@ -1416,6 +1416,18 @@ object SparkEntry {
         .select("qid", "nid", "rank").orderBy("qid", "rank")
     }),
 
+    // C64 (r11b): DIVERSIFIED top-k — at most 2 results per label class
+    // (search diversification): greedy-scan semantics in the provably
+    // equivalent closed form (within-group rank <= m, then global
+    // top-k), run as two bounded TopKAgg stages — no corpus-sized
+    // window, map-side partials bounded by m then k.
+    "ann_diverse" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ann.Ann.diversifiedTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+          groupCol = col("label"), k = 10, perGroup = 2)
+        .select("qid", "nid", "rank").orderBy("qid", "rank")
+    }),
+
     // C30 (r6): MATRYOSHKA truncated-dimension search — shortlist on the
     // first 16 of 64 components (a quarter of the vector bytes), exact
     // full-dimension re-rank of the shortlist only; the MRL serve
@@ -4370,6 +4382,23 @@ object SparkEntry {
            SELECT qid, nid,
                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
            FROM p) t
+         WHERE rank <= 10 ORDER BY qid, rank""",
+
+    // Greedy diversification in its closed form: within-label rank <= 2
+    // first, then the global top-10 (see diversifiedTopK's equivalence
+    // argument — the two ROW_NUMBER passes replay the greedy scan).
+    "ann_diverse" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         p AS (SELECT q.qid, e.vec_id AS nid, e.label,
+                      list_cosine_similarity(q.qe, e.embedding) AS sim
+               FROM q, embeddings e WHERE e.vec_id <> q.qid),
+         g AS (SELECT qid, nid, sim,
+                      ROW_NUMBER() OVER (PARTITION BY qid, label ORDER BY sim DESC, nid) AS grank
+               FROM p)
+         SELECT qid, nid, rank FROM (
+           SELECT qid, nid,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+           FROM g WHERE grank <= 2) t
          WHERE rank <= 10 ORDER BY qid, rank""",
 
     "ann_filtered" ->

@@ -130,6 +130,107 @@ object Ann {
                    vecCol: String, k: Int, predicate: Column): DataFrame =
     bruteForceTopK(corpus.where(predicate), queries, idCol, vecCol, k)
 
+  /** MMR re-rank (r11b): Maximal Marginal Relevance (Carbonell &
+    * Goldstein, SIGIR'98) — greedily re-order a candidate list so each
+    * pick balances query relevance against redundancy with what is
+    * already picked: `argmax λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s)`.
+    * The candidate lists are the OUTPUT of a top-n search (bounded by
+    * construction), so the whole greedy loop runs as pure Catalyst
+    * HIGHER-ORDER FUNCTIONS over one collected-per-query array — zero
+    * UDFs, zero shuffles beyond the one per-query collect_list, k·n²
+    * work on n≤hundreds candidates. Candidate vectors pre-normalize
+    * once (zero-norm → zero vector), so every pairwise cosine inside
+    * the loop is a plain dot. Ties break (score desc, id asc);
+    * `λ = 1` degenerates to the input relevance order.
+    *
+    * @param topn candidate lists: `(qid, nid, sim)` — e.g.
+    *             [[bruteForceTopK]]/[[searchIvfIndex]] output
+    * @param corpus id + vector frame the candidate vectors join from */
+  def mmrRerank(topn: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val nvec = {
+      val n = sqrt(dotHof(col(vecCol), col(vecCol)))
+      when(n > 0.0, transform(col(vecCol), x => x.cast("double") / n))
+        .otherwise(transform(col(vecCol), _ => lit(0.0)))
+    }
+    val cands = topn.select(col("qid"), col("nid"), col("sim"))
+      .join(corpus.select(col(idCol).as("nid"), nvec.as("_zc_nv")), "nid")
+      .groupBy("qid")
+      .agg(collect_list(struct(col("nid"), col("sim"), col("_zc_nv"))).as("_zc_cs"))
+    val cs = col("_zc_cs")
+    def dotd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    // one greedy step: the argmax over unselected candidates of
+    // λ·sim − (1−λ)·max cosine to the selected set (empty set → 0)
+    def pick(sel: Column): Column = {
+      def score(c: Column): Column = {
+        val red = array_max(transform(
+          filter(cs, s => array_contains(sel, s.getField("nid"))),
+          s => dotd(c.getField("_zc_nv"), s.getField("_zc_nv"))))
+        lit(lambda) * c.getField("sim") - lit(1.0 - lambda) * coalesce(red, lit(0.0))
+      }
+      val best = aggregate(
+        filter(cs, c => !array_contains(sel, c.getField("nid"))),
+        lit(null).cast("struct<nid:bigint,score:double>"),
+        (b, c) => {
+          val sc = score(c)
+          when(b.isNull || sc > b.getField("score") ||
+              (sc === b.getField("score") && c.getField("nid") < b.getField("nid")),
+            struct(c.getField("nid").as("nid"), sc.as("score"))).otherwise(b)
+        })
+      best.getField("nid")
+    }
+    val selected = aggregate(
+      slice(cs, 1, k), // k greedy steps (never more than the list holds)
+      array().cast("array<bigint>"),
+      (sel, _) => {
+        val p = pick(sel)
+        when(p.isNull, sel).otherwise(concat(sel, array(p)))
+      })
+    cands.select(col("qid"), posexplode(selected).as(Seq("_zc_pos", "nid")))
+      .select(col("qid"), col("nid"), (col("_zc_pos") + 1).cast("int").as("rank"))
+  }
+
+  /** DIVERSIFIED top-k (r11b): at most `perGroup` results per group
+    * (source, domain, label — the search-result diversification every
+    * serving stack applies so one hot domain cannot monopolize the
+    * page). Semantics are the GREEDY scan — walk candidates in score
+    * order, skip one whose group already holds `perGroup` results —
+    * which is provably equivalent to "within-group rank <= perGroup,
+    * then global top-k" (an item's take/skip outcome depends only on
+    * its own within-group rank: the r-1 better same-group items are
+    * each taken iff their own rank <= perGroup, so the group count at
+    * consideration time is min(r-1, perGroup)). That closed form is
+    * what runs: two BOUNDED TopKAgg stages — per-(query, group) top-m,
+    * then per-query top-k — so neither a corpus-sized window nor an
+    * unbounded sort exists; map-side partials ship at most m (then k)
+    * candidates per task. Exact and engine-replayable (two ROW_NUMBER
+    * passes in the oracle). */
+  def diversifiedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, groupCol: Column, k: Int,
+                      perGroup: Int): DataFrame = {
+    require(k > 0 && perGroup > 0, "k and perGroup must be positive")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_zc_qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("_zc_cv"),
+      groupCol.as("_zc_g"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("_zc_qv"), col("_zc_cv")))
+    val topm = graft.functions.TopKAgg.topK(perGroup)
+    val perG = scored.groupBy(col("qid"), col("_zc_g"))
+      .agg(topm(col("sim"), col("nid")).as("_zc_tk"))
+      .select(col("qid"), explode(col("_zc_tk")).as("_zc_s"))
+      .select(col("qid"), col("_zc_s.id").as("nid"), col("_zc_s.score").as("sim"))
+    val topk = graft.functions.TopKAgg.topK(k)
+    perG.groupBy(col("qid"))
+      .agg(topk(col("sim"), col("nid")).as("_zc_tk"))
+      .select(col("qid"), posexplode(col("_zc_tk")).as(Seq("_zc_pos", "_zc_s")))
+      .select(col("qid"), col("_zc_s.id").as("nid"),
+        (col("_zc_pos") + 1).cast("int").as("rank"), col("_zc_s.score").as("sim"))
+  }
+
   /** HYBRID-search fusion by Reciprocal Rank Fusion (r10c): merge two
     * ranked candidate lists — typically sparse (BM25, C45) and dense
     * (cosine top-k, C6) retrieval over the same corpus — with the

@@ -296,6 +296,84 @@ class PipelineSpec extends AnyFunSuite {
       "every filtered-search hit must satisfy the predicate")
   }
 
+  test("diversified top-k equals the explicit greedy per-group-cap scan") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where($"vec_id" < 5)
+    val got = Ann.diversifiedTopK(e, q, "vec_id", "embedding", $"label", k = 10, perGroup = 2)
+      .select("qid", "nid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // reference: the literal greedy scan — walk candidates in (sim desc,
+    // nid) order, skip any whose label already holds 2 results
+    val scored = e.select($"vec_id".as("nid"), $"embedding".as("cv"), $"label")
+      .crossJoin(q.select($"vec_id".as("qid"), $"embedding".as("qv")))
+      .where($"nid" =!= $"qid")
+      .withColumn("sim", Ann.cosine($"qv", $"cv"))
+      .select("qid", "nid", "label", "sim").collect()
+    val ref = scored.groupBy(_.getLong(0)).flatMap { case (qid, rows) =>
+      val sorted = rows.sortBy(r => (-r.getDouble(3), r.getLong(1)))
+      val cnt = scala.collection.mutable.Map.empty[Any, Int]
+      val taken = scala.collection.mutable.Buffer.empty[(Long, Long, Int)]
+      for (r <- sorted if taken.size < 10) {
+        val g = r.get(2)
+        if (cnt.getOrElse(g, 0) < 2) {
+          cnt(g) = cnt.getOrElse(g, 0) + 1
+          taken += ((qid, r.getLong(1), taken.size + 1))
+        }
+      }
+      taken
+    }.toSet
+    assert(got == ref, "two-stage closed form must replay the greedy scan exactly")
+  }
+
+  test("MMR re-rank replays the reference greedy loop exactly") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where($"vec_id" < 5)
+    val topn = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 30)
+    val got = Ann.mmrRerank(topn, e, "vec_id", "embedding", k = 10, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).map { case (qid, rs) => qid -> rs.sortBy(_._3).map(_._2).toSeq }
+    // reference: the literal greedy loop in plain Scala, same arithmetic
+    // (pre-normalized doubles, left-fold dot, (score desc, id asc) ties)
+    val lambda = 0.7; val mu = 1.0 - lambda
+    val vecs = e.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def nvecOf(id: Long): Array[Double] = {
+      val v = vecs(id).map(_.toDouble)
+      var n2 = 0.0; v.foreach(x => n2 += x * x)
+      val n = math.sqrt(n2)
+      if (n > 0) v.map(_ / n) else v.map(_ => 0.0)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val ref = topn.select("qid", "nid", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (qid, rows) =>
+        val cl = rows.toSeq.map(t => (t._2, t._3, nvecOf(t._2)))
+        var sel = Vector.empty[Long]
+        val selV = scala.collection.mutable.Buffer.empty[Array[Double]]
+        for (_ <- 1 to math.min(10, cl.size)) {
+          var best = Option.empty[(Long, Double, Array[Double])]
+          for ((id, sim, nv) <- cl if !sel.contains(id)) {
+            val red = if (selV.isEmpty) 0.0 else selV.map(sv => dot(nv, sv)).max
+            val sc = lambda * sim - mu * red
+            if (best.isEmpty || sc > best.get._2 ||
+                (sc == best.get._2 && id < best.get._1)) best = Some((id, sc, nv))
+          }
+          best.foreach { b => sel :+= b._1; selV += b._3 }
+        }
+        qid -> sel.toSeq
+      }
+    assert(got == ref, "HOF greedy must replay the reference MMR loop")
+    // λ = 1 degenerates to the input relevance order
+    val plain = Ann.mmrRerank(topn, e, "vec_id", "embedding", k = 5, lambda = 1.0)
+    val base = topn.where($"rank" <= 5).select("qid", "nid", "rank")
+    assert(plain.select("qid", "nid", "rank").except(base).isEmpty &&
+      base.except(plain.select("qid", "nid", "rank")).isEmpty)
+  }
+
   test("native shingle expressions are bit-identical to the HOF compositions") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .unionByName(Seq((900001L, "one two", "en", "t", 7),
