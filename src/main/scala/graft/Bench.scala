@@ -93,6 +93,9 @@ object Bench {
     // DELETE (IN-list semi over a DV-enabled collection), and the
     // metadata-only column rename followed by a cross-vintage read
     "zc_delete_dv", "zc_sql_delete_subq", "zc_schema_rename",
+    // r11b: atomic multi-op transaction (fork + three ops + promote),
+    // correlated-EXISTS DML, filtered and diversified vector search
+    "zc_transaction", "zc_sql_delete_corr", "ann_filtered", "ann_diverse",
     // NOT benched: dedup_incremental_contain / stream_ingest_contain —
     // the incremental containment index builds a full inverted index of
     // the corpus per entry (its cost IS the index build, ~40 s at sf0.1
