@@ -123,6 +123,25 @@ class TransactionSpec extends AnyFunSuite {
       "the parent's racing edit survives; the conflicted transaction publishes nothing")
   }
 
+  test("transaction on a DV-enabled collection: branch DV deletes promote exactly") {
+    val root = SparkTestSession.tmp("graft-txn-dv")
+    val b = mk(0, 20, 1)
+    val c = Collection.create(spark, root, b.schema, "ts",
+      DatePartitioning("ts", "D"),
+      attrs = Map(Collection.DvEnabledAttr -> "true"), retainGenerations = 4)
+    c.insert(b, MergeStrategy.Concat)
+    c.insert(mk(100, 120, 2), MergeStrategy.Concat)
+    c.transaction { t =>
+      t.deleteWhere("id >= 10 and id < 15") // light delete: DV leg on the branch
+      t.insert(mk(500, 505, 2), MergeStrategy.Concat)
+    }
+    assert(ids(c) == ((0L until 10L) ++ (15L until 20L) ++ (100L until 120L) ++
+      (500L until 505L)).sorted,
+      "the branch's DV delete and the insert must both promote")
+    // the parent's own read faces stay DV-coherent after the promote
+    assert(c.countRows() == c.query().count())
+  }
+
   test("no-op transaction publishes nothing") {
     val c = coll(SparkTestSession.tmp("graft-txn-noop"))
     val g0 = c.generation
