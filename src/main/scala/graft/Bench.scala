@@ -204,7 +204,12 @@ object Bench {
     // Same shape and scenario names as the reference's own bench: 12
     // monthly partitions x 50k rows, time (datetime64[s]) + ssh
     // float32[time, 240], cloud-balanced profile; ratios against
-    // BASELINE.md compare like-for-like.
+    // BASELINE.md compare like-for-like. Settle first (r11b): this
+    // FIXED-SIZE suite runs right after the headline pile at peak
+    // self-inflicted load — its A/B legs interleave (ratios stay
+    // honest), but the absolute seconds compare across rounds only
+    // from a comparable load point.
+    settle(30000)
     val refResults = refSuite(spark, reps)
 
     // --- SPJ / DPP headline entries (r10) -----------------------------
@@ -227,6 +232,7 @@ object Bench {
     }
 
     // --- deletion-vector A/B (r11) ------------------------------------
+    settle(30000)
     val dvResults = dvSuite(spark, sfDir, reps)
 
     val qs = (Seq("zc_build" -> buildSec, "zc_build_skip" -> buildSkipSec) ++ results) ++
