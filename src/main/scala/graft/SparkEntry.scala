@@ -1428,6 +1428,28 @@ object SparkEntry {
         .select("qid", "nid", "rank").orderBy("qid", "rank")
     }),
 
+    // C63b (r11b): FILTERED search over a label-partitioned COLLECTION —
+    // the 100 TB shape of C63: the metadata predicate prunes through the
+    // collection's OWN skip stack (partition keys here), so the scan
+    // plans only the matching label's partition before any vector math.
+    // Hard in-entry signal: the filtered read plans a strict subset of
+    // the collection's files.
+    "ann_filtered_coll" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val root = s"$scratch/annc-${java.util.UUID.randomUUID().toString.take(8)}"
+      val c = Collection.create(s, root, e.schema, "vec_id",
+        SequencePartitioning(Seq("label"), "vec_id"), overwrite = true)
+      c.insert(e)
+      val rep = c.explainPruning("label == 3")
+      require(rep.filesAfterStats > 0 && rep.filesAfterStats < rep.filesListed ||
+          rep.partitionsKept < rep.partitionsTotal,
+        s"ann_filtered_coll: label filter must prune ($rep)")
+      val corpus = c.query("label == 3")
+      graft.ann.Ann.bruteForceTopK(corpus, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", 10)
+        .select("qid", "nid", "rank").orderBy("qid", "rank")
+    }),
+
     // C30 (r6): MATRYOSHKA truncated-dimension search — shortlist on the
     // first 16 of 64 components (a quarter of the vector bytes), exact
     // full-dimension re-rank of the shortlist only; the MRL serve
@@ -4405,6 +4427,16 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
          p AS (SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qe, e.embedding) AS sim
                FROM q, embeddings e WHERE e.vec_id <> q.qid AND e.label % 3 = 0)
+         SELECT qid, nid, rank FROM (
+           SELECT qid, nid,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+           FROM p) t
+         WHERE rank <= 10 ORDER BY qid, rank""",
+
+    "ann_filtered_coll" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         p AS (SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qe, e.embedding) AS sim
+               FROM q, embeddings e WHERE e.vec_id <> q.qid AND e.label = 3)
          SELECT qid, nid, rank FROM (
            SELECT qid, nid,
                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
