@@ -1895,6 +1895,33 @@ final class Collection private (
         }
       }
     }
+    // PURE-APPEND fast path (r11b): if every fork-time file survives at
+    // the branch head with identical deletion-vector state, the fork's
+    // row multiset is a subset of the head's — the diff CANNOT contain
+    // deletes, and the promotion is a plain append of the diff's insert
+    // rows: no existing-partition read, no rewrite, publish cost ∝ the
+    // branch's own rows. Decided entirely from the two manifests (zero
+    // data IO); any replace/compact/delete on the branch breaks the
+    // file-survival check and falls back to the exact rewrite below.
+    val appendOnly = conflict.isEmpty && {
+      val forkMan = b.manifestAt(forkGen)
+      val headMan = b.currentManifestRaw()
+      val headFiles = headMan.files.toSet
+      def dvOf(m: Manifest): Map[String, DvRef] =
+        m.shards.flatMap(e => m.shardData(e).dvs).toMap
+      forkMan.files.forall(headFiles.contains) && {
+        val fDv = dvOf(forkMan); val hDv = dvOf(headMan)
+        forkMan.files.forall(f => fDv.get(f) == hDv.get(f))
+      }
+    }
+    if (appendOnly) {
+      val assigned = partitioning.assign(inserts)
+      val touchedA = distinctKeys(assigned).map(keyPath)
+      try writeAndCommit(partitioning.assign(inserts), replaced = Set.empty,
+        base = man, op = op)
+      finally cachedConflicts.foreach(_.unpersist(blocking = false))
+      return touchedA.sorted
+    }
     // touched parent partitions: anywhere the diff lands on either side
     // (the distinct key set is small — bounded by partitions, not rows)
     val touched = distinctKeys(partitioning.assign(inserts.unionByName(deletes)))

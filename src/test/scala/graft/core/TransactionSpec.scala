@@ -142,6 +142,19 @@ class TransactionSpec extends AnyFunSuite {
     assert(c.countRows() == c.query().count())
   }
 
+  test("pure-append transaction promotes as a plain append: no partition rewrite") {
+    val c = coll(SparkTestSession.tmp("graft-txn-append"))
+    val filesBefore = c.currentManifest().files.toSet
+    c.transaction { t =>
+      t.insert(mk(900, 910, 1), MergeStrategy.Concat) // into an EXISTING day
+      t.insert(mk(300, 305, 3), MergeStrategy.Concat) // into a new day
+    }
+    val filesAfter = c.currentManifest().files.toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      "append-only promotion must not rewrite any pre-existing file")
+    assert(ids(c).count(id => id >= 900 || (id >= 300 && id < 305)) == 15)
+  }
+
   test("no-op transaction publishes nothing") {
     val c = coll(SparkTestSession.tmp("graft-txn-noop"))
     val g0 = c.generation
