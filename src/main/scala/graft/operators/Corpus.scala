@@ -501,12 +501,29 @@ object Corpus {
     val grams = graft.Spread.spread(df, id) // gated spread, r11
       .select(id.as("_zc_did"),
         explode(array_distinct(wordShingleStrings(text, n))).as("_zc_g"))
-    // grams are distinct per doc, so the count IS the containing-doc count
-    val docFreq = grams.groupBy(col("_zc_g")).agg(count(lit(1)).as("_zc_df"))
-    grams.join(docFreq, "_zc_g")
-      .groupBy(col("_zc_did"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("_zc_df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    // A NOVEL gram (doc frequency 1) has exactly ONE owner, so the
+    // gram aggregation can carry it: first(_zc_did) is deterministic
+    // precisely where it is used (count == 1). That removes the r10
+    // join-back of the full gram stream against the frequency table —
+    // the gram stream now crosses the wire ONCE (map-side-combined
+    // per-gram partials); the novel owners regroup on the doc id as a
+    // strictly smaller frame, and per-doc totals aggregate
+    // independently with map-side combine. Three full-gram shuffles
+    // become one.
+    val byGram = grams.groupBy(col("_zc_g"))
+      .agg(count(lit(1)).as("_zc_df"), first(col("_zc_did")).as("_zc_d1"))
+    val novel = byGram.where(col("_zc_df") === 1)
+      .groupBy(col("_zc_d1").as("_zc_did"))
+      .agg(count(lit(1)).as("n_novel"))
+    // per-doc totals come straight off the document row — size of the
+    // distinct gram set is a SCALAR map, no explode and no shuffle of
+    // the gram stream (the join key frame is (id, long) rows)
+    val totals = graft.Spread.spread(df, id)
+      .select(id.as("_zc_did"),
+        size(array_distinct(wordShingleStrings(text, n))).cast("long").as("n_grams"))
+      .where(col("n_grams") > 0)
+    totals.join(novel, Seq("_zc_did"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
       .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
       .withColumnRenamed("_zc_did", "id")
   }
