@@ -4121,16 +4121,36 @@ final class Collection private (
     * maintenance window then prefers partitions no writer is actively
     * appending to, minimizing rewrite/ingest conflicts. Partitions
     * without recorded axis stats rank hot (conservative). */
+  /** `dvReclaimFraction` (r11b) adds the DELETION-VECTOR trigger: a
+    * partition whose masked rows reach this fraction of its recorded
+    * rows qualifies even as a single file and ranks FIRST (largest
+    * fraction first) — every read of such a partition pays the mask
+    * for rows that are already dead, and compaction MATERIALIZES the
+    * DVs (the Delta `OPTIMIZE`-applies-DVs shape). 1.0 disables. */
   def compactPlan(maxBytes: Long, minFiles: Int = 2,
-                  coldestFirst: Boolean = false): Seq[String] = {
+                  coldestFirst: Boolean = false,
+                  dvReclaimFraction: Double = 0.3): Seq[String] = {
     require(maxBytes > 0, "maxBytes must be positive")
     require(minFiles >= 2, "compacting < 2 files is a no-op")
+    require(dvReclaimFraction > 0.0,
+      "dvReclaimFraction must be positive (1.0 effectively disables the DV trigger)")
     val man = currentManifest()
     val dom = axisDomain
-    val candidates: Seq[(String, Seq[String], Option[Any])] = man.shards.flatMap { e =>
+    // a candidate qualifies by FRAGMENTATION (>= minFiles small files)
+    // or — r11b — by DELETION-VECTOR weight: a partition whose masked
+    // rows reach `dvReclaimFraction` of its recorded rows is carrying
+    // dead weight every read must mask around; compacting it
+    // MATERIALIZES the DVs (refs drop with the replaced files), so
+    // DV-heavy partitions qualify even as a single file and rank FIRST
+    // (largest masked fraction first). All metadata-only.
+    val candidates: Seq[(String, Seq[String], Option[Any], Double)] = man.shards.flatMap { e =>
       val d = man.shardData(e)
-      d.files.groupBy(parentRel).toSeq.filter(_._2.size >= minFiles).map {
-        case (p, fl) =>
+      d.files.groupBy(parentRel).toSeq.flatMap { case (p, fl) =>
+        val dvRows = fl.map(f => d.dvs.get(f).map(_.count).getOrElse(0L)).sum
+        val total = fl.map(f => d.rows.getOrElse(f, 0L)).sum
+        val dvFrac = if (total > 0L) dvRows.toDouble / total else 0.0
+        if (fl.size < minFiles && dvFrac < dvReclaimFraction) None
+        else {
           val axisMax: Option[Any] = dom.flatMap { dm =>
             val his = fl.map(f => d.stats.get(f)
               .flatMap(bc => bc.get(axis).orElse(bc.get(LegacyAxisKey)))
@@ -4138,20 +4158,24 @@ final class Collection private (
             if (his.isEmpty || his.exists(_.isEmpty)) None
             else Some(his.flatten.reduce((a, b) => if (dm.cmp(a, b) >= 0) a else b))
           }
-          (p, fl, axisMax)
+          Some((p, fl, axisMax, dvFrac))
+        }
       }
     }
+    val (dvHeavy, byShape) =
+      candidates.partition { case (_, _, _, f) => f >= dvReclaimFraction }
     val fragmented: Seq[(String, Seq[String])] =
-      (if (!coldestFirst) candidates.sortBy { case (p, fl, _) => (-fl.size, p) }
-       else candidates.sortWith { case ((pa, fa, ma), (pb, fb, mb)) =>
-         (ma, mb) match {
-           case (Some(a), Some(b)) if dom.exists(_.cmp(a, b) != 0) =>
-             dom.exists(_.cmp(a, b) < 0) // older newest-row first
-           case (Some(_), None) => true  // stat-less ranks hot: compact last
-           case (None, Some(_)) => false
-           case _ => if (fa.size != fb.size) fa.size > fb.size else pa < pb
-         }
-       }).map { case (p, fl, _) => (p, fl) }
+      (dvHeavy.sortBy { case (p, _, _, f) => (-f, p) } ++
+       (if (!coldestFirst) byShape.sortBy { case (p, fl, _, _) => (-fl.size, p) }
+        else byShape.sortWith { case ((pa, fa, ma, _), (pb, fb, mb, _)) =>
+          (ma, mb) match {
+            case (Some(a), Some(b)) if dom.exists(_.cmp(a, b) != 0) =>
+              dom.exists(_.cmp(a, b) < 0) // older newest-row first
+            case (Some(_), None) => true  // stat-less ranks hot: compact last
+            case (None, Some(_)) => false
+            case _ => if (fa.size != fb.size) fa.size > fb.size else pa < pb
+          }
+        })).map { case (p, fl, _, _) => (p, fl) }
     var budget = maxBytes
     val chosen = Seq.newBuilder[String]
     fragmented.foreach { case (p, files) =>

@@ -179,6 +179,28 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(c.columnBounds("user_id").contains((0L, 249L)))
   }
 
+  test("compactPlan's DV trigger: a masked-heavy single-file partition qualifies and ranks first") {
+    val root = SparkTestSession.tmp("graft-dv-plan")
+    val c = dvColl(root) // day=1 holds two 50-row files; day=2 one 50-row file
+    // mask 20 of day-2's 50 rows (40% — under the per-commit 50% rewrite
+    // split, over the 30% reclaim default)
+    c.deleteWhere("user_id >= 200 and user_id < 220")
+    assert(c.currentManifest().allDvs.nonEmpty, "precondition: the delete must DV")
+    val plan = c.compactPlan(maxBytes = 1L << 30)
+    assert(plan.nonEmpty && plan.head.contains("day=2"),
+      s"the DV-heavy single-file partition must rank first: $plan")
+    assert(plan.exists(_.contains("day=1")),
+      s"the fragmented day-1 partition still plans (after the DV-heavy one): $plan")
+    // below the threshold the single-file partition does NOT qualify
+    val strict = c.compactPlan(maxBytes = 1L << 30, dvReclaimFraction = 0.5)
+    assert(!strict.exists(_.contains("day=2")),
+      s"40% masked must not qualify at a 50% threshold: $strict")
+    // compacting the plan materializes the DV and drops the dead rows
+    c.compactPartitions(plan)
+    assert(c.currentManifest().allDvs.isEmpty)
+    assert(c.query().count() == 130 && c.countRows() == 130)
+  }
+
   test("fsck flags DV damage; vacuum reclaims superseded DV files") {
     val root = SparkTestSession.tmp("graft-dv-fsck")
     val c = dvColl(root)
