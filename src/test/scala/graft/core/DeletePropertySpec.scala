@@ -51,18 +51,34 @@ class DeletePropertySpec extends AnyFunSuite {
 
     for (i <- 1 to 12) {
       val expr = genExpr(2)
+      val expr2 = genExpr(1) // a second delete exercises DV union merges
       val root = SparkTestSession.tmp(s"graft-delprop-$i")
       val c = Collection.create(spark, root, df.schema, "ts",
         DatePartitioning("ts", "D"),
         statsColumns = Seq("user_id", "v"), bloomColumns = Seq("user_id"))
       c.insert(df)
-      c.deleteWhere(expr)
+      // DELETION-VECTOR twin (r11b): the same random deletes through the
+      // DV engine — any divergence between the masked read and the
+      // rewrite read (adaptive split, union merge, metadata counts)
+      // surfaces as a row-set mismatch
+      val cdv = Collection.create(spark, SparkTestSession.tmp(s"graft-delprop-dv-$i"),
+        df.schema, "ts", DatePartitioning("ts", "D"),
+        statsColumns = Seq("user_id", "v"), bloomColumns = Seq("user_id"),
+        attrs = Map(Collection.DvEnabledAttr -> "true"))
+      cdv.insert(df)
+      c.deleteWhere(expr);  cdv.deleteWhere(expr)
+      c.deleteWhere(expr2); cdv.deleteWhere(expr2)
       val got = c.query().select("id").as[Long].collect().sorted.toSeq
+      val gotDv = cdv.query().select("id").as[Long].collect().sorted.toSeq
       // derive the partition column the same way the collection does
+      def dead(e: String) = FilterExpr.toColumn(FilterExpr.parse(e)) <=> lit(true)
       val want = df.withColumn("day", dayofmonth(col("ts")).cast("int"))
-        .where(!(FilterExpr.toColumn(FilterExpr.parse(expr)) <=> lit(true)))
+        .where(!dead(expr) && !dead(expr2))
         .select("id").as[Long].collect().sorted.toSeq
-      assert(got == want, s"iteration $i, expr: $expr")
+      assert(got == want, s"iteration $i, exprs: $expr | $expr2")
+      assert(gotDv == want, s"iteration $i (DV twin), exprs: $expr | $expr2")
+      assert(cdv.countRows() == want.size.toLong,
+        s"iteration $i: DV metadata live count must match the visible rows")
     }
   }
 }
