@@ -634,6 +634,23 @@ object SparkEntry {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
 
+    // A55b (r11b): CORRELATED IN in SQL DML — the decorrelated
+    // (key, value) pair table replays SQL's three-valued IN PER GROUP
+    // (the NOT IN null trap is group-local); here through UPDATE, on a
+    // DV-enabled collection.
+    "zc_sql_update_corr_in" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir, dv = true)
+      val tbl = "graft_squci_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '${c.root}')")
+      try {
+        Tables.events(s, dir).createOrReplaceTempView("zc_cin_events")
+        s.sql(s"""UPDATE $tbl t SET value = -value WHERE t.value NOT IN
+                  (SELECT e.value FROM zc_cin_events e
+                   WHERE e.user_id = t.user_id AND e.event_type = 'click')""")
+        eventsOut(c.query())
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     // A44c (r8): SQL MERGE INTO through the DSv2 catalog — the ANSI
     // upsert (UPDATE SET * / INSERT *) lowered onto mergeInto: one
     // atomic file-granular commit, same semantics (and oracle) as the
@@ -4135,6 +4152,15 @@ object SparkEntry {
            (SELECT 1 FROM events e
             WHERE e.user_id = t.user_id AND e.event_type = 'purchase' AND e.value > 90)
          ORDER BY event_id""",
+
+    "zc_sql_update_corr_in" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                CASE WHEN COALESCE(value NOT IN
+                  (SELECT e.value FROM events e
+                   WHERE e.user_id = t.user_id AND e.event_type = 'click'), FALSE)
+                     THEN -value ELSE value END AS value,
+                props
+         FROM events t ORDER BY event_id""",
 
     // Sequential replay of the transaction's three ops — the delete
     // applies AFTER the insert (within-transaction visibility).

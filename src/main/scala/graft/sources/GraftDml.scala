@@ -284,6 +284,29 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         subs += DmlSubquery(flag, lq.plan, selfCol(v, t, s"$what IN"),
           boundsKey, isExists = false)
         UnresolvedAttribute(Seq(flag))
+      case in @ InSubquery(values, lq: ListQuery) =>
+        // CORRELATED IN (r11b): `x IN (SELECT e FROM s WHERE s.k = t.k
+        // [AND rest])` decorrelates into a DISTINCT (key..., value)
+        // PAIR table plus per-key group facts; the flag replays SQL's
+        // three-valued IN PER GROUP — FALSE when the row's group is
+        // EMPTY (even for null x), TRUE on a pair match, NULL when x is
+        // null or the group holds a null value, FALSE otherwise — so
+        // the correlated NOT IN null trap is group-local, exactly SQL.
+        val v = values match {
+          case Seq(one) => one
+          case _ => refuse(s"multi-column IN tuples are not supported in $what — " +
+            "rewrite as MERGE INTO with a source table")
+        }
+        val (pairsPlan, pairs) = decorrelateIn(lq, what)
+        val flag = s"_zc_subq_$i"; i += 1
+        val boundsKey = pairs match {
+          case Seq((a, _)) if topLevel(in) => Some(a.name)
+          case _                           => None
+        }
+        subs += DmlSubquery(flag, pairsPlan, selfCol(v, t, s"$what IN"),
+          boundsKey, isExists = false,
+          corrValues = pairs.map(p => selfCol(p._1, t, s"$what IN")))
+        UnresolvedAttribute(Seq(flag))
       case ex: Exists if !ex.isCorrelated =>
         val flag = s"_zc_subq_$i"; i += 1
         subs += DmlSubquery(flag, ex.plan, null, None, isExists = true)
@@ -358,6 +381,55 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Decorrelate a correlated IN's ListQuery — the single projected
+    * value above an equality-correlated Filter (through SubqueryAlias/
+    * Distinct wrappers). Returns the DISTINCT `(key..., value)` PAIR
+    * plan — keys as `_zc_ck_*`, the value as `_zc_inv`, null values
+    * KEPT (the per-group null fact drives the three-valued flag) — plus
+    * the (outerAttr, innerKey) pairs in key order. */
+  private def decorrelateIn(lq: ListQuery,
+      what: String): (LogicalPlan, Seq[(AttributeReference, Expression)]) = {
+    def bail(why: String): Nothing =
+      refuse(s"correlated IN in $what supports only `SELECT <value> FROM ... WHERE " +
+        s"outer_col = inner_expr [AND rest]` — $why; " +
+        "rewrite anything else as MERGE INTO with a source table")
+    def hasOuter(e: Expression): Boolean = e.exists(_.isInstanceOf[OuterReference])
+    if (lq.plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))))
+      bail("the subquery nests another subquery")
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child) => strip(child)
+      case Distinct(child)         => strip(child)
+      case other                   => other
+    }
+    strip(lq.plan) match {
+      case Project(Seq(valExpr), inner0) if !hasOuter(valExpr) =>
+        strip(inner0) match {
+          case Filter(cond, child) if !child.exists(_.expressions.exists(hasOuter)) =>
+            val (corr, rest) = conjuncts(cond).partition(hasOuter)
+            val pairs = corr.map {
+              case CEqualTo(OuterReference(a: AttributeReference), ie) if !hasOuter(ie) =>
+                (a, ie)
+              case CEqualTo(ie, OuterReference(a: AttributeReference)) if !hasOuter(ie) =>
+                (a, ie)
+              case other => bail(s"unsupported correlated conjunct: ${other.sql}")
+            }
+            if (pairs.isEmpty) bail("no correlated equality found in the WHERE")
+            val base = rest.reduceOption(CAnd).map(Filter(_, child)).getOrElse(child)
+            val inv = valExpr match {
+              case a: Alias => a.child
+              case x        => x
+            }
+            val proj = pairs.zipWithIndex.map { case ((_, ie), k) =>
+              Alias(ie, s"_zc_ck_$k")()
+            } :+ Alias(inv, "_zc_inv")()
+            (Distinct(Project(proj, base)), pairs)
+          case _ => bail("the outer reference is not in the subquery's WHERE clause")
+        }
+      case _ => bail("the subquery must project exactly one value above the correlated WHERE")
+    }
+  }
+
   /** Predicate/value over the TARGET's columns only → a Column in plain
     * column-name terms (resolves against the engine's rewrite scan). */
   private def selfCol(e: Expression, t: DmlTarget, what: String): Column = {
@@ -389,7 +461,7 @@ object GraftDmlRule {
   private def noSubquery(e: Expression, what: String): Unit =
     if (e.exists(_.isInstanceOf[PlanExpression[_]]))
       refuse(s"correlated or scalar subqueries are not supported in $what — " +
-        "uncorrelated IN (SELECT ...)/EXISTS and equality-correlated EXISTS " +
+        "uncorrelated IN (SELECT ...)/EXISTS and equality-correlated IN/EXISTS " +
         "work in DELETE/UPDATE conditions (r11); " +
         "rewrite anything else as MERGE INTO with a source table")
 
@@ -511,6 +583,43 @@ private[sources] object GraftDmlCommands {
       } else if (s.isExists) {
         val exists = sub.limit(1).count() > 0
         (df: DataFrame) => df.withColumn(s.flag, lit(exists))
+      } else if (s.corrValues.nonEmpty) {
+        // correlated IN: the decorrelated DISTINCT (key..., value) pair
+        // table drives SQL's three-valued IN PER GROUP — FALSE when the
+        // row's key group is empty (even for a null probe), TRUE on a
+        // pair match, NULL when the probe is null or the group holds a
+        // null value, FALSE otherwise. Two broadcast-gated left joins:
+        // per-key group facts, then the exact pair match (both unique
+        // by construction — never a row multiplication).
+        val ckCols = s.corrValues.indices.map(k => s"_zc_ck_$k")
+        val stats = sub.agg(count(lit(1)).as("n"),
+          min(col("_zc_ck_0")).as("lo"), max(col("_zc_ck_0")).as("hi")).collect()(0)
+        val n = stats.getLong(0)
+        strengthen(s.boundsKey, stats.get(1), stats.get(2))
+        val grpHit = s"_zc_g_hit_$i"; val grpNull = s"_zc_g_null_$i"
+        val groups0 = sub.groupBy(ckCols.map(col): _*)
+          .agg(max(col("_zc_inv").isNull).as(grpNull))
+          .withColumn(grpHit, lit(true))
+        val mHit = s"_zc_m_hit_$i"; val mVal = s"_zc_m_v_$i"
+        val matches0 = sub.where(col("_zc_inv").isNotNull)
+          .withColumnRenamed("_zc_inv", mVal)
+          .withColumn(mHit, lit(true))
+        val (groups, matches) =
+          if (n <= Collection.DvMaxTotalRows) (broadcast(groups0), broadcast(matches0))
+          else (groups0, matches0)
+        val keyCond = s.corrValues.zipWithIndex
+          .map { case (v, k) => v === col(s"_zc_ck_$k") }.reduce(_ && _)
+        (df: DataFrame) => {
+          val withGroup = df.join(groups, keyCond, "left").drop(ckCols: _*)
+          val withMatch = withGroup
+            .join(matches, keyCond && s.value === col(mVal), "left")
+          val flag = when(col(grpHit).isNull, lit(false))
+            .when(coalesce(col(mHit), lit(false)), lit(true))
+            .when(s.value.isNull || col(grpNull), lit(null).cast("boolean"))
+            .otherwise(lit(false))
+          withMatch.withColumn(s.flag, flag)
+            .drop(ckCols: _*).drop(grpHit, grpNull, mHit, mVal)
+        }
       } else {
         val vCol = sub.columns.head
         val stats = sub.agg(count(lit(1)).as("n"), count(col(vCol)).as("nn"),

@@ -121,13 +121,43 @@ class SqlDmlSpec extends AnyFunSuite {
       sql(s"DELETE FROM $tbl WHERE v < 0 OR NOT EXISTS " +
         "(SELECT 1 FROM graftdml.dml.dim_users)")
       assert(rows(tbl).size == 3)
-      // correlated IN stays a loud refusal (rewrite as EXISTS)
+    } finally sql("DROP TABLE IF EXISTS graftdml.dml.dim_users")
+  }
+
+  test("SQL DELETE/UPDATE with equality-correlated IN: per-group three-valued semantics (r11b)") {
+    val tbl = mkTable()
+    // (user_id -> score) pairs: user 1 matching, user 2 group holds a
+    // NULL score, user 3 group exists but no match, user 5 NO group
+    sql(s"""CREATE TABLE graftdml.dml.dim_in (user_id BIGINT, score DOUBLE)
+            PARTITIONED BY (chunk(4, user_id))""")
+    sql(s"""INSERT INTO graftdml.dml.dim_in VALUES
+            (1, 1.0), (2, 2.0), (2, CAST(NULL AS DOUBLE)), (3, 99.0), (4, 4.0)""")
+    try {
+      // v IN (SELECT score WHERE d.user_id = t.user_id): TRUE for users
+      // 1 and 4 (v matches a group pair); user 2 (v=2.0) also matches
+      sql(s"DELETE FROM $tbl t WHERE t.v IN " +
+        s"(SELECT d.score FROM graftdml.dml.dim_in d WHERE d.user_id = t.user_id)")
+      assert(rows(tbl) == Seq((3L, "click", 3.0), (5L, "click", 5.0)))
+      // correlated NOT IN: user 3's group = {99.0}, no match, no null ->
+      // flag FALSE -> NOT IN TRUE (updates); user 5 has NO group ->
+      // flag FALSE -> updates; a user-2-shaped null group would be NULL
+      sql(s"UPDATE $tbl t SET v = v + 100 WHERE t.v NOT IN " +
+        s"(SELECT d.score FROM graftdml.dml.dim_in d WHERE d.user_id = t.user_id)")
+      assert(rows(tbl) == Seq((3L, "click", 103.0), (5L, "click", 105.0)))
+      // the per-group null trap: re-insert user 2 rows and probe a value
+      // its null-bearing group does not match -> NULL -> no delete
+      sql(s"INSERT INTO $tbl VALUES (TIMESTAMP'2024-01-01 09:30:00', 2, 'probe', 7.0)")
+      sql(s"DELETE FROM $tbl t WHERE t.v IN " +
+        s"(SELECT d.score FROM graftdml.dml.dim_in d WHERE d.user_id = t.user_id)")
+      assert(rows(tbl).exists(r => r._1 == 2L && r._3 == 7.0),
+        "a null-bearing group without a match must yield NULL, keeping the row")
+      // scalar correlated stays a loud refusal
       val e = intercept[UnsupportedOperationException] {
-        sql(s"DELETE FROM $tbl WHERE user_id IN (SELECT d.user_id FROM " +
-          s"graftdml.dml.dim_users d WHERE d.user_id = $tbl.user_id)")
+        sql(s"DELETE FROM $tbl t WHERE t.v > (SELECT max(d.score) FROM " +
+          s"graftdml.dml.dim_in d WHERE d.user_id = t.user_id)")
       }
       assert(e.getMessage.contains("correlated or scalar"))
-    } finally sql("DROP TABLE IF EXISTS graftdml.dml.dim_users")
+    } finally sql("DROP TABLE IF EXISTS graftdml.dml.dim_in")
   }
 
   test("SQL DELETE/UPDATE with equality-correlated EXISTS decorrelates exactly (r11b)") {
