@@ -651,6 +651,23 @@ object SparkEntry {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
 
+    // A55c (r11b): UNCORRELATED SCALAR subquery in a DML condition —
+    // evaluated once at run time (empty = NULL, two rows = error),
+    // spliced in as a typed literal; max() keeps the scalar
+    // order-invariant so any engine replays it bit-exactly.
+    "zc_sql_delete_scalar" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir, dv = true)
+      val tbl = "graft_sqdsc_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '${c.root}')")
+      try {
+        Tables.events(s, dir).createOrReplaceTempView("zc_sc_events")
+        s.sql(s"""DELETE FROM $tbl WHERE value >
+                  (SELECT max(value) - 5.0 FROM zc_sc_events
+                   WHERE event_type = 'click')""")
+        eventsOut(c.query())
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     // A44c (r8): SQL MERGE INTO through the DSv2 catalog — the ANSI
     // upsert (UPDATE SET * / INSERT *) lowered onto mergeInto: one
     // atomic file-granular commit, same semantics (and oracle) as the
@@ -4161,6 +4178,13 @@ object SparkEntry {
                      THEN -value ELSE value END AS value,
                 props
          FROM events t ORDER BY event_id""",
+
+    "zc_sql_delete_scalar" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events
+         WHERE NOT COALESCE(value >
+           (SELECT max(value) - 5.0 FROM events WHERE event_type = 'click'), FALSE)
+         ORDER BY event_id""",
 
     // Sequential replay of the transaction's three ops — the delete
     // applies AFTER the insert (within-transaction visibility).

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference,
   Cast, Exists, Expression, InSubquery, ListQuery, OuterReference, PlanExpression,
-  And => CAnd, EqualTo => CEqualTo, Literal => CLiteral, Not => CNot}
+  ScalarSubquery, And => CAnd, EqualTo => CEqualTo, Literal => CLiteral, Not => CNot}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -307,6 +307,14 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           boundsKey, isExists = false,
           corrValues = pairs.map(p => selfCol(p._1, t, s"$what IN")))
         UnresolvedAttribute(Seq(flag))
+      case sc: ScalarSubquery if !sc.isCorrelated =>
+        // UNCORRELATED SCALAR (r11b): evaluated once at run time with
+        // exact SQL semantics — empty result = NULL, a second row is a
+        // runtime error — and spliced in as a typed literal column.
+        val flag = s"_zc_subq_$i"; i += 1
+        subs += DmlSubquery(flag, sc.plan, null, None, isExists = false,
+          scalarType = sc.dataType)
+        UnresolvedAttribute(Seq(flag))
       case ex: Exists if !ex.isCorrelated =>
         val flag = s"_zc_subq_$i"; i += 1
         subs += DmlSubquery(flag, ex.plan, null, None, isExists = true)
@@ -508,7 +516,8 @@ object GraftDmlRule {
   * EXISTS's outer key columns in `_zc_ck_*` order (empty otherwise). */
 private[sources] final case class DmlSubquery(flag: String, plan: LogicalPlan,
     value: Column, boundsKey: Option[String], isExists: Boolean,
-    corrValues: Seq[Column] = Nil)
+    corrValues: Seq[Column] = Nil,
+    scalarType: org.apache.spark.sql.types.DataType = null)
 
 /** Shared output shape: each DML command reports its rewritten-file
   * count (the file-granularity observable — `spark.sql("UPDATE ...")`
@@ -583,6 +592,15 @@ private[sources] object GraftDmlCommands {
       } else if (s.isExists) {
         val exists = sub.limit(1).count() > 0
         (df: DataFrame) => df.withColumn(s.flag, lit(exists))
+      } else if (s.scalarType != null) {
+        val rows = sub.limit(2).collect()
+        if (rows.length > 1)
+          throw new IllegalStateException(
+            "scalar subquery in a DML condition returned more than one row")
+        val v = if (rows.isEmpty) null else rows(0).get(0)
+        val litCol = Bridge.column(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(v, s.scalarType))
+        (df: DataFrame) => df.withColumn(s.flag, litCol)
       } else if (s.corrValues.nonEmpty) {
         // correlated IN: the decorrelated DISTINCT (key..., value) pair
         // table drives SQL's three-valued IN PER GROUP — FALSE when the

@@ -75,12 +75,18 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(rows(tbl).map(_._3) == Seq(1.0, 2.0, -3.0, 4.0, 5.0))
   }
 
-  test("SQL UPDATE refusals are loud: correlated/scalar subquery, axis/partition assignment") {
+  test("SQL UPDATE refusals are loud: scalar in SET, axis/partition assignment") {
     val tbl = mkTable()
-    // scalar subqueries stay refused (r11 narrowed the refusal to the
-    // still-unsupported shapes; uncorrelated IN/EXISTS now lower)
+    // UNCORRELATED SCALAR in the CONDITION lowers (r11b): evaluated once,
+    // spliced as a typed literal — rows above the average zero out
+    sql(s"UPDATE $tbl SET v = 0 WHERE v > (SELECT avg(v) FROM $tbl)")
+    assert(rows(tbl).map(_._3) == Seq(1.0, 2.0, 3.0, 0.0, 0.0))
+    // an EMPTY scalar is NULL: the predicate is UNKNOWN, nothing updates
+    sql(s"UPDATE $tbl SET v = -1 WHERE v > (SELECT v FROM $tbl WHERE user_id > 1000)")
+    assert(rows(tbl).map(_._3) == Seq(1.0, 2.0, 3.0, 0.0, 0.0))
+    // scalar subqueries in SET stay refused
     val e1 = intercept[UnsupportedOperationException] {
-      sql(s"UPDATE $tbl SET v = 0 WHERE v > (SELECT avg(v) FROM $tbl)")
+      sql(s"UPDATE $tbl SET v = (SELECT max(v) FROM $tbl)")
     }
     assert(e1.getMessage.contains("correlated or scalar"))
     val e2 = intercept[Exception] {
