@@ -94,8 +94,10 @@ object Bench {
     // metadata-only column rename followed by a cross-vintage read
     "zc_delete_dv", "zc_sql_delete_subq", "zc_schema_rename",
     // r11b: atomic multi-op transaction (fork + three ops + promote),
-    // correlated-EXISTS DML, filtered and diversified vector search
+    // correlated/scalar DML subqueries, filtered (flat + collection)
+    // and diversified vector search
     "zc_transaction", "zc_sql_delete_corr", "ann_filtered", "ann_diverse",
+    "zc_sql_update_corr_in", "zc_sql_delete_scalar", "ann_filtered_coll",
     // NOT benched: dedup_incremental_contain / stream_ingest_contain —
     // the incremental containment index builds a full inverted index of
     // the corpus per entry (its cost IS the index build, ~40 s at sf0.1

@@ -42,7 +42,17 @@ class SqlDmlPropertySpec extends AnyFunSuite {
   private val atoms = Seq(
     "day >= 3", "day = 2", "user_id IN (1, 4, 7, 22, 35)", "etype = 'click'",
     "v < 9.0", "etype IS NULL", "pmod(user_id, 3) = 1", "etype LIKE 'cl%'",
-    "length(etype) + user_id > 20", "v * 2 >= day + 3")
+    "length(etype) + user_id > 20", "v * 2 >= day + 3",
+    // r11b: the SUBQUERY family under random boolean structure — the
+    // dim holds a NULL user_id (the NOT IN trap) and a NULL score (the
+    // per-group correlated trap); expectation evaluates the same text
+    // through Catalyst, so every flag-lowering slip is a row diff
+    "user_id IN (SELECT user_id FROM fz_dim WHERE score > 4)",
+    "user_id NOT IN (SELECT user_id FROM fz_dim WHERE score < 3)",
+    "EXISTS (SELECT 1 FROM fz_dim d WHERE d.user_id = t.user_id AND d.score > 4)",
+    "NOT EXISTS (SELECT 1 FROM fz_dim d WHERE d.user_id = t.user_id)",
+    "v IN (SELECT d.score FROM fz_dim d WHERE d.user_id = t.user_id)",
+    "v > (SELECT avg(score) FROM fz_dim WHERE score IS NOT NULL)")
 
   private def genPred(rnd: scala.util.Random): String = {
     def atom() = atoms(rnd.nextInt(atoms.length))
@@ -78,31 +88,51 @@ class SqlDmlPropertySpec extends AnyFunSuite {
     * partition layout. */
   private def withDay: DataFrame = baseRows.withColumn("day", dayofmonth(col("ts")))
 
+  /** The rows the predicate is TRUE for, evaluated directly by Catalyst
+    * in FILTER context (subquery atoms need it) under the alias `t` the
+    * statements also use. */
+  private def hitIds(pred: String): Set[Long] = {
+    registerDim()
+    withDay.alias("t").where(coalesce(expr(pred), lit(false)))
+      .select("user_id").collect().map(_.getLong(0)).toSet
+  }
+
+  private def registerDim(): Unit = {
+    import spark.implicits._
+    Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 5.0), (4L, 2.0), (7L, 9.0), (22L, null), (null, 1.0),
+      (35L, 6.5), (9L, 4.0))
+      .toDF("user_id", "score").createOrReplaceTempView("fz_dim")
+  }
+
   test("fuzzed UPDATE: SQL result == direct computation, for any predicate shape") {
     val rnd = new scala.util.Random(20260814L)
-    for (_ <- 1 to 8) {
+    for (_ <- 1 to 10) {
       val pred = genPred(rnd)
       val tbl = freshTable()
-      val expected = withDay
-        .withColumn("v", when(coalesce(expr(pred), lit(false)), col("v") + 1000)
-          .otherwise(col("v")))
+      val hits = hitIds(pred)
+      val expected = baseRows
         .select("user_id", "etype", "v").orderBy("user_id")
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
-      sql(s"UPDATE $tbl SET v = v + 1000 WHERE $pred")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (hits(r.getLong(0))) r.getDouble(2) + 1000 else r.getDouble(2))).toSeq
+      sql(s"UPDATE $tbl t SET v = v + 1000 WHERE $pred")
       assert(snap(tbl) == expected, s"UPDATE diverged for predicate: $pred")
     }
   }
 
   test("fuzzed DELETE: SQL result == direct computation, exact and fallback paths") {
     val rnd = new scala.util.Random(47L)
-    for (_ <- 1 to 8) {
+    for (_ <- 1 to 10) {
       val pred = genPred(rnd)
       val tbl = freshTable()
-      val expected = withDay
-        .where(!(coalesce(expr(pred), lit(false))))
+      val hits = hitIds(pred)
+      val expected = baseRows
         .select("user_id", "etype", "v").orderBy("user_id")
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
-      sql(s"DELETE FROM $tbl WHERE $pred")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .filterNot(r => hits(r._1)).toSeq
+      sql(s"DELETE FROM $tbl t WHERE $pred")
       assert(snap(tbl) == expected, s"DELETE diverged for predicate: $pred")
     }
   }
