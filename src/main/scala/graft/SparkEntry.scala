@@ -691,6 +691,28 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // A44d (r11b): CONDITIONAL WHEN NOT MATCHED INSERT — the gate
+    // (source columns only; NULL = skip) restricts the engine's insert
+    // leg while matched rows update regardless; one atomic commit.
+    "zc_sql_merge_ci" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val name = "mc" + java.util.UUID.randomUUID().toString.take(8)
+      val c = Collection.create(s, s"$scratch/sqlwh/db/$name", ev.schema, "ts",
+        DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+      c.insert(ev)
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", s"$scratch/sqlwh")
+      val slice = mergeSlice(s, dir)
+      slice.withColumn("value", -col("value"))
+        .unionByName(slice.withColumn("event_id", col("event_id") + 10000000L))
+        .createOrReplaceTempView("sql_merge_ci_src")
+      s.sql(s"""MERGE INTO graftq.db.$name t USING sql_merge_ci_src s
+                ON t.event_id = s.event_id
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED AND s.event_type = 'click' THEN INSERT *""")
+      eventsOut(c.query())
+    }),
+
     // E33 (r8): FILTERED metadata-only COUNT — the day-range predicate
     // translates exactly, aligns with the partition columns, and the
     // count answers from the per-partition recorded rows: O(shards),
@@ -3968,6 +3990,21 @@ object SparkEntry {
          SELECT event_id + 10000000 AS event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
                 user_id, event_type, value, props
          FROM slice
+         ORDER BY event_id""",
+
+    "zc_sql_merge_ci" ->
+      """WITH slice AS (
+           SELECT * FROM events
+           WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 12
+             AND hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 18)
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                CASE WHEN event_id IN (SELECT event_id FROM slice) THEN -value ELSE value END AS value,
+                props
+         FROM events
+         UNION ALL
+         SELECT event_id + 10000000 AS event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                user_id, event_type, value, props
+         FROM slice WHERE event_type = 'click'
          ORDER BY event_id""",
 
     // IVM: the maintained aggregate must equal a direct GROUP BY over

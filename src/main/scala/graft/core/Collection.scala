@@ -3837,13 +3837,19 @@ final class Collection private (
     * `s.<col>`; assigned columns keep their types; the axis and
     * partition columns cannot be assigned (inserted rows, by contrast,
     * land wherever their own axis says). Returns the rewritten files. */
+  /** @param insertGate CONDITIONAL insert (r11b): with `insertUnmatched`,
+    *        only unmatched source rows satisfying this predicate insert
+    *        (SQL's `WHEN NOT MATCHED AND <cond> THEN INSERT`; NULL =
+    *        skip). The condition must reference source columns as
+    *        `s.<name>` — there IS no target row in that leg. */
   def mergeInto(source: DataFrame, on: Seq[String],
                 whenMatched: WhenMatched = WhenMatched.UpdateAll,
                 insertUnmatched: Boolean = true,
                 notMatchedBySource: WhenNotMatchedBySource =
-                  WhenNotMatchedBySource.Keep): Seq[String] =
+                  WhenNotMatchedBySource.Keep,
+                insertGate: Option[Column] = None): Seq[String] =
     mergeIntoInternal(source, on, whenMatched, insertUnmatched, None,
-      notMatchedBySource)
+      notMatchedBySource, insertGate)
 
   /** [[mergeInto]] carrying a streaming batch mark: the batch id commits
     * ATOMICALLY with the merge (the [[insertStreamBatch]] idempotent-sink
@@ -3855,7 +3861,8 @@ final class Collection private (
                 insertUnmatched: Boolean,
                 streamMark: Option[(String, Long)],
                 bySource: WhenNotMatchedBySource =
-                  WhenNotMatchedBySource.Keep): Seq[String] = {
+                  WhenNotMatchedBySource.Keep,
+                insertGate: Option[Column] = None): Seq[String] = {
     requireWritable()
     require(on.nonEmpty, "mergeInto requires at least one key column")
     on.foreach(k => require(schema.fieldNames.contains(k), s"unknown key column: $k"))
@@ -3924,15 +3931,20 @@ final class Collection private (
     if (dvEnabled && bySource == WhenNotMatchedBySource.Keep &&
         affected.nonEmpty && srow.getLong(0) > 0L) {
       mergeDv(man, src, on, whenMatched, insertUnmatched, streamMark,
-        affected, srow.getLong(0)) match {
+        affected, srow.getLong(0), insertGate) match {
         case Some(touched) => return touched
         case None          => () // over the victim budget: rewrite below
       }
     }
     val out: DataFrame =
-      if (affected.isEmpty) src
+      if (affected.isEmpty) insertGate match {
+        // nothing matches: the merge is a pure (possibly gated) insert
+        case None    => src
+        case Some(g) => src.alias("s").where(coalesce(g, lit(false)))
+          .select(schema.fieldNames.toSeq.map(col): _*)
+      }
       else classicMergeOut(man, src, on, whenMatched, insertUnmatched,
-        bySource, affected)
+        bySource, affected, insertGate)
     writeAndCommit(partitioning.assign(out), replaced = Set.empty,
       base = man, replacedFiles = affected.toSet, op = "merge",
       streamMark = streamMark)
@@ -3945,7 +3957,8 @@ final class Collection private (
     * rows (the DV path's heavy leg computes inserts separately). */
   private def classicMergeOut(man: Manifest, src: DataFrame, on: Seq[String],
       whenMatched: WhenMatched, insertUnmatched: Boolean,
-      bySource: WhenNotMatchedBySource, affected: Seq[String]): DataFrame = {
+      bySource: WhenNotMatchedBySource, affected: Seq[String],
+      insertGate: Option[Column] = None): DataFrame = {
     locally {
         val tgt = readManifestFiles(man, affected)
           .select(schema.fieldNames.toSeq.map(col): _*)
@@ -3955,16 +3968,21 @@ final class Collection private (
         val j = tgt.join(s, cond, "full_outer")
         val tPresent = col("t._zc_tp").isNotNull
         val sPresent = col("s._zc_sp").isNotNull
+        // the insert leg's admission: false when inserts are off, the
+        // (null-skipping) gate when conditional, true otherwise
+        val ins: Column =
+          if (!insertUnmatched) lit(false)
+          else insertGate.map(g => coalesce(g, lit(false))).getOrElse(lit(true))
         val keepMatched = whenMatched match {
-          case WhenMatched.Delete => (tPresent && !sPresent) || (!tPresent && lit(insertUnmatched))
+          case WhenMatched.Delete => (tPresent && !sPresent) || (!tPresent && ins)
           case WhenMatched.Update(_, Some(d)) =>
             // WHEN MATCHED AND <d> THEN DELETE: NULL condition keeps
             val del = tPresent && sPresent && coalesce(expr(d), lit(false))
-            (tPresent || lit(insertUnmatched)) && !del
+            (tPresent || ins) && !del
           case WhenMatched.UpdateCols(_, Some(d)) =>
             val del = tPresent && sPresent && coalesce(d, lit(false))
-            (tPresent || lit(insertUnmatched)) && !del
-          case _ => tPresent || lit(insertUnmatched)
+            (tPresent || ins) && !del
+          case _ => tPresent || ins
         }
         val keep = bySource match {
           case WhenNotMatchedBySource.Delete(w) =>
@@ -4018,7 +4036,7 @@ final class Collection private (
   private def mergeDv(man: Manifest, src: DataFrame, on: Seq[String],
       whenMatched: WhenMatched, insertUnmatched: Boolean,
       streamMark: Option[(String, Long)], affected: Seq[String],
-      srcRows: Long): Option[Seq[String]] = {
+      srcRows: Long, insertGate: Option[Column] = None): Option[Seq[String]] = {
     val sMark = src.withColumn("_zc_sp", lit(true)).alias("s")
     def augment(df: DataFrame): DataFrame = {
       val right =
@@ -4079,7 +4097,8 @@ final class Collection private (
         // is NOT MATCHED against the current snapshot, so it inserts
         val tKeys = readManifestFiles(man, affected)
           .select(on.map(col): _*).distinct()
-        src.join(tKeys, on, "left_anti")
+        val anti = src.alias("s").join(tKeys, on, "left_anti")
+        insertGate.fold(anti)(g => anti.where(coalesce(g, lit(false))))
           .select(schema.fieldNames.toSeq.map(col): _*)
       }
     val legs = Seq(updatedCopies, heavyLeg, inserts).flatten

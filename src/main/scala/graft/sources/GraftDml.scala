@@ -66,7 +66,8 @@ private[sources] object DmlTarget {
   *    [[WhenMatched]]/`insertUnmatched`/[[WhenNotMatchedBySource]]
   *    (the full ANSI three-leg MERGE, including the BY SOURCE sync
   *    leg), first-match-wins composition for `UPDATE`+`DELETE` action
-  *    pairs. Out-of-model shapes (non-equi ON, conditional INSERT,
+  *    pairs; `WHEN NOT MATCHED AND <cond> THEN INSERT *` gates the
+  *    engine's insert leg (r11b). Out-of-model shapes (non-equi ON,
   *    schema evolution) refuse loudly — never approximated.
   *
   * Reference analogue: the collection surface the zcollection library
@@ -205,12 +206,26 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case other => refuse(s"unsupported WHEN MATCHED combination (${other.size} actions)")
       }
 
-      val insertUnmatched = m.notMatchedActions match {
-        case Seq() => false
-        case Seq(InsertStarAction(None)) => true
-        case Seq(InsertAction(None, as)) if isStarShape(as) => true
-        case Seq(InsertStarAction(Some(_))) | Seq(InsertAction(Some(_), _)) =>
-          refuse("conditional WHEN NOT MATCHED is not supported — pre-filter the source")
+      // the NOT MATCHED leg has no target row — its condition may
+      // reference only source columns (s.-terms for the engine's join)
+      def sOnly(e: Expression, what: String): Column = {
+        noSubquery(e, what)
+        Bridge.column(e.transform {
+          case a: AttributeReference if sIds(a.exprId) => UnresolvedAttribute(Seq("s", a.name))
+          case a: AttributeReference =>
+            refuse(s"$what may reference only source columns, got '${a.name}'")
+        })
+      }
+      val (insertUnmatched, insertGate) = m.notMatchedActions match {
+        case Seq() => (false, None)
+        case Seq(InsertStarAction(None)) => (true, None)
+        case Seq(InsertAction(None, as)) if isStarShape(as) => (true, None)
+        // CONDITIONAL INSERT (r11b): `WHEN NOT MATCHED AND <cond> THEN
+        // INSERT *` gates the engine's insert leg (NULL = skip, SQL)
+        case Seq(InsertStarAction(Some(c))) =>
+          (true, Some(sOnly(c, "WHEN NOT MATCHED AND")))
+        case Seq(InsertAction(Some(c), as)) if isStarShape(as) =>
+          (true, Some(sOnly(c, "WHEN NOT MATCHED AND")))
         case _ =>
           refuse("WHEN NOT MATCHED supports only INSERT * (whole source rows insert)")
       }
@@ -243,7 +258,7 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           refuse(s"unsupported WHEN NOT MATCHED BY SOURCE combination (${other.size} actions)")
       }
 
-      GraftMergeCommand(t.root, src, on, whenMatched, insertUnmatched, bySource)
+      GraftMergeCommand(t.root, src, on, whenMatched, insertUnmatched, bySource, insertGate)
   }
 
   /** SUBQUERY predicates in DELETE/UPDATE conditions (r11, the r10
@@ -699,12 +714,13 @@ case class GraftDeleteCommand(root: String, cond: Column, prune: Seq[SFilter],
   * original statement). */
 case class GraftMergeCommand(root: String, source: LogicalPlan, on: Seq[String],
                              whenMatched: WhenMatched, insertUnmatched: Boolean,
-                             bySource: WhenNotMatchedBySource)
+                             bySource: WhenNotMatchedBySource,
+                             insertGate: Option[Column] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDmlCommands.filesOutput
   override def run(session: SparkSession): Seq[Row] = {
     val c = Collection.open(session, root)
     val src = Bridge.ofRows(session, source)
-    Seq(Row(c.mergeInto(src, on, whenMatched, insertUnmatched, bySource).size))
+    Seq(Row(c.mergeInto(src, on, whenMatched, insertUnmatched, bySource, insertGate).size))
   }
 }

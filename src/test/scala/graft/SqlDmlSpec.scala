@@ -292,7 +292,36 @@ class SqlDmlSpec extends AnyFunSuite {
       (4L, "view", 4.0), (5L, "click", 5.0)))
   }
 
-  test("SQL MERGE refusals: non-equi ON, conditional INSERT") {
+  test("SQL MERGE: conditional INSERT gates the insert leg (r11b)") {
+    val tbl = mkTable()
+    // users 3 (matched) and 7, 8 (unmatched; only 8 passes the gate)
+    sql("""SELECT TIMESTAMP'2024-01-02 08:00:00' AS ts, CAST(3 AS BIGINT) AS user_id,
+             'm' AS etype, 30.0 AS v
+           UNION ALL
+           SELECT TIMESTAMP'2024-01-05 08:00:00', CAST(7 AS BIGINT), 'n', -7.0
+           UNION ALL
+           SELECT TIMESTAMP'2024-01-05 09:00:00', CAST(8 AS BIGINT), 'n', 8.0""")
+      .createOrReplaceTempView("dml_src_ci")
+    sql(s"""MERGE INTO $tbl t USING dml_src_ci s ON t.user_id = s.user_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED AND s.v > 0 THEN INSERT *""")
+    assert(rows(tbl) == Seq(
+      (1L, "click", 1.0), (2L, "view", 2.0), (3L, "m", 30.0),
+      (4L, "view", 4.0), (5L, "click", 5.0), (8L, "n", 8.0)),
+      "matched row updates regardless of the insert gate; only user 8 inserts")
+    // a NULL gate skips (SQL), and target references refuse loudly
+    sql(s"""MERGE INTO $tbl t USING dml_src_ci s ON t.user_id = s.user_id
+            WHEN NOT MATCHED AND s.etype = 'missing' THEN INSERT *""")
+    assert(rows(tbl).size == 6, "an unsatisfied gate inserts nothing")
+    val eT = intercept[Exception] {
+      sql(s"""MERGE INTO $tbl t USING dml_src_ci s ON t.user_id = s.user_id
+              WHEN NOT MATCHED AND t.v > 0 THEN INSERT *""")
+    }
+    assert(eT.getMessage.toLowerCase.contains("source") ||
+      eT.getMessage.contains("resolve") || eT.getMessage.contains("t.v"))
+  }
+
+  test("SQL MERGE refusals: non-equi ON, non-star conditional INSERT") {
     val tbl = mkTable()
     sql("""SELECT TIMESTAMP'2024-01-05 08:00:00' AS ts, CAST(8 AS BIGINT) AS user_id,
              'z' AS etype, 8.0 AS v""").createOrReplaceTempView("dml_src_bad")
@@ -303,9 +332,10 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("key equalities"))
     val e3 = intercept[UnsupportedOperationException] {
       sql(s"""MERGE INTO $tbl t USING dml_src_bad s ON t.user_id = s.user_id
-              WHEN NOT MATCHED AND s.v > 0 THEN INSERT *""")
+              WHEN NOT MATCHED AND s.v > 0 THEN INSERT (ts, user_id, etype, v)
+              VALUES (s.ts, s.user_id, 'x', 0.0)""")
     }
-    assert(e3.getMessage.contains("conditional"))
+    assert(e3.getMessage.contains("INSERT *"))
   }
 
   test("V1 `USING graft` tables take the same DML surface") {

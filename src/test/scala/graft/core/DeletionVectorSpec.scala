@@ -273,6 +273,23 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(a == b && a.size == 150)
   }
 
+  test("DV merge: conditional insert gates the anti-join leg") {
+    val root = SparkTestSession.tmp("graft-dv-cins")
+    val c = dvColl(root)
+    val src = Seq(
+      (5L, "2024-01-01 08:00:00", 5L, 99.0),    // matched: updates
+      (900L, "2024-01-02 10:00:00", 900L, 1.0), // unmatched, gate passes
+      (901L, "2024-01-02 10:00:00", 901L, -1.0) // unmatched, gate fails
+    ).toDF("id", "ts", "user_id", "v").withColumn("ts", col("ts").cast("timestamp"))
+    c.mergeInto(src, on = Seq("id"), WhenMatched.UpdateAll,
+      insertUnmatched = true, insertGate = Some(col("s.v") > 0))
+    val out = c.query().select("id", "v").as[(Long, Double)].collect().toMap
+    assert(out(5L) == 99.0, "matched row must update regardless of the gate")
+    assert(out.contains(900L) && !out.contains(901L),
+      "only the gate-passing unmatched row inserts")
+    assert(c.countRows() == 151)
+  }
+
   test("rewrite-vs-DV equivalence: identical visible rows either way") {
     val rootA = SparkTestSession.tmp("graft-dv-eqA")
     val rootB = SparkTestSession.tmp("graft-dv-eqB")
