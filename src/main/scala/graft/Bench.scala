@@ -98,6 +98,11 @@ object Bench {
     // and diversified vector search
     "zc_transaction", "zc_sql_delete_corr", "ann_filtered", "ann_diverse",
     "zc_sql_update_corr_in", "zc_sql_delete_scalar", "ann_filtered_coll",
+    // r12: file-granular admission control — the events bulk commit
+    // streamed in ~3 bounded micro-batches ((generation, fileOrdinal)
+    // offsets); compare against stream_ingest_dedup's unpaced single
+    // snapshot batch for the pacing overhead
+    "stream_paced",
     // NOT benched: dedup_incremental_contain / stream_ingest_contain —
     // the incremental containment index builds a full inverted index of
     // the corpus per entry (its cost IS the index build, ~40 s at sf0.1

@@ -2552,6 +2552,34 @@ object SparkEntry {
       eventsOut(dst.query())
     }),
 
+    // D30 (r12): FILE-granular admission control — the events table is
+    // ONE bulk commit, and maxFilesPerBatch streams it as k bounded
+    // micro-batches over (generation, fileOrdinal) offsets instead of
+    // one unbounded batch (Delta's maxFilesPerTrigger; the first cliff
+    // a 100 TB backfill hits). The cap scales with the partition count
+    // so the entry paces into ~3 batches at every SF. Hard in-entry
+    // signal: MORE THAN ONE non-empty micro-batch fed the sink. The
+    // oracle is the full table: pacing must lose and duplicate nothing
+    // whatever the batch boundaries.
+    "stream_paced" -> ((s, dir) => {
+      val src = eventsCollection(s, dir)
+      val cap = math.max(1L, math.ceil(src.partitions().size / 3.0).toLong)
+      val dstRoot = s"$scratch/paced-${java.util.UUID.randomUUID().toString.take(8)}"
+      val dst = Collection.create(s, dstRoot, src.schema, "ts",
+        DatePartitioning("ts", "D"))
+      val q = graft.streaming.StreamOps.insertStream(
+        graft.streaming.StreamOps.readStream(s, src,
+          Map("maxFilesPerBatch" -> cap.toString)), dst,
+        "stream_paced", dstRoot + "-ckpt")
+      try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed > 1,
+          s"admission control must split the bulk commit into several micro-batches, got $fed")
+      } finally q.stop()
+      eventsOut(dst.query())
+    }),
+
     // D22 (r10c): STREAM-STATIC enrichment — events stream broadcast-
     // hash-joined to the customer dimension per micro-batch (stateless,
     // append-safe), landed exactly-once through the graft sink. The
@@ -3587,6 +3615,12 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
 
     "stream_ingest" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
+
+    // File-paced ingest delivers the same total content whatever the
+    // micro-batch boundaries — the oracle is the full table.
+    "stream_paced" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
 

@@ -40,15 +40,46 @@ import graft.core.{Collection, FilterExpr}
   * batch one bounded manifest diff). The cap needs no side metadata to
   * survive restarts: offsets are generations, and the engine replays the
   * checkpointed range through [[getBatch]] before asking for new
-  * offsets, which re-seeds the pacing position. */
+  * offsets, which re-seeds the pacing position.
+  *
+  * `maxFilesPerBatch` / `maxBytesPerBatch` (r12) pace BELOW generation
+  * granularity — Delta's `maxFilesPerTrigger`/`maxBytesPerTrigger`. One
+  * bulk backfill commit is no longer one indivisible micro-batch:
+  * offsets widen to [[GraftStreamOffset]] `(generation, fileOrdinal)`
+  * over the generation's deterministic (sorted) file list, so an
+  * oversized commit streams as k bounded batches and a restart resumes
+  * mid-commit exactly-once. Byte accounting reads the manifest's
+  * per-file sizes — zero filesystem calls. Invariants that keep replay
+  * sound: a PARTIAL batch never spans generations (its files all live in
+  * one manifest), while batches spanning several COMPLETE generations
+  * keep using the range manifest-diff (which cancels add-then-replace
+  * within the range). Caps are best-effort per batch: at least one file
+  * always admits (progress), and a file with no recorded size counts 0
+  * bytes. Not applicable to the change feed (row-granular diffs have no
+  * file ordinal — the source refuses the combination). */
 class GraftCollectionSource(spark: SparkSession, root: String,
                             maxGenerationsPerBatch: Option[Long] = None,
                             filters: Option[String] = None,
                             changeFeed: Boolean = false,
                             startingGeneration: Option[Long] = None,
-                            startingTimestamp: Option[Long] = None) extends Source {
+                            startingTimestamp: Option[Long] = None,
+                            maxFilesPerBatch: Option[Long] = None,
+                            maxBytesPerBatch: Option[Long] = None) extends Source {
 
   private[streaming] val collection = Collection.open(spark, root, readOnly = true)
+
+  /** File/byte admission control active — offsets may go sub-generation. */
+  private[streaming] val filePacing: Boolean =
+    maxFilesPerBatch.isDefined || maxBytesPerBatch.isDefined
+
+  maxFilesPerBatch.foreach(m => require(m > 0,
+    s"maxFilesPerBatch must be positive, got $m"))
+  maxBytesPerBatch.foreach(m => require(m > 0,
+    s"maxBytesPerBatch must be positive, got $m"))
+  require(!filePacing || !changeFeed,
+    "maxFilesPerBatch/maxBytesPerBatch pace FILE delivery and do not apply to " +
+    "the change feed (row-granular diffs have no file ordinal) — pace a CDC " +
+    "stream with maxGenerationsPerBatch instead")
 
   // A pure compaction no longer re-delivers (rewrite-marked commits skip
   // the diff), but auto-compaction with retainGenerations=0 DELETES the
@@ -115,15 +146,22 @@ class GraftCollectionSource(spark: SparkSession, root: String,
       .getOrElse(0L)
   }
 
-  /** Highest generation handed to [[getBatch]] so far — the pacing
-    * position for `maxGenerationsPerBatch` (re-seeded on restart by the
-    * engine's checkpointed-batch replay; seeded at [[startBase]] so a
-    * started-from-offset stream paces from there, not from a snapshot). */
-  @volatile private var pacedThrough: Long = startBase
+  /** Highest position handed to [[getBatch]] so far — the pacing
+    * position for `maxGenerationsPerBatch` and the file/byte caps
+    * (re-seeded on restart by the engine's checkpointed-batch replay;
+    * seeded at [[startBase]] so a started-from-offset stream paces from
+    * there, not from a snapshot). Without file pacing this is always a
+    * COMPLETE offset — a bare generation, exactly the legacy state. */
+  @volatile private var pacedPos: GraftStreamOffset =
+    GraftStreamOffset.complete(startBase)
+
+  private def pacedThrough: Long = pacedPos.gen
 
   /** Latest committed generation — one directory LIST, no data walk —
-    * capped `maxGenerationsPerBatch` commits past the last batch. */
+    * capped `maxGenerationsPerBatch` commits past the last batch; with
+    * file/byte caps, the next [[GraftStreamOffset]] position instead. */
   override def getOffset: Option[Offset] = {
+    if (filePacing) return nextPaced(pacedPos, capGen = None)
     val head = collection.generation
     val capped = maxGenerationsPerBatch.fold(head) { m =>
       val paced = math.min(head, pacedThrough + m)
@@ -179,10 +217,18 @@ class GraftCollectionSource(spark: SparkSession, root: String,
     }
   }
 
+  /** Parse any engine-provided offset (our composite, the legacy
+    * LongOffset, or a SerializedOffset replayed from a checkpoint). */
+  private def off(o: Offset): GraftStreamOffset = o match {
+    case g: GraftStreamOffset => g
+    case l: LongOffset        => GraftStreamOffset.complete(l.offset)
+    case other                => GraftStreamOffset.parse(other.json)
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endGen = gen(end)
-    if (changeFeed) { pace(endGen); return getChangeBatch(start, endGen) }
-    val (endMan, pruned) = batchFiles(start.map(gen), endGen)
+    val endOff = off(end)
+    if (changeFeed) { pace(endOff); return getChangeBatch(start, endOff.gen) }
+    val (endMan, pruned) = batchFilesAt(start.map(off), endOff)
     // MicroBatchExecution requires getBatch's plan to be flagged streaming
     // (the same flip FileStreamSource applies to the relation it builds)
     val batch = org.apache.spark.sql.graftshim.StreamingShim.asStreamingBatch(
@@ -195,12 +241,18 @@ class GraftCollectionSource(spark: SparkSession, root: String,
   }
 
   private def pace(endGen: Long): Unit =
-    if (endGen > pacedThrough) pacedThrough = endGen
+    pace(GraftStreamOffset.complete(endGen))
+
+  private def pace(o: GraftStreamOffset): Unit = synchronized {
+    if (!(pacedPos >= o)) pacedPos = o
+  }
 
   /** Re-seed the pacing mark from a checkpointed offset — the DSv2
     * stream calls this from `deserializeOffset` on restart (there is no
     * V1-style getBatch replay to re-seed it implicitly). */
-  private[streaming] def paceTo(gen: Long): Unit = pace(gen)
+  private[streaming] def paceTo(o: GraftStreamOffset): Unit = pace(o)
+
+  private[streaming] def pacedPosition: GraftStreamOffset = pacedPos
 
   /** The append-path micro-batch FILE set for offsets `(start, end]`:
     * the content-addressed shard diff, the compaction-rewrite skip, and
@@ -211,15 +263,31 @@ class GraftCollectionSource(spark: SparkSession, root: String,
                                     endGen: Long): (Collection.Manifest, Seq[String]) = {
     pace(endGen)
     val endMan = collection.manifestAt(endGen)
-    // shard-level diff: shard files are content-addressed, so a subtree
-    // untouched between the two generations keeps its shard NAME — only
-    // changed subtrees load their file lists. A commit touching one
-    // partition of a 10^7-file collection costs one shard read per side.
     // a configured starting offset turns the would-be snapshot batch
     // into a plain manifest diff from that generation
     val startGenOpt = startOffsetGen
       .orElse(if (startBase > 0L) Some(startBase) else None)
-    val newFiles = startGenOpt match {
+    val newFiles = rangeDiffFiles(startGenOpt, endGen, endMan)
+    // pushdown: partition + zone-map + bloom pruning over the diffed
+    // files — a commit whose files all fall outside the filter becomes
+    // an EMPTY batch without scheduling a single task
+    val pruned = filterAst match {
+      case FilterExpr.True => newFiles
+      case ast             => collection.pruneFilesForRead(endMan, newFiles, ast)
+    }
+    (endMan, pruned)
+  }
+
+  /** The raw (unpruned) append-path file set for offsets `(start, end]`:
+    * the content-addressed shard diff and the compaction-rewrite skip.
+    * `None` start = the full snapshot at `endGen`. */
+  private def rangeDiffFiles(startGenOpt: Option[Long], endGen: Long,
+                             endMan: Collection.Manifest): Seq[String] = {
+    // shard-level diff: shard files are content-addressed, so a subtree
+    // untouched between the two generations keeps its shard NAME — only
+    // changed subtrees load their file lists. A commit touching one
+    // partition of a 10^7-file collection costs one shard read per side.
+    startGenOpt match {
       case None => endMan.files
       case Some(startGen) =>
         val startMan = collection.manifestAt(startGen)
@@ -253,7 +321,7 @@ class GraftCollectionSource(spark: SparkSession, root: String,
             if (ts.forall(_.isDefined)) Some(ts.flatten.sum) else None
           }
           (total(startMan), total(endMan)) match {
-            case (Some(a), Some(b)) if a == b => return (endMan, Nil)
+            case (Some(a), Some(b)) if a == b => return Nil
             case _ => ()
           }
         }
@@ -285,12 +353,140 @@ class GraftCollectionSource(spark: SparkSession, root: String,
           }
         }
     }
-    // pushdown: partition + zone-map + bloom pruning over the diffed
-    // files — a commit whose files all fall outside the filter becomes
-    // an EMPTY batch without scheduling a single task
+  }
+
+  /** Deterministic per-generation file list for the file/byte pacer:
+    * `snap` = the full snapshot at `g` (a fresh stream's first batch),
+    * else the manifest diff `(g-1, g]` (rewrite-skip included, so a
+    * pure-compaction generation lists empty). Sorted — the list is what
+    * [[GraftStreamOffset.ord]] indexes, so it must be identical across
+    * restarts and re-plans. Tiny memo: the pacer and the batch planner
+    * both read the current generation's list several times. */
+  private val genListCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Boolean), Seq[String]]()
+
+  private[streaming] def genList(g: Long, snap: Boolean): Seq[String] = {
+    if (genListCache.size > 8) genListCache.clear()
+    genListCache.computeIfAbsent((g, snap), key => {
+      val (gg, sn) = key
+      val man = collection.manifestAt(gg)
+      (if (sn) man.files else rangeDiffFiles(Some(gg - 1L), gg, man)).sorted
+    })
+  }
+
+  private def listBytes(g: Long, files: Seq[String]): Long =
+    collection.manifestAt(g).bytesForFiles(files).values.sum
+
+  /** How many files of `list` (from index `from`) the caps admit — at
+    * least one if any remain (progress guarantee: a single file larger
+    * than `maxBytesPerBatch` still streams, alone in its batch). */
+  private def takeCapped(list: Seq[String], g: Long, from: Int): Int = {
+    val rest = list.drop(from)
+    if (rest.isEmpty) return 0
+    val maxF = maxFilesPerBatch.getOrElse(Long.MaxValue)
+    val sizes =
+      if (maxBytesPerBatch.isEmpty) Map.empty[String, Long]
+      else collection.manifestAt(g).bytesForFiles(rest)
+    val maxB = maxBytesPerBatch.getOrElse(Long.MaxValue)
+    var n = 0; var b = 0L
+    val it = rest.iterator
+    while (it.hasNext) {
+      val fb = sizes.getOrElse(it.next(), 0L)
+      if (n.toLong >= maxF || (n > 0 && b + fb > maxB)) return n
+      n += 1; b += fb
+    }
+    n
+  }
+
+  /** The next end offset under the file/byte caps, from position `cur`
+    * (`capGen` pins Trigger.AvailableNow's drain target). Shapes:
+    *  - mid-generation: continue THIS generation's list, never crossing
+    *    the boundary — partial batches stay single-generation, so every
+    *    delivered file provably lives in the batch's end manifest;
+    *  - fresh start: pick the snapshot generation exactly as the legacy
+    *    pacer does (generation cap + backfill floor), then split its
+    *    snapshot list;
+    *  - at a generation boundary: admit whole generations while under
+    *    the caps (delivered via the range diff, which cancels
+    *    add-then-replace); if the FIRST new generation alone exceeds
+    *    them, split it. */
+  private[streaming] def nextPaced(cur: GraftStreamOffset,
+                                   capGen: Option[Long]): Option[GraftStreamOffset] = {
+    val head = capGen.fold(collection.generation)(math.min(collection.generation, _))
+    if (!cur.complete) {
+      val list = genList(cur.gen, cur.snap)
+      val taken = takeCapped(list, cur.gen, cur.ord.toInt)
+      val nextOrd = cur.ord + taken
+      return Some(
+        if (nextOrd >= list.size) GraftStreamOffset.complete(cur.gen)
+        else GraftStreamOffset(cur.gen, nextOrd, cur.snap))
+    }
+    if (cur.gen <= 0L && startBase == 0L) {
+      // fresh start: the first batch is the snapshot at the legacy
+      // pacer's generation choice (see getOffset), file-split if needed
+      val capped0 = maxGenerationsPerBatch.fold(head) { m =>
+        math.max(math.min(head, m), backfillFloor)
+      }
+      val capped = math.min(capped0, head)
+      if (capped <= 0L) return None
+      val list = genList(capped, snap = true)
+      val taken = takeCapped(list, capped, 0)
+      return Some(
+        if (taken >= list.size) GraftStreamOffset.complete(capped)
+        else GraftStreamOffset(capped, taken.toLong, snap = true))
+    }
+    val genCap = maxGenerationsPerBatch.fold(head)(m => math.min(head, cur.gen + m))
+    if (genCap <= cur.gen) return None
+    val first = cur.gen + 1L
+    val firstList = genList(first, snap = false)
+    val firstTaken = takeCapped(firstList, first, 0)
+    if (firstTaken < firstList.size)
+      return Some(GraftStreamOffset(first, firstTaken.toLong, snap = false))
+    val maxF = maxFilesPerBatch.getOrElse(Long.MaxValue)
+    val maxB = maxBytesPerBatch.getOrElse(Long.MaxValue)
+    var files = firstList.size.toLong
+    var bytes = if (maxBytesPerBatch.isEmpty) 0L else listBytes(first, firstList)
+    var last = first
+    while (last < genCap) {
+      val nl = genList(last + 1L, snap = false)
+      val nb = if (maxBytesPerBatch.isEmpty) 0L else listBytes(last + 1L, nl)
+      if (files + nl.size > maxF || bytes + nb > maxB)
+        return Some(GraftStreamOffset.complete(last))
+      files += nl.size; bytes += nb; last += 1L
+    }
+    Some(GraftStreamOffset.complete(last))
+  }
+
+  /** Offset-range file planner shared by the V1 [[getBatch]] and the
+    * DSv2 [[GraftMicroBatchStream.planInputPartitions]]. Complete-to-
+    * complete ranges take the proven range-diff path ([[batchFiles]],
+    * byte-identical to pre-r12 behavior); any partial endpoint means a
+    * single-generation slice of the deterministic [[genList]]. */
+  private[streaming] def batchFilesAt(startOpt: Option[GraftStreamOffset],
+                                      end: GraftStreamOffset)
+      : (Collection.Manifest, Seq[String]) = {
+    val start = startOpt.filter(_.gen >= 0L)
+    if (start.forall(_.complete) && end.complete)
+      return batchFiles(start.map(_.gen), end.gen)
+    pace(end)
+    val g = end.gen
+    val endMan = collection.manifestAt(g)
+    val (snapFlag, from) = start match {
+      case Some(s) if !s.complete =>
+        require(s.gen == g,
+          s"partial offset ranges are single-generation: $s -> $end")
+        (s.snap, s.ord.toInt)
+      case _ =>
+        require(!end.complete,
+          s"batchFilesAt reached with complete endpoints: $start -> $end")
+        (end.snap, 0)
+    }
+    val list = genList(g, snapFlag)
+    val to = if (end.complete) list.size else end.ord.toInt
+    val slice = list.slice(from, to)
     val pruned = filterAst match {
-      case FilterExpr.True => newFiles
-      case ast             => collection.pruneFilesForRead(endMan, newFiles, ast)
+      case FilterExpr.True => slice
+      case ast             => collection.pruneFilesForRead(endMan, slice, ast)
     }
     (endMan, pruned)
   }
@@ -554,7 +750,9 @@ class GraftCollectionSourceProvider extends StreamSourceProvider with DataSource
         try v.toLong
         catch { case _: NumberFormatException =>
           java.time.Instant.parse(v).toEpochMilli }
-      })
+      },
+      maxFilesPerBatch = parameters.get("maxFilesPerBatch").map(_.toLong),
+      maxBytesPerBatch = parameters.get("maxBytesPerBatch").map(_.toLong))
 }
 
 object GraftCollectionSourceProvider {

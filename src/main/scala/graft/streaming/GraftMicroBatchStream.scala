@@ -52,7 +52,9 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
     filters = options.get("filters"),
     changeFeed = false,
     startingGeneration = options.get("startinggeneration").map(_.toLong),
-    startingTimestamp = options.get("startingtimestamp").map(_.toLong))
+    startingTimestamp = options.get("startingtimestamp").map(_.toLong),
+    maxFilesPerBatch = options.get("maxfilesperbatch").map(_.toLong),
+    maxBytesPerBatch = options.get("maxbytesperbatch").map(_.toLong))
 
   private val collection = source.collection
   private val partCols = collection.partColumns
@@ -89,14 +91,18 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
   private val keyProjection: Array[Int] =
     readPartitionSchema.fieldNames.map(partCols.indexOf)
 
-  @volatile private var lastEnd: Long = -1L
+  @volatile private var lastEnd: GraftStreamOffset = GraftStreamOffset.Initial
 
-  private def toGen(o: OffsetV2): Long = o match {
-    case l: LongOffset => l.offset
-    case other         => other.json.trim.toLong
+  private def toOff(o: OffsetV2): GraftStreamOffset = o match {
+    case g: GraftStreamOffset => g
+    case l: LongOffset        => GraftStreamOffset.complete(l.offset)
+    case other                => GraftStreamOffset.parse(other.json)
   }
 
-  override def initialOffset(): OffsetV2 = LongOffset(-1L)
+  private def advance(o: GraftStreamOffset): Unit =
+    if (!(lastEnd >= o)) lastEnd = o
+
+  override def initialOffset(): OffsetV2 = GraftStreamOffset.Initial
 
   /** Re-seeds the monotonicity floor when the engine materializes a
     * checkpointed offset. NOT sufficient for restart pacing by itself —
@@ -104,10 +110,10 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
     * committed offset — which is why pacing is driven through
     * [[SupportsAdmissionControl]] below. */
   override def deserializeOffset(json: String): OffsetV2 = {
-    val g = json.trim.toLong
-    if (g > lastEnd) lastEnd = g
-    if (g > 0) source.paceTo(g)
-    LongOffset(g)
+    val o = GraftStreamOffset.parse(json)
+    advance(o)
+    if (o.gen > 0 || !o.complete) source.paceTo(o)
+    o
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -120,16 +126,26 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
     availableNowTarget = Some(collection.generation)
 
   /** The admission-control form: the engine hands the CURRENT start
-    * offset, so a paced stream (`maxGenerationsPerBatch`) restarts from
-    * its checkpointed position instead of regressing to the start base
-    * and re-delivering generations a previous run already committed. */
+    * offset, so a paced stream (`maxGenerationsPerBatch` or the r12
+    * file/byte caps) restarts from its checkpointed position instead of
+    * regressing to the start base and re-delivering what a previous run
+    * already committed. */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val base = toGen(startOffset)
-    if (base > lastEnd) lastEnd = base
-    if (base > 0) source.paceTo(base)
-    val next0 = source.getOffset.map(_.json.trim.toLong).getOrElse(lastEnd)
-    val next = availableNowTarget.fold(next0)(t => math.min(next0, t))
-    LongOffset(math.max(next, lastEnd))
+    val base = toOff(startOffset)
+    advance(base)
+    if (base.gen > 0 || !base.complete) source.paceTo(base)
+    if (source.filePacing) {
+      val next = source.nextPaced(lastEnd, availableNowTarget).getOrElse(lastEnd)
+      advance(next)
+      return lastEnd
+    }
+    val next0 = source.getOffset.map(o => toOff(LongOffset(o.json.trim.toLong)))
+      .getOrElse(lastEnd)
+    val next = availableNowTarget.fold(next0) { t =>
+      if (next0.gen > t) GraftStreamOffset.complete(t) else next0
+    }
+    advance(next)
+    lastEnd
   }
 
   override def latestOffset(): OffsetV2 =
@@ -137,18 +153,18 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
       "latestOffset(Offset, ReadLimit) is the admission-control entry point")
 
   override def planInputPartitions(start: OffsetV2, end: OffsetV2): Array[InputPartition] = {
-    val s = toGen(start)
-    val e = toGen(end)
-    if (e > lastEnd) lastEnd = e
-    if (e < 0) return Array.empty
+    val s = toOff(start)
+    val e = toOff(end)
+    advance(e)
+    if (e.gen < 0) return Array.empty
     // the no-refilter contract must hold on THIS batch's manifest too —
     // a commit since stream start may have added an undecidable key
-    if (mustHold != FilterExpr.True && !collection.canClaimStrict(mustHold, Some(e)))
+    if (mustHold != FilterExpr.True && !collection.canClaimStrict(mustHold, Some(e.gen)))
       throw new IllegalStateException(
         s"a commit made the stream filter '$mustHold' undecidable on some partition " +
-          s"of $root at generation $e (e.g. a null partition key) — restart the " +
-          "stream with a row-level .where(...) instead")
-    val (man, diffed) = source.batchFiles(if (s < 0L) None else Some(s), e)
+          s"of $root at generation ${e.gen} (e.g. a null partition key) — restart " +
+          "the stream with a row-level .where(...) instead")
+    val (man, diffed) = source.batchFilesAt(if (s.gen < 0L) None else Some(s), e)
     val files = pushedAst match {
       case FilterExpr.True => diffed
       case ast             => collection.pruneFilesForRead(man, diffed, ast)

@@ -187,4 +187,56 @@ class StreamTableSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("maxFilesPerBatch (r12): one bulk commit streams as k bounded batches, restart resumes mid-split") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.strm")
+    sql("CREATE TABLE graft.strm.fp (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    // ONE commit spread over 5 partitions = 5 files in a single generation
+    sql("INSERT INTO graft.strm.fp VALUES (1,1.0), (2,2.0), (3,3.0), (4,4.0), (5,5.0)")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("strm-fp-ckpt").toString
+    val outRoot = SparkTestSession.tmp("strm-fp-out")
+    graft.core.Collection.create(spark, outRoot,
+      sql("SELECT * FROM graft.strm.fp").schema, "cargo",
+      graft.core.SequencePartitioning(Seq("cargo"), "cargo"))
+    var batches = 0
+    def run(): Unit = {
+      val q = spark.readStream.option("maxFilesPerBatch", "2")
+        .table("graft.strm.fp")
+        .writeStream.format("graft").option("path", outRoot)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        batches += q.recentProgress.count(_.numInputRows > 0)
+      } finally q.stop()
+    }
+    run()
+    val out = graft.core.Collection.open(spark, outRoot, readOnly = true)
+    assert(out.query().count() == 5)
+    assert(batches >= 3, s"5 files / cap 2 must take >= 3 micro-batches, got $batches")
+    // restart across another oversized commit: exactly-once, still paced
+    sql("INSERT INTO graft.strm.fp VALUES (6,6.0), (7,7.0), (8,8.0)")
+    run()
+    val rows = out.query().collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == (1L to 8L),
+      s"file-paced restart must deliver every row exactly once, got $rows")
+  }
+
+  test("Trigger.AvailableNow drains a file-paced bulk commit to the head and terminates") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.strm")
+    sql("CREATE TABLE graft.strm.fpan (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    sql("INSERT INTO graft.strm.fpan VALUES (1,1.0), (2,2.0), (3,3.0), (4,4.0)")
+    val name = "strm_fpan_" + System.nanoTime()
+    val q = spark.readStream
+      .option("maxFilesPerBatch", "1") // several batches, one trigger
+      .table("graft.strm.fpan")
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("strm-fpan-ckpt").toString)
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+    val rows = spark.table(name).collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == (1L to 4L), s"paced drain must deliver everything once, got $rows")
+  }
 }
