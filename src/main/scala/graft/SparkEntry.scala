@@ -240,6 +240,27 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // A12b (r12, the r11 verdict's #5): USER-SUPPLIED merge callable
+    // (reference merge.py:43 MergeCallable) — a keep-best merge: per
+    // (partition, user_id) only the highest-value row survives (ties by
+    // event_id desc — a total order, so the result is deterministic).
+    // The callable sees ONLY the colliding day partitions; untouched
+    // days pass through — exactly what the DuckDB oracle replays.
+    "zc_merge_custom" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir)
+      val keepBest = MergeStrategy.Custom { (existing, inserted, _, partCols) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy((partCols.map(col) :+ col("user_id")): _*)
+          .orderBy(col("value").desc, col("event_id").desc)
+        existing.unionByName(inserted)
+          .withColumn("_zc_rn", row_number().over(w))
+          .where(col("_zc_rn") === 1).drop("_zc_rn")
+      }
+      c.insert(mergeSlice(s, dir).withColumn("value", col("value") + 100),
+        keepBest)
+      eventsOut(c.query())
+    }),
+
     // A13: Sequence partitioning over an integer key column.
     "zc_seq_partition" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -668,6 +689,25 @@ object SparkEntry {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
 
+    // A53b (r12, the r11 verdict's #2): UNCORRELATED SCALAR SUBQUERY in
+    // `UPDATE ... SET x = (SELECT ...)` — the subquery evaluates once
+    // and splices into the assignment as a typed literal (empty result
+    // = NULL, a second row = runtime error), through the same lifted-
+    // flag machinery the condition subqueries use.
+    "zc_sql_update_set_scalar" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir, dv = true)
+      val tbl = "graft_squss_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '${c.root}')")
+      try {
+        Tables.events(s, dir).createOrReplaceTempView("zc_uss_events")
+        s.sql(s"""UPDATE $tbl
+                  SET value = (SELECT max(value) FROM zc_uss_events
+                               WHERE event_type = 'click')
+                  WHERE event_type = 'purchase'""")
+        eventsOut(c.query())
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     // A44c (r8): SQL MERGE INTO through the DSv2 catalog — the ANSI
     // upsert (UPDATE SET * / INSERT *) lowered onto mergeInto: one
     // atomic file-granular commit, same semantics (and oracle) as the
@@ -710,6 +750,35 @@ object SparkEntry {
                 ON t.event_id = s.event_id
                 WHEN MATCHED THEN UPDATE SET *
                 WHEN NOT MATCHED AND s.event_type = 'click' THEN INSERT *""")
+      eventsOut(c.query())
+    }),
+
+    // A57b (r12, the r11 verdict's #2): EXPLICIT-COLUMN conditional
+    // INSERT — `WHEN NOT MATCHED AND <cond> THEN INSERT (cols) VALUES
+    // (exprs)`: inserted rows take the VALUES expressions (here a
+    // renamed event_type and a doubled value), UNASSIGNED columns
+    // insert NULL (props), and the gate still rides the engine's
+    // insert leg; matched rows update one explicit column. The source
+    // need not be target-shaped anymore.
+    "zc_sql_merge_ci_cols" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val name = "mcc" + java.util.UUID.randomUUID().toString.take(8)
+      val c = Collection.create(s, s"$scratch/sqlwh/db/$name", ev.schema, "ts",
+        DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+      c.insert(ev)
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", s"$scratch/sqlwh")
+      val slice = mergeSlice(s, dir)
+      slice.withColumn("value", -col("value"))
+        .unionByName(slice.withColumn("event_id", col("event_id") + 10000000L))
+        .createOrReplaceTempView("sql_merge_cic_src")
+      s.sql(s"""MERGE INTO graftq.db.$name t USING sql_merge_cic_src s
+                ON t.event_id = s.event_id
+                WHEN MATCHED THEN UPDATE SET value = s.value
+                WHEN NOT MATCHED AND s.event_type = 'click' THEN
+                  INSERT (event_id, ts, user_id, event_type, value)
+                  VALUES (s.event_id, s.ts, s.user_id,
+                          concat('ins_', s.event_type), s.value * 2)""")
       eventsOut(c.query())
     }),
 
@@ -3822,6 +3891,31 @@ object SparkEntry {
            AND hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 18
          ORDER BY event_id""",
 
+    // Custom keep-best merge: the callable sees only partitions the
+    // slice touches — collapse exactly those dates, pass the rest.
+    "zc_merge_custom" ->
+      """WITH slice AS (
+           SELECT event_id, ts, user_id, event_type, value + 100 AS value, props
+           FROM events
+           WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 12
+             AND hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 18),
+         cdays AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM slice),
+         colliding AS (
+           SELECT * FROM events WHERE CAST(ts AS DATE) IN (SELECT d FROM cdays)
+           UNION ALL
+           SELECT * FROM slice),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY CAST(ts AS DATE), user_id
+             ORDER BY value DESC, event_id DESC) AS rn
+           FROM colliding)
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events WHERE CAST(ts AS DATE) NOT IN (SELECT d FROM cdays)
+         UNION ALL
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM ranked WHERE rn = 1
+         ORDER BY event_id""",
+
     "zc_merge_upsert_tol" ->
       """WITH ins AS (
            SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 50 MILLISECOND AS ts, user_id,
@@ -4255,6 +4349,32 @@ object SparkEntry {
          FROM events
          WHERE NOT COALESCE(value >
            (SELECT max(value) - 5.0 FROM events WHERE event_type = 'click'), FALSE)
+         ORDER BY event_id""",
+
+    "zc_sql_update_set_scalar" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                CASE WHEN event_type = 'purchase'
+                     THEN (SELECT max(value) FROM events WHERE event_type = 'click')
+                     ELSE value END AS value,
+                props
+         FROM events ORDER BY event_id""",
+
+    // Explicit-column insert: assigned columns take the VALUES
+    // expressions, unassigned (props) insert NULL.
+    "zc_sql_merge_ci_cols" ->
+      """WITH slice AS (
+           SELECT * FROM events
+           WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 12
+             AND hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 18)
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                CASE WHEN event_id IN (SELECT event_id FROM slice) THEN -value ELSE value END AS value,
+                props
+         FROM events
+         UNION ALL
+         SELECT event_id + 10000000 AS event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                user_id, 'ins_' || event_type AS event_type, value * 2 AS value,
+                CAST(NULL AS VARCHAR) AS props
+         FROM slice WHERE event_type = 'click'
          ORDER BY event_id""",
 
     // Sequential replay of the transaction's three ops — the delete

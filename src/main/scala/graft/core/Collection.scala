@@ -1703,11 +1703,15 @@ final class Collection private (
     val forkGen = b.generations().head
     if (b.generation == forkGen) return Nil // branch never committed
     val man = currentManifest()
-    require(allowDiverged || man.generation == forkGen,
-      s"parent advanced past the branch fork point ($forkGen -> " +
-      s"${man.generation}); re-branch, rebaseBranch(keys) for checked " +
-      "divergence, or pass allowDiverged=true to apply the branch's " +
-      "row diff onto the current state unchecked")
+    if (!allowDiverged && man.generation != forkGen)
+      // dedicated type (r12): transaction() classifies conflicts by
+      // CATCHING this, not by substring-matching the message — the
+      // public exception contract survives any rewording
+      throw new BranchDivergedException(
+        s"parent advanced past the branch fork point ($forkGen -> " +
+        s"${man.generation}); re-branch, rebaseBranch(keys) for checked " +
+        "divergence, or pass allowDiverged=true to apply the branch's " +
+        "row diff onto the current state unchecked")
     applyBranchDiff(b, forkGen, man, op = "promote")
   }
 
@@ -1808,8 +1812,7 @@ final class Collection private (
       else if (rebaseKeys.nonEmpty) rebaseBranch(name, rebaseKeys, resolve)
       else try promoteBranch(name)
       catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null && e.getMessage.contains("fork point") =>
+        case e: BranchDivergedException =>
           val c = new java.util.ConcurrentModificationException(
             s"transaction conflict: the collection advanced past generation $forkGen " +
             "while the transaction ran — rerun it against the new head (or pass " +
@@ -1915,9 +1918,11 @@ final class Collection private (
       }
     }
     if (appendOnly) {
+      // one assignment serves both the touched-key listing and the
+      // write — assigning twice replayed the branch CDC diff (r12)
       val assigned = partitioning.assign(inserts)
       val touchedA = distinctKeys(assigned).map(keyPath)
-      try writeAndCommit(partitioning.assign(inserts), replaced = Set.empty,
+      try writeAndCommit(assigned, replaced = Set.empty,
         base = man, op = op)
       finally cachedConflicts.foreach(_.unpersist(blocking = false))
       return touchedA.sorted
@@ -3641,13 +3646,30 @@ final class Collection private (
   private def dvEnabled: Boolean =
     attrs.get(Collection.DvEnabledAttr).exists(_.toBoolean)
 
+  /** How many rows the last victim scan's collect returned — ONE per
+    * touched file by construction (r12); exposed for the spec's
+    * bounded-driver-rows assertion. */
+  @volatile private[graft] var lastVictimScanDriverRows: Int = -1
+
   /** Victim scan for the DV write path: each affected file's rowids
     * matching `cond` — PHYSICAL read (an already-DV'd row may
     * re-collect; the union is idempotent) so `input_file_name()` rides
     * a join-free scan stage, and BOUNDED: `None` = more than
     * [[Collection.DvMaxTotalRows]] matches, the regime where the
     * classic rewrite wins (same gated-driver-pass shape as the dedup
-    * union-find). */
+    * union-find).
+    *
+    * r12 (the r11 verdict's driver-memory item): victims aggregate ON
+    * THE EXECUTORS into one row per file — (file, count, sorted packed
+    * rowids) — so the driver receives ~file-count rows of primitive
+    * arrays instead of one Row-with-full-path-string per victim: the
+    * same 4M-victim workload that used to ship hundreds of MB of Row
+    * objects now ships ~32 MB of longs, and the total cap rises 4M →
+    * 16M. Each file's array ships TRUNCATED at [[Collection
+    * .DvMaxPerFile]]+1: a file past the per-file cap is classified
+    * heavy (rewritten) by [[planDv]] on length alone, so its exact id
+    * list is never needed — per-file ship cost is bounded whatever the
+    * predicate matches. */
   private def collectVictims(man: Manifest, affected: Seq[String],
                              cond: Column,
                              augment: DataFrame => DataFrame = identity)
@@ -3661,17 +3683,21 @@ final class Collection private (
       .withColumn("_zc_f", input_file_name())
     val rows = augment(raw)
       .where(cond <=> lit(true))
-      .select(col("_zc_f"), col(Collection.RowIdCol))
-      .limit(Collection.DvMaxTotalRows + 1)
+      .groupBy(col("_zc_f"))
+      .agg(count(lit(1)).as("_zc_n"),
+        slice(sort_array(collect_list(col(Collection.RowIdCol))),
+          1, Collection.DvMaxPerFile + 1).as("_zc_ids"))
       .collect()
-    if (rows.length > Collection.DvMaxTotalRows) return None
+    lastVictimScanDriverRows = rows.length
+    if (rows.iterator.map(_.getLong(1)).sum > Collection.DvMaxTotalRows) return None
     // an `augment` join the planner chose to SHUFFLE loses per-task file
     // lineage (input_file_name comes back empty) — fall back to the
     // rewrite path rather than guessing provenance
     if (rows.exists(r => r.isNullAt(0) || r.getString(0).isEmpty ||
         !byAbs.contains(new Path(r.getString(0)).toUri.getPath))) return None
-    Some(rows.groupBy(r => byAbs(new Path(r.getString(0)).toUri.getPath))
-      .map { case (f, rs) => f -> rs.map(_.getLong(1)) })
+    Some(rows.map { r =>
+      byAbs(new Path(r.getString(0)).toUri.getPath) -> r.getSeq[Long](2).toArray
+    }.toMap)
   }
 
   /** Merge new victims with each file's existing DV (driver-side
@@ -3841,15 +3867,25 @@ final class Collection private (
     *        only unmatched source rows satisfying this predicate insert
     *        (SQL's `WHEN NOT MATCHED AND <cond> THEN INSERT`; NULL =
     *        skip). The condition must reference source columns as
-    *        `s.<name>` — there IS no target row in that leg. */
+    *        `s.<name>` — there IS no target row in that leg.
+    * @param insertProjection EXPLICIT-COLUMN insert (r12): SQL's
+    *        `WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)` — each
+    *        inserted row's target column takes its mapped expression
+    *        (source columns as `s.<name>`); UNMAPPED target columns
+    *        insert NULL (the ANSI/Delta contract). With a projection the
+    *        source need NOT carry the collection's schema — only the
+    *        `on` keys (by name) plus whatever the matched legs and the
+    *        projection reference. `None` = whole-row insert (the
+    *        pre-r12 contract: source carries the full schema). */
   def mergeInto(source: DataFrame, on: Seq[String],
                 whenMatched: WhenMatched = WhenMatched.UpdateAll,
                 insertUnmatched: Boolean = true,
                 notMatchedBySource: WhenNotMatchedBySource =
                   WhenNotMatchedBySource.Keep,
-                insertGate: Option[Column] = None): Seq[String] =
+                insertGate: Option[Column] = None,
+                insertProjection: Option[Map[String, Column]] = None): Seq[String] =
     mergeIntoInternal(source, on, whenMatched, insertUnmatched, None,
-      notMatchedBySource, insertGate)
+      notMatchedBySource, insertGate, insertProjection)
 
   /** [[mergeInto]] carrying a streaming batch mark: the batch id commits
     * ATOMICALLY with the merge (the [[insertStreamBatch]] idempotent-sink
@@ -3862,10 +3898,13 @@ final class Collection private (
                 streamMark: Option[(String, Long)],
                 bySource: WhenNotMatchedBySource =
                   WhenNotMatchedBySource.Keep,
-                insertGate: Option[Column] = None): Seq[String] = {
+                insertGate: Option[Column] = None,
+                insertProjection: Option[Map[String, Column]] = None): Seq[String] = {
     requireWritable()
     require(on.nonEmpty, "mergeInto requires at least one key column")
     on.foreach(k => require(schema.fieldNames.contains(k), s"unknown key column: $k"))
+    insertProjection.foreach(_.keys.foreach(k => require(
+      schema.fieldNames.contains(k), s"unknown column in INSERT projection: $k")))
     def checkAssigned(ks: Iterable[String]): Unit = ks.foreach { k =>
       require(schema.fieldNames.contains(k), s"unknown column in assignment: $k")
       require(!partCols.contains(k) && k != axis,
@@ -3885,7 +3924,13 @@ final class Collection private (
         checkAssigned(as.keys)
       case _ => ()
     }
-    val src = source.select(schema.fieldNames.toSeq.map(col): _*)
+    // with an explicit-column INSERT projection the source keeps ITS OWN
+    // columns (the projection and the matched legs reference them by
+    // `s.<name>`); whole-row merges align to the target schema up front
+    val src = insertProjection match {
+      case None    => source.select(schema.fieldNames.toSeq.map(col): _*)
+      case Some(_) => source
+    }
     // One source pass: duplicate-key guard + per-key bounds for pruning.
     val keysNonNull = on.map(col(_).isNotNull).reduce(_ && _)
     val aggs =
@@ -3931,20 +3976,23 @@ final class Collection private (
     if (dvEnabled && bySource == WhenNotMatchedBySource.Keep &&
         affected.nonEmpty && srow.getLong(0) > 0L) {
       mergeDv(man, src, on, whenMatched, insertUnmatched, streamMark,
-        affected, srow.getLong(0), insertGate) match {
+        affected, srow.getLong(0), insertGate, insertProjection) match {
         case Some(touched) => return touched
         case None          => () // over the victim budget: rewrite below
       }
     }
     val out: DataFrame =
-      if (affected.isEmpty) insertGate match {
-        // nothing matches: the merge is a pure (possibly gated) insert
-        case None    => src
-        case Some(g) => src.alias("s").where(coalesce(g, lit(false)))
-          .select(schema.fieldNames.toSeq.map(col): _*)
+      if (affected.isEmpty) {
+        // nothing matches: the merge is a pure (possibly gated,
+        // possibly explicit-column) insert
+        val s0 = src.alias("s")
+        val gated = insertGate.fold(s0)(g => s0.where(coalesce(g, lit(false))))
+        val fields = StructType(readSchemaFields(schema))
+        gated.select(schema.fieldNames.toSeq.map(n =>
+          insertCol(insertProjection, fields, n).as(n)): _*)
       }
       else classicMergeOut(man, src, on, whenMatched, insertUnmatched,
-        bySource, affected, insertGate)
+        bySource, affected, insertGate, insertProjection)
     writeAndCommit(partitioning.assign(out), replaced = Set.empty,
       base = man, replacedFiles = affected.toSet, op = "merge",
       streamMark = streamMark)
@@ -3955,10 +4003,22 @@ final class Collection private (
     * files against the source, per-column three-leg projection.
     * `insertUnmatched = false` restricts it to carried/updated target
     * rows (the DV path's heavy leg computes inserts separately). */
+  /** Column an INSERTED row takes for target field `n`: the explicit
+    * projection's expression (cast), NULL when unmapped (ANSI/Delta),
+    * or the source's same-named column for whole-row merges. The
+    * expression's references resolve under the source alias `s`. */
+  private def insertCol(proj: Option[Map[String, Column]],
+                        fields: StructType, n: String): Column = proj match {
+    case None    => col(s"s.$n")
+    case Some(p) => p.get(n).map(_.cast(fields(n).dataType))
+      .getOrElse(lit(null).cast(fields(n).dataType))
+  }
+
   private def classicMergeOut(man: Manifest, src: DataFrame, on: Seq[String],
       whenMatched: WhenMatched, insertUnmatched: Boolean,
       bySource: WhenNotMatchedBySource, affected: Seq[String],
-      insertGate: Option[Column] = None): DataFrame = {
+      insertGate: Option[Column] = None,
+      insertProjection: Option[Map[String, Column]] = None): DataFrame = {
     locally {
         val tgt = readManifestFiles(man, affected)
           .select(schema.fieldNames.toSeq.map(col): _*)
@@ -3993,10 +4053,15 @@ final class Collection private (
         }
         val fields = StructType(readSchemaFields(schema))
         j.where(keep).select(schema.fieldNames.toSeq.map { n =>
-          val fromEither = when(tPresent, col(s"t.$n")).otherwise(col(s"s.$n"))
+          val fromEither = when(tPresent, col(s"t.$n"))
+            .otherwise(insertCol(insertProjection, fields, n))
           val matched = whenMatched match {
+            // MATCHED rows take the whole source row; unmatched rows go
+            // through fromEither so an insert PROJECTION still applies
+            // (collapsing both legs to s.$n was correct only when the
+            // insert was whole-row — r12)
             case WhenMatched.UpdateAll =>
-              when(sPresent, col(s"s.$n")).otherwise(col(s"t.$n"))
+              when(tPresent && sPresent, col(s"s.$n")).otherwise(fromEither)
             case WhenMatched.Update(as, _) => as.get(n) match {
               case Some(e) => when(tPresent && sPresent,
                   expr(e).cast(fields(n).dataType)).otherwise(fromEither)
@@ -4036,7 +4101,8 @@ final class Collection private (
   private def mergeDv(man: Manifest, src: DataFrame, on: Seq[String],
       whenMatched: WhenMatched, insertUnmatched: Boolean,
       streamMark: Option[(String, Long)], affected: Seq[String],
-      srcRows: Long, insertGate: Option[Column] = None): Option[Seq[String]] = {
+      srcRows: Long, insertGate: Option[Column] = None,
+      insertProjection: Option[Map[String, Column]] = None): Option[Seq[String]] = {
     val sMark = src.withColumn("_zc_sp", lit(true)).alias("s")
     def augment(df: DataFrame): DataFrame = {
       val right =
@@ -4098,8 +4164,9 @@ final class Collection private (
         val tKeys = readManifestFiles(man, affected)
           .select(on.map(col): _*).distinct()
         val anti = src.alias("s").join(tKeys, on, "left_anti")
-        insertGate.fold(anti)(g => anti.where(coalesce(g, lit(false))))
-          .select(schema.fieldNames.toSeq.map(col): _*)
+        val gated = insertGate.fold(anti)(g => anti.where(coalesce(g, lit(false))))
+        gated.select(schema.fieldNames.toSeq.map(n =>
+          insertCol(insertProjection, fields, n).as(n)): _*)
       }
     val legs = Seq(updatedCopies, heavyLeg, inserts).flatten
     if (legs.isEmpty && dvRefs.isEmpty && streamMark.isEmpty)
@@ -4145,14 +4212,19 @@ final class Collection private (
     * rows qualifies even as a single file and ranks FIRST (largest
     * fraction first) — every read of such a partition pays the mask
     * for rows that are already dead, and compaction MATERIALIZES the
-    * DVs (the Delta `OPTIMIZE`-applies-DVs shape). 1.0 disables. */
+    * DVs (the Delta `OPTIMIZE`-applies-DVs shape). The test is
+    * `maskedFraction >= dvReclaimFraction`, so 1.0 still admits a
+    * FULLY-masked partition (arguably the one most worth reclaiming);
+    * to disable the DV trigger entirely pass any value > 1.0
+    * (e.g. `Double.PositiveInfinity`) — a fraction never exceeds 1. */
   def compactPlan(maxBytes: Long, minFiles: Int = 2,
                   coldestFirst: Boolean = false,
                   dvReclaimFraction: Double = 0.3): Seq[String] = {
     require(maxBytes > 0, "maxBytes must be positive")
     require(minFiles >= 2, "compacting < 2 files is a no-op")
     require(dvReclaimFraction > 0.0,
-      "dvReclaimFraction must be positive (1.0 effectively disables the DV trigger)")
+      "dvReclaimFraction must be positive (> 1.0 disables the DV trigger; " +
+      "1.0 still admits fully-masked partitions)")
     val man = currentManifest()
     val dom = axisDomain
     // a candidate qualifies by FRAGMENTATION (>= minFiles small files)
@@ -4439,6 +4511,12 @@ final case class FsckReport(
       unreadableFiles.isEmpty && badDvFiles.isEmpty
 }
 
+/** Thrown by [[Collection.promoteBranch]] when the parent advanced past
+  * the branch's fork point (optimistic-concurrency refusal). Subclasses
+  * IllegalArgumentException so pre-r12 catch sites keep working;
+  * [[Collection.transaction]] classifies conflicts by THIS type. */
+class BranchDivergedException(msg: String) extends IllegalArgumentException(msg)
+
 object Collection extends CollectionManifestLayer {
   val ConfigFile = "_graft.json"
   val ManifestDir = "_manifest"
@@ -4475,9 +4553,12 @@ object Collection extends CollectionManifestLayer {
   val DvMaxPerFile = 1 << 20
   val DvMaxFraction = 0.5
   /** Per-commit driver cap on collected DV rowids (the DV writer is a
-    * bounded driver pass, like the dedup union-find gate): files beyond
-    * the budget fall back to the rewrite leg of the SAME commit. */
-  val DvMaxTotalRows = 1 << 22
+    * bounded driver pass, like the dedup union-find gate): over budget,
+    * the whole mutation falls back to the classic rewrite. r12: the
+    * victim scan ships PACKED per-file long arrays (one driver row per
+    * file), so the cap rises 4M -> 16M (~128 MB of longs) — the old
+    * Row-per-victim shape carried a full path string per id. */
+  val DvMaxTotalRows = 1 << 24
   /** Reads broadcast the DV anti-join side up to this many rowids
     * (32 MB of longs); beyond it the join plans as a shuffle. */
   val DvBroadcastMaxRows = 1L << 22

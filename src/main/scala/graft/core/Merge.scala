@@ -96,6 +96,27 @@ object MergeStrategy {
     }
   }
 
+  /** USER-SUPPLIED merge callable (r12, the r11 verdict's #5; reference
+    * merge.py:43 — `MergeCallable` is an OPEN Protocol and `insert`
+    * accepts any callable). The function receives the COLLIDING
+    * partitions' current content as `existing` and the FULL incoming
+    * slice as `inserted` (partition columns included — incoming rows
+    * landing in brand-new partitions ride `inserted` too, exactly as
+    * for the built-ins), and its return value is the WHOLE write:
+    * include the inserted rows you want to land — a fn returning only
+    * `existing` discards the entire insert.
+    * Keep the returned plan partition-local (any join/window keys
+    * should include `partCols`) so Catalyst co-partitions the work and
+    * nothing shuffles beyond the touched slice; the write path
+    * range-repartitions and axis-sorts whatever is returned. */
+  final case class Custom(
+      fn: (DataFrame, DataFrame, String, Seq[String]) => DataFrame)
+      extends MergeStrategy {
+    override def apply(existing: DataFrame, inserted: DataFrame, axis: String,
+                       partCols: Seq[String]): DataFrame =
+      fn(existing, inserted, axis, partCols)
+  }
+
   /** Resolve a string alias, mirroring reference merge.py resolve(). */
   def resolve(alias: String): MergeStrategy = alias match {
     case "replace"     => Replace

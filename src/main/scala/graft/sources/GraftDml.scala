@@ -81,7 +81,7 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case u @ UpdateTable(DmlTarget(t), assignments, condition) if u.resolved =>
       requireWritable(t, "UPDATE")
-      val sets = assignments.flatMap { a =>
+      val kept = assignments.flatMap { a =>
         val (key, keyName) = a.key match {
           case ar: AttributeReference => (ar, ar.name)
           case other => refuse(s"UPDATE SET target must be a top-level column, got ${other.sql}")
@@ -90,9 +90,14 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // every untouched column — drop them or the axis/partition-column
         // guard would refuse its own no-ops
         if (isIdentity(key, a.value)) None
-        else Some(keyName -> selfCol(a.value, t, "UPDATE"))
+        else Some(keyName -> a.value)
       }
-      val (cond2, subs) = extractSubqueries(condition, t, "UPDATE")
+      // r12: subqueries in SET values (uncorrelated scalars spliced as
+      // typed literals; IN/EXISTS as computed flag columns) lift through
+      // the same machinery as condition subqueries
+      val (cond2, setVals2, subs) =
+        extractSubqueries(condition, t, "UPDATE", kept.map(_._2))
+      val sets = kept.map(_._1).zip(setVals2.map(selfCol(_, t, "UPDATE SET")))
       val condCol = cond2.map(selfCol(_, t, "UPDATE")).getOrElse(lit(true))
       GraftUpdateCommand(t.root, sets, condCol, pruneFilters(condition), subs)
 
@@ -103,7 +108,7 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case d @ DeleteFromTable(DmlTarget(t), condition) if d.resolved &&
         (!t.v2 || !exactlyTranslatable(spark, t, condition)) =>
       requireWritable(t, "DELETE")
-      val (cond2, subs) = extractSubqueries(Some(condition), t, "DELETE")
+      val (cond2, _, subs) = extractSubqueries(Some(condition), t, "DELETE")
       GraftDeleteCommand(t.root, selfCol(cond2.get, t, "DELETE"),
         pruneFilters(Some(condition)), subs)
 
@@ -159,8 +164,17 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }.toMap
 
-      /** `UPDATE SET *` after alignment: every target column assigned its
-        * same-named source column verbatim — the engine's UpdateAll. */
+      /** `UPDATE SET *` / `INSERT *` equivalence: EVERY target DATA
+        * column assigned its same-named source column verbatim — the
+        * engine's UpdateAll / whole-row insert. Coverage of the full
+        * data schema is required (r12 fix): the analyzer does NOT align
+        * MERGE assignments for this table, so a narrow
+        * `SET value = s.value` arrives as a one-element list —
+        * star-collapsing it would silently replace EVERY column of
+        * matched rows. One readOnly manifest-root read at analysis. */
+      lazy val targetDataCols: Set[String] = graft.core.Collection
+        .open(spark, t.root, readOnly = true).schema.fieldNames
+        .map(_.toLowerCase).toSet
       def isStarShape(as: Seq[Assignment]): Boolean =
         as.nonEmpty && as.forall { a =>
           (a.key, stripCasts(a.value)) match {
@@ -168,6 +182,9 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               sIds(v.exprId) && v.name.equalsIgnoreCase(k.name)
             case _ => false
           }
+        } && {
+          val assigned = as.map(_.key.asInstanceOf[AttributeReference].name.toLowerCase)
+          targetDataCols.subsetOf(assigned.toSet)
         }
 
       val whenMatched: WhenMatched = m.matchedActions match {
@@ -216,18 +233,35 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             refuse(s"$what may reference only source columns, got '${a.name}'")
         })
       }
-      val (insertUnmatched, insertGate) = m.notMatchedActions match {
-        case Seq() => (false, None)
-        case Seq(InsertStarAction(None)) => (true, None)
-        case Seq(InsertAction(None, as)) if isStarShape(as) => (true, None)
+      // r12: explicit-column INSERT — `WHEN NOT MATCHED [AND <cond>]
+      // THEN INSERT (cols) VALUES (exprs)`: each assignment's value is
+      // s-only (there is no target row in that leg) and becomes the
+      // engine's insert projection; the analyzer has already aligned
+      // the assignment list to the full target schema (unassigned
+      // columns arrive as NULL literals), so the map is total.
+      def insertProj(as: Seq[Assignment]): Map[String, Column] =
+        as.map { a =>
+          val key = a.key match {
+            case ar: AttributeReference if tIds(ar.exprId) => ar
+            case other =>
+              refuse(s"INSERT target must be a target column, got ${other.sql}")
+          }
+          key.name -> sOnly(a.value, "WHEN NOT MATCHED INSERT VALUES")
+        }.toMap
+      val (insertUnmatched, insertGate, insertProjection) = m.notMatchedActions match {
+        case Seq() => (false, None, None)
+        case Seq(InsertStarAction(None)) => (true, None, None)
+        case Seq(InsertAction(None, as)) if isStarShape(as) => (true, None, None)
         // CONDITIONAL INSERT (r11b): `WHEN NOT MATCHED AND <cond> THEN
         // INSERT *` gates the engine's insert leg (NULL = skip, SQL)
         case Seq(InsertStarAction(Some(c))) =>
-          (true, Some(sOnly(c, "WHEN NOT MATCHED AND")))
+          (true, Some(sOnly(c, "WHEN NOT MATCHED AND")), None)
         case Seq(InsertAction(Some(c), as)) if isStarShape(as) =>
-          (true, Some(sOnly(c, "WHEN NOT MATCHED AND")))
+          (true, Some(sOnly(c, "WHEN NOT MATCHED AND")), None)
+        case Seq(InsertAction(c, as)) =>
+          (true, c.map(sOnly(_, "WHEN NOT MATCHED AND")), Some(insertProj(as)))
         case _ =>
-          refuse("WHEN NOT MATCHED supports only INSERT * (whole source rows insert)")
+          refuse("WHEN NOT MATCHED supports at most one INSERT action")
       }
 
       // the sync leg: target rows no source row matches (t.-terms only —
@@ -258,7 +292,8 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           refuse(s"unsupported WHEN NOT MATCHED BY SOURCE combination (${other.size} actions)")
       }
 
-      GraftMergeCommand(t.root, src, on, whenMatched, insertUnmatched, bySource, insertGate)
+      GraftMergeCommand(t.root, src, on, whenMatched, insertUnmatched, bySource,
+        insertGate, insertProjection)
   }
 
   /** SUBQUERY predicates in DELETE/UPDATE conditions (r11, the r10
@@ -277,14 +312,17 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * Correlated subqueries (and scalar subqueries) still refuse loudly
     * downstream — never approximated. */
   private def extractSubqueries(condition: Option[Expression], t: DmlTarget,
-      what: String): (Option[Expression], Seq[DmlSubquery]) = {
-    val cond = condition.getOrElse(return (condition, Nil))
+      what: String,
+      setValues: Seq[Expression] = Nil)
+      : (Option[Expression], Seq[Expression], Seq[DmlSubquery]) = {
     // top-level positive IN conjuncts are bounds-eligible (a negated or
-    // OR-nested IN must not strengthen the prune)
-    val topLevel = conjuncts(cond).toSet
+    // OR-nested IN must not strengthen the prune). SET values (r12) are
+    // never top-level — their subqueries choose values, not rows, so
+    // they must not constrain the prune.
+    val topLevel = condition.map(conjuncts(_).toSet).getOrElse(Set.empty[Expression])
     val subs = Seq.newBuilder[DmlSubquery]
     var i = 0
-    val rewritten = cond.transform {
+    def rewrite(cond: Expression): Expression = cond.transform {
       case in @ InSubquery(values, lq: ListQuery) if !lq.isCorrelated =>
         val v = values match {
           case Seq(one) => one
@@ -352,7 +390,7 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           corrValues = pairs.map(p => selfCol(p._1, t, s"$what EXISTS")))
         UnresolvedAttribute(Seq(flag))
     }
-    (Some(rewritten), subs.result())
+    (condition.map(rewrite), setValues.map(rewrite), subs.result())
   }
 
   /** Decorrelate a correlated EXISTS whose ONLY outer references are
@@ -583,6 +621,15 @@ private[sources] object GraftDmlCommands {
           FilterExpr.Cmp("<=", FilterExpr.Name(k), h))
         outAst = if (outAst == FilterExpr.True) range else FilterExpr.And(outAst, range)
       }
+    // one count for broadcast gating; key min/max ONLY when a bounds key
+    // can strengthen the prune (a multi-key or non-top-level subquery's
+    // min/max would be computed and thrown away)
+    def countAndBounds(sub: DataFrame, boundsKey: Option[String]): (Long, Any, Any) =
+      if (boundsKey.isDefined) {
+        val st = sub.agg(count(lit(1)).as("n"),
+          min(col("_zc_ck_0")).as("lo"), max(col("_zc_ck_0")).as("hi")).collect()(0)
+        (st.getLong(0), st.get(1), st.get(2))
+      } else (sub.agg(count(lit(1))).collect()(0).getLong(0), null, null)
     val steps: Seq[DataFrame => DataFrame] = subs.zipWithIndex.map { case (s, i) =>
       val sub = Bridge.ofRows(session, s.plan)
       if (s.isExists && s.corrValues.nonEmpty) {
@@ -591,13 +638,11 @@ private[sources] object GraftDmlCommands {
         // against keys + a hit marker. EXISTS is two-valued — a NULL
         // outer key never equals, so it lands FALSE through the
         // coalesce, exactly what the dropped correlated filter yields.
-        val stats = sub.agg(count(lit(1)).as("n"),
-          min(col("_zc_ck_0")).as("lo"), max(col("_zc_ck_0")).as("hi")).collect()(0)
-        val n = stats.getLong(0)
-        strengthen(s.boundsKey, stats.get(1), stats.get(2))
+        val (n, lo, hi) = countAndBounds(sub, s.boundsKey)
+        strengthen(s.boundsKey, lo, hi)
         val hit = s"_zc_ck_hit_$i"
         val keys0 = sub.withColumn(hit, lit(true))
-        val keys = if (n <= Collection.DvMaxTotalRows) broadcast(keys0) else keys0
+        val keys = if (n <= Collection.DvBroadcastMaxRows) broadcast(keys0) else keys0
         val cond = s.corrValues.zipWithIndex
           .map { case (v, k) => v === col(s"_zc_ck_$k") }.reduce(_ && _)
         val ckCols = s.corrValues.indices.map(k => s"_zc_ck_$k") :+ hit
@@ -611,7 +656,7 @@ private[sources] object GraftDmlCommands {
         val rows = sub.limit(2).collect()
         if (rows.length > 1)
           throw new IllegalStateException(
-            "scalar subquery in a DML condition returned more than one row")
+            "scalar subquery in DML returned more than one row")
         val v = if (rows.isEmpty) null else rows(0).get(0)
         val litCol = Bridge.column(
           org.apache.spark.sql.catalyst.expressions.Literal.create(v, s.scalarType))
@@ -625,10 +670,8 @@ private[sources] object GraftDmlCommands {
         // per-key group facts, then the exact pair match (both unique
         // by construction — never a row multiplication).
         val ckCols = s.corrValues.indices.map(k => s"_zc_ck_$k")
-        val stats = sub.agg(count(lit(1)).as("n"),
-          min(col("_zc_ck_0")).as("lo"), max(col("_zc_ck_0")).as("hi")).collect()(0)
-        val n = stats.getLong(0)
-        strengthen(s.boundsKey, stats.get(1), stats.get(2))
+        val (n, lo, hi) = countAndBounds(sub, s.boundsKey)
+        strengthen(s.boundsKey, lo, hi)
         val grpHit = s"_zc_g_hit_$i"; val grpNull = s"_zc_g_null_$i"
         val groups0 = sub.groupBy(ckCols.map(col): _*)
           .agg(max(col("_zc_inv").isNull).as(grpNull))
@@ -638,7 +681,7 @@ private[sources] object GraftDmlCommands {
           .withColumnRenamed("_zc_inv", mVal)
           .withColumn(mHit, lit(true))
         val (groups, matches) =
-          if (n <= Collection.DvMaxTotalRows) (broadcast(groups0), broadcast(matches0))
+          if (n <= Collection.DvBroadcastMaxRows) (broadcast(groups0), broadcast(matches0))
           else (groups0, matches0)
         val keyCond = s.corrValues.zipWithIndex
           .map { case (v, k) => v === col(s"_zc_ck_$k") }.reduce(_ && _)
@@ -661,7 +704,7 @@ private[sources] object GraftDmlCommands {
         val hasNull = n > stats.getLong(1)
         val joinName = s"_zc_subq_v_$i"
         val vals0 = sub.select(col(vCol).as(joinName)).where(col(joinName).isNotNull).distinct()
-        val vals = if (n <= Collection.DvMaxTotalRows) broadcast(vals0) else vals0
+        val vals = if (n <= Collection.DvBroadcastMaxRows) broadcast(vals0) else vals0
         strengthen(s.boundsKey, stats.get(2), stats.get(3))
         (df: DataFrame) => {
           val joined = df.join(vals, s.value === col(joinName), "left")
@@ -715,12 +758,14 @@ case class GraftDeleteCommand(root: String, cond: Column, prune: Seq[SFilter],
 case class GraftMergeCommand(root: String, source: LogicalPlan, on: Seq[String],
                              whenMatched: WhenMatched, insertUnmatched: Boolean,
                              bySource: WhenNotMatchedBySource,
-                             insertGate: Option[Column] = None)
+                             insertGate: Option[Column] = None,
+                             insertProjection: Option[Map[String, Column]] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDmlCommands.filesOutput
   override def run(session: SparkSession): Seq[Row] = {
     val c = Collection.open(session, root)
     val src = Bridge.ofRows(session, source)
-    Seq(Row(c.mergeInto(src, on, whenMatched, insertUnmatched, bySource, insertGate).size))
+    Seq(Row(c.mergeInto(src, on, whenMatched, insertUnmatched, bySource,
+      insertGate, insertProjection).size))
   }
 }

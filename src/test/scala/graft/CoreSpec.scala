@@ -146,6 +146,53 @@ class CollectionSpec extends AnyFunSuite {
     assert(ids4 == Seq(2L, 31L))
   }
 
+  test("custom merge callable (r12): user fn sees only colliding partitions, result round-trips") {
+    val root = SparkTestSession.tmp("graft-coll-custom")
+    val df = mkEvents()
+    val c = Collection.create(spark, root, df.schema, "ts", DatePartitioning("ts", "D"))
+    c.insert(df)
+    val before = c.query().count()
+    // the fn's return value is the WHOLE write (built-in contract: the
+    // full incoming slice is the merge's right side) — a fn that keeps
+    // only `existing` therefore discards the entire insert, including
+    // rows aimed at brand-new partitions; untouched partitions pass
+    var sawAxis: String = null
+    var sawParts: Seq[String] = Nil
+    val keepExisting = MergeStrategy.Custom { (existing, _, axis, partCols) =>
+      sawAxis = axis; sawParts = partCols
+      existing
+    }
+    val slice = Seq(
+      (50L, "2024-01-01 10:05:00", "c", 50.0),   // collides with day 1
+      (51L, "2024-03-01 10:05:00", "c", 51.0))   // a brand-new partition
+      .toDF("id", "ts", "kind", "v").withColumn("ts", col("ts").cast("timestamp"))
+    c.insert(slice, keepExisting)
+    assert(sawAxis == "ts" && sawParts == Seq("year", "month", "day"),
+      s"callable must receive the axis and partition columns, got $sawAxis/$sawParts")
+    val ids = c.query().orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(!ids.contains(50L) && !ids.contains(51L),
+      "a fn returning only `existing` discards the whole insert")
+    assert(c.query().count() == before)
+    // a pass-through fn lands everything, new partitions included
+    c.insert(slice, MergeStrategy.Custom((ex, ins, _, _) => ex.unionByName(ins)))
+    val ids2 = c.query().orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids2.contains(50L) && ids2.contains(51L),
+      s"pass-through custom merge must land the slice, got $ids2")
+    // and a custom keep-max-by-v merge actually merges
+    val keepMax = MergeStrategy.Custom { (existing, inserted, _, partCols) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy((partCols.map(col) :+ col("id")): _*).orderBy(col("v").desc)
+      existing.unionByName(inserted)
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    }
+    val up = Seq((1L, "2024-01-01 10:00:00", "up", 999.0))
+      .toDF("id", "ts", "kind", "v").withColumn("ts", col("ts").cast("timestamp"))
+    c.insert(up, keepMax)
+    val v1 = c.query("day == 1 and month == 1").where(col("id") === 1L)
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(v1 == Seq(999.0), s"keep-max custom merge must pick the new row, got $v1")
+  }
+
   test("drop partitions and catalog maintenance") {
     val root = SparkTestSession.tmp("graft-coll")
     val df = mkEvents()

@@ -84,11 +84,16 @@ class SqlDmlSpec extends AnyFunSuite {
     // an EMPTY scalar is NULL: the predicate is UNKNOWN, nothing updates
     sql(s"UPDATE $tbl SET v = -1 WHERE v > (SELECT v FROM $tbl WHERE user_id > 1000)")
     assert(rows(tbl).map(_._3) == Seq(1.0, 2.0, 3.0, 0.0, 0.0))
-    // scalar subqueries in SET stay refused
-    val e1 = intercept[UnsupportedOperationException] {
-      sql(s"UPDATE $tbl SET v = (SELECT max(v) FROM $tbl)")
-    }
-    assert(e1.getMessage.contains("correlated or scalar"))
+    // r12: UNCORRELATED SCALAR in SET lowers too — evaluated once,
+    // spliced as a typed literal into the assignment
+    sql(s"UPDATE $tbl SET v = (SELECT max(v) FROM $tbl) WHERE user_id = 1")
+    assert(rows(tbl).map(_._3) == Seq(3.0, 2.0, 3.0, 0.0, 0.0),
+      "SET scalar = the pre-statement max(v)")
+    // an EMPTY scalar in SET assigns NULL (SQL), not an error
+    sql(s"UPDATE $tbl SET v = (SELECT v FROM $tbl WHERE user_id > 1000) WHERE user_id = 2")
+    assert(sql(s"SELECT count(*) FROM $tbl WHERE v IS NULL")
+      .collect()(0).getLong(0) == 1L,
+      "empty scalar assigns NULL to the one matched row")
     val e2 = intercept[Exception] {
       sql(s"UPDATE $tbl SET ts = TIMESTAMP'2030-01-01 00:00:00'")
     }
@@ -321,7 +326,7 @@ class SqlDmlSpec extends AnyFunSuite {
       eT.getMessage.contains("resolve") || eT.getMessage.contains("t.v"))
   }
 
-  test("SQL MERGE refusals: non-equi ON, non-star conditional INSERT") {
+  test("SQL MERGE refusals: non-equi ON; explicit-column INSERT lowers (r12)") {
     val tbl = mkTable()
     sql("""SELECT TIMESTAMP'2024-01-05 08:00:00' AS ts, CAST(8 AS BIGINT) AS user_id,
              'z' AS etype, 8.0 AS v""").createOrReplaceTempView("dml_src_bad")
@@ -330,12 +335,33 @@ class SqlDmlSpec extends AnyFunSuite {
               WHEN MATCHED THEN DELETE""")
     }
     assert(e1.getMessage.contains("key equalities"))
-    val e3 = intercept[UnsupportedOperationException] {
-      sql(s"""MERGE INTO $tbl t USING dml_src_bad s ON t.user_id = s.user_id
-              WHEN NOT MATCHED AND s.v > 0 THEN INSERT (ts, user_id, etype, v)
-              VALUES (s.ts, s.user_id, 'x', 0.0)""")
-    }
-    assert(e3.getMessage.contains("INSERT *"))
+    // r12: `INSERT (cols) VALUES (exprs)` is supported — assigned
+    // columns take the expressions, unassigned (etype here... none)
+    sql(s"""MERGE INTO $tbl t USING dml_src_bad s ON t.user_id = s.user_id
+            WHEN NOT MATCHED AND s.v > 0 THEN INSERT (ts, user_id, etype, v)
+            VALUES (s.ts, s.user_id, 'x', s.v * 3)""")
+    assert(rows(tbl).filter(_._1 == 8L) == Seq((8L, "x", 24.0)),
+      "explicit-column conditional insert lands the projected row")
+  }
+
+  test("MERGE narrow SET must not star-collapse; explicit INSERT nulls unassigned (r12)") {
+    val tbl = mkTable()
+    // source row matches user_id=1 but differs in etype — a narrow
+    // `SET v = s.v` must update ONLY v (the r12 isStarShape coverage
+    // fix; collapsing to UpdateAll would smuggle etype='DIFFERENT' in)
+    sql("""SELECT TIMESTAMP'2024-01-01 08:00:00' AS ts, CAST(1 AS BIGINT) AS user_id,
+             'DIFFERENT' AS etype, 100.0 AS v
+           UNION ALL
+           SELECT TIMESTAMP'2024-01-06 08:00:00' AS ts, CAST(9 AS BIGINT) AS user_id,
+             'newtype' AS etype, 9.0 AS v""").createOrReplaceTempView("dml_src_nrw")
+    sql(s"""MERGE INTO $tbl t USING dml_src_nrw s ON t.user_id = s.user_id
+            WHEN MATCHED THEN UPDATE SET v = s.v
+            WHEN NOT MATCHED THEN INSERT (ts, user_id, v) VALUES (s.ts, s.user_id, s.v)""")
+    assert(rows(tbl).filter(_._1 == 1L) == Seq((1L, "click", 100.0)),
+      "narrow SET updates only the assigned column — etype stays 'click'")
+    val ins = sql(s"SELECT etype, v FROM $tbl WHERE user_id = 9").collect()(0)
+    assert(ins.isNullAt(0) && ins.getDouble(1) == 9.0,
+      "unassigned INSERT column lands NULL")
   }
 
   test("V1 `USING graft` tables take the same DML surface") {

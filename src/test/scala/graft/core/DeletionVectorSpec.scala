@@ -49,6 +49,12 @@ class DeletionVectorSpec extends AnyFunSuite {
     val man = c.currentManifest()
     // THE point: the data file set is unchanged — no rewrite happened
     assert(man.files.toSet == filesBefore, "a DV delete must not rewrite data files")
+    // r12 (bounded-driver-rows): the victim scan aggregates per FILE on
+    // the executors — the driver collect is one row per touched file,
+    // never one row per victim
+    assert(c.lastVictimScanDriverRows == touched.size,
+      s"victim scan must collect one driver row per touched file, " +
+        s"got ${c.lastVictimScanDriverRows} for ${touched.size} file(s)")
     assert(man.op.contains("delete"))
     val dvs = man.allDvs
     assert(dvs.keySet == touched.toSet && dvs.values.head.count == 5L)

@@ -120,6 +120,30 @@ class MergeIntoSpec extends AnyFunSuite {
       "the NULL-key source row inserts; no target row is touched")
   }
 
+  test("insertProjection (r12): explicit-column insert — mapped exprs, NULL unmapped, narrow source") {
+    val c = threeSliceColl(SparkTestSession.tmp("graft-mrg-proj"))
+    // NARROW source: only the key + the columns the projection reads —
+    // a projected merge must not require target-shaped sources
+    val s = Seq((30L, 5.0), (300L, 7.0), (301L, 8.0))
+      .toDF("user_id", "nv")
+    val touched = c.mergeInto(s, Seq("user_id"),
+      whenMatched = WhenMatched.UpdateCols(Map("v" -> col("s.nv")), None),
+      insertUnmatched = true,
+      insertGate = Some(col("s.nv") > 7.0),
+      insertProjection = Some(Map(
+        "user_id" -> col("s.user_id"),
+        "ts"      -> lit("2024-01-02 00:00:00").cast("timestamp"),
+        "v"       -> (col("s.nv") * 10.0))))
+    // matched 30 updates; 300 fails the gate; 301 inserts projected
+    val rows = c.query().where(col("user_id").isin(30L, 300L, 301L))
+      .select("user_id", "id", "v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((30L, 30L, 5.0), (301L, -1L, 80.0)),
+      s"projected merge: update + gated projected insert with NULL id, got $rows")
+    assert(touched.nonEmpty)
+  }
+
   test("guards: duplicate source keys, unknown keys, axis assignment") {
     val c = threeSliceColl(SparkTestSession.tmp("graft-mrg-guard"))
     val dup = src(Seq((1L, "2024-01-01 08:00:00", 7L, 1.0), (2L, "2024-01-01 09:00:00", 7L, 2.0)))
