@@ -845,7 +845,9 @@ object Ann {
     * partitions are read, and what is read is codes, not vectors. */
   def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, idCol: String, vecCol: String,
-                       k: Int, nProbe: Int = 4): DataFrame = {
+                       k: Int, nProbe: Int = 4,
+                       allowStale: Boolean = false): DataFrame = {
+    requireFreshIndex(spark, path, allowStale)
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     require(cents.nonEmpty, s"no centroids under $path")
@@ -960,6 +962,131 @@ object Ann {
       .write.mode("append").partitionBy("_zc_cent").parquet(s"$path/lists")
   }
 
+  // --- index provenance & staleness (r12, the r11 verdict's #6) ------
+  //
+  // The row-range Indexer detects base-collection drift via its build
+  // generation (E4); the persisted ANN indexes now carry the same stamp:
+  // build from a Collection -> the index records (root, generation,
+  // column mapping); searches REFUSE on drift unless opted in; an
+  // append-only drift refreshes incrementally (only the new rows assign
+  // and append to their lists — the C32/E28 incremental-index shape).
+
+  private def indexMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_index_meta.json")
+
+  private def jsonEsc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, root: String, gen: Long, idCol: String, vecCol: String,
+      payloadCols: Seq[String]): Unit = {
+    val p = indexMetaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val json = s"""{"root":"${jsonEsc(root)}","generation":$gen,""" +
+      s""""idCol":"${jsonEsc(idCol)}","vecCol":"${jsonEsc(vecCol)}",""" +
+      s""""payloadCols":[${payloadCols.map(c => "\"" + jsonEsc(c) + "\"").mkString(",")}]}"""
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] final case class IndexMeta(root: String, generation: Long,
+      idCol: String, vecCol: String, payloadCols: Seq[String])
+
+  /** The index's provenance stamp; None for an index built from a bare
+    * DataFrame (pre-r12 layout or no collection source). */
+  private[graft] def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[IndexMeta] = {
+    val p = indexMetaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val json = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    def str(k: String) = s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r
+      .findFirstMatchIn(json).map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    def num(k: String) = s""""$k"\\s*:\\s*(-?\\d+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toLong)
+    for (r <- str("root"); g <- num("generation"); i <- str("idCol"); v <- str("vecCol"))
+      yield IndexMeta(r, g, i, v,
+        """"payloadCols"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
+          .map(_.group(1)).filter(_.nonEmpty)
+          .map(_.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+          .getOrElse(Nil))
+  }
+
+  /** Build a persisted IVF index FROM A COLLECTION, stamped with the
+    * generation the build read (a pinned snapshot — a concurrent commit
+    * mid-build cannot make the stamp lie). Searches against a stamped
+    * index refuse on drift; [[refreshIvfIndex]] catches the index up. */
+  def buildIvfIndexFrom(c: graft.core.Collection, idCol: String, vecCol: String,
+                        path: String, nLists: Int = 32, kmeansIters: Int = 0,
+                        payloadCols: Seq[String] = Nil): Unit = {
+    val gen = c.generation
+    buildIvfIndex(c.snapshotAt(gen), idCol, vecCol, path, nLists, kmeansIters,
+      payloadCols)
+    writeIndexMeta(c.snapshotAt(gen).sparkSession, path, c.root, gen, idCol,
+      vecCol, payloadCols)
+  }
+
+  /** Refuse a search over a stamped index whose source collection moved
+    * past the build generation (mirrors the Indexer's E4 contract) —
+    * a stale index silently serves dropped rows and misses new ones.
+    * `allowStale = true` opts into best-effort serving. */
+  private def requireFreshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, allowStale: Boolean): Unit = {
+    if (allowStale) return
+    readIndexMeta(spark, path).foreach { m =>
+      val cur = graft.core.Collection.open(spark, m.root, readOnly = true).generation
+      if (cur != m.generation)
+        throw new IllegalStateException(
+          s"ANN index at $path was built at generation ${m.generation} of " +
+          s"${m.root}, which is now at $cur — refreshIvfIndex(path) to catch " +
+          "up an append-only drift, rebuild after rewrites, or pass " +
+          "allowStale = true to serve the stale lists knowingly")
+    }
+  }
+
+  /** Catch a stamped IVF index up to its source collection's head:
+    * refuses unless the drift is PURE APPEND (every built-generation
+    * file survives with an unchanged deletion-vector state — a rewrite,
+    * delete, or update invalidates existing lists, which only a rebuild
+    * fixes), then assigns ONLY the new files' rows with the PERSISTED
+    * quantizer and appends them to their list partitions — refresh cost
+    * follows the drift, not the corpus (the C32/E28 incremental-index
+    * shape). Returns the new stamped generation. */
+  def refreshIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Long = {
+    val m = readIndexMeta(spark, path).getOrElse(throw new IllegalStateException(
+      s"no provenance stamp at $path — only buildIvfIndexFrom(collection, ...) " +
+      "indexes can refresh; rebuild with buildIvfIndex instead"))
+    val c = graft.core.Collection.open(spark, m.root, readOnly = true)
+    val g1 = c.generation
+    if (g1 == m.generation) return g1
+    val man0 = c.manifestAt(m.generation)
+    val man1 = c.manifestAt(g1)
+    val f0 = man0.files.toSet
+    val f1 = man1.files.toSet
+    val survived = f0.subsetOf(f1)
+    val dvsUnchanged = survived && {
+      val d0 = man0.dvsForFiles(f0.toSeq)
+      val d1 = man1.dvsForFiles(f0.toSeq)
+      f0.forall(f => d0.get(f) == d1.get(f))
+    }
+    if (!survived || !dvsUnchanged)
+      throw new IllegalStateException(
+        s"collection ${m.root} rewrote or deleted rows between generations " +
+        s"${m.generation} and $g1 — existing inverted lists are invalidated; " +
+        s"rebuild with buildIvfIndexFrom")
+    val added = (f1 -- f0).toSeq.sorted
+    if (added.nonEmpty)
+      appendToIvfIndex(spark, path,
+        c.readManifestFiles(man1, added), m.idCol, m.vecCol, m.payloadCols)
+    writeIndexMeta(spark, path, m.root, g1, m.idCol, m.vecCol, m.payloadCols)
+    g1
+  }
+
   /** Search a [[buildIvfIndex]] index: probes resolve against the tiny
     * persisted centroid table; only the probed lists' parquet partitions
     * are read. Same output shape as [[ivfTopK]].
@@ -977,7 +1104,9 @@ object Ann {
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, idCol: String, vecCol: String,
                      k: Int, nProbe: Int = 4,
-                     predicate: Column = lit(true)): DataFrame = {
+                     predicate: Column = lit(true),
+                     allowStale: Boolean = false): DataFrame = {
+    requireFreshIndex(spark, path, allowStale)
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     require(cents.nonEmpty, s"no centroids under $path")

@@ -605,4 +605,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(shuffles.forall(!_.output.exists(_.name.contains("_zc_c"))),
       s"a corpus vector column rode an Exchange:\n$plan")
   }
+
+  test("stamped IVF index: staleness refusal, allowStale opt-in, incremental refresh (r12)") {
+    import graft.ann.Ann
+    def vec(i: Long): Seq[Float] =
+      Seq((i % 7).toFloat, (i % 5).toFloat, (i % 3 + 1).toFloat)
+    val rows = (0L until 40L).map(i => (i, vec(i)))
+    val root = SparkTestSession.tmp("ann-stale")
+    val df0 = rows.toDF("vec_id", "embedding")
+    val c = Collection.create(spark, root, df0.schema, "vec_id",
+      SequencePartitioning(Seq("vec_id"), "vec_id"))
+    c.insert(df0)
+
+    val path = SparkTestSession.tmp("ann-stale-idx")
+    Ann.buildIvfIndexFrom(c, "vec_id", "embedding", path, nLists = 4)
+    val q = Seq((1000L, vec(3L))).toDF("vec_id", "embedding")
+    assert(Ann.searchIvfIndex(spark, path, q, "vec_id", "embedding", 5).count() == 5)
+
+    // drift: an append moves the collection past the build generation
+    c.insert(Seq((100L, Seq(0.123f, 9f, 0.456f))).toDF("vec_id", "embedding"))
+    val e = intercept[IllegalStateException] {
+      Ann.searchIvfIndex(spark, path, q, "vec_id", "embedding", 5).count()
+    }
+    assert(e.getMessage.contains("refresh"), s"stale search must point at the fix: $e")
+    // explicit opt-in serves the stale lists
+    assert(Ann.searchIvfIndex(spark, path, q, "vec_id", "embedding", 5,
+      allowStale = true).count() == 5)
+
+    // incremental refresh: only the new file's rows assign + append
+    val g = Ann.refreshIvfIndex(spark, path)
+    assert(g == c.generation)
+    val exact = Seq((2000L, Seq(0.123f, 9f, 0.456f))).toDF("vec_id", "embedding")
+    val hits = Ann.searchIvfIndex(spark, path, exact, "vec_id", "embedding", 1,
+        nProbe = 4).select("nid").as[Long].collect().toSeq
+    assert(hits == Seq(100L), s"refreshed index must serve the appended vector: $hits")
+    // refresh is idempotent at head
+    assert(Ann.refreshIvfIndex(spark, path) == g)
+
+    // a rewrite (delete) invalidates lists: refresh refuses, demands rebuild
+    c.deleteWhere("vec_id == 3")
+    val e2 = intercept[IllegalStateException](Ann.refreshIvfIndex(spark, path))
+    assert(e2.getMessage.contains("rebuild"))
+    // un-stamped indexes (bare-DataFrame builds) keep the old contract
+    val path2 = SparkTestSession.tmp("ann-stale-idx2")
+    Ann.buildIvfIndex(rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      path2, nLists = 4)
+    assert(Ann.searchIvfIndex(spark, path2, q, "vec_id", "embedding", 5).count() == 5)
+  }
 }
