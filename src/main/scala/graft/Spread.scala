@@ -33,14 +33,37 @@ import org.apache.spark.sql.execution.exchange.Exchange
   * parallel projection it needs. */
 private[graft] object Spread {
 
+  /** Wide/narrow verdicts memoized by CANONICALIZED analyzed plan (r12,
+    * the r11 verdict's #7): a chain of corpus operators over the same
+    * input used to force physical planning of that input once per
+    * operator call; now the first call pays the probe and the rest hit
+    * the cache. Keyed on the canonicalized logical plan (structural
+    * equality, alias/exprId-insensitive), bounded — a wrong eviction
+    * only re-probes. A verdict can go stale if the same literal plan's
+    * FILE SET changes width between calls mid-session; the verdict is a
+    * parallelism heuristic, never correctness, so staleness is benign. */
+  private val verdicts =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.catalyst
+      .plans.logical.LogicalPlan, java.lang.Boolean]()
+
+  /** Number of actual plan probes (cache misses) — spec observability. */
+  private[graft] val probes = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** `df.repartition(keys)` if `df` is under-partitioned, `df` itself
     * (no added Exchange) when it is already at least as wide as the
     * cluster's default parallelism. */
   def spread(df: DataFrame, keys: Column*): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val alreadyShuffled =
-      df.queryExecution.sparkPlan.exists(_.isInstanceOf[Exchange])
-    val wide = alreadyShuffled || df.rdd.getNumPartitions >= target
+    val key = df.queryExecution.analyzed.canonicalized
+    val wide = Option(verdicts.get(key)).map(_.booleanValue()).getOrElse {
+      probes.incrementAndGet()
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      val alreadyShuffled =
+        df.queryExecution.sparkPlan.exists(_.isInstanceOf[Exchange])
+      val v = alreadyShuffled || df.rdd.getNumPartitions >= target
+      if (verdicts.size > 64) verdicts.clear()
+      verdicts.put(key, java.lang.Boolean.valueOf(v))
+      v
+    }
     if (wide) df else df.repartition(keys: _*)
   }
 }

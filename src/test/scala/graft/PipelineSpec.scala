@@ -914,6 +914,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(w == n && w.nonEmpty)
   }
 
+  test("spread verdicts are memoized per canonicalized plan — one probe per input (r12)") {
+    def corpus(slices: Int) = spark.range(0, 120, 1, slices)
+      .select(col("id"), concat(lit("tok"), col("id") % 7).as("text"))
+    val df = corpus(16)
+    Spread.spread(df, col("id"))
+    val after1 = Spread.probes.get()
+    // an operator CHAIN over the same input: a fresh but structurally
+    // identical DataFrame must hit the cache, not re-plan
+    Spread.spread(df, col("id"))
+    Spread.spread(corpus(16), col("id"))
+    assert(Spread.probes.get() == after1,
+      "repeated spread over the same (canonicalized) input must not re-probe")
+    // a genuinely different plan probes again
+    Spread.spread(corpus(16).where(col("id") > 3), col("id"))
+    assert(Spread.probes.get() == after1 + 1)
+  }
+
   test("mg() over a non-string column fails at analysis, not mid-job (r11)") {
     val df = Seq(1L, 2L).toDF("v")
     val ex = intercept[org.apache.spark.sql.AnalysisException](
