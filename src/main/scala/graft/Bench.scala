@@ -100,9 +100,12 @@ object Bench {
     "zc_sql_update_corr_in", "zc_sql_delete_scalar", "ann_filtered_coll",
     // r12: file-granular admission control — the events bulk commit
     // streamed in ~3 bounded micro-batches ((generation, fileOrdinal)
-    // offsets); compare against stream_ingest_dedup's unpaced single
-    // snapshot batch for the pacing overhead
-    "stream_paced",
+    // offsets); stream_ingest is its UNPACED twin (same source, same
+    // sink, one snapshot batch), so the pair is the pacing-overhead A/B
+    "stream_paced", "stream_ingest",
+    // r12: scalar-in-SET splice and explicit-column conditional MERGE
+    // INSERT (the narrow-source projection path)
+    "zc_sql_update_set_scalar", "zc_sql_merge_ci_cols",
     // NOT benched: dedup_incremental_contain / stream_ingest_contain —
     // the incremental containment index builds a full inverted index of
     // the corpus per entry (its cost IS the index build, ~40 s at sf0.1
@@ -250,7 +253,29 @@ object Bench {
       refResults.filterNot(_._1.startsWith("insert_")).map(_._2).sum +
       refResults.collect { case ("insert_full_dataset", v) => v }.sum
     val loadEnd = loadAvg
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"queries":$qsJson,"sf":"$sfDir"}""")
+    // r12 (the r11 verdict's #3): after ten rounds of BASELINE.json
+    // publishing no per-query numbers, the repo defines the comparison
+    // itself — scripts/duckdb_baseline.py times every SQL-oracled
+    // entry's ORACLE in DuckDB over the same parquet on this machine
+    // (min-of-reps, checked in as BASELINE_DUCKDB.json); each benched
+    // entry's `duckdb_sec` rides the bench JSON next to its Spark time.
+    // Lifecycle entries do strictly more work than their oracle replay
+    // (builds, commits, streaming) — see the file's own caveat note.
+    val duckJson = {
+      val f = new java.io.File("BASELINE_DUCKDB.json")
+      if (!f.exists()) "{}"
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val benched = qs.map(_._1).toSet
+        val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+        val body = entry.findAllMatchIn(txt)
+          .filter(m => benched.contains(m.group(1)))
+          .map(m => "\"" + m.group(1) + "\":" + m.group(2)).mkString(",")
+        s"{$body}"
+      }
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"queries":$qsJson,"duckdb_sec":$duckJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 
