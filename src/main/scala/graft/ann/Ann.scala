@@ -841,6 +841,60 @@ object Ann {
       .write.mode("overwrite").partitionBy("_zc_cent").parquet(s"$path/lists")
   }
 
+  /** Build a persisted IVF+PQ index FROM A COLLECTION, stamped like
+    * [[buildIvfIndexFrom]] (pinned build generation; searches refuse on
+    * drift; [[refreshIvfPqIndex]] catches up append-only drifts). */
+  def buildIvfPqIndexFrom(c: graft.core.Collection, idCol: String, vecCol: String,
+                          path: String, dims: Int, nLists: Int = 32, m: Int = 8,
+                          pqK: Int = 256, kmeansIters: Int = 0, pqIters: Int = 1): Unit = {
+    val gen = c.generation
+    val snap = c.snapshotAt(gen)
+    buildIvfPqIndex(snap, idCol, vecCol, path, dims, nLists, m, pqK,
+      kmeansIters, pqIters)
+    writeIndexMeta(snap.sparkSession, path, c.root, gen, idCol, vecCol, Nil)
+  }
+
+  /** The persisted PQ codebooks at `path`, `[subspace][code][subvector]`. */
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Float]]] = {
+    val bookRows = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    require(bookRows.nonEmpty, s"no codebooks under $path")
+    bookRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }.toArray
+  }
+
+  /** Incrementally add vectors to a [[buildIvfPqIndex]] index: encoding
+    * uses the PERSISTED codebooks and quantizer (existing codes and
+    * searches untouched); new codes append under their list partitions.
+    * Codebook drift under heavy appends is the deployer's periodic
+    * rebuild, same contract as [[appendToIvfIndex]]. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         vectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids under $path")
+    val books = readCodebooks(spark, path)
+    val assign = assignCentroid(spark, cents)
+    val enc = pqEncodeCol(spark, books, books(0)(0).length)
+    vectors.select(col(idCol).as("nid"), col(vecCol).as("_zc_v"))
+      .select(col("nid"), enc(col("_zc_v")).as("codes"), assign(col("_zc_v")).as("_zc_cent"))
+      .where(col("_zc_cent") >= 0)
+      .write.mode("append").partitionBy("_zc_cent").parquet(s"$path/lists")
+  }
+
+  /** [[refreshIvfIndex]] for the PQ layout: append-only drifts encode
+    * with the persisted codebooks and append; rewrites demand a rebuild. */
+  def refreshIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Long =
+    appendOnlyDrift(spark, path, "buildIvfPqIndex") match {
+      case None => readIndexMeta(spark, path).get.generation
+      case Some((m, newRows, g1)) =>
+        appendToIvfPqIndex(spark, path, newRows, m.idCol, m.vecCol)
+        writeIndexMeta(spark, path, m.root, g1, m.idCol, m.vecCol, Nil)
+        g1
+    }
+
   /** Search a [[buildIvfPqIndex]] index: only the probed lists' parquet
     * partitions are read, and what is read is codes, not vectors. */
   def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -851,11 +905,7 @@ object Ann {
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     require(cents.nonEmpty, s"no centroids under $path")
-    val bookRows = spark.read.parquet(s"$path/codebooks")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    require(bookRows.nonEmpty, s"no codebooks under $path")
-    val books: Array[Array[Array[Float]]] = bookRows.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }.toArray
+    val books = readCodebooks(spark, path)
     val kk = books.map(_.length).max
     val tableOf = adcTableCol(spark, books)
     val probeFn = topCentroidsCol(spark, cents, nProbe)
@@ -1048,22 +1098,19 @@ object Ann {
     }
   }
 
-  /** Catch a stamped IVF index up to its source collection's head:
-    * refuses unless the drift is PURE APPEND (every built-generation
-    * file survives with an unchanged deletion-vector state — a rewrite,
-    * delete, or update invalidates existing lists, which only a rebuild
-    * fixes), then assigns ONLY the new files' rows with the PERSISTED
-    * quantizer and appends them to their list partitions — refresh cost
-    * follows the drift, not the corpus (the C32/E28 incremental-index
-    * shape). Returns the new stamped generation. */
-  def refreshIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Long = {
+  /** The append-only drift between a stamp and its collection's head:
+    * Some((newRowsFrame, headGeneration)) when every built-generation
+    * file survives with an unchanged deletion-vector state; None when
+    * already at head; throws when the range contains a rewrite/delete
+    * (existing lists invalidated — only a rebuild fixes that). */
+  private def appendOnlyDrift(spark: org.apache.spark.sql.SparkSession,
+      path: String, what: String): Option[(IndexMeta, DataFrame, Long)] = {
     val m = readIndexMeta(spark, path).getOrElse(throw new IllegalStateException(
-      s"no provenance stamp at $path — only buildIvfIndexFrom(collection, ...) " +
-      "indexes can refresh; rebuild with buildIvfIndex instead"))
+      s"no provenance stamp at $path — only ${what}From(collection, ...) " +
+      s"indexes can refresh; rebuild with $what instead"))
     val c = graft.core.Collection.open(spark, m.root, readOnly = true)
     val g1 = c.generation
-    if (g1 == m.generation) return g1
+    if (g1 == m.generation) return None
     val man0 = c.manifestAt(m.generation)
     val man1 = c.manifestAt(g1)
     val f0 = man0.files.toSet
@@ -1078,14 +1125,28 @@ object Ann {
       throw new IllegalStateException(
         s"collection ${m.root} rewrote or deleted rows between generations " +
         s"${m.generation} and $g1 — existing inverted lists are invalidated; " +
-        s"rebuild with buildIvfIndexFrom")
+        s"rebuild with ${what}From")
     val added = (f1 -- f0).toSeq.sorted
-    if (added.nonEmpty)
-      appendToIvfIndex(spark, path,
-        c.readManifestFiles(man1, added), m.idCol, m.vecCol, m.payloadCols)
-    writeIndexMeta(spark, path, m.root, g1, m.idCol, m.vecCol, m.payloadCols)
-    g1
+    Some((m, c.readManifestFiles(man1, added), g1))
   }
+
+  /** Catch a stamped IVF index up to its source collection's head:
+    * refuses unless the drift is PURE APPEND (every built-generation
+    * file survives with an unchanged deletion-vector state — a rewrite,
+    * delete, or update invalidates existing lists, which only a rebuild
+    * fixes), then assigns ONLY the new files' rows with the PERSISTED
+    * quantizer and appends them to their list partitions — refresh cost
+    * follows the drift, not the corpus (the C32/E28 incremental-index
+    * shape). Returns the new stamped generation. */
+  def refreshIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Long =
+    appendOnlyDrift(spark, path, "buildIvfIndex") match {
+      case None => readIndexMeta(spark, path).get.generation
+      case Some((m, newRows, g1)) =>
+        appendToIvfIndex(spark, path, newRows, m.idCol, m.vecCol, m.payloadCols)
+        writeIndexMeta(spark, path, m.root, g1, m.idCol, m.vecCol, m.payloadCols)
+        g1
+    }
 
   /** Search a [[buildIvfIndex]] index: probes resolve against the tiny
     * persisted centroid table; only the probed lists' parquet partitions

@@ -652,4 +652,34 @@ class OperatorsSpec extends AnyFunSuite {
       path2, nLists = 4)
     assert(Ann.searchIvfIndex(spark, path2, q, "vec_id", "embedding", 5).count() == 5)
   }
+
+  test("stamped IVF+PQ index refreshes append-only drift with the persisted codebooks (r12)") {
+    import graft.ann.Ann
+    def vec(i: Long): Seq[Float] =
+      Seq((i % 7).toFloat, (i % 5).toFloat, (i % 3 + 1).toFloat, (i % 2).toFloat)
+    val rows = (0L until 32L).map(i => (i, vec(i)))
+    val root = SparkTestSession.tmp("ann-pq-stale")
+    val df0 = rows.toDF("vec_id", "embedding")
+    val c = Collection.create(spark, root, df0.schema, "vec_id",
+      SequencePartitioning(Seq("vec_id"), "vec_id"))
+    c.insert(df0)
+    val path = SparkTestSession.tmp("ann-pq-stale-idx")
+    Ann.buildIvfPqIndexFrom(c, "vec_id", "embedding", path, dims = 4,
+      nLists = 4, m = 2, pqK = 16)
+    val q = Seq((1000L, vec(3L))).toDF("vec_id", "embedding")
+    assert(Ann.searchIvfPqIndex(spark, path, q, "vec_id", "embedding", 5).count() == 5)
+
+    c.insert(Seq((200L, Seq(0.2f, 8f, 0.3f, 4f))).toDF("vec_id", "embedding"))
+    intercept[IllegalStateException] {
+      Ann.searchIvfPqIndex(spark, path, q, "vec_id", "embedding", 5).count()
+    }
+    val g = Ann.refreshIvfPqIndex(spark, path)
+    assert(g == c.generation)
+    // the appended vector is served (ADC is approximate: assert presence
+    // in a widened candidate return, not rank-1)
+    val exact = Seq((2000L, Seq(0.2f, 8f, 0.3f, 4f))).toDF("vec_id", "embedding")
+    val hits = Ann.searchIvfPqIndex(spark, path, exact, "vec_id", "embedding",
+        10, nProbe = 4).select("nid").as[Long].collect().toSet
+    assert(hits.contains(200L), s"refreshed PQ index must serve the appended vector: $hits")
+  }
 }
