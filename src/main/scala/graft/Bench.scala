@@ -103,9 +103,9 @@ object Bench {
     // offsets); stream_ingest is its UNPACED twin (same source, same
     // sink, one snapshot batch), so the pair is the pacing-overhead A/B
     "stream_paced", "stream_ingest",
-    // r12: scalar-in-SET splice and explicit-column conditional MERGE
-    // INSERT (the narrow-source projection path)
-    "zc_sql_update_set_scalar", "zc_sql_merge_ci_cols",
+    // r12: scalar-in-SET splice, explicit-column conditional MERGE
+    // INSERT (the narrow-source projection path), conditional SET *
+    "zc_sql_update_set_scalar", "zc_sql_merge_ci_cols", "zc_sql_merge_cu",
     // NOT benched: dedup_incremental_contain / stream_ingest_contain —
     // the incremental containment index builds a full inverted index of
     // the corpus per entry (its cost IS the index build, ~40 s at sf0.1

@@ -753,6 +753,28 @@ object SparkEntry {
       eventsOut(c.query())
     }),
 
+    // A60 (r12): CONDITIONAL UPDATE SET * — `WHEN MATCHED AND <cond>
+    // THEN UPDATE SET *` replaces the WHOLE row for gate-true matches
+    // (rows may re-home) and carries the rest; composes with INSERT *.
+    "zc_sql_merge_cu" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val name = "mcu" + java.util.UUID.randomUUID().toString.take(8)
+      val c = Collection.create(s, s"$scratch/sqlwh/db/$name", ev.schema, "ts",
+        DatePartitioning("ts", "D"), catalogEnabled = true, overwrite = true)
+      c.insert(ev)
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", s"$scratch/sqlwh")
+      val slice = mergeSlice(s, dir)
+      slice.withColumn("value", -col("value"))
+        .unionByName(slice.withColumn("event_id", col("event_id") + 10000000L))
+        .createOrReplaceTempView("sql_merge_cu_src")
+      s.sql(s"""MERGE INTO graftq.db.$name t USING sql_merge_cu_src s
+                ON t.event_id = s.event_id
+                WHEN MATCHED AND s.event_type = 'click' THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+      eventsOut(c.query())
+    }),
+
     // A57b (r12, the r11 verdict's #2): EXPLICIT-COLUMN conditional
     // INSERT — `WHEN NOT MATCHED AND <cond> THEN INSERT (cols) VALUES
     // (exprs)`: inserted rows take the VALUES expressions (here a
@@ -4358,6 +4380,25 @@ object SparkEntry {
                      ELSE value END AS value,
                 props
          FROM events ORDER BY event_id""",
+
+    // Conditional SET *: gate-true matched rows (clicks) take the whole
+    // source row (value negated); other matched rows carry; all
+    // unmatched source rows insert.
+    "zc_sql_merge_cu" ->
+      """WITH slice AS (
+           SELECT * FROM events
+           WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 12
+             AND hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 18)
+         SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+                CASE WHEN event_id IN (SELECT event_id FROM slice WHERE event_type = 'click')
+                     THEN -value ELSE value END AS value,
+                props
+         FROM events
+         UNION ALL
+         SELECT event_id + 10000000 AS event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                user_id, event_type, value, props
+         FROM slice
+         ORDER BY event_id""",
 
     // Explicit-column insert: assigned columns take the VALUES
     // expressions, unassigned (props) insert NULL.

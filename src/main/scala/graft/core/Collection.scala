@@ -4062,6 +4062,9 @@ final class Collection private (
             // insert was whole-row — r12)
             case WhenMatched.UpdateAll =>
               when(tPresent && sPresent, col(s"s.$n")).otherwise(fromEither)
+            case WhenMatched.UpdateAllIf(g) =>
+              when(tPresent && sPresent && coalesce(g, lit(false)), col(s"s.$n"))
+                .otherwise(fromEither)
             case WhenMatched.Update(as, _) => as.get(n) match {
               case Some(e) => when(tPresent && sPresent,
                   expr(e).cast(fields(n).dataType)).otherwise(fromEither)
@@ -4121,13 +4124,18 @@ final class Collection private (
     }
     val hasAssign = whenMatched match {
       case WhenMatched.UpdateAll         => true
+      case WhenMatched.UpdateAllIf(_)    => true
       case WhenMatched.Update(as, _)     => as.nonEmpty
       case WhenMatched.UpdateCols(as, _) => as.nonEmpty
       case WhenMatched.Delete            => false
     }
-    val changes: Column =
-      if (hasAssign) lit(true)
-      else delGate.getOrElse(lit(false))
+    val changes: Column = whenMatched match {
+      // the gated whole-row update changes ONLY gate-true rows — a
+      // blanket true would DV (and copy) rows the gate carries
+      case WhenMatched.UpdateAllIf(g) => coalesce(g, lit(false))
+      case _ if hasAssign             => lit(true)
+      case _                          => delGate.getOrElse(lit(false))
+    }
     val victims = collectVictims(man, affected, sPresent && changes, augment)
       .getOrElse(return None)
     val (light, heavy) = planDv(man, victims)
@@ -4138,11 +4146,18 @@ final class Collection private (
     val updatedCopies: Option[DataFrame] =
       if (light.isEmpty || !hasAssign) None
       else Some {
+        val copyFilter = whenMatched match {
+          // copies = exactly the DV'd (gate-true) rows
+          case WhenMatched.UpdateAllIf(g) => sPresent && coalesce(g, lit(false))
+          case _ =>
+            sPresent && delGate.map(d => !(d <=> lit(true))).getOrElse(lit(true))
+        }
         val aug = augment(readManifestFiles(man, light.map(_._1)))
-          .where(sPresent && delGate.map(d => !(d <=> lit(true))).getOrElse(lit(true)))
+          .where(copyFilter)
         aug.select(schema.fieldNames.toSeq.map { n =>
           (whenMatched match {
-            case WhenMatched.UpdateAll => col(s"s.$n")
+            case WhenMatched.UpdateAll         => col(s"s.$n")
+            case WhenMatched.UpdateAllIf(_)    => col(s"s.$n")
             case WhenMatched.Update(as, _) =>
               as.get(n).map(e => expr(e).cast(fields(n).dataType))
                 .getOrElse(col(s"t.$n"))
@@ -4430,6 +4445,12 @@ sealed trait WhenMatched
 object WhenMatched {
   /** Replace the matched target row with the source row. */
   case object UpdateAll extends WhenMatched
+  /** [[UpdateAll]] gated by a condition (r12 — ANSI/Delta's
+    * `WHEN MATCHED AND <cond> THEN UPDATE SET *`): matched rows
+    * satisfying `cond` (t./s. vocabulary; NULL = not satisfied) take
+    * the whole source row — including the axis, so they re-home like
+    * UpdateAll's — and other matched rows carry unchanged. */
+  final case class UpdateAllIf(cond: Column) extends WhenMatched
   /** Assign `column -> SQL expression`; expressions reference target
     * columns as `t.<col>` and source columns as `s.<col>`. Unassigned
     * columns keep the target value. `deleteWhen` (same `t.`/`s.`

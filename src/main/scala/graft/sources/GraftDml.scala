@@ -190,9 +190,13 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val whenMatched: WhenMatched = m.matchedActions match {
         case Seq() => WhenMatched.UpdateCols(Map.empty, None)
         case Seq(UpdateStarAction(None)) => WhenMatched.UpdateAll
-        case Seq(UpdateStarAction(Some(_))) =>
-          refuse("conditional UPDATE SET * is not supported — write explicit SET assignments")
+        // r12: conditional SET * — gated whole-row replacement (rows may
+        // re-home, like unconditional SET *); NULL gate carries
+        case Seq(UpdateStarAction(Some(c))) =>
+          WhenMatched.UpdateAllIf(tsCol(c, "MERGE"))
         case Seq(UpdateAction(None, as, _)) if isStarShape(as) => WhenMatched.UpdateAll
+        case Seq(UpdateAction(Some(c), as, _)) if isStarShape(as) =>
+          WhenMatched.UpdateAllIf(tsCol(c, "MERGE"))
         case Seq(UpdateAction(c, as, _)) =>
           WhenMatched.UpdateCols(assignMap(as, c), None)
         case Seq(DeleteAction(None)) => WhenMatched.Delete

@@ -344,6 +344,27 @@ class SqlDmlSpec extends AnyFunSuite {
       "explicit-column conditional insert lands the projected row")
   }
 
+  test("MERGE conditional UPDATE SET *: whole-row replace for gate-true matches only (r12)") {
+    val tbl = mkTable()
+    // source rows differ from the target in BOTH etype and v — SET *
+    // must replace the whole row where the gate holds and carry the rest
+    sql("""SELECT TIMESTAMP'2024-01-01 08:00:00' AS ts, CAST(1 AS BIGINT) AS user_id,
+             'repl' AS etype, 100.0 AS v
+           UNION ALL
+           SELECT TIMESTAMP'2024-01-01 09:00:00' AS ts, CAST(2 AS BIGINT) AS user_id,
+             'repl' AS etype, 200.0 AS v""").createOrReplaceTempView("dml_src_cu")
+    sql(s"""MERGE INTO $tbl t USING dml_src_cu s ON t.user_id = s.user_id
+            WHEN MATCHED AND s.v > 150.0 THEN UPDATE SET *""")
+    assert(rows(tbl).take(2) == Seq((1L, "click", 1.0), (2L, "repl", 200.0)),
+      "only the gate-true match replaces, and it replaces the WHOLE row")
+    // NULL gate carries (SQL): no row has etype NULL here, but a gate
+    // that evaluates NULL must behave as not-satisfied
+    sql(s"""MERGE INTO $tbl t USING dml_src_cu s ON t.user_id = s.user_id
+            WHEN MATCHED AND CAST(NULL AS BOOLEAN) THEN UPDATE SET *""")
+    assert(rows(tbl).take(2) == Seq((1L, "click", 1.0), (2L, "repl", 200.0)),
+      "a NULL gate must carry every matched row")
+  }
+
   test("MERGE narrow SET must not star-collapse; explicit INSERT nulls unassigned (r12)") {
     val tbl = mkTable()
     // source row matches user_id=1 but differs in etype — a narrow

@@ -296,6 +296,29 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(c.countRows() == 151)
   }
 
+  test("DV merge: conditional UPDATE SET * vectors out only gate-true matches (r12)") {
+    val root = SparkTestSession.tmp("graft-dv-cupd")
+    val c = dvColl(root)
+    val filesBefore = c.currentManifest().files.toSet
+    val src = Seq(
+      (5L, "2024-01-01 08:00:00", 500L, 99.0),  // matched, gate true -> whole-row
+      (6L, "2024-01-01 08:00:00", 600L, -1.0)   // matched, gate false -> carries
+    ).toDF("id", "ts", "user_id", "v").withColumn("ts", col("ts").cast("timestamp"))
+    c.mergeInto(src, on = Seq("id"),
+      WhenMatched.UpdateAllIf(col("s.v") > 0), insertUnmatched = false)
+    val man = c.currentManifest()
+    assert(filesBefore.subsetOf(man.files.toSet),
+      "gated whole-row update must DV + append, never rewrite the old files")
+    assert(man.allDvs.values.map(_.count).sum == 1L,
+      "exactly the one gate-true match vectors out")
+    val out = c.query().where(col("id").isin(5L, 6L))
+      .select("id", "user_id", "v").as[(Long, Long, Double)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(5L) == ((500L, 99.0)), "gate-true match takes the whole source row")
+    assert(out(6L) == ((6L, 1.0)), "gate-false match carries unchanged")
+    assert(c.countRows() == 150)
+  }
+
   test("rewrite-vs-DV equivalence: identical visible rows either way") {
     val rootA = SparkTestSession.tmp("graft-dv-eqA")
     val rootB = SparkTestSession.tmp("graft-dv-eqB")
