@@ -379,15 +379,14 @@ class GraftCollectionSource(spark: SparkSession, root: String,
 
   /** How many files of `list` (from index `from`) the caps admit — at
     * least one if any remain (progress guarantee: a single file larger
-    * than `maxBytesPerBatch` still streams, alone in its batch). */
-  private def takeCapped(list: Seq[String], g: Long, from: Int): Int = {
+    * than the byte cap still streams, alone in its batch). */
+  private def takeCapped(list: Seq[String], g: Long, from: Int,
+                         maxF: Long, maxB: Long): Int = {
     val rest = list.drop(from)
     if (rest.isEmpty) return 0
-    val maxF = maxFilesPerBatch.getOrElse(Long.MaxValue)
     val sizes =
-      if (maxBytesPerBatch.isEmpty) Map.empty[String, Long]
+      if (maxB == Long.MaxValue) Map.empty[String, Long]
       else collection.manifestAt(g).bytesForFiles(rest)
-    val maxB = maxBytesPerBatch.getOrElse(Long.MaxValue)
     var n = 0; var b = 0L
     val it = rest.iterator
     while (it.hasNext) {
@@ -411,11 +410,21 @@ class GraftCollectionSource(spark: SparkSession, root: String,
     *    add-then-replace); if the FIRST new generation alone exceeds
     *    them, split it. */
   private[streaming] def nextPaced(cur: GraftStreamOffset,
-                                   capGen: Option[Long]): Option[GraftStreamOffset] = {
+                                   capGen: Option[Long]): Option[GraftStreamOffset] =
+    nextPaced(cur, capGen,
+      maxFilesPerBatch.getOrElse(Long.MaxValue),
+      maxBytesPerBatch.getOrElse(Long.MaxValue))
+
+  /** The cap-parameterized form: the DSv2 face passes the tighter of
+    * the source options and the ENGINE-provided [[org.apache.spark.sql
+    * .connector.read.streaming.ReadLimit]] (r12 — standard
+    * `ReadMaxFiles`/`ReadMaxBytes` limits pace this source too). */
+  private[streaming] def nextPaced(cur: GraftStreamOffset, capGen: Option[Long],
+                                   maxF: Long, maxB: Long): Option[GraftStreamOffset] = {
     val head = capGen.fold(collection.generation)(math.min(collection.generation, _))
     if (!cur.complete) {
       val list = genList(cur.gen, cur.snap)
-      val taken = takeCapped(list, cur.gen, cur.ord.toInt)
+      val taken = takeCapped(list, cur.gen, cur.ord.toInt, maxF, maxB)
       val nextOrd = cur.ord + taken
       return Some(
         if (nextOrd >= list.size) GraftStreamOffset.complete(cur.gen)
@@ -430,7 +439,7 @@ class GraftCollectionSource(spark: SparkSession, root: String,
       val capped = math.min(capped0, head)
       if (capped <= 0L) return None
       val list = genList(capped, snap = true)
-      val taken = takeCapped(list, capped, 0)
+      val taken = takeCapped(list, capped, 0, maxF, maxB)
       return Some(
         if (taken >= list.size) GraftStreamOffset.complete(capped)
         else GraftStreamOffset(capped, taken.toLong, snap = true))
@@ -439,17 +448,15 @@ class GraftCollectionSource(spark: SparkSession, root: String,
     if (genCap <= cur.gen) return None
     val first = cur.gen + 1L
     val firstList = genList(first, snap = false)
-    val firstTaken = takeCapped(firstList, first, 0)
+    val firstTaken = takeCapped(firstList, first, 0, maxF, maxB)
     if (firstTaken < firstList.size)
       return Some(GraftStreamOffset(first, firstTaken.toLong, snap = false))
-    val maxF = maxFilesPerBatch.getOrElse(Long.MaxValue)
-    val maxB = maxBytesPerBatch.getOrElse(Long.MaxValue)
     var files = firstList.size.toLong
-    var bytes = if (maxBytesPerBatch.isEmpty) 0L else listBytes(first, firstList)
+    var bytes = if (maxB == Long.MaxValue) 0L else listBytes(first, firstList)
     var last = first
     while (last < genCap) {
       val nl = genList(last + 1L, snap = false)
-      val nb = if (maxBytesPerBatch.isEmpty) 0L else listBytes(last + 1L, nl)
+      val nb = if (maxB == Long.MaxValue) 0L else listBytes(last + 1L, nl)
       if (files + nl.size > maxF || bytes + nb > maxB)
         return Some(GraftStreamOffset.complete(last))
       files += nl.size; bytes += nb; last += 1L

@@ -116,7 +116,39 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
     o
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Advertise the option caps as STANDARD ReadLimits (r12) — the
+    * engine hands them back through `latestOffset(start, limit)`, and
+    * engine-composed limits (e.g. Trigger.AvailableNow wrapping) pace
+    * this source exactly like the graft-named options. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      options.get("maxfilesperbatch").map(v => ReadLimit.maxFiles(v.toInt)),
+      options.get("maxbytesperbatch").map(v => ReadLimit.maxBytes(v.toLong))).flatten
+    limits match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case ls     => ReadLimit.compositeLimit(ls.toArray)
+    }
+  }
+
+  /** Effective (files, bytes) caps of an engine-provided ReadLimit,
+    * composed with the source options (tightest wins). */
+  private def capsOf(limit: ReadLimit): (Long, Long) = {
+    import org.apache.spark.sql.connector.read.streaming.{
+      CompositeReadLimit, ReadMaxBytes, ReadMaxFiles}
+    def walk(l: ReadLimit): (Long, Long) = l match {
+      case f: ReadMaxFiles => (f.maxFiles().toLong, Long.MaxValue)
+      case b: ReadMaxBytes => (Long.MaxValue, b.maxBytes())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(walk).foldLeft((Long.MaxValue, Long.MaxValue)) {
+          case ((af, ab), (f, b)) => (math.min(af, f), math.min(ab, b))
+        }
+      case _ => (Long.MaxValue, Long.MaxValue)
+    }
+    val (lf, lb) = walk(limit)
+    (math.min(lf, options.get("maxfilesperbatch").map(_.toLong).getOrElse(Long.MaxValue)),
+      math.min(lb, options.get("maxbytesperbatch").map(_.toLong).getOrElse(Long.MaxValue)))
+  }
 
   /** Trigger.AvailableNow: pin the drain target at trigger start — a
     * PACED stream then keeps producing capped batches until it reaches
@@ -134,8 +166,10 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
     val base = toOff(startOffset)
     advance(base)
     if (base.gen > 0 || !base.complete) source.paceTo(base)
-    if (source.filePacing) {
-      val next = source.nextPaced(lastEnd, availableNowTarget).getOrElse(lastEnd)
+    val (maxF, maxB) = capsOf(limit)
+    if (maxF != Long.MaxValue || maxB != Long.MaxValue) {
+      val next = source.nextPaced(lastEnd, availableNowTarget, maxF, maxB)
+        .getOrElse(lastEnd)
       advance(next)
       return lastEnd
     }
