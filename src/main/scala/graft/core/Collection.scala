@@ -4042,6 +4042,9 @@ final class Collection private (
           case WhenMatched.UpdateCols(_, Some(d)) =>
             val del = tPresent && sPresent && coalesce(d, lit(false))
             (tPresent || ins) && !del
+          case WhenMatched.UpdateAllIf(_, Some(d)) =>
+            val del = tPresent && sPresent && coalesce(d, lit(false))
+            (tPresent || ins) && !del
           case _ => tPresent || ins
         }
         val keep = bySource match {
@@ -4062,7 +4065,7 @@ final class Collection private (
             // insert was whole-row — r12)
             case WhenMatched.UpdateAll =>
               when(tPresent && sPresent, col(s"s.$n")).otherwise(fromEither)
-            case WhenMatched.UpdateAllIf(g) =>
+            case WhenMatched.UpdateAllIf(g, _) =>
               when(tPresent && sPresent && coalesce(g, lit(false)), col(s"s.$n"))
                 .otherwise(fromEither)
             case WhenMatched.Update(as, _) => as.get(n) match {
@@ -4120,19 +4123,22 @@ final class Collection private (
       case WhenMatched.Delete                => Some(lit(true))
       case WhenMatched.Update(_, Some(d))    => Some(coalesce(expr(d), lit(false)))
       case WhenMatched.UpdateCols(_, Some(d)) => Some(coalesce(d, lit(false)))
+      case WhenMatched.UpdateAllIf(_, Some(d)) => Some(coalesce(d, lit(false)))
       case _                                 => None
     }
     val hasAssign = whenMatched match {
       case WhenMatched.UpdateAll         => true
-      case WhenMatched.UpdateAllIf(_)    => true
+      case WhenMatched.UpdateAllIf(_, _) => true
       case WhenMatched.Update(as, _)     => as.nonEmpty
       case WhenMatched.UpdateCols(as, _) => as.nonEmpty
       case WhenMatched.Delete            => false
     }
     val changes: Column = whenMatched match {
-      // the gated whole-row update changes ONLY gate-true rows — a
-      // blanket true would DV (and copy) rows the gate carries
-      case WhenMatched.UpdateAllIf(g) => coalesce(g, lit(false))
+      // the gated whole-row update changes ONLY gate-true (or
+      // delete-gated) rows — a blanket true would DV (and copy) rows
+      // both gates carry
+      case WhenMatched.UpdateAllIf(g, _) =>
+        coalesce(g, lit(false)) || delGate.getOrElse(lit(false))
       case _ if hasAssign             => lit(true)
       case _                          => delGate.getOrElse(lit(false))
     }
@@ -4147,8 +4153,10 @@ final class Collection private (
       if (light.isEmpty || !hasAssign) None
       else Some {
         val copyFilter = whenMatched match {
-          // copies = exactly the DV'd (gate-true) rows
-          case WhenMatched.UpdateAllIf(g) => sPresent && coalesce(g, lit(false))
+          // copies = exactly the DV'd update rows, minus deletions
+          case WhenMatched.UpdateAllIf(g, _) =>
+            sPresent && coalesce(g, lit(false)) &&
+              delGate.map(d => !(d <=> lit(true))).getOrElse(lit(true))
           case _ =>
             sPresent && delGate.map(d => !(d <=> lit(true))).getOrElse(lit(true))
         }
@@ -4157,7 +4165,7 @@ final class Collection private (
         aug.select(schema.fieldNames.toSeq.map { n =>
           (whenMatched match {
             case WhenMatched.UpdateAll         => col(s"s.$n")
-            case WhenMatched.UpdateAllIf(_)    => col(s"s.$n")
+            case WhenMatched.UpdateAllIf(_, _) => col(s"s.$n")
             case WhenMatched.Update(as, _) =>
               as.get(n).map(e => expr(e).cast(fields(n).dataType))
                 .getOrElse(col(s"t.$n"))
@@ -4449,8 +4457,12 @@ object WhenMatched {
     * `WHEN MATCHED AND <cond> THEN UPDATE SET *`): matched rows
     * satisfying `cond` (t./s. vocabulary; NULL = not satisfied) take
     * the whole source row — including the axis, so they re-home like
-    * UpdateAll's — and other matched rows carry unchanged. */
-  final case class UpdateAllIf(cond: Column) extends WhenMatched
+    * UpdateAll's — and other matched rows carry unchanged. `deleteWhen`
+    * composes the second matched action (`WHEN MATCHED [AND d] THEN
+    * DELETE`, first-match-wins already folded in by the caller):
+    * a matched row satisfying it is REMOVED (NULL keeps). */
+  final case class UpdateAllIf(cond: Column,
+                               deleteWhen: Option[Column] = None) extends WhenMatched
   /** Assign `column -> SQL expression`; expressions reference target
     * columns as `t.<col>` and source columns as `s.<col>`. Unassigned
     * columns keep the target value. `deleteWhen` (same `t.`/`s.`

@@ -202,6 +202,40 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Seq(DeleteAction(None)) => WhenMatched.Delete
         case Seq(DeleteAction(Some(c))) =>
           WhenMatched.UpdateCols(Map.empty, Some(gated(tsCol(c, "MERGE DELETE"))))
+        // r12b: gated SET * composed with DELETE (first-match-wins in
+        // both orders, folded into UpdateAllIf's deleteWhen)
+        case Seq(UpdateStarAction(None), DeleteAction(_)) =>
+          WhenMatched.UpdateAll // unconditional first action: delete unreachable
+        case Seq(UpdateStarAction(Some(c)), DeleteAction(dc)) =>
+          val notC = !gated(tsCol(c, "MERGE"))
+          val del = dc match {
+            case None    => notC
+            case Some(d) => notC && gated(tsCol(d, "MERGE DELETE"))
+          }
+          WhenMatched.UpdateAllIf(tsCol(c, "MERGE"), Some(del))
+        case Seq(UpdateAction(Some(c), as, _), DeleteAction(dc)) if isStarShape(as) =>
+          val notC = !gated(tsCol(c, "MERGE"))
+          val del = dc match {
+            case None    => notC
+            case Some(d) => notC && gated(tsCol(d, "MERGE DELETE"))
+          }
+          WhenMatched.UpdateAllIf(tsCol(c, "MERGE"), Some(del))
+        case Seq(DeleteAction(None), UpdateStarAction(_)) =>
+          WhenMatched.Delete // delete wins every match
+        case Seq(DeleteAction(Some(c)), UpdateStarAction(uc)) =>
+          val updGate = uc match {
+            case None    => CNot(c)
+            case Some(u) => CAnd(CNot(c), u)
+          }
+          WhenMatched.UpdateAllIf(tsCol(updGate, "MERGE"),
+            Some(gated(tsCol(c, "MERGE DELETE"))))
+        case Seq(DeleteAction(Some(c)), UpdateAction(uc, as, _)) if isStarShape(as) =>
+          val updGate = uc match {
+            case None    => CNot(c)
+            case Some(u) => CAnd(CNot(c), u)
+          }
+          WhenMatched.UpdateAllIf(tsCol(updGate, "MERGE"),
+            Some(gated(tsCol(c, "MERGE DELETE"))))
         case Seq(UpdateAction(uc, as, _), DeleteAction(dc)) => uc match {
           // unconditional first action wins every match: delete unreachable
           case None => if (isStarShape(as)) WhenMatched.UpdateAll

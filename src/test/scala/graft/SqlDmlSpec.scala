@@ -365,6 +365,31 @@ class SqlDmlSpec extends AnyFunSuite {
       "a NULL gate must carry every matched row")
   }
 
+  test("MERGE gated SET * composes with DELETE, both orders, first-match-wins (r12b)") {
+    val tbl = mkTable()
+    // user 1: update gate true -> whole row; user 2: update gate false,
+    // delete gate true -> removed; user 3: both false -> carries
+    sql("""SELECT TIMESTAMP'2024-01-01 08:00:00' AS ts, CAST(1 AS BIGINT) AS user_id,
+             'upd' AS etype, 100.0 AS v
+           UNION ALL SELECT TIMESTAMP'2024-01-01 09:00:00', CAST(2 AS BIGINT), 'del', 0.0
+           UNION ALL SELECT TIMESTAMP'2024-01-02 08:00:00', CAST(3 AS BIGINT), 'keep', -5.0
+        """).createOrReplaceTempView("dml_src_ud")
+    sql(s"""MERGE INTO $tbl t USING dml_src_ud s ON t.user_id = s.user_id
+            WHEN MATCHED AND s.v > 50.0 THEN UPDATE SET *
+            WHEN MATCHED AND s.etype = 'del' THEN DELETE""")
+    assert(rows(tbl) == Seq((1L, "upd", 100.0), (3L, "click", 3.0),
+      (4L, "view", 4.0), (5L, "click", 5.0)),
+      "gate-true replaces whole row, second-action delete fires only below the first gate")
+    // reverse order: DELETE first wins its gate; SET * takes the rest
+    val tbl2 = mkTable()
+    sql(s"""MERGE INTO $tbl2 t USING dml_src_ud s ON t.user_id = s.user_id
+            WHEN MATCHED AND s.etype = 'del' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *""")
+    assert(rows(tbl2) == Seq((1L, "upd", 100.0), (3L, "keep", -5.0),
+      (4L, "view", 4.0), (5L, "click", 5.0)),
+      "delete-first wins its gate; remaining matches take the whole source row")
+  }
+
   test("MERGE narrow SET must not star-collapse; explicit INSERT nulls unassigned (r12)") {
     val tbl = mkTable()
     // source row matches user_id=1 but differs in etype — a narrow
