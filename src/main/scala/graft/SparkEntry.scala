@@ -689,6 +689,23 @@ object SparkEntry {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
 
+    // A61 (r12b): 2-COLUMN TUPLE IN — `(a, b) IN (SELECT x, y ...)`
+    // with exact three-valued semantics via null-pattern decomposition
+    // into pure broadcast hash joins (the null traps are spec-tested;
+    // this oracle pins the clean-data semantics end-to-end). DuckDB
+    // replays it as EXISTS (equivalent on null-free data).
+    "zc_sql_delete_in2" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir, dv = true)
+      val tbl = "graft_sqdin2_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '${c.root}')")
+      try {
+        Tables.events(s, dir).createOrReplaceTempView("zc_in2_events")
+        s.sql(s"""DELETE FROM $tbl WHERE (user_id, event_type) IN
+                  (SELECT user_id, event_type FROM zc_in2_events WHERE value > 95)""")
+        eventsOut(c.query())
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     // A53b (r12, the r11 verdict's #2): UNCORRELATED SCALAR SUBQUERY in
     // `UPDATE ... SET x = (SELECT ...)` — the subquery evaluates once
     // and splices into the assignment as a typed literal (empty result
@@ -4371,6 +4388,16 @@ object SparkEntry {
          FROM events
          WHERE NOT COALESCE(value >
            (SELECT max(value) - 5.0 FROM events WHERE event_type = 'click'), FALSE)
+         ORDER BY event_id""",
+
+    // Tuple IN == EXISTS on null-free data.
+    "zc_sql_delete_in2" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events t
+         WHERE NOT EXISTS (
+           SELECT 1 FROM events e2
+           WHERE e2.value > 95 AND e2.user_id = t.user_id
+             AND e2.event_type = t.event_type)
          ORDER BY event_id""",
 
     "zc_sql_update_set_scalar" ->

@@ -135,7 +135,8 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           refuse(s"ON supports only AND-ed key equalities, got: ${other.sql}")
       }
 
-      def tsCol(e: Expression, what: String): Column = {
+      def tsCol(e0: Expression, what: String): Column = {
+        val e = inlineWith(e0)
         noSubquery(e, what)
         Bridge.column(e.transform {
           case a: AttributeReference if tIds(a.exprId) => UnresolvedAttribute(Seq("t", a.name))
@@ -263,7 +264,8 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
       // the NOT MATCHED leg has no target row — its condition may
       // reference only source columns (s.-terms for the engine's join)
-      def sOnly(e: Expression, what: String): Column = {
+      def sOnly(e0: Expression, what: String): Column = {
+        val e = inlineWith(e0)
         noSubquery(e, what)
         Bridge.column(e.transform {
           case a: AttributeReference if sIds(a.exprId) => UnresolvedAttribute(Seq("s", a.name))
@@ -304,7 +306,8 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
       // the sync leg: target rows no source row matches (t.-terms only —
       // there IS no source row to reference)
-      def tOnly(e: Expression, what: String): Column = {
+      def tOnly(e0: Expression, what: String): Column = {
+        val e = inlineWith(e0)
         noSubquery(e, what)
         Bridge.column(e.transform {
           case a: AttributeReference if tIds(a.exprId) => UnresolvedAttribute(Seq("t", a.name))
@@ -361,10 +364,19 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val subs = Seq.newBuilder[DmlSubquery]
     var i = 0
     def rewrite(cond: Expression): Expression = cond.transform {
+      // r12b: 2-column TUPLE IN — exact SQL three-valued semantics via
+      // null-pattern decomposition into pure hash joins (subqueryAugment);
+      // wider tuples keep the refusal (pattern count grows 2^k)
+      case InSubquery(Seq(a, b), lq: ListQuery) if !lq.isCorrelated =>
+        val flag = s"_zc_subq_$i"; i += 1
+        subs += DmlSubquery(flag, lq.plan, null, None, isExists = false,
+          tupleValues = Seq(selfCol(a, t, s"$what IN"),
+            selfCol(b, t, s"$what IN")))
+        UnresolvedAttribute(Seq(flag))
       case in @ InSubquery(values, lq: ListQuery) if !lq.isCorrelated =>
         val v = values match {
           case Seq(one) => one
-          case _ => refuse(s"multi-column IN tuples are not supported in $what — " +
+          case _ => refuse(s"IN tuples wider than 2 columns are not supported in $what — " +
             "rewrite as MERGE INTO with a source table")
         }
         val flag = s"_zc_subq_$i"; i += 1
@@ -531,7 +543,23 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Predicate/value over the TARGET's columns only → a Column in plain
     * column-name terms (resolves against the engine's rewrite scan). */
-  private def selfCol(e: Expression, t: DmlTarget, what: String): Column = {
+  /** Inline Catalyst `With` common-expression blocks (the analyzer's
+    * RuntimeReplaceable form for nullif/ifnull/...) by substituting
+    * each ref with its definition — duplicated evaluation, identical
+    * semantics. Required before attribute rewriting: a `With` node
+    * re-checks its defs' dataType mid-transform, which explodes once a
+    * child is an UnresolvedAttribute (r12b). */
+  private def inlineWith(e: Expression): Expression = e.transformUp {
+    case w: org.apache.spark.sql.catalyst.expressions.With =>
+      val defs = w.defs.map(d => d.id -> d.child).toMap
+      w.child.transformUp {
+        case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+          defs(r.id)
+      }
+  }
+
+  private def selfCol(e0: Expression, t: DmlTarget, what: String): Column = {
+    val e = inlineWith(e0)
     noSubquery(e, what)
     val ids = t.attrs.map(_.exprId).toSet
     Bridge.column(e.transform {
@@ -608,7 +636,8 @@ object GraftDmlRule {
 private[sources] final case class DmlSubquery(flag: String, plan: LogicalPlan,
     value: Column, boundsKey: Option[String], isExists: Boolean,
     corrValues: Seq[Column] = Nil,
-    scalarType: org.apache.spark.sql.types.DataType = null)
+    scalarType: org.apache.spark.sql.types.DataType = null,
+    tupleValues: Seq[Column] = Nil)
 
 /** Shared output shape: each DML command reports its rewritten-file
   * count (the file-granularity observable — `spark.sql("UPDATE ...")`
@@ -699,6 +728,71 @@ private[sources] object GraftDmlCommands {
         val litCol = Bridge.column(
           org.apache.spark.sql.catalyst.expressions.Literal.create(v, s.scalarType))
         (df: DataFrame) => df.withColumn(s.flag, litCol)
+      } else if (s.tupleValues.nonEmpty) {
+        // 2-column TUPLE IN (r12b): `(p, q) IN (SELECT x, y ...)` with
+        // EXACT three-valued semantics, decomposed by null pattern into
+        // pure (broadcast-gated) hash joins — no nested loop:
+        //  TRUE    iff some row matches both components (nulls never =);
+        //  UNKNOWN iff no full match but some row is COMPATIBLE
+        //          ((p=x or p/x null) and (q=y or q/y null)), which by
+        //          pattern reduces to: both probes null -> any row;
+        //          p null -> some y null OR q in Y; q null symmetric;
+        //          both non-null -> some (null,null) row OR q in
+        //          {y : x null} OR p in {x : y null};
+        //  FALSE   otherwise (including an empty subquery).
+        val Seq(p, q) = s.tupleValues
+        val sc = sub.columns
+        val x = col(sc(0)); val y = col(sc(1))
+        val st = sub.agg(count(lit(1)).as("n"),
+          coalesce(sum(when(x.isNull, 1L).otherwise(0L)), lit(0L)).as("nx"),
+          coalesce(sum(when(y.isNull, 1L).otherwise(0L)), lit(0L)).as("ny"),
+          coalesce(sum(when(x.isNull && y.isNull, 1L).otherwise(0L)), lit(0L)).as("nb"))
+          .collect()(0)
+        val n = st.getLong(0)
+        val hasXNull = st.getLong(1) > 0
+        val hasYNull = st.getLong(2) > 0
+        val hasBothNull = st.getLong(3) > 0
+        def bc(df: DataFrame) = if (n <= Collection.DvBroadcastMaxRows) broadcast(df) else df
+        val mx = s"_zc_t_mx_$i"; val my = s"_zc_t_my_$i"; val mh = s"_zc_t_mh_$i"
+        val ya = s"_zc_t_ya_$i"; val yah = s"_zc_t_yah_$i"
+        val xa = s"_zc_t_xa_$i"; val xah = s"_zc_t_xah_$i"
+        val yn = s"_zc_t_yn_$i"; val ynh = s"_zc_t_ynh_$i"
+        val xn = s"_zc_t_xn_$i"; val xnh = s"_zc_t_xnh_$i"
+        val m    = bc(sub.where(x.isNotNull && y.isNotNull)
+          .select(x.as(mx), y.as(my)).distinct().withColumn(mh, lit(true)))
+        val yAll = bc(sub.where(y.isNotNull).select(y.as(ya)).distinct()
+          .withColumn(yah, lit(true)))
+        val xAll = bc(sub.where(x.isNotNull).select(x.as(xa)).distinct()
+          .withColumn(xah, lit(true)))
+        val yXn  = bc(sub.where(x.isNull && y.isNotNull).select(y.as(yn)).distinct()
+          .withColumn(ynh, lit(true)))
+        val xYn  = bc(sub.where(y.isNull && x.isNotNull).select(x.as(xn)).distinct()
+          .withColumn(xnh, lit(true)))
+        (df: DataFrame) => {
+          val j = df
+            .join(m, p === col(mx) && q === col(my), "left")
+            .join(yAll, q === col(ya), "left")
+            .join(xAll, p === col(xa), "left")
+            .join(yXn, q === col(yn), "left")
+            .join(xYn, p === col(xn), "left")
+          val unknown = lit(null).cast("boolean")
+          val flag =
+            if (n == 0L) lit(false)
+            else when(coalesce(col(mh), lit(false)), lit(true))
+              .when(p.isNull && q.isNull, unknown)
+              .when(p.isNull,
+                when(lit(hasYNull) || coalesce(col(yah), lit(false)), unknown)
+                  .otherwise(lit(false)))
+              .when(q.isNull,
+                when(lit(hasXNull) || coalesce(col(xah), lit(false)), unknown)
+                  .otherwise(lit(false)))
+              .otherwise(
+                when(lit(hasBothNull) || coalesce(col(ynh), lit(false)) ||
+                    coalesce(col(xnh), lit(false)), unknown)
+                  .otherwise(lit(false)))
+          j.withColumn(s.flag, flag)
+            .drop(mx, my, mh, ya, yah, xa, xah, yn, ynh, xn, xnh)
+        }
       } else if (s.corrValues.nonEmpty) {
         // correlated IN: the decorrelated DISTINCT (key..., value) pair
         // table drives SQL's three-valued IN PER GROUP — FALSE when the

@@ -365,6 +365,39 @@ class SqlDmlSpec extends AnyFunSuite {
       "a NULL gate must carry every matched row")
   }
 
+  test("2-column tuple IN lowers with exact three-valued semantics (r12b)") {
+    sql("""SELECT * FROM VALUES (CAST(1 AS BIGINT), 'click'),
+             (CAST(3 AS BIGINT), 'click'), (CAST(NULL AS BIGINT), 'view')
+           AS t(u, e)""").createOrReplaceTempView("dml_pairs")
+    // positive IN: only full matches delete; rows compatible with the
+    // null-u pair are UNKNOWN, which DELETE keeps
+    val tbl = mkTable()
+    sql(s"DELETE FROM $tbl WHERE (user_id, etype) IN (SELECT u, e FROM dml_pairs)")
+    assert(rows(tbl).map(_._1) == Seq(2L, 4L, 5L))
+    // NOT IN null trap: UNKNOWN keeps, so only rows incompatible with
+    // EVERY pair (user 5: 'click' matches no null-row's 'view') delete
+    val tbl2 = mkTable()
+    sql(s"DELETE FROM $tbl2 WHERE (user_id, etype) NOT IN (SELECT u, e FROM dml_pairs)")
+    assert(rows(tbl2).map(_._1) == Seq(1L, 2L, 3L, 4L),
+      "UNKNOWN must keep under NOT IN — the classic null trap")
+    // NULL probe component: UNKNOWN unless no pair is compatible
+    sql(s"UPDATE $tbl2 SET v = -1 WHERE (nullif(user_id, 2), etype) IN (SELECT u, e FROM dml_pairs)")
+    assert(rows(tbl2).map(r => (r._1, r._3)) ==
+      Seq((1L, -1.0), (2L, 2.0), (3L, -1.0), (4L, 4.0)),
+      "null probe stays UNKNOWN (compatible pair exists); full matches update")
+    // empty subquery: IN is FALSE for every probe, NOT IN deletes all
+    val tbl3 = mkTable()
+    sql(s"DELETE FROM $tbl3 WHERE (user_id, etype) IN (SELECT u, e FROM dml_pairs WHERE u > 100)")
+    assert(rows(tbl3).size == 5)
+    sql(s"DELETE FROM $tbl3 WHERE (user_id, etype) NOT IN (SELECT u, e FROM dml_pairs WHERE u > 100)")
+    assert(rows(tbl3).isEmpty)
+    // 3+ column tuples keep the refusal
+    val e = intercept[UnsupportedOperationException] {
+      sql(s"DELETE FROM $tbl WHERE (user_id, etype, v) IN (SELECT u, e, 1.0 FROM dml_pairs)")
+    }
+    assert(e.getMessage.contains("wider than 2"))
+  }
+
   test("MERGE gated SET * composes with DELETE, both orders, first-match-wins (r12b)") {
     val tbl = mkTable()
     // user 1: update gate true -> whole row; user 2: update gate false,
