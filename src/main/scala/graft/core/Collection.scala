@@ -1918,14 +1918,19 @@ final class Collection private (
       }
     }
     if (appendOnly) {
-      // one assignment serves both the touched-key listing and the
-      // write — assigning twice replayed the branch CDC diff (r12)
+      // one assignment, PERSISTED across the two actions (the touched-key
+      // listing and the write) — without the cache each action replayed
+      // the branch CDC diff computation from scratch (r12)
       val assigned = partitioning.assign(inserts)
-      val touchedA = distinctKeys(assigned).map(keyPath)
-      try writeAndCommit(assigned, replaced = Set.empty,
-        base = man, op = op)
-      finally cachedConflicts.foreach(_.unpersist(blocking = false))
-      return touchedA.sorted
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val touchedA = distinctKeys(assigned).map(keyPath)
+        writeAndCommit(assigned, replaced = Set.empty, base = man, op = op)
+        return touchedA.sorted
+      } finally {
+        assigned.unpersist(blocking = false)
+        cachedConflicts.foreach(_.unpersist(blocking = false))
+      }
     }
     // touched parent partitions: anywhere the diff lands on either side
     // (the distinct key set is small — bounded by partitions, not rows)
