@@ -45,6 +45,9 @@ object Explain {
     "zc_schema_rename" -> "renamed-column read: scans request the PHYSICAL name, one collapsed alias Project back to the logical schema (r11)",
     "ann_filtered" -> "filtered vector search: the metadata predicate reaches the corpus scan as a pushed filter, queries broadcast (r11b)",
     "ann_diverse" -> "diversified top-k: two bounded TopKAgg stages (per-group m, global k) — no corpus-sized window or sort (r11b)",
+    "zc_sql_merge_ci_cols" -> "POST-merge read after an explicit-column conditional INSERT: copy-on-write leaves a clean scan — no residual joins or masks in the read path (r12)",
+    "zc_sql_delete_in2" -> "POST-delete read after a 2-column tuple-IN DELETE (the flag itself is five broadcast hash joins at statement time — exact 3VL, no nested loop): the surviving scan is plain (r12)",
+    "zc_merge_custom" -> "POST-merge read after a user merge callable (keep-best window argmax keyed on the partition columns at statement time): the merged partitions scan plain (r12)",
   )
 
   def main(args: Array[String]): Unit = {
@@ -52,6 +55,7 @@ object Explain {
     val outPath = if (args.length > 1) args(1) else "EXPLAIN.md"
     val spark = SparkSession.builder()
       .master("local[8]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
