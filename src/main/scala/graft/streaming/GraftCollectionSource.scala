@@ -56,7 +56,15 @@ import graft.core.{Collection, FilterExpr}
   * within the range). Caps are best-effort per batch: at least one file
   * always admits (progress), and a file with no recorded size counts 0
   * bytes. Not applicable to the change feed (row-granular diffs have no
-  * file ordinal — the source refuses the combination). */
+  * file ordinal — the source refuses the combination).
+  *
+  * Trigger.AvailableNow on THIS V1 face pins its drain target at the
+  * first paced offset (Spark's V1 wrapper snapshots one getOffset), so
+  * a paced AvailableNow run delivers one bounded batch and terminates —
+  * nothing is lost (the checkpoint resumes), but for a full paced drain
+  * in one trigger use the DSv2 face (`readStream.table`), whose
+  * admission-control path re-polls to the pinned head. Same shape as
+  * `maxGenerationsPerBatch` has always had on this face. */
 class GraftCollectionSource(spark: SparkSession, root: String,
                             maxGenerationsPerBatch: Option[Long] = None,
                             filters: Option[String] = None,
