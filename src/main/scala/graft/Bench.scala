@@ -106,7 +106,7 @@ object Bench {
     // r12: scalar-in-SET splice, explicit-column conditional MERGE
     // INSERT (the narrow-source projection path), conditional SET *
     "zc_sql_update_set_scalar", "zc_sql_merge_ci_cols", "zc_sql_merge_cu",
-    "zc_sql_delete_in2",
+    "zc_sql_delete_in2", "zc_sql_delete_corr_scalar",
     // NOT benched: dedup_incremental_contain / stream_ingest_contain —
     // the incremental containment index builds a full inverted index of
     // the corpus per entry (its cost IS the index build, ~40 s at sf0.1

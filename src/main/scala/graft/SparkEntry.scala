@@ -689,6 +689,23 @@ object SparkEntry {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
 
+    // A62 (r12b): EQUALITY-CORRELATED SCALAR SUBQUERY — the per-key
+    // aggregate evaluates ONCE as a GROUP BY and joins back by key;
+    // keys with no group compare against NULL (UNKNOWN keeps, SQL).
+    // max is order-independent, so the replay is bit-exact.
+    "zc_sql_delete_corr_scalar" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir, dv = true)
+      val tbl = "graft_sqdcs_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '${c.root}')")
+      try {
+        Tables.events(s, dir).createOrReplaceTempView("zc_cs_events")
+        s.sql(s"""DELETE FROM $tbl t WHERE t.value >
+                  (SELECT max(e.value) FROM zc_cs_events e
+                   WHERE e.user_id = t.user_id AND e.event_type = 'click')""")
+        eventsOut(c.query())
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     // A61 (r12b): 2-COLUMN TUPLE IN — `(a, b) IN (SELECT x, y ...)`
     // with exact three-valued semantics via null-pattern decomposition
     // into pure broadcast hash joins (the null traps are spec-tested;
@@ -4388,6 +4405,16 @@ object SparkEntry {
          FROM events
          WHERE NOT COALESCE(value >
            (SELECT max(value) - 5.0 FROM events WHERE event_type = 'click'), FALSE)
+         ORDER BY event_id""",
+
+    // Correlated scalar: DuckDB evaluates the same subquery natively;
+    // UNKNOWN (groupless key) keeps the row under DELETE.
+    "zc_sql_delete_corr_scalar" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events t
+         WHERE NOT COALESCE(t.value >
+           (SELECT max(e.value) FROM events e
+            WHERE e.user_id = t.user_id AND e.event_type = 'click'), FALSE)
          ORDER BY event_id""",
 
     // Tuple IN == EXISTS on null-free data.

@@ -418,6 +418,20 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         subs += DmlSubquery(flag, sc.plan, null, None, isExists = false,
           scalarType = sc.dataType)
         UnresolvedAttribute(Seq(flag))
+      case sc: ScalarSubquery =>
+        // CORRELATED SCALAR (r12b): `(SELECT agg(x) FROM s WHERE s.k =
+        // t.k [AND rest])` decorrelates into one per-key GROUP BY
+        // evaluated once; the value joins back by key. Rows whose key
+        // has no group get NULL — exactly the empty-subquery scalar —
+        // EXCEPT count, whose empty-group value is 0 (spliced as the
+        // join's coalesce default, the standard count-bug fix).
+        val (aggPlan, pairs, emptyDefault) = decorrelateScalar(sc, what)
+        val flag = s"_zc_subq_$i"; i += 1
+        subs += DmlSubquery(flag, aggPlan, null, None, isExists = false,
+          scalarType = sc.dataType,
+          corrValues = pairs.map(p => selfCol(p._1, t, s"$what scalar")),
+          scalarEmptyDefault = emptyDefault)
+        UnresolvedAttribute(Seq(flag))
       case ex: Exists if !ex.isCorrelated =>
         val flag = s"_zc_subq_$i"; i += 1
         subs += DmlSubquery(flag, ex.plan, null, None, isExists = true)
@@ -541,6 +555,69 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Decorrelate an equality-correlated SCALAR subquery — a SINGLE
+    * aggregate over one correlated WHERE (`SELECT agg(x) FROM ... WHERE
+    * inner = t.outer [AND rest]`, through SubqueryAlias wrappers) —
+    * into the per-key GROUP BY plan: keys as `_zc_ck_*`, the aggregate
+    * as `_zc_sc_v`. Returns the plan, the (outerAttr, innerKey) pairs,
+    * and the empty-group splice default (`Some(0)` for count — the SQL
+    * count-bug fix — `None` = NULL for min/max/sum/avg). Anything else
+    * (grouped subqueries, multiple aggregates, arithmetic over the
+    * aggregate, non-equality correlation) refuses loudly. */
+  private def decorrelateScalar(sc: ScalarSubquery,
+      what: String): (LogicalPlan, Seq[(AttributeReference, Expression)], Option[Any]) = {
+    def bail(why: String): Nothing =
+      refuse(s"correlated scalar subqueries in $what support only a single " +
+        s"aggregate over equality correlation (`SELECT agg(x) FROM ... WHERE " +
+        s"inner = t.outer [AND rest]`) — $why; " +
+        "rewrite anything else as MERGE INTO with a source table")
+    def hasOuter(e: Expression): Boolean = e.exists(_.isInstanceOf[OuterReference])
+    if (sc.plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))))
+      bail("the subquery nests another subquery")
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child) => strip(child)
+      case other                   => other
+    }
+    strip(sc.plan) match {
+      case Aggregate(Seq(), Seq(av: Alias), inner0, _) if !hasOuter(av) =>
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{
+          AggregateExpression, Count}
+        val (aggExpr, isCount) = av.child match {
+          case ae: AggregateExpression =>
+            (ae, ae.aggregateFunction.isInstanceOf[Count])
+          case Cast(ae: AggregateExpression, _, _, _) =>
+            (av.child, ae.aggregateFunction.isInstanceOf[Count])
+          case other => bail(s"the projected value must be a bare aggregate, " +
+            s"got ${other.sql}")
+        }
+        strip(inner0) match {
+          case Filter(cond, child) if !child.exists(_.expressions.exists(hasOuter)) =>
+            val (corr, rest) = conjuncts(cond).partition(hasOuter)
+            val pairs = corr.map {
+              case CEqualTo(OuterReference(a: AttributeReference), ie) if !hasOuter(ie) =>
+                (a, ie)
+              case CEqualTo(ie, OuterReference(a: AttributeReference)) if !hasOuter(ie) =>
+                (a, ie)
+              case other => bail(s"unsupported correlated conjunct: ${other.sql}")
+            }
+            if (pairs.isEmpty) bail("no correlated equality found in the WHERE")
+            val base = rest.reduceOption(CAnd).map(Filter(_, child)).getOrElse(child)
+            val keyAliases = pairs.zipWithIndex.map { case ((_, ie), k) =>
+              Alias(ie, s"_zc_ck_$k")()
+            }
+            val plan = Aggregate(
+              keyAliases.map(_.child): Seq[Expression],
+              (keyAliases :+ Alias(aggExpr, "_zc_sc_v")())
+                .map(_.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]),
+              base)
+            (plan, pairs, if (isCount) Some(0L) else None)
+          case _ => bail("the outer reference is not in the aggregate's WHERE clause")
+        }
+      case _ => bail("the subquery must be exactly one ungrouped aggregate")
+    }
+  }
+
   /** Predicate/value over the TARGET's columns only → a Column in plain
     * column-name terms (resolves against the engine's rewrite scan). */
   /** Inline Catalyst `With` common-expression blocks (the analyzer's
@@ -637,7 +714,8 @@ private[sources] final case class DmlSubquery(flag: String, plan: LogicalPlan,
     value: Column, boundsKey: Option[String], isExists: Boolean,
     corrValues: Seq[Column] = Nil,
     scalarType: org.apache.spark.sql.types.DataType = null,
-    tupleValues: Seq[Column] = Nil)
+    tupleValues: Seq[Column] = Nil,
+    scalarEmptyDefault: Option[Any] = None)
 
 /** Shared output shape: each DML command reports its rewritten-file
   * count (the file-granularity observable — `spark.sql("UPDATE ...")`
@@ -719,6 +797,27 @@ private[sources] object GraftDmlCommands {
       } else if (s.isExists) {
         val exists = sub.limit(1).count() > 0
         (df: DataFrame) => df.withColumn(s.flag, lit(exists))
+      } else if (s.scalarType != null && s.corrValues.nonEmpty) {
+        // CORRELATED SCALAR (r12b): the decorrelated per-key GROUP BY
+        // evaluated once; values join back by key (unique per key by
+        // construction — never a row multiplication). Keys with no
+        // group splice the empty-subquery scalar: NULL, or count's 0.
+        val ckCols = s.corrValues.indices.map(k => s"_zc_ck_$k")
+        val (n, _, _) = countAndBounds(sub, None)
+        val vc = s"_zc_sc_v_$i"
+        val vals0 = sub.withColumnRenamed("_zc_sc_v", vc)
+        val vals = if (n <= Collection.DvBroadcastMaxRows) broadcast(vals0) else vals0
+        val keyCond = s.corrValues.zipWithIndex
+          .map { case (v, k) => v === col(s"_zc_ck_$k") }.reduce(_ && _)
+        (df: DataFrame) => {
+          val joined = df.join(vals, keyCond, "left")
+          val value = s.scalarEmptyDefault match {
+            case Some(d) => coalesce(col(vc),
+              lit(d).cast(s.scalarType)).cast(s.scalarType)
+            case None    => col(vc).cast(s.scalarType)
+          }
+          joined.withColumn(s.flag, value).drop(ckCols: _*).drop(vc)
+        }
       } else if (s.scalarType != null) {
         val rows = sub.limit(2).collect()
         if (rows.length > 1)

@@ -162,12 +162,20 @@ class SqlDmlSpec extends AnyFunSuite {
         s"(SELECT d.score FROM graftdml.dml.dim_in d WHERE d.user_id = t.user_id)")
       assert(rows(tbl).exists(r => r._1 == 2L && r._3 == 7.0),
         "a null-bearing group without a match must yield NULL, keeping the row")
-      // scalar correlated stays a loud refusal
-      val e = intercept[UnsupportedOperationException] {
-        sql(s"DELETE FROM $tbl t WHERE t.v > (SELECT max(d.score) FROM " +
-          s"graftdml.dml.dim_in d WHERE d.user_id = t.user_id)")
-      }
-      assert(e.getMessage.contains("correlated or scalar"))
+      // r12b: scalar correlated LOWERS — per-key max joins back; rows
+      // with no group compare against NULL (UNKNOWN keeps)
+      val before = rows(tbl).map(_._1)
+      sql(s"DELETE FROM $tbl t WHERE t.v > (SELECT max(d.score) FROM " +
+        s"graftdml.dml.dim_in d WHERE d.user_id = t.user_id)")
+      // state before: (2,'probe',7.0), (3,103.0), (5,105.0). max per
+      // key: u2=2.0, u3=99.0; u5 has NO group -> NULL -> kept.
+      assert(rows(tbl).map(_._1) == Seq(5L),
+        s"per-key max comparison deletes 2 and 3, keeps groupless 5 (before: $before)")
+      // the count bug: an empty group counts 0, not NULL
+      sql(s"UPDATE $tbl t SET v = -1 WHERE (SELECT count(*) FROM " +
+        s"graftdml.dml.dim_in d WHERE d.user_id = t.user_id AND d.score > 1000) = 0")
+      assert(rows(tbl).map(_._3) == Seq(-1.0),
+        "count over an empty correlated group must be 0 (the COUNT bug), not NULL")
     } finally sql("DROP TABLE IF EXISTS graftdml.dml.dim_in")
   }
 
