@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference,
   Cast, Exists, Expression, InSubquery, ListQuery, OuterReference, PlanExpression,
-  ScalarSubquery, And => CAnd, EqualTo => CEqualTo, Literal => CLiteral, Not => CNot}
+  ScalarSubquery, And => CAnd, EqualTo => CEqualTo, Literal => CLiteral}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -147,9 +147,10 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       def gated(c: Column): Column = coalesce(c, lit(false))
 
-      /** SET assignments → Column map; `gate` (already in t/s terms)
+      /** SET assignments → Column map; `gate` (a pre-built, null-safe
+        * boolean Column in t/s terms — callers coalesce NULL to false)
         * confines the assignment to rows where it holds. */
-      def assignMap(as: Seq[Assignment], gate: Option[Expression]): Map[String, Column] =
+      def assignMap(as: Seq[Assignment], gate: Option[Column]): Map[String, Column] =
         as.flatMap { a =>
           val key = a.key match {
             case ar: AttributeReference if tIds(ar.exprId) => ar
@@ -159,11 +160,26 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           else {
             val v = tsCol(a.value, "MERGE SET")
             Some(key.name -> (gate match {
-              case Some(g) => when(gated(tsCol(g, "MERGE")), v).otherwise(col(s"t.${key.name}"))
+              case Some(g) => when(g, v).otherwise(col(s"t.${key.name}"))
               case None    => v
             }))
           }
         }.toMap
+
+      /** First-match-wins gate for the SECOND action after `WHEN MATCHED
+        * AND <c> THEN DELETE`: ANSI says an UNKNOWN first condition is
+        * NOT satisfied, so the row must fall through to the update leg —
+        * the negation has to be of the null-COALESCED delete gate
+        * (`!gated(c)`), never `NOT(c)` (NULL -> NULL -> coalesced false
+        * would wrongly carry the row unchanged; r13 fix, mirrors the
+        * UPDATE-first branches' `notC`). */
+      def afterDeleteGate(c: Expression, uc: Option[Expression]): Column = {
+        val notDel = !gated(tsCol(c, "MERGE DELETE"))
+        uc match {
+          case None    => notDel
+          case Some(u) => notDel && gated(tsCol(u, "MERGE"))
+        }
+      }
 
       /** `UPDATE SET *` / `INSERT *` equivalence: EVERY target DATA
         * column assigned its same-named source column verbatim — the
@@ -199,7 +215,8 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Seq(UpdateAction(Some(c), as, _)) if isStarShape(as) =>
           WhenMatched.UpdateAllIf(tsCol(c, "MERGE"))
         case Seq(UpdateAction(c, as, _)) =>
-          WhenMatched.UpdateCols(assignMap(as, c), None)
+          WhenMatched.UpdateCols(
+            assignMap(as, c.map(g => gated(tsCol(g, "MERGE")))), None)
         case Seq(DeleteAction(None)) => WhenMatched.Delete
         case Seq(DeleteAction(Some(c))) =>
           WhenMatched.UpdateCols(Map.empty, Some(gated(tsCol(c, "MERGE DELETE"))))
@@ -224,18 +241,10 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Seq(DeleteAction(None), UpdateStarAction(_)) =>
           WhenMatched.Delete // delete wins every match
         case Seq(DeleteAction(Some(c)), UpdateStarAction(uc)) =>
-          val updGate = uc match {
-            case None    => CNot(c)
-            case Some(u) => CAnd(CNot(c), u)
-          }
-          WhenMatched.UpdateAllIf(tsCol(updGate, "MERGE"),
+          WhenMatched.UpdateAllIf(afterDeleteGate(c, uc),
             Some(gated(tsCol(c, "MERGE DELETE"))))
         case Seq(DeleteAction(Some(c)), UpdateAction(uc, as, _)) if isStarShape(as) =>
-          val updGate = uc match {
-            case None    => CNot(c)
-            case Some(u) => CAnd(CNot(c), u)
-          }
-          WhenMatched.UpdateAllIf(tsCol(updGate, "MERGE"),
+          WhenMatched.UpdateAllIf(afterDeleteGate(c, uc),
             Some(gated(tsCol(c, "MERGE DELETE"))))
         case Seq(UpdateAction(uc, as, _), DeleteAction(dc)) => uc match {
           // unconditional first action wins every match: delete unreachable
@@ -247,16 +256,13 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case None    => notC
               case Some(d) => notC && gated(tsCol(d, "MERGE DELETE"))
             }
-            WhenMatched.UpdateCols(assignMap(as, Some(c)), Some(del))
+            WhenMatched.UpdateCols(
+              assignMap(as, Some(gated(tsCol(c, "MERGE")))), Some(del))
         }
         case Seq(DeleteAction(dc), UpdateAction(uc, as, _)) => dc match {
           case None => WhenMatched.Delete // delete wins every match
           case Some(c) =>
-            val updGate = uc match {
-              case None    => CNot(c)
-              case Some(u) => CAnd(CNot(c), u)
-            }
-            WhenMatched.UpdateCols(assignMap(as, Some(updGate)),
+            WhenMatched.UpdateCols(assignMap(as, Some(afterDeleteGate(c, uc))),
               Some(gated(tsCol(c, "MERGE DELETE"))))
         }
         case other => refuse(s"unsupported WHEN MATCHED combination (${other.size} actions)")

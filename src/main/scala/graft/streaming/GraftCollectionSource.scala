@@ -427,8 +427,17 @@ class GraftCollectionSource(spark: SparkSession, root: String,
     * the source options and the ENGINE-provided [[org.apache.spark.sql
     * .connector.read.streaming.ReadLimit]] (r12 — standard
     * `ReadMaxFiles`/`ReadMaxBytes` limits pace this source too). */
-  private[streaming] def nextPaced(cur: GraftStreamOffset, capGen: Option[Long],
+  private[streaming] def nextPaced(cur0: GraftStreamOffset, capGen: Option[Long],
                                    maxF: Long, maxB: Long): Option[GraftStreamOffset] = {
+    // A started-from-offset stream paces from startBase, never behind it:
+    // the DSv2 face seeds its position at Initial (gen -1), so without
+    // this clamp startingGeneration/startingTimestamp + file caps would
+    // fall into the boundary path at first = 0 and open manifestAt(-1).
+    // (The V1 face seeds pacedPos at complete(startBase) and never hits
+    // this; the clamp makes both faces agree.)
+    val cur =
+      if (cur0.complete && cur0.gen < startBase) GraftStreamOffset.complete(startBase)
+      else cur0
     val head = capGen.fold(collection.generation)(math.min(collection.generation, _))
     if (!cur.complete) {
       val list = genList(cur.gen, cur.snap)

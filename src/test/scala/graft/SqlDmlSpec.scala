@@ -431,6 +431,38 @@ class SqlDmlSpec extends AnyFunSuite {
       "delete-first wins its gate; remaining matches take the whole source row")
   }
 
+  test("MERGE DELETE-first with a NULL gate falls through to the update leg (r13)") {
+    // ANSI first-match-wins: an UNKNOWN first condition is NOT satisfied,
+    // so the row must reach the second (unconditional) action — the gate
+    // must negate the null-COALESCED delete condition, not NOT(cond)
+    // (NULL -> NULL would wrongly carry the row unchanged).
+    sql("""SELECT TIMESTAMP'2024-01-01 08:00:00' AS ts, CAST(1 AS BIGINT) AS user_id,
+             'x' AS etype, CAST(NULL AS DOUBLE) AS v
+           UNION ALL SELECT TIMESTAMP'2024-01-01 09:00:00', CAST(2 AS BIGINT), 'x', 99.0
+           UNION ALL SELECT TIMESTAMP'2024-01-02 08:00:00', CAST(3 AS BIGINT), 'x', 7.0
+        """).createOrReplaceTempView("dml_src_nullgate")
+    // star shape: SET *
+    val tbl = mkTable()
+    sql(s"""MERGE INTO $tbl t USING dml_src_nullgate s ON t.user_id = s.user_id
+            WHEN MATCHED AND s.v > 50.0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *""")
+    val ids = sql(s"SELECT user_id FROM $tbl ORDER BY user_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 3L, 4L, 5L),
+      s"user 2 deletes; users 1 (NULL gate) and 3 fall through to UPDATE, got $ids")
+    val u1 = sql(s"SELECT etype, v FROM $tbl WHERE user_id = 1").collect()(0)
+    assert(u1.getString(0) == "x" && u1.isNullAt(1),
+      "NULL delete gate must fall through to UPDATE SET * (whole source row)")
+    // non-star shape: narrow SET through the UpdateCols path
+    val tbl2 = mkTable()
+    sql(s"""MERGE INTO $tbl2 t USING dml_src_nullgate s ON t.user_id = s.user_id
+            WHEN MATCHED AND s.v > 50.0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET etype = s.etype""")
+    assert(rows(tbl2) == Seq((1L, "x", 1.0), (3L, "x", 3.0),
+      (4L, "view", 4.0), (5L, "click", 5.0)),
+      "non-star DELETE-first: NULL gate falls through to the narrow SET")
+  }
+
   test("MERGE narrow SET must not star-collapse; explicit INSERT nulls unassigned (r12)") {
     val tbl = mkTable()
     // source row matches user_id=1 but differs in etype — a narrow

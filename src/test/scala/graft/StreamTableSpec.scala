@@ -239,4 +239,28 @@ class StreamTableSpec extends AnyFunSuite {
     val rows = spark.table(name).collect().map(_.getLong(0)).sorted.toSeq
     assert(rows == (1L to 4L), s"paced drain must deliver everything once, got $rows")
   }
+
+  test("startingGeneration + file caps on readStream.table paces from the base (r13)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.strm")
+    sql("CREATE TABLE graft.strm.sg (cargo BIGINT, v DOUBLE) PARTITIONED BY (cargo)")
+    sql("INSERT INTO graft.strm.sg VALUES (1,1.0), (2,2.0)")          // gen 1
+    sql("INSERT INTO graft.strm.sg VALUES (3,3.0), (4,4.0), (5,5.0)") // gen 2: 3 files
+    val name = "strm_sg_" + System.nanoTime()
+    val q = spark.readStream
+      .option("startingGeneration", "1")
+      .option("maxFilesPerBatch", "2")
+      .table("graft.strm.sg")
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("strm-sg-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table(name).collect().map(_.getLong(0)).sorted.toSeq
+      assert(rows == Seq(3L, 4L, 5L),
+        s"only commits AFTER gen 1, no snapshot backfill, got $rows")
+      val fed = q.recentProgress.filter(_.numInputRows > 0)
+      assert(fed.length == 2, s"3 files / cap 2 = 2 micro-batches, got ${fed.length}")
+    } finally q.stop()
+  }
 }

@@ -148,6 +148,27 @@ class AdmissionControlSpec extends AnyFunSuite {
       s"3 one-file commits coalesce under cap 3, the 4th waits, got $o")
   }
 
+  test("startingGeneration + file caps: a fresh DSv2-face stream paces from the base (r13)") {
+    val c = bulkCollection(2, "startgen")
+    import spark.implicits._
+    // gen 2: three partitions -> 3 files (over the cap of 2, must split)
+    c.insert(Seq((10L, 1.0), (11L, 1.0), (12L, 1.0)).toDF("cargo", "v"))
+    val s = new GraftCollectionSource(spark, c.root,
+      startingGeneration = Some(1L), maxFilesPerBatch = Some(2L))
+    // The DSv2 face seeds its position at Initial (gen -1), not at
+    // complete(startBase): the pacer must clamp to the base instead of
+    // walking the boundary path into manifestAt(-1) (r13 regression).
+    val o1 = s.nextPaced(GraftStreamOffset.Initial, None).get
+    assert(o1 == GraftStreamOffset(2L, 2L, snap = false),
+      s"first paced batch = first 2 files of the diff AFTER gen 1, got $o1")
+    val o2 = s.nextPaced(o1, None).get
+    assert(o2 == GraftStreamOffset.complete(2L), s"drain completes gen 2, got $o2")
+    val files = s.batchFilesAt(None, o1)._2 ++ s.batchFilesAt(Some(o1), o2)._2
+    assert(files == s.genList(2L, snap = false),
+      "no snapshot backfill: exactly the post-base diff, split across batches")
+    assert(s.nextPaced(o2, None).isEmpty, "no progress past the head")
+  }
+
   test("file/byte caps refuse the change feed; non-positive caps refuse") {
     val c = bulkCollection(1, "refuse")
     intercept[IllegalArgumentException] {
