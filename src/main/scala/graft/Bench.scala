@@ -276,7 +276,16 @@ object Bench {
         s"{$body}"
       }
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"queries":$qsJson,"duckdb_sec":$duckJson,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"queries":$qsJson,"duckdb_sec":$duckJson,"sf":"$sfDir"}"""
+    println(line)
+    // r13 (the r12 verdict's #3): the driver keeps only a bounded TAIL
+    // of stdout, which truncated r12's entire Spark time map out of
+    // BENCH_r12.json. The full line also lands in a FILE so the primary
+    // evidence can never be tail-capped again.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 

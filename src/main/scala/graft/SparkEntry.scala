@@ -706,6 +706,26 @@ object SparkEntry {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
 
+    // A62b (r13): correlated scalar GENERALIZED — arithmetic over the
+    // aggregate AND an ungrouped HAVING in one shape: the per-key plan
+    // carries the having verdict on the projection (rejected = NULL,
+    // SQL's empty result) and the expression value; keys with no rows
+    // splice the expression evaluated on the empty input. max/count are
+    // order-independent, so the replay is bit-exact.
+    "zc_sql_delete_corr_scalar2" -> ((s, dir) => {
+      val c = freshEventsColl(s, dir, dv = true)
+      val tbl = "graft_sqdcs2_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '${c.root}')")
+      try {
+        Tables.events(s, dir).createOrReplaceTempView("zc_cs2_events")
+        s.sql(s"""DELETE FROM $tbl t WHERE t.value >
+                  (SELECT 1.0 + max(e.value) FROM zc_cs2_events e
+                   WHERE e.user_id = t.user_id AND e.event_type = 'view'
+                   HAVING count(*) > 2)""")
+        eventsOut(c.query())
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     // A61 (r12b): 2-COLUMN TUPLE IN — `(a, b) IN (SELECT x, y ...)`
     // with exact three-valued semantics via null-pattern decomposition
     // into pure broadcast hash joins (the null traps are spec-tested;
@@ -3123,47 +3143,51 @@ object SparkEntry {
         .orderBy("user_id", "hour_us")
     }),
 
-    // B48 (r10c): LINEAR-interpolation resample — per-user hourly grid
-    // between first and last observation; interior missing buckets take
-    // the time-weighted blend of their bracketing observations
-    // (v = pv + (nv − pv)·(g − pt)/(nt − pt), every term double and the
-    // expression tree written identically in the oracle), observed
-    // buckets pass through exactly. The lerp counterpart of
-    // q_gap_fill's LOCF — the xarray interpolate_na shape of the
-    // reference's altimetry domain. Same scale shape as B42: per-key
-    // windows (users parallelize; a single giant series would compose
-    // with time-bucket chunking), grid explode bounded by the span.
+    // B48 (r10c, reshaped r13): LINEAR-interpolation resample —
+    // per-user hourly grid between first and last observation; interior
+    // missing buckets take the time-weighted blend of their bracketing
+    // observations (v = pv + (nv − pv)·(g − pt)/(nt − pt), every term
+    // double and the expression tree written identically in the
+    // oracle), observed buckets pass through exactly. The lerp
+    // counterpart of q_gap_fill's LOCF — the xarray interpolate_na
+    // shape of the reference's altimetry domain.
+    //
+    // Shape (r13): SEGMENT generation from adjacency — one lead()
+    // window over the OBSERVED buckets pairs each observation with its
+    // successor, and each pair explodes its own grid span [t, nt) with
+    // the lerp in a plain (codegen'd) projection. The pre-r13
+    // formulation (grid explode → left join against the grid → asc
+    // window → desc window) paid a join shuffle and TWO per-user sorts
+    // over the FULL grid for brackets adjacency gives for free; this
+    // one sorts only the observed buckets once, joins nothing, and
+    // keeps the whole expand inside WholeStageCodegen (Generate over
+    // `sequence`, no higher-order lambdas — those run interpreted).
+    // Users parallelize; a single giant series would compose with
+    // time-bucket chunking exactly as before.
     "q_interpolate" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, dir)
         .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
-      val hourly = ev.groupBy("user_id", "h").agg(max(col("value")).as("v"))
-      val grid = hourly.groupBy("user_id").agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-        .select(col("user_id"), explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
-      val j = grid.join(hourly, Seq("user_id", "h"), "left_outer")
-        .withColumn("hu", unix_micros(col("h")))
-      // forward bracket as a running frame over the REVERSED order —
-      // never [current, unboundedFollowing), which Spark executes by
-      // rescanning to the partition end per row (O(span²) per user:
-      // this exact entry ran 39 s at sf0.1 before the rewrite, ~2 s
-      // after). Cost: one extra in-partition sort, same single shuffle.
-      val wPrev = W.partitionBy("user_id").orderBy(col("hu").asc)
-        .rowsBetween(W.unboundedPreceding, 0)
-      val wNextRev = W.partitionBy("user_id").orderBy(col("hu").desc)
-        .rowsBetween(W.unboundedPreceding, 0)
-      j.withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
-        .withColumn("pt",
-          last(when(col("v").isNotNull, col("hu")), ignoreNulls = true).over(wPrev))
-        .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNextRev))
-        .withColumn("nt",
-          last(when(col("v").isNotNull, col("hu")), ignoreNulls = true).over(wNextRev))
+      val hourly = ev.groupBy("user_id", "h")
+        .agg(max(col("value")).as("v"))
+        .select(col("user_id"), unix_micros(col("h")).as("t"), col("v"))
+      val w = W.partitionBy("user_id").orderBy("t")
+      val hourUs = 3600000000L
+      val seg = hourly
+        .withColumn("nt", lead(col("t"), 1).over(w))
+        .withColumn("nv", lead(col("v"), 1).over(w))
+      seg
+        .select(col("user_id"), col("t"), col("v"), col("nt"), col("nv"),
+          explode(when(col("nt").isNull, array(col("t")))
+            .otherwise(sequence(col("t"), col("nt") - lit(hourUs), lit(hourUs))))
+            .as("hu"))
         .select(col("user_id"), col("hu").as("hour_us"),
-          when(col("v").isNotNull, col("v"))
-            .otherwise(col("pv") + (col("nv") - col("pv")) *
-              ((col("hu") - col("pt")).cast("double") /
-                (col("nt") - col("pt")).cast("double")))
+          when(col("hu") === col("t"), col("v"))
+            .otherwise(col("v") + (col("nv") - col("v")) *
+              ((col("hu") - col("t")).cast("double") /
+                (col("nt") - col("t")).cast("double")))
             .as("value_interp"),
-          col("v").isNotNull.as("observed"))
+          (col("hu") === col("t")).as("observed"))
         .orderBy("user_id", "hour_us")
     }),
 
@@ -4415,6 +4439,17 @@ object SparkEntry {
          WHERE NOT COALESCE(t.value >
            (SELECT max(e.value) FROM events e
             WHERE e.user_id = t.user_id AND e.event_type = 'click'), FALSE)
+         ORDER BY event_id""",
+
+    // Generalized correlated scalar: arithmetic over the aggregate plus
+    // an ungrouped HAVING; DuckDB evaluates the same subquery natively.
+    "zc_sql_delete_corr_scalar2" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props
+         FROM events t
+         WHERE NOT COALESCE(t.value >
+           (SELECT 1.0 + max(e.value) FROM events e
+            WHERE e.user_id = t.user_id AND e.event_type = 'view'
+            HAVING count(*) > 2), FALSE)
          ORDER BY event_id""",
 
     // Tuple IN == EXISTS on null-free data.

@@ -49,14 +49,18 @@ private[graft] object Spread {
   /** Number of actual plan probes (cache misses) — spec observability. */
   private[graft] val probes = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** `df.repartition(keys)` if `df` is under-partitioned, `df` itself
-    * (no added Exchange) when it is already at least as wide as the
-    * cluster's default parallelism. */
+  /** `df.repartition(N, keys)` if `df` is under-partitioned, `df`
+    * itself (no added Exchange) when it is already at least as wide as
+    * the cluster's default parallelism. The partition count is PINNED
+    * (r13): an advisory `repartition(keys)` lets AQE coalesce the tiny
+    * pre-explode shuffle back to one partition — byte-based sizing
+    * cannot see the n-gram/signature fan-out the spread exists to
+    * parallelize — which put the whole projection back on one thread. */
   def spread(df: DataFrame, keys: Column*): DataFrame = {
     val key = df.queryExecution.analyzed.canonicalized
+    val target = df.sparkSession.sparkContext.defaultParallelism
     val wide = Option(verdicts.get(key)).map(_.booleanValue()).getOrElse {
       probes.incrementAndGet()
-      val target = df.sparkSession.sparkContext.defaultParallelism
       val alreadyShuffled =
         df.queryExecution.sparkPlan.exists(_.isInstanceOf[Exchange])
       val v = alreadyShuffled || df.rdd.getNumPartitions >= target
@@ -64,6 +68,6 @@ private[graft] object Spread {
       verdicts.put(key, java.lang.Boolean.valueOf(v))
       v
     }
-    if (wide) df else df.repartition(keys: _*)
+    if (wide) df else df.repartition(target, keys: _*)
   }
 }

@@ -852,6 +852,7 @@ object Ann {
     buildIvfPqIndex(snap, idCol, vecCol, path, dims, nLists, m, pqK,
       kmeansIters, pqIters)
     writeIndexMeta(snap.sparkSession, path, c.root, gen, idCol, vecCol, Nil)
+    invalidateFreshMemo(path)
   }
 
   /** The persisted PQ codebooks at `path`, `[subspace][code][subvector]`. */
@@ -892,6 +893,7 @@ object Ann {
       case Some((m, newRows, g1)) =>
         appendToIvfPqIndex(spark, path, newRows, m.idCol, m.vecCol)
         writeIndexMeta(spark, path, m.root, g1, m.idCol, m.vecCol, Nil)
+        invalidateFreshMemo(path)
         g1
     }
 
@@ -900,8 +902,9 @@ object Ann {
   def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, idCol: String, vecCol: String,
                        k: Int, nProbe: Int = 4,
-                       allowStale: Boolean = false): DataFrame = {
-    requireFreshIndex(spark, path, allowStale)
+                       allowStale: Boolean = false,
+                       maxStalenessMs: Long = 0L): DataFrame = {
+    requireFreshIndex(spark, path, allowStale, maxStalenessMs)
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     require(cents.nonEmpty, s"no centroids under $path")
@@ -1078,17 +1081,47 @@ object Ann {
       payloadCols)
     writeIndexMeta(c.snapshotAt(gen).sparkSession, path, c.root, gen, idCol,
       vecCol, payloadCols)
+    invalidateFreshMemo(path)
   }
+
+  /** Source-generation lookups memoized for the serve path (r13, the
+    * r12 verdict's #2): `path -> (head generation, checked-at millis)`.
+    * Consulted only under a caller-supplied positive `maxStalenessMs` —
+    * the default path always re-reads the manifest root (the check IS
+    * the feature). Same-JVM builds/refreshes drop their entry so the
+    * next check re-reads regardless of TTL. */
+  private val freshMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Actual manifest-root reads performed by freshness checks — spec
+    * observability (one read across N TTL'd searches). */
+  private[graft] val freshnessProbes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def invalidateFreshMemo(path: String): Unit = freshMemo.remove(path)
 
   /** Refuse a search over a stamped index whose source collection moved
     * past the build generation (mirrors the Indexer's E4 contract) —
     * a stale index silently serves dropped rows and misses new ones.
-    * `allowStale = true` opts into best-effort serving. */
+    * `allowStale = true` opts into best-effort serving. A positive
+    * `maxStalenessMs` bounds how often the check pays the manifest-root
+    * read: within the window the memoized head generation serves —
+    * a serve loop calling per request reads the root once per TTL, and
+    * a commit landing inside the window is seen at most that late
+    * (same-JVM refreshes invalidate immediately). */
   private def requireFreshIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, allowStale: Boolean): Unit = {
+      path: String, allowStale: Boolean, maxStalenessMs: Long = 0L): Unit = {
     if (allowStale) return
     readIndexMeta(spark, path).foreach { m =>
-      val cur = graft.core.Collection.open(spark, m.root, readOnly = true).generation
+      val now = System.currentTimeMillis()
+      val cur = Option(freshMemo.get(path))
+        .collect { case (g, at) if maxStalenessMs > 0L && now - at <= maxStalenessMs => g }
+        .getOrElse {
+          freshnessProbes.incrementAndGet()
+          val g = graft.core.Collection.open(spark, m.root, readOnly = true).generation
+          freshMemo.put(path, (g, now))
+          g
+        }
       if (cur != m.generation)
         throw new IllegalStateException(
           s"ANN index at $path was built at generation ${m.generation} of " +
@@ -1145,6 +1178,7 @@ object Ann {
       case Some((m, newRows, g1)) =>
         appendToIvfIndex(spark, path, newRows, m.idCol, m.vecCol, m.payloadCols)
         writeIndexMeta(spark, path, m.root, g1, m.idCol, m.vecCol, m.payloadCols)
+        invalidateFreshMemo(path)
         g1
     }
 
@@ -1166,8 +1200,9 @@ object Ann {
                      queries: DataFrame, idCol: String, vecCol: String,
                      k: Int, nProbe: Int = 4,
                      predicate: Column = lit(true),
-                     allowStale: Boolean = false): DataFrame = {
-    requireFreshIndex(spark, path, allowStale)
+                     allowStale: Boolean = false,
+                     maxStalenessMs: Long = 0L): DataFrame = {
+    requireFreshIndex(spark, path, allowStale, maxStalenessMs)
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     require(cents.nonEmpty, s"no centroids under $path")

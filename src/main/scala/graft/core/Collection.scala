@@ -3665,16 +3665,21 @@ final class Collection private (
     * union-find).
     *
     * r12 (the r11 verdict's driver-memory item): victims aggregate ON
-    * THE EXECUTORS into one row per file — (file, count, sorted packed
-    * rowids) — so the driver receives ~file-count rows of primitive
-    * arrays instead of one Row-with-full-path-string per victim: the
-    * same 4M-victim workload that used to ship hundreds of MB of Row
-    * objects now ships ~32 MB of longs, and the total cap rises 4M →
-    * 16M. Each file's array ships TRUNCATED at [[Collection
-    * .DvMaxPerFile]]+1: a file past the per-file cap is classified
-    * heavy (rewritten) by [[planDv]] on length alone, so its exact id
-    * list is never needed — per-file ship cost is bounded whatever the
-    * predicate matches. */
+    * THE EXECUTORS into one row per file, so the driver receives
+    * ~file-count rows of primitive arrays instead of one Row per victim.
+    *
+    * r13 (the r12 advice's buffer item): TWO bounded passes instead of
+    * one unbounded-buffer aggregation. Pass 1 counts matches per file —
+    * constant aggregation state, no id buffering — which (a) aborts the
+    * over-budget regime after a count-only scan (the old
+    * `limit(cap+1)` early exit, restored without a row-object ship) and
+    * (b) classifies files past [[Collection.DvMaxPerFile]] as heavy up
+    * front (their exact id lists are never needed — [[planDv]] decides
+    * on length alone, so they get a synthetic over-cap array). Pass 2
+    * collects sorted rowids ONLY for the light files, where the
+    * `collect_list` buffer is ≤ DvMaxPerFile per group BY CONSTRUCTION —
+    * the previous single pass buffered every match of a 50M-victim file
+    * in one aggregation buffer before the slice truncated the ship. */
   private def collectVictims(man: Manifest, affected: Seq[String],
                              cond: Column,
                              augment: DataFrame => DataFrame = identity)
@@ -3684,25 +3689,46 @@ final class Collection private (
     // file provenance is stamped BEFORE `augment`: input_file_name()
     // refuses plans with a second source (the subquery flag join), and
     // stamping in the scan-stage projection is also what keeps it exact
-    val raw = readManifestFiles(man, affected, applyDvs = false)
-      .withColumn("_zc_f", input_file_name())
-    val rows = augment(raw)
+    def victimsOf(files: Seq[String]) = augment(
+      readManifestFiles(man, files, applyDvs = false)
+        .withColumn("_zc_f", input_file_name()))
       .where(cond <=> lit(true))
-      .groupBy(col("_zc_f"))
-      .agg(count(lit(1)).as("_zc_n"),
-        slice(sort_array(collect_list(col(Collection.RowIdCol))),
-          1, Collection.DvMaxPerFile + 1).as("_zc_ids"))
-      .collect()
-    lastVictimScanDriverRows = rows.length
-    if (rows.iterator.map(_.getLong(1)).sum > Collection.DvMaxTotalRows) return None
     // an `augment` join the planner chose to SHUFFLE loses per-task file
     // lineage (input_file_name comes back empty) — fall back to the
     // rewrite path rather than guessing provenance
-    if (rows.exists(r => r.isNullAt(0) || r.getString(0).isEmpty ||
-        !byAbs.contains(new Path(r.getString(0)).toUri.getPath))) return None
-    Some(rows.map { r =>
-      byAbs(new Path(r.getString(0)).toUri.getPath) -> r.getSeq[Long](2).toArray
-    }.toMap)
+    def provenanceLost(rows: Array[org.apache.spark.sql.Row]): Boolean =
+      rows.exists(r => r.isNullAt(0) || r.getString(0).isEmpty ||
+        !byAbs.contains(new Path(r.getString(0)).toUri.getPath))
+    val counts = victimsOf(affected)
+      .groupBy(col("_zc_f")).agg(count(lit(1)).as("_zc_n"))
+      .collect()
+    lastVictimScanDriverRows = counts.length
+    if (counts.iterator.map(_.getLong(1)).sum > Collection.DvMaxTotalRows) return None
+    if (provenanceLost(counts)) return None
+    val byFile = counts.map(r =>
+      byAbs(new Path(r.getString(0)).toUri.getPath) -> r.getLong(1)).toMap
+    val lightFiles = byFile.collect {
+      case (f, n) if n <= Collection.DvMaxPerFile => f
+    }.toSeq.sorted
+    // heavy files: planDv classifies on length alone past the cap, so a
+    // synthetic distinct over-cap array stands in for the never-needed list
+    val heavyEntries = byFile.collect {
+      case (f, n) if n > Collection.DvMaxPerFile =>
+        f -> Array.tabulate(Collection.DvMaxPerFile + 1)(_.toLong)
+    }
+    val lightEntries: Map[String, Array[Long]] =
+      if (lightFiles.isEmpty) Map.empty
+      else {
+        val rows = victimsOf(lightFiles)
+          .groupBy(col("_zc_f"))
+          .agg(sort_array(collect_list(col(Collection.RowIdCol))).as("_zc_ids"))
+          .collect()
+        if (provenanceLost(rows)) return None
+        rows.map { r =>
+          byAbs(new Path(r.getString(0)).toUri.getPath) -> r.getSeq[Long](1).toArray
+        }.toMap
+      }
+    Some(lightEntries ++ heavyEntries)
   }
 
   /** Merge new victims with each file's existing DV (driver-side

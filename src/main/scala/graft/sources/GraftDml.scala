@@ -561,21 +561,41 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Decorrelate an equality-correlated SCALAR subquery — a SINGLE
-    * aggregate over one correlated WHERE (`SELECT agg(x) FROM ... WHERE
-    * inner = t.outer [AND rest]`, through SubqueryAlias wrappers) —
-    * into the per-key GROUP BY plan: keys as `_zc_ck_*`, the aggregate
-    * as `_zc_sc_v`. Returns the plan, the (outerAttr, innerKey) pairs,
-    * and the empty-group splice default (`Some(0)` for count — the SQL
-    * count-bug fix — `None` = NULL for min/max/sum/avg). Anything else
-    * (grouped subqueries, multiple aggregates, arithmetic over the
-    * aggregate, non-equality correlation) refuses loudly. */
+  /** Decorrelate an equality-correlated SCALAR subquery into a per-key
+    * plan evaluated once, joined back by key (keys as `_zc_ck_*`, the
+    * value as `_zc_sc_v`, a constant `_zc_sc_p` presence marker).
+    * Supported shapes (r13, generalizing r12b's single bare aggregate):
+    *
+    *  - UNGROUPED aggregate with the value being ANY expression over
+    *    aggregates (`SELECT 2*max(x)+1 ...`): one row per key; a key
+    *    with no rows splices the expression evaluated on the EMPTY
+    *    input — each aggregate at its SQL empty-input value via
+    *    `defaultResult` (count 0, min/max/sum/avg NULL): the COUNT-bug
+    *    fix propagated through the expression, the same evaluation
+    *    Spark's own RewriteCorrelatedScalarSubquery performs;
+    *  - UNGROUPED + HAVING: the having predicate rides the projection
+    *    (`_zc_sc_h`) instead of filtering — a having-rejected key must
+    *    yield NULL (SQL's empty result), NOT the empty-input default,
+    *    so presence and rejection stay distinguishable; the splice
+    *    default statically evaluates having-on-empty;
+    *  - GROUP BY [+ HAVING]: one row per (key, group), having filters,
+    *    then a per-key collapse carries the exact surviving-row count
+    *    (`_zc_sc_n`) — >1 is SQL's "more than one row" runtime error
+    *    (raised at execution), 0 rows is NULL.
+    *
+    * Returns the plan, the (outerAttr, innerKey) pairs, and the
+    * empty-key splice default as a foldable Column (None = NULL).
+    * Non-equality correlation, outer references outside the aggregate's
+    * WHERE, and nested subqueries refuse loudly — never approximated. */
   private def decorrelateScalar(sc: ScalarSubquery,
-      what: String): (LogicalPlan, Seq[(AttributeReference, Expression)], Option[Any]) = {
+      what: String): (LogicalPlan, Seq[(AttributeReference, Expression)], Option[Column]) = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, Count, First}
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, NamedExpression}
     def bail(why: String): Nothing =
-      refuse(s"correlated scalar subqueries in $what support only a single " +
-        s"aggregate over equality correlation (`SELECT agg(x) FROM ... WHERE " +
-        s"inner = t.outer [AND rest]`) — $why; " +
+      refuse(s"correlated scalar subqueries in $what support an aggregate " +
+        s"(optionally GROUP BY / HAVING / an expression over the aggregates) " +
+        s"over equality correlation (`... WHERE inner = t.outer [AND rest]`) — $why; " +
         "rewrite anything else as MERGE INTO with a source table")
     def hasOuter(e: Expression): Boolean = e.exists(_.isInstanceOf[OuterReference])
     if (sc.plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))))
@@ -585,42 +605,96 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case SubqueryAlias(_, child) => strip(child)
       case other                   => other
     }
-    strip(sc.plan) match {
-      case Aggregate(Seq(), Seq(av: Alias), inner0, _) if !hasOuter(av) =>
-        import org.apache.spark.sql.catalyst.expressions.aggregate.{
-          AggregateExpression, Count}
-        val (aggExpr, isCount) = av.child match {
-          case ae: AggregateExpression =>
-            (ae, ae.aggregateFunction.isInstanceOf[Count])
-          case Cast(ae: AggregateExpression, _, _, _) =>
-            (av.child, ae.aggregateFunction.isInstanceOf[Count])
-          case other => bail(s"the projected value must be a bare aggregate, " +
-            s"got ${other.sql}")
+    // an aggregate's SQL value over EMPTY input: count-family 0 (their
+    // declared defaultResult), everything else NULL
+    def onEmpty(e: Expression): Expression = e.transform {
+      case ae: AggregateExpression =>
+        ae.aggregateFunction.defaultResult
+          .getOrElse(CLiteral.create(null, ae.dataType)): Expression
+    }
+    val (agg, havingOpt, outOpt) = strip(sc.plan) match {
+      case Project(Seq(out), Filter(having, a: Aggregate)) => (a, Some(having), Some(out))
+      case Filter(having, a: Aggregate)                    => (a, Some(having), None)
+      case a: Aggregate                                    => (a, None, None)
+      case _ => bail("the subquery must be a (possibly grouped) aggregate")
+    }
+    if (agg.groupingExpressions.exists(hasOuter)) bail("outer reference in GROUP BY")
+    if (havingOpt.exists(hasOuter)) bail("outer reference in HAVING")
+    if (agg.aggregateExpressions.exists(hasOuter)) bail("outer reference in the projected value")
+    strip(agg.child) match {
+      case Filter(cond, child) if !child.exists(_.expressions.exists(hasOuter)) =>
+        val (corr, rest) = conjuncts(cond).partition(hasOuter)
+        val pairs = corr.map {
+          case CEqualTo(OuterReference(a: AttributeReference), ie) if !hasOuter(ie) =>
+            (a, ie)
+          case CEqualTo(ie, OuterReference(a: AttributeReference)) if !hasOuter(ie) =>
+            (a, ie)
+          case other => bail(s"unsupported correlated conjunct: ${other.sql}")
         }
-        strip(inner0) match {
-          case Filter(cond, child) if !child.exists(_.expressions.exists(hasOuter)) =>
-            val (corr, rest) = conjuncts(cond).partition(hasOuter)
-            val pairs = corr.map {
-              case CEqualTo(OuterReference(a: AttributeReference), ie) if !hasOuter(ie) =>
-                (a, ie)
-              case CEqualTo(ie, OuterReference(a: AttributeReference)) if !hasOuter(ie) =>
-                (a, ie)
-              case other => bail(s"unsupported correlated conjunct: ${other.sql}")
-            }
-            if (pairs.isEmpty) bail("no correlated equality found in the WHERE")
-            val base = rest.reduceOption(CAnd).map(Filter(_, child)).getOrElse(child)
-            val keyAliases = pairs.zipWithIndex.map { case ((_, ie), k) =>
-              Alias(ie, s"_zc_ck_$k")()
-            }
-            val plan = Aggregate(
-              keyAliases.map(_.child): Seq[Expression],
-              (keyAliases :+ Alias(aggExpr, "_zc_sc_v")())
-                .map(_.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]),
-              base)
-            (plan, pairs, if (isCount) Some(0L) else None)
-          case _ => bail("the outer reference is not in the aggregate's WHERE clause")
+        if (pairs.isEmpty) bail("no correlated equality found in the WHERE")
+        val base = rest.reduceOption(CAnd).map(Filter(_, child)).getOrElse(child)
+        val keyAliases = pairs.zipWithIndex.map { case ((_, ie), k) =>
+          Alias(ie, s"_zc_ck_$k")()
         }
-      case _ => bail("the subquery must be exactly one ungrouped aggregate")
+        val keyExprs: Seq[Expression] = keyAliases.map(_.child)
+        val pTrue = Alias(CLiteral(true), "_zc_sc_p")()
+        if (agg.groupingExpressions.isEmpty) {
+          // one row per key pre-having: inline the (optional) Project
+          // and having over the aggregate outputs into flat expressions
+          val byId = agg.aggregateExpressions.map(ne => ne.exprId -> ne).toMap
+          def inline(e: Expression): Expression = e.transformUp {
+            case a: AttributeReference if byId.contains(a.exprId) =>
+              byId(a.exprId) match { case al: Alias => al.child; case o => o }
+          }
+          val valueExpr = outOpt match {
+            case Some(al: Alias)              => inline(al.child)
+            case Some(a)                      => inline(a)
+            case None => agg.aggregateExpressions match {
+              case Seq(al: Alias) => al.child
+              case _ => bail("the subquery must project exactly one value")
+            }
+          }
+          val havingExpr = havingOpt.map(inline)
+          val proj: Seq[NamedExpression] =
+            keyAliases ++ Seq(Alias(valueExpr, "_zc_sc_v")()) ++
+              havingExpr.map(h => Alias(h, "_zc_sc_h")()) ++ Seq(pTrue)
+          val plan = Aggregate(keyExprs, proj, base)
+          val default = havingExpr match {
+            case None    => Bridge.column(onEmpty(valueExpr))
+            case Some(h) =>
+              // empty input: the ungrouped agg row exists iff having
+              // passes on the empty-input values (NULL having = reject)
+              Bridge.column(CaseWhen(Seq((onEmpty(h), onEmpty(valueExpr))), None))
+          }
+          (plan, pairs, Some(default))
+        } else {
+          // grouped: per-(key, group) rows, having filters, per-key
+          // collapse with the exact surviving multiplicity
+          val innerAgg = Aggregate(keyExprs ++ agg.groupingExpressions,
+            keyAliases ++ agg.aggregateExpressions, base)
+          val filtered = havingOpt.map(Filter(_, innerAgg)).getOrElse(innerAgg)
+          val valueRef: Expression = outOpt match {
+            // a Project alias above the having Filter is NOT produced by
+            // innerAgg — contribute its child (an expression over the
+            // filtered aggregate's outputs); a bare attribute passes
+            case Some(al: Alias) => al.child
+            case Some(a)         => a
+            case None => agg.aggregateExpressions match {
+              case Seq(al: Alias) => al.toAttribute
+              case _ => bail("the subquery must project exactly one value")
+            }
+          }
+          val keyAttrs: Seq[NamedExpression] = keyAliases.map(_.toAttribute)
+          val top = Aggregate(keyAttrs,
+            keyAttrs ++ Seq(
+              Alias(First(valueRef, ignoreNulls = false).toAggregateExpression(),
+                "_zc_sc_v")(),
+              Alias(Count(CLiteral(1)).toAggregateExpression(), "_zc_sc_n")(),
+              pTrue),
+            filtered)
+          (top, pairs, None) // zero surviving groups = NULL
+        }
+      case _ => bail("the outer reference is not in the aggregate's WHERE clause")
     }
   }
 
@@ -721,7 +795,7 @@ private[sources] final case class DmlSubquery(flag: String, plan: LogicalPlan,
     corrValues: Seq[Column] = Nil,
     scalarType: org.apache.spark.sql.types.DataType = null,
     tupleValues: Seq[Column] = Nil,
-    scalarEmptyDefault: Option[Any] = None)
+    scalarEmptyDefault: Option[Column] = None)
 
 /** Shared output shape: each DML command reports its rewritten-file
   * count (the file-granularity observable — `spark.sql("UPDATE ...")`
@@ -804,25 +878,41 @@ private[sources] object GraftDmlCommands {
         val exists = sub.limit(1).count() > 0
         (df: DataFrame) => df.withColumn(s.flag, lit(exists))
       } else if (s.scalarType != null && s.corrValues.nonEmpty) {
-        // CORRELATED SCALAR (r12b): the decorrelated per-key GROUP BY
-        // evaluated once; values join back by key (unique per key by
-        // construction — never a row multiplication). Keys with no
-        // group splice the empty-subquery scalar: NULL, or count's 0.
+        // CORRELATED SCALAR (r12b, generalized r13): the decorrelated
+        // per-key plan evaluated once; values join back by key (unique
+        // per key by construction — never a row multiplication). The
+        // plan's `_zc_sc_p` presence marker distinguishes an ABSENT key
+        // (splice the empty-input default — the COUNT-bug fix carried
+        // through arbitrary expressions) from a present key whose value
+        // is legitimately NULL; an `_zc_sc_h` column is the having
+        // verdict (rejected = NULL, SQL's empty result); an `_zc_sc_n`
+        // column is the surviving-group count of a GROUP BY shape —
+        // more than one is SQL's scalar-cardinality runtime error.
         val ckCols = s.corrValues.indices.map(k => s"_zc_ck_$k")
         val (n, _, _) = countAndBounds(sub, None)
-        val vc = s"_zc_sc_v_$i"
+        val has = sub.columns.toSet
+        val vc = s"_zc_sc_v_$i"; val pc = s"_zc_sc_p_$i"
+        val nc = s"_zc_sc_n_$i"; val hc = s"_zc_sc_h_$i"
         val vals0 = sub.withColumnRenamed("_zc_sc_v", vc)
+          .withColumnRenamed("_zc_sc_p", pc)
+          .withColumnRenamed("_zc_sc_n", nc)
+          .withColumnRenamed("_zc_sc_h", hc)
         val vals = if (n <= Collection.DvBroadcastMaxRows) broadcast(vals0) else vals0
         val keyCond = s.corrValues.zipWithIndex
           .map { case (v, k) => v === col(s"_zc_ck_$k") }.reduce(_ && _)
         (df: DataFrame) => {
           val joined = df.join(vals, keyCond, "left")
-          val value = s.scalarEmptyDefault match {
-            case Some(d) => coalesce(col(vc),
-              lit(d).cast(s.scalarType)).cast(s.scalarType)
-            case None    => col(vc).cast(s.scalarType)
-          }
-          joined.withColumn(s.flag, value).drop(ckCols: _*).drop(vc)
+          val defaultCol = s.scalarEmptyDefault.getOrElse(lit(null)).cast(s.scalarType)
+          var value = when(col(pc).isNull, defaultCol)
+          if (has.contains("_zc_sc_n"))
+            value = value.when(col(nc) > 1, raise_error(lit(
+              "scalar subquery in DML returned more than one row")).cast(s.scalarType))
+          if (has.contains("_zc_sc_h"))
+            value = value.when(!coalesce(col(hc), lit(false)),
+              lit(null).cast(s.scalarType))
+          val finalValue = value.otherwise(col(vc).cast(s.scalarType))
+          joined.withColumn(s.flag, finalValue)
+            .drop(ckCols: _*).drop(vc, pc, nc, hc)
         }
       } else if (s.scalarType != null) {
         val rows = sub.limit(2).collect()

@@ -58,13 +58,16 @@ import graft.core.{Collection, FilterExpr}
   * bytes. Not applicable to the change feed (row-granular diffs have no
   * file ordinal — the source refuses the combination).
   *
-  * Trigger.AvailableNow on THIS V1 face pins its drain target at the
-  * first paced offset (Spark's V1 wrapper snapshots one getOffset), so
-  * a paced AvailableNow run delivers one bounded batch and terminates —
-  * nothing is lost (the checkpoint resumes), but for a full paced drain
-  * in one trigger use the DSv2 face (`readStream.table`), whose
-  * admission-control path re-polls to the pinned head. Same shape as
-  * `maxGenerationsPerBatch` has always had on this face. */
+  * This source implements [[org.apache.spark.sql.connector.read
+  * .streaming.SupportsTriggerAvailableNow]] ITSELF (r13, the KafkaSource
+  * pattern), so Trigger.AvailableNow pins the HEAD generation at trigger
+  * start and a paced run drains to it across k bounded batches in one
+  * trigger — Spark's generic V1 wrapper (which snapshots one getOffset
+  * and would stop after the first bounded batch) never engages. Offset
+  * polling rides the [[org.apache.spark.sql.connector.read.streaming
+  * .SupportsAdmissionControl]] entry (`latestOffset(start, limit)`), so
+  * engine-composed standard ReadLimits pace this face exactly like the
+  * DSv2 one, and restarts pace from the engine-provided start offset. */
 class GraftCollectionSource(spark: SparkSession, root: String,
                             maxGenerationsPerBatch: Option[Long] = None,
                             filters: Option[String] = None,
@@ -72,7 +75,10 @@ class GraftCollectionSource(spark: SparkSession, root: String,
                             startingGeneration: Option[Long] = None,
                             startingTimestamp: Option[Long] = None,
                             maxFilesPerBatch: Option[Long] = None,
-                            maxBytesPerBatch: Option[Long] = None) extends Source {
+                            maxBytesPerBatch: Option[Long] = None)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private[streaming] val collection = Collection.open(spark, root, readOnly = true)
 
@@ -187,6 +193,85 @@ class GraftCollectionSource(spark: SparkSession, root: String,
         math.max(paced, backfillFloor)
     }
     if (capped <= math.max(0L, startBase)) None else Some(LongOffset(capped))
+  }
+
+  // ---- SupportsAdmissionControl / SupportsTriggerAvailableNow (r13) ----
+  // The engine prefers this entry over getOffset when a Source declares
+  // it (exactly KafkaSource's arrangement). Benefits on this V1 face:
+  // restarts pace from the ENGINE-provided start offset, standard
+  // ReadMaxFiles/ReadMaxBytes limits compose with the source options,
+  // and Trigger.AvailableNow drains a paced stream to a pinned head
+  // instead of stopping after one bounded batch.
+
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(collection.generation)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val limits = Seq(
+      maxFilesPerBatch.map(v => ReadLimit.maxFiles(math.min(v, Int.MaxValue.toLong).toInt)),
+      maxBytesPerBatch.map(ReadLimit.maxBytes)).flatten
+    limits match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case ls     => ReadLimit.compositeLimit(ls.toArray)
+    }
+  }
+
+  /** Effective (files, bytes) caps of an engine-provided ReadLimit,
+    * composed with the source options (tightest wins) — the same walk
+    * as the DSv2 face. */
+  private def capsOf(limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : (Long, Long) = {
+    import org.apache.spark.sql.connector.read.streaming.{
+      CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles}
+    def walk(l: ReadLimit): (Long, Long) = l match {
+      case f: ReadMaxFiles => (f.maxFiles().toLong, Long.MaxValue)
+      case b: ReadMaxBytes => (Long.MaxValue, b.maxBytes())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(walk).foldLeft((Long.MaxValue, Long.MaxValue)) {
+          case ((af, ab), (f, b)) => (math.min(af, f), math.min(ab, b))
+        }
+      case _ => (Long.MaxValue, Long.MaxValue)
+    }
+    val (lf, lb) = walk(limit)
+    (math.min(lf, maxFilesPerBatch.getOrElse(Long.MaxValue)),
+      math.min(lb, maxBytesPerBatch.getOrElse(Long.MaxValue)))
+  }
+
+  private def toOff(o: org.apache.spark.sql.connector.read.streaming.Offset)
+      : GraftStreamOffset = o match {
+    case null                 => GraftStreamOffset.Initial
+    case g: GraftStreamOffset => g
+    case l: LongOffset        => GraftStreamOffset.complete(l.offset)
+    case other                => GraftStreamOffset.parse(other.json)
+  }
+
+  /** The admission-control poll: null = no progress available (exactly
+    * getOffset's None). Paced shapes answer from [[nextPaced]] against
+    * the monotonic [[pacedPos]] floor (re-seeded here from the engine's
+    * start offset, so restarts never regress); the unpaced/generation
+    * path reproduces the legacy [[getOffset]] arithmetic with the
+    * AvailableNow head pin applied. pacedPos itself advances only in
+    * [[getBatch]], keeping repeated polls for one batch idempotent. */
+  override def latestOffset(startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val base = toOff(startOffset)
+    if (base.gen > 0 || !base.complete) paceTo(base)
+    val (maxF, maxB) = capsOf(limit)
+    if (filePacing || maxF != Long.MaxValue || maxB != Long.MaxValue)
+      return nextPaced(pacedPos, availableNowTarget, maxF, maxB).orNull
+    val head0 = collection.generation
+    val head = availableNowTarget.fold(head0)(math.min(head0, _))
+    val capped = maxGenerationsPerBatch.fold(head) { m =>
+      val paced = math.min(head, pacedThrough + m)
+      if (pacedThrough > 0L) paced else math.max(paced, backfillFloor)
+    }
+    if (capped <= math.max(0L, math.max(startBase, pacedThrough))) null
+    else GraftStreamOffset.complete(capped)
   }
 
   /** Oldest generation whose snapshot is guaranteed fully on disk,

@@ -834,6 +834,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 1L)), s"partial sharing: ${got(4L)}")
   }
 
+  test("noveltyRate/topNgrams hash shuffle is bit-identical to the string-grouped plan (r13)") {
+    import graft.operators.Corpus
+    // the production path groups xxhash64 longs; replay the pre-r13
+    // string-grouped formulation inline over real docs and demand
+    // bit-equality (the injectivity argument made falsifiable)
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+
+    val novGot = Corpus.noveltyRate(d, col("doc_id"), col("text"), n = 3)
+      .orderBy("id").collect().toSeq
+    val gramsStr = d.select(col("doc_id").as("_did"),
+      explode(array_distinct(Corpus.wordShingleStrings(col("text"), 3))).as("_g"))
+    val byGramStr = gramsStr.groupBy("_g")
+      .agg(count(lit(1)).as("_df"), first(col("_did")).as("_d1"))
+    val novelStr = byGramStr.where(col("_df") === 1)
+      .groupBy(col("_d1").as("_did")).agg(count(lit(1)).as("n_novel"))
+    val totalsStr = d.select(col("doc_id").as("_did"),
+        size(array_distinct(Corpus.wordShingleStrings(col("text"), 3)))
+          .cast("long").as("n_grams"))
+      .where(col("n_grams") > 0)
+    val novWant = totalsStr.join(novelStr, Seq("_did"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+      .withColumnRenamed("_did", "id")
+      .orderBy("id").collect().toSeq
+    assert(novGot == novWant, "hash-grouped novelty must match the string-grouped plan")
+
+    val topGot = Corpus.topNgrams(d, col("doc_id"), col("text"), n = 3, k = 100)
+      .collect().toSeq
+    val toks = split(trim(col("text")), "\\s+")
+    val gramsAll = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - lit(2)),
+        i => array_join(slice(toks, i, lit(3)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val topWant = d.select(col("doc_id").as("_did"), explode(gramsAll).as("ngram"))
+      .groupBy(col("ngram"), col("_did")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("ngram"))
+      .agg(sum(col("_c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("ngram")).limit(100)
+      .collect().toSeq
+    assert(topGot == topWant, "hash-counted top-k must match the string-grouped plan")
+  }
+
   test("bpeEncode: greedy lowest-rank loop, chained merges, ties, round trip, codegen/eval parity (r10e)") {
     import graft.functions.BpeEncode
     def enc(text: String, merges: Seq[(String, String)]): Seq[String] =

@@ -653,6 +653,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Ann.searchIvfIndex(spark, path2, q, "vec_id", "embedding", 5).count() == 5)
   }
 
+  test("freshness memo: one manifest read across TTL'd searches; commits still refuse (r13)") {
+    import graft.ann.Ann
+    def vec(i: Long): Seq[Float] =
+      Seq((i % 7).toFloat, (i % 5).toFloat, (i % 3 + 1).toFloat)
+    val root = SparkTestSession.tmp("ann-memo")
+    val df0 = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val c = Collection.create(spark, root, df0.schema, "vec_id",
+      SequencePartitioning(Seq("vec_id"), "vec_id"))
+    c.insert(df0)
+    val path = SparkTestSession.tmp("ann-memo-idx")
+    Ann.buildIvfIndexFrom(c, "vec_id", "embedding", path, nLists = 4)
+    val q = Seq((1000L, vec(3L))).toDF("vec_id", "embedding")
+
+    // serve loop: N searches under a TTL pay ONE manifest-root read
+    val before = Ann.freshnessProbes.get()
+    (1 to 5).foreach { _ =>
+      assert(Ann.searchIvfIndex(spark, path, q, "vec_id", "embedding", 5,
+        maxStalenessMs = 60000L).count() == 5)
+    }
+    assert(Ann.freshnessProbes.get() == before + 1,
+      "TTL'd searches must memoize the generation lookup")
+
+    // the default path (no TTL) re-reads every call and still refuses
+    // immediately after a commit
+    c.insert(Seq((100L, vec(1L))).toDF("vec_id", "embedding"))
+    intercept[IllegalStateException] {
+      Ann.searchIvfIndex(spark, path, q, "vec_id", "embedding", 5).count()
+    }
+    // refresh invalidates the memo: the next TTL'd search re-reads and
+    // serves the fresh stamp instead of the stale memoized generation
+    Ann.refreshIvfIndex(spark, path)
+    val afterRefresh = Ann.freshnessProbes.get()
+    assert(Ann.searchIvfIndex(spark, path, q, "vec_id", "embedding", 5,
+      maxStalenessMs = 60000L).count() == 5,
+      "post-refresh TTL'd search must pass on the new stamp")
+    assert(Ann.freshnessProbes.get() == afterRefresh + 1,
+      "refresh must drop the memo entry (next check re-reads)")
+  }
+
   test("stamped IVF+PQ index refreshes append-only drift with the persisted codebooks (r12)") {
     import graft.ann.Ann
     def vec(i: Long): Seq[Float] =

@@ -899,11 +899,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(shuffles(Spread.spread(corpus(1), col("id"))) == 1,
       "narrow input must keep the spread Exchange")
     // through a real operator: the spread exchange is the only
-    // REPARTITION_BY_COL in these plans — a wide input must plan NONE
+    // repartition in these plans — a wide input must plan NONE
     // (the narrow plan prints it once per join branch; runtime exchange
-    // reuse collapses them), and results are identical on both
+    // reuse collapses them), and results are identical on both.
+    // r13: the spread pins its partition count (AQE must not coalesce
+    // the pre-explode shuffle), so the tag is REPARTITION_BY_NUM
     def spreads(df: org.apache.spark.sql.DataFrame): Int =
-      "REPARTITION_BY_COL".r
+      "REPARTITION_BY_(COL|NUM)".r
         .findAllIn(df.queryExecution.executedPlan.toString).size
     val wideQ = graft.operators.Corpus.noveltyRate(corpus(16), col("id"), col("text"), 2)
     val narrowQ = graft.operators.Corpus.noveltyRate(corpus(1), col("id"), col("text"), 2)

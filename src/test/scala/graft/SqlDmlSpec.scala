@@ -179,6 +179,86 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally sql("DROP TABLE IF EXISTS graftdml.dml.dim_in")
   }
 
+  test("correlated scalar: arithmetic, grouped, HAVING shapes lower exactly (r13)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graftdml.dml")
+    sql(s"""CREATE TABLE IF NOT EXISTS graftdml.dml.dim_sc (user_id BIGINT, grp STRING, score DOUBLE)
+            PARTITIONED BY (chunk(4, user_id))""")
+    sql(s"""INSERT INTO graftdml.dml.dim_sc VALUES
+            (1, 'a', 10.0), (1, 'a', 20.0),
+            (2, 'a', 1.0), (2, 'b', 2.0),
+            (3, 'a', 50.0)""")
+    try {
+      // OUTER arithmetic around the subquery: 1 + count. Groups: u1=2,
+      // u2=2, u3=1; empty keys count 0 -> 1+0 = 1.
+      val t1 = mkTable()
+      sql(s"DELETE FROM $t1 t WHERE t.v >= 1 + (SELECT count(*) FROM " +
+        "graftdml.dml.dim_sc d WHERE d.user_id = t.user_id)")
+      // v: u1=1<3, u2=2<3, u3=3>=2? 1+count(u3)=2, v=3>=2 deletes;
+      // u4: 1+0=1, v=4>=1 deletes; u5: v=5>=1 deletes
+      assert(rows(t1).map(_._1) == Seq(1L, 2L),
+        s"outer arithmetic with the count default: ${rows(t1).map(_._1)}")
+      // INNER arithmetic over the aggregate: empty key -> 2*NULL+1 =
+      // NULL -> UNKNOWN keeps; u3: 2*50+1=101 > v -> deletes
+      val t2 = mkTable()
+      sql(s"DELETE FROM $t2 t WHERE (SELECT 2 * max(d.score) + 1 FROM " +
+        "graftdml.dml.dim_sc d WHERE d.user_id = t.user_id) > t.v")
+      assert(rows(t2).map(_._1) == Seq(4L, 5L),
+        s"inner arithmetic, NULL on empty keys: ${rows(t2).map(_._1)}")
+      // count propagated THROUGH the expression: empty key -> 0*2+1 = 1
+      val t3 = mkTable()
+      sql(s"UPDATE $t3 t SET v = -1 WHERE (SELECT count(*) * 2 + 1 FROM " +
+        "graftdml.dml.dim_sc d WHERE d.user_id = t.user_id AND d.score > 900) = 1")
+      assert(rows(t3).forall(_._3 == -1.0),
+        "count-bug default must propagate through the arithmetic (0*2+1 = 1)")
+      // GROUPED: at most one group per key (the 'a'-only slice) lowers
+      // exactly; empty keys and no-group keys are NULL
+      val t4 = mkTable()
+      sql(s"DELETE FROM $t4 t WHERE t.v < (SELECT sum(d.score) FROM " +
+        "graftdml.dml.dim_sc d WHERE d.user_id = t.user_id AND d.grp = 'a' " +
+        "GROUP BY d.grp) / 10")
+      // group 'a' sums: u1=30 -> 3.0 > v=1 deletes; u2=1 -> 0.1 < 2
+      // keeps; u3=50 -> 5.0 > 3 deletes; u4/u5: no group -> NULL keeps
+      assert(rows(t4).map(_._1) == Seq(2L, 4L, 5L),
+        s"plain grouped single-group keys: ${rows(t4).map(_._1)}")
+      // >1 groups per key is the SQL cardinality runtime error
+      val t5 = mkTable()
+      val err = intercept[Exception] {
+        sql(s"DELETE FROM $t5 t WHERE t.v < (SELECT sum(d.score) FROM " +
+          "graftdml.dml.dim_sc d WHERE d.user_id = t.user_id GROUP BY d.grp)")
+      }
+      assert(err.getMessage != null &&
+        (err.getMessage.contains("more than one row") ||
+          Option(err.getCause).exists(_.getMessage.contains("more than one row"))),
+        s"multi-group key must raise the scalar cardinality error, got: $err")
+      // grouped + HAVING narrowing to one group per key lowers exactly
+      val t6 = mkTable()
+      sql(s"DELETE FROM $t6 t WHERE t.v <= (SELECT max(d.score) FROM " +
+        "graftdml.dml.dim_sc d WHERE d.user_id = t.user_id " +
+        "GROUP BY d.grp HAVING count(*) > 1) / 10")
+      // only u1's group (a, n=2) survives having: max=20 -> 2.0; v=1 <= 2
+      // deletes u1; everyone else: no surviving group -> NULL -> kept
+      assert(rows(t6).map(_._1) == Seq(2L, 3L, 4L, 5L),
+        s"grouped+HAVING: ${rows(t6).map(_._1)}")
+      // ungrouped + HAVING: a having-rejected key is NULL (empty result),
+      // NOT the empty-input default — the pathological count shape
+      val t7 = mkTable()
+      sql(s"UPDATE $t7 t SET v = -1 WHERE (SELECT count(*) FROM " +
+        "graftdml.dml.dim_sc d WHERE d.user_id = t.user_id HAVING count(*) = 0) = 0")
+      // keys 1-3 have rows: having(count=0) rejects -> NULL -> UNKNOWN
+      // keeps; keys 4,5 empty: ungrouped row (count=0) passes -> 0 = 0
+      assert(rows(t7).map(r => (r._1, r._3)).filter(_._2 == -1.0).map(_._1) == Seq(4L, 5L),
+        s"having-rejected keys must be NULL, empty keys pass the empty row: ${rows(t7)}")
+      // ungrouped + HAVING over a non-count aggregate
+      val t8 = mkTable()
+      sql(s"DELETE FROM $t8 t WHERE (SELECT sum(d.score) FROM " +
+        "graftdml.dml.dim_sc d WHERE d.user_id = t.user_id HAVING count(*) > 1) > t.v")
+      // u1: sum=30 (2 rows, passes) > 1 deletes; u2: sum=3 (2 rows) > 2
+      // deletes; u3: 1 row, rejected -> NULL keeps; u4/u5 empty -> NULL
+      assert(rows(t8).map(_._1) == Seq(3L, 4L, 5L),
+        s"ungrouped HAVING: ${rows(t8).map(_._1)}")
+    } finally sql("DROP TABLE IF EXISTS graftdml.dml.dim_sc")
+  }
+
   test("SQL DELETE/UPDATE with equality-correlated EXISTS decorrelates exactly (r11b)") {
     val tbl = mkTable()
     sql(s"""CREATE TABLE graftdml.dml.dim_corr (user_id BIGINT, flagged BOOLEAN)

@@ -204,6 +204,21 @@ class AdmissionControlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains a paced V1-face stream to the head in one trigger (r13)") {
+    val c = bulkCollection(5, "anv1")
+    val q = StreamOps.readStream(spark, c, Map("maxFilesPerBatch" -> "2"))
+      .writeStream.format("memory").queryName("admission_anv1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("admission-anv1-ckpt").toString)
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+    val rows = spark.table("admission_anv1").collect()
+      .map(_.getAs[Long]("cargo")).sorted.toSeq
+    assert(rows == (1L to 5L),
+      s"the V1 face must drain ALL paced batches in one trigger, got $rows")
+  }
+
   test("unpaced streams emit byte-identical legacy offsets (bare generation numbers)") {
     val c = bulkCollection(2, "legacy")
     val q = StreamOps.readStream(spark, c)
