@@ -248,6 +248,18 @@ class SqlDmlSpec extends AnyFunSuite {
       // keeps; keys 4,5 empty: ungrouped row (count=0) passes -> 0 = 0
       assert(rows(t7).map(r => (r._1, r._3)).filter(_._2 == -1.0).map(_._1) == Seq(4L, 5L),
         s"having-rejected keys must be NULL, empty keys pass the empty row: ${rows(t7)}")
+      // correlated scalar in a SET VALUE rides the same lowering: the
+      // per-key expression assigns, groupless keys assign the
+      // empty-input value (NULL for max-arithmetic, 0-propagated for
+      // count shapes)
+      val t9 = mkTable()
+      sql(s"UPDATE $t9 t SET v = (SELECT 2 * max(d.score) + 1 FROM " +
+        "graftdml.dml.dim_sc d WHERE d.user_id = t.user_id)")
+      val vals = sql(s"SELECT user_id, v FROM $t9 ORDER BY user_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(vals(1L) == Some(41.0) && vals(3L) == Some(101.0) &&
+        vals(4L).isEmpty && vals(5L).isEmpty,
+        s"correlated arithmetic scalar in SET: $vals")
       // ungrouped + HAVING over a non-count aggregate
       val t8 = mkTable()
       sql(s"DELETE FROM $t8 t WHERE (SELECT sum(d.score) FROM " +
