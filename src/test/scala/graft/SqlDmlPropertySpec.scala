@@ -52,7 +52,19 @@ class SqlDmlPropertySpec extends AnyFunSuite {
     "EXISTS (SELECT 1 FROM fz_dim d WHERE d.user_id = t.user_id AND d.score > 4)",
     "NOT EXISTS (SELECT 1 FROM fz_dim d WHERE d.user_id = t.user_id)",
     "v IN (SELECT d.score FROM fz_dim d WHERE d.user_id = t.user_id)",
-    "v > (SELECT avg(score) FROM fz_dim WHERE score IS NOT NULL)")
+    "v > (SELECT avg(score) FROM fz_dim WHERE score IS NOT NULL)",
+    // r13: the generalized correlated-scalar family — Catalyst's own
+    // decorrelation (count-bug handling included) is the expectation,
+    // so any drift in the per-key lowering, the empty-input default
+    // propagation, or the HAVING verdict shows up as a row diff
+    "v > (SELECT max(d.score) FROM fz_dim d WHERE d.user_id = t.user_id)",
+    "v < 1 + (SELECT count(*) FROM fz_dim d WHERE d.user_id = t.user_id)",
+    "(SELECT 2 * max(d.score) + 1 FROM fz_dim d WHERE d.user_id = t.user_id) > v",
+    "(SELECT count(*) * 2 FROM fz_dim d WHERE d.user_id = t.user_id AND d.score > 3) = 2",
+    "v > (SELECT sum(d.score) FROM fz_dim d WHERE d.user_id = t.user_id HAVING count(*) > 0)",
+    // grouped: fz_dim user_ids are unique, so every key has <= 1 group
+    // (the >1 cardinality error is pinned deterministically in SqlDmlSpec)
+    "v > (SELECT max(d.score) FROM fz_dim d WHERE d.user_id = t.user_id GROUP BY d.score)")
 
   private def genPred(rnd: scala.util.Random): String = {
     def atom() = atoms(rnd.nextInt(atoms.length))
