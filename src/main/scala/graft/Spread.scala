@@ -70,4 +70,15 @@ private[graft] object Spread {
     }
     if (wide) df else df.repartition(target, keys: _*)
   }
+
+  /** Key-repartition PINNED at the default parallelism (r13): the
+    * shared-Exchange boundaries the dedup/ANN operators plant for
+    * ReuseExchange used the advisory `repartition(keys)`, which lets
+    * AQE coalesce a byte-small pre-explode/pre-window shuffle down to
+    * ONE partition — byte-based sizing cannot see the pair-generation
+    * fan-out above it. Pinning keeps the shared layout AND the
+    * parallelism; identical pinned calls still canonicalize equal, so
+    * exchange reuse is unaffected. */
+  def pinned(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
 }

@@ -1249,12 +1249,13 @@ object Ann {
     val spark = df.sparkSession
     val cents = kmeansCentroids(df, idCol, vecCol, nClusters, iters)
     val assign = assignCentroid(spark, cents)
-    val clustered = df
+    // shared Exchange: the pair window and the vector-lookup join both
+    // consume this one cluster-keyed layout (pinned, r13 — AQE must not
+    // coalesce it under the pair fan-out)
+    val clustered = graft.Spread.pinned(df
       .select(col(idCol).as("_zc_id"), col(vecCol).as("_zc_v"))
-      .withColumn("_zc_cl", assign(col("_zc_v")))
-      // shared Exchange: the pair window and the vector-lookup join both
-      // consume this one cluster-keyed layout
-      .repartition(col("_zc_cl"))
+      .withColumn("_zc_cl", assign(col("_zc_v"))),
+      col("_zc_cl"))
     val cands = graft.dedup.Dedup.exhaustiveBucketPairs(
       clustered.select(col("_zc_cl"), col("_zc_id")), Seq("_zc_cl"), "_zc_id", maxBucket)
     val va = clustered.select(col("_zc_id").as("a"), col("_zc_v").as("_zc_va"))
@@ -1274,9 +1275,11 @@ object Ann {
     // vectors still collide in EVERY table; near-dup recall at cos~0.95 is
     // ~1-(1-0.9^12)^tables ~ 0.93 with 8 tables. Degenerate buckets (e.g.
     // a mass-duplicated vector) fall back to star expansion.
-    val b = buckets(df, idCol, vecCol, "_zc_id", tables, planes, dims)
-      // shared Exchange: both self-join sides reuse one bucket computation
-      .repartition(col("_zc_t"), col("_zc_bkt"))
+    // shared Exchange: both self-join sides reuse one bucket computation
+    // (pinned, r13)
+    val b = graft.Spread.pinned(
+      buckets(df, idCol, vecCol, "_zc_id", tables, planes, dims),
+      col("_zc_t"), col("_zc_bkt"))
     val cands =
       if (exhaustive) graft.dedup.Dedup.exhaustiveBucketPairs(
         b, Seq("_zc_t", "_zc_bkt"), "_zc_id", maxBucket)

@@ -153,9 +153,9 @@ object Dedup {
     * grouping path settles for. */
   def exactPairs(df: DataFrame, idCol: String, key: Column,
                  cap: Int = DefaultMaxBucket): DataFrame = {
-    val b = df
-      .select(col(idCol).as("_zc_id"), xxhash64(key).as("_zc_bucket"))
-      .repartition(col("_zc_bucket"))
+    val b = graft.Spread.pinned(df
+      .select(col(idCol).as("_zc_id"), xxhash64(key).as("_zc_bucket")),
+      col("_zc_bucket"))
     val cands = exhaustiveBucketPairs(b, Seq("_zc_bucket"), "_zc_id", cap)
     val ka = df.select(col(idCol).as("a"), key.as("_zc_ka"))
     val kb = df.select(col(idCol).as("b"), key.as("_zc_kb"))
@@ -178,8 +178,9 @@ object Dedup {
                      bands: Int, rowsPerBand: Int,
                      maxBucket: Int = DefaultMaxBucket,
                      exhaustive: Boolean = false): DataFrame = {
-    val buckets = bandBuckets(col(idCol), col(sigCol), bands, rowsPerBand)(df)
-      .repartition(col("_zc_band"), col("_zc_bucket"))
+    val buckets = graft.Spread.pinned(
+      bandBuckets(col(idCol), col(sigCol), bands, rowsPerBand)(df),
+      col("_zc_band"), col("_zc_bucket"))
     if (exhaustive)
       exhaustiveBucketPairs(buckets, Seq("_zc_band", "_zc_bucket"), "_zc_id", maxBucket)
     else
@@ -409,6 +410,10 @@ object Dedup {
       .select(col(idCol), col("_zc_sh"), col("_zc_sig"))
       // Exchange ABOVE the signature projection: the band-join and both
       // verify joins reuse it, so signatures materialize exactly once.
+      // Advisory on purpose (r13): downstream of THIS boundary is
+      // byte-proportional join work, so AQE coalescing it is safe — the
+      // pinned form is reserved for bucket-keyed exchanges whose pair
+      // fan-out AQE's byte sizing cannot see.
       .repartition(col(idCol))
     val cands = candidatePairs(withSig, idCol, "_zc_sig", bands, rowsPerBand, maxBucket, exhaustive)
     verifyJaccard(cands, withSig, idCol, "_zc_sh", threshold)
@@ -663,12 +668,12 @@ object Dedup {
       .withColumn("_zc_bits", simhash(tokens, fnvHash))
       .select(col(idCol), col("_zc_bits"))
       .repartition(col(idCol)) // shared boundary (see minhashPairs)
-    val chunks = withBits.select(
+    val chunks = graft.Spread.pinned(withBits.select(
       col(idCol).as("_zc_id"),
       posexplode(array((0 until 4).map { b =>
         xxhash64(slice(col("_zc_bits"), b * 16 + 1, 16), lit(b))
-      }: _*)).as(Seq("_zc_band", "_zc_bucket")))
-      .repartition(col("_zc_band"), col("_zc_bucket"))
+      }: _*)).as(Seq("_zc_band", "_zc_bucket"))),
+      col("_zc_band"), col("_zc_bucket"))
     val cands =
       if (exhaustive) exhaustiveBucketPairs(chunks, Seq("_zc_band", "_zc_bucket"), "_zc_id", maxBucket)
       else boundedBucketPairs(chunks, Seq("_zc_band", "_zc_bucket"), "_zc_id", maxBucket)

@@ -166,14 +166,19 @@ object Corpus {
     val sep = ""
     val toks = split(trim(text), "\\s+")
     val docs = corpus.select(id.as("_did"), toks.as("_t"))
-    val grams = docs
+    // spans shuffle as xxhash64 LONGS, never span strings (r13 — the
+    // duplicate test needs only equality, the same injectivity argument
+    // as noveltyRate), and the gated spread keeps the span explode
+    // parallel on a one-file corpus
+    val grams = graft.Spread.spread(docs, col("_did"))
       .where(size(col("_t")) >= k)
       .select(col("_did"), posexplode(
         transform(sequence(lit(0), size(col("_t")) - k),
-          w => array_join(slice(col("_t"), w + 1, lit(k)), sep))).as(Seq("_w", "_g")))
-    val dup = grams.groupBy("_g").agg(count(lit(1)).as("_n"))
-      .where(col("_n") > 1).select("_g")
-    val dupWindows = grams.join(dup, "_g")
+          w => xxhash64(array_join(slice(col("_t"), w + 1, lit(k)), sep))))
+        .as(Seq("_w", "_gh")))
+    val dup = grams.groupBy("_gh").agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1).select("_gh")
+    val dupWindows = grams.join(dup, "_gh")
       .groupBy("_did").agg(collect_list(col("_w")).as("_dws"))
     docs.join(dupWindows, Seq("_did"), "left")
       .select(col("_did").as("id"),
@@ -499,7 +504,7 @@ object Corpus {
     val benchShingles = benchmark
       .select(explode(wordShingleStrings(benchText, k)).as("_sh"))
       .select(xxhash64(col("_sh")).as("_shh")).distinct()
-    val contaminated = corpus
+    val contaminated = graft.Spread.spread(corpus, id) // gated spread (r13)
       .select(id.as("_cid"), explode(wordShingleStrings(text, k)).as("_sh"))
       .select(col("_cid"), xxhash64(col("_sh")).as("_shh"))
       .join(broadcast(benchShingles), "_shh")
@@ -589,7 +594,8 @@ object Corpus {
       .select(col("_bid"), xxhash64(col("_sh")).as("_shh")).distinct()
     val benchTot = bench.groupBy(col("_bid")).agg(count(lit(1)).as("_btot"))
     val benchSide = broadcast(bench.join(benchTot, "_bid"))
-    corpus
+    graft.Spread.spread(corpus, id) // gated spread (r13): the shingle
+      // explode must not run single-threaded on a one-file corpus
       .select(id.as("corpus_id"), explode(wordShingleStrings(text, k)).as("_sh"))
       .select(col("corpus_id"), xxhash64(col("_sh")).as("_shh"))
       .join(benchSide, "_shh")
