@@ -3738,22 +3738,44 @@ object SparkEntry {
     * held, not merely that rows came back. Dumped by [[Verify]] as
     * `signals.json` next to `oracle_sql.json` (the r9 verdict's ask to
     * make the recall floors visible per-round). */
-  def signals: Map[String, String] = Map(
-    "dedup_simhash" -> ("rows-only by design: the xxhash64 bit chain has no DuckDB replay; " +
-      "its exact-oracle TWIN dedup_simhash_fnv runs the identical banding/hamming " +
-      "pipeline over FNV-1a and is hash-exact — the algorithm is oracled, this entry " +
-      "pins the production hash"),
-    "ann_lsh" -> ("in-entry HARD floor: per-query recall@10 vs an in-entry brute-force " +
-      "baseline, mean asserted >= 0.3 — a recall collapse ERRORS the entry instead of " +
-      "passing a plausible-looking top-k"),
-    "ann_ivf" -> ("in-entry HARD floor: mean recall@10 vs brute force asserted >= 0.3 " +
-      "(16 lists / 8 probes — half the space scanned)"),
-    "ann_pq" -> ("in-entry HARD floor: mean recall@10 vs brute force asserted >= 0.3 " +
-      "(pure ADC over 8-bit product codes)"),
-    "text_bpe_encode" -> ("rows-only by design: no SQL engine replays the greedy " +
-      "lowest-rank merge loop. In-entry HARD signals: pinned literal vector under a " +
-      "known table; ZERO round-trip violations (concat(pieces) == whitespace-stripped " +
-      "text for every doc); merges fired corpus-wide (pieces < non-space chars)"))
+  /** Declared hard in-entry checks for the rows-only entries —
+    * STRUCTURED (r13, the driver's repeated ask): every declaration
+    * carries machine-readable `mode`/`check` fields (and `metric`/
+    * `floor`/`baseline` or `twin` where they apply) next to the prose
+    * `note`, so the correctness report can record recall floors as
+    * data instead of re-parsing sentences. A green rows-only row
+    * certifies the named assertion held (the assertions run INSIDE the
+    * entry and error it on violation). */
+  def signals: Map[String, Map[String, String]] = Map(
+    "dedup_simhash" -> Map(
+      "mode" -> "rows_only", "check" -> "exact_twin",
+      "twin" -> "dedup_simhash_fnv",
+      "note" -> ("the xxhash64 bit chain has no DuckDB replay; the twin runs the " +
+        "identical banding/hamming pipeline over FNV-1a and is hash-exact — the " +
+        "algorithm is oracled, this entry pins the production hash")),
+    "ann_lsh" -> Map(
+      "mode" -> "rows_only", "check" -> "recall_floor",
+      "metric" -> "recall@10", "floor" -> "0.3",
+      "baseline" -> "in-entry brute force",
+      "note" -> ("per-query recall@10 vs an in-entry brute-force baseline, mean " +
+        "asserted >= 0.3 — a recall collapse ERRORS the entry instead of passing a " +
+        "plausible-looking top-k")),
+    "ann_ivf" -> Map(
+      "mode" -> "rows_only", "check" -> "recall_floor",
+      "metric" -> "recall@10", "floor" -> "0.3",
+      "baseline" -> "in-entry brute force",
+      "note" -> "16 lists / 8 probes — half the space scanned"),
+    "ann_pq" -> Map(
+      "mode" -> "rows_only", "check" -> "recall_floor",
+      "metric" -> "recall@10", "floor" -> "0.3",
+      "baseline" -> "in-entry brute force",
+      "note" -> "pure ADC over 8-bit product codes"),
+    "text_bpe_encode" -> Map(
+      "mode" -> "rows_only", "check" -> "round_trip",
+      "note" -> ("no SQL engine replays the greedy lowest-rank merge loop. In-entry " +
+        "HARD signals: pinned literal vector under a known table; ZERO round-trip " +
+        "violations (concat(pieces) == whitespace-stripped text for every doc); " +
+        "merges fired corpus-wide (pieces < non-space chars)")))
 
   def oracleSql: Map[String, String] = Map(
     "zc_insert_query" ->

@@ -43,9 +43,15 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // declared hard in-entry signals for the rows-only entries — a
-    // green rows-only row certifies the named assertion held (r10)
+    // green rows-only row certifies the named assertion held (r10);
+    // STRUCTURED since r13: each entry is an object with mode/check
+    // (+ metric/floor/baseline/twin where applicable) and the prose note
     val sig = SparkEntry.signals
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, fields) =>
+        val obj = fields.toSeq.sortBy(_._1)
+          .map { case (f, v) => s"${q(f)}: ${q(v)}" }.mkString("{", ",", "}")
+        s"${q(k)}: $obj"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/signals.json"), sig)
     spark.stop()
   }

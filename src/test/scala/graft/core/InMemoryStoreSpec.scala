@@ -98,6 +98,29 @@ class InMemoryStoreSpec extends AnyFunSuite {
     InMemoryFileSystem.clear("arb")
   }
 
+  test("SQL catalog over a graftmem warehouse: DDL, INSERT, UPDATE, MERGE, metadata") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graftmemc", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftmemc.warehouse", "graftmem://sqlwh/wh")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftmemc.db")
+    s.sql("""CREATE TABLE graftmemc.db.m (k BIGINT, v DOUBLE)
+             PARTITIONED BY (chunk(4, k))""")
+    s.sql("INSERT INTO graftmemc.db.m VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    assert(s.sql("SELECT sum(v) FROM graftmemc.db.m").head().getDouble(0) == 6.0)
+    s.sql("UPDATE graftmemc.db.m SET v = v * 10 WHERE k = 2")
+    s.sql("""MERGE INTO graftmemc.db.m t USING (SELECT 3L AS k, 0.5 AS v
+             UNION ALL SELECT 9L, 9.0) s ON t.k = s.k
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""")
+    val got = s.sql("SELECT k, v FROM graftmemc.db.m ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 1.0), (2L, 20.0), (3L, 0.5), (9L, 9.0)),
+      s"full SQL DML triangle over the in-memory warehouse: $got")
+    // metadata tables resolve over the same store
+    assert(s.sql("SELECT count(*) FROM graftmemc.db.m.history").head().getLong(0) >= 3L)
+    s.sql("DROP TABLE graftmemc.db.m")
+  }
+
   test("namespaces are independent per authority; clear drops one") {
     val fs = new Path("graftmem://nsa/f").getFileSystem(
       spark.sessionState.newHadoopConf())
