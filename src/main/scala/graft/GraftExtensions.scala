@@ -74,6 +74,8 @@ object GraftExtensions {
       intArg(exprs(1), "lsh_buckets"), intArg(exprs(2), "lsh_buckets"),
       intArg(exprs(3), "lsh_buckets"),
       if (exprs.length > 4) intArg(exprs(4), "lsh_buckets") else 0)),
+    "scaled_long" -> ((exprs: Seq[Expression]) =>
+      graft.functions.DoubleToScaledLong(exprs.head, intArg(exprs(1), "scaled_long"))),
   )
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -3315,15 +3315,25 @@ object SparkEntry {
       // aggregate frame is the same decimal-exact arithmetic (column
       // sums are order-independent) with no row amplification — at
       // 100 TB the difference is 4x the scan-stage tuple traffic
+      // scaled-long hot loop (r13): the per-value double->decimal cast
+      // is the profiled floor of this family; graft.functions.ScaledLong
+      // computes the identical unscaled value in primitive arithmetic
+      // (fuzz-proven vs the cast), the sum runs over compact decimals,
+      // and only the |flags| x 4 RESULTS rescale through decimal —
+      // bit-identical totals, per-value BigDecimal churn gone
       val metrics = Seq("quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
         "discount" -> "l_discount", "tax" -> "l_tax")
       val agg = Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("_n"),
-          metrics.map { case (m, c) => sum(dec(col(c))).as(s"_s_$m") }: _*)
+          metrics.map { case (m, c) =>
+            sum(graft.functions.ScaledLong.scaled(col(c), 4).cast("decimal(20,0)"))
+              .as(s"_s_$m")
+          }: _*)
       agg.select(col("l_returnflag"), explode(array(metrics.map { case (m, _) =>
           struct(lit(m).as("metric"),
-            col(s"_s_$m").cast("decimal(38,4)").cast("double").as("total"),
+            (col(s"_s_$m") / lit(10000)).cast("decimal(38,4)")
+              .cast("double").as("total"),
             col("_n").as("n"))
         }: _*)).as("_x"))
         .select(col("l_returnflag"), col("_x.metric").as("metric"),

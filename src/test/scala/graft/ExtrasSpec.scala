@@ -145,5 +145,8 @@ class ExtrasSpec extends AnyFunSuite {
     assert(row.getInt(3) == 4)
     assert(row.getInt(4) == 4 * 9)
     assert(row.getInt(5) == 64)
+    // r13: the decimal-cast hot-loop expression
+    assert(spark.sql("SELECT scaled_long(CAST(1.2345 AS DOUBLE), 4) AS s")
+      .collect()(0).getLong(0) == 12345L)
   }
 }
