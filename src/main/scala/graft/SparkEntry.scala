@@ -3679,6 +3679,11 @@ object SparkEntry {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
+        // NOT a scaled_long site (r13 rollout note): the selective
+        // filter leaves too few rows for the cast cost to matter — an
+        // A/B showed the scaled formulation parity-exact but no faster
+        // here. The expression targets FULL-SCAN cast volume
+        // (q_unpivot); swap-ins stay gated on a measured win.
         .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
           .cast("decimal(38,4)").cast("double").as("revenue"))
     }),
