@@ -3210,16 +3210,21 @@ object SparkEntry {
     // framed by the ORDER-BY VALUE (micros), not row position: all rows
     // within the time span enter the frame regardless of tie order, so
     // the result is deterministic where a rows-frame would not be.
+    // r14: computed as a prefix-sum difference (graft.operators
+    // .TrailingRange) instead of Spark's re-aggregating bounded RANGE
+    // frame — O(rows) per key after the sort, not O(rows x frame
+    // population); decimal prefix differences are exact, so the output
+    // is bit-identical (OperatorsSpec pins equality with the direct
+    // frame).
     "q_range_frame" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts_us"))
-        .rangeBetween(-86400000000L, 0L)
-      Tables.events(s, dir)
-        .withColumn("ts_us", unix_micros(col("ts")))
-        .withColumn("day_sum", sum(col("value").cast("decimal(18,4)")).over(w)
-          .cast("decimal(38,2)").cast("double"))
-        .withColumn("day_n", count(lit(1)).over(w))
-        .select("event_id", "day_sum", "day_n")
+      val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.TrailingRange.agg(
+          ev, Seq(col("user_id")), col("ts_us"), 86400000000L,
+          Seq("_zc_day_sum" -> col("value").cast("decimal(18,4)"),
+              "day_n" -> lit(1L)))
+        .select(col("event_id"),
+          col("_zc_day_sum").cast("decimal(38,2)").cast("double").as("day_sum"),
+          col("day_n"))
         .orderBy("event_id")
     }),
 

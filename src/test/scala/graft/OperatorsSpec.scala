@@ -721,4 +721,38 @@ class OperatorsSpec extends AnyFunSuite {
         10, nProbe = 4).select("nid").as[Long].collect().toSet
     assert(hits.contains(200L), s"refreshed PQ index must serve the appended vector: $hits")
   }
+
+  test("TrailingRange.agg is bit-identical to the direct RANGE frame, ties included (r14)") {
+    import org.apache.spark.sql.expressions.Window
+    // randomized keys/ordinals with deliberate ordinal TIES within a key
+    // (the RANGE-vs-ROWS distinction) and frame-boundary collisions
+    val rnd = new scala.util.Random(14)
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, rnd.nextInt(7).toLong, rnd.nextInt(50).toLong * 10L,
+       BigDecimal(rnd.nextInt(20000), 4))
+    }
+    val df = rows.toDF("id", "k", "ord", "v")
+      .withColumn("v", col("v").cast("decimal(18,4)"))
+    val span = 100L
+    val wd = Window.partitionBy(col("k")).orderBy(col("ord"))
+      .rangeBetween(-span, 0)
+    val direct = df
+      .withColumn("s", sum(col("v")).over(wd))
+      .withColumn("n", count(lit(1)).over(wd))
+      .select("id", "s", "n")
+    val got = TrailingRange.agg(df, Seq(col("k")), col("ord"), span,
+        Seq("s" -> col("v"), "n" -> lit(1L)))
+      .select(col("id"), col("s").cast(direct.schema("s").dataType), col("n"))
+    assert(got.exceptAll(direct).isEmpty && direct.exceptAll(got).isEmpty,
+      "prefix-sum trailing frame must equal the direct RANGE frame")
+    // span = 0: frame is exactly the ordinal's peer group
+    val d0 = df.withColumn("s", sum(col("v")).over(
+        Window.partitionBy(col("k")).orderBy(col("ord")).rangeBetween(0, 0)))
+      .select("id", "s")
+    val g0 = TrailingRange.agg(df, Seq(col("k")), col("ord"), 0L,
+        Seq("s" -> col("v")))
+      .select(col("id"), col("s").cast(d0.schema("s").dataType))
+    assert(g0.exceptAll(d0).isEmpty && d0.exceptAll(g0).isEmpty,
+      "span=0 must reduce to the peer-group frame")
+  }
 }
