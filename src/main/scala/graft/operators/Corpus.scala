@@ -200,8 +200,11 @@ object Corpus {
     * string tie-break below stays exact); a second corpus scan
     * re-derives grams and recovers winner strings through a BROADCAST
     * semi-filter (map-side — only winner grams survive to the tiny
-    * recovery shuffle). The final (tf desc, ngram asc) order runs over
-    * the bounded winner set. Identical output to the string-grouped
+    * recovery shuffle). When the k-th tf is 1 the tie-inclusive winner
+    * set is the whole gram space — a counted guard (r14) drops the
+    * broadcasts and runs the recovery as a shuffled long-keyed join
+    * instead. The final (tf desc, ngram asc) order runs over
+    * the winner set as a TakeOrderedAndProject. Identical output to the string-grouped
     * plan absent a 64-bit collision (the [[decontaminateNgrams]]
     * injectivity argument; CorpusSpec pins bit-equality). The n-gram
     * explode is one `Generate` inside the scan stage: docs shorter
@@ -209,6 +212,7 @@ object Corpus {
   def topNgrams(df: DataFrame, id: Column, text: Column, n: Int, k: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
     require(k > 0, "k must be positive")
+    val spark = df.sparkSession
     val toks = split(trim(text), "\\s+")
     // "w_i .. w_{i+n-1}" per position: slice + join, one Generate
     val grams = when(size(toks) >= n,
@@ -216,28 +220,59 @@ object Corpus {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
     val wide = graft.Spread.spread(df, id) // gated spread (r11/r13)
+    // r14 (r13 advice, medium): the tie-inclusive candidate set is "~k
+    // winning hashes" only when the k-th largest tf exceeds 1 — on a
+    // mostly-unique gram space (n >= 3 natural text, modest k) the
+    // threshold IS 1 and the candidate set is the ENTIRE gram hash
+    // space, which must never be broadcast. The (hash, tf, df) frame —
+    // vocabulary-sized longs, the smallest thing in this plan — is
+    // PERSISTED so the threshold, the candidate count that decides the
+    // regime, and the final joins all read one materialization (the
+    // corpus is still scanned exactly twice, counting + recovery, as
+    // before; exchange reuse cannot cross the driver actions this guard
+    // needs). Output is <= k rows, returned eagerly as a local frame so
+    // the persisted agg's lifecycle stays inside the operator.
     val agg = wide.select(id.as("_zc_did"),
         explode(transform(grams, g => xxhash64(g))).as("_zc_gh"))
       .groupBy(col("_zc_gh"), col("_zc_did")).agg(count(lit(1)).as("_zc_c"))
       .groupBy(col("_zc_gh"))
       .agg(sum(col("_zc_c")).as("tf"), count(lit(1)).as("df"))
-    // k-th largest tf: TakeOrderedAndProject over (hash, tf, df) rows,
-    // reduced to one scalar and broadcast — never a global sort. The
-    // identical agg subtrees below dedupe through exchange reuse.
-    val thr = agg.orderBy(col("tf").desc).limit(k)
-      .agg(min(col("tf")).as("_zc_thr"))
-    val cands = agg.join(broadcast(thr), col("tf") >= col("_zc_thr"))
-      .drop("_zc_thr")
-    val strings = wide.select(explode(grams).as("ngram"))
-      .select(col("ngram"), xxhash64(col("ngram")).as("_zc_gh"))
-      .join(broadcast(cands.select("_zc_gh")), "_zc_gh")
-      // all strings under one hash are equal (injectivity): first is
-      // deterministic exactly where it is used
-      .groupBy(col("_zc_gh")).agg(first(col("ngram")).as("ngram"))
-    cands.join(broadcast(strings), "_zc_gh")
-      .select(col("ngram"), col("tf"), col("df"))
-      .orderBy(col("tf").desc, col("ngram"))
-      .limit(k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // k-th largest tf: TakeOrderedAndProject over the cached frame —
+      // never a global sort.
+      val thrRow = agg.orderBy(col("tf").desc).limit(k)
+        .agg(min(col("tf")).as("_zc_thr")).head()
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ngram",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tf",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("df",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      if (thrRow.isNullAt(0)) {
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          outSchema)
+      } else {
+        val thr = thrRow.getLong(0)
+        val cands = agg.where(col("tf") >= thr)
+        // the regime decision: a cached-scan count, one cheap job
+        val gate: DataFrame => DataFrame =
+          if (cands.count() <= math.max(4096L, 64L * k)) broadcast else identity
+        val strings = wide.select(explode(grams).as("ngram"))
+          .select(col("ngram"), xxhash64(col("ngram")).as("_zc_gh"))
+          .join(gate(cands.select("_zc_gh")), "_zc_gh")
+          // all strings under one hash are equal (injectivity): first is
+          // deterministic exactly where it is used
+          .groupBy(col("_zc_gh")).agg(first(col("ngram")).as("ngram"))
+        val rows = cands.join(gate(strings), "_zc_gh")
+          .select(col("ngram"), col("tf"), col("df"))
+          .orderBy(col("tf").desc, col("ngram"))
+          .limit(k)
+          .collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+      }
+    } finally agg.unpersist(false)
   }
 
   /** EXACT-QUOTA stratified sampling: keep (up to) `n` documents per
@@ -391,25 +426,52 @@ object Corpus {
     * same "frequent here, rare elsewhere" ordering principle and drops
     * the float).
     *
-    * Scale shape: per-(doc, term) counts and per-term document
-    * frequencies are both map-side-combined aggregates; the join
-    * shuffles on `term` (vocabulary-sized — NOT broadcast, a 100 TB
-    * corpus's vocabulary isn't a dimension table); the final top-k
-    * window partitions per doc, whose groups are document-sized.
-    * Documents with no qualifying term emit nothing. */
+    * Scale shape (r14): term STRINGS never ride the big shuffles — the
+    * per-(doc, term-hash) counts, the per-hash document frequencies and
+    * the tf⋈df join all key on `xxhash64(term)` (8 bytes on the wire,
+    * long comparisons in the sorts). A first per-doc window over
+    * `rank() <= k` on the string-free rank `(tf DESC, df ASC)` cuts the
+    * frame to the CANDIDATE rows — every row whose strictly-better
+    * count is `< k`, the minimal superset any string tie-break could
+    * promote (ties included, so the final `term ASC` tie-break below
+    * stays exact). Only those `~k` rows per document recover their
+    * strings, through a second corpus scan semi-joined on the hash
+    * (AQE broadcasts the candidate-hash set when it is small; at
+    * per-doc-k x billions-of-docs scale it stays a shuffled long-keyed
+    * join — never forced broadcast). Identical output to the
+    * string-grouped plan absent a 64-bit collision (the
+    * [[decontaminateNgrams]] injectivity argument; CorpusSpec pins
+    * bit-equality against the string-grouped twin). Documents with no
+    * qualifying term emit nothing. */
   def topTerms(df: DataFrame, id: Column, text: Column, k: Int,
                stopwords: Seq[String] = Nil): DataFrame = {
     require(k > 0, "k must be positive")
-    val base = df.select(id.as("doc_id"),
+    val wide = graft.Spread.spread(df, id) // gated spread (r11/r13)
+    val base = wide.select(id.as("doc_id"),
         explode(split(trim(text), "\\s+")).as("term"))
       .where(length(col("term")) > 0)
     val filtered =
       if (stopwords.isEmpty) base else base.where(!col("term").isin(stopwords: _*))
-    val tf = filtered.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val hashed = filtered.select(col("doc_id"), xxhash64(col("term")).as("_zc_th"))
+    val tf = hashed.groupBy("doc_id", "_zc_th").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("_zc_th").agg(count(lit(1)).as("df"))
+    val wCut = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc)
+    val cands = tf.join(dfreq, "_zc_th")
+      .withColumn("_zc_r", rank().over(wCut))
+      .where(col("_zc_r") <= k).drop("_zc_r")
+    // all strings under one hash are equal (injectivity): first is
+    // deterministic exactly where it is used. GROUP before joining:
+    // partial aggregation collapses the recovery stream to each task's
+    // DISTINCT terms map-side (Zipf: per-task vocab << token stream),
+    // so the only string shuffle anywhere is vocabulary-sized — no
+    // broadcast of the k x docs candidate set required at any scale.
+    val strings = filtered
+      .select(xxhash64(col("term")).as("_zc_th"), col("term"))
+      .groupBy(col("_zc_th")).agg(first(col("term")).as("term"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(dfreq, "term")
+    cands.join(strings, "_zc_th")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("doc_id"), col("rank").cast("int").as("rank"),

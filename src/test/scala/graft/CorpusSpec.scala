@@ -544,9 +544,12 @@ class CorpusSpec extends AnyFunSuite {
     val rows = v.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(rows == Seq(("a b c", 3L, 2L), ("b c a", 1L, 1L)),
       s"tf counts occurrences, df distinct docs, ties on ngram: $rows")
+    // r14: the operator runs its bounded top-k internally (persisted-agg
+    // guard) and hands back the <= k winner rows as a local frame — the
+    // caller's plan must stay a LocalTableScan, never a re-computation
     val plan = v.queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"ngram top-k must be bounded, not a global sort:\n$plan")
+    assert(plan.contains("LocalTableScan"),
+      s"topNgrams must return its bounded winner set locally:\n$plan")
   }
 
   test("stratifiedSample: exact quotas, deterministic under input order, corpus never shuffles") {
@@ -874,6 +877,39 @@ class CorpusSpec extends AnyFunSuite {
       .orderBy(col("tf").desc, col("ngram")).limit(100)
       .collect().toSeq
     assert(topGot == topWant, "hash-counted top-k must match the string-grouped plan")
+  }
+
+  test("topTerms hash shuffle is bit-identical to the string-grouped plan (r14)") {
+    import graft.operators.Corpus
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
+    val got = Corpus.topTerms(d, col("doc_id"), col("text"), k = 3, stop)
+      .orderBy("doc_id", "rank").collect().toSeq
+    // pre-r14 string-grouped formulation, replayed inline
+    val base = d.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .where(length(col("term")) > 0).where(!col("term").isin(stop: _*))
+    val tf = base.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    val want = tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("term"), col("tf"), col("df"))
+      .orderBy("doc_id", "rank").collect().toSeq
+    assert(got == want, "hash-keyed topTerms must match the string-grouped plan")
+  }
+
+  test("topNgrams degenerate regime: k-th tf == 1 keeps the whole gram space correct (r14 advice)") {
+    import graft.operators.Corpus
+    // >4096 distinct unigrams, every tf == 1: the tie-inclusive candidate
+    // set is the entire gram space, which must take the non-broadcast
+    // fallback and still return the k lexicographically smallest grams
+    val d = (0 until 5000).map(i => (i.toLong, f"w$i%05d")).toDF("doc_id", "text")
+    val out = Corpus.topNgrams(d, col("doc_id"), col("text"), n = 1, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("w00000", 1L, 1L), ("w00001", 1L, 1L), ("w00002", 1L, 1L)),
+      s"degenerate-tie top-k must stay exact: $out")
   }
 
   test("bpeEncode: greedy lowest-rank loop, chained merges, ties, round trip, codegen/eval parity (r10e)") {
