@@ -689,6 +689,36 @@ object Dedup {
 
   // ------- persisted fingerprint index: incremental exact dedup -------
 
+  /** Bounded driver-side pruning keys (r14, r13 verdict #3). Every
+    * incremental path prunes its index read with a collected
+    * `col in (<distinct batch keys>)` predicate — that IS the partition
+    * skipping that makes micro-batch lookups cheap, and the key space
+    * is `pmod`-bounded by the index's bucket count (default 64). But
+    * the bucket count is user-chosen with no ceiling, and a BULK
+    * "incremental" call against a millions-of-buckets index would
+    * collect millions of longs and parse a predicate string of that
+    * size on the driver. The collect is therefore capped BEFORE it
+    * reaches the driver (`limit(cap + 1)` bounds the job output):
+    * above the cap the caller queries UNPRUNED (`None`) — every call
+    * site restricts through a subsequent join, so the IN-list is only
+    * ever a skip-layer hint, never correctness; a batch wide enough to
+    * blow the cap touches most buckets anyway, making the unpruned
+    * scan the right plan. `Some(Nil)` = empty batch (callers
+    * early-return). */
+  private[graft] def pruneCap: Int =
+    sys.props.get("graft.dedup.pruneCap").map(_.toInt).getOrElse(100000)
+
+  private[graft] def boundedKeys(keys: DataFrame): Option[Seq[Long]] = {
+    val cap = pruneCap
+    val ks = keys.distinct().limit(cap + 1).collect().map(_.getLong(0))
+    if (ks.length > cap) None else Some(ks.sorted.toIndexedSeq)
+  }
+
+  /** `"col in (...)"` for [[boundedKeys]]' verdict — `null` (query all)
+    * above the cap. */
+  private[graft] def prunePred(column: String, keys: Option[Seq[Long]]): String =
+    keys.map(ks => s"$column in (${ks.mkString(", ")})").orNull
+
   /** Attrs key holding the index's bucket count (written by
     * [[buildFingerprintIndex]], read back by [[dedupAgainstIndex]]). */
   val IndexBucketsAttr = "fingerprint.buckets"
@@ -737,9 +767,9 @@ object Dedup {
                          idCol: String, textCol: String): Seq[String] = {
     val nBuckets = index.attrs(IndexBucketsAttr).toInt
     val rows = fpIndexRows(docs, idCol, textCol, nBuckets)
-    val buckets = rows.select("bucket").distinct().collect().map(_.getLong(0)).sorted
-    if (buckets.isEmpty) return Nil
-    val existing = index.query(s"bucket in (${buckets.mkString(", ")})", Seq("fp"))
+    val buckets = boundedKeys(rows.select("bucket"))
+    if (buckets.exists(_.isEmpty)) return Nil
+    val existing = index.query(prunePred("bucket", buckets), Seq("fp"))
     index.insert(rows.join(existing, Seq("fp"), "left_anti"),
       graft.core.MergeStrategy.Concat)
   }
@@ -844,19 +874,18 @@ object Dedup {
       idCol, textCol, shingleK, numPerms, fnv).persist()
     try {
       val bandRows = minhashBandRows(sigs, bands, numPerms / bands, nBuckets)
-      val bmods = bandRows.select("bmod").distinct().collect().map(_.getLong(0)).sorted
-      if (bmods.isEmpty) return batch.limit(0)
-      val idxBands = bc.query(s"bmod in (${bmods.mkString(", ")})",
+      val bmods = boundedKeys(bandRows.select("bmod"))
+      if (bmods.exists(_.isEmpty)) return batch.limit(0)
+      val idxBands = bc.query(prunePred("bmod", bmods),
         Seq("band", "bucket", "doc_id"))
       val cands = bandRows
         .join(idxBands.withColumnRenamed("doc_id", "_zc_cand"), Seq("band", "bucket"))
         .select(col("doc_id").as("_zc_bid"), col("_zc_cand")).distinct()
-      val smods = cands.select(sigMod(col("_zc_cand"), nBuckets).as("m"))
-        .distinct().collect().map(_.getLong(0)).sorted
+      val smods = boundedKeys(cands.select(sigMod(col("_zc_cand"), nBuckets).as("m")))
       val dropped =
-        if (smods.isEmpty) sigs.limit(0).select(col("doc_id").as("_zc_drop"))
+        if (smods.exists(_.isEmpty)) sigs.limit(0).select(col("doc_id").as("_zc_drop"))
         else {
-          val idxSigs = sc.query(s"smod in (${smods.mkString(", ")})", Seq("doc_id", "sig"))
+          val idxSigs = sc.query(prunePred("smod", smods), Seq("doc_id", "sig"))
             .select(col("doc_id").as("_zc_cand"), col("sig").as("_zc_csig"))
           cands
             .join(sigs.select(col("doc_id").as("_zc_bid"), col("sig").as("_zc_bsig")), "_zc_bid")
@@ -896,12 +925,11 @@ object Dedup {
     val withFp = batch.withColumn("_zc_fp",
       graft.functions.TextFunctions.fingerprint(col(textCol)))
     val kept = exact(withFp, Seq("_zc_fp"), keepCol = idCol)
-    // the batch's touched buckets: bounded by nBuckets, tiny on the driver
-    val buckets = withFp
-      .select(pmod(col("_zc_fp"), lit(nBuckets.toLong)).as("b"))
-      .distinct().collect().map(_.getLong(0)).sorted
-    if (buckets.isEmpty) return batch.limit(0)
-    val idx = index.query(s"bucket in (${buckets.mkString(", ")})", Seq("fp"))
+    // the batch's touched buckets, capped before they reach the driver
+    val buckets = boundedKeys(withFp
+      .select(pmod(col("_zc_fp"), lit(nBuckets.toLong)).as("b")))
+    if (buckets.exists(_.isEmpty)) return batch.limit(0)
+    val idx = index.query(prunePred("bucket", buckets), Seq("fp"))
     kept.join(idx, kept("_zc_fp") === idx("fp"), "left_anti").drop("_zc_fp")
   }
 
@@ -1035,12 +1063,12 @@ object Dedup {
         .select(col("_zc_bid"), col("sh"), col("_zc_bn"),
           (col("_pos") + 1).cast("int").as("_zc_bpos"),
           (col("_pos") < col("p")).as("_zc_bpfx"))
-      val buckets = btoks.select(pmod(col("sh"), lit(nBuckets.toLong)).as("b"))
-        .distinct().collect().map(_.getLong(0)).sorted
-      if (buckets.isEmpty) return base.limit(0)
+      val buckets = boundedKeys(
+        btoks.select(pmod(col("sh"), lit(nBuckets.toLong)).as("b")))
+      if (buckets.exists(_.isEmpty)) return base.limit(0)
         .select(col("doc_id").as("a"), col("doc_id").as("b"),
           lit(0.0).as("containment"))
-      val inv = ic.query(s"bucket in (${buckets.mkString(", ")})",
+      val inv = ic.query(prunePred("bucket", buckets),
         Seq("sh", "doc_id", "pos", "n", "pfx"))
         .select(col("sh"), col("doc_id").as("_zc_cand"), col("pos"),
           col("n").as("_zc_cn0"), col("pfx"))
@@ -1061,12 +1089,12 @@ object Dedup {
             col("_zc_cn0") - col("_zc_ci"))).cast("double") >=
           lit(threshold) * least(col("_zc_bn"), col("_zc_cn0")) - lit(1e-6))
         .select(col("_zc_bid"), col("_zc_cand")).distinct()
-      val dmods = cands.select(pmod(col("_zc_cand"), lit(nBuckets.toLong)).as("m"))
-        .distinct().collect().map(_.getLong(0)).sorted
-      if (dmods.isEmpty) return base.limit(0)
+      val dmods = boundedKeys(
+        cands.select(pmod(col("_zc_cand"), lit(nBuckets.toLong)).as("m")))
+      if (dmods.exists(_.isEmpty)) return base.limit(0)
         .select(col("doc_id").as("a"), col("doc_id").as("b"),
           lit(0.0).as("containment"))
-      val sets = sc.query(s"dbucket in (${dmods.mkString(", ")})",
+      val sets = sc.query(prunePred("dbucket", dmods),
         Seq("doc_id", "sh", "n"))
         .select(col("doc_id").as("_zc_cand"), col("sh").as("_zc_csh"),
           col("n").as("_zc_cn"))

@@ -587,13 +587,12 @@ object StreamOps {
         // idempotent index growth: only ids sets/ does not already hold
         val sc = Collection.open(spark, s"$indexRoot/sets", readOnly = true)
         val nB = sc.attrs(graft.dedup.Dedup.ContainBucketsAttr).toInt
-        val buckets = survivors
-          .select(pmod(col(idCol).cast("long"), lit(nB.toLong)).as("b"))
-          .distinct().collect().map(_.getLong(0)).sorted
+        val buckets = graft.dedup.Dedup.boundedKeys(survivors
+          .select(pmod(col(idCol).cast("long"), lit(nB.toLong)).as("b")))
         val fresh =
-          if (buckets.isEmpty) survivors
+          if (buckets.exists(_.isEmpty)) survivors
           else survivors.join(
-            sc.query(s"dbucket in (${buckets.mkString(", ")})", Seq("doc_id"))
+            sc.query(graft.dedup.Dedup.prunePred("dbucket", buckets), Seq("doc_id"))
               .select(col("doc_id").as("_zc_have")),
             col(idCol) === col("_zc_have"), "left_anti")
         graft.dedup.Dedup.appendContainment(spark, indexRoot, fresh, idCol,

@@ -196,6 +196,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(again.isEmpty, s"self-pairs leaked: $again")
   }
 
+  test("over-cap batches skip the IN-list and stay exact (r14, r13 verdict #3)") {
+    // force the bounded-keys cap to 0 so EVERY batch counts as
+    // over-cap: the incremental paths must drop the collected
+    // `bucket in (...)` pruning predicate, query the index unpruned,
+    // and return bit-identical verdicts (the IN-list is a skip hint,
+    // never correctness)
+    val idx = Dedup.buildFingerprintIndex(spark,
+      SparkTestSession.tmp("graft-fpidx-cap"),
+      docs(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "epsilon"),
+      "doc_id", "text", nBuckets = 4)
+    val batch = docs(
+      10L -> "ALPHA   beta", 11L -> "fresh one", 12L -> "fresh one",
+      13L -> "epsilon", 14L -> "fresh two")
+    val pruned = Dedup.dedupAgainstIndex(idx, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    System.setProperty("graft.dedup.pruneCap", "0")
+    try {
+      assert(Dedup.pruneCap == 0)
+      val unpruned = Dedup.dedupAgainstIndex(idx, batch, "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(unpruned == pruned, s"unpruned path must match: $unpruned vs $pruned")
+      // append under the cap=0 regime: still lands only the new fps
+      val appended = Dedup.appendFingerprints(idx,
+        docs(20L -> "fresh one", 21L -> "epsilon"), "doc_id", "text")
+      assert(appended.nonEmpty)
+      assert(Dedup.dedupAgainstIndex(idx, docs(30L -> "fresh one"),
+        "doc_id", "text").count() == 0, "appended fp must now dedup")
+    } finally System.clearProperty("graft.dedup.pruneCap")
+  }
+
   test("a non-index collection refuses loudly") {
     val df = docs(1L -> "x").withColumn("fp", lit(1L)).withColumn("bucket", lit(0L))
     val c = graft.core.Collection.create(spark,
