@@ -1384,10 +1384,15 @@ object SparkEntry {
     // xxhash bit pattern against fixed vectors.
     "dedup_simhash" -> ((s, dir) => {
       import graft.functions.TextFunctions
+      // r14 (r13 verdict #7): the hard-signal declaration rides IN the
+      // rows — the twin entry that SQL-oracles this exact machinery is
+      // named per row, so the no-oracle artifact is self-describing.
       graft.dedup.Dedup.simhashPairs(
           plantedDocs(s, dir), "doc_id",
           TextFunctions.tokens(col("text")), maxHamming = 3)
         .select("a", "b", "hamming").orderBy("a", "b")
+        .withColumn("signal_check", lit("exact_twin"))
+        .withColumn("signal_twin", lit("dedup_simhash_fnv"))
     }),
 
     // C3b (r6): the SAME SimHash pipeline over FNV-1a token hashes — a
@@ -1714,7 +1719,8 @@ object SparkEntry {
         graft.ann.Ann.lshTopK(e, q, "vec_id", "embedding", 10,
           tables = 8, planes = 4, multiProbe = true),
         e, q, k = 10, floor = 0.3)
-        .select("qid", "nid", "rank", "recall").orderBy("qid", "rank")
+        .select("qid", "nid", "rank", "recall",
+          "recall_mean", "recall_floor", "floor_ok").orderBy("qid", "rank")
     }),
 
     // C7b: IVF-bucketed approximate top-10 — same in-entry recall floor
@@ -1728,7 +1734,8 @@ object SparkEntry {
         graft.ann.Ann.ivfTopK(e, q, "vec_id", "embedding", 10,
           nLists = 16, nProbe = 8),
         e, q, k = 10, floor = 0.3)
-        .select("qid", "nid", "rank", "recall").orderBy("qid", "rank")
+        .select("qid", "nid", "rank", "recall",
+          "recall_mean", "recall_floor", "floor_ok").orderBy("qid", "rank")
     }),
 
     // C7d (r6): PRODUCT-QUANTIZED (PQ/ADC) approximate top-10 — the 32x
@@ -1744,7 +1751,8 @@ object SparkEntry {
         // no re-rank): floor 0.25 = collapse detector with margin
         graft.ann.Ann.pqTopK(codes, q, "vec_id", "embedding", books, 10),
         e, q, k = 10, floor = 0.25)
-        .select("qid", "nid", "rank", "recall").orderBy("qid", "rank")
+        .select("qid", "nid", "rank", "recall",
+          "recall_mean", "recall_floor", "floor_ok").orderBy("qid", "rank")
     }),
 
     // C8: language-ID heuristic (rows-only; lang labels are synthetic).
@@ -2300,8 +2308,14 @@ object SparkEntry {
       val tot = enc.agg(sum(size(col("pieces"))).as("p"),
         sum(length(regexp_replace(col("text"), "\\s+", ""))).as("c")).head()
       require(tot.getLong(0) < tot.getLong(1), "no merge ever fired")
+      // r14 (r13 verdict #7): the measured hard signals ride IN the
+      // rows — zero round-trip violations and the corpus-wide
+      // pieces/chars compression the merge table achieved.
       enc.select(col("doc_id"), size(col("pieces")).as("n_pieces"))
         .orderBy("doc_id")
+        .withColumn("round_trip_bad", lit(bad))
+        .withColumn("total_pieces", lit(tot.getLong(0)))
+        .withColumn("total_chars", lit(tot.getLong(1)))
     }),
 
     // C59 (r10e): CONTAMINATION REPORT — the audit face of C23's drop
@@ -3748,7 +3762,14 @@ object SparkEntry {
     val mean = rec.agg(avg(col("recall"))).head.getDouble(0)
     require(mean >= floor,
       f"approximate-ANN mean recall@$k = $mean%.3f fell below the $floor floor")
-    rec
+    // r14 (r13 verdict #7): the floor verdict rides IN the returned
+    // rows, so the driver's correctness artifact (which persists only
+    // row counts for no-oracle entries) leaves a parquet that itself
+    // proves the floor held — recall_mean/recall_floor/floor_ok are
+    // constant verdict columns next to the per-query recall.
+    rec.withColumn("recall_mean", lit(mean))
+      .withColumn("recall_floor", lit(floor))
+      .withColumn("floor_ok", lit(mean >= floor))
   }
 
   /** Declared HARD in-entry signals for the `queries` entries that have
@@ -3770,6 +3791,7 @@ object SparkEntry {
     "dedup_simhash" -> Map(
       "mode" -> "rows_only", "check" -> "exact_twin",
       "twin" -> "dedup_simhash_fnv",
+      "emits" -> "signal_check, signal_twin (per-row, r14)",
       "note" -> ("the xxhash64 bit chain has no DuckDB replay; the twin runs the " +
         "identical banding/hamming pipeline over FNV-1a and is hash-exact — the " +
         "algorithm is oracled, this entry pins the production hash")),
@@ -3777,6 +3799,7 @@ object SparkEntry {
       "mode" -> "rows_only", "check" -> "recall_floor",
       "metric" -> "recall@10", "floor" -> "0.3",
       "baseline" -> "in-entry brute force",
+      "emits" -> "recall_mean, recall_floor, floor_ok (per-row, r14)",
       "note" -> ("per-query recall@10 vs an in-entry brute-force baseline, mean " +
         "asserted >= 0.3 — a recall collapse ERRORS the entry instead of passing a " +
         "plausible-looking top-k")),
@@ -3784,14 +3807,17 @@ object SparkEntry {
       "mode" -> "rows_only", "check" -> "recall_floor",
       "metric" -> "recall@10", "floor" -> "0.3",
       "baseline" -> "in-entry brute force",
+      "emits" -> "recall_mean, recall_floor, floor_ok (per-row, r14)",
       "note" -> "16 lists / 8 probes — half the space scanned"),
     "ann_pq" -> Map(
       "mode" -> "rows_only", "check" -> "recall_floor",
-      "metric" -> "recall@10", "floor" -> "0.3",
+      "metric" -> "recall@10", "floor" -> "0.25",
       "baseline" -> "in-entry brute force",
+      "emits" -> "recall_mean, recall_floor, floor_ok (per-row, r14)",
       "note" -> "pure ADC over 8-bit product codes"),
     "text_bpe_encode" -> Map(
       "mode" -> "rows_only", "check" -> "round_trip",
+      "emits" -> "round_trip_bad, total_pieces, total_chars (per-row, r14)",
       "note" -> ("no SQL engine replays the greedy lowest-rank merge loop. In-entry " +
         "HARD signals: pinned literal vector under a known table; ZERO round-trip " +
         "violations (concat(pieces) == whitespace-stripped text for every doc); " +
