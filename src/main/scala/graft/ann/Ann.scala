@@ -905,10 +905,9 @@ object Ann {
                        allowStale: Boolean = false,
                        maxStalenessMs: Long = 0L): DataFrame = {
     requireFreshIndex(spark, path, allowStale, maxStalenessMs)
-    val cents = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cents = readCentroidsTtl(spark, path, maxStalenessMs)
     require(cents.nonEmpty, s"no centroids under $path")
-    val books = readCodebooks(spark, path)
+    val books = readCodebooksTtl(spark, path, maxStalenessMs)
     val kk = books.map(_.length).max
     val tableOf = adcTableCol(spark, books)
     val probeFn = topCentroidsCol(spark, cents, nProbe)
@@ -1084,21 +1083,70 @@ object Ann {
     invalidateFreshMemo(path)
   }
 
-  /** Source-generation lookups memoized for the serve path (r13, the
-    * r12 verdict's #2): `path -> (head generation, checked-at millis)`.
-    * Consulted only under a caller-supplied positive `maxStalenessMs` —
-    * the default path always re-reads the manifest root (the check IS
-    * the feature). Same-JVM builds/refreshes drop their entry so the
-    * next check re-reads regardless of TTL. */
+  /** Serve-path memos (r13, widened r14 per the r13 advice): keyed by
+    * the NORMALIZED index path (`Path.toString` folds trailing slashes
+    * and duplicate separators, so differing spellings of one index
+    * share an entry and same-JVM invalidation actually lands), each
+    * `key -> (value, checked-at millis)`. Consulted only under a
+    * caller-supplied positive `maxStalenessMs` — the default path
+    * always re-reads (the check IS the feature). r14 memoizes the
+    * WHOLE per-request read set, not just the collection-root
+    * generation: the meta stamp (fs.exists + open + read) and the
+    * centroids/codebooks parquet collects now also serve from the TTL
+    * window, so a serve loop pays zero index-side IO between probes.
+    * Same-JVM builds/refreshes drop all three entries. */
   private val freshMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private val metaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Option[IndexMeta], Long)]()
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[(Long, Array[Float])], Long)]()
+  private val codebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Array[Float]]], Long)]()
+
+  private def memoKey(path: String): String =
+    new org.apache.hadoop.fs.Path(path).toString
 
   /** Actual manifest-root reads performed by freshness checks — spec
     * observability (one read across N TTL'd searches). */
   private[graft] val freshnessProbes =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def invalidateFreshMemo(path: String): Unit = freshMemo.remove(path)
+  private def invalidateFreshMemo(path: String): Unit = {
+    val key = memoKey(path)
+    freshMemo.remove(key)
+    metaMemo.remove(key)
+    centroidMemo.remove(key)
+    codebookMemo.remove(key)
+  }
+
+  /** TTL-memoized lookup shared by the serve-path reads. */
+  private def ttlMemo[A](memo: java.util.concurrent.ConcurrentHashMap[String, (A, Long)],
+      path: String, maxStalenessMs: Long)(load: => A): A = {
+    if (maxStalenessMs <= 0L) load
+    else {
+      val key = memoKey(path)
+      val now = System.currentTimeMillis()
+      Option(memo.get(key))
+        .collect { case (v, at) if now - at <= maxStalenessMs => v }
+        .getOrElse { val v = load; memo.put(key, (v, now)); v }
+    }
+  }
+
+  private def readIndexMetaTtl(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxStalenessMs: Long): Option[IndexMeta] =
+    ttlMemo(metaMemo, path, maxStalenessMs)(readIndexMeta(spark, path))
+
+  private def readCentroidsTtl(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxStalenessMs: Long): Array[(Long, Array[Float])] =
+    ttlMemo(centroidMemo, path, maxStalenessMs) {
+      spark.read.parquet(s"$path/centroids")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    }
+
+  private def readCodebooksTtl(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxStalenessMs: Long): Array[Array[Array[Float]]] =
+    ttlMemo(codebookMemo, path, maxStalenessMs)(readCodebooks(spark, path))
 
   /** Refuse a search over a stamped index whose source collection moved
     * past the build generation (mirrors the Indexer's E4 contract) —
@@ -1112,14 +1160,14 @@ object Ann {
   private def requireFreshIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, allowStale: Boolean, maxStalenessMs: Long = 0L): Unit = {
     if (allowStale) return
-    readIndexMeta(spark, path).foreach { m =>
+    readIndexMetaTtl(spark, path, maxStalenessMs).foreach { m =>
       val now = System.currentTimeMillis()
-      val cur = Option(freshMemo.get(path))
+      val cur = Option(freshMemo.get(memoKey(path)))
         .collect { case (g, at) if maxStalenessMs > 0L && now - at <= maxStalenessMs => g }
         .getOrElse {
           freshnessProbes.incrementAndGet()
           val g = graft.core.Collection.open(spark, m.root, readOnly = true).generation
-          freshMemo.put(path, (g, now))
+          freshMemo.put(memoKey(path), (g, now))
           g
         }
       if (cur != m.generation)
@@ -1203,8 +1251,7 @@ object Ann {
                      allowStale: Boolean = false,
                      maxStalenessMs: Long = 0L): DataFrame = {
     requireFreshIndex(spark, path, allowStale, maxStalenessMs)
-    val cents = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cents = readCentroidsTtl(spark, path, maxStalenessMs)
     require(cents.nonEmpty, s"no centroids under $path")
     val probeFn = topCentroidsCol(spark, cents, nProbe)
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("_zc_v_qid"))

@@ -3656,6 +3656,16 @@ final class Collection private (
     * bounded-driver-rows assertion. */
   @volatile private[graft] var lastVictimScanDriverRows: Int = -1
 
+  /** Spec seam: runs between the victim scan's count pass and its id
+    * pass (no-op in production) — lets a test mutate what an `augment`
+    * reads mid-scan to exercise the consistency fallback. */
+  @volatile private[graft] var victimPassBarrier: () => Unit = () => ()
+
+  /** Did the last victim scan's id pass DISAGREE with its count pass
+    * (r14, the r13 advice)? True = the scan refused (fell back to the
+    * single-evaluation rewrite path). */
+  @volatile private[graft] var lastVictimPassMismatch: Boolean = false
+
   /** Victim scan for the DV write path: each affected file's rowids
     * matching `cond` — PHYSICAL read (an already-DV'd row may
     * re-collect; the union is idempotent) so `input_file_name()` rides
@@ -3699,10 +3709,12 @@ final class Collection private (
     def provenanceLost(rows: Array[org.apache.spark.sql.Row]): Boolean =
       rows.exists(r => r.isNullAt(0) || r.getString(0).isEmpty ||
         !byAbs.contains(new Path(r.getString(0)).toUri.getPath))
+    lastVictimPassMismatch = false
     val counts = victimsOf(affected)
       .groupBy(col("_zc_f")).agg(count(lit(1)).as("_zc_n"))
       .collect()
     lastVictimScanDriverRows = counts.length
+    victimPassBarrier()
     if (counts.iterator.map(_.getLong(1)).sum > Collection.DvMaxTotalRows) return None
     if (provenanceLost(counts)) return None
     val byFile = counts.map(r =>
@@ -3724,9 +3736,21 @@ final class Collection private (
           .agg(sort_array(collect_list(col(Collection.RowIdCol))).as("_zc_ids"))
           .collect()
         if (provenanceLost(rows)) return None
-        rows.map { r =>
+        val got = rows.map { r =>
           byAbs(new Path(r.getString(0)).toUri.getPath) -> r.getSeq[Long](1).toArray
         }.toMap
+        // r14 (r13 advice): the two passes are separate jobs — an
+        // `augment` over mutable external state (a swapped temp view, a
+        // rewritten upstream table) can answer differently in each. A
+        // light file whose id list disagrees with its count — or that
+        // vanished entirely — would silently drop victims; refuse and
+        // fall back to the rewrite path, which evaluates cond/augment
+        // exactly once.
+        if (lightFiles.exists(f => !got.get(f).exists(_.length == byFile(f)))) {
+          lastVictimPassMismatch = true
+          return None
+        }
+        got
       }
     Some(lightEntries ++ heavyEntries)
   }

@@ -73,8 +73,18 @@ case class DoubleToScaledLong(child: Expression, scale: Int)
 
 object ScaledLong {
   private val Pows = Array(1d, 10d, 100d, 1000d, 10000d)
-  /** |v| below this, the one-ulp rounding interval cannot contain two
-    * multiples of 10^-4 (ulp(2^38) = 2^-14 < 10^-4). */
+  /** Fast-path soundness (restated r14, r13 advice): the slow path
+    * HALF_UP-rounds the SHORTEST decimal representation `d` of `v` to
+    * the NEAREST multiple of 10^-s, so the fast path (which returns
+    * `cand` when `v == cand/10^s` exactly in doubles) is sound iff
+    * `|d - cand*10^-s| <` HALF the multiple spacing (5e-5 at s=4) —
+    * nearest-multiple semantics, not interval containment. Both `d`
+    * and the real number `cand*10^-s` round to `v`, so each is within
+    * ulp(v)/2 of `v` and `|d - cand*10^-s| <= ulp(v)`. A bound of
+    * ulp <= 2^-14 (6.1e-5) would NOT suffice; the STRICT |v| < 2^38
+    * does, because it caps v's binade at [2^37, 2^38), where
+    * ulp(v) = 2^(37-52) = 2^-15 = 3.05e-5 < 5e-5. Any future scale or
+    * bound extension must re-check ulp(bound/2) < 10^-s / 2. */
   private val FastBound = 274877906944d // 2^38
 
   /** Static entry point shared by interpreted eval and generated code;

@@ -690,6 +690,21 @@ class OperatorsSpec extends AnyFunSuite {
       "post-refresh TTL'd search must pass on the new stamp")
     assert(Ann.freshnessProbes.get() == afterRefresh + 1,
       "refresh must drop the memo entry (next check re-reads)")
+
+    // r14 (r13 advice): memo keys are NORMALIZED paths — a trailing-slash
+    // spelling shares the entry, so a refresh at the bare path
+    // invalidates a serve loop that spells the index "path/"
+    val slashed = path + "/"
+    assert(Ann.searchIvfIndex(spark, slashed, q, "vec_id", "embedding", 5,
+      maxStalenessMs = 60000L).count() == 5)
+    c.insert(Seq((101L, vec(2L))).toDF("vec_id", "embedding"))
+    Ann.refreshIvfIndex(spark, path) // invalidates under the normalized key
+    val afterSlash = Ann.freshnessProbes.get()
+    assert(Ann.searchIvfIndex(spark, slashed, q, "vec_id", "embedding", 5,
+      maxStalenessMs = 60000L).count() == 5,
+      "slashed-spelling search must re-read the refreshed stamp")
+    assert(Ann.freshnessProbes.get() == afterSlash + 1,
+      "trailing-slash spelling must share the normalized memo entry")
   }
 
   test("stamped IVF+PQ index refreshes append-only drift with the persisted codebooks (r12)") {

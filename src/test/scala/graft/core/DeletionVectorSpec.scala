@@ -342,4 +342,43 @@ class DeletionVectorSpec extends AnyFunSuite {
     // and the DV side really vectored (day-1 delete was light everywhere)
     assert(cA.currentManifest().allDvs.nonEmpty)
   }
+
+  test("victim scan refuses when an augment answers differently across its two passes (r14)") {
+    // the DV victim scan runs a count pass then an id pass — two
+    // separate jobs. An `augment` over MUTABLE external state (the
+    // SQL-DML subquery hook) can change between them; a mismatch must
+    // fall back to the single-evaluation rewrite path, never silently
+    // drop victims. The barrier seam swaps the augment's source between
+    // the passes; the rewrite leg then evaluates ONCE, post-swap.
+    val root = SparkTestSession.tmp("graft-dv-twopass")
+    val c = dvColl(root)
+    @volatile var flagged: Seq[Long] = Seq(10L, 11L, 12L)
+    val augment = (df: org.apache.spark.sql.DataFrame) => {
+      val flags = flagged.toDF("fid").withColumn("_zc_hit", lit(1))
+      df.join(broadcast(flags), df("user_id") === col("fid"), "left")
+        .drop("fid")
+    }
+    c.victimPassBarrier = () => { flagged = Seq(10L, 11L) } // pass 2 differs
+    try {
+      val touched = c.deleteWhereCols(col("_zc_hit") === 1, FilterExpr.True, augment)
+      assert(c.lastVictimPassMismatch,
+        "a cross-pass disagreement must trip the consistency check")
+      assert(touched.nonEmpty, "the rewrite fallback still commits the delete")
+      // the rewrite leg evaluated cond/augment once, AFTER the swap:
+      // exactly users 10 and 11 are gone
+      val users = c.query().select("user_id").as[Long].collect().toSet
+      assert(!users.contains(10L) && !users.contains(11L) && users.contains(12L),
+        s"single post-swap evaluation must decide the delete: ${users.toSeq.sorted.take(20)}")
+      // and no deletion vector landed — this commit took the rewrite path
+      assert(c.currentManifest().allDvs.isEmpty,
+        "the mismatch fallback must not mix in a DV from the disagreeing scan")
+    } finally c.victimPassBarrier = () => ()
+
+    // control: a stable augment takes the DV path and leaves the flag down
+    flagged = Seq(12L)
+    val touched2 = c.deleteWhereCols(col("_zc_hit") === 1, FilterExpr.True, augment)
+    assert(!c.lastVictimPassMismatch && touched2.nonEmpty)
+    assert(c.currentManifest().allDvs.nonEmpty, "stable augment -> DV delete")
+    assert(!c.query().select("user_id").as[Long].collect().contains(12L))
+  }
 }
