@@ -692,6 +692,65 @@ class StreamMultimodalSpec extends AnyFunSuite {
       ImageIoCodec.sampleFrames(gifOut.toByteArray, stride = 0))
   }
 
+  test("MJPEG-in-AVI is a REAL video tier: container round-trip, sampling, features, transcode (r14)") {
+    import Multimodal._
+    // three solid 8x8 frames: red, green, blue, as real JPEGs
+    def solid(r: Int, g: Int, b: Int): Array[Byte] = ImageIoCodec.encode(8, 8,
+      Array.fill(64)(Array(r.toByte, g.toByte, b.toByte)).flatten, "jpg")
+    val jpegs = Seq(solid(255, 0, 0), solid(0, 255, 0), solid(0, 0, 255))
+    val avi = AviMjpegCodec.encode(jpegs, 8, 8, fps = 10)
+
+    // container round-trip: RIFF/AVI magic, frames come back byte-exact
+    assert(avi.take(4).map(_.toChar).mkString == "RIFF" &&
+           avi.slice(8, 12).map(_.toChar).mkString == "AVI ")
+    val back = AviMjpegCodec.frames(avi)
+    assert(back.size == 3 && back.zip(jpegs).forall { case (a, b) => a.sameElements(b) },
+      "movi chunk walk must return the exact JPEG payloads in order")
+
+    // stride sampling keeps frames 0 and 2; each decodes to its color
+    val sampled = AviMjpegCodec.sampleFrames(avi, stride = 2)
+    assert(sampled.size == 2)
+    val (_, _, p0) = ImageIoCodec.decodeRgb(sampled(0))
+    val (_, _, p2) = ImageIoCodec.decodeRgb(sampled(1))
+    assert((p0(0) & 0xff) > 230 && (p2(2) & 0xff) > 230, "frame 0 red, frame 2 blue")
+
+    // whole-clip features: mean over R/G/B frames ~ (1/3, 1/3, 1/3)
+    val f = AviMjpegCodec.meanRgbTiles(avi, 1, 1)
+    assert(f.forall(v => math.abs(v - 1f / 3) < 0.05), s"clip mean off: ${f.toSeq}")
+
+    // transcode: resize rebuilds a parseable AVI of 4x4 JPEG frames
+    val small = AviMjpegCodec.resize(avi, 4, 4)
+    val smallFrames = AviMjpegCodec.frames(small)
+    assert(smallFrames.size == 3 &&
+      smallFrames.forall(fr => ImageIoCodec.decodeRgb(fr)._1 == 4))
+
+    // the batch pipeline routes 'avi' through the REAL codec
+    val media = Seq(Media(1L, avi, 8, 8, "avi"),
+                    Media(2L, "not-video".getBytes, 0, 0, "h264")) // refused tier -> stub
+    val feats = extractFeatures(media.toDS().repartition(2), dims = 3)
+      .collect().sortBy(_.id)
+    assert(math.abs(feats(0).features(0) - 1f / 3) < 0.05)
+    val fr = sampleFrames(media.toDS(), stride = 2).collect().sortBy(_.id)
+    assert(fr(0).frames.size == 2 &&
+      (fr(0).frames(0)(0) & 0xff) == 0xff && (fr(0).frames(0)(1) & 0xff) == 0xd8,
+      "pipeline AVI frames are real JPEGs")
+    val rs = resizeImages(media.toDS(), 4, 4).collect().sortBy(_.id)
+    assert(rs(0).width == 4 && AviMjpegCodec.frames(rs(0).media).size == 3)
+    assert(rs(1).media.toSeq == media(1).media.toSeq, "refused tier untouched")
+
+    // a non-MJPEG payload inside a video chunk refuses loudly
+    val fake = AviMjpegCodec.encode(jpegs, 8, 8)
+    val corrupted = fake.clone()
+    // flip the SOI marker of the first frame's payload
+    val idx = {
+      val first = jpegs.head
+      // find the first frame payload (search for its leading bytes)
+      fake.indexOfSlice(first)
+    }
+    corrupted(idx) = 0
+    intercept[IllegalArgumentException](AviMjpegCodec.frames(corrupted))
+  }
+
   test("multimodal stub pipeline: features and frames are deterministic batch ops") {
     val media = (1L to 200L).map(i =>
       Multimodal.Media(i, s"media-payload-$i-${"x" * (i % 37).toInt}".getBytes, 64 + i.toInt, 48, if (i % 2 == 0) "mp4" else "h264"))
