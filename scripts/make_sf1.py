@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Derive a deterministic sf1 (10x sf0.1) dataset for the SCALE bench
+(r14, the r13 verdict's #5: the within-2x criterion at sf0.1 is muddied
+by Spark's fixed plan+schedule floor; one sf1 map shows the ratios
+collapsing toward the plans' true cost).
+
+NOT driver testdata: the driver generates sf{0.001,0.01,0.1} only. This
+script UNIONS 10 key-shifted copies of the driver's own sf0.1 tables —
+every value distribution is the driver's; only the key spaces are
+translated per copy so joins stay consistent (copy k shifts each key
+space by k * (max_key + 1); nation/region are fixed dimensions and copy
+once, unshifted, like TPC-H at every SF). Duplicate-sensitive columns
+are perturbed deterministically so workloads keep their sf0.1
+character instead of becoming 90% duplicates: each copy's doc text
+gains a per-copy suffix token, embeddings gain k*1e-3 per component.
+Correctness is still gated at sf0.01 by the driver; sf1 exists ONLY for
+the bench ratio table.
+
+Usage: make_sf1.py [outdir=/tmp/graft-sf1]  (pyarrow only, no Spark)
+"""
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = '/root/testdata/sf0.1'
+OUT = sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft-sf1'
+COPIES = 10
+
+import os
+os.makedirs(OUT, exist_ok=True)
+
+tables = {n: pq.read_table(f'{SRC}/{n}.parquet') for n in
+          ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
+           'lineitem', 'events', 'documents', 'embeddings']}
+
+# one shift unit per KEY SPACE = max+1 over every column in that space
+spaces = {
+    'cust': [('customer', 'c_custkey'), ('orders', 'o_custkey')],
+    'order': [('orders', 'o_orderkey'), ('lineitem', 'l_orderkey')],
+    'part': [('part', 'p_partkey'), ('lineitem', 'l_partkey')],
+    'supp': [('supplier', 's_suppkey'), ('lineitem', 'l_suppkey')],
+    'event': [('events', 'event_id')],
+    'user': [('events', 'user_id')],
+    'doc': [('documents', 'doc_id')],
+    'vec': [('embeddings', 'vec_id')],
+}
+unit = {s: max(pc.max(tables[t][c]).as_py() for t, c in cols) + 1
+        for s, cols in spaces.items()}
+shift_cols = {(t, c): s for s, cols in spaces.items() for t, c in cols}
+
+for name in ['region', 'nation']:
+    pq.write_table(tables[name], f'{OUT}/{name}.parquet')
+    print(name, tables[name].num_rows, '(fixed dimension, unshifted)')
+
+for name, tbl in tables.items():
+    if name in ('region', 'nation'):
+        continue
+    copies = []
+    for k in range(COPIES):
+        cols = []
+        for field in tbl.schema:
+            col = tbl[field.name]
+            space = shift_cols.get((name, field.name))
+            if space is not None and k > 0:
+                col = pc.add(col, k * unit[space])
+            elif name == 'documents' and field.name == 'text' and k > 0:
+                # per-copy suffix token keeps exact/near-dup structure
+                # at sf0.1 character instead of 10x exact duplicates
+                col = pc.binary_join_element_wise(
+                    pc.cast(col, pa.string()), f' copytok{k}', '')
+            elif name == 'embeddings' and field.name == 'embedding' and k > 0:
+                flat = pc.list_flatten(col)
+                bumped = pc.add(pc.cast(flat, pa.float32()),
+                                pa.scalar(k * 1e-3, pa.float32()))
+                off = col.combine_chunks().offsets
+                col = pa.LargeListArray.from_arrays(off, bumped.combine_chunks()) \
+                    if pa.types.is_large_list(col.type) else \
+                    pa.ListArray.from_arrays(off, bumped.combine_chunks())
+            cols.append(col.combine_chunks() if hasattr(col, 'combine_chunks') else col)
+        copies.append(pa.table(dict(zip(tbl.schema.names, cols))))
+    out = pa.concat_tables(copies)
+    # cast back to the source schema (shift widened nothing: int64 + k*unit)
+    out = out.cast(tbl.schema)
+    pq.write_table(out, f'{OUT}/{name}.parquet')
+    print(name, out.num_rows)
