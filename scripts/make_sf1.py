@@ -10,9 +10,18 @@ every value distribution is the driver's; only the key spaces are
 translated per copy so joins stay consistent (copy k shifts each key
 space by k * (max_key + 1); nation/region are fixed dimensions and copy
 once, unshifted, like TPC-H at every SF). Duplicate-sensitive columns
-are perturbed deterministically so workloads keep their sf0.1
-character instead of becoming 90% duplicates: each copy's doc text
-gains a per-copy suffix token, embeddings gain k*1e-3 per component.
+are perturbed deterministically so workloads keep their sf0.1 CHARACTER
+— near-dup groups must stay the same SIZE, just 10x as many, or the
+pair-listing workloads grow 100x instead of 10x (a first cut that
+merely suffixed one token left cross-copy Jaccard ~1 and quadratically
+inflated every near-dup entry; rejected). Copies are made DISSIMILAR:
+doc text gets a per-copy filler token spliced after every 3rd token
+(cross-copy 3-shingle Jaccard ~0.14 << the 0.8 entry threshold;
+within-copy planted duplicates keep identical fillers, so the planted
+structure is intact per copy), embeddings get a per-copy +-70%
+multiplicative noise PROFILE (one deterministic 64-dim profile per
+copy: cross-copy cosine ~0.86 << the 0.95 threshold; within-copy
+planted near-identicals share the profile and stay near-identical).
 Correctness is still gated at sf0.01 by the driver; sf1 exists ONLY for
 the bench ratio table.
 
@@ -66,18 +75,25 @@ for name, tbl in tables.items():
             if space is not None and k > 0:
                 col = pc.add(col, k * unit[space])
             elif name == 'documents' and field.name == 'text' and k > 0:
-                # per-copy suffix token keeps exact/near-dup structure
-                # at sf0.1 character instead of 10x exact duplicates
-                col = pc.binary_join_element_wise(
-                    pc.cast(col, pa.string()), f' copytok{k}', '')
+                # splice a per-copy filler after every 3rd token: most
+                # 3-shingles now contain a filler, so cross-copy Jaccard
+                # collapses while within-copy structure is untouched
+                col = pc.replace_substring_regex(
+                    pc.cast(col, pa.string()),
+                    pattern=r'((?:\S+\s+){3})', replacement=rf'\1ct{k} ')
             elif name == 'embeddings' and field.name == 'embedding' and k > 0:
-                flat = pc.list_flatten(col)
-                bumped = pc.add(pc.cast(flat, pa.float32()),
-                                pa.scalar(k * 1e-3, pa.float32()))
-                off = col.combine_chunks().offsets
-                col = pa.LargeListArray.from_arrays(off, bumped.combine_chunks()) \
-                    if pa.types.is_large_list(col.type) else \
-                    pa.ListArray.from_arrays(off, bumped.combine_chunks())
+                import numpy as np
+                arr = col.combine_chunks()
+                flat = pc.cast(pc.list_flatten(arr), pa.float32()).to_numpy(
+                    zero_copy_only=False)
+                n = len(arr)
+                dims = len(flat) // n
+                assert dims * n == len(flat), 'ragged embedding lists'
+                profile = (1.0 + np.random.default_rng(k).uniform(
+                    -0.7, 0.7, dims)).astype(np.float32)
+                noisy = pa.array((flat.reshape(n, dims) * profile).ravel(),
+                                 pa.float32())
+                col = pa.ListArray.from_arrays(arr.offsets, noisy)
             cols.append(col.combine_chunks() if hasattr(col, 'combine_chunks') else col)
         copies.append(pa.table(dict(zip(tbl.schema.names, cols))))
     out = pa.concat_tables(copies)

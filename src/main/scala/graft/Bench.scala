@@ -123,6 +123,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // r14: comma-separated entry names to omit (the derived-sf1 sweep
+    // skips dedup_containment, whose planted char-4 dense-universe
+    // worst case is deliberately quadratic in corpus size — ~100x its
+    // sf0.1 cost at sf1, out of budget for a full-map run). The
+    // driver's own sf0.1 runs set nothing and measure everything.
+    val skip = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val headline = Headline.filterNot(skip)
     val loadStart = loadAvg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -182,7 +190,7 @@ object Bench {
     // unchanged, so round comparisons line up.
     val controls = Seq("zc_insert_query", "zc_query_filter", "zc_axis_range",
       "zc_col_zone", "zc_bloom", "zc_to_arrays", "zc_changes")
-      .filter(Headline.contains)
+      .filter(headline.contains)
     def settle(maxWaitMs: Long): Unit = {
       val t0 = System.currentTimeMillis()
       val cores = Runtime.getRuntime.availableProcessors()
@@ -192,7 +200,7 @@ object Bench {
     settle(60000)
     val controlResults = controls.map { name => name -> minOf(reps)(runOnce(name)) }
     val results = controlResults ++
-      Headline.filterNot(controls.contains).map { name => name -> minOf(reps)(runOnce(name)) }
+      headline.filterNot(controls.contains).map { name => name -> minOf(reps)(runOnce(name)) }
 
     // View alignment read over the events collection built by zc_build:
     // overlay written once (untimed), the timed part is the sort-free

@@ -38,6 +38,7 @@ object BenchOne {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
+      System.err.println(f"[benchone] $name ${secs.min}%.3f s (all: ${secs.map(s => f"$s%.2f").mkString(",")})")
       name -> secs.min
     }
     println(out.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }
