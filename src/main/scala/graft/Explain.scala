@@ -21,7 +21,8 @@ object Explain {
     "dedup_semantic" -> "zero-shuffle centroid assignment; ONE cluster-keyed Exchange",
     "ann_bruteforce" -> "queries broadcast; corpus vectors never shuffle",
     "ann_ivf" -> "probed-list pruning in-plan; bounded TopKAgg, no global sort",
-    "text_top_terms" -> "map-side-combined aggs; vocabulary join NOT broadcast (by design)",
+    "text_top_terms" -> "xxhash64-keyed tf/df/join (r14); strings only in the vocabulary-sized groupBy-first recovery, nothing force-broadcast",
+    "q_range_frame" -> "trailing RANGE frame as a prefix-sum difference (r14): ONE scan, one Generate point expansion, two incremental window frames - no per-row frame re-aggregation",
     "text_quality_gate" -> "corpus unsorted; distinct-score scan; broadcast cutoffs",
     "text_mixture" -> "one shuffle on the source key; budget gate inside the window projection",
     "zc_query_filter" -> "manifest-pruned file set: the scan lists only surviving files",

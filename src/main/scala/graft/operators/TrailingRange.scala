@@ -30,11 +30,12 @@ import org.apache.spark.sql.functions._
   * `ord` read identical prefix sums (the running frame is a RANGE
   * growing frame, peers included), exactly like SQL's RANGE frame.
   *
-  * Scale shape: one hash exchange on the partition key, two sorts
-  * (data ordinal; union ordinal) both inside that exchange, union
-  * doubles the row count transiently — no joins, no per-row frame
-  * re-aggregation, cost linear in rows after the sorts regardless of
-  * how dense a single key's trailing window is.
+  * Scale shape: ONE scan, ONE hash exchange on the partition key, two
+  * sorts (data ordinal; merge ordinal) both inside that exchange; the
+  * point expansion is a single Generate that transiently doubles the
+  * row count — no joins, no second pass over the input, no per-row
+  * frame re-aggregation, cost linear in rows after the sorts
+  * regardless of how dense a single key's trailing window is.
   *
   * Exactness: sums are computed in whatever type `sum(value)` yields —
   * pass DECIMAL columns for exact arithmetic (decimal subtraction is
@@ -80,27 +81,37 @@ object TrailingRange {
           sum(v).over(wCum).as(cn)
         }: _*)
 
-    // union-merge: data points carry the prefix sums, query points carry
-    // the row payload and its own prefix sums; both sort on the ordinal,
-    // data first at ties.
-    val payload = struct(
-      (outCols.map(col) ++ cumNames.map(col)): _*).as("_zc_payload")
-    val dataLeg = withCum.select(
-      partNames.map(col) ++ Seq(
-        col("_zc_ord").as("_zc_k"), lit(0).as("_zc_tag"),
-        lit(null).cast(withCum.select(payload).schema.head.dataType)
-          .as("_zc_payload")) ++
+    // merge: every row becomes TWO points in one Generate (r14b — both
+    // points derive from the SAME windowed frame, so an explode is
+    // strictly cheaper than the AsOf-style union, which would plan the
+    // scan→exchange→sort→window subtree once per leg and lean on AQE
+    // stage reuse to dedupe it): a DATA point at its own ordinal
+    // carrying the prefix sums, and a QUERY point keyed just below its
+    // frame's lower bound carrying the row payload and its own sums.
+    // Both sort on the ordinal, data first at ties.
+    val payloadType = withCum.select(
+      struct((outCols.map(col) ++ cumNames.map(col)): _*)).schema.head.dataType
+    val dataPoint = struct(
+      col("_zc_ord").as("_zc_k") +: lit(0).as("_zc_tag") +:
+        lit(null).cast(payloadType).as("_zc_payload") +:
         cumNames.map(col): _*)
-    val queryLeg = withCum.select(
-      partNames.map(col) ++ Seq(
-        (col("_zc_ord") - lit(span) - lit(1L)).as("_zc_k"), lit(1).as("_zc_tag"),
-        payload) ++
+    val queryPoint = struct(
+      (col("_zc_ord") - lit(span) - lit(1L)).as("_zc_k") +:
+        lit(1).as("_zc_tag") +:
+        struct((outCols.map(col) ++ cumNames.map(col)): _*).as("_zc_payload") +:
         cumNames.map(c => lit(null).cast(withCum.schema(c).dataType).as(c)): _*)
+    val points = withCum.select(
+      partNames.map(col) :+ explode(array(dataPoint, queryPoint)).as("_zc_e"): _*)
+      .select(partNames.map(col) ++ Seq(
+        col("_zc_e").getField("_zc_k").as("_zc_k"),
+        col("_zc_e").getField("_zc_tag").as("_zc_tag"),
+        col("_zc_e").getField("_zc_payload").as("_zc_payload")) ++
+        cumNames.map(c => col("_zc_e").getField(c).as(c)): _*)
 
     val wMerge = Window.partitionBy(partNames.map(col): _*)
       .orderBy(col("_zc_k"), col("_zc_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val merged = dataLeg.unionByName(queryLeg).select(
+    val merged = points.select(
       col("_zc_payload") +:
         cumNames.zipWithIndex.map { case (cn, i) =>
           last(col(cn), ignoreNulls = true).over(wMerge).as(s"_zc_pre$i")
