@@ -257,7 +257,11 @@ object Bench {
     val qs = (Seq("zc_build" -> buildSec, "zc_build_skip" -> buildSkipSec) ++ results) ++
       Seq("view_query" -> viewSec, "clone_fork" -> cloneSec) ++ refResults ++
       spjDppResults ++ dvResults
-    val qsJson = qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // Locale-pinned (r15, BenchOne advice applied here too): a
+    // comma-decimal default locale would make the artifact unparseable.
+    def num3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def num2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qsJson = qs.map { case (k, v) => "\"" + k + "\":" + num3(v) }.mkString("{", ",", "}")
     val total = buildSec + buildSkipSec + results.map(_._2).sum +
       refResults.filterNot(_._1.startsWith("insert_")).map(_._2).sum +
       refResults.collect { case ("insert_full_dataset", v) => v }.sum
@@ -284,7 +288,7 @@ object Bench {
         s"{$body}"
       }
     }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"queries":$qsJson,"duckdb_sec":$duckJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${num3(total)},"unit":"sec","reps":$reps,"loadavg_start":${num2(loadStart)},"loadavg_end":${num2(loadEnd)},"queries":$qsJson,"duckdb_sec":$duckJson,"sf":"$sfDir"}"""
     println(line)
     // r13 (the r12 verdict's #3): the driver keeps only a bounded TAIL
     // of stdout, which truncated r12's entire Spark time map out of

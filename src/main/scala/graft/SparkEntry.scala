@@ -1869,12 +1869,15 @@ object SparkEntry {
             lit(" Contact bob.smith+spam@example-mail.co.uk or call +1 (555) 123-4567.")).otherwise(lit("")),
           when(col("doc_id") % 11 === 0,
             lit(" Served from 192.168.000.1 at port 8080.")).otherwise(lit(""))).as("text"))
+      // r15: ONE fused native scan (PiiScan) instead of three
+      // regexp_replace + two regexp_extract_all traversals; identical
+      // output (spec-pinned vs the builtin chain the oracle replays).
       planted.select(col("doc_id"),
-          TextFunctions.redactPii(col("text")).as("red"),
-          size(regexp_extract_all(col("text"), lit(TextFunctions.EmailPattern), lit(0)))
-            .cast("int").as("n_email"),
-          size(regexp_extract_all(col("text"), lit(TextFunctions.Ipv4Pattern), lit(0)))
-            .cast("int").as("n_ip"))
+          TextFunctions.redactPiiStats(col("text")).as("_zc_red"))
+        .select(col("doc_id"),
+          col("_zc_red").getField("red").as("red"),
+          col("_zc_red").getField("n_email").as("n_email"),
+          col("_zc_red").getField("n_ip").as("n_ip"))
         .orderBy("doc_id")
     }),
 

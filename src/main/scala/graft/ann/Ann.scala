@@ -1094,15 +1094,35 @@ object Ann {
     * generation: the meta stamp (fs.exists + open + read) and the
     * centroids/codebooks parquet collects now also serve from the TTL
     * window, so a serve loop pays zero index-side IO between probes.
-    * Same-JVM builds/refreshes drop all three entries. */
-  private val freshMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
-  private val metaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Option[IndexMeta], Long)]()
-  private val centroidMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[(Long, Array[Float])], Long)]()
-  private val codebookMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Array[Float]]], Long)]()
+    * Same-JVM builds/refreshes drop all three entries.
+    *
+    * r15 (the r14 advice): entries carry the TTL they were stored
+    * under and every put sweeps entries past their OWN ttl — a
+    * long-lived driver that touches many index paths (or TTL-reads
+    * since-deleted indexes) no longer pins centroid/codebook arrays
+    * forever; the sweep is O(live entries) and runs at most once per
+    * TTL window per path. Each GET still applies the CALLER's
+    * `maxStalenessMs` against the stored check time, so a stricter
+    * caller never accepts a looser caller's older entry. */
+  private final class TtlMemo[A] {
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[String, (A, Long, Long)]()
+    def remove(key: String): Unit = m.remove(key)
+    def get(key: String, now: Long, maxStalenessMs: Long): Option[A] =
+      Option(m.get(key)).collect { case (v, at, _) if now - at <= maxStalenessMs => v }
+    def put(key: String, v: A, now: Long, ttlMs: Long): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (now - e.getValue._2 > e.getValue._3) it.remove()
+      }
+      m.put(key, (v, now, ttlMs))
+    }
+  }
+  private val freshMemo = new TtlMemo[Long]
+  private val metaMemo = new TtlMemo[Option[IndexMeta]]
+  private val centroidMemo = new TtlMemo[Array[(Long, Array[Float])]]
+  private val codebookMemo = new TtlMemo[Array[Array[Array[Float]]]]
 
   private def memoKey(path: String): String =
     new org.apache.hadoop.fs.Path(path).toString
@@ -1121,15 +1141,14 @@ object Ann {
   }
 
   /** TTL-memoized lookup shared by the serve-path reads. */
-  private def ttlMemo[A](memo: java.util.concurrent.ConcurrentHashMap[String, (A, Long)],
+  private def ttlMemo[A](memo: TtlMemo[A],
       path: String, maxStalenessMs: Long)(load: => A): A = {
     if (maxStalenessMs <= 0L) load
     else {
       val key = memoKey(path)
       val now = System.currentTimeMillis()
-      Option(memo.get(key))
-        .collect { case (v, at) if now - at <= maxStalenessMs => v }
-        .getOrElse { val v = load; memo.put(key, (v, now)); v }
+      memo.get(key, now, maxStalenessMs)
+        .getOrElse { val v = load; memo.put(key, v, now, maxStalenessMs); v }
     }
   }
 
@@ -1162,12 +1181,12 @@ object Ann {
     if (allowStale) return
     readIndexMetaTtl(spark, path, maxStalenessMs).foreach { m =>
       val now = System.currentTimeMillis()
-      val cur = Option(freshMemo.get(memoKey(path)))
-        .collect { case (g, at) if maxStalenessMs > 0L && now - at <= maxStalenessMs => g }
+      val cur = (if (maxStalenessMs > 0L) freshMemo.get(memoKey(path), now, maxStalenessMs)
+                 else None)
         .getOrElse {
           freshnessProbes.incrementAndGet()
           val g = graft.core.Collection.open(spark, m.root, readOnly = true).generation
-          freshMemo.put(memoKey(path), (g, now))
+          freshMemo.put(memoKey(path), g, now, math.max(maxStalenessMs, 0L))
           g
         }
       if (cur != m.generation)

@@ -41,7 +41,11 @@ object BenchOne {
       System.err.println(f"[benchone] $name ${secs.min}%.3f s (all: ${secs.map(s => f"$s%.2f").mkString(",")})")
       name -> secs.min
     }
-    println(out.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }
+    // Locale-pinned: the f interpolator honors the JVM default locale, so
+    // a comma-decimal locale would emit {"name":0,123} — unparseable by
+    // the sf1/survey scripts. Machine-read JSON always formats in ROOT.
+    println(out.map { case (n, s) =>
+        s""""$n":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))}""" }
       .mkString("{", ",", "}"))
     spark.stop()
   }

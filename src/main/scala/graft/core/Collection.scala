@@ -3710,8 +3710,14 @@ final class Collection private (
       rows.exists(r => r.isNullAt(0) || r.getString(0).isEmpty ||
         !byAbs.contains(new Path(r.getString(0)).toUri.getPath))
     lastVictimPassMismatch = false
+    // r15 (the r14 advice): pass 1 also folds a constant-state XOR
+    // checksum of the matched rowids per file, so pass 2 can detect an
+    // augment-over-mutable-state that changes WHICH rows match while
+    // keeping each file's count equal (a count-only comparison would
+    // commit pass-2 ids against a pass-1 heavy/light split).
     val counts = victimsOf(affected)
-      .groupBy(col("_zc_f")).agg(count(lit(1)).as("_zc_n"))
+      .groupBy(col("_zc_f")).agg(count(lit(1)).as("_zc_n"),
+        expr(s"bit_xor(`${Collection.RowIdCol}`)").as("_zc_x"))
       .collect()
     lastVictimScanDriverRows = counts.length
     victimPassBarrier()
@@ -3719,6 +3725,8 @@ final class Collection private (
     if (provenanceLost(counts)) return None
     val byFile = counts.map(r =>
       byAbs(new Path(r.getString(0)).toUri.getPath) -> r.getLong(1)).toMap
+    val xorByFile = counts.map(r =>
+      byAbs(new Path(r.getString(0)).toUri.getPath) -> r.getLong(2)).toMap
     val lightFiles = byFile.collect {
       case (f, n) if n <= Collection.DvMaxPerFile => f
     }.toSeq.sorted
@@ -3745,8 +3753,14 @@ final class Collection private (
         // light file whose id list disagrees with its count — or that
         // vanished entirely — would silently drop victims; refuse and
         // fall back to the rewrite path, which evaluates cond/augment
-        // exactly once.
-        if (lightFiles.exists(f => !got.get(f).exists(_.length == byFile(f)))) {
+        // exactly once. r15: the comparison is count AND rowid-XOR
+        // checksum, so equal-count-different-membership drifts are also
+        // caught (an XOR collision remains theoretically possible; the
+        // rewrite path stays the authoritative single-evaluation plan).
+        if (lightFiles.exists { f =>
+              !got.get(f).exists(ids => ids.length == byFile(f) &&
+                ids.foldLeft(0L)(_ ^ _) == xorByFile(f))
+            }) {
           lastVictimPassMismatch = true
           return None
         }

@@ -706,7 +706,19 @@ object Dedup {
     * scan the right plan. `Some(Nil)` = empty batch (callers
     * early-return). */
   private[graft] def pruneCap: Int =
-    sys.props.get("graft.dedup.pruneCap").map(_.toInt).getOrElse(100000)
+    sys.props.get("graft.dedup.pruneCap") match {
+      case None => 100000
+      case Some(raw) =>
+        val v =
+          try raw.trim.toLong
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"graft.dedup.pruneCap must be a non-negative integer, got '$raw'")
+          }
+        require(v >= 0, s"graft.dedup.pruneCap must be >= 0, got $v")
+        // clamp so limit(cap + 1) below can never overflow Int
+        math.min(v, (Int.MaxValue - 1).toLong).toInt
+    }
 
   private[graft] def boundedKeys(keys: DataFrame): Option[Seq[Long]] = {
     val cap = pruneCap

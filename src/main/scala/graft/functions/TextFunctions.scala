@@ -119,6 +119,14 @@ object TextFunctions {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** Fused redact + counts (r15): struct(red, n_email, n_ip) from ONE
+    * native expression ([[graft.functions.PiiScan]]'s hand-rolled
+    * scans) — `red` is exactly [[redactPii]]'s sequential chain,
+    * `n_email`/`n_ip` count the patterns on the ORIGINAL text
+    * (bit-equality with the builtin chain is spec-pinned). */
+  def redactPiiStats(text: Column): Column =
+    graft.functions.PiiScan.redactStatsCol(text)
+
   /** Bind an expensive array expression to a lambda variable so the body
     * reads it as a variable instead of re-evaluating it per element —
     * interpreted higher-order lambdas re-evaluate every subexpression of

@@ -924,12 +924,32 @@ object Corpus {
     * (C4/Dolma ship the same three regex classes). The patterns stay
     * inside RE2's common subset (no backreferences, no lookaround), so
     * any engine applies them identically. Pure per-row scalar map: NO
-    * shuffle, pipelines inside WholeStageCodegen at any scale. */
+    * shuffle, pipelines inside WholeStageCodegen at any scale.
+    *
+    * r15 (the r14 verdict's #1): the production path runs
+    * [[graft.functions.PiiScan]]'s fused hand-rolled scans — one
+    * native expression instead of three `regexp_replace` plus three
+    * `regexp_extract_all` java.util.regex traversals per document.
+    * [[piiScrubBuiltin]] keeps the original builtin chain as the
+    * bit-equality spec twin (and documents the exact semantics). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
   val PhonePattern = "\\+[0-9]{7,15}"
 
   def piiScrub(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val st = graft.functions.PiiScan.piiStatsCol(text)
+    df.select(id.as("doc_id"), st.as("_zc_pii"))
+      .select(
+        col("doc_id"),
+        col("_zc_pii").getField("emails").as("emails"),
+        col("_zc_pii").getField("ipv4s").as("ipv4s"),
+        col("_zc_pii").getField("phones").as("phones"),
+        col("_zc_pii").getField("clean").as("clean"))
+  }
+
+  /** The builtin-regexp formulation [[piiScrub]] fuses — kept as its
+    * spec-pinned semantic definition. */
+  def piiScrubBuiltin(df: DataFrame, id: Column, text: Column): DataFrame = {
     def cnt(c: Column, pat: String) = size(regexp_extract_all(c, lit(pat), lit(0)))
     df.select(
       id.as("doc_id"),

@@ -38,10 +38,25 @@ import org.apache.spark.sql.functions._
   * regardless of how dense a single key's trailing window is.
   *
   * Exactness: sums are computed in whatever type `sum(value)` yields —
-  * pass DECIMAL columns for exact arithmetic (decimal subtraction is
-  * exact, so prefix difference == direct frame sum bit-for-bit);
-  * DOUBLE sums may differ in ULPs from a direct frame sum because
-  * addition order differs.
+  * pass DECIMAL columns for exact arithmetic over NON-NULL inputs
+  * (decimal subtraction is exact, so prefix difference == direct frame
+  * sum); DOUBLE sums may differ from a direct frame sum because
+  * addition order differs — and, beyond ULPs, the UNBOUNDED running
+  * prefix can grow arbitrarily large even where every bounded frame's
+  * direct sum stays small, so a double prefix difference can lose
+  * precision catastrophically (large C(i) minus nearly-equal C(lo)),
+  * and a decimal prefix can overflow its precision and NULL/throw
+  * where the bounded direct frame would not. If the running total of
+  * `value` over a single key can exceed what the sum type holds (or,
+  * for doubles, dwarf the per-frame sums), use a direct RANGE frame or
+  * widen the type before calling.
+  *
+  * NULLs: a nullable value column gets a second prefix leg counting
+  * non-null inputs, and a frame whose inputs are all NULL returns NULL
+  * — matching SQL's frame-sum semantics exactly (without the guard the
+  * prefix difference would return 0 from two equal non-null prefixes).
+  * The extra leg is skipped when the analyzer proves the column
+  * non-nullable (q_range_frame's inputs, for instance, pay nothing).
   *
   * Reference semantics: pandas `Series.rolling('24h').sum()` /
   * DuckDB `RANGE BETWEEN ... PRECEDING AND CURRENT ROW`
@@ -56,9 +71,11 @@ object TrailingRange {
     *               `[ord_i - span, ord_i]`, span >= 0
     * @param values (outputName, valueExpr) pairs; each output column is
     *               `sum(valueExpr)` over the trailing frame (count =
-    *               sum of `lit(1L)`). Empty frames (possible only with
-    *               span < 0, excluded) cannot occur: the current row is
-    *               always in its own frame, so outputs are non-null.
+    *               sum of `lit(1L)`). The frame is never EMPTY (the
+    *               current row is always in it), but a nullable value
+    *               whose frame inputs are all NULL yields NULL, exactly
+    *               as SQL's frame sum does; non-nullable values always
+    *               yield non-null outputs.
     * @return `df`'s columns plus one column per `values` entry */
   def agg(df: DataFrame, part: Seq[Column], ord: Column, span: Long,
           values: Seq[(String, Column)]): DataFrame = {
@@ -67,11 +84,20 @@ object TrailingRange {
     val outCols = df.columns.toSeq
     val partNames = part.indices.map(i => s"_zc_p$i")
     val cumNames = values.indices.map(i => s"_zc_cum$i")
+    val cntNames = values.indices.map(i => s"_zc_cnt$i")
 
     val base = df.select(
       outCols.map(col) ++
         part.zip(partNames).map { case (c, n) => c.as(n) } :+
         ord.cast("long").as("_zc_ord"): _*)
+    // r15 (the r14 advice): a nullable value needs a non-null-count leg
+    // so an all-NULL frame returns NULL (SQL frame-sum semantics)
+    // instead of the 0 a difference of equal non-null prefixes gives.
+    // The analyzer decides: provably non-nullable columns skip the leg.
+    val valueNullable: Seq[Boolean] =
+      base.select(values.map(_._2): _*).schema.map(_.nullable).toSeq
+    val legNames: Seq[String] = cumNames ++
+      values.indices.collect { case i if valueNullable(i) => cntNames(i) }
     val wCum = Window.partitionBy(partNames.map(col): _*)
       .orderBy(col("_zc_ord"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
@@ -79,6 +105,9 @@ object TrailingRange {
       base.columns.map(col) ++
         values.zip(cumNames).map { case ((_, v), cn) =>
           sum(v).over(wCum).as(cn)
+        } ++
+        values.zipWithIndex.collect { case ((_, v), i) if valueNullable(i) =>
+          count(v).over(wCum).as(cntNames(i))
         }: _*)
 
     // merge: every row becomes TWO points in one Generate (r14b — both
@@ -90,31 +119,33 @@ object TrailingRange {
     // frame's lower bound carrying the row payload and its own sums.
     // Both sort on the ordinal, data first at ties.
     val payloadType = withCum.select(
-      struct((outCols.map(col) ++ cumNames.map(col)): _*)).schema.head.dataType
+      struct((outCols.map(col) ++ legNames.map(col)): _*)).schema.head.dataType
     val dataPoint = struct(
       col("_zc_ord").as("_zc_k") +: lit(0).as("_zc_tag") +:
         lit(null).cast(payloadType).as("_zc_payload") +:
-        cumNames.map(col): _*)
+        legNames.map(col): _*)
     val queryPoint = struct(
       (col("_zc_ord") - lit(span) - lit(1L)).as("_zc_k") +:
         lit(1).as("_zc_tag") +:
-        struct((outCols.map(col) ++ cumNames.map(col)): _*).as("_zc_payload") +:
-        cumNames.map(c => lit(null).cast(withCum.schema(c).dataType).as(c)): _*)
+        struct((outCols.map(col) ++ legNames.map(col)): _*).as("_zc_payload") +:
+        legNames.map(c => lit(null).cast(withCum.schema(c).dataType).as(c)): _*)
     val points = withCum.select(
       partNames.map(col) :+ explode(array(dataPoint, queryPoint)).as("_zc_e"): _*)
       .select(partNames.map(col) ++ Seq(
         col("_zc_e").getField("_zc_k").as("_zc_k"),
         col("_zc_e").getField("_zc_tag").as("_zc_tag"),
         col("_zc_e").getField("_zc_payload").as("_zc_payload")) ++
-        cumNames.map(c => col("_zc_e").getField(c).as(c)): _*)
+        legNames.map(c => col("_zc_e").getField(c).as(c)): _*)
 
     val wMerge = Window.partitionBy(partNames.map(col): _*)
       .orderBy(col("_zc_k"), col("_zc_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val preName: Map[String, String] =
+      legNames.zipWithIndex.map { case (ln, i) => ln -> s"_zc_pre$i" }.toMap
     val merged = points.select(
       col("_zc_payload") +:
-        cumNames.zipWithIndex.map { case (cn, i) =>
-          last(col(cn), ignoreNulls = true).over(wMerge).as(s"_zc_pre$i")
+        legNames.map { ln =>
+          last(col(ln), ignoreNulls = true).over(wMerge).as(preName(ln))
         } :+
         col("_zc_tag"): _*)
       .where(col("_zc_tag") === 1)
@@ -122,9 +153,17 @@ object TrailingRange {
     merged.select(
       outCols.map(c => col("_zc_payload").getField(c).as(c)) ++
         values.zipWithIndex.map { case ((name, _), i) =>
-          (col("_zc_payload").getField(s"_zc_cum$i") -
-            coalesce(col(s"_zc_pre$i"),
-              lit(0).cast(withCum.schema(s"_zc_cum$i").dataType))).as(name)
+          val sumType = withCum.schema(cumNames(i)).dataType
+          val diff = col("_zc_payload").getField(cumNames(i)) -
+            coalesce(col(preName(cumNames(i))), lit(0).cast(sumType))
+          val out =
+            if (!valueNullable(i)) diff
+            else {
+              val frameCnt = col("_zc_payload").getField(cntNames(i)) -
+                coalesce(col(preName(cntNames(i))), lit(0L))
+              when(frameCnt === 0L, lit(null).cast(sumType)).otherwise(diff)
+            }
+          out.as(name)
         }: _*)
   }
 }

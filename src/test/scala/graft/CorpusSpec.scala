@@ -625,6 +625,100 @@ class CorpusSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  /** Adversarial fixture corpus for the PiiScan scanners: skewed toward
+    * the pattern alphabets (digit runs, dot runs, '@', '+', parens) so
+    * boundary/backtracking edge cases actually occur, with realistic and
+    * deliberately-broken PII fragments spliced in. */
+  private def piiAdversarial: Seq[String] = {
+    val rnd = new scala.util.Random(151)
+    val alphabet = "0123456789....+++@@  ()--__%%<>abcXYZé中"
+    val fragments = Seq(
+      "a@b.cc", "user.name+tag@mail.example.org", "x@y.io", "@no.local",
+      "no-at-sign.com", "1.2.3.4", "192.168.000.1", "999.999.999.999",
+      "1234.5.6.7.8", "1.2.3.4567.8", "1.2.3.4.5", "12.34.56.", ".1.2.3.4",
+      "a1.2.3.4", "1.2.3.4a", "1.2.3.4@x.com", "cc1.2.3.4", "+12345678",
+      "+123456", "+1234567890123456789", "+1 (555) 123-4567",
+      "+1 (23) 456789a@b.cc", "call +4915123456789 now", "+1-2-3-4-5-6-7-8",
+      "+ 12345678", "tel:+14155550100", "a@b.cc1.2.3.4", "x@y.z", "x@.com",
+      "x@c.c1", "é@ex.fr", "😀+12345678😀")
+    val gens = (0 until 2500).map { _ =>
+      val n = rnd.nextInt(60)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) {
+        if (rnd.nextInt(8) == 0 && fragments.nonEmpty)
+          sb.append(fragments(rnd.nextInt(fragments.length)))
+        else sb.append(alphabet.charAt(rnd.nextInt(alphabet.length)))
+        i += 1
+      }
+      sb.toString
+    }
+    fragments ++ gens :+ ""
+  }
+
+  test("PiiScan scanners reproduce java.util.regex exactly on adversarial input (r15)") {
+    import java.util.regex.Pattern
+    import graft.functions.{PiiScan, TextFunctions}
+    import org.apache.spark.unsafe.types.UTF8String
+    def refCount(pat: Pattern, s: String): Int = {
+      val m = pat.matcher(s); var c = 0; while (m.find()) c += 1; c
+    }
+    def refReplace(pat: Pattern, s: String, rep: String): String =
+      pat.matcher(s).replaceAll(rep)
+    val email = Pattern.compile(Corpus.EmailPattern)
+    val ipPlain = Pattern.compile(Corpus.Ipv4Pattern)
+    val ipB = Pattern.compile(TextFunctions.Ipv4Pattern)
+    val phStrict = Pattern.compile(Corpus.PhonePattern)
+    val phLoose = Pattern.compile(TextFunctions.PhonePattern)
+    piiAdversarial.foreach { s =>
+      // piiStats: counts on the original, clean = sequential chain
+      val st = PiiScan.piiStats(UTF8String.fromString(s))
+      assert(st.getInt(0) == refCount(email, s), s"emails on <$s>")
+      assert(st.getInt(1) == refCount(ipPlain, s), s"ipv4s on <$s>")
+      assert(st.getInt(2) == refCount(phStrict, s), s"phones on <$s>")
+      val cleanRef = refReplace(phStrict,
+        refReplace(ipPlain, refReplace(email, s, "<EMAIL>"), "<IP>"), "<PHONE>")
+      assert(st.getUTF8String(3).toString == cleanRef, s"clean on <$s>")
+      // redactStats: \b-anchored IPv4 + loose phone
+      val rd = PiiScan.redactStats(UTF8String.fromString(s))
+      val redRef = refReplace(phLoose,
+        refReplace(ipB, refReplace(email, s, "<EMAIL>"), "<IP>"), "<PHONE>")
+      assert(rd.getUTF8String(0).toString == redRef, s"red on <$s>")
+      assert(rd.getInt(1) == refCount(email, s), s"n_email on <$s>")
+      assert(rd.getInt(2) == refCount(ipB, s), s"n_ip on <$s>")
+    }
+  }
+
+  test("fused piiScrub / redactPiiStats are bit-identical to the builtin regexp chain (r15)") {
+    import graft.functions.TextFunctions
+    val d = piiAdversarial.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+      .repartition(4)
+    val fused = Corpus.piiScrub(d, col("doc_id"), col("text"))
+    val builtin = Corpus.piiScrubBuiltin(d, col("doc_id"), col("text"))
+    assert(fused.exceptAll(builtin).isEmpty && builtin.exceptAll(fused).isEmpty,
+      "fused piiScrub must equal the builtin regexp chain")
+    val fusedRed = d.select(col("doc_id"),
+        TextFunctions.redactPiiStats(col("text")).as("_r"))
+      .select(col("doc_id"), col("_r.red").as("red"),
+        col("_r.n_email").as("n_email"), col("_r.n_ip").as("n_ip"))
+    val builtinRed = d.select(col("doc_id"),
+      TextFunctions.redactPii(col("text")).as("red"),
+      size(regexp_extract_all(col("text"), lit(TextFunctions.EmailPattern), lit(0)))
+        .cast("int").as("n_email"),
+      size(regexp_extract_all(col("text"), lit(TextFunctions.Ipv4Pattern), lit(0)))
+        .cast("int").as("n_ip"))
+    assert(fusedRed.exceptAll(builtinRed).isEmpty &&
+           builtinRed.exceptAll(fusedRed).isEmpty,
+      "fused redact must equal the builtin regexp chain")
+    // NULL text: struct is null end-to-end, like the regexp builtins
+    val withNull = Seq((1L, Option("a@b.cc")), (2L, None))
+      .toDF("doc_id", "text")
+    val nr = Corpus.piiScrub(withNull, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(nr(1).isNullAt(1) && nr(1).isNullAt(4))
+  }
+
   test("KMV sketch: exact below k, stable estimate above k, partition-invariant (r9b)") {
     import graft.functions.{Fnv1a64, KmvSketch}
     // group 'small' has 10 distinct values (< k=16): estimate is EXACT

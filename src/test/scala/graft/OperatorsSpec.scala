@@ -770,4 +770,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g0.exceptAll(d0).isEmpty && d0.exceptAll(g0).isEmpty,
       "span=0 must reduce to the peer-group frame")
   }
+
+  test("TrailingRange.agg matches the direct RANGE frame on NULLABLE values, " +
+       "including all-NULL frames (r15, r14 advice)") {
+    import org.apache.spark.sql.expressions.Window
+    // ~60% NULL values so many frames are all-NULL: the prefix-sum
+    // difference alone would answer 0 there; SQL's frame sum is NULL.
+    val rnd = new scala.util.Random(15)
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, rnd.nextInt(7).toLong, rnd.nextInt(50).toLong * 10L,
+       if (rnd.nextInt(10) < 6) None else Some(rnd.nextInt(20000).toLong))
+    }
+    val df = rows.toDF("id", "k", "ord", "v")
+    assert(df.schema("v").nullable, "fixture must exercise the nullable leg")
+    val span = 40L
+    val wd = Window.partitionBy(col("k")).orderBy(col("ord"))
+      .rangeBetween(-span, 0)
+    val direct = df.withColumn("s", sum(col("v")).over(wd)).select("id", "s")
+    val got = TrailingRange.agg(df, Seq(col("k")), col("ord"), span,
+        Seq("s" -> col("v")))
+      .select(col("id"), col("s").cast(direct.schema("s").dataType))
+    assert(direct.where(col("s").isNull).count() > 0,
+      "fixture must contain all-NULL frames")
+    assert(got.exceptAll(direct).isEmpty && direct.exceptAll(got).isEmpty,
+      "nullable prefix-sum trailing frame must equal the direct RANGE frame")
+  }
 }
