@@ -85,6 +85,10 @@ object Bench {
     // per-domain cap, running distinct count, streaming top-k,
     // chained-stateful streaming distinct, contamination report
     "stream_asof_join", "dedup_containment", "text_domain_cap",
+    // r15: the word-shingle (sparse-universe) containment twin — the
+    // PPJoin prefix plan's scale row; unlike the char-4 dense worst
+    // case it runs at sf1 too.
+    "dedup_containment_word",
     "q_distinct_window", "stream_window_topn", "stream_distinct_window",
     "text_contamination_report", "q_unpivot", "text_bpe_encode",
     "dedup_groups", "zc_fsck", "text_novelty",

@@ -1596,6 +1596,28 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // C57b (r15, the r14 verdict's #7): the SAME containment operator on
+    // WORD 3-gram shingles — a SPARSE universe (27k distinct trigrams at
+    // sf0.1 >> the 2^14 dense cutoff), so this entry exercises the
+    // PPJoin prefix-filter plan, the regime real web corpora hit, and it
+    // is benchable at sf1 where the char-4 entry's deliberately-planted
+    // dense worst case is quadratic by construction. Same prefix
+    // planting; containment of the 2/3 prefix against its source doc
+    // clears 0.9 while the sf1 per-copy filler tokens hold cross-copy
+    // trigram containment near 0.25.
+    "dedup_containment_word" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.unionByName(
+        d.where(col("doc_id") % 97 === 0).select(
+          (col("doc_id") + 1000000).as("doc_id"),
+          col("text").substr(lit(1),
+            floor(length(col("text")) * 2 / 3).cast("int")).as("text")))
+      graft.dedup.Dedup.containmentPairs(planted, "doc_id",
+          TextFunctions.wordShingles(col("text"), 3), threshold = 0.9)
+        .orderBy("a", "b")
+    }),
+
     // C5: embedding-cosine near-dup pairs at 0.95 (LSH buckets + verify).
     "dedup_cosine" -> ((s, dir) => {
       graft.ann.Ann.cosinePairs(plantedEmbeddings(s, dir), "vec_id", "embedding", 0.95)
@@ -4794,6 +4816,34 @@ object SparkEntry {
              THEN list_transform(range(1, length(text) - 2), i -> substr(text, i, 4))
              ELSE [text] END) AS s
            FROM corpus)
+         SELECT a, b, containment FROM (
+           SELECT a.doc_id AS a, b.doc_id AS b,
+                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    least(len(a.s), len(b.s)) AS containment
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+         WHERE containment >= 0.9
+         ORDER BY a, b""",
+
+    // Word 3-gram twin (sparse universe -> the PPJoin prefix plan).
+    // tokens() is split(trim(text), '\s+'); short docs contribute the
+    // whole-text single shingle, both replayed verbatim here. The hash
+    // sets Spark intersects are xxhash64 images of these string sets —
+    // identical sizes absent a 64-bit collision.
+    "dedup_containment_word" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+                  substr(text, 1, CAST(floor(length(text) * 2 / 3) AS BIGINT)) AS text
+           FROM documents WHERE doc_id % 97 = 0),
+         tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM corpus),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS s
+           FROM tok)
          SELECT a, b, containment FROM (
            SELECT a.doc_id AS a, b.doc_id AS b,
                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
