@@ -1682,6 +1682,154 @@ final class Collection private (
     ext.sorted
   }
 
+  /** FAST-FORWARD promote (r15): adopt the branch head STATE at file
+    * granularity when the parent is still AT the fork point.
+    *
+    * Sound because with the parent unmoved, "apply the branch's row
+    * diff to the parent" and "make the parent's state the branch's
+    * state" are the same multiset — but the diff path pays a CDC diff
+    * computation plus a full REWRITE of every touched partition, while
+    * adoption pays one byte COPY of the branch's own files (never a
+    * decode), re-keys the branch manifest's shard data (zone maps, row
+    * counts, commit gens, DV refs carry with zero footer IO — the
+    * [[materialize]] re-key precedent), and publishes one commit.
+    * Untouched subtrees re-key to byte-identical shard content, so
+    * content addressing makes them free. The branch stays readable
+    * (its tree is copied from, never moved), preserving the documented
+    * promote contract.
+    *
+    * Equivalence guards — any failure returns None and the caller runs
+    * the exact diff path: identical schema (caller-checked), fills,
+    * constraints, renames, droppedEver, columnSince and partition
+    * layout; every external ref resolvable (the parent's own base, or
+    * a ref the parent manifest itself also carries — a clone-of-clone).
+    *
+    * Commit semantics: adopted new files stamp the NEW parent
+    * generation (a change-feed read across the promote sees exactly
+    * the branch's net file delta); partitions that lost a fork file or
+    * changed DV state mark as REWRITES (tailing streams skip them,
+    * like the diff path's rewritten partitions), pure-append
+    * partitions stream as appends (like the r11b append-only path);
+    * `taskBase` takes the branch head's so adopted rowids stay unique.
+    * A lost commit race deletes the copied files (they are invisible)
+    * and surfaces the standard conflict. Fork files the branch dropped
+    * are left to the pin-honoring GC/vacuum (the live branch still
+    * references them until [[dropBranch]]). */
+  private def fastForwardPromote(b: Collection, forkGen: Long,
+                                 man: Manifest): Option[Seq[String]] = {
+    val bm = b.currentManifestRaw()
+    if (bm.fills != man.fills || bm.constraints != man.constraints ||
+        bm.renames != man.renames || bm.droppedEver != man.droppedEver ||
+        bm.columnSince != man.columnSince ||
+        bm.partSpec.getOrElse(partSpecJson) != man.partSpec.getOrElse(partSpecJson))
+      return None
+    val parentBase = fs.makeQualified(new Path(root)).toString.stripSuffix("/")
+    val newGen = man.generation + 1
+    val byShard = bm.shards.map(e => e -> bm.shardData(e))
+    // external refs that are neither the parent's own base nor refs the
+    // parent manifest itself carries (e.g. the parent root under a
+    // different spelling) would survive as self-external refs, which
+    // vacuum's liveness walk does not recognize — refuse those
+    val foreign = byShard.flatMap(_._2.files)
+      .filter(f => isExternal(f) && !baseOf(f).contains(parentBase)).distinct
+    if (foreign.nonEmpty) {
+      lazy val parentRefs = man.files.toSet
+      if (!foreign.forall(parentRefs.contains)) return None
+    }
+    def rekey(f: String): String =
+      if (!isExternal(f)) f // branch-local rel: copied to the same rel below
+      else if (baseOf(f).contains(parentBase)) relOf(f)
+      else f // clone-of-clone ref the parent also carries
+    // ---- physical adoption: copy branch-local data files + DV payloads
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bRoot = b.fs.makeQualified(new Path(b.root)).toString.stripSuffix("/")
+    val localFiles = byShard.flatMap(_._2.files).filterNot(isExternal).distinct
+    val localDvs = byShard.flatMap(_._2.dvs.values.map(_.path))
+      .filterNot(isExternal).distinct
+    val copied = localFiles ++ localDvs
+    copied.foreach { rel =>
+      val src = new Path(s"$bRoot/$rel")
+      val dst = new Path(s"$root/$rel")
+      if (fs.exists(dst)) {
+        // UUID names make collisions a same-content re-promote artifact;
+        // anything else refuses loudly rather than adopting wrong bytes
+        if (fs.getFileStatus(dst).getLen != b.fs.getFileStatus(src).getLen)
+          throw new IllegalStateException(
+            s"promote collision: $dst exists with different content than $src")
+      } else {
+        fs.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(b.fs, src, fs, dst, false, conf)
+      }
+    }
+    // ---- re-keyed shard entries (materialize's carry-by-re-key shape):
+    // every subtree rebuilds into the PARENT's manifest dir; an
+    // untouched subtree re-keys to byte-identical content, so content
+    // addressing reproduces the parent's existing blob name and
+    // writeShardIfAbsent is a no-op
+    val rekeyed = byShard.map { case (e, d) =>
+      val files = d.files.map(rekey)
+      val stats = d.stats.map { case (f, v) => rekey(f) -> v }
+      val rows = d.rows.map { case (f, v) => rekey(f) -> v }
+      val bytes = d.bytes.map { case (f, v) => rekey(f) -> v }
+      // branch commits (gens > fork) squash into the ONE promote gen
+      val gens = d.gens.map { case (f, g) =>
+        rekey(f) -> (if (g > forkGen) newGen else g) }
+      val dvs = d.dvs.map { case (f, v) =>
+        rekey(f) -> v.copy(path = rekey(v.path)) }
+      val name = shardName(files, stats, rows, gens, bytes, dvs)
+      writeShardIfAbsent(fs, manifestDir, name, files, stats, rows, gens, bytes, dvs)
+      (ShardEntry(e.prefix, e.partitions, name, e.rollup, e.rowTotal,
+        e.byteTotal, e.dvCount), files, dvs)
+    }
+    val entries = rekeyed.map(_._1)
+    // ---- touched partitions + rewrite marking, at SHARD granularity:
+    // only subtrees whose content-addressed shard name moved diff at
+    // file level — untouched subtrees cost nothing, at any size
+    val prevByPrefix = man.shards.map(e => e.prefix -> e).toMap
+    val newByPrefix = rekeyed.map(r => r._1.prefix -> r).toMap
+    val touched = scala.collection.mutable.Set.empty[String]
+    val rewrites = scala.collection.mutable.Set.empty[String]
+    (prevByPrefix.keySet ++ newByPrefix.keySet).foreach { pfx =>
+      val pe = prevByPrefix.get(pfx)
+      val ne = newByPrefix.get(pfx)
+      if (pe.map(_.file) != ne.map(_._1.file)) {
+        val od = pe.map(man.shardData).getOrElse(ShardData(Nil))
+        val (newFiles, newDvs) = ne.map(r => (r._2, r._3))
+          .getOrElse((Seq.empty[String], Map.empty[String, DvRef]))
+        val oldByPart = od.files.groupBy(parentRel)
+        val newByPart = newFiles.groupBy(parentRel)
+        val oldDvByPart = od.dvs.groupBy { case (f, _) => parentRel(f) }
+        val newDvByPart = newDvs.groupBy { case (f, _) => parentRel(f) }
+        (oldByPart.keySet ++ newByPart.keySet).foreach { part =>
+          val o = oldByPart.getOrElse(part, Nil).toSet
+          val n = newByPart.getOrElse(part, Nil).toSet
+          val dvMoved = oldDvByPart.getOrElse(part, Map.empty) !=
+            newDvByPart.getOrElse(part, Map.empty)
+          if (o != n || dvMoved) {
+            touched += part
+            if ((o -- n).nonEmpty || dvMoved) rewrites += part
+          }
+        }
+      }
+    }
+    if (touched.isEmpty) return Some(Nil) // state-identical branch head
+    // ---- publish; a lost race removes the (invisible) copies
+    try {
+      commitManifest(man.withShards(newGen,
+        math.max(man.taskBase, bm.taskBase),
+        entries.sortBy(_.prefix),
+        newRewrites = rewrites.toSet,
+        newOp = Some("promote")))
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        copied.foreach(rel =>
+          try fs.delete(new Path(s"$root/$rel"), false)
+          catch { case _: Exception => () })
+        throw e
+    }
+    Some(touched.toSeq.sorted)
+  }
+
   /** PROMOTE a branch: apply the exact row-level diff the branch made
     * since it was forked back into this (parent) collection, as one
     * atomic commit — the merge-back the Icechunk session workflow ends
@@ -1703,6 +1851,23 @@ final class Collection private (
     val forkGen = b.generations().head
     if (b.generation == forkGen) return Nil // branch never committed
     val man = currentManifest()
+    // FAST-FORWARD (r15, the r14 trigger-profile finding): when the
+    // parent has NOT moved past the fork, the branch head state IS the
+    // desired parent state — adopt it at FILE granularity (copy the
+    // branch's own files in, re-key the branch manifest's shard data,
+    // one commit) instead of computing the row-level CDC diff and
+    // REWRITING every touched partition. Publish cost ∝ the branch's
+    // own bytes + touched-shard metadata, with zero data decode at any
+    // collection size; zone maps / row counts / DV refs carry by
+    // re-key. Falls back to the exact diff path whenever a guard
+    // cannot prove equivalence.
+    if (!allowDiverged && man.generation == forkGen &&
+        b.schema.toDDL == StructType.fromDDL(man.schemaDdl).toDDL) {
+      fastForwardPromote(b, forkGen, man) match {
+        case Some(touched) => return touched
+        case None => () // guard failed: exact diff path below
+      }
+    }
     if (!allowDiverged && man.generation != forkGen)
       // dedicated type (r12): transaction() classifies conflicts by
       // CATCHING this, not by substring-matching the message — the

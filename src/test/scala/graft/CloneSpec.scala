@@ -304,6 +304,58 @@ class CloneSpec extends AnyFunSuite {
       "after dropBranch the fork-point file becomes reclaimable")
   }
 
+  test("fast-forward promote adopts the branch state: DVs survive dropBranch, " +
+       "change feed exact, metadata counts carry, vacuum/fsck clean (r15)") {
+    val root = SparkTestSession.tmp("ff-promote")
+    val df = mk(
+      (1L, "2024-01-01 10:00:00", 1.0), (2L, "2024-01-01 11:00:00", 2.0),
+      (3L, "2024-01-02 10:00:00", 3.0), (4L, "2024-01-03 10:00:00", 4.0))
+    // DV-enabled parent: the branch's deleteWhere writes a deletion
+    // vector under the BRANCH tree; fast-forward must adopt the payload
+    // into the parent tree or dropBranch would sever it
+    val c = Collection.create(spark, root, df.schema, "ts",
+      DatePartitioning("ts", "D"), statsColumns = Seq("id"),
+      attrs = Map(Collection.DvEnabledAttr -> "true"))
+    c.insert(df)
+    val g0 = c.generation
+    val dev = c.branch("dev")
+    dev.updateWhere("id == 2", Map("v" -> "22.0")) // partition rewrite
+    dev.deleteWhere("id == 3")                     // DV on a fork file
+    dev.insert(mk((6L, "2024-01-06 10:00:00", 6.0)), MergeStrategy.Concat)
+    val touched = c.promoteBranch("dev")
+    assert(touched.nonEmpty)
+    assert(c.generation == g0 + 1, "promote must publish exactly one generation")
+    val hist = c.describeHistory().orderBy(col("generation").desc).limit(1)
+      .select("operation").collect().head.getString(0)
+    assert(hist == "promote")
+    val expect = Seq((1L, 1.0), (2L, 22.0), (4L, 4.0), (6L, 6.0))
+    assert(rows(c) == expect, s"parent must equal the branch head: ${rows(c)}")
+    // the branch stays readable after promotion (the documented contract)
+    assert(rows(c.openBranch("dev", readOnly = true)) == expect)
+    // change feed across the promote commit = exactly the net branch diff
+    val diff = c.changes(g0, c.generation)
+      .select(col("_change_type"), col("id"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(diff == Seq(("delete", 2L, 2.0), ("delete", 3L, 3.0),
+      ("insert", 2L, 22.0), ("insert", 6L, 6.0)),
+      s"net change feed across the promote: $diff")
+    // metadata-only count carries the adopted rowTotals/dvCounts
+    assert(c.countRows() == 4L)
+    // drop the branch, reclaim: the adopted copies (incl. the DV
+    // payload) must be independent of the branch tree
+    c.dropBranch("dev")
+    c.vacuum(graceMs = 0L)
+    assert(rows(Collection.open(spark, root, readOnly = true)) == expect,
+      "adopted state must survive dropBranch + vacuum")
+    assert(c.countRows() == 4L)
+    val rep = c.fsck(deep = true)
+    assert(rep.missingFiles.isEmpty && rep.orphanFiles.isEmpty,
+      s"fsck after FF promote + dropBranch + vacuum: $rep")
+    // skip layers carried by re-key: an id-filtered query still prunes
+    assert(c.query("id == 6").select("v").collect().map(_.getDouble(0)).toSeq
+      == Seq(6.0))
+  }
+
   test("promoteBranch contract: fast-forward check, empty branch, schema drift") {
     val c = fresh(SparkTestSession.tmp("promote-c"))
     val dev = c.branch("dev")
