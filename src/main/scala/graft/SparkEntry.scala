@@ -1803,11 +1803,16 @@ object SparkEntry {
 
     // C10: token counting — whitespace and BPE-ish regex pre-tokens.
     "text_tokens" -> ((s, dir) => {
-      import graft.functions.TextFunctions
-      Tables.documents(s, dir).select(
-          col("doc_id"),
-          TextFunctions.tokenCount(col("text")).cast("int").as("ws_tokens"),
-          TextFunctions.bpeTokenCount(col("text")).cast("int").as("bpe_tokens"))
+      // r15: ONE fused count scan (TokenCounts) — the builtin pair
+      // materialized a token array AND a pre-token array per document
+      // just to take their sizes; bit-equality spec-pinned, oracle
+      // unchanged.
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TokenCounts.col(col("text")).as("_zc_tc"))
+        .select(col("doc_id"),
+          col("_zc_tc").getField("ws").as("ws_tokens"),
+          col("_zc_tc").getField("bpe").as("bpe_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -1946,7 +1951,9 @@ object SparkEntry {
         lit("</p><script type=\"text/javascript\">var x = \"<p>not text</p>\";" +
           "</script><p>&lt;escaped&gt; &#39;q&#39; &quot;w&quot;</p></body></html>"))
       Tables.documents(s, dir)
-        .select(col("doc_id"), TextFunctions.stripMarkup(html).as("clean"))
+        // r15: four fused char scans (StripMarkup) replace the 8-pass
+        // regexp chain; bit-equality spec-pinned, oracle unchanged.
+        .select(col("doc_id"), graft.functions.StripMarkup.col(html).as("clean"))
         .orderBy("doc_id")
     }),
 
@@ -2044,9 +2051,14 @@ object SparkEntry {
             lit(" https://Mirror.example.COM/p?utm_source=x")).otherwise(lit("")),
           when(col("doc_id") % 6 === 0,
             lit(" http://blog.example.org/post")).otherwise(lit(""))).as("text"))
-      val dom = planted.withColumn("domain",
-        when(size(TextFunctions.urls(col("text"))) > 0,
-          TextFunctions.urlDomain(element_at(TextFunctions.urls(col("text")), 1))))
+      // r15: ONE native leftmost-URL scan (UrlScan) — the builtin pair
+      // ran regexp_extract_all twice, materializing every URL per doc;
+      // NULL-when-no-match reproduces the size(...) == 0 branch exactly.
+      val dom = planted
+        .withColumn("_zc_u", graft.functions.UrlScan.firstUrlCol(col("text")))
+        .withColumn("domain",
+          when(col("_zc_u").isNotNull, TextFunctions.urlDomain(col("_zc_u"))))
+        .drop("_zc_u")
       val keyed = dom.where(col("domain").isNotNull && col("domain") =!= "")
       graft.operators.Corpus.stratifiedSample(
           keyed, Seq(col("domain")), col("doc_id"), col("doc_id"), 10)

@@ -523,15 +523,22 @@ object Corpus {
   def chunkDocuments(df: DataFrame, text: Column, window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
-    val toks = split(trim(text), "\\s+")
-    df.withColumn("_start",
+    // r15: materialize the token array ONCE per document before the
+    // explode — `withColumn` chains collapse into one Project, which
+    // inlined the trim+split REGEX into every per-chunk expression
+    // (length/stride re-tokenizations per doc); the explicit projection
+    // boundary makes each chunk row slice a computed array instead.
+    val withToks = df.withColumn("_zc_toks", split(trim(text), "\\s+"))
+    val toks = col("_zc_toks")
+    withToks
+      .withColumn("_start",
         explode(sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))))
       .withColumn("chunk", (col("_start") / stride).cast("int"))
       .withColumn("chunk_tokens",
         least(size(toks) - col("_start"), lit(window)).cast("int"))
       .withColumn("chunk_text",
         array_join(slice(toks, col("_start") + 1, lit(window)), " "))
-      .drop("_start")
+      .drop("_start", "_zc_toks")
   }
 
   /** Word `k`-gram shingles as STRINGS (empty array below `k` tokens) —

@@ -656,6 +656,92 @@ class CorpusSpec extends AnyFunSuite {
     fragments ++ gens :+ ""
   }
 
+  test("TokenCounts is bit-identical to the builtin split/regex counts (r15)") {
+    import graft.functions.{TextFunctions, TokenCounts}
+    val rnd = new scala.util.Random(152)
+    val alphabet = "ab XY12 .,!\t\n\f\r  é中_-"
+    val fixtures = Seq("", " ", "\t", " \t ", "a", " a ", "\ta\t", "a b",
+      "a1b2", "12.34", "...", "é中", "  x \f ", "a  \t b\nc") ++
+      (0 until 2000).map { _ =>
+        val n = rnd.nextInt(50)
+        (0 until n).map(_ => alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+      }
+    val d = fixtures.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text").repartition(4)
+    val fused = d.select(col("doc_id"), TokenCounts.col(col("text")).as("_t"))
+      .select(col("doc_id"), col("_t.ws").as("ws"), col("_t.bpe").as("bpe"))
+    val builtin = d.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("int").as("ws"),
+      TextFunctions.bpeTokenCount(col("text")).cast("int").as("bpe"))
+    assert(fused.exceptAll(builtin).isEmpty && builtin.exceptAll(fused).isEmpty,
+      "fused token counts must equal the builtin split/regex counts")
+  }
+
+  test("StripMarkup is bit-identical to the builtin regexp chain (r15)") {
+    import graft.functions.{StripMarkup, TextFunctions}
+    val rnd = new scala.util.Random(153)
+    val fragments = Seq(
+      "<script>", "</script>", "<SCRIPT a=b>", "</ScRiPt >", "<style>",
+      "</style\t>", "<scriptx>", "<script2>", "<script->", "<script",
+      "</style", "<!--", "-->", "<!---->", "<!-->", "<p>", "</p>", "<",
+      ">", "<a href=\"x\">", "&amp;", "&lt;", "&gt;", "&quot;", "&#39;",
+      "&amp;lt;", "&&amp;", "&unknown;", "text", "a b", "\t\n", "é中",
+      "<script>var x = \"</p>\";</script>", "<style>p{}</style>",
+      "<script><!-- --></script>", "<!-- <script> -->",
+      "<script </script>", "<script a>b</style>", "x<y>z")
+    val fixtures = Seq("", "<", "plain text only") ++
+      (0 until 1500).map { _ =>
+        val n = rnd.nextInt(12)
+        (0 until n).map(_ => fragments(rnd.nextInt(fragments.length)))
+          .mkString(rnd.nextInt(3) match { case 0 => "" case 1 => " " case _ => "x" })
+      }
+    val d = fixtures.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text").repartition(4)
+    val fused = d.select(col("doc_id"), StripMarkup.col(col("text")).as("clean"))
+    val builtin = d.select(col("doc_id"),
+      TextFunctions.stripMarkup(col("text")).as("clean"))
+    assert(fused.exceptAll(builtin).isEmpty && builtin.exceptAll(fused).isEmpty,
+      "fused markup strip must equal the builtin regexp chain")
+  }
+
+  test("UrlScan.firstUrl is bit-identical to the builtin regex extraction (r15)") {
+    import java.util.regex.Pattern
+    import graft.functions.{TextFunctions, UrlScan}
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(154)
+    val fragments = Seq(
+      "http://a.b", "https://Mirror.example.COM/p?utm_source=x", "http://",
+      "https://", "hTTp://x.y", "HTTPS://x.y", "httpss://x.y", "http:/x",
+      "http://x.y:8080/path", "http://x.y:/p", "http://x.y:port",
+      "http://-.-", "http://x.y/", "http://x.y/a b", "xhttp://a.b",
+      "hhttp://a.b", "http://host", "see https://a.bc/d#e?f=g end",
+      "http://é.com", "words", " ", "http://a.b\thttp://c.d")
+    val fixtures = fragments ++ (0 until 1500).map { _ =>
+      val n = rnd.nextInt(8)
+      (0 until n).map(_ => fragments(rnd.nextInt(fragments.length)))
+        .mkString(rnd.nextInt(2) match { case 0 => "" case _ => " " })
+    }
+    // direct java.util.regex comparison (interpreted path)
+    val pat = Pattern.compile(TextFunctions.UrlPattern)
+    fixtures.foreach { s =>
+      val m = pat.matcher(s)
+      val ref = if (m.find()) m.group(0) else null
+      val got = Option(UrlScan.firstUrl(UTF8String.fromString(s)))
+        .map(_.toString).orNull
+      assert(got == ref, s"firstUrl on <$s>: got <$got>, regex <$ref>")
+    }
+    // codegen path, against the builtin composition the entry replaced
+    val d = fixtures.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text").repartition(4)
+    val fused = d.select(col("doc_id"),
+      UrlScan.firstUrlCol(col("text")).as("u"))
+    val builtin = d.select(col("doc_id"),
+      when(size(TextFunctions.urls(col("text"))) > 0,
+        element_at(TextFunctions.urls(col("text")), 1)).as("u"))
+    assert(fused.exceptAll(builtin).isEmpty && builtin.exceptAll(fused).isEmpty,
+      "firstUrl must equal size>0 ? urls[1] : null")
+  }
+
   test("PiiScan scanners reproduce java.util.regex exactly on adversarial input (r15)") {
     import java.util.regex.Pattern
     import graft.functions.{PiiScan, TextFunctions}
