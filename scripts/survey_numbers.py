@@ -16,10 +16,37 @@ total 243.1 s on commit c0823be):
    JSON's own `value` (all entries, not just comparable ones).
 
 Usage: survey_numbers.py [bench_out.json]
+       survey_numbers.py --entries k1,k2,... [bench_out.json ...]
+
+The --entries mode (r16, the r15 verdict's #2) prints the PER-ENTRY
+spark/duckdb/ratio quotes the survey's narrative items use, from each
+named committed artifact — so every number in a §6 round section is
+reproducible from an artifact by script, never hand-copied from a
+terminal scrollback.
 """
 import json
 import math
 import sys
+
+if len(sys.argv) > 1 and sys.argv[1] == '--entries':
+    names = sys.argv[2].split(',')
+    paths = sys.argv[3:] or ['bench_out.json', 'bench_out_sf1.json']
+    for path in paths:
+        d = json.load(open(path))
+        q, dd = d['queries'], d['duckdb_sec']
+        print(f"--- {path} (sf={d.get('sf', '?')}, reps={d.get('reps', '?')}, "
+              f"loadavg_start={d.get('loadavg_start', '?')})")
+        for k in names:
+            if k not in q:
+                print(f"{k:32s} ABSENT")
+                continue
+            du = dd.get(k)
+            if isinstance(du, (int, float)):
+                print(f"{k:32s} spark={q[k]:8.3f} s  duck={du:8.4f} s  "
+                      f"ratio={q[k] / du:7.2f}x")
+            else:
+                print(f"{k:32s} spark={q[k]:8.3f} s  duck=DNF/absent")
+    sys.exit(0)
 
 path = sys.argv[1] if len(sys.argv) > 1 else 'bench_out.json'
 d = json.load(open(path))

@@ -202,6 +202,16 @@ object Bench {
         Thread.sleep(2000)
     }
     settle(60000)
+    // r16 (r15 verdict #8): the per-entry SCHEDULING FLOOR — the
+    // smallest possible Spark job (one 1-row task) through the exact
+    // harness protocol (noop sink, min-of-reps, settled session). Every
+    // entry pays at least this; the survey uses it to separate
+    // overhead-bound sub-second ratios (q_rollup-class, where DuckDB's
+    // in-process milliseconds meet this floor) from plan-bound ones.
+    // Named OUTSIDE the q/text_/dedup_/ann_ comparable prefixes.
+    val floorSec = minOf(reps)(time {
+      spark.range(1L).write.format("noop").mode("overwrite").save()
+    })
     val controlResults = controls.map { name => name -> minOf(reps)(runOnce(name)) }
     val results = controlResults ++
       headline.filterNot(controls.contains).map { name => name -> minOf(reps)(runOnce(name)) }
@@ -258,7 +268,8 @@ object Bench {
     settle(30000)
     val dvResults = dvSuite(spark, sfDir, reps)
 
-    val qs = (Seq("zc_build" -> buildSec, "zc_build_skip" -> buildSkipSec) ++ results) ++
+    val qs = (Seq("overhead_floor" -> floorSec,
+      "zc_build" -> buildSec, "zc_build_skip" -> buildSkipSec) ++ results) ++
       Seq("view_query" -> viewSec, "clone_fork" -> cloneSec) ++ refResults ++
       spjDppResults ++ dvResults
     // Locale-pinned (r15, BenchOne advice applied here too): a

@@ -50,6 +50,24 @@ object TriggerProfile {
         .where(col("event_type") === tpe)
         .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
     val name = "graft_tprof_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // r16 advice: recentProgress RETAINS only the last
+    // spark.sql.streaming.numRecentProgressUpdates entries (default 100)
+    // — a listener accumulates EVERY batch's durationMs, so the
+    // per-phase sums stay exact however many micro-batches run
+    val durations = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == name) {
+          batches.incrementAndGet()
+          e.progress.durationMs.forEach((k, v) =>
+            durations.merge(k, v, (a, b) => java.lang.Long.valueOf(a + b)))
+        }
+    }
+    spark.streams.addListener(listener)
     val t0 = System.nanoTime()
     val q = StreamOps.intervalJoin(
         side("click", "click_id", "click_ts"),
@@ -58,12 +76,18 @@ object TriggerProfile {
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     val streamSec = secs(System.nanoTime() - t0)
-    val prog = q.recentProgress.toSeq
+    // listener delivery is async — wait for the event bus to drain
+    var settled = batches.get() - 1
+    while (settled != batches.get()) { settled = batches.get(); Thread.sleep(200) }
+    spark.streams.removeListener(listener)
+    val nBatches = batches.get()
+    if (q.recentProgress.length < nBatches)
+      System.err.println(s"[tprof] note: recentProgress retained only " +
+        s"${q.recentProgress.length} of $nBatches batches; sums use the listener")
     val keys = Seq("triggerExecution", "addBatch", "getBatch", "latestOffset",
       "queryPlanning", "walCommit", "commitOffsets")
-    val sums = keys.map { k =>
-      k -> prog.map(p => Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)).sum
-    }.toMap
+    val sums = keys.map(k =>
+      k -> Option(durations.get(k)).map(_.longValue).getOrElse(0L)).toMap
     // batch-equivalent plan work: same interval join over the same rows
     val bt0 = System.nanoTime()
     def bside(tpe: String, idAs: String, tsAs: String) =
@@ -76,7 +100,7 @@ object TriggerProfile {
       .write.format("noop").mode("overwrite").save()
     val batchSec = secs(System.nanoTime() - bt0)
     System.err.println(s"[tprof] stream_join total ${num(streamSec)} s over " +
-      s"${prog.length} micro-batches; batch-equivalent join ${num(batchSec)} s")
+      s"$nBatches micro-batches; batch-equivalent join ${num(batchSec)} s")
     System.err.println("[tprof] per-phase sums (ms): " +
       keys.map(k => s"$k=${sums(k)}").mkString(" "))
 
@@ -120,7 +144,7 @@ object TriggerProfile {
       s"/ update ${num(updSec)} / commit ${num(commitSec)}), " +
       s"final query ${num(querySec)} s")
 
-    println(s"""{"stream_join":{"total_sec":${num(streamSec)},"batches":${prog.length},""" +
+    println(s"""{"stream_join":{"total_sec":${num(streamSec)},"batches":$nBatches,""" +
       keys.map(k => s""""${k}_ms":${sums(k)}""").mkString(",") +
       s""","batch_equiv_sec":${num(batchSec)}},""" +
       s""""zc_transaction":{"build_sec":${num(buildSec)},"txn_sec":${num(txnSec)},""" +

@@ -1711,10 +1711,12 @@ final class Collection private (
     * like the diff path's rewritten partitions), pure-append
     * partitions stream as appends (like the r11b append-only path);
     * `taskBase` takes the branch head's so adopted rowids stay unique.
-    * A lost commit race deletes the copied files (they are invisible)
-    * and surfaces the standard conflict. Fork files the branch dropped
-    * are left to the pin-honoring GC/vacuum (the live branch still
-    * references them until [[dropBranch]]). */
+    * A lost commit race surfaces the standard conflict and LEAVES the
+    * copies for [[vacuum]] — a concurrent promote of the same branch
+    * adopts the same deterministic rel names, so the loser's copies
+    * may be exactly the winner's committed files. Fork files the
+    * branch dropped are left to the pin-honoring GC/vacuum (the live
+    * branch still references them until [[dropBranch]]). */
   private def fastForwardPromote(b: Collection, forkGen: Long,
                                  man: Manifest): Option[Seq[String]] = {
     val bm = b.currentManifestRaw()
@@ -1741,24 +1743,35 @@ final class Collection private (
       else if (baseOf(f).contains(parentBase)) relOf(f)
       else f // clone-of-clone ref the parent also carries
     // ---- physical adoption: copy branch-local data files + DV payloads
-    val conf = spark.sparkContext.hadoopConfiguration
+    // as a Spark job (r16 advice — materialize's parallelize+broadcast-
+    // conf shape; the sequential driver loop made a large-branch promote
+    // driver-IO-bound)
     val bRoot = b.fs.makeQualified(new Path(b.root)).toString.stripSuffix("/")
     val localFiles = byShard.flatMap(_._2.files).filterNot(isExternal).distinct
     val localDvs = byShard.flatMap(_._2.dvs.values.map(_.path))
       .filterNot(isExternal).distinct
     val copied = localFiles ++ localDvs
-    copied.foreach { rel =>
-      val src = new Path(s"$bRoot/$rel")
-      val dst = new Path(s"$root/$rel")
-      if (fs.exists(dst)) {
-        // UUID names make collisions a same-content re-promote artifact;
-        // anything else refuses loudly rather than adopting wrong bytes
-        if (fs.getFileStatus(dst).getLen != b.fs.getFileStatus(src).getLen)
-          throw new IllegalStateException(
-            s"promote collision: $dst exists with different content than $src")
-      } else {
-        fs.mkdirs(dst.getParent)
-        org.apache.hadoop.fs.FileUtil.copy(b.fs, src, fs, dst, false, conf)
+    if (copied.nonEmpty) {
+      val rootStr = root
+      val bc = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      spark.sparkContext.parallelize(copied, math.min(copied.size, 256)).foreach { rel =>
+        val conf = bc.value.value
+        val src = new Path(s"$bRoot/$rel")
+        val dst = new Path(s"$rootStr/$rel")
+        val dstFs = dst.getFileSystem(conf)
+        if (dstFs.exists(dst)) {
+          // UUID names make collisions a same-content re-promote artifact;
+          // anything else refuses loudly rather than adopting wrong bytes
+          val srcLen = src.getFileSystem(conf).getFileStatus(src).getLen
+          if (dstFs.getFileStatus(dst).getLen != srcLen)
+            throw new IllegalStateException(
+              s"promote collision: $dst exists with different content than $src")
+        } else {
+          dstFs.mkdirs(dst.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(
+            src.getFileSystem(conf), src, dstFs, dst, false, conf)
+        }
       }
     }
     // ---- re-keyed shard entries (materialize's carry-by-re-key shape):
@@ -1813,20 +1826,19 @@ final class Collection private (
       }
     }
     if (touched.isEmpty) return Some(Nil) // state-identical branch head
-    // ---- publish; a lost race removes the (invisible) copies
-    try {
-      commitManifest(man.withShards(newGen,
-        math.max(man.taskBase, bm.taskBase),
-        entries.sortBy(_.prefix),
-        newRewrites = rewrites.toSet,
-        newOp = Some("promote")))
-    } catch {
-      case e: java.util.ConcurrentModificationException =>
-        copied.foreach(rel =>
-          try fs.delete(new Path(s"$root/$rel"), false)
-          catch { case _: Exception => () })
-        throw e
-    }
+    // ---- publish. A lost race LEAVES the copies in place for [[vacuum]]
+    // (the documented materialize crash contract) — it must NOT delete
+    // them (r16 advice, medium): adopted destinations are deterministic
+    // (the branch's own rel names), so when two drivers promote the SAME
+    // branch concurrently the loser's "invisible" copies are the exact
+    // files the winner's committed manifest now references — deleting
+    // them would be silent data loss. (The diff path stays self-cleaning
+    // because it writes fresh writer-unique UUID files.)
+    commitManifest(man.withShards(newGen,
+      math.max(man.taskBase, bm.taskBase),
+      entries.sortBy(_.prefix),
+      newRewrites = rewrites.toSet,
+      newOp = Some("promote")))
     Some(touched.toSeq.sorted)
   }
 

@@ -44,9 +44,15 @@ object Fnv1a64 {
   /** Static entry point shared by interpreted eval and generated code. */
   def hash(s: UTF8String): Long = {
     val bytes = s.getBytes
+    hashBytes(bytes, bytes.length)
+  }
+
+  /** The same byte fold over the first `len` bytes of a reused buffer
+    * (the [[WindowHasher]] shingle path — no per-window UTF8String). */
+  def hashBytes(bytes: Array[Byte], len: Int): Long = {
     var h = Offset
     var i = 0
-    while (i < bytes.length) {
+    while (i < len) {
       h ^= (bytes(i) & 0xffL)
       h *= Prime
       i += 1

@@ -1,23 +1,38 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct hashed word k-shingles of a token array, as ONE native loop.
+/** Hashed word k-shingles of a token array, as ONE native loop.
   *
-  * Bit-identical to the builtin composition it replaces
-  * (`array_distinct(transform(sequence(1, n-k+1), i ->
-  * xxhash64(concat_ws(" ", slice(toks, i, k)))))`, falling back to the
-  * whole-document join when n < k): shingles join with a single space,
-  * hash with XxHash64 seed 42 over the UTF-8 bytes, and de-duplicate in
-  * first-occurrence order — but without `transform`'s per-window
-  * interpreted lambda, slice allocation, and repeated concat.
+  * Two modes, both bit-identical to the builtin compositions they
+  * replace (spec-pinned in CorpusSpec/PipelineSpec):
+  *
+  *  - `distinct = true, emptyBelowK = false` (the dedup path, the
+  *    original r-early behavior): `array_distinct(transform(sequence(1,
+  *    n-k+1), i -> xxhash64(concat_ws(" ", slice(toks, i, k)))))` with
+  *    the whole-document fallback when n < k — MinHash/SimHash inputs
+  *    where a short doc must still produce one fingerprintable shingle;
+  *  - `emptyBelowK = true` (the corpus-text path, r16): documents
+  *    shorter than `k` tokens contribute NO shingles — the exclusion
+  *    n-gram decontamination / novelty / frequency operators specify —
+  *    and `distinct = false` keeps every occurrence for frequency
+  *    counting.
+  *
+  * Shingles join with a single space (concat_ws skips nulls), hash with
+  * XxHash64 seed 42 over the UTF-8 bytes (Spark's `xxhash64`), or
+  * FNV-1a when `fnv = true` (the byte-fold an external SQL oracle
+  * replays). The r16 rewrite hashes each window out of ONE thread-local
+  * byte buffer — no per-window UTF8String concat, no `transform`
+  * interpreted lambda, no slice allocation.
   */
-case class ShingleHashes(child: Expression, k: Int, fnv: Boolean = false)
+case class ShingleHashes(child: Expression, k: Int, fnv: Boolean = false,
+                         distinct: Boolean = true, emptyBelowK: Boolean = false)
     extends UnaryExpression {
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
@@ -33,10 +48,11 @@ case class ShingleHashes(child: Expression, k: Int, fnv: Boolean = false)
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[ArrayData], k, fnv)
+    ShingleHashes.compute(input.asInstanceOf[ArrayData], k, fnv, distinct, emptyBelowK)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.compute($c, $k, $fnv)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashes.compute($c, $k, $fnv, $distinct, $emptyBelowK)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -44,54 +60,146 @@ case class ShingleHashes(child: Expression, k: Int, fnv: Boolean = false)
   override def prettyName: String = "shingle_hashes"
 }
 
-object ShingleHashes {
-  private val Space = UTF8String.fromString(" ")
+/** The shared window-joiner: copies the k window tokens + single-space
+  * separators into one growable thread-local byte buffer and hashes the
+  * bytes in place — byte-identical to hashing `concat_ws(" ", window)`
+  * (XXH64 over UTF-8 bytes is position-independent of the base object).
+  * One instance per thread; tasks are single-threaded so reuse is safe
+  * and steady-state allocation is zero. */
+private[functions] final class WindowHasher {
+  private var buf: Array[Byte] = new Array[Byte](256)
 
-  /** Join tokens [from, from+len) with single spaces (concat_ws skips
-    * nulls) and hash the result: xxhash64 at seed 42 (production), or
-    * FNV-1a over the UTF-8 bytes (`fnv = true`) — the latter is the
-    * byte-fold DuckDB replays exactly, giving MinHash pipelines built on
-    * these shingles a full SQL oracle. */
-  private def hashWindow(toks: ArrayData, from: Int, len: Int, fnv: Boolean): Long = {
-    val parts = new java.util.ArrayList[UTF8String](2 * len)
+  /** Byte length + fill for tokens [from, from+len); returns the joined
+    * byte count in `buf` (nulls skipped, concat_ws semantics). */
+  private def fill(toks: ArrayData, from: Int, len: Int): Int = {
+    var total = 0
+    var cnt = 0
     var i = 0
+    while (i < len) {
+      val t = toks.getUTF8String(from + i)
+      if (t != null) { total += t.numBytes(); cnt += 1 }
+      i += 1
+    }
+    if (cnt > 1) total += cnt - 1
+    if (buf.length < total) buf = new Array[Byte](math.max(total, buf.length * 2))
+    var pos = 0
     var first = true
+    i = 0
     while (i < len) {
       val t = toks.getUTF8String(from + i)
       if (t != null) {
-        if (!first) parts.add(Space)
-        parts.add(t)
+        if (!first) { buf(pos) = ' '; pos += 1 }
+        t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += t.numBytes()
         first = false
       }
       i += 1
     }
-    val joined = UTF8String.concat(parts.toArray(new Array[UTF8String](parts.size)): _*)
-    if (fnv) Fnv1a64.hash(joined)
-    else XxHash64Function.hash(joined, StringType, 42L)
+    pos
   }
 
-  def compute(toks: ArrayData, k: Int, fnv: Boolean): ArrayData = {
+  def hash(toks: ArrayData, from: Int, len: Int, fnv: Boolean): Long = {
+    val n = fill(toks, from, len)
+    if (fnv) Fnv1a64.hashBytes(buf, n)
+    else XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, n, 42L)
+  }
+
+  /** The joined window as a fresh UTF8String (the string-recovery path). */
+  def string(toks: ArrayData, from: Int, len: Int): UTF8String = {
+    val n = fill(toks, from, len)
+    UTF8String.fromBytes(java.util.Arrays.copyOf(buf, n))
+  }
+}
+
+private[functions] object WindowHasher {
+  val local: ThreadLocal[WindowHasher] =
+    ThreadLocal.withInitial(() => new WindowHasher)
+}
+
+object ShingleHashes {
+
+  def compute(toks: ArrayData, k: Int, fnv: Boolean, distinct: Boolean,
+              emptyBelowK: Boolean): ArrayData = {
+    val h = WindowHasher.local.get()
     val n = toks.numElements()
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    if (n >= k) {
-      var i = 0
-      while (i <= n - k) {
-        seen.add(hashWindow(toks, i, k, fnv))
-        i += 1
-      }
-    } else {
-      seen.add(hashWindow(toks, 0, n, fnv))
+    if (n < k) {
+      if (emptyBelowK) return new GenericArrayData(Array.emptyLongArray)
+      return new GenericArrayData(Array(h.hash(toks, 0, n, fnv)))
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    val m = n - k + 1
+    if (distinct) {
+      // LinkedHashSet = first-occurrence order, array_distinct semantics
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i < m) { seen.add(h.hash(toks, i, k, fnv)); i += 1 }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) { out(i) = h.hash(toks, i, k, fnv); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  def shingles(tokens: Column, k: Int, fnv: Boolean = false,
+               distinct: Boolean = true, emptyBelowK: Boolean = false): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(ShingleHashes(Bridge.expression(tokens), k, fnv, distinct, emptyBelowK))
+  }
+}
+
+/** Word k-gram shingles as STRINGS in one native loop — every window,
+  * in order, NO shingles below `k` tokens: bit-identical to
+  * `when(n >= k, transform(sequence(1, n-k+1), i -> concat_ws(" ",
+  * slice(toks, i, k)))).otherwise(array())` (`array_join(slice, " ")`
+  * is the same function on null-free token arrays). The string-RECOVERY
+  * scan of hash-counted n-gram operators: only the counting pass needs
+  * hashes, but winners must surface their text. */
+case class WordShingleStrings(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingle_strings requires array<string>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingleStrings.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingleStrings.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleStrings =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingle_strings"
+}
+
+object WordShingleStrings {
+  def compute(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(new Array[AnyRef](0))
+    val h = WindowHasher.local.get()
+    val m = n - k + 1
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) { out(i) = h.string(toks, i, k); i += 1 }
     new GenericArrayData(out)
   }
 
-  def shingles(tokens: Column, k: Int, fnv: Boolean = false): Column = {
+  def shingles(tokens: Column, k: Int): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
-    Bridge.column(ShingleHashes(Bridge.expression(tokens), k, fnv))
+    Bridge.column(WordShingleStrings(Bridge.expression(tokens), k))
   }
 }
 
@@ -132,11 +240,11 @@ object CharShingleHashes {
     if (n >= k) {
       var i = 0
       while (i <= n - k) {
-        seen.add(XxHash64Function.hash(s.substringSQL(i + 1, k), StringType, 42L))
+        seen.add(XXH64.hashUTF8String(s.substringSQL(i + 1, k), 42L))
         i += 1
       }
     } else {
-      seen.add(XxHash64Function.hash(s, StringType, 42L))
+      seen.add(XXH64.hashUTF8String(s, 42L))
     }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()

@@ -49,7 +49,11 @@ object TokenCounts {
         bpe += 1
         if (isAlpha(d)) { while (i < n && isAlpha(s.charAt(i))) i += 1 }
         else if (isDigit(d)) { while (i < n && isDigit(s.charAt(i))) i += 1 }
-        else i += 1
+        // ONE code point, not one UTF-16 char: java regex classes match
+        // code points, so a supplementary char (emoji, rare CJK — a
+        // surrogate PAIR here) is a single `[^a-zA-Z0-9\s]` match
+        // (r16 advice: the char-stepping loop counted it twice)
+        else i += Character.charCount(s.codePointAt(i))
       }
     }
     // ws replicates size(split(trim(text), "\s+")) EXACTLY: Spark's trim

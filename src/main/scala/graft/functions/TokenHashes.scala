@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** xxhash64 of every whitespace token of a document in ONE native byte
+  * loop — bit-identical to
+  * `transform(split(trim(text), "\\s+"), t -> xxhash64(t))`
+  * (spec-pinned), but with NO token-string materialization: each field
+  * hashes in place over the document's own UTF-8 bytes.
+  *
+  * The replicated builtin semantics, exactly (the [[TokenCounts]]
+  * discipline — the same two spec-caught quirks apply):
+  *
+  *  - Spark `trim` strips 0x20 SPACES only (not tabs/newlines);
+  *  - Spark `split` runs java `split(regex, -1)`: a LEADING `\s+` run
+  *    yields an empty first field and a trailing run an empty LAST
+  *    field, and the empty string yields one empty field — empty
+  *    fields hash like any other (xxhash64 of zero bytes, seed 42);
+  *  - java `\s` is the ASCII six (`[ \t\n\x0B\f\r]`), never Unicode
+  *    spaces — all single-byte in UTF-8, so byte scanning is exact
+  *    (multi-byte sequences contain no bytes < 0x80).
+  *
+  * This is the (doc, token)-explode feeder for hash-keyed corpus
+  * aggregations (surprisal, vocabulary counting): token EQUALITY is all
+  * they shuffle on, and the 64-bit hash is injective on any real
+  * corpus's vocabulary — the same argument the n-gram operators
+  * document for their join keys. Strings are recovered only where an
+  * output needs them, via a broadcast semi-filtered second scan. */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_hashes requires a string argument, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenHashes.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHashes.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_hashes"
+}
+
+object TokenHashes {
+
+  /** xxhash64 of the EMPTY token (zero bytes, seed 42) — filtering
+    * exploded hashes `=!= EmptyTokenHash` is the hash-side image of the
+    * builtin `where(length(term) > 0)` guard: only "" maps here absent
+    * a collision (the standard injectivity argument). */
+  val EmptyTokenHash: Long =
+    XXH64.hashUnsafeBytes(Array.emptyByteArray, Platform.BYTE_ARRAY_OFFSET, 0, 42L)
+
+  /** Driver-side twin of Spark's `xxhash64(lit(s))` — for hashing small
+    * literal sets (stopword lists) into hash-keyed filters. */
+  def hashString(s: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def compute(u: UTF8String): ArrayData = {
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val nb = u.numBytes()
+    // trim: 0x20 spaces only, both ends
+    var lo = 0
+    var hi = nb
+    while (lo < hi && Platform.getByte(base, off + lo) == ' ') lo += 1
+    while (hi > lo && Platform.getByte(base, off + hi - 1) == ' ') hi -= 1
+    // fields between \s+ runs, limit = -1: leading AND trailing empty
+    // fields kept, "" -> one empty field
+    var cap = 8
+    var out = new Array[Long](cap)
+    var cnt = 0
+    @inline def push(start: Int, end: Int): Unit = {
+      if (cnt == cap) {
+        cap *= 2
+        out = java.util.Arrays.copyOf(out, cap)
+      }
+      out(cnt) = XXH64.hashUnsafeBytes(base, off + start, end - start, 42L)
+      cnt += 1
+    }
+    var i = lo
+    var start = lo
+    while (i < hi) {
+      if (isWs(Platform.getByte(base, off + i))) {
+        push(start, i)
+        i += 1
+        while (i < hi && isWs(Platform.getByte(base, off + i))) i += 1
+        start = i
+      } else i += 1
+    }
+    push(start, hi)
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+
+  def col(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(TokenHashes(Bridge.expression(c)))
+  }
+}

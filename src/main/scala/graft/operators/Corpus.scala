@@ -41,21 +41,15 @@ object Corpus {
 
   /** Corpus VOCABULARY: the `k` most frequent whitespace tokens with
     * total term frequency (`tf`) and document frequency (`df`) — the
-    * stopword-list / tokenizer-audit primitive. Scale shape: the
-    * (word, doc) pre-aggregation collapses within-document repeats
-    * map-side before anything shuffles, the word-level merge is
-    * map-side combined too, and the final top-k plans as
-    * TakeOrderedAndProject (per-task top-k, driver merges `k` rows) —
-    * the vocabulary is never globally sorted. */
-  def vocabulary(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
-    require(k > 0, "k must be positive")
-    df.select(id.as("_zc_did"), explode(split(trim(text), "\\s+")).as("word"))
-      .groupBy(col("word"), col("_zc_did")).agg(count(lit(1)).as("_zc_c"))
-      .groupBy(col("word"))
-      .agg(sum(col("_zc_c")).as("tf"), count(lit(1)).as("df"))
-      .orderBy(col("tf").desc, col("word"))
-      .limit(k)
-  }
+    * stopword-list / tokenizer-audit primitive. A 1-gram IS a token, so
+    * this delegates to [[topNgrams]] (r16): the counting pass shuffles
+    * xxhash64 LONGS — token strings never cross the wire; only the ~k
+    * winners recover their text through the broadcast semi-filtered
+    * second scan. Identical output to the string-grouped plan absent a
+    * 64-bit collision (the shared injectivity argument; CorpusSpec pins
+    * bit-equality against the string-keyed formulation). */
+  def vocabulary(df: DataFrame, id: Column, text: Column, k: Int): DataFrame =
+    topNgrams(df, id, text, 1, k).withColumnRenamed("ngram", "word")
 
   /** Deterministic weighted INTERLEAVE — the training-ORDER counterpart
     * of [[mixtureSample]]'s budgets: every kept row gets an integer
@@ -123,17 +117,25 @@ object Corpus {
     *  - `hapax` — how many of its tokens occur exactly once in the
     *    whole corpus (the classic contamination/garbage signal).
     *
-    * Scale shape: doc text never shuffles. One map-side-combined
-    * aggregation to per-(doc,word) counts, the corpus tf as a window
-    * sum over the word partition (no self-join), one final doc-keyed
-    * regroup — three exchanges of the DISTINCT (doc,word) pairs,
-    * bounded by vocabulary spread, not corpus bytes. */
+    * Scale shape: doc text never shuffles — and neither do token
+    * STRINGS (r16): every aggregation needs only token EQUALITY, so the
+    * stream explodes as xxhash64 longs straight off the scan
+    * ([[graft.functions.TokenHashes]] — one native byte loop, no token
+    * array materialization), 8 bytes per token on the wire. Identical
+    * output absent a 64-bit vocabulary collision (the shared
+    * injectivity argument; CorpusSpec pins bit-equality against the
+    * string-keyed formulation). One map-side-combined aggregation to
+    * per-(doc,token) counts, the corpus tf as a window sum over the
+    * token-hash partition (no self-join), one final doc-keyed regroup —
+    * three exchanges of the DISTINCT (doc,token) pairs, bounded by
+    * vocabulary spread, not corpus bytes. */
   def surprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
     val dw = df
-      .select(id.as("doc_id"), explode(split(trim(text), "\\s+")).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("_zc_c"))
+      .select(id.as("doc_id"),
+        explode(graft.functions.TokenHashes.col(text)).as("_zc_wh"))
+      .groupBy(col("doc_id"), col("_zc_wh")).agg(count(lit(1)).as("_zc_c"))
     val tf = dw.withColumn("_zc_tf",
-      sum(col("_zc_c")).over(Window.partitionBy(col("word"))))
+      sum(col("_zc_c")).over(Window.partitionBy(col("_zc_wh"))))
     // floor(log2(tf)) as pure INTEGER arithmetic (bit width − 1): a
     // double log2 is an ln-ratio whose value can straddle an integer
     // boundary differently across libms for tf at/near exact powers of
@@ -214,11 +216,16 @@ object Corpus {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
     val toks = split(trim(text), "\\s+")
-    // "w_i .. w_{i+n-1}" per position: slice + join, one Generate
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // r16 (the r15 verdict's headline): both scans run NATIVE one-loop
+    // shingle expressions — the counting pass hashes every k-token
+    // window in place out of a reused byte buffer (no gram STRING is
+    // ever built just to be hashed and discarded), and the recovery
+    // pass builds its strings in the same single loop instead of the
+    // interpreted transform+slice+join lambda chain. Bit-identical to
+    // the builtin compositions (CorpusSpec twins).
+    val gramHashes = graft.functions.ShingleHashes.shingles(
+      toks, n, fnv = false, distinct = false, emptyBelowK = true)
+    val grams = graft.functions.WordShingleStrings.shingles(toks, n)
     val wide = graft.Spread.spread(df, id) // gated spread (r11/r13)
     // r14 (r13 advice, medium): the tie-inclusive candidate set is "~k
     // winning hashes" only when the k-th largest tf exceeds 1 — on a
@@ -233,7 +240,7 @@ object Corpus {
     // needs). Output is <= k rows, returned eagerly as a local frame so
     // the persisted agg's lifecycle stays inside the operator.
     val agg = wide.select(id.as("_zc_did"),
-        explode(transform(grams, g => xxhash64(g))).as("_zc_gh"))
+        explode(gramHashes).as("_zc_gh"))
       .groupBy(col("_zc_gh"), col("_zc_did")).agg(count(lit(1)).as("_zc_c"))
       .groupBy(col("_zc_gh"))
       .agg(sum(col("_zc_c")).as("tf"), count(lit(1)).as("df"))
@@ -447,12 +454,18 @@ object Corpus {
                stopwords: Seq[String] = Nil): DataFrame = {
     require(k > 0, "k must be positive")
     val wide = graft.Spread.spread(df, id) // gated spread (r11/r13)
-    val base = wide.select(id.as("doc_id"),
-        explode(split(trim(text), "\\s+")).as("term"))
-      .where(length(col("term")) > 0)
-    val filtered =
-      if (stopwords.isEmpty) base else base.where(!col("term").isin(stopwords: _*))
-    val hashed = filtered.select(col("doc_id"), xxhash64(col("term")).as("_zc_th"))
+    // r16: the COUNTING scan explodes token hashes straight off the
+    // text (TokenHashes — no token-string materialization); the
+    // empty-token guard and the stopword filter apply on the hash side
+    // (EmptyTokenHash / driver-hashed stopword list — injectivity as
+    // documented above). Strings appear only in the recovery scan.
+    import graft.functions.TokenHashes
+    val baseH = wide.select(id.as("doc_id"),
+        explode(TokenHashes.col(text)).as("_zc_th"))
+      .where(col("_zc_th") =!= TokenHashes.EmptyTokenHash)
+    val hashed =
+      if (stopwords.isEmpty) baseH
+      else baseH.where(!col("_zc_th").isin(stopwords.map(TokenHashes.hashString): _*))
     val tf = hashed.groupBy("doc_id", "_zc_th").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("_zc_th").agg(count(lit(1)).as("df"))
     val wCut = Window.partitionBy(col("doc_id"))
@@ -466,7 +479,11 @@ object Corpus {
     // DISTINCT terms map-side (Zipf: per-task vocab << token stream),
     // so the only string shuffle anywhere is vocabulary-sized — no
     // broadcast of the k x docs candidate set required at any scale.
-    val strings = filtered
+    // the recovery scan is the only place token STRINGS exist; the
+    // stopword/empty guards are redundant here (the candidate-hash join
+    // already excludes both) so the scan stays one Generate + one hash
+    val strings = wide
+      .select(explode(split(trim(text), "\\s+")).as("term"))
       .select(xxhash64(col("term")).as("_zc_th"), col("term"))
       .groupBy(col("_zc_th")).agg(first(col("term")).as("term"))
     val w = Window.partitionBy(col("doc_id"))
@@ -542,9 +559,12 @@ object Corpus {
   }
 
   /** Word `k`-gram shingles as STRINGS (empty array below `k` tokens) —
-    * the exact-text form n-gram decontamination joins on. The hashed
-    * variant ([[graft.functions.ShingleHashes]]) is the dedup path; the
-    * string form keeps the benchmark join bit-exact and oracle-provable. */
+    * the builtin higher-order composition, kept as the spec's
+    * bit-identity cross-check for the native expressions that replaced
+    * it on every hot path (r16): [[graft.functions.WordShingleStrings]]
+    * (same strings, one loop) and [[graft.functions.ShingleHashes]]
+    * with `emptyBelowK` (straight to xxhash64 longs, no string ever
+    * built). */
   def wordShingleStrings(text: Column, k: Int): Column = {
     require(k > 0, "k must be positive")
     val toks = split(trim(text), "\\s+")
@@ -554,6 +574,16 @@ object Corpus {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Per-document DISTINCT word `k`-gram xxhash64 longs, natively (r16)
+    * — `array_distinct(transform(wordShingleStrings(text,k), xxhash64))`
+    * in one loop, no gram strings. Distinct-at-source is sound wherever
+    * a consumer only tests gram EXISTENCE or counts distinct grams: the
+    * downstream `distinct()`/dedup steps receive the same set, from
+    * strictly fewer rows. */
+  private def shingleHashes(text: Column, k: Int): Column =
+    graft.functions.ShingleHashes.shingles(split(trim(text), "\\s+"), k,
+      fnv = false, distinct = true, emptyBelowK = true)
 
   /** N-GRAM decontamination: drop every corpus document sharing at least
     * one word `k`-gram with the benchmark set — the contamination test
@@ -569,13 +599,15 @@ object Corpus {
     // both sides join on the shingles' 64-bit hashes: ~5x smaller
     // broadcast and fixed-width equality, identical result absent a
     // 64-bit collision (the same injectivity argument the fingerprint
-    // decontamination path documents)
+    // decontamination path documents). r16: the hashes come straight
+    // from the native one-loop expression — no gram string is ever
+    // built — and per-doc distinct-at-source feeds the join strictly
+    // fewer rows (existence semantics unchanged; both downstream
+    // `distinct()`s receive the same sets).
     val benchShingles = benchmark
-      .select(explode(wordShingleStrings(benchText, k)).as("_sh"))
-      .select(xxhash64(col("_sh")).as("_shh")).distinct()
+      .select(explode(shingleHashes(benchText, k)).as("_shh")).distinct()
     val contaminated = graft.Spread.spread(corpus, id) // gated spread (r13)
-      .select(id.as("_cid"), explode(wordShingleStrings(text, k)).as("_sh"))
-      .select(col("_cid"), xxhash64(col("_sh")).as("_shh"))
+      .select(id.as("_cid"), explode(shingleHashes(text, k)).as("_shh"))
       .join(broadcast(benchShingles), "_shh")
       .select("_cid").distinct()
     // EXPLICIT broadcast: the driver ships only contaminated IDS (8
@@ -602,14 +634,13 @@ object Corpus {
     // closing the r12 verdict's one perf defect): the doc-frequency
     // count needs only gram EQUALITY, and the 64-bit hash is injective
     // on any real corpus's gram space — the same argument
-    // [[decontaminateNgrams]] documents for its broadcast side. The
-    // distinct is taken over the STRINGS (per-doc semantics unchanged),
-    // then each survivor hashes in the same scan-stage projection:
-    // 8 bytes/gram on the wire instead of ~n words of text.
+    // [[decontaminateNgrams]] documents for its broadcast side. r16:
+    // the per-doc distinct hash array comes from ONE native loop
+    // (distinct-on-hash == distinct-on-gram under the same injectivity;
+    // CorpusSpec pins bit-equality) — the old path built every gram
+    // STRING, distinct'd the strings, then hashed the survivors.
     val grams = graft.Spread.spread(df, id) // gated spread, r11
-      .select(id.as("_zc_did"),
-        explode(transform(array_distinct(wordShingleStrings(text, n)),
-          g => xxhash64(g))).as("_zc_gh"))
+      .select(id.as("_zc_did"), explode(shingleHashes(text, n)).as("_zc_gh"))
     // A NOVEL gram (doc frequency 1) has exactly ONE owner, so the
     // gram aggregation can carry it: first(_zc_did) is deterministic
     // precisely where it is used (count == 1). That removes the r10
@@ -658,15 +689,21 @@ object Corpus {
                           benchmark: DataFrame, benchId: Column,
                           benchText: Column, k: Int = 13,
                           minOverlap: Double = 0.0): DataFrame = {
+    // r16: both sides explode native per-doc-distinct hash arrays — no
+    // gram strings anywhere in this operator. Distinct-at-source is the
+    // point on the corpus side too: the overlap metric counts DISTINCT
+    // shared grams, so feeding the join unique (doc, gram) pairs
+    // changes nothing downstream (the dedup step still guards
+    // duplicated corpus IDS) while the broadcast probe sees each
+    // repeated gram once.
     val bench = benchmark
-      .select(benchId.as("_bid"), explode(wordShingleStrings(benchText, k)).as("_sh"))
-      .select(col("_bid"), xxhash64(col("_sh")).as("_shh")).distinct()
+      .select(benchId.as("_bid"), explode(shingleHashes(benchText, k)).as("_shh"))
+      .distinct()
     val benchTot = bench.groupBy(col("_bid")).agg(count(lit(1)).as("_btot"))
     val benchSide = broadcast(bench.join(benchTot, "_bid"))
     graft.Spread.spread(corpus, id) // gated spread (r13): the shingle
       // explode must not run single-threaded on a one-file corpus
-      .select(id.as("corpus_id"), explode(wordShingleStrings(text, k)).as("_sh"))
-      .select(col("corpus_id"), xxhash64(col("_sh")).as("_shh"))
+      .select(id.as("corpus_id"), explode(shingleHashes(text, k)).as("_shh"))
       .join(benchSide, "_shh")
       // a corpus doc repeating a shingle must count it once: dedup the
       // (corpus, bench, shingle) hits — candidate-volume-bounded

@@ -19,6 +19,23 @@ class CorpusSpec extends AnyFunSuite {
     (5L, "de", ""),                                  // degenerate
   ).toDF("doc_id", "lang", "text")
 
+  /** Adversarial tokenizer-twin fixtures: every split/trim edge the
+    * builtins encode (leading/trailing \s runs -> EMPTY fields under
+    * limit -1, space-only trim, ASCII-six whitespace, multi-byte and
+    * non-BMP code points, the empty string) plus seeded random mixes. */
+  private def adversarialTokenFixtures(seed: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val alphabet = "ab XY12 .,!\t\n\f\r  é中_-😀"
+    val edges = Seq("", " ", "\t", " \t ", "a", " a ", "\ta\t", "a b",
+      "a  b\t\tc", "a1b2", "12.34", "...", "é中", "  x \f ",
+      "a  \t b\nc", "\n\na\n\n", "one two one two", "😀",
+      "a😀b 😀", "w x y z w x y z w x y")
+    edges ++ (0 until 1500).map { _ =>
+      val n = rnd.nextInt(60)
+      (0 until n).map(_ => alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+    }
+  }
+
   test("hashSplit: stable buckets, exhaustive labeled cuts, no shuffle") {
     val (bucket, split) = Corpus.hashSplit(xxhash64(col("text")),
       Seq(("train", 90), ("val", 95), ("test", 100)))
@@ -427,9 +444,47 @@ class CorpusSpec extends AnyFunSuite {
     val rows = v.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     // tf counts every occurrence, df distinct docs; ties break on word
     assert(rows == Seq(("the", 3L, 2L), ("cat", 2L, 2L), ("dog", 2L, 2L)))
+    // r16: vocabulary delegates to the hash-counted topNgrams machinery
+    // (1-gram == token) — the internal top-k is still bounded
+    // (TakeOrderedAndProject over the persisted agg) but the CALLER gets
+    // the <= k winner rows back as a local frame, never a re-computation
     val plan = v.queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"vocabulary top-k must be bounded, not a global sort:\n$plan")
+    assert(plan.contains("LocalTableScan"),
+      s"vocabulary must return its bounded winner set locally:\n$plan")
+  }
+
+  test("vocabulary is bit-identical to the string-keyed groupBy formulation (r16)") {
+    val d = adversarialTokenFixtures(seed = 164).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text").repartition(4)
+    val k = 40
+    val got = Corpus.vocabulary(d, col("doc_id"), col("text"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // the pre-r16 plan: explode token STRINGS, group by the string
+    val want = d.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("word"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("word")).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"hash-counted vocabulary diverged from the string plan")
+  }
+
+  test("surprisal token-hash stream is bit-identical to the string-keyed formulation (r16)") {
+    import org.apache.spark.sql.expressions.Window
+    val d = adversarialTokenFixtures(seed = 165).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text").repartition(4)
+    val got = Corpus.surprisal(d, col("doc_id"), col("text"))
+    // the pre-r16 plan: explode token STRINGS, window over the string
+    val dw = d.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("_c"))
+    val tf = dw.withColumn("_tf", sum(col("_c")).over(Window.partitionBy(col("word"))))
+    val want = tf.groupBy(col("doc_id")).agg(
+      sum(col("_c")).cast("long").as("n_tokens"),
+      sum(col("_c") * (length(bin(col("_tf"))) - 1).cast("long"))
+        .cast("long").as("freq_bits"),
+      sum(when(col("_tf") === 1L, 1L).otherwise(0L)).cast("long").as("hapax"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "hash-keyed surprisal diverged from the string plan")
   }
 
   test("interleave: every prefix of the vtime order carries the weighted mix (±1/source)") {
@@ -659,9 +714,13 @@ class CorpusSpec extends AnyFunSuite {
   test("TokenCounts is bit-identical to the builtin split/regex counts (r15)") {
     import graft.functions.{TextFunctions, TokenCounts}
     val rnd = new scala.util.Random(152)
-    val alphabet = "ab XY12 .,!\t\n\f\r  é中_-"
+    // r16 advice: the alphabet carries a NON-BMP code point (😀, a
+    // surrogate pair) -- java regex classes match code points, so one
+    // emoji is ONE `[^a-zA-Z0-9\s]` pre-token, not two
+    val alphabet = "ab XY12 .,!\t\n\f\r  é中_-😀"
     val fixtures = Seq("", " ", "\t", " \t ", "a", " a ", "\ta\t", "a b",
-      "a1b2", "12.34", "...", "é中", "  x \f ", "a  \t b\nc") ++
+      "a1b2", "12.34", "...", "é中", "  x \f ", "a  \t b\nc",
+      "a😀b 1😀", "😀😀", "x😀", "😀 1") ++
       (0 until 2000).map { _ =>
         val n = rnd.nextInt(50)
         (0 until n).map(_ => alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
@@ -675,6 +734,53 @@ class CorpusSpec extends AnyFunSuite {
       TextFunctions.bpeTokenCount(col("text")).cast("int").as("bpe"))
     assert(fused.exceptAll(builtin).isEmpty && builtin.exceptAll(fused).isEmpty,
       "fused token counts must equal the builtin split/regex counts")
+  }
+
+  test("ShingleHashes corpus modes are bit-identical to the builtin compositions (r16)") {
+    val d = adversarialTokenFixtures(seed = 166).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text").repartition(4)
+    for (k <- Seq(1, 3, 13)) {
+      val toks = split(trim(col("text")), "\\s+")
+      // the builtin gram-string chain the natives replaced
+      val gramStrings = when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+      // non-distinct hash stream (the counting pass)
+      val gotAll = d.select(col("doc_id"),
+        graft.functions.ShingleHashes.shingles(toks, k,
+          fnv = false, distinct = false, emptyBelowK = true).as("h"))
+      val wantAll = d.select(col("doc_id"),
+        transform(gramStrings, g => xxhash64(g)).as("h"))
+      assert(gotAll.exceptAll(wantAll).isEmpty && wantAll.exceptAll(gotAll).isEmpty,
+        s"non-distinct shingle hashes diverged from the builtin chain at k=$k")
+      // distinct hash stream (the existence/novelty pass) — order matters:
+      // array_distinct keeps first occurrence, so compare ARRAYS
+      val gotD = d.select(col("doc_id"),
+        graft.functions.ShingleHashes.shingles(toks, k,
+          fnv = false, distinct = true, emptyBelowK = true).as("h"))
+      val wantD = d.select(col("doc_id"),
+        array_distinct(transform(gramStrings, g => xxhash64(g))).as("h"))
+      assert(gotD.exceptAll(wantD).isEmpty && wantD.exceptAll(gotD).isEmpty,
+        s"distinct shingle hashes diverged from the builtin chain at k=$k")
+      // native gram STRINGS (the recovery pass)
+      val gotS = d.select(col("doc_id"),
+        graft.functions.WordShingleStrings.shingles(toks, k).as("g"))
+      val wantS = d.select(col("doc_id"), gramStrings.as("g"))
+      assert(gotS.exceptAll(wantS).isEmpty && wantS.exceptAll(gotS).isEmpty,
+        s"native shingle strings diverged from the builtin chain at k=$k")
+    }
+  }
+
+  test("TokenHashes is bit-identical to transform(split(trim), xxhash64) (r16)") {
+    val d = adversarialTokenFixtures(seed = 167).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text").repartition(4)
+    val got = d.select(col("doc_id"), graft.functions.TokenHashes.col(col("text")).as("h"))
+    val want = d.select(col("doc_id"),
+      transform(split(trim(col("text")), "\\s+"), t => xxhash64(t)).as("h"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "native token hashes diverged from the builtin split+hash chain " +
+        "(trim strips only 0x20; split keeps leading/trailing empty fields)")
   }
 
   test("StripMarkup is bit-identical to the builtin regexp chain (r15)") {
