@@ -1820,17 +1820,27 @@ object SparkEntry {
     // ceiling, stopword presence) as one codegen'd predicate.
     "text_quality_filter" -> ((s, dir) => {
       import graft.functions.TextFunctions
-      // r16: the projected n_tokens reads the native quality_stats
-      // struct's own field (bit-identical to tokenCount, spec-pinned)
-      // instead of re-tokenizing with the builtin split — the filter's
-      // single-pass scan was paying a second full tokenize just to
-      // project a count it had already computed.
+      // r16: ONE quality_stats evaluation per row. The naive
+      // where(qualityRules).select(st.n_tokens) pays the single-pass
+      // scanner TWICE: PushPredicateThroughNonJoin re-inlines the
+      // filter below the projection, and FilterExec/ProjectExec don't
+      // share subexpressions across operators. The
+      // monotonically_increasing_id conjunct is a deliberate PUSHDOWN
+      // BARRIER: it is always true (mid >= 0 by construction) but
+      // NON-DETERMINISTIC, so PushPredicateThroughNonJoin refuses to
+      // move the filter below the projection (and ColumnPruning cannot
+      // drop the column the filter references) — the struct
+      // materializes once in the Project and both the gate and the
+      // output read its fields as attributes.
       val st = TextFunctions.qualityStats(col("text"))
       Tables.documents(s, dir)
-        .where(TextFunctions.qualityRules(col("text"),
-          minTokens = 5, maxTokens = 2000, minAvgTokenLen = 2.0,
-          maxAvgTokenLen = 12.0, maxPunctRatio = 0.25, minStopwordHits = 1))
-        .select(col("doc_id"), st.getField("n_tokens").cast("int").as("n_tokens"))
+        .select(col("doc_id"), st.as("_st"),
+          monotonically_increasing_id().as("_zc_barrier"))
+        .where(col("_zc_barrier") >= 0 &&
+          col("_st.n_tokens").between(5, 2000) &&
+          col("_st.avg_token_len").between(2.0, 12.0) &&
+          col("_st.punct_ratio") <= 0.25 && col("_st.stop_hits") >= 1)
+        .select(col("doc_id"), col("_st.n_tokens").cast("int").as("n_tokens"))
         .orderBy("doc_id")
     }),
 

@@ -113,3 +113,112 @@ object TokenHashes {
     Bridge.column(TokenHashes(Bridge.expression(c)))
   }
 }
+
+/** Per-document counts of a SMALL fixed candidate-term set, one native
+  * byte loop — `counts[i]` = how many whitespace tokens equal
+  * `terms(i)`, under the exact [[TokenHashes]] tokenizer-twin field
+  * semantics with empty fields SKIPPED (the builtin
+  * `where(length(term) > 0)` guard). The Misra–Gries verify pass:
+  * exact recount of <= k sketch candidates without exploding the token
+  * stream or joining — one scan, k bounded sums. */
+case class CandidateTokenCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "candidate set must be non-empty")
+  require(terms.forall(_.nonEmpty), "empty-string candidates can never match")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"candidate_token_counts requires a string argument, got ${child.dataType.catalogString}")
+
+  @transient private lazy val matcher = new CandidateMatcher(terms.toArray)
+
+  override protected def nullSafeEval(input: Any): Any =
+    matcher.counts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matcher", matcher,
+      classOf[CandidateMatcher].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.counts($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CandidateTokenCounts =
+    copy(child = newChild)
+
+  override def prettyName: String = "candidate_token_counts"
+}
+
+object CandidateTokenCounts {
+  def col(c: Column, terms: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(CandidateTokenCounts(Bridge.expression(c), terms))
+  }
+}
+
+/** The shared per-task matcher: candidate UTF-8 byte images bucketed by
+  * length; each non-empty field memcmps only the same-length bucket
+  * (candidate sets are sketch-bounded, <= ~tens). Serializable so the
+  * codegen reference ships inside the expression. */
+final class CandidateMatcher(terms: Array[String]) extends Serializable {
+  @transient private lazy val images: Array[Array[Byte]] =
+    terms.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  @transient private lazy val byLen: java.util.HashMap[Integer, Array[Int]] = {
+    val m = new java.util.HashMap[Integer, scala.collection.mutable.ArrayBuffer[Int]]()
+    var i = 0
+    while (i < images.length) {
+      m.computeIfAbsent(images(i).length, _ => scala.collection.mutable.ArrayBuffer.empty)
+        .append(i)
+      i += 1
+    }
+    val out = new java.util.HashMap[Integer, Array[Int]]()
+    m.forEach((k, v) => out.put(k, v.toArray))
+    out
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def counts(u: UTF8String): ArrayData = {
+    val out = new Array[Long](terms.length)
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val nb = u.numBytes()
+    var lo = 0
+    var hi = nb
+    while (lo < hi && Platform.getByte(base, off + lo) == ' ') lo += 1
+    while (hi > lo && Platform.getByte(base, off + hi - 1) == ' ') hi -= 1
+    @inline def field(start: Int, end: Int): Unit = {
+      val len = end - start
+      if (len > 0) { // empty fields never match (length(term) > 0 guard)
+        val bucket = byLen.get(len)
+        if (bucket != null) {
+          var bi = 0
+          while (bi < bucket.length) {
+            val idx = bucket(bi)
+            val img = images(idx)
+            var j = 0
+            while (j < len && Platform.getByte(base, off + start + j) == img(j)) j += 1
+            if (j == len) { out(idx) += 1; bi = bucket.length }
+            else bi += 1
+          }
+        }
+      }
+    }
+    var i = lo
+    var start = lo
+    while (i < hi) {
+      if (isWs(Platform.getByte(base, off + i))) {
+        field(start, i)
+        i += 1
+        while (i < hi && isWs(Platform.getByte(base, off + i))) i += 1
+        start = i
+      } else i += 1
+    }
+    field(start, hi)
+    new GenericArrayData(out)
+  }
+}
