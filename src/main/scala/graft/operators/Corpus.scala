@@ -41,15 +41,37 @@ object Corpus {
 
   /** Corpus VOCABULARY: the `k` most frequent whitespace tokens with
     * total term frequency (`tf`) and document frequency (`df`) — the
-    * stopword-list / tokenizer-audit primitive. A 1-gram IS a token, so
-    * this delegates to [[topNgrams]] (r16): the counting pass shuffles
-    * xxhash64 LONGS — token strings never cross the wire; only the ~k
-    * winners recover their text through the broadcast semi-filtered
-    * second scan. Identical output to the string-grouped plan absent a
-    * 64-bit collision (the shared injectivity argument; CorpusSpec pins
+    * stopword-list / tokenizer-audit primitive. Scale shape (r16): the
+    * COUNTING side explodes xxhash64 longs straight off the text
+    * ([[graft.functions.TokenHashes]] — no token array, no token
+    * strings) and aggregates (hash, doc) pairs with map-side combine;
+    * token STRINGS exist only in the recovery aggregation, whose
+    * partial `first(word)` collapses to per-task distinct words before
+    * the vocabulary-sized shuffle. The join is vocabulary-sized on both
+    * sides and the final top-k plans as TakeOrderedAndProject — ONE
+    * job, no driver barriers (unlike [[topNgrams]]'s guarded regime,
+    * which a 1-gram space never needs: its k-th tf exceeding 1 is the
+    * normal case, and even when it doesn't this plan never broadcasts).
+    * Identical output to the string-grouped plan absent a 64-bit
+    * collision (the shared injectivity argument; CorpusSpec pins
     * bit-equality against the string-keyed formulation). */
-  def vocabulary(df: DataFrame, id: Column, text: Column, k: Int): DataFrame =
-    topNgrams(df, id, text, 1, k).withColumnRenamed("ngram", "word")
+  def vocabulary(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = df
+      .select(id.as("_zc_did"), explode(graft.functions.TokenHashes.col(text)).as("_zc_wh"))
+      .groupBy(col("_zc_wh"), col("_zc_did")).agg(count(lit(1)).as("_zc_c"))
+      .groupBy(col("_zc_wh"))
+      .agg(sum(col("_zc_c")).as("tf"), count(lit(1)).as("df"))
+    // all strings under one hash are equal (injectivity): first is
+    // deterministic exactly where it is used
+    val words = df.select(explode(split(trim(text), "\\s+")).as("word"))
+      .select(xxhash64(col("word")).as("_zc_wh"), col("word"))
+      .groupBy(col("_zc_wh")).agg(first(col("word")).as("word"))
+    counts.join(words, "_zc_wh")
+      .select(col("word"), col("tf"), col("df"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(k)
+  }
 
   /** Deterministic weighted INTERLEAVE — the training-ORDER counterpart
     * of [[mixtureSample]]'s budgets: every kept row gets an integer

@@ -444,13 +444,12 @@ class CorpusSpec extends AnyFunSuite {
     val rows = v.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     // tf counts every occurrence, df distinct docs; ties break on word
     assert(rows == Seq(("the", 3L, 2L), ("cat", 2L, 2L), ("dog", 2L, 2L)))
-    // r16: vocabulary delegates to the hash-counted topNgrams machinery
-    // (1-gram == token) — the internal top-k is still bounded
-    // (TakeOrderedAndProject over the persisted agg) but the CALLER gets
-    // the <= k winner rows back as a local frame, never a re-computation
+    // r16: the hash-keyed single-job plan — counting on TokenHashes
+    // longs, vocabulary-sized string recovery, and a still-bounded
+    // top-k (TakeOrderedAndProject, never a global vocabulary sort)
     val plan = v.queryExecution.executedPlan.toString
-    assert(plan.contains("LocalTableScan"),
-      s"vocabulary must return its bounded winner set locally:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocabulary top-k must be bounded, not a global sort:\n$plan")
   }
 
   test("vocabulary is bit-identical to the string-keyed groupBy formulation (r16)") {
