@@ -2550,11 +2550,18 @@ object SparkEntry {
     "stream_join" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val c = eventsCollection(s, dir)
-      val clicks = StreamOps.readStream(s, c)
+      // r16: state partitions sized to the query's state volume, not the
+      // host's core count — the stream-stream join operator instantiates
+      // FOUR state stores per partition per micro-batch, so the session
+      // default (= local core count) paid 128 store load+commit cycles
+      // per batch for kilobytes of state. Same statePartitions contract
+      // as every other stateful entry (windowedAgg/TopK/Distinct use 8).
+      val ss = StreamOps.statefulSession(s, Some(8))
+      val clicks = StreamOps.readStream(ss, c)
         .where(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
-      val views = StreamOps.readStream(s, c)
+      val views = StreamOps.readStream(ss, c)
         .where(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"),
           col("ts").as("view_ts"))
@@ -2563,7 +2570,7 @@ object SparkEntry {
           "click_ts", "view_ts", "12 hours")
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name)
+      ss.table(name)
         .select(col("click_id"), col("view_id"), col("user_id"),
           unix_micros(col("click_ts")).as("click_ts_us"),
           unix_micros(col("view_ts")).as("view_ts_us"))
@@ -2580,11 +2587,13 @@ object SparkEntry {
     "stream_join_outer" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val c = eventsCollection(s, dir)
-      val clicks = StreamOps.readStream(s, c)
+      // r16: state partitions sized to state volume (see stream_join)
+      val ss = StreamOps.statefulSession(s, Some(8))
+      val clicks = StreamOps.readStream(ss, c)
         .where(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
-      val views = StreamOps.readStream(s, c)
+      val views = StreamOps.readStream(ss, c)
         .where(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"),
           col("ts").as("view_ts"))
@@ -2593,7 +2602,7 @@ object SparkEntry {
           "click_ts", "view_ts", "12 hours", joinType = "left_outer")
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name)
+      ss.table(name)
         .select(col("click_id"), col("view_id"), col("user_id"),
           unix_micros(col("click_ts")).as("click_ts_us"),
           unix_micros(col("view_ts")).as("view_ts_us"))
@@ -2608,11 +2617,13 @@ object SparkEntry {
     "stream_join_full" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val c = eventsCollection(s, dir)
-      val clicks = StreamOps.readStream(s, c)
+      // r16: state partitions sized to state volume (see stream_join)
+      val ss = StreamOps.statefulSession(s, Some(8))
+      val clicks = StreamOps.readStream(ss, c)
         .where(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
-      val views = StreamOps.readStream(s, c)
+      val views = StreamOps.readStream(ss, c)
         .where(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"),
           col("ts").as("view_ts"))
@@ -2621,7 +2632,7 @@ object SparkEntry {
           "click_ts", "view_ts", "12 hours", joinType = "full_outer")
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name)
+      ss.table(name)
         .select(col("click_id"), col("view_id"), col("user_id"),
           unix_micros(col("click_ts")).as("click_ts_us"),
           unix_micros(col("view_ts")).as("view_ts_us"))
@@ -2850,7 +2861,11 @@ object SparkEntry {
       val c = Collection.create(s, root, ev.schema, "ts",
         DatePartitioning("ts", "D"), overwrite = true)
       c.insert(ev)
-      val stream = graft.streaming.StreamOps.readStream(s, c)
+      // r16: state partitions sized to state volume (see stream_join) —
+      // flatMapGroupsWithState loads+commits one store per partition per
+      // micro-batch, and this entry runs THREE batch waves.
+      val ss = graft.streaming.StreamOps.statefulSession(s, Some(8))
+      val stream = graft.streaming.StreamOps.readStream(ss, c)
       val out = graft.streaming.StreamOps.asofJoinStream(
         stream.where(col("event_type") === "purchase"),
         stream.where(col("event_type") === "click"),
@@ -2872,7 +2887,7 @@ object SparkEntry {
         c.insert(sentinel(31), graft.core.MergeStrategy.Concat)
         q.processAllAvailable()
       } finally q.stop()
-      s.table(name).select(col("id").as("event_id"), col("ts_us"),
+      ss.table(name).select(col("id").as("event_id"), col("ts_us"),
           col("v").as("value"), col("asof_ts_us"), col("asof_v"))
         .orderBy("event_id")
     }),

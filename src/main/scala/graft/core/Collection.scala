@@ -2111,6 +2111,12 @@ final class Collection private (
     }
     // touched parent partitions: anywhere the diff lands on either side
     // (the distinct key set is small — bounded by partitions, not rows)
+    // NOTE (r16, measured): persisting `inserts`/`deletes` here to share
+    // the CDC diff between this action and the rewrite below was tried
+    // and REVERTED — the cache materializes the full-width diff where
+    // the un-persisted plan lets Catalyst prune this action down to the
+    // partition-key columns, and the entry read 3-10x WORSE (BenchOne
+    // zc_rebase_theirs 10.2 s committed -> 30+ s persisted).
     val touched = distinctKeys(partitioning.assign(inserts.unionByName(deletes)))
       .map(keyPath)
     val existing = man.partitionPaths.toSet

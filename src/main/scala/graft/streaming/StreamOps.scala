@@ -47,6 +47,25 @@ object StreamOps {
       .options(options)
       .load()
 
+  /** Session for a stateful query with its own state-store partition
+    * count (r16): a stream's state partitioning is fixed at its first
+    * batch by the session's `spark.sql.shuffle.partitions`, and each
+    * state partition instantiates (and per-batch loads + commits) its
+    * own store — for the stream-stream join operator FOUR stores per
+    * partition. Size it to the query's STATE volume like any stateful
+    * job at scale, not to the host's core count; the fork
+    * (`spark.newSession()`: shared SparkContext, isolated conf) leaves
+    * concurrent batch queries' parallelism untouched (the ADVICE-r2
+    * contract every `statePartitions` helper here follows). */
+  def statefulSession(spark: SparkSession, statePartitions: Option[Int]): SparkSession =
+    statePartitions match {
+      case Some(n) =>
+        val forked = spark.newSession()
+        forked.conf.set("spark.sql.shuffle.partitions", n.toString)
+        forked
+      case None => spark
+    }
+
   /** PRIMARY streaming shape: append-mode tumbling-window aggregation
     * with a watermark. State is bounded (windows older than the watermark
     * are dropped) and only FINALIZED windows are emitted — exactly one
@@ -82,13 +101,7 @@ object StreamOps {
       slideDuration: Option[String] = None,
   )(agg: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val session = statePartitions match {
-      case Some(n) =>
-        val forked = spark.newSession()
-        forked.conf.set("spark.sql.shuffle.partitions", n.toString)
-        forked
-      case None => spark
-    }
+    val session = statefulSession(spark, statePartitions)
     val win = slideDuration match {
       case Some(slide) => window(col(timeCol), windowDuration, slide)
       case None => window(col(timeCol), windowDuration)
@@ -125,13 +138,7 @@ object StreamOps {
                    watermarkDelay: String = "0 seconds",
                    statePartitions: Option[Int] = None): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val session = statePartitions match {
-      case Some(n) =>
-        val forked = spark.newSession()
-        forked.conf.set("spark.sql.shuffle.partitions", n.toString)
-        forked
-      case None => spark
-    }
+    val session = statefulSession(spark, statePartitions)
     val tk = graft.functions.TopKAgg.topK(k)
     val grouped = readStream(session, c)
       .withWatermark(timeCol, watermarkDelay)
@@ -168,13 +175,7 @@ object StreamOps {
                        watermarkDelay: String = "0 seconds",
                        statePartitions: Option[Int] = None): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val session = statePartitions match {
-      case Some(n) =>
-        val forked = spark.newSession()
-        forked.conf.set("spark.sql.shuffle.partitions", n.toString)
-        forked
-      case None => spark
-    }
+    val session = statefulSession(spark, statePartitions)
     val deduped = readStream(session, c)
       .withWatermark(timeCol, watermarkDelay)
       .select(window(col(timeCol), windowDuration).as("w"), col(keyCol).as("_zc_k"))
@@ -233,13 +234,7 @@ object StreamOps {
       statePartitions: Option[Int] = None,
   )(agg: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): DataFrame = {
     val name = "graft_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val session = statePartitions match {
-      case Some(n) =>
-        val forked = spark.newSession()
-        forked.conf.set("spark.sql.shuffle.partitions", n.toString)
-        forked
-      case None => spark
-    }
+    val session = statefulSession(spark, statePartitions)
     val q = agg(
         readStream(session, c)
           .withWatermark(timeCol, watermarkDelay)
