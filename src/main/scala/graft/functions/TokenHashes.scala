@@ -114,6 +114,153 @@ object TokenHashes {
   }
 }
 
+/** Per-document (token, count) PAIRS in one native byte loop — the
+  * in-document pre-aggregation of the token stream (r16): for each
+  * document, one `struct<word, cnt>` per DISTINCT whitespace token
+  * (insertion order), under the exact [[TokenHashes]] tokenizer-twin
+  * field semantics (0x20-only trim, ASCII-six `\s`, leading/trailing
+  * empty fields kept — empty tokens count like any other).
+  *
+  * This is guide-§2.3 "aggregate before you shuffle" pushed below the
+  * explode itself: a corpus tf/df aggregation over these pairs
+  * (`groupBy(word).agg(sum(cnt), count(*))`) explodes one row per
+  * distinct token per document instead of one per OCCURRENCE, and
+  * needs no (word, doc) pre-aggregation and no hash→string recovery
+  * join — `cnt` IS the per-(word, document) count, and one array entry
+  * per document IS the df contribution. Callers key df per ROW, so the
+  * document id must be row-unique (it is the documents key at every
+  * call site; a duplicated id would count df per copy where a
+  * (word, id) groupBy counted it once).
+  *
+  * Per-document state is a small open-addressing table over (offset,
+  * len, xxhash64) token images — bounded by distinct tokens per
+  * document, the same class as this file's other scratch buffers. */
+case class TokenCountPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TokenCountPairs.OutType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_count_pairs requires a string argument, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenCountPairs.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenCountPairs.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountPairs =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_count_pairs"
+}
+
+object TokenCountPairs {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val OutType: ArrayType = ArrayType(StructType(Seq(
+    StructField("word", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def compute(u: UTF8String): ArrayData = {
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val nb = u.numBytes()
+    var lo = 0
+    var hi = nb
+    while (lo < hi && Platform.getByte(base, off + lo) == ' ') lo += 1
+    while (hi > lo && Platform.getByte(base, off + hi - 1) == ' ') hi -= 1
+    // entry arrays (insertion order) + open-addressing index table
+    var cap = 8
+    var starts = new Array[Int](cap)
+    var lens = new Array[Int](cap)
+    var hashes = new Array[Long](cap)
+    var counts = new Array[Long](cap)
+    var n = 0
+    var tcap = 32 // power of two, kept < half full
+    def newTable(size: Int): Array[Int] = {
+      val t = new Array[Int](size)
+      java.util.Arrays.fill(t, -1)
+      t
+    }
+    var table = newTable(tcap)
+    @inline def sameBytes(s1: Int, s2: Int, len: Int): Boolean = {
+      var j = 0
+      while (j < len && Platform.getByte(base, off + s1 + j) ==
+        Platform.getByte(base, off + s2 + j)) j += 1
+      j == len
+    }
+    def insertIdx(h: Long, e: Int): Unit = {
+      var slot = (h & (tcap - 1)).toInt
+      while (table(slot) >= 0) slot = (slot + 1) & (tcap - 1)
+      table(slot) = e
+    }
+    @inline def field(start: Int, end: Int): Unit = {
+      val len = end - start
+      val h = XXH64.hashUnsafeBytes(base, off + start, len, 42L)
+      var slot = (h & (tcap - 1)).toInt
+      var done = false
+      while (!done) {
+        val e = table(slot)
+        if (e < 0) {
+          if (n == cap) {
+            cap *= 2
+            starts = java.util.Arrays.copyOf(starts, cap)
+            lens = java.util.Arrays.copyOf(lens, cap)
+            hashes = java.util.Arrays.copyOf(hashes, cap)
+            counts = java.util.Arrays.copyOf(counts, cap)
+          }
+          starts(n) = start; lens(n) = len; hashes(n) = h; counts(n) = 1L
+          table(slot) = n
+          n += 1
+          if (n * 2 >= tcap) { // rehash before half full
+            tcap *= 2
+            table = newTable(tcap)
+            var e2 = 0
+            while (e2 < n) { insertIdx(hashes(e2), e2); e2 += 1 }
+          }
+          done = true
+        } else if (hashes(e) == h && lens(e) == len && sameBytes(starts(e), start, len)) {
+          counts(e) += 1L
+          done = true
+        } else slot = (slot + 1) & (tcap - 1)
+      }
+    }
+    var i = lo
+    var start = lo
+    while (i < hi) {
+      if (isWs(Platform.getByte(base, off + i))) {
+        field(start, i)
+        i += 1
+        while (i < hi && isWs(Platform.getByte(base, off + i))) i += 1
+        start = i
+      } else i += 1
+    }
+    field(start, hi)
+    val rows = new Array[Any](n)
+    var e = 0
+    while (e < n) {
+      val bytes = new Array[Byte](lens(e))
+      Platform.copyMemory(base, off + starts(e), bytes, Platform.BYTE_ARRAY_OFFSET, lens(e))
+      rows(e) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromBytes(bytes), counts(e)))
+      e += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  def col(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(TokenCountPairs(Bridge.expression(c)))
+  }
+}
+
 /** Per-document counts of a SMALL fixed candidate-term set, one native
   * byte loop — `counts[i]` = how many whitespace tokens equal
   * `terms(i)`, under the exact [[TokenHashes]] tokenizer-twin field

@@ -57,18 +57,19 @@ object Corpus {
     * bit-equality against the string-keyed formulation). */
   def vocabulary(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val counts = df
-      .select(id.as("_zc_did"), explode(graft.functions.TokenHashes.col(text)).as("_zc_wh"))
-      .groupBy(col("_zc_wh"), col("_zc_did")).agg(count(lit(1)).as("_zc_c"))
-      .groupBy(col("_zc_wh"))
+    // r16b: the (word, doc) pre-aggregation moved INSIDE the scan —
+    // [[graft.functions.TokenCountPairs]] emits one (word, cnt) struct
+    // per DISTINCT token per document from one byte loop, so the
+    // explode carries the df mass (distinct tokens × docs), never the
+    // occurrence stream, and `cnt` already IS the per-(word, document)
+    // count: ONE map-side-combined aggregation replaces the previous
+    // (hash, doc)-pair shuffle + hash→string recovery scan + join.
+    // `id` must be row-unique (the documents key everywhere — see the
+    // expression's scaladoc); it no longer participates in the plan.
+    df.select(explode(graft.functions.TokenCountPairs.col(text)).as("_zc_tc"))
+      .select(col("_zc_tc.word").as("word"), col("_zc_tc.cnt").as("_zc_c"))
+      .groupBy(col("word"))
       .agg(sum(col("_zc_c")).as("tf"), count(lit(1)).as("df"))
-    // all strings under one hash are equal (injectivity): first is
-    // deterministic exactly where it is used
-    val words = df.select(explode(split(trim(text), "\\s+")).as("word"))
-      .select(xxhash64(col("word")).as("_zc_wh"), col("word"))
-      .groupBy(col("_zc_wh")).agg(first(col("word")).as("word"))
-    counts.join(words, "_zc_wh")
-      .select(col("word"), col("tf"), col("df"))
       .orderBy(col("tf").desc, col("word"))
       .limit(k)
   }
@@ -152,10 +153,17 @@ object Corpus {
     * three exchanges of the DISTINCT (doc,token) pairs, bounded by
     * vocabulary spread, not corpus bytes. */
   def surprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // r16b: the (doc, token) counts come straight out of the scan
+    // ([[graft.functions.TokenCountPairs]] — one struct per distinct
+    // token per document), so the explode carries the df mass instead
+    // of the occurrence stream and the first aggregation disappears;
+    // the corpus-frequency window keeps its 8-byte hash key (the word
+    // string hashes once per distinct (doc, token), not per occurrence).
     val dw = df
       .select(id.as("doc_id"),
-        explode(graft.functions.TokenHashes.col(text)).as("_zc_wh"))
-      .groupBy(col("doc_id"), col("_zc_wh")).agg(count(lit(1)).as("_zc_c"))
+        explode(graft.functions.TokenCountPairs.col(text)).as("_zc_tc"))
+      .select(col("doc_id"), xxhash64(col("_zc_tc.word")).as("_zc_wh"),
+        col("_zc_tc.cnt").as("_zc_c"))
     val tf = dw.withColumn("_zc_tf",
       sum(col("_zc_c")).over(Window.partitionBy(col("_zc_wh"))))
     // floor(log2(tf)) as pure INTEGER arithmetic (bit width − 1): a
@@ -487,36 +495,32 @@ object Corpus {
     // empty-token guard and the stopword filter apply on the hash side
     // (EmptyTokenHash / driver-hashed stopword list — injectivity as
     // documented above). Strings appear only in the recovery scan.
-    import graft.functions.TokenHashes
-    val baseH = wide.select(id.as("doc_id"),
-        explode(TokenHashes.col(text)).as("_zc_th"))
-      .where(col("_zc_th") =!= TokenHashes.EmptyTokenHash)
-    val hashed =
-      if (stopwords.isEmpty) baseH
-      else baseH.where(!col("_zc_th").isin(stopwords.map(TokenHashes.hashString): _*))
-    val tf = hashed.groupBy("doc_id", "_zc_th").agg(count(lit(1)).as("tf"))
+    // r16b: per-(doc, term) counts come straight out of the scan
+    // ([[graft.functions.TokenCountPairs]]) with the term STRING in
+    // hand — the (doc, hash) tf aggregation, the hash→string recovery
+    // scan, and the recovery join all disappear; the stopword/empty
+    // guards apply directly on the term. The exploded stream is df-mass
+    // sized (distinct tokens per doc), same as the old tf frame.
+    val base = wide.select(id.as("doc_id"),
+        explode(graft.functions.TokenCountPairs.col(text)).as("_zc_tc"))
+      .select(col("doc_id"), col("_zc_tc.word").as("term"),
+        xxhash64(col("_zc_tc.word")).as("_zc_th"), col("_zc_tc.cnt").as("tf"))
+      .where(length(col("term")) > 0)
+    val tf =
+      if (stopwords.isEmpty) base
+      else base.where(!col("term").isin(stopwords: _*))
+    // df keyed on the 8-byte hash (the word hashes once per distinct
+    // (doc, term), never per occurrence); the term string rides as
+    // payload straight to the output
     val dfreq = tf.groupBy("_zc_th").agg(count(lit(1)).as("df"))
     val wCut = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc)
     val cands = tf.join(dfreq, "_zc_th")
       .withColumn("_zc_r", rank().over(wCut))
       .where(col("_zc_r") <= k).drop("_zc_r")
-    // all strings under one hash are equal (injectivity): first is
-    // deterministic exactly where it is used. GROUP before joining:
-    // partial aggregation collapses the recovery stream to each task's
-    // DISTINCT terms map-side (Zipf: per-task vocab << token stream),
-    // so the only string shuffle anywhere is vocabulary-sized — no
-    // broadcast of the k x docs candidate set required at any scale.
-    // the recovery scan is the only place token STRINGS exist; the
-    // stopword/empty guards are redundant here (the candidate-hash join
-    // already excludes both) so the scan stays one Generate + one hash
-    val strings = wide
-      .select(explode(split(trim(text), "\\s+")).as("term"))
-      .select(xxhash64(col("term")).as("_zc_th"), col("term"))
-      .groupBy(col("_zc_th")).agg(first(col("term")).as("term"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    cands.join(strings, "_zc_th")
+    cands
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("doc_id"), col("rank").cast("int").as("rank"),

@@ -782,6 +782,27 @@ class CorpusSpec extends AnyFunSuite {
         "(trim strips only 0x20; split keeps leading/trailing empty fields)")
   }
 
+  test("TokenCountPairs equals the per-doc split groupBy, occurrence-complete (r16b)") {
+    val d = adversarialTokenFixtures(seed = 171).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text").repartition(4)
+    val got = d.select(col("doc_id"),
+        explode(graft.functions.TokenCountPairs.col(col("text"))).as("_zc_tc"))
+      .select(col("doc_id"), col("_zc_tc.word").as("word"), col("_zc_tc.cnt").as("cnt"))
+    // the builtin image: per-(doc, token) occurrence counts over the
+    // exact split(trim, -1) fields (leading/trailing empties kept)
+    val want = d.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "native per-doc token count pairs diverged from the builtin " +
+        "split+groupBy image (trim strips only 0x20; split keeps " +
+        "leading/trailing empty fields; counts per occurrence)")
+    // per-doc distinctness: one pair per distinct token
+    val dup = got.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+    assert(dup.isEmpty, "a token surfaced twice in one document's pairs")
+  }
+
   test("StripMarkup is bit-identical to the builtin regexp chain (r15)") {
     import graft.functions.{StripMarkup, TextFunctions}
     val rnd = new scala.util.Random(153)
