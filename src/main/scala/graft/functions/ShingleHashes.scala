@@ -152,14 +152,95 @@ object ShingleHashes {
   }
 }
 
+/** Per-document (window-hash, count) PAIRS over the k-token windows —
+  * the in-document pre-aggregation of the gram stream (r16b, the
+  * [[TokenCountPairs]] shape one level up): one `struct<gh, cnt>` per
+  * DISTINCT window hash (first-occurrence order), `emptyBelowK = true`
+  * semantics (documents shorter than `k` tokens contribute nothing).
+  * A corpus tf/df aggregation over these pairs explodes one row per
+  * distinct gram per document instead of one per occurrence —
+  * `sum(cnt)` is tf and one array entry per document is the df
+  * contribution, exactly the previous `groupBy(gh, doc)` frame. */
+case class ShingleHashCountPairs(child: Expression, k: Int, fnv: Boolean = false)
+    extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ShingleHashCountPairs.OutType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hash_count_pairs requires array<string>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashCountPairs.compute(input.asInstanceOf[ArrayData], k, fnv)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashCountPairs.compute($c, $k, $fnv)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashCountPairs =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hash_count_pairs"
+}
+
+object ShingleHashCountPairs {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val OutType: ArrayType = ArrayType(StructType(Seq(
+    StructField("gh", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+
+  def compute(toks: ArrayData, k: Int, fnv: Boolean): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(new Array[AnyRef](0))
+    val h = WindowHasher.local.get()
+    val m = n - k + 1
+    // LinkedHashMap = first-occurrence order (determinism; the order is
+    // aggregated away downstream)
+    val seen = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+    var i = 0
+    while (i < m) {
+      val gh = java.lang.Long.valueOf(h.hash(toks, i, k, fnv))
+      val c = seen.get(gh)
+      if (c == null) seen.put(gh, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey.longValue(), e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def shingles(tokens: Column, k: Int, fnv: Boolean = false): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(ShingleHashCountPairs(Bridge.expression(tokens), k, fnv))
+  }
+}
+
 /** Word k-gram shingles as STRINGS in one native loop — every window,
   * in order, NO shingles below `k` tokens: bit-identical to
   * `when(n >= k, transform(sequence(1, n-k+1), i -> concat_ws(" ",
   * slice(toks, i, k)))).otherwise(array())` (`array_join(slice, " ")`
   * is the same function on null-free token arrays). The string-RECOVERY
   * scan of hash-counted n-gram operators: only the counting pass needs
-  * hashes, but winners must surface their text. */
-case class WordShingleStrings(child: Expression, k: Int) extends UnaryExpression {
+  * hashes, but winners must surface their text. With `distinct = true`
+  * each document emits each gram string ONCE (first-occurrence order) —
+  * the recovery consumers group by the gram and take `first`, so
+  * per-document multiplicity is dead weight they no longer pay. */
+case class WordShingleStrings(child: Expression, k: Int, distinct: Boolean = false)
+    extends UnaryExpression {
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -174,10 +255,10 @@ case class WordShingleStrings(child: Expression, k: Int) extends UnaryExpression
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    WordShingleStrings.compute(input.asInstanceOf[ArrayData], k)
+    WordShingleStrings.compute(input.asInstanceOf[ArrayData], k, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingleStrings.compute($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingleStrings.compute($c, $k, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleStrings =
     copy(child = newChild)
@@ -186,20 +267,32 @@ case class WordShingleStrings(child: Expression, k: Int) extends UnaryExpression
 }
 
 object WordShingleStrings {
-  def compute(toks: ArrayData, k: Int): ArrayData = {
+  def compute(toks: ArrayData, k: Int, distinct: Boolean): ArrayData = {
     val n = toks.numElements()
     if (n < k) return new GenericArrayData(new Array[AnyRef](0))
     val h = WindowHasher.local.get()
     val m = n - k + 1
-    val out = new Array[AnyRef](m)
-    var i = 0
-    while (i < m) { out(i) = h.string(toks, i, k); i += 1 }
-    new GenericArrayData(out)
+    if (distinct) {
+      // LinkedHashSet = first-occurrence order, array_distinct semantics
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i < m) { seen.add(h.string(toks, i, k)); i += 1 }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[AnyRef](m)
+      var i = 0
+      while (i < m) { out(i) = h.string(toks, i, k); i += 1 }
+      new GenericArrayData(out)
+    }
   }
 
-  def shingles(tokens: Column, k: Int): Column = {
+  def shingles(tokens: Column, k: Int, distinct: Boolean = false): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
-    Bridge.column(WordShingleStrings(Bridge.expression(tokens), k))
+    Bridge.column(WordShingleStrings(Bridge.expression(tokens), k, distinct))
   }
 }
 

@@ -253,15 +253,29 @@ object Corpus {
     // pass builds its strings in the same single loop instead of the
     // interpreted transform+slice+join lambda chain. Bit-identical to
     // the builtin compositions (CorpusSpec twins).
-    // n == 1: a 1-gram IS a token, so the counting scan hashes fields
-    // straight off the raw text (TokenHashes) without materializing the
-    // split array at all — bit-identical (a window of one token joined
-    // is the token; both expressions keep split's empty-field edges)
-    val gramHashes =
-      if (n == 1) graft.functions.TokenHashes.col(text)
-      else graft.functions.ShingleHashes.shingles(
-        toks, n, fnv = false, distinct = false, emptyBelowK = true)
-    val grams = graft.functions.WordShingleStrings.shingles(toks, n)
+    // r16b: both scans pre-aggregate IN THE DOCUMENT — the counting
+    // scan emits one (hash, cnt) struct per distinct gram per doc
+    // (ShingleHashCountPairs; sum(cnt) is tf, one entry per doc is the
+    // df contribution — exactly the previous (hash, doc) groupBy frame)
+    // and the recovery scan emits each gram string once per doc
+    // (distinct mode; its consumer takes first() per hash, so
+    // per-document multiplicity was dead weight). Both explodes now
+    // carry the df mass, never the occurrence stream.
+    // n == 1: a 1-gram IS a token, so counting pairs come straight off
+    // the raw text (TokenCountPairs, no split array), hashed per
+    // distinct token — bit-identical (a window of one token joined is
+    // the token; both expressions keep split's empty-field edges).
+    val gramPairs =
+      if (n == 1)
+        explode(graft.functions.TokenCountPairs.col(text)).as("_zc_tc")
+      else
+        explode(graft.functions.ShingleHashCountPairs.shingles(toks, n)).as("_zc_tc")
+    val pairCols =
+      if (n == 1) (df: DataFrame) => df.select(
+        xxhash64(col("_zc_tc.word")).as("_zc_gh"), col("_zc_tc.cnt").as("_zc_c"))
+      else (df: DataFrame) => df.select(
+        col("_zc_tc.gh").as("_zc_gh"), col("_zc_tc.cnt").as("_zc_c"))
+    val grams = graft.functions.WordShingleStrings.shingles(toks, n, distinct = true)
     val wide = graft.Spread.spread(df, id) // gated spread (r11/r13)
     // r14 (r13 advice, medium): the tie-inclusive candidate set is "~k
     // winning hashes" only when the k-th largest tf exceeds 1 — on a
@@ -275,9 +289,7 @@ object Corpus {
     // before; exchange reuse cannot cross the driver actions this guard
     // needs). Output is <= k rows, returned eagerly as a local frame so
     // the persisted agg's lifecycle stays inside the operator.
-    val agg = wide.select(id.as("_zc_did"),
-        explode(gramHashes).as("_zc_gh"))
-      .groupBy(col("_zc_gh"), col("_zc_did")).agg(count(lit(1)).as("_zc_c"))
+    val agg = pairCols(wide.select(gramPairs))
       .groupBy(col("_zc_gh"))
       .agg(sum(col("_zc_c")).as("tf"), count(lit(1)).as("df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

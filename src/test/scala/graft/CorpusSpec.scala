@@ -803,6 +803,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(dup.isEmpty, "a token surfaced twice in one document's pairs")
   }
 
+  test("ShingleHashCountPairs equals the per-doc hash groupBy; distinct strings equal array_distinct (r16b)") {
+    val d = adversarialTokenFixtures(seed = 173).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text").repartition(4)
+    val toks = split(trim(col("text")), "\\s+")
+    for (k <- Seq(1, 3, 13)) {
+      val got = d.select(col("doc_id"),
+          explode(graft.functions.ShingleHashCountPairs.shingles(toks, k)).as("_zc_tc"))
+        .select(col("doc_id"), col("_zc_tc.gh").as("gh"), col("_zc_tc.cnt").as("cnt"))
+      // builtin image: every window hash (emptyBelowK semantics), counted
+      // per (doc, hash)
+      val want = d.select(col("doc_id"), explode(graft.functions.ShingleHashes.shingles(
+          toks, k, fnv = false, distinct = false, emptyBelowK = true)).as("gh"))
+        .groupBy(col("doc_id"), col("gh")).agg(count(lit(1)).as("cnt"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"k=$k: native gram count pairs diverged from the hash groupBy image")
+      val gotS = d.select(col("doc_id"), explode(graft.functions.WordShingleStrings
+          .shingles(toks, k, distinct = true)).as("g"))
+      val wantS = d.select(col("doc_id"), explode(array_distinct(
+          graft.functions.WordShingleStrings.shingles(toks, k))).as("g"))
+      assert(gotS.exceptAll(wantS).isEmpty && wantS.exceptAll(gotS).isEmpty,
+        s"k=$k: distinct shingle strings diverged from array_distinct")
+    }
+  }
+
   test("StripMarkup is bit-identical to the builtin regexp chain (r15)") {
     import graft.functions.{StripMarkup, TextFunctions}
     val rnd = new scala.util.Random(153)
