@@ -2033,6 +2033,12 @@ final class Collection private (
     // the conflict-key set feeds four joins and one bounds agg — cache
     // it for the duration of the commit (freed below)
     var cachedConflicts: Option[DataFrame] = None
+    // partitions of the theirs-wins parent-side delete leg, computed by a
+    // NARROW action (see the touched-partition derivation below): this leg
+    // is the one delete source whose rows can sit in files the fork->head
+    // manifest diff never touched (a duplicate-key row carried unchanged
+    // while its twin was edited), so metadata alone cannot bound it
+    var conflictTouched: Seq[String] = Nil
     conflict.foreach { case (keys, conflictKeys0, theirsWins) =>
       val conflictKeys = conflictKeys0.persist()
       cachedConflicts = Some(conflictKeys)
@@ -2067,8 +2073,14 @@ final class Collection private (
           val current = readManifestFiles(man,
               pruneFilesForRead(man, man.files, rangeAst))
             .select(cols.map(col): _*)
-          deletes = keyJoin(current, conflictKeys, keys, "left_semi")
-            .unionByName(deletes)
+          val currentDeletes = keyJoin(current, conflictKeys, keys, "left_semi")
+          // partitions this leg deletes from — unlike the CDC-derived
+          // sides there is no exceptAll in this plan, so Catalyst prunes
+          // the scan to the key + axis columns and the action is a cheap
+          // pruned scan + broadcast semi + distinct
+          conflictTouched = distinctKeys(partitioning.assign(currentDeletes))
+            .map(keyPath)
+          deletes = currentDeletes.unionByName(deletes)
           inserts = keyJoin(b.scanWithAst(rangeAst).select(cols.map(col): _*),
               conflictKeys, keys, "left_semi")
             .unionByName(inserts)
@@ -2083,15 +2095,15 @@ final class Collection private (
     // branch's own rows. Decided entirely from the two manifests (zero
     // data IO); any replace/compact/delete on the branch breaks the
     // file-survival check and falls back to the exact rewrite below.
+    val bForkMan = b.manifestAt(forkGen)
+    val bHeadMan = b.currentManifestRaw()
     val appendOnly = conflict.isEmpty && {
-      val forkMan = b.manifestAt(forkGen)
-      val headMan = b.currentManifestRaw()
-      val headFiles = headMan.files.toSet
+      val headFiles = bHeadMan.files.toSet
       def dvOf(m: Manifest): Map[String, DvRef] =
         m.shards.flatMap(e => m.shardData(e).dvs).toMap
-      forkMan.files.forall(headFiles.contains) && {
-        val fDv = dvOf(forkMan); val hDv = dvOf(headMan)
-        forkMan.files.forall(f => fDv.get(f) == hDv.get(f))
+      bForkMan.files.forall(headFiles.contains) && {
+        val fDv = dvOf(bForkMan); val hDv = dvOf(bHeadMan)
+        bForkMan.files.forall(f => fDv.get(f) == hDv.get(f))
       }
     }
     if (appendOnly) {
@@ -2109,16 +2121,48 @@ final class Collection private (
         cachedConflicts.foreach(_.unpersist(blocking = false))
       }
     }
-    // touched parent partitions: anywhere the diff lands on either side
-    // (the distinct key set is small — bounded by partitions, not rows)
-    // NOTE (r16, measured): persisting `inserts`/`deletes` here to share
-    // the CDC diff between this action and the rewrite below was tried
-    // and REVERTED — the cache materializes the full-width diff where
-    // the un-persisted plan lets Catalyst prune this action down to the
-    // partition-key columns, and the entry read 3-10x WORSE (BenchOne
-    // zc_rebase_theirs 10.2 s committed -> 30+ s persisted).
-    val touched = distinctKeys(partitioning.assign(inserts.unionByName(deletes)))
-      .map(keyPath)
+    // Touched parent partitions, derived from MANIFEST file diffs with
+    // zero data IO (r16, the second attempt at killing this action).
+    // History of the exact-action alternatives, both measured:
+    //  - r16 attempt 1: persist `inserts`/`deletes` to share the CDC diff
+    //    between a row-level touched action and the rewrite — 3-10x WORSE
+    //    (the cache materializes the full-width diff and competes with
+    //    the optimizer; BenchOne zc_rebase_theirs 10.2 s -> 30+ s).
+    //  - pre-r16: run the row-level touched action un-persisted — exact,
+    //    but it re-executed the whole branch CDC (exceptAll over the
+    //    rewritten files) plus both theirs-wins scans, a full third of
+    //    the rebase's wall time, only to throw the rows away.
+    // The metadata form is a SUPERSET of the row-level touched set, and
+    // a superset is safe: every extra partition is read into
+    // `existingRows` and rewritten byte-identical (its diff is empty),
+    // so the committed data — and the CDC feed across the commit — are
+    // unchanged; only the returned "rewritten partitions" list grows.
+    // Coverage proof, delete source by delete source (deletes are the
+    // only side that NEEDS covering — an insert appends wherever it
+    // lands, replaced or not):
+    //  - branch CDC deletes are BY CONSTRUCTION rows of files removed
+    //    between the fork and head manifests, or rows of carried files
+    //    whose deletion vector grew (changesAs builds them from exactly
+    //    those file sets);
+    //  - the theirs-wins parent-side delete leg is bounded by its own
+    //    narrow action (`conflictTouched` above) because a duplicate-key
+    //    twin can sit in a file no manifest diff touched.
+    // Branch CDC inserts live in added branch files; theirs-wins
+    // re-inserts of branch-head rows may come from carried files, but
+    // their parent-side copies are deleted via the covered legs, so the
+    // append lands consistently. At 100 TB this turns a second full
+    // evaluation of the diff into shard-list arithmetic; the cost is
+    // rewrite amplification bounded by file churn that carried no row
+    // change (mid-branch compaction) — rare, and correct either way.
+    val headFiles2 = bHeadMan.files.toSet
+    val forkFiles2 = bForkMan.files.toSet
+    val carriedB = bHeadMan.files.filter(forkFiles2)
+    val dvForkB = bForkMan.dvsForFiles(carriedB)
+    val dvHeadB = bHeadMan.dvsForFiles(carriedB)
+    val changedB = bForkMan.files.filterNot(headFiles2) ++
+      bHeadMan.files.filterNot(forkFiles2) ++
+      carriedB.filter(f => dvForkB.get(f) != dvHeadB.get(f))
+    val touched = (changedB.map(parentRel) ++ conflictTouched).distinct
     val existing = man.partitionPaths.toSet
     val replaced = touched.filter(existing.contains).toSet
     val existingRows = readManifestFiles(man, man.filesForPartitions(replaced))
