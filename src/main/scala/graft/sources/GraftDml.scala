@@ -826,9 +826,22 @@ private[sources] object GraftDmlCommands {
     *    engine falls back to the rewrite leg, never to wrong rows);
     *  - uncorrelated EXISTS = one count, a constant flag. */
   def subqueryAugment(session: SparkSession, ast: FilterExpr.Ast,
-      subs: Seq[DmlSubquery]): (DataFrame => DataFrame, FilterExpr.Ast) = {
+      subs: Seq[DmlSubquery]): (DataFrame => DataFrame, FilterExpr.Ast, () => Unit) = {
     import org.apache.spark.sql.functions._
     var outAst = ast
+    // Every subquery shape below consumes its decorrelated plan through
+    // one count/bounds ACTION plus one to five broadcast views (the
+    // 2-column tuple-IN null-pattern decomposition is the five-view
+    // worst case) — without a cache each consumer re-executes the whole
+    // subquery plan, up to SIX evaluations per statement (r16, measured:
+    // the evaluations were over a third of zc_sql_delete_in2's DELETE
+    // time). The decorrelated plan is already projected to the key
+    // columns, so the cache holds exactly the narrow key set — the
+    // full-width-cache-vs-pruning failure that sank the applyBranchDiff
+    // persist cannot arise. The caller releases via the returned thunk
+    // AFTER the command commits (the broadcast views capture the cached
+    // plan).
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def litOf(v: Any): Option[FilterExpr.Lit] = v match {
       case l: Long => Some(FilterExpr.Lit(l))
       case x: Int => Some(FilterExpr.Lit(x.toLong))
@@ -856,7 +869,22 @@ private[sources] object GraftDmlCommands {
         (st.getLong(0), st.get(1), st.get(2))
       } else (sub.agg(count(lit(1))).collect()(0).getLong(0), null, null)
     val steps: Seq[DataFrame => DataFrame] = subs.zipWithIndex.map { case (s, i) =>
-      val sub = Bridge.ofRows(session, s.plan)
+      val subRaw = Bridge.ofRows(session, s.plan)
+      // Measured exception (r16 A/B, BenchOne min-of-8): the correlated
+      // IN shape LOSES ~0.5 s under the cache — its decorrelated plan is
+      // a DISTINCT pair table whose cache build serializes behind the
+      // count action, where un-cached its two broadcast views build
+      // CONCURRENTLY (redundant compute is wall-clock-free on an idle
+      // local pool). Every other shape wins; that one stays un-cached.
+      val corrIn = s.corrValues.nonEmpty && !s.isExists && s.scalarType == null &&
+        s.tupleValues.isEmpty
+      val sub =
+        if (corrIn) subRaw
+        else {
+          val p = subRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted += p
+          p
+        }
       if (s.isExists && s.corrValues.nonEmpty) {
         // decorrelated EXISTS: the DISTINCT key-set plan evaluated ONCE;
         // the flag is a key match through a (broadcast-gated) left join
@@ -1044,7 +1072,8 @@ private[sources] object GraftDmlCommands {
         }
       }
     }
-    (steps.foldLeft(identity[DataFrame] _)((acc, f) => acc.andThen(f)), outAst)
+    (steps.foldLeft(identity[DataFrame] _)((acc, f) => acc.andThen(f)), outAst,
+      () => persisted.foreach(_.unpersist(blocking = false)))
   }
 }
 
@@ -1060,8 +1089,9 @@ case class GraftUpdateCommand(root: String, sets: Seq[(String, Column)],
     if (sets.isEmpty) return Seq(Row(0))
     val c = Collection.open(session, root)
     val ast0 = GraftDmlCommands.pruneAst(session, c, prune)
-    val (augment, ast) = GraftDmlCommands.subqueryAugment(session, ast0, subs)
-    Seq(Row(c.updateWhereCols(cond, ast, sets.toMap, augment).size))
+    val (augment, ast, release) = GraftDmlCommands.subqueryAugment(session, ast0, subs)
+    try Seq(Row(c.updateWhereCols(cond, ast, sets.toMap, augment).size))
+    finally release()
   }
 }
 
@@ -1074,8 +1104,9 @@ case class GraftDeleteCommand(root: String, cond: Column, prune: Seq[SFilter],
   override def run(session: SparkSession): Seq[Row] = {
     val c = Collection.open(session, root)
     val ast0 = GraftDmlCommands.pruneAst(session, c, prune)
-    val (augment, ast) = GraftDmlCommands.subqueryAugment(session, ast0, subs)
-    Seq(Row(c.deleteWhereCols(cond, ast, augment).size))
+    val (augment, ast, release) = GraftDmlCommands.subqueryAugment(session, ast0, subs)
+    try Seq(Row(c.deleteWhereCols(cond, ast, augment).size))
+    finally release()
   }
 }
 
