@@ -296,6 +296,95 @@ object WordShingleStrings {
   }
 }
 
+/** WINNERS-ONLY gram-string recovery (r16c): `(gh, ngram)` structs for
+  * exactly the k-token windows whose hash is in `winners` — the
+  * hash-counted top-n-gram operators' second scan, with the winning-hash
+  * broadcast-semi-filter pushed INSIDE the scan expression. The previous
+  * recovery materialized EVERY distinct gram string per document, hashed
+  * each string again, and dropped almost all of them in a join; this
+  * loop hashes each window from the shared byte buffer (never building
+  * the string) and materializes text only on a winner hit. Distinct per
+  * document on the hash (its consumer takes `first` per hash — equal
+  * strings under injectivity, the operator's documented argument), empty
+  * below `k` tokens. `winners` is bounded by the caller's broadcast gate
+  * (the same cardinality that was previously broadcast as a join side),
+  * so the literal set is small by construction. */
+case class WinnerShingleStrings(child: Expression, k: Int, winners: Array[Long])
+    extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = WinnerShingleStrings.OutType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winner_shingle_strings requires array<string>, got ${other.catalogString}")
+    }
+
+  @transient private lazy val winnerSet: java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long](math.max(16, winners.length * 2))
+    winners.foreach(w => s.add(java.lang.Long.valueOf(w)))
+    s
+  }
+
+  def compute(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(new Array[AnyRef](0))
+    val h = WindowHasher.local.get()
+    val m = n - k + 1
+    // LinkedHashSet on the hash = first-occurrence order, one emission
+    // per distinct winner gram per document
+    var seen: java.util.LinkedHashSet[java.lang.Long] = null
+    var out: java.util.ArrayList[AnyRef] = null
+    var i = 0
+    while (i < m) {
+      val gh = java.lang.Long.valueOf(h.hash(toks, i, k, fnv = false))
+      if (winnerSet.contains(gh)) {
+        if (seen == null) {
+          seen = new java.util.LinkedHashSet[java.lang.Long]()
+          out = new java.util.ArrayList[AnyRef]()
+        }
+        if (seen.add(gh))
+          out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](gh.longValue(), h.string(toks, i, k))))
+      }
+      i += 1
+    }
+    if (out == null) new GenericArrayData(new Array[AnyRef](0))
+    else new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnerShingles", this,
+      classOf[WinnerShingleStrings].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnerShingleStrings =
+    copy(child = newChild)
+
+  override def prettyName: String = "winner_shingle_strings"
+}
+
+object WinnerShingleStrings {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val OutType: ArrayType = ArrayType(StructType(Seq(
+    StructField("gh", LongType, nullable = false),
+    StructField("ngram", StringType, nullable = false))), containsNull = false)
+
+  def shingles(tokens: Column, k: Int, winners: Array[Long]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(WinnerShingleStrings(Bridge.expression(tokens), k, winners))
+  }
+}
+
 /** Distinct hashed character k-gram shingles of a string, one native loop
   * — bit-identical to `array_distinct(transform(sequence(1, n-k+1), i ->
   * xxhash64(substr(s, i, k))))` with the n < k whole-string fallback.

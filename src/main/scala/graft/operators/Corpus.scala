@@ -312,14 +312,30 @@ object Corpus {
         val thr = thrRow.getLong(0)
         val cands = agg.where(col("tf") >= thr)
         // the regime decision: a cached-scan count, one cheap job
+        val inBroadcastRegime = cands.count() <= math.max(4096L, 64L * k)
+        val strings =
+          if (inBroadcastRegime) {
+            // r16c: the winner-hash set is DRIVER-BOUNDED by the regime
+            // gate (the identical cardinality the previous plan broadcast
+            // as a join side), so it pushes INSIDE the recovery scan as a
+            // native filter: strings materialize only on winner windows —
+            // no all-grams string explode, no re-hash of every string, no
+            // join. Same distinct-per-doc frame, same `first` consumer.
+            val winners = cands.select("_zc_gh").collect().map(_.getLong(0))
+            wide.select(explode(
+                graft.functions.WinnerShingleStrings.shingles(toks, n, winners))
+              .as("_zc_ws"))
+              .select(col("_zc_ws.gh").as("_zc_gh"), col("_zc_ws.ngram").as("ngram"))
+              // all strings under one hash are equal (injectivity): first
+              // is deterministic exactly where it is used
+              .groupBy(col("_zc_gh")).agg(first(col("ngram")).as("ngram"))
+          } else
+            wide.select(explode(grams).as("ngram"))
+              .select(col("ngram"), xxhash64(col("ngram")).as("_zc_gh"))
+              .join(cands.select("_zc_gh"), "_zc_gh")
+              .groupBy(col("_zc_gh")).agg(first(col("ngram")).as("ngram"))
         val gate: DataFrame => DataFrame =
-          if (cands.count() <= math.max(4096L, 64L * k)) broadcast else identity
-        val strings = wide.select(explode(grams).as("ngram"))
-          .select(col("ngram"), xxhash64(col("ngram")).as("_zc_gh"))
-          .join(gate(cands.select("_zc_gh")), "_zc_gh")
-          // all strings under one hash are equal (injectivity): first is
-          // deterministic exactly where it is used
-          .groupBy(col("_zc_gh")).agg(first(col("ngram")).as("ngram"))
+          if (inBroadcastRegime) broadcast else identity
         val rows = cands.join(gate(strings), "_zc_gh")
           .select(col("ngram"), col("tf"), col("df"))
           .orderBy(col("tf").desc, col("ngram"))

@@ -827,6 +827,33 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("WinnerShingleStrings equals the distinct-strings explode filtered to the winner hashes (r16c)") {
+    val d = adversarialTokenFixtures(seed = 179).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text").repartition(4)
+    val toks = split(trim(col("text")), "\\s+")
+    for (k <- Seq(1, 3, 13)) {
+      // winner set: every 3rd distinct hash in the corpus (plus two
+      // absent hashes — the filter must not invent rows for them)
+      val all = d.select(explode(graft.functions.ShingleHashes.shingles(
+          toks, k, fnv = false, distinct = true, emptyBelowK = true)).as("gh"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      val winners = all.zipWithIndex.collect { case (h, i) if i % 3 == 0 => h } ++
+        Array(Long.MinValue + 7, 987654321987654321L)
+      val got = d.select(col("doc_id"), explode(
+          graft.functions.WinnerShingleStrings.shingles(toks, k, winners)).as("w"))
+        .select(col("doc_id"), col("w.gh").as("gh"), col("w.ngram").as("g"))
+      // builtin image: the previous recovery frame — distinct gram
+      // strings per doc, hashed, filtered to the winner set
+      val want = d.select(col("doc_id"), explode(graft.functions.WordShingleStrings
+          .shingles(toks, k, distinct = true)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"), col("g"))
+        .where(col("gh").isin(winners.map(Long.box).toSeq: _*))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"k=$k: winner-filtered shingle strings diverged from the " +
+          "explode+filter image")
+    }
+  }
+
   test("StripMarkup is bit-identical to the builtin regexp chain (r15)") {
     import graft.functions.{StripMarkup, TextFunctions}
     val rnd = new scala.util.Random(153)
