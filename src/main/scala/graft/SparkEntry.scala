@@ -2330,19 +2330,33 @@ object SparkEntry {
     "text_bpe_encode" -> ((s, dir) => {
       import graft.functions.BpeEncode
       val d = Tables.documents(s, dir)
-      val words = d.select(explode(split(trim(col("text")), "\\s+")).as("w"))
-      def topGrams(n: Int, k: Int): Array[String] = words
+      // r16: the merge-table derivation counted char n-grams over the
+      // WORD OCCURRENCE stream, twice (n = 2 and n = 3 each re-exploded
+      // every word of every document). Counting per DISTINCT word
+      // weighted by its corpus count is the same number for every gram
+      // (each occurrence of word w contributes w's gram multiset once),
+      // and the §6b in-document pre-aggregation already owns the
+      // (word, count) frame — the two gram scans now explode the
+      // vocabulary, not the corpus. Ties and ordering unchanged, so the
+      // derived merge table is identical.
+      val vocab = d.select(explode(
+          graft.functions.TokenCountPairs.col(col("text"))).as("t"))
+        .groupBy(col("t.word").as("w")).agg(sum(col("t.cnt")).as("wc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def topGrams(n: Int, k: Int): Array[String] = vocab
         .select(explode(
           when(length(col("w")) >= n,
             transform(sequence(lit(1), length(col("w")) - (n - 1)),
               i => col("w").substr(i, lit(n))))
-            .otherwise(array().cast("array<string>"))).as("g"))
+            .otherwise(array().cast("array<string>"))).as("g"), col("wc"))
         .where(length(col("g")) === n)
-        .groupBy("g").agg(count(lit(1)).as("n"))
+        .groupBy("g").agg(sum(col("wc")).as("n"))
         .orderBy(col("n").desc, col("g")).limit(k)
         .collect().map(_.getString(0))
-      val merges = topGrams(2, 64).map(p => (p.substring(0, 1), p.substring(1))) ++
-        topGrams(3, 32).map(t => (t.substring(0, 2), t.substring(2)))
+      val merges =
+        try topGrams(2, 64).map(p => (p.substring(0, 1), p.substring(1))) ++
+          topGrams(3, 32).map(t => (t.substring(0, 2), t.substring(2)))
+        finally vocab.unpersist(blocking = false)
       // (1) pinned vector: known table, known input, exact pieces
       val pinned = s.range(1)
         .select(BpeEncode.encode(lit("abc abcd xy"),
@@ -2350,24 +2364,37 @@ object SparkEntry {
         .head().getSeq[String](0)
       require(pinned == Seq("abc", "abc", "d", "x", "y"),
         s"pinned BPE vector mismatch: $pinned")
-      val enc = d.select(col("doc_id"), col("text"),
-        BpeEncode.encode(col("text"), merges.toSeq).as("pieces"))
+      // r16: the round-trip count and the totals agg each re-ran the
+      // greedy tokenizer over the whole corpus — with the final output
+      // that was THREE full BpeEncode evaluations per pass. Both checks
+      // are sums over the same narrow per-doc frame, so they fuse into
+      // ONE aggregate action (one evaluation) and the output is the
+      // second; a cache was rejected because the entry RETURNS a lazy
+      // frame (the persist lifecycle could not stay inside the closure
+      // without an unbounded per-doc driver collect). The three hard
+      // signals and the returned rows are byte-identical.
+      val clean = regexp_replace(col("text"), "\\s+", "")
+      val pieces = BpeEncode.encode(col("text"), merges.toSeq)
+      val per = d.select(size(pieces).as("n_pieces"),
+        (concat_ws("", pieces) =!= clean).as("rt_bad"),
+        length(clean).as("n_chars"))
+      val checks = per.agg(
+        sum(when(col("rt_bad"), 1L).otherwise(0L)).as("bad"),
+        sum(col("n_pieces")).as("p"), sum(col("n_chars")).as("c")).head()
       // (2) lossless round trip, every doc
-      val bad = enc.where(concat_ws("", col("pieces")) =!=
-        regexp_replace(col("text"), "\\s+", "")).count()
+      val bad = checks.getLong(0)
       require(bad == 0, s"BPE round-trip violated for $bad docs")
       // (3) the table bites: strictly fewer pieces than non-space chars
-      val tot = enc.agg(sum(size(col("pieces"))).as("p"),
-        sum(length(regexp_replace(col("text"), "\\s+", ""))).as("c")).head()
-      require(tot.getLong(0) < tot.getLong(1), "no merge ever fired")
+      require(checks.getLong(1) < checks.getLong(2), "no merge ever fired")
       // r14 (r13 verdict #7): the measured hard signals ride IN the
       // rows — zero round-trip violations and the corpus-wide
       // pieces/chars compression the merge table achieved.
-      enc.select(col("doc_id"), size(col("pieces")).as("n_pieces"))
+      d.select(col("doc_id"),
+          size(BpeEncode.encode(col("text"), merges.toSeq)).as("n_pieces"))
         .orderBy("doc_id")
         .withColumn("round_trip_bad", lit(bad))
-        .withColumn("total_pieces", lit(tot.getLong(0)))
-        .withColumn("total_chars", lit(tot.getLong(1)))
+        .withColumn("total_pieces", lit(checks.getLong(1)))
+        .withColumn("total_chars", lit(checks.getLong(2)))
     }),
 
     // C59 (r10e): CONTAMINATION REPORT — the audit face of C23's drop
